@@ -2,21 +2,46 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators.Analytics
+import graft.etl.StarSchema
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    StarSchema.factSales(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> ((s, dir) => Analytics.q1PricingSummary(s, dir))
+    "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
+    "stg_events" -> ((s, d) => StarSchema.stgEvents(s, d)),
+    "stg_date_range" -> ((s, d) => StarSchema.stgDateRange(s, d)),
+    "dim_date" -> ((s, d) => StarSchema.dimDate(s, d)),
+    "dim_customer" -> ((s, d) => StarSchema.dimCustomer(s, d)),
+    "dim_product" -> ((s, d) => StarSchema.dimProduct(s, d)),
+    "dim_session_context" -> ((s, d) => StarSchema.dimSessionContext(s, d)),
+    "dim_location" -> ((s, d) => StarSchema.dimLocation(s, d)),
+    "fact_sales" -> ((s, d) => StarSchema.factSales(s, d)),
+    "lookup_enrich" -> ((s, d) => StarSchema.lookupEnrich(s, d)),
+    "range_band_join" -> ((s, d) => StarSchema.rangeBandJoin(s, d)),
+    "parse_price" -> ((s, d) => StarSchema.parsePriceQuery(s, d)),
+    "parse_rating" -> ((s, d) => StarSchema.parseRatingQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> Analytics.q1Sql
+    "q1_pricing_summary" -> Analytics.q1Sql,
+    "stg_events" -> StarSchema.stgEventsSql,
+    "stg_date_range" -> StarSchema.stgDateRangeSql,
+    "dim_date" -> StarSchema.dimDateSql,
+    "dim_customer" -> StarSchema.dimCustomerSql,
+    "dim_product" -> StarSchema.dimProductSql,
+    "dim_session_context" -> StarSchema.dimSessionContextSql,
+    "dim_location" -> StarSchema.dimLocationSql,
+    "fact_sales" -> StarSchema.factSalesSql,
+    "lookup_enrich" -> StarSchema.lookupEnrichSql,
+    "range_band_join" -> StarSchema.rangeBandJoinSql,
+    "parse_price" -> StarSchema.parsePriceSql,
+    "parse_rating" -> StarSchema.parseRatingSql
   )
 }

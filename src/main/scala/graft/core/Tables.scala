@@ -16,6 +16,18 @@ final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp; read it as a raw nanos long (legacy conf) —
+    * long arithmetic is also the cheaper representation for window
+    * ordering and sessionization. `ts_us` = epoch micros (floor), the
+    * same truncation DuckDB applies reading nanos into its µs
+    * timestamps, so derived values stay comparable.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+  }
+
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
@@ -23,7 +35,6 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  def events: DataFrame = t("events")
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

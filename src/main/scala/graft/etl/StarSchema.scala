@@ -1,0 +1,361 @@
+package graft.etl
+
+import graft.core.Tables
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's dbt star schema re-expressed as Spark DataFrame
+  * builders (reference: `7.data-transformation-visualization/
+  * dbt-project-glamira/models/` — staging, dimensions, facts).
+  *
+  * Scale notes (SURVEY.md §5): every dim is small relative to the fact
+  * and explicitly broadcast into the fact build, so the fact join
+  * stage is map-only over the big table; the only wide shuffles are
+  * the newest-per-key window (keyed, pre-projected narrow) and the
+  * orders⋈lineitem join (co-partitioned on the order key).
+  */
+object StarSchema {
+
+  /** Typed staging projection of the raw event log (reference:
+    * `models/staging/stg_summary.sql` — epoch→timestamp, safe casts,
+    * renames, JSON attribute extraction).
+    */
+  def stgEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+        col("event_id"),
+        col("ts_us").as("event_ts_us"),
+        timestamp_micros(col("ts_us")).cast("date").cast("string").as("event_date"),
+        col("user_id").cast("string").as("customer_source_id"),
+        col("event_type"),
+        col("value").as("value_amt"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("prop_k"))
+      .orderBy("event_id")
+
+  val stgEventsSql: String =
+    """SELECT event_id, epoch_us(ts) AS event_ts_us,
+      |  CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+      |  CAST(user_id AS VARCHAR) AS customer_source_id, event_type,
+      |  value AS value_amt,
+      |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Data date range (reference: `models/staging/stg_summary_date_range.sql`). */
+  def stgDateRange(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders.agg(
+      min(col("o_orderdate")).cast("date").cast("string").as("start_date"),
+      max(col("o_orderdate")).cast("date").cast("string").as("end_date"))
+
+  val stgDateRangeSql: String =
+    """SELECT CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS start_date,
+      |       CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS end_date FROM orders""".stripMargin
+
+  /** Date-spine dimension: day spine over the data range ±30 days +
+    * calendar attributes (reference: `models/dimensions/dim_date.sql`,
+    * dbt_utils.date_spine). `sequence`+`explode` — generated
+    * map-side from a 1-row aggregate, no shuffle beyond the scalar agg.
+    */
+  def dimDate(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir).orders.agg(
+      date_sub(min(col("o_orderdate")).cast("date"), 30).as("s"),
+      date_add(max(col("o_orderdate")).cast("date"), 30).as("e"))
+    val d = col("full_date")
+    r.select(explode(sequence(col("s"), col("e"))).as("full_date"))
+      .select(
+        date_format(d, "yyyyMMdd").cast("int").as("date_key"),
+        d.cast("string").as("full_date"),
+        dayofmonth(d).as("day_of_month"),
+        month(d).as("month_of_year"),
+        year(d).as("calendar_year"),
+        quarter(d).as("calendar_quarter"),
+        date_format(d, "EEEE").as("day_name"),
+        date_format(d, "EEE").as("day_name_short"),
+        date_format(d, "MMMM").as("month_name"),
+        date_format(d, "MMM").as("month_name_short"),
+        dayofweek(d).as("day_of_week"),
+        weekofyear(d).as("calendar_week"),
+        dayofweek(d).isin(1, 7).as("is_weekend"))
+      .orderBy("date_key")
+  }
+
+  val dimDateSql: String =
+    """WITH r AS (SELECT CAST(min(o_orderdate) AS DATE) - INTERVAL 30 DAY AS s,
+      |                  CAST(max(o_orderdate) AS DATE) + INTERVAL 30 DAY AS e FROM orders),
+      |spine AS (SELECT CAST(unnest(generate_series(CAST(s AS TIMESTAMP), CAST(e AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS full_date FROM r)
+      |SELECT CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key,
+      |  CAST(full_date AS VARCHAR) AS full_date,
+      |  dayofmonth(full_date) AS day_of_month, month(full_date) AS month_of_year,
+      |  year(full_date) AS calendar_year, quarter(full_date) AS calendar_quarter,
+      |  dayname(full_date) AS day_name, strftime(full_date, '%a') AS day_name_short,
+      |  monthname(full_date) AS month_name, strftime(full_date, '%b') AS month_name_short,
+      |  dayofweek(full_date) + 1 AS day_of_week, weekofyear(full_date) AS calendar_week,
+      |  dayofweek(full_date) IN (0, 6) AS is_weekend
+      |FROM spine ORDER BY date_key""".stripMargin
+
+  /** Newest event attributes per user — the dedup-newest pattern
+    * (reference: `models/dimensions/dim_customer.sql` QUALIFY
+    * row_number … = 1). Narrow projection BEFORE the window shuffle.
+    */
+  private def newestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        col("event_type").as("last_event_type"),
+        timestamp_micros(col("ts_us")).cast("date").cast("string").as("last_seen_date"))
+  }
+
+  /** Customer dimension: master data enriched with newest-event
+    * attributes + md5 surrogate key (reference: dim_customer.sql).
+    */
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    c.join(newestEventPerUser(spark, dir), c("c_custkey") === col("user_id"), "left")
+      .select(
+        surrogateKey(col("c_custkey")).as("customer_key"),
+        col("c_custkey").cast("string").as("customer_source_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("market_segment"),
+        col("c_acctbal").as("account_balance"),
+        col("last_event_type"),
+        col("last_seen_date"))
+      .orderBy("customer_source_id")
+  }
+
+  val dimCustomerSql: String =
+    """WITH newest AS (
+      |  SELECT user_id, event_type AS last_event_type,
+      |         CAST(CAST(ts AS DATE) AS VARCHAR) AS last_seen_date
+      |  FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+      |SELECT md5(coalesce(CAST(c_custkey AS VARCHAR), '_null_')) AS customer_key,
+      |  CAST(c_custkey AS VARCHAR) AS customer_source_id,
+      |  c_name AS customer_name, c_mktsegment AS market_segment,
+      |  c_acctbal AS account_balance, last_event_type, last_seen_date
+      |FROM customer LEFT JOIN newest ON c_custkey = user_id
+      |ORDER BY customer_source_id""".stripMargin
+
+  /** Product dimension (reference: dim_product.sql). */
+  def dimProduct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part.select(
+        surrogateKey(col("p_partkey")).as("product_key"),
+        col("p_partkey").cast("string").as("product_source_id"),
+        col("p_name").as("product_name"),
+        col("p_brand").as("brand"),
+        col("p_type").as("product_type"),
+        col("p_size").as("size"),
+        col("p_retailprice").as("list_price"))
+      .orderBy("product_source_id")
+
+  val dimProductSql: String =
+    """SELECT md5(coalesce(CAST(p_partkey AS VARCHAR), '_null_')) AS product_key,
+      |  CAST(p_partkey AS VARCHAR) AS product_source_id,
+      |  p_name AS product_name, p_brand AS brand, p_type AS product_type,
+      |  p_size AS size, p_retailprice AS list_price
+      |FROM part ORDER BY product_source_id""".stripMargin
+
+  /** Session-context dimension: distinct composite context + composite
+    * md5 surrogate key (reference: dim_session_context.sql — 7-col
+    * distinct + generate_surrogate_key over all of them).
+    */
+  def dimSessionContext(spark: SparkSession, dir: String): DataFrame =
+    stgEventsRaw(spark, dir)
+      .filter(col("customer_source_id").isNotNull || col("event_type").isNotNull)
+      .select(col("customer_source_id"), col("event_type"), col("prop_k"))
+      .distinct()
+      .select(
+        surrogateKey(col("customer_source_id"), col("event_type"), col("prop_k"))
+          .as("session_context_key"),
+        col("customer_source_id"), col("event_type"), col("prop_k"))
+      .orderBy("customer_source_id", "event_type", "prop_k")
+
+  // stgEvents without the deterministic ORDER BY (for internal reuse)
+  private def stgEventsRaw(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+      col("event_id"),
+      col("user_id").cast("string").as("customer_source_id"),
+      col("event_type"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("prop_k"))
+
+  val dimSessionContextSql: String =
+    """WITH stg AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS customer_source_id, event_type,
+      |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS prop_k
+      |  FROM events),
+      |d AS (SELECT DISTINCT customer_source_id, event_type, prop_k FROM stg
+      |      WHERE customer_source_id IS NOT NULL OR event_type IS NOT NULL)
+      |SELECT md5(concat_ws('-', coalesce(customer_source_id, '_null_'),
+      |                          coalesce(event_type, '_null_'),
+      |                          coalesce(CAST(prop_k AS VARCHAR), '_null_'))) AS session_context_key,
+      |  customer_source_id, event_type, prop_k
+      |FROM d ORDER BY customer_source_id, event_type, prop_k""".stripMargin
+
+  /** Location dimension from the geo lookup graph (reference:
+    * dim_location.sql over ip_locations).
+    */
+  def dimLocation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation.join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        surrogateKey(col("n_nationkey")).as("location_key"),
+        col("n_nationkey").cast("string").as("location_source_id"),
+        col("n_name").as("nation_name"),
+        col("r_name").as("region_name"))
+      .orderBy("location_source_id")
+  }
+
+  val dimLocationSql: String =
+    """SELECT md5(coalesce(CAST(n_nationkey AS VARCHAR), '_null_')) AS location_key,
+      |  CAST(n_nationkey AS VARCHAR) AS location_source_id,
+      |  n_name AS nation_name, r_name AS region_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY location_source_id""".stripMargin
+
+  /** Fact build: line-grain sales fact, 4 dimensions broadcast
+    * left-joined, unmatched keys coalesced to '-1' (reference:
+    * `models/facts/fact_sales_order.sql`). The dims are broadcast so
+    * this is a map-only stage over lineitem⋈orders at any scale.
+    */
+  def factSales(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val o = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+
+    val dp = dimProduct(spark, dir).select(col("product_key"), col("product_source_id"))
+    val dc = dimCustomer(spark, dir).select(col("customer_key"), col("customer_source_id"))
+    val dl = dimLocation(spark, dir).select(col("location_key"), col("location_source_id"))
+    val dd = dimDate(spark, dir).select(col("date_key"), col("full_date"))
+
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(dp), col("l_partkey").cast("string") === col("product_source_id"), "left")
+      .join(broadcast(dc), col("o_custkey").cast("string") === col("customer_source_id"), "left")
+      .join(broadcast(dl), col("c_nationkey").cast("string") === col("location_source_id"), "left")
+      .join(broadcast(dd), col("o_orderdate").cast("date").cast("string") === col("full_date"), "left")
+      .select(
+        surrogateKey(col("l_orderkey"), col("l_linenumber")).as("sales_order_key"),
+        coalesce(col("product_key"), lit("-1")).as("product_key"),
+        coalesce(col("customer_key"), lit("-1")).as("customer_key"),
+        coalesce(col("location_key"), lit("-1")).as("location_key"),
+        coalesce(col("date_key"), lit(-1)).as("date_key"),
+        col("l_extendedprice").as("sales_amount"),
+        col("l_quantity").as("quantity"),
+        col("l_orderkey").cast("string").as("order_source_id"),
+        col("l_linenumber").as("line_number"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"))
+      .orderBy(col("order_source_id"), col("line_number"))
+  }
+
+  val factSalesSql: String =
+    """WITH dd AS (
+      |  SELECT CAST(strftime(CAST(d AS DATE), '%Y%m%d') AS INT) AS date_key, CAST(d AS DATE) AS full_date
+      |  FROM (SELECT unnest(generate_series(CAST(CAST(min(o_orderdate) AS DATE) - INTERVAL 30 DAY AS TIMESTAMP),
+      |                                      CAST(CAST(max(o_orderdate) AS DATE) + INTERVAL 30 DAY AS TIMESTAMP),
+      |                                      INTERVAL 1 DAY)) AS d FROM orders))
+      |SELECT
+      |  md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS sales_order_key,
+      |  coalesce(md5(CAST(l_partkey AS VARCHAR)), '-1') AS product_key,
+      |  coalesce(md5(CAST(o_custkey AS VARCHAR)), '-1') AS customer_key,
+      |  coalesce(md5(CAST(c_nationkey AS VARCHAR)), '-1') AS location_key,
+      |  coalesce(dd.date_key, -1) AS date_key,
+      |  l_extendedprice AS sales_amount,
+      |  l_quantity AS quantity,
+      |  CAST(l_orderkey AS VARCHAR) AS order_source_id,
+      |  l_linenumber AS line_number,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+      |FROM lineitem
+      |LEFT JOIN orders ON l_orderkey = o_orderkey
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN part ON CAST(l_partkey AS VARCHAR) = CAST(p_partkey AS VARCHAR)
+      |LEFT JOIN dd ON CAST(o_orderdate AS DATE) = dd.full_date
+      |ORDER BY order_source_id, line_number""".stripMargin
+
+  /** Broadcast lookup-chain enrichment — the ip→geo analog (reference:
+    * `5.data-collection-storage/ip_processor.py` enriches events with
+    * an in-memory lookup DB; here the lookup chain is broadcast so the
+    * enrichment is map-only).
+    */
+  def lookupEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("n_name").as("nation_name"), col("r_name").as("region_name"))
+      .orderBy("c_custkey")
+  }
+
+  val lookupEnrichSql: String =
+    """SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Value-in-range band assignment via a tiny broadcast range table —
+    * the IP2Location `ip_from <= ip <= ip_to` lookup pattern
+    * (reference: ip_processor.py) as a broadcast range join.
+    */
+  def rangeBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq((0L, 50000L, "low"), (50000L, 150000L, "mid"),
+      (150000L, 100000000L, "high")).toDF("lo", "hi", "band")
+    Tables(spark, dir).orders
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("band"))
+      .orderBy("o_orderkey")
+  }
+
+  val rangeBandJoinSql: String =
+    """SELECT o_orderkey, o_totalprice, band
+      |FROM orders JOIN (VALUES (0, 50000, 'low'), (50000, 150000, 'mid'),
+      |                         (150000, 100000000, 'high')) AS b(lo, hi, band)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Locale price parsing round-trip: synthesize the EU-formatted raw
+    * price string the reference's crawler scrapes ("1.234,56 €",
+    * reference: product_crawler.py price_raw→price), parse it back
+    * with the codegen'd parser; oracle asserts the round-trip recovers
+    * the original value.
+    */
+  def parsePriceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(translate(format_string("%.2f", col("p_retailprice")), ".", ","), lit(" €"))
+    Tables(spark, dir).part.select(
+        col("p_partkey"),
+        raw.as("price_raw"),
+        parsePrice(raw).cast("double").as("list_price"),
+        parseCurrency(raw).as("currency"))
+      .orderBy("p_partkey")
+  }
+
+  val parsePriceSql: String =
+    """SELECT p_partkey,
+      |  translate(printf('%.2f', p_retailprice), '.', ',') || ' €' AS price_raw,
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS list_price,
+      |  'EUR' AS currency
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Rating parsing ("4.5 Sterne" → 4.5; reference: product_crawler.py
+    * rating_raw→rating), same round-trip oracle shape.
+    */
+  def parseRatingQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rating = (col("p_size") % 5).cast("double") + lit(0.5)
+    val raw = concat(rating.cast("string"), lit(" Sterne"))
+    Tables(spark, dir).part.select(
+        col("p_partkey"),
+        raw.as("rating_raw"),
+        parseRating(raw).cast("double").as("rating"))
+      .orderBy("p_partkey")
+  }
+
+  val parseRatingSql: String =
+    """SELECT p_partkey,
+      |  CAST(CAST(p_size % 5 AS DOUBLE) + 0.5 AS VARCHAR) || ' Sterne' AS rating_raw,
+      |  CAST(p_size % 5 AS DOUBLE) + 0.5 AS rating
+      |FROM part ORDER BY p_partkey""".stripMargin
+}
