@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.Analytics
+import graft.operators.{Analytics, Ann, Dedup, Multimodal, TextAnalysis}
 import graft.etl.StarSchema
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,6 +13,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
+    "q3_top_orders" -> ((s, d) => Analytics.q3TopOrders(s, d)),
+    "q5_region_volume" -> ((s, d) => Analytics.q5RegionVolume(s, d)),
+    "window_running_total" -> ((s, d) => Analytics.windowRunningTotal(s, d)),
+    "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
+    "sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "stg_events" -> ((s, d) => StarSchema.stgEvents(s, d)),
     "stg_date_range" -> ((s, d) => StarSchema.stgDateRange(s, d)),
     "dim_date" -> ((s, d) => StarSchema.dimDate(s, d)),
@@ -24,13 +29,30 @@ object SparkEntry {
     "lookup_enrich" -> ((s, d) => StarSchema.lookupEnrich(s, d)),
     "range_band_join" -> ((s, d) => StarSchema.rangeBandJoin(s, d)),
     "parse_price" -> ((s, d) => StarSchema.parsePriceQuery(s, d)),
-    "parse_rating" -> ((s, d) => StarSchema.parseRatingQuery(s, d))
+    "parse_rating" -> ((s, d) => StarSchema.parseRatingQuery(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.textQuality(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.textLangId(s, d)),
+    "text_tokencount" -> ((s, d) => TextAnalysis.textTokenCount(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(s, d)),
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinHashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimHash(s, d)),
+    "ann_topk_bruteforce" -> ((s, d) => Ann.annTopkBruteforce(s, d)),
+    "ann_lsh_topk" -> ((s, d) => Ann.annLshTopk(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Ann.dedupEmbeddingCosine(s, d)),
+    "multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> Analytics.q1Sql,
+    "q3_top_orders" -> Analytics.q3Sql,
+    "q5_region_volume" -> Analytics.q5Sql,
+    "window_running_total" -> Analytics.windowRunningTotalSql,
+    "topk_per_group" -> Analytics.topkPerGroupSql,
+    "sessionize" -> Analytics.sessionizeSql,
     "stg_events" -> StarSchema.stgEventsSql,
     "stg_date_range" -> StarSchema.stgDateRangeSql,
     "dim_date" -> StarSchema.dimDateSql,
@@ -42,6 +64,14 @@ object SparkEntry {
     "lookup_enrich" -> StarSchema.lookupEnrichSql,
     "range_band_join" -> StarSchema.rangeBandJoinSql,
     "parse_price" -> StarSchema.parsePriceSql,
-    "parse_rating" -> StarSchema.parseRatingSql
+    "parse_rating" -> StarSchema.parseRatingSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "text_langid" -> TextAnalysis.textLangIdSql,
+    "text_tokencount" -> TextAnalysis.textTokenCountSql,
+    "text_fingerprint" -> TextAnalysis.textFingerprintSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "ann_topk_bruteforce" -> Ann.annTopkBruteforceSql,
+    "dedup_embedding_cosine" -> Ann.dedupEmbeddingCosineSql
   )
 }

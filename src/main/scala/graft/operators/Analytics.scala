@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.GraftFunctions.money
 
 /** Warehouse-layer aggregation/join queries — the analytics the
@@ -44,4 +45,175 @@ object Analytics {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shipping-priority top-N (TPC-H Q3 shape): two shuffle joins on
+    * the order key + one grouped agg; the final top-10 is a TakeOrdered
+    * (no global sort materialization). Decimal revenue for exactness;
+    * order-key tiebreak for determinism.
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+      col("o_orderpriority"))
+    val li = t.lineitem.select(col("l_orderkey"),
+      (money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).as("rev"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("l_orderkey").as("order_key"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"),
+        col("o_orderpriority").as("order_priority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("order_key"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey AS order_key,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+      |  o_orderpriority AS order_priority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, order_key
+      |LIMIT 10""".stripMargin
+
+  /** Local-supplier volume rollup (TPC-H Q5 shape): 6-table join tree
+    * with every dimension side broadcast; only customer⋈orders⋈lineitem
+    * shuffle on their keys.
+    */
+  def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val region = t.region.filter(col("r_name") === "ASIA")
+    val nat = t.nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+    val c = t.customer.select(col("c_custkey"), col("c_nationkey"))
+    val o = t.orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      (money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).as("rev"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("n_name").as("nation"), col("revenue"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name AS nation,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, nation""".stripMargin
+
+  /** Per-customer running order total — cumulative window frame
+    * (rows unbounded-preceding..current), decimal-exact accumulation.
+    */
+  def windowRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    // ISO date strings sort identically to the underlying dates
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("order_date"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"),
+        money(col("o_totalprice")).as("p"))
+      .withColumn("running_total", sum(col("p")).over(w).cast("double"))
+      .select(col("o_custkey").as("cust_key"), col("o_orderkey").as("order_key"),
+        col("order_date"), col("running_total"))
+      .orderBy("cust_key", "order_key")
+  }
+
+  val windowRunningTotalSql: String =
+    """SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY cust_key, order_key""".stripMargin
+
+  /** Top-3 orders per customer — rank-per-group, the reference's
+    * QUALIFY row_number pattern generalized to k>1.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= 3)
+      .select(col("o_custkey").as("cust_key"), col("o_orderkey").as("order_key"),
+        col("o_totalprice").as("total_price"), col("rank_in_group"))
+      .orderBy("cust_key", "rank_in_group")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+      |  o_totalprice AS total_price,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_group
+      |FROM orders
+      |QUALIFY rank_in_group <= 3
+      |ORDER BY cust_key, rank_in_group""".stripMargin
+
+  /** Gap-based sessionization of the event stream (30-min inactivity
+    * boundary): lag → new-session flag → cumulative session seq → one
+    * row per session. Batch analog of the streaming
+    * flatMapGroupsWithState path; all in epoch-micros long arithmetic.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), money(col("value")).as("v"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("value_sum"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(value AS DECIMAL(18,2)) AS v,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM f)
+      |SELECT user_id, session_seq, min(ts_us) AS session_start_us,
+      |  max(ts_us) AS session_end_us, count(*) AS n_events,
+      |  CAST(sum(v) AS DOUBLE) AS value_sum
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.GraftFunctions.cosineSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 G):
+  * exact brute-force top-k as the correctness baseline, a
+  * random-hyperplane LSH bucketed variant as the scale path, and
+  * cosine near-dup pair detection.
+  *
+  * The dot products run through `zip_with`/`aggregate` higher-order
+  * functions — codegen'd, no UDF, array stays columnar.
+  */
+object Ann {
+
+  private val K = 5
+  private val NumQueries = 10
+  private val DupThreshold = 0.4
+
+  /** Exact cosine top-k: the query set (vec_id < 10) is broadcast
+    * against all candidates, so the scan side streams map-only; ranks
+    * are deterministic (sim desc, id asc). Outputs ids+rank only —
+    * float scores are engine-noise-sensitive, ranks are not (min
+    * adjacent-rank gap in this data ≫ fp noise).
+    */
+  def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .filter(col("query_id") < NumQueries)
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annTopkBruteforceSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+       |s AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.q_emb, c.embedding) AS sim
+       |  FROM q, embeddings c WHERE q.query_id != c.vec_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding near-dup pairs: cosine ≥ τ over all id-ordered pairs.
+    * Exact variant (the LSH path below is the 100 TB route — this one
+    * is the oracle-checkable ground truth).
+    */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosineSim(col("ea"), col("eb")))
+      .filter(col("sim") >= DupThreshold)
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingCosineSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= $DupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // 8 tables × 4 planes: tuned for weakly-similar data (top cosine
+  // ~0.5 here) — collision prob per table (1-θ/π)^4 ≈ 0.13, miss^8 ≈
+  // 0.33 → ~2/3 recall at ~half the brute-force candidate volume.
+  // Stronger near-dup data (the usual dedup case) gets far higher
+  // recall at the same setting.
+  private val NumTables = 8
+  private val PlanesPerTable = 4
+  private val Dim = 64
+
+  /** Deterministic random hyperplanes (seeded, generated in-code —
+    * the plane matrix is a broadcast literal): NumTables independent
+    * hash tables of PlanesPerTable planes each.
+    */
+  private lazy val planes: Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(Seq.fill(Dim)(rng.nextGaussian())))
+  }
+
+  /** Multi-table random-hyperplane LSH ANN: 4 tables × 8-bit sign
+    * signatures; a candidate is any vector colliding with the query in
+    * ≥1 table; exact cosine re-rank over the candidate union. This is
+    * the 100 TB path: candidate generation is an equi-join on
+    * (table, bucket) — expected bucket occupancy n/2^8 per table, so
+    * work is ~4·n·occupancy instead of n². Approximate by construction
+    * → rows-only check; recall vs brute force is unit-tested.
+    */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    // per-table signature = packed sign bits of plane·vec
+    def signature(t: Int, emb: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(typedlit(planes(t)), sequence(lit(0), lit(PlanesPerTable - 1)), (plane, i) =>
+          when(aggregate(zip_with(plane, emb, (p, x) => p * x.cast("double")),
+            lit(0.0), (acc, v) => acc + v) > 0, pow(lit(2.0), i.cast("double")).cast("int")).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val sig = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until NumTables).map(t => signature(t, col("embedding"))): _*))
+        .as(Seq("tbl", "bucket")))
+    val q = sig.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("tbl"), col("bucket")).filter(col("query_id") < NumQueries)
+    val c = sig.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("tbl").as("c_tbl"), col("bucket").as("c_bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("tbl") === col("c_tbl") && col("bucket") === col("c_bucket") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .distinct() // union candidates across tables
+      .withColumn("sim", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2 I): treat media payloads
+  * as opaque binary columns + typed metadata, with the decode /
+  * feature-extract step as a per-partition batch transform — the Scala
+  * analog of `mapInPandas` (iterator of batches in, iterator of
+  * batches out; the decoder touches each partition's rows in one pass,
+  * so a real codec would amortize model/codec init per partition, not
+  * per row).
+  *
+  * The actual media codec is STUBBED (no image/audio libs in this
+  * container) with a deterministic fake decode; the Spark-side
+  * contract — schema, binary payload handling, partition-batch shape —
+  * is real and unit-tested.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata record produced by the stub decoder. */
+  final case class MediaMeta(doc_id: Long, byte_len: Int, checksum: Long,
+      fake_width: Int, fake_height: Int, source: String)
+
+  /** STUB decode: deterministic pseudo-decode of a binary payload.
+    * A real implementation would hand `payload` to a codec; everything
+    * around it (batching, schema, partitioning) is production-shaped.
+    */
+  private def fakeDecode(docId: Long, payload: Array[Byte], source: String): MediaMeta = {
+    var h = 1125899906842597L // FNV-ish rolling checksum over the payload
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    MediaMeta(docId, payload.length, h,
+      fake_width = 16 + (math.abs(h) % 1024).toInt,
+      fake_height = 16 + (math.abs(h / 1024) % 1024).toInt,
+      source)
+  }
+
+  /** Binary payload table + per-partition batch "decode" →
+    * typed metadata. Rows-only check (stub decode isn't SQL).
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      col("source"))
+    media.as[(Long, Array[Byte], String)]
+      .mapPartitions { batch => batch.map { case (id, payload, src) => fakeDecode(id, payload, src) } }
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.GraftFunctions.normTokens
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM-training-data pipeline over the
+  * `documents` table: quality scoring, language ID, token counting,
+  * fingerprinting. Everything is a narrow map-only projection — no
+  * shuffle, scales linearly with input splits (SURVEY.md §2 H).
+  *
+  * All ratios are int/int divisions in double (exactly-representable
+  * operands → bit-identical across engines), so every query here is
+  * oracled.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "is")
+
+  /** Quality metrics: length, punctuation ratio, stopword ratio, avg
+    * token length, and a blended score — the heuristics used to filter
+    * low-quality web text before training.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = normTokens(col("text"))
+    val len = length(col("text"))
+    val nTok = size(toks)
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val stopCnt = size(filter(toks, t => t.isin(stopwords: _*)))
+    val tokLenSum = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val punctRatio = punct.cast("double") / len.cast("double")
+    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
+    val avgTokLen = tokLenSum.cast("double") / nTok.cast("double")
+    Tables(spark, dir).documents.select(
+        col("doc_id"),
+        len.as("text_len"),
+        nTok.as("n_tokens"),
+        punct.as("punct_count"),
+        punctRatio.as("punct_ratio"),
+        stopCnt.as("stopword_count"),
+        stopRatio.as("stopword_ratio"),
+        avgTokLen.as("avg_token_len"),
+        (lit(0.3) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
+          lit(0.4) * least(avgTokLen / lit(10.0), lit(1.0))).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(text) AS text_len,
+      |  len(toks) AS n_tokens,
+      |  len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct_count,
+      |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) AS punct_ratio,
+      |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS stopword_count,
+      |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+      |  CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+      |  0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+      |    + 0.3 * (1.0 - CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE))
+      |    + 0.4 * least((CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) / 10.0, 1.0) AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  /** Marker-word language scoring (n-gram-heuristic language ID):
+    * count marker hits per language, argmax with a fixed precedence
+    * tie-break. Map-only.
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = normTokens(col("text"))
+    def score(ws: Seq[String]): Column = size(filter(toks, t => t.isin(ws: _*)))
+    val Seq(en, de, es, fr) = langMarkers.map(m => score(m._2))
+    val pred = when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+    Tables(spark, dir).documents.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
+        pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val textLangIdSql: String = {
+    def s(ws: Seq[String]) =
+      s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    val Seq(en, de, es, fr) = langMarkers.map(m => s(m._2))
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks
+       |  FROM documents)
+       |SELECT doc_id, lang AS labeled_lang,
+       |  $en AS score_en, $de AS score_de, $es AS score_es, $fr AS score_fr,
+       |  CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en > 0 THEN 'en'
+       |       WHEN $de >= $es AND $de >= $fr AND $de > 0 THEN 'de'
+       |       WHEN $es >= $fr AND $es > 0 THEN 'es'
+       |       WHEN $fr > 0 THEN 'fr'
+       |       ELSE 'unknown' END AS pred_lang
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (alnum runs + individual punctuation marks), the standard cheap
+    * proxy for LLM token budgeting.
+    */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val ws = size(filter(split(col("text"), " +"), t => length(t) > 0))
+    val bpe = size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+    Tables(spark, dir).documents.select(
+        col("doc_id"),
+        col("n_chars"),
+        ws.as("ws_token_count"),
+        bpe.as("regex_token_count"),
+        (length(col("text")).cast("double") / ws.cast("double")).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val textTokenCountSql: String =
+    """SELECT doc_id, n_chars,
+      |  len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS ws_token_count,
+      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS regex_token_count,
+      |  CAST(len(text) AS DOUBLE) / CAST(len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS DOUBLE) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Normalized document fingerprint: md5 of the sorted distinct token
+    * set — an order/count-insensitive content hash (the "fingerprint
+    * dedup" normalization).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = normTokens(col("text"))
+    val uniq = array_sort(array_distinct(toks))
+    Tables(spark, dir).documents.select(
+        col("doc_id"),
+        size(uniq).as("n_uniq_tokens"),
+        md5(concat_ws(" ", uniq)).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0))) AS uniq
+      |  FROM documents)
+      |SELECT doc_id, len(uniq) AS n_uniq_tokens,
+      |  md5(array_to_string(uniq, ' ')) AS fingerprint
+      |FROM t ORDER BY doc_id""".stripMargin
+}
