@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources & sinks (SURVEY.md §2 J) — the reference's stage 5/6
+  * (BSON dumps → object storage → partitioned warehouse load,
+  * reference: `6.data-pipeline-storage/export_to_GCS.py` +
+  * `trigger_bigquery_load.py`) re-expressed as schema'd Spark readers,
+  * a date-partitioned columnar sink, and an incremental
+  * only-new-partitions loader.
+  */
+object GraftSources {
+
+  /** JSONL reader with an explicit schema — never infer in production:
+    * inference is a full extra pass over 100 TB and can silently widen
+    * types between runs.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV reader with explicit schema; malformed rows are dropped (the
+    * reference's crawler output is similarly best-effort).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+
+  /** Hive-style partitioned parquet sink. `maxRecordsPerFile` caps
+    * file size so a skewed partition can't produce a single huge file
+    * (the 100 TB failure mode of naive partitioned writes).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 1L << 20): Unit =
+    df.write
+      .mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** List the partition directory names (e.g. `event_date=2024-01-01`)
+    * currently present under a partitioned table root.
+    */
+  def listPartitions(spark: SparkSession, tablePath: String): Seq[String] = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+      .sorted
+  }
+
+  /** Incremental load: read only partitions not yet recorded in the
+    * plain-text state file, then mark them processed. Partition
+    * pruning keeps the scan proportional to NEW data — the property
+    * that makes nightly loads O(day) instead of O(history)
+    * (reference: trigger_bigquery_load.py date-partition loads).
+    * Returns (newly loaded DataFrame or None, newly seen partitions).
+    */
+  def incrementalLoad(spark: SparkSession, tablePath: String,
+      statePath: String): (Option[DataFrame], Seq[String]) = {
+    val state = new Path(statePath)
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen: Set[String] =
+      if (fs.exists(state)) {
+        val in = fs.open(state)
+        val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        txt.split("\n").filter(_.nonEmpty).toSet
+      } else Set.empty
+    val fresh = listPartitions(spark, tablePath).filterNot(seen)
+    val df = if (fresh.isEmpty) None else Some(
+      spark.read
+        .option("basePath", tablePath)
+        .parquet(fresh.map(f => s"$tablePath/$f"): _*))
+    val out = fs.create(state, true)
+    try out.write((seen ++ fresh).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    (df, fresh)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the event-log schema (SURVEY.md §2 K) —
+  * the continuous-ingest half of the reference pipeline (the MongoDB
+  * `summary` collection is an always-appending event stream that the
+  * reference batch-dumps; here it's consumed incrementally).
+  *
+  * Timestamps arrive as epoch micros (long) to match the batch-side
+  * `events.ts_us` convention.
+  */
+object EventStream {
+
+  /** Schema of a streamed event file (JSONL), epoch-micros timestamps. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Watermarked tumbling-window aggregation: events-per-type-per-5min.
+    * The watermark bounds state: at 1000 executors the state store only
+    * holds windows newer than (max event time − 10 min).
+    */
+  def windowedCounts(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(inputDir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  final case class Ev(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(events: Seq[(Long, Double)]) // (ts_us, value)
+  final case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, value_sum: Double)
+
+  private val GapUs = 30L * 60 * 1000000
+
+  /** Stateful sessionization via flatMapGroupsWithState: per user,
+    * buffer events; on each trigger emit every session that is CLOSED
+    * (a ≥30-min gap follows it within the buffered data) and keep only
+    * the open tail in state. Semantics match the batch
+    * `Analytics.sessionize` for closed sessions.
+    */
+  def sessionizeStream(spark: SparkSession, inputDir: String): DataFrame = {
+    import spark.implicits._
+    val events = spark.readStream.schema(eventSchema).json(inputDir).as[Ev]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, incoming: Iterator[Ev], state: GroupState[SessionState]) => {
+          val prior = if (state.exists) state.get.events else Seq.empty
+          val all = (prior ++ incoming.map(e => (e.ts_us, e.value))).sortBy(_._1)
+          // split into gap-delimited sessions
+          val sessions = all.foldLeft(Vector.empty[Vector[(Long, Double)]]) {
+            case (acc, ev) if acc.nonEmpty && ev._1 - acc.last.last._1 <= GapUs =>
+              acc.init :+ (acc.last :+ ev)
+            case (acc, ev) => acc :+ Vector(ev)
+          }
+          val (closed, open) = (sessions.dropRight(1), sessions.takeRight(1).flatten)
+          state.update(SessionState(open))
+          closed.iterator.map(s => Session(user, s.head._1, s.last._1, s.size,
+            s.map(_._2).sum))
+        })
+      .toDF()
+  }
+}

@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session, local[4]). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class FunctionsSpec extends AnyFunSuite {
+  import graft.functions.GraftFunctions._
+  import org.apache.spark.sql.functions._
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+
+  test("parsePrice handles EU format with thousands dots") {
+    assert(one(parsePrice(lit("5.165,00 €"))).toString == "5165.00")
+    assert(one(parsePrice(lit("1.234.567,89 €"))).toString == "1234567.89")
+  }
+  test("parsePrice handles US format with thousands commas") {
+    assert(one(parsePrice(lit("$1,234.56"))).toString == "1234.56")
+    assert(one(parsePrice(lit("999.99 USD"))).toString == "999.99")
+  }
+  test("parsePrice returns null on garbage") {
+    assert(one(parsePrice(lit("no price here"))) == null)
+  }
+  test("parseCurrency maps symbols and ISO codes") {
+    assert(one(parseCurrency(lit("5.165,00 €"))) == "EUR")
+    assert(one(parseCurrency(lit("$12.00"))) == "USD")
+    assert(one(parseCurrency(lit("12.00 GBP"))) == "GBP")
+  }
+  test("parseRating extracts leading decimal") {
+    assert(one(parseRating(lit("4.8 Sterne"))).toString == "4.80")
+  }
+  test("surrogateKey matches dbt md5-of-joined-casts semantics") {
+    // md5('42') — dbt generate_surrogate_key of a single int key
+    assert(one(surrogateKey(lit(42))) == "a1d0c6e83f027327d8461063f4ac58a6")
+    // null key → md5('_null_')
+    assert(one(surrogateKey(lit(null).cast("string"))) ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("_null_".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+  test("cosineSim of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(cosineSim($"a", $"b").as("same"), cosineSim($"a", $"c").as("orth"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+  test("shingles produces n-2 distinct word 3-grams") {
+    val r = Seq("a b c d").toDF("t").select(shingles($"t", 3).as("s")).collect()(0)
+      .getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    // short doc degrades to a single whole-text shingle
+    val short = Seq("x y").toDF("t").select(shingles($"t", 3).as("s")).collect()(0)
+      .getSeq[String](0)
+    assert(short == Seq("x y"))
+  }
+}
+
+class StarSchemaSpec extends AnyFunSuite {
+  import graft.etl.StarSchema
+  lazy val spark = TestSpark.spark
+
+  test("fact_sales preserves line grain and dims resolve") {
+    val f = StarSchema.factSales(spark, TestSpark.sf).cache()
+    val n = f.count()
+    assert(n == 6000) // line grain: one fact row per lineitem row
+    // the fact key identifies the (order, line) grain — duplicate
+    // source lines (present in this data) share a key by design, the
+    // same idempotency the reference's md5(order, product) key has
+    val distinctPairs = graft.core.Tables(spark, TestSpark.sf).lineitem
+      .select("l_orderkey", "l_linenumber").distinct().count()
+    assert(f.select("sales_order_key").distinct().count() == distinctPairs)
+    // every dim key resolved on this data (no orphans)
+    assert(f.filter(org.apache.spark.sql.functions.col("product_key") === "-1").count() == 0)
+    assert(f.filter(org.apache.spark.sql.functions.col("date_key") === -1).count() == 0)
+    f.unpersist()
+  }
+
+  test("fact_sales coalesces unmatched dimension keys to -1") {
+    import org.apache.spark.sql.functions._
+    // orphan: a lineitem pointing at a part that exists (all do) — so
+    // instead check the mechanism directly on a crafted frame via the
+    // same coalesce expression used in the fact build
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orphan").toString
+    val t = graft.core.Tables(spark, TestSpark.sf)
+    // copy tables, but drop half the parts so some lineitems orphan
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem", "events")
+      .foreach(n => t match { case _ => spark.read.parquet(s"${TestSpark.sf}/$n.parquet")
+        .write.parquet(s"$tmp/$n.parquet") })
+    spark.read.parquet(s"${TestSpark.sf}/part.parquet")
+      .filter(col("p_partkey") < 100).write.parquet(s"$tmp/part.parquet")
+    val f = StarSchema.factSales(spark, tmp)
+    assert(f.filter(col("product_key") === "-1").count() > 0)
+    assert(f.filter(col("product_key") =!= "-1").count() > 0)
+  }
+
+  test("dim_date spine covers range plus 30-day pads, keys unique") {
+    import org.apache.spark.sql.functions._
+    val d = StarSchema.dimDate(spark, TestSpark.sf).cache()
+    assert(d.select("date_key").distinct().count() == d.count())
+    val mm = d.agg(min("full_date"), max("full_date")).collect()(0)
+    assert(mm.getString(0) < "1995-01-01" && mm.getString(1) > "2001-08-01")
+    d.unpersist()
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  import graft.operators.{Ann, Dedup}
+  lazy val spark = TestSpark.spark
+
+  test("minhash-LSH recovers every exact ngram-jaccard pair (tau=0.5)") {
+    val exact = Dedup.dedupNgramJaccard(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinHashLsh(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact == lsh) // 64-perm signatures: no misses at tau=0.5 here
+  }
+
+  test("LSH ANN recall@5 >= 0.5 vs brute force") {
+    val bf = Ann.annTopkBruteforce(spark, TestSpark.sf)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.annLshTopk(spark, TestSpark.sf)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.size == 50)
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("simhash of identical token sets collides at hamming 0") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_simhash").toString
+    import spark.implicits._
+    Seq(
+      (0L, "spark join filter window group sort merge hash scan table", "en", "s", 10L),
+      (1L, "spark join filter window group sort merge hash scan table", "en", "s", 10L),
+      (2L, "completely different words entirely unrelated vocabulary here now ok fine", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.dedupSimHash(spark, tmp)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 1 && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 2 || p._2 == 2))
+  }
+}
+
+class SourcesSpec extends AnyFunSuite {
+  import graft.sources.GraftSources
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("jsonl and csv readers honor explicit schemas") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/a.jsonl"),
+      "{\"id\": 1, \"name\": \"x\"}\n{\"id\": 2, \"name\": \"y\"}\n")
+    val j = GraftSources.jsonl(spark, s"$tmp/a.jsonl", schema)
+    assert(j.schema == schema && j.count() == 2)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/b.csv"),
+      "id,name\n1,x\n2,y\nnot-a-long,z\n")
+    val c = GraftSources.csv(spark, s"$tmp/b.csv", schema)
+    // collect, not count: count() prunes all columns so malformed
+    // rows are never parsed (and never dropped)
+    assert(c.collect().length == 2) // malformed row dropped
+  }
+
+  test("partitioned sink + incremental loader reads only new partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val table = s"$tmp/events_by_date"
+    val state = s"$tmp/_state.txt"
+    val d1 = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-02"))
+      .toDF("id", "event_date")
+    GraftSources.writePartitioned(d1, table, Seq("event_date"))
+    val (first, newParts1) = GraftSources.incrementalLoad(spark, table, state)
+    assert(newParts1.toSet ==
+      Set("event_date=2024-01-01", "event_date=2024-01-02"))
+    assert(first.get.count() == 3)
+    // second load with no new data → nothing
+    val (second, newParts2) = GraftSources.incrementalLoad(spark, table, state)
+    assert(second.isEmpty && newParts2.isEmpty)
+    // append a new day → only it is read
+    GraftSources.writePartitioned(
+      Seq((4L, "2024-01-03")).toDF("id", "event_date"), table, Seq("event_date"))
+    val (third, newParts3) = GraftSources.incrementalLoad(spark, table, state)
+    assert(newParts3 == Seq("event_date=2024-01-03"))
+    assert(third.get.select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import graft.streaming.EventStream
+  import org.apache.spark.sql.functions._
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeBatch(dir: String, name: String, rows: Seq[EventStream.Ev]): Unit = {
+    val lines = rows.map(e =>
+      s"""{"event_id":${e.event_id},"ts_us":${e.ts_us},"user_id":${e.user_id},"event_type":"${e.event_type}","value":${e.value}}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name"),
+      lines.mkString("\n"))
+  }
+
+  private val Min = 60L * 1000000
+
+  test("windowed counts aggregate per 5-min window and type") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream1").toString
+    writeBatch(tmp, "b1.jsonl", Seq(
+      EventStream.Ev(1, 1 * Min, 10, "click", 1.0),
+      EventStream.Ev(2, 2 * Min, 11, "click", 2.0),
+      EventStream.Ev(3, 7 * Min, 10, "view", 5.0)))
+    val q = EventStream.windowedCounts(spark, tmp).writeStream
+      .outputMode("complete").format("memory").queryName("wc").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("wc").collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("stateful sessionize emits closed sessions matching batch semantics") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    // user 1: two sessions separated by a 40-min gap; second session
+    // stays OPEN (nothing after it), so only the first is emitted.
+    writeBatch(tmp, "b1.jsonl", Seq(
+      EventStream.Ev(1, 0 * Min, 1, "click", 1.0),
+      EventStream.Ev(2, 10 * Min, 1, "click", 2.0),
+      EventStream.Ev(3, 50 * Min, 1, "view", 3.0)))
+    val q = EventStream.sessionizeStream(spark, tmp).writeStream
+      .outputMode("append").format("memory").queryName("sess").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val closed = spark.table("sess")
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "value_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(closed.toSeq == Seq((1L, 0L, 10 * Min, 2L, 3.0)))
+  }
+}
