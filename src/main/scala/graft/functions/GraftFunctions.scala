@@ -82,17 +82,30 @@ object GraftFunctions {
 
   /** Whitespace tokens of lowercased text with punctuation stripped —
     * shared normalization for the text-analysis and dedup operators.
+    *
+    * NOTE: when the token array feeds several downstream expressions
+    * (or a per-element lambda), materialize it with `.withColumn`
+    * first — Catalyst duplicates the whole tokenization subtree at
+    * every reference site otherwise, turning O(row) work into
+    * O(row × references).
     */
   def normTokens(c: Column): Column =
     filter(split(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +"), t => length(t) > 0)
 
-  /** Word n-gram shingles (sorted distinct) of normalized text. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = normTokens(c)
+  /** Distinct word n-gram shingles from a (materialized) token-array
+    * column.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     array_distinct(
       when(size(toks) >= n,
         transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
   }
+
+  /** Word n-gram shingles (sorted distinct) of normalized text.
+    * Prefer `normTokens` → `.withColumn` → `shinglesFromTokens` in hot
+    * paths (see normTokens note).
+    */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(normTokens(c), n)
 }

@@ -27,13 +27,13 @@ object Ann {
     * adjacent-rank gap in this data ≫ fp noise).
     */
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val e = Tables(spark, dir).embeddings
-    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .filter(col("query_id") < NumQueries)
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val q = withUnit(e, "query_id", "q_emb").filter(col("query_id") < NumQueries)
+    val c = withUnit(e, "neighbor_id", "c_emb")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -52,17 +52,37 @@ object Ann {
        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** L2-normalize the embedding once per row (map-side), so every
+    * subsequent pair similarity is a bare dot product — at n² pair
+    * volume this cuts the inner-loop flops 3× vs recomputing both
+    * norms per pair.
+    */
+  private def withUnit(e: DataFrame, idAs: String, unitAs: String): DataFrame = {
+    val norm = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+    e.select(col("vec_id").as(idAs),
+      transform(col("embedding"), x => x.cast("double") / norm).as(unitAs))
+  }
+
+  /** Dot product of two unit vectors (= cosine), index-ordered sum —
+    * runs through the codegen'd DotProduct expression (a tight
+    * primitive loop), not interpreted higher-order lambdas.
+    */
+  private def unitDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    call_function("graft_dot", a, b)
+
   /** Embedding near-dup pairs: cosine ≥ τ over all id-ordered pairs.
     * Exact variant (the LSH path below is the 100 TB route — this one
-    * is the oracle-checkable ground truth).
+    * is the oracle-checkable ground truth). Vectors are unit-normalized
+    * map-side before the pair join.
     */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val e = Tables(spark, dir).embeddings
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val a = withUnit(e, "vec_a", "ua")
+    val b = withUnit(e, "vec_b", "ub")
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", cosineSim(col("ea"), col("eb")))
-      .filter(col("sim") >= DupThreshold)
+      .filter(unitDot(col("ua"), col("ub")) >= DupThreshold)
       .select(col("vec_a"), col("vec_b"))
       .orderBy("vec_a", "vec_b")
   }
@@ -100,6 +120,7 @@ object Ann {
     * → rows-only check; recall vs brute force is unit-tested.
     */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val e = Tables(spark, dir).embeddings
     // per-table signature = packed sign bits of plane·vec
     def signature(t: Int, emb: org.apache.spark.sql.Column) =
@@ -108,19 +129,22 @@ object Ann {
           when(aggregate(zip_with(plane, emb, (p, x) => p * x.cast("double")),
             lit(0.0), (acc, v) => acc + v) > 0, pow(lit(2.0), i.cast("double")).cast("int")).otherwise(0)),
         lit(0), (acc, v) => acc + v)
-    val sig = e.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until NumTables).map(t => signature(t, col("embedding"))): _*))
+    // sign(plane·v) is invariant under L2 normalization, so the
+    // signature can hash the unit vector directly
+    val unit = withUnit(e, "vec_id", "unit")
+    val sig = unit.select(col("vec_id"), col("unit"),
+      posexplode(array((0 until NumTables).map(t => signature(t, col("unit"))): _*))
         .as(Seq("tbl", "bucket")))
-    val q = sig.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+    val q = sig.select(col("vec_id").as("query_id"), col("unit").as("q_emb"),
       col("tbl"), col("bucket")).filter(col("query_id") < NumQueries)
-    val c = sig.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+    val c = sig.select(col("vec_id").as("neighbor_id"), col("unit").as("c_emb"),
       col("tbl").as("c_tbl"), col("bucket").as("c_bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), col("tbl") === col("c_tbl") && col("bucket") === col("c_bucket") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
       .distinct() // union candidates across tables
-      .withColumn("sim", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"))

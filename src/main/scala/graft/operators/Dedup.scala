@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.core.Tables
-import graft.functions.GraftFunctions.{normTokens, shingles}
+import graft.functions.GraftFunctions.normTokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication suite (SURVEY.md §2 F) — the operators a
@@ -33,10 +34,22 @@ object Dedup {
     """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 
-  /** Distinct 3-gram shingle sets per doc: (doc_id, n_shingles, shingle). */
-  private def shingleExploded(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct 3-gram shingle set per doc via the one-pass
+    * TokenShingles expression, cached: every dedup operator reuses
+    * this set 3–5 times in one plan (df stats, prefix index, exact
+    * verification), and recomputing the shingling dominated the
+    * runtime before caching.
+    */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenShingles.register(spark)
     Tables(spark, dir).documents
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), call_function("graft_shingles", col("text"), lit(3)).as("sh"))
+      .cache()
+  }
+
+  /** Exploded shingle sets: (doc_id, n_shingles, shingle). */
+  private def shingleExploded(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir)
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs (τ = 0.5), candidates blocked
@@ -44,14 +57,34 @@ object Dedup {
     * is integer-exact.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val a = shingleExploded(spark, dir).toDF("i", "na", "s")
-    val b = shingleExploded(spark, dir).toDF("j", "nb", "s2")
+    // PPJoin-style prefix filtering: index only each doc's
+    // ⌊(1-τ)·|A|⌋+1 globally-rarest shingles — any pair with J ≥ τ
+    // must collide inside those prefixes, so candidate generation
+    // skips the frequent-shingle pair explosion entirely while
+    // remaining EXACT (verification below computes true Jaccard).
+    val ex = shingleExploded(spark, dir)
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= floor(col("nsh") * (1 - 0.5)) + 1)
+      .select(col("doc_id"), col("nsh"), col("s"))
+      .cache() // both sides of the candidate self-join read this
+    val candidates = prefix.toDF("i", "na", "s")
+      .join(prefix.toDF("j", "nb", "s2"),
+        col("s") === col("s2") && col("i") < col("j") &&
+          col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na"))
+      .select(col("i"), col("j")).distinct()
+    val sets = shingleSets(spark, dir)
     val jac = col("n_common").cast("double") / col("n_union").cast("double")
-    a.join(b, col("s") === col("s2") && col("i") < col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
-      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("n_common"),
-        (col("na") + col("nb") - col("n_common")).as("n_union"))
+    candidates
+      .join(sets.toDF("i", "sh_i"), "i")
+      .join(sets.toDF("j", "sh_j"), "j")
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).as("n_common"),
+        (size(col("sh_i")) + size(col("sh_j"))).as("szsum"))
+      .withColumn("n_union", col("szsum") - col("n_common"))
+      .drop("szsum")
       .withColumn("jaccard", jac)
       .filter(jac >= 0.5)
       .orderBy("doc_a", "doc_b")
@@ -73,6 +106,7 @@ object Dedup {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
       |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    AND a.nsh <= 2 * b.nsh AND b.nsh <= 2 * a.nsh
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_common, na + nb - n_common AS n_union,
       |  CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
@@ -91,35 +125,53 @@ object Dedup {
     */
   def dedupMinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleExploded(spark, dir)
-    // per (doc, shingle): 64 salted hashes; then column-wise min per doc
-    val sig = sh
-      .select(col("doc_id"), col("nsh"),
-        posexplode(transform(sequence(lit(0), lit(NumPerms - 1)),
-          p => xxhash64(col("s"), p))).as(Seq("perm", "h")))
-      .groupBy(col("doc_id"), col("perm"))
-      .agg(min(col("h")).as("minh"), first(col("nsh")).as("nsh"))
-    // band key = hash of the band's 4 signature values in perm order
-    val banded = sig
-      .withColumn("band", (col("perm") / BandSize).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(first(col("nsh")).as("nsh"),
-        xxhash64(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("perm"), col("minh")))),
-            s => s.getField("minh").cast("string")))).as("band_key"))
-    val left = banded.toDF("i", "band_i", "na", "bk")
-    val right = banded.toDF("j", "band_j", "nb", "bk2")
-    val candidates = left
-      .join(right, col("band_i") === col("band_j") && col("bk") === col("bk2") &&
-        col("i") < col("j"))
+    // 64 independent min-aggregates (one per permutation) over
+    // affine-permuted hashes of a SINGLE base xxhash64 per shingle:
+    // the string is hashed once, each permutation is a long
+    // multiply-add (wrapping), and partial aggregation combines
+    // map-side — the shuffle carries one 64-column row per doc per map
+    // partition, not one row per (doc, shingle, perm).
+    // universal hashing mod the Mersenne prime 2^31-1: operands stay
+    // ≤ 2^62 so the multiply can't overflow (Spark 4 runs ANSI
+    // arithmetic — a wrapped long multiply would throw)
+    val P = 2147483647L
+    val permConsts: Seq[(Long, Long)] = {
+      val rng = new scala.util.Random(7)
+      Seq.fill(NumPerms)((1L + math.abs(rng.nextLong() % (P - 1)),
+        math.abs(rng.nextLong() % P)))
+    }
+    val minCols = permConsts.zipWithIndex.map { case ((a, b), p) =>
+      min(pmod(col("h0") * lit(a) + lit(b), lit(P))).as(s"h$p")
+    }
+    val sig = sh.withColumn("h0", pmod(xxhash64(col("s")), lit(P)))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(p => col(s"h$p")): _*).as("sig"))
+    // LSH banding: band key = the band's 4 signature values packed
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumPerms / BandSize - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+            h => h.cast("string"))))))
+        .as(Seq("band", "band_key")))
+      .cache() // both sides of the bucket self-join read this
+    val candidates = banded.toDF("i", "band_i", "bk")
+      .join(banded.toDF("j", "band_j", "bk2"),
+        col("band_i") === col("band_j") && col("bk") === col("bk2") &&
+          col("i") < col("j"))
       .select(col("i"), col("j")).distinct()
-    // exact verification on the candidate set only
-    val a = shingleExploded(spark, dir).toDF("i", "na", "s")
-    val b = shingleExploded(spark, dir).toDF("j", "nb", "s2")
-    val pairStats = a.join(b, col("s") === col("s2") && col("i") < col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+    // exact verification only on candidates: set intersection of the
+    // two docs' shingle arrays (candidate volume ≪ n², so the array
+    // intersect is cheap and avoids a second full shingle self-join)
+    val sets = shingleSets(spark, dir)
     val jac = col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
-    candidates.join(pairStats, Seq("i", "j"))
+    candidates
+      .join(sets.toDF("i", "sh_i"), "i")
+      .join(sets.toDF("j", "sh_j"), "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).as("n_common"),
+        size(col("sh_i")).as("na"), size(col("sh_j")).as("nb"))
       .withColumn("jaccard", jac)
       .filter(jac >= 0.5)
       .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))

@@ -23,7 +23,7 @@ object TextAnalysis {
     * low-quality web text before training.
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = normTokens(col("text"))
+    val toks = col("toks") // materialized once below (see normTokens note)
     val len = length(col("text"))
     val nTok = size(toks)
     val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
@@ -32,7 +32,9 @@ object TextAnalysis {
     val punctRatio = punct.cast("double") / len.cast("double")
     val stopRatio = stopCnt.cast("double") / nTok.cast("double")
     val avgTokLen = tokLenSum.cast("double") / nTok.cast("double")
-    Tables(spark, dir).documents.select(
+    Tables(spark, dir).documents
+      .withColumn("toks", normTokens(col("text")))
+      .select(
         col("doc_id"),
         len.as("text_len"),
         nTok.as("n_tokens"),
@@ -75,7 +77,7 @@ object TextAnalysis {
     * tie-break. Map-only.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = normTokens(col("text"))
+    val toks = col("toks")
     def score(ws: Seq[String]): Column = size(filter(toks, t => t.isin(ws: _*)))
     val Seq(en, de, es, fr) = langMarkers.map(m => score(m._2))
     val pred = when(en >= de && en >= es && en >= fr && en > 0, "en")
@@ -83,7 +85,9 @@ object TextAnalysis {
       .when(es >= fr && es > 0, "es")
       .when(fr > 0, "fr")
       .otherwise("unknown")
-    Tables(spark, dir).documents.select(
+    Tables(spark, dir).documents
+      .withColumn("toks", normTokens(col("text")))
+      .select(
         col("doc_id"), col("lang").as("labeled_lang"),
         en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
         pred.as("pred_lang"))
@@ -136,9 +140,10 @@ object TextAnalysis {
     * dedup" normalization).
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = normTokens(col("text"))
-    val uniq = array_sort(array_distinct(toks))
-    Tables(spark, dir).documents.select(
+    val uniq = col("uniq")
+    Tables(spark, dir).documents
+      .withColumn("uniq", array_sort(array_distinct(normTokens(col("text")))))
+      .select(
         col("doc_id"),
         size(uniq).as("n_uniq_tokens"),
         md5(concat_ws(" ", uniq)).as("fingerprint"))
