@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Analytics, Ann, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Analytics, Ann, Dedup, Multimodal, Reports, TextAnalysis}
 import graft.etl.StarSchema
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -41,7 +41,11 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ((s, d) => Ann.annTopkBruteforce(s, d)),
     "ann_lsh_topk" -> ((s, d) => Ann.annLshTopk(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Ann.dedupEmbeddingCosine(s, d)),
-    "multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(s, d))
+    "multimodal_meta" -> ((s, d) => Multimodal.multimodalMeta(s, d)),
+    "rollup_sales" -> ((s, d) => Reports.rollupSales(s, d)),
+    "quantile_profile" -> ((s, d) => Reports.quantileProfile(s, d)),
+    "asof_event_order" -> ((s, d) => Reports.asofEventOrder(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -72,6 +76,9 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "ann_topk_bruteforce" -> Ann.annTopkBruteforceSql,
-    "dedup_embedding_cosine" -> Ann.dedupEmbeddingCosineSql
+    "dedup_embedding_cosine" -> Ann.dedupEmbeddingCosineSql,
+    "rollup_sales" -> Reports.rollupSalesSql,
+    "quantile_profile" -> Reports.quantileProfileSql,
+    "asof_event_order" -> Reports.asofEventOrderSql
   )
 }

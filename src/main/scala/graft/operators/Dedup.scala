@@ -178,6 +178,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate-group clustering: connected components over the
+    * near-dup pair graph (union of a doc's transitive duplicates),
+    * via iterative min-label propagation — each round is one
+    * join+groupBy, converging in O(graph diameter) rounds (near-dup
+    * components are tiny cliques, so 2-3 rounds in practice; capped
+    * defensively). The driver loop only exchanges a converged flag —
+    * no graph data ever reaches the driver.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 10) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels.as("l")
+        .join(neighborMin.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      converged = updated.as("u").join(labels.as("o"), "doc_id")
+        .filter(col("u.cluster_id") =!= col("o.cluster_id")).isEmpty
+      labels = updated
+      rounds += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** 63-bit SimHash near-dup pairs (hamming ≤ 8), candidates blocked on
     * 16-bit signature chunks. xxhash64-based → rows-only check +
     * unit tests.

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.GraftFunctions.money
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BI-report layer over the star schema — the queries the reference's
+  * stage-7 dashboards run against the dbt marts (rollups, percentile
+  * profiles, as-of enrichment).
+  */
+object Reports {
+
+  /** Region→nation ROLLUP of sales revenue: one pass produces the
+    * nation rows, the region subtotals, and the grand total (partial
+    * aggregation handles all grouping sets in the same shuffle).
+    */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.select(col("l_orderkey"),
+        (money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).as("rev"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("revenue"), col("n_lines"), col("gid"))
+      .orderBy("gid", "region_name", "nation_name")
+  }
+
+  val rollupSalesSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region_name,
+      |  coalesce(n_name, 'ALL') AS nation_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines,
+      |  GROUPING(r_name, n_name) AS gid
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY gid, region_name, nation_name""".stripMargin
+
+  /** Per-priority order-value profile: exact linear-interpolated
+    * quantiles (rounded to 4dp — Spark and DuckDB use algebraically
+    * equal but differently-associated interpolation formulas).
+    */
+  def quantileProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderpriority")
+
+  val quantileProfileSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** As-of join: for every event, the user's most recent order at or
+    * before the event time (inclusive), ties broken by max order key.
+    * Spark-first implementation: union the two streams, one window
+    * pass with `last(_, ignoreNulls)` over (user, time) — no
+    * per-event probe join, scales as a single sort-shuffle of
+    * events+orders.
+    */
+  def asofEventOrder(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders.select(
+      col("o_custkey").as("uid"),
+      // o_orderdate is TIMESTAMP_NTZ; session is pinned UTC so the
+      // cast to instant is lossless
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+      lit(0).as("is_event"),
+      col("o_orderkey").as("ord_key"),
+      lit(null).cast("long").as("event_id"))
+    val e = t.events.select(
+      col("user_id").as("uid"),
+      col("ts_us"),
+      lit(1).as("is_event"),
+      lit(null).cast("long").as("ord_key"),
+      col("event_id"))
+    // orders sort before events at equal ts (inclusive as-of), and by
+    // ord_key so `last` picks the max order key among equal times
+    val w = Window.partitionBy("uid")
+      .orderBy(col("ts_us"), col("is_event"), col("ord_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("last_order_key", last(col("ord_key"), ignoreNulls = true).over(w))
+      .withColumn("last_order_ts_us",
+        last(when(col("is_event") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("uid").as("user_id"),
+        col("last_order_key"), col("last_order_ts_us"))
+      .orderBy("event_id")
+  }
+
+  val asofEventOrderSql: String =
+    """WITH last_ts AS (
+      |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ets,
+      |         max(epoch_us(o.o_orderdate)) AS last_order_ts_us
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+      |  GROUP BY 1, 2, 3)
+      |SELECT l.event_id, l.user_id,
+      |  max(o2.o_orderkey) AS last_order_key, l.last_order_ts_us
+      |FROM last_ts l LEFT JOIN orders o2
+      |  ON o2.o_custkey = l.user_id AND epoch_us(o2.o_orderdate) = l.last_order_ts_us
+      |GROUP BY 1, 2, 4
+      |ORDER BY event_id""".stripMargin
+}

@@ -145,6 +145,25 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("dedup_clusters unions transitive near-dup chains") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clusters").toString
+    // a~b and b~c are near-dups (high 3-gram overlap), a~c less so:
+    // the cluster must still union all three transitively; d is noise
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (0L, base, "en", "s", 10L),
+      (1L, base + " lambda", "en", "s", 10L),
+      (2L, base + " lambda mu", "en", "s", 10L),
+      (3L, "totally different content with other words here now yes indeed", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val clusters = Dedup.dedupClusters(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(2L) == 0L)
+    assert(!clusters.contains(3L))
+  }
+
   test("simhash of identical token sets collides at hamming 0") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_simhash").toString
