@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Analytics, Ann, Dedup, Multimodal, Reports, TextAnalysis}
+import graft.operators.{Analytics, Ann, Dedup, Multimodal, Reports, Skew, TextAnalysis}
 import graft.etl.StarSchema
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -45,7 +45,11 @@ object SparkEntry {
     "rollup_sales" -> ((s, d) => Reports.rollupSales(s, d)),
     "quantile_profile" -> ((s, d) => Reports.quantileProfile(s, d)),
     "asof_event_order" -> ((s, d) => Reports.asofEventOrder(s, d)),
-    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d))
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "salted_agg" -> ((s, d) => Skew.saltedAgg(s, d)),
+    "distinct_counts" -> ((s, d) => Skew.distinctCounts(s, d)),
+    "category_levels" -> ((s, d) => StarSchema.categoryLevels(s, d)),
+    "embedding_centroids" -> ((s, d) => Ann.embeddingCentroids(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,6 +83,9 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Ann.dedupEmbeddingCosineSql,
     "rollup_sales" -> Reports.rollupSalesSql,
     "quantile_profile" -> Reports.quantileProfileSql,
-    "asof_event_order" -> Reports.asofEventOrderSql
+    "asof_event_order" -> Reports.asofEventOrderSql,
+    "salted_agg" -> Skew.saltedAggSql,
+    "distinct_counts" -> Skew.distinctCountsSql,
+    "category_levels" -> StarSchema.categoryLevelsSql
   )
 }

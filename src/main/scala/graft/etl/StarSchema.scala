@@ -353,6 +353,37 @@ object StarSchema {
       .orderBy("p_partkey")
   }
 
+  /** Category-path hierarchy parsing (reference: product_crawler.py
+    * scrapes `category_path` like "Startseite > Schmuck > ..."):
+    * synthesize the delimited path, split into levels, expose
+    * level columns + depth + leaf.
+    */
+  def categoryLevels(spark: SparkSession, dir: String): DataFrame = {
+    val path = concat_ws(" > ", split(col("p_type"), " "))
+    val levels = split(path, " > ")
+    Tables(spark, dir).part.select(
+        col("p_partkey"),
+        path.as("category_path"),
+        size(levels).as("depth"),
+        // try_element_at: ANSI mode makes plain element_at throw on
+        // out-of-range (single-level paths)
+        try_element_at(levels, lit(1)).as("level_1"),
+        try_element_at(levels, lit(2)).as("level_2"),
+        try_element_at(levels, lit(-1)).as("leaf_category"))
+      .orderBy("p_partkey")
+  }
+
+  val categoryLevelsSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey,
+      |    array_to_string(string_split(p_type, ' '), ' > ') AS category_path,
+      |    str_split_regex(array_to_string(string_split(p_type, ' '), ' > '), ' > ') AS levels
+      |  FROM part)
+      |SELECT p_partkey, category_path, len(levels) AS depth,
+      |  levels[1] AS level_1, levels[2] AS level_2,
+      |  levels[-1] AS leaf_category
+      |FROM p ORDER BY p_partkey""".stripMargin
+
   val parseRatingSql: String =
     """SELECT p_partkey,
       |  CAST(CAST(p_size % 5 AS DOUBLE) + 0.5 AS VARCHAR) || ' Sterne' AS rating_raw,

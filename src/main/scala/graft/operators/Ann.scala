@@ -111,6 +111,25 @@ object Ann {
     Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(Seq.fill(Dim)(rng.nextGaussian())))
   }
 
+  /** Per-label embedding centroids — elementwise mean via
+    * posexplode → (label, dim) partial aggregation → reassembly. This
+    * is the IVF coarse-quantizer build step (centroids then bucket
+    * vectors for ANN); float sums are engine-order-sensitive →
+    * rows-only check + unit test.
+    */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("m"), countDistinct(col("vec_id")).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("centroid"),
+        max(col("n")).as("n_vectors"))
+      .orderBy("label")
+
   /** Multi-table random-hyperplane LSH ANN: 4 tables × 8-bit sign
     * signatures; a candidate is any vector colliding with the query in
     * ≥1 table; exact cosine re-rank over the candidate union. This is

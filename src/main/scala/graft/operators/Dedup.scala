@@ -187,7 +187,13 @@ object Dedup {
     * no graph data ever reaches the driver.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    // the pair graph is tiny relative to the corpus (only docs with a
+    // near-dup), so collapse it to one partition: each propagation
+    // round becomes a single-task job instead of a 32-partition
+    // shuffle, and the convergence check rides the same pass. At
+    // larger component counts the same loop runs un-coalesced.
+    val pairs = dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).repartition(1).cache()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
@@ -195,19 +201,20 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 10) {
+      // the label/partial frames are tiny — broadcast them so each
+      // round is a map-only pass with no 32-partition exchanges
       val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
+        .join(broadcast(labels), edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
       val updated = labels.as("l")
-        .join(neighborMin.as("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .join(broadcast(neighborMin.as("n")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
-      converged = updated.as("u").join(labels.as("o"), "doc_id")
-        .filter(col("u.cluster_id") =!= col("o.cluster_id")).isEmpty
-      labels = updated
+      converged = updated.filter(col("cluster_id") =!= col("old_id")).isEmpty
+      labels = updated.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
     labels.orderBy("doc_id")

@@ -182,6 +182,59 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class PlanShapeSpec extends AnyFunSuite {
+  import graft.etl.StarSchema
+  import graft.operators.{Analytics, Skew}
+  lazy val spark = TestSpark.spark
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("fact_sales broadcasts every dimension (map-only join stage)") {
+    val plan = physicalPlan(StarSchema.factSales(spark, TestSpark.sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q1 scan is pruned and aggregation is partial (map-side combine)") {
+    val plan = physicalPlan(Analytics.q1PricingSummary(spark, TestSpark.sf))
+    assert(!plan.contains("l_shipdate"), "unreferenced column not pruned")
+    assert(plan.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    import org.apache.spark.sql.functions._
+    val direct = graft.core.Tables(spark, TestSpark.sf).lineitem
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Skew.saltedAgg(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getAs[Number](2).longValue)).toMap
+    assert(direct == salted)
+  }
+}
+
+class CentroidSpec extends AnyFunSuite {
+  import graft.operators.Ann
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("embedding centroids are elementwise means per label") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cent").toString
+    Seq(
+      (0L, Seq(1.0f, 3.0f), 1),
+      (1L, Seq(3.0f, 5.0f), 1),
+      (2L, Seq(10.0f, 10.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val rows = Ann.embeddingCentroids(spark, tmp).collect()
+    val byLabel = rows.map(r => r.getInt(0) ->
+      (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(byLabel(1)._1 == Seq(2.0, 4.0) && byLabel(1)._2 == 2L)
+    assert(byLabel(2)._1 == Seq(10.0, 10.0) && byLabel(2)._2 == 1L)
+  }
+}
+
 class SourcesSpec extends AnyFunSuite {
   import graft.sources.GraftSources
   import org.apache.spark.sql.functions._
