@@ -49,7 +49,8 @@ object SparkEntry {
     "salted_agg" -> ((s, d) => Skew.saltedAgg(s, d)),
     "distinct_counts" -> ((s, d) => Skew.distinctCounts(s, d)),
     "category_levels" -> ((s, d) => StarSchema.categoryLevels(s, d)),
-    "embedding_centroids" -> ((s, d) => Ann.embeddingCentroids(s, d))
+    "embedding_centroids" -> ((s, d) => Ann.embeddingCentroids(s, d)),
+    "data_quality_summary" -> ((s, d) => graft.etl.QualityChecks.dataQualitySummary(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,6 +87,7 @@ object SparkEntry {
     "asof_event_order" -> Reports.asofEventOrderSql,
     "salted_agg" -> Skew.saltedAggSql,
     "distinct_counts" -> Skew.distinctCountsSql,
-    "category_levels" -> StarSchema.categoryLevelsSql
+    "category_levels" -> StarSchema.categoryLevelsSql,
+    "data_quality_summary" -> graft.etl.QualityChecks.dataQualitySummarySql
   )
 }

@@ -37,6 +37,19 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** Streaming exact dedup: suppress event_id replays within the
+    * watermark horizon — the streaming face of the batch dedup suite
+    * (state store holds only ids newer than watermark − 30 min, so
+    * state is bounded at any scale).
+    */
+  def dedupStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(inputDir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+        col("value"))
+
   final case class Ev(event_id: Long, ts_us: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(events: Seq[(Long, Double)]) // (ts_us, value)

@@ -11,6 +11,8 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -203,6 +205,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), "no map-side partial aggregation")
   }
 
+  test("bucketed tables sort-merge join without exchange or sort") {
+    import org.apache.spark.sql.functions._
+    val t = graft.core.Tables(spark, TestSpark.sf)
+    t.orders.write.format("parquet").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_bkt")
+    t.lineitem.select("l_orderkey", "l_quantity").write.format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_bkt")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // disable broadcast so the planner must pick the co-located SMJ
+    // path (at real scale both sides are too big to broadcast anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bkt")
+        .join(spark.table("lineitem_bkt"), col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        "bucketed join should be co-located (no shuffle)")
+      assert(j.count() == 6000)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val direct = graft.core.Tables(spark, TestSpark.sf).lineitem
@@ -307,6 +335,27 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.table("wc").collect()
       .map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).toSet
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("streaming dedup suppresses replayed event ids across batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    writeBatch(tmp, "b1.jsonl", Seq(
+      EventStream.Ev(1, 1 * Min, 1, "click", 1.0),
+      EventStream.Ev(2, 2 * Min, 1, "click", 2.0)))
+    val q = EventStream.dedupStream(spark, tmp).writeStream
+      .outputMode("append").format("memory").queryName("dedup_s").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_s").count() == 2)
+      // replay event 2 plus a new event 3 in a second batch
+      writeBatch(tmp, "b2.jsonl", Seq(
+        EventStream.Ev(2, 2 * Min, 1, "click", 2.0),
+        EventStream.Ev(3, 3 * Min, 1, "view", 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_s").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // the replay of id 2 was dropped
+    } finally q.stop()
   }
 
   test("stateful sessionize emits closed sessions matching batch semantics") {
