@@ -13,12 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.GraftSession.create("graft-demo", "local[4]", 4)
     spark.sparkContext.setLogLevel("WARN")
+    // prove the session extensions exposed the custom functions to SQL
+    println("DEMO graft_dot via SQL = " + spark
+      .sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d))").collect()(0).getDouble(0))
 
     val work = java.nio.file.Files.createTempDirectory("graft_demo").toString
     val minUs = 60L * 1000000

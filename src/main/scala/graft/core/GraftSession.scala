@@ -1,6 +1,28 @@
 package graft.core
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SparkSessionExtensions hook: registers graft's Catalyst functions
+  * at session build time — usable via
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.core.GraftExtensions`, after which
+  * `graft_dot` / `graft_shingles` work from plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.functions.TokenShingles].getName, "graft_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TokenShingles(exprs.head,
+          exprs(1).eval().asInstanceOf[Int])))
+  }
+}
 
 /** Session factory with the engine's tuned defaults: AQE on (runtime
   * shuffle-partition coalescing + skew-join splitting), UTC, and the
@@ -15,6 +37,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(master)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -26,11 +49,15 @@ object GraftSession {
     spark
   }
 
-  /** Register graft's custom Catalyst expressions in an existing
-    * session (idempotent).
+  /** Register graft's custom Catalyst expressions and required confs
+    * in an existing session (idempotent). The nanos conf belongs here
+    * so that ANY events read in this session works — not only reads
+    * routed through `Tables` (the footgun a bare
+    * `spark.read.parquet(events)` otherwise hits).
     */
   def register(spark: SparkSession): Unit = {
     graft.functions.DotProduct.register(spark)
     graft.functions.TokenShingles.register(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

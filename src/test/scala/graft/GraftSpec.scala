@@ -242,6 +242,22 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 }
 
+class ExtensionsSpec extends AnyFunSuite {
+  test("registered graft functions are callable from plain SQL") {
+    // the extensions build path (withExtensions) needs a fresh JVM and
+    // is exercised by PipelineDemo; here we drive the runtime-registry
+    // path against the shared session
+    val s = TestSpark.spark
+    graft.core.GraftSession.register(s)
+    val dot = s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+    val sh = s.sql("SELECT graft_shingles('a b c d', 3) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+}
+
 class CentroidSpec extends AnyFunSuite {
   import graft.operators.Ann
   lazy val spark = TestSpark.spark
