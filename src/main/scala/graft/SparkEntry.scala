@@ -17,6 +17,7 @@ object SparkEntry {
     "q5_region_volume" -> ((s, d) => Analytics.q5RegionVolume(s, d)),
     "window_running_total" -> ((s, d) => Analytics.windowRunningTotal(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
+    "topk_per_group_agg" -> ((s, d) => Analytics.topkPerGroupAgg(s, d)),
     "sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "stg_events" -> ((s, d) => StarSchema.stgEvents(s, d)),
     "stg_date_range" -> ((s, d) => StarSchema.stgDateRange(s, d)),
@@ -61,6 +62,7 @@ object SparkEntry {
     "q5_region_volume" -> Analytics.q5Sql,
     "window_running_total" -> Analytics.windowRunningTotalSql,
     "topk_per_group" -> Analytics.topkPerGroupSql,
+    "topk_per_group_agg" -> Analytics.topkPerGroupAggSql,
     "sessionize" -> Analytics.sessionizeSql,
     "stg_events" -> StarSchema.stgEventsSql,
     "stg_date_range" -> StarSchema.stgDateRangeSql,

@@ -58,6 +58,7 @@ object GraftSession {
   def register(spark: SparkSession): Unit = {
     graft.functions.DotProduct.register(spark)
     graft.functions.TokenShingles.register(spark)
+    graft.functions.BoundedTopK.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

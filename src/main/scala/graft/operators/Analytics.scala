@@ -174,6 +174,29 @@ object Analytics {
       |QUALIFY rank_in_group <= 3
       |ORDER BY cust_key, rank_in_group""".stripMargin
 
+  /** Top-3 per group again — but via the custom bounded-heap
+    * aggregate instead of a window: partial aggregation ships ≤k pairs
+    * per group per map task (O(groups·k) shuffle vs the window's
+    * O(rows) shuffle + sort). Oracle: the SAME window SQL as
+    * `topk_per_group` — two implementations, one result.
+    */
+  def topkPerGroupAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
+    Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(call_function("graft_topk", lit(3),
+        struct(col("o_totalprice"), col("o_orderkey"))).as("top"))
+      .select(col("o_custkey").as("cust_key"),
+        posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("cust_key"),
+        col("entry.id").as("order_key"),
+        col("entry.ord").as("total_price"),
+        (col("pos") + 1).cast("int").as("rank_in_group"))
+      .orderBy("cust_key", "rank_in_group")
+  }
+
+  val topkPerGroupAggSql: String = topkPerGroupSql
+
   /** Gap-based sessionization of the event stream (30-min inactivity
     * boundary): lag → new-session flag → cumulative session seq → one
     * row per session. Batch analog of the streaming
