@@ -46,6 +46,9 @@ object SparkEntry {
     "rollup_sales" -> ((s, d) => Reports.rollupSales(s, d)),
     "quantile_profile" -> ((s, d) => Reports.quantileProfile(s, d)),
     "asof_event_order" -> ((s, d) => Reports.asofEventOrder(s, d)),
+    "json_flatten" -> ((s, d) => Reports.jsonFlatten(s, d)),
+    "pivot_revenue" -> ((s, d) => Reports.pivotRevenue(s, d)),
+    "set_ops" -> ((s, d) => Reports.setOps(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "salted_agg" -> ((s, d) => Skew.saltedAgg(s, d)),
     "distinct_counts" -> ((s, d) => Skew.distinctCounts(s, d)),
@@ -87,6 +90,9 @@ object SparkEntry {
     "rollup_sales" -> Reports.rollupSalesSql,
     "quantile_profile" -> Reports.quantileProfileSql,
     "asof_event_order" -> Reports.asofEventOrderSql,
+    "json_flatten" -> Reports.jsonFlattenSql,
+    "pivot_revenue" -> Reports.pivotRevenueSql,
+    "set_ops" -> Reports.setOpsSql,
     "salted_agg" -> Skew.saltedAggSql,
     "distinct_counts" -> Skew.distinctCountsSql,
     "category_levels" -> StarSchema.categoryLevelsSql,

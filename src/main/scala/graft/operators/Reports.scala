@@ -77,6 +77,78 @@ object Reports {
       |  max(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Typed JSON flattening of the event props payload (the staging
+    * path's schema-on-read: `from_json` with an explicit schema, not
+    * inference — one pass, codegen'd).
+    */
+  def jsonFlatten(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("prop_k"),
+        col("event_type"))
+      .filter(col("prop_k").isNotNull && col("prop_k") % 2 === 0)
+      .orderBy("event_id")
+
+  val jsonFlattenSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+      |  event_type
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+      |  AND CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+      |ORDER BY event_id""".stripMargin
+
+  /** Segment × year revenue matrix — relational pivot with an explicit
+    * value list (explicit values keep the schema static, which is what
+    * allows the one-pass pivoted aggregation).
+    */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"),
+        money(col("o_totalprice")).as("p"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("yr", Seq("1996", "1997", "1998"))
+      .agg(sum(col("p")).cast("double"))
+      .withColumnsRenamed(Map("1996" -> "rev_1996", "1997" -> "rev_1997",
+        "1998" -> "rev_1998"))
+      .orderBy("c_mktsegment")
+  }
+
+  val pivotRevenueSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_1996,
+      |  CAST(sum(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_1997,
+      |  CAST(sum(CASE WHEN year(o_orderdate) = 1998 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_1998
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Set operators over yearly customer cohorts: churned (EXCEPT) and
+    * retained (INTERSECT) buyers, tagged and unioned.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    def cohort(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey")).distinct()
+    val churned = cohort(1996).except(cohort(1997))
+      .select(lit("bought_1996_not_1997").as("cohort"), col("o_custkey"))
+    val retained = cohort(1996).intersect(cohort(1997))
+      .select(lit("bought_both_years").as("cohort"), col("o_custkey"))
+    churned.unionByName(retained).orderBy("cohort", "o_custkey")
+  }
+
+  val setOpsSql: String =
+    """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |SELECT 'bought_1996_not_1997' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+      |UNION ALL
+      |SELECT 'bought_both_years' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+      |ORDER BY cohort, o_custkey""".stripMargin
+
   /** As-of join: for every event, the user's most recent order at or
     * before the event time (inclusive), ties broken by max order key.
     * Spark-first implementation: union the two streams, one window
