@@ -26,6 +26,7 @@ object SparkEntry {
     "dim_product" -> ((s, d) => StarSchema.dimProduct(s, d)),
     "dim_session_context" -> ((s, d) => StarSchema.dimSessionContext(s, d)),
     "dim_location" -> ((s, d) => StarSchema.dimLocation(s, d)),
+    "scd2_history" -> ((s, d) => StarSchema.scd2History(s, d)),
     "fact_sales" -> ((s, d) => StarSchema.factSales(s, d)),
     "lookup_enrich" -> ((s, d) => StarSchema.lookupEnrich(s, d)),
     "range_band_join" -> ((s, d) => StarSchema.rangeBandJoin(s, d)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "dim_product" -> StarSchema.dimProductSql,
     "dim_session_context" -> StarSchema.dimSessionContextSql,
     "dim_location" -> StarSchema.dimLocationSql,
+    "scd2_history" -> StarSchema.scd2HistorySql,
     "fact_sales" -> StarSchema.factSalesSql,
     "lookup_enrich" -> StarSchema.lookupEnrichSql,
     "range_band_join" -> StarSchema.rangeBandJoinSql,

@@ -275,6 +275,48 @@ object StarSchema {
       |LEFT JOIN dd ON CAST(o_orderdate AS DATE) = dd.full_date
       |ORDER BY order_source_id, line_number""".stripMargin
 
+  /** SCD Type-2 history (reference: the dbt project's `snapshots/`
+    * machinery — dbt snapshots materialize slowly-changing-dimension
+    * history with valid_from/valid_to/is_current): collapse each
+    * user's event stream to its state *changes*, then assign validity
+    * windows with `lead`. Two window passes over the same
+    * (user, time) ordering → a single shuffle.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(
+        col("user_id").cast("string").as("customer_source_id"),
+        col("event_type").as("state"),
+        col("ts_us").as("valid_from_us"),
+        col("valid_to_us"),
+        col("version"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("customer_source_id", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_state
+      |  FROM events),
+      |changes AS (
+      |  SELECT * FROM ordered WHERE prev_state IS NULL OR prev_state != event_type),
+      |versioned AS (
+      |  SELECT *,
+      |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+      |  FROM changes)
+      |SELECT CAST(user_id AS VARCHAR) AS customer_source_id,
+      |  event_type AS state, ts_us AS valid_from_us, valid_to_us, version,
+      |  valid_to_us IS NULL AS is_current
+      |FROM versioned ORDER BY customer_source_id, version""".stripMargin
+
   /** Broadcast lookup-chain enrichment — the ip→geo analog (reference:
     * `5.data-collection-storage/ip_processor.py` enriches events with
     * an in-memory lookup DB; here the lookup chain is broadcast so the
