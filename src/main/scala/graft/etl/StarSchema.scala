@@ -85,11 +85,14 @@ object StarSchema {
       |spine AS (SELECT CAST(unnest(generate_series(CAST(s AS TIMESTAMP), CAST(e AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS full_date FROM r)
       |SELECT CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key,
       |  CAST(full_date AS VARCHAR) AS full_date,
-      |  dayofmonth(full_date) AS day_of_month, month(full_date) AS month_of_year,
-      |  year(full_date) AS calendar_year, quarter(full_date) AS calendar_quarter,
+      |  CAST(dayofmonth(full_date) AS INTEGER) AS day_of_month,
+      |  CAST(month(full_date) AS INTEGER) AS month_of_year,
+      |  CAST(year(full_date) AS INTEGER) AS calendar_year,
+      |  CAST(quarter(full_date) AS INTEGER) AS calendar_quarter,
       |  dayname(full_date) AS day_name, strftime(full_date, '%a') AS day_name_short,
       |  monthname(full_date) AS month_name, strftime(full_date, '%b') AS month_name_short,
-      |  dayofweek(full_date) + 1 AS day_of_week, weekofyear(full_date) AS calendar_week,
+      |  CAST(dayofweek(full_date) + 1 AS INTEGER) AS day_of_week,
+      |  CAST(weekofyear(full_date) AS INTEGER) AS calendar_week,
       |  dayofweek(full_date) IN (0, 6) AS is_weekend
       |FROM spine ORDER BY date_key""".stripMargin
 
@@ -313,7 +316,8 @@ object StarSchema {
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
       |  FROM changes)
       |SELECT CAST(user_id AS VARCHAR) AS customer_source_id,
-      |  event_type AS state, ts_us AS valid_from_us, valid_to_us, version,
+      |  event_type AS state, ts_us AS valid_from_us, valid_to_us,
+      |  CAST(version AS INTEGER) AS version,
       |  valid_to_us IS NULL AS is_current
       |FROM versioned ORDER BY customer_source_id, version""".stripMargin
 
@@ -421,7 +425,7 @@ object StarSchema {
       |    array_to_string(string_split(p_type, ' '), ' > ') AS category_path,
       |    str_split_regex(array_to_string(string_split(p_type, ' '), ' > '), ' > ') AS levels
       |  FROM part)
-      |SELECT p_partkey, category_path, len(levels) AS depth,
+      |SELECT p_partkey, category_path, CAST(len(levels) AS INTEGER) AS depth,
       |  levels[1] AS level_1, levels[2] AS level_2,
       |  levels[-1] AS leaf_category
       |FROM p ORDER BY p_partkey""".stripMargin

@@ -167,11 +167,14 @@ object Analytics {
   }
 
   val topkPerGroupSql: String =
-    """SELECT o_custkey AS cust_key, o_orderkey AS order_key,
-      |  o_totalprice AS total_price,
-      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_group
-      |FROM orders
-      |QUALIFY rank_in_group <= 3
+    """SELECT cust_key, order_key, total_price,
+      |  CAST(rank_in_group AS INTEGER) AS rank_in_group
+      |FROM (
+      |  SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+      |    o_totalprice AS total_price,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_group
+      |  FROM orders
+      |  QUALIFY rank_in_group <= 3)
       |ORDER BY cust_key, rank_in_group""".stripMargin
 
   /** Top-3 per group again — but via the custom bounded-heap
@@ -234,7 +237,8 @@ object Analytics {
       |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       |  FROM f)
-      |SELECT user_id, session_seq, min(ts_us) AS session_start_us,
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  min(ts_us) AS session_start_us,
       |  max(ts_us) AS session_end_us, count(*) AS n_events,
       |  CAST(sum(v) AS DOUBLE) AS value_sum
       |FROM s GROUP BY user_id, session_seq

@@ -49,7 +49,7 @@ object Ann {
        |r AS (SELECT query_id, neighbor_id,
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |      FROM s)
-       |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= $K
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
   /** L2-normalize the embedding once per row (map-side), so every

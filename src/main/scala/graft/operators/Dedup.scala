@@ -114,7 +114,8 @@ object Dedup {
       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       |    AND a.nsh <= 2 * b.nsh AND b.nsh <= 2 * a.nsh
       |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_common, na + nb - n_common AS n_union,
+      |SELECT doc_a, doc_b, CAST(n_common AS INTEGER) AS n_common,
+      |  CAST(na + nb - n_common AS INTEGER) AS n_union,
       |  CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
       |FROM p
       |WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5

@@ -54,11 +54,11 @@ object TextAnalysis {
       |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks
       |  FROM documents)
       |SELECT doc_id,
-      |  len(text) AS text_len,
-      |  len(toks) AS n_tokens,
-      |  len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct_count,
+      |  CAST(len(text) AS INTEGER) AS text_len,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INTEGER) AS punct_count,
       |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) AS punct_ratio,
-      |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS stopword_count,
+      |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS INTEGER) AS stopword_count,
       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
       |  CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
       |  0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
@@ -103,7 +103,8 @@ object TextAnalysis {
        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks
        |  FROM documents)
        |SELECT doc_id, lang AS labeled_lang,
-       |  $en AS score_en, $de AS score_de, $es AS score_es, $fr AS score_fr,
+       |  CAST($en AS INTEGER) AS score_en, CAST($de AS INTEGER) AS score_de,
+       |  CAST($es AS INTEGER) AS score_es, CAST($fr AS INTEGER) AS score_fr,
        |  CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en > 0 THEN 'en'
        |       WHEN $de >= $es AND $de >= $fr AND $de > 0 THEN 'de'
        |       WHEN $es >= $fr AND $es > 0 THEN 'es'
@@ -130,8 +131,8 @@ object TextAnalysis {
 
   val textTokenCountSql: String =
     """SELECT doc_id, n_chars,
-      |  len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS ws_token_count,
-      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS regex_token_count,
+      |  CAST(len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS INTEGER) AS ws_token_count,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INTEGER) AS regex_token_count,
       |  CAST(len(text) AS DOUBLE) / CAST(len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS DOUBLE) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -155,7 +156,7 @@ object TextAnalysis {
       |  SELECT doc_id,
       |    list_sort(list_distinct(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0))) AS uniq
       |  FROM documents)
-      |SELECT doc_id, len(uniq) AS n_uniq_tokens,
+      |SELECT doc_id, CAST(len(uniq) AS INTEGER) AS n_uniq_tokens,
       |  md5(array_to_string(uniq, ' ')) AS fingerprint
       |FROM t ORDER BY doc_id""".stripMargin
 }

@@ -48,9 +48,24 @@ def main(out_dir: str, sf_dir: str) -> int:
             continue
         spark_df = pq.read_table(files[0]).to_pandas()
         try:
-            duck_df = con.execute(sql).df()
+            rel = con.sql(sql)
+            duck_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        # schema check: physical types must agree (the driver compares
+        # schemas too; int32-vs-BIGINT style drift fails there even
+        # when stringified values match)
+        tmap = {'int64': 'BIGINT', 'int32': 'INTEGER', 'double': 'DOUBLE',
+                'float': 'FLOAT', 'string': 'VARCHAR', 'bool': 'BOOLEAN'}
+        sp_types = {f.name: str(f.type) for f in pq.read_schema(files[0])}
+        du_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        tdiffs = [f"{c}: spark={s} duck={du_types.get(c, 'MISSING')}"
+                  for c, s in sp_types.items()
+                  if tmap.get(s, s) != du_types.get(c, 'MISSING')]
+        if tdiffs:
+            print(f"FAIL {name}: schema: {'; '.join(tdiffs)}")
             failures += 1
             continue
         a, b = norm(spark_df), norm(duck_df)
