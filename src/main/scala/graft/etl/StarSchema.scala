@@ -251,7 +251,11 @@ object StarSchema {
         col("l_orderkey").cast("string").as("order_source_id"),
         col("l_linenumber").as("line_number"),
         col("o_orderdate").cast("date").cast("string").as("order_date"))
-      .orderBy(col("order_source_id"), col("line_number"))
+      // (order, line) pairs are NOT unique in the data — extend the
+      // sort with content columns so row order is total and
+      // engine-independent
+      .orderBy(col("order_source_id"), col("line_number"), col("product_key"),
+        col("sales_amount"), col("quantity"))
   }
 
   val factSalesSql: String =
@@ -276,7 +280,7 @@ object StarSchema {
       |LEFT JOIN customer ON o_custkey = c_custkey
       |LEFT JOIN part ON CAST(l_partkey AS VARCHAR) = CAST(p_partkey AS VARCHAR)
       |LEFT JOIN dd ON CAST(o_orderdate AS DATE) = dd.full_date
-      |ORDER BY order_source_id, line_number""".stripMargin
+      |ORDER BY order_source_id, line_number, product_key, sales_amount, quantity""".stripMargin
 
   /** SCD Type-2 history (reference: the dbt project's `snapshots/`
     * machinery — dbt snapshots materialize slowly-changing-dimension

@@ -69,6 +69,16 @@ def main(out_dir: str, sf_dir: str) -> int:
             failures += 1
             continue
         a, b = norm(spark_df), norm(duck_df)
+        # in-order compare too: if the driver hashes rows in written
+        # order, any engine-arbitrary tie order in the ORDER BY fails
+        raw_a = spark_df.reindex(sorted(spark_df.columns), axis=1).map(
+            lambda v: "NULL" if v is None else (f"{v:.17g}" if isinstance(v, float) else str(v)))
+        raw_b = duck_df.reindex(sorted(duck_df.columns), axis=1).map(
+            lambda v: "NULL" if v is None else (f"{v:.17g}" if isinstance(v, float) else str(v)))
+        if len(raw_a) == len(raw_b) and not raw_a.reset_index(drop=True).equals(raw_b.reset_index(drop=True)):
+            print(f"FAIL {name}: row ORDER differs (non-total ORDER BY?)")
+            failures += 1
+            continue
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
             failures += 1
