@@ -16,6 +16,8 @@ object SparkEntry {
     "q3_top_orders" -> ((s, d) => Analytics.q3TopOrders(s, d)),
     "q5_region_volume" -> ((s, d) => Analytics.q5RegionVolume(s, d)),
     "window_running_total" -> ((s, d) => Analytics.windowRunningTotal(s, d)),
+    "window_moving_avg" -> ((s, d) => Analytics.windowMovingAvg(s, d)),
+    "ntile_buckets" -> ((s, d) => Analytics.ntileBuckets(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "topk_per_group_agg" -> ((s, d) => Analytics.topkPerGroupAgg(s, d)),
     "sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
@@ -65,6 +67,8 @@ object SparkEntry {
     "q3_top_orders" -> Analytics.q3Sql,
     "q5_region_volume" -> Analytics.q5Sql,
     "window_running_total" -> Analytics.windowRunningTotalSql,
+    "window_moving_avg" -> Analytics.windowMovingAvgSql,
+    "ntile_buckets" -> Analytics.ntileBucketsSql,
     "topk_per_group" -> Analytics.topkPerGroupSql,
     "topk_per_group_agg" -> Analytics.topkPerGroupAggSql,
     "sessionize" -> Analytics.sessionizeSql,

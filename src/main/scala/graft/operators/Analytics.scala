@@ -151,6 +151,51 @@ object Analytics {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders ORDER BY cust_key, order_key""".stripMargin
 
+  /** Sliding 3-row moving average of order totals per customer —
+    * bounded window frame (vs the running total's unbounded frame).
+    */
+  def windowMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("order_date"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"),
+        money(col("o_totalprice")).as("p"))
+      .withColumn("moving_avg",
+        sum(col("p")).over(w).cast("double") / count(col("p")).over(w).cast("double"))
+      .select(col("o_custkey").as("cust_key"), col("o_orderkey").as("order_key"),
+        col("order_date"), col("moving_avg"))
+      .orderBy("cust_key", "order_key")
+  }
+
+  val windowMovingAvgSql: String =
+    """SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY o_custkey ORDER BY CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderkey
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderkey
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg
+      |FROM orders ORDER BY cust_key, order_key""".stripMargin
+
+  /** Quartile bucketing of order values within each priority class —
+    * ntile over a total order (deterministic bucket boundaries).
+    */
+  def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("int"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val ntileBucketsSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+      |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   /** Top-3 orders per customer — rank-per-group, the reference's
     * QUALIFY row_number pattern generalized to k>1.
     */

@@ -23,18 +23,22 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, byte_len: Int, checksum: Long,
       fake_width: Int, fake_height: Int, source: String)
 
-  /** STUB decode: deterministic pseudo-decode of a binary payload.
-    * A real implementation would hand `payload` to a codec; everything
-    * around it (batching, schema, partitioning) is production-shaped.
+  /** STUB codec: deterministic pseudo-decode of a binary payload.
+    * A real implementation would load the native codec/model in the
+    * constructor (per partition) and hand `payload` to it per row;
+    * everything around it — batching, schema, partition-amortized
+    * init — is production-shaped.
     */
-  private def fakeDecode(docId: Long, payload: Array[Byte], source: String): MediaMeta = {
-    var h = 1125899906842597L // FNV-ish rolling checksum over the payload
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    MediaMeta(docId, payload.length, h,
-      fake_width = 16 + (math.abs(h) % 1024).toInt,
-      fake_height = 16 + (math.abs(h / 1024) % 1024).toInt,
-      source)
+  private final class StubCodec extends Serializable {
+    def decode(docId: Long, payload: Array[Byte], source: String): MediaMeta = {
+      var h = 1125899906842597L // FNV-ish rolling checksum over the payload
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      MediaMeta(docId, payload.length, h,
+        fake_width = 16 + (math.abs(h) % 1024).toInt,
+        fake_height = 16 + (math.abs(h / 1024) % 1024).toInt,
+        source)
+    }
   }
 
   /** Binary payload table + per-partition batch "decode" →
@@ -47,7 +51,13 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       col("source"))
     media.as[(Long, Array[Byte], String)]
-      .mapPartitions { batch => batch.map { case (id, payload, src) => fakeDecode(id, payload, src) } }
+      .mapPartitions { batch =>
+        // per-PARTITION codec init (the expensive step a real media
+        // codec amortizes over the whole batch — the reason this is
+        // mapPartitions and not a per-row UDF)
+        val codec = new StubCodec()
+        batch.map { case (id, payload, src) => codec.decode(id, payload, src) }
+      }
       .toDF()
       .orderBy("doc_id")
   }
