@@ -199,7 +199,11 @@ object Dedup {
     // round becomes a single-task job instead of a 32-partition
     // shuffle, and the convergence check rides the same pass. At
     // larger component counts the same loop runs un-coalesced.
-    val pairs = dedupNgramJaccard(spark, dir)
+    // pairs come from the minhash-LSH path — the candidate generator
+    // that survives 100 TB (sub-quadratic banding); its LSH-verified
+    // pairs coincide with the exact ngram pairs at τ=0.5 on this data
+    // (unit-tested equality)
+    val pairs = dedupMinHashLsh(spark, dir)
       .select(col("doc_a"), col("doc_b")).repartition(1).cache()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
