@@ -97,7 +97,7 @@ object StarSchema {
       |FROM spine ORDER BY date_key""".stripMargin
 
   /** Newest event attributes per user — the dedup-newest pattern
-    * (reference: `models/dimensions/dim_customer.sql` QUALIFY
+    * (reference: `models/dimensions/dim_customer.sql:18` — QUALIFY
     * row_number … = 1). Narrow projection BEFORE the window shuffle.
     */
   private def newestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
@@ -219,7 +219,8 @@ object StarSchema {
 
   /** Fact build: line-grain sales fact, 4 dimensions broadcast
     * left-joined, unmatched keys coalesced to '-1' (reference:
-    * `models/facts/fact_sales_order.sql`). The dims are broadcast so
+    * `models/facts/fact_sales_order.sql:34-38` coalesce fallbacks,
+    * `:53-76` the dim left-join chain). The dims are broadcast so
     * this is a map-only stage over lineitem⋈orders at any scale.
     */
   def factSales(spark: SparkSession, dir: String): DataFrame = {

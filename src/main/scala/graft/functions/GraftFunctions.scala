@@ -11,8 +11,9 @@ import org.apache.spark.sql.types.DecimalType
 object GraftFunctions {
 
   /** dbt-utils–style surrogate key (reference:
-    * `dbt-project-glamira/models/dimensions/` models use
-    * `dbt_utils.generate_surrogate_key`): md5 over the dash-joined,
+    * `dbt-project-glamira/models/dimensions/dim_customer.sql:11` and
+    * siblings use `dbt_utils.generate_surrogate_key`): md5 over the
+    * dash-joined,
     * null-coalesced string casts of the key columns. Deterministic and
     * reproducible in any ANSI engine — the same expression is used in
     * the DuckDB oracles.
@@ -31,15 +32,18 @@ object GraftFunctions {
   /** Parse locale-formatted price strings into decimal(18,2).
     * Handles both `"5.165,00 €"` (EU: dot thousands, comma decimals —
     * the format the reference's product crawler scrapes, reference:
-    * `5.data-collection-storage/product_crawler.py` price_raw) and
-    * `"$1,234.56"` (US). Pure regexp composition — codegen'd.
+    * `5.data-collection-storage/product_crawler.py:260-262`
+    * parse_price) and `"$1,234.56"` (US). Pure regexp composition —
+    * codegen'd.
     */
   def parsePrice(c: Column): Column = {
     val digits = regexp_replace(c, "[^0-9.,]", "")
-    // EU style iff the last separator is a comma
-    val lastComma = greatest(lit(-1), length(digits) - locate(",", reverse(digits)))
-    val lastDot = greatest(lit(-1), length(digits) - locate(".", reverse(digits)))
-    val isEu = locate(",", digits) > 0 && (locate(".", digits) === 0 || lastComma > lastDot)
+    // a comma is a DECIMAL separator only when it is the last
+    // separator and is followed by 1-2 trailing digits ("12,50",
+    // "5.165,00"); a trailing 3-digit comma group ("1,299") is
+    // thousands grouping. (The mirrored "1.299" ambiguity resolves to
+    // a US decimal, matching crawler conventions.)
+    val isEu = digits.rlike(",\\d{1,2}$")
     val normalized = when(isEu, regexp_replace(regexp_replace(digits, "\\.", ""), ",", "."))
       .otherwise(regexp_replace(digits, ",", ""))
     when(length(normalized) > 0, normalized.cast(DecimalType(18, 2)))

@@ -51,8 +51,9 @@ object Skew {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Unique-entity extraction with per-group counts (the reference's
-    * ip_processor "extract unique IPs" aggregation, reference:
-    * `5.data-collection-storage/ip_processor.py`).
+    * ip_processor "extract unique IPs" aggregation pipeline, reference:
+    * `5.data-collection-storage/ip_processor.py:70-101`
+    * save_unique_ips_to_file).
     */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -59,7 +59,9 @@ object GraftSources {
     * plain-text state file, then mark them processed. Partition
     * pruning keeps the scan proportional to NEW data — the property
     * that makes nightly loads O(day) instead of O(history)
-    * (reference: trigger_bigquery_load.py date-partition loads).
+    * (reference: `6.data-pipeline-storage/trigger_bigquery_load.py:116`
+    * trigger_bigquery_load — per-object incremental loads with an
+    * audit trail).
     * Returns (newly loaded DataFrame or None, newly seen partitions).
     */
   def incrementalLoad(spark: SparkSession, tablePath: String,

@@ -41,6 +41,12 @@ class FunctionsSpec extends AnyFunSuite {
   test("parsePrice returns null on garbage") {
     assert(one(parsePrice(lit("no price here"))) == null)
   }
+  test("parsePrice handles prefix symbols and no-decimal amounts") {
+    assert(one(parsePrice(lit("€ 12,50"))).toString == "12.50")
+    assert(one(parsePrice(lit("1299 USD"))).toString == "1299.00")
+    // comma-only thousands without decimals parses as US grouping
+    assert(one(parsePrice(lit("$1,299"))).toString == "1299.00")
+  }
   test("parseCurrency maps symbols and ISO codes") {
     assert(one(parseCurrency(lit("5.165,00 €"))) == "EUR")
     assert(one(parseCurrency(lit("$12.00"))) == "USD")
@@ -351,6 +357,26 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.table("wc").collect()
       .map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).toSet
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("as-of join leaves users without any prior order unmatched") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    // copy orders/events but restrict orders to custkeys >= 100:
+    // users below 100 must get null last_order_key
+    spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .filter(col("o_custkey") >= 100).write.parquet(s"$tmp/orders.parquet")
+    val ev = graft.core.Tables(spark, TestSpark.sf).events
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events_raw")
+    // events table must keep its original nanos-long ts column; write
+    // via the already-long representation
+    spark.read.parquet(s"$tmp/events_raw").write.parquet(s"$tmp/events.parquet")
+    val asof = graft.operators.Reports.asofEventOrder(spark, tmp)
+    val unmatched = asof.filter(col("user_id") < 100 && col("last_order_key").isNotNull).count()
+    val matched = asof.filter(col("user_id") >= 100 && col("last_order_key").isNull).count()
+    assert(unmatched == 0, "users without orders must stay unmatched")
+    assert(matched == 0, "users with orders must all match")
   }
 
   test("streaming dedup suppresses replayed event ids across batches") {
