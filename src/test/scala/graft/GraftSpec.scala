@@ -237,6 +237,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("BoundedTopK runs in partial mode (map-side combine)") {
+    val plan = graft.operators.Analytics.topkPerGroupAgg(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_boundedtopk"),
+      "custom aggregate must partial-aggregate or it shuffles O(rows)")
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val direct = graft.core.Tables(spark, TestSpark.sf).lineitem
@@ -397,6 +405,30 @@ class StreamingSpec extends AnyFunSuite {
       val ids = spark.table("dedup_s").select("event_id")
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(ids == Seq(1L, 2L, 3L)) // the replay of id 2 was dropped
+    } finally q.stop()
+  }
+
+  test("streaming windowed agg writes finalized windows to a parquet file sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    val in = s"$tmp/in"; new java.io.File(in).mkdirs()
+    writeBatch(in, "b1.jsonl", Seq(
+      EventStream.Ev(1, 1 * Min, 1, "click", 1.0),
+      EventStream.Ev(2, 2 * Min, 1, "click", 2.0)))
+    val q = EventStream.windowedCounts(spark, in).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // a much-later batch advances the watermark past the first window
+      writeBatch(in, "b2.jsonl", Seq(EventStream.Ev(3, 60 * Min, 1, "view", 3.0)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+      assert(out.count() >= 1) // first window finalized and flushed
+      val first = out.orderBy("win_start").collect()(0)
+      assert(first.getLong(3) == 2L && first.getDouble(4) == 3.0)
     } finally q.stop()
   }
 
