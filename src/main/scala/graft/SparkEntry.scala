@@ -38,6 +38,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.textLangId(s, d)),
     "text_tokencount" -> ((s, d) => TextAnalysis.textTokenCount(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(s, d)),
+    "train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinHashLsh(s, d)),
@@ -89,6 +90,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.textLangIdSql,
     "text_tokencount" -> TextAnalysis.textTokenCountSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
+    "train_test_split" -> TextAnalysis.trainTestSplitSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "ann_topk_bruteforce" -> Ann.annTopkBruteforceSql,

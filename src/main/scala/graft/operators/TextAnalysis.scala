@@ -136,6 +136,29 @@ object TextAnalysis {
       |  CAST(len(text) AS DOUBLE) / CAST(len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS DOUBLE) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic content-hash train/test split: bucket = first 16
+    * bits of md5(doc id) mod 100, train iff bucket < 90. Hash-based
+    * (not random) so the split is stable under any repartitioning or
+    * re-run — the property a training-data pipeline needs to keep
+    * train/test membership frozen across incremental rebuilds.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100)
+    Tables(spark, dir).documents.select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val trainTestSplitSql: String =
+    """SELECT doc_id,
+      |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS INTEGER) AS bucket,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90
+      |       THEN 'train' ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Normalized document fingerprint: md5 of the sorted distinct token
     * set — an order/count-insensitive content hash (the "fingerprint
     * dedup" normalization).
