@@ -315,6 +315,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(c.collect().length == 2) // malformed row dropped
   }
 
+  test("partitioned sink caps records per file (skew guard)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    val table = s"$tmp/capped"
+    // 100 rows in ONE partition value with a 30-record file cap →
+    // must split into >= 4 files instead of one skewed file
+    val df = spark.range(100).toDF("id")
+      .withColumn("event_date", org.apache.spark.sql.functions.lit("2024-01-01"))
+      .repartition(1)
+    GraftSources.writePartitioned(df, table, Seq("event_date"), maxRecordsPerFile = 30)
+    val files = new java.io.File(s"$table/event_date=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 4, s"expected >=4 capped files, got $files")
+    assert(spark.read.parquet(table).count() == 100)
+  }
+
   test("partitioned sink + incremental loader reads only new partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_inc").toString
     val table = s"$tmp/events_by_date"
