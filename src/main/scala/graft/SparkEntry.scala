@@ -93,6 +93,9 @@ object SparkEntry {
     "train_test_split" -> TextAnalysis.trainTestSplitSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> Dedup.dedupMinHashLshSql,
+    "dedup_simhash" -> Dedup.dedupSimHashSql,
+    "dedup_clusters" -> Dedup.dedupClustersSql,
     "ann_topk_bruteforce" -> Ann.annTopkBruteforceSql,
     "dedup_embedding_cosine" -> Ann.dedupEmbeddingCosineSql,
     "rollup_sales" -> Reports.rollupSalesSql,

@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.TokenShingles(exprs.head,
           exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "graft_simhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.MinHashSig(exprs.head)))
   }
 }
 
@@ -59,6 +67,8 @@ object GraftSession {
     graft.functions.DotProduct.register(spark)
     graft.functions.TokenShingles.register(spark)
     graft.functions.BoundedTopK.register(spark)
+    graft.functions.SimHash64.register(spark)
+    graft.functions.MinHashSig.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MD5-anchored hash sketches (SimHash / MinHash signatures), evaluated
+  * as single scalar expressions over a document's token/shingle array.
+  *
+  * Two design constraints meet here:
+  *
+  *  1. **Scale**: the naive Spark formulation of both sketches explodes
+  *     the corpus (per token × per bit for SimHash: 63× row blowup into
+  *     a wide groupBy; per shingle × per permutation for MinHash) and
+  *     pays a shuffle to reassemble per-doc signatures. Evaluated as a
+  *     scalar expression, the signature is computed map-side in one
+  *     pass over the array — zero shuffle, one row per document, which
+  *     is the only shape that survives 100 TB.
+  *  2. **Verifiability**: the per-element hash is the leading 32-bit
+  *     words of the standard MD5 digest — exactly reproducible in any
+  *     engine with an `md5()` hex function (the DuckDB oracles parse
+  *     `substr(md5(x), 1, 8)` as hex), unlike xxhash64/murmur seeds.
+  *     MD5 costs ~2× xxhash64 per element but the sketches hash each
+  *     distinct element exactly once, so it stays noise against scan
+  *     cost.
+  *
+  * Expression evaluation is CodegenFallback: one virtual call per
+  * document row (not per element) with the whole inner loop in plain
+  * JVM code — the per-row overhead codegen would remove is amortized
+  * over the array walk, unlike the per-element HOF case that motivated
+  * [[DotProduct]].
+  */
+object Md5Words {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** (first, second) 32-bit big-endian words of md5(bytes), as
+    * non-negative longs — the values DuckDB sees via
+    * `('0x' || substr(md5(s), 1, 8))::BIGINT` and `substr(..., 9, 8)`.
+    */
+  def firstTwoWords(bytes: Array[Byte]): (Long, Long) = {
+    val d = digest.get()
+    d.reset()
+    val h = d.digest(bytes)
+    def word(off: Int): Long =
+      ((h(off) & 0xffL) << 24) | ((h(off + 1) & 0xffL) << 16) |
+        ((h(off + 2) & 0xffL) << 8) | (h(off + 3) & 0xffL)
+    (word(0), word(4))
+  }
+}
+
+/** 63-bit SimHash of a (distinct) token array.
+  *
+  * Per token: 63 hash bits = bits 0..31 of md5 word 2 and bits 0..30 of
+  * md5 word 1; each bit votes ±1; signature bit b is set iff the vote
+  * sum is positive. 63 bits keep the signature positive in a signed
+  * BIGINT on every engine. Near-dup detection then pairs signatures by
+  * 16-bit chunk collision (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
+  * equal) — see `Dedup.dedupSimHash`.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](63)
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      val (h1, h2) = Md5Words.firstTwoWords(tok.getBytes)
+      var b = 0
+      while (b < 32) {
+        if (((h2 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      while (b < 63) {
+        if (((h1 >>> (b - 32)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 63) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Register `graft_simhash(tokens)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
+}
+
+/** 64-permutation MinHash signature of a shingle array.
+  *
+  * Base hash = md5 word 1 mod the Mersenne prime P = 2^31−1; each
+  * permutation is a universal-family affine map (a·x + b) mod P with
+  * fixed seeded constants ([[MinHashSig.permConsts]] — baked into the
+  * DuckDB oracle SQL verbatim). Operands stay < 2^62 so the JVM
+  * arithmetic is exact (and the equivalent Catalyst/SQL arithmetic
+  * would not overflow ANSI checks either).
+  */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(MinHashSig.NumPerms)(MinHashSig.P)
+    val as = MinHashSig.permA
+    val bs = MinHashSig.permB
+    var i = 0
+    while (i < n) {
+      val (h1, _) = Md5Words.firstTwoWords(arr.getUTF8String(i).getBytes)
+      val base = h1 % MinHashSig.P
+      var p = 0
+      while (p < MinHashSig.NumPerms) {
+        val v = (as(p) * base + bs(p)) % MinHashSig.P
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val NumPerms = 64
+  val P: Long = 2147483647L // Mersenne prime 2^31 − 1
+
+  /** Seeded affine permutation constants, a ∈ [1, P−1], b ∈ [0, P−1].
+    * Shared verbatim with the generated oracle SQL — change the seed
+    * and the oracle regenerates consistently.
+    */
+  val permConsts: IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(7)
+    IndexedSeq.fill(NumPerms)((1L + math.abs(rng.nextLong() % (P - 1)),
+      math.abs(rng.nextLong() % P)))
+  }
+  private[functions] val permA: Array[Long] = permConsts.map(_._1).toArray
+  private[functions] val permB: Array[Long] = permConsts.map(_._2).toArray
+
+  /** Register `graft_minhash(shingles)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSig(exprs.head), "scala_udf")
+}

@@ -1,9 +1,8 @@
 package graft.operators
 
 import graft.core.Tables
-import graft.functions.GraftFunctions.normTokens
+import graft.functions.MinHashSig
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication suite (SURVEY.md §2 F) — the operators a
@@ -11,14 +10,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: every variant avoids the O(n²) cross product.
   *   - exact: one hash-groupBy shuffle on md5(text).
-  *   - ngram-jaccard: candidate pairs come from an equi-join on shared
-  *     shingles (shuffle keyed by shingle), then exact Jaccard on the
-  *     pair counts — work is proportional to actually-colliding pairs.
-  *   - minhash-LSH: fixed-width signatures map-side, candidates from an
-  *     equi-join on (band, band-hash) buckets — the classic
-  *     sub-quadratic near-dup path.
-  *   - simhash: 63-bit signature map-side, candidates from 16-bit
-  *     chunk buckets (hamming ≤ k must collide on ≥1 of 4 chunks).
+  *   - ngram-jaccard: candidate pairs come from a PPJoin-style prefix
+  *     index equi-join (shuffle keyed by shingle hash), then exact
+  *     Jaccard on the pair counts — work is proportional to
+  *     actually-colliding pairs.
+  *   - minhash-LSH: fixed-width signatures computed map-side by a
+  *     scalar expression (zero shuffle), candidates from an equi-join
+  *     on (band, band-key) buckets — the classic sub-quadratic path.
+  *   - simhash: 63-bit signature map-side (scalar expression),
+  *     candidates from 16-bit chunk buckets (hamming ≤ 3 must collide
+  *     on ≥1 of 4 chunks).
+  *
+  * The minhash/simhash hash family is MD5-word based (see
+  * `graft.functions.Md5Words`), so both sketches are bit-reproducible
+  * in the DuckDB oracles — the generated SQL below re-derives the
+  * same signatures from `md5()` hex.
   */
 object Dedup {
 
@@ -34,10 +40,26 @@ object Dedup {
     """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 
+  // ---- shared oracle CTE fragments (tokenization contract shared with
+  // graft.functions.TokenShingles — see its Scaladoc) ----
+
+  private val ToksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents)""".stripMargin
+
+  private val ShCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+      |    ELSE [array_to_string(t, ' ')] END) AS sd
+      |  FROM toks)""".stripMargin
+
   /** Distinct 3-gram shingle set per doc via the one-pass
     * TokenShingles expression, cached: every dedup operator reuses
-    * this set 3–5 times in one plan (df stats, prefix index, exact
-    * verification), and recomputing the shingling dominated the
+    * this set 3–5 times in one plan (prefix index, signature build,
+    * exact verification), and recomputing the shingling dominated the
     * runtime before caching.
     */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
@@ -46,11 +68,6 @@ object Dedup {
       .select(col("doc_id"), call_function("graft_shingles", col("text"), lit(3)).as("sh"))
       .cache()
   }
-
-  /** Exploded shingle sets: (doc_id, n_shingles, shingle). */
-  private def shingleExploded(spark: SparkSession, dir: String): DataFrame =
-    shingleSets(spark, dir)
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs (τ = 0.5), candidates blocked
     * by shared shingle. Output is ids + exact set stats, so the oracle
@@ -62,21 +79,27 @@ object Dedup {
     // with J ≥ τ must collide inside those prefixes (standard prefix
     // lemma), so candidate generation skips most of the pair
     // explosion while remaining EXACT (verification below computes
-    // true Jaccard). Lexicographic order keeps the prefix a pure
-    // map-side slice of the cached sets; a frequency order prunes
-    // ~25% more candidates but costs a df groupBy + join + per-doc
-    // window (3 extra shuffles) — measured net-slower here, and the
-    // skew risk it guards against is handled by the verification
-    // being candidate-local anyway.
+    // true Jaccard). Two candidate-volume cuts on top of the plain
+    // prefix join:
+    //   - positional filter: at the pair's FIRST (smallest) colliding
+    //     shingle, every common shingle sorts ≥ it, so the overlap is
+    //     bounded by min(na−pa, nb−pb); J ≥ τ needs overlap ≥
+    //     ⌈(na+nb)/3⌉ — rows that can't reach it are dropped at join
+    //     time (a true pair always survives via its first collision).
+    //   - the join key is xxhash64(shingle), not the string: the
+    //     shuffle carries 8-byte keys; hash collisions can only ADD
+    //     candidates, which the exact verification then rejects.
     val sets0 = shingleSets(spark, dir)
     val prefix = sets0.select(col("doc_id"), size(col("sh")).as("nsh"),
-        explode(slice(array_sort(col("sh")), lit(1),
-          floor(size(col("sh")) / 2) + 1)).as("s"))
+        posexplode(slice(array_sort(col("sh")), lit(1),
+          floor(size(col("sh")) / 2) + 1)).as(Seq("p", "s")))
+      .select(col("doc_id"), col("nsh"), col("p"), xxhash64(col("s")).as("hs"))
       .cache() // both sides of the candidate self-join read this
-    val candidates = prefix.toDF("i", "na", "s")
-      .join(prefix.toDF("j", "nb", "s2"),
-        col("s") === col("s2") && col("i") < col("j") &&
-          col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na"))
+    val candidates = prefix.toDF("i", "na", "pa", "hs")
+      .join(prefix.toDF("j", "nb", "pb", "hs2"),
+        col("hs") === col("hs2") && col("i") < col("j") &&
+          col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na") &&
+          expr("least(na - pa, nb - pb) >= (na + nb + 2) div 3"))
       .select(col("i"), col("j")).distinct()
     val sets = shingleSets(spark, dir)
     val jac = col("n_common").cast("double") / col("n_union").cast("double")
@@ -97,16 +120,8 @@ object Dedup {
   }
 
   val dedupNgramJaccardSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(t) >= 3
-      |      THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
-      |      ELSE [array_to_string(t, ' ')] END) AS sd
-      |  FROM toks),
+    s"""WITH $ToksCte,
+      |$ShCte,
       |ex AS (SELECT doc_id, len(sd) AS nsh, unnest(sd) AS s FROM sh),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
@@ -121,46 +136,28 @@ object Dedup {
       |WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  private val NumPerms = 64
+  private val NumPerms = MinHashSig.NumPerms
   private val BandSize = 4 // 16 bands × 4 rows
+  private val NumBands = NumPerms / BandSize
 
-  /** MinHash signatures + LSH banding → candidate pairs → exact
-    * Jaccard verification (τ = 0.5). The hash family (xxhash64 with
-    * per-perm salt) isn't reproducible in ANSI SQL → rows-only check;
-    * semantics unit-tested against dedupNgramJaccard (LSH must recover
-    * the exact pairs).
+  /** MinHash signatures (map-side scalar expression) + LSH banding →
+    * candidate pairs → exact Jaccard verification (τ = 0.5). The
+    * MD5-anchored hash family is reproduced verbatim in the generated
+    * oracle SQL, so this is value-checked end to end in DuckDB.
     */
   def dedupMinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleExploded(spark, dir)
-    // 64 independent min-aggregates (one per permutation) over
-    // affine-permuted hashes of a SINGLE base xxhash64 per shingle:
-    // the string is hashed once, each permutation is a long
-    // multiply-add (wrapping), and partial aggregation combines
-    // map-side — the shuffle carries one 64-column row per doc per map
-    // partition, not one row per (doc, shingle, perm).
-    // universal hashing mod the Mersenne prime 2^31-1: operands stay
-    // ≤ 2^62 so the multiply can't overflow (Spark 4 runs ANSI
-    // arithmetic — a wrapped long multiply would throw)
-    val P = 2147483647L
-    val permConsts: Seq[(Long, Long)] = {
-      val rng = new scala.util.Random(7)
-      Seq.fill(NumPerms)((1L + math.abs(rng.nextLong() % (P - 1)),
-        math.abs(rng.nextLong() % P)))
-    }
-    val minCols = permConsts.zipWithIndex.map { case ((a, b), p) =>
-      min(pmod(col("h0") * lit(a) + lit(b), lit(P))).as(s"h$p")
-    }
-    val sig = sh.withColumn("h0", pmod(xxhash64(col("s")), lit(P)))
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumPerms).map(p => col(s"h$p")): _*).as("sig"))
-    // LSH banding: band key = the band's 4 signature values packed
+    MinHashSig.register(spark)
+    val sets = shingleSets(spark, dir)
+    // signature = one scalar-expression pass per doc (no explode, no
+    // per-perm aggregation shuffle); band key = the band's 4 signature
+    // values comma-joined (string equality — exactly the oracle's key)
+    val sig = sets.select(col("doc_id"),
+      call_function("graft_minhash", col("sh")).as("sig"))
     val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(NumPerms / BandSize - 1)),
-        b => xxhash64(concat_ws(",",
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => concat_ws(",",
           transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
-            h => h.cast("string"))))))
+            h => h.cast("string")))))
         .as(Seq("band", "band_key")))
       .cache() // both sides of the bucket self-join read this
     val candidates = banded.toDF("i", "band_i", "bk")
@@ -171,7 +168,6 @@ object Dedup {
     // exact verification only on candidates: set intersection of the
     // two docs' shingle arrays (candidate volume ≪ n², so the array
     // intersect is cheap and avoids a second full shingle self-join)
-    val sets = shingleSets(spark, dir)
     val jac = col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
     candidates
       .join(broadcast(sets.toDF("i", "sh_i")), "i")
@@ -185,13 +181,54 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Oracle CTE chain re-deriving the MD5-anchored minhash pairs in
+    * DuckDB: base hash = first md5 word mod P, the 64 affine perms are
+    * baked in from [[MinHashSig.permConsts]], bands/verification mirror
+    * the Spark plan. Shared by the minhash and clusters oracles.
+    */
+  private lazy val minHashPairCtes: String = {
+    val P = MinHashSig.P
+    val mins = MinHashSig.permConsts.zipWithIndex.map { case ((a, b), p) =>
+      s"min(($a*h0+$b)%$P) AS m$p"
+    }.mkString(",\n    ")
+    val bands = (0 until NumBands).map { bd =>
+      val key = (0 until BandSize).map(r => s"m${bd * BandSize + r}::VARCHAR")
+        .mkString("||','||")
+      s"SELECT doc_id, $bd AS band, $key AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$ToksCte,
+      |$ShCte,
+      |ex AS (SELECT doc_id, unnest(sd) AS s FROM sh),
+      |hb AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % $P AS h0 FROM ex),
+      |sig AS (SELECT doc_id,
+      |    $mins
+      |  FROM hb GROUP BY doc_id),
+      |band AS (
+      |  $bands),
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |         FROM band a JOIN band b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      |ver AS (SELECT i AS doc_a, j AS doc_b,
+      |          len(list_intersect(sa.sd, sb.sd)) AS n_common,
+      |          len(sa.sd) AS na, len(sb.sd) AS nb
+      |        FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j),
+      |mh_pairs AS (SELECT doc_a, doc_b,
+      |          CAST(n_common AS DOUBLE)/(na+nb-n_common) AS jaccard
+      |        FROM ver WHERE CAST(n_common AS DOUBLE)/(na+nb-n_common) >= 0.5)""".stripMargin
+  }
+
+  lazy val dedupMinHashLshSql: String =
+    s"""WITH $minHashPairCtes
+      |SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b""".stripMargin
+
   /** Duplicate-group clustering: connected components over the
     * near-dup pair graph (union of a doc's transitive duplicates),
     * via iterative min-label propagation — each round is one
     * join+groupBy, converging in O(graph diameter) rounds (near-dup
     * components are tiny cliques, so 2-3 rounds in practice; capped
     * defensively). The driver loop only exchanges a converged flag —
-    * no graph data ever reaches the driver.
+    * no graph data ever reaches the driver. Oracled: the DuckDB side
+    * computes the same components with a recursive CTE over the same
+    * minhash pair set.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // the pair graph is tiny relative to the corpus (only docs with a
@@ -200,9 +237,7 @@ object Dedup {
     // shuffle, and the convergence check rides the same pass. At
     // larger component counts the same loop runs un-coalesced.
     // pairs come from the minhash-LSH path — the candidate generator
-    // that survives 100 TB (sub-quadratic banding); its LSH-verified
-    // pairs coincide with the exact ngram pairs at τ=0.5 on this data
-    // (unit-tested equality)
+    // that survives 100 TB (sub-quadratic banding)
     val pairs = dedupMinHashLsh(spark, dir)
       .select(col("doc_a"), col("doc_b")).repartition(1).cache()
     val edges = pairs
@@ -231,24 +266,31 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
-  /** 63-bit SimHash near-dup pairs (hamming ≤ 8), candidates blocked on
-    * 16-bit signature chunks. xxhash64-based → rows-only check +
-    * unit tests.
+  lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minHashPairCtes,
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      |          UNION SELECT doc_b, doc_a FROM mh_pairs),
+      |reach(n, m) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      |  UNION
+      |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n)
+      |SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+      |ORDER BY doc_id""".stripMargin
+
+  /** 63-bit SimHash near-dup pairs (hamming ≤ 3), candidates blocked on
+    * 16-bit signature chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of the 4
+    * chunks equal). The signature is one scalar-expression pass per doc
+    * over its distinct tokens — no row explosion, no signature shuffle;
+    * the MD5-bit hash family is re-derived in the generated oracle SQL.
     */
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val tok = docs.select(col("doc_id"), explode(array_distinct(normTokens(col("text")))).as("tok"))
-    val bits = tok
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(62))).as("bit"))
-      .withColumn("contrib",
-        when(expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(1) === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("contrib")).as("w"))
-    val sigs = bits
-      .withColumn("bitval", when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).as("simhash"))
+    graft.functions.TokenShingles.register(spark)
+    graft.functions.SimHash64.register(spark)
+    // distinct tokens = 1-gram shingles (same one-pass expression)
+    val sigs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        call_function("graft_simhash",
+          call_function("graft_shingles", col("text"), lit(1))).as("simhash"))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, CAST(c * 16 AS INT))").bitwiseAND(0xFFFF))
@@ -261,5 +303,32 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val dedupSimHashSql: String = {
+    // 63 per-bit vote sums over the distinct-token md5 words, then the
+    // sign-packed signature — the SQL mirror of SimHash64.nullSafeEval
+    val wcols = (0 until 63).map { b =>
+      val bit = if (b < 32) s"(h2>>$b)&1" else s"(h1>>${b - 32})&1"
+      s"sum(CASE WHEN $bit=1 THEN 1 ELSE -1 END) AS w$b"
+    }.mkString(",\n    ")
+    val packed = (0 until 63)
+      .map(b => s"(CASE WHEN w$b>0 THEN (1::BIGINT<<$b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $ToksCte,
+      |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks),
+      |th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS h1,
+      |              ('0x'||substr(md5(tok),9,8))::BIGINT AS h2 FROM tok),
+      |w AS (SELECT doc_id,
+      |    $wcols
+      |  FROM th GROUP BY doc_id),
+      |sig AS (SELECT doc_id, $packed AS simhash FROM w),
+      |ch AS (SELECT doc_id, simhash, c, (simhash >> (16*c)) & 65535 AS chunk
+      |       FROM sig, (SELECT unnest([0,1,2,3]) AS c) cs),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                a.simhash AS sa, b.simhash AS sb
+      |         FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 }
