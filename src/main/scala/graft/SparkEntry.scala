@@ -98,6 +98,8 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "ann_topk_bruteforce" -> Ann.annTopkBruteforceSql,
     "dedup_embedding_cosine" -> Ann.dedupEmbeddingCosineSql,
+    "embedding_centroids" -> Ann.embeddingCentroidsSql,
+    "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "rollup_sales" -> Reports.rollupSalesSql,
     "quantile_profile" -> Reports.quantileProfileSql,
     "asof_event_order" -> Reports.asofEventOrderSql,

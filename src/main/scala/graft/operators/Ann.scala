@@ -112,23 +112,33 @@ object Ann {
   }
 
   /** Per-label embedding centroids — elementwise mean via
-    * posexplode → (label, dim) partial aggregation → reassembly. This
-    * is the IVF coarse-quantizer build step (centroids then bucket
-    * vectors for ANN); float sums are engine-order-sensitive →
-    * rows-only check + unit test.
+    * posexplode → (label, dim) partial aggregation. This is the IVF
+    * coarse-quantizer build step (centroids then bucket vectors for
+    * ANN). The mean is computed over micro-unit quantized values
+    * (⌊v·10⁶⌋ as BIGINT): integer partial sums are exactly
+    * order-independent, so the result is bit-stable under any
+    * 1000-executor reduction order AND reproducible in the DuckDB
+    * oracle — a float mean is neither. One scalar row per
+    * (label, dim), no arrays in the output (array cells break the
+    * driver's pandas-level compare).
     */
   def embeddingCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
-      .select(col("label"), col("vec_id"),
-        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg(avg(col("v")).as("m"), countDistinct(col("vec_id")).as("n"))
-      .groupBy(col("label"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("centroid"),
-        max(col("n")).as("n_vectors"))
-      .orderBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(floor(col("v").cast("double") * lit(1e6))).cast("double") /
+          count(lit(1))).as("centroid_q6"))
+      .orderBy("label", "dim")
+
+  val embeddingCentroidsSql: String =
+    """WITH ex AS (
+      |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings)
+      |SELECT label, dim, count(*) AS n_vectors,
+      |  CAST(CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS DOUBLE) AS centroid_q6
+      |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
   /** Multi-table random-hyperplane LSH ANN: 4 tables × 8-bit sign
     * signatures; a candidate is any vector colliding with the query in

@@ -27,22 +27,23 @@ object Multimodal {
     * A real implementation would load the native codec/model in the
     * constructor (per partition) and hand `payload` to it per row;
     * everything around it — batching, schema, partition-amortized
-    * init — is production-shaped.
+    * init — is production-shaped. The fake features derive from the
+    * payload's MD5 leading word, so the whole decode is reproducible
+    * in the DuckDB oracle (unlike a real codec, which would get a
+    * rows-only check).
     */
   private final class StubCodec extends Serializable {
     def decode(docId: Long, payload: Array[Byte], source: String): MediaMeta = {
-      var h = 1125899906842597L // FNV-ish rolling checksum over the payload
-      var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-      MediaMeta(docId, payload.length, h,
-        fake_width = 16 + (math.abs(h) % 1024).toInt,
-        fake_height = 16 + (math.abs(h / 1024) % 1024).toInt,
+      val (h1, _) = graft.functions.Md5Words.firstTwoWords(payload)
+      MediaMeta(docId, payload.length, h1,
+        fake_width = 16 + (h1 % 1024).toInt,
+        fake_height = 16 + ((h1 / 1024) % 1024).toInt,
         source)
     }
   }
 
   /** Binary payload table + per-partition batch "decode" →
-    * typed metadata. Rows-only check (stub decode isn't SQL).
+    * typed metadata, value-checked against the MD5-derived oracle.
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -61,4 +62,15 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  val multimodalMetaSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len,
+      |         ('0x' || substr(md5(text), 1, 8))::BIGINT AS checksum, source
+      |  FROM documents)
+      |SELECT doc_id, byte_len, checksum,
+      |  CAST(16 + checksum % 1024 AS INTEGER) AS fake_width,
+      |  CAST(16 + (checksum // 1024) % 1024 AS INTEGER) AS fake_height,
+      |  source
+      |FROM m ORDER BY doc_id""".stripMargin
 }

@@ -286,10 +286,11 @@ class CentroidSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$tmp/embeddings.parquet")
     val rows = Ann.embeddingCentroids(spark, tmp).collect()
-    val byLabel = rows.map(r => r.getInt(0) ->
-      (r.getSeq[Double](1), r.getLong(2))).toMap
-    assert(byLabel(1)._1 == Seq(2.0, 4.0) && byLabel(1)._2 == 2L)
-    assert(byLabel(2)._1 == Seq(10.0, 10.0) && byLabel(2)._2 == 1L)
+    // (label, dim) -> micro-unit quantized mean / n_vectors
+    val cells = rows.map(r => (r.getInt(0), r.getInt(1)) ->
+      (r.getDouble(3), r.getLong(2))).toMap
+    assert(cells((1, 0)) == (2.0e6, 2L) && cells((1, 1)) == (4.0e6, 2L))
+    assert(cells((2, 0)) == (10.0e6, 1L) && cells((2, 1)) == (10.0e6, 1L))
   }
 }
 
