@@ -69,6 +69,8 @@ object GraftSession {
     graft.functions.BoundedTopK.register(spark)
     graft.functions.SimHash64.register(spark)
     graft.functions.MinHashSig.register(spark)
+    graft.functions.SortedHashes.register(spark)
+    graft.functions.SortedIntersectCount.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

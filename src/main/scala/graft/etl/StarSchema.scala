@@ -98,18 +98,23 @@ object StarSchema {
 
   /** Newest event attributes per user — the dedup-newest pattern
     * (reference: `models/dimensions/dim_customer.sql:18` — QUALIFY
-    * row_number … = 1). Narrow projection BEFORE the window shuffle.
+    * row_number … = 1). Expressed as a struct-max aggregation rather
+    * than a window: the lexicographic max over (ts_us, event_id)
+    * picks the same newest record, but aggregation combines partial
+    * maxima map-side, so the shuffle carries one row per (partition,
+    * user) instead of the window's full event-stream sort — the shape
+    * that matters when the event log is the 100 TB table.
+    * (event_id is unique, so the struct order never reaches the
+    * payload field and the tie-break matches the window exactly.)
     */
-  private def newestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+  private def newestEventPerUser(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("m"))
       .select(col("user_id"),
-        col("event_type").as("last_event_type"),
-        timestamp_micros(col("ts_us")).cast("date").cast("string").as("last_seen_date"))
-  }
+        col("m.event_type").as("last_event_type"),
+        timestamp_micros(col("m.ts_us")).cast("date").cast("string").as("last_seen_date"))
 
   /** Customer dimension: master data enriched with newest-event
     * attributes + md5 surrogate key (reference: dim_customer.sql).
@@ -230,9 +235,18 @@ object StarSchema {
     val o = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
 
-    val dp = dimProduct(spark, dir).select(col("product_key"), col("product_source_id"))
-    val dc = dimCustomer(spark, dir).select(col("customer_key"), col("customer_source_id"))
-    val dl = dimLocation(spark, dir).select(col("location_key"), col("location_source_id"))
+    // Narrow key-only dim projections: each surrogate key is a pure
+    // function of the source key column, so the fact build does NOT
+    // need the dims' enrichment subplans (dim_customer's newest-event
+    // aggregation over the whole event log can't be pruned out from
+    // behind a left join automatically — referencing it here would
+    // drag a full events shuffle into every fact build).
+    val dp = t.part.select(surrogateKey(col("p_partkey")).as("product_key"),
+      col("p_partkey").cast("string").as("product_source_id"))
+    val dc = t.customer.select(surrogateKey(col("c_custkey")).as("customer_key"),
+      col("c_custkey").cast("string").as("customer_source_id"))
+    val dl = t.nation.select(surrogateKey(col("n_nationkey")).as("location_key"),
+      col("n_nationkey").cast("string").as("location_source_id"))
     val dd = dimDate(spark, dir).select(col("date_key"), col("full_date"))
 
     li.join(o, col("l_orderkey") === col("o_orderkey"), "left")

@@ -104,6 +104,82 @@ object SimHash64 {
       "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
 }
 
+/** Sorted xxhash64 fingerprints of a string array — the cheap set
+  * representation for exact set-similarity verification. Hashing the
+  * shingle strings once per document turns every downstream pair
+  * intersection from O(n) string hashing+equality into an 8-byte
+  * merge walk ([[SortedIntersectCount]]), and sorting here means the
+  * PPJoin prefix index can slice this array directly (the prefix
+  * lemma needs only *some* global total order over set elements —
+  * hash order serves as well as lexicographic). 64-bit collisions are
+  * negligible at corpus scale (birthday bound ≪ 10⁻⁸) and
+  * deterministic.
+  */
+case class SortedHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out.map(v => v: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedHashes {
+  /** Register `graft_sorted_hashes(strings)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_hashes", exprs => SortedHashes(exprs.head), "scala_udf")
+}
+
+/** Intersection size of two SORTED long arrays (one merge walk, no
+  * per-call hash table — the inner loop of candidate-pair
+  * verification, executed once per candidate).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var c = 0
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) < ys(j)) i += 1
+      else if (xs(i) > ys(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Register `graft_sorted_intersect(a, b)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
+}
+
 /** 64-permutation MinHash signature of a shingle array.
   *
   * Base hash = md5 word 1 mod the Mersenne prime P = 2^31−1; each

@@ -69,6 +69,20 @@ object Dedup {
       .cache()
   }
 
+  /** Per-doc sorted xxhash64 shingle fingerprints (8-byte set
+    * representation): the prefix index slices this array directly and
+    * pair verification merge-walks two sorted long arrays — no string
+    * keys leave the map side. Cached: the candidate join reads it
+    * twice and verification twice more.
+    */
+  private def hashedSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedHashes.register(spark)
+    graft.functions.SortedIntersectCount.register(spark)
+    shingleSets(spark, dir)
+      .select(col("doc_id"), call_function("graft_sorted_hashes", col("sh")).as("hv"))
+      .cache()
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (τ = 0.5), candidates blocked
     * by shared shingle. Output is ids + exact set stats, so the oracle
     * is integer-exact.
@@ -89,29 +103,27 @@ object Dedup {
     //   - the join key is xxhash64(shingle), not the string: the
     //     shuffle carries 8-byte keys; hash collisions can only ADD
     //     candidates, which the exact verification then rejects.
-    val sets0 = shingleSets(spark, dir)
-    val prefix = sets0.select(col("doc_id"), size(col("sh")).as("nsh"),
-        posexplode(slice(array_sort(col("sh")), lit(1),
-          floor(size(col("sh")) / 2) + 1)).as(Seq("p", "s")))
-      .select(col("doc_id"), col("nsh"), col("p"), xxhash64(col("s")).as("hs"))
+    val hs = hashedSets(spark, dir)
+    val prefix = hs.select(col("doc_id"), size(col("hv")).as("nsh"),
+        posexplode(slice(col("hv"), lit(1),
+          floor(size(col("hv")) / 2) + 1)).as(Seq("p", "s")))
       .cache() // both sides of the candidate self-join read this
-    val candidates = prefix.toDF("i", "na", "pa", "hs")
+    val candidates = prefix.toDF("i", "na", "pa", "hs1")
       .join(prefix.toDF("j", "nb", "pb", "hs2"),
-        col("hs") === col("hs2") && col("i") < col("j") &&
+        col("hs1") === col("hs2") && col("i") < col("j") &&
           col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na") &&
           expr("least(na - pa, nb - pb) >= (na + nb + 2) div 3"))
       .select(col("i"), col("j")).distinct()
-    val sets = shingleSets(spark, dir)
     val jac = col("n_common").cast("double") / col("n_union").cast("double")
-    // the per-doc set table is small relative to the candidate pair
-    // stream — broadcast it so verification never shuffles the heavy
-    // shingle arrays
+    // the per-doc fingerprint table is small relative to the candidate
+    // pair stream — broadcast it so verification never shuffles the
+    // set arrays
     candidates
-      .join(broadcast(sets.toDF("i", "sh_i")), "i")
-      .join(broadcast(sets.toDF("j", "sh_j")), "j")
+      .join(broadcast(hs.toDF("i", "hv_i")), "i")
+      .join(broadcast(hs.toDF("j", "hv_j")), "j")
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
-        size(array_intersect(col("sh_i"), col("sh_j"))).as("n_common"),
-        (size(col("sh_i")) + size(col("sh_j"))).as("szsum"))
+        call_function("graft_sorted_intersect", col("hv_i"), col("hv_j")).as("n_common"),
+        (size(col("hv_i")) + size(col("hv_j"))).as("szsum"))
       .withColumn("n_union", col("szsum") - col("n_common"))
       .drop("szsum")
       .withColumn("jaccard", jac)
@@ -165,16 +177,17 @@ object Dedup {
         col("band_i") === col("band_j") && col("bk") === col("bk2") &&
           col("i") < col("j"))
       .select(col("i"), col("j")).distinct()
-    // exact verification only on candidates: set intersection of the
-    // two docs' shingle arrays (candidate volume ≪ n², so the array
-    // intersect is cheap and avoids a second full shingle self-join)
+    // exact verification only on candidates: merge-walk intersection
+    // of the two docs' sorted hash fingerprints (candidate volume ≪
+    // n², so this is cheap and avoids a second full shingle self-join)
+    val hv = hashedSets(spark, dir)
     val jac = col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
     candidates
-      .join(broadcast(sets.toDF("i", "sh_i")), "i")
-      .join(broadcast(sets.toDF("j", "sh_j")), "j")
+      .join(broadcast(hv.toDF("i", "hv_i")), "i")
+      .join(broadcast(hv.toDF("j", "hv_j")), "j")
       .select(col("i"), col("j"),
-        size(array_intersect(col("sh_i"), col("sh_j"))).as("n_common"),
-        size(col("sh_i")).as("na"), size(col("sh_j")).as("nb"))
+        call_function("graft_sorted_intersect", col("hv_i"), col("hv_j")).as("n_common"),
+        size(col("hv_i")).as("na"), size(col("hv_j")).as("nb"))
       .withColumn("jaccard", jac)
       .filter(jac >= 0.5)
       .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))
