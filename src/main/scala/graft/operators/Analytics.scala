@@ -288,4 +288,35 @@ object Analytics {
       |  CAST(sum(v) AS DOUBLE) AS value_sum
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Deterministic stratified sampling: per-stratum rates applied via a
+    * content-hash bucket (md5 of the row key, mod 100) instead of RNG —
+    * membership is a pure function of the key, so the sample is stable
+    * under repartitioning, re-runs, and incremental rebuilds (the
+    * property `TABLESAMPLE`/`rand()` sampling lacks), and it needs no
+    * shuffle at all: pure map-side filter at any scale.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100)
+    val rate = when(col("o_orderpriority").startsWith("1"), 20)
+      .when(col("o_orderpriority").startsWith("2"), 15)
+      .otherwise(10)
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderpriority"), bucket.as("bucket"),
+        rate.as("stratum_pct"))
+      .filter(col("bucket") < col("stratum_pct"))
+      .orderBy("o_orderkey")
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+      |    CAST(CASE WHEN o_orderpriority LIKE '1%' THEN 20
+      |              WHEN o_orderpriority LIKE '2%' THEN 15
+      |              ELSE 10 END AS INTEGER) AS stratum_pct
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderpriority, bucket, stratum_pct
+      |FROM b WHERE bucket < stratum_pct ORDER BY o_orderkey""".stripMargin
 }

@@ -179,4 +179,55 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  private val NProbe = 3
+
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus against the
+    * per-label centroids (the `embedding_centroids` build step), then
+    * search only the query's `NProbe` nearest cells with an exact
+    * cosine re-rank. The 100 TB shape: the centroid table is O(nlist)
+    * and broadcast, so cell assignment is map-only over the corpus;
+    * the probe join is an equi-join on cell id, so candidate volume is
+    * n·nprobe/nlist instead of n² — the same candidate-bounding role
+    * LSH plays, with data-adaptive cells instead of random planes.
+    * Approximate by construction → rows-only check; recall vs brute
+    * force is unit-tested.
+    */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    // unit-normalized centroid per label (float mean then normalize:
+    // direction is all that matters for the cosine argmax)
+    val cnorm = sqrt(aggregate(transform(col("c"),
+      x => x * x), lit(0.0), (a, v) => a + v))
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("c"))
+      .select(col("label").as("cell"),
+        transform(col("c"), x => x / cnorm).as("cu"))
+    val unit = withUnit(e, "vec_id", "unit")
+    // nearest-cell ranks per vector: tiny centroid table broadcast →
+    // map-only assignment (rank 1 = home cell; queries keep NProbe)
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell"))
+    val ranked = unit.join(broadcast(cent))
+      .withColumn("cs", unitDot(col("unit"), col("cu")))
+      .withColumn("cell_rank", row_number().over(wCell))
+    val assigned = ranked.filter(col("cell_rank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("unit").as("c_emb"),
+        col("cell").as("c_cell"))
+    val probes = ranked.filter(col("cell_rank") <= NProbe &&
+        col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("q_emb"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), col("cell") === col("c_cell") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -290,6 +290,36 @@ object Dedup {
       |SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
       |ORDER BY doc_id""".stripMargin
 
+  /** Surviving corpus after near-dup collapse: keep each cluster's
+    * canonical representative (its min-id member) plus every
+    * unclustered doc — the actual "dedup the training set" output.
+    * One anti-join against the (tiny) non-canonical member list, so
+    * the full corpus streams map-side at any scale.
+    */
+  def dedupKeepCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables(spark, dir).documents
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .orderBy("doc_id")
+  }
+
+  lazy val dedupKeepCanonicalSql: String =
+    s"""WITH RECURSIVE $minHashPairCtes,
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      |          UNION SELECT doc_b, doc_a FROM mh_pairs),
+      |reach(n, m) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      |  UNION
+      |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n),
+      |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+      |SELECT d.doc_id, md5(d.text) AS text_hash
+      |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+      |WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** 63-bit SimHash near-dup pairs (hamming ≤ 3), candidates blocked on
     * 16-bit signature chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of the 4
     * chunks equal). The signature is one scalar-expression pass per doc

@@ -182,4 +182,70 @@ object TextAnalysis {
       |SELECT doc_id, CAST(len(uniq) AS INTEGER) AS n_uniq_tokens,
       |  md5(array_to_string(uniq, ' ')) AS fingerprint
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Corpus-wide top-k n-grams by document frequency (the LM-stats /
+    * contamination-check primitive): distinct bigrams per doc via the
+    * one-pass shingle expression, then a counting shuffle with map-side
+    * partial aggregation and a partial top-k (TakeOrdered) — the
+    * full-corpus n-gram table never materializes on one node.
+    * Deterministic total order: (count desc, bigram asc).
+    */
+  def ngramTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenShingles.register(spark)
+    Tables(spark, dir).documents
+      .select(explode(call_function("graft_shingles", col("text"), lit(2))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val ngramTopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
+      |    THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+      |    ELSE [array_to_string(t, ' ')] END) AS sd
+      |  FROM toks)
+      |SELECT bigram, count(*) AS n_docs
+      |FROM (SELECT doc_id, unnest(sd) AS bigram FROM sh)
+      |GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin
+
+  /** PII redaction (emails / phone numbers): synthesize the PII the
+    * way parse_price synthesizes raw prices (the corpus is clean), then
+    * detect + redact with dialect-neutral regexes. Map-only; the
+    * redacted text is output as an md5 so the oracle compares content
+    * without shipping the full string through the hash gate.
+    */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val raw = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(regexp_replace(raw, emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+    Tables(spark, dir).documents
+      .withColumn("raw", raw)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiRedactSql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'), '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+      |FROM r ORDER BY doc_id""".stripMargin
 }

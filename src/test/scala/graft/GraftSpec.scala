@@ -153,6 +153,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF ANN recall@5 >= 0.35 vs brute force (nprobe 3 of 10 cells)") {
+    val bf = Ann.annTopkBruteforce(spark, TestSpark.sf)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.annIvfTopk(spark, TestSpark.sf)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.35, s"recall=$recall")
+  }
+
+  test("keep_canonical retains cluster min-id representative plus unclustered docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_canon").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (0L, base, "en", "s", 10L),
+      (1L, base + " lambda", "en", "s", 10L),
+      (2L, base + " lambda mu", "en", "s", 10L),
+      (3L, "totally different content with other words here now yes indeed", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val kept = Dedup.dedupKeepCanonical(spark, tmp).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L))
+  }
+
   test("dedup_clusters unions transitive near-dup chains") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_clusters").toString
