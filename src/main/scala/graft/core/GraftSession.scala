@@ -71,6 +71,7 @@ object GraftSession {
     graft.functions.MinHashSig.register(spark)
     graft.functions.SortedHashes.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.RademacherSketch.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

@@ -180,6 +180,82 @@ object SortedIntersectCount {
       exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
 }
 
+/** Sign-random-projection (SimHash-for-vectors) LSH sketch with
+  * Rademacher (±1) hyperplanes over micro-unit quantized embeddings:
+  * per hash table t, bucket = packed sign bits of the plane·q integer
+  * dot products, q = ⌊v·10⁶⌋. Two properties motivate the integer
+  * form:
+  *   - sign(Σ ±q_d) is exact integer arithmetic — no float-sum
+  *     association noise — so bucket assignment is bit-reproducible in
+  *     the DuckDB oracle (which re-derives the same ±1 matrix from
+  *     md5 parity and the same quantization);
+  *   - ±1 planes need no stored matrix: w(t,p,d) = parity of the
+  *     first hex digit of md5("t_p_d"), derived identically in-code
+  *     and in SQL.
+  * Evaluated map-side, one array of NumTables buckets per vector.
+  */
+case class RademacherSketch(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    import RademacherSketch._
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      q(d) = math.floor(arr.getFloat(d).toDouble * 1e6).toLong
+      d += 1
+    }
+    val out = new Array[Any](NumTables)
+    var t = 0
+    while (t < NumTables) {
+      var b = 0
+      var p = 0
+      while (p < PlanesPerTable) {
+        val w = weights(t)(p)
+        var s = 0L
+        var dd = 0
+        val lim = math.min(n, w.length)
+        while (dd < lim) { s += w(dd) * q(dd); dd += 1 }
+        if (s > 0) b |= (1 << p)
+        p += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RademacherSketch {
+  val NumTables = 8
+  val PlanesPerTable = 4
+  val Dim = 64
+
+  /** ±1 plane matrix: w(t,p,d) = +1 iff the first hex digit of
+    * md5("t_p_d") is odd — the same derivation the oracle SQL runs as
+    * `('0x'||substr(md5(t||'_'||p||'_'||d),1,1))::BIGINT & 1`.
+    */
+  lazy val weights: Array[Array[Array[Int]]] =
+    Array.tabulate(NumTables, PlanesPerTable, Dim) { (t, p, d) =>
+      val (h1, _) = Md5Words.firstTwoWords(
+        s"${t}_${p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((h1 >>> 28) & 1L) == 1L) 1 else -1
+    }
+
+  /** Register `graft_rademacher(embedding)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rademacher", exprs => RademacherSketch(exprs.head), "scala_udf")
+}
+
 /** 64-permutation MinHash signature of a shingle array.
   *
   * Base hash = md5 word 1 mod the Mersenne prime P = 2^31−1; each

