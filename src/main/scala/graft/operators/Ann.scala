@@ -199,44 +199,83 @@ object Ann {
     * the probe join is an equi-join on cell id, so candidate volume is
     * n·nprobe/nlist instead of n² — the same candidate-bounding role
     * LSH plays, with data-adaptive cells instead of random planes.
-    * Approximate by construction → rows-only check; recall vs brute
-    * force is unit-tested.
+    * Approximate by construction, yet fully oracled: the quantized
+    * coarse quantizer is bit-reproducible in SQL (see the q6 note
+    * below), so DuckDB re-derives the identical candidate set; recall
+    * vs brute force is additionally unit-tested.
     */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val e = Tables(spark, dir).embeddings
-    // unit-normalized centroid per label (float mean then normalize:
-    // direction is all that matters for the cosine argmax)
-    val cnorm = sqrt(aggregate(transform(col("c"),
-      x => x * x), lit(0.0), (a, v) => a + v))
-    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg(avg(col("v").cast("double")).as("m"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s.getField("m")).as("c"))
-      .select(col("label").as("cell"),
-        transform(col("c"), x => x / cnorm).as("cu"))
-    val unit = withUnit(e, "vec_id", "unit")
+    // Micro-unit quantization makes the whole coarse-quantizer exact:
+    // q = ⌊v·10⁶⌋ and integer centroid means keep every dot product /
+    // norm below 2^53, so the double arithmetic is exact integer math —
+    // cell assignment has no float-association noise, is independent
+    // of reduction order, and is bit-reproducible in the DuckDB oracle.
+    val q6 = transform(col("embedding"),
+      v => floor(v.cast("double") * lit(1e6)).cast("double"))
+    val ex = e.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("label"), col("d"),
+        floor(col("v").cast("double") * lit(1e6)).as("qv"))
+    val cent = ex.groupBy(col("label"), col("d"))
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).as("cv"))
+    val cells = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+        s => s.getField("cv").cast("double")).as("c6"))
+      .select(col("label").as("cell"), col("c6"))
+      .withColumn("cnorm", sqrt(call_function("graft_dot", col("c6"), col("c6"))))
     // nearest-cell ranks per vector: tiny centroid table broadcast →
     // map-only assignment (rank 1 = home cell; queries keep NProbe)
-    val wCell = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell"))
-    val ranked = unit.join(broadcast(cent))
-      .withColumn("cs", unitDot(col("unit"), col("cu")))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
+    val ranked = e.select(col("vec_id"), q6.as("q6"))
+      .join(broadcast(cells))
+      .withColumn("score", call_function("graft_dot", col("q6"), col("c6")) / col("cnorm"))
       .withColumn("cell_rank", row_number().over(wCell))
     val assigned = ranked.filter(col("cell_rank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("unit").as("c_emb"),
-        col("cell").as("c_cell"))
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("c_cell"))
     val probes = ranked.filter(col("cell_rank") <= NProbe &&
         col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("unit").as("q_emb"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val pairs = assigned.join(broadcast(probes),
+        col("cell") === col("c_cell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val unit = withUnit(e, "uid", "u")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), col("cell") === col("c_cell") &&
-        col("query_id") =!= col("neighbor_id"))
+    pairs
+      .join(broadcast(unit.toDF("query_id", "q_emb")), "query_id")
+      .join(unit.toDF("neighbor_id", "c_emb"), "neighbor_id")
       .withColumn("sim", unitDot(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  val annIvfTopkSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, CAST(generate_subscripts(embedding,1) - 1 AS INTEGER) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, d, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |  FROM ex GROUP BY label, d),
+       |cy AS (SELECT label, sqrt(CAST(sum(cv*cv) AS DOUBLE)) AS cnorm FROM cent GROUP BY label),
+       |scores AS (
+       |  SELECT e.vec_id, c.label AS cell,
+       |         CAST(sum(e.qv * c.cv) AS DOUBLE) / any_value(cy.cnorm) AS score
+       |  FROM ex e JOIN cent c ON c.d = e.d JOIN cy ON cy.label = c.label
+       |  GROUP BY e.vec_id, c.label),
+       |ranked AS (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS cell_rank
+       |  FROM scores),
+       |assigned AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cell_rank = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE cell_rank <= $NProbe AND vec_id < $NumQueries),
+       |cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+       |         FROM probes p JOIN assigned a ON a.cell = p.cell WHERE a.neighbor_id != p.query_id),
+       |sims AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(x.embedding, y.embedding) AS sim
+       |         FROM cand c JOIN embeddings x ON x.vec_id = c.query_id JOIN embeddings y ON y.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
 }
