@@ -224,18 +224,23 @@ object Ann {
         s => s.getField("cv").cast("double")).as("c6"))
       .select(col("label").as("cell"), col("c6"))
       .withColumn("cnorm", sqrt(call_function("graft_dot", col("c6"), col("c6"))))
-    // nearest-cell ranks per vector: tiny centroid table broadcast →
-    // map-only assignment (rank 1 = home cell; queries keep NProbe)
-    val wCell = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
-    val ranked = e.select(col("vec_id"), q6.as("q6"))
-      .join(broadcast(cells))
-      .withColumn("score", call_function("graft_dot", col("q6"), col("c6")) / col("cnorm"))
-      .withColumn("cell_rank", row_number().over(wCell))
-    val assigned = ranked.filter(col("cell_rank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("cell").as("c_cell"))
-    val probes = ranked.filter(col("cell_rank") <= NProbe &&
-        col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("cell"))
+    // nearest-cell ranking is fully map-side: the whole (tiny) cell
+    // list rides one broadcast row, and each vector sorts its nlist
+    // scores locally — no per-vector window, so nothing resembling an
+    // n×nlist shuffle exists at any scale (rank 1 = home cell;
+    // queries keep NProbe)
+    val cellsRow = cells.agg(collect_list(struct(col("cell"), col("c6"),
+      col("cnorm"))).as("cs"))
+    val scored = e.select(col("vec_id"), q6.as("q6"))
+      .join(broadcast(cellsRow))
+      .withColumn("ranked_cells", expr(
+        "array_sort(transform(cs, s -> struct(-(graft_dot(q6, s.c6) / s.cnorm) AS negscore, s.cell AS cell)))"))
+    val assigned = scored.select(col("vec_id").as("neighbor_id"),
+      expr("element_at(ranked_cells, 1).cell").as("c_cell"))
+    val probes = scored.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"slice(ranked_cells, 1, $NProbe)")).as("pc"))
+      .select(col("query_id"), col("pc.cell").as("cell"))
     val pairs = assigned.join(broadcast(probes),
         col("cell") === col("c_cell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
