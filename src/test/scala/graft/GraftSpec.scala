@@ -269,6 +269,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"))
   }
 
+  test("sketch operators evaluate through the custom map-side expressions") {
+    import graft.operators.{Ann, Dedup}
+    // if a refactor silently drops back to the composed HOF/explode
+    // forms, the 10-100x interpreted-lambda penalty returns — pin the
+    // custom expressions into the executed plans
+    val simhash = physicalPlan(Dedup.dedupSimHash(spark, TestSpark.sf)).toLowerCase
+    assert(simhash.contains("simhash64"))
+    val minhash = physicalPlan(Dedup.dedupMinHashLsh(spark, TestSpark.sf)).toLowerCase
+    assert(minhash.contains("minhashsig"))
+    val ngram = physicalPlan(Dedup.dedupNgramJaccard(spark, TestSpark.sf)).toLowerCase
+    assert(ngram.contains("sortedhashes") && ngram.contains("sortedintersectcount"))
+    val lsh = physicalPlan(Ann.annLshTopk(spark, TestSpark.sf)).toLowerCase
+    assert(lsh.contains("rademachersketch"))
+    assert(!lsh.contains("cartesianproduct"))
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val direct = graft.core.Tables(spark, TestSpark.sf).lineitem
