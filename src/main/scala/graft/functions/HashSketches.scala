@@ -200,6 +200,18 @@ case class RademacherSketch(child: Expression)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
 
+  // resolved once: accept float or double element vectors; anything
+  // else fails immediately with a typed message instead of silently
+  // misreading the array buffer
+  private lazy val readElem: (ArrayData, Int) => Double = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      (a, i) => a.getFloat(i).toDouble
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      (a, i) => a.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"graft_rademacher expects array<float> or array<double>, got $other")
+  }
+
   override def nullSafeEval(input: Any): Any = {
     import RademacherSketch._
     val arr = input.asInstanceOf[ArrayData]
@@ -207,7 +219,7 @@ case class RademacherSketch(child: Expression)
     val q = new Array[Long](n)
     var d = 0
     while (d < n) {
-      q(d) = math.floor(arr.getFloat(d).toDouble * 1e6).toLong
+      q(d) = math.floor(readElem(arr, d) * 1e6).toLong
       d += 1
     }
     val out = new Array[Any](NumTables)

@@ -71,6 +71,22 @@ object Ann {
   private def unitDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("graft_dot", a, b)
 
+  /** Micro-unit quantized vector (⌊v·10⁶⌋ per dim, as doubles) + its
+    * L2 norm. Cosine over these is BIT-DETERMINISTIC across engines:
+    * the dot and the squared norms are exact integers < 2^53 in double
+    * arithmetic, and sqrt / multiply / divide are correctly-rounded
+    * IEEE ops — so `dot/(na*nb)` is the same 64 bits in Spark and
+    * DuckDB regardless of summation order. The LSH/IVF re-rank uses
+    * this so its ranking carries no adjacent-sim-gap assumption
+    * (unlike brute-force, which ranks true float cosines and documents
+    * the gap).
+    */
+  private def withQ6Norm(e: DataFrame, idAs: String, qAs: String, nAs: String): DataFrame =
+    e.select(col("vec_id").as(idAs),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e6)).cast("double")).as(qAs))
+      .withColumn(nAs, sqrt(call_function("graft_dot", col(qAs), col(qAs))))
+
   /** Embedding near-dup pairs: cosine ≥ τ over all id-ordered pairs.
     * Exact variant (the LSH path below is the 100 TB route — this one
     * is the oracle-checkable ground truth). Vectors are unit-normalized
@@ -153,12 +169,12 @@ object Ann {
           col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct() // union candidates across tables
-    val unit = withUnit(e, "uid", "u")
+    val q6 = withQ6Norm(e, "uid", "u", "nrm")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     pairs
-      .join(broadcast(unit.toDF("query_id", "q_emb")), "query_id")
-      .join(unit.toDF("neighbor_id", "c_emb"), "neighbor_id")
-      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")))
+      .join(broadcast(q6.toDF("query_id", "q_emb", "q_n")), "query_id")
+      .join(q6.toDF("neighbor_id", "c_emb", "c_n"), "neighbor_id")
+      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -181,8 +197,15 @@ object Ann {
        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
        |         FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
        |         WHERE qb.vec_id < $NumQueries AND qb.vec_id != cb.vec_id),
-       |sims AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(a.embedding, b.embedding) AS sim
-       |         FROM cand c JOIN embeddings a ON a.vec_id = c.query_id JOIN embeddings b ON b.vec_id = c.neighbor_id),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
+       |sims AS (SELECT c.query_id, c.neighbor_id,
+       |           CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS sim
+       |         FROM cand c
+       |           JOIN ex a ON a.vec_id = c.query_id
+       |           JOIN ex b ON b.vec_id = c.neighbor_id AND b.d = a.d
+       |           JOIN nrm na ON na.vec_id = c.query_id
+       |           JOIN nrm nb ON nb.vec_id = c.neighbor_id
+       |         GROUP BY c.query_id, c.neighbor_id),
        |r AS (SELECT query_id, neighbor_id,
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K
@@ -244,12 +267,12 @@ object Ann {
     val pairs = assigned.join(broadcast(probes),
         col("cell") === col("c_cell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val unit = withUnit(e, "uid", "u")
+    val q6n = withQ6Norm(e, "uid", "u", "nrm")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     pairs
-      .join(broadcast(unit.toDF("query_id", "q_emb")), "query_id")
-      .join(unit.toDF("neighbor_id", "c_emb"), "neighbor_id")
-      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")))
+      .join(broadcast(q6n.toDF("query_id", "q_emb", "q_n")), "query_id")
+      .join(q6n.toDF("neighbor_id", "c_emb", "c_n"), "neighbor_id")
+      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -277,8 +300,15 @@ object Ann {
        |probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE cell_rank <= $NProbe AND vec_id < $NumQueries),
        |cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
        |         FROM probes p JOIN assigned a ON a.cell = p.cell WHERE a.neighbor_id != p.query_id),
-       |sims AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(x.embedding, y.embedding) AS sim
-       |         FROM cand c JOIN embeddings x ON x.vec_id = c.query_id JOIN embeddings y ON y.vec_id = c.neighbor_id),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
+       |sims AS (SELECT c.query_id, c.neighbor_id,
+       |           CAST(sum(x.qv * y.qv) AS DOUBLE) / (any_value(nx.nrm) * any_value(ny.nrm)) AS sim
+       |         FROM cand c
+       |           JOIN ex x ON x.vec_id = c.query_id
+       |           JOIN ex y ON y.vec_id = c.neighbor_id AND y.d = x.d
+       |           JOIN nrm nx ON nx.vec_id = c.query_id
+       |           JOIN nrm ny ON ny.vec_id = c.neighbor_id
+       |         GROUP BY c.query_id, c.neighbor_id),
        |r AS (SELECT query_id, neighbor_id,
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K

@@ -259,7 +259,12 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id"))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 10) {
+    // cap = graph-diameter bound; min-label propagation needs ≤ diameter
+    // rounds. Near-dup components are tiny cliques (2-3 rounds), but a
+    // pathological chain could exceed any cap — in that case FAIL LOUDLY
+    // below rather than silently returning partial labels.
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       // the label/partial frames are tiny — broadcast them so each
       // round is a map-only pass with no 32-partition exchanges
       val neighborMin = edges
@@ -276,6 +281,9 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
+    require(converged,
+      s"dedupClusters: min-label propagation not converged after $maxRounds rounds " +
+        "(component diameter exceeds cap); results would disagree with true connected components")
     labels.orderBy("doc_id")
   }
 
@@ -358,8 +366,12 @@ object Dedup {
     val packed = (0 until 63)
       .map(b => s"(CASE WHEN w$b>0 THEN (1::BIGINT<<$b) ELSE 0 END)")
       .mkString(" + ")
+    // zero-token docs: graft_shingles(text, 1) yields [''] (the ShCte
+    // ELSE branch), so the oracle must emit the same single '' token —
+    // a bare unnest would drop the doc from sig entirely
     s"""WITH $ToksCte,
-      |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks),
+      |tok AS (SELECT doc_id, unnest(CASE WHEN len(list_distinct(t)) = 0
+      |          THEN [''] ELSE list_distinct(t) END) AS tok FROM toks),
       |th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS h1,
       |              ('0x'||substr(md5(tok),9,8))::BIGINT AS h2 FROM tok),
       |w AS (SELECT doc_id,
