@@ -319,4 +319,127 @@ object Analytics {
       |  FROM orders)
       |SELECT o_orderkey, o_orderpriority, bucket, stratum_pct
       |FROM b WHERE bucket < stratum_pct ORDER BY o_orderkey""".stripMargin
+
+  /** Order-priority checking (TPC-H Q4 shape): EXISTS subquery as a
+    * LEFT SEMI join with a non-equi residual (late-shipment predicate)
+    * — one shuffle on the order key, lineitem never widens the output,
+    * and the semi short-circuits per order on first match. The
+    * received/committed-date pair is re-expressed on this schema as
+    * "shipped more than 60 days after order date".
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Forecast-revenue-change filter-aggregate (TPC-H Q6 shape): single
+    * pruned scan, every predicate pushed to the parquet reader, one
+    * partial+final aggregation — the plan is map-side everything with a
+    * 1-row exchange. Decimal money math for cross-engine exactness.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q6Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Per-user event-adjacency projection (lead/lag over the event
+    * stream): one shuffle+sort on (user_id, ts) serves all three window
+    * functions — the step-to-step funnel/latency primitive. Micros-long
+    * timestamp arithmetic (see Tables.events).
+    */
+  def windowLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("us_since_prev", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("prev_type"), col("next_type"), col("us_since_prev"))
+  }
+
+  val windowLeadLagSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  lag(event_type) OVER w AS prev_type,
+      |  lead(event_type) OVER w AS next_type,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin
+
+  /** Ordered multi-step funnel (view → click ≤7d later → purchase ≤7d
+    * after that): each stage is a conditional-min aggregation per user
+    * followed by a join back to the event stream — stage predicates are
+    * time-ordered ("strictly after the previous stage, within the
+    * window"), which a bare conditional-count funnel gets wrong. Output
+    * is one summary row with int-exact counts and int/int-division
+    * conversion rates (bit-identical across engines).
+    */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val SevenDaysUs = 7L * 24 * 3600 * 1000000
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("ts_us")).cache()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(broadcast(v), "user_id")
+      .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + SevenDaysUs)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(broadcast(c), "user_id")
+      .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + SevenDaysUs)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+    val nAll = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    val nV = v.agg(count(lit(1)).as("n_view"))
+    val nC = c.agg(count(lit(1)).as("n_click_after_view"))
+    val nP = p.agg(count(lit(1)).as("n_purchase_after_click"))
+    nAll.crossJoin(nV).crossJoin(nC).crossJoin(nP)
+      .withColumn("view_to_click",
+        col("n_click_after_view").cast("double") / col("n_view"))
+      .withColumn("click_to_purchase",
+        col("n_purchase_after_click").cast("double") / col("n_click_after_view"))
+  }
+
+  val funnelConversionSql: String =
+    """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1 AND epoch_us(e.ts) <= v.t1 + 604800000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2 AND epoch_us(e.ts) <= c.t2 + 604800000000 GROUP BY 1)
+      |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+      |  (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click_after_view,
+      |  (SELECT count(*) FROM p) AS n_purchase_after_click,
+      |  CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v) AS view_to_click,
+      |  CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c) AS click_to_purchase""".stripMargin
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on the purchase graph (SURVEY.md §2 E):
+  * PageRank over the bipartite customer↔supplier graph induced by
+  * lineitem (edge ⇔ the customer ordered a part from the supplier).
+  * Complements `dedup_clusters` (connected components) as the second
+  * fixed-point graph operator.
+  *
+  * Scale shape: the edge list is built once (distinct pairs off a
+  * single orders⋈lineitem pass) and cached; each of the 5 iterations
+  * is one edges⋈ranks equi-join + one groupBy(dst) sum — partitioned
+  * by node key throughout, nothing on the driver, no per-iteration
+  * growth. 5 fixed iterations (not convergence-tested) keeps the plan
+  * statically known and the oracle expressible as unrolled CTEs.
+  *
+  * Determinism: ranks live on an integer grid (SCALE = 10^12).
+  * Per-node contribution is integer floor-division by out-degree;
+  * the damping step `floor(0.85·x)` and teleport `floor(0.15·SCALE/N)`
+  * are correctly-rounded double ops on integers < 2^53 followed by
+  * floor — bit-identical across engines and summation orders, so the
+  * whole fixed point is value-checked in DuckDB (5 unrolled CTE
+  * iterations).
+  */
+object Graph {
+
+  private val Scale = 1000000000000L // 10^12 rank grid
+  private val Iters = 5
+  private val TopK = 20
+
+  /** Top-20 PageRank nodes. Node encoding: customer c → 2c,
+    * supplier s → 2s+1 (disjoint integer id spaces, no string keys in
+    * the shuffle).
+    */
+  def pagerankTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .cache()
+    // every node has degree ≥ 1 and appears on both edge sides
+    // (symmetric closure), so there are no dangling nodes to handle
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).cache()
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var state = deg.crossJoin(broadcast(nn))
+      .select(col("node"), col("deg"), col("n"),
+        expr(s"CAST($Scale AS BIGINT) div n").as("r"))
+      .cache()
+    for (_ <- 1 to Iters) {
+      val contrib = edges
+        .join(state, edges("src") === state("node"))
+        .select(col("dst"), expr("r div deg").as("cm"))
+        .groupBy(col("dst"))
+        .agg(sum(col("cm")).as("contrib"))
+      state = contrib.crossJoin(broadcast(nn))
+        .select(col("dst").as("node"), col("n"),
+          expr(s"CAST(floor(CAST(0.15 AS DOUBLE) * CAST($Scale AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)" +
+            " + CAST(floor(CAST(0.85 AS DOUBLE) * CAST(contrib AS DOUBLE)) AS BIGINT)").as("r"))
+        .join(deg, "node")
+        .select(col("node"), col("deg"), col("n"), col("r"))
+    }
+    state.select(col("node"), col("r").as("rank_q12"))
+      .orderBy(col("rank_q12").desc, col("node"))
+      .limit(TopK)
+  }
+
+  val pagerankTopkSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (SELECT e.dst AS node,
+         |    CAST(floor(CAST(0.15 AS DOUBLE) * CAST($Scale AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)) AS BIGINT)
+         |      + CAST(floor(CAST(0.85 AS DOUBLE) * CAST(sum($prev.r // deg.deg) AS DOUBLE)) AS BIGINT) AS r
+         |  FROM edges e JOIN $prev ON $prev.node = e.src JOIN deg ON deg.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    val iters = (1 to Iters).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT node, $Scale // (SELECT n FROM nn) AS r FROM deg),
+       |$iters
+       |SELECT node, r AS rank_q12 FROM r$Iters ORDER BY r DESC, node LIMIT $TopK""".stripMargin
+  }
+}

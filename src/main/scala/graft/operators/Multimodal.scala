@@ -73,4 +73,53 @@ object Multimodal {
       |  CAST(16 + (checksum // 1024) % 1024 AS INTEGER) AS fake_height,
       |  source
       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** One sampled frame of a media payload (stub decode). */
+  final case class FrameMeta(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      frame_checksum: Long)
+
+  private val FrameStride = 4
+  private val FpsDen = 24 // "video" fps for the frame-timestamp math
+
+  /** Video-style frame sampling: each payload row fans out to every
+    * `FrameStride`-th frame (index, timestamp, per-frame feature) via a
+    * per-partition batch decode — the 1→N row shape of real frame
+    * extraction (`mapInPandas` yielding multiple rows per input), with
+    * the codec stubbed deterministically (MD5 word of payload#idx) so
+    * the whole fan-out is value-checked in DuckDB. Frame count derives
+    * from the payload's metadata (n_chars), not its bytes — the
+    * decode-free metadata path a real pipeline uses to size work before
+    * touching pixels. Map-only at any scale: no shuffle until the
+    * (optional) downstream aggregation.
+    */
+  def multimodalFramesample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    media.as[(Long, String, Long)]
+      .mapPartitions { batch =>
+        // per-partition "codec" init, then a flat 1→N frame fan-out
+        // per row — mirrors a real frame sampler's batch contract
+        batch.flatMap { case (id, payload, nChars) =>
+          val nFrames = (4 + nChars % 28).toInt
+          (0 until nFrames by FrameStride).iterator.map { fi =>
+            val (h1, _) = graft.functions.Md5Words.firstTwoWords(
+              (payload + "#" + fi).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            FrameMeta(id, fi, fi.toLong * 1000 / FpsDen, h1)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val multimodalFramesampleSql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id, text, CAST(4 + n_chars % 28 AS INTEGER) AS n_frames FROM documents),
+      |f AS (SELECT doc_id, text, unnest(range(0, n_frames)) AS fi FROM m)
+      |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+      |  CAST(fi * 1000 // $FpsDen AS BIGINT) AS frame_ts_ms,
+      |  ('0x' || substr(md5(text || '#' || CAST(fi AS VARCHAR)), 1, 8))::BIGINT AS frame_checksum
+      |FROM f WHERE fi % $FrameStride = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -50,6 +50,43 @@ object Reports {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY gid, region_name, nation_name""".stripMargin
 
+  /** Region × priority CUBE: all four grouping-set combinations
+    * (detail, per-region, per-priority, grand total) in ONE shuffle —
+    * the multi-dimensional dashboard matrix the per-level UNION ALL
+    * formulation would pay 4 scans + 4 shuffles for. Dims broadcast;
+    * decimal money math.
+    */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.select(col("o_custkey"), col("o_orderpriority"),
+        money(col("o_totalprice")).as("price"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(sum(col("price")).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid").cast("int").as("gid"), col("total_price"), col("n_orders"))
+      .orderBy("gid", "region", "priority")
+  }
+
+  val cubeSalesSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(r_name, o_orderpriority) AS INTEGER) AS gid,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, o_orderpriority)
+      |ORDER BY gid, region, priority""".stripMargin
+
   /** Per-priority order-value profile: exact linear-interpolated
     * quantiles (rounded to 4dp — Spark and DuckDB use algebraically
     * equal but differently-associated interpolation formulas).

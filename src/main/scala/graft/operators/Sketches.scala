@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketching (SURVEY.md §2 E): a HyperLogLog
+  * built entirely from declarative two-stage aggregation, so every
+  * stage gets map-side partial aggregation — the sketch shape that
+  * replaces exact count-distinct at 100 TB (exact distinct is a full
+  * shuffle of every key; the sketch shuffles ≤ m tiny (group, bucket)
+  * rows per group).
+  *
+  * Unusually for an HLL, this one is BIT-REPRODUCIBLE across engines,
+  * so it is value-checked in the DuckDB oracle rather than
+  * rows-only:
+  *   - the element hash is the leading 32-bit MD5 word (same
+  *     derivation as the minhash/simhash family — see
+  *     [[graft.functions.Md5Words]]);
+  *   - bucket = top 6 hash bits (m = 64), rho = leading-zero count of
+  *     the remaining 26 bits + 1, computed via `length(bin(x))`
+  *     (identical minimal-binary-string semantics in Spark and
+  *     DuckDB);
+  *   - the harmonic sum Σ 2^-M is EXACT in double arithmetic for any
+  *     summation order: every term is a multiple of 2^-27 and the
+  *     total is < 64, so all partial sums sit inside a 33-bit
+  *     significand span — below double's 53 bits;
+  *   - the remaining ops (multiply, divide by the alpha constant) are
+  *     correctly-rounded IEEE with identical operand order on both
+  *     sides.
+  * No small/large-range correction is applied (that would need `ln`,
+  * which is not correctly rounded); the raw alpha-corrected estimate
+  * IS this engine's definition, on both sides of the gate. Accuracy
+  * therefore holds for n ≳ m — exactly the regime the sketch exists
+  * for (below that, run the exact distinct; it's cheap there).
+  */
+object Sketches {
+
+  private val P = 6 // bucket bits
+  private val M = 1 << P // 64 buckets
+  private val SuffixBits = 32 - P // 26
+  private val SuffixMask = (1 << SuffixBits) - 1 // 67108863
+
+  /** The alpha-corrected estimate, as ONE SQL string shared verbatim by
+    * the Spark plan and the DuckDB oracle. Every literal is explicitly
+    * CAST to DOUBLE — Spark parses bare `0.7213` as DECIMAL(5,4) and
+    * DuckDB as its own DECIMAL, and decimal-vs-double promotion rules
+    * differ between engines; forcing doubles first makes every op a
+    * correctly-rounded IEEE double op with identical operand order.
+    */
+  private val EstimateExpr: String =
+    s"(CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+CAST(1.079 AS DOUBLE)/CAST($M AS DOUBLE)))" +
+      s" * CAST($M AS DOUBLE) * CAST($M AS DOUBLE) / (CAST($M - nb AS DOUBLE) + zsum)"
+
+  /** Approximate distinct users per event type via HLL(m=64), with the
+    * exact count and the relative error alongside (the exact side is
+    * the expensive path the sketch replaces — kept here so the gate
+    * also pins the estimator's accuracy contract).
+    */
+  def approxDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("user_id"))
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val suffix = col("h").bitwiseAND(lit(SuffixMask.toLong))
+    // per-(group, bucket) register: max rho. The inner distinct is free
+    // correctness margin (max is idempotent) but caps the shuffle at
+    // distinct keys; both aggs partial-aggregate map-side.
+    val regs = ev.distinct()
+      .withColumn("h", h)
+      .select(col("event_type"), shiftright(col("h"), SuffixBits).as("bucket"),
+        when(suffix === 0, SuffixBits + 1)
+          .otherwise(lit(SuffixBits + 1) - length(bin(suffix))).as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val z = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
+          .as("zsum"))
+      .withColumn("hll_estimate", expr(EstimateExpr))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    z.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("hll_estimate"),
+        ((col("hll_estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_error"))
+      .orderBy("event_type")
+  }
+
+  val approxDistinctHllSql: String =
+    s"""WITH h AS (
+      |  SELECT event_type, ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+      |br AS (
+      |  SELECT event_type, h >> $SuffixBits AS bucket,
+      |    CASE WHEN h & $SuffixMask = 0 THEN ${SuffixBits + 1}
+      |         ELSE ${SuffixBits + 1} - length(bin(h & $SuffixMask)) END AS rho
+      |  FROM h),
+      |regs AS (SELECT event_type, bucket, max(rho) AS m FROM br GROUP BY 1, 2),
+      |z AS (SELECT event_type, count(*) AS nb,
+      |        sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS zsum
+      |      FROM regs GROUP BY 1),
+      |est AS (SELECT event_type,
+      |          $EstimateExpr AS hll_estimate
+      |        FROM z),
+      |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+      |SELECT est.event_type, ex.n_exact, est.hll_estimate,
+      |  (est.hll_estimate - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE) AS rel_error
+      |FROM est JOIN ex ON ex.event_type = est.event_type
+      |ORDER BY est.event_type""".stripMargin
+}

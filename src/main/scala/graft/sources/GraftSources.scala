@@ -30,6 +30,19 @@ object GraftSources {
       .option("mode", "DROPMALFORMED")
       .csv(path)
 
+  /** ORC reader with explicit schema — the second columnar format the
+    * warehouse load path accepts (some upstream exporters emit ORC).
+    * Same no-inference rule as JSONL/CSV.
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink (snappy, the Spark default) — round-trips through
+    * [[orc]]; columnar + predicate-pushdown-capable like parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-style partitioned parquet sink. `maxRecordsPerFile` caps
     * file size so a skewed partition can't produce a single huge file
     * (the 100 TB failure mode of naive partitioned writes).

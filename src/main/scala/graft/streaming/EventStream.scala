@@ -37,6 +37,21 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** Stream-static enrichment: broadcast-join each micro-batch against
+    * a static dimension (the streaming face of `lookup_enrich`). The
+    * static side is planned once and broadcast, so every micro-batch
+    * is a map-only pass — no stream-side shuffle, no state store.
+    * Left join: events for unknown keys pass through with null
+    * attributes instead of silently dropping (late-arriving dims).
+    */
+  def enrichStream(spark: SparkSession, inputDir: String, dim: DataFrame,
+      dimKey: String, dimCols: Seq[String]): DataFrame = {
+    val d = broadcast(dim.select((dimKey +: dimCols).map(col): _*))
+    spark.readStream.schema(eventSchema).json(inputDir)
+      .join(d, col("user_id") === col(dimKey), "left")
+      .select((Seq("event_id", "ts_us", "user_id", "event_type") ++ dimCols).map(col): _*)
+  }
+
   /** Streaming exact dedup: suppress event_id replays within the
     * watermark horizon — the streaming face of the batch dedup suite
     * (state store holds only ids newer than watermark − 30 min, so
