@@ -411,11 +411,13 @@ object Analytics {
     val SevenDaysUs = 7L * 24 * 3600 * 1000000
     val ev = Tables(spark, dir).events
       .select(col("user_id"), col("event_type"), col("ts_us")).cache()
+    // each stage frame is read twice (next stage + its count) — cache
+    // the tiny per-user aggregates so stages aren't recomputed
     val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1")).cache()
     val c = ev.filter(col("event_type") === "click").join(broadcast(v), "user_id")
       .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + SevenDaysUs)
-      .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t2")).cache()
     val p = ev.filter(col("event_type") === "purchase").join(broadcast(c), "user_id")
       .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + SevenDaysUs)
       .groupBy("user_id").agg(min(col("ts_us")).as("t3"))

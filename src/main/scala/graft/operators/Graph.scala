@@ -42,30 +42,41 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+    // The loop-invariant out-degree rides ON the edge rows (it only
+    // ever divides the source's rank), so the iterating state is just
+    // (node, r) and no per-iteration degree join exists at all.
+    val raw = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val deg = raw.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val edges = raw
+      .join(deg.toDF("src", "deg_src"), "src")
+      .select(col("src"), col("dst"), col("deg_src"))
       .cache()
     // every node has degree ≥ 1 and appears on both edge sides
-    // (symmetric closure), so there are no dangling nodes to handle
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).cache()
-    val nn = deg.agg(count(lit(1)).as("n"))
-    var state = deg.crossJoin(broadcast(nn))
-      .select(col("node"), col("deg"), col("n"),
-        expr(s"CAST($Scale AS BIGINT) div n").as("r"))
-      .cache()
+    // (symmetric closure), so there are no dangling nodes to handle.
+    // N is ONE scalar pulled once for the teleport constant (like the
+    // dedupClusters converged flag — no graph data crosses the driver);
+    // math.floor on doubles = the oracle's floor(CAST ... AS DOUBLE).
+    val n = deg.count()
+    val teleport = math.floor(0.15 * Scale.toDouble / n.toDouble).toLong
+    var state = deg.select(col("node"), lit(Scale / n).as("r")).cache()
     for (_ <- 1 to Iters) {
-      val contrib = edges
-        .join(state, edges("src") === state("node"))
-        .select(col("dst"), expr("r div deg").as("cm"))
+      // rank state (one row per node) is ≪ the edge list — broadcast
+      // it so each iteration streams the cached edges map-side with
+      // ONE shuffle (the partial-aggregated contribution groupBy). At
+      // node counts past broadcast range, drop the hint and
+      // pre-partition `edges` by src instead (co-partitioned join,
+      // same single shuffle).
+      val next = edges
+        .join(broadcast(state), edges("src") === state("node"))
+        .select(col("dst"), expr("r div deg_src").as("cm"))
         .groupBy(col("dst"))
         .agg(sum(col("cm")).as("contrib"))
-      state = contrib.crossJoin(broadcast(nn))
-        .select(col("dst").as("node"), col("n"),
-          expr(s"CAST(floor(CAST(0.15 AS DOUBLE) * CAST($Scale AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)" +
-            " + CAST(floor(CAST(0.85 AS DOUBLE) * CAST(contrib AS DOUBLE)) AS BIGINT)").as("r"))
-        .join(deg, "node")
-        .select(col("node"), col("deg"), col("n"), col("r"))
+        .select(col("dst").as("node"),
+          (lit(teleport) +
+            expr("CAST(floor(CAST(0.85 AS DOUBLE) * CAST(contrib AS DOUBLE)) AS BIGINT)")).as("r"))
+        .cache()
+      state = next
     }
     state.select(col("node"), col("r").as("rank_q12"))
       .orderBy(col("rank_q12").desc, col("node"))
