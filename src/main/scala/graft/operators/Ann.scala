@@ -279,6 +279,121 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  private val NSub = 8 // PQ subspaces over the 64-dim embeddings
+  private val Shortlist = 50 // ADC candidates per query fed to the exact re-rank
+
+  /** Product-quantization ANN (the third candidate-bounding family
+    * after LSH and IVF): split each vector into `NSub` subvectors,
+    * train a per-subspace codebook (here: the per-label integer
+    * centroids restricted to the subspace — the same build as
+    * `embedding_centroids`), encode the corpus as `NSub` small codes,
+    * and answer queries by ADC (asymmetric distance computation): the
+    * query precomputes its distance to every codebook entry per
+    * subspace, and each corpus vector's approximate distance is just
+    * the sum of `NSub` table lookups. The ADC pass shortlists
+    * `Shortlist` candidates per query; only those touch raw vectors
+    * for the exact re-rank. At 100 TB that IO asymmetry is the point
+    * of PQ: the full scan reads 8 small codes per vector instead of
+    * 64 floats, and raw vectors are fetched for ~50 rows per query.
+    * Encoding here is the explode+groupBy formulation (exact and
+    * oracle-mirrorable); the scale path map-sides it against a
+    * broadcast codebook exactly like the IVF cell ranking.
+    *
+    * Everything is micro-unit integer arithmetic (squared distances
+    * < 2^53), so codes, distance tables, and the final ranking are
+    * bit-reproducible in the DuckDB oracle; recall vs brute force is
+    * unit-tested separately.
+    */
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"),
+        floor(col("v").cast("double") * lit(1e6)).cast("long").as("qv"))
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("label"), col("d"),
+        floor(col("v").cast("double") * lit(1e6)).as("qv"))
+      .groupBy(col("label"), col("d"))
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).as("cv"))
+    // per (vector, subspace, codebook entry) integer squared distance —
+    // feeds BOTH corpus encoding and the query distance tables
+    val sd = ex.join(broadcast(cent), "d")
+      .groupBy(col("vec_id"), (col("d") / lit(NSub)).cast("int").as("sub"),
+        col("label").as("clabel"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("dist"))
+      .cache()
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("clabel"))
+    val code = sd.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("clabel").as("code"))
+    val qtab = sd.filter(col("vec_id") < NumQueries)
+      .toDF("query_id", "q_sub", "q_clabel", "q_dist")
+    val adc = code.join(broadcast(qtab),
+        col("q_sub") === col("sub") && col("q_clabel") === col("code") &&
+          col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("q_dist")).as("dist"))
+    // standard PQ pipeline tail: ADC shortlists `Shortlist` candidates
+    // per query (reading only codes), then ONLY those touch raw
+    // vectors for the exact (quantized-cosine, bit-deterministic)
+    // re-rank — the IO asymmetry that makes PQ the 100 TB scan format
+    val wAdc = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    val shortlist = adc.withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= Shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q6n = withQ6Norm(e, "uid", "u", "nrm")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(q6n.toDF("query_id", "q_emb", "q_n")), "query_id")
+      .join(q6n.toDF("neighbor_id", "c_emb", "c_n"), "neighbor_id")
+      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annPqTopkSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, CAST(generate_subscripts(embedding,1) - 1 AS INTEGER) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, d, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |  FROM ex GROUP BY label, d),
+       |sd AS (
+       |  SELECT e.vec_id, e.d // $NSub AS sub, c.label AS clabel,
+       |         sum((e.qv - c.cv) * (e.qv - c.cv)) AS dist
+       |  FROM ex e JOIN cent c ON c.d = e.d
+       |  GROUP BY 1, 2, 3),
+       |code AS (
+       |  SELECT vec_id, sub, clabel AS code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, clabel) AS rn FROM sd)
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.dist) AS dist
+       |  FROM code c JOIN sd q ON q.sub = c.sub AND q.clabel = c.code
+       |  WHERE q.vec_id < $NumQueries AND q.vec_id != c.vec_id
+       |  GROUP BY 1, 2),
+       |sl AS (SELECT query_id, neighbor_id
+       |       FROM (SELECT query_id, neighbor_id,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS srk
+       |             FROM adc)
+       |       WHERE srk <= $Shortlist),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
+       |sims AS (SELECT s.query_id, s.neighbor_id,
+       |           CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS sim
+       |         FROM sl s
+       |           JOIN ex a ON a.vec_id = s.query_id
+       |           JOIN ex b ON b.vec_id = s.neighbor_id AND b.d = a.d
+       |           JOIN nrm na ON na.vec_id = s.query_id
+       |           JOIN nrm nb ON nb.vec_id = s.neighbor_id
+       |         GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM sims)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val annIvfTopkSql: String =
     s"""WITH ex AS (
        |  SELECT vec_id, label, CAST(generate_subscripts(embedding,1) - 1 AS INTEGER) AS d,

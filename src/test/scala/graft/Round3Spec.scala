@@ -83,6 +83,16 @@ class SketchGraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("PQ ANN recall@5 >= 0.4 vs brute force (ADC shortlist + exact re-rank)") {
+    import graft.operators.Ann
+    val bf = Ann.annTopkBruteforce(spark, sf)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.annPqTopk(spark, sf)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("pagerank ranks are positive, deterministic, and hub-ordered") {
     val a = Graph.pagerankTopk(spark, sf).collect()
     val b = Graph.pagerankTopk(spark, sf).collect()
