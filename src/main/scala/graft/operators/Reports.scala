@@ -87,6 +87,59 @@ object Reports {
       |GROUP BY CUBE (r_name, o_orderpriority)
       |ORDER BY gid, region, priority""".stripMargin
 
+  /** Time-series gap-fill: project the event stream onto a dense
+    * per-user daily grid and forward-fill missing days with the last
+    * observed value (`last(_, ignoreNulls)` over an unbounded-preceding
+    * frame) — the standard prep for per-entity daily reporting and
+    * feature snapshots. Scale shape: the date spine is one broadcast
+    * row-set (days are bounded), the grid is output-sized, and the
+    * fill is one window shuffle on user_id; the per-(user, day)
+    * dedup-newest is the only other shuffle.
+    */
+  def fillForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val wd = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val obs = ev.select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"),
+        col("value"), col("ts_us"), col("event_id"))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+      .cache() // read three times: bounds, user list, grid join
+    val spine = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val grid = obs.select("user_id").distinct().crossJoin(broadcast(spine))
+    val wf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("filled_value", last(col("value"), ignoreNulls = true).over(wf))
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        col("filled_value"),
+        when(col("value").isNull, 1).otherwise(0).as("was_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  val fillForwardSql: String =
+    """WITH obs AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM (
+      |    SELECT user_id, ts, value,
+      |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |    FROM events) t WHERE rn = 1),
+      |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+      |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+      |users AS (SELECT DISTINCT user_id FROM obs),
+      |grid AS (SELECT u.user_id, s.day FROM users u CROSS JOIN spine s),
+      |ff AS (
+      |  SELECT g.user_id, g.day, o.value,
+      |    last_value(o.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day)
+      |SELECT user_id, CAST(day AS VARCHAR) AS day, filled_value,
+      |  CASE WHEN value IS NULL THEN 1 ELSE 0 END AS was_filled
+      |FROM ff ORDER BY user_id, day""".stripMargin
+
   /** Per-priority order-value profile: exact linear-interpolated
     * quantiles (rounded to 4dp — Spark and DuckDB use algebraically
     * equal but differently-associated interpolation formulas).

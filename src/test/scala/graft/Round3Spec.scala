@@ -131,6 +131,23 @@ class FanoutAnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(1) == h1)
   }
 
+  test("fillForward produces a dense grid where gaps carry the prior value") {
+    import graft.operators.Reports
+    val out = Reports.fillForward(spark, sf).cache()
+    val users = out.select("user_id").distinct().count()
+    val days = out.select("day").distinct().count()
+    assert(out.count() == users * days) // dense grid
+    // observed rows keep their own value; nulls only before first obs
+    assert(out.filter(col("was_filled") === 0 && col("filled_value").isNull).isEmpty)
+    // forward-fill correctness on the frame level: a filled row's value
+    // equals the previous row's filled value within the user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val withPrev = out.withColumn("prev", lag(col("filled_value"), 1).over(w))
+    assert(withPrev.filter(col("was_filled") === 1 &&
+      !(col("filled_value") <=> col("prev"))).isEmpty)
+  }
+
   test("funnel stage counts are monotone non-increasing") {
     val r = Analytics.funnelConversion(spark, sf).collect()(0)
     val (nu, nv, nc, np) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_view"),
