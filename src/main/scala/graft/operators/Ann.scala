@@ -305,6 +305,7 @@ object Ann {
     * unit-tested separately.
     */
   def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val e = Tables(spark, dir).embeddings
     val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
       .select(col("vec_id"), col("d"),

@@ -285,6 +285,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!lsh.contains("cartesianproduct"))
   }
 
+  test("q4 plans as a semi join; q6 pushes every predicate to the scan") {
+    val q4 = physicalPlan(Analytics.q4OrderPriority(spark, TestSpark.sf))
+    assert(q4.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(!q4.contains("CartesianProduct"))
+    val q6e = Analytics.q6Revenue(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(q6e.contains("PushedFilters") &&
+      q6e.contains("IsNotNull(l_shipdate)"), "filters not reaching the scan")
+    assert(q6e.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("cube computes all grouping sets in one shuffle with broadcast dims") {
+    val plan = physicalPlan(graft.operators.Reports.cubeSales(spark, TestSpark.sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast dim joins, got $broadcasts")
+    // the 4 grouping sets must ride an Expand + aggregation, not a
+    // per-level UNION of scans (exact node counts vary with AQE state
+    // and cache reuse from other suites, so pin the shape only)
+    assert(plan.contains("Expand"), "CUBE should plan as Expand+Aggregate")
+    assert(!plan.contains("Union"), "grouping sets must not be a UNION of scans")
+  }
+
+  test("HLL aggregates partially at both stages (sketch shuffle is tiny)") {
+    val plan = physicalPlan(graft.operators.Sketches.approxDistinctHll(spark, TestSpark.sf))
+    assert(plan.contains("partial_max") || plan.contains("partial_sum"),
+      "register build must map-side combine")
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val direct = graft.core.Tables(spark, TestSpark.sf).lineitem
