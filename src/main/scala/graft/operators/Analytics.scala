@@ -320,6 +320,31 @@ object Analytics {
       |SELECT o_orderkey, o_orderpriority, bucket, stratum_pct
       |FROM b WHERE bucket < stratum_pct ORDER BY o_orderkey""".stripMargin
 
+  /** Relative-standing windows: percent_rank + cume_dist per priority
+    * class over a total order (totalprice, key tiebreak) — one window
+    * sort serves both. Both functions are integer-ratio divisions
+    * ((rank−1)/(n−1), rows≤current/n), so the doubles are bit-identical
+    * across engines.
+    */
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("o_orderpriority", "o_orderkey")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("pct_rank"), col("cume"))
+  }
+
+  val windowPercentRankSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   /** Order-priority checking (TPC-H Q4 shape): EXISTS subquery as a
     * LEFT SEMI join with a non-equi residual (late-shipment predicate)
     * — one shuffle on the order key, lineitem never widens the output,

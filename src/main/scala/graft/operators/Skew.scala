@@ -70,4 +70,66 @@ object Skew {
       |  count(*) AS n_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val BloomBits = 4096
+  private val BloomHashes = 3
+
+  /** Bloom-filter join pruning (runtime-filter shape): build a k-hash
+    * Bloom filter over the dim-side join keys (here: BUILDING-segment
+    * customers) and pre-filter the fact scan against it BEFORE any
+    * join — the pattern that turns a fact-side shuffle of 100 TB into
+    * a shuffle of only probable matches. The filter is O(m) = 4096
+    * positions however large the dim side grows, and rides one
+    * broadcast. Output keeps every Bloom-passing fact row with its
+    * `is_true_match` flag, so the measured false-positive rate is part
+    * of the gated result.
+    *
+    * Deterministic by construction: positions are MD5-word hashes mod
+    * m (the same family as the sketch suite), so even the false
+    * positives are bit-reproducible in the DuckDB oracle — an
+    * approximate structure under an exact gate.
+    */
+  def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def position(i: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(i.cast("string"), lit("_"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % BloomBits
+    val hashes = explode(sequence(lit(0), lit(BloomHashes - 1))).as("i")
+    val dim = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bits = dim.select(hashes, col("c_custkey"))
+      .select(position(col("i"), col("c_custkey")).as("b")).distinct()
+    val probe = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), hashes)
+      .select(col("o_orderkey"), col("o_custkey"),
+        position(col("i"), col("o_custkey")).as("b"))
+    val passed = probe.join(broadcast(bits), "b")
+      .groupBy(col("o_orderkey"))
+      .agg(any_value(col("o_custkey")).as("o_custkey"), count(lit(1)).as("nhit"))
+      .filter(col("nhit") === BloomHashes)
+      .select(col("o_orderkey"), col("o_custkey"))
+    passed.join(broadcast(dim.select(col("c_custkey").as("o_custkey"),
+          lit(1).as("tm"))), Seq("o_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("tm"), lit(0)).as("is_true_match"))
+      .orderBy("o_orderkey")
+  }
+
+  val bloomPruneSql: String =
+    s"""WITH dimkeys AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |bits AS (
+      |  SELECT DISTINCT ('0x'||substr(md5(CAST(i AS VARCHAR)||'_'||CAST(k AS VARCHAR)),1,8))::BIGINT % $BloomBits AS b
+      |  FROM dimkeys, (SELECT unnest(range($BloomHashes)) AS i) h),
+      |probe AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    ('0x'||substr(md5(CAST(i AS VARCHAR)||'_'||CAST(o_custkey AS VARCHAR)),1,8))::BIGINT % $BloomBits AS b
+      |  FROM orders, (SELECT unnest(range($BloomHashes)) AS i) h),
+      |hits AS (
+      |  SELECT o_orderkey, any_value(o_custkey) AS o_custkey, count(*) AS nhit
+      |  FROM probe JOIN bits USING (b) GROUP BY o_orderkey),
+      |pass AS (SELECT o_orderkey, o_custkey FROM hits WHERE nhit = $BloomHashes)
+      |SELECT p.o_orderkey, p.o_custkey,
+      |  CASE WHEN d.k IS NULL THEN 0 ELSE 1 END AS is_true_match
+      |FROM pass p LEFT JOIN dimkeys d ON d.k = p.o_custkey
+      |ORDER BY p.o_orderkey""".stripMargin
 }

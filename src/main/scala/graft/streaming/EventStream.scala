@@ -52,6 +52,31 @@ object EventStream {
       .select((Seq("event_id", "ts_us", "user_id", "event_type") ++ dimCols).map(col): _*)
   }
 
+  /** Stream-stream interval join: clicks ⋈ purchases per user where
+    * the purchase lands in (click, click + 10 min] — the attribution
+    * join, streaming end to end. Watermarks on BOTH sides plus the
+    * interval condition let Spark bound the join state (each side
+    * evicts rows older than watermark − interval), so state stays
+    * finite at any scale; an unbounded stream-stream equi-join without
+    * the time bound would grow forever.
+    */
+  def intervalJoinStream(spark: SparkSession, clicksDir: String,
+      purchasesDir: String): DataFrame = {
+    val clicks = spark.readStream.schema(eventSchema).json(clicksDir)
+      .withColumn("cts", timestamp_micros(col("ts_us")))
+      .withWatermark("cts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("cts"))
+    val purchases = spark.readStream.schema(eventSchema).json(purchasesDir)
+      .withColumn("pts", timestamp_micros(col("ts_us")))
+      .withWatermark("pts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("pts"))
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("interval 10 minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming exact dedup: suppress event_id replays within the
     * watermark horizon — the streaming face of the batch dedup suite
     * (state store holds only ids newer than watermark − 30 min, so

@@ -187,6 +187,46 @@ class SourcesStreamRound3Spec extends AnyFunSuite {
       == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
   }
 
+  test("bloom prune passes every true match and few false positives") {
+    import graft.operators.Skew
+    val out = Skew.bloomPrune(spark, TestSpark.sf).cache()
+    val t = graft.core.Tables(spark, TestSpark.sf)
+    val truth = t.orders
+      .join(t.customer.filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey")
+    // Bloom filters never false-negative: every true match must pass
+    assert(truth.join(out, Seq("o_orderkey"), "left_anti").isEmpty)
+    assert(out.filter(col("is_true_match") === 1).count() == truth.count())
+    // and pruning must actually prune (pass rate ≪ full fact side)
+    val passRate = out.count().toDouble / t.orders.count()
+    assert(passRate < 0.5, s"filter passed $passRate of the fact side")
+  }
+
+  test("stream-stream interval join attributes purchases within the window") {
+    val cdir = java.nio.file.Files.createTempDirectory("graft_clicks").toString
+    val pdir = java.nio.file.Files.createTempDirectory("graft_purch").toString
+    val Min = 60L * 1000000
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$cdir/c.jsonl"),
+      Seq(
+        s"""{"event_id":1,"ts_us":${1 * Min},"user_id":10,"event_type":"click","value":1.0}""",
+        s"""{"event_id":2,"ts_us":${1 * Min},"user_id":11,"event_type":"click","value":1.0}"""
+      ).mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$pdir/p.jsonl"),
+      Seq(
+        // user 10 purchases 5 min after the click -> attributed
+        s"""{"event_id":100,"ts_us":${6 * Min},"user_id":10,"event_type":"purchase","value":9.0}""",
+        // user 11 purchases 30 min after -> outside the window
+        s"""{"event_id":101,"ts_us":${31 * Min},"user_id":11,"event_type":"purchase","value":9.0}"""
+      ).mkString("\n"))
+    val q = EventStream.intervalJoinStream(spark, cdir, pdir)
+      .writeStream.outputMode("append").format("memory").queryName("ij").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("ij").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(out == Set((10L, 1L, 100L)))
+  }
+
   test("stream-static enrich broadcast-joins the dim per micro-batch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_enrich").toString
     val dim = Seq((10L, "SEG_A"), (11L, "SEG_B")).toDF("k", "segment")
