@@ -320,6 +320,41 @@ object Analytics {
       |SELECT o_orderkey, o_orderpriority, bucket, stratum_pct
       |FROM b WHERE bucket < stratum_pct ORDER BY o_orderkey""".stripMargin
 
+  /** Item co-occurrence recommender ("bought together"): distinct
+    * (order, part) basket items self-joined per order → pair counts →
+    * top-3 partners per part. The self-join is keyed on the order id,
+    * so pair volume is Σ basket² per order (baskets are small and
+    * bounded), never corpus²; the pair aggregation partial-aggregates
+    * map-side. The batch core of a co-purchase recommendation feed.
+    */
+  def cooccurRecs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.toDF("ok", "p1")
+      .join(items.toDF("ok2", "p2"), col("ok") === col("ok2") && col("p1") =!= col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_cooccur"))
+    val w = Window.partitionBy("p1").orderBy(col("n_cooccur").desc, col("p2"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("p1").as("part_key"), col("p2").as("rec_part_key"),
+        col("n_cooccur").cast("int").as("n_cooccur"), col("rank"))
+      .orderBy("part_key", "rank")
+  }
+
+  val cooccurRecsSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_cooccur
+      |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT p1, p2, n_cooccur,
+      |        row_number() OVER (PARTITION BY p1 ORDER BY n_cooccur DESC, p2) AS rk
+      |      FROM pairs)
+      |SELECT p1 AS part_key, p2 AS rec_part_key, CAST(n_cooccur AS INTEGER) AS n_cooccur,
+      |  CAST(rk AS INTEGER) AS rank
+      |FROM r WHERE rk <= 3 ORDER BY part_key, rank""".stripMargin
+
   /** Relative-standing windows: percent_rank + cume_dist per priority
     * class over a total order (totalprice, key tiebreak) — one window
     * sort serves both. Both functions are integer-ratio divisions

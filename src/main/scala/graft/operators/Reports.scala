@@ -87,6 +87,31 @@ object Reports {
       |GROUP BY CUBE (r_name, o_orderpriority)
       |ORDER BY gid, region, priority""".stripMargin
 
+  /** Fixed-width value histogram (20 bins over the observed range) —
+    * the data-profiling primitive. Two passes: one tiny min/max agg
+    * (broadcast as a single row), one map-side bin assignment +
+    * partial-aggregated count. Bin edges are double arithmetic with
+    * identical operand order on both engines, so bin membership is
+    * exact even at the boundaries.
+    */
+  def histogramPrice(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.select(col("o_totalprice"))
+    val bounds = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .select(least(
+          floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0))).cast("int"),
+          lit(19)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("bin")
+  }
+
+  val histogramPriceSql: String =
+    """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+      |h AS (SELECT CAST(least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS INTEGER), 19) AS INTEGER) AS bin
+      |      FROM orders, b)
+      |SELECT bin, count(*) AS n_rows FROM h GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Time-series gap-fill: project the event stream onto a dense
     * per-user daily grid and forward-fill missing days with the last
     * observed value (`last(_, ignoreNulls)` over an unbounded-preceding

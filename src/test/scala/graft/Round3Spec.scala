@@ -168,6 +168,25 @@ class FanoutAnalyticsSpec extends AnyFunSuite {
   }
 }
 
+class QueryIsolationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("every query self-registers its functions (fresh-session analysis)") {
+    // newSession() shares the SparkContext but starts an EMPTY function
+    // registry — any query that silently relies on an earlier query
+    // having registered graft_* functions fails analysis here (the bug
+    // class found in annPqTopk during the round-3 plan audit)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val fresh = spark.newSession()
+      fresh.conf.set("spark.sql.session.timeZone", "UTC")
+      try fn(fresh, TestSpark.sf).queryExecution.analyzed
+      catch { case e: Throwable =>
+        fail(s"$name failed analysis on a fresh session: ${e.getMessage}")
+      }
+    }
+  }
+}
+
 class SourcesStreamRound3Spec extends AnyFunSuite {
   import graft.sources.GraftSources
   import graft.streaming.EventStream
