@@ -325,20 +325,26 @@ object Analytics {
     * top-3 partners per part. The self-join is keyed on the order id,
     * so pair volume is Σ basket² per order (baskets are small and
     * bounded), never corpus²; the pair aggregation partial-aggregates
-    * map-side. The batch core of a co-purchase recommendation feed.
+    * map-side, and the per-part top-3 runs through the BoundedTopK
+    * aggregate (map-side k-heaps, O(parts·k) shuffle) instead of a
+    * full window sort of the pair table. The batch core of a
+    * co-purchase recommendation feed.
     */
   def cooccurRecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
     val items = Tables(spark, dir).lineitem
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = items.toDF("ok", "p1")
       .join(items.toDF("ok2", "p2"), col("ok") === col("ok2") && col("p1") =!= col("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_cooccur"))
-    val w = Window.partitionBy("p1").orderBy(col("n_cooccur").desc, col("p2"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("p1").as("part_key"), col("p2").as("rec_part_key"),
-        col("n_cooccur").cast("int").as("n_cooccur"), col("rank"))
+    pairs.groupBy(col("p1"))
+      .agg(call_function("graft_topk", lit(3),
+        struct(col("n_cooccur").cast("double"), col("p2"))).as("top"))
+      .select(col("p1").as("part_key"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("part_key"), col("entry.id").as("rec_part_key"),
+        col("entry.ord").cast("int").as("n_cooccur"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy("part_key", "rank")
   }
 
