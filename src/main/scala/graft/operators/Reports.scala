@@ -112,6 +112,41 @@ object Reports {
       |      FROM orders, b)
       |SELECT bin, count(*) AS n_rows FROM h GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Per-group z-score outlier detection (|z| > 2 on event values per
+    * type) — the statistical data-quality primitive. Group moments
+    * come from ONE pass of exact decimal sums (Σx, Σx², both
+    * order-independent), broadcast back over the stream; mean/std/z
+    * are then correctly-rounded double ops with fixed operand order,
+    * so even the boundary rows match across engines bit for bit.
+    */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val m = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("s1"),
+        sum(money(col("value")) * money(col("value"))).cast("double").as("s2"))
+    val z = (col("value") - col("s1") / col("n")) /
+      sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+    ev.join(broadcast(m), "event_type")
+      .withColumn("zscore", z)
+      .filter(abs(col("zscore")) > 2.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("zscore"))
+      .orderBy("event_id")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)) AS zscore
+      |FROM events e JOIN m ON m.event_type = e.event_type
+      |WHERE abs((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 2.0
+      |ORDER BY e.event_id""".stripMargin
+
   /** Time-series gap-fill: project the event stream onto a dense
     * per-user daily grid and forward-fill missing days with the last
     * observed value (`last(_, ignoreNulls)` over an unbounded-preceding

@@ -246,6 +246,33 @@ class SourcesStreamRound3Spec extends AnyFunSuite {
     assert(out == Set((10L, 1L, 100L)))
   }
 
+  test("foreachBatch upsert sink keeps newest value per key across micro-batches") {
+    import graft.streaming.UpsertSink
+    val in = java.nio.file.Files.createTempDirectory("graft_upsert_in").toString
+    val st = java.nio.file.Files.createTempDirectory("graft_upsert_st").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.jsonl"),
+      Seq(
+        """{"event_id":1,"ts_us":100,"user_id":1,"event_type":"u","value":10.0}""",
+        """{"event_id":2,"ts_us":200,"user_id":2,"event_type":"u","value":20.0}"""
+      ).mkString("\n"))
+    val q = UpsertSink.start(spark, in, st)
+    try {
+      q.processAllAvailable()
+      // second micro-batch: update user 1 (newer), stale record for 2 (older)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b2.jsonl"),
+        Seq(
+          """{"event_id":3,"ts_us":300,"user_id":1,"event_type":"u","value":11.0}""",
+          """{"event_id":4,"ts_us":150,"user_id":2,"event_type":"u","value":99.0}""",
+          """{"event_id":5,"ts_us":120,"user_id":3,"event_type":"u","value":30.0}"""
+        ).mkString("\n"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = UpsertSink.currentState(spark, st).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toMap
+    // user 1 updated, user 2 kept its NEWER original, user 3 inserted
+    assert(state == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("stream-static enrich broadcast-joins the dim per micro-batch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_enrich").toString
     val dim = Seq((10L, "SEG_A"), (11L, "SEG_B")).toDF("k", "segment")
