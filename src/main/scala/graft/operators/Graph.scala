@@ -37,6 +37,9 @@ object Graph {
     */
   def pagerankTopk(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // orders⋈lineitem stays a shuffle join on purpose: at scale BOTH
+    // sides are fact-sized (AQE will still broadcast if one side turns
+    // out small at runtime)
     val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
