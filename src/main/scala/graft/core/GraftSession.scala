@@ -29,6 +29,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.MinHashSig(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_sorted_hashes"),
+      new ExpressionInfo(classOf[graft.functions.SortedHashes].getName, "graft_sorted_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SortedHashes(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
+        "graft_sorted_intersect"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SortedIntersectCount(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_rademacher"),
+      new ExpressionInfo(classOf[graft.functions.RademacherSketch].getName,
+        "graft_rademacher"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RademacherSketch(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "graft_topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BoundedTopK(
+          exprs.head.eval().asInstanceOf[Int], exprs(1))))
   }
 }
 

@@ -337,6 +337,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val sh = s.sql("SELECT graft_shingles('a b c d', 3) AS s")
       .collect()(0).getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
+    // sketch + set + aggregate functions, pure SQL
+    val inter = s.sql(
+      "SELECT graft_sorted_intersect(graft_sorted_hashes(array('a','b','c')), " +
+        "graft_sorted_hashes(array('b','c','d'))) AS n").collect()(0).getInt(0)
+    assert(inter == 2)
+    val topk = s.sql(
+      "SELECT graft_topk(2, struct(CAST(v AS DOUBLE), id)) AS t FROM " +
+        "VALUES (1.0, 10L), (3.0, 30L), (2.0, 20L) AS t(v, id)")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 30L), (2.0, 20L)))
   }
 }
 
