@@ -474,24 +474,27 @@ object Analytics {
     * conversion rates (bit-identical across engines).
     */
   def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
-    val SevenDaysUs = 7L * 24 * 3600 * 1000000
-    val ev = Tables(spark, dir).events
-      .select(col("user_id"), col("event_type"), col("ts_us")).cache()
-    // each stage frame is read twice (next stage + its count) — cache
-    // the tiny per-user aggregates so stages aren't recomputed
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts_us")).as("t1")).cache()
-    val c = ev.filter(col("event_type") === "click").join(broadcast(v), "user_id")
-      .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + SevenDaysUs)
-      .groupBy("user_id").agg(min(col("ts_us")).as("t2")).cache()
-    val p = ev.filter(col("event_type") === "purchase").join(broadcast(c), "user_id")
-      .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + SevenDaysUs)
-      .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
-    val nAll = ev.agg(countDistinct(col("user_id")).as("n_users"))
-    val nV = v.agg(count(lit(1)).as("n_view"))
-    val nC = c.agg(count(lit(1)).as("n_click_after_view"))
-    val nP = p.agg(count(lit(1)).as("n_purchase_after_click"))
-    nAll.crossJoin(nV).crossJoin(nC).crossJoin(nP)
+    val SevenDaysUs = 7L * 24 * 3600 * 1000000L
+    // ONE shuffle: per-user stage timestamps land in three conditional
+    // collect_lists (a user's event history is small and bounded), and
+    // the dependent stage mins (t2 > t1, t3 > t2, each within 7 days)
+    // are per-row array math — no stage joins, no re-scans. The
+    // singleton final agg then reduces users map-side.
+    val stage = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("t1"),
+        collect_list(when(col("event_type") === "click", col("ts_us"))).as("cts"),
+        collect_list(when(col("event_type") === "purchase", col("ts_us"))).as("pts"))
+      .withColumn("t2", array_min(filter(col("cts"),
+        x => x > col("t1") && x <= col("t1") + SevenDaysUs)))
+      .withColumn("t3", array_min(filter(col("pts"),
+        x => x > col("t2") && x <= col("t2") + SevenDaysUs)))
+    stage.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_after_view"),
+        count(col("t3")).as("n_purchase_after_click"))
       .withColumn("view_to_click",
         col("n_click_after_view").cast("double") / col("n_view"))
       .withColumn("click_to_purchase",
