@@ -101,11 +101,14 @@ object Incremental {
 
   /** Snapshot diff: compare two as-of aggregates of the same fact
     * stream (per-customer order counts/amounts at two cutoff dates)
-    * and classify every key as added / removed / changed / unchanged —
-    * the audit primitive behind incremental-load validation. Both
+    * and classify every key as added / changed / unchanged — the audit
+    * primitive behind incremental-load validation. ("removed" cannot
+    * occur for as-of cutoffs over append-only facts, so the one-scan
+    * form below doesn't emit it; diffing two INDEPENDENT snapshots
+    * would use the mergeUpsert full-outer shape instead.) Both
     * snapshots come off ONE scan (conditional aggregation on the
-    * earlier cutoff), then a single full-outer self-alignment; amounts
-    * compare exactly because both sides are decimal sums.
+    * earlier cutoff); amounts compare exactly because both sides are
+    * decimal sums.
     */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.money

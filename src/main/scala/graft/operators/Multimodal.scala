@@ -47,10 +47,15 @@ object Multimodal {
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables(spark, dir).documents.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      col("source"))
+    // null payloads carry nothing to decode — drop them BEFORE the
+    // codec (a real decoder would NPE); mirrored in the oracle, so
+    // parity holds whether or not the corpus has them
+    val media = Tables(spark, dir).documents
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        col("source"))
     media.as[(Long, Array[Byte], String)]
       .mapPartitions { batch =>
         // per-PARTITION codec init (the expensive step a real media
@@ -67,7 +72,7 @@ object Multimodal {
     """WITH m AS (
       |  SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len,
       |         ('0x' || substr(md5(text), 1, 8))::BIGINT AS checksum, source
-      |  FROM documents)
+      |  FROM documents WHERE text IS NOT NULL)
       |SELECT doc_id, byte_len, checksum,
       |  CAST(16 + checksum % 1024 AS INTEGER) AS fake_width,
       |  CAST(16 + (checksum // 1024) % 1024 AS INTEGER) AS fake_height,
@@ -95,6 +100,7 @@ object Multimodal {
   def multimodalFramesample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables(spark, dir).documents
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
       .select(col("doc_id"), col("text"), col("n_chars"))
     media.as[(Long, String, Long)]
       .mapPartitions { batch =>
@@ -115,7 +121,8 @@ object Multimodal {
 
   val multimodalFramesampleSql: String =
     s"""WITH m AS (
-      |  SELECT doc_id, text, CAST(4 + n_chars % 28 AS INTEGER) AS n_frames FROM documents),
+      |  SELECT doc_id, text, CAST(4 + n_chars % 28 AS INTEGER) AS n_frames
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
       |f AS (SELECT doc_id, text, unnest(range(0, n_frames)) AS fi FROM m)
       |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
       |  CAST(fi * 1000 // $FpsDen AS BIGINT) AS frame_ts_ms,

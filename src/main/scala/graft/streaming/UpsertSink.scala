@@ -70,6 +70,13 @@ object UpsertSink {
               coalesce(col("c_ts"), lit(Long.MinValue))).as("ts_us"))
         val nextV = latestVersion(stateDir).map(_._2 + 1).getOrElse(0)
         next.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$nextV")
+        // retain only the previous snapshot (in-flight readers) + the
+        // new one — without pruning the state dir grows per batch
+        Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v"))
+          .filter(f => scala.util.Try(f.getName.drop(1).toInt).toOption
+            .exists(_ < nextV - 1))
+          .foreach(dir => org.apache.commons.io.FileUtils.deleteDirectory(dir))
         ()
       }
       .start()
