@@ -320,6 +320,47 @@ object Analytics {
       |SELECT o_orderkey, o_orderpriority, bucket, stratum_pct
       |FROM b WHERE bucket < stratum_pct ORDER BY o_orderkey""".stripMargin
 
+  /** Large-volume-customer report (TPC-H Q18 shape): HAVING-filtered
+    * aggregate subquery (orders whose total quantity exceeds a
+    * threshold) re-joined to its dimensions. The HAVING pre-aggregate
+    * runs FIRST and keeps only qualifying order keys — the fact
+    * re-scan then semi-joins against that (small) key set instead of
+    * aggregating everything twice. Decimal quantity math.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem.select(col("l_orderkey"), money(col("l_quantity")).as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+      .select(col("l_orderkey").as("big_key"))
+    t.orders.join(big, col("o_orderkey") === col("big_key"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), money(col("l_quantity")).as("qty")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"))
+      .agg(sum(col("qty")).cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |SELECT c.c_name, o.o_custkey, o.o_orderkey,
+      |  CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+      |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM orders o
+      |JOIN big ON big.l_orderkey = o.o_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** Item co-occurrence recommender ("bought together"): distinct
     * (order, part) basket items self-joined per order → pair counts →
     * top-3 partners per part. The self-join is keyed on the order id,

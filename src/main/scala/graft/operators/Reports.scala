@@ -337,6 +337,27 @@ object Reports {
       .orderBy("event_id")
   }
 
+  /** The SAME as-of semantics through the custom whole-operator path
+    * (`graft.plans.AsOfJoin`: LogicalPlan + Strategy + sort-merge
+    * exec) — gated against the identical oracle as `asofEventOrder`,
+    * so the engine-extension machinery is value-checked end to end.
+    * Each co-partitioned task merge-walks its (user-clustered,
+    * time-sorted) event/order slices in O(n+m) with O(1) state.
+    */
+  def asofEventOrderCustom(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val probe = t.events.select(col("user_id").as("uid"), col("ts_us"),
+      col("event_id"))
+    val build = t.orders.select(col("o_custkey").as("uid"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+      col("o_orderkey"))
+    graft.plans.AsOf.join(spark, probe, build)
+      .select(col("event_id"), col("uid").as("user_id"),
+        col("matched_key").as("last_order_key"),
+        col("matched_ts").as("last_order_ts_us"))
+      .orderBy("event_id")
+  }
+
   val asofEventOrderSql: String =
     """WITH last_ts AS (
       |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ets,

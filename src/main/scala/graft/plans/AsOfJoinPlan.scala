@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, GenericInternalRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** A whole-operator Catalyst extension (SURVEY.md §2 L): the as-of
+  * join as a first-class `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`, instead of the composed union+window formulation in
+  * `Reports.asofEventOrder`.
+  *
+  * Both implementations are kept deliberately: the composed form shows
+  * the operator is *expressible* declaratively; this one shows the
+  * engine-extension path when an operator deserves its own physical
+  * algorithm. The custom exec declares
+  * `requiredChildDistribution`/`requiredChildOrdering`, so Catalyst
+  * inserts the hash exchanges and sorts exactly as it would for a
+  * built-in sort-merge join — at scale each task merge-walks one
+  * co-partitioned (user-clustered, time-sorted) slice of events and
+  * orders in O(n+m) with O(1) state, strictly less work than the
+  * union+window (which sorts the union) and with no row-explosion
+  * probe join anywhere.
+  *
+  * Row contract (by position): probe side = (uid: Long, ts: Long,
+  * payload: Long), build side = (uid: Long, ts: Long, key: Long).
+  * Output = probe columns + (matched_ts, matched_key), both nullable
+  * — the most recent build row with ts ≤ probe ts; ties on ts take
+  * the largest key (build side is sorted (uid, ts, key) and the walk
+  * keeps the LAST qualifying row).
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    matchedTs: AttributeReference, matchedKey: AttributeReference)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ Seq(matchedTs, matchedKey)
+  // the match columns are GENERATED here, not derived from children —
+  // without this the analyzer reports them missing-from-input
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(matchedTs, matchedKey))
+  // the merge walk consumes EVERY child column positionally; without
+  // this ColumnPruning sees no expressions referencing the children
+  // and rewrites them to empty projections
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): AsOfJoin = copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  def apply(left: LogicalPlan, right: LogicalPlan): AsOfJoin =
+    AsOfJoin(left, right,
+      AttributeReference("matched_ts", LongType, nullable = true)(),
+      AttributeReference("matched_key", LongType, nullable = true)())
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    matchedTs: AttributeReference, matchedKey: AttributeReference)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ Seq(matchedTs, matchedKey)
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(matchedTs, matchedKey))
+
+  // cluster both sides by the user key; Catalyst plants the exchanges
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(left.output.head)),
+    ClusteredDistribution(Seq(right.output.head)))
+
+  // and the per-partition sorts that make the merge walk valid
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(left.output.head, Ascending), SortOrder(left.output(1), Ascending)),
+    Seq(SortOrder(right.output.head, Ascending), SortOrder(right.output(1), Ascending),
+      SortOrder(right.output(2), Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftArity = left.output.size
+    left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
+      val build = buildIter.buffered
+      new Iterator[InternalRow] {
+        // O(1) state: the last qualifying build row for the current uid
+        private var curUid = Long.MinValue
+        private var has = false
+        private var mTs = 0L
+        private var mKey = 0L
+
+        override def hasNext: Boolean = probeIter.hasNext
+
+        override def next(): InternalRow = {
+          val p = probeIter.next()
+          val uid = p.getLong(0)
+          val ts = p.getLong(1)
+          if (uid != curUid) { curUid = uid; has = false }
+          // drop build rows for earlier users
+          while (build.hasNext && build.head.getLong(0) < uid) build.next()
+          // absorb build rows for this user at or before the probe time;
+          // last one wins = max ts, then max key (build sort order)
+          while (build.hasNext && build.head.getLong(0) == uid &&
+              build.head.getLong(1) <= ts) {
+            val b = build.next()
+            has = true; mTs = b.getLong(1); mKey = b.getLong(2)
+          }
+          val out = new Array[Any](leftArity + 2)
+          var i = 0
+          while (i < leftArity) { out(i) = p.get(i, LongType); i += 1 }
+          if (has) { out(leftArity) = mTs; out(leftArity + 1) = mKey }
+          new GenericInternalRow(out)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): AsOfJoinExec = copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node onto its exec. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, ts, key) =>
+      AsOfJoinExec(planLater(l), planLater(r), ts, key) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API for the custom operator. */
+object AsOf {
+  /** As-of join two frames on the positional contract (uid, ts,
+    * payload/key). Idempotently installs the planner strategy in the
+    * session (also injectable via `GraftExtensions`).
+    */
+  def join(spark: SparkSession, probe: DataFrame, build: DataFrame): DataFrame = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    GraftSqlShim.ofRows(spark,
+      AsOfJoin(GraftSqlShim.logicalPlan(probe), GraftSqlShim.logicalPlan(build)))
+  }
+}

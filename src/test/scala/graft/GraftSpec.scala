@@ -313,6 +313,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "register build must map-side combine")
   }
 
+  test("custom AsOfJoinExec plans with engine-inserted exchanges and matches the composed form") {
+    import graft.operators.Reports
+    val custom = Reports.asofEventOrderCustom(spark, TestSpark.sf)
+    val plan = physicalPlan(custom)
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsOfJoin"), "custom exec not in the plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length >= 2,
+      "EnsureRequirements should cluster both sides on the user key")
+    val composed = Reports.asofEventOrder(spark, TestSpark.sf)
+    assert(custom.collect().toSeq == composed.collect().toSeq)
+  }
+
   test("salted aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     val direct = graft.core.Tables(spark, TestSpark.sf).lineitem
