@@ -520,7 +520,11 @@ object Analytics {
     // collect_lists (a user's event history is small and bounded), and
     // the dependent stage mins (t2 > t1, t3 > t2, each within 7 days)
     // are per-row array math — no stage joins, no re-scans. The
-    // singleton final agg then reduces users map-side.
+    // singleton final agg then reduces users map-side. Cardinality
+    // caveat: the arrays hold one entry per click/purchase PER USER —
+    // bounded by per-user activity, not corpus size. For a pathological
+    // key whose history can't sit in one task, fall back to the staged
+    // join formulation (git history, round-3) at O(rows) shuffle.
     val stage = Tables(spark, dir).events
       .groupBy(col("user_id"))
       .agg(

@@ -136,6 +136,15 @@ object AsOf {
     * session (also injectable via `GraftExtensions`).
     */
   def join(spark: SparkSession, probe: DataFrame, build: DataFrame): DataFrame = {
+    // the exec reads children positionally as longs — fail at PLAN
+    // time with a typed message instead of garbage reads at runtime
+    def check(df: DataFrame, side: String): Unit = {
+      val fields = df.schema.fields
+      require(fields.length == 3 && fields.forall(_.dataType == LongType),
+        s"AsOf.join $side side must be exactly (uid: Long, ts: Long, value: Long); " +
+          s"got ${df.schema.simpleString}")
+    }
+    check(probe, "probe"); check(build, "build")
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
