@@ -112,6 +112,34 @@ object Reports {
       |      FROM orders, b)
       |SELECT bin, count(*) AS n_rows FROM h GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Ordered list aggregation (the dbt-style "export a delimited list
+    * per entity" shape): distinct high-balance customer nations per
+    * segment as a sorted CSV. Sort-then-join makes the concatenation
+    * order-deterministic (a bare collect_list is shuffle-order
+    * dependent — never expose one unsorted); the distinct pre-step
+    * keeps the collected arrays bounded by the dim domain, not row
+    * count.
+    */
+  def listaggExport(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.filter(col("c_acctbal") > 9500)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment"), col("n_name")).distinct()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations_csv"))
+      .orderBy("c_mktsegment")
+  }
+
+  val listaggExportSql: String =
+    """WITH x AS (SELECT DISTINCT c_mktsegment, n_name
+      |           FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |           WHERE c_acctbal > 9500)
+      |SELECT c_mktsegment, count(*) AS n_nations,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-group z-score outlier detection (|z| > 2 on event values per
     * type) — the statistical data-quality primitive. Group moments
     * come from ONE pass of exact decimal sums (Σx, Σx², both

@@ -194,6 +194,19 @@ class SourcesStreamRound3Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("parquet reader merges evolved schemas across file generations") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // generation 1: (id, name); generation 2 adds a column
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$tmp/t/g1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$tmp/t/g2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/t/g1", s"$tmp/t/g2")
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // old-generation rows surface the new column as null
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+  }
+
   test("ORC sink/reader round-trips with explicit schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
