@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_rademacher"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.RademacherSketch(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_rolling_hashes"),
+      new ExpressionInfo(classOf[graft.functions.RollingHashes].getName,
+        "graft_rolling_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RollingHashes(exprs.head)))
     e.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "graft_topk"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -91,6 +96,7 @@ object GraftSession {
     graft.functions.SortedHashes.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
     graft.functions.RademacherSketch.register(spark)
+    graft.functions.RollingHashes.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

@@ -268,6 +268,74 @@ object RademacherSketch {
       "graft_rademacher", exprs => RademacherSketch(exprs.head), "scala_udf")
 }
 
+/** True rolling-hash (Rabin–Karp) document fingerprints: polynomial
+  * hashes of every K-byte window, computed in ONE O(n) pass (each
+  * slide removes the outgoing byte via the precomputed B^(K−1) term —
+  * the property that makes this viable over 100 TB of text, vs the
+  * O(n·K) naive per-window hash), then mod-p sampled (keep h ≡ 0
+  * mod 64 — Broder-style content-defined selection, so the same
+  * content yields the same fingerprints regardless of where it moves
+  * in the document). Output = the sorted distinct sampled hashes.
+  *
+  * All arithmetic is mod the Mersenne prime 2^31−1 with operands
+  * < 2^40 — exact in a long, and exactly reproducible in the DuckDB
+  * oracle (which re-derives each window's polynomial via
+  * `list_reduce`; same values, different asymptotics).
+  */
+case class RollingHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import RollingHashes._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (n >= K) {
+      // hash of the first window
+      var h = 0L
+      var j = 0
+      while (j < K) { h = (h * B + (bytes(j) & 0xffL)) % P; j += 1 }
+      if (h % SampleMod == 0) out.add(h)
+      // slide: drop the outgoing byte's B^(K-1) term, shift, add incoming
+      var i = K
+      while (i < n) {
+        val outByte = bytes(i - K) & 0xffL
+        h = (((h - outByte * BK1 % P) % P + P) % P * B + (bytes(i) & 0xffL)) % P
+        if (h % SampleMod == 0) out.add(h)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHashes {
+  val K = 8 // window bytes
+  val B = 256L // polynomial base
+  val P: Long = 2147483647L // Mersenne prime 2^31 − 1 (same family as MinHashSig)
+  val SampleMod = 64L // keep ~1/64 of windows (content-defined)
+  /** B^(K−1) mod P — the outgoing byte's positional weight. */
+  val BK1: Long = {
+    var v = 1L
+    for (_ <- 1 until K) v = v * B % P
+    v
+  }
+
+  /** Register `graft_rolling_hashes(text)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hashes", exprs => RollingHashes(exprs.head), "scala_udf")
+}
+
 /** 64-permutation MinHash signature of a shingle array.
   *
   * Base hash = md5 word 1 mod the Mersenne prime P = 2^31−1; each

@@ -248,4 +248,39 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
       |  md5(regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'), '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Rolling-hash (Rabin–Karp) document fingerprints: every 8-byte
+    * window hashed in ONE O(n) pass by the [[graft.functions.RollingHashes]]
+    * expression, mod-64 content-defined sampling, sorted distinct
+    * output. Docs with no sampled window (or shorter than the window)
+    * drop out — mirrored in the oracle, which re-derives each window's
+    * polynomial per position (same values, O(n·K) — the declarative
+    * form the custom expression exists to beat).
+    */
+  def textRollingHashFp(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.RollingHashes.register(spark)
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        call_function("graft_rolling_hashes", col("text")).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_join(transform(col("fps"), _.cast("string")), ",").as("fp_csv"))
+      .orderBy("doc_id")
+  }
+
+  val textRollingHashFpSql: String = {
+    import graft.functions.RollingHashes.{B, K, P, SampleMod}
+    s"""WITH pos AS (
+      |  SELECT doc_id, unnest(range(1, strlen(text) - $K + 2)) AS i, text
+      |  FROM documents WHERE strlen(text) >= $K),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_reduce([CAST(ord(c) AS BIGINT) for c in [substring(text, CAST(i + j AS INTEGER), 1) for j in range($K)]],
+      |      (a, x) -> (a * $B + x) % $P) AS hv
+      |  FROM pos),
+      |fp AS (SELECT DISTINCT doc_id, hv FROM h WHERE hv % $SampleMod = 0)
+      |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_fp,
+      |  string_agg(CAST(hv AS VARCHAR), ',' ORDER BY hv) AS fp_csv
+      |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

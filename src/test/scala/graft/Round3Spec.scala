@@ -148,6 +148,29 @@ class FanoutAnalyticsSpec extends AnyFunSuite {
       !(col("filled_value") <=> col("prev"))).isEmpty)
   }
 
+  test("rolling hash equals per-window polynomial recompute") {
+    import graft.functions.RollingHashes
+    val spark2 = spark
+    import spark2.implicits._
+    RollingHashes.register(spark)
+    val text = "the quick brown fox jumps over the lazy dog and the quick brown fox again"
+    val got = Seq(text).toDF("t")
+      .selectExpr("graft_rolling_hashes(t) AS fps")
+      .collect()(0).getSeq[Long](0)
+    // naive O(n·K) reference
+    val bs = text.getBytes
+    val naive = (0 to bs.length - RollingHashes.K).map { i =>
+      (0 until RollingHashes.K).foldLeft(0L)((a, j) =>
+        (a * RollingHashes.B + (bs(i + j) & 0xffL)) % RollingHashes.P)
+    }.filter(_ % RollingHashes.SampleMod == 0).distinct.sorted
+    assert(got == naive)
+    // repeated content yields identical fingerprints (content-defined)
+    val double = Seq(text + " " + text).toDF("t")
+      .selectExpr("graft_rolling_hashes(t) AS fps")
+      .collect()(0).getSeq[Long](0)
+    assert(got.toSet.subsetOf(double.toSet))
+  }
+
   test("funnel stage counts are monotone non-increasing") {
     val r = Analytics.funnelConversion(spark, sf).collect()(0)
     val (nu, nv, nc, np) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_view"),
