@@ -71,6 +71,43 @@ object Skew {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  private val SaltBuckets = 8
+
+  /** Explicitly salted JOIN for skewed keys: the fact side gets a
+    * deterministic salt (row-key mod R), the dim side is replicated
+    * R ways, and the join runs on (key, salt) — splitting a hot key's
+    * rows across R tasks instead of landing them on one straggler.
+    * This is the manual form of what AQE's skew-join split does at
+    * runtime; it exists for engines/plans where the skew is KNOWN
+    * up front (and as the only option under static planning). The
+    * oracle is the plain unsalted join+agg — the rewrite is provably
+    * invisible in the result.
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val fact = t.lineitem.select(col("l_suppkey"), col("l_orderkey"),
+        (money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).as("rev"))
+      .withColumn("salt", (col("l_orderkey") % SaltBuckets).cast("int"))
+    val dim = t.supplier.select(col("s_suppkey"), col("s_name"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    // hint a sort-merge join: at demo scale the replicated dim would
+    // broadcast (making the salt decorative) — the pattern exists for
+    // the shuffle-join regime, so pin that plan shape here
+    fact.join(dim.hint("merge"),
+        col("l_suppkey") === col("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("s_name")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT s_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
   private val BloomBits = 4096
   private val BloomHashes = 3
 
