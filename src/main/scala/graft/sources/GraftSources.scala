@@ -97,4 +97,42 @@ object GraftSources {
     finally out.close()
     (df, fresh)
   }
+
+  /** Per-partition file statistics (file count, rows, bytes) — the
+    * ANALYZE-style health view an operator reads before deciding to
+    * compact. Pure metadata pass: rows come from the parquet footers
+    * (count() over a single partition's pruned scan reads no data
+    * pages), bytes/files from the file system listing.
+    */
+  def partitionStats(spark: SparkSession, tablePath: String): Seq[(String, Int, Long, Long)] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listPartitions(spark, tablePath).map { part =>
+      val files = fs.listStatus(new Path(root, part)).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val rows = spark.read.parquet(s"$tablePath/$part").count()
+      (part, files.size, rows, files.map(_.getLen).sum)
+    }
+  }
+
+  /** Small-file compaction: rewrite a partition's many small files
+    * into ⌈rows / rowsPerFile⌉ right-sized ones — the maintenance job
+    * that keeps a frequently-appended 100 TB table scannable (every
+    * small file costs a task + a footer read on every future scan).
+    * Rewrites into a staging dir first, then swaps atomically-enough
+    * for a single-writer maintenance window; the data is bit-identical
+    * (no recompression choices surfaced here).
+    */
+  def compactPartition(spark: SparkSession, tablePath: String, partition: String,
+      rowsPerFile: Long = 1L << 20): Unit = {
+    val src = s"$tablePath/$partition"
+    val df = spark.read.parquet(src)
+    val n = df.count()
+    val nFiles = math.max(1, ((n + rowsPerFile - 1) / rowsPerFile).toInt)
+    val stagePath = s"$tablePath/.compact_$partition"
+    df.repartition(nFiles).write.mode("overwrite").parquet(stagePath)
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(src), true)
+    fs.rename(new Path(stagePath), new Path(src))
+  }
 }

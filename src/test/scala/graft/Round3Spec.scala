@@ -217,6 +217,27 @@ class SourcesStreamRound3Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("partition stats + compaction collapse small files, data intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val table = s"$tmp/t"
+    // 40 rows scattered across ~10 small files in one partition
+    val df = spark.range(40).toDF("id")
+      .withColumn("event_date", lit("2024-02-01"))
+      .repartition(10)
+    GraftSources.writePartitioned(df, table, Seq("event_date"))
+    val before = GraftSources.partitionStats(spark, table)
+    assert(before.size == 1 && before.head._2 >= 8 && before.head._3 == 40)
+    GraftSources.compactPartition(spark, table, "event_date=2024-02-01",
+      rowsPerFile = 40)
+    val after = GraftSources.partitionStats(spark, table)
+    assert(after.head._2 == 1, s"expected 1 file after compaction, got ${after.head._2}")
+    assert(after.head._3 == 40)
+    // identical content, partition column preserved by the reader
+    val back = spark.read.parquet(table)
+    assert(back.count() == 40)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (0L until 40L))
+  }
+
   test("parquet reader merges evolved schemas across file generations") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
     // generation 1: (id, name); generation 2 adds a column
