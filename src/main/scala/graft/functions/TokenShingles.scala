@@ -20,6 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Normalization contract (shared with the oracles): lowercase, map
   * `[^a-z0-9 ]` → space, split on space runs, drop empties; docs with
   * fewer than n tokens yield one whole-text shingle.
+  *
+  * Case-mapping caveat: per-char `Character.toLowerCase` matches SQL
+  * `lower()` for ASCII/Latin-1 (all that survives the `[a-z0-9]`
+  * filter anyway); locale-special one-to-many mappings (e.g. İ → i̇)
+  * differ between JVM and SQL, but both sides then space-out the
+  * non-ASCII result, so shingle sets stay aligned.
   */
 case class TokenShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
