@@ -279,6 +279,50 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Scalar int8 quantization of the embedding table: per-dimension
+    * global [min, max] → 256-level codes + per-vector max
+    * reconstruction error — the 4×-compression storage format for
+    * embedding corpora (codes ship in scans; raw floats only for
+    * re-rank). Two passes: one tiny per-dim min/max aggregate
+    * (broadcast back), one map-side encode. Every arithmetic step
+    * (scale, code, reconstruction, abs error, max) has fixed operand
+    * order, so even the float error column hash-matches the oracle.
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "vf")))
+      .select(col("vec_id"), col("d"), col("vf").cast("double").as("v"))
+    val mm = ex.groupBy(col("d"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val scale = (col("hi") - col("lo")) / lit(255.0)
+    val code = least(floor((col("v") - col("lo")) / scale).cast("int"), lit(255))
+    ex.join(broadcast(mm), "d")
+      .select(col("vec_id"), col("d"), col("v"), col("lo"), scale.as("scale"),
+        code.as("code"))
+      .groupBy(col("vec_id"))
+      .agg(
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("d"), col("code")))),
+            s => s.getField("code").cast("string")))).as("codes_md5"),
+        max(abs(col("v") - (col("lo") + col("code") * col("scale")))).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingQuantizeSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INTEGER) AS d,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |mm AS (SELECT d, min(v) AS lo, max(v) AS hi FROM ex GROUP BY d),
+      |q AS (
+      |  SELECT e.vec_id, e.d, e.v, mm.lo, (mm.hi - mm.lo) / 255.0 AS scale,
+      |    least(CAST(floor((e.v - mm.lo) / ((mm.hi - mm.lo) / 255.0)) AS INTEGER), 255) AS code
+      |  FROM ex e JOIN mm ON mm.d = e.d)
+      |SELECT vec_id,
+      |  md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY d)) AS codes_md5,
+      |  max(abs(v - (lo + code * scale))) AS max_abs_err
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   private val NSub = 8 // PQ subspaces over the 64-dim embeddings
   private val Shortlist = 50 // ADC candidates per query fed to the exact re-rank
 

@@ -249,6 +249,35 @@ object TextAnalysis {
       |  md5(regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'), '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Group-wise train/test split: the split decision hashes the GROUP
+    * key (source), not the document — every document of a source lands
+    * in the same split, the standard leakage guard when near-identical
+    * documents cluster within a source (a doc-level split would put
+    * siblings on both sides and leak). Same content-hash determinism
+    * as `train_test_split`: stable under re-runs and repartitioning,
+    * pure map-side.
+    */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("source")), 1, 8), 16, 10)
+      .cast("long") % 100
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        when(bucket < 80, "train").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("split")
+  }
+
+  val groupSplitSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN ('0x'||substr(md5(source),1,8))::BIGINT % 100 < 80
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Rolling-hash (Rabin–Karp) document fingerprints: every 8-byte
     * window hashed in ONE O(n) pass by the [[graft.functions.RollingHashes]]
     * expression, mod-64 content-defined sampling, sorted distinct
