@@ -148,6 +148,34 @@ class FanoutAnalyticsSpec extends AnyFunSuite {
       !(col("filled_value") <=> col("prev"))).isEmpty)
   }
 
+  test("group split keeps every source wholly inside one split") {
+    import graft.operators.TextAnalysis
+    val t = graft.core.Tables(spark, sf)
+    // recompute doc-level assignment and check source purity directly
+    val assigned = t.documents.select(col("source"),
+      (conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long") % 100 < 80)
+        .as("is_train"))
+    assert(assigned.groupBy("source")
+      .agg(countDistinct(col("is_train")).as("n")).filter(col("n") > 1).isEmpty)
+    // and the query's totals cover the whole corpus
+    val out = TextAnalysis.groupSplit(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == t.documents.count())
+  }
+
+  test("int8 quantization reconstruction error is bounded by one step") {
+    import graft.operators.Ann
+    val out = Ann.embeddingQuantize(spark, sf).cache()
+    val t = graft.core.Tables(spark, sf)
+    assert(out.count() == t.embeddings.count())
+    // per-dim step = (hi-lo)/255; global bound = max step over dims
+    val step = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("d").agg(((max(col("v")) - min(col("v"))) / 255.0).as("step"))
+      .agg(max(col("step"))).collect()(0).getDouble(0)
+    assert(out.filter(col("max_abs_err") > step).isEmpty,
+      s"reconstruction error exceeded one quantization step ($step)")
+  }
+
   test("rolling hash equals per-window polynomial recompute") {
     import graft.functions.RollingHashes
     val spark2 = spark
