@@ -295,7 +295,10 @@ object Ann {
     val mm = ex.groupBy(col("d"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val scale = (col("hi") - col("lo")) / lit(255.0)
-    val code = least(floor((col("v") - col("lo")) / scale).cast("int"), lit(255))
+    // a constant dimension (hi = lo) has nothing to encode — code 0,
+    // zero error; without the guard both engines would divide by zero
+    val code = when(col("hi") === col("lo"), 0)
+      .otherwise(least(floor((col("v") - col("lo")) / scale).cast("int"), lit(255)))
     ex.join(broadcast(mm), "d")
       .select(col("vec_id"), col("d"), col("v"), col("lo"), scale.as("scale"),
         code.as("code"))
@@ -316,7 +319,8 @@ object Ann {
       |mm AS (SELECT d, min(v) AS lo, max(v) AS hi FROM ex GROUP BY d),
       |q AS (
       |  SELECT e.vec_id, e.d, e.v, mm.lo, (mm.hi - mm.lo) / 255.0 AS scale,
-      |    least(CAST(floor((e.v - mm.lo) / ((mm.hi - mm.lo) / 255.0)) AS INTEGER), 255) AS code
+      |    CASE WHEN mm.hi = mm.lo THEN 0
+      |         ELSE least(CAST(floor((e.v - mm.lo) / ((mm.hi - mm.lo) / 255.0)) AS INTEGER), 255) END AS code
       |  FROM ex e JOIN mm ON mm.d = e.d)
       |SELECT vec_id,
       |  md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY d)) AS codes_md5,

@@ -98,9 +98,12 @@ object Reports {
     val o = Tables(spark, dir).orders.select(col("o_totalprice"))
     val bounds = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
     o.crossJoin(broadcast(bounds))
-      .select(least(
+      // degenerate range (all values equal) → everything in bin 0;
+      // without the guard the bin division is 0/0 on both engines
+      .select(when(col("hi") === col("lo"), 0)
+        .otherwise(least(
           floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0))).cast("int"),
-          lit(19)).as("bin"))
+          lit(19))).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy("bin")
@@ -108,7 +111,8 @@ object Reports {
 
   val histogramPriceSql: String =
     """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
-      |h AS (SELECT CAST(least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS INTEGER), 19) AS INTEGER) AS bin
+      |h AS (SELECT CAST(CASE WHEN hi = lo THEN 0
+      |        ELSE least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS INTEGER), 19) END AS INTEGER) AS bin
       |      FROM orders, b)
       |SELECT bin, count(*) AS n_rows FROM h GROUP BY bin ORDER BY bin""".stripMargin
 
