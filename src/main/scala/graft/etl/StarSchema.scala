@@ -170,6 +170,12 @@ object StarSchema {
     * distinct + generate_surrogate_key over all of them).
     */
   def dimSessionContext(spark: SparkSession, dir: String): DataFrame =
+    dimSessionContextRaw(spark, dir)
+      .orderBy("customer_source_id", "event_type", "prop_k")
+
+  // dimSessionContext without the deterministic ORDER BY (the fact
+  // build joins this; a sort below a join is wasted work)
+  private def dimSessionContextRaw(spark: SparkSession, dir: String): DataFrame =
     stgEventsRaw(spark, dir)
       .filter(col("customer_source_id").isNotNull || col("event_type").isNotNull)
       .select(col("customer_source_id"), col("event_type"), col("prop_k"))
@@ -178,7 +184,6 @@ object StarSchema {
         surrogateKey(col("customer_source_id"), col("event_type"), col("prop_k"))
           .as("session_context_key"),
         col("customer_source_id"), col("event_type"), col("prop_k"))
-      .orderBy("customer_source_id", "event_type", "prop_k")
 
   // stgEvents without the deterministic ORDER BY (for internal reuse)
   private def stgEventsRaw(spark: SparkSession, dir: String): DataFrame =
@@ -222,11 +227,24 @@ object StarSchema {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |ORDER BY location_source_id""".stripMargin
 
-  /** Fact build: line-grain sales fact, 4 dimensions broadcast
-    * left-joined, unmatched keys coalesced to '-1' (reference:
-    * `models/facts/fact_sales_order.sql:34-38` coalesce fallbacks,
-    * `:53-76` the dim left-join chain). The dims are broadcast so
-    * this is a map-only stage over lineitem⋈orders at any scale.
+  /** Fact build: line-grain sales fact, 5 dimensions broadcast
+    * left-joined — product/customer/location/date on single keys plus
+    * `dim_session_context` on its full composite key — unmatched keys
+    * coalesced to '-1' (reference:
+    * `models/facts/fact_sales_order.sql:34-39` coalesce fallbacks,
+    * `:53-76` the dim left-join chain, `:83-91` the composite-key
+    * session-context join). The dims are broadcast so this is a
+    * map-only stage over lineitem⋈orders at any scale.
+    *
+    * The reference's staging rows carry the session attributes
+    * themselves; here the fact source has no event link, so the
+    * fact-side composite is the customer's canonical purchase context
+    * (event_type='purchase', min prop_k over their purchase events) —
+    * customers who never purchased resolve to '-1', exactly the
+    * reference's unmatched-context branch. The events aggregation this
+    * needs lives on the BROADCAST BUILD side (its output is
+    * customer-cardinality); the fact stream itself still never
+    * shuffles.
     */
   def factSales(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -248,6 +266,14 @@ object StarSchema {
     val dl = t.nation.select(surrogateKey(col("n_nationkey")).as("location_key"),
       col("n_nationkey").cast("string").as("location_source_id"))
     val dd = dimDate(spark, dir).select(col("date_key"), col("full_date"))
+    // the fact-side composite: one row per purchasing customer
+    val pctx = stgEventsRaw(spark, dir)
+      .filter(col("event_type") === "purchase" && col("customer_source_id").isNotNull)
+      .groupBy(col("customer_source_id").as("ctx_cust"))
+      .agg(min(col("prop_k")).as("ctx_k"))
+      .withColumn("ctx_type", lit("purchase"))
+    val dsc = dimSessionContextRaw(spark, dir)
+      .toDF("session_context_key", "sc_cust", "sc_type", "sc_k")
 
     li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
@@ -255,11 +281,15 @@ object StarSchema {
       .join(broadcast(dc), col("o_custkey").cast("string") === col("customer_source_id"), "left")
       .join(broadcast(dl), col("c_nationkey").cast("string") === col("location_source_id"), "left")
       .join(broadcast(dd), col("o_orderdate").cast("date").cast("string") === col("full_date"), "left")
+      .join(broadcast(pctx), col("o_custkey").cast("string") === col("ctx_cust"), "left")
+      .join(broadcast(dsc), col("ctx_cust") === col("sc_cust") &&
+        col("ctx_type") === col("sc_type") && col("ctx_k") === col("sc_k"), "left")
       .select(
         surrogateKey(col("l_orderkey"), col("l_linenumber")).as("sales_order_key"),
         coalesce(col("product_key"), lit("-1")).as("product_key"),
         coalesce(col("customer_key"), lit("-1")).as("customer_key"),
         coalesce(col("location_key"), lit("-1")).as("location_key"),
+        coalesce(col("session_context_key"), lit("-1")).as("session_context_key"),
         coalesce(col("date_key"), lit(-1)).as("date_key"),
         col("l_extendedprice").as("sales_amount"),
         col("l_quantity").as("quantity"),
@@ -278,12 +308,28 @@ object StarSchema {
       |  SELECT CAST(strftime(CAST(d AS DATE), '%Y%m%d') AS INT) AS date_key, CAST(d AS DATE) AS full_date
       |  FROM (SELECT unnest(generate_series(CAST(CAST(min(o_orderdate) AS DATE) - INTERVAL 30 DAY AS TIMESTAMP),
       |                                      CAST(CAST(max(o_orderdate) AS DATE) + INTERVAL 30 DAY AS TIMESTAMP),
-      |                                      INTERVAL 1 DAY)) AS d FROM orders))
+      |                                      INTERVAL 1 DAY)) AS d FROM orders)),
+      |stg AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS customer_source_id, event_type,
+      |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS prop_k
+      |  FROM events),
+      |pctx AS (
+      |  SELECT customer_source_id AS ctx_cust, 'purchase' AS ctx_type, min(prop_k) AS ctx_k
+      |  FROM stg WHERE event_type = 'purchase' AND customer_source_id IS NOT NULL
+      |  GROUP BY customer_source_id),
+      |dsc AS (
+      |  SELECT md5(concat_ws('-', coalesce(customer_source_id, '_null_'),
+      |                            coalesce(event_type, '_null_'),
+      |                            coalesce(CAST(prop_k AS VARCHAR), '_null_'))) AS session_context_key,
+      |    customer_source_id AS sc_cust, event_type AS sc_type, prop_k AS sc_k
+      |  FROM (SELECT DISTINCT customer_source_id, event_type, prop_k FROM stg
+      |        WHERE customer_source_id IS NOT NULL OR event_type IS NOT NULL) d)
       |SELECT
       |  md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS sales_order_key,
       |  coalesce(md5(CAST(l_partkey AS VARCHAR)), '-1') AS product_key,
       |  coalesce(md5(CAST(o_custkey AS VARCHAR)), '-1') AS customer_key,
       |  coalesce(md5(CAST(c_nationkey AS VARCHAR)), '-1') AS location_key,
+      |  coalesce(dsc.session_context_key, '-1') AS session_context_key,
       |  coalesce(dd.date_key, -1) AS date_key,
       |  l_extendedprice AS sales_amount,
       |  l_quantity AS quantity,
@@ -295,6 +341,9 @@ object StarSchema {
       |LEFT JOIN customer ON o_custkey = c_custkey
       |LEFT JOIN part ON CAST(l_partkey AS VARCHAR) = CAST(p_partkey AS VARCHAR)
       |LEFT JOIN dd ON CAST(o_orderdate AS DATE) = dd.full_date
+      |LEFT JOIN pctx ON CAST(o_custkey AS VARCHAR) = pctx.ctx_cust
+      |LEFT JOIN dsc ON pctx.ctx_cust = dsc.sc_cust AND pctx.ctx_type = dsc.sc_type
+      |             AND pctx.ctx_k = dsc.sc_k
       |ORDER BY order_source_id, line_number, product_key, sales_amount, quantity""".stripMargin
 
   /** SCD Type-2 history (reference: the dbt project's `snapshots/`

@@ -115,12 +115,15 @@ object Dedup {
           expr("least(na - pa, nb - pb) >= (na + nb + 2) div 3"))
       .select(col("i"), col("j")).distinct()
     val jac = col("n_common").cast("double") / col("n_union").cast("double")
-    // the per-doc fingerprint table is small relative to the candidate
-    // pair stream — broadcast it so verification never shuffles the
-    // set arrays
+    // verification joins are plain shuffle joins on doc id: the
+    // fingerprint table is CORPUS-sized (one row per doc), so a static
+    // broadcast of it is an executor OOM at 100 TB. Left unhinted, the
+    // join shuffles only the (tiny) candidate id stream plus the
+    // fingerprints — and AQE still promotes to broadcast at small SF
+    // where the table genuinely fits.
     candidates
-      .join(broadcast(hs.toDF("i", "hv_i")), "i")
-      .join(broadcast(hs.toDF("j", "hv_j")), "j")
+      .join(hs.toDF("i", "hv_i"), "i")
+      .join(hs.toDF("j", "hv_j"), "j")
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
         call_function("graft_sorted_intersect", col("hv_i"), col("hv_j")).as("n_common"),
         (size(col("hv_i")) + size(col("hv_j"))).as("szsum"))
@@ -182,9 +185,11 @@ object Dedup {
     // n², so this is cheap and avoids a second full shingle self-join)
     val hv = hashedSets(spark, dir)
     val jac = col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
+    // plain shuffle joins (no broadcast hint): hv is corpus-sized —
+    // see the dedupNgramJaccard verification comment
     candidates
-      .join(broadcast(hv.toDF("i", "hv_i")), "i")
-      .join(broadcast(hv.toDF("j", "hv_j")), "j")
+      .join(hv.toDF("i", "hv_i"), "i")
+      .join(hv.toDF("j", "hv_j"), "j")
       .select(col("i"), col("j"),
         call_function("graft_sorted_intersect", col("hv_i"), col("hv_j")).as("n_common"),
         size(col("hv_i")).as("na"), size(col("hv_j")).as("nb"))
@@ -243,16 +248,35 @@ object Dedup {
     * computes the same components with a recursive CTE over the same
     * minhash pair set.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // the pair graph is tiny relative to the corpus (only docs with a
-    // near-dup), so collapse it to one partition: each propagation
-    // round becomes a single-task job instead of a 32-partition
-    // shuffle, and the convergence check rides the same pass. At
-    // larger component counts the same loop runs un-coalesced.
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     // pairs come from the minhash-LSH path — the candidate generator
     // that survives 100 TB (sub-quadratic banding)
-    val pairs = dedupMinHashLsh(spark, dir)
-      .select(col("doc_a"), col("doc_b")).repartition(1).cache()
+    labelPropagate(dedupMinHashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Below this many near-dup pairs the graph collapses to a single
+    * partition and each round's label frame rides a broadcast (one
+    * single-task job per round, no 32-partition exchanges). Above it —
+    * a 100 TB web corpus easily clears it — the same loop runs fully
+    * partitioned: shuffle joins keyed by doc id, no repartition(1)
+    * straggler, no label broadcast.
+    */
+  private[graft] val SmallGraphPairCap = 1000000L
+
+  /** Iterative min-label connected components over an undirected pair
+    * list, layout-selected by observed pair count (see
+    * [[SmallGraphPairCap]]). `forcePartitioned` pins the at-scale
+    * branch for tests.
+    */
+  private[graft] def labelPropagate(pairList: DataFrame,
+      forcePartitioned: Boolean = false): DataFrame = {
+    val counted = pairList.cache()
+    // ONE scalar crosses the driver (the layout decision), same as the
+    // converged flag below — no graph data ever reaches the driver
+    val small = !forcePartitioned && counted.count() <= SmallGraphPairCap
+    val pairs = if (small) counted.repartition(1).cache() else counted
+    // small graph: broadcast the per-round frames (map-only rounds);
+    // large graph: leave joins unhinted so they shuffle on doc id
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
@@ -265,14 +289,12 @@ object Dedup {
     // below rather than silently returning partial labels.
     val maxRounds = 50
     while (!converged && rounds < maxRounds) {
-      // the label/partial frames are tiny — broadcast them so each
-      // round is a map-only pass with no 32-partition exchanges
       val neighborMin = edges
-        .join(broadcast(labels), edges("doc_b") === labels("doc_id"))
+        .join(hinted(labels), edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
       val updated = labels.as("l")
-        .join(broadcast(neighborMin.as("n")), Seq("doc_id"), "left")
+        .join(hinted(neighborMin.as("n")), Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("old_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))

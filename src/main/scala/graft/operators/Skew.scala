@@ -134,16 +134,31 @@ object Skew {
     val hashes = explode(sequence(lit(0), lit(BloomHashes - 1))).as("i")
     val dim = t.customer.filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val bits = dim.select(hashes, col("c_custkey"))
+    // build side: fold the dim keys' bit positions into ONE row — a
+    // word→mask map covering all 4096 bits (≤64 entries, ~1 KB). All
+    // exchanges here touch only the dim side; the size is O(m) no
+    // matter how large the dim grows.
+    val bitmap = dim.select(hashes, col("c_custkey"))
       .select(position(col("i"), col("c_custkey")).as("b")).distinct()
+      .groupBy(expr("CAST(b DIV 64 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT)))").as("mask"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bm"))
+    // probe side: the fact stream NEVER shuffles before the membership
+    // test — the one-row bitmap rides a broadcast and all k positions
+    // are checked in a single map-side conjunction (no explode, no
+    // groupBy of the fact). This is the runtime-filter shape that
+    // prunes a 100 TB scan down to probable matches BEFORE any
+    // exchange.
+    def hit(p: String): Column = expr(
+      s"(shiftright(coalesce(try_element_at(bm, CAST($p DIV 64 AS INT)), CAST(0 AS BIGINT)), " +
+        s"CAST($p % 64 AS INT)) & 1) = 1")
     val probe = t.orders.select(col("o_orderkey"), col("o_custkey"))
-      .select(col("o_orderkey"), col("o_custkey"), hashes)
-      .select(col("o_orderkey"), col("o_custkey"),
-        position(col("i"), col("o_custkey")).as("b"))
-    val passed = probe.join(broadcast(bits), "b")
-      .groupBy(col("o_orderkey"))
-      .agg(any_value(col("o_custkey")).as("o_custkey"), count(lit(1)).as("nhit"))
-      .filter(col("nhit") === BloomHashes)
+      .crossJoin(broadcast(bitmap))
+    val withPos = (0 until BloomHashes).foldLeft(probe) { (df, i) =>
+      df.withColumn(s"p$i", position(lit(i), col("o_custkey")))
+    }
+    val passed = withPos
+      .filter((0 until BloomHashes).map(i => hit(s"p$i")).reduce(_ && _))
       .select(col("o_orderkey"), col("o_custkey"))
     passed.join(broadcast(dim.select(col("c_custkey").as("o_custkey"),
           lit(1).as("tm"))), Seq("o_custkey"), "left")

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 scale-hardening: the "correct but wrong plan at 100 TB"
+  * items — plan-shape regressions pinning the de-broadcast dedup
+  * verification, the map-side Bloom prune, the layout-selected
+  * cluster loop, and the 5-dim fact build.
+  */
+class ScaleShapeSpec extends AnyFunSuite {
+  import graft.operators.{Dedup, Skew}
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def broadcastHints(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }.size
+
+  test("dedup verification joins carry no static broadcast of the fingerprint table") {
+    // the per-doc fingerprint table is corpus-sized; a broadcast hint
+    // on it is an executor OOM at 100 TB. The STATIC plan must leave
+    // the verification joins unhinted (AQE may still promote them at
+    // small SF — that's the point: runtime-sized, not hard-coded).
+    assert(broadcastHints(Dedup.dedupNgramJaccard(spark, sf)) == 0,
+      "ngram-jaccard verification must not statically broadcast")
+    assert(broadcastHints(Dedup.dedupMinHashLsh(spark, sf)) == 0,
+      "minhash-lsh verification must not statically broadcast")
+  }
+
+  test("bloom_prune membership test is map-side (no fact-side aggregate or explode)") {
+    val df = Skew.bloomPrune(spark, sf)
+    // the old shape exploded the fact x3 and re-grouped it by
+    // o_orderkey — a bigger shuffle than the join it replaces
+    val factAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+        if a.groupingExpressions.exists(_.references.exists(_.name == "o_orderkey")) => a
+    }
+    assert(factAggs.isEmpty, "fact stream must not be re-aggregated by o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    // the 1-row bitmap rides a broadcast nested-loop join; the probe
+    // side reaches the membership filter with zero exchanges
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "bitmap must join as a one-row broadcast")
+  }
+
+  test("bloom_prune passes exactly the all-positions-set orders") {
+    // semantic re-check of the rewrite: every dim key must pass its
+    // own filter (no false negatives), and every passing row has all 3
+    // positions set (verified implicitly by is_true_match coverage)
+    val out = Skew.bloomPrune(spark, sf).cache()
+    val t = graft.core.Tables(spark, sf)
+    val trueMatches = t.orders.join(
+      t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(out.filter(col("is_true_match") === 1).count() == trueMatches,
+      "bloom filter must never drop a true match")
+    assert(out.count() >= trueMatches)
+    out.unpersist()
+  }
+
+  test("labelPropagate partitioned branch matches the coalesced branch") {
+    import spark.implicits._
+    // chain (diameter 3) + triangle + isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val part = Dedup.labelPropagate(pairs, forcePartitioned = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val small = Dedup.labelPropagate(pairs, forcePartitioned = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(part == expected)
+    assert(small == expected)
+  }
+
+  test("fact_sales joins five dimensions broadcast, incl. composite session context") {
+    val f = graft.etl.StarSchema.factSales(spark, sf)
+    val plan = f.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 6, s"expected >=6 broadcast joins, got $broadcasts")
+    // both context branches must be live on this data: purchasing
+    // customers resolve a real key, the rest coalesce to '-1'
+    val keys = f.select("session_context_key").cache()
+    assert(keys.filter(col("session_context_key") === "-1").count() > 0)
+    assert(keys.filter(col("session_context_key") =!= "-1").count() > 0)
+    keys.unpersist()
+  }
+}
