@@ -31,7 +31,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the JSON line must survive a tail-truncated capture: persist it
+    // to a file, print it once before shutdown, and print it again as
+    // the very last line (spark.stop() logs after the first print)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -31,11 +31,27 @@ object Graph {
   private val Iters = 5
   private val TopK = 20
 
+  /** Above this many nodes the per-iteration rank-state broadcast
+    * (O(nodes) bytes to every executor, every round) stops being an
+    * optimization: the loop switches to the co-partitioned join, where
+    * the cached edge list keeps its hash(src) layout across all
+    * iterations and only the (node, rank) state — the small side —
+    * shuffles each round.
+    */
+  private[graft] val BroadcastNodeCap = 5000000L
+
   /** Top-20 PageRank nodes. Node encoding: customer c → 2c,
     * supplier s → 2s+1 (disjoint integer id spaces, no string keys in
     * the shuffle).
     */
-  def pagerankTopk(spark: SparkSession, dir: String): DataFrame = {
+  def pagerankTopk(spark: SparkSession, dir: String): DataFrame =
+    pagerank(spark, dir, forceCopartition = false)
+
+  /** `forceCopartition` pins the at-scale branch for tests; the
+    * default selects by node count (see [[BroadcastNodeCap]]).
+    */
+  private[graft] def pagerank(spark: SparkSession, dir: String,
+      forceCopartition: Boolean): DataFrame = {
     val t = Tables(spark, dir)
     // orders⋈lineitem stays a shuffle join on purpose: at scale BOTH
     // sides are fact-sized (AQE will still broadcast if one side turns
@@ -51,27 +67,36 @@ object Graph {
     val raw = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
     val deg = raw.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val edges = raw
-      .join(deg.toDF("src", "deg_src"), "src")
-      .select(col("src"), col("dst"), col("deg_src"))
-      .cache()
     // every node has degree ≥ 1 and appears on both edge sides
     // (symmetric closure), so there are no dangling nodes to handle.
     // N is ONE scalar pulled once for the teleport constant (like the
     // dedupClusters converged flag — no graph data crosses the driver);
     // math.floor on doubles = the oracle's floor(CAST ... AS DOUBLE).
     val n = deg.count()
+    val copartition = forceCopartition || n > BroadcastNodeCap
+    val edgesFlat = raw
+      .join(deg.toDF("src", "deg_src"), "src")
+      .select(col("src"), col("dst"), col("deg_src"))
+    // co-partitioned branch: bake hash(src) partitioning INTO the
+    // cached edges once — InMemoryRelation preserves the child's
+    // outputPartitioning, so every iteration's src=node join reuses it
+    // and only the rank state shuffles
+    val edges = (if (copartition) edgesFlat.repartition(col("src")) else edgesFlat)
+      .cache()
     val teleport = math.floor(0.15 * Scale.toDouble / n.toDouble).toLong
     var state = deg.select(col("node"), lit(Scale / n).as("r")).cache()
     for (_ <- 1 to Iters) {
-      // rank state (one row per node) is ≪ the edge list — broadcast
-      // it so each iteration streams the cached edges map-side with
-      // ONE shuffle (the partial-aggregated contribution groupBy). At
-      // node counts past broadcast range, drop the hint and
-      // pre-partition `edges` by src instead (co-partitioned join,
-      // same single shuffle).
+      // small graphs: rank state (one row per node) is ≪ the edge
+      // list — broadcast it so each iteration streams the cached edges
+      // map-side with ONE shuffle (the partial-aggregated contribution
+      // groupBy), and the broadcast build doubles as the per-iteration
+      // materialization barrier. Large graphs: plain join against the
+      // pre-partitioned edges (state shuffles, edges don't), with an
+      // explicit count() barrier so the loop doesn't fuse into one
+      // deep DAG that Catalyst re-optimizes end to end.
+      val stateSide = if (copartition) state else broadcast(state)
       val next = edges
-        .join(broadcast(state), edges("src") === state("node"))
+        .join(stateSide, edges("src") === state("node"))
         .select(col("dst"), expr("r div deg_src").as("cm"))
         .groupBy(col("dst"))
         .agg(sum(col("cm")).as("contrib"))
@@ -79,6 +104,7 @@ object Graph {
           (lit(teleport) +
             expr("CAST(floor(CAST(0.85 AS DOUBLE) * CAST(contrib AS DOUBLE)) AS BIGINT)")).as("r"))
         .cache()
+      if (copartition) next.count()
       state = next
     }
     state.select(col("node"), col("r").as("rank_q12"))

@@ -249,6 +249,31 @@ object Reports {
         max(col("o_totalprice")).as("max_price"))
       .orderBy("o_orderpriority")
 
+  /** Scale path for [[quantileProfile]]: `approx_percentile`
+    * (Greenwald-Khanna) instead of exact `percentile`. Exact
+    * `percentile` buffers EVERY group value in executor memory — a
+    * skewed group at 100 TB is an OOM — while the GK sketch is
+    * O(accuracy·log n) per group, partial-aggregates map-side, and
+    * guarantees rank error ≤ n/accuracy (unit-tested against the exact
+    * form). Use [[quantileProfile]] when the gate needs engine-exact
+    * interpolated values (it remains the DuckDB-oracled query); use
+    * this form for production profiling at scale. Returned values are
+    * actual data elements (GK picks a member, it does not interpolate).
+    */
+  def quantileProfileApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr(s"approx_percentile(o_totalprice, 0.25, $accuracy)").as("p25"),
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(o_totalprice, 0.75, $accuracy)").as("p75"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("p90"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderpriority")
+
   val quantileProfileSql: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
       |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

@@ -78,6 +78,17 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(small == expected)
   }
 
+  test("pagerank co-partitioned branch is bit-identical to the broadcast branch") {
+    // the integer rank grid makes the fixed point exact, so the two
+    // layouts must agree to the last unit — any divergence means the
+    // at-scale branch computes a different graph
+    val bcast = graft.operators.Graph.pagerank(spark, sf, forceCopartition = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val copart = graft.operators.Graph.pagerank(spark, sf, forceCopartition = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bcast == copart)
+  }
+
   test("fact_sales joins five dimensions broadcast, incl. composite session context") {
     val f = graft.etl.StarSchema.factSales(spark, sf)
     val plan = f.queryExecution.executedPlan.toString
@@ -89,5 +100,74 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(keys.filter(col("session_context_key") === "-1").count() > 0)
     assert(keys.filter(col("session_context_key") =!= "-1").count() > 0)
     keys.unpersist()
+  }
+}
+
+/** Round-4 additions: the approx-quantile scale path, idempotent
+  * partition overwrite, and the length-prefixed binary record source.
+  */
+class Round4SourcesSpec extends AnyFunSuite {
+  import graft.sources.GraftSources
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("quantileProfileApprox respects the GK rank-error bound vs exact") {
+    val accuracy = 10000
+    val approx = graft.operators.Reports.quantileProfileApprox(spark, sf, accuracy)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val groups = graft.core.Tables(spark, sf).orders
+      .select("o_orderpriority", "o_totalprice").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        k -> rows.map(_.getDouble(1)).sorted }
+    for ((prio, sortedVals) <- groups; (q, v) <- qs.zip(approx(prio))) {
+      val n = sortedVals.length
+      // GK guarantee: the returned element's rank is within n/accuracy
+      // of the target rank (ties widen the valid rank interval)
+      val lo = sortedVals.count(_ < v) + 1
+      val hi = sortedVals.count(_ <= v)
+      val target = q * n
+      val err = if (target < lo) lo - target else if (target > hi) target - hi else 0.0
+      assert(err <= n.toDouble / accuracy + 1.0,
+        s"$prio q=$q: value $v rank [$lo,$hi] vs target $target (n=$n)")
+      assert(sortedVals.contains(v), "approx_percentile must return a data element")
+    }
+  }
+
+  test("overwritePartition replaces one partition idempotently, leaves others intact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ovw").toString + "/t"
+    GraftSources.writePartitioned(
+      Seq((1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")).toDF("id", "v", "day"),
+      root, Seq("day"))
+    val replay = Seq((1, "a2"), (9, "z")).toDF("id", "v")
+    GraftSources.overwritePartition(spark, replay, root, "day=d1")
+    def read() = spark.read.option("basePath", root).parquet(root)
+      .select("id", "v", "day").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    val after = read()
+    assert(after == Set((1, "a2", "d1"), (9, "z", "d1"), (3, "c", "d2")))
+    // replaying the same partition again changes nothing (idempotent)
+    GraftSources.overwritePartition(spark, replay, root, "day=d1")
+    assert(read() == after)
+    // and no staging leftovers
+    assert(GraftSources.listPartitions(spark, root) == Seq("day=d1", "day=d2"))
+  }
+
+  test("binaryRecords round-trips length-prefixed payloads across files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    val recs1 = Seq("""{"id":1,"name":"ada"}""", """{"id":2,"name":"bob"}""")
+      .map(_.getBytes("UTF-8"))
+    val recs2 = Seq("""{"id":3,"name":"cyd"}""").map(_.getBytes("UTF-8"))
+    GraftSources.writeBinaryRecords(spark, recs1, s"$dir/part0.bin")
+    GraftSources.writeBinaryRecords(spark, recs2, s"$dir/part1.bin")
+    val raw = GraftSources.binaryRecords(spark, s"$dir/*.bin")
+    assert(raw.count() == 3)
+    val payloads = raw.collect().map(r => new String(r.getAs[Array[Byte]]("record"), "UTF-8")).toSet
+    assert(payloads == (recs1 ++ recs2).map(new String(_, "UTF-8")).toSet)
+    val typed = GraftSources.binaryRecordsJson(spark, s"$dir/*.bin",
+      org.apache.spark.sql.types.StructType.fromDDL("id INT, name STRING"))
+    assert(typed.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "ada"), (2, "bob"), (3, "cyd")))
   }
 }
