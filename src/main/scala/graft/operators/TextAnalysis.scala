@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.GraftFunctions.normTokens
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM-training-data pipeline over the
@@ -312,4 +313,124 @@ object TextAnalysis {
       |  string_agg(CAST(hv AS VARCHAR), ',' ORDER BY hv) AS fp_csv
       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  private val ContamWidth = 8 // token n-gram width for overlap detection
+
+  /** Benchmark decontamination: test-split docs sharing ≥1 8-gram with
+    * any train-split doc (the standard n-gram-overlap contamination
+    * check an LLM training pipeline runs between its corpus and its
+    * eval sets). Split = the same deterministic content-hash assignment
+    * as [[trainTestSplit]].
+    *
+    * Scale shape: per-doc distinct 8-gram shingles (one-pass
+    * TokenShingles expression, map-side), reduced to 56-bit md5-word
+    * keys so the shuffle carries 8-byte keys instead of 8-token
+    * strings; train×test overlap is ONE equi-join on the shingle hash
+    * (work ∝ actually-colliding n-grams, never |train|×|test|), then a
+    * per-test-doc count aggregation. The same md5-word family as the
+    * sketch suite, so any hash collision affects both engines
+    * identically — the result stays bit-reproducible in the oracle.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenShingles.register(spark)
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100)
+    val sh = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        when(bucket < 90, "train").otherwise("test").as("split"),
+        explode(call_function("graft_shingles", col("text"), lit(ContamWidth))).as("s"))
+      .select(col("doc_id"), col("split"),
+        conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("h"))
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("h")).distinct()
+    val test = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("h"))
+    test.join(train, "h")
+      .groupBy(col("test_doc"))
+      .agg(countDistinct(col("h")).as("n_shared_shingles"),
+        countDistinct(col("train_doc")).as("n_train_docs"))
+      .orderBy("test_doc")
+  }
+
+  val contaminationCheckSql: String = {
+    val w = ContamWidth
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= $w
+      |    THEN [array_to_string(t[i:i+${w - 1}], ' ') for i in range(1, len(t) - ${w - 2})]
+      |    ELSE [array_to_string(t, ' ')] END) AS sd
+      |  FROM toks),
+      |split AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM documents),
+      |ex AS (
+      |  SELECT u.doc_id, s.split, ('0x' || substr(md5(u.s2), 1, 14))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(sd) AS s2 FROM sh) u JOIN split s ON u.doc_id = s.doc_id),
+      |tr AS (SELECT DISTINCT doc_id AS train_doc, h FROM ex WHERE split = 'train'),
+      |te AS (SELECT doc_id AS test_doc, h FROM ex WHERE split = 'test')
+      |SELECT test_doc, count(DISTINCT h) AS n_shared_shingles,
+      |  count(DISTINCT train_doc) AS n_train_docs
+      |FROM te JOIN tr USING (h)
+      |GROUP BY test_doc ORDER BY test_doc""".stripMargin
+  }
+
+  private val TfidfTopK = 5
+
+  /** Per-doc top-5 terms by TF-IDF — the keyword/salience profile a
+    * corpus-analysis pass produces per document. IDF is the RATIONAL
+    * form N/df (no logarithm): tf·N is an exact integer < 2^53 and the
+    * single division is correctly rounded, so the score — and therefore
+    * the ranking — is bit-identical across engines (a log-based IDF
+    * changes only the monotonic scale, not the per-doc order, and
+    * would not oracle exactly).
+    *
+    * Scale shape: three keyed aggregations/joins (doc-term counts,
+    * term doc-frequency, term join) + one per-doc window — all
+    * partial-aggregating, nothing corpus-crossing except the O(terms)
+    * df table. The corpus size N rides a 1-row broadcast
+    * (no driver scalar).
+    */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tf = docs
+      .select(col("doc_id"), explode(normTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val score = (col("tf") * col("n")).cast("double") / col("df")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(score.desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        score.as("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopkSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf * (SELECT n FROM n) AS DOUBLE) / df AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf * (SELECT n FROM n) AS DOUBLE) / df DESC, term) AS rank
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+      |FROM scored WHERE rank <= $TfidfTopK
+      |ORDER BY doc_id, rank""".stripMargin
 }

@@ -154,6 +154,46 @@ class Round4SourcesSpec extends AnyFunSuite {
     assert(GraftSources.listPartitions(spark, root) == Seq("day=d1", "day=d2"))
   }
 
+  test("contaminationCheck flags planted cross-split 8-gram overlap exactly") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // find one train and one test id under the deterministic split
+    val splits = (1L to 60L).toDF("doc_id")
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) < 90)).toMap
+    val trainId = splits.collectFirst { case (id, true) => id }.get
+    val testId = splits.collectFirst { case (id, false) => id }.get
+    val otherTrain = splits.collectFirst { case (id, true) if id != trainId => id }.get
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam").toString
+    Seq(
+      (trainId, s"$shared plus unrelated trailing words here", "en", "web", 1L),
+      (otherTrain, "completely different content with no overlap at all whatsoever", "en", "web", 1L),
+      (testId, s"prefix words then $shared and more", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.contaminationCheck(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == testId)
+    assert(out(0).getLong(1) == 1L, "exactly the one planted 8-gram is shared")
+    assert(out(0).getLong(2) == 1L, "exactly one train doc is hit")
+  }
+
+  test("tfidfTopk emits contiguous ranks with non-increasing scores per doc") {
+    val rows = graft.operators.TextAnalysis.tfidfTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(5), r.getDouble(4)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    for ((_, rs) <- byDoc) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, "ranks contiguous from 1")
+      assert(sorted.length <= 5)
+      // scores non-increasing in rank order
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
+    }
+  }
+
   test("binaryRecords round-trips length-prefixed payloads across files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
     val recs1 = Seq("""{"id":1,"name":"ada"}""", """{"id":2,"name":"bob"}""")
