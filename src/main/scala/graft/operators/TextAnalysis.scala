@@ -379,6 +379,47 @@ object TextAnalysis {
       |GROUP BY test_doc ORDER BY test_doc""".stripMargin
   }
 
+  /** Intra-document repetition (the C4/Gopher duplicate-n-gram quality
+    * signal): fraction of a doc's 3-gram positions occupied by a
+    * repeated shingle — `1 − distinct/total`. One map-side pass per
+    * doc (the one-pass TokenShingles expression gives the distinct
+    * count; the total is just token count − 2), no shuffle at any
+    * scale. Ratios are int/int divisions → oracled exactly.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenShingles.register(spark)
+    val nTok = size(col("toks"))
+    // shingle positions; the <3-token edge case yields ONE whole-doc
+    // shingle (TokenShingles' ELSE branch), so total is 1 there too
+    val total = greatest(nTok - 2, lit(1))
+    val nd = size(call_function("graft_shingles", col("text"), lit(3)))
+    val ratio = (total - nd).cast("double") / total.cast("double")
+    Tables(spark, dir).documents
+      .withColumn("toks", normTokens(col("text")))
+      .select(col("doc_id"),
+        total.as("n_shingles_total"),
+        nd.as("n_shingles_distinct"),
+        ratio.as("dup_ngram_ratio"),
+        when(ratio >= 0.05, 1).otherwise(0).as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CAST(greatest(len(t) - 2, 1) AS INTEGER) AS total,
+      |    CAST(len(list_distinct(CASE WHEN len(t) >= 3
+      |      THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+      |      ELSE [array_to_string(t, ' ')] END)) AS INTEGER) AS nd
+      |  FROM toks)
+      |SELECT doc_id, total AS n_shingles_total, nd AS n_shingles_distinct,
+      |  CAST(total - nd AS DOUBLE) / total AS dup_ngram_ratio,
+      |  CASE WHEN CAST(total - nd AS DOUBLE) / total >= 0.05 THEN 1 ELSE 0 END AS is_repetitive
+      |FROM sh ORDER BY doc_id""".stripMargin
+
   private val TfidfTopK = 5
 
   /** Per-doc top-5 terms by TF-IDF — the keyword/salience profile a
