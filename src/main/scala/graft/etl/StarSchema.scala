@@ -245,8 +245,35 @@ object StarSchema {
     * needs lives on the BROADCAST BUILD side (its output is
     * customer-cardinality); the fact stream itself still never
     * shuffles.
+    *
+    * Broadcast hints are SIZE-SELECTED: nation and the date spine are
+    * bounded domains (25 rows / a few thousand days) and stay
+    * hard-hinted, but every customer-cardinality build side (the raw
+    * customer projection, the customer surrogate dim, the purchase
+    * context, the session-context dim) only gets the hint while the
+    * customer table is below [[BroadcastDimRowCap]] — a 10⁸-row
+    * customer dim under an unconditional hint is an executor OOM that
+    * bypasses autoBroadcastJoinThreshold. Above the cap the joins are
+    * left unhinted and AQE promotes at runtime only if they actually
+    * fit. ONE scalar (the customer row count) decides all four sides,
+    * the same layout-decision pattern as `SmallGraphPairCap` /
+    * `BroadcastNodeCap`. The part dim is catalog-cardinality (bounded
+    * by the product assortment, not by traffic) and keeps its hint,
+    * matching the reference's product-dim assumption.
     */
-  def factSales(spark: SparkSession, dir: String): DataFrame = {
+  def factSales(spark: SparkSession, dir: String): DataFrame =
+    factSales(spark, dir, forceUnhinted = false)
+
+  /** Below this many customer rows the customer-derived build sides
+    * ride broadcasts (map-only fact stage); above it they are left to
+    * AQE. ~20M rows of (key, hash) pairs ≈ low single-digit GiB — the
+    * edge of a sane executor broadcast budget.
+    */
+  private[graft] val BroadcastDimRowCap = 20000000L
+
+  /** `forceUnhinted` pins the at-scale branch for plan tests. */
+  private[graft] def factSales(spark: SparkSession, dir: String,
+      forceUnhinted: Boolean): DataFrame = {
     val t = Tables(spark, dir)
     val li = t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
@@ -275,14 +302,19 @@ object StarSchema {
     val dsc = dimSessionContextRaw(spark, dir)
       .toDF("session_context_key", "sc_cust", "sc_type", "sc_k")
 
+    // one scalar decides the layout for ALL customer-derived sides
+    // (pctx and dsc cardinalities are bounded by the customer count)
+    val custSmall = !forceUnhinted && t.customer.count() <= BroadcastDimRowCap
+    def custHint(df: DataFrame): DataFrame = if (custSmall) broadcast(df) else df
+
     li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+      .join(custHint(cust), col("o_custkey") === col("c_custkey"), "left")
       .join(broadcast(dp), col("l_partkey").cast("string") === col("product_source_id"), "left")
-      .join(broadcast(dc), col("o_custkey").cast("string") === col("customer_source_id"), "left")
+      .join(custHint(dc), col("o_custkey").cast("string") === col("customer_source_id"), "left")
       .join(broadcast(dl), col("c_nationkey").cast("string") === col("location_source_id"), "left")
       .join(broadcast(dd), col("o_orderdate").cast("date").cast("string") === col("full_date"), "left")
-      .join(broadcast(pctx), col("o_custkey").cast("string") === col("ctx_cust"), "left")
-      .join(broadcast(dsc), col("ctx_cust") === col("sc_cust") &&
+      .join(custHint(pctx), col("o_custkey").cast("string") === col("ctx_cust"), "left")
+      .join(custHint(dsc), col("ctx_cust") === col("sc_cust") &&
         col("ctx_type") === col("sc_type") && col("ctx_k") === col("sc_k"), "left")
       .select(
         surrogateKey(col("l_orderkey"), col("l_linenumber")).as("sales_order_key"),

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *     scalar expression (zero shuffle), candidates from an equi-join
   *     on (band, band-key) buckets — the classic sub-quadratic path.
   *   - simhash: 63-bit signature map-side (scalar expression),
-  *     candidates from 16-bit chunk buckets (hamming ≤ 3 must collide
-  *     on ≥1 of 4 chunks).
+  *     candidates from Manku-style block tables whose key width grows
+  *     with corpus size (hamming ≤ 3 ⇒ the 3 dirty bits touch ≤ 3 of
+  *     the b blocks, so the pair collides in the table keyed on the
+  *     untouched b−3 blocks).
   *
   * The minhash/simhash hash family is MD5-word based (see
   * `graft.functions.Md5Words`), so both sketches are bit-reproducible
@@ -283,6 +285,10 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id"))
     var converged = false
     var rounds = 0
+    // the previous round's cached frame, released as soon as the next
+    // round is materialized (by the isEmpty action) — executor storage
+    // stays O(1) frames regardless of round count
+    var prevCached: DataFrame = null
     // cap = graph-diameter bound; min-label propagation needs ≤ diameter
     // rounds. Near-dup components are tiny cliques (2-3 rounds), but a
     // pathological chain could exceed any cap — in that case FAIL LOUDLY
@@ -299,13 +305,22 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
-      converged = updated.filter(col("cluster_id") =!= col("old_id")).isEmpty
+      // count(), not isEmpty: the action must materialize EVERY
+      // partition of `updated` into the cache before the previous
+      // round's frame is released — isEmpty's early exit would leave
+      // holes whose recompute chains through the unpersisted ancestors
+      converged = updated.filter(col("cluster_id") =!= col("old_id")).count() == 0
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = updated
       labels = updated.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
     require(converged,
       s"dedupClusters: min-label propagation not converged after $maxRounds rounds " +
         "(component diameter exceeds cap); results would disagree with true connected components")
+    // the final round's frame is materialized — the loop inputs can go
+    if (small) pairs.unpersist()
+    counted.unpersist()
     labels.orderBy("doc_id")
   }
 
@@ -350,32 +365,90 @@ object Dedup {
       |WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
-  /** 63-bit SimHash near-dup pairs (hamming ≤ 3), candidates blocked on
-    * 16-bit signature chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of the 4
-    * chunks equal). The signature is one scalar-expression pass per doc
-    * over its distinct tokens — no row explosion, no signature shuffle;
-    * the MD5-bit hash family is re-derived in the generated oracle SQL.
+  /** 63-bit SimHash near-dup pairs (hamming ≤ 3). The signature is one
+    * scalar-expression pass per doc over its distinct tokens — no row
+    * explosion, no signature shuffle; the MD5-bit hash family is
+    * re-derived in the generated oracle SQL.
+    *
+    * Candidate blocking is Manku-style (Manku/Jain/Das Sarma, WWW'07,
+    * "Detecting near-duplicates for web crawling") and SIZED BY THE
+    * CORPUS: the 63 bits split into `b` blocks; a pair at hamming ≤ 3
+    * has its dirty bits inside ≤ 3 blocks, so it MUST collide in the
+    * table keyed on some untouched (b−3)-block combination — C(b,3)
+    * tables, key width ≈ 63·(b−3)/b bits. b=4 is the classic 4×16-bit
+    * chunk scheme (4 tables, 16-bit keys — fine for small corpora);
+    * larger corpora pick b=6 (20 tables, ~31-bit keys) or b=8
+    * (56 tables, ~39-bit keys) so expected bucket sizes — and with
+    * them the candidate volume — stay linear in n instead of n²/2¹⁶.
+    * Every layout is an EXACT cover of the hamming ≤ 3 pairs, so the
+    * result (and the oracle, which uses the b=4 cover) is identical
+    * regardless of the selected b.
     */
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TokenShingles.register(spark)
     graft.functions.SimHash64.register(spark)
+    val docs = Tables(spark, dir).documents
     // distinct tokens = 1-gram shingles (same one-pass expression)
-    val sigs = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        call_function("graft_simhash",
-          call_function("graft_shingles", col("text"), lit(1))).as("simhash"))
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(simhash, CAST(c * 16 AS INT))").bitwiseAND(0xFFFF))
-    val l = chunked.toDF("i", "sh_i", "c_i", "chunk_i")
-    val r = chunked.toDF("j", "sh_j", "c_j", "chunk_j")
-    l.join(r, col("c_i") === col("c_j") && col("chunk_i") === col("chunk_j") &&
-        col("i") < col("j"))
-      .select(col("i").as("doc_a"), col("j").as("doc_b"),
-        bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).as("hamming"))
-      .distinct()
+    val sigs = docs.select(col("doc_id"),
+      call_function("graft_simhash",
+        call_function("graft_shingles", col("text"), lit(1))).as("simhash"))
+    // ONE scalar crosses the driver: the corpus size that selects the
+    // block layout (same pattern as SmallGraphPairCap / BroadcastNodeCap)
+    val b = simHashBlockCount(docs.count())
+    simHashCandidates(sigs, b)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Smallest block count whose C(b,3) tables keep the expected
+    * per-table bucket collisions linear: C(b,3) · n / 2^keyBits ≤ 64
+    * expected candidates per doc. 5k docs → 4 (the cheap classic
+    * layout); 10⁹ docs → 6; 10¹⁰+ → 8. More blocks = more table rows
+    * per doc (C(b,3)) but exponentially wider keys — the Manku
+    * trade-off; the key width must outgrow log₂(n) for the candidate
+    * volume to stay linear.
+    */
+  private[graft] def simHashBlockCount(nDocs: Long): Int = {
+    val choices = Seq(4, 6, 8)
+    choices.find { b =>
+      val keyBits = 63 * (b - 3) / b
+      val tables = b * (b - 1) * (b - 2) / 6
+      tables.toDouble * nDocs.toDouble / math.pow(2.0, keyBits.toDouble) <= 64.0
+    }.getOrElse(choices.last)
+  }
+
+  /** Candidate pairs under the b-block Manku cover: one scan of `sigs`
+    * (doc_id, simhash), posexplode into C(b,3) (table, key) rows — the
+    * key packs the b−3 blocks NOT in the table's dirty-combination —
+    * then a self-equi-join on (table, key). Complete for hamming ≤ 3
+    * by the pigeonhole argument above; `distinct` collapses pairs
+    * caught by several tables. Returns (doc_a, doc_b, sh_a, sh_b).
+    */
+  private[graft] def simHashCandidates(sigs: DataFrame, b: Int): DataFrame = {
+    require(b >= 4, s"need ≥4 blocks for the hamming≤3 pigeonhole, got $b")
+    val sizes = Array.tabulate(b)(i => 63 / b + (if (i < 63 % b) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def blockVal(i: Int) =
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
+    // key = the kept blocks packed into one long (≤ 63 bits total) —
+    // static shift/mask expressions, fully codegen'd, no lambdas
+    val keys = (0 until b).combinations(3).map { dirty =>
+      val kept = (0 until b).filterNot(dirty.contains)
+      kept.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, sizes(i)).bitwiseOR(blockVal(i))
+      }
+    }.toSeq
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(keys: _*)).as(Seq("tbl", "bkey")))
+    val l = keyed.toDF("i", "sh_i", "t_i", "k_i")
+    val r = keyed.toDF("j", "sh_j", "t_j", "k_j")
+    l.join(r, col("t_i") === col("t_j") && col("k_i") === col("k_j") &&
+        col("i") < col("j"))
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        col("sh_i").as("sh_a"), col("sh_j").as("sh_b"))
+      .distinct()
   }
 
   lazy val dedupSimHashSql: String = {

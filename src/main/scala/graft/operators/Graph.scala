@@ -89,11 +89,13 @@ object Graph {
       // small graphs: rank state (one row per node) is ≪ the edge
       // list — broadcast it so each iteration streams the cached edges
       // map-side with ONE shuffle (the partial-aggregated contribution
-      // groupBy), and the broadcast build doubles as the per-iteration
-      // materialization barrier. Large graphs: plain join against the
-      // pre-partitioned edges (state shuffles, edges don't), with an
-      // explicit count() barrier so the loop doesn't fuse into one
-      // deep DAG that Catalyst re-optimizes end to end.
+      // groupBy). Large graphs: plain join against the pre-partitioned
+      // edges (state shuffles, edges don't). Both branches take an
+      // explicit count() barrier: it stops the loop fusing into one
+      // deep DAG that Catalyst re-optimizes end to end, fully
+      // materializes the round's cache, and thereby lets the PREVIOUS
+      // round's frame be released immediately — executor storage holds
+      // O(1) rank frames however many iterations run.
       val stateSide = if (copartition) state else broadcast(state)
       val next = edges
         .join(stateSide, edges("src") === state("node"))
@@ -104,9 +106,12 @@ object Graph {
           (lit(teleport) +
             expr("CAST(floor(CAST(0.85 AS DOUBLE) * CAST(contrib AS DOUBLE)) AS BIGINT)")).as("r"))
         .cache()
-      if (copartition) next.count()
+      next.count()
+      state.unpersist()
       state = next
     }
+    // the final rank state is materialized — the edge cache can go too
+    edges.unpersist()
     state.select(col("node"), col("r").as("rank_q12"))
       .orderBy(col("rank_q12").desc, col("node"))
       .limit(TopK)

