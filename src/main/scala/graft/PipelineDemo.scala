@@ -6,79 +6,117 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Sample end-to-end pipeline through the public API — the reference's
-  * ingest→store→load flow (JSONL event dump → date-partitioned
-  * parquet → incremental warehouse load → streaming sessionization)
-  * in one runnable demo. Doubles as the verification surface for the
-  * sources/streaming modules.
+  * full ingest→store→load→transform flow (binary document dump →
+  * schema'd rows → date-partitioned parquet → incremental warehouse
+  * load → star-schema staging/dimension build → streaming
+  * sessionization) in one runnable program. Doubles as the
+  * verification surface for the sources/streaming modules:
+  * [[run]] returns the per-stage row-count chain and a ScalaTest
+  * drives it on the shared test session.
   */
 object PipelineDemo {
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.create("graft-demo", "local[4]", 4)
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark).foreach { case (stage, n) => println(s"DEMO chain $stage=$n") }
+    finally spark.stop()
+  }
+
+  /** Runs the whole flow in a temp dir; returns the (stage → rows)
+    * chain in execution order.
+    */
+  def run(spark: SparkSession): Seq[(String, Long)] = {
+    val chain = Seq.newBuilder[(String, Long)]
     // prove the session extensions exposed the custom functions to SQL
+    // (works on any session built by GraftSession; self-register keeps
+    // it working on a bare test session too)
+    graft.functions.DotProduct.register(spark)
     println("DEMO graft_dot via SQL = " + spark
       .sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d))").collect()(0).getDouble(0))
 
     val work = java.nio.file.Files.createTempDirectory("graft_demo").toString
     val minUs = 60L * 1000000
+    // 2024-01-01T00:00:00Z in epoch micros — real dates so the
+    // partition labels downstream match the narrative
+    val base = 1704067200L * 1000000
 
-    // 1. land a raw JSONL event dump (stage-5 analog)
+    // 0. the raw landing format: a length-prefixed binary dump of JSON
+    //    event documents (the reference's .bson collection dump) —
+    //    stage-5 ingest reads it record by record, file = parallelism unit
+    def doc(id: Long, tsUs: Long, user: Long, typ: String, v: Double, k: Int) =
+      s"""{"event_id":$id,"ts":${tsUs * 1000},"user_id":$user,"event_type":"$typ","value":$v,"props":"{\\"k\\": $k}"}"""
+    GraftSources.writeBinaryRecords(spark,
+      Seq(doc(1, base + 1 * minUs, 7, "click", 1.5, 1),
+        doc(2, base + 3 * minUs, 7, "click", 2.5, 1)).map(_.getBytes("UTF-8")),
+      s"$work/dump0.bin")
+    GraftSources.writeBinaryRecords(spark,
+      Seq(doc(3, base + 2 * minUs, 8, "view", 9.0, 2)).map(_.getBytes("UTF-8")),
+      s"$work/dump1.bin")
+    val eventSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    // schema'd rows straight off the dump — explicit schema, no inference
+    val ingested = GraftSources.binaryRecordsJson(spark, s"$work/dump*.bin", eventSchema)
+    chain += "binary_dump_rows" -> ingested.count()
+
+    // 1. land as the warehouse raw table (stage-6 load target shape)
+    ingested.write.parquet(s"$work/events.parquet")
+
+    // 2. star-schema transform over the landed table (stage-7 analog):
+    //    typed staging projection + the composite-key context dimension
+    val stg = graft.etl.StarSchema.stgEvents(spark, work)
+    chain += "stg_events_rows" -> stg.count()
+    val dsc = graft.etl.StarSchema.dimSessionContext(spark, work)
+    chain += "dim_session_context_rows" -> dsc.count()
+
+    // 3. date-partitioned parquet sink + incremental load (replayable
+    //    per-partition, only-new-partitions detection)
+    val table = s"$work/events_table"
+    GraftSources.writePartitioned(
+      stg.select(col("event_id"), col("event_ts_us").as("ts_us"),
+        col("customer_source_id").cast("bigint").as("user_id"),
+        col("event_type"), col("value_amt").as("value"), col("event_date")),
+      table, Seq("event_date"))
+    println(s"DEMO partitions=${GraftSources.listPartitions(spark, table)}")
+    val state = s"$work/_loaded.txt"
+    val (l1, n1) = GraftSources.incrementalLoad(spark, table, state)
+    chain += "incremental_load1_rows" -> l1.map(_.count()).getOrElse(0L)
+    require(n1.nonEmpty, "first load must see new partitions")
+    val (l2, n2) = GraftSources.incrementalLoad(spark, table, state)
+    require(n2.isEmpty && l2.isEmpty, "re-load must see nothing new")
+    // a late day-2 drop is picked up alone
+    val day2 = Seq((4L, 50L * minUs, 7L, "purchase", 30.0, "2024-01-02"))
+    import spark.implicits._
+    GraftSources.writePartitioned(
+      day2.toDF("event_id", "ts_us", "user_id", "event_type", "value", "event_date"),
+      table, Seq("event_date"))
+    val (l3, n3) = GraftSources.incrementalLoad(spark, table, state)
+    require(n3.size == 1, "late partition must load alone")
+    chain += "incremental_load2_rows" -> l3.map(_.count()).getOrElse(0L)
+
+    // 4. streaming over a landing dir of the same schema: windowed
+    //    counts + stateful sessionization across micro-batches
+    val streamIn = s"$work/stream_in"
+    new java.io.File(streamIn).mkdirs()
     def ev(id: Long, tsUs: Long, user: Long, typ: String, v: Double, date: String) =
       s"""{"event_id":$id,"ts_us":$tsUs,"user_id":$user,"event_type":"$typ","value":$v,"event_date":"$date"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/day1.jsonl"),
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$streamIn/b1.jsonl"),
       Seq(ev(1, 1 * minUs, 7, "click", 1.5, "2024-01-01"),
         ev(2, 3 * minUs, 7, "click", 2.5, "2024-01-01"),
         ev(3, 2 * minUs, 8, "view", 9.0, "2024-01-01")).mkString("\n"))
-    val schema = org.apache.spark.sql.types.StructType(
-      EventStream.eventSchema.fields :+
-        org.apache.spark.sql.types.StructField("event_date",
-          org.apache.spark.sql.types.StringType))
-    val day1 = GraftSources.jsonl(spark, s"$work/day1.jsonl", schema)
-    println(s"DEMO ingested day1 rows=${day1.count()}")
-
-    // 2. date-partitioned parquet sink (stage-6 analog)
-    val table = s"$work/events_table"
-    GraftSources.writePartitioned(day1, table, Seq("event_date"))
-    println(s"DEMO partitions=${GraftSources.listPartitions(spark, table)}")
-
-    // 3. incremental load: first load sees day1; re-load sees nothing;
-    //    a day2 drop is picked up alone
-    val state = s"$work/_loaded.txt"
-    val (l1, n1) = GraftSources.incrementalLoad(spark, table, state)
-    println(s"DEMO load1 new=$n1 rows=${l1.map(_.count()).getOrElse(0L)}")
-    val (l2, n2) = GraftSources.incrementalLoad(spark, table, state)
-    println(s"DEMO load2 new=$n2 loaded=${l2.isDefined}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/day2.jsonl"),
-      ev(4, 50 * minUs, 7, "purchase", 30.0, "2024-01-02"))
-    GraftSources.writePartitioned(
-      GraftSources.jsonl(spark, s"$work/day2.jsonl", schema), table, Seq("event_date"))
-    val (l3, n3) = GraftSources.incrementalLoad(spark, table, state)
-    println(s"DEMO load3 new=$n3 rows=${l3.map(_.count()).getOrElse(0L)}")
-
-    // 4. streaming over the same landing dir: windowed counts
-    val streamIn = s"$work/stream_in"
-    new java.io.File(streamIn).mkdirs()
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$work/day1.jsonl"),
-      java.nio.file.Paths.get(s"$streamIn/b1.jsonl"))
     val wq = EventStream.windowedCounts(spark, streamIn).writeStream
       .outputMode("complete").format("memory").queryName("demo_wc").start()
     wq.processAllAvailable()
-    println("DEMO windowed:")
-    spark.table("demo_wc").orderBy("win_start", "event_type").collect()
-      .foreach(r => println(s"DEMO   $r"))
-
-    // 5. second micro-batch arrives → user 7's first session closes
+    chain += "stream_windowed_rows" -> spark.table("demo_wc").count()
     val sq = EventStream.sessionizeStream(spark, streamIn).writeStream
       .outputMode("append").format("memory").queryName("demo_sess").start()
     sq.processAllAvailable()
-    println(s"DEMO sessions after batch1=${spark.table("demo_sess").count()}")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$work/day2.jsonl"),
-      java.nio.file.Paths.get(s"$streamIn/b2.jsonl"))
+    // second micro-batch arrives → user 7's first session closes
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$streamIn/b2.jsonl"),
+      ev(4, 50 * minUs, 7, "purchase", 30.0, "2024-01-02"))
     sq.processAllAvailable()
-    println("DEMO sessions after batch2:")
-    spark.table("demo_sess").orderBy("user_id", "session_start_us").collect()
-      .foreach(r => println(s"DEMO   $r"))
+    chain += "stream_closed_sessions" -> spark.table("demo_sess").count()
     wq.stop(); sq.stop()
-    spark.stop()
+    chain.result()
   }
 }

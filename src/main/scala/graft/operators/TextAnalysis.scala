@@ -330,8 +330,20 @@ object TextAnalysis {
     * per-test-doc count aggregation. The same md5-word family as the
     * sketch suite, so any hash collision affects both engines
     * identically — the result stays bit-reproducible in the oracle.
+    *
+    * `maxTrainDf` guards the join against shingle skew: a ubiquitous
+    * 8-gram (boilerplate headers, license text) is a hot key whose
+    * collision count grows ~df·|test hits| — standard decontamination
+    * caps the train-side shingle document frequency and treats
+    * anything above it as non-signal boilerplate. The default (no cap)
+    * keeps the oracle bit-identical; at 100 TB pass a cap in the
+    * thousands.
     */
-  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame =
+    contaminationCheck(spark, dir, maxTrainDf = Long.MaxValue)
+
+  def contaminationCheck(spark: SparkSession, dir: String,
+      maxTrainDf: Long): DataFrame = {
     graft.functions.TokenShingles.register(spark)
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("int") % 100)
@@ -341,8 +353,21 @@ object TextAnalysis {
         explode(call_function("graft_shingles", col("text"), lit(ContamWidth))).as("s"))
       .select(col("doc_id"), col("split"),
         conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("h"))
-    val train = sh.filter(col("split") === "train")
+    val trainAll = sh.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("h")).distinct()
+    val train =
+      if (maxTrainDf == Long.MaxValue) trainAll
+      else {
+        // boilerplate shingles (train-side df above the cap) are
+        // dropped BEFORE the join via an anti-join on the hot-key
+        // list — the aggregation producing it is partial (map-side
+        // combine on h), so no skewed shuffle survives anywhere
+        val hot = trainAll.groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxTrainDf)
+          .select(col("h"))
+        trainAll.join(hot, Seq("h"), "left_anti")
+      }
     val test = sh.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc"), col("h"))
     test.join(train, "h")

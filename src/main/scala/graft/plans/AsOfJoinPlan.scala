@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, GenericInternalRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, JoinedRow, SortOrder, SpecificInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -80,9 +80,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val leftArity = left.output.size
+    val resultTypes = output.map(_.dataType).toArray
     left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
       val build = buildIter.buffered
+      // per-PARTITION buffers, reused across every row: the 2-slot
+      // primitive match holder, the joined view, and one codegen'd
+      // UnsafeProjection — no per-row Array[Any]/boxing, and the rows
+      // handed downstream are UnsafeRows (exchanges and sorts consume
+      // them without a conversion pass). Reusing the projection's
+      // target row is the standard exec contract (consumers copy if
+      // they buffer), same as the built-in sort-merge join.
+      val matchRow = new SpecificInternalRow(Seq(LongType, LongType))
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(resultTypes)
       new Iterator[InternalRow] {
         // O(1) state: the last qualifying build row for the current uid
         private var curUid = Long.MinValue
@@ -106,11 +116,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val b = build.next()
             has = true; mTs = b.getLong(1); mKey = b.getLong(2)
           }
-          val out = new Array[Any](leftArity + 2)
-          var i = 0
-          while (i < leftArity) { out(i) = p.get(i, LongType); i += 1 }
-          if (has) { out(leftArity) = mTs; out(leftArity + 1) = mKey }
-          new GenericInternalRow(out)
+          if (has) { matchRow.setLong(0, mTs); matchRow.setLong(1, mKey) }
+          else { matchRow.setNullAt(0); matchRow.setNullAt(1) }
+          project(joined(p, matchRow))
         }
       }
     }

@@ -108,6 +108,28 @@ class FactBroadcastSpec extends AnyFunSuite {
   }
 }
 
+/** The demo pipeline is the reference's full flow in one program:
+  * binary dump → schema'd rows → star-schema staging/dims →
+  * partitioned write → incremental load → streaming. Driving it here
+  * keeps every stage wired (a broken seam fails the chain, not just a
+  * print).
+  */
+class PipelineDemoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("end-to-end chain reports the expected row counts per stage") {
+    val chain = PipelineDemo.run(spark).toMap
+    assert(chain("binary_dump_rows") == 3, "3 docs across 2 dump files")
+    assert(chain("stg_events_rows") == 3)
+    // contexts: (7, click, 1) and (8, view, 2)
+    assert(chain("dim_session_context_rows") == 2)
+    assert(chain("incremental_load1_rows") == 3)
+    assert(chain("incremental_load2_rows") == 1, "late partition loads alone")
+    assert(chain("stream_windowed_rows") >= 2)
+    assert(chain("stream_closed_sessions") >= 1, "batch-2 arrival closes user 7's session")
+  }
+}
+
 /** Iterative loops release the previous round's cache once the next is
   * materialized — executor storage stays O(1) frames over any number
   * of rounds (the round-4 verdict's storage-leak nit).
@@ -128,6 +150,39 @@ class LoopCacheSpec extends AnyFunSuite {
     graft.operators.Dedup.labelPropagate(pairs).collect()
     assert(persistentCount - before <= 1,
       "only the final round's labels may stay cached")
+  }
+
+  test("contamination df-cap drops a planted ubiquitous shingle's hot key") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // split ids by the operator's own deterministic md5 bucket
+    val buckets = (1L to 80L).toDF("doc_id")
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) < 90)).toMap
+    val trainIds = buckets.collect { case (id, true) => id }.toSeq.sorted.take(30)
+    val testIds = buckets.collect { case (id, false) => id }.toSeq.sorted.take(2)
+    assert(trainIds.size == 30 && testIds.size == 2)
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit" // 8 tokens
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotkey").toString
+    (trainIds.map(id => (id, s"$boiler trainfiller$id")) ++
+      testIds.map(id => (id, s"testfiller$id $boiler")))
+      .map { case (id, text) => (id, text, "en", "web", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // uncapped: the boilerplate 8-gram is a 30-train-doc hot key —
+    // every test doc collides with all 30
+    val uncapped = TextAnalysis.contaminationCheck(spark, dir).collect()
+    assert(uncapped.length == 2)
+    assert(uncapped.forall(_.getLong(2) == 30L))
+    // capped below its df: the hot key is dropped before the join and
+    // the candidate volume collapses to zero
+    val capped = TextAnalysis.contaminationCheck(spark, dir, maxTrainDf = 5L).collect()
+    assert(capped.isEmpty, "no non-boilerplate overlap exists")
+    // a cap ABOVE the df changes nothing
+    val loose = TextAnalysis.contaminationCheck(spark, dir, maxTrainDf = 100L)
+      .collect().map(_.toSeq).toSet
+    assert(loose == uncapped.map(_.toSeq).toSet)
   }
 
   test("pagerank holds at most the final rank state after 5 iterations") {
