@@ -236,6 +236,70 @@ object Dedup {
       |        FROM ver WHERE CAST(n_common AS DOUBLE)/(na+nb-n_common) >= 0.5)""".stripMargin
   }
 
+  /** Sketch-accuracy audit: for every LSH candidate pair, the
+    * MinHash-ESTIMATED Jaccard (matching signature positions / 64)
+    * next to the exact Jaccard and their absolute error — the
+    * calibration table a pipeline owner reads before trusting the
+    * sketch at a new τ. Runs on candidates only (sub-quadratic, same
+    * banding as the dedup path). The positional signature comparison
+    * is 64 STATICALLY-UNROLLED equality terms (codegen'd), not an
+    * interpreted per-element lambda; both ratios are int/int divisions
+    * so even the error column is bit-identical in the oracle.
+    */
+  def minhashEstimateAudit(spark: SparkSession, dir: String): DataFrame = {
+    MinHashSig.register(spark)
+    val sets = shingleSets(spark, dir)
+    val sig = sets.select(col("doc_id"),
+      call_function("graft_minhash", col("sh")).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+            h => h.cast("string")))))
+        .as(Seq("band", "band_key")))
+    val candidates = banded.toDF("i", "band_i", "bk")
+      .join(banded.toDF("j", "band_j", "bk2"),
+        col("band_i") === col("band_j") && col("bk") === col("bk2") &&
+          col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    val hv = hashedSets(spark, dir)
+    val matches = (0 until NumPerms).map(p =>
+      when(element_at(col("sig_i"), p + 1) === element_at(col("sig_j"), p + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    candidates
+      .join(sig.toDF("i", "sig_i"), "i")
+      .join(sig.toDF("j", "sig_j"), "j")
+      .join(hv.toDF("i", "hv_i"), "i")
+      .join(hv.toDF("j", "hv_j"), "j")
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        matches.cast("int").as("n_sig_matches"),
+        call_function("graft_sorted_intersect", col("hv_i"), col("hv_j")).as("n_common"),
+        size(col("hv_i")).as("na"), size(col("hv_j")).as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("n_sig_matches"),
+        (col("n_sig_matches").cast("double") / NumPerms).as("jaccard_est"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+          .as("jaccard_exact"))
+      .withColumn("abs_err", abs(col("jaccard_est") - col("jaccard_exact")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val minhashEstimateAuditSql: String = {
+    val eqTerms = (0 until NumPerms)
+      .map(p => s"(CASE WHEN sa.m$p=sb.m$p THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $minHashPairCtes,
+      |est AS (SELECT c.i AS doc_a, c.j AS doc_b, $eqTerms AS nm
+      |        FROM cand c JOIN sig sa ON sa.doc_id = c.i
+      |                    JOIN sig sb ON sb.doc_id = c.j)
+      |SELECT e.doc_a, e.doc_b, CAST(nm AS INTEGER) AS n_sig_matches,
+      |  CAST(nm AS DOUBLE)/$NumPerms AS jaccard_est,
+      |  CAST(n_common AS DOUBLE)/(na+nb-n_common) AS jaccard_exact,
+      |  abs(CAST(nm AS DOUBLE)/$NumPerms -
+      |      CAST(n_common AS DOUBLE)/(na+nb-n_common)) AS abs_err
+      |FROM est e JOIN ver v ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b
+      |ORDER BY e.doc_a, e.doc_b""".stripMargin
+  }
+
   lazy val dedupMinHashLshSql: String =
     s"""WITH $minHashPairCtes
       |SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b""".stripMargin

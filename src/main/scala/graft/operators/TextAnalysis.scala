@@ -499,4 +499,60 @@ object TextAnalysis {
       |SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
       |FROM scored WHERE rank <= $TfidfTopK
       |ORDER BY doc_id, rank""".stripMargin
+
+  private[graft] val PackCapacity = 2048L
+  private[graft] val PackBucketWidth = 1000L
+
+  /** Sample packing: assign every document (in doc_id order) to the
+    * fixed-capacity training sequence ("pack") its first token lands
+    * in — the contiguous-fill packing an LLM pipeline runs to turn a
+    * corpus into 2048-token training rows. Output: the doc's token
+    * count, the corpus-wide running token total, its pack id and
+    * offset within the pack (docs may span packs; the id is the pack
+    * containing the first token).
+    *
+    * Scale shape: the global running total is NOT one unpartitioned
+    * window (which would drag the whole corpus through a single task).
+    * It's a two-level distributed prefix sum: per-bucket cumulative
+    * sums run partitioned (buckets = fixed doc_id ranges, so the
+    * assignment is deterministic — no sampling-based range partitioner
+    * in the result path), the per-bucket totals (one row per
+    * [[PackBucketWidth]] docs) take the tiny ordered window, and the
+    * bucket offsets broadcast back. The oracle states the same values
+    * as ONE global window — equal by construction, which is exactly
+    * the point: the distributed formulation is invisible in the
+    * result. At 10⁹+ docs the bucket-totals table is ~10⁶ 16-byte
+    * rows — still one comfortable task; beyond that, recurse a third
+    * level over the bucket table.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), size(normTokens(col("text"))).as("n_tokens"))
+    val bucketed = toks.withColumn("bucket", expr(s"doc_id div $PackBucketWidth"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val local = bucketed.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .select(col("bucket"), coalesce(sum(col("btot")).over(wOff), lit(0L)).as("boff"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_end", col("boff") + col("local_cum"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_end"),
+        expr(s"(cum_end - n_tokens) div $PackCapacity").as("pack_id"),
+        ((col("cum_end") - col("n_tokens")) % PackCapacity).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  val sequencePackSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0)) AS INTEGER) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end FROM toks)
+      |SELECT doc_id, n_tokens, cum_end,
+      |  (cum_end - n_tokens) // $PackCapacity AS pack_id,
+      |  (cum_end - n_tokens) % $PackCapacity AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin
 }

@@ -108,6 +108,43 @@ class FactBroadcastSpec extends AnyFunSuite {
   }
 }
 
+/** sequence_pack's global running total must be the two-level
+  * distributed prefix sum — one unpartitioned window over the whole
+  * corpus would drag every row through a single task at scale.
+  */
+class SequencePackSpec extends AnyFunSuite {
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("corpus-side window is partitioned; only bucket totals take the global window") {
+    val df = graft.operators.TextAnalysis.sequencePack(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected exactly 2 windows, got ${wins.size}")
+    val (global, partitioned) = wins.partition(_.partitionSpec.isEmpty)
+    assert(partitioned.size == 1, "the per-doc cumsum must be bucket-partitioned")
+    assert(global.size == 1)
+    // the lone unpartitioned window consumes the per-bucket AGGREGATE
+    // (one row per 1000 docs), never the raw documents
+    assert(global.head.child.collectFirst { case a: Aggregate => a }.isDefined,
+      "global window must sit on the bucket-totals aggregate")
+  }
+
+  test("two-level prefix sum equals the straight scan") {
+    val rows = graft.operators.TextAnalysis.sequencePack(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    var cum = 0L
+    for ((_, n, cumEnd, packId, packOff) <- rows.sortBy(_._1)) {
+      cum += n
+      assert(cumEnd == cum, "running total must match a sequential scan")
+      assert(packId == (cum - n) / graft.operators.TextAnalysis.PackCapacity)
+      assert(packOff == (cum - n) % graft.operators.TextAnalysis.PackCapacity)
+      assert(packOff >= 0 && packOff < graft.operators.TextAnalysis.PackCapacity)
+    }
+  }
+}
+
 /** The demo pipeline is the reference's full flow in one program:
   * binary dump → schema'd rows → star-schema staging/dims →
   * partitioned write → incremental load → streaming. Driving it here
