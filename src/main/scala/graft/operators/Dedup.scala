@@ -345,38 +345,64 @@ object Dedup {
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val spark = pairList.sparkSession
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
     var converged = false
     var rounds = 0
-    // the previous round's cached frame, released as soon as the next
-    // round is materialized (by the isEmpty action) — executor storage
-    // stays O(1) frames regardless of round count
-    var prevCached: DataFrame = null
+    // the previous round's persisted RDD, released as soon as the next
+    // round is materialized — executor storage stays O(1) frames
+    // regardless of round count
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     // cap = graph-diameter bound; min-label propagation needs ≤ diameter
-    // rounds. Near-dup components are tiny cliques (2-3 rounds), but a
-    // pathological chain could exceed any cap — in that case FAIL LOUDLY
-    // below rather than silently returning partial labels.
-    val maxRounds = 50
+    // rounds. Near-dup components are usually tiny cliques (2-3
+    // rounds), but a chain-shaped component needs diameter rounds — and
+    // past the cap FAIL LOUDLY below rather than silently returning
+    // labels that disagree with true connected components.
+    val maxRounds = 200
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(hinted(labels), edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels.as("l")
+      val relabeled = labels.as("l")
         .join(hinted(neighborMin.as("n")), Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("old_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
-      // count(), not isEmpty: the action must materialize EVERY
-      // partition of `updated` into the cache before the previous
-      // round's frame is released — isEmpty's early exit would leave
-      // holes whose recompute chains through the unpersisted ancestors
-      converged = updated.filter(col("cluster_id") =!= col("old_id")).count() == 0
-      if (prevCached != null) prevCached.unpersist()
-      prevCached = updated
-      labels = updated.select(col("doc_id"), col("cluster_id"))
+      // pointer-doubling shortcut: follow label-of-label once per
+      // round, so a chain component converges in O(log diameter)
+      // rounds instead of O(diameter) — on the sf0.1 embedding graph
+      // (deep-chain components that plain propagation walks in 40+
+      // rounds) this lands at 11 rounds. One shortcut per round is the
+      // measured sweet spot: more shortcuts cut rounds further but add
+      // a join-stage per round that costs more than it saves. The
+      // fixed point is unchanged: labels only ever move DOWN within
+      // their component, and at convergence label(x) = label(label(x))
+      // ≤ min(neighbor labels) — the component min, which the
+      // recursive-CTE oracle verifies.
+      val lut = relabeled.select(col("doc_id").as("cid"), col("cluster_id").as("cc"))
+      val updated = relabeled
+        .join(hinted(lut), relabeled("cluster_id") === col("cid"), "left")
+        .select(relabeled("doc_id"), relabeled("old_id"),
+          least(relabeled("cluster_id"), coalesce(col("cc"), relabeled("cluster_id")))
+            .as("cluster_id"))
+      // sever the CATALYST lineage every round: `labels` appears twice
+      // in the round plan (neighborMin + the left join), so carrying
+      // the logical tree forward doubles it per round — O(2^rounds)
+      // driver analysis/memory, an OOM by round ~25 on a chain graph.
+      // Restarting the plan from a persisted RDD keeps the logical
+      // plan O(1) per round (the RDD chain is linear and cheap), and
+      // persist/unpersist gives deterministic round-to-round storage:
+      // the count() materializes every partition before the previous
+      // round's RDD is released.
+      val rdd = updated.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fresh = spark.createDataFrame(rdd, updated.schema)
+      converged = fresh.filter(col("cluster_id") =!= col("old_id")).count() == 0
+      if (prevRdd != null) prevRdd.unpersist()
+      prevRdd = rdd
+      labels = fresh.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
     require(converged,
