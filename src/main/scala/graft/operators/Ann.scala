@@ -52,6 +52,51 @@ object Ann {
        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Metadata-FILTERED vector search: exact cosine top-k restricted to
+    * candidates sharing the query's label — the "vector search with a
+    * WHERE clause" every retrieval pipeline needs (tenant / language /
+    * source filters). The predicate is part of the JOIN condition, so
+    * it prunes candidates BEFORE any similarity is computed (filter
+    *-then-score, never score-then-filter) and the scan side still
+    * streams map-only against the broadcast query set. At corpus
+    * scale the same predicate composes with the IVF path: probe cells
+    * as usual, apply the label equality in the probe join. Filtering
+    * only removes candidates, so the brute-force rank-gap argument
+    * (sim gaps ≫ fp noise) carries over unchanged.
+    */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    val norm = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+    val unit = transform(col("embedding"), x => x.cast("double") / norm)
+    val q = e.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+      unit.as("q_emb")).filter(col("query_id") < NumQueries)
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label").as("c_label"),
+      unit.as("c_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_label") === col("c_label"))
+      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("q_label").as("label"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annFilteredTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |s AS (
+       |  SELECT q.query_id, q.label, c.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.q_emb, c.embedding) AS sim
+       |  FROM q JOIN embeddings c ON q.query_id != c.vec_id AND q.label = c.label),
+       |r AS (SELECT query_id, label, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM s)
+       |SELECT query_id, label, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   /** L2-normalize the embedding once per row (map-side), so every
     * subsequent pair similarity is a bare dot product — at n² pair
     * volume this cuts the inner-loop flops 3× vs recomputing both

@@ -500,6 +500,62 @@ object TextAnalysis {
       |FROM scored WHERE rank <= $TfidfTopK
       |ORDER BY doc_id, rank""".stripMargin
 
+  private val MinKeepTokens = 30
+
+  /** Composite C4/Gopher-style quality gate: every doc gets its
+    * filter signals (token count, duplicate-3-gram ratio, stopword
+    * ratio), a keep/drop verdict, and the FIRST failing rule as the
+    * reject reason — the audit trail a corpus-curation run ships with
+    * its drop decisions. One map-side pass per doc (the signals reuse
+    * the one-pass TokenShingles distinct count and the normalized
+    * token array — no shuffle at any scale); the thresholds are
+    * shared literal expressions (`CAST(0.05 AS DOUBLE)`) so every
+    * comparison is bit-identical in the oracle, and both ratios are
+    * int/int divisions — the verdicts hash-match exactly.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenShingles.register(spark)
+    val nTok = size(col("toks"))
+    val total = greatest(nTok - 2, lit(1))
+    val nd = size(call_function("graft_shingles", col("text"), lit(3)))
+    val rep = (total - nd).cast("double") / total.cast("double")
+    val stopCnt = size(filter(col("toks"), t => t.isin(stopwords: _*)))
+    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
+    val thresh = expr("CAST(0.05 AS DOUBLE)")
+    Tables(spark, dir).documents
+      .withColumn("toks", normTokens(col("text")))
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        rep.as("dup_ngram_ratio"), stopRatio.as("stopword_ratio"))
+      .withColumn("reject_reason",
+        when(col("n_tokens") < MinKeepTokens, "too_short")
+          .when(col("dup_ngram_ratio") >= thresh, "repetitive")
+          .when(col("stopword_ratio") < thresh, "low_stopword")
+          .otherwise("ok"))
+      .withColumn("is_kept", when(col("reject_reason") === "ok", 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  val qualityFilterSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+      |  CAST(greatest(len(t) - 2, 1) - len(list_distinct(CASE WHEN len(t) >= 3
+      |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+      |    ELSE [array_to_string(t, ' ')] END)) AS DOUBLE) / greatest(len(t) - 2, 1) AS dup_ngram_ratio,
+      |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE) / len(t) AS stopword_ratio
+      | FROM toks),
+      |v AS (SELECT doc_id, n_tokens, dup_ngram_ratio, stopword_ratio,
+      |  CASE WHEN n_tokens < $MinKeepTokens THEN 'too_short'
+      |       WHEN dup_ngram_ratio >= CAST(0.05 AS DOUBLE) THEN 'repetitive'
+      |       WHEN stopword_ratio < CAST(0.05 AS DOUBLE) THEN 'low_stopword'
+      |       ELSE 'ok' END AS reject_reason
+      | FROM m)
+      |SELECT doc_id, n_tokens, dup_ngram_ratio, stopword_ratio, reject_reason,
+      |  CASE WHEN reject_reason = 'ok' THEN 1 ELSE 0 END AS is_kept
+      |FROM v ORDER BY doc_id""".stripMargin
+
   private[graft] val PackCapacity = 2048L
   private[graft] val PackBucketWidth = 1000L
 
