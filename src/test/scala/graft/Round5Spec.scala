@@ -30,6 +30,15 @@ class SimHashBlockingSpec extends AnyFunSuite {
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("dedup_simhash plans as equi-join blocking with map-side signatures") {
+    val df = graft.operators.Dedup.dedupSimHash(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "candidate generation must stay an equi-join on (table, key)")
+    assert(plan.contains("simhash64(tokenshingles("),
+      "signature must be the map-side scalar expression")
+  }
+
   test("block count selection grows with corpus size") {
     assert(Dedup.simHashBlockCount(500L) == 4)
     assert(Dedup.simHashBlockCount(5000L) == 4)
