@@ -146,4 +146,80 @@ object Incremental {
       |       ELSE 'unchanged' END AS diff_status,
       |  CAST(n1 AS BIGINT) AS n_orders_before, n2 AS n_orders_after
       |FROM s ORDER BY custkey""".stripMargin
+
+  // 2024-01-16T00:00:00Z: splits the 30-day event window in half
+  private[graft] val Scd2CutoffUs = 1705363200000000L
+
+  /** Per-user state-change points (consecutive-distinct collapse) of
+    * an event slice — the shared first stage of both SCD2 paths.
+    */
+  private def changePoints(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .drop("prev_state")
+  }
+
+  /** INCREMENTAL SCD2 maintenance — apply a change batch to an
+    * existing SCD2 dimension instead of rebuilding history: close each
+    * affected user's open row at the first genuine new change, append
+    * the new versioned rows, pass untouched history through. The
+    * existing dim is the SCD2 build of the pre-cutoff event slice; the
+    * batch is the post-cutoff slice — and the result must be
+    * BIT-IDENTICAL to the full rebuild over the whole stream, so the
+    * oracle is `scd2HistorySql` itself: two entirely different
+    * computation paths (incremental apply vs full-history windows),
+    * one hash. The boundary subtleties the equality proves out: a
+    * batch's leading change is dropped when it repeats the dim's
+    * current state; versions continue from the current row's; users
+    * new in the batch start at version 1; users absent from the batch
+    * keep their open row.
+    *
+    * Scale shape: windows are user-partitioned; the dim⋈batch joins
+    * are key-partitioned shuffles with the batch side typically ≪ the
+    * dim (AQE promotes when it fits). Nothing driver-side, no
+    * iteration.
+    */
+  def scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    // the "existing" dimension: full SCD2 of the pre-cutoff slice
+    val dim = changePoints(ev.filter(col("ts_us") < Scd2CutoffUs))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wUser))
+      .withColumn("version", row_number().over(wUser))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"), col("version"))
+    val cur = dim.filter(col("valid_to_us").isNull)
+      .select(col("user_id"), col("state").as("cur_state"),
+        col("version").as("cur_version"))
+    // batch changes: consecutive-distinct within the post-cutoff
+    // slice; only the FIRST one can repeat the dim's current state
+    // (its true predecessor lives across the boundary) — drop it then
+    val batch = changePoints(ev.filter(col("ts_us") >= Scd2CutoffUs))
+      .withColumn("bpos", row_number().over(wUser))
+      .join(cur, Seq("user_id"), "left")
+      .filter(!(col("bpos") === 1 && col("cur_state").isNotNull &&
+        col("cur_state") === col("event_type")))
+    val newRows = batch
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wUser))
+      .withColumn("version",
+        coalesce(col("cur_version"), lit(0)) + row_number().over(wUser))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"), col("version"))
+    // close the open row of every user that gained a new version
+    val firstNew = newRows.groupBy("user_id")
+      .agg(min(col("valid_from_us")).as("close_ts"))
+    val applied = dim.join(firstNew, Seq("user_id"), "left")
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        when(col("valid_to_us").isNull && col("close_ts").isNotNull, col("close_ts"))
+          .otherwise(col("valid_to_us")).as("valid_to_us"),
+        col("version"))
+      .unionByName(newRows)
+    applied.select(
+        col("user_id").cast("string").as("customer_source_id"),
+        col("state"), col("valid_from_us"), col("valid_to_us"), col("version"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("customer_source_id", "version")
+  }
 }

@@ -117,6 +117,40 @@ class FactBroadcastSpec extends AnyFunSuite {
   }
 }
 
+/** Incremental SCD2 apply must equal the full-history rebuild — and
+  * the data must actually exercise the boundary case (a batch whose
+  * leading change repeats the dim's current state), else the apply
+  * path's hardest branch is dead code in the gate.
+  */
+class Scd2ApplySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("incremental apply is bit-identical to the full rebuild") {
+    val full = graft.etl.StarSchema.scd2History(spark, sf).collect().map(_.toSeq).toSeq
+    val inc = graft.operators.Incremental.scd2Apply(spark, sf).collect().map(_.toSeq).toSeq
+    assert(inc == full)
+  }
+
+  test("the leading-change-drop branch is live on this data") {
+    import org.apache.spark.sql.expressions.Window
+    val cut = graft.operators.Incremental.Scd2CutoffUs
+    val ev = graft.core.Tables(spark, sf).events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    val wDesc = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    val wAsc = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val lastBefore = ev.filter(col("ts_us") < cut)
+      .withColumn("rn", row_number().over(wDesc)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("cur_state"))
+    val firstAfter = ev.filter(col("ts_us") >= cut)
+      .withColumn("rn", row_number().over(wAsc)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("batch_state"))
+    val repeats = lastBefore.join(firstAfter, "user_id")
+      .filter(col("cur_state") === col("batch_state")).count()
+    assert(repeats > 0, "no user's batch opens with the current state - boundary branch untested")
+  }
+}
+
 /** sequence_pack's global running total must be the two-level
   * distributed prefix sum — one unpartitioned window over the whole
   * corpus would drag every row through a single task at scale.
