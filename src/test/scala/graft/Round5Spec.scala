@@ -117,6 +117,67 @@ class FactBroadcastSpec extends AnyFunSuite {
   }
 }
 
+/** Z-order layout: after a Morton-clustered write, every file is
+  * simultaneously narrow in BOTH sort dimensions (usable min/max
+  * pruning on either filter column), which no single-column sort
+  * achieves.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  import graft.sources.ZOrder
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("zorderValue interleaves bits") {
+    import spark.implicits._
+    val r = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.zorderValue(col("a"), col("b"))).collect()(0).getLong(0)
+    // a=101 on even positions -> 10001, b=11 on odd -> 1010; or = 11011
+    assert(r == 27L)
+  }
+
+  test("z-ordered files are narrow in both dimensions at once") {
+    // BOTH inputs are normalized to the same 8-bit range first (the
+    // standard rank/bucket pre-step of any z-order writer): with
+    // unequal bit widths the wider dimension's high bits own the top
+    // of the curve and the layout degenerates to a single-column sort
+    val ev = graft.core.Tables(spark, sf).events
+      .select(col("user_id"), col("ts_us"))
+    val Seq(tmin, tmax) = ev.agg(min("ts_us"), max("ts_us")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]): @unchecked
+    val Seq(uMin, uMax) = ev.agg(min("user_id"), max("user_id")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]): @unchecked
+    val dims = ev.select(
+      expr(s"(user_id - $uMin) * 256 div ${uMax - uMin + 1}").as("u8"),
+      expr(s"(ts_us - $tmin) * 256 div ${tmax - tmin + 1}").as("t8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    ZOrder.writeZOrdered(dims, s"$dir/z", "u8", "t8", 8)
+    dims.repartitionByRange(8, col("t8")).sortWithinPartitions("t8")
+      .write.parquet(s"$dir/t")
+
+    def avgWidths(path: String): (Double, Double) = {
+      val r = spark.read.parquet(path)
+        .select(input_file_name().as("f"), col("u8"), col("t8"))
+        .groupBy("f")
+        .agg((max("u8") - min("u8")).as("wu"), (max("t8") - min("t8")).as("wt"))
+        .agg(avg("wu"), avg("wt")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val Seq(guL, gtL) = dims.agg(max("u8") - min("u8"), max("t8") - min("t8"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]): @unchecked
+    val (gu, gt) = (guL.toDouble, gtL.toDouble)
+    val (zu, zt) = avgWidths(s"$dir/z")
+    val (tu, tt) = avgWidths(s"$dir/t")
+    // single-column time sort: perfect on time, useless on user
+    assert(tt / gt < 0.3, s"time-sorted files should be time-narrow (${tt / gt})")
+    assert(tu / gu > 0.8, s"time-sorted files span the full user range (${tu / gu})")
+    // z-order: BOTH dimensions substantially narrower than global
+    assert(zu / gu < 0.8, s"z-ordered files must be user-narrow (${zu / gu})")
+    assert(zt / gt < 0.8, s"z-ordered files must be time-narrow (${zt / gt})")
+    // and its worst dimension beats the single-column sort's worst
+    assert(math.max(zu / gu, zt / gt) < math.max(tu / gu, tt / gt))
+  }
+}
+
 /** Incremental SCD2 apply must equal the full-history rebuild — and
   * the data must actually exercise the boundary case (a batch whose
   * leading change repeats the dim's current state), else the apply
