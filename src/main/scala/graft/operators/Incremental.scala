@@ -180,10 +180,21 @@ object Incremental {
     * dim (AQE promotes when it fits). Nothing driver-side, no
     * iteration.
     */
-  def scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Apply(spark: SparkSession, dir: String): DataFrame =
+    scd2ApplyOn(Tables(spark, dir).events
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type")))
+      .select(
+        col("user_id").cast("string").as("customer_source_id"),
+        col("state"), col("valid_from_us"), col("valid_to_us"), col("version"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("customer_source_id", "version")
+
+  /** The apply core over an arbitrary (user_id, ts_us, event_id,
+    * event_type) stream — exposed so randomized tests can drive it
+    * with synthetic boundary-case streams.
+    */
+  private[graft] def scd2ApplyOn(ev: DataFrame): DataFrame = {
     val wUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    val ev = Tables(spark, dir).events
-      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
     // the "existing" dimension: full SCD2 of the pre-cutoff slice
     val dim = changePoints(ev.filter(col("ts_us") < Scd2CutoffUs))
       .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wUser))
@@ -210,16 +221,11 @@ object Incremental {
     // close the open row of every user that gained a new version
     val firstNew = newRows.groupBy("user_id")
       .agg(min(col("valid_from_us")).as("close_ts"))
-    val applied = dim.join(firstNew, Seq("user_id"), "left")
+    dim.join(firstNew, Seq("user_id"), "left")
       .select(col("user_id"), col("state"), col("valid_from_us"),
         when(col("valid_to_us").isNull && col("close_ts").isNotNull, col("close_ts"))
           .otherwise(col("valid_to_us")).as("valid_to_us"),
         col("version"))
       .unionByName(newRows)
-    applied.select(
-        col("user_id").cast("string").as("customer_source_id"),
-        col("state"), col("valid_from_us"), col("valid_to_us"), col("version"),
-        col("valid_to_us").isNull.as("is_current"))
-      .orderBy("customer_source_id", "version")
   }
 }

@@ -117,6 +117,94 @@ class FactBroadcastSpec extends AnyFunSuite {
   }
 }
 
+/** Seeded randomized checks for the round's two most intricate code
+  * paths: the connected-components loop vs a local union-find, and
+  * incremental SCD2 vs the full rebuild on synthetic event streams
+  * engineered to hit every boundary case.
+  */
+class Round5PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def unionFind(n: Int, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  test("labelPropagate matches union-find on random graphs (chains, cliques, stars)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      // mixed shapes: a long chain (deep diameter), a clique, a star,
+      // random sparse edges, isolated pairs
+      val chain = (0L until 40L).map(i => (trial * 1000L + i, trial * 1000L + i + 1))
+      val clique = for (i <- 0 until 5; j <- i + 1 until 5)
+        yield (trial * 2000L + i, trial * 2000L + j)
+      val star = (1L to 6L).map(i => (trial * 3000L, trial * 3000L + i))
+      val sparse = (0 until 20).map(_ =>
+        (trial * 4000L + rng.nextInt(30), trial * 4000L + rng.nextInt(30)))
+        .filter(p => p._1 != p._2)
+      val pairs = chain ++ clique ++ star ++ sparse
+      val expected = unionFind(pairs.size, pairs)
+      val got = graft.operators.Dedup.labelPropagate(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("scd2Apply logic matches the full rebuild on synthetic boundary-case streams") {
+    // exercise the apply path's branches directly against the same
+    // full-rebuild windows, over streams crafted per user:
+    //  u1: batch opens with the SAME state as current (drop branch)
+    //  u2: batch opens with a different state
+    //  u3: no batch events (open row survives)
+    //  u4: batch-only user (new in batch, versions from 1)
+    //  u5: random states across the boundary
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cut = graft.operators.Incremental.Scd2CutoffUs
+    val rng = new scala.util.Random(47)
+    val states = Seq("view", "click", "purchase")
+    def ev(id: Long, u: Long, ts: Long, st: String) = (id, u, ts, st)
+    var id = 0L
+    def nid() = { id += 1; id }
+    val rows = Seq(
+      ev(nid(), 1, cut - 100, "view"), ev(nid(), 1, cut + 10, "view"),
+      ev(nid(), 1, cut + 20, "click"),
+      ev(nid(), 2, cut - 50, "view"), ev(nid(), 2, cut + 5, "purchase"),
+      ev(nid(), 3, cut - 30, "click"),
+      ev(nid(), 4, cut + 40, "view"), ev(nid(), 4, cut + 50, "view"),
+      ev(nid(), 4, cut + 60, "purchase")) ++
+      (0 until 40).map(_ => ev(nid(), 5,
+        cut + rng.nextInt(200) - 100, states(rng.nextInt(3))))
+    val evDf = rows.toDF("event_id", "user_id", "ts_us", "event_type")
+    // full rebuild over the synthetic stream (same windows as
+    // StarSchema.scd2History)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val full = evDf
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("valid_to_us"), col("version"))
+      .orderBy("user_id", "version")
+      .collect().map(_.toSeq).toSeq
+    val inc = graft.operators.Incremental.scd2ApplyOn(evDf)
+      .select(col("user_id"), col("state"), col("valid_from_us"), col("valid_to_us"), col("version"))
+      .orderBy("user_id", "version")
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full)
+  }
+}
+
 /** Z-order layout: after a Morton-clustered write, every file is
   * simultaneously narrow in BOTH sort dimensions (usable min/max
   * pruning on either filter column), which no single-column sort
