@@ -3,10 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, JoinedRow, SortOrder, SpecificInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BoundReference, JoinedRow, SortOrder, SpecificInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
 
 /** A whole-operator Catalyst extension (SURVEY.md §2 L): the as-of
@@ -59,7 +61,7 @@ object AsOfJoin {
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     matchedTs: AttributeReference, matchedKey: AttributeReference)
-    extends BinaryExecNode {
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ Seq(matchedTs, matchedKey)
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -122,6 +124,69 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen (SortMergeJoinExec's produce-only
+  // pattern: both children feed the stage as row iterators, the merge
+  // walk itself is generated into the stage body, and downstream
+  // operators consume our columns as local variables with no
+  // intermediate row materialization at all) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    Seq(left.execute(), right.execute())
+
+  // our output vars reference mutable walk state that the next probe
+  // row overwrites — a buffering parent must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val probeInput = ctx.addMutableState("scala.collection.Iterator", "asofProbeInput",
+      v => s"$v = inputs[0];")
+    val buildInput = ctx.addMutableState("scala.collection.Iterator", "asofBuildInput",
+      v => s"$v = inputs[1];")
+    // the one-row lookahead over the build side + the O(1) walk state
+    val bufRow = ctx.addMutableState("InternalRow", "asofBuildRow")
+    val curUid = ctx.addMutableState("long", "asofCurUid",
+      v => s"$v = Long.MIN_VALUE;")
+    val has = ctx.addMutableState("boolean", "asofHas")
+    val mTs = ctx.addMutableState("long", "asofMTs")
+    val mKey = ctx.addMutableState("long", "asofMKey")
+    val probeRow = ctx.freshName("probeRow")
+    val uid = ctx.freshName("uid")
+    val ts = ctx.freshName("ts")
+    // probe columns read straight off the iterator row
+    ctx.INPUT_ROW = probeRow
+    ctx.currentVars = null
+    val probeVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    // matched columns are the walk-state variables themselves
+    val tsVar = ExprCode(code"",
+      JavaCode.isNullExpression(s"!$has"), JavaCode.variable(mTs, LongType))
+    val keyVar = ExprCode(code"",
+      JavaCode.isNullExpression(s"!$has"), JavaCode.variable(mKey, LongType))
+    val consumed = consume(ctx, probeVars ++ Seq(tsVar, keyVar))
+    s"""
+       |while ($probeInput.hasNext()) {
+       |  InternalRow $probeRow = (InternalRow) $probeInput.next();
+       |  long $uid = $probeRow.getLong(0);
+       |  long $ts = $probeRow.getLong(1);
+       |  if ($uid != $curUid) { $curUid = $uid; $has = false; }
+       |  if ($bufRow == null && $buildInput.hasNext()) {
+       |    $bufRow = (InternalRow) $buildInput.next();
+       |  }
+       |  while ($bufRow != null && $bufRow.getLong(0) < $uid) {
+       |    $bufRow = $buildInput.hasNext() ? (InternalRow) $buildInput.next() : null;
+       |  }
+       |  while ($bufRow != null && $bufRow.getLong(0) == $uid && $bufRow.getLong(1) <= $ts) {
+       |    $has = true; $mTs = $bufRow.getLong(1); $mKey = $bufRow.getLong(2);
+       |    $bufRow = $buildInput.hasNext() ? (InternalRow) $buildInput.next() : null;
+       |  }
+       |  ${probeVars.map(_.code.toString).mkString("\n")}
+       |  $consumed
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan,

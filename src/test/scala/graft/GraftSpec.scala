@@ -323,6 +323,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "EnsureRequirements should cluster both sides on the user key")
     val composed = Reports.asofEventOrder(spark, TestSpark.sf)
     assert(custom.collect().toSeq == composed.collect().toSeq)
+    // after execution the adaptive final plan must show the exec
+    // INSIDE a whole-stage codegen stage (the "*(n)" prefix)
+    val finalPlan = custom.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(finalPlan).isDefined,
+      "AsOfJoin must run inside WholeStageCodegen")
   }
 
   test("salted aggregation equals the direct groupBy") {
