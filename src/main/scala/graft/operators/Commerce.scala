@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.GraftFunctions.money
+
+/** Customer-behavior analytics over the order history — the
+  * warehouse-consumer layer the reference's star schema feeds (its
+  * Looker dashboards slice fact_sales_order by customer and date;
+  * reference: `7.data-transformation-visualization/README.md`). These
+  * are the four classic e-commerce marts built on top of such a fact
+  * table: RFM segmentation, cohort retention, market-basket affinity,
+  * and activity-streak (gap/island) analysis.
+  */
+object Commerce {
+
+  /** Bucket width for the monetary-value ranking buckets: customers
+    * whose lifetime spend falls in the same `width`-sized band share a
+    * rank bucket (see [[globalRowNumber]]).
+    */
+  private[graft] val MonetaryBucketWidth = 10000.0
+
+  /** Distributed global row_number: a total-order rank over the whole
+    * frame WITHOUT an unpartitioned window (which would drag every row
+    * through one task). Two-level: rows rank locally within
+    * `bucketCol` partitions, per-bucket counts (one row per bucket)
+    * take the tiny ordered window, and bucket offsets broadcast back —
+    * the same prefix-sum shape as `TextAnalysis.sequencePack`.
+    *
+    * Contract: `bucketCol`'s ascending order must be consistent with
+    * `order` across buckets (rows in a smaller bucket sort strictly
+    * before rows in a larger one), and `order` must be a total order.
+    * Equal-`order` rows always share a bucket, so the result equals
+    * `row_number() OVER (ORDER BY order…)` exactly — the oracle states
+    * that single global window; the distributed formulation is
+    * invisible in the result.
+    */
+  private[graft] def globalRowNumber(
+      df: DataFrame, bucketCol: Column, order: Seq[Column], out: String): DataFrame = {
+    val b = df.withColumn("__bucket", bucketCol)
+    val wLocal = Window.partitionBy(col("__bucket")).orderBy(order: _*)
+    val wOff = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col("__bucket")).agg(count(lit(1)).as("__bc"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__bc")).over(wOff), lit(0L)).as("__boff"))
+    b.withColumn("__local_rk", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(out, col("__boff") + col("__local_rk"))
+      .drop("__bucket", "__local_rk", "__boff")
+  }
+
+  /** SQL `ntile(k)` of 1-based rank `rk` over `n` rows, as arithmetic:
+    * the first `n % k` buckets take `n div k + 1` rows, the rest
+    * `n div k`. The CASE guards the div-by-zero branch when n < k.
+    */
+  private def ntileExpr(rk: String, n: String, k: Int): Column = expr(
+    s"""CAST(CASE WHEN ($rk - 1) < ($n % $k) * ($n div $k + 1)
+       |  THEN ($rk - 1) div ($n div $k + 1) + 1
+       |  ELSE ($n % $k) + (($rk - 1) - ($n % $k) * ($n div $k + 1)) div ($n div $k) + 1
+       |END AS BIGINT)""".stripMargin)
+
+  /** RFM segmentation: per customer, recency (days since last order,
+    * against the corpus max date), frequency (order count), monetary
+    * (lifetime spend, exact decimal), each quartile-scored 1–4.
+    *
+    * Scale shape: the heavy lift is the one groupBy(custkey) over the
+    * order log; the three quartile scores then need a GLOBAL rank per
+    * metric over the customer aggregate — at 10⁸ customers an
+    * unpartitioned ntile window is a single-task sort, so each rank is
+    * a [[globalRowNumber]] two-level prefix sum instead (value-keyed
+    * buckets: recency days and order counts are naturally
+    * low-cardinality; spend is banded by [[MonetaryBucketWidth]]).
+    * ntile is then pure arithmetic on (rank, N). The oracle states the
+    * three plain ntile windows — equal by construction.
+    */
+  def rfmSegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val mx = o.agg(max(col("o_orderdate")).as("__mx"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(money(col("o_totalprice"))).cast("double").as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey").as("c_custkey"),
+        datediff(col("__mx").cast("date"), col("__last").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val n = cust.agg(count(lit(1)).as("__n"))
+    // Bucket keys ascend exactly as each metric's ORDER BY does:
+    // recency asc → the value; frequency/monetary desc → negated band.
+    val r = globalRowNumber(cust,
+      col("recency_days"), Seq(col("recency_days"), col("c_custkey")), "__rrk")
+    val f = globalRowNumber(r,
+      -col("frequency"), Seq(col("frequency").desc, col("c_custkey")), "__frk")
+    val m = globalRowNumber(f,
+      -floor(col("monetary") / MonetaryBucketWidth),
+      Seq(col("monetary").desc, col("c_custkey")), "__mrk")
+    m.crossJoin(broadcast(n))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        ntileExpr("__rrk", "__n", 4).as("r_score"),
+        ntileExpr("__frk", "__n", 4).as("f_score"),
+        ntileExpr("__mrk", "__n", 4).as("m_score"))
+      .orderBy("c_custkey")
+  }
+
+  val rfmSegmentSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      |      (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS BIGINT) AS recency_days,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1)
+      |SELECT c_custkey, recency_days, frequency, monetary,
+      |  CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey) AS BIGINT) AS r_score,
+      |  CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS BIGINT) AS f_score,
+      |  CAST(ntile(4) OVER (ORDER BY monetary DESC, c_custkey) AS BIGINT) AS m_score
+      |FROM cust ORDER BY c_custkey""".stripMargin
+
+  /** Cohort retention: customers grouped by first-order year; for each
+    * (cohort, years-since) cell, how many are still ordering, and what
+    * share of the cohort that is. One groupBy(custkey) for the cohort
+    * assignment, one custkey-keyed join back (both sides share the
+    * shuffle key), a distinct on the already-narrow (cust, cohort,
+    * year) triple, and a broadcast of the tiny per-year cohort sizes.
+    * Rates are int/int division in double — bit-identical across
+    * engines.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    val first = o.groupBy(col("o_custkey"))
+      .agg(min(col("yr")).as("cohort_year"))
+    val sizes = first.groupBy(col("cohort_year"))
+      .agg(count(lit(1)).as("cohort_size"))
+    o.join(first, "o_custkey")
+      .select(col("o_custkey"), col("cohort_year"), col("yr").as("active_year"))
+      .distinct()
+      .groupBy(col("cohort_year"),
+        (col("active_year") - col("cohort_year")).cast("long").as("offset_years"))
+      .agg(count(lit(1)).as("active_customers"))
+      .join(broadcast(sizes), Seq("cohort_year"))
+      .select(col("cohort_year").cast("long").as("cohort_year"),
+        col("offset_years"), col("active_customers"), col("cohort_size"),
+        (col("active_customers").cast("double") / col("cohort_size").cast("double"))
+          .as("retention_rate"))
+      .orderBy("cohort_year", "offset_years")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH first AS (
+      |  SELECT o_custkey, min(year(o_orderdate)) AS cohort_year FROM orders GROUP BY 1),
+      |act AS (
+      |  SELECT DISTINCT o.o_custkey, f.cohort_year, year(o.o_orderdate) AS active_year
+      |  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey),
+      |sizes AS (SELECT cohort_year, count(*) AS cohort_size FROM first GROUP BY 1)
+      |SELECT a.cohort_year, a.active_year - a.cohort_year AS offset_years,
+      |  count(*) AS active_customers, s.cohort_size,
+      |  CAST(count(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention_rate
+      |FROM act a JOIN sizes s ON a.cohort_year = s.cohort_year
+      |GROUP BY a.cohort_year, offset_years, s.cohort_size
+      |ORDER BY a.cohort_year, offset_years""".stripMargin
+
+  /** Market-basket affinity: brand pairs co-purchased in one order,
+    * scored by lift and confidence. The pair stream is the order-keyed
+    * self-join of the distinct (order, brand) table — pair volume is
+    * Σ basket², bounded by basket size, never |orders|² — and the
+    * per-brand marginals broadcast back (brand cardinality is tiny).
+    * Lift/confidence are integer-valued products/ratios computed in
+    * double below 2^53 — exact, so the DESC ordering is
+    * engine-stable (ties broken by the brand pair).
+    */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ob = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    val n = ob.agg(countDistinct(col("o")).as("__n"))
+    val cnt = ob.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val a = ob.as("pa"); val b2 = ob.as("pb")
+    a.join(b2, col("pa.o") === col("pb.o") && col("pa.b") < col("pb.b"))
+      .groupBy(col("pa.b").as("brand_a"), col("pb.b").as("brand_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= 30)
+      .join(broadcast(cnt.select(col("b").as("brand_a"), col("c").as("__ca"))), Seq("brand_a"))
+      .join(broadcast(cnt.select(col("b").as("brand_b"), col("c").as("__cb"))), Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("pair_count"),
+        ((col("pair_count") * col("__n")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double")).as("lift"),
+        (col("pair_count").cast("double") / col("__ca").cast("double"))
+          .as("confidence_a_b"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(50)
+  }
+
+  val basketLiftSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+      |cnt AS (SELECT b, count(*) AS c FROM ob GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.b AS brand_a, b2.b AS brand_b, count(*) AS pair_count
+      |  FROM ob a JOIN ob b2 ON a.o = b2.o AND a.b < b2.b GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, pair_count,
+      |  CAST(pair_count * (SELECT n_orders FROM n) AS DOUBLE)
+      |    / CAST(ca.c * cb.c AS DOUBLE) AS lift,
+      |  CAST(pair_count AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence_a_b
+      |FROM pairs
+      |JOIN cnt ca ON pairs.brand_a = ca.b
+      |JOIN cnt cb ON pairs.brand_b = cb.b
+      |WHERE pair_count >= 30
+      |ORDER BY lift DESC, brand_a, brand_b LIMIT 50""".stripMargin
+
+  /** Activity streaks (gaps and islands): per user, the runs of
+    * consecutive active days in the event log — streak count, longest
+    * streak, total active days. The island key is the classic
+    * date-minus-row_number trick; every window and aggregate is
+    * partitioned by user, so the whole query is one shuffle on
+    * user_id end to end.
+    */
+  def gapIslands(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    ud.withColumn("__grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"),
+        sum(col("__len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
+  val gapIslandsSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |isl AS (
+      |  SELECT user_id, d,
+      |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      |  FROM ud),
+      |runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak,
+      |  CAST(sum(len) AS BIGINT) AS active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+}
