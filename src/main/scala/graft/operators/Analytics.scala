@@ -558,4 +558,166 @@ object Analytics {
       |  (SELECT count(*) FROM p) AS n_purchase_after_click,
       |  CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v) AS view_to_click,
       |  CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c) AS click_to_purchase""".stripMargin
+
+  /** Bilateral trade volume (TPC-H Q7 shape): revenue between two
+    * nations by ship year, both directions. Nation (a constant-25
+    * lookup) is the only static broadcast; the supplier and customer
+    * joins stay UNhinted — their nation-filtered sides are
+    * O(|suppliers|)/O(|customers|), so AQE decides at runtime (the
+    * fact_sales BroadcastDimRowCap lesson). The two fact-sized streams
+    * meet on one orderkey shuffle each.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n = broadcast(t.nation
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name")))
+    val sup = t.supplier.join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t.customer.join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val lsup = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).as("volume"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+    val ocust = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    lsup.join(ocust, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+      |    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier s
+      |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Returned-item revenue report (TPC-H Q10 shape): which customers
+    * returned the most, one quarter. The date filter prunes orders at
+    * the scan, the returnflag filter prunes lineitem; two shuffle
+    * joins (orderkey, custkey) + broadcast nation; the final top-20 is
+    * a TakeOrdered, never a global sort. Deterministic via the custkey
+    * tiebreak on the exact-decimal revenue.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).as("volume"))
+    val c = t.customer.join(broadcast(Tables(spark, dir).nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  c.c_acctbal, n.n_name
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Promotion revenue share (TPC-H Q14 shape): one month of
+    * lineitem against the part catalog, conditional-sum ratio. The
+    * ship-date filter reaches the parquet scan; the part join is
+    * UNhinted (the catalog is dimension-sized but unbounded — AQE
+    * promotes when it fits). The percentage divides the two
+    * exact-decimal sums already in the output — bit-identical.
+    */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l = t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).as("volume"))
+    l.join(t.part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("volume"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_revenue"),
+        sum(col("volume")).cast("double").as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+      |  100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin
+
+  /** Discounted-revenue with a disjunctive predicate (TPC-H Q19
+    * shape): an OR-of-ANDs spanning both join sides. The classic Q19
+    * rewrite applies: each table's implied envelope (the union of its
+    * per-branch ranges) is conjoined BEFORE the join so it pushes to
+    * the parquet scans — lineitem reads only qty ∈ [1,30], part only
+    * the three brands with size ≤ 15 — and the exact OR evaluates as
+    * the post-join residual on the survivors.
+    */
+  def q19DiscountRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l = t.lineitem
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"),
+        (money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).as("volume"))
+    val p = t.part
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+        col("p_size") >= 1 && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size") <= 5 &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#23" && col("p_size") <= 10 &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#34" && col("p_size") <= 15 &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 30))
+      .agg(sum(col("volume")).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
 }
