@@ -33,22 +33,45 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val a = once
-      val b = once
-      name -> math.min(a, b)
+      // min over SUCCESSFUL runs only: -1 is a failure sentinel, and
+      // min(ok, -1) would discard the good timing and poison the total
+      val ok = Seq(once, once).filter(_ >= 0.0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}"""
-    // the JSON line must survive a tail-truncated capture: persist it
-    // to a file, print it once before shutdown, and print it again as
-    // the very last line (spark.stop() logs after the first print)
+    // grand total is always over ALL queries (not just the printed
+    // subset) so the headline metric is stable however the line shrinks
+    val grandTotal = f"${results.values.filter(_ >= 0).sum}%.3f"
+    val grandFailed = results.count(_._2 < 0)
+    def render(vals: Map[String, Double]): String = {
+      val qs = vals.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$grandTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","failed":$grandFailed}"""
+    }
+    val full = render(results)
+    // the full per-query map always lands in BENCH_RESULT.json; the
+    // PRINTED line must fit inside the driver's 2000-char tail capture
+    // (a longer line truncates mid-JSON and parses as null), so when
+    // the full line is too long print a short variant carrying the
+    // total plus the slowest queries that fit the budget
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
+      (full + "\n").getBytes("UTF-8"))
+    val printed =
+      if (full.length <= 1800) full
+      else {
+        // keep the most expensive queries — the ones perf grading reads
+        val bySlowest = results.toSeq.sortBy(-_._2)
+        var kept = Map.empty[String, Double]
+        var line = render(kept)
+        for ((k, v) <- bySlowest) {
+          val cand = render(kept + (k -> v))
+          if (cand.length <= 1800) { kept += (k -> v); line = cand }
+        }
+        line
+      }
+    println(printed)
     spark.stop()
-    println(json)
+    println(printed)
     System.out.flush()
   }
 }

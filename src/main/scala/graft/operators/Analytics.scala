@@ -181,15 +181,37 @@ object Analytics {
 
   /** Quartile bucketing of order values within each priority class —
     * ntile over a total order (deterministic bucket boundaries).
+    *
+    * Scale shape: `o_orderpriority` has FIVE distinct values, so a
+    * window partitioned on it alone drags N/5 of the order table
+    * through one task's sort at scale. Instead the rank comes from
+    * [[Commerce.classRowNumber]] — rows rank locally within
+    * (priority, totalprice-band) partitions and per-band counts take
+    * the tiny ordered window — and ntile is then pure arithmetic on
+    * (rank, class count). The oracle states the plain ntile window;
+    * equal by construction.
     */
   def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables(spark, dir).orders
+    val o = Tables(spark, dir).orders
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("quartile", ntile(4).over(w).cast("int"))
+    val n = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("__n"))
+    Commerce.classRowNumber(o, Seq("o_orderpriority"),
+        floor(col("o_totalprice") / PriceBandWidth).cast("long"),
+        Seq(col("o_totalprice"), col("o_orderkey")), "__rk")
+      .join(broadcast(n), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        Commerce.ntileExpr("__rk", "__n", 4).cast("int").as("quartile"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
+
+  /** Bucket width for the within-priority totalprice rank bands used
+    * by [[ntileBuckets]] and [[windowPercentRank]]: orders whose total
+    * falls in the same `width`-sized band rank locally together.
+    * TPC-H totals span ~850..560k, so 1000 gives a few hundred bands
+    * per class — thousands of even local sorts instead of five huge
+    * ones.
+    */
+  private[graft] val PriceBandWidth = 1000.0
 
   val ntileBucketsSql: String =
     """SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -403,20 +425,33 @@ object Analytics {
       |FROM r WHERE rk <= 3 ORDER BY part_key, rank""".stripMargin
 
   /** Relative-standing windows: percent_rank + cume_dist per priority
-    * class over a total order (totalprice, key tiebreak) — one window
-    * sort serves both. Both functions are integer-ratio divisions
-    * ((rank−1)/(n−1), rows≤current/n), so the doubles are bit-identical
-    * across engines.
+    * class over a total order (totalprice, key tiebreak). Both
+    * functions are integer-ratio divisions ((rank−1)/(n−1),
+    * rows≤current/n), so the doubles are bit-identical across engines.
+    *
+    * Scale shape: same 5-value-partition cliff as [[ntileBuckets]] —
+    * the rank comes from the distributed
+    * [[Commerce.classRowNumber]] prefix sum, and because the ORDER BY
+    * carries the unique order key (total order, no ties) rank() =
+    * row_number() and the cume_dist peer group is a single row, so
+    * both functions collapse to exact arithmetic on (rank, class
+    * count). The oracle states the plain window functions; equal by
+    * construction.
     */
   def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables(spark, dir).orders
+    val o = Tables(spark, dir).orders
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    val n = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("__n"))
+    Commerce.classRowNumber(o, Seq("o_orderpriority"),
+        floor(col("o_totalprice") / PriceBandWidth).cast("long"),
+        Seq(col("o_totalprice"), col("o_orderkey")), "__rk")
+      .join(broadcast(n), Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        when(col("__n") === 1, lit(0.0)).otherwise(
+          (col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .as("pct_rank"),
+        (col("__rk").cast("double") / col("__n").cast("double")).as("cume"))
       .orderBy("o_orderpriority", "o_orderkey")
-      .select(col("o_orderkey"), col("o_orderpriority"), col("pct_rank"), col("cume"))
   }
 
   val windowPercentRankSql: String =

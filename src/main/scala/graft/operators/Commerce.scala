@@ -38,16 +38,33 @@ object Commerce {
     * invisible in the result.
     */
   private[graft] def globalRowNumber(
-      df: DataFrame, bucketCol: Column, order: Seq[Column], out: String): DataFrame = {
+      df: DataFrame, bucketCol: Column, order: Seq[Column], out: String): DataFrame =
+    classRowNumber(df, Nil, bucketCol, order, out)
+
+  /** [[globalRowNumber]] generalized to a rank WITHIN each class: a
+    * distributed `row_number() OVER (PARTITION BY classCols ORDER BY
+    * order…)` that never sorts a whole class in one task. Raw rows
+    * rank locally inside (class, bucket) partitions; the tiny ordered
+    * window (one row per bucket) runs per class over per-bucket counts
+    * and its offsets broadcast back. A low-cardinality class column
+    * (e.g. 5 priority values over 10⁹ orders) therefore costs a
+    * (class, bucket)-keyed sort instead of dragging N/5 rows through
+    * one task. Same contract as [[globalRowNumber]]: within a class,
+    * `bucketCol`'s ascending order must agree with `order`, and
+    * equal-`order` rows must share a bucket.
+    */
+  private[graft] def classRowNumber(df: DataFrame, classCols: Seq[String],
+      bucketCol: Column, order: Seq[Column], out: String): DataFrame = {
+    val cls = classCols.map(col)
     val b = df.withColumn("__bucket", bucketCol)
-    val wLocal = Window.partitionBy(col("__bucket")).orderBy(order: _*)
-    val wOff = Window.orderBy(col("__bucket"))
+    val wLocal = Window.partitionBy(cls :+ col("__bucket"): _*).orderBy(order: _*)
+    val wOff = Window.partitionBy(cls: _*).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = b.groupBy(col("__bucket")).agg(count(lit(1)).as("__bc"))
-      .select(col("__bucket"),
-        coalesce(sum(col("__bc")).over(wOff), lit(0L)).as("__boff"))
+    val offsets = b.groupBy(cls :+ col("__bucket"): _*).agg(count(lit(1)).as("__bc"))
+      .select(cls :+ col("__bucket") :+
+        coalesce(sum(col("__bc")).over(wOff), lit(0L)).as("__boff"): _*)
     b.withColumn("__local_rk", row_number().over(wLocal))
-      .join(broadcast(offsets), Seq("__bucket"))
+      .join(broadcast(offsets), classCols :+ "__bucket")
       .withColumn(out, col("__boff") + col("__local_rk"))
       .drop("__bucket", "__local_rk", "__boff")
   }
@@ -56,7 +73,7 @@ object Commerce {
     * the first `n % k` buckets take `n div k + 1` rows, the rest
     * `n div k`. The CASE guards the div-by-zero branch when n < k.
     */
-  private def ntileExpr(rk: String, n: String, k: Int): Column = expr(
+  private[graft] def ntileExpr(rk: String, n: String, k: Int): Column = expr(
     s"""CAST(CASE WHEN ($rk - 1) < ($n % $k) * ($n div $k + 1)
        |  THEN ($rk - 1) div ($n div $k + 1) + 1
        |  ELSE ($n % $k) + (($rk - 1) - ($n % $k) * ($n div $k + 1)) div ($n div $k) + 1

@@ -160,6 +160,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val probeVars = left.output.zipWithIndex.map { case (a, i) =>
       BoundReference(i, a.dataType, a.nullable).genCode(ctx)
     }
+    // SortMergeJoinExec pattern: emit every probe column's declaration
+    // ONCE via evaluateVariables (which blanks each ExprCode's code) and
+    // only then hand the vars to consume(). Re-interpolating .code after
+    // consume() can declare the same local twice when the parent embeds
+    // deferred var code (janino error → silent interpreted fallback).
+    val evaluatedProbe = evaluateVariables(probeVars)
     // matched columns are the walk-state variables themselves
     val tsVar = ExprCode(code"",
       JavaCode.isNullExpression(s"!$has"), JavaCode.variable(mTs, LongType))
@@ -182,7 +188,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
        |    $has = true; $mTs = $bufRow.getLong(1); $mKey = $bufRow.getLong(2);
        |    $bufRow = $buildInput.hasNext() ? (InternalRow) $buildInput.next() : null;
        |  }
-       |  ${probeVars.map(_.code.toString).mkString("\n")}
+       |  $evaluatedProbe
        |  $consumed
        |  if (shouldStop()) return;
        |}

@@ -28,17 +28,23 @@ object ZOrder {
     (2, 0x3333333333333333L),
     (1, 0x5555555555555555L))
 
-  /** Spread the low 32 bits of a non-negative long so consecutive bits
-    * land 2 apart (positions 0,2,4,…,62).
+  /** Spread the low 31 bits of a non-negative long so consecutive bits
+    * land 2 apart (positions 0,2,4,…,60). Only 31 bits per dimension:
+    * a 32nd bit on the odd-position key would land on bit 63 — the
+    * SIGN bit — making large keys sort NEGATIVE and range-partition
+    * before all small ones, silently destroying the curve's locality.
     */
   private def spread(c: Column): Column =
-    Masks.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (x, (s, m)) =>
+    Masks.foldLeft(c.bitwiseAND(lit(0x7FFFFFFFL))) { case (x, (s, m)) =>
       (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
     }
 
-  /** 64-bit Morton key of two non-negative 32-bit values: bits of `a`
+  /** 62-bit Morton key of two non-negative 31-bit values: bits of `a`
     * on even positions, bits of `b` on odd. Monotone in neither input
-    * alone — locality in both together, which is the point.
+    * alone — locality in both together, which is the point. Inputs
+    * must be pre-normalized to 0..2^31−1 (see [[writeZOrdered]]);
+    * higher bits are masked off, so an un-normalized 32-bit column
+    * wraps rather than flipping the key's sign.
     */
   def zorderValue(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
@@ -49,7 +55,7 @@ object ZOrder {
     * either column skip files via footer min/max stats.
     *
     * Callers must pre-normalize both columns to COMPARABLE non-negative
-    * ranges (rank or min-max bucket them, e.g. to 0..2^k): with unequal
+    * ranges (rank or min-max bucket them, to 0..2^k with k ≤ 31): with unequal
     * bit widths the wider dimension's high bits own the top of the
     * curve and the layout degenerates to a single-column sort — the
     * unit test demonstrates both the pre-step and the failure mode it
