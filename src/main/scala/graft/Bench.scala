@@ -38,15 +38,24 @@ object Bench {
       val ok = Seq(once, once).filter(_ >= 0.0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
+    // would emit 65,584 — invalid JSON that breaks the driver's parse
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // grand total is always over ALL queries (not just the printed
     // subset) so the headline metric is stable however the line shrinks
-    val grandTotal = f"${results.values.filter(_ >= 0).sum}%.3f"
+    val grandTotal = fmt(results.values.filter(_ >= 0).sum)
     val grandFailed = results.count(_._2 < 0)
+    // failed-query NAMES ride on every variant: the short line otherwise
+    // sorts -1 sentinels last and the tail shows only the failed count
+    val failedNames =
+      if (grandFailed == 0) ""
+      else results.toSeq.filter(_._2 < 0).map(_._1).sorted
+        .map("\"" + _ + "\"").mkString(""","failed_queries":[""", ",", "]")
     def render(vals: Map[String, Double]): String = {
       val qs = vals.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$grandTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","failed":$grandFailed}"""
+      s"""{"metric":"total","value":$grandTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","failed":$grandFailed$failedNames}"""
     }
     val full = render(results)
     // the full per-query map always lands in BENCH_RESULT.json; the

@@ -51,7 +51,10 @@ object Commerce {
     * (class, bucket)-keyed sort instead of dragging N/5 rows through
     * one task. Same contract as [[globalRowNumber]]: within a class,
     * `bucketCol`'s ascending order must agree with `order`, and
-    * equal-`order` rows must share a bucket.
+    * equal-`order` rows must share a bucket. NULL class/bucket keys
+    * are valid window partitions — the offset join is null-safe
+    * (`<=>`), matching `PARTITION BY` semantics where NULL groups
+    * with NULL.
     */
   private[graft] def classRowNumber(df: DataFrame, classCols: Seq[String],
       bucketCol: Column, order: Seq[Column], out: String): DataFrame = {
@@ -60,13 +63,18 @@ object Commerce {
     val wLocal = Window.partitionBy(cls :+ col("__bucket"): _*).orderBy(order: _*)
     val wOff = Window.partitionBy(cls: _*).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val joinKeys = classCols :+ "__bucket"
     val offsets = b.groupBy(cls :+ col("__bucket"): _*).agg(count(lit(1)).as("__bc"))
       .select(cls :+ col("__bucket") :+
         coalesce(sum(col("__bc")).over(wOff), lit(0L)).as("__boff"): _*)
+    // null-safe equi-join (a using-column join drops NULL keys, but a
+    // NULL class or bucket is a legitimate window partition)
+    val offRenamed = joinKeys.foldLeft(offsets)((d, c) => d.withColumnRenamed(c, "__o_" + c))
+    val cond = joinKeys.map(c => col(c) <=> col("__o_" + c)).reduce(_ && _)
     b.withColumn("__local_rk", row_number().over(wLocal))
-      .join(broadcast(offsets), classCols :+ "__bucket")
+      .join(broadcast(offRenamed), cond)
       .withColumn(out, col("__boff") + col("__local_rk"))
-      .drop("__bucket", "__local_rk", "__boff")
+      .drop(joinKeys.map("__o_" + _) :+ "__bucket" :+ "__local_rk" :+ "__boff": _*)
   }
 
   /** SQL `ntile(k)` of 1-based rank `rk` over `n` rows, as arithmetic:

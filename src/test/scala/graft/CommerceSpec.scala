@@ -85,4 +85,20 @@ class CommerceSpec extends AnyFunSuite {
       assert(streaks * longest >= active, "longest streak bound violated")
     }
   }
+
+  test("classRowNumber keeps NULL class/bucket keys (window PARTITION BY parity)") {
+    import spark.implicits._
+    // NULL is a valid window partition: rows with a NULL class must
+    // rank among themselves, not vanish through the offset join
+    val df = Seq(
+      (Option("a"), 3L), (Option("a"), 1L), (Option("a"), 2L),
+      (Option.empty[String], 5L), (Option.empty[String], 4L)
+    ).toDF("cls", "v")
+    val got = Commerce.classRowNumber(df, Seq("cls"), col("v"), Seq(col("v")), "rk")
+    assert(got.count() == 5, "NULL-keyed rows were dropped by the offset join")
+    val want = df.withColumn("rk",
+      row_number().over(Window.partitionBy("cls").orderBy("v")).cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "NULL-partition ranks diverged from the window row_number")
+  }
 }
