@@ -41,6 +41,15 @@ object Bench {
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
     // would emit 65,584 — invalid JSON that breaks the driver's parse
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // query keys are compile-time identifiers today, but a stray quote or
+    // backslash in a future key must not emit invalid JSON and break the
+    // driver's parse — escape on every path that quotes a name
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => String.format(java.util.Locale.ROOT, "\\u%04x", Int.box(c.toInt))
+      case c    => c.toString
+    }
     // grand total is always over ALL queries (not just the printed
     // subset) so the headline metric is stable however the line shrinks
     val grandTotal = fmt(results.values.filter(_ >= 0).sum)
@@ -50,10 +59,10 @@ object Bench {
     val failedNames =
       if (grandFailed == 0) ""
       else results.toSeq.filter(_._2 < 0).map(_._1).sorted
-        .map("\"" + _ + "\"").mkString(""","failed_queries":[""", ",", "]")
+        .map("\"" + esc(_) + "\"").mkString(""","failed_queries":[""", ",", "]")
     def render(vals: Map[String, Double]): String = {
       val qs = vals.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$grandTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","failed":$grandFailed$failedNames}"""
     }

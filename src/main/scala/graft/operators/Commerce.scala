@@ -54,7 +54,11 @@ object Commerce {
     * equal-`order` rows must share a bucket. NULL class/bucket keys
     * are valid window partitions — the offset join is null-safe
     * (`<=>`), matching `PARTITION BY` semantics where NULL groups
-    * with NULL.
+    * with NULL. NULL `order` (or `bucketCol`) VALUES, however, sort
+    * NULLS FIRST ascending in Spark while DuckDB's bare ORDER BY
+    * defaults to NULLS LAST — a caller ranking a nullable column must
+    * state `NULLS FIRST` explicitly in the oracle SQL (current
+    * callers all rank non-null keys).
     */
   private[graft] def classRowNumber(df: DataFrame, classCols: Seq[String],
       bucketCol: Column, order: Seq[Column], out: String): DataFrame = {

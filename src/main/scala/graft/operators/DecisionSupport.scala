@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.money
 
@@ -59,14 +60,17 @@ object DecisionSupport {
   }
 
   /** Minimum-cost supplier per part (TPC-H Q2 shape): the classic
-    * correlated-scalar-subquery argmin, decorrelated as
-    * aggregate-then-join — the per-part min is a partial-agg groupBy
-    * on the SAME key the verify join uses, so the min frame arrives
-    * co-partitioned (and is filtered-part-sized → AQE broadcasts it).
-    * The supplier side broadcasts (suppliers are dimension-sized);
-    * the part filter broadcasts against the supply aggregate. The
-    * double equality is safe: both sides are the same IEEE division
-    * values, and min picks one of them bit-exactly.
+    * correlated-scalar-subquery argmin, decorrelated as a min window
+    * over the part key — ONE pass over the candidate frame (the
+    * aggregate-then-join formulation re-ran the full lineitem supply
+    * aggregation for the min side; the window costs one extra shuffle
+    * of the already-reduced, filtered-part-sized frame instead). Each
+    * window partition is one part's supplier set (bounded by suppliers
+    * per part, never fact-sized — no single-task cliff). The supplier
+    * side broadcasts (suppliers are dimension-sized); the part filter
+    * broadcasts against the supply aggregate. The double equality is
+    * safe: both sides are the same IEEE division values, and min picks
+    * one of them bit-exactly.
     */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -76,10 +80,9 @@ object DecisionSupport {
     val cand = supplyCosts(t)
       .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
       .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
-    val minc = cand.groupBy(col("ps_partkey").as("__mk"))
-      .agg(min(col("ps_supplycost")).as("__minc"))
-    cand.join(minc, col("ps_partkey") === col("__mk") &&
-        col("ps_supplycost") === col("__minc"))
+    cand
+      .withColumn("__minc", min(col("ps_supplycost")).over(Window.partitionBy(col("ps_partkey"))))
+      .filter(col("ps_supplycost") === col("__minc"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_type"),
         col("ps_supplycost").cast("double").as("supplycost"))
@@ -368,23 +371,24 @@ object DecisionSupport {
 
   /** Small-quantity revenue (TPC-H Q17 shape): rows under half their
     * part's average quantity — a correlated per-part scalar,
-    * decorrelated to a per-part aggregate joined back on partkey. The
-    * per-part averages only materialize for the filtered brand's
-    * parts (the brand filter semi-joins the aggregate input), and the
-    * average divides an exact-decimal sum by the count so the
-    * threshold double is engine-identical.
+    * decorrelated to a per-part average window over the partkey. ONE
+    * lineitem scan (the aggregate-then-join formulation scanned it
+    * twice); only the filtered brand's rows shuffle to the window,
+    * and each window partition is one part's lines — bounded, no
+    * single-task cliff. The average divides an exact-decimal window
+    * sum by the window count so the threshold double is
+    * engine-identical to the oracle's grouped computation.
     */
   def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val p = t.part.filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
       .select(col("p_partkey"))
-    val avgs = t.lineitem
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("l_partkey").as("__pk"))
-      .agg((sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("__avg"))
+    val w = Window.partitionBy(col("l_partkey"))
     t.lineitem
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(avgs, col("l_partkey") === col("__pk"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("__avg",
+        sum(money(col("l_quantity"))).over(w).cast("double") / count(lit(1)).over(w))
       .filter(col("l_quantity") < lit(0.5) * col("__avg"))
       .agg((sum(money(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_rows"))
@@ -401,26 +405,30 @@ object DecisionSupport {
 
   /** Dominant part suppliers (TPC-H Q20 shape): suppliers who shipped
     * more than a fixed share of some red part's lifetime demand since
-    * 1997 — the nested IN-subquery tower, flattened to two per-key
-    * aggregates meeting on partkey plus a LEFT SEMI into supplier.
-    * Both aggregates reduce lineitem to (key, decimal sum) with
-    * map-side partials before any join; the share compare multiplies
-    * exact-decimal-derived doubles identically on both engines.
+    * 1997 — the nested IN-subquery tower, flattened to ONE per-
+    * (supplier, part) aggregate carrying both the windowed-period
+    * conditional sum and the lifetime sum, with the per-part lifetime
+    * total as a window over the already-reduced frame (the two-
+    * aggregate formulation scanned lineitem twice). A (supp, part)
+    * group with no post-1997 rows has a NULL conditional sum and
+    * fails the share compare — exactly the rows the old inner-join
+    * formulation never produced. Decimal partial re-aggregation is
+    * exact, so the window total equals the oracle's sum over raw rows;
+    * the share compare multiplies exact-decimal-derived doubles
+    * identically on both engines.
     */
   def q20PartSupply(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val red = t.part.filter(col("p_name").like("red%")).select(col("p_partkey"))
-    val shipped = t.lineitem
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+    val base = t.lineitem
       .join(broadcast(red), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(sum(money(col("l_quantity"))).as("__q"))
-    val totals = t.lineitem
-      .join(broadcast(red.select(col("p_partkey").as("__tpk"))),
-        col("l_partkey") === col("__tpk"))
-      .groupBy(col("l_partkey").as("__tk"))
-      .agg(sum(money(col("l_quantity"))).as("__tq"))
-    val qualified = shipped.join(totals, col("l_partkey") === col("__tk"))
+      .agg(
+        sum(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"),
+          money(col("l_quantity")))).as("__q"),
+        sum(money(col("l_quantity"))).as("__all"))
+    val qualified = base
+      .withColumn("__tq", sum(col("__all")).over(Window.partitionBy(col("l_partkey"))))
       .filter(col("__q").cast("double") > lit(0.08) * col("__tq").cast("double"))
       .select(col("l_suppkey")).distinct()
     t.supplier.join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
