@@ -319,19 +319,26 @@ object Dedup {
     // that survives 100 TB (sub-quadratic banding)
     labelPropagate(dedupMinHashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
 
-  /** Below this many near-dup pairs the graph collapses to a single
-    * partition and each round's label frame rides a broadcast (one
-    * single-task job per round, no 32-partition exchanges). Above it —
-    * a 100 TB web corpus easily clears it — the same loop runs fully
-    * partitioned: shuffle joins keyed by doc id, no repartition(1)
-    * straggler, no label broadcast.
+  /** Below this many near-dup pairs the graph fits one task: a single
+    * union-find pass over the pair list computes exact min-label
+    * components in ONE job (the iterative loop spent 3 broadcast
+    * collects + 1 count per round × O(log diameter) rounds of pure
+    * local stage latency — ~7 s at sf0.1 for 11 rounds of sub-ms
+    * work). Above the cap — a 100 TB web corpus easily clears it —
+    * the propagation loop runs fully partitioned: shuffle joins keyed
+    * by doc id, no repartition(1) straggler, no label broadcast.
     */
   private[graft] val SmallGraphPairCap = 1000000L
 
-  /** Iterative min-label connected components over an undirected pair
-    * list, layout-selected by observed pair count (see
-    * [[SmallGraphPairCap]]). `forcePartitioned` pins the at-scale
-    * branch for tests.
+  /** Min-label connected components over an undirected pair list,
+    * layout-selected by observed pair count (see
+    * [[SmallGraphPairCap]]): single-task union-find below the cap,
+    * iterative pointer-doubling min-label propagation above it.
+    * `forcePartitioned` pins the at-scale branch for tests. Both
+    * branches return each node labeled with its component's minimum
+    * id (union-find attaches the larger root under the smaller, so a
+    * root IS its component min) — the recursive-CTE oracle verifies
+    * the fixed point either way.
     */
   private[graft] def labelPropagate(pairList: DataFrame,
       forcePartitioned: Boolean = false): DataFrame = {
@@ -339,6 +346,51 @@ object Dedup {
     // ONE scalar crosses the driver (the layout decision), same as the
     // converged flag below — no graph data ever reaches the driver
     val small = !forcePartitioned && counted.count() <= SmallGraphPairCap
+    val idType = pairList.schema("doc_a").dataType
+    val integralIds = idType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (small && integralIds) {
+      // ≤ SmallGraphPairCap pairs on one executor task: union-find with
+      // path compression, the one other legitimate mapPartitions use
+      // beside the multimodal decode contract (genuinely imperative
+      // per-partition logic; no DataFrame formulation runs it in one
+      // pass). The graph never touches the driver — the single task
+      // holds it, exactly like the old repartition(1) rounds did.
+      val sess = pairList.sparkSession
+      import sess.implicits._
+      val labeled = counted
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression: point the walked chain at the root
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          val nodes = scala.collection.mutable.LongMap.empty[Unit]
+          it.foreach { case (a, b) =>
+            nodes.update(a, ()); nodes.update(b, ())
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          nodes.keysIterator.map(x => (x, find(x)))
+        }
+        .toDF("doc_id", "cluster_id")
+        .select(col("doc_id").cast(idType), col("cluster_id").cast(idType))
+      // `counted` stays cached: the returned plan reads the pair list
+      // again, and the layout count() already materialized it — same
+      // ≤1 retained frame as the loop branch's final persisted RDD
+      return labeled.orderBy("doc_id")
+    }
     val pairs = if (small) counted.repartition(1).cache() else counted
     // small graph: broadcast the per-round frames (map-only rounds);
     // large graph: leave joins unhinted so they shuffle on doc id
