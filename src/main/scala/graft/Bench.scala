@@ -27,7 +27,13 @@ object Bench {
     // numbers on a noisy shared host swing up to 5× on unchanged code
     // (round-4 forensics), while the per-query min is stable within
     // ~1.5× across reruns — it measures the code, not the host
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query-name filter for fast local perf
+    // iteration on a subset; the driver never sets it → full run
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       def once: Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

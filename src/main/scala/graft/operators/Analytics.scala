@@ -383,22 +383,30 @@ object Analytics {
       |ORDER BY total_qty DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
-  /** Item co-occurrence recommender ("bought together"): distinct
-    * (order, part) basket items self-joined per order → pair counts →
-    * top-3 partners per part. The self-join is keyed on the order id,
-    * so pair volume is Σ basket² per order (baskets are small and
-    * bounded), never corpus²; the pair aggregation partial-aggregates
-    * map-side, and the per-part top-3 runs through the BoundedTopK
-    * aggregate (map-side k-heaps, O(parts·k) shuffle) instead of a
-    * full window sort of the pair table. The batch core of a
-    * co-purchase recommendation feed.
+  /** Item co-occurrence recommender ("bought together"): per-order
+    * basket sets → all ordered in-basket pairs → pair counts → top-3
+    * partners per part. ONE basket aggregation (`collect_set` dedupes
+    * and groups in the same shuffle) replaces the
+    * distinct-then-self-join formulation's two extra exchanges (the
+    * distinct shuffle plus the orderkey join shuffle): pairs explode
+    * MAP-SIDE from each basket array, so pair volume is still
+    * Σ basket² per order (baskets are small and bounded — a
+    * collect_set buffer holds one order's parts), never corpus².
+    * The pair aggregation partial-aggregates map-side, and the
+    * per-part top-3 runs through the BoundedTopK aggregate (map-side
+    * k-heaps, O(parts·k) shuffle) instead of a full window sort of
+    * the pair table. The batch core of a co-purchase recommendation
+    * feed.
     */
   def cooccurRecs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.BoundedTopK.register(spark)
-    val items = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = items.toDF("ok", "p1")
-      .join(items.toDF("ok2", "p2"), col("ok") === col("ok2") && col("p1") =!= col("p2"))
+    val baskets = Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("basket"))
+    val pairs = baskets
+      .select(explode(col("basket")).as("p1"), col("basket"))
+      .select(col("p1"), explode(col("basket")).as("p2"))
+      .filter(col("p1") =!= col("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_cooccur"))
     pairs.groupBy(col("p1"))
