@@ -77,6 +77,35 @@ object EventStream {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: the attribution join's
+    * semantically hard half — every click emits, purchase columns null
+    * when no purchase landed in (click, click + 10 min]. An unmatched
+    * click cannot emit eagerly (its match may still arrive), so it
+    * surfaces exactly once, LATER, when the global watermark (min over
+    * both sources of max-event-time − delay) passes the end of its
+    * match interval and the state store evicts it — i.e. null-padded
+    * outer results ride the micro-batch AFTER the watermark advances,
+    * not the batch that read the click. Same bounded state as the
+    * inner variant; the null padding adds nothing to state size.
+    */
+  def intervalJoinLeftOuterStream(spark: SparkSession, clicksDir: String,
+      purchasesDir: String): DataFrame = {
+    val clicks = spark.readStream.schema(eventSchema).json(clicksDir)
+      .withColumn("cts", timestamp_micros(col("ts_us")))
+      .withWatermark("cts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("cts"))
+    val purchases = spark.readStream.schema(eventSchema).json(purchasesDir)
+      .withColumn("pts", timestamp_micros(col("ts_us")))
+      .withWatermark("pts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("pts"))
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("interval 10 minutes"),
+        "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming exact dedup: suppress event_id replays within the
     * watermark horizon — the streaming face of the batch dedup suite
     * (state store holds only ids newer than watermark − 30 min, so

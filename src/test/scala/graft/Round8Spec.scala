@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** Round-8 suites: stream-stream LEFT OUTER interval join semantics. */
+class StreamOuterJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("left-outer interval join emits unmatched clicks exactly once, after the watermark passes") {
+    val cdir = java.nio.file.Files.createTempDirectory("graft_loc").toString
+    val pdir = java.nio.file.Files.createTempDirectory("graft_lop").toString
+    val Min = 60L * 1000000
+    def ev(id: Long, ts: Long, user: Long, typ: String): String =
+      s"""{"event_id":$id,"ts_us":$ts,"user_id":$user,"event_type":"$typ","value":1.0}"""
+    // batch 1: two clicks at t=1min; user 10's purchase at t=6min matches,
+    // user 11 never purchases. Watermark after this batch is far below the
+    // click times — nothing may be declared unmatched yet.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$cdir/b1.jsonl"),
+      Seq(ev(1, 1 * Min, 10, "click"), ev(2, 1 * Min, 11, "click")).mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$pdir/b1.jsonl"),
+      ev(100, 6 * Min, 10, "purchase"))
+    val q = EventStream.intervalJoinLeftOuterStream(spark, cdir, pdir)
+      .writeStream.outputMode("append").format("memory").queryName("loij").start()
+    try {
+      q.processAllAvailable()
+      def rows: Seq[(Long, Long, Any)] = spark.table("loij").collect().toSeq
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+          if (r.isNullAt(r.fieldIndex("purchase_id"))) null
+          else r.getAs[Long]("purchase_id")))
+      // the inner match may emit eagerly; the unmatched click must NOT
+      // have emitted yet (its match window is still open)
+      assert(!rows.exists(_._2 == 2L),
+        s"unmatched click emitted before the watermark passed: $rows")
+      // batch 2: late traffic on BOTH sources pushes each source's
+      // watermark to 60-10=50 min — past click-time + interval (11 min)
+      // for the batch-1 clicks. The watermark recomputes after this batch.
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$cdir/b2.jsonl"),
+        ev(3, 60 * Min, 13, "click"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$pdir/b2.jsonl"),
+        ev(101, 60 * Min, 14, "purchase"))
+      q.processAllAvailable()
+      // batch 3: one more trigger applies the advanced watermark and
+      // evicts batch-1 state, emitting the null-padded outer row
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$cdir/b3.jsonl"),
+        ev(4, 61 * Min, 15, "click"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$pdir/b3.jsonl"),
+        ev(102, 61 * Min, 16, "purchase"))
+      q.processAllAvailable()
+      val out = rows
+      // the matched click attributed exactly once
+      assert(out.count(r => r._2 == 1L && r._3 == 100L) == 1, s"inner match wrong: $out")
+      // the unmatched click emitted EXACTLY once, null-padded
+      assert(out.count(r => r._2 == 2L) == 1, s"outer row not exactly-once: $out")
+      assert(out.find(_._2 == 2L).get._3 == null, s"outer row not null-padded: $out")
+      // fresh clicks whose match window is still open must not emit
+      assert(!out.exists(r => r._2 == 3L || r._2 == 4L),
+        s"open-window click leaked an outer row: $out")
+    } finally q.stop()
+  }
+}
