@@ -623,4 +623,74 @@ object Dedup {
       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Token width of a "span" for verbatim-substring dedup — long
+    * enough (13 tokens ≈ a full sentence) that a shared span means
+    * copied text, not shared vocabulary (8-char rolling-hash windows
+    * pair nearly the whole corpus; 13-token spans pair exactly the
+    * planted near-dups at sf0.01).
+    */
+  private[graft] val SpanTokens = 13
+
+  /** Verbatim-span duplicate pairs (the "substring dedup" of
+    * Lee et al.'s training-data dedup recipe, at span granularity):
+    * docs sharing ≥1 identical [[SpanTokens]]-token run, with the
+    * shared-span count as evidence weight. Complements the similarity
+    * family — n-gram Jaccard and MinHash find MOSTLY-similar docs,
+    * this finds ANY long copied run (quote farms, boilerplate
+    * chaining, partial mirrors) regardless of how different the rest
+    * of the docs are.
+    *
+    * Scale shape: per-doc distinct spans from the one-pass
+    * TokenShingles expression (map-side), reduced to 56-bit md5-word
+    * keys (8-byte shuffle keys, same family as the sketch suite — a
+    * collision hits both engines identically, keeping the oracle
+    * exact). Pair discovery is ONE equi-join on the span key — work
+    * ∝ actually-colliding spans, never corpus². `maxDf` caps a span
+    * key's document frequency before the join (ubiquitous boilerplate
+    * spans are hot keys, exactly as in `contamination_check`); the
+    * default ∞ keeps the oracle identical, at 100 TB pass a cap in
+    * the thousands.
+    */
+  def dedupSubstringSpan(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringSpan(spark, dir, maxDf = Long.MaxValue)
+
+  def dedupSubstringSpan(spark: SparkSession, dir: String,
+      maxDf: Long): DataFrame = {
+    graft.functions.TokenShingles.register(spark)
+    val spansAll = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"), lit(SpanTokens))).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("h"))
+    val spans = (if (maxDf == Long.MaxValue) spansAll
+      else {
+        val hot = spansAll.groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select(col("h"))
+        spansAll.join(hot, Seq("h"), "left_anti")
+      }).cache() // the pair join reads it twice; shingling dominates otherwise
+    spans.select(col("doc_id").as("doc_a"), col("h"))
+      .join(spans.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val dedupSubstringSpanSql: String =
+    s"""WITH $ToksCte,
+      |spans AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= $SpanTokens
+      |    THEN [array_to_string(t[i:i+${SpanTokens - 1}], ' ') for i in range(1, len(t) - ${SpanTokens - 2})]
+      |    ELSE [array_to_string(t, ' ')] END) AS sd
+      |  FROM toks),
+      |k AS (SELECT doc_id, ('0x'||substr(md5(s),1,14))::BIGINT AS h
+      |      FROM (SELECT doc_id, unnest(sd) AS s FROM spans)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_spans
+      |  FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_spans FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 }

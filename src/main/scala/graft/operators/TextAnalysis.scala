@@ -611,4 +611,112 @@ object TextAnalysis {
       |  (cum_end - n_tokens) // $PackCapacity AS pack_id,
       |  (cum_end - n_tokens) % $PackCapacity AS pack_offset
       |FROM c ORDER BY doc_id""".stripMargin
+
+  private val Bm25TopK = 5
+
+  /** Per-doc top-5 terms by Okapi BM25 weight (k1 = 1.2, b = 0.75) —
+    * the length-normalized, saturation-damped upgrade of
+    * [[tfidfTopk]]'s salience profile. The IDF is the RATIONAL Okapi
+    * core (N − df + 0.5)/(df + 0.5) without the logarithm: every
+    * input is an exact integer (or the exact 0.5), each double op is
+    * correctly rounded, and the Spark expression tree mirrors the
+    * oracle's operand order token for token — so the scores, and the
+    * ranking, hash-match exactly (the log changes only monotonic
+    * scale per term; see tfidfTopk's note). Constants ride shared
+    * `CAST(1.2 AS DOUBLE)` literal strings on both engines.
+    *
+    * Scale shape: same as tfidf — keyed partial aggregations (tf, df,
+    * dl) meeting on broadcast-sized side tables; N and avgdl are
+    * one-row broadcasts; the only window is per-doc top-k.
+    */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val ex = docs.select(col("doc_id"), explode(normTokens(col("text"))).as("term"))
+    val dl = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val avgdl = dl.agg(sum(col("dl")).as("sdl")).crossJoin(broadcast(n))
+      .select((col("sdl").cast("double") / col("n")).as("avgdl"))
+    val half = expr("CAST(0.5 AS DOUBLE)")
+    val k1 = expr("CAST(1.2 AS DOUBLE)")
+    val b = expr("CAST(0.75 AS DOUBLE)")
+    val one = expr("CAST(1.0 AS DOUBLE)")
+    val idf = ((col("n") - col("df")).cast("double") + half) /
+      (col("df").cast("double") + half)
+    val score = (idf * (col("tf").cast("double") * (k1 + one))) /
+      (col("tf").cast("double") +
+        k1 * (one - b + b * (col("dl").cast("double") / col("avgdl"))))
+    val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("term"))
+    tf.join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        score.as("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val bm25TopkSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+      |    (((CAST((SELECT n FROM n) - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |       / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |     * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+      |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |       + CAST(0.75 AS DOUBLE) * (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM ad)))) AS score
+      |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM scored)
+      |SELECT doc_id, term, tf, df, dl, score, CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= $Bm25TopK ORDER BY doc_id, rank""".stripMargin
+
+  private val MixBudgetPerSource = 20
+
+  /** Deterministic corpus-mix rebalancing: downsample every source to
+    * an expected [[MixBudgetPerSource]]-doc budget via the same
+    * content-hash bucketing as [[trainTestSplit]] — the "fix the
+    * source mix before training" step of corpus assembly. The keep
+    * test is the integer cross-multiplication
+    * `bucket · count_s < budget · 10000` (no double rate, no
+    * engine-dependent rounding), so membership is exact and stable
+    * under re-runs and repartitioning. Per-source weights generalize
+    * by replacing the budget literal with a weight column on the
+    * (broadcast-sized) counts table.
+    *
+    * Scale shape: the per-source counts table is
+    * sources-cardinality (broadcast); the corpus stream takes one
+    * map-side hash + compare — no shuffle of the corpus at any scale.
+    */
+  def corpusMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10000
+    docs.join(broadcast(counts), "source")
+      .filter(bucket * col("cnt") < lit(MixBudgetPerSource.toLong) * lit(10000L))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val corpusMixSampleSql: String =
+    s"""WITH counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+      |b AS (
+      |  SELECT d.doc_id, d.source, c.cnt,
+      |    ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,4))::BIGINT % 10000 AS bucket
+      |  FROM documents d JOIN counts c USING (source))
+      |SELECT doc_id, source FROM b
+      |WHERE bucket * cnt < $MixBudgetPerSource * 10000
+      |ORDER BY doc_id""".stripMargin
 }

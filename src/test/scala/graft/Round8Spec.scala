@@ -60,3 +60,72 @@ class StreamOuterJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Round-8 operator suites: span dedup, BM25, mix sampling. */
+class Round8OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("dedup_substring_span finds the planted near-dup pairs and nothing vocabulary-level") {
+    import graft.operators.Dedup
+    val pairs = Dedup.dedupSubstringSpan(spark, sf).collect()
+    // long verbatim spans are rare: the sf0.01 corpus pairs only its
+    // planted near-dups (~25), never the vocabulary-sharing majority
+    assert(pairs.length > 0 && pairs.length < 100,
+      s"expected only near-dup-scale pair counts, got ${pairs.length}")
+    // span pairs and minhash near-dups measure different things (a
+    // near-dup edited every <13 tokens shares no span), but on planted
+    // near-dups they must overlap heavily
+    val mh = Dedup.dedupMinHashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sp = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((mh & sp).size >= (mh.size * 4) / 5,
+      s"span pairs cover too few minhash near-dups: ${(mh & sp).size}/${mh.size}")
+  }
+
+  test("dedup_substring_span maxDf cap drops a ubiquitous span's hot key") {
+    import graft.operators.Dedup
+    val uncapped = Dedup.dedupSubstringSpan(spark, sf).count()
+    // df cap of 1 means only spans unique to a pair... cap 2 keeps
+    // spans shared by at most 2 docs — pair count can only shrink
+    val capped = Dedup.dedupSubstringSpan(spark, sf, maxDf = 2).count()
+    assert(capped <= uncapped)
+    // a generous cap is the identity (no span in sf0.01 is that hot)
+    assert(Dedup.dedupSubstringSpan(spark, sf, maxDf = 100000).count() == uncapped)
+  }
+
+  test("bm25 ranks are dense per doc and scores decrease with rank") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.TextAnalysis.bm25Topk(spark, sf)
+    val bad = r.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        min(col("score")).as("mn"))
+      .filter(col("n") =!= col("mx") || col("mn") <= 0.0)
+    assert(bad.isEmpty, "rank must be dense 1..n per doc with positive scores")
+    // per-doc scores non-increasing in rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rank"))
+    val inc = r.withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(inc.isEmpty, "scores must be non-increasing in rank")
+  }
+
+  test("corpus_mix_sample is deterministic and respects the per-source shape") {
+    import org.apache.spark.sql.functions._
+    val a = graft.operators.TextAnalysis.corpusMixSample(spark, sf).collect()
+    val b = graft.operators.TextAnalysis.corpusMixSample(spark, sf).collect()
+    assert(a.sameElements(b), "sampler must be bit-deterministic across runs")
+    // expected-budget sampling: every source survives, none grows
+    val per = graft.operators.TextAnalysis.corpusMixSample(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+    val full = graft.core.Tables(spark, sf).documents
+      .groupBy(col("source")).agg(count(lit(1)).as("total"))
+    val joined = per.join(full, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val kept = r.getAs[Long]("kept"); val total = r.getAs[Long]("total")
+      assert(kept >= 1 && kept <= total, s"source ${r.getAs[String]("source")}: $kept/$total")
+    }
+  }
+}
