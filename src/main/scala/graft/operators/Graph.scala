@@ -40,6 +40,17 @@ object Graph {
     */
   private[graft] val BroadcastNodeCap = 5000000L
 
+  /** Below this many edges the whole graph fits one task and the
+    * iterative loop's per-round jobs (a broadcast collect + a count
+    * barrier × 5 rounds) are pure local stage latency: a single
+    * mapPartitions pass runs all 5 integer-grid iterations in memory
+    * with arithmetic bit-identical to the loop (long `div`,
+    * `floor(0.85 · x)` on doubles — same IEEE ops, same operand
+    * order), asserted by a branch-equality test. Same layout-selection
+    * pattern as `Dedup.SmallGraphPairCap`.
+    */
+  private[graft] val SingleTaskEdgeCap = 2000000L
+
   /** Top-20 PageRank nodes. Node encoding: customer c → 2c,
     * supplier s → 2s+1 (disjoint integer id spaces, no string keys in
     * the shuffle).
@@ -47,11 +58,13 @@ object Graph {
   def pagerankTopk(spark: SparkSession, dir: String): DataFrame =
     pagerank(spark, dir, forceCopartition = false)
 
-  /** `forceCopartition` pins the at-scale branch for tests; the
-    * default selects by node count (see [[BroadcastNodeCap]]).
+  /** `forceCopartition` pins the at-scale branch for tests;
+    * `forceLoop` pins the broadcast-iteration mid-scale branch (skips
+    * the single-task shortcut). The default selects by edge count,
+    * then node count (see [[SingleTaskEdgeCap]], [[BroadcastNodeCap]]).
     */
   private[graft] def pagerank(spark: SparkSession, dir: String,
-      forceCopartition: Boolean): DataFrame = {
+      forceCopartition: Boolean, forceLoop: Boolean = false): DataFrame = {
     val t = Tables(spark, dir)
     // orders⋈lineitem stays a shuffle join on purpose: at scale BOTH
     // sides are fact-sized (AQE will still broadcast if one side turns
@@ -64,8 +77,12 @@ object Graph {
     // The loop-invariant out-degree rides ON the edge rows (it only
     // ever divides the source's rank), so the iterating state is just
     // (node, r) and no per-iteration degree join exists at all.
+    // cached: deg's count, the edge-count layout probe, and the final
+    // query would each rebuild the orders⋈lineitem pair join otherwise
+    // (three full fact-join passes for one graph)
     val raw = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .cache()
     val deg = raw.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     // every node has degree ≥ 1 and appears on both edge sides
     // (symmetric closure), so there are no dangling nodes to handle.
@@ -77,14 +94,61 @@ object Graph {
     val edgesFlat = raw
       .join(deg.toDF("src", "deg_src"), "src")
       .select(col("src"), col("dst"), col("deg_src"))
+    val teleportC = math.floor(0.15 * Scale.toDouble / n.toDouble).toLong
+    val initR = Scale / n
+    // single-task branch: only consulted when the node count already
+    // says the graph MIGHT be tiny (n ≤ cap ⇒ the extra count job is
+    // amortized by the ~12 per-iteration jobs it removes)
+    if (!forceCopartition && !forceLoop && n <= SingleTaskEdgeCap) {
+      val sess = spark
+      import sess.implicits._
+      val cachedEdges = edgesFlat.cache()
+      val edgeCount = cachedEdges.count() // materializes the edge cache
+      raw.unpersist()
+      if (edgeCount <= SingleTaskEdgeCap) {
+        val iters = Iters
+        val ranked = cachedEdges
+          .select(col("src").cast("long"), col("dst").cast("long"),
+            col("deg_src").cast("long"))
+          .as[(Long, Long, Long)]
+          .repartition(1)
+          .mapPartitions { it =>
+            val es = it.toArray
+            var r = scala.collection.mutable.LongMap.empty[Long]
+            es.foreach { case (src, _, _) => r.update(src, initR) }
+            for (_ <- 1 to iters) {
+              val contrib = scala.collection.mutable.LongMap.empty[Long]
+              es.foreach { case (src, dst, degSrc) =>
+                // per-edge floor division then sum — the loop's
+                // `r div deg_src` → groupBy sum, exactly
+                contrib.update(dst, contrib.getOrElse(dst, 0L) + r(src) / degSrc)
+              }
+              val next = scala.collection.mutable.LongMap.empty[Long]
+              contrib.foreach { case (node, c) =>
+                next.update(node, teleportC + math.floor(0.85 * c.toDouble).toLong)
+              }
+              r = next
+            }
+            r.iterator
+          }
+          .toDF("node", "rank_q12")
+        // cachedEdges stays cached: the returned plan reads it (the
+        // count above materialized it) — same ≤1-retained-frame
+        // contract as labelPropagate's union-find branch
+        return ranked
+          .orderBy(col("rank_q12").desc, col("node"))
+          .limit(TopK)
+      }
+      // dense small-n graph over the edge cap: fall through to the
+      // loop (the cache stays warm for its iterations)
+    }
     // co-partitioned branch: bake hash(src) partitioning INTO the
     // cached edges once — InMemoryRelation preserves the child's
     // outputPartitioning, so every iteration's src=node join reuses it
     // and only the rank state shuffles
     val edges = (if (copartition) edgesFlat.repartition(col("src")) else edgesFlat)
       .cache()
-    val teleport = math.floor(0.15 * Scale.toDouble / n.toDouble).toLong
-    var state = deg.select(col("node"), lit(Scale / n).as("r")).cache()
+    var state = deg.select(col("node"), lit(initR).as("r")).cache()
     for (_ <- 1 to Iters) {
       // small graphs: rank state (one row per node) is ≪ the edge
       // list — broadcast it so each iteration streams the cached edges
@@ -103,7 +167,7 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(col("cm")).as("contrib"))
         .select(col("dst").as("node"),
-          (lit(teleport) +
+          (lit(teleportC) +
             expr("CAST(floor(CAST(0.85 AS DOUBLE) * CAST(contrib AS DOUBLE)) AS BIGINT)")).as("r"))
         .cache()
       next.count()
@@ -112,6 +176,7 @@ object Graph {
     }
     // the final rank state is materialized — the edge cache can go too
     edges.unpersist()
+    raw.unpersist() // no-op if the single-task probe already released it
     state.select(col("node"), col("r").as("rank_q12"))
       .orderBy(col("rank_q12").desc, col("node"))
       .limit(TopK)

@@ -78,14 +78,18 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(small == expected)
   }
 
-  test("pagerank co-partitioned branch is bit-identical to the broadcast branch") {
-    // the integer rank grid makes the fixed point exact, so the two
-    // layouts must agree to the last unit — any divergence means the
-    // at-scale branch computes a different graph
-    val bcast = graft.operators.Graph.pagerank(spark, sf, forceCopartition = false)
+  test("pagerank single-task, broadcast-loop, and co-partitioned branches are bit-identical") {
+    // the integer rank grid makes the fixed point exact, so all three
+    // layouts must agree to the last unit — any divergence means a
+    // branch computes a different graph
+    val single = graft.operators.Graph.pagerank(spark, sf, forceCopartition = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bcast = graft.operators.Graph.pagerank(spark, sf,
+        forceCopartition = false, forceLoop = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val copart = graft.operators.Graph.pagerank(spark, sf, forceCopartition = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(single == bcast)
     assert(bcast == copart)
   }
 

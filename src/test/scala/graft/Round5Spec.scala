@@ -416,11 +416,17 @@ class LoopCacheSpec extends AnyFunSuite {
 
   test("pagerank holds at most the final rank state after 5 iterations") {
     val before = persistentCount
-    graft.operators.Graph.pagerank(spark, sf, forceCopartition = false).collect()
+    graft.operators.Graph.pagerank(spark, sf,
+      forceCopartition = false, forceLoop = true).collect()
     val leakedBcast = persistentCount - before
     graft.operators.Graph.pagerank(spark, sf, forceCopartition = true).collect()
     val leakedCopart = persistentCount - before - leakedBcast
     assert(leakedBcast <= 1, s"broadcast branch left $leakedBcast cached RDDs")
     assert(leakedCopart <= 1, s"co-partitioned branch left $leakedCopart cached RDDs")
+    // the single-task branch retains at most its materialized edge
+    // cache (the returned plan reads it — union-find contract)
+    graft.operators.Graph.pagerank(spark, sf, forceCopartition = false).collect()
+    assert(persistentCount - before - leakedBcast - leakedCopart <= 1,
+      "single-task branch may retain only the edge cache")
   }
 }
