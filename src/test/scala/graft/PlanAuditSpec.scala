@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 plan-shape pins for the single-scan window rewrites: the
+  * point of the q2/q17/q20 rewrite was ONE pass over lineitem — a
+  * regression back to aggregate-then-join would re-introduce the
+  * second scan silently, so pin the scan count in the executed plan.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // the AQE plan string repeats the tree under "== Initial Plan ==";
+    // only the final plan reflects what actually ran
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q2/q17/q20 read lineitem exactly once") {
+    import graft.operators.DecisionSupport
+    // count occurrences of the lineitem path in the executed plan —
+    // file scans embed the location, so the table name appears once
+    // per scan operator
+    def liScans(plan: String): Int = "lineitem".r.findAllIn(plan).length
+    val q2 = executedPlan(DecisionSupport.q2MinCostSupplier(spark, sf))
+    assert(liScans(q2) <= 1, s"q2 scans lineitem more than once:\n$q2")
+    val q17 = executedPlan(DecisionSupport.q17SmallQuantity(spark, sf))
+    assert(liScans(q17) <= 1, s"q17 scans lineitem more than once:\n$q17")
+    val q20 = executedPlan(DecisionSupport.q20PartSupply(spark, sf))
+    assert(liScans(q20) <= 1, s"q20 scans lineitem more than once:\n$q20")
+  }
+}

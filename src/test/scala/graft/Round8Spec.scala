@@ -111,6 +111,21 @@ class Round8OperatorSpec extends AnyFunSuite {
     assert(inc.isEmpty, "scores must be non-increasing in rank")
   }
 
+  test("corpus_mix_sample keeps the corpus stream shuffle-free") {
+    val df = graft.operators.TextAnalysis.corpusMixSample(spark, sf)
+    df.collect()
+    // drop the "== Initial Plan ==" copy — only the final plan ran
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the docs side joins the broadcast counts map-side; the only hash
+    // exchange in the whole plan is the source-cardinality groupBy
+    assert(plan.contains("BroadcastHashJoin"),
+      s"counts must broadcast against the corpus stream:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1,
+      s"expected at most the counts-aggregation exchange, got $hashExchanges:\n$plan")
+  }
+
   test("corpus_mix_sample is deterministic and respects the per-source shape") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.TextAnalysis.corpusMixSample(spark, sf).collect()
