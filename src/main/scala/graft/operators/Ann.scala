@@ -551,4 +551,107 @@ object Ann {
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
+
+  private val KmK = 8
+  private val KmIters = 3
+
+  /** Lloyd's k-means over the embedding corpus (k = 8, 3 fixed
+    * iterations) — the corpus-clustering step a curation pipeline runs
+    * for SemDeDup-style semantic grouping, diversity sampling, or IVF
+    * codebook training on its own data (unlike [[embeddingCentroids]],
+    * which needs labels). Deterministic and fully oracled despite
+    * being iterative: vectors live on the micro-unit integer grid
+    * (⌊v·10⁶⌋), distances are the exact-integer identity
+    * dot(v,v) − 2·dot(v,c) + dot(c,c) (every term < 2^53 → the double
+    * is the exact integer on both engines), argmin tie-breaks on
+    * cluster id, centroid updates are floor(Σ/ n) on exact sums, init
+    * is the k lowest-id vectors, and the iteration count is FIXED so
+    * the oracle is three unrolled CTE stages (the pagerank recipe).
+    * Empty clusters keep their previous centroid (mirrored in SQL).
+    *
+    * Scale shape: the quantized corpus is cached once
+    * (MEMORY_AND_DISK — the standard iterative-input contract) and
+    * read iters+1 times; each iteration is one map-side assignment
+    * against the k×dims BROADCAST centroid table (argmin as a
+    * partial-aggregating min-of-struct, no per-vector window) plus
+    * one (cluster, dim)-keyed partial aggregation for the update —
+    * nothing driver-side, no shuffle of raw vectors beyond the
+    * posexplode sums. 2^53 caveat: a per-(cluster, dim) sum stays
+    * exact below ~10⁹ vectors per cluster at q6 magnitude; shard the
+    * sum (two-level, like rfm's prefix ranks) past that.
+    */
+  def embeddingKmeans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val q = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e6)).cast("double")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wInit = Window.orderBy("vec_id") // 8-row frame: single task by construction
+    var centroids = q.orderBy("vec_id").limit(KmK)
+      .select((row_number().over(wInit) - 1).cast("long").as("cl"), col("qv").as("cv"))
+    val ex = q.select(col("vec_id"), posexplode(col("qv")).as(Seq("dim", "v")))
+    var assigned: DataFrame = null
+    for (i <- 1 to KmIters) {
+      val dist2 = call_function("graft_dot", col("qv"), col("qv")) -
+        lit(2.0) * call_function("graft_dot", col("qv"), col("cv")) +
+        call_function("graft_dot", col("cv"), col("cv"))
+      assigned = q.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cl"), dist2.as("dist2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist2"), col("cl"))).as("m"))
+        .select(col("vec_id"), col("m.cl").as("cl"), col("m.dist2").as("dist2"))
+      if (i < KmIters) {
+        val sums = assigned.join(ex, "vec_id")
+          .groupBy(col("cl"), col("dim"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("cvd"))
+        val rebuilt = sums.groupBy(col("cl"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cvd")))),
+            s => s.getField("cvd")).as("cv"))
+        val carried = centroids.join(rebuilt.select("cl"), Seq("cl"), "left_anti")
+        centroids = rebuilt.unionByName(carried)
+      }
+    }
+    assigned
+      .select(col("vec_id"), col("cl").as("cluster_id"),
+        col("dist2").cast("double").as("dist2"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingKmeansSql: String = {
+    def assign(cprev: String, aname: String): String =
+      s"""$aname AS (
+         |  SELECT vec_id, cl, dist2 FROM (
+         |    SELECT q.vec_id, c.cl,
+         |      list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cv) + list_dot_product(c.cv, c.cv) AS dist2,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cv) + list_dot_product(c.cv, c.cv), c.cl) AS rk
+         |    FROM q CROSS JOIN $cprev c) z WHERE rk = 1)""".stripMargin
+    def update(aname: String, cprev: String, cname: String): String =
+      s"""${cname}_s AS (
+         |  SELECT a.cl, dim, floor(CAST(sum(v) AS DOUBLE) / count(*)) AS cvd
+         |  FROM $aname a JOIN ex ON ex.vec_id = a.vec_id GROUP BY a.cl, dim),
+         |$cname AS (
+         |  SELECT cl, list(cvd ORDER BY dim) AS cv FROM ${cname}_s GROUP BY cl
+         |  UNION ALL
+         |  SELECT c.cl, c.cv FROM $cprev c WHERE c.cl NOT IN (SELECT cl FROM ${cname}_s))""".stripMargin
+    val ctes = Seq(
+      """q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1e6) AS DOUBLE) for x in embedding] AS qv
+        |  FROM embeddings)""".stripMargin,
+      """ex AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INTEGER) AS dim,
+        |         floor(CAST(unnest(embedding) AS DOUBLE)*1e6) AS v
+        |  FROM embeddings)""".stripMargin,
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, qv AS cv
+         |  FROM (SELECT * FROM q ORDER BY vec_id LIMIT $KmK))""".stripMargin) ++
+      (1 to KmIters).flatMap { i =>
+        Seq(assign(s"c${i - 1}", s"a$i")) ++
+          (if (i < KmIters) Seq(update(s"a$i", s"c${i - 1}", s"c$i")) else Nil)
+      }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT vec_id, cl AS cluster_id, CAST(dist2 AS DOUBLE) AS dist2
+       |FROM a$KmIters ORDER BY vec_id""".stripMargin
+  }
 }

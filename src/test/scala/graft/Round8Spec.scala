@@ -111,6 +111,22 @@ class Round8OperatorSpec extends AnyFunSuite {
     assert(inc.isEmpty, "scores must be non-increasing in rank")
   }
 
+  test("embedding_kmeans partitions the corpus into non-trivial deterministic clusters") {
+    import org.apache.spark.sql.functions._
+    val a = graft.operators.Ann.embeddingKmeans(spark, sf)
+    val rows = a.collect()
+    val n = graft.core.Tables(spark, sf).embeddings.count()
+    assert(rows.length == n, "every vector must be assigned exactly once")
+    val sizes = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(sizes.size > 1 && sizes.size <= 8, s"cluster count out of range: ${sizes.size}")
+    // no degenerate all-in-one clustering after 3 Lloyd iterations
+    assert(sizes.values.max < n, s"degenerate single cluster: $sizes")
+    // deterministic across runs (integer-grid arithmetic)
+    val b = graft.operators.Ann.embeddingKmeans(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("corpus_mix_sample keeps the corpus stream shuffle-free") {
     val df = graft.operators.TextAnalysis.corpusMixSample(spark, sf)
     df.collect()
