@@ -465,16 +465,21 @@ object DecisionSupport {
       .select(col("s_suppkey"), col("s_name"))
     val of = t.orders.filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    // per-order supplier stats as window collect_set sizes over the
+    // SAME orderkey partition the late-line probe needs — one pass
+    // over lineitem⋈orders instead of an aggregate + join-back that
+    // re-ran the join (collect_set drops the nulls of the `when`, so
+    // the sizes equal the old countDistinct columns; window partitions
+    // are bounded by lines per order)
+    val w = Window.partitionBy(col("l_orderkey"))
+    t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(of, col("l_orderkey") === col("o_orderkey"))
       .withColumn("__late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val stats = li.groupBy(col("l_orderkey").as("__ok"))
-      .agg(countDistinct(col("l_suppkey")).as("__ns"),
-        countDistinct(when(col("__late"), col("l_suppkey"))).as("__nl"))
-    li.filter(col("__late"))
-      .join(stats, col("l_orderkey") === col("__ok"))
-      .filter(col("__ns") >= 2 && col("__nl") === 1)
+      .withColumn("__ns", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("__nl",
+        size(collect_set(when(col("__late"), col("l_suppkey"))).over(w)))
+      .filter(col("__late") && col("__ns") >= 2 && col("__nl") === 1)
       .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))

@@ -30,5 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(liScans(q17) <= 1, s"q17 scans lineitem more than once:\n$q17")
     val q20 = executedPlan(DecisionSupport.q20PartSupply(spark, sf))
     assert(liScans(q20) <= 1, s"q20 scans lineitem more than once:\n$q20")
+    val q21 = executedPlan(DecisionSupport.q21WaitingSupplier(spark, sf))
+    assert(liScans(q21) <= 1, s"q21 scans lineitem more than once:\n$q21")
   }
 }
