@@ -682,6 +682,41 @@ object TextAnalysis {
       |SELECT doc_id, term, tf, df, dl, score, CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= $Bm25TopK ORDER BY doc_id, rank""".stripMargin
 
+  private val BpeTopK = 20
+
+  /** Top-20 adjacent token pairs by total corpus occurrences — ONE
+    * BPE merge step of tokenizer training, run at corpus scale (the
+    * highest-count pair is the merge a BPE trainer would apply next).
+    * Distinct from [[ngramTopk]], which ranks by DOCUMENT frequency:
+    * merge ranking needs multiplicity, so pairs come from the
+    * one-pass [[graft.functions.TokenGrams]] expression (all bigrams,
+    * not the distinct set). Map-side explode → one partial-aggregating
+    * count shuffle → global top-k: the full pair table never sits on
+    * any node, and the iterated trainer would just re-run this query
+    * after applying each merge.
+    */
+  def bpeMergeTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenGrams.register(spark)
+    Tables(spark, dir).documents
+      .select(explode(call_function("graft_grams", col("text"), lit(2))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
+  val bpeMergeTopkSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT unnest(CASE WHEN len(t) >= 2
+      |    THEN [t[i]||' '||t[i+1] for i in range(1, len(t))] ELSE [] END) AS pair
+      |  FROM toks)
+      |SELECT pair, count(*) AS n_occurrences
+      |FROM pairs GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT $BpeTopK""".stripMargin
+
   private val MixBudgetPerSource = 20
 
   /** Deterministic corpus-mix rebalancing: downsample every source to

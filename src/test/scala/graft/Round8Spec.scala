@@ -111,6 +111,26 @@ class Round8OperatorSpec extends AnyFunSuite {
     assert(inc.isEmpty, "scores must be non-increasing in rank")
   }
 
+  test("TokenGrams keeps multiplicity where TokenShingles dedupes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.TokenGrams.register(spark)
+    graft.functions.TokenShingles.register(spark)
+    val df = Seq("a b a b a", "x").toDF("text")
+      .select(
+        call_function("graft_grams", col("text"), lit(2)).as("grams"),
+        call_function("graft_shingles", col("text"), lit(2)).as("shingles"))
+      .collect()
+    // "a b a b a": 4 positional bigrams (a b, b a, a b, b a) but only
+    // 2 distinct shingles
+    assert(df(0).getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+    assert(df(0).getSeq[String](1).toSet == Set("a b", "b a"))
+    // single-token doc: no pair exists (TokenGrams emits empty, no
+    // whole-text fallback)
+    assert(df(1).getSeq[String](0).isEmpty)
+    assert(df(1).getSeq[String](1) == Seq("x"))
+  }
+
   test("embedding_kmeans partitions the corpus into non-trivial deterministic clusters") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.Ann.embeddingKmeans(spark, sf)
