@@ -61,6 +61,47 @@ class StreamOuterJoinSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming near-dup suppression: batch simhash machinery inside a
+  * foreachBatch sink with a persistent signature store.
+  */
+class StreamNearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("near-dup sink suppresses within-batch and cross-batch duplicates exactly once") {
+    import graft.streaming.NearDupSink
+    val in = java.nio.file.Files.createTempDirectory("graft_nd_in").toString
+    val st = java.nio.file.Files.createTempDirectory("graft_nd_st").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_nd_out").toString + "/dec"
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val tB = "completely different subject matter discussing spark catalyst optimizer internals"
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"ts_us":${id * 1000},"text":"$text"}"""
+    // batch 1: doc 1 unique, doc 2 = same text (within-batch dup of 1)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.jsonl"),
+      Seq(doc(1, tA), doc(2, tA)).mkString("\n"))
+    val q = NearDupSink.start(spark, in, st, out)
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats tA (dup via the STORE), doc 4 unique
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b2.jsonl"),
+        Seq(doc(3, tA), doc(4, tB)).mkString("\n"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = NearDupSink.decisions(spark, out).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(dec.size == 4, s"one decision per doc: $dec")
+    assert(dec(1) == (false, -1L), s"doc 1 must be kept: $dec")
+    assert(dec(2) == (true, 1L), s"doc 2 is a within-batch dup of 1: $dec")
+    assert(dec(3) == (true, 1L), s"doc 3 is a cross-batch dup of 1 via the store: $dec")
+    assert(dec(4) == (false, -1L), s"doc 4 is unique: $dec")
+    // the store holds exactly the survivors
+    val store = NearDupSink.currentSignatures(spark, st).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(store == Seq(1L, 4L), s"store must hold survivors only: $store")
+  }
+}
+
 /** Round-8 operator suites: span dedup, BM25, mix sampling. */
 class Round8OperatorSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
