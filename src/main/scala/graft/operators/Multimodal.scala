@@ -129,4 +129,54 @@ object Multimodal {
       |  ('0x' || substr(md5(text || '#' || CAST(fi AS VARCHAR)), 1, 8))::BIGINT AS frame_checksum
       |FROM f WHERE fi % $FrameStride = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** One image patch of a media payload (stub decode). */
+  final case class PatchMeta(doc_id: Long, patch_x: Int, patch_y: Int,
+      patch_checksum: Long, intensity: Int)
+
+  private val PatchGrid = 4 // 4×4 patches after the stub "resize"
+
+  /** ViT-style patch extraction: each payload "resizes" to a fixed
+    * square and fans out to a [[PatchGrid]]² patch grid with a
+    * per-patch stub feature — the 1→N preprocessing shape of a vision
+    * encoder's input pipeline (resize → patchify → per-patch embed),
+    * with the pixel work stubbed deterministically (MD5 word of
+    * payload#x#y) so the fan-out is value-checked in DuckDB. Same
+    * per-partition batch-decode contract as the other multimodal ops:
+    * a real implementation amortizes codec/model init per partition
+    * and yields patch batches; map-only at any scale.
+    */
+  def multimodalPatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    media.as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          for {
+            py <- (0 until PatchGrid).iterator
+            px <- (0 until PatchGrid).iterator
+          } yield {
+            val (h1, _) = graft.functions.Md5Words.firstTwoWords(
+              (payload + "#" + px + "#" + py)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            PatchMeta(id, px, py, h1, (h1 % 256).toInt)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "patch_y", "patch_x")
+  }
+
+  val multimodalPatchesSql: String =
+    s"""WITH m AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, text, unnest(range(0, $PatchGrid)) AS py FROM m),
+      |p AS (SELECT doc_id, text, py, unnest(range(0, $PatchGrid)) AS px FROM g),
+      |h AS (SELECT doc_id, CAST(px AS INTEGER) AS patch_x, CAST(py AS INTEGER) AS patch_y,
+      |        ('0x' || substr(md5(text || '#' || CAST(px AS VARCHAR) || '#' || CAST(py AS VARCHAR)), 1, 8))::BIGINT AS patch_checksum
+      |      FROM p)
+      |SELECT doc_id, patch_x, patch_y, patch_checksum,
+      |  CAST(patch_checksum % 256 AS INTEGER) AS intensity
+      |FROM h ORDER BY doc_id, patch_y, patch_x""".stripMargin
 }

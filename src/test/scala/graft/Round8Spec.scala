@@ -203,6 +203,21 @@ class Round8OperatorSpec extends AnyFunSuite {
       s"expected at most the counts-aggregation exchange, got $hashExchanges:\n$plan")
   }
 
+  test("mv_refresh genuinely merges: both sides of the cutoff are non-empty") {
+    import org.apache.spark.sql.functions._
+    val t = graft.core.Tables(spark, sf)
+    val cut = lit(graft.operators.Incremental.MvCutoff).cast("timestamp")
+    // the two-paths-one-hash oracle would pass vacuously if the cutoff
+    // emptied either side — pin that the merge is exercised
+    assert(t.orders.filter(col("o_orderdate") < cut).count() > 0, "view side empty")
+    assert(t.orders.filter(col("o_orderdate") >= cut).count() > 0, "delta side empty")
+    // and some customer must have orders on BOTH sides (the merge's
+    // add-both branch, not just the coalesce passthroughs)
+    val both = t.orders.filter(col("o_orderdate") < cut).select("o_custkey")
+      .intersect(t.orders.filter(col("o_orderdate") >= cut).select("o_custkey"))
+    assert(both.count() > 0, "no customer spans the cutoff — add branch dead")
+  }
+
   test("corpus_mix_sample is deterministic and respects the per-source shape") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.TextAnalysis.corpusMixSample(spark, sf).collect()
