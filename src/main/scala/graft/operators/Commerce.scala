@@ -205,16 +205,27 @@ object Commerce {
     */
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val ob = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+    // ONE basket aggregation (collect_set dedupes and groups in the
+    // same exchange — the cooccur_recs rewrite) feeds all three
+    // consumers (basket count, brand marginals, brand pairs) from a
+    // cached frame; the distinct + self-join formulation re-ran the
+    // lineitem⋈part distinct for each and paid an orderkey join
+    // shuffle for the pairs. Pairs explode map-side; volume is still
+    // Σ basket² at brand grain.
+    val baskets = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-      .distinct()
-    val n = ob.agg(countDistinct(col("o")).as("__n"))
-    val cnt = ob.groupBy(col("b")).agg(count(lit(1)).as("c"))
-    val a = ob.as("pa"); val b2 = ob.as("pb")
-    a.join(b2, col("pa.o") === col("pb.o") && col("pa.b") < col("pb.b"))
-      .groupBy(col("pa.b").as("brand_a"), col("pb.b").as("brand_b"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("bs"))
+      .cache()
+    val n = baskets.agg(count(lit(1)).as("__n"))
+    val cnt = baskets.select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    baskets
+      .select(explode(col("bs")).as("ba"), col("bs"))
+      .select(col("ba"), explode(col("bs")).as("bb"))
+      .filter(col("ba") < col("bb"))
+      .groupBy(col("ba").as("brand_a"), col("bb").as("brand_b"))
       .agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= 30)
       .join(broadcast(cnt.select(col("b").as("brand_a"), col("c").as("__ca"))), Seq("brand_a"))
