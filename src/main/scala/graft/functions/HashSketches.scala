@@ -336,6 +336,85 @@ object RollingHashes {
       "graft_rolling_hashes", exprs => RollingHashes(exprs.head), "scala_udf")
 }
 
+/** Robust-winnowing document fingerprints (the MOSS selection rule):
+  * per K-byte window position the same Rabin–Karp rolling hash as
+  * [[RollingHashes]], then over every run of W consecutive position
+  * hashes select the minimum — rightmost occurrence on ties — and
+  * emit the distinct selected (position, hash) pairs. Winnowing
+  * guarantees ≥1 shared fingerprint for any match of length
+  * ≥ K + W − 1 (mod-sampling offers no such guarantee), at expected
+  * density 2/(W+1) — the standard local-fingerprinting scheme for
+  * plagiarism / verbatim-overlap detection.
+  *
+  * One O(n·W) pass per document, map-side, no shuffle (W = 4, so the
+  * per-window rescan beats a deque's bookkeeping). Each pair is
+  * encoded as `pos · 2^31 + hash` (hash < P = 2^31 − 1), a single
+  * long the consumer splits back with shift/mask arithmetic — exact
+  * in both engines, so the whole fingerprint set is DuckDB-oracled.
+  *
+  * Documents with fewer than W hashes get ONE window over all of
+  * them (any doc of ≥ K bytes yields ≥1 fingerprint).
+  */
+case class WinnowedHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import RollingHashes.{B, BK1, K, P}
+  import WinnowedHashes.W
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    val m = n - K + 1 // number of window positions
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (m > 0) {
+      val h = new Array[Long](m)
+      var acc = 0L
+      var j = 0
+      while (j < K) { acc = (acc * B + (bytes(j) & 0xffL)) % P; j += 1 }
+      h(0) = acc
+      var i = K
+      while (i < n) {
+        val outByte = bytes(i - K) & 0xffL
+        acc = (((acc - outByte * BK1 % P) % P + P) % P * B + (bytes(i) & 0xffL)) % P
+        h(i - K + 1) = acc
+        i += 1
+      }
+      val len = if (m < W) m else W
+      var t = 0
+      val last = m - len
+      while (t <= last) {
+        var minIdx = t
+        var k = t + 1
+        while (k < t + len) {
+          if (h(k) <= h(minIdx)) minIdx = k // <= keeps the RIGHTMOST min
+          k += 1
+        }
+        // 1-based position in the encoding, matching the oracle's range()
+        out.add((minIdx + 1).toLong * 2147483648L + h(minIdx))
+        t += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowedHashes {
+  val W = 4 // winnowing window (hash positions per selection window)
+
+  /** Register `graft_winnowed_hashes(text)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnowed_hashes", exprs => WinnowedHashes(exprs.head), "scala_udf")
+}
+
 /** 64-permutation MinHash signature of a shingle array.
   *
   * Base hash = md5 word 1 mod the Mersenne prime P = 2^31−1; each

@@ -200,4 +200,92 @@ object Graph {
        |$iters
        |SELECT node, r AS rank_q12 FROM r$Iters ORDER BY r DESC, node LIMIT $TopK""".stripMargin
   }
+
+  /** Edges with fewer co-purchases than this are noise, not product
+    * affinity — and the support threshold is also what bounds the
+    * graph: hub products (in every basket) fall out unless the PAIR
+    * repeats, so edge count grows with genuine co-purchase structure,
+    * not with basket volume.
+    */
+  private val TriMinSupport = 2
+
+  /** Triangle count over the co-purchase product graph (edge ⇔ two
+    * parts bought together in ≥ [[TriMinSupport]] orders) — the
+    * clustering-structure statistic (closed wedges) over the same
+    * graph family `cooccur_recs` and `basket_lift` mine.
+    *
+    * Scale shape — degree-oriented wedge enumeration (the classic
+    * O(m^1.5) bound): every undirected edge is oriented from its
+    * lower-(degree, id) endpoint to its higher one, so each triangle
+    * has exactly ONE node with two out-edges and is counted once; the
+    * wedge self-join fans out from the LOW-degree endpoint (a hub of
+    * degree d contributes d·(d−1)/2 wedges in a naive id-ordered
+    * enumeration, but almost none once its edges point INTO it), and
+    * the closing check is one LEFT SEMI equi-join on the oriented
+    * (v, w) pair. Pair volume is bounded by Σ basket² as in
+    * cooccur_recs; the edge aggregate's exchange is built once and
+    * reused by the three consumers (degrees, wedges, closing probe —
+    * ReusedExchange, no recompute). The DuckDB oracle states the naive
+    * id-ordered join — the triangle count is orientation-invariant,
+    * so two different enumeration strategies must land on one hash.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("basket"))
+    val edges = baskets
+      .select(explode(col("basket")).as("p1"), col("basket"))
+      .select(col("p1"), explode(col("basket")).as("p2"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TriMinSupport)
+      .select(col("p1"), col("p2"))
+    val deg = edges.select(col("p1").as("p"))
+      .union(edges.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    // total order for orientation: rank = deg·2^31 + id (unique — id
+    // breaks degree ties), edge points low → high
+    val r1 = col("d1") * lit(2147483648L) + col("p1")
+    val r2 = col("d2") * lit(2147483648L) + col("p2")
+    val oriented = edges
+      .join(deg.toDF("p1", "d1"), "p1")
+      .join(deg.toDF("p2", "d2"), "p2")
+      .select(
+        when(r1 < r2, col("p1")).otherwise(col("p2")).as("src"),
+        when(r1 < r2, col("p2")).otherwise(col("p1")).as("dst"),
+        greatest(r1, r2).as("rdst"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), "src")
+      .filter(col("x.rdst") < col("y.rdst"))
+      .select(col("x.dst").as("v"), col("y.dst").as("w"))
+    val closed = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+    val nTri = closed.agg(count(lit(1)).cast("long").as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  val triangleCountSql: String =
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e AS (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |n AS (SELECT count(DISTINCT x) AS n_nodes
+      |      FROM (SELECT p1 AS x FROM e UNION ALL SELECT p2 FROM e)),
+      |ec AS (SELECT count(*) AS n_edges FROM e),
+      |t AS (SELECT count(*) AS n_triangles
+      |      FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+      |      JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(n_edges AS BIGINT) AS n_edges,
+      |  CAST(n_triangles AS BIGINT) AS n_triangles
+      |FROM n, ec, t""".stripMargin
 }

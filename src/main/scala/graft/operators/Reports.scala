@@ -428,4 +428,43 @@ object Reports {
       |  ON o2.o_custkey = l.user_id AND epoch_us(o2.o_orderdate) = l.last_order_ts_us
       |GROUP BY 1, 2, 4
       |ORDER BY event_id""".stripMargin
+
+  /** RANGE-interval window frame — the one frame type the window suite
+    * didn't yet cover (running_total = unbounded rows, moving_avg =
+    * bounded ROWS; this is a VALUE-bounded frame): per customer, the
+    * trailing-30-day order revenue and order count as of each order.
+    * The frame is `RANGE BETWEEN 29 PRECEDING AND CURRENT ROW` over
+    * the epoch-day order key, so tied order dates are full peers in
+    * the frame (deterministic regardless of intra-day row order —
+    * exactly why a RANGE frame, not ROWS, is the correct trailing-
+    * window semantics).
+    *
+    * Scale shape: partitioned by `o_custkey` (high cardinality, no
+    * skew cliff), one shuffle+sort serves both aggregates; sums on
+    * decimal(18,4) are order-independent and exact.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_day"))
+      .rangeBetween(-29, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), day.as("epoch_day"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("epoch_day"),
+        sum(col("price")).over(w).cast("double").as("trailing_30d_sum"),
+        count(lit(1)).over(w).cast("int").as("trailing_30d_cnt"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_day,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_30d_sum,
+      |  CAST(count(*) OVER w AS INTEGER) AS trailing_30d_cnt
+      |FROM orders
+      |WINDOW w AS (
+      |  PARTITION BY o_custkey
+      |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -754,4 +754,175 @@ object TextAnalysis {
       |SELECT doc_id, source FROM b
       |WHERE bucket * cnt < $MixBudgetPerSource * 10000
       |ORDER BY doc_id""".stripMargin
+
+  private val ChunkSize = 64 // tokens per chunk
+  private val ChunkStride = 48 // tokens between chunk starts (16-token overlap)
+
+  /** Fixed-size token chunking with overlap — the RAG / training-prep
+    * fan-out that turns each document into 64-token chunks on a
+    * 48-token stride (16 tokens of overlap so no sentence straddles a
+    * boundary unseen). Chunk count is sized so the last chunk's window
+    * reaches the end of the document; every chunk is identified by a
+    * content hash, the unit an embedding/indexing stage downstream
+    * would key on.
+    *
+    * Scale shape: pure map-side 1→N fan-out (sequence + explode over
+    * the already-materialized token array) — no shuffle at any corpus
+    * size, output rows ∝ tokens/stride. The same fan-out contract as
+    * `multimodal_framesample`, at the text grain.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(col("toks"))
+    // 1 + ceil(max(nTok − size, 0) / stride): enough starts that the
+    // last window reaches the end of the doc; integer-in-double
+    // arithmetic on small counts — exact in both engines
+    val nChunks = lit(1) + floor(
+      (greatest(nTok - ChunkSize, lit(0)) + lit(ChunkStride - 1)) / lit(ChunkStride))
+      .cast("int")
+    val start = (col("chunk_id") * ChunkStride).cast("int")
+    val chunk = slice(col("toks"), start + 1, lit(ChunkSize))
+    Tables(spark, dir).documents
+      .withColumn("toks", normTokens(col("text")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        start.as("start_tok"),
+        size(chunk).cast("int").as("n_chunk_toks"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val docChunkSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks,
+      |    1 + CAST(floor((greatest(len(toks) - $ChunkSize, 0) + ${ChunkStride - 1}) / $ChunkStride.0) AS INTEGER) AS nchunks
+      |  FROM t),
+      |c AS (SELECT doc_id, toks, unnest(range(nchunks)) AS cid FROM n)
+      |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+      |  CAST(cid * $ChunkStride AS INTEGER) AS start_tok,
+      |  CAST(len(toks[cid * $ChunkStride + 1 : cid * $ChunkStride + $ChunkSize]) AS INTEGER) AS n_chunk_toks,
+      |  md5(array_to_string(toks[cid * $ChunkStride + 1 : cid * $ChunkStride + $ChunkSize], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Per-test-document n-gram NOVELTY against the train split: the
+    * fraction of a held-out doc's bigram POSITIONS (multiplicity, via
+    * the one-pass TokenGrams expression) whose bigram never occurs in
+    * any train-split document. The language-model-flavored cousin of
+    * `contamination_check`: that query finds verbatim 8-gram overlap,
+    * this one scores how much of a doc a bigram LM trained on the
+    * corpus has never seen — the cheap proxy for OOD/novelty filtering
+    * in a training-data pipeline. Split = the same frozen content-hash
+    * assignment as [[trainTestSplit]].
+    *
+    * Scale shape: grams reduce to 56-bit md5-word keys (8-byte shuffle
+    * keys); test-side counts are partial-aggregated per (doc, gram)
+    * BEFORE the join, the train vocabulary is a distinct partial agg,
+    * and the join is one equi-join ∝ distinct colliding grams — never
+    * |test| × |train|. Ratios are int/int → hash-oracled.
+    */
+  def lmNovelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenGrams.register(spark)
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100)
+    val grams = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        when(bucket < 90, "train").otherwise("test").as("split"),
+        explode(call_function("graft_grams", col("text"), lit(2))).as("g"))
+      .select(col("doc_id"), col("split"),
+        conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long").as("h"))
+    val trainVocab = grams.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("seen", lit(1))
+    val testCounts = grams.filter(col("split") === "test")
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    testCounts.join(trainVocab, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        sum(when(col("seen").isNull, col("c")).otherwise(lit(0L))).cast("long").as("n_novel"))
+      .withColumn("novelty_ratio",
+        col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val lmNoveltySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM documents),
+      |g AS (
+      |  SELECT t.doc_id, sp.split,
+      |    unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g2
+      |  FROM t JOIN sp ON t.doc_id = sp.doc_id),
+      |h AS (SELECT doc_id, split, ('0x' || substr(md5(g2), 1, 14))::BIGINT AS h FROM g),
+      |tr AS (SELECT DISTINCT h FROM h WHERE split = 'train'),
+      |te AS (SELECT doc_id, h, count(*) AS c FROM h WHERE split = 'test' GROUP BY 1, 2)
+      |SELECT te.doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CASE WHEN tr.h IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN tr.h IS NULL THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(c) AS DOUBLE) AS novelty_ratio
+      |FROM te LEFT JOIN tr ON te.h = tr.h
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Robust-winnowing fingerprints ([[graft.functions.WinnowedHashes]]
+    * — the MOSS selection rule over the Rabin–Karp position hashes):
+    * guarantees any verbatim match of ≥ K+W−1 bytes shares ≥1
+    * fingerprint between the two documents, which mod-sampling
+    * (`text_rollinghash_fp`) cannot promise. One map-side pass per
+    * doc, no shuffle; the oracle re-derives every position hash
+    * (O(n·K)) and replays the window-min/rightmost-tie selection
+    * relationally — same (position, hash) set, the asymptotics the
+    * fused expression exists to beat.
+    */
+  def winnowingFp(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WinnowedHashes.register(spark)
+    val half = lit(2147483648L) // 2^31: enc = pos · 2^31 + hash
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        call_function("graft_winnowed_hashes", col("text")).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_join(
+          transform(col("fps"), e => concat_ws(":",
+            shiftrightunsigned(e, 31).cast("string"),
+            e.bitwiseAND(lit(2147483647L)).cast("string"))), ",").as("fp_csv"))
+      .orderBy("doc_id")
+  }
+
+  val winnowingFpSql: String = {
+    import graft.functions.RollingHashes.{B, K, P}
+    import graft.functions.WinnowedHashes.W
+    s"""WITH pos AS (
+      |  SELECT doc_id, unnest(range(1, strlen(text) - $K + 2)) AS i, text
+      |  FROM documents WHERE strlen(text) >= $K),
+      |h AS (
+      |  SELECT doc_id, i,
+      |    list_reduce([CAST(ord(c) AS BIGINT) for c in [substring(text, CAST(i + j AS INTEGER), 1) for j in range($K)]],
+      |      (a, x) -> (a * $B + x) % $P) AS hv
+      |  FROM pos),
+      |m AS (SELECT doc_id, count(*) AS m FROM h GROUP BY 1),
+      |wl AS (SELECT doc_id, m, least($W, m) AS L FROM m),
+      |ws AS (SELECT doc_id, L, unnest(range(1, m - L + 2)) AS t FROM wl),
+      |wmin AS (
+      |  SELECT ws.doc_id, ws.t, ws.L, min(h.hv) AS mn
+      |  FROM ws JOIN h ON h.doc_id = ws.doc_id AND h.i BETWEEN ws.t AND ws.t + ws.L - 1
+      |  GROUP BY 1, 2, 3),
+      |sel AS (
+      |  SELECT w2.doc_id, max(h.i) AS pos, w2.mn AS hv
+      |  FROM wmin w2 JOIN h ON h.doc_id = w2.doc_id AND h.hv = w2.mn
+      |    AND h.i BETWEEN w2.t AND w2.t + w2.L - 1
+      |  GROUP BY w2.doc_id, w2.t, w2.L, w2.mn),
+      |fp AS (SELECT DISTINCT doc_id, pos, hv FROM sel)
+      |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_fp,
+      |  string_agg(CAST(pos AS VARCHAR) || ':' || CAST(hv AS VARCHAR), ',' ORDER BY pos) AS fp_csv
+      |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graph, Reports, TextAnalysis}
+
+/** Round-8 continuation suites: winnowing fingerprints, token
+  * chunking, bigram novelty, RANGE-frame windows, degree-oriented
+  * triangle counting.
+  */
+class Round8bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("winnowing guarantees a shared fingerprint for matches of length >= K+W-1") {
+    graft.functions.WinnowedHashes.register(spark)
+    import spark.implicits._
+    // K=8, W=4 → any shared run of >= 11 bytes must yield >= 1 shared
+    // selected hash; these two strings share ONLY the 16-byte middle
+    val shared = "zqxjkvbwpfmgyhdt"
+    val docs = Seq(
+      (1L, s"aaaa bbbb $shared cccc dddd"),
+      (2L, s"1111 2222 $shared 3333 4444")).toDF("id", "text")
+    val fps = docs
+      .select(col("id"),
+        explode(call_function("graft_winnowed_hashes", col("text"))).as("e"))
+      // strip the position word — a match moves position, not hash
+      .select(col("id"), col("e").bitwiseAND(lit(2147483647L)).as("h"))
+    val sharedHashes = fps.filter(col("id") === 1L).select("h")
+      .intersect(fps.filter(col("id") === 2L).select("h"))
+    assert(sharedHashes.count() >= 1,
+      "winnowing failed the shared-fingerprint guarantee on a 16-byte verbatim match")
+    // any doc of >= K bytes yields at least one fingerprint
+    val one = Seq((3L, "12345678")).toDF("id", "text")
+      .select(size(call_function("graft_winnowed_hashes", col("text"))).as("n"))
+      .head().getInt(0)
+    assert(one == 1, s"K-byte doc should yield exactly one fingerprint, got $one")
+    // winnowing selects a SUBSET of the position hashes (no invented values)
+    graft.functions.RollingHashes.register(spark)
+    val doc = Seq((4L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val win = doc.select(explode(call_function("graft_winnowed_hashes", col("text"))).as("e"))
+      .select(col("e").bitwiseAND(lit(2147483647L)).as("h"))
+    // rolling_hashes mod-samples, so re-derive the full hash set via winnowing
+    // with every position: W windows of the same text always pick from h[]
+    assert(win.count() >= (44 - 8 + 1) / 4 / 2,
+      "winnowing density fell below the 2/(w+1) expectation floor")
+  }
+
+  test("doc_chunk covers every token exactly and strides correctly") {
+    val chunks = TextAnalysis.docChunk(spark, TestSpark.sf).cache()
+    val toks = graft.core.Tables(spark, TestSpark.sf).documents
+      .select(col("doc_id"),
+        size(graft.functions.GraftFunctions.normTokens(col("text"))).as("n_tok"))
+    val agg = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("start_tok") + col("n_chunk_toks")).as("max_end"),
+      min(col("start_tok")).as("min_start"),
+      max(col("n_chunk_toks")).as("max_len"))
+    val joined = agg.join(toks, "doc_id")
+    // first chunk starts at 0; no chunk exceeds ChunkSize; the last
+    // chunk's window reaches the end of the document
+    assert(joined.filter(col("min_start") =!= 0).count() == 0)
+    assert(joined.filter(col("max_len") > 64).count() == 0)
+    assert(joined.filter(col("n_tok") > 0 && col("max_end") < col("n_tok")).count() == 0,
+      "a document's tail is not covered by any chunk")
+    // strides: chunk i starts at i*48 — so n_chunks is determined by n_tok
+    assert(joined.filter(col("n_tok") > 64 &&
+      col("n_chunks") =!= (lit(1) + ceil((col("n_tok") - 64) / 48.0).cast("long"))).count() == 0)
+    chunks.unpersist()
+  }
+
+  test("lm_novelty emits only test-split docs with ratios in [0,1]") {
+    val nov = TextAnalysis.lmNovelty(spark, TestSpark.sf).cache()
+    val split = TextAnalysis.trainTestSplit(spark, TestSpark.sf)
+      .select(col("doc_id"), col("split"))
+    val bad = nov.join(split, "doc_id").filter(col("split") =!= "test")
+    assert(bad.count() == 0, "a train-split doc leaked into the novelty output")
+    assert(nov.filter(col("n_novel") > col("n_bigrams") || col("n_novel") < 0).count() == 0)
+    assert(nov.filter(col("novelty_ratio") < 0.0 || col("novelty_ratio") > 1.0).count() == 0)
+    assert(nov.count() > 0)
+    nov.unpersist()
+  }
+
+  test("window_range_frame matches a brute-force 30-day self-join") {
+    val win = Reports.windowRangeFrame(spark, TestSpark.sf)
+    val o = graft.core.Tables(spark, TestSpark.sf).orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("day"),
+        col("o_totalprice").cast("decimal(18,4)").as("p"))
+    val brute = o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+        col("b.day").between(col("a.day") - 29, col("a.day")))
+      .groupBy(col("a.o_orderkey").as("o_orderkey"))
+      .agg(sum(col("b.p")).cast("double").as("bsum"), count(lit(1)).cast("int").as("bcnt"))
+    val diff = win.join(brute, "o_orderkey")
+      .filter(col("trailing_30d_sum") =!= col("bsum") ||
+        col("trailing_30d_cnt") =!= col("bcnt"))
+    assert(diff.count() == 0, "RANGE frame disagrees with the brute-force trailing window")
+  }
+
+  test("triangle_count: degree-oriented enumeration equals the naive id-ordered count") {
+    val r = Graph.triangleCount(spark, TestSpark.sf).head()
+    val naive = {
+      val t = graft.core.Tables(spark, TestSpark.sf)
+      val baskets = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("basket"))
+      val edges = baskets
+        .select(explode(col("basket")).as("p1"), col("basket"))
+        .select(col("p1"), explode(col("basket")).as("p2"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("p1", "p2")
+      edges.as("e1")
+        .join(edges.as("e2"), col("e1.p2") === col("e2.p1"))
+        .join(edges.as("e3"),
+          col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"), "left_semi")
+        .count()
+    }
+    assert(r.getAs[Long]("n_triangles") == naive,
+      s"oriented count ${r.getAs[Long]("n_triangles")} != naive $naive")
+    assert(r.getAs[Long]("n_edges") > 0 && r.getAs[Long]("n_nodes") > 0)
+    // the wedge enumeration must be equi-join based — no cartesian
+    val plan = Graph.triangleCount(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "triangle wedge join degenerated to a cartesian")
+    assert(plan.contains("LeftSemi"), "closing-edge check should be a LEFT SEMI join")
+  }
+}
