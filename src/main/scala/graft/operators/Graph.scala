@@ -233,6 +233,13 @@ object Graph {
     val baskets = Tables(spark, dir).lineitem
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("basket"))
+    // cached: referenced by deg (×2 via the union), the orientation
+    // join, and the edge-count leaf — without the cache AQE replans
+    // each consumer independently and the Σ basket² pair build (the
+    // expensive part) runs once PER CONSUMER (measured 19 lineitem
+    // scans in the uncached executed plan). The frame is the
+    // support-FILTERED edge list — O(repeat co-purchase pairs), far
+    // below pair volume, safe to hold at any scale.
     val edges = baskets
       .select(explode(col("basket")).as("p1"), col("basket"))
       .select(col("p1"), explode(col("basket")).as("p2"))
@@ -241,6 +248,7 @@ object Graph {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= TriMinSupport)
       .select(col("p1"), col("p2"))
+      .cache()
     val deg = edges.select(col("p1").as("p"))
       .union(edges.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
@@ -248,6 +256,8 @@ object Graph {
     // breaks degree ties), edge points low → high
     val r1 = col("d1") * lit(2147483648L) + col("p1")
     val r2 = col("d2") * lit(2147483648L) + col("p2")
+    // cached: the wedge self-join reads it twice and the closing
+    // probe a third time (edge-list-sized, same bound as `edges`)
     val oriented = edges
       .join(deg.toDF("p1", "d1"), "p1")
       .join(deg.toDF("p2", "d2"), "p2")
@@ -255,6 +265,7 @@ object Graph {
         when(r1 < r2, col("p1")).otherwise(col("p2")).as("src"),
         when(r1 < r2, col("p2")).otherwise(col("p1")).as("dst"),
         greatest(r1, r2).as("rdst"))
+      .cache()
     val wedges = oriented.as("x")
       .join(oriented.as("y"), "src")
       .filter(col("x.rdst") < col("y.rdst"))

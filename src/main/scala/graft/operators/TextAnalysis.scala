@@ -884,7 +884,6 @@ object TextAnalysis {
     */
   def winnowingFp(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.WinnowedHashes.register(spark)
-    val half = lit(2147483648L) // 2^31: enc = pos · 2^31 + hash
     Tables(spark, dir).documents
       .select(col("doc_id"),
         call_function("graft_winnowed_hashes", col("text")).as("fps"))
