@@ -456,6 +456,94 @@ object Reports {
       .orderBy("o_orderkey")
   }
 
+  /** Pearson correlation profile per return-flag class — the
+    * statistical data-profiling primitive (which measures co-move?)
+    * beside `histogram_price` (distribution) and `anomaly_zscore`
+    * (outliers). corr(qty, price) and corr(discount, price) from the
+    * five raw moments per pair.
+    *
+    * Determinism contract (the anomaly_zscore recipe, one level up):
+    * every moment (Σx, Σx², Σxy) is an ORDER-INDEPENDENT exact
+    * decimal sum; the correlation itself is then one shared SQL
+    * expression ([[corrExpr]] — identical text in the Spark plan and
+    * the oracle) over the double-cast moments, so each engine runs
+    * the same correctly-rounded IEEE ops on the same operands in the
+    * same order. One partial-aggregating scan, 3 output rows — the
+    * whole query is map-side until a 3-row exchange.
+    */
+  def corrProfile(spark: SparkSession, dir: String): DataFrame = {
+    // integer grid: quantity is integral, price/discount carry 2
+    // decimals → cents. Everything downstream is scale-0 integer
+    // arithmetic held in decimal(38,0) (no overflow at any SF), and
+    // correlation is scale-invariant, so r over (q, cents) IS r over
+    // (q, dollars).
+    val li = Tables(spark, dir).lineitem.select(
+      col("l_returnflag"),
+      col("l_quantity").cast("decimal(18,0)").cast("long").as("q"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("p"),
+      (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("d"))
+    def s38(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        s38(col("q")).as("sq"), s38(col("p")).as("sp"), s38(col("d")).as("sd"),
+        s38(col("q") * col("q")).as("sqq"), s38(col("p") * col("p")).as("spp"),
+        s38(col("d") * col("d")).as("sdd"),
+        s38(col("q") * col("p")).as("sqp"), s38(col("d") * col("p")).as("sdp"))
+      .select(col("l_returnflag"), col("n"),
+        expr("CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_qty"),
+        expr("CAST(sp AS DOUBLE) / CAST(n * 100 AS DOUBLE)").as("mean_price"),
+        expr(corrExpr("sq", "sp", "sqq", "spp", "sqp")).as("corr_qty_price"),
+        expr(corrExpr("sd", "sp", "sdd", "spp", "sdp")).as("corr_disc_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)).
+    * Numerator and both radicands are computed EXACTLY in scale-0
+    * decimal(38,0)/int128 arithmetic and only then cast to double.
+    * The scale-0 restriction is load-bearing: DuckDB converts a
+    * fractional DECIMAL to double as int→double followed by a
+    * power-of-ten division — TWO roundings, up to 1 ulp off Spark's
+    * single correctly-rounded BigDecimal conversion, which is visible
+    * after the catastrophic cancellation in n·Σxy − Σx·Σy. An
+    * integer-valued decimal converts in one rounding in both engines,
+    * so the doubles match bit for bit.
+    */
+  private def corrExpr(sx: String, sy: String, sxx: String, syy: String,
+      sxy: String): String =
+    s"CAST(n * $sxy - $sx * $sy AS DOUBLE)" +
+      s" / (sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE))" +
+      s" * sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE)))"
+
+  val corrProfileSql: String = {
+    def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+      s"CAST(n * $sxy - $sx * $sy AS DOUBLE)" +
+        s" / (sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE))" +
+        s" * sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE)))"
+    s"""WITH g AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+      |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(q AS DECIMAL(38,0))) AS sq,
+      |    sum(CAST(p AS DECIMAL(38,0))) AS sp,
+      |    sum(CAST(d AS DECIMAL(38,0))) AS sd,
+      |    sum(CAST(q * q AS DECIMAL(38,0))) AS sqq,
+      |    sum(CAST(p * p AS DECIMAL(38,0))) AS spp,
+      |    sum(CAST(d * d AS DECIMAL(38,0))) AS sdd,
+      |    sum(CAST(q * p AS DECIMAL(38,0))) AS sqp,
+      |    sum(CAST(d * p AS DECIMAL(38,0))) AS sdp
+      |  FROM g GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+      |  CAST(sp AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean_price,
+      |  ${corr("sq", "sp", "sqq", "spp", "sqp")} AS corr_qty_price,
+      |  ${corr("sd", "sp", "sdd", "spp", "sdp")} AS corr_disc_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
   val windowRangeFrameSql: String =
     """SELECT o_orderkey, o_custkey,
       |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_day,

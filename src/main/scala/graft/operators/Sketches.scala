@@ -107,4 +107,82 @@ object Sketches {
       |  (est.hll_estimate - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE) AS rel_error
       |FROM est JOIN ex ON ex.event_type = est.event_type
       |ORDER BY est.event_type""".stripMargin
+
+  /** HLL register-space ROLLUP — the MERGEABILITY property that makes
+    * sketches the 100 TB answer to hierarchical distinct counts: the
+    * raw event log is read ONCE to build per-(event_type, month,
+    * bucket) registers; the month level, the per-type level, and the
+    * grand total are all produced by merging REGISTERS (max per
+    * bucket — idempotent, associative), never by re-scanning raw
+    * data. An exact-distinct rollup would re-shuffle every key at
+    * every level; here each coarser level aggregates a register table
+    * of ≤ groups × 64 rows. Register merge is lossless for HLL (the
+    * merged registers are exactly what a direct sketch of the merged
+    * stream would hold — unit-tested against `approx_distinct_hll`),
+    * so the same bit-reproducibility argument as the base sketch
+    * applies and all three levels are value-gated in DuckDB.
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"),
+        substring(timestamp_micros(col("ts_us")).cast("date").cast("string"), 1, 7)
+          .as("month"),
+        col("user_id"))
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val suffix = col("h").bitwiseAND(lit(SuffixMask.toLong))
+    val regs = ev.distinct()
+      .withColumn("h", h)
+      .select(col("event_type"), col("month"),
+        shiftright(col("h"), SuffixBits).as("bucket"),
+        when(suffix === 0, SuffixBits + 1)
+          .otherwise(lit(SuffixBits + 1) - length(bin(suffix))).as("rho"))
+      .groupBy(col("event_type"), col("month"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+      .cache() // one raw pass; every level below reads only this
+    def estimate(level: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = level
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
+          .as("zsum"))
+      .withColumn("hll_estimate", expr(EstimateExpr))
+      .select(col("event_type"), col("month"), col("nb"), col("hll_estimate"))
+    val perMonth = estimate(regs.groupBy(col("event_type"), col("month")))
+    val perType = estimate(regs
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("m")).as("m"))
+      .withColumn("month", lit("ALL"))
+      .groupBy(col("event_type"), col("month")))
+    val grand = estimate(regs
+      .groupBy(col("bucket")).agg(max(col("m")).as("m"))
+      .withColumn("event_type", lit("ALL")).withColumn("month", lit("ALL"))
+      .groupBy(col("event_type"), col("month")))
+    perMonth.union(perType).union(grand)
+      .orderBy("event_type", "month")
+  }
+
+  val hllRollupSql: String =
+    s"""WITH d AS (
+      |  SELECT DISTINCT event_type,
+      |    substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 7) AS month, user_id
+      |  FROM events),
+      |h AS (
+      |  SELECT event_type, month,
+      |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM d),
+      |br AS (
+      |  SELECT event_type, month, h >> $SuffixBits AS bucket,
+      |    CASE WHEN h & $SuffixMask = 0 THEN ${SuffixBits + 1}
+      |         ELSE ${SuffixBits + 1} - length(bin(h & $SuffixMask)) END AS rho
+      |  FROM h),
+      |regs AS (SELECT event_type, month, bucket, max(rho) AS m FROM br GROUP BY 1, 2, 3),
+      |lvl AS (
+      |  SELECT event_type, month, bucket, max(m) AS m FROM regs GROUP BY 1, 2, 3
+      |  UNION ALL
+      |  SELECT event_type, 'ALL', bucket, max(m) FROM regs GROUP BY 1, 3
+      |  UNION ALL
+      |  SELECT 'ALL', 'ALL', bucket, max(m) FROM regs GROUP BY 3),
+      |z AS (SELECT event_type, month, count(*) AS nb,
+      |        sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS zsum
+      |      FROM lvl GROUP BY 1, 2)
+      |SELECT event_type, month, nb, $EstimateExpr AS hll_estimate
+      |FROM z ORDER BY event_type, month""".stripMargin
 }

@@ -97,6 +97,34 @@ class Round8bSpec extends AnyFunSuite {
     assert(diff.count() == 0, "RANGE frame disagrees with the brute-force trailing window")
   }
 
+  test("hll_rollup register merge is lossless vs the direct per-type sketch") {
+    import graft.operators.Sketches
+    // the 'ALL'-months row per event_type is built by MERGING monthly
+    // registers; the direct sketch hashes the same distinct users, so
+    // a lossless merge must land on the identical estimate
+    val merged = Sketches.hllRollup(spark, TestSpark.sf)
+      .filter(col("month") === "ALL" && col("event_type") =!= "ALL")
+      .select(col("event_type"), col("hll_estimate").as("merged"))
+    val direct = Sketches.approxDistinctHll(spark, TestSpark.sf)
+      .select(col("event_type"), col("hll_estimate").as("direct"))
+    val diff = merged.join(direct, "event_type")
+      .filter(col("merged") =!= col("direct"))
+    assert(diff.count() == 0, "register merge changed the estimate — merge is not lossless")
+  }
+
+  test("corr_profile agrees with Spark's built-in corr to 1e-10") {
+    val mine = graft.operators.Reports.corrProfile(spark, TestSpark.sf)
+    val ref = graft.core.Tables(spark, TestSpark.sf).lineitem
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("ref_qp"),
+        corr(col("l_discount"), col("l_extendedprice")).as("ref_dp"))
+    val bad = mine.join(ref, "l_returnflag")
+      .filter(abs(col("corr_qty_price") - col("ref_qp")) > 1e-10 ||
+        abs(col("corr_disc_price") - col("ref_dp")) > 1e-10 ||
+        abs(col("corr_qty_price")) > 1.0 || abs(col("corr_disc_price")) > 1.0)
+    assert(bad.count() == 0, "exact-moment correlation drifted from the reference estimator")
+  }
+
   test("triangle_count: degree-oriented enumeration equals the naive id-ordered count") {
     val r = Graph.triangleCount(spark, TestSpark.sf).head()
     val naive = {
