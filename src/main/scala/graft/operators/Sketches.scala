@@ -36,10 +36,10 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  private val P = 6 // bucket bits
-  private val M = 1 << P // 64 buckets
-  private val SuffixBits = 32 - P // 26
-  private val SuffixMask = (1 << SuffixBits) - 1 // 67108863
+  private[graft] val P = 6 // bucket bits
+  private[graft] val M = 1 << P // 64 buckets
+  private[graft] val SuffixBits = 32 - P // 26
+  private[graft] val SuffixMask = (1 << SuffixBits) - 1 // 67108863
 
   /** The alpha-corrected estimate, as ONE SQL string shared verbatim by
     * the Spark plan and the DuckDB oracle. Every literal is explicitly
@@ -48,7 +48,7 @@ object Sketches {
     * differ between engines; forcing doubles first makes every op a
     * correctly-rounded IEEE double op with identical operand order.
     */
-  private val EstimateExpr: String =
+  private[graft] val EstimateExpr: String =
     s"(CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+CAST(1.079 AS DOUBLE)/CAST($M AS DOUBLE)))" +
       s" * CAST($M AS DOUBLE) * CAST($M AS DOUBLE) / (CAST($M - nb AS DOUBLE) + zsum)"
 

@@ -112,6 +112,39 @@ class Round8bSpec extends AnyFunSuite {
     assert(diff.count() == 0, "register merge changed the estimate — merge is not lossless")
   }
 
+  test("streaming HLL sink: merged registers equal the batch sketch over all data") {
+    import graft.streaming.{EventStream, HllSink}
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_hin").toString
+    val st = Files.createTempDirectory("graft_hst").toString
+    def ev(id: Long, user: Long, typ: String): String =
+      s"""{"event_id":$id,"ts_us":${id * 1000},"user_id":$user,"event_type":"$typ","value":1.0}"""
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      (1 to 40).map(i => ev(i, i % 17, if (i % 2 == 0) "view" else "click")).mkString("\n"))
+    val q = HllSink.start(spark, in, st)
+    try {
+      q.processAllAvailable()
+      // second batch re-sees some users (idempotent merge) + new ones
+      Files.writeString(Paths.get(s"$in/b2.jsonl"),
+        (30 to 80).map(i => ev(i, i % 29, if (i % 3 == 0) "view" else "click")).mkString("\n"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch reference: sketch ALL input in one shot through the same
+    // register derivation, staged as a one-version state dir
+    val ref = Files.createTempDirectory("graft_href").toString
+    HllSink.registers(spark.read.schema(EventStream.eventSchema).json(in))
+      .write.parquet(s"$ref/v0")
+    val streamed = HllSink.currentEstimate(spark, st)
+      .withColumnRenamed("hll_estimate", "streamed")
+    val direct = HllSink.currentEstimate(spark, ref)
+      .withColumnRenamed("hll_estimate", "direct")
+    val diff = streamed.join(direct, "event_type")
+      .filter(col("streamed") =!= col("direct"))
+    assert(diff.count() == 0, "cross-batch register merge diverged from the batch sketch")
+    // state is bounded by types × 64 registers, not by distinct users
+    assert(HllSink.currentRegisters(spark, st).count() <= 2 * 64)
+  }
+
   test("corr_profile agrees with Spark's built-in corr to 1e-10") {
     val mine = graft.operators.Reports.corrProfile(spark, TestSpark.sf)
     val ref = graft.core.Tables(spark, TestSpark.sf).lineitem
