@@ -463,6 +463,29 @@ object StarSchema {
       |  ON o_totalprice >= lo AND o_totalprice < hi
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The SAME band assignment through the whole-operator engine path
+    * ([[graft.plans.RangeBand]]: LogicalPlan + Strategy + Exec with a
+    * broadcast band table and per-row binary search — O(n·log b) vs
+    * the declarative form's BroadcastNestedLoop O(n·b)), gated against
+    * the identical oracle. Prices move to an exact cents grid so the
+    * probe key is a Long (2-decimal data → lossless); band edges are
+    * the same dollars × 100.
+    */
+  def rangeBandJoinCustom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq((0L, 5000000L, 0L), (5000000L, 15000000L, 1L),
+      (15000000L, 10000000000L, 2L)).toDF("lo", "hi", "band_id")
+    val probe = Tables(spark, dir).orders.select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      col("o_orderkey"), col("o_totalprice"))
+    graft.plans.RangeBand.join(spark, probe, bands)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("matched_band") === 0, "low")
+          .when(col("matched_band") === 1, "mid")
+          .otherwise("high").as("band"))
+      .orderBy("o_orderkey")
+  }
+
   /** Locale price parsing round-trip: synthesize the EU-formatted raw
     * price string the reference's crawler scrapes ("1.234,56 €",
     * reference: product_crawler.py price_raw→price), parse it back

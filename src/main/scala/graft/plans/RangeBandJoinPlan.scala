@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BoundReference, JoinedRow, SpecificInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Second whole-operator Catalyst extension (SURVEY.md §2 L, beside
+  * [[AsOfJoin]]): a BAND join — probe value v matched to the unique
+  * band with lo ≤ v < hi — as a first-class LogicalPlan + Strategy +
+  * Exec. The declarative formulation (`StarSchema.rangeBandJoin`)
+  * plans as a BroadcastNestedLoopJoin: every probe row is checked
+  * against every band — O(n·b) predicate evaluations. This exec
+  * declares `BroadcastDistribution` for the band side (Catalyst
+  * plants the BroadcastExchange exactly as for a built-in broadcast
+  * join) and binary-searches the sorted band edges per probe row:
+  * O(n·log b), map-side, zero probe exchanges — the IP2Location-style
+  * enrichment shape (`ip_processor.py:1-481`) where b is tens of
+  * thousands of CIDR bands, not three.
+  *
+  * Row contract (positional): probe col 0 = the band key (Long; any
+  * further columns pass through untyped), band side = exactly
+  * (lo: Long, hi: Long, band_id: Long), non-overlapping — validated
+  * when the sorted edge arrays are built (loudly, at plan time on the
+  * driver for the codegen path). Output = probe columns +
+  * `matched_band` (nullable Long; null = no band covers v).
+  */
+case class RangeBandJoin(left: LogicalPlan, right: LogicalPlan,
+    matchedBand: AttributeReference)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output :+ matchedBand
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(matchedBand))
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): RangeBandJoin = copy(left = newLeft, right = newRight)
+}
+
+object RangeBandJoin {
+  def apply(left: LogicalPlan, right: LogicalPlan): RangeBandJoin =
+    RangeBandJoin(left, right,
+      AttributeReference("matched_band", LongType, nullable = true)())
+}
+
+case class RangeBandJoinExec(left: SparkPlan, right: SparkPlan,
+    matchedBand: AttributeReference)
+    extends BinaryExecNode with CodegenSupport {
+
+  override def output: Seq[Attribute] = left.output :+ matchedBand
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(matchedBand))
+
+  // probe side streams in place; band side arrives as one broadcast
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  /** Sorted (lo, hi, id) edge arrays from the broadcast band rows —
+    * validated: ordered, lo < hi, and non-overlapping (the property
+    * that makes "the last lo ≤ v" the unique candidate).
+    */
+  private def edgeArrays(rows: Array[InternalRow]): (Array[Long], Array[Long], Array[Long]) = {
+    val sorted = rows.sortBy(_.getLong(0))
+    val n = sorted.length
+    val lo = new Array[Long](n); val hi = new Array[Long](n); val id = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      lo(i) = sorted(i).getLong(0); hi(i) = sorted(i).getLong(1); id(i) = sorted(i).getLong(2)
+      require(lo(i) < hi(i), s"RangeBandJoin: empty band [${lo(i)}, ${hi(i)})")
+      require(i == 0 || hi(i - 1) <= lo(i),
+        s"RangeBandJoin: overlapping bands at lo=${lo(i)} (previous hi=${hi(i - 1)})")
+      i += 1
+    }
+    (lo, hi, id)
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val resultTypes = output.map(_.dataType).toArray
+    left.execute().mapPartitions { iter =>
+      val (lo, hi, id) = edgeArrays(bcast.value)
+      val matchRow = new SpecificInternalRow(Seq(LongType))
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(resultTypes)
+      iter.map { p =>
+        val v = p.getLong(0)
+        val r = java.util.Arrays.binarySearch(lo, v)
+        val idx = if (r >= 0) r else -r - 2
+        if (idx >= 0 && v < hi(idx)) matchRow.setLong(0, id(idx))
+        else matchRow.setNullAt(0)
+        project(joined(p, matchRow))
+      }
+    }
+  }
+
+  // ---- whole-stage codegen (produce-only: probe rows stream off the
+  // iterator, the binary search is generated into the stage body, the
+  // sorted edge arrays ride the reference array — already
+  // driver-materialized from the tiny broadcast) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] = Seq(left.execute())
+
+  override def needCopyResult: Boolean = false // no mutable cross-row state in outputs
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val (lo, hi, id) = edgeArrays(right.executeBroadcast[Array[InternalRow]]().value)
+    val loTerm = ctx.addReferenceObj("bandLo", lo, "long[]")
+    val hiTerm = ctx.addReferenceObj("bandHi", hi, "long[]")
+    val idTerm = ctx.addReferenceObj("bandId", id, "long[]")
+    val input = ctx.addMutableState("scala.collection.Iterator", "bandProbeInput",
+      v => s"$v = inputs[0];")
+    val probeRow = ctx.freshName("probeRow")
+    val v = ctx.freshName("bandKey")
+    val idx = ctx.freshName("bandIdx")
+    val matched = ctx.freshName("bandMatched")
+    val bid = ctx.freshName("bandIdVal")
+    ctx.INPUT_ROW = probeRow
+    ctx.currentVars = null
+    val probeVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val evaluatedProbe = evaluateVariables(probeVars)
+    val bandVar = ExprCode(code"",
+      JavaCode.isNullExpression(s"!$matched"), JavaCode.variable(bid, LongType))
+    val consumed = consume(ctx, probeVars :+ bandVar)
+    s"""
+       |while ($input.hasNext()) {
+       |  InternalRow $probeRow = (InternalRow) $input.next();
+       |  long $v = $probeRow.getLong(0);
+       |  int $idx; { int r = java.util.Arrays.binarySearch($loTerm, $v); $idx = r >= 0 ? r : -r - 2; }
+       |  boolean $matched = $idx >= 0 && $v < $hiTerm[$idx];
+       |  long $bid = $matched ? $idTerm[$idx] : -1L;
+       |  $evaluatedProbe
+       |  $consumed
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): RangeBandJoinExec = copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node onto its exec. */
+object RangeBandJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeBandJoin(l, r, band) =>
+      RangeBandJoinExec(planLater(l), planLater(r), band) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API for the custom band-join operator. */
+object RangeBand {
+  /** Band-join `probe` (col 0 = Long key, any passthrough columns
+    * after) against `bands` (exactly lo/hi/band_id, all Long,
+    * non-overlapping). Idempotently installs the planner strategy.
+    */
+  def join(spark: SparkSession, probe: DataFrame, bands: DataFrame): DataFrame = {
+    require(probe.schema.fields.nonEmpty && probe.schema.fields.head.dataType == LongType,
+      s"RangeBand.join probe col 0 must be the Long band key; got ${probe.schema.simpleString}")
+    val bf = bands.schema.fields
+    require(bf.length == 3 && bf.forall(_.dataType == LongType),
+      s"RangeBand.join bands must be exactly (lo: Long, hi: Long, band_id: Long); " +
+        s"got ${bands.schema.simpleString}")
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(RangeBandJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ RangeBandJoinStrategy
+    GraftSqlShim.ofRows(spark,
+      RangeBandJoin(GraftSqlShim.logicalPlan(probe), GraftSqlShim.logicalPlan(bands)))
+  }
+}

@@ -112,6 +112,49 @@ class Round8bSpec extends AnyFunSuite {
     assert(diff.count() == 0, "register merge changed the estimate — merge is not lossless")
   }
 
+  test("RangeBandJoinExec: broadcast exchange planted, codegen engaged, matches the BNLJ form") {
+    import graft.etl.StarSchema
+    val custom = StarSchema.rangeBandJoinCustom(spark, TestSpark.sf)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeBandJoin"), "custom exec not in the plan")
+    assert(plan.contains("BroadcastExchange"),
+      "EnsureRequirements should broadcast the band table")
+    val composed = StarSchema.rangeBandJoin(spark, TestSpark.sf)
+    assert(custom.collect().toSeq == composed.collect().toSeq,
+      "binary-search path diverged from the nested-loop predicate form")
+    val finalPlan = custom.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) RangeBandJoin""".r.findFirstIn(finalPlan).isDefined,
+      "RangeBandJoin must run inside WholeStageCodegen")
+  }
+
+  test("RangeBandJoinExec: generated code survives fallback=false; gaps yield null; overlap is loud") {
+    import spark.implicits._
+    val bands = Seq((0L, 10L, 0L), (20L, 30L, 1L)).toDF("lo", "hi", "band_id")
+    val probe = Seq((5L, 100L), (15L, 101L), (25L, 102L), (30L, 103L))
+      .toDF("v", "payload")
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val out = graft.plans.RangeBand.join(spark, probe, bands)
+        .collect().map(r => (r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toMap
+      assert(out == Map(100L -> 0L, 101L -> null, 102L -> 1L, 103L -> null),
+        s"band assignment wrong: $out")
+    }
+    val overlapping = Seq((0L, 15L, 0L), (10L, 30L, 1L)).toDF("lo", "hi", "band_id")
+    val ex = intercept[Exception] {
+      graft.plans.RangeBand.join(spark, probe, overlapping).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
+    val prev = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None => spark.conf.unset(kv._1)
+    }
+  }
+
   test("streaming HLL sink: merged registers equal the batch sketch over all data") {
     import graft.streaming.{EventStream, HllSink}
     import java.nio.file.{Files, Paths}
