@@ -429,6 +429,56 @@ object Reports {
       |GROUP BY 1, 2, 4
       |ORDER BY event_id""".stripMargin
 
+  /** FORWARD as-of join — earliest order at or after each event
+    * (lead-time attribution: "how long until the user's next
+    * purchase"), completing the as-of family beside the backward
+    * `asof_event_order`. Same single union+window pass, with the scan
+    * reversed: descending time order, orders sorted before events at
+    * equal ts (inclusive ≥), order keys descending so `last` keeps
+    * the MINIMUM key among time ties. One shuffle+sort, no per-event
+    * probe join — the same scale shape as the backward form.
+    */
+  def asofEventOrderForward(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders.select(
+      col("o_custkey").as("uid"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+      lit(0).as("is_event"),
+      col("o_orderkey").as("ord_key"),
+      lit(null).cast("long").as("event_id"))
+    val e = t.events.select(
+      col("user_id").as("uid"),
+      col("ts_us"),
+      lit(1).as("is_event"),
+      lit(null).cast("long").as("ord_key"),
+      col("event_id"))
+    val w = Window.partitionBy("uid")
+      .orderBy(col("ts_us").desc, col("is_event").asc, col("ord_key").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("next_order_key", last(col("ord_key"), ignoreNulls = true).over(w))
+      .withColumn("next_order_ts_us",
+        last(when(col("is_event") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("uid").as("user_id"),
+        col("next_order_key"), col("next_order_ts_us"))
+      .orderBy("event_id")
+  }
+
+  val asofEventOrderForwardSql: String =
+    """WITH next_ts AS (
+      |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ets,
+      |         min(epoch_us(o.o_orderdate)) AS next_order_ts_us
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) >= epoch_us(e.ts)
+      |  GROUP BY 1, 2, 3)
+      |SELECT n.event_id, n.user_id,
+      |  min(o2.o_orderkey) AS next_order_key, n.next_order_ts_us
+      |FROM next_ts n LEFT JOIN orders o2
+      |  ON o2.o_custkey = n.user_id AND epoch_us(o2.o_orderdate) = n.next_order_ts_us
+      |GROUP BY 1, 2, 4
+      |ORDER BY event_id""".stripMargin
+
   /** RANGE-interval window frame — the one frame type the window suite
     * didn't yet cover (running_total = unbounded rows, moving_avg =
     * bounded ROWS; this is a VALUE-bounded frame): per customer, the

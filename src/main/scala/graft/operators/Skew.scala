@@ -184,4 +184,53 @@ object Skew {
       |  CASE WHEN d.k IS NULL THEN 0 ELSE 1 END AS is_true_match
       |FROM pass p LEFT JOIN dimkeys d ON d.k = p.o_custkey
       |ORDER BY p.o_orderkey""".stripMargin
+
+  private val SkewTopK = 10
+
+  /** Join-key skew PROFILER — the diagnostic that decides when
+    * `salted_join`/`salted_agg`/AQE skew splitting are worth their
+    * cost: per-key row counts of the lineitem⋈part join key, reduced
+    * to the skew report a 100 TB pipeline actually consults —
+    * total/keys/max/imbalance (max ÷ exact-rational mean) and the
+    * top-K share. A key with imbalance ≫ 1 is the one that strands a
+    * reducer; top-K share says whether salting the few hot keys (vs
+    * repartitioning everything) is enough.
+    *
+    * Scale shape: ONE partial-aggregated count shuffle (the counts
+    * table is ≤ distinct keys); the report is a two-row-stage
+    * reduction over that table and the top-K is a TakeOrdered — no
+    * global sort, nothing driver-side. All ratios are int/int → the
+    * whole report is hash-oracled.
+    */
+  def skewDiagnose(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).lineitem
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val top = counts
+      .orderBy(col("c").desc, col("l_partkey"))
+      .limit(SkewTopK)
+      .agg(sum(col("c")).cast("long").as("topk_rows"))
+    val stats = counts.agg(
+      sum(col("c")).cast("long").as("total_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      max(col("c")).cast("long").as("max_rows"))
+    stats.crossJoin(top)
+      .select(col("total_rows"), col("n_keys"), col("max_rows"),
+        // imbalance = max / (total/keys), as one int-operand expression
+        (col("max_rows").cast("double") * col("n_keys").cast("double") /
+          col("total_rows").cast("double")).as("imbalance_factor"),
+        (col("topk_rows").cast("double") / col("total_rows").cast("double"))
+          .as("topk_share"))
+  }
+
+  val skewDiagnoseSql: String =
+    s"""WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS topk_rows
+      |      FROM (SELECT c FROM c ORDER BY c DESC, l_partkey LIMIT $SkewTopK)),
+      |s AS (SELECT CAST(sum(c) AS BIGINT) AS total_rows,
+      |        CAST(count(*) AS BIGINT) AS n_keys,
+      |        CAST(max(c) AS BIGINT) AS max_rows FROM c)
+      |SELECT total_rows, n_keys, max_rows,
+      |  CAST(max_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE) AS imbalance_factor,
+      |  CAST(topk_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) AS topk_share
+      |FROM s, t""".stripMargin
 }

@@ -201,6 +201,28 @@ class Round8bSpec extends AnyFunSuite {
     assert(bad.count() == 0, "exact-moment correlation drifted from the reference estimator")
   }
 
+  test("asof forward/backward bracket every event; skew report is internally consistent") {
+    import graft.operators.{Reports, Skew}
+    val fwd = Reports.asofEventOrderForward(spark, TestSpark.sf)
+      .select(col("event_id"), col("next_order_ts_us"))
+    val bwd = Reports.asofEventOrder(spark, TestSpark.sf)
+      .select(col("event_id"), col("last_order_ts_us"))
+    val ev = graft.core.Tables(spark, TestSpark.sf).events
+      .select(col("event_id"), col("ts_us"))
+    val bracketed = ev.join(fwd, "event_id").join(bwd, "event_id")
+    assert(bracketed.filter(col("next_order_ts_us") < col("ts_us")).count() == 0,
+      "a 'next' order precedes its event")
+    assert(bracketed.filter(col("last_order_ts_us") > col("ts_us")).count() == 0,
+      "a 'last' order follows its event")
+    // an event with both neighbors has last <= next by transitivity
+    assert(bracketed.filter(col("last_order_ts_us") > col("next_order_ts_us")).count() == 0)
+    val r = Skew.skewDiagnose(spark, TestSpark.sf).head()
+    assert(r.getAs[Double]("imbalance_factor") >= 1.0)
+    val share = r.getAs[Double]("topk_share")
+    assert(share > 0.0 && share <= 1.0)
+    assert(r.getAs[Long]("max_rows") <= r.getAs[Long]("total_rows"))
+  }
+
   test("triangle_count: degree-oriented enumeration equals the naive id-ordered count") {
     val r = Graph.triangleCount(spark, TestSpark.sf).head()
     val naive = {
