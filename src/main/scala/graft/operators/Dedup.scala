@@ -693,4 +693,98 @@ object Dedup {
       |  FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_spans FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** INCREMENTAL corpus admission — the batch face of streaming
+    * `NearDupSink`: screen an arriving document batch (content-hash
+    * split, ≥90 bucket = "new") against the EXISTING corpus only,
+    * via the same MinHash signatures + LSH banding as
+    * `dedup_minhash_lsh` — but the candidate join is new-bands ×
+    * corpus-bands, never corpus², so re-ingesting a daily batch costs
+    * O(batch · collisions), not a full-corpus re-dedup. Output: every
+    * new doc with its corpus-duplicate count and the admit verdict
+    * (no near-dup at τ = 0.5). At 100 TB the corpus band table is the
+    * persisted artifact (build once, append admitted docs' bands) —
+    * exactly the signature-store contract the streaming sink keeps.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    MinHashSig.register(spark)
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100)
+    val sig = shingleSets(spark, dir)
+      .select(col("doc_id"), (bucket >= 90).as("is_new"),
+        call_function("graft_minhash", col("sh")).as("sig"))
+    val banded = sig.select(col("doc_id"), col("is_new"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+            h => h.cast("string")))))
+        .as(Seq("band", "band_key")))
+      .cache() // both sides of the cross-split join read this
+    val candidates = banded.filter(col("is_new"))
+      .select(col("doc_id").as("i"), col("band"), col("band_key"))
+      .join(banded.filter(!col("is_new"))
+        .select(col("doc_id").as("j"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("i"), col("j")).distinct()
+    val hv = hashedSets(spark, dir)
+    val jac = col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
+    val dups = candidates
+      .join(hv.toDF("i", "hv_i"), "i")
+      .join(hv.toDF("j", "hv_j"), "j")
+      .select(col("i"), col("j"),
+        call_function("graft_sorted_intersect", col("hv_i"), col("hv_j")).as("n_common"),
+        size(col("hv_i")).as("na"), size(col("hv_j")).as("nb"))
+      .filter(jac >= 0.5)
+      .groupBy(col("i"))
+      .agg(count(lit(1)).cast("long").as("n_corpus_dups"))
+    sig.filter(col("is_new")).select(col("doc_id"))
+      .join(dups.withColumnRenamed("i", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        (coalesce(col("n_corpus_dups"), lit(0L)) === 0).as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  lazy val dedupIncrementalSql: String = {
+    val P = MinHashSig.P
+    val mins = MinHashSig.permConsts.zipWithIndex.map { case ((a, b), p) =>
+      s"min(($a*h0+$b)%$P) AS m$p"
+    }.mkString(",\n    ")
+    val bands = (0 until NumBands).map { bd =>
+      val key = (0 until BandSize).map(r => s"m${bd * BandSize + r}::VARCHAR")
+        .mkString("||','||")
+      s"SELECT doc_id, $bd AS band, $key AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $ToksCte,
+      |$ShCte,
+      |sp AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 >= 90 AS is_new
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(sd) AS s FROM sh),
+      |hb AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % $P AS h0 FROM ex),
+      |sig AS (SELECT doc_id,
+      |    $mins
+      |  FROM hb GROUP BY doc_id),
+      |band AS (
+      |  $bands),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM band a JOIN sp sa ON sa.doc_id = a.doc_id AND sa.is_new
+      |  JOIN band b ON a.band = b.band AND a.bk = b.bk
+      |  JOIN sp sb ON sb.doc_id = b.doc_id AND NOT sb.is_new),
+      |ver AS (SELECT i, j,
+      |          len(list_intersect(sa.sd, sb.sd)) AS n_common,
+      |          len(sa.sd) AS na, len(sb.sd) AS nb
+      |        FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j),
+      |dups AS (SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS n_corpus_dups
+      |         FROM ver WHERE CAST(n_common AS DOUBLE)/(na+nb-n_common) >= 0.5
+      |         GROUP BY 1)
+      |SELECT s.doc_id,
+      |  coalesce(d.n_corpus_dups, 0) AS n_corpus_dups,
+      |  coalesce(d.n_corpus_dups, 0) = 0 AS admitted
+      |FROM sp s LEFT JOIN dups d ON d.doc_id = s.doc_id
+      |WHERE s.is_new
+      |ORDER BY s.doc_id""".stripMargin
+  }
 }

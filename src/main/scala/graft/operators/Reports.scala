@@ -506,6 +506,40 @@ object Reports {
       .orderBy("o_orderkey")
   }
 
+  /** Equi-DEPTH histogram (10 equal-count buckets of order totals —
+    * the quantile-binned profile beside `histogram_price`'s
+    * equal-WIDTH bins): bucket boundaries adapt to the distribution,
+    * so each bucket is a decile with its own [lo, hi] span.
+    *
+    * Scale shape: the global ntile comes from
+    * [[Commerce.globalRowNumber]] (rows rank locally within
+    * price-band partitions, only one-row-per-band counts take an
+    * ordered window) + [[Commerce.ntileExpr]] arithmetic — a plain
+    * `ntile(10) OVER (ORDER BY …)` drags the whole table through ONE
+    * task's sort. The oracle states that plain window; equal by
+    * construction.
+    */
+  def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
+    val n = o.agg(count(lit(1)).as("__n"))
+    Commerce.globalRowNumber(o, floor(col("o_totalprice") / 1000.0).cast("long"),
+        Seq(col("o_totalprice"), col("o_orderkey")), "__rk")
+      .crossJoin(broadcast(n))
+      .select(Commerce.ntileExpr("__rk", "__n", 10).as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
+  val histogramEquidepthSql: String =
+    """WITH r AS (
+      |  SELECT o_totalprice,
+      |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+      |  FROM orders)
+      |SELECT bucket, count(*) AS n_rows, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Pearson correlation profile per return-flag class — the
     * statistical data-profiling primitive (which measures co-move?)
     * beside `histogram_price` (distribution) and `anomaly_zscore`

@@ -155,6 +155,38 @@ class Round8bSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize stream resumes from checkpoint: state survives restart, no replay") {
+    import graft.streaming.EventStream
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_ck_in").toString
+    val cp = Files.createTempDirectory("graft_ck_cp").toString
+    val out = Files.createTempDirectory("graft_ck_out").toString
+    val Min = 60L * 1000000
+    def ev(id: Long, ts: Long, user: Long): String =
+      s"""{"event_id":$id,"ts_us":$ts,"user_id":$user,"event_type":"view","value":1.0}"""
+    // batch 1: two events 1 min apart — ONE open session, no output yet
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      Seq(ev(1, 0, 7), ev(2, 1 * Min, 7)).mkString("\n"))
+    def run(): Unit = {
+      val q = EventStream.sessionizeStream(spark, in)
+        .writeStream.option("checkpointLocation", cp)
+        .format("parquet").outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // process b1, then STOP — open-session state is checkpointed
+    // batch 2 after restart: a 60-min-later event closes the session.
+    // If state died with the first query, the closed session loses its
+    // 2 buffered events; if b1 replayed, it gains duplicates.
+    Files.writeString(Paths.get(s"$in/b2.jsonl"),
+      Seq(ev(3, 61 * Min, 7)).mkString("\n"))
+    run() // NEW query instance, SAME checkpoint
+    val sessions = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start_us"), r.getAs[Int]("n_events")))
+    assert(sessions.toSeq == Seq((7L, 0L, 2)),
+      s"restart broke sessionization state: ${sessions.toSeq}")
+  }
+
   test("streaming HLL sink: merged registers equal the batch sketch over all data") {
     import graft.streaming.{EventStream, HllSink}
     import java.nio.file.{Files, Paths}
