@@ -33,4 +33,31 @@ class PlanAuditSpec extends AnyFunSuite {
     val q21 = executedPlan(DecisionSupport.q21WaitingSupplier(spark, sf))
     assert(liScans(q21) <= 1, s"q21 scans lineitem more than once:\n$q21")
   }
+
+  test("corr_profile reads lineitem once; hll_rollup reads events once") {
+    val corr = executedPlan(graft.operators.Reports.corrProfile(spark, sf))
+    assert("lineitem".r.findAllIn(corr).length <= 1,
+      s"corr moments should come from one scan:\n$corr")
+    // the rollup's three levels must read the cached register table,
+    // not re-scan the raw log per level
+    val roll = executedPlan(graft.operators.Sketches.hllRollup(spark, sf))
+    assert("events".r.findAllIn(roll).length <= 1,
+      s"hll_rollup must build registers from one raw pass:\n$roll")
+    assert(roll.contains("InMemoryTableScan") || roll.contains("TableCacheQueryStage"),
+      "register levels should read the cached register table")
+  }
+
+  test("map-only text operators carry no exchange before their output sort") {
+    // doc_chunk and winnowing_fp are pure per-doc fan-outs/projections:
+    // the ONLY exchange in the plan may be the final presentation sort
+    for ((name, df) <- Seq(
+        "doc_chunk" -> graft.operators.TextAnalysis.docChunk(spark, sf),
+        "winnowing_fp" -> graft.operators.TextAnalysis.winnowingFp(spark, sf))) {
+      val plan = executedPlan(df)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      val range = "rangepartitioning".r.findAllIn(plan).length
+      assert(exchanges <= range + 1,
+        s"$name should be map-side up to the output sort:\n$plan")
+    }
+  }
 }
