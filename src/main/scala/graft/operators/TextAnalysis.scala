@@ -872,6 +872,63 @@ object TextAnalysis {
       |FROM te LEFT JOIN tr ON te.h = tr.h
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val MaskPct = 15 // % of token positions masked
+
+  /** Deterministic masked-LM example builder (BERT-style token
+    * corruption): each token position is masked iff its content hash
+    * (md5(doc_id ⊕ position)) falls under [[MaskPct]]% — so the SAME
+    * document always yields the SAME training example, across reruns,
+    * repartitions, and incremental rebuilds (the property random
+    * masking destroys and a reproducible data pipeline needs; the
+    * seed is the doc identity, epoch variation comes from salting the
+    * hash input). Output: per-doc mask count/ratio + content hashes
+    * of the corrupted input and the mask targets.
+    *
+    * Map-only, no shuffle; the per-token mask decision is one md5 per
+    * position — inherently per-token work (the same cost class as
+    * shingling), not an avoidable HOF-in-hot-loop.
+    */
+  def mlmMask(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    def maskAt(t: Column, i: Column) =
+      (conv(substring(md5(concat(col("doc_id").cast("string"), lit("_"),
+        i.cast("string"))), 1, 4), 16, 10).cast("int") % 100) < MaskPct
+    val masked = transform(toks, (t, i) => when(maskAt(t, i), "<X>").otherwise(t))
+    val targets = filter(zip_with(toks, sequence(lit(0), size(toks) - 1),
+      (t, i) => when(maskAt(t, i), t)), x => x.isNotNull)
+    Tables(spark, dir).documents
+      .withColumn("toks", normTokens(col("text")))
+      .filter(size(toks) > 0)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(targets).as("n_masked"),
+        (size(targets).cast("double") / size(toks).cast("double")).as("mask_ratio"),
+        md5(array_join(masked, " ")).as("input_md5"),
+        md5(array_join(targets, " ")).as("targets_md5"))
+      .orderBy("doc_id")
+  }
+
+  val mlmMaskSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, toks,
+      |    [CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < $MaskPct
+      |          THEN '<X>' ELSE toks[i] END for i in range(1, len(toks) + 1)] AS masked,
+      |    [toks[i] for i in range(1, len(toks) + 1)
+      |     if CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < $MaskPct] AS targets
+      |  FROM t WHERE len(toks) > 0)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CAST(len(targets) AS INTEGER) AS n_masked,
+      |  CAST(len(targets) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mask_ratio,
+      |  md5(array_to_string(masked, ' ')) AS input_md5,
+      |  -- array_to_string([]) is NULL in DuckDB but '' in Spark
+      |  md5(coalesce(array_to_string(targets, ' '), '')) AS targets_md5
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Robust-winnowing fingerprints ([[graft.functions.WinnowedHashes]]
     * — the MOSS selection rule over the Rabin–Karp position hashes):
     * guarantees any verbatim match of ≥ K+W−1 bytes shares ≥1

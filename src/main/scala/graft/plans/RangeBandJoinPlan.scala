@@ -159,6 +159,37 @@ object RangeBandJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule making the custom node a first-class citizen of
+  * predicate pushdown: Catalyst's own PushDownPredicates doesn't know
+  * [[RangeBandJoin]] streams its probe child through unchanged, so a
+  * filter written ABOVE the band join would otherwise run after it —
+  * and, worse, block the probe-side predicate from ever reaching the
+  * parquet scan. Conjuncts that reference only probe columns move
+  * below the node (where the built-in rules then push them into the
+  * scan — plan-tested down to `PushedFilters`); conjuncts touching
+  * the generated `matched_band` stay above. A custom operator isn't
+  * done when it executes — it's done when the optimizer can see
+  * through it.
+  */
+object PushFilterThroughRangeBandJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j @ RangeBandJoin(left, _, _)) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.withNewChildren(
+          Seq(Filter(push.reduce(And), left), j.right)).asInstanceOf[RangeBandJoin]
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Public API for the custom band-join operator. */
 object RangeBand {
   /** Band-join `probe` (col 0 = Long key, any passthrough columns
@@ -175,6 +206,8 @@ object RangeBand {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(RangeBandJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ RangeBandJoinStrategy
+    if (!exp.extraOptimizations.contains(PushFilterThroughRangeBandJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughRangeBandJoin
     GraftSqlShim.ofRows(spark,
       RangeBandJoin(GraftSqlShim.logicalPlan(probe), GraftSqlShim.logicalPlan(bands)))
   }

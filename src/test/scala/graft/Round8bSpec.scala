@@ -155,6 +155,30 @@ class Round8bSpec extends AnyFunSuite {
     }
   }
 
+  test("probe-side filters push through RangeBandJoin down to the parquet scan") {
+    import spark.implicits._
+    val bands = Seq((0L, 5000000L, 0L), (5000000L, 15000000L, 1L),
+      (15000000L, 10000000000L, 2L)).toDF("lo", "hi", "band_id")
+    val probe = graft.core.Tables(spark, TestSpark.sf).orders.select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      col("o_orderkey"), col("o_totalprice"))
+    val filtered = graft.plans.RangeBand.join(spark, probe, bands)
+      .filter(col("o_orderkey") < 100 && col("matched_band") === 0)
+    // the probe-only conjunct must reach the scan; the matched_band
+    // conjunct (a generated column) must stay above the join
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    assert(optimized.indexOf("RangeBandJoin") < optimized.indexOf("o_orderkey"),
+      s"probe filter did not move below the custom node:\n$optimized")
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*LessThan\\(o_orderkey,100\\)".r.findFirstIn(physical).isDefined,
+      s"pushed predicate never reached the parquet scan:\n$physical")
+    // and the rewrite is semantics-preserving
+    val expected = graft.plans.RangeBand.join(spark, probe, bands)
+      .collect().filter(r => r.getLong(1) < 100 && !r.isNullAt(3) && r.getLong(3) == 0L)
+    assert(filtered.count() == expected.length)
+  }
+
   test("sessionize stream resumes from checkpoint: state survives restart, no replay") {
     import graft.streaming.EventStream
     import java.nio.file.{Files, Paths}
