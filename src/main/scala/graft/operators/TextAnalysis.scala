@@ -805,7 +805,8 @@ object TextAnalysis {
       |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
       |  CAST(cid * $ChunkStride AS INTEGER) AS start_tok,
       |  CAST(len(toks[cid * $ChunkStride + 1 : cid * $ChunkStride + $ChunkSize]) AS INTEGER) AS n_chunk_toks,
-      |  md5(array_to_string(toks[cid * $ChunkStride + 1 : cid * $ChunkStride + $ChunkSize], ' ')) AS chunk_md5
+      |  -- array_to_string([]) is NULL in DuckDB but '' in Spark
+      |  md5(coalesce(array_to_string(toks[cid * $ChunkStride + 1 : cid * $ChunkStride + $ChunkSize], ' '), '')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Per-test-document n-gram NOVELTY against the train split: the
