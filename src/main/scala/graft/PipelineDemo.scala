@@ -19,8 +19,46 @@ object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.create("graft-demo", "local[4]", 4)
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark).foreach { case (stage, n) => println(s"DEMO chain $stage=$n") }
-    finally spark.stop()
+    try {
+      run(spark).foreach { case (stage, n) => println(s"DEMO chain $stage=$n") }
+      corpus(spark, "/root/testdata/sf0.001")
+        .foreach { case (stage, n) => println(s"DEMO corpus $stage=$n") }
+    } finally spark.stop()
+  }
+
+  /** The LLM-corpus curation flow composed from the public operators —
+    * raw documents → quality gate → near-dup collapse → incremental
+    * batch admission → chunking → sequence packing — each stage
+    * narrowing by doc_id, exactly how a training-data pipeline chains
+    * these pieces. Returns the (stage → rows) funnel; a ScalaTest
+    * asserts its shape.
+    */
+  def corpus(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val chain = Seq.newBuilder[(String, Long)]
+    val all = graft.core.Tables(spark, dir).documents.select("doc_id")
+    chain += "raw_docs" -> all.count()
+    // 1. quality gate: drop short/repetitive/low-signal docs
+    val kept = TextAnalysis.qualityFilter(spark, dir)
+      .filter(col("is_kept") === 1).select("doc_id")
+    chain += "quality_kept" -> kept.count()
+    // 2. near-dup collapse to canonical survivors (minhash clusters)
+    val canonical = Dedup.dedupKeepCanonical(spark, dir).select("doc_id")
+    val curated = kept.join(canonical, "doc_id")
+    chain += "canonical_curated" -> curated.count()
+    // 3. incremental admission verdicts for the arriving batch slice
+    val admitted = Dedup.dedupIncremental(spark, dir)
+      .filter(col("admitted")).select("doc_id")
+    chain += "batch_admitted" -> admitted.count()
+    // 4. chunk the curated corpus for the embedding/index stage
+    val chunks = TextAnalysis.docChunk(spark, dir).join(curated, "doc_id")
+    chain += "chunks" -> chunks.count()
+    // 5. pack curated docs into fixed-token training sequences
+    val packed = TextAnalysis.sequencePack(spark, dir).join(curated, "doc_id")
+    chain += "packed_docs" -> packed.count()
+    chain += "training_sequences" ->
+      packed.select("pack_id").distinct().count()
+    chain.result()
   }
 
   /** Runs the whole flow in a temp dir; returns the (stage → rows)

@@ -155,6 +155,20 @@ class Round8bSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus curation demo: the funnel narrows and every stage is non-empty") {
+    val chain = PipelineDemo.corpus(spark, TestSpark.sf).toMap
+    assert(chain("raw_docs") > 0)
+    assert(chain("quality_kept") <= chain("raw_docs"))
+    assert(chain("canonical_curated") <= chain("quality_kept"))
+    assert(chain("batch_admitted") > 0, "no batch doc admitted — split or LSH broke")
+    assert(chain("chunks") >= chain("canonical_curated"),
+      "each curated doc yields at least one chunk")
+    assert(chain("packed_docs") == chain("canonical_curated"),
+      "every curated doc must land in a training sequence")
+    assert(chain("training_sequences") > 0 &&
+      chain("training_sequences") <= chain("packed_docs"))
+  }
+
   test("probe-side filters push through RangeBandJoin down to the parquet scan") {
     import spark.implicits._
     val bands = Seq((0L, 5000000L, 0L), (5000000L, 15000000L, 1L),
