@@ -161,6 +161,11 @@ class Round8bSpec extends AnyFunSuite {
     assert(chain("quality_kept") <= chain("raw_docs"))
     assert(chain("canonical_curated") <= chain("quality_kept"))
     assert(chain("batch_admitted") > 0, "no batch doc admitted — split or LSH broke")
+    // the REJECT branch must also be live on this data: a screening
+    // query that admits everything proves nothing
+    val rejected = graft.operators.Dedup.dedupIncremental(spark, TestSpark.sf)
+      .filter(!col("admitted")).count()
+    assert(rejected > 0, "no batch doc rejected — the near-dup screen is value-dead")
     assert(chain("chunks") >= chain("canonical_curated"),
       "each curated doc yields at least one chunk")
     assert(chain("packed_docs") == chain("canonical_curated"),
