@@ -21,8 +21,14 @@ object PipelineDemo {
     spark.sparkContext.setLogLevel("WARN")
     try {
       run(spark).foreach { case (stage, n) => println(s"DEMO chain $stage=$n") }
-      corpus(spark, "/root/testdata/sf0.001")
-        .foreach { case (stage, n) => println(s"DEMO corpus $stage=$n") }
+      // the corpus funnel needs a documents table; take it from the
+      // first arg (or the dev fixture) and skip quietly when absent so
+      // the self-contained ETL demo above still runs anywhere
+      val docsDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+      if (new java.io.File(s"$docsDir/documents.parquet").exists())
+        corpus(spark, docsDir)
+          .foreach { case (stage, n) => println(s"DEMO corpus $stage=$n") }
+      else println(s"DEMO corpus skipped: no documents table under $docsDir")
     } finally spark.stop()
   }
 

@@ -479,10 +479,13 @@ object StarSchema {
       (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
       col("o_orderkey"), col("o_totalprice"))
     graft.plans.RangeBand.join(spark, probe, bands)
+      // the oracle is an INNER join on lo<=v<hi: rows outside every
+      // band must DROP, not fall into .otherwise's last label
+      .filter(col("matched_band").isNotNull)
       .select(col("o_orderkey"), col("o_totalprice"),
         when(col("matched_band") === 0, "low")
           .when(col("matched_band") === 1, "mid")
-          .otherwise("high").as("band"))
+          .when(col("matched_band") === 2, "high").as("band"))
       .orderBy("o_orderkey")
   }
 

@@ -599,10 +599,11 @@ object Reports {
       s" * sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE)))"
 
   val corrProfileSql: String = {
+    // the ONE corrExpr definition serves both engines — a second copy
+    // here would invite exactly the expression drift the shared-text
+    // design exists to prevent
     def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
-      s"CAST(n * $sxy - $sx * $sy AS DOUBLE)" +
-        s" / (sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE))" +
-        s" * sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE)))"
+      corrExpr(sx, sy, sxx, syy, sxy)
     s"""WITH g AS (
       |  SELECT l_returnflag,
       |    CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,

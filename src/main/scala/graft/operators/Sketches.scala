@@ -52,6 +52,27 @@ object Sketches {
     s"(CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+CAST(1.079 AS DOUBLE)/CAST($M AS DOUBLE)))" +
       s" * CAST($M AS DOUBLE) * CAST($M AS DOUBLE) / (CAST($M - nb AS DOUBLE) + zsum)"
 
+  /** THE register derivation — one definition for every face of the
+    * sketch (batch per-type, hierarchical rollup, streaming sink), so
+    * the hash/bucket/rho constants cannot drift between them:
+    * per-(groupCols, bucket) max-rho registers of `src`'s `user_id`.
+    * The inner distinct is free correctness margin (max is
+    * idempotent) but caps the shuffle at distinct keys; both aggs
+    * partial-aggregate map-side.
+    */
+  private[graft] def rhoRegisters(src: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val suffix = col("h").bitwiseAND(lit(SuffixMask.toLong))
+    src.select(groupCols.map(col) :+ col("user_id"): _*).distinct()
+      .withColumn("h", h)
+      .select(groupCols.map(col) :+ shiftright(col("h"), SuffixBits).as("bucket") :+
+        when(suffix === 0, SuffixBits + 1)
+          .otherwise(lit(SuffixBits + 1) - length(bin(suffix))).as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("m"))
+  }
+
   /** Approximate distinct users per event type via HLL(m=64), with the
     * exact count and the relative error alongside (the exact side is
     * the expensive path the sketch replaces — kept here so the gate
@@ -59,19 +80,7 @@ object Sketches {
     */
   def approxDistinctHll(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events.select(col("event_type"), col("user_id"))
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val suffix = col("h").bitwiseAND(lit(SuffixMask.toLong))
-    // per-(group, bucket) register: max rho. The inner distinct is free
-    // correctness margin (max is idempotent) but caps the shuffle at
-    // distinct keys; both aggs partial-aggregate map-side.
-    val regs = ev.distinct()
-      .withColumn("h", h)
-      .select(col("event_type"), shiftright(col("h"), SuffixBits).as("bucket"),
-        when(suffix === 0, SuffixBits + 1)
-          .otherwise(lit(SuffixBits + 1) - length(bin(suffix))).as("rho"))
-      .groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("m"))
+    val regs = rhoRegisters(ev, Seq("event_type"))
     val z = regs.groupBy(col("event_type"))
       .agg(count(lit(1)).as("nb"),
         sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
@@ -128,17 +137,7 @@ object Sketches {
         substring(timestamp_micros(col("ts_us")).cast("date").cast("string"), 1, 7)
           .as("month"),
         col("user_id"))
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val suffix = col("h").bitwiseAND(lit(SuffixMask.toLong))
-    val regs = ev.distinct()
-      .withColumn("h", h)
-      .select(col("event_type"), col("month"),
-        shiftright(col("h"), SuffixBits).as("bucket"),
-        when(suffix === 0, SuffixBits + 1)
-          .otherwise(lit(SuffixBits + 1) - length(bin(suffix))).as("rho"))
-      .groupBy(col("event_type"), col("month"), col("bucket"))
-      .agg(max(col("rho")).as("m"))
+    val regs = rhoRegisters(ev, Seq("event_type", "month"))
       .cache() // one raw pass; every level below reads only this
     def estimate(level: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = level
       .agg(count(lit(1)).as("nb"),

@@ -891,15 +891,20 @@ object TextAnalysis {
     */
   def mlmMask(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
-    def maskAt(t: Column, i: Column) =
-      (conv(substring(md5(concat(col("doc_id").cast("string"), lit("_"),
-        i.cast("string"))), 1, 4), 16, 10).cast("int") % 100) < MaskPct
-    val masked = transform(toks, (t, i) => when(maskAt(t, i), "<X>").otherwise(t))
-    val targets = filter(zip_with(toks, sequence(lit(0), size(toks) - 1),
-      (t, i) => when(maskAt(t, i), t)), x => x.isNotNull)
+    // one md5 per position: the boolean mask is materialized once and
+    // both the corrupted input and the target list derive from it (a
+    // maskAt call inside each lambda would hash every position twice —
+    // HOF subtrees are not shared by subexpression elimination)
+    val mask = col("mask")
+    val masked = zip_with(toks, mask, (t, m) => when(m, "<X>").otherwise(t))
+    val targets = filter(zip_with(toks, mask, (t, m) => when(m, t)),
+      x => x.isNotNull)
     Tables(spark, dir).documents
       .withColumn("toks", normTokens(col("text")))
       .filter(size(toks) > 0)
+      .withColumn("mask", transform(sequence(lit(0), size(toks) - 1), i =>
+        (conv(substring(md5(concat(col("doc_id").cast("string"), lit("_"),
+          i.cast("string"))), 1, 4), 16, 10).cast("int") % 100) < MaskPct))
       .select(col("doc_id"),
         size(toks).as("n_tokens"),
         size(targets).as("n_masked"),

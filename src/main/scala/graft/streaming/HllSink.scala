@@ -21,46 +21,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object HllSink {
 
-  /** Per-(event_type, bucket) max-rho registers of one batch — the
-    * same derivation as `approx_distinct_hll` (Sketches.scala), on an
-    * arbitrary (event_type, user_id) frame.
+  /** Per-(event_type, bucket) max-rho registers of one batch — THE
+    * shared [[Sketches.rhoRegisters]] derivation, so the streaming
+    * face can never drift from the oracled batch sketch.
     */
-  private[graft] def registers(batch: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val suffix = col("h").bitwiseAND(lit(Sketches.SuffixMask.toLong))
-    batch.select(col("event_type"), col("user_id")).distinct()
-      .withColumn("h", h)
-      .select(col("event_type"),
-        shiftright(col("h"), Sketches.SuffixBits).as("bucket"),
-        when(suffix === 0, Sketches.SuffixBits + 1)
-          .otherwise(lit(Sketches.SuffixBits + 1) - length(bin(suffix))).as("rho"))
-      .groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("m"))
-  }
+  private[graft] def registers(batch: DataFrame): DataFrame =
+    Sketches.rhoRegisters(
+      batch.select(col("event_type"), col("user_id")), Seq("event_type"))
 
-  private def latestVersion(stateDir: String): Option[(String, Int)] = {
-    val root = new java.io.File(stateDir)
-    val versions = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toInt).toOption.map(f.getPath -> _))
-    if (versions.isEmpty) None else Some(versions.maxBy(_._2))
-  }
+  private val registerSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("m",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** Current register table (empty, schema'd, before the first batch). */
   def currentRegisters(spark: SparkSession, stateDir: String): DataFrame =
-    latestVersion(stateDir) match {
-      case Some((path, _)) => spark.read.parquet(path)
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("event_type",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("bucket",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("m",
-              org.apache.spark.sql.types.IntegerType))))
-    }
+    VersionedState.readOrEmpty(spark, stateDir, registerSchema)
 
   /** Alpha-corrected estimate per event_type from the current state. */
   def currentEstimate(spark: SparkSession, stateDir: String): DataFrame =
@@ -83,13 +62,7 @@ object HllSink {
           .unionByName(currentRegisters(batch.sparkSession, stateDir))
           .groupBy(col("event_type"), col("bucket"))
           .agg(max(col("m")).as("m"))
-        val nextV = latestVersion(stateDir).map(_._2 + 1).getOrElse(0)
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$nextV")
-        Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v"))
-          .filter(f => scala.util.Try(f.getName.drop(1).toInt).toOption
-            .exists(_ < nextV - 1))
-          .foreach(dir => org.apache.commons.io.FileUtils.deleteDirectory(dir))
+        VersionedState.commit(merged, stateDir)
         ()
       }
       .start()

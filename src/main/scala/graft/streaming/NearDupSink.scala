@@ -34,23 +34,11 @@ object NearDupSink {
     StructField("ts_us", LongType),
     StructField("text", StringType)))
 
-  private def latestVersion(stateDir: String): Option[(String, Int)] = {
-    val root = new java.io.File(stateDir)
-    val versions = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toInt).toOption.map(f.getPath -> _))
-    if (versions.isEmpty) None else Some(versions.maxBy(_._2))
-  }
-
   /** Surviving signatures (doc_id, simhash); empty before any batch. */
   def currentSignatures(spark: SparkSession, stateDir: String): DataFrame =
-    latestVersion(stateDir) match {
-      case Some((path, _)) => spark.read.parquet(path)
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("doc_id", LongType),
-            StructField("simhash", LongType))))
-    }
+    VersionedState.readOrEmpty(spark, stateDir,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("simhash", LongType))))
 
   /** Per-doc decisions written so far: (doc_id, is_dup, dup_of). */
   def decisions(spark: SparkSession, outDir: String): DataFrame =
@@ -98,17 +86,9 @@ object NearDupSink {
         decided.coalesce(1).write.mode("append").parquet(outDir)
         val survivors = incoming
           .join(dupOf, incoming("doc_id") === dupOf("d"), "left_anti")
-        val nextV = latestVersion(stateDir).map(_._2 + 1).getOrElse(0)
-        known.unionByName(survivors)
-          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$nextV")
+        VersionedState.commit(known.unionByName(survivors), stateDir)
         dupOf.unpersist()
         incoming.unpersist()
-        // retain only the previous snapshot (in-flight readers) + new
-        Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v"))
-          .filter(f => scala.util.Try(f.getName.drop(1).toInt).toOption
-            .exists(_ < nextV - 1))
-          .foreach(dir => org.apache.commons.io.FileUtils.deleteDirectory(dir))
         ()
       }
       .start()

@@ -20,28 +20,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object UpsertSink {
 
-  private def latestVersion(stateDir: String): Option[(String, Int)] = {
-    val root = new java.io.File(stateDir)
-    val versions = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toInt).toOption.map(f.getPath -> _))
-    if (versions.isEmpty) None else Some(versions.maxBy(_._2))
-  }
-
   /** Current merged state (empty schema'd frame before the first batch). */
   def currentState(spark: SparkSession, stateDir: String): DataFrame =
-    latestVersion(stateDir) match {
-      case Some((path, _)) => spark.read.parquet(path)
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("value",
-              org.apache.spark.sql.types.DoubleType),
-            org.apache.spark.sql.types.StructField("ts_us",
-              org.apache.spark.sql.types.LongType))))
-    }
+    VersionedState.readOrEmpty(spark, stateDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType))))
 
   /** Start the upsert stream: JSONL events in `inputDir` merge into
     * `stateDir` (one row per user_id, newest value wins).
@@ -68,15 +56,7 @@ object UpsertSink {
               .otherwise(col("c_value")).as("value"),
             greatest(coalesce(col("ts_us"), lit(Long.MinValue)),
               coalesce(col("c_ts"), lit(Long.MinValue))).as("ts_us"))
-        val nextV = latestVersion(stateDir).map(_._2 + 1).getOrElse(0)
-        next.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$nextV")
-        // retain only the previous snapshot (in-flight readers) + the
-        // new one — without pruning the state dir grows per batch
-        Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v"))
-          .filter(f => scala.util.Try(f.getName.drop(1).toInt).toOption
-            .exists(_ < nextV - 1))
-          .foreach(dir => org.apache.commons.io.FileUtils.deleteDirectory(dir))
+        VersionedState.commit(next, stateDir)
         ()
       }
       .start()
