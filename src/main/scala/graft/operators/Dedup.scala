@@ -694,6 +694,52 @@ object Dedup {
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_spans FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Method-agreement audit across the three sketch-based near-dup
+    * detectors — pair counts per method, every pairwise intersection,
+    * and the union: the calibration table that tells a corpus owner
+    * whether the cheap detectors (simhash) subsume the expensive ones
+    * (exact n-gram Jaccard) on THEIR data before picking one at
+    * 100 TB. The three pair frames are tiny (≪ corpus) and cached, so
+    * the seven aggregates reuse one run of each pipeline; the oracle
+    * composes each method's full oracle SQL as a subquery — three
+    * independently-gated pipelines must agree a second time inside
+    * one query.
+    */
+  def dedupMethodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val ng = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val mh = dedupMinHashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val sh = dedupSimHash(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).cast("long").as(name))
+    def inter(a: DataFrame, b: DataFrame, name: String) =
+      a.intersect(b).agg(count(lit(1)).cast("long").as(name))
+    cnt(ng, "n_ngram")
+      .crossJoin(cnt(mh, "n_minhash"))
+      .crossJoin(cnt(sh, "n_simhash"))
+      .crossJoin(inter(ng, mh, "n_ngram_minhash"))
+      .crossJoin(inter(ng, sh, "n_ngram_simhash"))
+      .crossJoin(inter(mh, sh, "n_minhash_simhash"))
+      .crossJoin(ng.union(mh).union(sh).distinct()
+        .agg(count(lit(1)).cast("long").as("n_union")))
+  }
+
+  lazy val dedupMethodAgreementSql: String =
+    s"""WITH ng AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql) t1),
+      |mh AS (SELECT doc_a, doc_b FROM ($dedupMinHashLshSql) t2),
+      |sh AS (SELECT doc_a, doc_b FROM ($dedupSimHashSql) t3),
+      |u AS (SELECT DISTINCT doc_a, doc_b FROM (
+      |  SELECT doc_a, doc_b FROM ng
+      |  UNION ALL SELECT doc_a, doc_b FROM mh
+      |  UNION ALL SELECT doc_a, doc_b FROM sh))
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ng) AS n_ngram,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_minhash,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM sh) AS n_simhash,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ng JOIN mh USING (doc_a, doc_b)) AS n_ngram_minhash,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ng JOIN sh USING (doc_a, doc_b)) AS n_ngram_simhash,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM mh JOIN sh USING (doc_a, doc_b)) AS n_minhash_simhash,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_union""".stripMargin
+
   /** INCREMENTAL corpus admission — the batch face of streaming
     * `NearDupSink`: screen an arriving document batch (content-hash
     * split, ≥90 bucket = "new") against the EXISTING corpus only,

@@ -429,6 +429,59 @@ object Reports {
       |GROUP BY 1, 2, 4
       |ORDER BY event_id""".stripMargin
 
+  /** Last-touch session attribution: every order matched to the most
+    * recent SESSION the customer opened at or before order time —
+    * sessionize + as-of composed, and a SECOND consumer of the
+    * whole-operator [[graft.plans.AsOf]] engine path (probe = orders,
+    * build = per-session rows; the first is `asof_event_order_custom`
+    * on raw events). Session starts are unique per user, so the
+    * exec's last-row-wins tie rule reduces to the oracle's plain max.
+    */
+  def orderSessionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = Analytics.sessionize(spark, dir)
+      .select(col("user_id").as("uid"),
+        col("session_start_us").as("sts"),
+        col("session_seq"))
+    val probe = Tables(spark, dir).orders.select(
+      col("o_custkey").as("uid"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+      col("o_orderkey"))
+    graft.plans.AsOf.join(spark, probe, sessions)
+      .select(col("o_orderkey"), col("uid").as("user_id"),
+        col("matched_key").as("session_seq"),
+        col("matched_ts").as("session_start_us"))
+      .orderBy("o_orderkey")
+  }
+
+  val orderSessionAttributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sq AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |         min(ts_us) AS session_start_us
+      |  FROM sq GROUP BY 1, 2),
+      |last AS (
+      |  SELECT o.o_orderkey, o.o_custkey AS user_id,
+      |         max(s.session_start_us) AS session_start_us
+      |  FROM orders o LEFT JOIN sess s
+      |    ON s.user_id = o.o_custkey AND s.session_start_us <= epoch_us(o.o_orderdate)
+      |  GROUP BY 1, 2)
+      |SELECT l.o_orderkey, l.user_id,
+      |  max(s2.session_seq) AS session_seq, l.session_start_us
+      |FROM last l LEFT JOIN sess s2
+      |  ON s2.user_id = l.user_id AND s2.session_start_us = l.session_start_us
+      |GROUP BY 1, 2, 4
+      |ORDER BY o_orderkey""".stripMargin
+
   /** FORWARD as-of join — earliest order at or after each event
     * (lead-time attribution: "how long until the user's next
     * purchase"), completing the as-of family beside the backward
