@@ -70,4 +70,70 @@ object QualityChecks {
       |  UNION ALL SELECT 'lineitem_quantity_positive',
       |         (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
       |) ORDER BY check_name""".stripMargin
+
+  private val DriftBins = 10
+
+  /** Distribution drift monitor (PSI-style): split the order log at
+    * its temporal midpoint into a reference and a current period, bin
+    * `o_totalprice` into 10 equal-width bins over the GLOBAL range,
+    * and report per-bin counts, per-period shares, and the share
+    * shift — the table a pipeline alarms on when yesterday's data
+    * stops looking like last month's. (The PSI scalar itself needs
+    * `ln`, which is not correctly rounded across engines; the per-bin
+    * share-shift table it sums is exact, and the consumer can fold it
+    * with whatever weighting it wants.)
+    *
+    * Scale shape: one tiny min/max/midpoint aggregate broadcast back,
+    * then ONE conditional-aggregation scan produces both periods'
+    * bins — never two passes over the log. All ratios are int/int
+    * single divisions and the shift is one double subtraction, so
+    * every output cell is bit-reproducible in the oracle.
+    */
+  def distDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_totalprice").as("v"))
+    // integer `div` on both sides — a double /2 + cast would TRUNCATE
+    // in Spark but ROUND in DuckDB on odd epoch sums
+    val bounds = o.agg(
+      min(col("v")).as("lo"), max(col("v")).as("hi"),
+      expr("(min(t) + max(t)) div 2").as("mid"))
+    val binned = o.crossJoin(broadcast(bounds))
+      .select(
+        when(col("hi") === col("lo"), 0)
+          .otherwise(least(
+            floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / lit(DriftBins.toDouble))).cast("int"),
+            lit(DriftBins - 1))).as("bin"),
+        (col("t") <= col("mid")).as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+    val totals = binned.agg(sum(col("ref_cnt")).as("__rt"), sum(col("cur_cnt")).as("__ct"))
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        (col("ref_cnt").cast("double") / col("__rt").cast("double")).as("ref_pct"),
+        (col("cur_cnt").cast("double") / col("__ct").cast("double")).as("cur_pct"))
+      .withColumn("shift_pct", col("cur_pct") - col("ref_pct"))
+      .orderBy("bin")
+  }
+
+  val distDriftSql: String =
+    s"""WITH o AS (SELECT epoch_us(o_orderdate) AS t, o_totalprice AS v FROM orders),
+      |b AS (SELECT min(v) AS lo, max(v) AS hi,
+      |             (min(t) + max(t)) // 2 AS mid FROM o),
+      |h AS (SELECT CAST(CASE WHEN hi = lo THEN 0
+      |        ELSE least(CAST(floor((v - lo) / ((hi - lo) / ${DriftBins.toDouble})) AS INTEGER), ${DriftBins - 1}) END AS INTEGER) AS bin,
+      |        t <= mid AS is_ref
+      |      FROM o, b),
+      |g AS (SELECT bin,
+      |        CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+      |        CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+      |      FROM h GROUP BY bin),
+      |tt AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS rt, CAST(sum(cur_cnt) AS BIGINT) AS ct FROM g)
+      |SELECT bin, ref_cnt, cur_cnt,
+      |  CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE) AS ref_pct,
+      |  CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE) AS cur_pct,
+      |  CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE)
+      |    - CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE) AS shift_pct
+      |FROM g, tt ORDER BY bin""".stripMargin
 }

@@ -292,4 +292,52 @@ object Commerce {
       |SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak,
       |  CAST(sum(len) AS BIGINT) AS active_days
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Rolling engagement: per day, the daily active users (DAU) and
+    * the TRAILING-7-DAY distinct active users (WAU) — the sliding
+    * distinct count that a window frame cannot express (distinct
+    * doesn't decompose over frames the way sums do).
+    *
+    * Scale shape: the classic bounded fan-out rewrite. Dedup the log
+    * to (user, day) FIRST (one partial-agg shuffle, output ≤ users ×
+    * days), then each (user, day) row contributes map-side to the ≤ 7
+    * window-days it can influence (explode of a 7-element date
+    * sequence), and one more partial-agg distinct per window-day
+    * finishes it. Work is 7 × |user-days| regardless of raw-event
+    * volume — never a per-day rescan of the trailing week, never a
+    * single-task global sort. Window-days past the corpus max date
+    * are clipped (they'd be partial windows of the future); the left
+    * edge keeps its partial windows, the standard trailing-metric
+    * convention.
+    */
+  def activeUsersWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"))
+      .distinct()
+    val mx = ud.agg(max(col("d")).as("__mx"))
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    ud.select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .crossJoin(broadcast(mx)).filter(col("day") <= col("__mx"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+      .join(dau.withColumnRenamed("d", "day"), Seq("day"), "left")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau7"))
+      .orderBy("day")
+  }
+
+  val activeUsersWindowSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |mx AS (SELECT max(d) AS mx FROM ud),
+      |fan AS (
+      |  SELECT user_id, d + i AS day
+      |  FROM ud, (SELECT CAST(unnest(range(7)) AS INTEGER) AS i)
+      |  WHERE d + i <= (SELECT mx FROM mx)),
+      |w AS (SELECT day, count(DISTINCT user_id) AS wau7 FROM fan GROUP BY day),
+      |dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY d)
+      |SELECT CAST(w.day AS VARCHAR) AS day, coalesce(dau.dau, 0) AS dau, w.wau7
+      |FROM w LEFT JOIN dau ON dau.day = w.day
+      |ORDER BY day""".stripMargin
 }

@@ -184,4 +184,75 @@ object Sketches {
       |      FROM lvl GROUP BY 1, 2)
       |SELECT event_type, month, nb, $EstimateExpr AS hll_estimate
       |FROM z ORDER BY event_type, month""".stripMargin
+
+  private[graft] val CmsD = 4 // hash rows
+  private[graft] val CmsW = 256 // buckets per row
+
+  /** h_r(k): bucket of key `k` under hash row `r` — leading 32-bit
+    * MD5 word of `"r:k"` mod W (the [[Md5Words]] convention, so the
+    * whole sketch is bit-reproducible in the DuckDB oracle).
+    */
+  private def cmsBucket(r: Int, k: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$r:"), k.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % CmsW
+
+  /** Count-Min heavy hitters: top-20 lineitem part keys by their
+    * COUNT-MIN ESTIMATED frequency (estimate = min over d=4 hash rows
+    * of the w=256-cell counters), with the exact count and the
+    * one-sided overestimate alongside (CMS never undercounts —
+    * est ≥ exact is the sketch's guarantee, unit-tested over every
+    * key).
+    *
+    * Scale shape: the sketch state is d·w = 1024 counter rows NO
+    * MATTER the corpus size — the fact stream fans out d× map-side
+    * (posexplode over d bucket expressions) into a partial-aggregated
+    * (row, bucket) count: one shuffle of ≤ d·w rows per map task.
+    * Estimates then need only the DISTINCT-key table probing a
+    * broadcast 1024-row cell table — at 100 TB that's the vocab-sized
+    * frame, not the corpus. (The exact-count column is the expensive
+    * path the sketch replaces; it rides along here as the accuracy
+    * audit, same contract as `approx_distinct_hll`'s n_exact.)
+    */
+  def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem.select(col("l_partkey").as("k"))
+    val buckets = (0 until CmsD).map(r => cmsBucket(r, col("k")))
+    val cells = li
+      .select(posexplode(array(buckets: _*)).as(Seq("r", "b")))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val keys = li.groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+    keys
+      .select(col("k"), col("exact_count"),
+        posexplode(array(buckets: _*)).as(Seq("r", "b")))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("k"), col("exact_count"))
+      .agg(min(col("c")).as("est_count"))
+      .orderBy(col("est_count").desc, col("k"))
+      .limit(20)
+      .select(col("k").as("part_key"), col("est_count"), col("exact_count"),
+        (col("est_count") - col("exact_count")).as("overestimate"))
+  }
+
+  val cmsTopkSql: String = {
+    def bucket(r: Int, k: String) =
+      s"('0x'||substr(md5('$r:'||CAST($k AS VARCHAR)),1,8))::BIGINT % $CmsW"
+    val rows = (0 until CmsD)
+      .map(r => s"SELECT $r AS r, ${bucket(r, "k")} AS b, k FROM li")
+      .mkString("\n  UNION ALL ")
+    s"""WITH li AS (SELECT l_partkey AS k FROM lineitem),
+       |hx AS (
+       |  $rows),
+       |cells AS (SELECT r, b, count(*) AS c FROM hx GROUP BY r, b),
+       |keys AS (SELECT k, count(*) AS exact_count FROM li GROUP BY k),
+       |kb AS (
+       |  ${(0 until CmsD).map(r =>
+            s"SELECT k, $r AS r, ${bucket(r, "k")} AS b FROM keys")
+            .mkString("\n  UNION ALL ")}),
+       |est AS (
+       |  SELECT kb.k, min(c.c) AS est_count
+       |  FROM kb JOIN cells c ON c.r = kb.r AND c.b = kb.b GROUP BY kb.k)
+       |SELECT est.k AS part_key, est.est_count, keys.exact_count,
+       |  est.est_count - keys.exact_count AS overestimate
+       |FROM est JOIN keys ON keys.k = est.k
+       |ORDER BY est.est_count DESC, est.k LIMIT 20""".stripMargin
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 additions, batch 3: Count-Min heavy hitters, rolling
+  * distinct engagement, distribution drift.
+  */
+class Round8cSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("cms_topk never undercounts (the Count-Min one-sided guarantee)") {
+    val rows = graft.operators.Sketches.cmsTopk(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_count")
+      val exact = r.getAs[Long]("exact_count")
+      val over = r.getAs[Long]("overestimate")
+      assert(est >= exact, s"CMS undercounted key ${r.get(0)}: $est < $exact")
+      assert(over == est - exact)
+    }
+    // descending by estimate, key-tiebroken — deterministic top-k cut
+    val ests = rows.map(r => (r.getAs[Long]("est_count"), r.getAs[Long]("part_key")))
+    assert(ests.sortBy { case (e, k) => (-e, k) }.sameElements(ests))
+  }
+
+  test("active_users_window matches a brute-force trailing-7-day distinct") {
+    val got = graft.operators.Commerce.activeUsersWindow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("dau"), r.getAs[Long]("wau7")))
+    val ud = graft.core.Tables(spark, sf).events
+      .select(col("user_id"), timestamp_micros(col("ts_us")).cast("date").as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct.sorted(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val mx = days.last
+    val expected = days.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter { case (_, ed) =>
+        !ed.isAfter(d) && ed.isAfter(d.minusDays(7)) }.map(_._1).distinct.length.toLong
+      (d.toString, dau, wau)
+    }
+    // the operator also reports trailing windows anchored on no-event
+    // days (fan-out covers them) — restrict the comparison to days
+    // that exist in the raw log, where both sides are defined
+    val gotByDay = got.map(t => t._1 -> t).toMap
+    expected.foreach { case (d, dau, wau) =>
+      assert(gotByDay.contains(d), s"day $d missing")
+      assert(gotByDay(d) == ((d, dau, wau)), s"mismatch on $d: ${gotByDay(d)} vs ($d,$dau,$wau)")
+    }
+    got.foreach { case (d, dau, wau) =>
+      assert(wau >= dau, s"trailing distinct below daily distinct on $d")
+      assert(d <= mx.toString, "window days past the corpus max must be clipped")
+    }
+  }
+
+  test("dist_drift bins partition the order log and shares sum to 1") {
+    val rows = graft.etl.QualityChecks.distDrift(spark, sf).collect()
+    val total = graft.core.Tables(spark, sf).orders.count()
+    assert(rows.map(r => r.getAs[Long]("ref_cnt") + r.getAs[Long]("cur_cnt")).sum == total)
+    assert(rows.forall(r => r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") <= 9))
+    assert(math.abs(rows.map(_.getAs[Double]("ref_pct")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("cur_pct")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("shift_pct") -
+        (r.getAs[Double]("cur_pct") - r.getAs[Double]("ref_pct"))) == 0.0)
+    }
+    // both periods non-empty (the midpoint split is live on this data)
+    assert(rows.map(_.getAs[Long]("ref_cnt")).sum > 0)
+    assert(rows.map(_.getAs[Long]("cur_cnt")).sum > 0)
+  }
+}
