@@ -311,6 +311,76 @@ object Analytics {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  private val OverlapCellUs = 3600L * 1000000 // 1-hour join cells
+
+  /** Concurrent-session pairs per day — an INTERVAL-OVERLAP self-join
+    * (two interval sets, `a.start ≤ b.end AND b.start ≤ a.end`), the
+    * join family the engine hadn't covered (band join = point-in-
+    * interval; as-of = nearest-preceding-point). Counts, per day, the
+    * session pairs that were open simultaneously (the concurrency/load
+    * profile of the event stream).
+    *
+    * Scale shape: an inequality self-join would be a cartesian
+    * product, so both sides are bucketed into fixed-width TIME CELLS
+    * (1 h): each session fans out map-side to the cells it spans
+    * (gap-bounded sessions span ~1 cell), the join is an EQUI-join on
+    * the cell key, and the overlap predicate is a residual filter —
+    * work is Σ per-cell n², i.e. proportional to true temporal
+    * concurrency, never corpus². A pair spanning several shared cells
+    * would match in each; it is counted exactly ONCE by keeping only
+    * the match in the cell containing the overlap's anchor
+    * (`greatest(start_a, start_b)` — a point inside both intervals,
+    * so the anchor cell is guaranteed to be probed by both sides:
+    * lossless dedup without a distinct). Same-user pairs are excluded
+    * by the (user, seq) ordering; a user's own sessions are disjoint
+    * by the gap construction anyway.
+    */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+      .select(col("user_id"), col("session_seq"),
+        col("session_start_us").as("a"), col("session_end_us").as("b"))
+    val cells = s.withColumn("cell",
+      explode(sequence(expr(s"a div $OverlapCellUs"), expr(s"b div $OverlapCellUs"))))
+    val l = cells.select(col("cell"), col("user_id").as("ua"),
+      col("session_seq").as("sa"), col("a").as("a1"), col("b").as("b1"))
+    val r = cells.select(col("cell"), col("user_id").as("ub"),
+      col("session_seq").as("sb"), col("a").as("a2"), col("b").as("b2"))
+    l.join(r, Seq("cell"))
+      .filter(col("ua") < col("ub") ||
+        (col("ua") === col("ub") && col("sa") < col("sb")))
+      .filter(col("a1") <= col("b2") && col("a2") <= col("b1"))
+      .filter(expr(s"greatest(a1, a2) div $OverlapCellUs") === col("cell"))
+      .select(timestamp_micros(greatest(col("a1"), col("a2")))
+        .cast("date").cast("string").as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("day")
+  }
+
+  val sessionOverlapSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM f),
+      |s AS (
+      |  SELECT user_id, session_seq, min(ts_us) AS a, max(ts_us) AS b
+      |  FROM g GROUP BY user_id, session_seq),
+      |p AS (
+      |  SELECT greatest(x.a, y.a) AS anchor
+      |  FROM s x JOIN s y
+      |    ON (x.user_id < y.user_id OR (x.user_id = y.user_id AND x.session_seq < y.session_seq))
+      |   AND x.a <= y.b AND y.a <= x.b)
+      |SELECT CAST(CAST(make_timestamp(anchor) AS DATE) AS VARCHAR) AS day,
+      |       count(*) AS n_pairs
+      |FROM p GROUP BY day ORDER BY day""".stripMargin
+
   /** Deterministic stratified sampling: per-stratum rates applied via a
     * content-hash bucket (md5 of the row key, mod 100) instead of RNG —
     * membership is a pure function of the key, so the sample is stable

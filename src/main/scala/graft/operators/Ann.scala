@@ -580,7 +580,18 @@ object Ann {
     * exact below ~10⁹ vectors per cluster at q6 magnitude; shard the
     * sum (two-level, like rfm's prefix ranks) past that.
     */
-  def embeddingKmeans(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(spark, dir)._1
+      .select(col("vec_id"), col("cl").as("cluster_id"),
+        col("dist2").cast("double").as("dist2"))
+      .orderBy("vec_id")
+
+  /** The Lloyd's iteration behind [[embeddingKmeans]] (and
+    * [[semdedupPrune]]'s clustering stage): returns the final
+    * (vec_id, cl, dist2) assignment AND the persisted micro-unit
+    * quantized corpus it ran over.
+    */
+  private def kmeansAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(spark)
     val q = Tables(spark, dir).embeddings
       .select(col("vec_id"),
@@ -612,13 +623,68 @@ object Ann {
         centroids = rebuilt.unionByName(carried)
       }
     }
-    assigned
+    (assigned, q)
+  }
+
+  private val SemTau = DupThreshold // cosine cut for semantic duplicates
+
+  /** SemDeDup-style semantic pruning: k-means the embedding corpus,
+    * then inside each cluster mark every vector that has a
+    * SMALLER-id cluster-mate with cosine ≥ τ as pruned (the greedy
+    * keep-first rule of the SemDeDup paper, made deterministic by the
+    * id order). Output: every vector with its cluster and keep/prune
+    * verdict — the curation decision table.
+    *
+    * Scale shape: THE reason this exists — the cosine pair join runs
+    * WITHIN clusters only, so pair volume is Σ cluster² instead of
+    * corpus² (k grows with the corpus: k ≈ n / target-cluster-size
+    * keeps per-cluster work constant; the assignment stage is
+    * map-only against broadcast centroids either way). Cosines are
+    * computed over the same micro-unit integer grid as the clustering
+    * (exact-integer dot and norms² < 2^53, then correctly-rounded
+    * sqrt/multiply/divide), so every verdict is bit-reproducible in
+    * the oracle — which replays the full pipeline: three unrolled
+    * Lloyd's CTEs + the within-cluster pair join.
+    */
+  def semdedupPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, q) = kmeansAssign(spark, dir)
+    val m = assigned.select(col("vec_id"), col("cl"))
+      .join(q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv")))),
+        "vec_id")
+    val l = m.select(col("cl"), col("vec_id").as("va"), col("qv").as("qa"), col("nrm").as("na"))
+    val r = m.select(col("cl"), col("vec_id").as("vb"), col("qv").as("qb"), col("nrm").as("nb"))
+    val pruned = l.join(r, Seq("cl"))
+      .filter(col("va") < col("vb"))
+      .filter(call_function("graft_dot", col("qa"), col("qb")) /
+        (col("na") * col("nb")) >= SemTau)
+      .select(col("vb").as("vec_id")).distinct()
+    assigned.join(pruned.withColumn("__p", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cl").as("cluster_id"),
-        col("dist2").cast("double").as("dist2"))
+        col("__p").isNull.as("is_kept"))
       .orderBy("vec_id")
   }
 
-  val embeddingKmeansSql: String = {
+  val semdedupPruneSql: String =
+    s"""WITH $kmeansCtes,
+       |n AS (SELECT vec_id, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+       |pr AS (
+       |  SELECT DISTINCT y.vec_id AS vb
+       |  FROM a$KmIters x JOIN a$KmIters y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  JOIN q qx ON qx.vec_id = x.vec_id
+       |  JOIN q qy ON qy.vec_id = y.vec_id
+       |  JOIN n nx ON nx.vec_id = x.vec_id
+       |  JOIN n ny ON ny.vec_id = y.vec_id
+       |  WHERE list_dot_product(qx.qv, qy.qv) / (nx.nrm * ny.nrm) >= $SemTau)
+       |SELECT a.vec_id, a.cl AS cluster_id, pr.vb IS NULL AS is_kept
+       |FROM a$KmIters a LEFT JOIN pr ON pr.vb = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** The unrolled-Lloyd's CTE chain (q, ex, c0, a1, c1 … a\$KmIters) —
+    * shared verbatim by the kmeans oracle and the semdedup oracle, so
+    * the two gates can never drift apart. A `def` (not a val): it is
+    * referenced by vals declared above it.
+    */
+  private def kmeansCtes: String = {
     def assign(cprev: String, aname: String): String =
       s"""$aname AS (
          |  SELECT vec_id, cl, dist2 FROM (
@@ -650,8 +716,11 @@ object Ann {
         Seq(assign(s"c${i - 1}", s"a$i")) ++
           (if (i < KmIters) Seq(update(s"a$i", s"c${i - 1}", s"c$i")) else Nil)
       }
-    s"""WITH ${ctes.mkString(",\n")}
+    ctes.mkString(",\n")
+  }
+
+  val embeddingKmeansSql: String =
+    s"""WITH $kmeansCtes
        |SELECT vec_id, cl AS cluster_id, CAST(dist2 AS DOUBLE) AS dist2
        |FROM a$KmIters ORDER BY vec_id""".stripMargin
-  }
 }

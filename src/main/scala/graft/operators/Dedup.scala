@@ -833,4 +833,79 @@ object Dedup {
       |WHERE s.is_new
       |ORDER BY s.doc_id""".stripMargin
   }
+
+  private val FuzzyTau = 2 // max edit distance
+
+  /** All single-deletion variants of `s` (len ≥ 1 guard: `sequence`
+    * DESCENDS when start > stop, so an unguarded empty string would
+    * fan out to garbage).
+    */
+  private def del1(s: org.apache.spark.sql.Column, len: org.apache.spark.sql.Column) =
+    when(len >= 1, transform(sequence(lit(1), len),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, len - i))))
+      .otherwise(array())
+
+  /** All two-deletion variants (positions i < j of the ORIGINAL). */
+  private def del2(s: org.apache.spark.sql.Column, len: org.apache.spark.sql.Column) =
+    when(len >= 2, flatten(transform(sequence(lit(1), len - 1),
+      i => transform(sequence(i + 1, len),
+        j => concat(s.substr(lit(1), i - 1), s.substr(i + 1, j - i - 1),
+          s.substr(j + 1, len - j))))))
+      .otherwise(array())
+
+  /** Fuzzy pairs over a (name, cnt) dictionary: all name pairs within
+    * Levenshtein distance ≤ 2, found WITHOUT the dictionary cross
+    * product. Candidate generation is the symmetric-deletion
+    * (SymSpell) neighborhood: if lev(a, b) ≤ τ then deleting the ≤ τ
+    * positions an optimal edit script touches on EACH side leaves the
+    * same string, so a and b share a ≤ τ-deletion variant — blocking
+    * on the variant is COMPLETE for the threshold (unit-tested against
+    * the brute-force join, including length-≤ 2 edge strings). Every
+    * candidate is then verified with the exact `levenshtein`, so the
+    * blocking — and the xxhash64 the variants shuffle as (collisions
+    * only ADD candidates) — is invisible in the result: the oracle
+    * states the plain inequality join.
+    *
+    * The per-name fan-out is 1 + n + C(n, 2) variants (HOF lambdas —
+    * interpreted, but this runs on the DICTIONARY, vocab-sized by
+    * construction, not the corpus; entity resolution at 100 TB is
+    * distinct-names + join-back, never raw rows).
+    */
+  private[graft] def fuzzyPairs(names: DataFrame): DataFrame = {
+    val len = length(col("name"))
+    val variants = names
+      .select(col("name"), col("cnt"),
+        explode(array_distinct(concat(
+          array(col("name")), del1(col("name"), len), del2(col("name"), len)))).as("__v"))
+      .select(col("name"), col("cnt"), xxhash64(col("__v")).as("__h"))
+    val l = variants.select(col("__h"), col("name").as("name_a"), col("cnt").as("cnt_a"))
+    val r = variants.select(col("__h"), col("name").as("name_b"), col("cnt").as("cnt_b"))
+    l.join(r, Seq("__h"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b", "cnt_a", "cnt_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyTau)
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Entity resolution over the part-name dictionary (the
+    * product-catalog fuzzy-match a crawler pipeline needs when the
+    * same product arrives spelled slightly differently; ref:
+    * `product_crawler.py`'s product-name extraction): near-identical
+    * name pairs + how many catalog rows each spelling carries.
+    */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(Tables(spark, dir).part
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt")))
+
+  val fuzzyNamePairsSql: String =
+    s"""WITH names AS (SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1)
+       |SELECT a.name AS name_a, b.name AS name_b,
+       |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+       |  a.cnt AS cnt_a, b.cnt AS cnt_b
+       |FROM names a JOIN names b ON a.name < b.name
+       |WHERE levenshtein(a.name, b.name) <= $FuzzyTau
+       |ORDER BY name_a, name_b""".stripMargin
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 additions, batch 4: fuzzy entity resolution, interval
+  * overlap join, SemDeDup pruning.
+  */
+class Round8dSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzy deletion-neighborhood blocking is COMPLETE vs the brute-force join") {
+    import spark.implicits._
+    // adversarial dictionary: empty + length-1/2 edges, plus a seeded
+    // random small-alphabet set where distance-≤2 pairs are dense
+    val rnd = new scala.util.Random(42)
+    val dict = (Seq("", "a", "b", "ab", "ba", "abc", "axc", "hello", "hallo") ++
+      Seq.fill(40)((0 until (rnd.nextInt(6) + 1)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString))
+      .distinct
+    val names = dict.map(n => (n, 1L)).toDF("name", "cnt")
+    val got = graft.operators.Dedup.fuzzyPairs(names)
+      .select("name_a", "name_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val want = (for {
+      a <- dict; b <- dict if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "degenerate test: no qualifying pairs")
+  }
+
+  test("session_overlap counts each overlapping pair exactly once (brute-force replay)") {
+    val sessions = graft.operators.Analytics.sessionize(spark, sf)
+      .select("user_id", "session_seq", "session_start_us", "session_end_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = (for {
+      (ua, sa, a1, b1) <- sessions; (ub, sb, a2, b2) <- sessions
+      if (ua < ub || (ua == ub && sa < sb)) && a1 <= b2 && a2 <= b1
+    } yield java.time.Instant.ofEpochSecond(0, math.max(a1, a2) * 1000)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Analytics.sessionOverlap(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"per-day pair counts diverge: got=$got want=$want")
+    assert(want.values.sum > 0, "degenerate test: no overlaps at this SF")
+  }
+
+  test("semdedup verdicts match the greedy smaller-id rule, computed independently") {
+    val verdicts = graft.operators.Ann.semdedupPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = verdicts.map(v => v._1 -> v._2).toMap
+    val vecs = graft.core.Tables(spark, sf).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6)).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    verdicts.foreach { case (id, cl, kept) =>
+      val hasSmallerDup = vecs.keys.exists(o =>
+        o < id && byId(o) == cl && cos(vecs(o), vecs(id)) >= 0.4)
+      assert(kept == !hasSmallerDup,
+        s"vec $id in cluster $cl: kept=$kept but smaller-id dup exists=$hasSmallerDup")
+    }
+    // both verdict branches live
+    assert(verdicts.exists(!_._3) && verdicts.exists(_._3))
+  }
+}
