@@ -381,6 +381,43 @@ object Analytics {
       |       count(*) AS n_pairs
       |FROM p GROUP BY day ORDER BY day""".stripMargin
 
+  /** Top event paths (sequential-pattern mining, order-3): the ten
+    * most common consecutive event-type triples across all user
+    * streams — the "what do users actually do" table behind funnel
+    * design (funnel_conversion checks ONE hypothesized path; this
+    * surfaces the real ones).
+    *
+    * Scale shape: one user-partitioned window sort serves both lead()
+    * offsets (same spec ⇒ Spark plans a single Window operator), the
+    * triple counts partial-aggregate map-side (≤ |event_types|³
+    * distinct paths per task), and the top-10 is a TakeOrdered — no
+    * global sort, no self-joins (the naive 3-way event self-join on
+    * user_id would square the hot users).
+    */
+  def pathTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(10)
+  }
+
+  val pathTopkSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS e3
+      |  FROM events)
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n_occurrences
+      |FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 10""".stripMargin
+
   /** Deterministic stratified sampling: per-stratum rates applied via a
     * content-hash bucket (md5 of the row key, mod 100) instead of RNG —
     * membership is a pure function of the key, so the sample is stable

@@ -693,4 +693,65 @@ object Reports {
       |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
       |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
+
+  private val ParetoBandCents = 100000L // 1000-currency price bands
+
+  /** Pareto frontier (SKYLINE): the orders no other order strictly
+    * dominates on (price minimized, order date maximized) — "nothing
+    * both cheaper-or-equal and newer-or-equal, with one strict". The
+    * multi-objective shortlist shape (cheapest-AND-freshest offers,
+    * best cost/quality tradeoffs) that a WHERE clause can't express.
+    *
+    * The textbook single-window formulation — keep a row iff its date
+    * equals the equal-price max AND beats the running date-max over
+    * all STRICTLY cheaper rows — needs one GLOBAL price-ordered
+    * window: a single-task sort at 100×. Here that prefix-max is
+    * decomposed exactly like `Commerce.globalRowNumber`'s prefix
+    * sums (max is associative too): rows take a RANGE-frame running
+    * max WITHIN their price band (partitioned window on exact cents,
+    * 1-preceding excludes price ties), per-band maxes (one row per
+    * band) take the tiny ordered window, and the strictly-previous-
+    * band offsets broadcast back — any earlier band is strictly
+    * cheaper by construction, so offset ∨ local-strict-max covers
+    * exactly the strict dominators. Equal (price, date) duplicate
+    * rows dominate nothing and both survive, matching the oracle's
+    * NOT EXISTS, which states plain pairwise dominance with no
+    * window at all — two formulations, one hash.
+    */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        col("o_totalprice"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"),
+        (money(col("o_totalprice")) * 100).cast("long").as("xc"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("y"))
+      .withColumn("__band", expr(s"xc div $ParetoBandCents"))
+    val wEq = Window.partitionBy(col("xc"))
+    val wLoc = Window.partitionBy(col("__band")).orderBy(col("xc"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wBand = Window.orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandPrev = o.groupBy(col("__band")).agg(max(col("y")).as("__bm"))
+      .select(col("__band").as("__b2"), max(col("__bm")).over(wBand).as("__prev_band_max"))
+    o.withColumn("__eq_max", max(col("y")).over(wEq))
+      .withColumn("__loc_max", max(col("y")).over(wLoc))
+      .join(broadcast(bandPrev), col("__band") === col("__b2"))
+      .withColumn("__prev_max", greatest(
+        coalesce(col("__loc_max"), lit(Long.MinValue)),
+        coalesce(col("__prev_band_max"), lit(Long.MinValue))))
+      .filter(col("y") === col("__eq_max") &&
+        (col("__prev_max") === Long.MinValue || col("y") > col("__prev_max")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("order_date"))
+      .orderBy("o_totalprice", "o_orderkey")
+  }
+
+  val paretoFrontierSql: String =
+    """SELECT a.o_orderkey, a.o_totalprice,
+      |  CAST(CAST(a.o_orderdate AS DATE) AS VARCHAR) AS order_date
+      |FROM orders a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders b
+      |  WHERE b.o_totalprice <= a.o_totalprice AND b.o_orderdate >= a.o_orderdate
+      |    AND (b.o_totalprice < a.o_totalprice OR b.o_orderdate > a.o_orderdate))
+      |ORDER BY o_totalprice, o_orderkey""".stripMargin
 }
