@@ -108,6 +108,9 @@ object QualityChecks {
       .groupBy(col("bin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+      // referenced twice below (totals + output) — Catalyst duplicates
+      // unaliased subtrees, so an uncached frame would scan orders twice
+      .cache()
     val totals = binned.agg(sum(col("ref_cnt")).as("__rt"), sum(col("cur_cnt")).as("__ct"))
     binned.crossJoin(broadcast(totals))
       .select(col("bin"), col("ref_cnt"), col("cur_cnt"),

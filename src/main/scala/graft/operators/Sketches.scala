@@ -255,4 +255,43 @@ object Sketches {
        |FROM est JOIN keys ON keys.k = est.k
        |ORDER BY est.est_count DESC, est.k LIMIT 20""".stripMargin
   }
+
+  /** EXACT distinct users per event type — and the exact grand total —
+    * via BITMAP aggregation, the mergeable exact counterpart of the
+    * HLL sketch (the bitmap-index technique warehouses use when the
+    * key space is dense integers): user u sets bit u%64 of word
+    * u div 64, `bit_or` folds masks with map-side partial aggregation
+    * (a plain count-distinct shuffles every raw KEY; this shuffles at
+    * most groups × ⌈keyspace/64⌉ word rows — 64× less, and ∝ occupied
+    * words when sparse), and popcounts finish it. Like `hll_rollup`,
+    * the ALL row is produced by RE-MERGING the per-type word masks
+    * (bit_or is idempotent ∨ associative), never by rescanning raw
+    * data — but unlike HLL the merged result is exact, which is the
+    * entire trade: O(keyspace/64) state instead of O(64 registers).
+    * The oracle states plain COUNT(DISTINCT) — the bitmap rewrite is
+    * invisible in the result.
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir).events
+      .select(col("event_type"), col("user_id"))
+      .select(col("event_type"),
+        expr("user_id div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("m"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(m)").as("mask"))
+      .cache() // one raw pass; the ALL row merges these words
+    val perType = words.groupBy(col("event_type"))
+      .agg(sum(bit_count(col("mask"))).as("n_users"))
+    val all = words.groupBy(col("w")).agg(expr("bit_or(mask)").as("mask"))
+      .agg(sum(bit_count(col("mask"))).as("n_users"))
+      .select(lit("ALL").as("event_type"), col("n_users"))
+    perType.unionByName(all).orderBy("event_type")
+  }
+
+  val bitmapDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT 'ALL', count(DISTINCT user_id) FROM events
+      |ORDER BY event_type""".stripMargin
 }

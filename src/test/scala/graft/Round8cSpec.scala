@@ -54,6 +54,20 @@ class Round8cSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap_distinct is exact: per-type and re-merged ALL equal count-distinct") {
+    val got = graft.operators.Sketches.bitmapDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val ev = graft.core.Tables(spark, sf).events
+    val want = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap +
+      ("ALL" -> ev.select(countDistinct(col("user_id"))).head.getLong(0))
+    assert(got == want, s"got=$got want=$want")
+    // the merged grand total must be below the per-type sum (overlap
+    // exists) — proves the ALL row is a true distinct, not a sum
+    assert(got("ALL") < (got - "ALL").values.sum)
+  }
+
   test("dist_drift bins partition the order log and shares sum to 1") {
     val rows = graft.etl.QualityChecks.distDrift(spark, sf).collect()
     val total = graft.core.Tables(spark, sf).orders.count()
