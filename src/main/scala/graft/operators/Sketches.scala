@@ -271,14 +271,23 @@ object Sketches {
     * The oracle states plain COUNT(DISTINCT) — the bitmap rewrite is
     * invisible in the result.
     */
-  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables(spark, dir).events
-      .select(col("event_type"), col("user_id"))
-      .select(col("event_type"),
-        expr("user_id div 64").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("m"))
-      .groupBy(col("event_type"), col("w"))
+  /** THE word-mask derivation — shared by the batch query and the
+    * streaming [[graft.streaming.BitmapSink]] so the two faces cannot
+    * drift: per-(groupCols, word) bit_or of `user_id` bit masks.
+    * Requires non-negative ids (`div`/`%` keep sign otherwise).
+    */
+  private[graft] def bitmapWords(src: DataFrame, groupCols: Seq[String]): DataFrame =
+    src
+      .select(groupCols.map(col) :+
+        expr("user_id div 64").as("w") :+
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("m"): _*)
+      .groupBy((groupCols :+ "w").map(col): _*)
       .agg(expr("bit_or(m)").as("mask"))
+
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val words = bitmapWords(
+      Tables(spark, dir).events.select(col("event_type"), col("user_id")),
+      Seq("event_type"))
       .cache() // one raw pass; the ALL row merges these words
     val perType = words.groupBy(col("event_type"))
       .agg(sum(bit_count(col("mask"))).as("n_users"))

@@ -47,6 +47,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "register levels should read the cached register table")
   }
 
+  test("round-8 additions keep their scale shapes in the executed plan") {
+    // cms_topk: the 1024-row cell table rides a broadcast; the fan-out
+    // count is partial-aggregated (no raw-row shuffle); no cartesian
+    val cms = executedPlan(graft.operators.Sketches.cmsTopk(spark, sf))
+    assert(cms.contains("BroadcastHashJoin"), s"cell probe must broadcast:\n$cms")
+    assert(!cms.contains("CartesianProduct"))
+    // bitmap_distinct: ONE raw events pass builds the cached word
+    // table; the ALL row merges words from cache
+    val bm = executedPlan(graft.operators.Sketches.bitmapDistinct(spark, sf))
+    assert("events".r.findAllIn(bm).length <= 1,
+      s"bitmap levels must not re-scan the raw log:\n$bm")
+    assert(bm.contains("InMemoryTableScan") || bm.contains("TableCacheQueryStage"))
+    // session_overlap: the interval join must be the cell EQUI-join,
+    // never an inequality cross product
+    val ov = executedPlan(graft.operators.Analytics.sessionOverlap(spark, sf))
+    assert(!ov.contains("CartesianProduct") && !ov.contains("BroadcastNestedLoop"),
+      s"overlap join must stay an equi-join on the time cell:\n$ov")
+    // fuzzy_name_pairs: candidates come from the variant-hash
+    // equi-join, not a name × name cross product
+    val fz = executedPlan(graft.operators.Dedup.fuzzyNamePairs(spark, sf))
+    assert(!fz.contains("CartesianProduct") && !fz.contains("BroadcastNestedLoop"),
+      s"fuzzy candidates must come from the deletion-variant equi-join:\n$fz")
+  }
+
   test("map-only text operators carry no exchange before their output sort") {
     // doc_chunk and winnowing_fp are pure per-doc fan-outs/projections:
     // the ONLY exchange in the plan may be the final presentation sort

@@ -68,6 +68,36 @@ class Round8cSpec extends AnyFunSuite {
     assert(got("ALL") < (got - "ALL").values.sum)
   }
 
+  test("streaming bitmap sink: exact counts survive replayed users across batches") {
+    import graft.streaming.{BitmapSink, EventStream}
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_bin").toString
+    val st = Files.createTempDirectory("graft_bst").toString
+    def ev(id: Long, user: Long, typ: String): String =
+      s"""{"event_id":$id,"ts_us":${id * 1000},"user_id":$user,"event_type":"$typ","value":1.0}"""
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      (1 to 40).map(i => ev(i, i % 17, if (i % 2 == 0) "view" else "click")).mkString("\n"))
+    val q = BitmapSink.start(spark, in, st)
+    try {
+      q.processAllAvailable()
+      // second batch replays users 30..40's ids (idempotent bit_or) + new ones
+      Files.writeString(Paths.get(s"$in/b2.jsonl"),
+        (30 to 80).map(i => ev(i, i % 29, if (i % 3 == 0) "view" else "click")).mkString("\n"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = BitmapSink.currentCounts(spark, st).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    // exact ground truth straight off the concatenated input
+    val all = spark.read.schema(EventStream.eventSchema).json(in)
+    val want = all.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap +
+      ("ALL" -> all.select(countDistinct(col("user_id"))).head.getLong(0))
+    assert(got == want, s"streaming bitmap counts diverged: got=$got want=$want")
+    // state is word-bounded: ≤ types × ceil(keyspace/64) rows
+    assert(BitmapSink.currentWords(spark, st).count() <= 2L * 1)
+  }
+
   test("dist_drift bins partition the order log and shares sum to 1") {
     val rows = graft.etl.QualityChecks.distDrift(spark, sf).collect()
     val total = graft.core.Tables(spark, sf).orders.count()
