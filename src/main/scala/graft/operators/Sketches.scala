@@ -265,6 +265,73 @@ object Sketches {
        |ORDER BY est.est_count DESC, est.k LIMIT 20""".stripMargin
   }
 
+  /** Trailing-7-day distinct users per day, SKETCHED: the sliding-
+    * window face of HLL mergeability, and the at-scale companion to
+    * `Commerce.activeUsersWindow`. The exact rewrite fans out every
+    * (user, day) row ×7; here ONE raw pass builds per-(day, bucket)
+    * registers and only the REGISTER TABLE (≤ days × 64 rows) fans
+    * out across the window days — merge is max-per-bucket, so the
+    * trailing estimate for a day is bit-identical to sketching its
+    * 7-day union directly. Sliding distinct cost becomes
+    * 7 × days × 64 register rows, independent of user count — THE
+    * trade that makes a 90-day rolling MAU tractable at 10⁹ users.
+    * The exact count rides along as the accuracy audit (same
+    * contract as `approx_distinct_hll`); the whole table, including
+    * the alpha-corrected estimates, is bit-reproducible in DuckDB.
+    */
+  def activeUsersHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(timestamp_micros(col("ts_us")).cast("date").as("d"), col("user_id"))
+    val regs = rhoRegisters(ev, Seq("d"))
+    val mx = regs.agg(max(col("d")).as("__mx"))
+    val merged = regs
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+        col("bucket"), col("m"))
+      .crossJoin(broadcast(mx)).filter(col("day") <= col("__mx"))
+      .groupBy(col("day"), col("bucket")).agg(max(col("m")).as("m"))
+    val est = merged.groupBy(col("day"))
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
+          .as("zsum"))
+      .withColumn("wau7_estimate", expr(EstimateExpr))
+    val exact = ev.distinct()
+      .select(col("user_id"), explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .crossJoin(broadcast(mx)).filter(col("day") <= col("__mx"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau7_exact"))
+    est.join(exact, "day")
+      .select(col("day").cast("string").as("day"), col("wau7_exact"),
+        col("wau7_estimate"),
+        ((col("wau7_estimate") - col("wau7_exact").cast("double")) /
+          col("wau7_exact").cast("double")).as("rel_error"))
+      .orderBy("day")
+  }
+
+  val activeUsersHllSql: String =
+    s"""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |h AS (SELECT d, ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+      |      FROM ud),
+      |br AS (SELECT d, h >> $SuffixBits AS bucket,
+      |         CASE WHEN h & $SuffixMask = 0 THEN ${SuffixBits + 1}
+      |              ELSE ${SuffixBits + 1} - length(bin(h & $SuffixMask)) END AS rho
+      |       FROM h),
+      |regs AS (SELECT d, bucket, max(rho) AS m FROM br GROUP BY 1, 2),
+      |mx AS (SELECT max(d) AS mx FROM regs),
+      |i7 AS (SELECT CAST(unnest(range(7)) AS INTEGER) AS i),
+      |mrg AS (SELECT d + i AS day, bucket, max(m) AS m
+      |        FROM regs, i7 WHERE d + i <= (SELECT mx FROM mx) GROUP BY 1, 2),
+      |z AS (SELECT day, count(*) AS nb,
+      |        sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS zsum
+      |      FROM mrg GROUP BY 1),
+      |est AS (SELECT day, $EstimateExpr AS wau7_estimate FROM z),
+      |ex AS (SELECT day, count(DISTINCT user_id) AS wau7_exact FROM (
+      |         SELECT user_id, d + i AS day FROM ud, i7
+      |         WHERE d + i <= (SELECT mx FROM mx)) GROUP BY 1)
+      |SELECT CAST(est.day AS VARCHAR) AS day, ex.wau7_exact, est.wau7_estimate,
+      |  (est.wau7_estimate - CAST(ex.wau7_exact AS DOUBLE))
+      |    / CAST(ex.wau7_exact AS DOUBLE) AS rel_error
+      |FROM est JOIN ex ON ex.day = est.day
+      |ORDER BY day""".stripMargin
+
   /** EXACT distinct users per event type — and the exact grand total —
     * via BITMAP aggregation, the mergeable exact counterpart of the
     * HLL sketch (the bitmap-index technique warehouses use when the

@@ -68,6 +68,39 @@ class Round8cSpec extends AnyFunSuite {
     assert(got("ALL") < (got - "ALL").values.sum)
   }
 
+  test("active_users_hll tracks the exact trailing distinct within sketch error") {
+    val rows = graft.operators.Sketches.activeUsersHll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("wau7_exact")
+      val est = r.getAs[Double]("wau7_estimate")
+      val rel = r.getAs[Double]("rel_error")
+      assert(est > 0.0 && exact > 0L)
+      // the raw (uncorrected) estimate's contract holds for n ≳ m=64
+      // — below that the sketch documents "run the exact distinct"
+      // (Sketches scaladoc); sf0.001 windows sit in that small regime,
+      // so the bound applies only where the regime does
+      if (exact >= 64)
+        assert(math.abs(rel) < 0.5, s"day ${r.getString(0)}: rel_error $rel")
+      assert(math.abs(rel - (est - exact.toDouble) / exact.toDouble) == 0.0)
+    }
+    // the sliding merge must agree with sketching each window directly:
+    // same registers, max-merged — spot-check day counts line up with
+    // the exact operator's day spine
+    val exactDays = graft.operators.Commerce.activeUsersWindow(spark, sf)
+      .select("day").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == exactDays)
+    // sf0.01 windows hold ~150 users — inside the n ≳ m regime, so the
+    // accuracy contract is actually exercised there
+    val big = graft.operators.Sketches.activeUsersHll(spark, "/root/testdata/sf0.01")
+      .collect().filter(_.getAs[Long]("wau7_exact") >= 64)
+    assert(big.nonEmpty, "no window reached the sketch's accuracy regime")
+    big.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rel_error")) < 0.5,
+        s"day ${r.getString(0)}: rel_error ${r.getAs[Double]("rel_error")}")
+    }
+  }
+
   test("streaming bitmap sink: exact counts survive replayed users across batches") {
     import graft.streaming.{BitmapSink, EventStream}
     import java.nio.file.{Files, Paths}
