@@ -328,6 +328,80 @@ object Commerce {
       .orderBy("day")
   }
 
+  /** The two-proportion z statistic, as ONE SQL string shared verbatim
+    * by the Spark plan and the DuckDB oracle (the `EstimateExpr`
+    * discipline: every literal CAST to DOUBLE first — Spark parses a
+    * bare `1.0` as DECIMAL and decimal-vs-double promotion differs
+    * between engines; with doubles pinned, every op is a correctly
+    * rounded IEEE op in identical order, so even the z-score is
+    * bit-reproducible).
+    */
+  private val ZExpr: String = {
+    val pbar = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    s"""(CAST(conv_a AS DOUBLE)/CAST(n_a AS DOUBLE)
+       |  - CAST(conv_b AS DOUBLE)/CAST(n_b AS DOUBLE))
+       | / sqrt($pbar * (CAST(1 AS DOUBLE) - $pbar)
+       |        * (CAST(1 AS DOUBLE)/CAST(n_a AS DOUBLE)
+       |           + CAST(1 AS DOUBLE)/CAST(n_b AS DOUBLE)))""".stripMargin
+  }
+
+  /** A/B experiment readout: users are hash-bucketed into two variants
+    * (md5 of the user id — the standard deterministic assignment: no
+    * assignment table to store or join, stable across reruns and
+    * backfills), the metric is per-USER-DAY purchase conversion, and
+    * the output is one row with both variants' counts, rates, and the
+    * two-proportion z statistic. On synthetic uniform traffic the
+    * variants differ only by hash noise, so |z| small is the expected
+    * (A/A-test) reading — the operator is the machinery, the data is
+    * its null case.
+    *
+    * Scale shape: one groupBy(user, day) partial-agg pass over the
+    * log (the same user-day grain the engagement ops shuffle on),
+    * then a single conditional aggregation to one row — assignment is
+    * map-side arithmetic, never a join.
+    */
+  def abTestConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(max(col("p")).as("converted"))
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+    ud.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        (col("conv_a").cast("double") / col("n_a").cast("double")).as("cvr_a"),
+        (col("conv_b").cast("double") / col("n_b").cast("double")).as("cvr_b"),
+        expr(ZExpr).as("z_score"))
+  }
+
+  val abTestConversionSql: String =
+    s"""WITH ud AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |v AS (
+      |  SELECT *, ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 2 AS variant
+      |  FROM ud),
+      |agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM v)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(conv_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS cvr_a,
+      |  CAST(conv_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS cvr_b,
+      |  $ZExpr AS z_score
+      |FROM agg""".stripMargin
+
   val activeUsersWindowSql: String =
     """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
       |mx AS (SELECT max(d) AS mx FROM ud),

@@ -131,6 +131,20 @@ class Round8cSpec extends AnyFunSuite {
     assert(BitmapSink.currentWords(spark, st).count() <= 2L * 1)
   }
 
+  test("ab_test_conversion: hash split partitions user-days; z matches the rates") {
+    val r = graft.operators.Commerce.abTestConversion(spark, sf).head()
+    val (na, ca, nb, cb) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    val totalUserDays = graft.core.Tables(spark, sf).events
+      .select(col("user_id"), timestamp_micros(col("ts_us")).cast("date")).distinct().count()
+    assert(na + nb == totalUserDays, "variants must partition the user-days")
+    assert(na > 0 && nb > 0, "hash split must populate both variants")
+    assert(ca <= na && cb <= nb)
+    val z = r.getAs[Double]("z_score")
+    assert(!z.isNaN && !z.isInfinite)
+    assert((z > 0) == (r.getAs[Double]("cvr_a") > r.getAs[Double]("cvr_b")) || z == 0.0)
+  }
+
   test("dist_drift bins partition the order log and shares sum to 1") {
     val rows = graft.etl.QualityChecks.distDrift(spark, sf).collect()
     val total = graft.core.Tables(spark, sf).orders.count()
