@@ -71,6 +71,55 @@ object QualityChecks {
       |         (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
       |) ORDER BY check_name""".stripMargin
 
+  /** Categorical-column profile: distinct count, Gini impurity
+    * (1 − Σp² — the concentration measure that stays EXACT: Shannon
+    * entropy needs `ln`, which is not correctly rounded across
+    * engines), and the top value's share, for the order log's
+    * categorical columns. The dbt-style "profile your staging table"
+    * report, numeric enough to alert on (a column collapsing to one
+    * value → gini → 0).
+    *
+    * Scale shape: ONE scan — the columns unpivot map-side (2× bounded
+    * fan-out) into (column, value) rows and a single partial-agg
+    * count feeds every statistic; Σc² stays under 2^53 through 10⁸⁺
+    * rows per value class, and all three stats are int/int division
+    * chains — bit-reproducible.
+    */
+  def giniProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).orders
+      .select(explode(map(
+        lit("o_orderstatus"), col("o_orderstatus"),
+        lit("o_orderpriority"), col("o_orderpriority"))).as(Seq("col_name", "val")))
+      .groupBy(col("col_name"), col("val"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("c")).as("__n"),
+        sum(col("c") * col("c")).as("__ss"),
+        max(col("c")).as("__mx"))
+      .select(col("col_name"), col("n_distinct"),
+        (lit(1.0) - col("__ss").cast("double") /
+          (col("__n") * col("__n")).cast("double")).as("gini"),
+        (col("__mx").cast("double") / col("__n").cast("double")).as("top_share"))
+      .orderBy("col_name")
+  }
+
+  val giniProfileSql: String =
+    """WITH u AS (
+      |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', o_orderpriority FROM orders),
+      |counts AS (SELECT col_name, val, count(*) AS c FROM u GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT col_name, count(*) AS n_distinct,
+      |    CAST(sum(c) AS BIGINT) AS n, CAST(sum(c*c) AS BIGINT) AS ss,
+      |    CAST(max(c) AS BIGINT) AS mx
+      |  FROM counts GROUP BY 1)
+      |SELECT col_name, n_distinct,
+      |  CAST(1 AS DOUBLE) - CAST(ss AS DOUBLE) / CAST(n*n AS DOUBLE) AS gini,
+      |  CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS top_share
+      |FROM agg ORDER BY col_name""".stripMargin
+
   private val DriftBins = 10
 
   /** Distribution drift monitor (PSI-style): split the order log at

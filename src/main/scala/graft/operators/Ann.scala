@@ -587,11 +587,12 @@ object Ann {
       .orderBy("vec_id")
 
   /** The Lloyd's iteration behind [[embeddingKmeans]] (and
-    * [[semdedupPrune]]'s clustering stage): returns the final
-    * (vec_id, cl, dist2) assignment AND the persisted micro-unit
-    * quantized corpus it ran over.
+    * [[semdedupPrune]]/[[knnGraph]]'s clustering stage): returns the
+    * final (vec_id, cl, dist2) assignment, the persisted micro-unit
+    * quantized corpus it ran over, and the final centroid table (for
+    * multi-cell probing).
     */
-  private def kmeansAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def kmeansAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(spark)
     val q = Tables(spark, dir).embeddings
       .select(col("vec_id"),
@@ -623,7 +624,7 @@ object Ann {
         centroids = rebuilt.unionByName(carried)
       }
     }
-    (assigned, q)
+    (assigned, q, centroids)
   }
 
   private val SemTau = DupThreshold // cosine cut for semantic duplicates
@@ -647,7 +648,7 @@ object Ann {
     * Lloyd's CTEs + the within-cluster pair join.
     */
   def semdedupPrune(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, q) = kmeansAssign(spark, dir)
+    val (assigned, q, _) = kmeansAssign(spark, dir)
     val m = assigned.select(col("vec_id"), col("cl"))
       .join(q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv")))),
         "vec_id")
@@ -663,6 +664,79 @@ object Ann {
         col("__p").isNull.as("is_kept"))
       .orderBy("vec_id")
   }
+
+  private val KnnK = 3
+  private val KnnProbe = 3
+
+  /** Corpus-wide kNN GRAPH: every vector's top-3 nearest neighbors —
+    * the similarity SELF-join (both sides are the corpus), the
+    * primitive under HNSW construction, SemDeDup-style audits, and
+    * graph clustering. The per-query ANN family bounds ONE probe
+    * side; here the n² cross product is bounded by k-means cells
+    * ([[kmeansAssign]], shared with `embedding_kmeans`): every vector
+    * PROBES its nprobe=3 nearest cells (rank over the same
+    * exact-integer centroid distances) while residing in exactly ONE
+    * — pair volume is nprobe × Σ cell², k grows with the corpus, and
+    * each (probe, resident) pair arises in exactly one cell, so no
+    * dedup join is needed. Recall vs the brute-force graph is
+    * unit-tested ≥ 0.5 on this weakly-similar data (nprobe=1 measured
+    * 0.31 — same contract as the LSH/IVF/PQ query paths), and cosine on the
+    * micro-unit integer grid keeps every edge and rank
+    * bit-reproducible — the oracle replays the Lloyd's CTE chain, the
+    * probe ranking, and the cell pair ranking.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, q, centroids) = kmeansAssign(spark, dir)
+    val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
+    val dist2 = call_function("graft_dot", col("qv"), col("qv")) -
+      lit(2.0) * call_function("graft_dot", col("qv"), col("cv")) +
+      call_function("graft_dot", col("cv"), col("cv"))
+    val wProbe = Window.partitionBy(col("va")).orderBy(col("d2"), col("cl"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("va"), col("cl"), dist2.as("d2"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= KnnProbe)
+      .select(col("va"), col("cl"))
+    val l = probes.join(qn.select(col("vec_id").as("va"),
+      col("qv").as("qa"), col("nrm").as("na")), "va")
+    val r = assigned.select(col("vec_id").as("vb"), col("cl"))
+      .join(qn.select(col("vec_id").as("vb"),
+        col("qv").as("qb"), col("nrm").as("nb")), "vb")
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    l.join(r, Seq("cl"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        (call_function("graft_dot", col("qa"), col("qb")) /
+          (col("na") * col("nb"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("va").as("vec_id"), col("vb").as("neighbor_id"),
+        col("rank").cast("int").as("rank"), col("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH $kmeansCtes,
+       |n AS (SELECT vec_id, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+       |p AS (
+       |  SELECT vec_id AS va, cl FROM (
+       |    SELECT q.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cv) + list_dot_product(c.cv, c.cv), c.cl) AS rk
+       |    FROM q CROSS JOIN c${KmIters - 1} c) z WHERE rk <= $KnnProbe),
+       |sims AS (
+       |  SELECT p.va, y.vec_id AS vb,
+       |    list_dot_product(qx.qv, qy.qv) / (nx.nrm * ny.nrm) AS sim
+       |  FROM p JOIN a$KmIters y ON y.cl = p.cl AND y.vec_id != p.va
+       |  JOIN q qx ON qx.vec_id = p.va
+       |  JOIN q qy ON qy.vec_id = y.vec_id
+       |  JOIN n nx ON nx.vec_id = p.va
+       |  JOIN n ny ON ny.vec_id = y.vec_id),
+       |r AS (SELECT va, vb, sim,
+       |        row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS rank
+       |      FROM sims)
+       |SELECT va AS vec_id, vb AS neighbor_id, CAST(rank AS INTEGER) AS rank, sim
+       |FROM r WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 
   val semdedupPruneSql: String =
     s"""WITH $kmeansCtes,

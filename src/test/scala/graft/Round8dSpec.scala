@@ -58,6 +58,53 @@ class Round8dSpec extends AnyFunSuite {
     assert(want.values.sum > 0, "degenerate test: no overlaps at this SF")
   }
 
+  test("knn_graph: dense ranks, within-cell exactness, recall ≥ 0.5 vs brute force") {
+    val got = graft.operators.Ann.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byVec = got.groupBy(_._1)
+    byVec.foreach { case (v, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length),
+        s"vec $v: ranks not dense")
+      val sims = rows.sortBy(_._3).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"vec $v: sims increase with rank")
+    }
+    // brute-force top-3 on the same quantized grid
+    val vecs = graft.core.Tables(spark, sf).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6)).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val hits = vecs.map { case (v, qa) =>
+      val brute = vecs.filter(_._1 != v)
+        .map { case (u, qb) => (u, cos(qa, qb)) }
+        .sortBy { case (u, s) => (-s, u) }.take(3).map(_._1).toSet
+      val mine = byVec.getOrElse(v, Array.empty).map(_._2).toSet
+      (brute & mine).size.toDouble / brute.size
+    }
+    val recall = hits.sum / hits.length
+    assert(recall >= 0.5, s"cell-local kNN recall too low: $recall")
+  }
+
+  test("gini_profile stats re-derive from raw value counts") {
+    val got = graft.etl.QualityChecks.giniProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val o = graft.core.Tables(spark, sf).orders.collect()
+    for ((cname, idx) <- Seq(("o_orderpriority", 5), ("o_orderstatus", 2))) {
+      val counts = o.map(_.getString(idx)).groupBy(identity).view.mapValues(_.size.toLong)
+      val n = counts.values.sum
+      val gini = 1.0 - counts.values.map(c => c * c).sum.toDouble / (n * n).toDouble
+      val top = counts.values.max.toDouble / n.toDouble
+      val row = got(cname)
+      assert(row._1 == counts.size.toLong && row._2 == gini && row._3 == top,
+        s"$cname: got=$row want=(${counts.size},$gini,$top)")
+    }
+  }
+
   test("semdedup verdicts match the greedy smaller-id rule, computed independently") {
     val verdicts = graft.operators.Ann.semdedupPrune(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
