@@ -299,4 +299,78 @@ object Graph {
       |  CAST(n_edges AS BIGINT) AS n_edges,
       |  CAST(n_triangles AS BIGINT) AS n_triangles
       |FROM n, ec, t""".stripMargin
+
+  private val BfsHops = 3
+  private val BfsSeedBrand = "Brand#1"
+
+  /** Bounded-hop BFS: co-purchase distance from a seed set (one
+    * brand's parts) — "everything within 3 recommendation hops", the
+    * traversal primitive behind substitution radius, affiliation
+    * spread, and fraud-ring expansion queries. Frontier expansion is
+    * the classic iterative min-hop relaxation: each round joins the
+    * CURRENT distance table against the (cached, support-filtered)
+    * directed edge list and keeps min(hop) per node; the hop bound is
+    * FIXED so the oracle is three unrolled CTE stages (the pagerank /
+    * kmeans recipe for iterative algorithms under a value gate).
+    *
+    * Scale shape: per round one equi-join keyed on the node id + one
+    * partial-agg min — never materializing paths; the distance table
+    * is ≤ |reachable nodes| rows, the edge list is the same
+    * Σ basket²-bounded, support-filtered frame `triangle_count`
+    * walks, cached once. Seeds with no qualifying edges stay hop 0
+    * (they are trivially within distance 0), mirrored in SQL.
+    */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val und = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("basket"))
+      .select(explode(col("basket")).as("p1"), col("basket"))
+      .select(col("p1"), explode(col("basket")).as("p2"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TriMinSupport)
+      .select(col("p1"), col("p2"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      .cache() // read every round — one Σ basket² build, not BfsHops
+    var dist = t.part.filter(col("p_brand") === BfsSeedBrand)
+      .select(col("p_partkey").as("p"), lit(0L).as("hop"))
+    for (_ <- 1 to BfsHops) {
+      val expand = dist.join(edges, col("p") === col("src"))
+        .select(col("dst").as("p"), (col("hop") + lit(1L)).as("hop"))
+      dist = dist.unionByName(expand)
+        .groupBy(col("p")).agg(min(col("hop")).as("hop"))
+    }
+    dist.select(col("p").as("part_key"), col("hop")).orderBy("part_key")
+  }
+
+  val bfsHopsSql: String = {
+    def relax(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT p, min(hop) AS hop FROM (
+         |    SELECT p, hop FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS p, $prev.hop + 1 AS hop
+         |    FROM $prev JOIN e ON e.src = $prev.p) u
+         |  GROUP BY p)""".stripMargin
+    val rounds = (1 to BfsHops).map(i => relax(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS (SELECT p1 AS src, p2 AS dst FROM e0
+      |      UNION ALL SELECT p2, p1 FROM e0),
+      |d0 AS (SELECT p_partkey AS p, CAST(0 AS BIGINT) AS hop
+      |       FROM part WHERE p_brand = '$BfsSeedBrand'),
+      |$rounds
+      |SELECT p AS part_key, CAST(hop AS BIGINT) AS hop
+      |FROM d$BfsHops ORDER BY part_key""".stripMargin
+  }
 }

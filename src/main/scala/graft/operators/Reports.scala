@@ -694,6 +694,80 @@ object Reports {
       |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val CusumThresholdCents = 200000L // alert at 2000.00 drift
+
+  /** CUSUM change-point monitor over daily revenue per event type —
+    * the sequential statistic S_t = max_{j≤t} Σ_{i=j..t}(x_i − μ)
+    * that flags a sustained shift long before any single day trips a
+    * z-score. The textbook recurrence S_t = max(0, S_{t−1} + dev_t)
+    * is non-associative (useless to parallelize as written); this
+    * uses the identity S_t = G_t − min_{0≤j≤t} G_j (G_0 = 0) with
+    * G_t = n·cum_t − t·total — a running sum and a running MIN, both
+    * plain window functions. Scaling by n (instead of subtracting the
+    * mean) keeps every intermediate an exact INTEGER in cents — the
+    * scale-0 discipline from `corr_profile`: a fractional decimal
+    * cast to double rounds twice in DuckDB and once in Spark, but
+    * cent-integers convert identically, so the one division at the
+    * end is the only rounding and the whole alert table hash-matches.
+    *
+    * Scale shape: the raw log collapses to (type, day) rows in one
+    * partial-agg shuffle; every window runs over that DAYS-sized
+    * frame partitioned by type — never over raw events.
+    */
+  def cusumAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        (money(col("value")) * 100).cast("long").as("xc"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("xc")).as("xc"))
+    val wCum = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy("event_type")
+    daily
+      .withColumn("__t", row_number().over(Window.partitionBy("event_type").orderBy("d")))
+      .withColumn("__n", count(lit(1)).over(wN))
+      .withColumn("__total", sum(col("xc")).over(wN))
+      .withColumn("__cum", sum(col("xc")).over(wCum))
+      .withColumn("__g", col("__cum") * col("__n") - col("__total") * col("__t"))
+      // the empty prefix G_0 = 0 is a legal restart point (it is what
+      // lets S_1 = max(0, x_1 − μ) fire on day one), so it joins the
+      // running min alongside G_1..G_t
+      .withColumn("__ming", least(lit(0L), min(col("__g")).over(wCum)))
+      .withColumn("__s", col("__g") - col("__ming"))
+      .select(col("event_type"), col("d").cast("string").as("day"),
+        (col("xc").cast("double") / lit(100.0)).as("daily_rev"),
+        (col("__s").cast("double") /
+          (col("__n") * lit(100L)).cast("double")).as("cusum"),
+        (col("__s") > col("__n") * CusumThresholdCents).as("alert"))
+      .orderBy("event_type", "day")
+  }
+
+  val cusumAlertsSql: String =
+    s"""WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS xc
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, d, xc,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(xc) OVER (PARTITION BY event_type) AS total,
+      |    sum(xc) OVER (PARTITION BY event_type ORDER BY d
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM daily),
+      |g AS (
+      |  SELECT *, CAST(cum * n - total * t AS BIGINT) AS gt FROM w),
+      |s AS (
+      |  SELECT *, gt - least(0, min(gt) OVER (PARTITION BY event_type ORDER BY d
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS st
+      |  FROM g)
+      |SELECT event_type, CAST(d AS VARCHAR) AS day,
+      |  CAST(xc AS DOUBLE) / 100.0 AS daily_rev,
+      |  CAST(st AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS cusum,
+      |  st > n * $CusumThresholdCents AS alert
+      |FROM s ORDER BY event_type, day""".stripMargin
+
   private val ParetoBandCents = 100000L // 1000-currency price bands
 
   /** Pareto frontier (SKYLINE): the orders no other order strictly

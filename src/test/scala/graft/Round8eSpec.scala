@@ -36,6 +36,58 @@ class Round8eSpec extends AnyFunSuite {
       "the global window must consume the one-row-per-band aggregate, not raw orders")
   }
 
+  test("bfs_hops equals a sequential BFS over the same edge set") {
+    val got = graft.operators.Graph.bfsHops(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the support-filtered co-purchase edges independently
+    val li = graft.core.Tables(spark, sf).lineitem
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted.toList
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = graft.core.Tables(spark, sf).part
+      .filter(col("p_brand") === "Brand#1")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    for (h <- 1 to 3) {
+      val frontier = dist.filter(_._2 == h - 1).keys
+      val next = frontier.flatMap(p => adj.getOrElse(p, Set.empty[Long])).toSet
+      dist = dist ++ next.filterNot(dist.contains).map(_ -> h.toLong)
+    }
+    assert(got == dist,
+      s"missing=${(dist.toSet -- got.toSet).take(5)} extra=${(got.toSet -- dist.toSet).take(5)}")
+    assert(dist.values.toSet.size > 1, "degenerate: all nodes at one hop")
+  }
+
+  test("cusum window identity equals the textbook sequential recurrence") {
+    val daily = graft.core.Tables(spark, sf).events
+      .select(col("event_type"),
+        timestamp_micros(col("ts_us")).cast("date").cast("string").as("d"),
+        (graft.functions.GraftFunctions.money(col("value")) * 100).cast("long").as("xc"))
+      .groupBy("event_type", "d").agg(sum("xc").as("xc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = graft.operators.Reports.cusumAlerts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    daily.groupBy(_._1).foreach { case (typ, rows) =>
+      val xs = rows.sortBy(_._2)
+      val n = xs.length.toLong
+      val total = xs.map(_._3).sum
+      // textbook S_t = max(0, S_{t-1} + (x_t - mean)), run in exact
+      // n-scaled cents: R_t = max(0, R_{t-1} + n*x_t - total)
+      var r = 0L
+      xs.foreach { case (_, day, xc) =>
+        r = math.max(0L, r + n * xc - total)
+        val want = r.toDouble / (n * 100L).toDouble
+        assert(got((typ, day)) == want,
+          s"($typ, $day): window identity ${got((typ, day))} != recurrence $want")
+      }
+    }
+  }
+
   test("path_topk matches brute-force triple counting") {
     val ev = graft.core.Tables(spark, sf).events
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
