@@ -526,6 +526,58 @@ object Analytics {
       .orderBy("part_key", "rank")
   }
 
+  /** Item-item collaborative filtering: top-3 similar parts by COSINE
+    * of purchase vectors — `cooccur_recs` normalized (raw co-counts
+    * favor popular items; cosine c_ij/√(n_i·n_j) surfaces genuinely
+    * correlated ones, a different ranking). Same Σ basket² pair bound
+    * and BoundedTopK tail as cooccur; the per-part basket counts ride
+    * two tiny broadcasts (part-dictionary-sized). The score is one
+    * sqrt of an exact-integer product and one division — correctly
+    * rounded with fixed operand order, so the ranking AND the score
+    * column hash-match the oracle.
+    */
+  def itemitemCf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
+    val items = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val cnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val baskets = items.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("basket"))
+    val pairs = baskets
+      .select(explode(col("basket")).as("p1"), col("basket"))
+      .select(col("p1"), explode(col("basket")).as("p2"))
+      .filter(col("p1") =!= col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_cooccur"))
+      .join(broadcast(cnt.select(col("l_partkey").as("p1"), col("c").as("__ca"))), Seq("p1"))
+      .join(broadcast(cnt.select(col("l_partkey").as("p2"), col("c").as("__cb"))), Seq("p2"))
+      .withColumn("score",
+        col("n_cooccur").cast("double") / sqrt((col("__ca") * col("__cb")).cast("double")))
+    pairs.groupBy(col("p1"))
+      .agg(call_function("graft_topk", lit(3), struct(col("score"), col("p2"))).as("top"))
+      .select(col("p1").as("part_key"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("part_key"), col("entry.id").as("rec_part_key"),
+        col("entry.ord").as("score"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("part_key", "rank")
+  }
+
+  val itemitemCfSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |cnt AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_cooccur
+      |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT p1, p2,
+      |    CAST(n_cooccur AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS score
+      |  FROM pairs JOIN cnt ca ON ca.l_partkey = p1 JOIN cnt cb ON cb.l_partkey = p2),
+      |r AS (SELECT p1, p2, score,
+      |        row_number() OVER (PARTITION BY p1 ORDER BY score DESC, p2) AS rk
+      |      FROM scored)
+      |SELECT p1 AS part_key, p2 AS rec_part_key, score, CAST(rk AS INTEGER) AS rank
+      |FROM r WHERE rk <= 3 ORDER BY part_key, rank""".stripMargin
+
   val cooccurRecsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |pairs AS (
