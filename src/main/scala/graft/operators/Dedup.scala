@@ -834,6 +834,82 @@ object Dedup {
       |ORDER BY s.doc_id""".stripMargin
   }
 
+  private val ContainWidth = 6 // token n-gram width
+  private val ContainTau = 0.8 // coverage threshold
+
+  /** Asymmetric CONTAINMENT pairs over a (doc_id, text) corpus: doc
+    * pairs where one side's distinct 6-token shingles are ≥ 80%
+    * covered by the other's — the "short doc quoted inside a long
+    * one" duplicates that symmetric Jaccard structurally misses
+    * (|A∩B|/|A∪B| is tiny when |A| ≪ |B| even at full coverage).
+    * Work ∝ colliding shingles: one 56-bit-md5-word equi-join (the
+    * `contamination_check` key discipline — 8-byte shuffle keys),
+    * per-pair shared counts partial-aggregate, and both directions'
+    * coverage come from the SAME pair row (shared/|A|, shared/|B|) —
+    * no second join. int/int coverages → every verdict hash-exact.
+    */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"), lit(ContainWidth))).as("s"))
+      .select(col("doc_id"), conv(substring(md5(col("s")), 1, 14), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    val n = d.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val pairs = d.select(col("doc_id").as("doc_a"), col("h"))
+      .join(d.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(n.select(col("doc_id").as("doc_a"), col("ns").as("n_a"))), Seq("doc_a"))
+      .join(broadcast(n.select(col("doc_id").as("doc_b"), col("ns").as("n_b"))), Seq("doc_b"))
+      .withColumn("cov_a", col("shared").cast("double") / col("n_a").cast("double"))
+      .withColumn("cov_b", col("shared").cast("double") / col("n_b").cast("double"))
+      .filter(col("cov_a") >= ContainTau || col("cov_b") >= ContainTau)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        col("cov_a"), col("cov_b"),
+        when(col("cov_a") >= ContainTau && col("cov_b") >= ContainTau, "mutual")
+          .when(col("cov_a") >= ContainTau, "a_in_b")
+          .otherwise("b_in_a").as("direction"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** [[containmentPairs]] over the documents table. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenShingles.register(spark)
+    containmentPairs(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+  }
+
+  val dedupContainmentSql: String = {
+    val w = ContainWidth
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= $w
+      |    THEN [array_to_string(t[i:i+${w - 1}], ' ') for i in range(1, len(t) - ${w - 2})]
+      |    ELSE [array_to_string(t, ' ')] END) AS sd
+      |  FROM toks),
+      |d AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s2), 1, 14))::BIGINT AS h
+      |      FROM (SELECT doc_id, unnest(sd) AS s2 FROM sh) u),
+      |n AS (SELECT doc_id, count(*) AS ns FROM d GROUP BY 1),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |      FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |c AS (
+      |  SELECT doc_a, doc_b, shared, na.ns AS n_a, nb.ns AS n_b,
+      |    CAST(shared AS DOUBLE) / CAST(na.ns AS DOUBLE) AS cov_a,
+      |    CAST(shared AS DOUBLE) / CAST(nb.ns AS DOUBLE) AS cov_b
+      |  FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b)
+      |SELECT doc_a, doc_b, shared, n_a, n_b, cov_a, cov_b,
+      |  CASE WHEN cov_a >= $ContainTau AND cov_b >= $ContainTau THEN 'mutual'
+      |       WHEN cov_a >= $ContainTau THEN 'a_in_b'
+      |       ELSE 'b_in_a' END AS direction
+      |FROM c WHERE cov_a >= $ContainTau OR cov_b >= $ContainTau
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val FuzzyTau = 2 // max edit distance
 
   /** All single-deletion variants of `s` (len ≥ 1 guard: `sequence`

@@ -105,6 +105,31 @@ class Round8dSpec extends AnyFunSuite {
     }
   }
 
+  test("containment flags short-in-long duplicates that Jaccard misses, with directions") {
+    import spark.implicits._
+    graft.functions.TokenShingles.register(spark)
+    val words = (1 to 60).map(i => s"w$i")
+    val long = words.mkString(" ") // 60 tokens
+    val quote = words.take(15).mkString(" ") // fully contained prefix
+    val half = (words.take(8) ++ (1 to 20).map(i => s"z$i")).mkString(" ") // weak overlap
+    val docs = Seq(
+      (1L, long), (2L, quote), (3L, half),
+      (4L, long), // exact duplicate of 1 → mutual
+      (5L, (1 to 40).map(i => s"q$i").mkString(" ")) // disjoint
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(7)).toMap
+    // the 15-token quote inside the 60-token doc: Jaccard = 10/55 ≈ 0.18
+    // (10 of 55 distinct 6-gram positions shared) — far below any dedup
+    // threshold, but coverage of the quote is 10/10 = 1.0
+    assert(got.get((1L, 2L)).contains("b_in_a"), s"quote-in-doc missed: $got")
+    assert(got.get((2L, 4L)).contains("a_in_b"))
+    assert(got.get((1L, 4L)).contains("mutual"), "exact dup must be mutual")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "weak overlap must stay below the threshold")
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
   test("semdedup verdicts match the greedy smaller-id rule, computed independently") {
     val verdicts = graft.operators.Ann.semdedupPrune(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
