@@ -418,6 +418,57 @@ object Analytics {
       |FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 10""".stripMargin
 
+  /** Row-pattern matching (MATCH_RECOGNIZE-lite): each user-day's
+    * events collapse to an ORDERED initial string ("vvcp…"), and
+    * journey patterns are plain regexes over it — ordered-funnel,
+    * entry-point, and burst shapes in one operator instead of one
+    * bespoke staged join per question (`funnel_conversion` checks one
+    * hypothesized path; this greps for any). Patterns stay in the
+    * common Java-regex ∩ RE2 dialect (literals, classes, `.*`,
+    * bounded repeats — no lookaround), so the DuckDB oracle runs them
+    * verbatim.
+    *
+    * Scale shape: the journey string is bounded by a user's events in
+    * ONE day (the sessionize-style grain cap — never a whole-history
+    * collect); sort-then-join makes it deterministic; the three
+    * literal rlikes evaluate map-side over the aggregated frame and
+    * unpivot into (pattern, matches) via a bounded map explode.
+    */
+  def eventRegexMatch(spark: SparkSession, dir: String): DataFrame = {
+    val journeys = Tables(spark, dir).events
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        struct(col("ts_us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini")).as("e"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(array_join(transform(array_sort(collect_list(col("e"))),
+        e => e.getField("ini")), "").as("journey"))
+    val pats = Seq(
+      "funnel_view_click_purchase" -> "v.*c.*p",
+      "signup_first" -> "^s",
+      "error_burst" -> "ee")
+    journeys
+      .select(explode(map(pats.flatMap { case (n, p) =>
+        Seq(lit(n), col("journey").rlike(p).cast("long"))
+      }: _*)).as(Seq("pattern", "m")))
+      .groupBy(col("pattern"))
+      .agg(sum(col("m")).as("n_user_days"))
+      .orderBy("pattern")
+  }
+
+  val eventRegexMatchSql: String =
+    """WITH j AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS journey
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT p.pattern,
+      |  CAST(sum(CASE WHEN regexp_matches(j.journey, p.rx) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_user_days
+      |FROM j, (VALUES ('funnel_view_click_purchase', 'v.*c.*p'),
+      |                ('signup_first', '^s'),
+      |                ('error_burst', 'ee')) AS p(pattern, rx)
+      |GROUP BY p.pattern ORDER BY p.pattern""".stripMargin
+
   /** Deterministic stratified sampling: per-stratum rates applied via a
     * content-hash bucket (md5 of the row key, mod 100) instead of RNG —
     * membership is a pure function of the key, so the sample is stable

@@ -694,6 +694,72 @@ object Reports {
       |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val AllocTotal = 1000000L // units to apportion
+
+  /** Proportional allocation with largest-remainder rounding
+    * (Hamilton's method): apportion a fixed budget of 1,000,000 units
+    * across nations by revenue share such that every row gets an
+    * INTEGER and the total is hit EXACTLY — the top-down allocation
+    * every planning/forecast pipeline needs, where naive
+    * round(T·share) drifts off the total. base = ⌊T·rev/total⌋, the
+    * ≤ n leftover units go to the largest fractional remainders
+    * (= largest (T·rev) mod total — pure integers, no floats
+    * anywhere), nation-key tie-break. Σ alloc = T is asserted in a
+    * unit test and implied by the oracle.
+    *
+    * Scale shape: one grouped aggregate over the joined fact, a
+    * one-row total broadcast, and a rank over the GROUPS frame (rows
+    * = allocation targets, never fact rows). All arithmetic in exact
+    * cents·units longs (≤ 10¹⁷ here; the decimal(38,0) form is the
+    * documented path when T·total_cents approaches 2⁶³).
+    */
+  def budgetAllocate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.orders.select(col("o_custkey"), money(col("o_totalprice")).as("p"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("p")) * 100).cast("long").as("rev_c"))
+    val tot = rev.agg(sum(col("rev_c")).as("__tot"))
+    val w = Window.orderBy(col("__rem").desc, col("n_name"))
+    val based = rev.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(s"($AllocTotal * rev_c) div __tot"))
+      .withColumn("__rem", expr(s"($AllocTotal * rev_c) % __tot"))
+    val leftover = based.agg((lit(AllocTotal) - sum(col("__base"))).as("__left"))
+    based.crossJoin(broadcast(leftover))
+      // the rank runs over the GROUPS frame (≤ allocation targets) —
+      // a tiny single-task window by construction, like dim inits
+      .withColumn("__rk", row_number().over(w))
+      .select(col("n_name").as("nation_name"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("allocation"))
+      .orderBy("nation_name")
+  }
+
+  val budgetAllocateSql: String =
+    s"""WITH rev AS (
+      |  SELECT n_name,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot FROM rev),
+      |b AS (
+      |  SELECT n_name, rev_c,
+      |    ($AllocTotal * rev_c) // tot AS base,
+      |    ($AllocTotal * rev_c) % tot AS rem
+      |  FROM rev, t),
+      |l AS (SELECT $AllocTotal - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, n_name) AS rk FROM b)
+      |SELECT n_name AS nation_name,
+      |  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(base + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS allocation
+      |FROM r ORDER BY nation_name""".stripMargin
+
   private val CusumThresholdCents = 200000L // alert at 2000.00 drift
 
   /** CUSUM change-point monitor over daily revenue per event type —

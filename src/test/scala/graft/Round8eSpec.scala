@@ -88,6 +88,40 @@ class Round8eSpec extends AnyFunSuite {
     }
   }
 
+  test("budget_allocate hits the total exactly with largest-remainder integers") {
+    val rows = graft.operators.Reports.budgetAllocate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 1000000L, "allocations must sum to the budget exactly")
+    // every allocation within 1 unit of the exact proportional share
+    val revC = rows.map(r => r._1 -> math.round(r._2 * 100)).toMap
+    val tot = revC.values.sum
+    rows.foreach { case (n, _, alloc) =>
+      val exact = 1000000.0 * revC(n) / tot
+      assert(alloc >= math.floor(exact).toLong && alloc <= math.floor(exact).toLong + 1,
+        s"$n: $alloc outside [floor, floor+1] of $exact")
+    }
+    // the remainder branch is live: floors alone must NOT hit the total
+    val floorSum = rows.map { case (n, _, _) => 1000000L * revC(n) / tot }.sum
+    assert(floorSum < 1000000L, "degenerate: no leftover units to distribute")
+  }
+
+  test("event_regex_match equals a journey-string replay") {
+    val ev = graft.core.Tables(spark, sf).events
+      .select(col("user_id"), timestamp_micros(col("ts_us")).cast("date").cast("string").as("d"),
+        col("ts_us"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val journeys = ev.groupBy(r => (r._1, r._2)).values.map { rows =>
+      rows.sortBy(r => (r._3, r._4)).map(_._5.head).mkString
+    }.toSeq
+    val want = Map(
+      "funnel_view_click_purchase" -> journeys.count(j => "v.*c.*p".r.findFirstIn(j).isDefined).toLong,
+      "signup_first" -> journeys.count(_.startsWith("s")).toLong,
+      "error_burst" -> journeys.count(_.contains("ee")).toLong)
+    val got = graft.operators.Analytics.eventRegexMatch(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("path_topk matches brute-force triple counting") {
     val ev = graft.core.Tables(spark, sf).events
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
