@@ -179,6 +179,52 @@ object Reports {
       |WHERE abs((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 2.0
       |ORDER BY e.event_id""".stripMargin
 
+  /** Robust outlier detection via MEDIAN absolute deviation — the
+    * companion [[anomalyZscore]] needs when outliers are heavy enough
+    * to drag the mean/σ toward themselves and mask each other (the
+    * textbook z-score failure; medians don't budge). Flags rows more
+    * than 3 MADs from their group median. Two grouped exact
+    * percentiles (median of values, then median of |x − med|), each
+    * rounded to 4 decimals on both engines (the `quantile_profile`
+    * parity convention), broadcast back over the stream; the ratio is
+    * one division on exact-rounded inputs → hash-gated. Exact
+    * `percentile` buffers whole groups — at 100 TB swap in the GK
+    * `approx_percentile` path documented on `quantileProfileApprox`.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val withDev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    withDev.join(broadcast(mad), "event_type")
+      .withColumn("mad_ratio", col("dev") / col("mad"))
+      .filter(col("mad_ratio") > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("mad_ratio"))
+      .orderBy("event_id")
+  }
+
+  val anomalyMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_id, e.event_type, e.value, m.med,
+      |    abs(e.value - m.med) AS dev
+      |  FROM events e JOIN med m ON m.event_type = e.event_type),
+      |mad AS (
+      |  SELECT event_type, round(quantile_cont(dev, 0.5), 4) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+      |  d.dev / a.mad AS mad_ratio
+      |FROM dev d JOIN mad a ON a.event_type = d.event_type
+      |WHERE d.dev / a.mad > 3.0
+      |ORDER BY d.event_id""".stripMargin
+
   /** Time-series gap-fill: project the event stream onto a dense
     * per-user daily grid and forward-fill missing days with the last
     * observed value (`last(_, ignoreNulls)` over an unbounded-preceding

@@ -122,6 +122,22 @@ class Round8eSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("anomaly_mad flags tail rows the mean-skewed z-score masks") {
+    val mad = graft.operators.Reports.anomalyMad(spark, sf).collect()
+    assert(mad.nonEmpty)
+    mad.foreach { r =>
+      assert(r.getAs[Double]("mad_ratio") > 3.0)
+      assert(math.abs(r.getAs[Double]("mad_ratio") -
+        math.abs(r.getAs[Double]("value") - r.getAs[Double]("med")) / r.getAs[Double]("mad")) == 0.0)
+    }
+    // the point of the robust variant: detections the z-score misses
+    // because heavy outliers drag the mean/σ toward themselves
+    val zIds = graft.operators.Reports.anomalyZscore(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val madOnly = mad.map(_.getAs[Long]("event_id")).toSet -- zIds
+    assert(madOnly.nonEmpty, "expected MAD to flag rows z-score masks on this data")
+  }
+
   test("path_topk matches brute-force triple counting") {
     val ev = graft.core.Tables(spark, sf).events
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
