@@ -767,21 +767,31 @@ object Reports {
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg((sum(col("p")) * 100).cast("long").as("rev_c"))
+    allocate(rev, AllocTotal)
+      .select(col("n_name").as("nation_name"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        col("allocation"))
+      .orderBy("nation_name")
+  }
+
+  /** The Hamilton-apportionment core over a (n_name, rev_c) frame —
+    * exposed for the randomized property test (Σ = total and the
+    * floor/floor+1 bound must hold on arbitrary weight vectors, not
+    * just the corpus).
+    */
+  private[graft] def allocate(rev: DataFrame, total: Long): DataFrame = {
     val tot = rev.agg(sum(col("rev_c")).as("__tot"))
     val w = Window.orderBy(col("__rem").desc, col("n_name"))
     val based = rev.crossJoin(broadcast(tot))
-      .withColumn("__base", expr(s"($AllocTotal * rev_c) div __tot"))
-      .withColumn("__rem", expr(s"($AllocTotal * rev_c) % __tot"))
-    val leftover = based.agg((lit(AllocTotal) - sum(col("__base"))).as("__left"))
+      .withColumn("__base", expr(s"($total * rev_c) div __tot"))
+      .withColumn("__rem", expr(s"($total * rev_c) % __tot"))
+    val leftover = based.agg((lit(total) - sum(col("__base"))).as("__left"))
     based.crossJoin(broadcast(leftover))
       // the rank runs over the GROUPS frame (≤ allocation targets) —
       // a tiny single-task window by construction, like dim inits
       .withColumn("__rk", row_number().over(w))
-      .select(col("n_name").as("nation_name"),
-        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
-        (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
-          .as("allocation"))
-      .orderBy("nation_name")
+      .withColumn("allocation",
+        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
   }
 
   val budgetAllocateSql: String =

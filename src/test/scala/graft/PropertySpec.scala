@@ -10,6 +10,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class PropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("Hamilton allocation sums to the budget within floor/floor+1 on random weights") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    for (trial <- 1 to 8) {
+      val n = rng.nextInt(30) + 2
+      val total = Seq(10L, 997L, 1000000L)(trial % 3)
+      val weights = (0 until n).map(i => (s"k$i", rng.nextLong(1000000L) + 1L))
+      val rows = graft.operators.Reports.allocate(weights.toDF("n_name", "rev_c"), total)
+        .select("n_name", "rev_c", "allocation").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(_._3).sum == total, s"trial $trial: sum != $total")
+      val wTot = weights.map(_._2).sum
+      rows.foreach { case (k, w, a) =>
+        val fl = total * w / wTot
+        assert(a == fl || a == fl + 1, s"trial $trial $k: $a outside [$fl, ${fl + 1}]")
+      }
+    }
+  }
+
   test("SortedIntersectCount equals Set.intersect on random string sets") {
     import spark.implicits._
     graft.functions.SortedHashes.register(spark)
