@@ -225,6 +225,40 @@ object Reports {
       |WHERE d.dev / a.mad > 3.0
       |ORDER BY d.event_id""".stripMargin
 
+  /** Winsorization: clamp each event value into its group's
+    * [p05, p95] band — the feature-prep primitive that tames tails
+    * BEFORE means/regressions see them (detection is `anomaly_mad`'s
+    * job; this is the repair). One grouped exact-percentile pass
+    * (rounded-4 parity convention, GK path at 100 TB) broadcast back;
+    * the clamp is a map-side least/greatest, flagged so downstream
+    * can audit how much mass moved. Clamped values and flags are
+    * exact comparisons on rounded bounds → hash-gated.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.05)"), 4).as("lo"),
+        round(expr("percentile(value, 0.95)"), 4).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("value_winsorized"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("was_clamped"))
+      .orderBy("event_id")
+  }
+
+  val winsorizeSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    round(quantile_cont(value, 0.05), 4) AS lo,
+      |    round(quantile_cont(value, 0.95), 4) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  greatest(b.lo, least(b.hi, e.value)) AS value_winsorized,
+      |  (e.value < b.lo OR e.value > b.hi) AS was_clamped
+      |FROM events e JOIN b ON b.event_type = e.event_type
+      |ORDER BY e.event_id""".stripMargin
+
   /** Time-series gap-fill: project the event stream onto a dense
     * per-user daily grid and forward-fill missing days with the last
     * observed value (`last(_, ignoreNulls)` over an unbounded-preceding

@@ -138,6 +138,22 @@ class Round8eSpec extends AnyFunSuite {
     assert(madOnly.nonEmpty, "expected MAD to flag rows z-score masks on this data")
   }
 
+  test("winsorize clamps exactly the out-of-band rows, order-preserving") {
+    val rows = graft.operators.Reports.winsorize(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val bounds = rows.groupBy(_._1).view.mapValues { rs =>
+      (rs.map(_._3).min, rs.map(_._3).max) }.toMap
+    rows.foreach { case (typ, v, w, clamped) =>
+      assert(clamped == (v != w), s"$typ: flag disagrees with value change")
+      val (lo, hi) = bounds(typ)
+      assert(w >= lo && w <= hi)
+      // clamping is monotone: outside values land ON a bound
+      if (clamped) assert(w == lo || w == hi)
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4), "both branches must be live")
+  }
+
   test("path_topk matches brute-force triple counting") {
     val ev = graft.core.Tables(spark, sf).events
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
