@@ -160,6 +160,7 @@ object QualityChecks {
       // referenced twice below (totals + output) — Catalyst duplicates
       // unaliased subtrees, so an uncached frame would scan orders twice
       .cache()
+    graft.core.OwnedCaches.own(binned)
     val totals = binned.agg(sum(col("ref_cnt")).as("__rt"), sum(col("cur_cnt")).as("__ct"))
     binned.crossJoin(broadcast(totals))
       .select(col("bin"), col("ref_cnt"), col("cur_cnt"),

@@ -218,6 +218,7 @@ object Commerce {
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("p_brand")).as("bs"))
       .cache()
+    graft.core.OwnedCaches.own(baskets)
     val n = baskets.agg(count(lit(1)).as("__n"))
     val cnt = baskets.select(explode(col("bs")).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c"))

@@ -62,7 +62,11 @@ object Dedup {
     * TokenShingles expression, cached: every dedup operator reuses
     * this set 3–5 times in one plan (prefix index, signature build,
     * exact verification), and recomputing the shingling dominated the
-    * runtime before caching.
+    * runtime before caching. Deliberately SESSION-SHARED, not
+    * [[graft.core.OwnedCaches]]-owned: four dedup queries plan-match
+    * this same frame through the CacheManager, exactly as a warehouse
+    * session would — releasing it per query would rebuild the
+    * shingling four times per pipeline run.
     */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TokenShingles.register(spark)
@@ -342,7 +346,7 @@ object Dedup {
     */
   private[graft] def labelPropagate(pairList: DataFrame,
       forcePartitioned: Boolean = false): DataFrame = {
-    val counted = pairList.cache()
+    val counted = graft.core.OwnedCaches.own(pairList.cache())
     // ONE scalar crosses the driver (the layout decision), same as the
     // converged flag below — no graph data ever reaches the driver
     val small = !forcePartitioned && counted.count() <= SmallGraphPairCap
@@ -391,7 +395,8 @@ object Dedup {
       // ≤1 retained frame as the loop branch's final persisted RDD
       return labeled.orderBy("doc_id")
     }
-    val pairs = if (small) counted.repartition(1).cache() else counted
+    val pairs =
+      if (small) graft.core.OwnedCaches.own(counted.repartition(1).cache()) else counted
     // small graph: broadcast the per-round frames (map-only rounds);
     // large graph: leave joins unhinted so they shuffle on doc id
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -706,9 +711,10 @@ object Dedup {
     * one query.
     */
   def dedupMethodAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val ng = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).cache()
-    val mh = dedupMinHashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
-    val sh = dedupSimHash(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    import graft.core.OwnedCaches.own
+    val ng = own(dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).cache())
+    val mh = own(dedupMinHashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache())
+    val sh = own(dedupSimHash(spark, dir).select(col("doc_a"), col("doc_b")).cache())
     def cnt(df: DataFrame, name: String) =
       df.agg(count(lit(1)).cast("long").as(name))
     def inter(a: DataFrame, b: DataFrame, name: String) =

@@ -102,7 +102,7 @@ object Graph {
     if (!forceCopartition && !forceLoop && n <= SingleTaskEdgeCap) {
       val sess = spark
       import sess.implicits._
-      val cachedEdges = edgesFlat.cache()
+      val cachedEdges = graft.core.OwnedCaches.own(edgesFlat.cache())
       val edgeCount = cachedEdges.count() // materializes the edge cache
       raw.unpersist()
       if (edgeCount <= SingleTaskEdgeCap) {
@@ -177,6 +177,7 @@ object Graph {
     // the final rank state is materialized — the edge cache can go too
     edges.unpersist()
     raw.unpersist() // no-op if the single-task probe already released it
+    graft.core.OwnedCaches.own(state) // released by the harness post-materialization
     state.select(col("node"), col("r").as("rank_q12"))
       .orderBy(col("rank_q12").desc, col("node"))
       .limit(TopK)
@@ -249,6 +250,7 @@ object Graph {
       .filter(col("c") >= TriMinSupport)
       .select(col("p1"), col("p2"))
       .cache()
+    graft.core.OwnedCaches.own(edges)
     val deg = edges.select(col("p1").as("p"))
       .union(edges.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
@@ -266,6 +268,7 @@ object Graph {
         when(r1 < r2, col("p2")).otherwise(col("p1")).as("dst"),
         greatest(r1, r2).as("rdst"))
       .cache()
+    graft.core.OwnedCaches.own(oriented)
     val wedges = oriented.as("x")
       .join(oriented.as("y"), "src")
       .filter(col("x.rdst") < col("y.rdst"))
@@ -335,6 +338,7 @@ object Graph {
     val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
       .union(und.select(col("p2").as("src"), col("p1").as("dst")))
       .cache() // read every round — one Σ basket² build, not BfsHops
+    graft.core.OwnedCaches.own(edges)
     var dist = t.part.filter(col("p_brand") === BfsSeedBrand)
       .select(col("p_partkey").as("p"), lit(0L).as("hop"))
     for (_ <- 1 to BfsHops) {

@@ -200,7 +200,13 @@ object Reports {
       .withColumn("dev", abs(col("value") - col("med")))
     val mad = withDev.groupBy(col("event_type"))
       .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    // mad > 0 gate, mirrored in the oracle: a degenerate group (≥50%
+    // identical values) has MAD = 0, where Spark's non-ANSI Divide
+    // yields NULL (row silently dropped) but DuckDB's IEEE semantics
+    // yield Infinity (row kept) — so the convention is explicit: a
+    // zero-MAD group reports no outliers (deviation is unmeasurable)
     withDev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0)
       .withColumn("mad_ratio", col("dev") / col("mad"))
       .filter(col("mad_ratio") > 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
@@ -222,7 +228,7 @@ object Reports {
       |SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
       |  d.dev / a.mad AS mad_ratio
       |FROM dev d JOIN mad a ON a.event_type = d.event_type
-      |WHERE d.dev / a.mad > 3.0
+      |WHERE a.mad > 0 AND d.dev / a.mad > 3.0
       |ORDER BY d.event_id""".stripMargin
 
   /** Winsorization: clamp each event value into its group's
@@ -279,6 +285,7 @@ object Reports {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("day"), col("value"))
       .cache() // read three times: bounds, user list, grid join
+    graft.core.OwnedCaches.own(obs)
     val spine = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
     val grid = obs.select("user_id").distinct().crossJoin(broadcast(spine))
@@ -789,9 +796,9 @@ object Reports {
     *
     * Scale shape: one grouped aggregate over the joined fact, a
     * one-row total broadcast, and a rank over the GROUPS frame (rows
-    * = allocation targets, never fact rows). All arithmetic in exact
-    * cents·units longs (≤ 10¹⁷ here; the decimal(38,0) form is the
-    * documented path when T·total_cents approaches 2⁶³).
+    * = allocation targets, never fact rows). All arithmetic exact:
+    * cents in longs, and the T·rev_c product in decimal(38,0)
+    * (oracle: HUGEINT) unconditionally, so no scale wraps it.
     */
   def budgetAllocate(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -816,9 +823,16 @@ object Reports {
   private[graft] def allocate(rev: DataFrame, total: Long): DataFrame = {
     val tot = rev.agg(sum(col("rev_c")).as("__tot"))
     val w = Window.orderBy(col("__rem").desc, col("n_name"))
+    // T·rev_c in decimal(38,0) UNCONDITIONALLY (oracle: HUGEINT): the
+    // bare long product wraps silently in non-ANSI Spark once
+    // T·total_cents approaches 2^63 (~sf100) — wrong allocations with
+    // no error. 128-bit math costs nothing here: the frame is GROUPS
+    // (allocation targets), never fact rows.
     val based = rev.crossJoin(broadcast(tot))
-      .withColumn("__base", expr(s"($total * rev_c) div __tot"))
-      .withColumn("__rem", expr(s"($total * rev_c) % __tot"))
+      .withColumn("__base",
+        expr(s"(CAST($total AS DECIMAL(38,0)) * rev_c) div __tot"))
+      .withColumn("__rem",
+        expr(s"(CAST($total AS DECIMAL(38,0)) * rev_c) % __tot"))
     val leftover = based.agg((lit(total) - sum(col("__base"))).as("__left"))
     based.crossJoin(broadcast(leftover))
       // the rank runs over the GROUPS frame (≤ allocation targets) —
@@ -839,8 +853,8 @@ object Reports {
       |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot FROM rev),
       |b AS (
       |  SELECT n_name, rev_c,
-      |    ($AllocTotal * rev_c) // tot AS base,
-      |    ($AllocTotal * rev_c) % tot AS rem
+      |    (CAST($AllocTotal AS HUGEINT) * rev_c) // tot AS base,
+      |    (CAST($AllocTotal AS HUGEINT) * rev_c) % tot AS rem
       |  FROM rev, t),
       |l AS (SELECT $AllocTotal - CAST(sum(base) AS BIGINT) AS leftover FROM b),
       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, n_name) AS rk FROM b)

@@ -137,8 +137,9 @@ object Sketches {
         substring(timestamp_micros(col("ts_us")).cast("date").cast("string"), 1, 7)
           .as("month"),
         col("user_id"))
-    val regs = rhoRegisters(ev, Seq("event_type", "month"))
-      .cache() // one raw pass; every level below reads only this
+    val regs = graft.core.OwnedCaches.own(
+      rhoRegisters(ev, Seq("event_type", "month"))
+        .cache()) // one raw pass; every level below reads only this
     def estimate(level: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = level
       .agg(count(lit(1)).as("nb"),
         sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
@@ -276,13 +277,25 @@ object Sketches {
     * 7 × days × 64 register rows, independent of user count — THE
     * trade that makes a 90-day rolling MAU tractable at 10⁹ users.
     * The exact count rides along as the accuracy audit (same
-    * contract as `approx_distinct_hll`); the whole table, including
-    * the alpha-corrected estimates, is bit-reproducible in DuckDB.
+    * contract as `approx_distinct_hll`) ONLY when `audit = true` —
+    * the audit is a countDistinct over the 7× user-day fan-out, i.e.
+    * exactly the intractable exact sliding distinct this sketch
+    * exists to avoid, so the production path (`audit = false`, the
+    * default for library callers) emits the register-derived estimate
+    * alone: NOTHING user-sized ever fans out — only the days × 64
+    * register table explodes across window days (plan-pinned in
+    * PlanAuditSpec). The oracled `SparkEntry` entry keeps
+    * `audit = true` at test scale, where the accuracy contract is
+    * worth paying for. The whole table, including the alpha-corrected
+    * estimates, is bit-reproducible in DuckDB.
     */
-  def activeUsersHll(spark: SparkSession, dir: String): DataFrame = {
+  def activeUsersHll(spark: SparkSession, dir: String, audit: Boolean = false): DataFrame = {
     val ev = Tables(spark, dir).events
       .select(timestamp_micros(col("ts_us")).cast("date").as("d"), col("user_id"))
-    val regs = rhoRegisters(ev, Seq("d"))
+    // cached (operator-owned, ≤ days × 64 rows): the register table
+    // feeds both the window merge and the max-day scalar — uncached,
+    // the one-row `mx` side re-ran the whole raw register build
+    val regs = graft.core.OwnedCaches.own(rhoRegisters(ev, Seq("d")).cache())
     val mx = regs.agg(max(col("d")).as("__mx"))
     val merged = regs
       .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
@@ -294,16 +307,21 @@ object Sketches {
         sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
           .as("zsum"))
       .withColumn("wau7_estimate", expr(EstimateExpr))
-    val exact = ev.distinct()
-      .select(col("user_id"), explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
-      .crossJoin(broadcast(mx)).filter(col("day") <= col("__mx"))
-      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau7_exact"))
-    est.join(exact, "day")
-      .select(col("day").cast("string").as("day"), col("wau7_exact"),
-        col("wau7_estimate"),
-        ((col("wau7_estimate") - col("wau7_exact").cast("double")) /
-          col("wau7_exact").cast("double")).as("rel_error"))
-      .orderBy("day")
+    if (!audit)
+      est.select(col("day").cast("string").as("day"), col("wau7_estimate"))
+        .orderBy("day")
+    else {
+      val exact = ev.distinct()
+        .select(col("user_id"), explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+        .crossJoin(broadcast(mx)).filter(col("day") <= col("__mx"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau7_exact"))
+      est.join(exact, "day")
+        .select(col("day").cast("string").as("day"), col("wau7_exact"),
+          col("wau7_estimate"),
+          ((col("wau7_estimate") - col("wau7_exact").cast("double")) /
+            col("wau7_exact").cast("double")).as("rel_error"))
+        .orderBy("day")
+    }
   }
 
   val activeUsersHllSql: String =
@@ -361,10 +379,10 @@ object Sketches {
       .agg(expr("bit_or(m)").as("mask"))
 
   def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val words = bitmapWords(
+    val words = graft.core.OwnedCaches.own(bitmapWords(
       Tables(spark, dir).events.select(col("event_type"), col("user_id")),
       Seq("event_type"))
-      .cache() // one raw pass; the ALL row merges these words
+      .cache()) // one raw pass; the ALL row merges these words
     val perType = words.groupBy(col("event_type"))
       .agg(sum(bit_count(col("mask"))).as("n_users"))
     val all = words.groupBy(col("w")).agg(expr("bit_or(mask)").as("mask"))

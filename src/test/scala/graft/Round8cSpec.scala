@@ -69,7 +69,7 @@ class Round8cSpec extends AnyFunSuite {
   }
 
   test("active_users_hll tracks the exact trailing distinct within sketch error") {
-    val rows = graft.operators.Sketches.activeUsersHll(spark, sf).collect()
+    val rows = graft.operators.Sketches.activeUsersHll(spark, sf, audit = true).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getAs[Long]("wau7_exact")
@@ -92,7 +92,7 @@ class Round8cSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet == exactDays)
     // sf0.01 windows hold ~150 users — inside the n ≳ m regime, so the
     // accuracy contract is actually exercised there
-    val big = graft.operators.Sketches.activeUsersHll(spark, "/root/testdata/sf0.01")
+    val big = graft.operators.Sketches.activeUsersHll(spark, "/root/testdata/sf0.01", audit = true)
       .collect().filter(_.getAs[Long]("wau7_exact") >= 64)
     assert(big.nonEmpty, "no window reached the sketch's accuracy regime")
     big.foreach { r =>
