@@ -1,0 +1,549 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.GraftFunctions.money
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-testing and time-series layer — the distribution
+  * comparisons, significance tests, and trend diagnostics an
+  * experimentation/monitoring warehouse runs over the same event and
+  * order facts the BI layer aggregates (the reference's stage-7
+  * dashboards stop at aggregation; these are the analyses a data
+  * science team layers on top).
+  *
+  * Float-parity discipline throughout (the `corrExpr` convention,
+  * Reports.scala): every moment/count is accumulated EXACTLY in
+  * scale-0 decimal(38,0) (both engines cap decimal multiply at width
+  * 38 and keep scale-0 math exact int128), and the final statistic is
+  * ONE shared SQL expression string evaluated on those exact operands
+  * — identical text in the Spark plan and the DuckDB oracle, so both
+  * engines run the same correctly-rounded IEEE ops in the same order
+  * and even z-scores/r² reproduce bit for bit.
+  */
+object Stats {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val TypePairs: Seq[(String, String)] =
+    for {
+      i <- EventTypes.indices
+      j <- (i + 1) until EventTypes.size
+    } yield (EventTypes(i), EventTypes(j))
+
+  // ---------------------------------------------------------------- ks_test
+
+  /** The per-pair KS statistic over the cumulative count columns —
+    * ONE string for both engines (f/n divisions are exact-long over
+    * exact-long; max of identical doubles).
+    */
+  private def ksMaxExpr(a: String, b: String): String =
+    s"max(abs(CAST(f_$a AS DOUBLE)/CAST(n_$a AS DOUBLE)" +
+      s" - CAST(f_$b AS DOUBLE)/CAST(n_$b AS DOUBLE)))"
+
+  /** Two-sample Kolmogorov–Smirnov D for every pair of event types
+    * over the `value` distribution — the nonparametric "did the
+    * distribution shift" test (complement of `dist_drift`'s binned
+    * PSI: KS is binless and sup-norm, PSI is binned and averaged).
+    * All 10 pairs come out of ONE pass: per-value counts pivot to a
+    * column per type, one cumulative window turns them into ECDF
+    * numerators, and a single aggregate takes the 10 sup-norms.
+    *
+    * Scale shape: the groupBy(value) aggregate reduces the raw log to
+    * the VALUE GRID before any window runs — `value` carries 2
+    * decimals in a bounded band, so the grid is ≤ ~50k rows at any
+    * corpus size (the dim-build pattern: frame bounded by the domain,
+    * not the data). The global-order cumsum is a single task over
+    * that bounded grid, never over raw rows; the raw scan is one
+    * map-side conditional-count pass.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val cCols = EventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val grid = ev.groupBy(col("value")).agg(cCols.head, cCols.tail: _*)
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      col("value") +: EventTypes.map(t => sum(col(s"c_$t")).over(w).as(s"f_$t")): _*)
+    val nCols = EventTypes.map(t => sum(col(s"c_$t")).as(s"n_$t"))
+    val totals = grid.agg(nCols.head, nCols.tail: _*)
+    val dCols = TypePairs.map { case (a, b) => expr(ksMaxExpr(a, b)).as(s"d_${a}_$b") }
+    val maxes = cum.crossJoin(broadcast(totals)).agg(dCols.head, dCols.tail: _*)
+    val stackArgs = TypePairs
+      .map { case (a, b) => s"'$a', '$b', d_${a}_$b" }.mkString(", ")
+    maxes.selectExpr(
+        s"stack(${TypePairs.size}, $stackArgs) AS (type_a, type_b, d_stat)")
+      .orderBy("type_a", "type_b")
+  }
+
+  val ksTestSql: String = {
+    val cSums = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+      .mkString(",\n    ")
+    val fCums = EventTypes.map(t =>
+      s"sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$t")
+      .mkString(",\n    ")
+    val nTots = EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS n_$t").mkString(", ")
+    val dMaxes = TypePairs
+      .map { case (a, b) => s"${ksMaxExpr(a, b)} AS d_${a}_$b" }.mkString(",\n    ")
+    val unions = TypePairs
+      .map { case (a, b) =>
+        s"SELECT '$a' AS type_a, '$b' AS type_b, d_${a}_$b AS d_stat FROM m" }
+      .mkString("\nUNION ALL ")
+    s"""WITH g AS (
+       |  SELECT value,
+       |    $cSums
+       |  FROM events GROUP BY value),
+       |f AS (
+       |  SELECT value,
+       |    $fCums
+       |  FROM g),
+       |t AS (SELECT $nTots FROM g),
+       |m AS (
+       |  SELECT
+       |    $dMaxes
+       |  FROM f, t)
+       |$unions
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------ mann_whitney
+
+  /** z from the one-row exact-integer summary (all names are columns
+    * of that row; every operand decimal/long-exact before the DOUBLE
+    * casts). Doubled-U formulation: with ties, U moves in half-integer
+    * steps, so the engine carries 2U (always an integer) and halves
+    * at the very end. 2σ = sqrt(n_a·n_b·(N(N²−1) − T)/(3N(N−1))),
+    * z = (2U_a − n_a·n_b)/(2σ) — the normal approximation with the
+    * standard tie correction T = Σ(t³−t).
+    */
+  private val MwZExpr: String =
+    "CAST(u2_a - n_a * n_b AS DOUBLE) / " +
+      "sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * " +
+      "CAST(CAST(nn AS DECIMAL(38,0)) * (CAST(nn AS DECIMAL(38,0)) * nn - 1) - tsum AS DOUBLE)" +
+      " / CAST(CAST(3 AS DECIMAL(38,0)) * nn * (nn - 1) AS DOUBLE))"
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the `click` and
+    * `purchase` value samples — the rank test that needs no
+    * distributional assumption. Ranks never materialize per row:
+    * grouping by value gives tie-group counts, a cumulative window
+    * gives each group's rank offset, and the average-rank identity
+    * 2·R_a = Σ ca·(2·cumBefore + ca + cb + 1) keeps the whole
+    * computation in exact integers (doubled to absorb the ½s that
+    * ties introduce). U from R by the standard identity; z with tie
+    * correction via [[MwZExpr]].
+    *
+    * Scale shape: same bounded-value-grid reduction as [[ksTest]] —
+    * the rank window runs over the ≤ ~50k-row grid, the raw scan is
+    * one conditional-count pass. The doubled rank sum is held in
+    * decimal(38,0): exact to ~10³⁷, i.e. any realistic corpus.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+    val g = ev.groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+    val wPrev = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("cum_before",
+      coalesce(sum(col("ca") + col("cb")).over(wPrev), lit(0L)))
+    val s = ranked.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca").cast("decimal(38,0)") *
+        (lit(2) * col("cum_before") + col("ca") + col("cb") + 1)).as("r2_a"),
+      sum((col("ca") + col("cb")).cast("decimal(38,0)") *
+        (col("ca") + col("cb")) * (col("ca") + col("cb")) -
+        (col("ca") + col("cb"))).as("tsum"))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("u2_a", expr("r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)"))
+    s.select(col("n_a"), col("n_b"),
+      expr("CAST(u2_a AS DOUBLE) / CAST(2 AS DOUBLE)").as("u_a"),
+      expr("CAST(CAST(2 AS DECIMAL(38,0)) * n_a * n_b - u2_a AS DOUBLE) / CAST(2 AS DOUBLE)")
+        .as("u_b"),
+      expr(MwZExpr).as("z_score"))
+  }
+
+  val mannWhitneySql: String =
+    s"""WITH g AS (
+       |  SELECT value,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY value),
+       |r AS (
+       |  SELECT *,
+       |    coalesce(sum(ca + cb) OVER (ORDER BY value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM g),
+       |s0 AS (
+       |  SELECT
+       |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+       |    sum(CAST(ca AS DECIMAL(38,0)) * (2 * cum_before + ca + cb + 1)) AS r2_a,
+       |    sum(CAST(ca + cb AS DECIMAL(38,0)) * (ca + cb) * (ca + cb) - (ca + cb)) AS tsum
+       |  FROM r),
+       |s AS (
+       |  SELECT *, n_a + n_b AS nn,
+       |    r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS u2_a
+       |  FROM s0)
+       |SELECT n_a, n_b,
+       |  CAST(u2_a AS DOUBLE) / CAST(2 AS DOUBLE) AS u_a,
+       |  CAST(CAST(2 AS DECIMAL(38,0)) * n_a * n_b - u2_a AS DOUBLE) / CAST(2 AS DOUBLE) AS u_b,
+       |  $MwZExpr AS z_score
+       |FROM s""".stripMargin
+
+  // ------------------------------------------------------- chi_square_profile
+
+  /** Per-cell chi-square contribution: (o·N − r·c)²/(N·r·c), numerator
+    * exact decimal(38,0), one double division. Shared text.
+    */
+  private val ChiContribExpr: String =
+    "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) * " +
+      "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) AS DOUBLE)" +
+      " / CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DOUBLE)"
+
+  /** Chi-square test of independence between event type and a
+    * high/low value bucket — the 5×2 contingency table with each
+    * cell's observed count, expectation, and χ² contribution, plus
+    * the total statistic repeated per row (the decomposition IS the
+    * diagnostic: which cell drives the dependence). The total is a
+    * sum of 10 doubles, which neither engine orders — so contributions
+    * are rounded to 6 decimals and summed in DECIMAL(18,6), an exact
+    * order-independent sum both engines agree on (the rounded-parity
+    * convention).
+    *
+    * Scale shape: one map-side conditional-count pass to 10 cells;
+    * every window below runs on the 10-row frame. Cells assumed
+    * populated (each type × bucket nonempty — true of any real event
+    * log; a missing cell would simply not contribute, as in the
+    * textbook formula over observed cells).
+    */
+  def chiSquareProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"),
+      when(col("value") >= 100.0, "high").otherwise("low").as("bucket"))
+    val cells = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("o"))
+    val t = cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy("event_type")))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy("bucket")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("contrib", expr(ChiContribExpr))
+    t.withColumn("chi2", expr(
+        "CAST(sum(CAST(round(contrib, 6) AS DECIMAL(18,6))) OVER () AS DOUBLE)"))
+      .select(col("event_type"), col("bucket"), col("o").as("observed"),
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * c AS DOUBLE) / CAST(n AS DOUBLE)")
+          .as("expected"),
+        col("contrib"), col("chi2"), lit(4).as("dof"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val chiSquareProfileSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CASE WHEN value >= 100.0 THEN 'high' ELSE 'low' END AS bucket
+       |  FROM events),
+       |cells AS (
+       |  SELECT event_type, bucket, count(*) AS o FROM e GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *,
+       |    sum(o) OVER (PARTITION BY event_type) AS r,
+       |    sum(o) OVER (PARTITION BY bucket) AS c,
+       |    sum(o) OVER () AS n
+       |  FROM cells),
+       |x AS (SELECT *, $ChiContribExpr AS contrib FROM t)
+       |SELECT event_type, bucket, CAST(o AS BIGINT) AS observed,
+       |  CAST(CAST(r AS DECIMAL(38,0)) * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+       |  contrib,
+       |  CAST(sum(CAST(round(contrib, 6) AS DECIMAL(18,6))) OVER () AS DOUBLE) AS chi2,
+       |  CAST(4 AS INTEGER) AS dof
+       |FROM x ORDER BY event_type, bucket""".stripMargin
+
+  // -------------------------------------------------------- regression_trend
+
+  /** OLS building blocks over the one-row exact-moment summary
+    * (n, sx, sy, sxx, sxy, syy all decimal(38,0)-exact) — shared
+    * text; intercept re-derives the slope inline so both engines
+    * evaluate identical trees.
+    */
+  private val RegNum = "CAST(n * sxy - sx * sy AS DOUBLE)"
+  private val RegDen = "CAST(n * sxx - sx * sx AS DOUBLE)"
+  private val RegSlopeC = s"($RegNum / $RegDen)"
+  private val RegInterceptC =
+    s"((CAST(sy AS DOUBLE) - $RegSlopeC * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+  private val RegR2 =
+    s"($RegNum * $RegNum / ($RegDen * CAST(n * syy - sy * sy AS DOUBLE)))"
+
+  /** OLS trend of daily order revenue on calendar time: slope
+    * (currency/day), intercept (currency at epoch day 0), and r² —
+    * the "is revenue growing, and how linearly" monitor. Moments are
+    * accumulated exactly (x = epoch day, y = revenue cents, both
+    * scale-0 decimal(38,0)), so slope/intercept/r² reproduce bit for
+    * bit; the formulation matches regr_slope/regr_r2 without
+    * depending on either engine's internal summation order.
+    *
+    * Scale shape: one groupBy(date) partial-agg pass over orders
+    * reduces to the calendar-bounded daily frame, then a single
+    * 6-moment aggregate to one row. Nothing row-sized survives the
+    * first shuffle.
+    */
+  def regressionTrend(spark: SparkSession, dir: String): DataFrame = {
+    def s38(c: Column) = sum(c.cast("decimal(38,0)"))
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+      .select(datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").as("x"), col("y"))
+    daily.agg(count(lit(1)).as("n"),
+        s38(col("x")).as("sx"), s38(col("y")).as("sy"),
+        s38(col("x") * col("x")).as("sxx"),
+        s38(col("x") * col("y")).as("sxy"),
+        s38(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("n").as("n_days"),
+        expr(s"$RegSlopeC / CAST(100 AS DOUBLE)").as("slope"),
+        expr(s"$RegInterceptC / CAST(100 AS DOUBLE)").as("intercept"),
+        expr(RegR2).as("r2"))
+  }
+
+  val regressionTrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+       |    sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+       |  FROM daily)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  $RegSlopeC / CAST(100 AS DOUBLE) AS slope,
+       |  $RegInterceptC / CAST(100 AS DOUBLE) AS intercept,
+       |  $RegR2 AS r2
+       |FROM m""".stripMargin
+
+  // ----------------------------------------------------------- autocorr_lag
+
+  private val AcfMaxLag = 7
+
+  /** Sample autocorrelation of the daily-revenue series at lags 1..7
+    * — the weekly-seasonality detector (a lag-7 spike = day-of-week
+    * cycle; pair with [[seasonalIndex]] for the decomposition). The
+    * non-associative mean-centering is removed by the n-scaling
+    * identity (the CUSUM trick): with dev_t = n·y_t − S, the ACF is
+    * r_k = Σ dev_t·dev_{t+k} / Σ dev_t² exactly — every intermediate
+    * an exact scale-0 decimal, one double division per lag.
+    *
+    * Scale shape: the series is the calendar-bounded daily frame
+    * (one partial-agg pass over orders); the 7 lag columns come from
+    * one window over that frame, and the result is 7 rows. dev ~
+    * n·y ≲ 10⁵·10¹² = 10¹⁷, dev² ≲ 10³⁴ < 10³⁸ — exact for any
+    * horizon that fits a calendar.
+    */
+  def autocorrLag(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).cast("decimal(38,0)").as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("n").cast("decimal(38,0)") * col("y") - col("s")).as("dev"))
+    val wLag = Window.orderBy("d")
+    val lagged = dev.select(
+      col("n") +: col("dev") +:
+        (1 to AcfMaxLag).map(k => lag(col("dev"), k).over(wLag).as(s"dev_$k")): _*)
+    val sums = lagged.agg(
+      max(col("n")).as("n"),
+      (sum(col("dev") * col("dev")).as("den") +:
+        (1 to AcfMaxLag).map(k => sum(col("dev") * col(s"dev_$k")).as(s"num_$k"))): _*)
+    val stackArgs = (1 to AcfMaxLag).map(k =>
+      s"$k, CAST(n - $k AS BIGINT), CAST(num_$k AS DOUBLE) / CAST(den AS DOUBLE)")
+      .mkString(", ")
+    sums.selectExpr(s"stack($AcfMaxLag, $stackArgs) AS (lag, n_pairs, acf)")
+      .orderBy("lag")
+  }
+
+  val autocorrLagSql: String = {
+    val lagCols = (1 to AcfMaxLag)
+      .map(k => s"lag(dev, $k) OVER (ORDER BY d) AS dev_$k").mkString(",\n    ")
+    val numSums = (1 to AcfMaxLag)
+      .map(k => s"sum(dev * dev_$k) AS num_$k").mkString(",\n    ")
+    val unions = (1 to AcfMaxLag).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS lag, CAST(n - $k AS BIGINT) AS n_pairs, " +
+        s"CAST(num_$k AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM s")
+      .mkString("\nUNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT count(*) AS n, sum(CAST(y AS DECIMAL(38,0))) AS s FROM daily),
+       |dv AS (
+       |  SELECT d, t.n, CAST(t.n AS DECIMAL(38,0)) * y - t.s AS dev
+       |  FROM daily, t),
+       |lg AS (
+       |  SELECT n, dev,
+       |    $lagCols
+       |  FROM dv),
+       |s AS (
+       |  SELECT max(n) AS n, sum(dev * dev) AS den,
+       |    $numSums
+       |  FROM lg)
+       |$unions
+       |ORDER BY lag""".stripMargin
+  }
+
+  // ------------------------------------------------------ markov_transitions
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next type | current type), with counts — the model
+    * under next-event prediction, funnel simulation, and the
+    * `path_topk` sequences. Ordering is (ts, event_id) — the
+    * engine-wide tiebreak convention — and the terminal event of each
+    * user (no successor) is excluded, as in any bigram model.
+    *
+    * Scale shape: lead() runs partitioned BY USER (the sessionize
+    * shuffle grain — parallel across users, never a global sort);
+    * transitions then reduce to the ≤ |types|² matrix, and the
+    * row-normalizing window runs on that bounded matrix. p = n/row
+    * total is one exact-integer division per cell.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val trans = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("row_n", sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE)").as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val markovTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |  FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT *, sum(n) OVER (PARTITION BY from_type) AS row_n FROM t)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) AS p
+      |FROM r ORDER BY from_type, to_type""".stripMargin
+
+  // ----------------------------------------------------- benford_deviation
+
+  /** log10(1 + 1/d) for d = 1..9, as one shared literal table — both
+    * engines parse the same decimal literal to the same double, so no
+    * libm log10 (whose last ulp may differ between engines) ever runs
+    * in either plan. 15 significant digits MAX: DuckDB converts a
+    * fractional decimal as int→double then a power-of-ten divide, so
+    * the numerator must sit below 2⁵³ for the int step to be exact —
+    * then both engines perform ONE correctly-rounded division and
+    * agree bit for bit (a 17-digit literal diverged in the last ulp).
+    */
+  private val BenfordExpr: String =
+    """CASE digit
+      | WHEN 1 THEN CAST(0.301029995663981 AS DOUBLE)
+      | WHEN 2 THEN CAST(0.176091259055681 AS DOUBLE)
+      | WHEN 3 THEN CAST(0.124938736608300 AS DOUBLE)
+      | WHEN 4 THEN CAST(0.096910013008056 AS DOUBLE)
+      | WHEN 5 THEN CAST(0.079181246047625 AS DOUBLE)
+      | WHEN 6 THEN CAST(0.066946789630613 AS DOUBLE)
+      | WHEN 7 THEN CAST(0.057991946977687 AS DOUBLE)
+      | WHEN 8 THEN CAST(0.051152522447381 AS DOUBLE)
+      | ELSE CAST(0.045757490560675 AS DOUBLE) END""".stripMargin.replace("\n", "")
+
+  /** Benford's-law profile of order totals: observed share of each
+    * leading digit vs log10(1+1/d) — the classic fraud/data-quality
+    * screen (fabricated or truncated amounts drift off the curve).
+    * The leading digit comes from the exact cents integer's decimal
+    * string (no float log), expected shares are shared literals, and
+    * each share is one exact-integer division.
+    *
+    * Scale shape: map-side digit extraction, 9-row aggregate. Nothing
+    * else.
+    */
+  def benfordDeviation(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables(spark, dir).orders
+      .select(substring((money(col("o_totalprice")) * 100).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits.withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)").as("obs_share"),
+        expr(BenfordExpr).as("exp_share"))
+      .withColumn("abs_dev",
+        abs(col("obs_share") - col("exp_share")))
+      .orderBy("digit")
+  }
+
+  val benfordDeviationSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders),
+       |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+       |t AS (SELECT *, sum(n) OVER () AS total FROM g)
+       |SELECT digit, CAST(n AS BIGINT) AS n,
+       |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS obs_share,
+       |  $BenfordExpr AS exp_share,
+       |  abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - $BenfordExpr) AS abs_dev
+       |FROM t ORDER BY digit""".stripMargin
+
+  // -------------------------------------------------------- seasonal_index
+
+  /** Day-of-week seasonal index of order revenue: average daily
+    * revenue on each weekday relative to the overall average daily
+    * revenue (index 1.0 = a typical day; the multiplicative factor a
+    * forecast multiplies back in after detrending with
+    * [[regressionTrend]]). Weekday is (epoch_day + 3) mod 7 with
+    * Monday = 0 — pure integer arithmetic, immune to the engines'
+    * differing DOW builtins. index = (sum_dow·days_all)/
+    * (days_dow·sum_all): exact decimal products, ONE division.
+    *
+    * Scale shape: orders reduce to the calendar-bounded daily frame
+    * in one partial-agg pass; everything after runs on ≤7 rows.
+    */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+      .select((
+        (datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))) + 3) % 7)
+        .cast("int").as("dow"), col("y"))
+    val byDow = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).cast("decimal(38,0)").as("s"))
+    val tot = byDow.agg(sum(col("n_days")).as("days_all"),
+      sum(col("s")).cast("decimal(38,0)").as("s_all"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"),
+        expr("CAST(s AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        expr("CAST(s * days_all AS DOUBLE) / CAST(CAST(n_days AS DECIMAL(38,0)) * s_all AS DOUBLE)")
+          .as("seasonal_index"))
+      .orderBy("dow")
+  }
+
+  val seasonalIndexSql: String =
+    """WITH daily AS (
+      |  SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 3) % 7 AS INTEGER) AS dow,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+      |b AS (
+      |  SELECT dow, count(*) AS n_days, sum(CAST(y AS DECIMAL(38,0))) AS s
+      |  FROM daily GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_days) AS BIGINT) AS days_all,
+      |        CAST(sum(s) AS DECIMAL(38,0)) AS s_all FROM b)
+      |SELECT dow, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(s AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+      |  CAST(s * days_all AS DOUBLE) / CAST(CAST(n_days AS DECIMAL(38,0)) * s_all AS DOUBLE)
+      |    AS seasonal_index
+      |FROM b, t ORDER BY dow""".stripMargin
+}

@@ -118,6 +118,51 @@ class Round9Spec extends AnyFunSuite {
       s"owned caches leaked: $now persistent RDDs vs baseline $baseline")
   }
 
+  test("stats family invariants hold") {
+    import graft.operators.Stats
+    val ks = Stats.ksTest(spark, sf).collect()
+    assert(ks.length == 10)
+    assert(ks.forall { r =>
+      val d = r.getAs[Double]("d_stat"); d >= 0.0 && d <= 1.0 })
+
+    val mw = Stats.mannWhitney(spark, sf).collect().head
+    val (na, nb) = (mw.getAs[Long]("n_a"), mw.getAs[Long]("n_b"))
+    // U_a + U_b = n_a·n_b — the rank-sum identity, exact
+    assert(mw.getAs[Double]("u_a") + mw.getAs[Double]("u_b") == (na * nb).toDouble)
+
+    val chi = Stats.chiSquareProfile(spark, sf).collect()
+    assert(chi.length == 10)
+    // observed and expected tables carry the same mass
+    val obsSum = chi.map(_.getAs[Long]("observed")).sum.toDouble
+    val expSum = chi.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(obsSum - expSum) < 1e-6)
+    assert(chi.head.getAs[Double]("chi2") >= 0.0)
+
+    val reg = Stats.regressionTrend(spark, sf).collect().head
+    val r2 = reg.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+
+    val acf = Stats.autocorrLag(spark, sf).collect()
+    assert(acf.map(_.getAs[Int]("lag")).toSeq == (1 to 7))
+    assert(acf.forall { r =>
+      val a = r.getAs[Double]("acf"); a >= -1.0 && a <= 1.0 })
+
+    // transition rows sum to 1 per source state
+    Stats.markovTransitions(spark, sf).collect()
+      .groupBy(_.getAs[String]("from_type"))
+      .foreach { case (_, rs) =>
+        assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9) }
+
+    val ben = Stats.benfordDeviation(spark, sf).collect()
+    assert(math.abs(ben.map(_.getAs[Double]("obs_share")).sum - 1.0) < 1e-9)
+
+    val si = Stats.seasonalIndex(spark, sf).collect()
+    // day-weighted mean of the indices is exactly 1 by construction
+    val wmean = si.map(r => r.getAs[Double]("seasonal_index") * r.getAs[Long]("n_days")).sum /
+      si.map(_.getAs[Long]("n_days")).sum
+    assert(math.abs(wmean - 1.0) < 1e-9)
+  }
+
   test("active_users_hll production estimates equal the audited estimates") {
     val prod = graft.operators.Sketches.activeUsersHll(spark, sf)
       .collect().map(r => r.getString(0) -> r.getAs[Double]("wau7_estimate")).toMap
