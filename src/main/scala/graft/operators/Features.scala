@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.GraftFunctions.money
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-preparation and lifecycle operators — the encode/scale/
+  * score steps between the warehouse layer and a model: one-hot
+  * encoding, robust scaling, decile lift readouts, and discrete-time
+  * survival. Same float-parity discipline as [[Stats]]: exact
+  * decimal/long moments, shared SQL expression text for every double.
+  */
+object Features {
+
+  private val OneHotK = 5
+
+  /** Top-K one-hot encoding of `p_brand`: the K most frequent brands
+    * (count desc, name asc — deterministic) become indicator columns
+    * `oh_1..oh_K`, everything else folds into `oh_other` — the
+    * categorical-encoding step before any linear model, with the
+    * long-tail collapse that keeps the feature width fixed no matter
+    * how many categories the data grows.
+    *
+    * Scale shape: the vocabulary build is one groupBy(brand) over the
+    * dim table; the encode is a BROADCAST join of that ≤K-row
+    * vocabulary against the corpus — map-side, no shuffle of the
+    * encoded side, exactly how a feature store applies a frozen
+    * vocabulary.
+    */
+  def oneHotTopk(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir).part
+    val w = Window.orderBy(col("cnt").desc, col("p_brand"))
+    val top = part.groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= OneHotK)
+      .select(col("p_brand"), col("rk"))
+    val ohCols = (1 to OneHotK).map(k =>
+      when(col("rk") === k, 1).otherwise(0).as(s"oh_$k"))
+    part.select(col("p_partkey"), col("p_brand"))
+      .join(broadcast(top), Seq("p_brand"), "left")
+      .select(col("p_partkey") +: col("p_brand") +: ohCols :+
+        when(col("rk").isNull, 1).otherwise(0).as("oh_other"): _*)
+      .orderBy("p_partkey")
+  }
+
+  val oneHotTopkSql: String = {
+    val ohCols = (1 to OneHotK)
+      .map(k => s"CAST(CASE WHEN rk = $k THEN 1 ELSE 0 END AS INTEGER) AS oh_$k")
+      .mkString(",\n  ")
+    s"""WITH v AS (
+       |  SELECT p_brand, row_number() OVER (ORDER BY count(*) DESC, p_brand) AS rk
+       |  FROM part GROUP BY p_brand
+       |  QUALIFY rk <= $OneHotK)
+       |SELECT p_partkey, p.p_brand,
+       |  $ohCols,
+       |  CAST(CASE WHEN rk IS NULL THEN 1 ELSE 0 END AS INTEGER) AS oh_other
+       |FROM part p LEFT JOIN v ON v.p_brand = p.p_brand
+       |ORDER BY p_partkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------- feature_scale
+
+  /** Shared-text scaling expressions over a row joined with its
+    * group's exact moments (p = value cents long; n, s, sxx exact).
+    */
+  private val MeanExpr = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val SdExpr =
+    "sqrt(CAST(sxx * n - s * s AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))"
+
+  /** Per-group feature scaling of line-item price: z-score and
+    * min-max in one pass, grouped by return flag — the normalization
+    * every numeric feature gets before distance-based models (and the
+    * per-segment variant that keeps one segment's scale from bleeding
+    * into another's). Moments are exact (cents in decimal(38,0)), so
+    * mean/sd are single correctly-rounded expressions; the per-row
+    * scaling is three IEEE ops on identical operands.
+    *
+    * Scale shape: one partial-agg moments pass (4 values per group),
+    * broadcast back, map-side scaling — the corpus never shuffles.
+    */
+  def featureScale(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      (money(col("l_extendedprice")) * 100).cast("long").as("p"))
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast("decimal(38,0)")).as("s"),
+        sum(col("p").cast("decimal(38,0)") * col("p")).as("sxx"),
+        min(col("p")).as("mn"), max(col("p")).as("mx"))
+    li.join(broadcast(stats), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        expr("CAST(p AS DOUBLE) / CAST(100 AS DOUBLE)").as("price"),
+        expr(s"(CAST(p AS DOUBLE) - $MeanExpr) / $SdExpr").as("z_score"),
+        expr("CAST(p - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)").as("minmax"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val featureScaleSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_linenumber, l_returnflag,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+       |  FROM lineitem),
+       |st AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum(CAST(p AS DECIMAL(38,0))) AS s,
+       |    sum(CAST(p AS DECIMAL(38,0)) * p) AS sxx,
+       |    min(p) AS mn, max(p) AS mx
+       |  FROM li GROUP BY 1)
+       |SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+       |  CAST(p AS DOUBLE) / CAST(100 AS DOUBLE) AS price,
+       |  (CAST(p AS DOUBLE) - $MeanExpr) / $SdExpr AS z_score,
+       |  CAST(p - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS minmax
+       |FROM li JOIN st ON st.l_returnflag = li.l_returnflag
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------ decile_lift
+
+  private val LiftWindowDays = 30
+
+  /** Decile lift table: customers ranked into spend deciles, each
+    * decile's recent-activity conversion rate vs the population rate
+    * — the model-calibration / campaign-targeting readout ("does
+    * spend rank predict activity, and how concentrated is it").
+    * Conversion = any order inside the trailing [[LiftWindowDays]] of
+    * the data's horizon. lift = (conv_d·n_all)/(n_d·conv_all): exact
+    * integers, one division.
+    *
+    * Scale shape: one groupBy(customer) pass over orders builds the
+    * per-customer frame (customer-dim-sized); ntile runs over that
+    * dim frame. At 10⁹ customers swap the global ntile for
+    * equidepth-histogram boundaries (the `histogram_equidepth`
+    * two-pass pattern) — same output contract.
+    */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        (money(col("o_totalprice")) * 100).cast("long").as("p"))
+    val mx = o.agg(max(col("d")).as("__mx"))
+    val cust = o.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("p")).as("spend_c"),
+        max(when(col("d") >= date_sub(col("__mx"), LiftWindowDays - 1), 1L)
+          .otherwise(0L)).as("conv"))
+    val deciled = cust.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("spend_c").desc, col("o_custkey"))))
+    val tot = deciled.agg(count(lit(1)).as("n_all"), sum(col("conv")).as("conv_all"))
+    deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("conv")).as("n_conv"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_cust"), col("n_conv"),
+        expr("CAST(n_conv AS DOUBLE) / CAST(n_cust AS DOUBLE)").as("conv_rate"),
+        expr("CAST(n_conv * n_all AS DOUBLE) / CAST(n_cust * conv_all AS DOUBLE)")
+          .as("lift"))
+      .orderBy("decile")
+  }
+
+  val decileLiftSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+       |  FROM orders),
+       |mx AS (SELECT max(d) AS mxd FROM o),
+       |cust AS (
+       |  SELECT o_custkey, sum(p) AS spend_c,
+       |    max(CASE WHEN d >= (SELECT mxd FROM mx) - ${LiftWindowDays - 1}
+       |        THEN 1 ELSE 0 END) AS conv
+       |  FROM o GROUP BY o_custkey),
+       |dec AS (
+       |  SELECT *, ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) AS decile
+       |  FROM cust),
+       |t AS (SELECT count(*) AS n_all, CAST(sum(conv) AS BIGINT) AS conv_all FROM dec)
+       |SELECT CAST(decile AS INTEGER) AS decile,
+       |  count(*) AS n_cust, CAST(sum(conv) AS BIGINT) AS n_conv,
+       |  CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate,
+       |  CAST(sum(conv) * (SELECT n_all FROM t) AS DOUBLE)
+       |    / CAST(count(*) * (SELECT conv_all FROM t) AS DOUBLE) AS lift
+       |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
+
+  // -------------------------------------------------------- survival_hazard
+
+  private val TenureBucketDays = 30
+
+  /** Discrete-time survival: per 30-day tenure bucket, the customers
+    * still at risk, the customers whose LAST observed order fell in
+    * that bucket ("churned there", with the last-order-as-event
+    * convention of retention analytics — censoring is out of scope
+    * for an observed-horizon readout), and the hazard d/n — the
+    * life-table the retention curve integrates. at_risk needs no
+    * second pass: it is the descending-tenure running sum of the
+    * churn counts.
+    *
+    * Scale shape: one groupBy(customer) pass (first/last order dates)
+    * reduces to the customer dim, a second groupBy reduces to the
+    * ≤ (horizon/30)-row life table; the window runs on that bounded
+    * table. hazard = exact-integer division.
+    */
+  def survivalHazard(spark: SparkSession, dir: String): DataFrame = {
+    val span = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("first_d"),
+        max(col("o_orderdate").cast("date")).as("last_d"))
+      .select((datediff(col("last_d"), col("first_d"))
+        .cast("long") / TenureBucketDays).cast("int").as("tenure"))
+    val d = span.groupBy(col("tenure")).agg(count(lit(1)).as("churned"))
+    d.withColumn("at_risk",
+        sum(col("churned")).over(Window.orderBy(col("tenure").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("tenure"), col("at_risk"), col("churned"),
+        expr("CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE)").as("hazard"))
+      .orderBy("tenure")
+  }
+
+  val survivalHazardSql: String =
+    s"""WITH span AS (
+       |  SELECT CAST((max(CAST(o_orderdate AS DATE)) - min(CAST(o_orderdate AS DATE)))
+       |      // $TenureBucketDays AS INTEGER) AS tenure
+       |  FROM orders GROUP BY o_custkey),
+       |d AS (SELECT tenure, count(*) AS churned FROM span GROUP BY tenure),
+       |r AS (
+       |  SELECT *, sum(churned) OVER (ORDER BY tenure DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+       |  FROM d)
+       |SELECT tenure, CAST(at_risk AS BIGINT) AS at_risk,
+       |  CAST(churned AS BIGINT) AS churned,
+       |  CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
+       |FROM r ORDER BY tenure""".stripMargin
+}

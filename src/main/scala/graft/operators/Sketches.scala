@@ -397,4 +397,157 @@ object Sketches {
       |UNION ALL
       |SELECT 'ALL', count(DISTINCT user_id) FROM events
       |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------- bitmap_intersect
+
+  /** EXACT pairwise audience overlap via bitmap AND — distinct users
+    * in A∩B for every pair of event types, with Jaccard. The same
+    * word-mask state [[bitmapDistinct]] builds serves all 10 pairs:
+    * the pair join runs WORD-ALIGNED (equi-join on the word index —
+    * masks AND together per word, popcounts sum), so intersecting two
+    * billion-user audiences moves ⌈keyspace/64⌉ words per side, never
+    * raw user ids, and missing words drop out of the inner join
+    * because their AND is zero anyway. The oracle states the plain
+    * COUNT(DISTINCT) self-join semantics — the bitmap rewrite is
+    * invisible in the result.
+    *
+    * Scale shape: ONE raw pass builds the per-type words (map-side
+    * bit_or partial agg); everything after is word-space algebra,
+    * ∝ occupied words × pairs. jaccard = exact ints, one division.
+    */
+  def bitmapIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.core.OwnedCaches.own(bitmapWords(
+      Tables(spark, dir).events.select(col("event_type"), col("user_id")),
+      Seq("event_type"))
+      .cache()) // one raw pass; totals AND pair joins both read this
+    val totals = words.groupBy(col("event_type"))
+      .agg(sum(bit_count(col("mask"))).as("n"))
+    val a = words.select(col("event_type").as("type_a"), col("w"), col("mask").as("ma"))
+    val b = words.select(col("event_type").as("type_b"), col("w"), col("mask").as("mb"))
+    a.join(b, Seq("w")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(bit_count(col("ma").bitwiseAND(col("mb")))).as("n_intersect"))
+      .join(broadcast(totals.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n", "n_a")), "type_a")
+      .join(broadcast(totals.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n", "n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_intersect"),
+        expr("CAST(n_intersect AS DOUBLE) / CAST(n_a + n_b - n_intersect AS DOUBLE)")
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val bitmapIntersectSql: String =
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |t AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+      |i AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_intersect
+      |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT i.type_a, i.type_b,
+      |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+      |  CAST(i.n_intersect AS BIGINT) AS n_intersect,
+      |  CAST(i.n_intersect AS DOUBLE) / CAST(ta.n + tb.n - i.n_intersect AS DOUBLE)
+      |    AS jaccard
+      |FROM i JOIN t ta ON ta.event_type = i.type_a
+      |JOIN t tb ON tb.event_type = i.type_b
+      |ORDER BY i.type_a, i.type_b""".stripMargin
+
+  // ----------------------------------------------------------- hll_intersect
+
+  /** SKETCH-SPACE pairwise overlap: estimated distinct users in A∩B
+    * for every event-type pair by inclusion–exclusion over HLL
+    * registers — est(A) + est(B) − est(A∪B), where the union estimate
+    * comes from the bucketwise MAX of the two register sets (the
+    * merge that makes HLL a lattice; no raw data is touched to form
+    * ANY union). This is the sketch-algebra dual of
+    * [[bitmapIntersect]]: O(64) state per side instead of
+    * O(keyspace/64), at estimate accuracy instead of exactness — the
+    * standard trade when audiences are web-scale and approximate
+    * overlap is enough (intersection error compounds, which is why
+    * the exact bitmap variant exists beside it).
+    *
+    * Scale shape: one raw register-build pass; pair algebra runs on a
+    * pairs × 64 grid — constant size at ANY corpus. The whole table,
+    * estimates included, is bit-reproducible in the oracle
+    * ([[EstimateExpr]] discipline).
+    */
+  def hllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    val regs = graft.core.OwnedCaches.own(rhoRegisters(
+      Tables(spark, dir).events.select(col("event_type"), col("user_id")),
+      Seq("event_type"))
+      .cache()) // one raw pass; per-type and pair estimates read this
+    def estOf(grouped: DataFrame, keys: Seq[String]): DataFrame = grouped
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
+          .as("zsum"))
+      .withColumn("est", expr(EstimateExpr))
+      .select(keys.map(col) :+ col("est"): _*)
+    val perType = estOf(regs, Seq("event_type"))
+    val types = regs.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    // union registers: pairs × bucket spine, bucketwise max of both
+    // sides (absent register = 0, i.e. the bucket stays empty unless
+    // either side filled it)
+    val spine = (0L until M.toLong).toDF("bucket") // long: matches shiftright's type
+    val grid = pairs.crossJoin(broadcast(spine))
+      .join(regs.select(col("event_type").as("type_a"), col("bucket"),
+        col("m").as("m_a")), Seq("type_a", "bucket"), "left")
+      .join(regs.select(col("event_type").as("type_b"), col("bucket"),
+        col("m").as("m_b")), Seq("type_b", "bucket"), "left")
+      .select(col("type_a"), col("type_b"),
+        greatest(coalesce(col("m_a"), lit(0)), coalesce(col("m_b"), lit(0))).as("mu"))
+      .filter(col("mu") > 0)
+      .withColumnRenamed("mu", "m")
+    val unionEst = estOf(grid, Seq("type_a", "type_b"))
+      .withColumnRenamed("est", "est_union")
+    unionEst
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("est").as("est_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("est").as("est_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val hllIntersectSql: String =
+    s"""WITH h AS (
+      |  SELECT event_type, ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+      |  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+      |br AS (
+      |  SELECT event_type, h >> $SuffixBits AS bucket,
+      |    CASE WHEN h & $SuffixMask = 0 THEN ${SuffixBits + 1}
+      |         ELSE ${SuffixBits + 1} - length(bin(h & $SuffixMask)) END AS rho
+      |  FROM h),
+      |regs AS (SELECT event_type, bucket, max(rho) AS m FROM br GROUP BY 1, 2),
+      |z1 AS (SELECT event_type, count(*) AS nb,
+      |         sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS zsum
+      |       FROM regs GROUP BY 1),
+      |e1 AS (SELECT event_type, $EstimateExpr AS est FROM z1),
+      |ty AS (SELECT DISTINCT event_type FROM regs),
+      |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+      |sp AS (SELECT CAST(unnest(range($M)) AS INTEGER) AS bucket),
+      |grid AS (
+      |  SELECT pr.type_a, pr.type_b,
+      |    greatest(coalesce(ra.m, 0), coalesce(rb.m, 0)) AS m
+      |  FROM pr CROSS JOIN sp
+      |  LEFT JOIN regs ra ON ra.event_type = pr.type_a AND ra.bucket = sp.bucket
+      |  LEFT JOIN regs rb ON rb.event_type = pr.type_b AND rb.bucket = sp.bucket),
+      |zu AS (SELECT type_a, type_b, count(*) AS nb,
+      |         sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS zsum
+      |       FROM grid WHERE m > 0 GROUP BY 1, 2),
+      |eu AS (SELECT type_a, type_b, $EstimateExpr AS est_union FROM zu)
+      |SELECT eu.type_a, eu.type_b, ea.est AS est_a, eb.est AS est_b,
+      |  eu.est_union, ea.est + eb.est - eu.est_union AS est_intersect
+      |FROM eu JOIN e1 ea ON ea.event_type = eu.type_a
+      |JOIN e1 eb ON eb.event_type = eu.type_b
+      |ORDER BY eu.type_a, eu.type_b""".stripMargin
 }

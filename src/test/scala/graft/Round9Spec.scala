@@ -163,6 +163,91 @@ class Round9Spec extends AnyFunSuite {
     assert(math.abs(wmean - 1.0) < 1e-9)
   }
 
+  test("sketch-space intersect tracks the exact bitmap intersect") {
+    import graft.operators.Sketches
+    val exact = Sketches.bitmapIntersect(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_intersect")).toMap
+    val est = Sketches.hllIntersect(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("est_intersect")).toMap
+    assert(exact.keySet == est.keySet && exact.size == 10)
+    // inclusion–exclusion compounds the per-set error (~1.04/√64 ≈ 13%
+    // each, three estimates) — 50% is the loose sanity band that still
+    // catches a broken union merge (which lands orders of magnitude off)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(est(k) - ex) <= math.max(0.5 * ex, 40.0),
+        s"pair $k: est ${est(k)} vs exact $ex")
+    }
+    graft.core.OwnedCaches.release()
+  }
+
+  test("features family invariants hold") {
+    import graft.operators.Features
+    val oh = Features.oneHotTopk(spark, sf).collect()
+    // exactly one indicator fires per row
+    assert(oh.forall { r =>
+      (1 to 5).map(k => r.getAs[Int](s"oh_$k")).sum + r.getAs[Int]("oh_other") == 1 })
+
+    val fs = Features.featureScale(spark, sf).collect()
+    assert(fs.forall { r =>
+      val m = r.getAs[Double]("minmax"); m >= 0.0 && m <= 1.0 })
+
+    val dl = Features.decileLift(spark, sf).collect()
+    assert(dl.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    // lift is conversion-mass-weighted to 1 across deciles:
+    // Σ n_conv = conv_all and Σ n_cust = n_all by construction
+    val nAll = dl.map(_.getAs[Long]("n_cust")).sum
+    val convAll = dl.map(_.getAs[Long]("n_conv")).sum
+    dl.foreach { r =>
+      val expect = r.getAs[Long]("n_conv").toDouble * nAll /
+        (r.getAs[Long]("n_cust") * convAll)
+      assert(math.abs(r.getAs[Double]("lift") - expect) < 1e-12) }
+
+    val sh = Features.survivalHazard(spark, sf).collect()
+    // at_risk telescopes: risk set at t = churned(t) + risk set at t+1
+    sh.sortBy(_.getAs[Int]("tenure")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("at_risk") - a.getAs[Long]("churned") ==
+          b.getAs[Long]("at_risk"))
+      case _ => ()
+    }
+    assert(sh.forall { r =>
+      val h = r.getAs[Double]("hazard"); h > 0.0 && h <= 1.0 })
+  }
+
+  test("streaming register-space rollup equals the batch sketch at every grain") {
+    import graft.streaming.{EventStream, HllSink}
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_rin").toString
+    val st = Files.createTempDirectory("graft_rst").toString
+    def ev(id: Long, user: Long, typ: String): String =
+      s"""{"event_id":$id,"ts_us":${id * 1000},"user_id":$user,"event_type":"$typ","value":1.0}"""
+    Files.writeString(Paths.get(s"$in/b1.jsonl"),
+      (1 to 60).map(i => ev(i, i % 23, if (i % 2 == 0) "view" else "click")).mkString("\n"))
+    val q = HllSink.start(spark, in, st)
+    try {
+      q.processAllAvailable()
+      Files.writeString(Paths.get(s"$in/b2.jsonl"),
+        (40 to 120).map(i => ev(i, i % 37, if (i % 3 == 0) "buy" else "click")).mkString("\n"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch reference over ALL input through the same derivation
+    val ref = Files.createTempDirectory("graft_rref").toString
+    HllSink.registers(spark.read.schema(EventStream.eventSchema).json(in))
+      .write.parquet(s"$ref/v0")
+    val streamed = HllSink.rollupEstimate(spark, st)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = HllSink.rollupEstimate(spark, ref)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // every grain — the 3 types AND the register-merged ALL row —
+    // bit-identical to the batch sketch over the concatenated input
+    assert(streamed.keySet == Set("ALL", "buy", "click", "view"))
+    assert(streamed == direct,
+      s"register-space rollup diverged: $streamed vs $direct")
+    // the ALL row never touched raw events: it derives from ≤ 3×64
+    // state rows (boundedness is the whole point)
+    assert(HllSink.currentRegisters(spark, st).count() <= 3 * 64)
+  }
+
   test("active_users_hll production estimates equal the audited estimates") {
     val prod = graft.operators.Sketches.activeUsersHll(spark, sf)
       .collect().map(r => r.getString(0) -> r.getAs[Double]("wau7_estimate")).toMap
