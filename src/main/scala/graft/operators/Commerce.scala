@@ -415,4 +415,208 @@ object Commerce {
       |SELECT CAST(w.day AS VARCHAR) AS day, coalesce(dau.dau, 0) AS dau, w.wau7
       |FROM w LEFT JOIN dau ON dau.day = w.day
       |ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------- cohort_ltv
+
+  /** Cohort LTV curves: for each acquisition cohort (first-order
+    * month) and month offset, the cohort's revenue that month, its
+    * CUMULATIVE revenue, and cumulative revenue per acquired customer
+    * — the lifetime-value readout [[retentionCohorts]]' activity
+    * matrix prices out. Months are integer month-indices (yr·12+mo),
+    * revenue stays exact cents through the cumulative window (longs
+    * under the sum, one division per row at the end).
+    *
+    * Scale shape: one groupBy(customer) pass finds cohorts
+    * (customer-dim-sized), one fact pass aggregates to the
+    * cohorts × offsets matrix (calendar² rows at most), and the
+    * cumulative window runs per cohort over that bounded matrix.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"),
+        (money(col("o_totalprice")) * 100).cast("long").as("p"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+    val sizes = first.groupBy(col("cohort_m")).agg(count(lit(1)).as("cohort_size"))
+    val cell = o.join(first, "o_custkey")
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("offset_m"))
+      .agg(sum(col("p")).as("rev_c"))
+    val wCum = Window.partitionBy("cohort_m").orderBy("offset_m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.withColumn("cum_c", sum(col("rev_c")).over(wCum))
+      .join(broadcast(sizes), "cohort_m")
+      .select(col("cohort_m").cast("int").as("cohort_month"),
+        col("offset_m").cast("int").as("offset_months"),
+        expr("CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        expr("CAST(cum_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("cum_revenue"),
+        col("cohort_size"),
+        expr("CAST(cum_c AS DOUBLE) / CAST(cohort_size * 100 AS DOUBLE)")
+          .as("ltv_per_customer"))
+      .orderBy("cohort_month", "offset_months")
+  }
+
+  val cohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+      |sz AS (SELECT cohort_m, count(*) AS cohort_size FROM f GROUP BY 1),
+      |cell AS (
+      |  SELECT f.cohort_m, o.m - f.cohort_m AS offset_m, sum(o.p) AS rev_c
+      |  FROM o JOIN f ON f.o_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, sum(rev_c) OVER (PARTITION BY cohort_m ORDER BY offset_m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      |  FROM cell)
+      |SELECT CAST(cum.cohort_m AS INTEGER) AS cohort_month,
+      |  CAST(offset_m AS INTEGER) AS offset_months,
+      |  CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+      |  CAST(cum_c AS DOUBLE) / CAST(100 AS DOUBLE) AS cum_revenue,
+      |  CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+      |  CAST(cum_c AS DOUBLE) / CAST(sz.cohort_size * 100 AS DOUBLE) AS ltv_per_customer
+      |FROM cum JOIN sz ON sz.cohort_m = cum.cohort_m
+      |ORDER BY cohort_month, offset_months""".stripMargin
+
+  // --------------------------------------------------------- time_to_convert
+
+  /** Signup→purchase conversion latency: per user, the first signup
+    * event and the first purchase AT OR AFTER it; output is the
+    * one-row funnel-latency summary (converted share + latency
+    * percentiles in seconds) a growth dashboard heads with. Exact
+    * percentiles on integer micros, rounded-4 (the quantile_profile
+    * parity convention); the seconds conversion is one double divide.
+    *
+    * Scale shape: two user-grain partial aggregates (first signup,
+    * first qualifying purchase) on the sessionize shuffle key, then a
+    * one-row summary. The percentile buffers user-grain latencies —
+    * the GK `approx_percentile` swap documented on
+    * `quantileProfileApprox` applies at 100 TB.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("ts_us") >= col("s_us"))
+      .groupBy(col("user_id"), col("s_us")).agg(min(col("ts_us")).as("p_us"))
+      .select(col("user_id"), (col("p_us") - col("s_us")).as("lat_us"))
+    su.agg(count(lit(1)).as("n_signup")).crossJoin(
+      conv.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us")))
+      .select(col("n_signup"), col("n_converted"),
+        expr("CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE)").as("conv_rate"),
+        expr("p50_us / CAST(1000000 AS DOUBLE)").as("p50_latency_s"),
+        expr("p90_us / CAST(1000000 AS DOUBLE)").as("p90_latency_s"))
+  }
+
+  val timeToConvertSql: String =
+    """WITH su AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |cv AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) - su.s_us AS lat_us
+      |  FROM events e JOIN su ON su.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_us
+      |  GROUP BY e.user_id, su.s_us),
+      |a AS (SELECT count(*) AS n_signup FROM su),
+      |b AS (SELECT count(*) AS n_converted,
+      |        round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+      |        round(quantile_cont(lat_us, 0.9), 4) AS p90_us
+      |      FROM cv)
+      |SELECT CAST(n_signup AS BIGINT) AS n_signup,
+      |  CAST(n_converted AS BIGINT) AS n_converted,
+      |  CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE) AS conv_rate,
+      |  p50_us / CAST(1000000 AS DOUBLE) AS p50_latency_s,
+      |  p90_us / CAST(1000000 AS DOUBLE) AS p90_latency_s
+      |FROM a, b""".stripMargin
+
+  // ------------------------------------------------------ attribution_linear
+
+  private val AttribWindowDays = 7
+
+  /** LINEAR multi-touch attribution: each purchase event's value
+    * splits equally across the user's NON-purchase touches in the
+    * trailing [[AttribWindowDays]] days, and the splits roll up per
+    * touch channel — the "which channel earns the credit" statement,
+    * complementing `order_session_attribution`'s last-touch rule.
+    * Per-purchase shares are exact rationals rounded to 6 decimals
+    * and summed in DECIMAL(28,6) — the order-independent exact sum
+    * (χ² convention), so the rollup hash-matches no matter how either
+    * engine schedules the partial aggregates. Purchases with NO touch
+    * in the window credit the 'unattributed' row, so the table totals
+    * to gross purchase value (the reconciliation test pins it).
+    *
+    * Scale shape: a user-keyed equi-join (the sessionize shuffle
+    * grain) with the time band in the join condition as a residual —
+    * never a range join; per-purchase touch counts partial-aggregate
+    * before the division, and the rollup output is |channels|+1 rows.
+    */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = AttribWindowDays * 86400000000L
+    val ev = Tables(spark, dir).events
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us").as("p_us"),
+        (money(col("value")) * 100).cast("long").as("rev_c"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_uid"), col("ts_us").as("t_us"), col("event_type"))
+    // the time band lives IN the join condition: a purchase whose
+    // user has touches but none inside the window must surface as
+    // the unmatched (null) row — a post-join filter would drop it
+    // and leak its value out of the table
+    val touches = conv.join(touch,
+        col("user_id") === col("t_uid") &&
+          col("t_us") <= col("p_us") && col("t_us") >= col("p_us") - windowUs,
+        "left")
+      .groupBy(col("event_id"), col("rev_c"), col("event_type"))
+      .agg(count(col("t_us")).as("cnt"))
+    val perConv = touches
+      .withColumn("k", sum(col("cnt")).over(Window.partitionBy("event_id")))
+    perConv
+      .select(
+        when(col("k") === 0, lit("unattributed"))
+          .otherwise(col("event_type")).as("channel"),
+        when(col("k") === 0, col("rev_c").cast("double"))
+          .otherwise(expr(
+            "round(CAST(CAST(rev_c AS DECIMAL(38,0)) * cnt AS DOUBLE) / CAST(k AS DOUBLE), 6)"))
+          .as("share_c"))
+      .groupBy(col("channel"))
+      .agg(expr("CAST(sum(CAST(share_c AS DECIMAL(28,6))) AS DOUBLE)").as("rev_cents"))
+      .select(col("channel"),
+        expr("rev_cents / CAST(100 AS DOUBLE)").as("attributed_revenue"))
+      .orderBy("channel")
+  }
+
+  val attributionLinearSql: String = {
+    val windowUs = AttribWindowDays * 86400000000L
+    s"""WITH c AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS p_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id AS t_uid, epoch_us(ts) AS t_us, event_type
+      |      FROM events WHERE event_type <> 'purchase'),
+      |tch AS (
+      |  SELECT c.event_id, c.rev_c, t.event_type, count(t.t_us) AS cnt
+      |  FROM c LEFT JOIN t ON t.t_uid = c.user_id
+      |    AND t.t_us <= c.p_us AND t.t_us >= c.p_us - $windowUs
+      |  GROUP BY 1, 2, 3),
+      |po AS (
+      |  SELECT *, sum(cnt) OVER (PARTITION BY event_id) AS k FROM tch),
+      |sh AS (
+      |  SELECT CASE WHEN k = 0 THEN 'unattributed' ELSE event_type END AS channel,
+      |    CASE WHEN k = 0 THEN CAST(rev_c AS DOUBLE)
+      |         ELSE round(CAST(CAST(rev_c AS DECIMAL(38,0)) * cnt AS DOUBLE) / CAST(k AS DOUBLE), 6)
+      |    END AS share_c
+      |  FROM po)
+      |SELECT channel,
+      |  CAST(sum(CAST(share_c AS DECIMAL(28,6))) AS DOUBLE) / CAST(100 AS DOUBLE)
+      |    AS attributed_revenue
+      |FROM sh GROUP BY channel ORDER BY channel""".stripMargin
+  }
 }

@@ -377,4 +377,58 @@ object Graph {
       |SELECT p AS part_key, CAST(hop AS BIGINT) AS hop
       |FROM d$BfsHops ORDER BY part_key""".stripMargin
   }
+
+  /** Degree distribution of the co-purchase graph: how many parts
+    * have each co-purchase degree — the power-law/hub diagnostic that
+    * tells you whether `triangle_count`'s orientation trick and
+    * `pagerank_topk`'s skew handling will matter on THIS graph (a
+    * heavy tail ⇒ yes). Same support-filtered edge derivation as the
+    * triangle/BFS family (one Σ basket² build); the histogram is two
+    * tiny aggregates on top. share = exact-integer division.
+    *
+    * Scale shape: edge build partial-aggregates; degrees reduce to
+    * the node set; the histogram reduces to ≤ max-degree rows. The
+    * windowed total runs on that bounded histogram.
+    */
+  def degreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("basket"))
+      .select(explode(col("basket")).as("p1"), col("basket"))
+      .select(col("p1"), explode(col("basket")).as("p2"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TriMinSupport)
+    val deg = edges.select(col("p1").as("p"))
+      .union(edges.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    hist
+      .withColumn("total", org.apache.spark.sql.functions.sum(col("n_nodes"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("deg").cast("long").as("degree"), col("n_nodes"),
+        expr("CAST(n_nodes AS DOUBLE) / CAST(total AS DOUBLE)").as("share"))
+      .orderBy("degree")
+  }
+
+  val degreeProfileSql: String =
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e AS (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |d AS (
+      |  SELECT p, count(*) AS deg
+      |  FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e)
+      |  GROUP BY p),
+      |h AS (SELECT deg, count(*) AS n_nodes FROM d GROUP BY 1),
+      |t AS (SELECT *, sum(n_nodes) OVER () AS total FROM h)
+      |SELECT CAST(deg AS BIGINT) AS degree, CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(n_nodes AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM t ORDER BY degree""".stripMargin
 }

@@ -531,6 +531,79 @@ object Stats {
       .orderBy("dow")
   }
 
+  // -------------------------------------------------------- anomaly_rolling
+
+  /** Rolling z over the one-row-joined trailing moments (s, sxx, m
+    * exact ints from the frame; excludes the current day, so today
+    * never dilutes its own baseline).
+    */
+  private val RollZExpr: String =
+    "(CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / CAST(m AS DOUBLE)) / " +
+      "sqrt(CAST(sxx * m - s * s AS DOUBLE) / CAST(CAST(m AS DECIMAL(38,0)) * (m - 1) AS DOUBLE))"
+
+  private val RollWindow = 7
+
+  /** Rolling-window anomaly screen: each (event type, day)'s revenue
+    * against the TRAILING 7 observed days' mean/σ (current day
+    * excluded — the self-excluding baseline that keeps a spike from
+    * hiding itself), flagging |z| > 3. Where `anomaly_zscore` scores
+    * against the all-time distribution, this is the drifting baseline
+    * an on-call monitor actually pages on. Frame moments are exact
+    * cents integers (decimal(38,0) under the window sums), the z is
+    * one shared expression; degenerate frames (fewer than 3 prior
+    * days, or zero variance) are gated out identically on both
+    * engines.
+    *
+    * Scale shape: one partial-agg pass reduces the log to the
+    * (type × day) calendar-bounded frame; the rolling window runs
+    * partitioned BY TYPE over that frame — parallel across types,
+    * never a global sort.
+    */
+  def anomalyRolling(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as("y"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-RollWindow, -1)
+    val framed = daily
+      .withColumn("m", count(col("y")).over(w))
+      .withColumn("s", sum(col("y").cast("decimal(38,0)")).over(w))
+      .withColumn("sxx", sum(col("y").cast("decimal(38,0)") * col("y")).over(w))
+      .filter(col("m") >= 3)
+      .filter(expr("sxx * m - s * s > 0"))
+      .withColumn("roll_z", expr(RollZExpr))
+    framed.filter(abs(col("roll_z")) > 3.0)
+      .select(col("event_type"), col("d").cast("string").as("day"),
+        expr("CAST(y AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        expr("CAST(s AS DOUBLE) / CAST(m * 100 AS DOUBLE)").as("roll_mean"),
+        col("roll_z"))
+      .orderBy("event_type", "day")
+  }
+
+  val anomalyRollingSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |f AS (
+       |  SELECT *,
+       |    count(y) OVER w AS m,
+       |    sum(CAST(y AS DECIMAL(38,0))) OVER w AS s,
+       |    sum(CAST(y AS DECIMAL(38,0)) * y) OVER w AS sxx
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+       |    ROWS BETWEEN $RollWindow PRECEDING AND 1 PRECEDING)),
+       |z AS (
+       |  SELECT *, $RollZExpr AS roll_z FROM f
+       |  WHERE m >= 3 AND sxx * m - s * s > 0)
+       |SELECT event_type, CAST(d AS VARCHAR) AS day,
+       |  CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+       |  CAST(s AS DOUBLE) / CAST(m * 100 AS DOUBLE) AS roll_mean,
+       |  roll_z
+       |FROM z WHERE abs(roll_z) > 3.0
+       |ORDER BY event_type, day""".stripMargin
+
   val seasonalIndexSql: String =
     """WITH daily AS (
       |  SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 3) % 7 AS INTEGER) AS dow,

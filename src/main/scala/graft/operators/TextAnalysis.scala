@@ -987,4 +987,49 @@ object TextAnalysis {
       |  string_agg(CAST(pos AS VARCHAR) || ':' || CAST(hv AS VARCHAR), ',' ORDER BY pos) AS fp_csv
       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  private val ZipfTopK = 100
+
+  /** Zipf rank–frequency profile of the corpus vocabulary: the top
+    * 100 terms with rank, frequency, corpus share, and the rank×freq
+    * product whose constancy IS Zipf's law — the vocabulary-health
+    * check a tokenizer build runs before committing a vocab (a flat
+    * product curve ⇒ natural text; a cliff ⇒ boilerplate or spam
+    * flooding the corpus). Same normalized tokenization as the rest
+    * of the text suite; shares are exact-integer divisions.
+    *
+    * Scale shape: explode → term-count partial agg (the vocabulary,
+    * not the corpus, survives the shuffle), then one bounded-k
+    * ordered take. The rank window runs on the top-k slice only.
+    */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir).documents
+      .select(explode(normTokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val tot = tf.agg(sum(col("freq")).as("total"))
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfTopK)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("term"), col("freq"),
+        expr("CAST(freq AS DOUBLE) / CAST(total AS DOUBLE)").as("share"),
+        expr("CAST(rank * freq AS DOUBLE) / CAST(total AS DOUBLE)").as("zipf_c"))
+      .orderBy("rank")
+  }
+
+  val zipfProfileSql: String =
+    s"""WITH ex AS (
+      |  SELECT unnest(list_filter(string_split_regex(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+      |    x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS freq FROM ex GROUP BY 1),
+      |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
+      |r AS (
+      |  SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+      |  FROM tf QUALIFY rank <= $ZipfTopK)
+      |SELECT CAST(rank AS INTEGER) AS rank, term, freq,
+      |  CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      |  CAST(rank * freq AS DOUBLE) / CAST(total AS DOUBLE) AS zipf_c
+      |FROM r, t ORDER BY rank""".stripMargin
 }

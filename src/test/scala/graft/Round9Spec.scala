@@ -214,6 +214,45 @@ class Round9Spec extends AnyFunSuite {
       val h = r.getAs[Double]("hazard"); h > 0.0 && h <= 1.0 })
   }
 
+  test("lifecycle/attribution family invariants hold") {
+    import graft.operators.{Commerce, Graph}
+    // attribution reconciles: the table totals to gross purchase value
+    // (rounding loses < 1e-4 cents per split by construction)
+    val att = Commerce.attributionLinear(spark, sf).collect()
+    val attTotal = att.map(_.getAs[Double]("attributed_revenue")).sum
+    val gross = graft.core.Tables(spark, sf).events
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(value AS DECIMAL(18,2))")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(math.abs(attTotal - gross) < 0.01,
+      s"attribution leaked revenue: $attTotal vs gross $gross")
+
+    // cohort LTV is cumulative: nondecreasing within each cohort
+    Commerce.cohortLtv(spark, sf).collect()
+      .groupBy(_.getAs[Int]("cohort_month")).foreach { case (_, rs) =>
+        val cum = rs.sortBy(_.getAs[Int]("offset_months"))
+          .map(_.getAs[Double]("cum_revenue"))
+        assert(cum.zip(cum.tail).forall { case (a, b) => b >= a })
+      }
+
+    val ttc = Commerce.timeToConvert(spark, sf).collect().head
+    assert(ttc.getAs[Long]("n_converted") <= ttc.getAs[Long]("n_signup"))
+    assert(ttc.getAs[Double]("p50_latency_s") <= ttc.getAs[Double]("p90_latency_s"))
+
+    // degree shares total 1; zipf ranks are contiguous with freq desc
+    val dp = Graph.degreeProfile(spark, sf).collect()
+    assert(math.abs(dp.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    val zp = graft.operators.TextAnalysis.zipfProfile(spark, sf).collect()
+    assert(zp.map(_.getAs[Int]("rank")).toSeq == (1 to zp.length))
+    val freqs = zp.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => b <= a })
+
+    // rolling anomalies are a (strict) subset of the day grid and all |z|>3
+    val ar = graft.operators.Stats.anomalyRolling(spark, sf).collect()
+    assert(ar.nonEmpty && ar.forall(r => math.abs(r.getAs[Double]("roll_z")) > 3.0))
+    graft.core.OwnedCaches.release()
+  }
+
   test("streaming register-space rollup equals the batch sketch at every grain") {
     import graft.streaming.{EventStream, HllSink}
     import java.nio.file.{Files, Paths}
