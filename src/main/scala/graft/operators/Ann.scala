@@ -618,7 +618,12 @@ object Ann {
         transform(col("embedding"),
           v => floor(v.cast("double") * lit(1e6)).cast("double")).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.OwnedCaches.own(q) // corpus-sized: released by the harness
+    // Deliberately SESSION-SHARED, not OwnedCaches-owned (the dedup
+    // shingle-set rule): FOUR oracled queries plan-match this same
+    // quantized corpus through the CacheManager (embedding_kmeans,
+    // semdedup_prune, knn_graph, dedup_embedding_clusters) — owning
+    // it made each rebuild the corpus, +5 s across the family in the
+    // round-9 bench. MEMORY_AND_DISK and corpus-bounded.
     val nVec = q.count() // O(1) result; materializes the persisted corpus
     val k = kOverride.getOrElse(kmKFor(nVec))
     val wInit = Window.orderBy("vec_id") // k-row frame: single task by construction

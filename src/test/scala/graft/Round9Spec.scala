@@ -83,9 +83,11 @@ class Round9Spec extends AnyFunSuite {
     OwnedCaches.release()
     spark.catalog.clearCache()
     val baseline = spark.sparkContext.getPersistentRDDs.size
-    // one representative per touched cache family: sketch registers,
-    // bitmap words, fill-forward obs, drift bins, basket sets, the
-    // kmeans corpus, graph edge lists, the method-agreement pair trio.
+    // one representative per touched OWNED cache family: sketch
+    // registers, bitmap words, fill-forward obs, drift bins, basket
+    // sets, graph edge lists. SESSION-SHARED frames (dedup shingles,
+    // the kmeans quantized corpus — annotated at their cache sites)
+    // are deliberately absent: they survive release() by design.
     // THUNKS, not DataFrames: own() registers at operator-INVOCATION
     // time, so building all ten frames up front would register every
     // cache before the loop and the first release() would drain them
@@ -98,7 +100,6 @@ class Round9Spec extends AnyFunSuite {
       () => graft.operators.Reports.fillForward(spark, sf),
       () => graft.etl.QualityChecks.distDrift(spark, sf),
       () => graft.operators.Commerce.basketLift(spark, sf),
-      () => graft.operators.Ann.embeddingKmeans(spark, sf),
       () => graft.operators.Graph.bfsHops(spark, sf),
       () => graft.operators.Graph.triangleCount(spark, sf),
       () => graft.operators.Graph.pagerankTopk(spark, sf))
@@ -285,6 +286,80 @@ class Round9Spec extends AnyFunSuite {
     // the ALL row never touched raw events: it derives from ≤ 3×64
     // state rows (boundedness is the whole point)
     assert(HllSink.currentRegisters(spark, st).count() <= 3 * 64)
+  }
+
+  test("round-9 operator plans have the intended shapes") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    // ks_test: the raw log is scanned ONCE (the conditional-count
+    // pivot); no cartesian anywhere
+    val ks = planOf(graft.operators.Stats.ksTest(spark, sf))
+    assert("events".r.findAllIn(ks).length <= 1, s"ks_test rescans raw:\n$ks")
+    assert(!ks.contains("CartesianProduct"))
+
+    // attribution: user-keyed equi-join with the time band as a
+    // residual — never a cartesian/nested-loop
+    val at = planOf(graft.operators.Commerce.attributionLinear(spark, sf))
+    assert(!at.contains("CartesianProduct") && !at.contains("BroadcastNestedLoopJoin"),
+      s"attribution degenerated to a non-equi join:\n$at")
+
+    // feature_scale: the corpus side joins its 3-row moments by
+    // BROADCAST — no shuffle of the scaled side
+    val fs = planOf(graft.operators.Features.featureScale(spark, sf))
+    assert(fs.contains("BroadcastHashJoin"), s"feature_scale lost its broadcast:\n$fs")
+
+    // bitmap_intersect: word-space equi-join; the raw log feeds ONE
+    // word build (cached, read by totals + pair join)
+    val bi = planOf(graft.operators.Sketches.bitmapIntersect(spark, sf))
+    assert(!bi.contains("CartesianProduct"))
+    graft.core.OwnedCaches.release()
+  }
+
+  test("SpaceSaving heavy hitters: bounds and coverage hold under partitioned merge") {
+    graft.functions.SpaceSaving.register(spark)
+    val sess = spark
+    import sess.implicits._
+    // skewed synthetic: 5 heavy keys × 400, 45 tail keys × 10 —
+    // heavy freq (400) > 2n/k (2·2450/16 ≈ 306), so coverage is owed
+    val rows = (0L until 50L).flatMap(i => Seq.fill(if (i < 5) 400 else 10)(i))
+    val out = rows.toDF("k").repartition(8) // force multi-buffer merges
+      .agg(expr("graft_spacesaving(16, k)").as("hh"))
+      .selectExpr("explode(hh) AS h")
+      .select(col("h.key"), col("h.est"), col("h.err"))
+      .collect()
+    assert(out.length <= 16)
+    val trueCnt = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    out.foreach { r =>
+      val t = trueCnt.getOrElse(r.getLong(0), 0L)
+      // est ∈ [true, true + err] — the SpaceSaving invariant, which
+      // the mergeable-summaries combine must preserve
+      assert(r.getLong(1) >= t && r.getLong(1) - r.getLong(2) <= t,
+        s"key ${r.getLong(0)}: est ${r.getLong(1)} err ${r.getLong(2)} true $t")
+    }
+    val thresh = 2.0 * rows.size / 16
+    trueCnt.filter(_._2 > thresh).keys.foreach { hk =>
+      assert(out.exists(_.getLong(0) == hk), s"heavy key $hk missing")
+    }
+  }
+
+  test("built-in session_window matches the custom sessionizer session-for-session") {
+    // session_window is the streaming-native sessionization operator;
+    // its batch face must reproduce the oracled sessionize exactly
+    // (both use a 30-min gap; session_window splits at gap ≥ 30min vs
+    // sessionize's > — indistinguishable on µs-grain data)
+    val ev = graft.core.Tables(spark, sf).events
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("t"))
+    val sw = ev.groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+    val custom = graft.operators.Analytics.sessionize(spark, sf)
+      .select(col("user_id"), col("session_start_us").as("start_us"),
+        col("n_events"))
+    assert(sw.exceptAll(custom).isEmpty && custom.exceptAll(sw).isEmpty,
+      "session_window diverged from sessionize")
   }
 
   test("active_users_hll production estimates equal the audited estimates") {
