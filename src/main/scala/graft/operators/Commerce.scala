@@ -537,6 +537,70 @@ object Commerce {
       |  p90_us / CAST(1000000 AS DOUBLE) AS p90_latency_s
       |FROM a, b""".stripMargin
 
+  // --------------------------------------------------------- funnel_windowed
+
+  private val FunnelStepUs = 86400000000L // each step must land within 24 h
+
+  /** Time-CONSTRAINED funnel: signup → first click within 24 h →
+    * first purchase within 24 h OF THAT CLICK — the windowed
+    * progression `funnel_conversion` (any-order-in-history) can't
+    * express. Each stage is a user-grain min-aggregate over the
+    * previous stage's anchor, so the funnel is exact first-touch
+    * semantics, not mere existence. One summary row with per-stage
+    * counts and conversion rates (exact-integer divisions).
+    *
+    * Scale shape: three user-keyed partial aggregates on the
+    * sessionize shuffle grain (each stage's frame is users-sized,
+    * never events-sized), one broadcast-joined summary row.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
+    val ck = ev.filter(col("event_type") === "click")
+      .join(su, "user_id")
+      .filter(col("ts_us") >= col("s_us") && col("ts_us") < col("s_us") + FunnelStepUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_us"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(ck, "user_id")
+      .filter(col("ts_us") >= col("c_us") && col("ts_us") < col("c_us") + FunnelStepUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+    su.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(ck.agg(count(lit(1)).as("n_click_24h")))
+      .crossJoin(pu.agg(count(lit(1)).as("n_purchase_24h")))
+      .select(col("n_signup"), col("n_click_24h"), col("n_purchase_24h"),
+        expr("CAST(n_click_24h AS DOUBLE) / CAST(n_signup AS DOUBLE)").as("rate_click"),
+        expr("CAST(n_purchase_24h AS DOUBLE) / CAST(n_click_24h AS DOUBLE)")
+          .as("rate_purchase"))
+  }
+
+  val funnelWindowedSql: String =
+    s"""WITH su AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |ck AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+      |  FROM events e JOIN su ON su.user_id = e.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND epoch_us(e.ts) >= su.s_us AND epoch_us(e.ts) < su.s_us + $FunnelStepUs
+      |  GROUP BY 1),
+      |pu AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      |  FROM events e JOIN ck ON ck.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND epoch_us(e.ts) >= ck.c_us AND epoch_us(e.ts) < ck.c_us + $FunnelStepUs
+      |  GROUP BY 1),
+      |a AS (SELECT count(*) AS n_signup FROM su),
+      |b AS (SELECT count(*) AS n_click_24h FROM ck),
+      |c AS (SELECT count(*) AS n_purchase_24h FROM pu)
+      |SELECT CAST(n_signup AS BIGINT) AS n_signup,
+      |  CAST(n_click_24h AS BIGINT) AS n_click_24h,
+      |  CAST(n_purchase_24h AS BIGINT) AS n_purchase_24h,
+      |  CAST(n_click_24h AS DOUBLE) / CAST(n_signup AS DOUBLE) AS rate_click,
+      |  CAST(n_purchase_24h AS DOUBLE) / CAST(n_click_24h AS DOUBLE) AS rate_purchase
+      |FROM a, b, c""".stripMargin
+
   // ------------------------------------------------------ attribution_linear
 
   private val AttribWindowDays = 7

@@ -231,6 +231,51 @@ object Reports {
       |WHERE a.mad > 0 AND d.dev / a.mad > 3.0
       |ORDER BY d.event_id""".stripMargin
 
+  /** Tukey-fence outliers: rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR]
+    * per event type — the boxplot rule, the third member of the
+    * outlier family (z-score assumes normality, MAD resists skew,
+    * IQR is the distribution-free default every EDA pass starts
+    * with). Quartiles exact-rounded (the percentile parity
+    * convention), fences one shared expression with the 1.5 literal
+    * CAST to DOUBLE — every comparison bit-identical in the oracle.
+    *
+    * Scale shape: one grouped-percentile pass (GK swap at 100 TB as
+    * documented on quantileProfileApprox), fences broadcast back,
+    * map-side flag filter.
+    */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val qs = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"))
+      .withColumn("lo_fence",
+        expr("p25 - CAST(1.5 AS DOUBLE) * (p75 - p25)"))
+      .withColumn("hi_fence",
+        expr("p75 + CAST(1.5 AS DOUBLE) * (p75 - p25)"))
+    ev.join(broadcast(qs), "event_type")
+      .filter(col("value") < col("lo_fence") || col("value") > col("hi_fence"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo_fence"), col("hi_fence"))
+      .orderBy("event_id")
+  }
+
+  val iqrOutliersSql: String =
+    """WITH q AS (
+      |  SELECT event_type,
+      |    round(quantile_cont(value, 0.25), 4) AS p25,
+      |    round(quantile_cont(value, 0.75), 4) AS p75
+      |  FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT event_type,
+      |    p25 - CAST(1.5 AS DOUBLE) * (p75 - p25) AS lo_fence,
+      |    p75 + CAST(1.5 AS DOUBLE) * (p75 - p25) AS hi_fence
+      |  FROM q)
+      |SELECT e.event_id, e.event_type, e.value, f.lo_fence, f.hi_fence
+      |FROM events e JOIN f ON f.event_type = e.event_type
+      |WHERE e.value < f.lo_fence OR e.value > f.hi_fence
+      |ORDER BY e.event_id""".stripMargin
+
   /** Winsorization: clamp each event value into its group's
     * [p05, p95] band — the feature-prep primitive that tames tails
     * BEFORE means/regressions see them (detection is `anomaly_mad`'s

@@ -498,6 +498,180 @@ object Stats {
        |  abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - $BenfordExpr) AS abs_dev
        |FROM t ORDER BY digit""".stripMargin
 
+  // --------------------------------------------------------- crosscorr_lag
+
+  private val XcorrMaxLag = 3
+
+  /** Lagged CROSS-correlation between the click and purchase daily
+    * revenue series at lags −3..+3 — the lead/lag detector ("does
+    * click volume lead purchase volume, and by how many days?") that
+    * [[autocorrLag]]'s single-series ACF can't answer. Series align
+    * on the shared day spine (inner join); both are mean-centered by
+    * the n-scaling identity (dev = n·x − S — no float mean ever
+    * forms), the shifted products accumulate exactly in
+    * decimal(38,0), and each r is two casts, one multiply, one sqrt,
+    * one divide on exact operands — bit-reproducible.
+    *
+    * Scale shape: two partial-agg passes reduce the log to the
+    * calendar-bounded joined spine; the ±3 shift columns come from
+    * ONE window over that spine; output is 7 rows.
+    */
+  def crosscorrLag(spark: SparkSession, dir: String): DataFrame = {
+    def daily(t: String) = Tables(spark, dir).events
+      .filter(col("event_type") === t)
+      .groupBy(timestamp_micros(col("ts_us")).cast("date").as("d"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as(s"v_$t"))
+    val joined = daily("click").join(daily("purchase"), "d")
+    val tot = joined.agg(count(lit(1)).as("n"),
+      sum(col("v_click")).cast("decimal(38,0)").as("sx"),
+      sum(col("v_purchase")).cast("decimal(38,0)").as("sy"))
+    val dev = joined.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("n").cast("decimal(38,0)") * col("v_click") - col("sx")).as("dx"),
+        (col("n").cast("decimal(38,0)") * col("v_purchase") - col("sy")).as("dy"))
+    val w = Window.orderBy("d")
+    val shifted = dev.select(
+      col("n") +: col("dx") +: col("dy") +:
+        (-XcorrMaxLag to XcorrMaxLag).filter(_ != 0).map { k =>
+          val c = if (k < 0) lag(col("dy"), -k).over(w) else lead(col("dy"), k).over(w)
+          c.as(s"dy_${lagName(k)}")
+        }: _*)
+    val sums = shifted.agg(
+      max(col("n")).as("n"),
+      (Seq(sum(col("dx") * col("dx")).as("den_x"),
+        sum(col("dy") * col("dy")).as("den_y"),
+        sum(col("dx") * col("dy")).as("num_0")) ++
+        (-XcorrMaxLag to XcorrMaxLag).filter(_ != 0).map(k =>
+          sum(col("dx") * col(s"dy_${lagName(k)}")).as(s"num_${lagName(k)}"))): _*)
+    val rExpr = (k: Int) =>
+      s"CAST(num_${lagName(k)} AS DOUBLE) / " +
+        "sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))"
+    val stackArgs = (-XcorrMaxLag to XcorrMaxLag)
+      .map(k => s"$k, CAST(n - ${math.abs(k)} AS BIGINT), ${rExpr(k)}").mkString(", ")
+    sums.selectExpr(
+        s"stack(${2 * XcorrMaxLag + 1}, $stackArgs) AS (lag, n_pairs, xcorr)")
+      .orderBy("lag")
+  }
+
+  private def lagName(k: Int): String =
+    if (k == 0) "0" else if (k < 0) s"m${-k}" else s"p$k"
+
+  val crosscorrLagSql: String = {
+    val shiftCols = (-XcorrMaxLag to XcorrMaxLag).filter(_ != 0).map { k =>
+      val f = if (k < 0) s"lag(dy, ${-k})" else s"lead(dy, $k)"
+      s"$f OVER (ORDER BY d) AS dy_${lagName(k)}"
+    }.mkString(",\n    ")
+    val numSums = (-XcorrMaxLag to XcorrMaxLag).filter(_ != 0)
+      .map(k => s"sum(dx * dy_${lagName(k)}) AS num_${lagName(k)}").mkString(",\n    ")
+    val unions = (-XcorrMaxLag to XcorrMaxLag).map { k =>
+      s"SELECT CAST($k AS INTEGER) AS lag, CAST(n - ${math.abs(k)} AS BIGINT) AS n_pairs, " +
+        s"CAST(num_${lagName(k)} AS DOUBLE) / " +
+        "sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)) AS xcorr FROM s"
+    }.mkString("\nUNION ALL ")
+    s"""WITH dc AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vx
+       |  FROM events WHERE event_type = 'click' GROUP BY 1),
+       |dp AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vy
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |j AS (SELECT dc.d, vx, vy FROM dc JOIN dp ON dp.d = dc.d),
+       |t AS (SELECT count(*) AS n, sum(CAST(vx AS DECIMAL(38,0))) AS sx,
+       |        sum(CAST(vy AS DECIMAL(38,0))) AS sy FROM j),
+       |dv AS (
+       |  SELECT d, t.n,
+       |    CAST(t.n AS DECIMAL(38,0)) * vx - t.sx AS dx,
+       |    CAST(t.n AS DECIMAL(38,0)) * vy - t.sy AS dy
+       |  FROM j, t),
+       |sh AS (
+       |  SELECT n, dx, dy,
+       |    $shiftCols
+       |  FROM dv),
+       |s AS (
+       |  SELECT max(n) AS n, sum(dx * dx) AS den_x, sum(dy * dy) AS den_y,
+       |    sum(dx * dy) AS num_0,
+       |    $numSums
+       |  FROM sh)
+       |$unions
+       |ORDER BY lag""".stripMargin
+  }
+
+  // ----------------------------------------------------- changepoint_detect
+
+  /** SSE gain of splitting after prefix t — every operand exact
+    * (prefix sums cx/cx2, totals s/q in decimal), the gain a fixed
+    * tree of IEEE ops. Shared text.
+    */
+  private val CpGainExpr: String =
+    "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))" +
+      " - (CAST(cx2 AS DOUBLE) - CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE) / CAST(t AS DOUBLE))" +
+      " - (CAST(q - cx2 AS DOUBLE) - CAST(s - cx AS DOUBLE) * CAST(s - cx AS DOUBLE)" +
+      " / CAST(n - t AS DOUBLE))"
+
+  /** Binary change-point detection on the daily-revenue series: the
+    * split that maximizes the SSE reduction (total SSE minus the two
+    * segments' SSEs — the CART/binary-segmentation criterion), with
+    * both segment means and the gain. Complements [[Reports]]'
+    * CUSUM: CUSUM monitors a KNOWN level online; this finds the best
+    * single break retrospectively. Prefix sums make every candidate
+    * split O(1): one cumulative window, one row per candidate, argmax
+    * by (gain, day) — the whole computation is exact-integer prefixes
+    * plus a fixed double expression per row, so the winner is
+    * engine-stable.
+    *
+    * Scale shape: orders reduce to the calendar-bounded daily frame;
+    * the cumulative window and the argmax both run on that bounded
+    * frame. Nothing row-sized survives the first shuffle.
+    */
+  def changepointDetect(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("y")).cast("decimal(38,0)").as("s"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("q"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = daily.crossJoin(broadcast(tot))
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("cx", sum(col("y").cast("decimal(38,0)")).over(w))
+      .withColumn("cx2", sum(col("y").cast("decimal(38,0)") * col("y")).over(w))
+      .filter(col("t") < col("n")) // a split needs a nonempty right side
+      .withColumn("gain", expr(CpGainExpr))
+    val wBest = Window.orderBy(col("gain").desc, col("d"))
+    pref.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("d").cast("string").as("split_day"),
+        col("t").as("n_before"), (col("n") - col("t")).as("n_after"),
+        expr("CAST(cx AS DOUBLE) / CAST(t * 100 AS DOUBLE)").as("mean_before"),
+        expr("CAST(s - cx AS DOUBLE) / CAST((n - t) * 100 AS DOUBLE)").as("mean_after"),
+        expr("gain / CAST(10000 AS DOUBLE)").as("sse_gain"))
+  }
+
+  val changepointDetectSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |tt AS (SELECT count(*) AS n, sum(CAST(y AS DECIMAL(38,0))) AS s,
+       |         sum(CAST(y AS DECIMAL(38,0)) * y) AS q FROM daily),
+       |p AS (
+       |  SELECT d, tt.n, tt.s, tt.q,
+       |    count(*) OVER w AS t,
+       |    sum(CAST(y AS DECIMAL(38,0))) OVER w AS cx,
+       |    sum(CAST(y AS DECIMAL(38,0)) * y) OVER w AS cx2
+       |  FROM daily, tt
+       |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |g AS (
+       |  SELECT *, $CpGainExpr AS gain FROM p WHERE t < n),
+       |r AS (SELECT *, row_number() OVER (ORDER BY gain DESC, d) AS rk FROM g)
+       |SELECT CAST(d AS VARCHAR) AS split_day,
+       |  CAST(t AS BIGINT) AS n_before, CAST(n - t AS BIGINT) AS n_after,
+       |  CAST(cx AS DOUBLE) / CAST(t * 100 AS DOUBLE) AS mean_before,
+       |  CAST(s - cx AS DOUBLE) / CAST((n - t) * 100 AS DOUBLE) AS mean_after,
+       |  gain / CAST(10000 AS DOUBLE) AS sse_gain
+       |FROM r WHERE rk = 1""".stripMargin
+
   // -------------------------------------------------------- seasonal_index
 
   /** Day-of-week seasonal index of order revenue: average daily

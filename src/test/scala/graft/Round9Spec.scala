@@ -317,6 +317,38 @@ class Round9Spec extends AnyFunSuite {
     graft.core.OwnedCaches.release()
   }
 
+  test("timeseries/funnel batch invariants hold") {
+    import graft.operators.{Commerce, Reports, Stats}
+    val xc = Stats.crosscorrLag(spark, sf).collect()
+    assert(xc.map(_.getAs[Int]("lag")).toSeq == (-3 to 3))
+    assert(xc.forall { r =>
+      val v = r.getAs[Double]("xcorr"); v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12 })
+    // lag 0 of cross-corr IS the Pearson r of the two aligned series
+    val ev = graft.core.Tables(spark, sf).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr("CAST(timestamp_micros(ts_us) AS DATE)").as("d"))
+      .pivot("event_type", Seq("click", "purchase"))
+      .agg(sum(expr("CAST(value AS DECIMAL(18,2))")))
+      .na.drop()
+    val pearson = ev.agg(corr(col("click"), col("purchase"))).collect().head.getDouble(0)
+    val lag0 = xc.find(_.getAs[Int]("lag") == 0).get.getAs[Double]("xcorr")
+    assert(math.abs(lag0 - pearson) < 1e-10, s"lag0 $lag0 vs pearson $pearson")
+
+    val cp = Stats.changepointDetect(spark, sf).collect().head
+    assert(cp.getAs[Double]("sse_gain") >= 0.0)
+    assert(cp.getAs[Long]("n_before") > 0 && cp.getAs[Long]("n_after") > 0)
+
+    val fw = Commerce.funnelWindowed(spark, sf).collect().head
+    assert(fw.getAs[Long]("n_signup") >= fw.getAs[Long]("n_click_24h"))
+    assert(fw.getAs[Long]("n_click_24h") >= fw.getAs[Long]("n_purchase_24h"))
+    assert(fw.getAs[Long]("n_purchase_24h") > 0)
+
+    val iqr = Reports.iqrOutliers(spark, sf).collect()
+    assert(iqr.nonEmpty && iqr.forall { r =>
+      r.getAs[Double]("value") < r.getAs[Double]("lo_fence") ||
+        r.getAs[Double]("value") > r.getAs[Double]("hi_fence") })
+  }
+
   test("SpaceSaving heavy hitters: bounds and coverage hold under partitioned merge") {
     graft.functions.SpaceSaving.register(spark)
     val sess = spark
