@@ -349,6 +349,54 @@ class Round9Spec extends AnyFunSuite {
         r.getAs[Double]("value") > r.getAs[Double]("hi_fence") })
   }
 
+  test("sql-surface batch invariants hold") {
+    import graft.operators.{Reports, SqlSurfaces}
+    // nearest-asof picks whichever of the backward/forward matches is
+    // closer — cross-checked against the two oracled siblings
+    val near = SqlSurfaces.asofEventOrderNearest(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("nearest_order_ts_us"), r.getAs[String]("side"))).toMap
+    val back = Reports.asofEventOrder(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("last_order_ts_us")).map(_.toLong)).toMap
+    val fwd = Reports.asofEventOrderForward(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("next_order_ts_us")).map(_.toLong)).toMap
+    val evTs = graft.core.Tables(spark, sf).events
+      .select(col("event_id"), col("ts_us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    near.foreach { case (eid, (nts, side)) =>
+      val t = evTs(eid)
+      val dPrev = back(eid).map(p => t - p)
+      val dNext = fwd(eid).map(n => n - t)
+      val dNear = if (side == "prev") dPrev.get else dNext.get
+      assert(nts == (if (side == "prev") back(eid).get else fwd(eid).get))
+      assert(dPrev.forall(dNear <= _) || side == "prev")
+      assert(dNext.forall(dNear <= _) || side == "next")
+      // winner is genuinely the minimum of the two candidate distances
+      assert(dNear == Seq(dPrev, dNext).flatten.min)
+    }
+
+    // percentile_disc returns ACTUAL data values
+    val vals = graft.core.Tables(spark, sf).events
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSet)
+    SqlSurfaces.percentileDiscProfile(spark, sf).collect().foreach { r =>
+      val s = vals(r.getString(0))
+      assert(s.contains(r.getAs[Double]("p50_disc")))
+      assert(s.contains(r.getAs[Double]("p90_disc")))
+    }
+
+    // unpivot emits |groups| × |metrics| rows
+    assert(SqlSurfaces.unpivotMetrics(spark, sf).count() == 3 * 3)
+
+    // grouping sets: exactly the named sets appear (gid 0, 1, 3 — not
+    // cube's priority-only set gid 2)
+    val gids = SqlSurfaces.groupingSetsProfile(spark, sf).collect()
+      .map(_.getAs[Int]("gid")).toSet
+    assert(gids == Set(0, 1, 3), s"unexpected grouping ids $gids")
+  }
+
   test("SpaceSaving heavy hitters: bounds and coverage hold under partitioned merge") {
     graft.functions.SpaceSaving.register(spark)
     val sess = spark
