@@ -651,6 +651,13 @@ object Ann {
         centroids = rebuilt.unionByName(carried)
       }
     }
+    // the FINAL assignment is cached (session-shared like q, n×3
+    // rows): every consumer's plan otherwise re-unrolls the whole
+    // 3-iteration Lloyd's chain — several times per query where both
+    // join sides descend from `assigned` — and the CacheManager
+    // plan-matches this one frame across all four kmeans-family
+    // queries. Values are unchanged: same deterministic plan.
+    assigned = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (assigned, q, centroids, nVec)
   }
 
