@@ -1043,4 +1043,232 @@ object Reports {
       |  WHERE b.o_totalprice <= a.o_totalprice AND b.o_orderdate >= a.o_orderdate
       |    AND (b.o_totalprice < a.o_totalprice OR b.o_orderdate > a.o_orderdate))
       |ORDER BY o_totalprice, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------- growth_mom_yoy
+
+  /** Month-over-month and year-over-year revenue growth — THE
+    * top-line BI table. Monthly revenue in exact cents; MoM compares
+    * to the previous calendar month (lag 1 over the month spine),
+    * YoY to the same month a year earlier (lag 12 — correct because
+    * the spine is dense month indices, asserted by construction of
+    * yr·12+mo). Growth = exact-integer delta over exact base, one
+    * division, gated on base > 0 identically in the oracle.
+    *
+    * Scale shape: orders reduce to the calendar-bounded month frame
+    * in one partial-agg pass; both lags come from one window over
+    * that frame.
+    */
+  def growthMomYoy(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+    val w = Window.orderBy("m")
+    monthly
+      .withColumn("prev_m", lag(col("rev_c"), 1).over(w))
+      .withColumn("prev_y", lag(col("rev_c"), 12).over(w))
+      .select(
+        (col("m") / 12).cast("int").as("yr"),
+        (col("m") % 12 + 1).cast("int").as("mo"),
+        expr("CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        expr("CASE WHEN prev_m > 0 THEN CAST(rev_c - prev_m AS DOUBLE) / CAST(prev_m AS DOUBLE) END")
+          .as("mom_growth"),
+        expr("CASE WHEN prev_y > 0 THEN CAST(rev_c - prev_y AS DOUBLE) / CAST(prev_y AS DOUBLE) END")
+          .as("yoy_growth"))
+      .orderBy("yr", "mo")
+  }
+
+  val growthMomYoySql: String =
+    """WITH monthly AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |l AS (
+      |  SELECT *, lag(rev_c, 1) OVER (ORDER BY m) AS prev_m,
+      |    lag(rev_c, 12) OVER (ORDER BY m) AS prev_y
+      |  FROM monthly)
+      |SELECT CAST(m // 12 AS INTEGER) AS yr, CAST(m % 12 + 1 AS INTEGER) AS mo,
+      |  CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+      |  CASE WHEN prev_m > 0 THEN CAST(rev_c - prev_m AS DOUBLE) / CAST(prev_m AS DOUBLE) END
+      |    AS mom_growth,
+      |  CASE WHEN prev_y > 0 THEN CAST(rev_c - prev_y AS DOUBLE) / CAST(prev_y AS DOUBLE) END
+      |    AS yoy_growth
+      |FROM l ORDER BY yr, mo""".stripMargin
+
+  // ------------------------------------------------------ abc_classification
+
+  /** ABC / Pareto classification of parts by revenue: rank by
+    * revenue desc, cumulative share, class A (first 80% of revenue
+    * mass), B (next 15%), C (tail) — the inventory-policy primitive
+    * behind `gini_profile`'s summary number. The class boundary
+    * compares exact-integer cumulative cents against literal
+    * thresholds scaled by the exact total — no float shares ever
+    * decide a class (cum·100 vs total·80 in decimal), so the
+    * classification is engine-stable even at ties.
+    *
+    * Scale shape: one fact pass reduces to the part dim; the rank
+    * and running sum are one window over that dim frame (the
+    * decile_lift boundary note applies at extreme part counts).
+    */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    // ×10000, not ×100: the price·(1−discount) product carries scale
+    // 4, so a cents cast is NON-integral — Spark truncates decimal→
+    // long while DuckDB rounds, and the two engines disagree on the
+    // .5 hundredths. Scaling by 10⁴ makes the cast exact on both.
+    val rev = Tables(spark, dir).lineitem
+      .groupBy(col("l_partkey"))
+      .agg((sum(money(col("l_extendedprice")) *
+        (lit(1) - money(col("l_discount")))) * 10000).cast("long").as("rev_c"))
+    val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("rev_c")).cast("decimal(38,0)").as("total_c"))
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cum_c", sum(col("rev_c").cast("decimal(38,0)")).over(w))
+      .select(col("l_partkey"),
+        expr("CAST(rev_c AS DOUBLE) / CAST(10000 AS DOUBLE)").as("revenue"),
+        expr("CAST(cum_c AS DOUBLE) / CAST(total_c AS DOUBLE)").as("cum_share"),
+        expr("CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A' " +
+          "WHEN cum_c * 100 <= total_c * 95 THEN 'B' ELSE 'C' END").as("abc_class"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+  }
+
+  val abcClassificationSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(rev_c) AS DECIMAL(38,0)) AS total_c FROM rev),
+      |c AS (
+      |  SELECT l_partkey, rev_c, total_c,
+      |    sum(CAST(rev_c AS DECIMAL(38,0))) OVER (ORDER BY rev_c DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      |  FROM rev, t)
+      |SELECT l_partkey,
+      |  CAST(rev_c AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+      |  CAST(cum_c AS DOUBLE) / CAST(total_c AS DOUBLE) AS cum_share,
+      |  CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+      |       WHEN cum_c * 100 <= total_c * 95 THEN 'B' ELSE 'C' END AS abc_class
+      |FROM c ORDER BY revenue DESC, l_partkey""".stripMargin
+
+  // -------------------------------------------------------- new_vs_returning
+
+  /** Daily active users split NEW vs RETURNING (first-seen day vs
+    * any later day) — the growth-accounting table every DAU chart
+    * decomposes into. First-seen is a user-grain min; the split is
+    * one comparison; shares are exact divisions.
+    *
+    * Scale shape: the user-day frame (the engagement ops' shuffle
+    * grain) joins its user-grain first-seen side on the SAME user
+    * key — co-partitioned, then reduces to the calendar-bounded day
+    * frame.
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+    ud.join(first, "user_id")
+      .groupBy(col("d"))
+      .agg(sum(when(col("d") === col("first_d"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("d") =!= col("first_d"), 1L).otherwise(0L)).as("returning_users"))
+      .select(col("d").cast("string").as("day"), col("new_users"),
+        col("returning_users"),
+        expr("CAST(new_users AS DOUBLE) / CAST(new_users + returning_users AS DOUBLE)")
+          .as("new_share"))
+      .orderBy("day")
+  }
+
+  val newVsReturningSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1),
+      |g AS (
+      |  SELECT ud.d,
+      |    CAST(sum(CASE WHEN ud.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      |    CAST(sum(CASE WHEN ud.d <> f.first_d THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+      |  FROM ud JOIN f ON f.user_id = ud.user_id
+      |  GROUP BY ud.d)
+      |SELECT CAST(d AS VARCHAR) AS day, new_users, returning_users,
+      |  CAST(new_users AS DOUBLE) / CAST(new_users + returning_users AS DOUBLE) AS new_share
+      |FROM g ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------- price_volume_mix
+
+  /** Price–volume decomposition of the revenue delta between the
+    * data's two halves, per region: Δrev = price effect
+    * ((p₂−p₁)·q₁, at OLD volume) + volume effect (p₂·(q₂−q₁)) — the
+    * Laspeyres/Paasche split an FP&A variance bridge runs. Unit
+    * price per half = exact cents/quantity rationals; every effect is
+    * a fixed expression over the four exact aggregates (cents, qty
+    * per half), so the bridge reconciles EXACTLY: price + volume =
+    * Δrev (test-pinned).
+    *
+    * Scale shape: one fact pass with a half indicator → per-(region,
+    * half) partial aggregates (2·|regions| rows); the decomposition
+    * is arithmetic on that tiny frame.
+    */
+  def priceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dated = t.lineitem.select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("decimal(18,0)").cast("long").as("q"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("p_c"),
+        col("l_shipdate").cast("date").as("sd"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+    val mid = dated.agg(min(col("sd")).as("lo"), max(col("sd")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) / 2 AS INT))").as("mid"))
+    val halves = dated.crossJoin(broadcast(mid))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(when(col("sd") < col("mid"), col("p_c")).otherwise(0L)).as("rev1"),
+        sum(when(col("sd") < col("mid"), col("q")).otherwise(0L)).as("qty1"),
+        sum(when(col("sd") >= col("mid"), col("p_c")).otherwise(0L)).as("rev2"),
+        sum(when(col("sd") >= col("mid"), col("q")).otherwise(0L)).as("qty2"))
+    halves.select(col("r_name").as("region"),
+        expr("CAST(rev1 AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue_h1"),
+        expr("CAST(rev2 AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue_h2"),
+        expr("CAST(rev2 - rev1 AS DOUBLE) / CAST(100 AS DOUBLE)").as("delta_rev"),
+        // price effect at old volume: (p2 - p1)·q1 = rev2·q1/q2 - rev1
+        expr("(CAST(rev2 AS DOUBLE) / CAST(qty2 AS DOUBLE)" +
+          " - CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE))" +
+          " * CAST(qty1 AS DOUBLE) / CAST(100 AS DOUBLE)").as("price_effect"),
+        // volume effect at new price: p2·(q2 - q1)
+        expr("CAST(rev2 AS DOUBLE) / CAST(qty2 AS DOUBLE)" +
+          " * CAST(qty2 - qty1 AS DOUBLE) / CAST(100 AS DOUBLE)").as("volume_effect"))
+      .orderBy("region")
+  }
+
+  val priceVolumeMixSql: String =
+    """WITH d AS (
+      |  SELECT r_name,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_c,
+      |    CAST(l_shipdate AS DATE) AS sd
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |m AS (SELECT min(sd) + CAST((max(sd) - min(sd)) // 2 AS INTEGER) AS mid FROM d),
+      |h AS (
+      |  SELECT r_name,
+      |    CAST(sum(CASE WHEN sd < (SELECT mid FROM m) THEN p_c ELSE 0 END) AS BIGINT) AS rev1,
+      |    CAST(sum(CASE WHEN sd < (SELECT mid FROM m) THEN q ELSE 0 END) AS BIGINT) AS qty1,
+      |    CAST(sum(CASE WHEN sd >= (SELECT mid FROM m) THEN p_c ELSE 0 END) AS BIGINT) AS rev2,
+      |    CAST(sum(CASE WHEN sd >= (SELECT mid FROM m) THEN q ELSE 0 END) AS BIGINT) AS qty2
+      |  FROM d GROUP BY 1)
+      |SELECT r_name AS region,
+      |  CAST(rev1 AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue_h1,
+      |  CAST(rev2 AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue_h2,
+      |  CAST(rev2 - rev1 AS DOUBLE) / CAST(100 AS DOUBLE) AS delta_rev,
+      |  (CAST(rev2 AS DOUBLE) / CAST(qty2 AS DOUBLE)
+      |    - CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE))
+      |    * CAST(qty1 AS DOUBLE) / CAST(100 AS DOUBLE) AS price_effect,
+      |  CAST(rev2 AS DOUBLE) / CAST(qty2 AS DOUBLE)
+      |    * CAST(qty2 - qty1 AS DOUBLE) / CAST(100 AS DOUBLE) AS volume_effect
+      |FROM h ORDER BY region""".stripMargin
 }

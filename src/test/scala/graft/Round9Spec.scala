@@ -397,6 +397,40 @@ class Round9Spec extends AnyFunSuite {
     assert(gids == Set(0, 1, 3), s"unexpected grouping ids $gids")
   }
 
+  test("growth/abc/pvm batch invariants hold") {
+    import graft.operators.Reports
+    // ABC: cumulative share nondecreasing, ends at 1, classes ordered
+    val abc = Reports.abcClassification(spark, sf).collect()
+    val shares = abc.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(shares.last - 1.0) < 1e-12)
+    val classSeq = abc.map(_.getAs[String]("abc_class")).distinct.toSeq
+    assert(classSeq == Seq("A", "B", "C"))
+
+    // price + volume effects reconcile to the revenue delta exactly
+    // (up to the 1e-6 float wobble of the p=rev/qty division)
+    Reports.priceVolumeMix(spark, sf).collect().foreach { r =>
+      val sum = r.getAs[Double]("price_effect") + r.getAs[Double]("volume_effect")
+      assert(math.abs(sum - r.getAs[Double]("delta_rev")) < 1e-6,
+        s"${r.getString(0)}: bridge does not reconcile")
+    }
+
+    // new + returning = DAU (cross-checked against active_users_window)
+    val nvr = Reports.newVsReturning(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("new_users") + r.getAs[Long]("returning_users"))).toMap
+    graft.operators.Commerce.activeUsersWindow(spark, sf).collect().foreach { r =>
+      assert(nvr(r.getString(0)) == r.getAs[Long]("dau"))
+    }
+
+    // growth table: revenue positive, growth defined wherever a base
+    // month exists (dense month spine)
+    val g = Reports.growthMomYoy(spark, sf).collect()
+    assert(g.forall(_.getAs[Double]("revenue") > 0))
+    assert(g.drop(1).forall(r => !r.isNullAt(r.fieldIndex("mom_growth"))))
+    assert(g.drop(12).forall(r => !r.isNullAt(r.fieldIndex("yoy_growth"))))
+  }
+
   test("SpaceSaving heavy hitters: bounds and coverage hold under partitioned merge") {
     graft.functions.SpaceSaving.register(spark)
     val sess = spark
