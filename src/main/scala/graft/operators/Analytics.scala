@@ -973,4 +973,54 @@ object Analytics {
       |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
       |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
       |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // --------------------------------------------------------- weighted_median
+
+  /** Quantity-weighted median unit price per return flag: the price v
+    * at which half the shipped QUANTITY (not half the line count —
+    * that is `quantile_profile`'s median) sits at or below v. Lower
+    * weighted median, no interpolation: values are pre-grouped by
+    * exact price so ties carry summed weight, the cumulative weight
+    * runs over the price order, and the answer is the min price with
+    * 2·cum ≥ total — every comparison exact integer (quantity scaled
+    * ×100 via decimal, never a truncating cast; the abc_classification
+    * lesson). Engine-identical by construction.
+    *
+    * Scale shape: group-by (flag, price) partial-aggregates the fact
+    * scan down to the distinct-price grain; the cumulative window
+    * then runs per flag over that REDUCED frame (≤ distinct prices,
+    * not lines). The 2·cum ≥ total scan is a bounded-cardinality
+    * filter; no full-data window ever runs.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(expr("sum(CAST(l_quantity * 100 AS BIGINT))").as("w"))
+    val cum = grouped
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy("l_returnflag").orderBy("price")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("w")).over(Window.partitionBy("l_returnflag")))
+    cum.filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("CAST(min(price) AS DOUBLE)").as("wmedian_price"),
+        max(col("total")).as("total_weight_x100"))
+      .orderBy("l_returnflag")
+  }
+
+  val weightedMedianSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, l_extendedprice AS price,
+      |    sum(CAST(l_quantity * 100 AS BIGINT)) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM g)
+      |SELECT l_returnflag, CAST(min(price) AS DOUBLE) AS wmedian_price,
+      |  CAST(max(total) AS BIGINT) AS total_weight_x100
+      |FROM c WHERE cum * 2 >= total
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

@@ -683,4 +683,89 @@ object Commerce {
       |    AS attributed_revenue
       |FROM sh GROUP BY channel ORDER BY channel""".stripMargin
   }
+
+  // ----------------------------------------------------------- basket_triples
+
+  private val TripleMinSupport = 5
+
+  /** Frequent brand 3-itemsets with lift: extends `basket_lift`'s
+    * pairs to triples — support = #baskets containing all three
+    * brands (b1<b2<b3), lift = P(abc)/(P(a)P(b)P(c)) computed as ONE
+    * double division of exact integer products (support·n² over
+    * cₐ·c_b·c_c, all < 2^53 at oracle SF; 100-TB runs lift the
+    * products to decimal(38,0)). Support ≥ [[TripleMinSupport]]
+    * prunes the tail before lift is evaluated.
+    *
+    * Scale shape: ONE basket aggregation (collect_set groups brand
+    * sets per order) feeds both the triple explode and the brand
+    * marginals — the `basket_lift` cached-frame discipline. The
+    * triple explode is map-side with volume Σ basket³ at BRAND grain
+    * (≤25 distinct ⇒ ≤2 300 combos; never done at part grain — the
+    * a-priori lattice would be pruned by support first, same as the
+    * classic SON/Apriori split: candidate counts partial-aggregate,
+    * only the ≥-support survivors shuffle).
+    */
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val baskets = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("bs"))
+      .cache() // triple explode + marginals + count, one build
+    graft.core.OwnedCaches.own(baskets)
+    val n = baskets.agg(count(lit(1)).as("__n"))
+    val singles = baskets.select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val triples = baskets
+      .select(explode(col("bs")).as("b1"), col("bs"))
+      .select(col("b1"), explode(col("bs")).as("b2"), col("bs"))
+      .filter(col("b1") < col("b2"))
+      .select(col("b1"), col("b2"), explode(col("bs")).as("b3"))
+      .filter(col("b2") < col("b3"))
+      .groupBy(col("b1"), col("b2"), col("b3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TripleMinSupport)
+    triples
+      .join(broadcast(singles.select(col("b").as("b1"), col("c").as("ca"))), "b1")
+      .join(broadcast(singles.select(col("b").as("b2"), col("c").as("cb"))), "b2")
+      .join(broadcast(singles.select(col("b").as("b3"), col("c").as("cc"))), "b3")
+      .crossJoin(broadcast(n))
+      .select(col("b1"), col("b2"), col("b3"), col("support"),
+        expr("CAST(support * __n * __n AS DOUBLE) / CAST(ca * cb * cc AS DOUBLE)").as("lift"))
+      .orderBy(col("support").desc, col("b1"), col("b2"), col("b3"))
+  }
+
+  /** `b` is `AS MATERIALIZED`: it is referenced five times (count,
+    * marginals, three unnests) and DuckDB's default inlining re-plans
+    * the basket build into each — the triple join over three inlined
+    * unnest expansions blew past 70 GB before the hint.
+    */
+  val basketTriplesSql: String =
+    s"""WITH b AS MATERIALIZED (
+      |  SELECT l_orderkey, list_distinct(list(p_brand)) AS bs
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY 1),
+      |n AS (SELECT count(*) AS __n FROM b),
+      |s AS (
+      |  SELECT brand, count(*) AS c
+      |  FROM (SELECT l_orderkey AS o, unnest(bs) AS brand FROM b)
+      |  GROUP BY 1),
+      |tr AS (
+      |  SELECT u1.b1, u2.b2, u3.b3, count(*) AS support
+      |  FROM (SELECT l_orderkey AS o, unnest(bs) AS b1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(bs) AS b2 FROM b) u2 USING (o)
+      |  JOIN (SELECT l_orderkey AS o, unnest(bs) AS b3 FROM b) u3 USING (o)
+      |  WHERE u1.b1 < u2.b2 AND u2.b2 < u3.b3
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(*) >= $TripleMinSupport)
+      |SELECT b1, b2, b3, CAST(support AS BIGINT) AS support,
+      |  CAST(support * __n * __n AS DOUBLE)
+      |    / CAST(sa.c * sb.c * sc.c AS DOUBLE) AS lift
+      |FROM tr
+      |JOIN s sa ON sa.brand = tr.b1
+      |JOIN s sb ON sb.brand = tr.b2
+      |JOIN s sc ON sc.brand = tr.b3
+      |CROSS JOIN n
+      |ORDER BY support DESC, b1, b2, b3""".stripMargin
 }

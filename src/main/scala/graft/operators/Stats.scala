@@ -793,4 +793,225 @@ object Stats {
       |  CAST(s * days_all AS DOUBLE) / CAST(CAST(n_days AS DECIMAL(38,0)) * s_all AS DOUBLE)
       |    AS seasonal_index
       |FROM b, t ORDER BY dow""".stripMargin
+
+  // -------------------------------------------------- region-monthly helper
+
+  /** Monthly revenue per region in exact integer cents — the shared
+    * input frame for `theil_sen_trend` and `ewma_revenue` (same
+    * month-index convention as `growth_mom_yoy`: lag steps are
+    * OBSERVED months; TPC-H orders cover every region-month densely).
+    */
+  private def regionMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+  }
+
+  private val RegionMonthlySqlCte: String =
+    """SELECT r_name AS region_name,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------- theil_sen_trend
+
+  /** Theil–Sen robust trend per region: the median of all pairwise
+    * slopes (revᵢ−revⱼ)/(mᵢ−mⱼ) over the monthly revenue series — the
+    * estimator OLS (`regression_trend`) degrades to under outliers,
+    * with a 29% breakdown point. Every slope is ONE double division of
+    * exact-integer operands (cent diffs < 2^53); the median is taken
+    * explicitly as (min+max)/2 over the middle one-or-two order
+    * statistics — identical IEEE arithmetic on both engines, never an
+    * engine-native `median()` whose interpolation formula could differ
+    * in the last ulp. Middle positions via floor((n±1)/2.0) on
+    * exact-small counts, the engine-portable integer division.
+    *
+    * Scale shape: the heavy reduce is the region-month pre-aggregation
+    * (partial-agg over orders⋈customer, dims broadcast); the pairwise
+    * stage is O(M²) per region over the BOUNDED month dimension (~100
+    * rows/region even at 100 TB — time grows slowly), so the self-join
+    * stays driver-trivial at any SF. For long series one samples
+    * pairs (the randomized Theil–Sen estimator) without changing the
+    * plan shape.
+    */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val m = regionMonthly(spark, dir)
+    val a = m.select(col("region_name"), col("m").as("m1"), col("rev_c").as("y1"))
+    val b = m.select(col("region_name").as("rn2"), col("m").as("m2"), col("rev_c").as("y2"))
+    val pairs = a.join(b, col("region_name") === col("rn2") && col("m1") < col("m2"))
+      .select(col("region_name"),
+        expr("CAST(y2 - y1 AS DOUBLE) / CAST((m2 - m1) * 100 AS DOUBLE)").as("slope"),
+        col("m1"), col("m2"))
+    val w = Window.partitionBy("region_name").orderBy(col("slope"), col("m1"), col("m2"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("region_name")))
+    ranked
+      .filter(expr("rn >= CAST(floor((n + 1) / 2.0) AS BIGINT) AND rn <= CAST(floor(n / 2.0) AS BIGINT) + 1"))
+      .groupBy(col("region_name"))
+      .agg(max(col("n")).as("n_pairs"),
+        expr("(min(slope) + max(slope)) / 2.0").as("ts_slope"))
+      .orderBy("region_name")
+  }
+
+  val theilSenTrendSql: String =
+    s"""WITH monthly AS (
+      |$RegionMonthlySqlCte),
+      |pairs AS (
+      |  SELECT a.region_name,
+      |    CAST(b.rev_c - a.rev_c AS DOUBLE) / CAST((b.m - a.m) * 100 AS DOUBLE) AS slope,
+      |    a.m AS m1, b.m AS m2
+      |  FROM monthly a JOIN monthly b
+      |    ON a.region_name = b.region_name AND a.m < b.m),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY region_name ORDER BY slope, m1, m2) AS rn,
+      |    count(*) OVER (PARTITION BY region_name) AS n
+      |  FROM pairs)
+      |SELECT region_name, CAST(max(n) AS BIGINT) AS n_pairs,
+      |  (min(slope) + max(slope)) / 2.0 AS ts_slope
+      |FROM ranked
+      |WHERE rn >= CAST(floor((n + 1) / 2.0) AS BIGINT)
+      |  AND rn <= CAST(floor(n / 2.0) AS BIGINT) + 1
+      |GROUP BY region_name ORDER BY region_name""".stripMargin
+
+  // -------------------------------------------------------- tv_distance_drift
+
+  /** Total-variation distance between the event-type distribution of
+    * the first and second time halves — the drift measure that stays
+    * EXACT where PSI/KL (`dist_drift`) need logs: each type's
+    * contribution |p_a − p_b|/2 is computed as the exact integer
+    * |cnt_a·tot_b − cnt_b·tot_a| divided ONCE by 2·tot_a·tot_b (all
+    * operands < 2^53 at test SF), so the result is bit-stable with no
+    * rounding convention at all. The time midpoint is exact integer
+    * µs via floor((min+max)/2.0) — sums < 2^53.
+    *
+    * TV = Σ contrib is left to the consumer (a sum of ≤5 rounded
+    * doubles); `Round9Spec` pins Σ ≤ 1 and the brute-force recount.
+    *
+    * Scale shape: one pass computes min/max ts (tiny all-reduce), one
+    * pass partial-aggregates conditional counts per type — two scans,
+    * no shuffle beyond the ≤|types| groups. At 100 TB the integer
+    * products need decimal(38,0) (documented cap: counts × totals
+    * overflow 2^63 near 3e9 rows·type) — the code keeps bigint for
+    * the < 2^53 double-exactness contract at oracle SF.
+    */
+  def tvDistanceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val mid = ev.agg(expr("CAST(floor((min(ts_us) + max(ts_us)) / 2.0) AS BIGINT)").as("mid"))
+    val counts = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("ts_us") <= col("mid"), 1L).otherwise(0L)).as("cnt_first"),
+        sum(when(col("ts_us") > col("mid"), 1L).otherwise(0L)).as("cnt_second"))
+    counts
+      .withColumn("tot_a", sum(col("cnt_first")).over(Window.partitionBy()))
+      .withColumn("tot_b", sum(col("cnt_second")).over(Window.partitionBy()))
+      .select(col("event_type"), col("cnt_first"), col("cnt_second"),
+        expr("CAST(abs(cnt_first * tot_b - cnt_second * tot_a) AS DOUBLE) / CAST(2 * tot_a * tot_b AS DOUBLE)")
+          .as("tv_contrib"))
+      .orderBy("event_type")
+  }
+
+  val tvDistanceDriftSql: String =
+    """WITH mid AS (
+      |  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0) AS BIGINT) AS mid
+      |  FROM events),
+      |counts AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS cnt_first,
+      |    sum(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END) AS cnt_second
+      |  FROM events, mid GROUP BY event_type),
+      |t AS (
+      |  SELECT *, sum(cnt_first) OVER () AS tot_a, sum(cnt_second) OVER () AS tot_b
+      |  FROM counts)
+      |SELECT event_type, CAST(cnt_first AS BIGINT) AS cnt_first,
+      |  CAST(cnt_second AS BIGINT) AS cnt_second,
+      |  CAST(abs(cnt_first * tot_b - cnt_second * tot_a) AS DOUBLE)
+      |    / CAST(2 * tot_a * tot_b AS DOUBLE) AS tv_contrib
+      |FROM t ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------- ewma_revenue
+
+  private[graft] val EwmaLags = 12
+
+  /** Fixed-point EWMA weights: 0.8^k scaled to 1e5 and rounded to
+    * exact integer literals — the SAME literals appear in the Spark
+    * plan and the oracle SQL, so the weighting is engine-exact by
+    * construction (no runtime pow(), whose libm vs Math.pow last-ulp
+    * behavior differs).
+    */
+  private[graft] val EwmaW: IndexedSeq[Long] =
+    (0 until EwmaLags).map { k =>
+      (BigDecimal("0.8").pow(k) * 100000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+
+  /** Truncated EWMA of monthly revenue per region (α = 0.2 ⇒ decay
+    * 0.8, window 12 lags ≈ 93% of the untruncated mass): numerator
+    * Σ revᶜₜ₋ₖ·Wₖ and denominator Σ Wₖ (over AVAILABLE lags — early
+    * months renormalize over the shorter prefix) accumulate in exact
+    * decimal/bigint with integer weights, then ONE division pair
+    * produces the double — numerator < 2^53 at oracle SF so even the
+    * decimal→double cast is exact on both engines.
+    *
+    * Scale shape: the orders⋈customer reduce dominates (dims
+    * broadcast, partial agg map-side); the lag window runs per region
+    * over the bounded month axis. The 2^53 numerator headroom caps at
+    * ~sf3 per region-month (5e13·12 terms); production lifts the
+    * final cast to decimal(38,4)-rounded output — only the exactness
+    * proof, not the plan, changes.
+    */
+  def ewmaRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = regionMonthly(spark, dir)
+    val w = Window.partitionBy("region_name").orderBy("m")
+    var df = monthly
+    for (k <- 0 until EwmaLags)
+      df = df.withColumn(s"lg$k", lag(col("rev_c"), k).over(w))
+    df.select(col("region_name"),
+        (col("m") / 12).cast("int").as("yr"), (col("m") % 12 + 1).cast("int").as("mo"),
+        expr("CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        expr(ewmaExpr).as("ewma"))
+      .orderBy("region_name", "yr", "mo")
+  }
+
+  /** `(Σ lagₖ·Wₖ) / (Σ Wₖ over present lags) / 100` — one string, both
+    * engines; lag columns are named lg0..lg{n-1} on both sides.
+    */
+  private def ewmaExpr: String = {
+    val num = (0 until EwmaLags).map { k =>
+      s"CASE WHEN lg$k IS NOT NULL THEN CAST(lg$k AS DECIMAL(18,0)) * ${EwmaW(k)} ELSE CAST(0 AS DECIMAL(18,0)) END"
+    }.mkString(" + ")
+    val den = (0 until EwmaLags).map { k =>
+      s"CASE WHEN lg$k IS NOT NULL THEN ${EwmaW(k)} ELSE 0 END"
+    }.mkString(" + ")
+    s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / CAST(100 AS DOUBLE)"
+  }
+
+  val ewmaRevenueSql: String = {
+    val lags = (0 until EwmaLags).map { k =>
+      s"lag(rev_c, $k) OVER (PARTITION BY region_name ORDER BY m) AS lg$k"
+    }.mkString(",\n    ")
+    s"""WITH monthly AS (
+      |$RegionMonthlySqlCte),
+      |l AS (
+      |  SELECT region_name, m, rev_c,
+      |    $lags
+      |  FROM monthly)
+      |SELECT region_name, CAST(m // 12 AS INTEGER) AS yr,
+      |  CAST(m % 12 + 1 AS INTEGER) AS mo,
+      |  CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+      |  $ewmaExpr AS ewma
+      |FROM l ORDER BY region_name, yr, mo""".stripMargin
+  }
 }

@@ -483,4 +483,114 @@ class Round9Spec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("wau7_estimate")).toMap
     assert(prod == audited)
   }
+
+  // ------------------------------------------------------ batch-7 invariants
+
+  test("connected_components: unrolled depth reaches the fixpoint and partitions the node set") {
+    import graft.operators.Graph
+    val before = Graph.ccLabels(spark, sf, Graph.CcRounds - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = Graph.ccLabels(spark, sf, Graph.CcRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == after, "one more round must change nothing — CcRounds is sufficient depth")
+    // component sizes partition the labeled node set exactly
+    val hist = Graph.connectedComponents(spark, sf).collect()
+    assert(hist.map(_.getLong(1)).sum == after.size)
+    // every component id is a member of its own component (min-label is a node)
+    assert(hist.forall(r => after(r.getLong(0)) == r.getLong(0)))
+    graft.core.OwnedCaches.release()
+  }
+
+  test("tv_distance_drift: contributions are a bounded probability gap and match a brute recount") {
+    val rows = graft.operators.Stats.tvDistanceDrift(spark, sf).collect()
+    val total = rows.map(_.getAs[Double]("tv_contrib")).sum
+    assert(total >= 0.0 && total <= 1.0, s"TV distance must sit in [0,1], got $total")
+    // brute-force recount from raw events
+    val ev = graft.core.Tables(spark, sf).events
+      .select(col("event_type"), col("ts_us")).collect()
+    val mid = {
+      val ts = ev.map(_.getLong(1)); math.floorDiv(ts.min + ts.max, 2) +
+        (if (math.floorMod(ts.min + ts.max, 2) != 0 && (ts.min + ts.max) < 0) 0L else 0L)
+    }
+    val byType = ev.groupBy(_.getString(0))
+    val totA = ev.count(_.getLong(1) <= mid).toLong
+    val totB = ev.length - totA
+    rows.foreach { r =>
+      val es = byType(r.getString(0))
+      val a = es.count(_.getLong(1) <= mid).toLong
+      val b = es.length - a
+      assert(r.getLong(1) == a && r.getLong(2) == b)
+      val expect = math.abs(a * totB - b * totA).toDouble / (2.0 * totA * totB)
+      assert(r.getAs[Double]("tv_contrib") == expect)
+    }
+  }
+
+  test("theil_sen_trend: pair counts are exact M-choose-2 and the median sits within slope range") {
+    val t = graft.core.Tables(spark, sf)
+    val months = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(countDistinct(expr("year(o_orderdate) * 12 + month(o_orderdate)")).as("mn"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.Stats.theilSenTrend(spark, sf).collect().foreach { r =>
+      val m = months(r.getString(0))
+      assert(r.getLong(1) == m * (m - 1) / 2, "n_pairs must be C(M,2)")
+      assert(!r.getAs[Double]("ts_slope").isNaN)
+    }
+  }
+
+  test("ewma_revenue: a region's first month has ewma == revenue; later months interpolate") {
+    val rows = graft.operators.Stats.ewmaRevenue(spark, sf).collect()
+      .groupBy(_.getString(0)).values
+    rows.foreach { rs =>
+      val sorted = rs.sortBy(r => (r.getInt(1), r.getInt(2)))
+      val first = sorted.head
+      assert(first.getAs[Double]("ewma") == first.getAs[Double]("revenue"),
+        "lag-0-only month renormalizes to the plain revenue")
+      // smoothing: ewma stays within the running min/max of observed revenue
+      val revs = sorted.map(_.getAs[Double]("revenue"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val win = revs.slice(math.max(0, i - graft.operators.Stats.EwmaLags + 1), i + 1)
+        assert(r.getAs[Double]("ewma") >= win.min - 1e-9 && r.getAs[Double]("ewma") <= win.max + 1e-9)
+      }
+    }
+  }
+
+  test("weighted_median: half the quantity mass sits at or below the reported price") {
+    val li = graft.core.Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"),
+        expr("CAST(l_quantity * 100 AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    graft.operators.Analytics.weightedMedian(spark, sf).collect().foreach { r =>
+      val flag = r.getString(0); val med = r.getAs[Double]("wmedian_price")
+      val fs = li.filter(_._1 == flag)
+      val total = fs.map(_._3).sum
+      val below = fs.filter(_._2 <= med).map(_._3).sum
+      val strictlyBelow = fs.filter(_._2 < med).map(_._3).sum
+      assert(below * 2 >= total, "at least half the mass at or below the median")
+      assert(strictlyBelow * 2 < total, "median is the MINIMAL such price")
+      assert(r.getAs[Long]("total_weight_x100") == total)
+    }
+  }
+
+  test("basket_triples: support never exceeds any pairwise sub-basket support") {
+    val triples = graft.operators.Commerce.basketTriples(spark, sf).collect()
+    graft.core.OwnedCaches.release()
+    val t = graft.core.Tables(spark, sf)
+    val baskets = t.lineitem
+      .join(t.part, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("l_orderkey")).agg(collect_set(col("p_brand")).as("bs"))
+      .collect().map(_.getSeq[String](1).toSet)
+    triples.foreach { r =>
+      val (b1, b2, b3) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(b1 < b2 && b2 < b3, "canonical ordering")
+      val sup = baskets.count(s => s(b1) && s(b2) && s(b3))
+      assert(r.getLong(3) == sup, "support recounts against raw baskets")
+      assert(r.getAs[Double]("lift") > 0.0)
+      val pairSup = baskets.count(s => s(b1) && s(b2))
+      assert(sup <= pairSup, "anti-monotonicity")
+    }
+  }
 }
