@@ -1008,6 +1008,61 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // -------------------------------------------------------- run_length_encode
+
+  /** Run-length compression of per-user event streams: consecutive
+    * same-type events collapse into runs (change-flag + prefix-sum
+    * run ids — the `sessionize`/`gap_islands` island primitive applied
+    * to VALUE change instead of time gaps), then per-type run stats.
+    * The avg is one exact-integer division; ties in the stream order
+    * broken by event_id on both engines (the house ts convention).
+    *
+    * Scale shape: both windows and the run group-by are partitioned
+    * by user_id — one shuffle end to end, then a ≤|types| rollup.
+    * This is the event-compression pass a feature pipeline runs
+    * before sequence models (dedup bursts, keep transition structure).
+    */
+  def runLengthEncode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val runs = Tables(spark, dir).events
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull
+          || lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_runs"), max(col("len")).as("max_run_len"),
+        sum(col("len")).as("n_events"))
+      .select(col("event_type"), col("n_runs"), col("max_run_len"), col("n_events"),
+        expr("CAST(n_events AS DOUBLE) / CAST(n_runs AS DOUBLE)").as("avg_run_len"))
+      .orderBy("event_type")
+  }
+
+  val runLengthEncodeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |  FROM events),
+      |f AS (
+      |  SELECT *,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM o
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |rid AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM f),
+      |runs AS (
+      |  SELECT user_id, run_id, event_type, count(*) AS len
+      |  FROM rid GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+      |  CAST(max(len) AS BIGINT) AS max_run_len,
+      |  CAST(sum(len) AS BIGINT) AS n_events,
+      |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_run_len
+      |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val weightedMedianSql: String =
     """WITH g AS (
       |  SELECT l_returnflag, l_extendedprice AS price,

@@ -231,26 +231,14 @@ object Graph {
     * so two different enumeration strategies must land on one hash.
     */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables(spark, dir).lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("basket"))
-    // cached: referenced by deg (×2 via the union), the orientation
-    // join, and the edge-count leaf — without the cache AQE replans
-    // each consumer independently and the Σ basket² pair build (the
-    // expensive part) runs once PER CONSUMER (measured 19 lineitem
-    // scans in the uncached executed plan). The frame is the
-    // support-FILTERED edge list — O(repeat co-purchase pairs), far
-    // below pair volume, safe to hold at any scale.
-    val edges = baskets
-      .select(explode(col("basket")).as("p1"), col("basket"))
-      .select(col("p1"), explode(col("basket")).as("p2"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= TriMinSupport)
-      .select(col("p1"), col("p2"))
-      .cache()
-    graft.core.OwnedCaches.own(edges)
+    // cached (shared [[supportEdges]] layer): referenced by deg (×2
+    // via the union), the orientation join, and the edge-count leaf —
+    // without a cache AQE replans each consumer independently and the
+    // Σ basket² pair build (the expensive part) runs once PER
+    // CONSUMER (measured 19 lineitem scans in the uncached executed
+    // plan). The frame is the support-FILTERED edge list — O(repeat
+    // co-purchase pairs), far below pair volume, safe at any scale.
+    val edges = supportEdges(spark, dir).select(col("p1"), col("p2"))
     val deg = edges.select(col("p1").as("p"))
       .union(edges.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
@@ -306,6 +294,99 @@ object Graph {
   private val BfsHops = 3
   private val BfsSeedBrand = "Brand#1"
 
+  /** Support-filtered undirected co-purchase edges (p1 < p2, support
+    * c ≥ [[TriMinSupport]]) — the shared graph of the traversal
+    * family (triangle/BFS/CC/Bellman-Ford).
+    *
+    * SESSION-shared cache (un-owned, the kmeans-assignment
+    * convention): the Σ basket² build costs ~1.8 s at sf0.1 and five
+    * graph queries derive the identical canonical subplan, so the
+    * CacheManager plan-matches this one frame across all of them
+    * (support-filtered edge count is tiny — thousands of rows).
+    */
+  private def supportEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("basket"))
+      .select(explode(col("basket")).as("p1"), col("basket"))
+      .select(col("p1"), explode(col("basket")).as("p2"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TriMinSupport)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Bounded min-plus relaxation from seed distances: `rounds` times
+    * distₖ₊₁(p) = min(distₖ(p), min over edges s→p of distₖ(s)+w).
+    * One primitive covers the traversal family — BFS is w≡1,
+    * Bellman-Ford is real weights, min-label components is w≡0 with
+    * each node seeded to its own id.
+    *
+    * Layout-selected like `pagerank`: ≤ [[SingleTaskEdgeCap]] edges
+    * runs ALL rounds in one mapPartitions task — the per-round
+    * distributed loop on a small graph is pure stage latency (6
+    * cached rounds ≈ 11 s at sf0.1 for a 3.5k-edge graph; the local
+    * sim is sub-second). Seeds ride into the task as weight-d
+    * SELF-loops (a self-loop relaxation is a no-op, so they carry the
+    * seed set without a driver collect). Integer min/plus — the local
+    * replay is bit-identical to the loop, pinned by branch-equality
+    * tests. Above the cap: the per-round node-keyed join + partial-agg
+    * min, each round's 2-referenced state cached (uncached, the plan
+    * re-expands 2^rounds — the Spark-side analog of the oracle's
+    * MATERIALIZED hint).
+    *
+    * Scale shape: the distributed branch shuffles O(E) per round on
+    * the node key; at 100 TB one adds frontier pruning (only changed
+    * labels propagate) or star contractions — the per-round plan is
+    * unchanged.
+    */
+  private[graft] def boundedRelax(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, forceLoop: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    val cached = graft.core.OwnedCaches.own(edges.cache())
+    val n = cached.count()
+    if (!forceLoop && n <= SingleTaskEdgeCap) {
+      import spark.implicits._
+      val packed = cached
+        .select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("long"), lit(false).as("isSeed"))
+        .unionByName(seeds.select(col("p").cast("long").as("src"),
+          col("p").cast("long").as("dst"), col("d").cast("long").as("w"),
+          lit(true).as("isSeed")))
+      packed.as[(Long, Long, Long, Boolean)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val rows = it.toArray
+          val es = rows.filter(!_._4)
+          var dist = scala.collection.mutable.LongMap.empty[Long]
+          rows.foreach { case (p, _, d, isSeed) =>
+            if (isSeed && d < dist.getOrElse(p, Long.MaxValue)) dist.update(p, d)
+          }
+          for (_ <- 1 to rounds) {
+            val next = dist.clone()
+            es.foreach { case (s, t, w, _) =>
+              dist.get(s).foreach { ds =>
+                if (ds + w < next.getOrElse(t, Long.MaxValue)) next.update(t, ds + w)
+              }
+            }
+            dist = next
+          }
+          dist.iterator
+        }
+        .toDF("p", "d")
+    } else {
+      var dist = seeds.select(col("p"), col("d"))
+      for (_ <- 1 to rounds) {
+        val cur = graft.core.OwnedCaches.own(dist.cache()) // 2-ref per round
+        val relax = cur.join(cached, col("p") === col("src"))
+          .select(col("dst").as("p"), (col("d") + col("w")).as("d"))
+        dist = cur.unionByName(relax)
+          .groupBy(col("p")).agg(min(col("d")).as("d"))
+      }
+      dist
+    }
+  }
+
   /** Bounded-hop BFS: co-purchase distance from a seed set (one
     * brand's parts) — "everything within 3 recommendation hops", the
     * traversal primitive behind substitution radius, affiliation
@@ -323,31 +404,15 @@ object Graph {
     * walks, cached once. Seeds with no qualifying edges stay hop 0
     * (they are trivially within distance 0), mirrored in SQL.
     */
-  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val und = t.lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("basket"))
-      .select(explode(col("basket")).as("p1"), col("basket"))
-      .select(col("p1"), explode(col("basket")).as("p2"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= TriMinSupport)
-      .select(col("p1"), col("p2"))
-    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
-      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
-      .cache() // read every round — one Σ basket² build, not BfsHops
-    graft.core.OwnedCaches.own(edges)
-    var dist = t.part.filter(col("p_brand") === BfsSeedBrand)
-      .select(col("p_partkey").as("p"), lit(0L).as("hop"))
-    for (_ <- 1 to BfsHops) {
-      val expand = dist.join(edges, col("p") === col("src"))
-        .select(col("dst").as("p"), (col("hop") + lit(1L)).as("hop"))
-      dist = dist.unionByName(expand)
-        .groupBy(col("p")).agg(min(col("hop")).as("hop"))
-    }
-    dist.select(col("p").as("part_key"), col("hop")).orderBy("part_key")
+  def bfsHops(spark: SparkSession, dir: String,
+      forceLoop: Boolean = false): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"), lit(1L).as("w"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst"), lit(1L).as("w")))
+    val seeds = Tables(spark, dir).part.filter(col("p_brand") === BfsSeedBrand)
+      .select(col("p_partkey").as("p"), lit(0L).as("d"))
+    boundedRelax(edges, seeds, BfsHops, forceLoop)
+      .select(col("p").as("part_key"), col("d").as("hop")).orderBy("part_key")
   }
 
   val bfsHopsSql: String = {
@@ -391,15 +456,7 @@ object Graph {
     * windowed total runs on that bounded histogram.
     */
   def degreeProfile(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables(spark, dir).lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("basket"))
-      .select(explode(col("basket")).as("p1"), col("basket"))
-      .select(col("p1"), explode(col("basket")).as("p2"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= TriMinSupport)
+    val edges = supportEdges(spark, dir)
     val deg = edges.select(col("p1").as("p"))
       .union(edges.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
@@ -462,60 +519,26 @@ object Graph {
     * audit (compare round k vs k−1 counts) costs one extra reduce and
     * is the production convergence check.
     */
-  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val und = Tables(spark, dir).lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("basket"))
-      .select(explode(col("basket")).as("p1"), col("basket"))
-      .select(col("p1"), explode(col("basket")).as("p2"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= TriMinSupport)
-      .select(col("p1"), col("p2"))
-    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
-      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
-      .cache() // read every propagation round — one Σ basket² build
-    graft.core.OwnedCaches.own(edges)
-    var lbl = edges.select(col("src").as("p"))
-      .distinct()
-      .withColumn("lbl", col("p"))
-    for (_ <- 1 to CcRounds) {
-      val prop = lbl.join(edges, col("p") === col("src"))
-        .select(col("dst").as("p"), col("lbl"))
-      lbl = lbl.select(col("p"), col("lbl")).unionByName(prop)
-        .groupBy(col("p")).agg(min(col("lbl")).as("lbl"))
-    }
-    lbl.groupBy(col("lbl").as("component"))
+  def connectedComponents(spark: SparkSession, dir: String,
+      forceLoop: Boolean = false): DataFrame =
+    ccLabels(spark, dir, CcRounds, forceLoop)
+      .groupBy(col("d").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("component")
-  }
 
-  /** Label state after `rounds` propagation rounds — the Spark side
-    * of the fixpoint audit (`Round9Spec` diffs rounds CcRounds−1 and
-    * CcRounds).
+  /** Label state after `rounds` propagation rounds (columns p, d=label)
+    * — the Spark side of the fixpoint audit (`Round9Spec` diffs rounds
+    * CcRounds−1 and CcRounds). Min-label propagation IS min-plus
+    * relaxation with w ≡ 0 and every node seeded to its own id.
     */
-  private[graft] def ccLabels(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
-    val und = Tables(spark, dir).lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("basket"))
-      .select(explode(col("basket")).as("p1"), col("basket"))
-      .select(col("p1"), explode(col("basket")).as("p2"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= TriMinSupport)
-      .select(col("p1"), col("p2"))
-    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
-      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
-    var lbl = edges.select(col("src").as("p")).distinct().withColumn("lbl", col("p"))
-    for (_ <- 1 to rounds) {
-      val prop = lbl.join(edges, col("p") === col("src"))
-        .select(col("dst").as("p"), col("lbl"))
-      lbl = lbl.select(col("p"), col("lbl")).unionByName(prop)
-        .groupBy(col("p")).agg(min(col("lbl")).as("lbl"))
-    }
-    lbl
+  private[graft] def ccLabels(spark: SparkSession, dir: String, rounds: Int,
+      forceLoop: Boolean = false): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"), lit(0L).as("w"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst"), lit(0L).as("w")))
+    val seeds = edges.select(col("src").as("p")).distinct()
+      .select(col("p"), col("p").as("d"))
+    boundedRelax(edges, seeds, rounds, forceLoop)
   }
 
   /** Every round CTE is `AS MATERIALIZED`: DuckDB inlines CTEs by
@@ -548,5 +571,69 @@ object Graph {
       |$rounds
       |SELECT lbl AS component, count(*) AS n_nodes
       |FROM l$CcRounds GROUP BY 1 ORDER BY component""".stripMargin
+  }
+
+  // ------------------------------------------------------- shortest_path_bf
+
+  private[graft] val BfRounds = 4
+
+  /** Weighted shortest paths by unrolled Bellman-Ford: edge cost
+    * `greatest(1, 20 − support)` (strong co-purchase ties are cheap),
+    * [[BfRounds]] min-plus relaxations from the same seed brand as
+    * `bfs_hops` — the weighted generalization of that operator (hop
+    * count ⇒ additive cost). All arithmetic exact integers; paths
+    * longer than BfRounds edges are truncated IDENTICALLY on both
+    * engines (documented bounded-horizon semantics, the bfs_hops
+    * convention).
+    *
+    * Scale shape: identical to BFS — per round one node-keyed
+    * equi-join against the cached edge list plus a partial-agg min;
+    * volume O(E)/round. Production swaps the fixed unroll for
+    * iterate-until-no-improvement with the same per-round plan
+    * (delta stepping if edge weights spread widely).
+    */
+  def shortestPathBf(spark: SparkSession, dir: String,
+      forceLoop: Boolean = false): DataFrame = {
+    val und = supportEdges(spark, dir)
+      .select(col("p1"), col("p2"), expr("greatest(1, 20 - c)").as("w"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+    val seeds = Tables(spark, dir).part.filter(col("p_brand") === BfsSeedBrand)
+      .select(col("p_partkey").as("p"), lit(0L).as("d"))
+    boundedRelax(edges, seeds, BfRounds, forceLoop)
+      .select(col("p").as("part_key"), col("d").as("dist")).orderBy("part_key")
+  }
+
+  /** Relaxation rounds `AS MATERIALIZED` — same DuckDB CTE-inlining
+    * blowup as `connected_components` (each round references its
+    * predecessor twice).
+    */
+  val shortestPathBfSql: String = {
+    def relax(prev: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT p, min(d) AS d FROM (
+         |    SELECT p, d FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS p, $prev.d + e.w AS d
+         |    FROM $prev JOIN e ON e.src = $prev.p) u
+         |  GROUP BY p)""".stripMargin
+    val rounds = (1 to BfRounds).map(i => relax(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS (SELECT p1, p2, greatest(1, 20 - count(*)) AS w
+      |       FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst, w FROM e0
+      |      UNION ALL SELECT p2, p1, w FROM e0),
+      |d0 AS (SELECT p_partkey AS p, CAST(0 AS BIGINT) AS d
+      |       FROM part WHERE p_brand = '$BfsSeedBrand'),
+      |$rounds
+      |SELECT p AS part_key, CAST(d AS BIGINT) AS dist
+      |FROM d$BfRounds ORDER BY part_key""".stripMargin
   }
 }

@@ -1150,6 +1150,62 @@ object Reports {
       |       WHEN cum_c * 100 <= total_c * 95 THEN 'B' ELSE 'C' END AS abc_class
       |FROM c ORDER BY revenue DESC, l_partkey""".stripMargin
 
+  // ------------------------------------------------------------ lorenz_curve
+
+  /** Lorenz curve of customer revenue concentration: customers in
+    * ascending-revenue deciles (ntile with custkey tiebreak — both
+    * engines implement the SQL-standard first-buckets-get-the-extra
+    * rule, the `ntile_buckets` parity precedent), cumulative revenue
+    * share per decile — the curve whose area `gini_profile` summarizes
+    * to one number. Cents accumulate exactly; the share is ONE
+    * integer-over-integer divide.
+    *
+    * Scale shape: per-customer revenue partial-aggregates; the global
+    * ascending sort for ntile is the `histogram_equidepth` path (at
+    * 100 TB: range-partitioned rank from distributed percentiles, not
+    * a single-task window — documented there); the decile rollup is
+    * 10 rows.
+    */
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byCust = t.orders
+      .groupBy(col("o_custkey"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+    val ranked = byCust.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("rev_c"), col("o_custkey"))))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("dec_c"))
+      .withColumn("cum_c", sum(col("dec_c")).over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_c", sum(col("dec_c")).over(Window.partitionBy()))
+      .select(col("decile"), col("n_customers"),
+        expr("CAST(dec_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        expr("CAST(cum_c AS DOUBLE) / CAST(total_c AS DOUBLE)").as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val lorenzCurveSql: String =
+    """WITH byc AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT *, ntile(10) OVER (ORDER BY rev_c, o_custkey) AS decile
+      |  FROM byc),
+      |d AS (
+      |  SELECT decile, count(*) AS n_customers, sum(rev_c) AS dec_c
+      |  FROM r GROUP BY 1),
+      |c AS (
+      |  SELECT *,
+      |    sum(dec_c) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+      |    sum(dec_c) OVER () AS total_c
+      |  FROM d)
+      |SELECT CAST(decile AS INTEGER) AS decile, CAST(n_customers AS BIGINT) AS n_customers,
+      |  CAST(dec_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+      |  CAST(cum_c AS DOUBLE) / CAST(total_c AS DOUBLE) AS cum_share
+      |FROM c ORDER BY decile""".stripMargin
+
   // -------------------------------------------------------- new_vs_returning
 
   /** Daily active users split NEW vs RETURNING (first-seen day vs

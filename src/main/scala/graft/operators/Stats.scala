@@ -998,6 +998,58 @@ object Stats {
     s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / CAST(100 AS DOUBLE)"
   }
 
+  // ------------------------------------------------------ auc_purchase_value
+
+  /** ROC AUC of "does event value predict a purchase?" via the exact
+    * rank-sum identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀): ranks with
+    * midrank tie handling kept in INTEGER space throughout —
+    * 2·midrank = 2·rank + tiecount − 1, so twice the positive rank
+    * sum is an exact bigint and the AUC is ONE division of exact
+    * integers (same machinery as `mann_whitney`'s U but normalized to
+    * the probabilistic [0,1] metric a model-eval pipeline reports).
+    * No O(n²) pair join — two windows and an aggregate.
+    *
+    * Scale shape: the global score rank is the only total order
+    * (range-partitioned sort at 100 TB, the `histogram_equidepth`
+    * note); tie counts ride the same sort. Products n₁·n₀ stay
+    * < 2^53 to ~9e7 positives·negatives balance — decimal(38,0)
+    * documented beyond.
+    */
+  def aucPurchaseValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val ranked = ev
+      .withColumn("rk", rank().over(Window.orderBy("score")))
+      .withColumn("tc", count(lit(1)).over(Window.partitionBy("score")))
+    ranked.agg(
+        sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"),
+        sum(when(col("pos") === 1L, expr("2 * rk + tc - 1")).otherwise(0L)).as("two_r1"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CAST(two_r1 - n_pos * (n_pos + 1) AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)")
+          .as("auc"))
+  }
+
+  val aucPurchaseValueSql: String =
+    """WITH ev AS (
+      |  SELECT value AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events),
+      |r AS (
+      |  SELECT *, rank() OVER (ORDER BY score) AS rk,
+      |    count(*) OVER (PARTITION BY score) AS tc
+      |  FROM ev),
+      |a AS (
+      |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+      |    CAST(sum(CASE WHEN pos = 1 THEN 2 * rk + tc - 1 ELSE 0 END) AS BIGINT) AS two_r1
+      |  FROM r)
+      |SELECT n_pos, n_neg,
+      |  CAST(two_r1 - n_pos * (n_pos + 1) AS DOUBLE)
+      |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      |FROM a""".stripMargin
+
   val ewmaRevenueSql: String = {
     val lags = (0 until EwmaLags).map { k =>
       s"lag(rev_c, $k) OVER (PARTITION BY region_name ORDER BY m) AS lg$k"

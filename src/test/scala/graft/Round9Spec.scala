@@ -82,6 +82,13 @@ class Round9Spec extends AnyFunSuite {
     // drain anything earlier suites left registered, then snapshot
     OwnedCaches.release()
     spark.catalog.clearCache()
+    // warm the SESSION-shared co-purchase edge frame (Graph
+    // .supportEdges — survives release() by design, like the dedup
+    // shingles) so it sits INSIDE the baseline; the loop below then
+    // plan-matches it instead of re-registering
+    graft.operators.Graph.bfsHops(spark, sf).collect()
+    OwnedCaches.release()
+    Thread.sleep(500)
     val baseline = spark.sparkContext.getPersistentRDDs.size
     // one representative per touched OWNED cache family: sketch
     // registers, bitmap words, fill-forward obs, drift bins, basket
@@ -573,6 +580,18 @@ class Round9Spec extends AnyFunSuite {
       assert(strictlyBelow * 2 < total, "median is the MINIMAL such price")
       assert(r.getAs[Long]("total_weight_x100") == total)
     }
+  }
+
+  test("traversal family: single-task branch equals the distributed loop branch") {
+    import graft.operators.Graph
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(pairs(Graph.bfsHops(spark, sf)) == pairs(Graph.bfsHops(spark, sf, forceLoop = true)))
+    assert(pairs(Graph.shortestPathBf(spark, sf)) ==
+      pairs(Graph.shortestPathBf(spark, sf, forceLoop = true)))
+    assert(pairs(Graph.connectedComponents(spark, sf)) ==
+      pairs(Graph.connectedComponents(spark, sf, forceLoop = true)))
+    graft.core.OwnedCaches.release()
   }
 
   test("basket_triples: support never exceeds any pairwise sub-basket support") {
