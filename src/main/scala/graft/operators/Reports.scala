@@ -1150,6 +1150,153 @@ object Reports {
       |       WHEN cum_c * 100 <= total_c * 95 THEN 'B' ELSE 'C' END AS abc_class
       |FROM c ORDER BY revenue DESC, l_partkey""".stripMargin
 
+  // ----------------------------------------------------- conversion_wilson_ci
+
+  /** One Wilson-score fragment, shared text both engines: every
+    * operand is an exact integer (k, n) so each division and the sqrt
+    * are single correctly-rounded IEEE ops — sqrt is exactly rounded
+    * per IEEE-754, safe in shared expressions (the welch_t_test
+    * rule). z = 1.96 as a short exact literal.
+    */
+  private def wilsonExpr(sign: String): String = {
+    val ph = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    val nd = "CAST(n AS DOUBLE)"
+    val zz = "(1.96 * 1.96)"
+    s"(($ph + $zz / (2.0 * $nd)) $sign 1.96 * sqrt(($ph * (1.0 - $ph)" +
+      s" + $zz / (4.0 * $nd * $nd)) / $nd)) / (1.0 + $zz / $nd)"
+  }
+
+  /** Wilson-score 95% confidence interval on the share of customers
+    * per market segment who ever ordered — the interval that stays
+    * inside [0,1] and behaves at small n where the normal
+    * approximation fails (the A/B-readout primitive
+    * `ab_test_conversion` reports point estimates for). k and n are
+    * exact semi-join counts; the interval is pure shared-text IEEE
+    * arithmetic on them.
+    *
+    * Scale shape: one distinct-custkey pass over orders (partial
+    * aggregate), broadcast-joined flag onto customers, ≤|segments|
+    * output rows. No window, no sort.
+    */
+  def conversionWilsonCi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val buyers = t.orders.select(col("o_custkey")).distinct()
+      .withColumn("bought", lit(1L))
+    t.customer
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("bought"), lit(0L))).as("k"))
+      .select(col("c_mktsegment"), col("n"), col("k"),
+        expr("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)").as("p_hat"),
+        expr(wilsonExpr("-")).as("ci_lo"),
+        expr(wilsonExpr("+")).as("ci_hi"))
+      .orderBy("c_mktsegment")
+  }
+
+  val conversionWilsonCiSql: String =
+    s"""WITH buyers AS (SELECT DISTINCT o_custkey, 1 AS bought FROM orders),
+      |g AS (
+      |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(coalesce(bought, 0)) AS BIGINT) AS k
+      |  FROM customer LEFT JOIN buyers ON c_custkey = o_custkey
+      |  GROUP BY 1)
+      |SELECT c_mktsegment, n, k,
+      |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+      |  ${wilsonExpr("-")} AS ci_lo,
+      |  ${wilsonExpr("+")} AS ci_hi
+      |FROM g ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------- max_revenue_streak
+
+  /** Best consecutive-day revenue stretch vs the period average —
+    * Kadane's max-subarray run entirely in SQL windows: daily excess
+    * score = rev_c·D − total_c (exact integers, D = #days — scaling
+    * by D avoids a fractional mean), prefix sums, and best-ending-
+    * here = cum − min(0, min prefix before). The argmax end day is
+    * the earliest best; the streak start is recovered by matching the
+    * prefix value (latest matching prefix < end ⇒ the shortest such
+    * streak) — every choice an integer comparison, engine-stable.
+    * Output value = best/(D·100): cumulative dollars ABOVE average
+    * revenue over the streak.
+    *
+    * Scale shape: the day grid is bounded (≤ a few thousand rows at
+    * any SF — the time dimension grows slowly); the raw scan partial-
+    * aggregates to it, and all windows run on the grid in one task.
+    * Products rev_c·D stay < 2^53 to ~sf30.
+    */
+  def maxRevenueStreak(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01')").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+    val base = daily
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total_c", sum(col("rev_c")).over(Window.partitionBy()))
+      .withColumn("score", col("rev_c") * col("nd") - col("total_c"))
+      .withColumn("rn", row_number().over(Window.orderBy("d")))
+      .withColumn("cum", sum(col("score")).over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val scored = base
+      .withColumn("mp", least(coalesce(min(col("cum")).over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)), lit(0L)))
+      .withColumn("best_here", col("cum") - col("mp"))
+      .withColumn("best", max(col("cum") - col("mp")).over(Window.partitionBy()))
+    val end = scored.filter(col("best_here") === col("best"))
+      .orderBy("rn").limit(1)
+      .select(col("rn").as("end_rn"), col("d").as("end_d"),
+        (col("cum") - col("best")).as("pt"), col("best"), col("nd"))
+    val start = end.join(scored.select(col("rn").as("prn"), col("cum").as("pcum"),
+        col("d").as("pd")),
+        col("pcum") === col("pt") && col("prn") < col("end_rn"), "left")
+      .groupBy(col("end_rn"), col("end_d"), col("best"), col("nd"))
+      .agg(max(col("prn")).as("best_prn"))
+    start
+      .join(scored.select(col("rn"), col("d").as("sd")),
+        col("rn") === coalesce(col("best_prn") + 1, lit(1)))
+      .select(
+        expr("CAST(date_add(DATE '1970-01-01', CAST(sd AS INT)) AS STRING)").as("start_day"),
+        expr("CAST(date_add(DATE '1970-01-01', CAST(end_d AS INT)) AS STRING)").as("end_day"),
+        (col("end_rn") - coalesce(col("best_prn"), lit(0L))).cast("long").as("streak_days"),
+        expr("CAST(best AS DOUBLE) / CAST(nd * 100 AS DOUBLE)").as("excess_revenue"))
+  }
+
+  val maxRevenueStreakSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |base AS (
+      |  SELECT d, rev_c,
+      |    count(*) OVER () AS nd, sum(rev_c) OVER () AS total_c,
+      |    row_number() OVER (ORDER BY d) AS rn
+      |  FROM daily),
+      |c AS (
+      |  SELECT *, rev_c * nd - total_c AS score FROM base),
+      |cc AS (
+      |  SELECT *, sum(score) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM c),
+      |scored AS MATERIALIZED (
+      |  SELECT *,
+      |    least(coalesce(min(cum) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS mp
+      |  FROM cc),
+      |b AS (
+      |  SELECT *, cum - mp AS best_here, max(cum - mp) OVER () AS best
+      |  FROM scored),
+      |e AS (
+      |  SELECT rn AS end_rn, d AS end_d, cum - best AS pt, best, nd
+      |  FROM b WHERE best_here = best ORDER BY rn LIMIT 1),
+      |s AS (
+      |  SELECT e.end_rn, e.end_d, e.best, e.nd, max(p.rn) AS best_prn
+      |  FROM e LEFT JOIN scored p ON p.cum = e.pt AND p.rn < e.end_rn
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT
+      |  CAST(DATE '1970-01-01' + CAST(g.d AS INTEGER) AS VARCHAR) AS start_day,
+      |  CAST(DATE '1970-01-01' + CAST(s.end_d AS INTEGER) AS VARCHAR) AS end_day,
+      |  CAST(s.end_rn - coalesce(s.best_prn, 0) AS BIGINT) AS streak_days,
+      |  CAST(s.best AS DOUBLE) / CAST(s.nd * 100 AS DOUBLE) AS excess_revenue
+      |FROM s JOIN scored g ON g.rn = coalesce(s.best_prn + 1, 1)""".stripMargin
+
   // ------------------------------------------------------------ lorenz_curve
 
   /** Lorenz curve of customer revenue concentration: customers in

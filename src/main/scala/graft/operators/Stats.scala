@@ -998,6 +998,81 @@ object Stats {
     s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / CAST(100 AS DOUBLE)"
   }
 
+  // ----------------------------------------------------------- welch_t_test
+
+  /** Shared Welch formula fragments over the exact per-type moments
+    * (n, s = Σ cents, ss = Σ cents²): identical text in both engines,
+    * so every division/sqrt is the same correctly-rounded IEEE op on
+    * the same operands (sqrt IS exactly rounded per IEEE-754 — safe
+    * in shared expressions, unlike pow/ln whose libm vs JDK last-ulp
+    * behavior differs).
+    */
+  private def meanExpr(x: String): String =
+    s"CAST(s_$x AS DOUBLE) / CAST(n_$x * 100 AS DOUBLE)"
+  private def varOverNExpr(x: String): String =
+    s"(CAST(CAST(n_$x AS DECIMAL(38,0)) * ss_$x - CAST(s_$x AS DECIMAL(38,0)) * s_$x AS DOUBLE)" +
+      s" / CAST(n_$x * (n_$x - 1) AS DOUBLE) / 10000.0) / CAST(n_$x AS DOUBLE)"
+
+  /** Welch's unequal-variance t-test on `value` for every event-type
+    * pair — the parametric complement of `mann_whitney` (mean shift
+    * vs stochastic dominance). Values are exact 2-decimal: moments
+    * accumulate as exact integer cents / cents² (the corrExpr
+    * discipline — decimal(38,0) products, no float sums anywhere),
+    * and t plus the Welch–Satterthwaite df are shared expression
+    * text. One pass builds all five types' moments; the 10 pairs are
+    * a driver-side literal expansion like `ks_test`.
+    *
+    * Scale shape: one map-side conditional-sum pass reduces the raw
+    * log to 5 moment rows; everything after is constant-size. The
+    * n·ss product needs int128/decimal beyond ~2^63 (≈ sf1 for this
+    * events domain) — already decimal(38,0) here.
+    */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val mCols = EventTypes.flatMap { t =>
+      Seq(sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"),
+        sum(when(col("event_type") === t, col("c")).otherwise(0L)).as(s"s_$t"),
+        sum(when(col("event_type") === t, col("c") * col("c")).otherwise(0L)).as(s"ss_$t"))
+    }
+    val moments = ev.agg(mCols.head, mCols.tail: _*)
+    val outCols = TypePairs.flatMap { case (a, b) =>
+      val se2 = s"(${varOverNExpr(a)} + ${varOverNExpr(b)})"
+      Seq(
+        expr(s"(${meanExpr(a)} - ${meanExpr(b)}) / sqrt($se2)").as(s"t_${a}_$b"),
+        expr(s"$se2 * $se2 / ((${varOverNExpr(a)}) * (${varOverNExpr(a)}) / CAST(n_$a - 1 AS DOUBLE)" +
+          s" + (${varOverNExpr(b)}) * (${varOverNExpr(b)}) / CAST(n_$b - 1 AS DOUBLE))").as(s"df_${a}_$b"))
+    }
+    val wide = moments.select(outCols: _*)
+    val stackArgs = TypePairs
+      .map { case (a, b) => s"'$a', '$b', t_${a}_$b, df_${a}_$b" }.mkString(", ")
+    wide.selectExpr(
+        s"stack(${TypePairs.size}, $stackArgs) AS (type_a, type_b, t_stat, welch_df)")
+      .orderBy("type_a", "type_b")
+  }
+
+  val welchTTestSql: String = {
+    val mSums = EventTypes.flatMap { t =>
+      Seq(s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t",
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_$t",
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ss_$t")
+    }.mkString(",\n    ")
+    val rows = TypePairs.map { case (a, b) =>
+      val se2 = s"(${varOverNExpr(a)} + ${varOverNExpr(b)})"
+      s"""SELECT '$a' AS type_a, '$b' AS type_b,
+         |  (${meanExpr(a)} - ${meanExpr(b)}) / sqrt($se2) AS t_stat,
+         |  $se2 * $se2 / ((${varOverNExpr(a)}) * (${varOverNExpr(a)}) / CAST(n_$a - 1 AS DOUBLE)
+         |    + (${varOverNExpr(b)}) * (${varOverNExpr(b)}) / CAST(n_$b - 1 AS DOUBLE)) AS welch_df
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+      |  SELECT
+      |    $mSums
+      |  FROM events)
+      |$rows
+      |ORDER BY type_a, type_b""".stripMargin
+  }
+
   // ------------------------------------------------------ auc_purchase_value
 
   /** ROC AUC of "does event value predict a purchase?" via the exact

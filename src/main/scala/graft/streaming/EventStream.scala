@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the event-log schema (SURVEY.md §2 K) —
@@ -152,6 +153,60 @@ object EventStream {
           closed.iterator.map(s => Session(user, s.head._1, s.last._1, s.size,
             s.map(_._2).sum))
         })
+      .toDF()
+  }
+
+  // ----------------------------------------------- transformWithState profile
+
+  final case class ProfileState(n: Long, cents: Long, last_us: Long)
+  final case class UserProfile(user_id: Long, n_events: Long,
+      value_cents: Long, last_ts_us: Long)
+
+  /** Per-user lifetime profile via `transformWithState` (the Spark 4
+    * arbitrary-state API that supersedes flatMapGroupsWithState):
+    * ValueState holds (count, exact value cents, last-seen µs); every
+    * micro-batch emits the UPDATED profile row for each touched user —
+    * the streaming feature-store primitive (a training pipeline joins
+    * these continuously-maintained features at serve time). Value
+    * math is exact integer cents (`round(value·100)`), matching the
+    * batch engine's money discipline.
+    */
+  class RunningProfileProcessor extends StatefulProcessor[Long, Ev, UserProfile] {
+    @transient private var state: ValueState[ProfileState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ProfileState]("profile",
+        Encoders.product[ProfileState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserProfile] = {
+      val prior = if (state.exists()) state.get() else ProfileState(0L, 0L, 0L)
+      var (n, c, last) = (prior.n, prior.cents, prior.last_us)
+      rows.foreach { e =>
+        n += 1; c += math.round(e.value * 100); last = math.max(last, e.ts_us)
+      }
+      state.update(ProfileState(n, c, last))
+      Iterator.single(UserProfile(key, n, c, last))
+    }
+  }
+
+  /** `transformWithState` requires the RocksDB state store provider
+    * (set here; the bundled rocksdbjni backs it). TimeMode.None: the
+    * profile never expires — production would set a TTLConfig to
+    * bound state by the feature-freshness horizon instead.
+    *
+    * Scale shape: state is one fixed-width row per user, hash-
+    * partitioned by the group key across executors — the state store
+    * scales horizontally and each micro-batch touches only the
+    * partitions holding updated users; checkpoint/changelog IO is
+    * O(touched users), not O(all users).
+    */
+  def runningProfileStream(spark: SparkSession, inputDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.readStream.schema(eventSchema).json(inputDir).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
       .toDF()
   }
 }

@@ -582,6 +582,38 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState running profile accumulates exactly across micro-batches") {
+    import graft.streaming.EventStream
+    def writeBatch(dir: String, name: String, rows: Seq[EventStream.Ev]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name"),
+        rows.map(e =>
+          s"""{"event_id":${e.event_id},"ts_us":${e.ts_us},"user_id":${e.user_id},"event_type":"${e.event_type}","value":${e.value}}""")
+          .mkString("\n"))
+    val min = 60L * 1000000
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    writeBatch(tmp, "b1.jsonl", Seq(
+      EventStream.Ev(1, 1 * min, 1, "click", 1.25),
+      EventStream.Ev(2, 2 * min, 1, "view", 2.50),
+      EventStream.Ev(3, 2 * min, 2, "click", 0.75)))
+    val q = EventStream.runningProfileStream(spark, tmp).writeStream
+      .outputMode("update").format("memory").queryName("tws_profile").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("tws_profile").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(r1(1L) == ((2L, 375L, 2 * min)), "user 1: 2 events, exact cents, last ts")
+      assert(r1(2L) == ((1L, 75L, 2 * min)))
+      // second micro-batch: state must carry, not restart
+      writeBatch(tmp, "b2.jsonl", Seq(
+        EventStream.Ev(4, 5 * min, 1, "purchase", 10.00)))
+      q.processAllAvailable()
+      val rows2 = spark.table("tws_profile").collect()
+        .filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows2.contains((3L, 1375L, 5 * min)),
+        s"profile must accumulate across batches, got ${rows2.toSeq}")
+    } finally q.stop()
+  }
+
   test("traversal family: single-task branch equals the distributed loop branch") {
     import graft.operators.Graph
     def pairs(df: org.apache.spark.sql.DataFrame) =
