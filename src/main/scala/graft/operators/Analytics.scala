@@ -1008,6 +1008,42 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------- activity_heatmap
+
+  /** Day-of-week × hour activity heatmap over the event stream (the
+    * seasonal_index epoch-day convention lifted to two dimensions):
+    * pure integer µs arithmetic — dow = (day+3) mod 7, hour from the
+    * intra-day remainder — counts plus one exact-int share divide.
+    * The ops dashboard's load matrix and the input a capacity planner
+    * bins traffic by.
+    *
+    * Scale shape: one map-side pass partial-aggregates to ≤168 cells;
+    * the share window runs on those 168 rows. Nothing scales with the
+    * data but the first reduce.
+    */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    Tables(spark, dir).events
+      .groupBy(
+        expr(s"CAST((ts_us div $DayUs + 3) % 7 AS INT)").as("dow"),
+        expr(s"CAST((ts_us % $DayUs) div 3600000000 AS INT)").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("total", sum(col("n_events")).over(Window.partitionBy()))
+      .select(col("dow"), col("hour"), col("n_events"),
+        expr("CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE)").as("share"))
+      .orderBy("dow", "hour")
+  }
+
+  val activityHeatmapSql: String =
+    """WITH c AS (
+      |  SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INTEGER) AS dow,
+      |    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INTEGER) AS hour,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT dow, hour, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER () AS DOUBLE) AS share
+      |FROM c ORDER BY dow, hour""".stripMargin
+
   // -------------------------------------------------------- run_length_encode
 
   /** Run-length compression of per-user event streams: consecutive

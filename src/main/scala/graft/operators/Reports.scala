@@ -1206,6 +1206,66 @@ object Reports {
       |  ${wilsonExpr("+")} AS ci_hi
       |FROM g ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------- hhi_concentration
+
+  /** Herfindahl–Hirschman supplier-concentration index per region:
+    * Σ share² over supplier revenue shares — the antitrust/market-
+    * structure number beside `gini_profile`'s inequality and
+    * `lorenz_curve`'s distribution. Share squares are the one place
+    * exact integers explode past int128 comfort (Σ rev_c² ≈ 10¹⁹ at
+    * sf0.01), so the discipline flips: each share is ONE exact-operand
+    * double divide ROUNDED to 9 dp (round-half-up on positive doubles
+    * agrees across engines — the rounded-4 percentile convention),
+    * squared and summed EXACTLY in decimal, and the final rescale is an
+    * EXPLICIT round(·, 10) before the scale-10 cast — DuckDB's
+    * decimal→decimal downscale cast TRUNCATES where Spark's rounds
+    * (the inverse of the abc_classification decimal→bigint lesson) —
+    * keeping the decimal→double cast in single-rounding range
+    * (< 2^53 internal units). Order-independent by construction.
+    *
+    * Scale shape: one partial-agg pass to (region, supplier) revenue
+    * (nation/region broadcast), a per-region total, and a ≤|regions|
+    * rollup — no window over raw rows, no sort.
+    */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bySupp = t.lineitem
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("s_suppkey"))
+      .agg((sum(money(col("l_extendedprice"))) * 100).cast("long").as("rev_c"))
+    bySupp
+      .withColumn("total_c", sum(col("rev_c")).over(
+        Window.partitionBy("region_name")))
+      .withColumn("sq", expr(
+        "CAST(round(CAST(rev_c AS DOUBLE) / CAST(total_c AS DOUBLE), 9) AS DECIMAL(11,9))"))
+      .groupBy(col("region_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("CAST(CAST(round(sum(sq * sq), 10) AS DECIMAL(12,10)) AS DOUBLE)").as("hhi"))
+      .orderBy("region_name")
+  }
+
+  val hhiConcentrationSql: String =
+    """WITH bys AS (
+      |  SELECT r_name AS region_name, s_suppkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT *,
+      |    CAST(round(CAST(rev_c AS DOUBLE) / CAST(sum(rev_c) OVER (PARTITION BY region_name) AS DOUBLE), 9) AS DECIMAL(11,9)) AS sq
+      |  FROM bys)
+      |SELECT region_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(CAST(round(sum(sq * sq), 10) AS DECIMAL(12,10)) AS DOUBLE) AS hhi
+      |FROM sh GROUP BY region_name ORDER BY region_name""".stripMargin
+
   // ------------------------------------------------------- max_revenue_streak
 
   /** Best consecutive-day revenue stretch vs the period average —

@@ -1032,4 +1032,63 @@ object TextAnalysis {
       |  CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS share,
       |  CAST(rank * freq AS DOUBLE) / CAST(total AS DOUBLE) AS zipf_c
       |FROM r, t ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------- term_cooccur_lift
+
+  private val CooccurVocab = 50
+
+  /** Term co-occurrence lift over the top-[[CooccurVocab]] vocabulary
+    * (by doc frequency, term tiebreak): for every vocab pair, lift =
+    * n_ab·N / (df_a·df_b) — `basket_lift`'s machinery on DOCUMENT
+    * term sets, the collocation/topic-seed signal a corpus pipeline
+    * extracts (log-free PMI surrogate: same ranking, exact-integer
+    * single-divide score).
+    *
+    * Scale shape: per-doc distinct terms partial-aggregate to df; the
+    * vocab cut broadcasts (50 rows); the pair explode is bounded by
+    * Σ (vocab terms per doc)² ≤ 50² per doc — never raw-token
+    * quadratic. df marginals broadcast back onto ≤1225 pair rows.
+    */
+  def termCooccurLift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val terms = docs
+      .select(col("doc_id"), explode(array_distinct(normTokens(col("text")))).as("term"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(CooccurVocab)
+    val vt = terms.join(broadcast(vocab), "term") // term, doc_id, df
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val pairs = vt.select(col("doc_id"), col("term").as("t1"), col("df").as("df_a"))
+      .join(vt.select(col("doc_id"), col("term").as("t2"), col("df").as("df_b")), "doc_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("t1"), col("t2"), col("n_ab"), col("df_a"), col("df_b"),
+        expr("CAST(n_ab * __n AS DOUBLE) / CAST(df_a * df_b AS DOUBLE)").as("lift"))
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+  }
+
+  val termCooccurLiftSql: String =
+    s"""WITH toks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0)) AS t
+      |  FROM documents),
+      |terms AS MATERIALIZED (SELECT doc_id, unnest(t) AS term FROM toks),
+      |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+      |vocab AS MATERIALIZED (
+      |  SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT $CooccurVocab),
+      |n AS (SELECT count(*) AS __n FROM documents),
+      |vt AS MATERIALIZED (
+      |  SELECT doc_id, terms.term, df FROM terms JOIN vocab USING (term)),
+      |pairs AS (
+      |  SELECT a.term AS t1, b.term AS t2, a.df AS df_a, b.df AS df_b,
+      |    count(*) AS n_ab
+      |  FROM vt a JOIN vt b USING (doc_id)
+      |  WHERE a.term < b.term
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+      |  CAST(n_ab * __n AS DOUBLE) / CAST(df_a * df_b AS DOUBLE) AS lift
+      |FROM pairs, n
+      |ORDER BY lift DESC, t1, t2""".stripMargin
 }

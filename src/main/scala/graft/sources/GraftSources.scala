@@ -218,4 +218,25 @@ object GraftSources {
     try records.foreach { r => out.writeInt(r.length); out.write(r) }
     finally out.close()
   }
+
+  /** Batch-read a Structured Streaming state store (Spark 4's
+    * `statestore` DSv2 source): the debugging/backfill surface over a
+    * running query's checkpoint — audit the live state of a
+    * `transformWithState` feature store, seed a batch job from it, or
+    * validate state after a migration, all WITHOUT stopping the
+    * stream. `stateVarName` selects the state variable for
+    * transformWithState checkpoints (e.g. the running-profile's
+    * "profile" ValueState); None reads classic single-state operators
+    * (aggregations, dedup).
+    *
+    * Scale shape: the source reads one partition per state-store
+    * shard, preserving the stream's hash partitioning — a state scan
+    * is as parallel as the stream that wrote it and never funnels
+    * through the driver.
+    */
+  def readStateStore(spark: SparkSession, checkpointDir: String,
+      stateVarName: Option[String] = None): DataFrame = {
+    val base = spark.read.format("statestore").option("path", checkpointDir)
+    stateVarName.fold(base)(v => base.option("stateVarName", v)).load()
+  }
 }

@@ -614,6 +614,34 @@ class Round9Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statestore source batch-reads the transformWithState checkpoint") {
+    import graft.streaming.EventStream
+    def writeBatch(dir: String, name: String, rows: Seq[EventStream.Ev]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name"),
+        rows.map(e =>
+          s"""{"event_id":${e.event_id},"ts_us":${e.ts_us},"user_id":${e.user_id},"event_type":"${e.event_type}","value":${e.value}}""")
+          .mkString("\n"))
+    val min = 60L * 1000000
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssr_ckpt").toString
+    writeBatch(tmp, "b1.jsonl", Seq(
+      EventStream.Ev(1, 1 * min, 7, "click", 3.25),
+      EventStream.Ev(2, 4 * min, 7, "view", 1.00),
+      EventStream.Ev(3, 2 * min, 8, "click", 2.00)))
+    val q = EventStream.runningProfileStream(spark, tmp).writeStream
+      .outputMode("update").format("memory").queryName("ssr_profile")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    // the stream is stopped but its state survives in the checkpoint;
+    // the batch source reads it back with the stream's own key/value
+    // schema
+    val state = graft.sources.GraftSources.readStateStore(spark, ckpt, Some("profile"))
+    val rows = state.selectExpr("key.value AS user_id", "value.n", "value.cents", "value.last_us")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(7L) == ((2L, 425L, 4 * min)), s"got $rows")
+    assert(rows(8L) == ((1L, 200L, 2 * min)))
+  }
+
   test("traversal family: single-task branch equals the distributed loop branch") {
     import graft.operators.Graph
     def pairs(df: org.apache.spark.sql.DataFrame) =
