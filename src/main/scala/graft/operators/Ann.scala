@@ -218,6 +218,53 @@ object Ann {
       |  CAST(CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS DOUBLE) AS centroid_q6
       |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ----------------------------------------------- embedding_median_centroid
+
+  /** Coordinate-wise MEDIAN centroid per label — the robust
+    * alternative to `embedding_centroids`' mean (one poisoned vector
+    * moves a mean by ε·outlier, a median by at most one order
+    * statistic — the geometric-median-lite a curation pipeline uses
+    * against labeling noise). Median per (label, dim) is the explicit
+    * (min+max)/2 over the middle order statistics — the
+    * `theil_sen_trend` convention, never an engine `median()` —
+    * on bit-identical float→double casts.
+    *
+    * Scale shape: posexplode partial-reduces into (label, dim)
+    * groups — 640 groups here, |labels|·dims always; per-group
+    * windows run on grouped frames bounded by vectors-per-label.
+    * At 100 TB: replace exact order statistics with a per-group GK
+    * sketch (the quantile_profile scale path), same grouping.
+    */
+  def embeddingMedianCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(spark, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("label"), col("dim"), col("vf").cast("double").as("v"))
+    val w = Window.partitionBy("label", "dim").orderBy("v")
+    ex.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("label", "dim")))
+      .filter(expr("rn >= CAST(floor((n + 1) / 2.0) AS BIGINT) AND rn <= CAST(floor(n / 2.0) AS BIGINT) + 1"))
+      .groupBy(col("label"), col("dim"))
+      .agg(max(col("n")).as("n_vectors"),
+        expr("(min(v) + max(v)) / 2.0").as("median_coord"))
+      .orderBy("label", "dim")
+  }
+
+  val embeddingMedianCentroidSql: String =
+    """WITH ex AS (
+      |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY label, dim ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY label, dim) AS n
+      |  FROM ex)
+      |SELECT label, dim, CAST(max(n) AS BIGINT) AS n_vectors,
+      |  (min(v) + max(v)) / 2.0 AS median_coord
+      |FROM r
+      |WHERE rn >= CAST(floor((n + 1) / 2.0) AS BIGINT)
+      |  AND rn <= CAST(floor(n / 2.0) AS BIGINT) + 1
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   /** Multi-table sign-random-projection LSH ANN: 8 tables × 4-bit
     * bucket signatures from the map-side RademacherSketch expression;
     * a candidate is any vector colliding with the query in ≥1 table;

@@ -684,6 +684,54 @@ object Commerce {
       |FROM sh GROUP BY channel ORDER BY channel""".stripMargin
   }
 
+  // -------------------------------------------------- suspect_duplicate_orders
+
+  /** Transactional near-duplicate detection: order pairs from the
+    * same customer within a 7-day window whose totals differ by ≤1% —
+    * the double-billing / replayed-submission audit a finance
+    * pipeline runs (the entity-resolution idea of `fuzzy_name_pairs`
+    * applied to transactions, with an equi-key prefilter instead of
+    * edit distance). The 1% band is exact decimal arithmetic
+    * (|Δ|·100 ≤ max(p₁,p₂) — never a float ratio); okey1 < okey2
+    * canonicalizes; day gap exact integer.
+    *
+    * Scale shape: the self-join equi-keys on custkey — candidate
+    * volume is Σ orders-per-customer², bounded by the per-customer
+    * order rate, and both band predicates are post-join integer/
+    * decimal filters. At heavy-tailed customers add the order-WEEK to
+    * the equi-key (each pair lands in ≤2 week buckets) to cap group
+    * size; never a cross join, never a sort of raw orders.
+    */
+  def suspectDuplicateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("d"))
+    val a = o.toDF("k1", "cust", "price", "d1")
+    val b = o.toDF("k2", "cust2", "price2", "d2")
+    a.join(b, col("cust") === col("cust2") && col("k1") < col("k2"))
+      .filter(expr("abs(datediff(d2, d1)) <= 7" +
+        " AND abs(price - price2) * 100 <= greatest(price, price2)"))
+      .select(col("cust").as("custkey"), col("k1").as("orderkey_1"),
+        col("k2").as("orderkey_2"),
+        expr("CAST(price AS DOUBLE)").as("price_1"),
+        expr("CAST(price2 AS DOUBLE)").as("price_2"),
+        expr("CAST(abs(datediff(d2, d1)) AS BIGINT)").as("day_gap"))
+      .orderBy("custkey", "orderkey_1", "orderkey_2")
+  }
+
+  val suspectDuplicateOrdersSql: String =
+    """SELECT a.o_custkey AS custkey,
+      |  a.o_orderkey AS orderkey_1, b.o_orderkey AS orderkey_2,
+      |  CAST(a.o_totalprice AS DOUBLE) AS price_1,
+      |  CAST(b.o_totalprice AS DOUBLE) AS price_2,
+      |  CAST(abs(CAST(b.o_orderdate AS DATE) - CAST(a.o_orderdate AS DATE)) AS BIGINT) AS day_gap
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |WHERE abs(CAST(b.o_orderdate AS DATE) - CAST(a.o_orderdate AS DATE)) <= 7
+      |  AND abs(a.o_totalprice - b.o_totalprice) * 100
+      |        <= greatest(a.o_totalprice, b.o_totalprice)
+      |ORDER BY custkey, orderkey_1, orderkey_2""".stripMargin
+
   // ----------------------------------------------------------- basket_triples
 
   private val TripleMinSupport = 5

@@ -226,4 +226,57 @@ object Features {
        |  CAST(churned AS BIGINT) AS churned,
        |  CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
        |FROM r ORDER BY tenure""".stripMargin
+
+  // ------------------------------------------------------ feature_hash_vectors
+
+  private val HashBuckets = 64
+
+  /** The hashing trick: document tokens → [[HashBuckets]] sparse
+    * feature buckets via the library's portable mod-prime polynomial
+    * hash (the `text_rollinghash_fp` family — reproducible in ANSI
+    * SQL, unlike xxhash64/murmur), output (doc_id, bucket, count)
+    * sparse vectors — the fixed-width featurization that needs no
+    * vocabulary table, collisions and all (Weinberger et al.'s
+    * feature hashing).
+    *
+    * Scale shape: the hash is evaluated per DISTINCT term (a
+    * vocabulary-sized frame — the higher-order char fold never runs
+    * on the raw token stream) and broadcast back onto tokens; the
+    * sparse aggregation is one doc-keyed reduce bounded by
+    * min(tokens, buckets) rows per doc.
+    */
+  def featureHashVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RollingHashes.{B, P}
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.normTokens(col("text"))).as("term"))
+    val vocab = toks.select(col("term")).distinct()
+      .withColumn("bucket", expr(
+        // filter the trailing '' Spark's limit=-1 split keeps (DuckDB's
+        // range comprehension yields exactly len chars)
+        s"CAST(aggregate(transform(filter(split(term, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT)), " +
+          s"CAST(0 AS BIGINT), (a, x) -> (a * $B + x) % $P) % $HashBuckets AS INT)"))
+    toks.join(broadcast(vocab), "term")
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  val featureHashVectorsSql: String = {
+    import graft.functions.RollingHashes.{B, P}
+    s"""WITH toks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |vocab AS MATERIALIZED (
+      |  SELECT term,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        [CAST(ord(substring(term, i, 1)) AS BIGINT) for i in range(1, len(term) + 1)]),
+      |      (a, x) -> (a * $B + x) % $P) % $HashBuckets AS INTEGER) AS bucket
+      |  FROM (SELECT DISTINCT term FROM toks))
+      |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      |FROM toks JOIN vocab USING (term)
+      |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+  }
 }

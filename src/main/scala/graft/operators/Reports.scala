@@ -1206,6 +1206,59 @@ object Reports {
       |  ${wilsonExpr("+")} AS ci_hi
       |FROM g ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------ open_order_backlog
+
+  /** Daily order-line backlog: cumulative lines placed (by order
+    * date) minus cumulative lines shipped (by ship date) — the
+    * operations work-in-progress curve (`q12_late_lines` counts the
+    * failures; this shows the queue they came from). The two daily
+    * series union into one day spine and a single cumulative window
+    * produces the balance — all exact integers.
+    *
+    * Scale shape: both daily series partial-aggregate map-side to
+    * the bounded day grid; the union and the cumulative window run
+    * on grid-sized frames (≤ a few thousand rows at any SF).
+    */
+  def openOrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val placed = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderdate").cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("placed"))
+      .withColumn("shipped", lit(0L))
+    val shipped = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("shipped"))
+      .withColumn("placed", lit(0L))
+    placed.unionByName(shipped)
+      .groupBy(col("day"))
+      .agg(sum(col("placed")).as("placed"), sum(col("shipped")).as("shipped"))
+      .withColumn("backlog", sum(col("placed") - col("shipped")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  val openOrderBacklogSql: String =
+    """WITH placed AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+      |    count(*) AS placed, 0 AS shipped
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |shipped AS (
+      |  SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS day,
+      |    0 AS placed, count(*) AS shipped
+      |  FROM lineitem GROUP BY 1),
+      |g AS (
+      |  SELECT day, CAST(sum(placed) AS BIGINT) AS placed,
+      |    CAST(sum(shipped) AS BIGINT) AS shipped
+      |  FROM (SELECT * FROM placed UNION ALL SELECT * FROM shipped)
+      |  GROUP BY day)
+      |SELECT day, placed, shipped,
+      |  CAST(sum(placed - shipped) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+      |FROM g ORDER BY day""".stripMargin
+
   // ------------------------------------------------------- hhi_concentration
 
   /** Herfindahl–Hirschman supplier-concentration index per region:

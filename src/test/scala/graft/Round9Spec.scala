@@ -614,6 +614,45 @@ class Round9Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch-11 invariants: hashing trick, median centroid, backlog, near-dup orders") {
+    // feature_hash_vectors: per-doc bucket counts repartition the token count
+    val fh = graft.operators.Features.featureHashVectors(spark, sf).collect()
+    assert(fh.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 64))
+    val tokTotal = graft.core.Tables(spark, sf).documents
+      .select(explode(graft.functions.GraftFunctions.normTokens(col("text"))))
+      .count()
+    assert(fh.map(_.getLong(2)).sum == tokTotal,
+      "hashed bucket counts must conserve the token count")
+
+    // embedding_median_centroid: median within [min, max] per coordinate
+    val med = graft.operators.Ann.embeddingMedianCentroid(spark, sf).collect()
+    val minmax = graft.core.Tables(spark, sf).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(min("v").as("lo"), max("v").as("hi"))
+      .collect().map(r => (r.get(0).asInstanceOf[Number].longValue, r.getInt(1)) ->
+        ((r.getFloat(2), r.getFloat(3)))).toMap
+    med.foreach { r =>
+      val (lo, hi) = minmax((r.get(0).asInstanceOf[Number].longValue, r.getInt(1)))
+      val m = r.getAs[Double]("median_coord")
+      assert(m >= lo && m <= hi)
+    }
+
+    // open_order_backlog: conserves flow — every placed line ships
+    val bl = graft.operators.Reports.openOrderBacklog(spark, sf).collect()
+    assert(bl.last.getAs[Long]("backlog") == 0L,
+      "flow conservation: every line appears in both series")
+    // (the synthetic generator does NOT keep shipdate ≥ orderdate, so
+    // intermediate backlog may legitimately dip negative here)
+    assert(bl.exists(_.getAs[Long]("backlog") != 0L))
+
+    // suspect_duplicate_orders: every reported pair satisfies both bands
+    graft.operators.Commerce.suspectDuplicateOrders(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("day_gap") <= 7)
+      val (p1, p2) = (r.getAs[Double]("price_1"), r.getAs[Double]("price_2"))
+      assert(math.abs(p1 - p2) * 100 <= math.max(p1, p2) + 1e-6)
+    }
+  }
+
   test("statestore source batch-reads the transformWithState checkpoint") {
     import graft.streaming.EventStream
     def writeBatch(dir: String, name: String, rows: Seq[EventStream.Ev]): Unit =
