@@ -218,6 +218,68 @@ object Ann {
       |  CAST(CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS DOUBLE) AS centroid_q6
       |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ---------------------------------------------------- hybrid_rank_fusion
+
+  private val RrfK = 60 // the standard RRF dampening constant
+
+  /** Reciprocal-rank fusion of two retrievers — exact brute-force
+    * cosine and the multi-table LSH path — the ensemble trick hybrid
+    * search stacks use (Cormack et al.: Σ 1/(k+rank) is rank-scale
+    * free, so heterogeneous retrievers fuse without score
+    * calibration). Exactly TWO coalesced terms add per candidate —
+    * a fixed-order two-operand IEEE sum, engine-stable (never a
+    * variable-order float aggregation). Composes the two operators'
+    * own plans/oracles verbatim (the oracle nests both SQL texts as
+    * CTEs).
+    *
+    * Scale shape: inherits both retrievers' scale paths (LSH is the
+    * 100-TB candidate generator; brute-force the small-corpus
+    * re-ranker); the fusion itself is a (query, neighbor)-keyed outer
+    * join over two k-bounded lists — O(queries·k).
+    */
+  def hybridRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val dense = annTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("r_exact"))
+    val lsh = annLshTopk(spark, dir)
+      .select(col("query_id").as("ql"), col("neighbor_id").as("nl"),
+        col("rank").as("r_lsh"))
+    dense.join(lsh,
+        col("query_id") === col("ql") && col("neighbor_id") === col("nl"), "full")
+      .select(
+        coalesce(col("query_id"), col("ql")).as("query_id"),
+        coalesce(col("neighbor_id"), col("nl")).as("neighbor_id"),
+        col("r_exact"), col("r_lsh"),
+        expr(s"coalesce(1.0 / CAST($RrfK + r_exact AS DOUBLE), 0.0)" +
+          s" + coalesce(1.0 / CAST($RrfK + r_lsh AS DOUBLE), 0.0)").as("rrf"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("neighbor_id"))))
+      .filter(col("fused_rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("r_exact"), col("r_lsh"),
+        col("rrf"), col("fused_rank"))
+      .orderBy("query_id", "fused_rank")
+  }
+
+  // lazy: interpolates annLshTopkSql, which is declared LATER in this
+  // object — an eager val would capture null at init order
+  lazy val hybridRankFusionSql: String =
+    s"""WITH dense AS ($annTopkBruteforceSql),
+      |lshr AS ($annLshTopkSql),
+      |j AS (
+      |  SELECT coalesce(d.query_id, l.query_id) AS query_id,
+      |    coalesce(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+      |    d.rank AS r_exact, l.rank AS r_lsh,
+      |    coalesce(1.0 / CAST($RrfK + d.rank AS DOUBLE), 0.0)
+      |      + coalesce(1.0 / CAST($RrfK + l.rank AS DOUBLE), 0.0) AS rrf
+      |  FROM dense d FULL OUTER JOIN lshr l
+      |    ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id),
+      |f AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf DESC, neighbor_id) AS fused_rank
+      |  FROM j)
+      |SELECT query_id, neighbor_id, CAST(r_exact AS INTEGER) AS r_exact,
+      |  CAST(r_lsh AS INTEGER) AS r_lsh, rrf, CAST(fused_rank AS INTEGER) AS fused_rank
+      |FROM f WHERE fused_rank <= $K ORDER BY query_id, fused_rank""".stripMargin
+
   // ----------------------------------------------- embedding_median_centroid
 
   /** Coordinate-wise MEDIAN centroid per label — the robust

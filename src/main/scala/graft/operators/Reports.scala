@@ -1206,6 +1206,60 @@ object Reports {
       |  ${wilsonExpr("+")} AS ci_hi
       |FROM g ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------ trailing_spend_90d
+
+  /** Point-in-time-correct trailing feature: for every event, the
+    * user's order spend in the 90 days strictly BEFORE the event —
+    * the leakage-safe feature join a training pipeline must get right
+    * (a feature computed with post-label data poisons the model; the
+    * as-of family gives the latest row, this gives the trailing
+    * AGGREGATE). Band: event_day − 90 ≤ order_day < event_day — all
+    * integer day arithmetic; spend exact decimal cents; events with
+    * no qualifying orders keep 0 (left join + coalesce on BOTH
+    * engines).
+    *
+    * Scale shape: equi-join on the user key carries the band as a
+    * post-join filter — candidate volume is Σ events·orders per user.
+    * At 100 TB: add the event MONTH to the key (each 90-day band
+    * spans ≤4 month buckets, orders replicate ×4) — the standard
+    * band-join bucketing; the per-event aggregation partial-reduces
+    * on (event_id) co-partitioned with the join.
+    */
+  def trailingSpend90d(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("event_id"), col("user_id"),
+      expr("CAST(ts_us div 86400000000 AS BIGINT)").as("eday"))
+    val ord = t.orders.select(col("o_custkey"),
+      expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)").as("oday"),
+      (money(col("o_totalprice")) * 100).cast("long").as("spend_c"))
+    ev.join(ord, col("user_id") === col("o_custkey")
+        && col("oday") >= col("eday") - 90 && col("oday") < col("eday"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("eday"))
+      .agg(coalesce(sum(col("spend_c")), lit(0L)).as("sc"),
+        sum(when(col("oday").isNotNull, 1L).otherwise(0L)).as("n_orders"))
+      .select(col("event_id"), col("user_id"),
+        col("n_orders"),
+        expr("CAST(sc AS DOUBLE) / CAST(100 AS DOUBLE)").as("spend_90d"))
+      .orderBy("event_id")
+  }
+
+  val trailingSpend90dSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS eday
+      |  FROM events),
+      |ord AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS oday,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS spend_c
+      |  FROM orders)
+      |SELECT event_id, user_id,
+      |  CAST(sum(CASE WHEN oday IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(sum(spend_c), 0) AS DOUBLE) / CAST(100 AS DOUBLE) AS spend_90d
+      |FROM ev LEFT JOIN ord
+      |  ON user_id = o_custkey AND oday >= eday - 90 AND oday < eday
+      |GROUP BY event_id, user_id, eday
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------ open_order_backlog
 
   /** Daily order-line backlog: cumulative lines placed (by order

@@ -653,6 +653,35 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("batch-12 invariants: RRF recomputes from member ranks; trailing spend brute-recounts") {
+    val fused = graft.operators.Ann.hybridRankFusion(spark, sf).collect()
+    graft.core.OwnedCaches.release()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val (re, rl) = (Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Int]))
+      val expect = re.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rl.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expect)
+      assert(r.getAs[Int]("fused_rank") >= 1 && r.getAs[Int]("fused_rank") <= 5)
+    }
+
+    val ts = graft.operators.Reports.trailingSpend90d(spark, sf).collect()
+    val orders = graft.core.Tables(spark, sf).orders
+      .selectExpr("o_custkey", "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS oday",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val evDay = graft.core.Tables(spark, sf).events
+      .selectExpr("event_id", "user_id", "CAST(ts_us div 86400000000 AS BIGINT) AS eday")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    ts.take(200).foreach { r =>
+      val (user, eday) = evDay(r.getLong(0))
+      val window = orders.filter(o => o._1 == user && o._2 >= eday - 90 && o._2 < eday)
+      assert(r.getLong(2) == window.length, "n_orders recount")
+      assert(r.getAs[Double]("spend_90d") == window.map(_._3).sum.toDouble / 100.0)
+    }
+  }
+
   test("statestore source batch-reads the transformWithState checkpoint") {
     import graft.streaming.EventStream
     def writeBatch(dir: String, name: String, rows: Seq[EventStream.Ev]): Unit =
