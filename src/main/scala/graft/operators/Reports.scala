@@ -1206,6 +1206,124 @@ object Reports {
       |  ${wilsonExpr("+")} AS ci_hi
       |FROM g ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------- daily_revenue_gapfill
+
+  /** Dense-spine gap fill: daily revenue joined onto the FULL day
+    * spine between the data's min and max dates, zero-filled with an
+    * explicit was_missing flag — the densification every time-series
+    * consumer (EWMA, seasonal index, forecasting) silently assumes
+    * and `fill_forward` (carry last OBSERVATION) does not provide.
+    * Spine via sequence/explode of integer epoch days (generate_series
+    * in the oracle) — exact, engine-stable.
+    *
+    * Scale shape: the spine generates map-side from one scalar
+    * min/max aggregate (the dim_date pattern); daily revenue
+    * partial-aggregates; the spine join is broadcast (a day spine is
+    * tiny at any SF — time grows slowly).
+    */
+  def dailyRevenueGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+    val spine = Tables(spark, dir).orders
+      .agg(expr("CAST(datediff(min(o_orderdate), DATE '1970-01-01') AS BIGINT)").as("lo"),
+        expr("CAST(datediff(max(o_orderdate), DATE '1970-01-01') AS BIGINT)").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(
+        expr("CAST(date_add(DATE '1970-01-01', CAST(d AS INT)) AS STRING)").as("day"),
+        expr("CAST(coalesce(rev_c, 0) AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        when(col("rev_c").isNull, 1L).otherwise(0L).as("was_missing"))
+      .orderBy("day")
+  }
+
+  val dailyRevenueGapfillSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |bounds AS (
+      |  SELECT CAST(min(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS lo,
+      |    CAST(max(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS hi
+      |  FROM orders),
+      |spine AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds)
+      |SELECT CAST(DATE '1970-01-01' + CAST(spine.d AS INTEGER) AS VARCHAR) AS day,
+      |  CAST(coalesce(rev_c, 0) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+      |  CAST(CASE WHEN rev_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_missing
+      |FROM spine LEFT JOIN daily ON spine.d = daily.d
+      |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------- segment_migration
+
+  /** Customer value-segment migration: revenue quartile (ntile 4,
+    * custkey tiebreak) in the data's FIRST half vs the SECOND half,
+    * as a transition-count matrix with exact row shares — the
+    * `markov_transitions` idea at customer-lifetime grain (who moves
+    * up, who churns out; quartile 0 = absent that half). The halves
+    * split on the integer midpoint day, the `tv_distance_drift`
+    * convention.
+    *
+    * Scale shape: two half-period revenue aggregates from one scan
+    * (conditional sums), two bounded ntile sorts over the customer
+    * dim (the histogram_equidepth boundary pattern at 10⁹ customers),
+    * and a ≤25-cell rollup.
+    */
+  def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val mid = t.orders.agg(expr(
+      "CAST(floor((min(datediff(o_orderdate, DATE '1970-01-01')) + max(datediff(o_orderdate, DATE '1970-01-01'))) / 2.0) AS BIGINT)").as("mid"))
+    val per = t.orders.crossJoin(broadcast(mid))
+      .groupBy(col("o_custkey"))
+      .agg(
+        (sum(when(expr("datediff(o_orderdate, DATE '1970-01-01') <= mid"),
+          money(col("o_totalprice"))).otherwise(expr("CAST(0 AS DECIMAL(18,2))"))) * 100)
+          .cast("long").as("rev_a"),
+        (sum(when(expr("datediff(o_orderdate, DATE '1970-01-01') > mid"),
+          money(col("o_totalprice"))).otherwise(expr("CAST(0 AS DECIMAL(18,2))"))) * 100)
+          .cast("long").as("rev_b"))
+    val seg = per
+      .withColumn("seg_a", when(col("rev_a") === 0L, 0)
+        .otherwise(ntile(4).over(Window.partitionBy(col("rev_a") === 0L)
+          .orderBy(col("rev_a"), col("o_custkey")))))
+      .withColumn("seg_b", when(col("rev_b") === 0L, 0)
+        .otherwise(ntile(4).over(Window.partitionBy(col("rev_b") === 0L)
+          .orderBy(col("rev_b"), col("o_custkey")))))
+    seg.groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("row_total", sum(col("n_customers")).over(
+        Window.partitionBy("seg_a")))
+      .select(col("seg_a"), col("seg_b"), col("n_customers"),
+        expr("CAST(n_customers AS DOUBLE) / CAST(row_total AS DOUBLE)").as("share"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  val segmentMigrationSql: String =
+    """WITH mid AS (
+      |  SELECT CAST(floor((min(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+      |    + max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')) / 2.0) AS BIGINT) AS mid
+      |  FROM orders),
+      |per AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) - DATE '1970-01-01' <= mid
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS rev_a,
+      |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) - DATE '1970-01-01' > mid
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS rev_b
+      |  FROM orders, mid GROUP BY 1),
+      |seg AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN rev_a = 0 THEN 0 ELSE ntile(4) OVER
+      |      (PARTITION BY rev_a = 0 ORDER BY rev_a, o_custkey) END AS seg_a,
+      |    CASE WHEN rev_b = 0 THEN 0 ELSE ntile(4) OVER
+      |      (PARTITION BY rev_b = 0 ORDER BY rev_b, o_custkey) END AS seg_b
+      |  FROM per),
+      |m AS (
+      |  SELECT seg_a, seg_b, count(*) AS n_customers FROM seg GROUP BY 1, 2)
+      |SELECT CAST(seg_a AS INTEGER) AS seg_a, CAST(seg_b AS INTEGER) AS seg_b,
+      |  CAST(n_customers AS BIGINT) AS n_customers,
+      |  CAST(n_customers AS DOUBLE)
+      |    / CAST(sum(n_customers) OVER (PARTITION BY seg_a) AS DOUBLE) AS share
+      |FROM m ORDER BY seg_a, seg_b""".stripMargin
+
   // ------------------------------------------------------ trailing_spend_90d
 
   /** Point-in-time-correct trailing feature: for every event, the

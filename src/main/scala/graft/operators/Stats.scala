@@ -998,6 +998,51 @@ object Stats {
     s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / CAST(100 AS DOUBLE)"
   }
 
+  // --------------------------------------------------------- snaive_backtest
+
+  /** Seasonal-naive forecast backtest: predict each day's per-type
+    * event count with the count 7 CALENDAR days earlier (self-join on
+    * day−7, not lag-7-rows — gaps don't shift the season), score with
+    * MAPE. Each |y−ŷ|/y ratio is one exact-operand double divide
+    * ROUNDED to 8 dp and summed in decimal (the chi_square term
+    * discipline — order-independent), then ONE division by the scored
+    * count. The baseline every real forecaster must beat; backtest
+    * machinery doubles as the eval harness for fancier models.
+    *
+    * Scale shape: one partial-agg pass to the (type, day) grid; the
+    * 7-day self-join and MAPE rollup run on the bounded grid.
+    */
+  def snaiveBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("CAST(ts_us div 86400000000 AS BIGINT)").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val f = daily.select(col("event_type").as("et2"), (col("d") + 7).as("d2"),
+      col("y").as("fc"))
+    daily.join(f, col("event_type") === col("et2") && col("d") === col("d2"))
+      .filter(col("y") > 0)
+      .withColumn("ape", expr(
+        "CAST(round(CAST(abs(y - fc) AS DOUBLE) / CAST(y AS DOUBLE), 8) AS DECIMAL(12,8))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_scored"),
+        expr("CAST(sum(ape) AS DOUBLE)").as("ape_sum"))
+      .select(col("event_type"), col("n_days_scored"),
+        expr("ape_sum / CAST(n_days_scored AS DOUBLE)").as("mape"))
+      .orderBy("event_type")
+  }
+
+  val snaiveBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS y
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days_scored,
+      |  CAST(sum(CAST(round(CAST(abs(a.y - f.y) AS DOUBLE) / CAST(a.y AS DOUBLE), 8) AS DECIMAL(12,8))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS mape
+      |FROM daily a JOIN daily f
+      |  ON a.event_type = f.event_type AND a.d = f.d + 7
+      |WHERE a.y > 0
+      |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
+
   // ----------------------------------------------------------- welch_t_test
 
   /** Shared Welch formula fragments over the exact per-type moments

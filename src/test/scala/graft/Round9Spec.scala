@@ -682,6 +682,33 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("batch-13 invariants: gapfill spine, migration matrix, snaive baseline") {
+    val gf = graft.operators.Reports.dailyRevenueGapfill(spark, sf).collect()
+    // spine is DENSE: row count == day span, revenue conserves
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(gf.head.getString(0)),
+      java.time.LocalDate.parse(gf.last.getString(0))) + 1
+    assert(gf.length == span, s"dense spine: ${gf.length} rows vs $span days")
+    val totalRev = graft.core.Tables(spark, sf).orders
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))).collect()(0).getDecimal(0)
+    assert(math.abs(gf.map(_.getAs[Double]("revenue")).sum - totalRev.doubleValue()) < 1e-4)
+    assert(gf.exists(_.getAs[Long]("was_missing") == 1L) ||
+      gf.forall(_.getAs[Long]("was_missing") == 0L))
+
+    val mig = graft.operators.Reports.segmentMigration(spark, sf).collect()
+    // every customer lands in exactly one cell; row shares sum to 1
+    val nCust = graft.core.Tables(spark, sf).orders
+      .select(col("o_custkey")).distinct().count()
+    assert(mig.map(_.getAs[Long]("n_customers")).sum == nCust)
+    mig.groupBy(_.getInt(0)).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    }
+
+    val sb = graft.operators.Stats.snaiveBacktest(spark, sf).collect()
+    assert(sb.nonEmpty)
+    sb.foreach(r => assert(r.getAs[Double]("mape") >= 0.0 && r.getLong(1) > 0))
+  }
+
   test("statestore source batch-reads the transformWithState checkpoint") {
     import graft.streaming.EventStream
     def writeBatch(dir: String, name: String, rows: Seq[EventStream.Ev]): Unit =
