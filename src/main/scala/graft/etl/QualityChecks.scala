@@ -189,4 +189,55 @@ object QualityChecks {
       |  CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE)
       |    - CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE) AS shift_pct
       |FROM g, tt ORDER BY bin""".stripMargin
+
+  // ----------------------------------------------------- orphaned_dimensions
+
+  /** Referential-integrity profile from the FACT side: dimension rows
+    * no fact ever references (parts never ordered, customers who
+    * never ordered, suppliers who never shipped) — the dead-inventory
+    * / dormant-entity audit that complements `data_quality_summary`'s
+    * orphaned-FK direction (facts pointing at missing dims). One row
+    * per dimension with exact orphan share.
+    *
+    * Scale shape: each fact side partial-aggregates to DISTINCT keys
+    * before the anti join (the join probes dim-sized, never
+    * fact-sized frames); three tiny audits union into one frame.
+    */
+  def orphanedDimensions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def audit(entity: String, dim: DataFrame, key: String,
+        factKeys: DataFrame): DataFrame = {
+      // one scalar action per dim (the pagerank pulled-constant
+      // convention); dims are the small side by definition
+      val total = dim.count()
+      dim.join(factKeys, dim(key) === factKeys(factKeys.columns.head), "left_anti")
+        .agg(count(lit(1)).as("n_orphaned"))
+        .select(lit(entity).as("entity"), lit(total).as("n_total"),
+          col("n_orphaned"),
+          expr(s"CAST(n_orphaned AS DOUBLE) / CAST(${total}L AS DOUBLE)").as("orphan_share"))
+    }
+    val parts = audit("part", t.part.select(col("p_partkey")), "p_partkey",
+      t.lineitem.select(col("l_partkey")).distinct())
+    val custs = audit("customer", t.customer.select(col("c_custkey")), "c_custkey",
+      t.orders.select(col("o_custkey")).distinct())
+    val supps = audit("supplier", t.supplier.select(col("s_suppkey")), "s_suppkey",
+      t.lineitem.select(col("l_suppkey")).distinct())
+    parts.unionByName(custs).unionByName(supps).orderBy("entity")
+  }
+
+  val orphanedDimensionsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS entity, CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+      |    CAST(count(*) AS BIGINT) AS n_orphaned,
+      |    CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM customer) AS DOUBLE) AS orphan_share
+      |  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'part', CAST((SELECT count(*) FROM part) AS BIGINT), CAST(count(*) AS BIGINT),
+      |    CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM part) AS DOUBLE)
+      |  FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'supplier', CAST((SELECT count(*) FROM supplier) AS BIGINT), CAST(count(*) AS BIGINT),
+      |    CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM supplier) AS DOUBLE)
+      |  FROM supplier WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
+      |ORDER BY entity""".stripMargin
 }

@@ -321,6 +321,31 @@ class Round9Spec extends AnyFunSuite {
     // word build (cached, read by totals + pair join)
     val bi = planOf(graft.operators.Sketches.bitmapIntersect(spark, sf))
     assert(!bi.contains("CartesianProduct"))
+
+    // welch_t_test: ONE pass over the raw log builds every moment —
+    // the 10 pairs are driver-side literal expansion, no self-join
+    val wt = planOf(graft.operators.Stats.welchTTest(spark, sf))
+    assert("events".r.findAllIn(wt).length <= 1, s"welch rescans raw:\n$wt")
+    assert(!wt.contains("Join"), s"welch should be join-free:\n$wt")
+
+    // trailing_spend_90d: user-keyed equi-join (band residual), never
+    // a nested-loop over events×orders
+    val ts = planOf(graft.operators.Reports.trailingSpend90d(spark, sf))
+    assert(!ts.contains("CartesianProduct") && !ts.contains("BroadcastNestedLoopJoin"),
+      s"trailing spend degenerated:\n$ts")
+
+    // conversion_wilson_ci / lorenz: dim-side aggregation, scan prunes
+    // to the 2-3 referenced columns
+    val wc = graft.operators.Reports.conversionWilsonCi(spark, sf)
+    val scan = wc.queryExecution.executedPlan.toString
+    assert(scan.contains("o_custkey") && !scan.contains("o_totalprice"),
+      "wilson reads only the custkey from orders")
+
+    // daily_revenue_gapfill: the spine joins by BROADCAST (day spine
+    // is bounded at any SF)
+    val gf = planOf(graft.operators.Reports.dailyRevenueGapfill(spark, sf))
+    assert(gf.contains("BroadcastHashJoin") || gf.contains("BroadcastExchange"),
+      s"gapfill spine must broadcast:\n$gf")
     graft.core.OwnedCaches.release()
   }
 
