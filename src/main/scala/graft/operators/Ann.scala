@@ -218,6 +218,53 @@ object Ann {
       |  CAST(CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS DOUBLE) AS centroid_q6
       |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // --------------------------------------------------------- knn_classify
+
+  /** k-NN classification over the brute-force neighbor lists: each
+    * query vector takes the MAJORITY label of its top-k cosine
+    * neighbors (tie → smaller label, deterministic), reported beside
+    * the query's actual label — the eval loop for "are these
+    * embeddings linearly separable enough to trust" (label
+    * consistency of the neighborhood is also SemDeDup's sanity
+    * check). Pure integer voting on top of the existing retriever —
+    * the oracle nests `ann_topk_bruteforce`'s text as a CTE.
+    *
+    * Scale shape: inherits the retriever's (LSH/IVF at 100 TB); the
+    * vote is a (query, label) count over k·queries rows.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val votes = annTopkBruteforce(spark, dir)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .groupBy(col("query_id"), col("nl"))
+      .agg(count(lit(1)).as("votes"))
+    val best = votes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("nl"))))
+      .filter(col("rn") === 1)
+    best.join(e.select(col("vec_id").as("query_id"), col("label").as("actual")), "query_id")
+      .select(col("query_id"), col("actual").as("actual_label"),
+        col("nl").as("predicted_label"), col("votes"),
+        when(col("nl") === col("actual"), 1L).otherwise(0L).as("correct"))
+      .orderBy("query_id")
+  }
+
+  lazy val knnClassifySql: String =
+    s"""WITH nn AS ($annTopkBruteforceSql),
+      |votes AS (
+      |  SELECT nn.query_id, e.label AS nl, count(*) AS votes
+      |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY votes DESC, nl) AS rn
+      |  FROM votes)
+      |SELECT b.query_id, q.label AS actual_label, b.nl AS predicted_label,
+      |  CAST(b.votes AS BIGINT) AS votes,
+      |  CAST(CASE WHEN b.nl = q.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM best b JOIN embeddings q ON q.vec_id = b.query_id
+      |WHERE b.rn = 1 ORDER BY b.query_id""".stripMargin
+
   // ---------------------------------------------------- hybrid_rank_fusion
 
   private val RrfK = 60 // the standard RRF dampening constant

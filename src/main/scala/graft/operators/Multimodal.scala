@@ -179,4 +179,56 @@ object Multimodal {
       |SELECT doc_id, patch_x, patch_y, patch_checksum,
       |  CAST(patch_checksum % 256 AS INTEGER) AS intensity
       |FROM h ORDER BY doc_id, patch_y, patch_x""".stripMargin
+
+  // ---------------------------------------------------- multimodal_chunk_audio
+
+  private val ChunkWin = 256 // bytes per analysis window
+  private val ChunkHop = 128 // 50% overlap — the standard audio framing
+
+  /** Audio-style windowed chunking of a binary payload: overlapping
+    * [[ChunkWin]]-byte windows every [[ChunkHop]] bytes (the STFT
+    * framing shape), each chunk carrying its offset, true byte count
+    * (the tail window is short) and a checksum feature — the 1→N
+    * byte-slicing plumbing a real audio featurizer runs before the
+    * DSP, with the DSP stubbed to the md5 word (payloads are ASCII
+    * text stand-ins, so byte slicing == DuckDB character slicing and
+    * the whole fan-out is value-checked).
+    *
+    * Scale shape: sequence+explode is map-side (1→⌈len/hop⌉ rows, no
+    * shuffle); windows slice with substr — no per-chunk copy of the
+    * whole payload survives the projection. Real codecs swap the
+    * md5 for the frame transform; the framing plan is unchanged.
+    */
+  def multimodalChunkAudio(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("payload"),
+        explode(expr(s"sequence(0, CAST(floor((length(payload) - 1) / $ChunkHop) AS INT))")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkHop).as("byte_off"),
+        expr(s"substr(payload, chunk_idx * $ChunkHop + 1, $ChunkWin)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("byte_off"),
+        length(col("chunk")).cast("int").as("n_bytes"),
+        expr("CAST(conv(substr(md5(chunk), 1, 8), 16, 10) AS BIGINT)").as("chunk_checksum"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val multimodalChunkAudioSql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id, text AS payload, strlen(text) AS len
+      |  FROM documents WHERE text IS NOT NULL),
+      |x AS (
+      |  SELECT doc_id, payload,
+      |    unnest(range(0, CAST(floor((len - 1) / $ChunkHop) AS BIGINT) + 1)) AS chunk_idx
+      |  FROM m),
+      |c AS (
+      |  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |    CAST(chunk_idx * $ChunkHop AS INTEGER) AS byte_off,
+      |    substr(payload, CAST(chunk_idx * $ChunkHop + 1 AS INTEGER), $ChunkWin) AS chunk
+      |  FROM x)
+      |SELECT doc_id, chunk_idx, byte_off,
+      |  CAST(strlen(chunk) AS INTEGER) AS n_bytes,
+      |  ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS chunk_checksum
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 }
