@@ -573,6 +573,141 @@ object Graph {
       |FROM l$CcRounds GROUP BY 1 ORDER BY component""".stripMargin
   }
 
+  // ------------------------------------------------------------ kcore_nodes
+
+  private[graft] val KCoreK = 3
+  private[graft] val KCoreRounds = 6
+
+  /** k-core decomposition (k = [[KCoreK]]) by iterative peeling:
+    * repeatedly drop nodes whose degree within the SURVIVING subgraph
+    * is < k — the densest-region extractor community detection and
+    * spam-cluster mining start from (a node in the 3-core has ≥3
+    * neighbors that themselves survive). [[KCoreRounds]] unrolled
+    * rounds; the fixpoint is VERIFIED (`Round9Spec` pins round 5 ==
+    * round 6), the connected_components discipline. Output: surviving
+    * nodes with their induced degree — all exact integers.
+    *
+    * Scale shape: each round is one edge⋈nodes⋈nodes double semi-join
+    * + a degree partial-agg, O(E)/round on the node key; per-round
+    * state cached (the 2^rounds re-expansion fix). Production peels
+    * until no change with the same per-round plan, or switches to the
+    * bucket-peeling linear algorithm for full core numbers.
+    */
+  def kcoreNodes(spark: SparkSession, dir: String,
+      rounds: Int = KCoreRounds): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+    val cached = graft.core.OwnedCaches.own(edges.cache())
+    var nodes = cached.select(col("src").as("p")).distinct()
+    for (_ <- 1 to rounds) {
+      val cur = graft.core.OwnedCaches.own(nodes.cache()) // 2-ref per round
+      nodes = cached
+        .join(cur.select(col("p").as("sa")), col("src") === col("sa"))
+        .join(cur.select(col("p").as("sb")), col("dst") === col("sb"))
+        .groupBy(col("src").as("p"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select(col("p"))
+    }
+    cached
+      .join(nodes.select(col("p").as("sa")), col("src") === col("sa"))
+      .join(nodes.select(col("p").as("sb")), col("dst") === col("sb"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
+
+  val kcoreNodesSql: String = {
+    def peel(prev: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT e.src AS p FROM e
+         |  JOIN $prev a ON e.src = a.p
+         |  JOIN $prev b ON e.dst = b.p
+         |  GROUP BY e.src HAVING count(*) >= $KCoreK)""".stripMargin
+    val rounds = (1 to KCoreRounds).map(i => peel(s"n${i - 1}", s"n$i")).mkString(",\n")
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+      |      UNION ALL SELECT p2, p1 FROM e0),
+      |n0 AS MATERIALIZED (SELECT DISTINCT src AS p FROM e),
+      |$rounds
+      |SELECT e.src AS node, count(*) AS core_degree
+      |FROM e JOIN n$KCoreRounds a ON e.src = a.p JOIN n$KCoreRounds b ON e.dst = b.p
+      |GROUP BY e.src ORDER BY node""".stripMargin
+  }
+
+  // --------------------------------------------------- link_prediction_jaccard
+
+  private val LinkPredTopK = 20
+
+  /** Link prediction by neighborhood Jaccard: for every NON-edge pair
+    * with ≥1 common neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    * "who should be connected" score (recommendation candidates the
+    * co-purchase graph hasn't materialized yet). Common counts from
+    * the wedge join (the triangle_count frame), union by inclusion–
+    * exclusion deg_a + deg_b − common — every operand exact integer,
+    * ONE divide, deterministic top-[[LinkPredTopK]].
+    *
+    * Scale shape: wedge volume is Σ deg² — the triangle/cooccur
+    * bound; existing edges leave via an equi anti-join. At 100 TB one
+    * caps hub degrees (sample neighborhoods) or sketches N(v) with
+    * minhash before the pair join — the dedup_minhash machinery.
+    */
+  def linkPredictionJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+    val cached = graft.core.OwnedCaches.own(edges.cache())
+    val deg = cached.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
+    val wedges = cached.select(col("src").as("w"), col("dst").as("a"))
+      .join(cached.select(col("src").as("w2"), col("dst").as("b")),
+        col("w") === col("w2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    val nonEdges = wedges.join(und,
+        col("a") === col("p1") && col("b") === col("p2"), "left_anti")
+    nonEdges
+      .join(deg.select(col("p").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("p").as("b"), col("deg").as("db")), "b")
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("common"),
+        expr("CAST(common AS DOUBLE) / CAST(da + db - common AS DOUBLE)").as("jaccard"))
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+      .limit(LinkPredTopK)
+  }
+
+  val linkPredictionJaccardSql: String =
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+      |      UNION ALL SELECT p2, p1 FROM e0),
+      |deg AS (SELECT src AS p, count(*) AS deg FROM e GROUP BY 1),
+      |w AS (
+      |  SELECT x.dst AS a, y.dst AS b, count(*) AS common
+      |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+      |  GROUP BY 1, 2),
+      |ne AS (
+      |  SELECT w.* FROM w LEFT JOIN e0 ON w.a = e0.p1 AND w.b = e0.p2
+      |  WHERE e0.p1 IS NULL)
+      |SELECT ne.a AS node_a, ne.b AS node_b, CAST(common AS BIGINT) AS common,
+      |  CAST(common AS DOUBLE) / CAST(da.deg + db.deg - common AS DOUBLE) AS jaccard
+      |FROM ne JOIN deg da ON da.p = ne.a JOIN deg db ON db.p = ne.b
+      |ORDER BY jaccard DESC, node_a, node_b LIMIT $LinkPredTopK""".stripMargin
+
   // ------------------------------------------------------- shortest_path_bf
 
   private[graft] val BfRounds = 4

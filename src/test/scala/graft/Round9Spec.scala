@@ -774,6 +774,44 @@ class Round9Spec extends AnyFunSuite {
     graft.core.OwnedCaches.release()
   }
 
+  test("kcore peeling reaches its fixpoint and every survivor keeps k neighbors") {
+    import graft.operators.Graph
+    val five = Graph.kcoreNodes(spark, sf, rounds = Graph.KCoreRounds - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val six = Graph.kcoreNodes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(five == six, "one more peel must change nothing")
+    assert(six.values.forall(_ >= Graph.KCoreK),
+      "every surviving node keeps >= k surviving neighbors")
+    graft.core.OwnedCaches.release()
+  }
+
+  test("link prediction never proposes an existing edge and jaccard recomputes") {
+    import graft.operators.Graph
+    val top = Graph.linkPredictionJaccard(spark, sf).collect()
+    graft.core.OwnedCaches.release()
+    assert(top.nonEmpty)
+    // rebuild neighborhoods brute-force
+    val und = graft.core.Tables(spark, sf).lineitem
+      .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("bs"))
+      .select(explode(col("bs")).as("p1"), col("bs"))
+      .select(col("p1"), explode(col("bs")).as("p2"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (und.map(e => e._1 -> e._2) ++ und.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val edgeSet = und.toSet
+    top.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(!edgeSet((a min b, a max b)), "proposed link must not already exist")
+      val (na, nb) = (nbrs(a), nbrs(b))
+      val common = (na & nb).size
+      assert(r.getLong(2) == common)
+      assert(r.getAs[Double]("jaccard") == common.toDouble / (na.size + nb.size - common))
+    }
+  }
+
   test("basket_triples: support never exceeds any pairwise sub-basket support") {
     val triples = graft.operators.Commerce.basketTriples(spark, sf).collect()
     graft.core.OwnedCaches.release()
