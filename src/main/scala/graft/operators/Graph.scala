@@ -594,28 +594,58 @@ object Graph {
     * bucket-peeling linear algorithm for full core numbers.
     */
   def kcoreNodes(spark: SparkSession, dir: String,
-      rounds: Int = KCoreRounds): DataFrame = {
+      rounds: Int = KCoreRounds, forceLoop: Boolean = false): DataFrame = {
     val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
     val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
       .union(und.select(col("p2").as("src"), col("p1").as("dst")))
     val cached = graft.core.OwnedCaches.own(edges.cache())
-    var nodes = cached.select(col("src").as("p")).distinct()
-    for (_ <- 1 to rounds) {
-      val cur = graft.core.OwnedCaches.own(nodes.cache()) // 2-ref per round
-      nodes = cached
-        .join(cur.select(col("p").as("sa")), col("src") === col("sa"))
-        .join(cur.select(col("p").as("sb")), col("dst") === col("sb"))
-        .groupBy(col("src").as("p"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KCoreK)
-        .select(col("p"))
+    val n = cached.count()
+    if (!forceLoop && n <= SingleTaskEdgeCap) {
+      // all peeling rounds in one task — the boundedRelax layout
+      // selection (6 distributed rounds ≈ 5.8 s of stage latency at
+      // sf0.1 on a 3.5k-edge graph; the local replay is identical
+      // integer peeling, branch-equality test-pinned)
+      import spark.implicits._
+      cached.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val es = it.toArray
+          var alive = es.map(_._1).toSet
+          for (_ <- 1 to rounds) {
+            val deg = scala.collection.mutable.LongMap.empty[Long]
+            es.foreach { case (s, t) =>
+              if (alive(s) && alive(t)) deg.update(s, deg.getOrElse(s, 0L) + 1)
+            }
+            alive = deg.iterator.filter(_._2 >= KCoreK).map(_._1).toSet
+          }
+          val deg = scala.collection.mutable.LongMap.empty[Long]
+          es.foreach { case (s, t) =>
+            if (alive(s) && alive(t)) deg.update(s, deg.getOrElse(s, 0L) + 1)
+          }
+          deg.iterator
+        }
+        .toDF("node", "core_degree")
+        .orderBy("node")
+    } else {
+      var nodes = cached.select(col("src").as("p")).distinct()
+      for (_ <- 1 to rounds) {
+        val cur = graft.core.OwnedCaches.own(nodes.cache()) // 2-ref per round
+        nodes = cached
+          .join(cur.select(col("p").as("sa")), col("src") === col("sa"))
+          .join(cur.select(col("p").as("sb")), col("dst") === col("sb"))
+          .groupBy(col("src").as("p"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KCoreK)
+          .select(col("p"))
+      }
+      cached
+        .join(nodes.select(col("p").as("sa")), col("src") === col("sa"))
+        .join(nodes.select(col("p").as("sb")), col("dst") === col("sb"))
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_degree"))
+        .orderBy("node")
     }
-    cached
-      .join(nodes.select(col("p").as("sa")), col("src") === col("sa"))
-      .join(nodes.select(col("p").as("sb")), col("dst") === col("sb"))
-      .groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("core_degree"))
-      .orderBy("node")
   }
 
   val kcoreNodesSql: String = {

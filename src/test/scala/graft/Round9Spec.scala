@@ -783,6 +783,10 @@ class Round9Spec extends AnyFunSuite {
     assert(five == six, "one more peel must change nothing")
     assert(six.values.forall(_ >= Graph.KCoreK),
       "every surviving node keeps >= k surviving neighbors")
+    // single-task branch == distributed loop branch
+    val looped = Graph.kcoreNodes(spark, sf, forceLoop = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(looped == six)
     graft.core.OwnedCaches.release()
   }
 
