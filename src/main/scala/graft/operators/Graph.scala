@@ -674,6 +674,60 @@ object Graph {
       |GROUP BY e.src ORDER BY node""".stripMargin
   }
 
+  // --------------------------------------------------- recursive_reachability
+
+  /** Bounded reachability via a TRUE recursive CTE (Spark 4's
+    * `WITH RECURSIVE`) — the declarative face of `bfs_hops`: the
+    * engine iterates to the walk bound instead of the library
+    * unrolling rounds. Spark 4 restricts recursion to UNION ALL, so
+    * the walk count is bounded (hop < [[BfsHops]]) and min(hop) per
+    * node dedups at the end — semantics identical to the unrolled
+    * operator, `Round9Spec` pins result equality with `bfs_hops`.
+    *
+    * Scale shape: UNION ALL recursion materializes WALKS (length ≤
+    * bound), not frontiers — fine at small depth; at depth or scale
+    * the unrolled min-reduced loop (`boundedRelax`) is the production
+    * path. Having both oracled documents exactly that trade.
+    */
+  def recursiveReachability(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+      .createOrReplaceTempView("graft_reach_edges")
+    Tables(spark, dir).part.createOrReplaceTempView("graft_reach_part")
+    spark.sql(
+      s"""WITH RECURSIVE reach(p, hop) AS (
+         |  SELECT p_partkey, CAST(0 AS BIGINT)
+         |  FROM graft_reach_part WHERE p_brand = '$BfsSeedBrand'
+         |  UNION ALL
+         |  SELECT e.dst, r.hop + 1
+         |  FROM reach r JOIN graft_reach_edges e ON e.src = r.p
+         |  WHERE r.hop < $BfsHops
+         |)
+         |SELECT p AS part_key, CAST(min(hop) AS BIGINT) AS hop
+         |FROM reach GROUP BY p ORDER BY part_key""".stripMargin)
+  }
+
+  val recursiveReachabilitySql: String =
+    s"""WITH RECURSIVE b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+      |      UNION ALL SELECT p2, p1 FROM e0),
+      |reach(p, hop) AS (
+      |  SELECT p_partkey, CAST(0 AS BIGINT) FROM part WHERE p_brand = '$BfsSeedBrand'
+      |  UNION ALL
+      |  SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.p
+      |  WHERE r.hop < $BfsHops)
+      |SELECT p AS part_key, CAST(min(hop) AS BIGINT) AS hop
+      |FROM reach GROUP BY p ORDER BY part_key""".stripMargin
+
   // --------------------------------------------------- link_prediction_jaccard
 
   private val LinkPredTopK = 20

@@ -774,6 +774,15 @@ class Round9Spec extends AnyFunSuite {
     graft.core.OwnedCaches.release()
   }
 
+  test("recursive CTE reachability equals the unrolled bfs_hops operator") {
+    import graft.operators.Graph
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graph.recursiveReachability(spark, sf)) == m(Graph.bfsHops(spark, sf)),
+      "engine-iterated recursion and library-unrolled rounds must agree node-for-node")
+    graft.core.OwnedCaches.release()
+  }
+
   test("kcore peeling reaches its fixpoint and every survivor keeps k neighbors") {
     import graft.operators.Graph
     val five = Graph.kcoreNodes(spark, sf, rounds = Graph.KCoreRounds - 1)
