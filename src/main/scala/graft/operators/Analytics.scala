@@ -1008,6 +1008,54 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------- twap_value
+
+  /** Time-weighted average value per event type (the TWAP/telemetry
+    * convention: a reading holds until the next one, so each value
+    * weighs by its holding interval, not by observation count — burst
+    * sampling doesn't distort the average the way `welch_t_test`'s
+    * plain mean would be distorted). Weights are exact µs gaps to the
+    * next same-type event (the last observation has no interval and
+    * drops, mirrored); value·Δt products accumulate in decimal(38,0)
+    * and ONE division closes — int64/int128-to-double single-rounding
+    * territory on both engines.
+    *
+    * Scale shape: one type-partitioned lead() window orders by time
+    * within each type (the sessionize shuffle key), then a ≤|types|
+    * rollup. At 100 TB the window partitions by (type, day) with
+    * day-boundary intervals clipped — same plan, bounded partitions.
+    */
+  def twapValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+      .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(expr("CAST(v_c AS DECIMAL(38,0)) * dt")).as("num"),
+        sum(col("dt")).as("den"))
+      .select(col("event_type"), col("n_intervals"),
+        expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(100 AS DOUBLE)").as("twap"))
+      .orderBy("event_type")
+  }
+
+  val twapValueSql: String =
+    """WITH o AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS v_c
+      |  FROM events),
+      |d AS (
+      |  SELECT *, lead(ts_us) OVER (PARTITION BY event_type
+      |    ORDER BY ts_us, event_id) - ts_us AS dt
+      |  FROM o)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(CAST(v_c AS DECIMAL(38,0)) * dt) AS DOUBLE)
+      |    / CAST(sum(dt) AS DOUBLE) / CAST(100 AS DOUBLE) AS twap
+      |FROM d WHERE dt IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------- activity_heatmap
 
   /** Day-of-week × hour activity heatmap over the event stream (the

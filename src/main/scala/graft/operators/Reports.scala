@@ -430,6 +430,40 @@ object Reports {
       .filter(col("prop_k").isNotNull && col("prop_k") % 2 === 0)
       .orderBy("event_id")
 
+  /** Schema-on-read flattening via Spark 4's VARIANT type: parse the
+    * JSON payload with NO declared schema (`parse_json` →
+    * `variant_get`) and aggregate the extracted field — the
+    * semi-structured path `json_flatten`'s from_json(DDL) cannot take
+    * when the payload schema is unknown or drifting (ingest first,
+    * type at query time — the lakehouse VARIANT workflow). Extraction
+    * and aggregation stay exact integers.
+    *
+    * Scale shape: parse+extract are map-side scalar expressions
+    * (VARIANT parses once per row, binary-encoded — repeated
+    * variant_get probes don't re-parse); the rollup is ≤|types| rows.
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k").cast("long")).as("k_sum"),
+        max(col("k")).as("k_max"))
+      .select(col("event_type"), col("n_events"), col("k_sum"), col("k_max"),
+        expr("CAST(k_sum AS DOUBLE) / CAST(n_events AS DOUBLE)").as("k_avg"))
+      .orderBy("event_type")
+
+  val variantExtractSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS k_avg
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val jsonFlattenSql: String =
     """SELECT event_id,
       |  CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
