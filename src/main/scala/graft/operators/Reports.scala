@@ -1287,6 +1287,100 @@ object Reports {
       |FROM spine LEFT JOIN daily ON spine.d = daily.d
       |ORDER BY day""".stripMargin
 
+  // -------------------------------------------------- quantile_bands_monthly
+
+  /** Monthly order-value quantile bands (P25/P50/P75 + count) — the
+    * distribution-over-time view a drift dashboard plots where
+    * `quantile_profile` gives one static cut (is the typical order
+    * growing, or just the tail?). Same engine-exact interpolated
+    * percentile + rounded-4 parity convention; same GK-sketch scale
+    * path (`quantileProfileApprox`) — exact `percentile` buffers a
+    * month's orders per group, the sketch partial-aggregates.
+    */
+  def quantileBandsMonthly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("yyyymm"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+      .orderBy("yyyymm")
+
+  val quantileBandsMonthlySql: String =
+    """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+      |  count(*) AS n_orders,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      |FROM orders GROUP BY 1 ORDER BY yyyymm""".stripMargin
+
+  // ------------------------------------------------ revenue_contribution_mom
+
+  /** "Why did the metric move": every month's total revenue delta
+    * decomposed into per-region contributions (Δtotal = Σ Δregion by
+    * construction — test-pinned), with each region's share of the
+    * move. Deltas are exact cents; the share is ONE division gated on
+    * Δtotal ≠ 0 identically on both engines (sign-safe: share of a
+    * negative move is meaningful, near-zero totals produce no share
+    * rather than a wild ratio).
+    *
+    * Scale shape: one region-month partial aggregate (dims
+    * broadcast), lag within region, a month-level rollup joined back
+    * by broadcast — all grids bounded by the slow time axis.
+    */
+  def revenueContributionMom(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val monthly = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+    val withDelta = monthly
+      .withColumn("delta_c", col("rev_c") - lag(col("rev_c"), 1).over(
+        Window.partitionBy("region_name").orderBy("m")))
+      .filter(col("delta_c").isNotNull)
+    val totals = withDelta.groupBy(col("m").as("tm"))
+      .agg(sum(col("delta_c")).as("total_delta_c"))
+    withDelta.join(broadcast(totals), col("m") === col("tm"))
+      .select(
+        (col("m") / 12).cast("int").as("yr"), (col("m") % 12 + 1).cast("int").as("mo"),
+        col("region_name"),
+        expr("CAST(delta_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("region_delta"),
+        expr("CAST(total_delta_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("total_delta"),
+        expr("CASE WHEN total_delta_c <> 0 THEN CAST(delta_c AS DOUBLE) / CAST(total_delta_c AS DOUBLE) END")
+          .as("contribution"))
+      .orderBy("yr", "mo", "region_name")
+  }
+
+  val revenueContributionMomSql: String =
+    """WITH monthly AS (
+      |  SELECT r_name AS region_name,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT *, rev_c - lag(rev_c) OVER (PARTITION BY region_name ORDER BY m) AS delta_c
+      |  FROM monthly),
+      |f AS (SELECT * FROM d WHERE delta_c IS NOT NULL),
+      |t AS (SELECT m AS tm, sum(delta_c) AS total_delta_c FROM f GROUP BY 1)
+      |SELECT CAST(m // 12 AS INTEGER) AS yr, CAST(m % 12 + 1 AS INTEGER) AS mo,
+      |  region_name,
+      |  CAST(delta_c AS DOUBLE) / CAST(100 AS DOUBLE) AS region_delta,
+      |  CAST(total_delta_c AS DOUBLE) / CAST(100 AS DOUBLE) AS total_delta,
+      |  CASE WHEN total_delta_c <> 0
+      |    THEN CAST(delta_c AS DOUBLE) / CAST(total_delta_c AS DOUBLE) END AS contribution
+      |FROM f JOIN t ON m = tm
+      |ORDER BY yr, mo, region_name""".stripMargin
+
   // ------------------------------------------------------- segment_migration
 
   /** Customer value-segment migration: revenue quartile (ntile 4,

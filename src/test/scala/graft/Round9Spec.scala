@@ -707,6 +707,23 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("revenue contribution decomposition reconciles and bands order correctly") {
+    val rows = graft.operators.Reports.revenueContributionMom(spark, sf).collect()
+    rows.groupBy(r => (r.getInt(0), r.getInt(1))).values.foreach { month =>
+      val total = month.head.getAs[Double]("total_delta")
+      val sum = month.map(_.getAs[Double]("region_delta")).sum
+      assert(math.abs(sum - total) < 1e-6, "delta decomposition must reconcile")
+      val contribs = month.flatMap(r => Option(r.get(5)).map(_.asInstanceOf[Double]))
+      if (contribs.nonEmpty && month.forall(r => r.get(5) != null))
+        assert(math.abs(contribs.sum - 1.0) < 1e-9, "shares of the move sum to 1")
+    }
+    val qb = graft.operators.Reports.quantileBandsMonthly(spark, sf).collect()
+    qb.foreach { r =>
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50"))
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p75"))
+    }
+  }
+
   test("batch-13 invariants: gapfill spine, migration matrix, snaive baseline") {
     val gf = graft.operators.Reports.dailyRevenueGapfill(spark, sf).collect()
     // spine is DENSE: row count == day span, revenue conserves
