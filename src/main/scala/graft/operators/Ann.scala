@@ -218,6 +218,52 @@ object Ann {
       |  CAST(CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS DOUBLE) AS centroid_q6
       |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // -------------------------------------------------------- cluster_purity
+
+  /** Cluster purity of the k-means assignment against the label
+    * column: per cell, the majority label's share (tie → smaller
+    * label) — the standard external clustering-quality readout (a
+    * pure cell means the unsupervised structure recovers the labels;
+    * SemDeDup trusts exactly that). Integer voting + ONE divide;
+    * rides the session-shared Lloyd's assignment, and the oracle
+    * nests the full unrolled k-means SQL as a CTE.
+    *
+    * Scale shape: the assignment is the heavy part (see
+    * `embedding_kmeans`); purity itself is a (cell, label) count over
+    * n rows then a ≤k rollup.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, _, _, _) = kmeansAssign(spark, dir)
+    val labels = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val counts = assigned.join(labels, "vec_id")
+      .groupBy(col("cl"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("cl")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cl").orderBy(col("c").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cl").as("cluster_id"), col("n").as("n_vectors"),
+        col("label").as("majority_label"), col("c").as("majority_count"),
+        expr("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)").as("purity"))
+      .orderBy("cluster_id")
+  }
+
+  lazy val clusterPuritySql: String =
+    s"""WITH asg AS ($embeddingKmeansSql),
+      |j AS (
+      |  SELECT a.cluster_id AS cl, e.label
+      |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+      |counts AS (SELECT cl, label, count(*) AS c FROM j GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, sum(c) OVER (PARTITION BY cl) AS n,
+      |    row_number() OVER (PARTITION BY cl ORDER BY c DESC, label) AS rn
+      |  FROM counts)
+      |SELECT cl AS cluster_id, CAST(n AS BIGINT) AS n_vectors,
+      |  label AS majority_label, CAST(c AS BIGINT) AS majority_count,
+      |  CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS purity
+      |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // --------------------------------------------------------- knn_classify
 
   /** k-NN classification over the brute-force neighbor lists: each

@@ -1033,6 +1033,34 @@ object TextAnalysis {
       |  CAST(rank * freq AS DOUBLE) / CAST(total AS DOUBLE) AS zipf_c
       |FROM r, t ORDER BY rank""".stripMargin
 
+  // ------------------------------------------------------- dup_rate_by_source
+
+  /** Duplicate share per corpus source (exact md5 identity): the
+    * curation KPI that decides which source needs the dedup budget —
+    * `dedup_exact` finds the duplicates, this scores the FEEDS. One
+    * pass, exact integer share.
+    *
+    * Scale shape: md5 reduces each doc to a 16-byte key map-side;
+    * count-distinct partial-aggregates per source (at 100 TB:
+    * approx_count_distinct and the HLL rollup family when exactness
+    * can be traded).
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        expr("CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("dup_share"))
+      .orderBy("source")
+
+  val dupRateBySourceSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+      |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS dup_share
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // -------------------------------------------------------- term_cooccur_lift
 
   private val CooccurVocab = 50
