@@ -492,10 +492,28 @@ object Commerce {
     * Scale shape: two user-grain partial aggregates (first signup,
     * first qualifying purchase) on the sessionize shuffle key, then a
     * one-row summary. The percentile buffers user-grain latencies —
-    * the GK `approx_percentile` swap documented on
-    * `quantileProfileApprox` applies at 100 TB.
+    * the 100-TB path is the coded GK sibling [[timeToConvertApprox]].
     */
   def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val (su, conv) = conversionLatencyFrames(spark, dir)
+    su.agg(count(lit(1)).as("n_signup")).crossJoin(
+      conv.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us")))
+      .select(col("n_signup"), col("n_converted"),
+        expr("CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE)").as("conv_rate"),
+        expr("p50_us / CAST(1000000 AS DOUBLE)").as("p50_latency_s"),
+        expr("p90_us / CAST(1000000 AS DOUBLE)").as("p90_latency_s"))
+  }
+
+  /** The signup frame (user_id, s_us) and conversion-latency frame
+    * (user_id, lat_us) shared by [[timeToConvert]], its GK sibling
+    * [[timeToConvertApprox]], and the Round10 rank-error test —
+    * factored so the approx path measures error against the SAME
+    * latency population the exact path summarizes.
+    */
+  private[graft] def conversionLatencyFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables(spark, dir).events
       .filter(col("event_type").isin("signup", "purchase"))
       .select(col("user_id"), col("event_type"), col("ts_us"))
@@ -506,12 +524,28 @@ object Commerce {
       .filter(col("ts_us") >= col("s_us"))
       .groupBy(col("user_id"), col("s_us")).agg(min(col("ts_us")).as("p_us"))
       .select(col("user_id"), (col("p_us") - col("s_us")).as("lat_us"))
+    (su, conv)
+  }
+
+  /** Scale path for [[timeToConvert]] (VERDICT r9 #1): the latency
+    * percentiles via the GK sketch — the latency population is
+    * user-grain (one value per converted user), which at 100 TB is
+    * billions of doubles in ONE ungrouped aggregation buffer under
+    * exact `percentile`; the sketch partial-aggregates map-side. Raw
+    * micro percentiles ride along as audit columns (GK returns actual
+    * latencies) so the rank-error bound is directly testable. The
+    * exact form remains the hash-gated entry.
+    */
+  def timeToConvertApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val (su, conv) = conversionLatencyFrames(spark, dir)
     su.agg(count(lit(1)).as("n_signup")).crossJoin(
       conv.agg(count(lit(1)).as("n_converted"),
-        round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
-        round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us")))
+        expr(s"approx_percentile(lat_us, 0.5, $accuracy)").as("p50_us"),
+        expr(s"approx_percentile(lat_us, 0.9, $accuracy)").as("p90_us")))
       .select(col("n_signup"), col("n_converted"),
         expr("CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE)").as("conv_rate"),
+        col("p50_us"), col("p90_us"),
         expr("p50_us / CAST(1000000 AS DOUBLE)").as("p50_latency_s"),
         expr("p90_us / CAST(1000000 AS DOUBLE)").as("p90_latency_s"))
   }
@@ -691,9 +725,10 @@ object Commerce {
     * the double-billing / replayed-submission audit a finance
     * pipeline runs (the entity-resolution idea of `fuzzy_name_pairs`
     * applied to transactions, with an equi-key prefilter instead of
-    * edit distance). The 1% band is exact decimal arithmetic
-    * (|Δ|·100 ≤ max(p₁,p₂) — never a float ratio); okey1 < okey2
-    * canonicalizes; day gap exact integer.
+    * edit distance). The 1% band is exact decimal arithmetic: both
+    * engines cast the raw double price to DECIMAL(18,2) (the `money`
+    * convention) before |Δ|·100 ≤ max(p₁,p₂) — never a float ratio;
+    * okey1 < okey2 canonicalizes; day gap exact integer.
     *
     * Scale shape: the self-join equi-keys on custkey — candidate
     * volume is Σ orders-per-customer², bounded by the per-customer
@@ -704,7 +739,8 @@ object Commerce {
     */
   def suspectDuplicateOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      .select(col("o_orderkey"), col("o_custkey"),
+        money(col("o_totalprice")).as("o_totalprice"),
         col("o_orderdate").cast("date").as("d"))
     val a = o.toDF("k1", "cust", "price", "d1")
     val b = o.toDF("k2", "cust2", "price2", "d2")
@@ -720,16 +756,20 @@ object Commerce {
   }
 
   val suspectDuplicateOrdersSql: String =
-    """SELECT a.o_custkey AS custkey,
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    CAST(o_orderdate AS DATE) AS d
+      |  FROM orders)
+      |SELECT a.o_custkey AS custkey,
       |  a.o_orderkey AS orderkey_1, b.o_orderkey AS orderkey_2,
-      |  CAST(a.o_totalprice AS DOUBLE) AS price_1,
-      |  CAST(b.o_totalprice AS DOUBLE) AS price_2,
-      |  CAST(abs(CAST(b.o_orderdate AS DATE) - CAST(a.o_orderdate AS DATE)) AS BIGINT) AS day_gap
-      |FROM orders a JOIN orders b
+      |  CAST(a.p AS DOUBLE) AS price_1,
+      |  CAST(b.p AS DOUBLE) AS price_2,
+      |  CAST(abs(b.d - a.d) AS BIGINT) AS day_gap
+      |FROM o a JOIN o b
       |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
-      |WHERE abs(CAST(b.o_orderdate AS DATE) - CAST(a.o_orderdate AS DATE)) <= 7
-      |  AND abs(a.o_totalprice - b.o_totalprice) * 100
-      |        <= greatest(a.o_totalprice, b.o_totalprice)
+      |WHERE abs(b.d - a.d) <= 7
+      |  AND abs(a.p - b.p) * 100 <= greatest(a.p, b.p)
       |ORDER BY custkey, orderkey_1, orderkey_2""".stripMargin
 
   // ----------------------------------------------------------- basket_triples

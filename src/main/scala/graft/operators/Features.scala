@@ -68,6 +68,17 @@ object Features {
   private val MeanExpr = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
   private val SdExpr =
     "sqrt(CAST(sxx * n - s * s AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))"
+  // Degenerate-group gates, shared verbatim with the oracle: a
+  // single-row or zero-variance group has sd = 0 and mx = mn, where
+  // Spark's non-ANSI divide yields NULL but DuckDB's IEEE semantics
+  // yield ±Infinity/NaN (the anomaly_mad `mad > 0` divergence class).
+  // Convention: an unscalable group reports NULL for that feature.
+  // The variance guard compares exact integers (sxx·n − s² in
+  // decimal(38,0)), never the floating sd.
+  private val ZScoreExpr =
+    s"CASE WHEN n > 1 AND sxx * n - s * s > 0 THEN (CAST(p AS DOUBLE) - $MeanExpr) / $SdExpr ELSE CAST(NULL AS DOUBLE) END"
+  private val MinmaxExpr =
+    "CASE WHEN mx > mn THEN CAST(p - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) ELSE CAST(NULL AS DOUBLE) END"
 
   /** Per-group feature scaling of line-item price: z-score and
     * min-max in one pass, grouped by return flag — the normalization
@@ -92,8 +103,8 @@ object Features {
     li.join(broadcast(stats), "l_returnflag")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         expr("CAST(p AS DOUBLE) / CAST(100 AS DOUBLE)").as("price"),
-        expr(s"(CAST(p AS DOUBLE) - $MeanExpr) / $SdExpr").as("z_score"),
-        expr("CAST(p - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)").as("minmax"))
+        expr(ZScoreExpr).as("z_score"),
+        expr(MinmaxExpr).as("minmax"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -110,8 +121,8 @@ object Features {
        |  FROM li GROUP BY 1)
        |SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
        |  CAST(p AS DOUBLE) / CAST(100 AS DOUBLE) AS price,
-       |  (CAST(p AS DOUBLE) - $MeanExpr) / $SdExpr AS z_score,
-       |  CAST(p - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS minmax
+       |  $ZScoreExpr AS z_score,
+       |  $MinmaxExpr AS minmax
        |FROM li JOIN st ON st.l_returnflag = li.l_returnflag
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 

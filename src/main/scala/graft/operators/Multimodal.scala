@@ -198,10 +198,18 @@ object Multimodal {
     * shuffle); windows slice with substr — no per-chunk copy of the
     * whole payload survives the projection. Real codecs swap the
     * md5 for the frame transform; the framing plan is unchanged.
+    *
+    * Empty payloads are excluded on BOTH engines: Spark's
+    * `sequence(0, -1)` on a zero-length payload generates the
+    * DESCENDING sequence [0, -1] (two spurious chunks, one at
+    * negative offset) where DuckDB's `range(0, 0)` generates none —
+    * the `length > 0` guard pins the convention "no payload → no
+    * chunks" instead of leaving it to each engine's empty-range shape
+    * (empty-payload fan-out is value-tested in Round10Spec).
     */
   def multimodalChunkAudio(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).documents
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .select(col("doc_id"), col("payload"),
         explode(expr(s"sequence(0, CAST(floor((length(payload) - 1) / $ChunkHop) AS INT))")).as("chunk_idx"))
@@ -217,7 +225,7 @@ object Multimodal {
   val multimodalChunkAudioSql: String =
     s"""WITH m AS (
       |  SELECT doc_id, text AS payload, strlen(text) AS len
-      |  FROM documents WHERE text IS NOT NULL),
+      |  FROM documents WHERE text IS NOT NULL AND strlen(text) > 0),
       |x AS (
       |  SELECT doc_id, payload,
       |    unnest(range(0, CAST(floor((len - 1) / $ChunkHop) AS BIGINT) + 1)) AS chunk_idx

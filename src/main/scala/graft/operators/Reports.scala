@@ -188,8 +188,8 @@ object Reports {
     * rounded to 4 decimals on both engines (the `quantile_profile`
     * parity convention), broadcast back over the stream; the ratio is
     * one division on exact-rounded inputs → hash-gated. Exact
-    * `percentile` buffers whole groups — at 100 TB swap in the GK
-    * `approx_percentile` path documented on `quantileProfileApprox`.
+    * `percentile` buffers whole groups — the 100-TB path is the coded
+    * GK sibling [[anomalyMadApprox]].
     */
   def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
@@ -231,6 +231,37 @@ object Reports {
       |WHERE a.mad > 0 AND d.dev / a.mad > 3.0
       |ORDER BY d.event_id""".stripMargin
 
+  /** Scale path for [[anomalyMad]] (VERDICT r9 #1): both grouped
+    * medians ride the GK sketch (`approx_percentile`) instead of
+    * exact `percentile`, so no group ever buffers its full value list
+    * in one aggregation buffer — the sketch is O(accuracy·log n) per
+    * group and partial-aggregates map-side, where the exact form
+    * holds billions of doubles per 5-key group at 100 TB (OOM, not
+    * slowdown). GK returns actual data members (no interpolation, no
+    * rounding convention needed) with rank error ≤ n/accuracy —
+    * rank-error-tested in Round10Spec. Same mad > 0 degenerate-group
+    * gate as the oracled exact form, which remains the hash-gated
+    * entry.
+    */
+  def anomalyMadApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, 0.5, $accuracy)").as("med"))
+    val withDev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(dev, 0.5, $accuracy)").as("mad"))
+    withDev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0)
+      .withColumn("mad_ratio", col("dev") / col("mad"))
+      .filter(col("mad_ratio") > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("mad_ratio"))
+      .orderBy("event_id")
+  }
+
   /** Tukey-fence outliers: rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR]
     * per event type — the boxplot rule, the third member of the
     * outlier family (z-score assumes normality, MAD resists skew,
@@ -239,9 +270,9 @@ object Reports {
     * convention), fences one shared expression with the 1.5 literal
     * CAST to DOUBLE — every comparison bit-identical in the oracle.
     *
-    * Scale shape: one grouped-percentile pass (GK swap at 100 TB as
-    * documented on quantileProfileApprox), fences broadcast back,
-    * map-side flag filter.
+    * Scale shape: one grouped-percentile pass (100-TB path coded as
+    * [[iqrOutliersApprox]]), fences broadcast back, map-side flag
+    * filter.
     */
   def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
@@ -276,11 +307,38 @@ object Reports {
       |WHERE e.value < f.lo_fence OR e.value > f.hi_fence
       |ORDER BY e.event_id""".stripMargin
 
+  /** Scale path for [[iqrOutliers]] (VERDICT r9 #1): quartiles via
+    * the GK sketch — partial-aggregating, O(accuracy·log n) per
+    * group, never buffering a group's full value list. The quartiles
+    * ride along in the output (they are audit columns here, not part
+    * of the oracled contract) so the rank-error bound is directly
+    * testable; fences are the same shared 1.5·IQR expression. The
+    * exact form remains the hash-gated entry.
+    */
+  def iqrOutliersApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val qs = ev.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, 0.25, $accuracy)").as("p25"),
+        expr(s"approx_percentile(value, 0.75, $accuracy)").as("p75"))
+      .withColumn("lo_fence",
+        expr("p25 - CAST(1.5 AS DOUBLE) * (p75 - p25)"))
+      .withColumn("hi_fence",
+        expr("p75 + CAST(1.5 AS DOUBLE) * (p75 - p25)"))
+    ev.join(broadcast(qs), "event_type")
+      .filter(col("value") < col("lo_fence") || col("value") > col("hi_fence"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("p25"), col("p75"), col("lo_fence"), col("hi_fence"))
+      .orderBy("event_id")
+  }
+
   /** Winsorization: clamp each event value into its group's
     * [p05, p95] band — the feature-prep primitive that tames tails
     * BEFORE means/regressions see them (detection is `anomaly_mad`'s
     * job; this is the repair). One grouped exact-percentile pass
-    * (rounded-4 parity convention, GK path at 100 TB) broadcast back;
+    * (rounded-4 parity convention; 100-TB path coded as
+    * [[winsorizeApprox]]) broadcast back;
     * the clamp is a map-side least/greatest, flagged so downstream
     * can audit how much mass moved. Clamped values and flags are
     * exact comparisons on rounded bounds → hash-gated.
@@ -309,6 +367,28 @@ object Reports {
       |  (e.value < b.lo OR e.value > b.hi) AS was_clamped
       |FROM events e JOIN b ON b.event_type = e.event_type
       |ORDER BY e.event_id""".stripMargin
+
+  /** Scale path for [[winsorize]] (VERDICT r9 #1): the [p05, p95]
+    * clamp band via the GK sketch — partial-aggregating, no full
+    * group buffer. The band bounds ride along as audit columns so the
+    * rank-error bound is directly testable; the clamp and flag are
+    * the same map-side least/greatest. The exact form remains the
+    * hash-gated entry.
+    */
+  def winsorizeApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, 0.05, $accuracy)").as("lo"),
+        expr(s"approx_percentile(value, 0.95, $accuracy)").as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("value_winsorized"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("was_clamped"))
+      .orderBy("event_id")
+  }
 
   /** Time-series gap-fill: project the event stream onto a dense
     * per-user daily grid and forward-fill missing days with the last
@@ -1293,9 +1373,9 @@ object Reports {
     * distribution-over-time view a drift dashboard plots where
     * `quantile_profile` gives one static cut (is the typical order
     * growing, or just the tail?). Same engine-exact interpolated
-    * percentile + rounded-4 parity convention; same GK-sketch scale
-    * path (`quantileProfileApprox`) — exact `percentile` buffers a
-    * month's orders per group, the sketch partial-aggregates.
+    * percentile + rounded-4 parity convention; exact `percentile`
+    * buffers a month's orders per group — the 100-TB path is the
+    * coded GK sibling [[quantileBandsMonthlyApprox]].
     */
   def quantileBandsMonthly(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
@@ -1313,6 +1393,24 @@ object Reports {
       |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
       |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY 1 ORDER BY yyyymm""".stripMargin
+
+  /** Scale path for [[quantileBandsMonthly]] (VERDICT r9 #1): the
+    * per-month quartile bands via the GK sketch — a month of orders
+    * at 100 TB is billions of rows in ONE group under exact
+    * `percentile` (a single-buffer OOM); the sketch
+    * partial-aggregates map-side at O(accuracy·log n) per month and
+    * returns actual order totals (rank error ≤ n/accuracy,
+    * rank-error-tested). The exact form remains the hash-gated entry.
+    */
+  def quantileBandsMonthlyApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("yyyymm"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(s"approx_percentile(o_totalprice, 0.25, $accuracy)").as("p25"),
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(o_totalprice, 0.75, $accuracy)").as("p75"))
+      .orderBy("yyyymm")
 
   // ------------------------------------------------ revenue_contribution_mom
 

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 pins: the five coded approx-percentile scale paths
+  * (VERDICT r9 #1 — each holds the GK rank-error bound against its
+  * exact sibling's value population), the empty-payload chunk guard,
+  * the feature_scale degenerate-group gates, and thread-keyed
+  * OwnedCaches (r9 ADVICE items).
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  /** GK guarantee: the returned element's rank is within n/accuracy
+    * of the target rank (ties widen the valid rank interval).
+    */
+  private def assertRank(sorted: Array[Double], v: Double, q: Double,
+      accuracy: Int, label: String): Unit = {
+    val n = sorted.length
+    val lo = sorted.count(_ < v) + 1
+    val hi = sorted.count(_ <= v)
+    val target = q * n
+    val err = if (target < lo) lo - target else if (target > hi) target - hi else 0.0
+    assert(err <= n.toDouble / accuracy + 1.0,
+      s"$label q=$q: value $v rank [$lo,$hi] vs target $target (n=$n)")
+    assert(sorted.contains(v), s"$label: approx_percentile must return a data element")
+  }
+
+  // Coarse accuracy so the sketch genuinely approximates (compresses)
+  // even on the sf0.001 corpus, rather than degenerating to exact.
+  private val Coarse = 50
+
+  private lazy val eventValuesByType: Map[String, Array[Double]] =
+    graft.core.Tables(spark, sf).events
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        k -> rows.map(_.getDouble(1)).sorted }
+
+  test("anomalyMadApprox holds the GK rank bound for med and mad") {
+    val out = graft.operators.Reports.anomalyMadApprox(spark, sf, Coarse)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "sf0.001 events must surface MAD outliers")
+    val perType = rows.map(r => (r.getString(1), r.getDouble(3), r.getDouble(4)))
+      .distinct
+    for ((et, med, mad) <- perType) {
+      val vals = eventValuesByType(et)
+      assertRank(vals, med, 0.5, Coarse, s"anomaly_mad med $et")
+      val devs = vals.map(v => math.abs(v - med)).sorted
+      assertRank(devs, mad, 0.5, Coarse, s"anomaly_mad mad $et")
+    }
+    // flags are consistent with the reported med/mad
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) / r.getDouble(4) > 3.0)
+    }
+  }
+
+  test("iqrOutliersApprox holds the GK rank bound for both quartiles") {
+    val rows = graft.operators.Reports.iqrOutliersApprox(spark, sf, Coarse).collect()
+    assert(rows.nonEmpty, "sf0.001 events must surface IQR outliers")
+    for ((et, p25, p75) <- rows.map(r =>
+        (r.getString(1), r.getDouble(3), r.getDouble(4))).distinct) {
+      val vals = eventValuesByType(et)
+      assertRank(vals, p25, 0.25, Coarse, s"iqr p25 $et")
+      assertRank(vals, p75, 0.75, Coarse, s"iqr p75 $et")
+      assert(p25 <= p75)
+    }
+  }
+
+  test("winsorizeApprox holds the GK rank bound and clamps consistently") {
+    val rows = graft.operators.Reports.winsorizeApprox(spark, sf, Coarse).collect()
+    val total = eventValuesByType.values.map(_.length).sum
+    assert(rows.length == total, "winsorize is a total map — no rows dropped")
+    for ((et, lo, hi) <- rows.map(r =>
+        (r.getString(1), r.getDouble(3), r.getDouble(4))).distinct) {
+      val vals = eventValuesByType(et)
+      assertRank(vals, lo, 0.05, Coarse, s"winsorize lo $et")
+      assertRank(vals, hi, 0.95, Coarse, s"winsorize hi $et")
+    }
+    rows.foreach { r =>
+      val (v, lo, hi, w, clamped) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+      assert(w == math.max(lo, math.min(hi, v)))
+      assert(clamped == (v < lo || v > hi))
+    }
+  }
+
+  test("timeToConvertApprox holds the GK rank bound on the latency population") {
+    val (_, conv) = graft.operators.Commerce.conversionLatencyFrames(spark, sf)
+    val lats = conv.select("lat_us").collect().map(_.getLong(0).toDouble).sorted
+    assert(lats.length > 10, "sf0.001 must have converted users")
+    val r = graft.operators.Commerce.timeToConvertApprox(spark, sf, Coarse).collect()(0)
+    assert(r.getLong(1) == lats.length)
+    assertRank(lats, r.getLong(3).toDouble, 0.5, Coarse, "ttc p50")
+    assertRank(lats, r.getLong(4).toDouble, 0.9, Coarse, "ttc p90")
+    // the seconds columns are the same values, one exact divide
+    assert(r.getDouble(5) == r.getLong(3) / 1e6)
+  }
+
+  test("quantileBandsMonthlyApprox holds the GK rank bound per month") {
+    val byMonth = graft.core.Tables(spark, sf).orders
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("m"),
+        col("o_totalprice"))
+      .collect().groupBy(_.getInt(0)).map { case (k, rows) =>
+        k -> rows.map(_.getDouble(1)).sorted }
+    val rows = graft.operators.Reports
+      .quantileBandsMonthlyApprox(spark, sf, Coarse).collect()
+    assert(rows.length == byMonth.size, "one band row per observed month")
+    rows.foreach { r =>
+      val vals = byMonth(r.getInt(0))
+      assert(r.getLong(1) == vals.length)
+      assertRank(vals, r.getDouble(2), 0.25, Coarse, s"bands p25 ${r.getInt(0)}")
+      assertRank(vals, r.getDouble(3), 0.5, Coarse, s"bands p50 ${r.getInt(0)}")
+      assertRank(vals, r.getDouble(4), 0.75, Coarse, s"bands p75 ${r.getInt(0)}")
+    }
+  }
+
+  test("multimodalChunkAudio emits zero chunks for an empty payload") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    Seq(("d_empty", ""), ("d_short", "abc"), ("d_null", null))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Multimodal.multimodalChunkAudio(spark, dir).collect()
+    // empty and null payloads contribute nothing (Spark's
+    // sequence(0, -1) would otherwise fan the empty doc into two
+    // spurious rows, one at a negative offset); the 3-byte doc is one
+    // short window at offset 0
+    assert(out.map(_.getString(0)).toSeq == Seq("d_short"))
+    assert(out(0).getInt(1) == 0 && out(0).getInt(2) == 0 && out(0).getInt(3) == 3)
+  }
+
+  test("featureScale reports NULL for degenerate groups, values elsewhere") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    // group A: healthy (n=3, variance>0, mx>mn); group B: single row
+    // (sd undefined); group C: two identical rows (zero variance AND
+    // mx=mn) — the sd=0 / mx=mn divides DuckDB would send to ±Inf/NaN
+    Seq((1L, 1, "A", 10.0), (2L, 1, "A", 20.0), (3L, 1, "A", 40.0),
+        (4L, 1, "B", 15.0), (5L, 1, "C", 25.0), (6L, 1, "C", 25.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = graft.operators.Features.featureScale(spark, dir).collect()
+      .map(r => r.getString(2) -> (r.get(4), r.get(5))).toMap
+    assert(rows("A")._1 != null && rows("A")._2 != null)
+    assert(rows("B")._1 == null && rows("B")._2 == null)
+    assert(rows("C")._1 == null && rows("C")._2 == null)
+  }
+
+  test("OwnedCaches pending frames are thread-keyed (no cross-drain)") {
+    import graft.core.OwnedCaches
+    OwnedCaches.release()
+    val df = spark.range(10).toDF("x").cache()
+    OwnedCaches.own(df)
+    assert(OwnedCaches.pendingCount == 1)
+    // another thread releasing must NOT drain this thread's frames
+    // (the r9 ADVICE race: parallel suites draining each other)
+    var otherSaw = -1
+    val t = new Thread(() => {
+      otherSaw = OwnedCaches.pendingCount
+      OwnedCaches.release()
+    })
+    t.start(); t.join()
+    assert(otherSaw == 0, "sibling thread sees its own empty queue")
+    assert(OwnedCaches.pendingCount == 1, "frame survives a sibling release()")
+    OwnedCaches.release()
+    assert(OwnedCaches.pendingCount == 0)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+}
