@@ -279,4 +279,125 @@ object Incremental {
     """SELECT o_custkey, count(*) AS n_orders,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin
+
+  // --------------------------------------------------------- delete_propagate
+
+  /** Deterministic pseudo-batch of erasure requests: every 97th
+    * customer key (≈1% of the dimension) plays the role of the
+    * right-to-be-forgotten queue a real pipeline drains.
+    */
+  private val ErasureModulus = 97
+
+  /** Core of [[deletePropagate]], factored over explicit frames so
+    * the idempotence test can re-apply the cascade to its own output:
+    * given the current (customer, orders, lineitem) state and a batch
+    * of customer keys to erase, returns the per-table rebuilt frames.
+    * The cascade is DELETE-driven: each table anti-joins the (small)
+    * deleted-key set of its parent — the deletion batch and its order
+    * fan-out broadcast, so 100 TB of facts shed rows in one map-side
+    * pass each, never a shuffle of the surviving 99%.
+    */
+  private[graft] def deleteCascade(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val keys = broadcast(batch.select(col("del_key")))
+    val custAfter = customer.join(keys,
+      col("c_custkey") === col("del_key"), "left_anti")
+    val deadOrders = broadcast(orders.join(keys,
+      col("o_custkey") === col("del_key"), "left_semi")
+      .select(col("o_orderkey").as("dead_okey")))
+    val ordAfter = orders.join(keys,
+      col("o_custkey") === col("del_key"), "left_anti")
+    val liAfter = lineitem.join(deadOrders,
+      col("l_orderkey") === col("dead_okey"), "left_anti")
+    (custAfter, ordAfter, liAfter)
+  }
+
+  /** GDPR-style delete propagation (VERDICT r9 #4): cascade a batch
+    * of customer-erasure requests through the dimension and the fact
+    * web (customer → orders → lineitem), emitting the per-table audit
+    * a compliance run files — rows before/deleted/after plus an
+    * orphan re-check over the REBUILT frames (surviving orders whose
+    * customer is gone, surviving lineitems whose order is gone — both
+    * must be 0, the `orphaned_dimensions` FK discipline re-run
+    * post-erasure as a live count, not an assumption).
+    *
+    * Two-paths-one-hash: this side is the delete-driven anti-join
+    * cascade; the oracle rebuilds each table keep-driven (`NOT IN
+    * batch` / `IN surviving parent`) — agreement of every audit
+    * number across the two constructions (and engines) is the
+    * correctness argument. Idempotence (re-running the cascade on its
+    * own output deletes nothing) is test-pinned in Round10Spec.
+    *
+    * Scale shape: the erasure batch is requests-sized (≈1% here) —
+    * it and its order fan-out broadcast; each table rebuild is one
+    * map-side anti-join, audits are count-only partial aggregates,
+    * and the output is 3 rows.
+    */
+  def deletePropagate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val customer = t.customer
+    val orders = t.orders
+    val lineitem = t.lineitem
+    val batch = customer.filter(col("c_custkey") % ErasureModulus === 0)
+      .select(col("c_custkey").as("del_key"))
+    val (custAfter, ordAfter, liAfter) =
+      deleteCascade(customer, orders, lineitem, batch)
+    // orphan re-check over the REBUILT frames (parent-key anti-joins;
+    // both 0 when the cascade is complete — computed, not assumed)
+    val ordOrphans = ordAfter.join(
+      custAfter.select(col("c_custkey").as("pk")),
+      col("o_custkey") === col("pk"), "left_anti")
+    val liOrphans = liAfter.join(
+      ordAfter.select(col("o_orderkey").as("pk")),
+      col("l_orderkey") === col("pk"), "left_anti")
+    def audit(name: String, before: DataFrame, after: DataFrame,
+        orphans: DataFrame): DataFrame =
+      before.agg(count(lit(1)).as("rows_before")).crossJoin(
+          after.agg(count(lit(1)).as("rows_after"))).crossJoin(
+          orphans.agg(count(lit(1)).as("orphans_after")))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          (col("rows_before") - col("rows_after")).as("rows_deleted"),
+          col("rows_after"), col("orphans_after"))
+    audit("customer", customer, custAfter, custAfter.limit(0))
+      .unionAll(audit("orders", orders, ordAfter, ordOrphans))
+      .unionAll(audit("lineitem", lineitem, liAfter, liOrphans))
+      .orderBy("table_name")
+  }
+
+  /** Keep-driven direct rebuild: each table filtered against the
+    * batch / its surviving parent — the independent second
+    * construction the anti-join cascade must hash-match.
+    */
+  val deletePropagateSql: String =
+    s"""WITH batch AS (
+      |  SELECT c_custkey AS del_key FROM customer
+      |  WHERE c_custkey % $ErasureModulus = 0),
+      |ca AS (SELECT * FROM customer
+      |  WHERE c_custkey NOT IN (SELECT del_key FROM batch)),
+      |oa AS (SELECT * FROM orders
+      |  WHERE o_custkey NOT IN (SELECT del_key FROM batch)),
+      |la AS (SELECT * FROM lineitem
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM oa)),
+      |oo AS (SELECT count(*) AS n FROM oa
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM ca)),
+      |lo AS (SELECT count(*) AS n FROM la
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM oa))
+      |SELECT 'customer' AS table_name,
+      |  (SELECT count(*) FROM customer) AS rows_before,
+      |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM ca) AS rows_deleted,
+      |  (SELECT count(*) FROM ca) AS rows_after,
+      |  0 AS orphans_after
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT count(*) FROM orders),
+      |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM oa),
+      |  (SELECT count(*) FROM oa),
+      |  (SELECT n FROM oo)
+      |UNION ALL
+      |SELECT 'lineitem',
+      |  (SELECT count(*) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM la),
+      |  (SELECT count(*) FROM la),
+      |  (SELECT n FROM lo)
+      |ORDER BY table_name""".stripMargin
 }

@@ -550,4 +550,82 @@ object Sketches {
       |FROM eu JOIN e1 ea ON ea.event_type = eu.type_a
       |JOIN e1 eb ON eb.event_type = eu.type_b
       |ORDER BY eu.type_a, eu.type_b""".stripMargin
+
+  // ----------------------------------------------------------- spacesaving_topk
+
+  /** Counter capacity per group. Sized for the REPORT (top-10 with
+    * slack), not the corpus: at every test SF the per-flag supplier
+    * vocabulary fits under it, so no counter ever evicts, est == true
+    * count and err == 0 — which is exactly what pins the output
+    * deterministic enough to hash-gate against a plain GROUP BY
+    * oracle. At 100 TB the vocabulary overflows the capacity and the
+    * eviction/merge machinery engages — that regime's guarantees
+    * (est ∈ [true, true+err], >2n/k coverage under forced merges) are
+    * pinned by the Round9Spec SpaceSaving unit tests; this entry pins
+    * the end-to-end plumbing.
+    */
+  private val SsCapacity = 4096
+
+  /** Per-return-flag top-10 suppliers by line count via the
+    * [[graft.functions.SpaceSaving]] mergeable heavy-hitters
+    * aggregate (VERDICT r9 #7: the aggregate existed as a
+    * unit-tested engine component but no registered query exercised
+    * it end-to-end) — with the exact count riding along and the
+    * Metwally bound est ∈ [true, true + err] ASSERTED in-query
+    * (`bound_ok`, hash-gated TRUE on every row).
+    *
+    * vs `cms_topk`: CMS needs a second pass (or an exact distinct)
+    * to supply candidate keys; SpaceSaving carries its own candidate
+    * set in the aggregation buffer — one pass, O(groups·k) shuffle
+    * bytes regardless of input rows.
+    *
+    * Scale shape: the one-pass bounded-memory top-k — map tasks ship
+    * ≤ [[SsCapacity]] counters per group no matter how many fact rows
+    * they saw; the exact-count join is the accuracy audit the sketch
+    * replaces at scale (same rides-along contract as
+    * `approx_distinct_hll.n_exact` / `cms_topk.exact_count`).
+    */
+  def spacesavingTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SpaceSaving.register(spark)
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_suppkey"))
+    val top = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"graft_spacesaving($SsCapacity, l_suppkey)").as("hh"))
+      .select(col("l_returnflag"),
+        posexplode(expr("slice(hh, 1, 10)")).as(Seq("pos", "c")))
+      .select(col("l_returnflag").as("return_flag"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("c.key").as("supp_key"), col("c.est").as("est_count"),
+        col("c.err").as("err_bound"))
+    val exact = li.groupBy(col("l_returnflag").as("xf"), col("l_suppkey").as("xk"))
+      .agg(count(lit(1)).as("exact_count"))
+    top.join(broadcast(exact),
+        col("return_flag") === col("xf") && col("supp_key") === col("xk"))
+      .select(col("return_flag"), col("rank"), col("supp_key"),
+        col("est_count"), col("err_bound"), col("exact_count"),
+        (col("est_count") >= col("exact_count") &&
+          col("est_count") <= col("exact_count") + col("err_bound")).as("bound_ok"))
+      .orderBy("return_flag", "rank")
+  }
+
+  /** Oracle = exact per-group top-10 by (count desc, key) — valid
+    * because at test SF the summary never evicts (capacity > per-flag
+    * vocabulary), making SpaceSaving exact and its tie order the same
+    * (-est, key) sort on both sides.
+    */
+  val spacesavingTopkSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_suppkey, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, l_suppkey, cnt,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cnt DESC, l_suppkey) AS rk
+      |  FROM c)
+      |SELECT l_returnflag AS return_flag, CAST(rk AS INTEGER) AS rank,
+      |  l_suppkey AS supp_key, cnt AS est_count,
+      |  CAST(0 AS BIGINT) AS err_bound, cnt AS exact_count,
+      |  TRUE AS bound_ok
+      |FROM r WHERE rk <= 10
+      |ORDER BY return_flag, rank""".stripMargin
 }

@@ -148,6 +148,41 @@ class Round10Spec extends AnyFunSuite {
     assert(rows("C")._1 == null && rows("C")._2 == null)
   }
 
+  test("deletePropagate cascade is idempotent and leaves no orphans") {
+    import graft.operators.Incremental
+    val t = graft.core.Tables(spark, sf)
+    val batch = t.customer.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("del_key"))
+    val (c1, o1, l1) =
+      Incremental.deleteCascade(t.customer, t.orders, t.lineitem, batch)
+    val counts1 = (c1.count(), o1.count(), l1.count())
+    // re-applying the cascade to its own output deletes nothing —
+    // the erasure run is safely re-runnable after a partial failure
+    val (c2, o2, l2) = Incremental.deleteCascade(c1, o1, l1, batch)
+    assert((c2.count(), o2.count(), l2.count()) == counts1)
+    val audit = graft.operators.Incremental.deletePropagate(spark, sf).collect()
+    assert(audit.map(_.getString(0)).toSeq == Seq("customer", "lineitem", "orders"))
+    audit.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), "before = deleted + after")
+      assert(r.getLong(4) == 0, s"${r.getString(0)}: rebuilt frame must be orphan-free")
+    }
+    assert(audit.forall(_.getLong(2) > 0), "the 1% batch touches every table")
+  }
+
+  test("spacesaving_topk runs in the exact (no-eviction) regime at test SF") {
+    // the hash gate vs the GROUP BY oracle is valid only while the
+    // per-flag supplier vocabulary fits the capacity — pin that
+    val maxVocab = graft.core.Tables(spark, sf).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("v"))
+      .agg(max(col("v"))).collect()(0).getLong(0)
+    assert(maxVocab < 4096, s"vocab $maxVocab must sit under SsCapacity")
+    val rows = graft.operators.Sketches.spacesavingTopk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(6)), "Metwally bound holds")
+    assert(rows.forall(r => r.getLong(3) == r.getLong(5) && r.getLong(4) == 0L),
+      "no eviction => est exact, err 0")
+  }
+
   test("OwnedCaches pending frames are thread-keyed (no cross-drain)") {
     import graft.core.OwnedCaches
     OwnedCaches.release()
