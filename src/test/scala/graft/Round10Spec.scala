@@ -183,6 +183,47 @@ class Round10Spec extends AnyFunSuite {
       "no eviction => est exact, err 0")
   }
 
+  test("stream-stream as-of join matches batch asof_event_order across micro-batches") {
+    import graft.streaming.EventStream
+    val evDir = java.nio.file.Files.createTempDirectory("graft_asof_ev").toString
+    val orDir = java.nio.file.Files.createTempDirectory("graft_asof_or").toString
+    val ev = graft.core.Tables(spark, sf).events
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value")).collect()
+    val or = graft.core.Tables(spark, sf).orders
+      .selectExpr("o_custkey AS user_id",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS ts_us",
+        "o_orderkey AS ord_key").collect()
+    // time-tercile split of BOTH sides with one bucketing function:
+    // bucket is monotonic in ts, so a build row never lands in a
+    // later micro-batch than a probe row it should match — the feed
+    // monotonicity the operator's contract asks of its source
+    val allTs = (ev.map(_.getLong(1)) ++ or.map(_.getLong(1))).sorted
+    val (cut1, cut2) = (allTs(allTs.length / 3), allTs(2 * allTs.length / 3))
+    def bucket(ts: Long) = if (ts < cut1) 0 else if (ts < cut2) 1 else 2
+    def dump(path: String, lines: Seq[String]): Unit =
+      if (lines.nonEmpty) java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path), lines.mkString("\n"))
+    val q = EventStream.asofJoinStream(spark, evDir, orDir).writeStream
+      .outputMode("append").format("memory").queryName("asof_stream").start()
+    try {
+      for (b <- 0 to 2) {
+        dump(s"$orDir/b$b.jsonl", or.filter(r => bucket(r.getLong(1)) == b).map(r =>
+          s"""{"user_id":${r.getLong(0)},"ts_us":${r.getLong(1)},"ord_key":${r.getLong(2)}}""").toSeq)
+        dump(s"$evDir/b$b.jsonl", ev.filter(r => bucket(r.getLong(1)) == b).map(r =>
+          s"""{"event_id":${r.getLong(0)},"ts_us":${r.getLong(1)},"user_id":${r.getLong(2)},"event_type":"${r.getString(3)}","value":${r.getDouble(4)}}""").toSeq)
+        q.processAllAvailable()
+      }
+      def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+      val got = keyed(spark.table("asof_stream").collect())
+      val want = keyed(graft.operators.Reports.asofEventOrder(spark, sf).collect())
+      assert(got.size == ev.length, "one match row per probe event")
+      assert(got == want, "streaming as-of must equal the batch as-of row-for-row")
+    } finally q.stop()
+  }
+
   test("OwnedCaches pending frames are thread-keyed (no cross-drain)") {
     import graft.core.OwnedCaches
     OwnedCaches.release()
