@@ -16,16 +16,32 @@ final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp; read it as a raw nanos long (legacy conf) —
-    * long arithmetic is also the cheaper representation for window
-    * ordering and sessionization. `ts_us` = epoch micros (floor), the
-    * same truncation DuckDB applies reading nanos into its µs
-    * timestamps, so derived values stay comparable.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 only reads as
+    * a raw nanos long under the legacy conf) and plain `timestamp[us]`
+    * (read as TIMESTAMP_NTZ). Branch on the READ schema so either
+    * layout yields the same `ts_us` = epoch micros (floor):
+    *  - LongType (nanos-as-long)  → `ts div 1000`
+    *  - Timestamp / TimestampNTZ  → `unix_micros(cast(ts as timestamp_ltz))`
+    * The session TZ is UTC everywhere (GraftSession/Verify/Bench), so
+    * NTZ→LTZ is an identity re-tag, and the µs floor matches DuckDB's
+    * `epoch_us(ts)` on both layouts — derived values stay comparable.
+    * Long arithmetic downstream is also the cheaper representation for
+    * window ordering and sessionization.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+    val raw = t("events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampType | TimestampNTZType =>
+        expr("unix_micros(cast(ts as timestamp_ltz))")
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected nanos-long or timestamp)")
+    }
+    raw.withColumn("ts_us", tsUs)
   }
 
   def region: DataFrame = t("region")
