@@ -1063,4 +1063,102 @@ object Ann {
     s"""WITH $kmeansCtes
        |SELECT vec_id, cl AS cluster_id, CAST(dist2 AS DOUBLE) AS dist2
        |FROM a$KmIters ORDER BY vec_id""".stripMargin
+
+  // ----------------------------------------------------------------- mips_topk
+
+  /** Maximum-inner-product top-k — the recommendation-scoring
+    * retrieval mode (user·item preference), where magnitude matters
+    * and cosine's normalization would erase it. Ranks by the dot of
+    * the micro-unit quantized vectors (the q6 convention): every
+    * product and sum is an exact integer < 2^53 in double arithmetic,
+    * so the ranking is BIT-DETERMINISTIC across engines with no
+    * adjacent-gap assumption at all.
+    *
+    * Scale shape: identical to `ann_topk_bruteforce` — the query set
+    * broadcasts, the corpus side streams map-only through the codegen'd
+    * dot, and only the per-query top-k survives the rank window. The
+    * 100 TB candidate-bounding route is the standard MIPS-to-cosine
+    * reduction (augment with √(M²−‖x‖²) and reuse the IVF/LSH paths) —
+    * the exact scorer here is that route's re-rank kernel.
+    */
+  def mipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    def q6(idAs: String, qAs: String): DataFrame =
+      e.select(col("vec_id").as(idAs),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e6)).cast("double")).as(qAs))
+    val q = q6("query_id", "q_emb").filter(col("query_id") < NumQueries)
+    val c = q6("neighbor_id", "c_emb")
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", call_function("graft_dot", col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        expr("CAST(ip AS BIGINT)").as("ip_q12"))
+      .orderBy("query_id", "rank")
+  }
+
+  val mipsTopkSql: String =
+    s"""WITH q6 AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS DOUBLE) for x in embedding] AS qv
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.qv, c.qv) AS ip
+       |  FROM q6 q JOIN q6 c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |r AS (
+       |  SELECT query_id, neighbor_id, ip,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       |  CAST(ip AS BIGINT) AS ip_q12
+       |FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------------- ann_recall_eval
+
+  /** Recall@k of the LSH retriever against the exact brute-force
+    * ground truth, per query — the eval loop every ANN deployment
+    * runs before trusting its index (pair with `hybrid_rank_fusion`,
+    * which consumes both retrievers; this measures one against the
+    * other). Hit counts are exact integers (set intersection of the
+    * two id-ranked top-k lists); recall is one division.
+    *
+    * Scale shape: both inputs are already per-query top-k frames
+    * (≤ queries·k rows), so the equi-join and rollup are trivially
+    * bounded — eval cost never scales with the corpus, only with the
+    * query sample.
+    */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = annLshTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("k"), col("hits"),
+        expr("CAST(hits AS DOUBLE) / CAST(k AS DOUBLE)").as("recall"))
+      .orderBy("query_id")
+  }
+
+  // lazy: interpolates annLshTopkSql via the same convention as
+  // hybridRankFusionSql (declared-later interpolation).
+  lazy val annRecallEvalSql: String =
+    s"""WITH bf AS ($annTopkBruteforceSql),
+       |lshr AS ($annLshTopkSql),
+       |j AS (
+       |  SELECT bf.query_id,
+       |    CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM bf LEFT JOIN lshr l
+       |    ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(hit) AS BIGINT) AS hits,
+       |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM j GROUP BY query_id
+       |ORDER BY query_id""".stripMargin
 }

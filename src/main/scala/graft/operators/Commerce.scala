@@ -856,4 +856,131 @@ object Commerce {
       |JOIN s sc ON sc.brand = tr.b3
       |CROSS JOIN n
       |ORDER BY support DESC, b1, b2, b3""".stripMargin
+
+  // ------------------------------------------------- repeat_purchase_interval
+
+  /** Days between consecutive orders of the same customer, summarized
+    * per market segment: exact order-statistic median and
+    * percentile_disc-style p90 over the pooled gap distribution — the
+    * replenishment-cadence profile merchandising reads before setting
+    * re-engagement timing. Positions are pure integer arithmetic
+    * ((n+1)÷2, (n+2)÷2, ⌈9n/10⌉ = (9n+9)÷10 — never a float ·0.9,
+    * whose representation error shifts ⌈⌉ at n≡0 mod 10), and the
+    * median is one exact-int division, so parity is structural.
+    *
+    * Scale shape: lead() partitions BY CUSTOMER (the sessionize
+    * grain); the per-segment rank window orders gaps within ≤|segment|
+    * partitions — range-partitionable at 100 TB like any equidepth
+    * cut — and the final frame is |segments| rows.
+    */
+  def repeatPurchaseInterval(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+    val gaps = t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .withColumn("next_d", lead(col("d"), 1).over(w))
+      .filter(col("next_d").isNotNull)
+      .select(col("o_custkey"), datediff(col("next_d"), col("d")).cast("long").as("gap"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(col("gap"), col("o_custkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    ranked.groupBy(col("c_mktsegment").as("segment"))
+      .agg(max(col("n")).as("n_gaps"),
+        sum(when(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"), col("gap"))).as("msum"),
+        sum(when(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"), 1L).otherwise(0L)).as("mcnt"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap"))).as("p90_gap_days"))
+      .select(col("segment"), col("n_gaps"),
+        expr("CAST(msum AS DOUBLE) / CAST(mcnt AS DOUBLE)").as("median_gap_days"),
+        col("p90_gap_days"))
+      .orderBy("segment")
+  }
+
+  val repeatPurchaseIntervalSql: String =
+    """WITH gaps AS (
+      |  SELECT o_custkey,
+      |    CAST(lead(CAST(o_orderdate AS DATE)) OVER (
+      |        PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+      |      - CAST(o_orderdate AS DATE) AS BIGINT) AS gap
+      |  FROM orders),
+      |seg AS (
+      |  SELECT c.c_mktsegment AS segment, g.gap, g.o_custkey
+      |  FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+      |  WHERE g.gap IS NOT NULL),
+      |r AS (
+      |  SELECT segment, gap,
+      |    row_number() OVER (PARTITION BY segment ORDER BY gap, o_custkey) AS rn,
+      |    count(*) OVER (PARTITION BY segment) AS n
+      |  FROM seg)
+      |SELECT segment, CAST(max(n) AS BIGINT) AS n_gaps,
+      |  CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN gap END) AS DOUBLE)
+      |    / CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS median_gap_days,
+      |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS BIGINT) AS p90_gap_days
+      |FROM r GROUP BY segment
+      |ORDER BY segment""".stripMargin
+
+  // ------------------------------------------------------------ churn_dormancy
+
+  /** The CASE text shared by both engines — fixed band edges. */
+  private val DormancyBucketExpr: String =
+    "CASE WHEN dorm <= 30 THEN 'a_active_0_30'" +
+      " WHEN dorm <= 90 THEN 'b_warm_31_90'" +
+      " WHEN dorm <= 180 THEN 'c_cool_91_180'" +
+      " ELSE 'd_churned_180_plus' END"
+
+  /** Dormancy segmentation — customers banded by days since their
+    * last order (vs the dataset's anchor date, max order date), with
+    * per-band size, order volume, and lifetime spend: the churn-risk
+    * funnel a retention team reads weekly. Monetary sums stay exact
+    * (cents in decimal(38,0)); the two per-band ratios are single
+    * divisions of exact operands.
+    *
+    * Scale shape: one groupBy(custkey) partial-agg pass reduces
+    * orders to the customer grain; the scalar anchor broadcasts; the
+    * band rollup is ≤4 rows. Nothing order-sized survives the first
+    * shuffle.
+    */
+  def churnDormancy(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val per = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("n_orders"),
+        (sum(money(col("o_totalprice"))) * 100).cast("decimal(38,0)").as("spend_c"))
+    val anchor = t.orders.agg(max(col("o_orderdate").cast("date")).as("anchor"))
+    per.crossJoin(broadcast(anchor))
+      .withColumn("dorm", datediff(col("anchor"), col("last_d")).cast("long"))
+      .withColumn("bucket", expr(DormancyBucketExpr))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("orders_sum"),
+        sum(col("spend_c")).as("spend_sum"))
+      .select(col("bucket"), col("n_customers"),
+        expr("CAST(orders_sum AS DOUBLE) / CAST(n_customers AS DOUBLE)").as("avg_orders"),
+        expr("CAST(spend_sum AS DOUBLE) / CAST(100 AS DOUBLE)").as("total_spend"))
+      .orderBy("bucket")
+  }
+
+  val churnDormancySql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+       |    CAST(count(*) AS BIGINT) AS n_orders,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS spend_c
+       |  FROM orders GROUP BY o_custkey),
+       |a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+       |b AS (
+       |  SELECT CAST(a.anchor - p.last_d AS BIGINT) AS dorm, p.n_orders, p.spend_c
+       |  FROM per p, a),
+       |k AS (
+       |  SELECT $DormancyBucketExpr AS bucket, n_orders, spend_c FROM b)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers,
+       |  CAST(sum(n_orders) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_orders,
+       |  CAST(sum(spend_c) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_spend
+       |FROM k GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
 }

@@ -400,4 +400,61 @@ object Incremental {
       |  (SELECT count(*) FROM la),
       |  (SELECT n FROM lo)
       |ORDER BY table_name""".stripMargin
+
+  // ------------------------------------------------------------ compaction_plan
+
+  /** Target rows per compacted output file (stands in for the
+    * target-bytes knob of a real table service; rows are the unit the
+    * oracle can check exactly).
+    */
+  private[graft] val CompactionTargetRows = 1000L
+
+  /** Small-file compaction planner — the table-maintenance pass every
+    * lakehouse runs over a streaming-ingested events table: per-day
+    * ingest partitions (the reference's date-partitioned load unit,
+    * `trigger_bigquery_load.py`) bin-pack into target-sized output
+    * files by cumulative row count. `file_id = ⌊cum_before/target⌋`
+    * over the day-ordered prefix sum — greedy first-fit in ONE window
+    * pass, no driver loop; day grain means the plan is reproducible
+    * (same input → same file assignment, the idempotence a retry-safe
+    * maintenance job needs). All arithmetic integer-exact.
+    *
+    * Scale shape: one partial-agg pass reduces events to the
+    * calendar-bounded day frame; the prefix-sum window runs on that
+    * bounded frame (the `sequence_pack` two-level shape applies
+    * verbatim if the grain ever outgrows one task); output is
+    * ≤ days rows rolled into ≤ ⌈total/target⌉ planned files.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(expr("CAST(to_date(timestamp_micros(ts_us)) AS DATE)").as("d"))
+      .agg(count(lit(1)).as("rows"))
+    val cum = daily.withColumn("cum_before",
+      coalesce(sum(col("rows")).over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.withColumn("file_id", expr(s"cum_before div $CompactionTargetRows"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_day_partitions"),
+        sum(col("rows")).as("rows"),
+        // ISO strings, not native dates — the compare convention
+        min(col("d")).cast("string").as("min_day"),
+        max(col("d")).cast("string").as("max_day"))
+      .orderBy("file_id")
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS rows
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT d, rows,
+       |    CAST(coalesce(sum(rows) OVER (ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM daily)
+       |SELECT cum_before // $CompactionTargetRows AS file_id,
+       |  CAST(count(*) AS BIGINT) AS n_day_partitions,
+       |  CAST(sum(rows) AS BIGINT) AS rows,
+       |  CAST(min(d) AS VARCHAR) AS min_day, CAST(max(d) AS VARCHAR) AS max_day
+       |FROM c GROUP BY 1
+       |ORDER BY file_id""".stripMargin
 }

@@ -1186,4 +1186,231 @@ object Stats {
       |  $ewmaExpr AS ewma
       |FROM l ORDER BY region_name, yr, mo""".stripMargin
   }
+
+  // ------------------------------------------------------------ spearman_corr
+
+  /** The Pearson correlation on exact-integer operands — shared text
+    * for both engines. Operands are DOUBLED midranks (2·midrank =
+    * 2·rank + tiecount − 1, the `auc_purchase_value` identity), so
+    * every moment is an exact bigint sum and the common factor 4
+    * cancels between numerator and the two sqrt terms.
+    */
+  private val SpearmanRhoExpr: String =
+    "CAST(n * sxy - sx * sy AS DOUBLE)" +
+      " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))" +
+      " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+
+  /** Spearman rank correlation between a part's list price and its
+    * total quantity sold — the monotone "does price suppress volume"
+    * association, robust to the outliers that bend `corr_profile`'s
+    * Pearson. Ties get midranks, kept in INTEGER space by doubling
+    * (2·midrank is exact), so Σr, Σr², Σrxry accumulate exactly in
+    * decimal(38,0) and ρ is ONE shared expression on exact operands:
+    * both engines run the identical correctly-rounded IEEE ops.
+    *
+    * Scale shape: lineitem partial-aggregates to the part grain
+    * BEFORE any window (the dim-build reduction); the two global rank
+    * windows run on the ≤|part| frame — a range-partitioned sort at
+    * 100 TB, same as `histogram_equidepth`'s note — and one aggregate
+    * closes to a single row. 2·rank ≤ 2n keeps n·Σxx ≤ 4n⁴ exact in
+    * 38 digits to n ~ 10⁹ parts.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perPart = t.lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(l_quantity * 100 AS BIGINT)")).as("qty_c"))
+      .join(t.part.select(col("p_partkey"),
+        expr("CAST(p_retailprice * 100 AS BIGINT)").as("price_c")),
+        col("l_partkey") === col("p_partkey"))
+    // rank/tiecount columns first (windows), then the doubled midranks
+    val withRanks = perPart
+      .withColumn("rk_x", rank().over(Window.orderBy("price_c")))
+      .withColumn("tc_x", count(lit(1)).over(Window.partitionBy("price_c")))
+      .withColumn("rk_y", rank().over(Window.orderBy("qty_c")))
+      .withColumn("tc_y", count(lit(1)).over(Window.partitionBy("qty_c")))
+      .select(expr("2 * rk_x + tc_x - 1").as("rx"),
+        expr("2 * rk_y + tc_y - 1").as("ry"))
+    withRanks.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"))
+      .select(col("n").cast("long").as("n_parts"),
+        expr(SpearmanRhoExpr).as("rho"))
+  }
+
+  val spearmanCorrSql: String =
+    s"""WITH per_part AS (
+       |  SELECT l.l_partkey,
+       |    CAST(sum(CAST(l.l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_c,
+       |    CAST(p.p_retailprice * 100 AS BIGINT) AS price_c
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY l.l_partkey, CAST(p.p_retailprice * 100 AS BIGINT)),
+       |r AS (
+       |  SELECT
+       |    2 * rank() OVER (ORDER BY price_c)
+       |      + count(*) OVER (PARTITION BY price_c) - 1 AS rx,
+       |    2 * rank() OVER (ORDER BY qty_c)
+       |      + count(*) OVER (PARTITION BY qty_c) - 1 AS ry
+       |  FROM per_part),
+       |m AS (
+       |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+       |    sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+       |    sum(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+       |    sum(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+       |  FROM r)
+       |SELECT CAST(n AS BIGINT) AS n_parts,
+       |  $SpearmanRhoExpr AS rho
+       |FROM m""".stripMargin
+
+  // -------------------------------------------------------------- kendall_tau
+
+  /** τ-b from exact pair counts — shared text on bigint operands. */
+  private val KendallTauExpr: String =
+    "CAST(concordant - discordant AS DOUBLE)" +
+      " / (sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE)))"
+
+  /** Kendall τ-b between monthly order count and monthly revenue —
+    * the pair-concordance association (did busier months earn more),
+    * tie-corrected. The O(n²) pair join is SAFE here by construction:
+    * the series is the calendar-bounded monthly frame (the
+    * `autocorr_lag` reduction), so pairs ≤ months² regardless of data
+    * volume — the raw log never self-joins. Concordant / discordant /
+    * tie counts are exact bigints out of one triangular join; τ-b is
+    * ONE shared expression (two sqrt on exact operands).
+    *
+    * Scale shape: one partial-agg pass over orders reduces to the
+    * monthly frame; the triangular self-join of a ≲10³-row frame is a
+    * broadcast nested loop, then a single count aggregate. At 100 TB
+    * only the first pass grows.
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(count(lit(1)).as("x"),
+        (sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val a = monthly.select(col("m").as("ma"), col("x").as("xa"), col("y").as("ya"))
+    val b = monthly.select(col("m").as("mb"), col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(b, col("ma") < col("mb"))
+    val counted = pairs.agg(
+      count(lit(1)).as("n0"),
+      sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0, 1L)
+        .otherwise(0L)).as("concordant"),
+      sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0, 1L)
+        .otherwise(0L)).as("discordant"),
+      sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+      sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+    counted.select(col("n0").as("n_pairs"), col("concordant"), col("discordant"),
+      expr(KendallTauExpr).as("tau_b"))
+  }
+
+  val kendallTauSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(CAST(o_orderdate AS DATE)) * 12
+       |      + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |p AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       |    CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+       |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+       |  FROM monthly a JOIN monthly b ON a.m < b.m)
+       |SELECT n0 AS n_pairs, concordant, discordant,
+       |  $KendallTauExpr AS tau_b
+       |FROM p""".stripMargin
+
+  // ----------------------------------------------------- jackknife_region_var
+
+  private val RegionKeys = 0 to 4
+
+  /** Delete-one-region jackknife of the mean order value — the
+    * standard-error estimate for a ratio statistic whose sampling
+    * unit is a GROUP (drop a whole region, re-estimate, spread of the
+    * five leave-one-out estimates). Group count is the fixed 5-region
+    * domain, so the five θ_k pivot to COLUMNS and the mean/variance
+    * close in ONE fixed-order shared expression — the `welch_t_test`
+    * convention that sidesteps float-sum order nondeterminism
+    * entirely: every θ_k is one division of exact decimal(38,0)
+    * cents/counts, and both engines evaluate the identical text.
+    *
+    * Scale shape: one partial-agg conditional-sum pass over the
+    * orders⋈customer⋈nation star (both dims broadcast) reduces to a
+    * single 10-column row; everything after is scalar arithmetic.
+    */
+  def jackknifeRegionVar(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val keyed = t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("rk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v_c"))
+    val mCols = RegionKeys.flatMap { k =>
+      Seq(sum(when(col("rk") === k, 1L).otherwise(0L)).as(s"n_$k"),
+        sum(when(col("rk") === k, col("v_c")).otherwise(0L))
+          .cast("decimal(38,0)").as(s"s_$k"))
+    }
+    val m = keyed.agg(mCols.head, mCols.tail: _*)
+      .withColumn("n", expr(RegionKeys.map(k => s"n_$k").mkString(" + ")))
+      .withColumn("s", expr(RegionKeys.map(k => s"s_$k").mkString(" + ")))
+    val withTheta = RegionKeys.foldLeft(m) { (df, k) =>
+      df.withColumn(s"th_$k",
+        expr(s"CAST(s - s_$k AS DOUBLE) / CAST(n - n_$k AS DOUBLE)"))
+    }.withColumn("th_bar",
+      expr(s"(${RegionKeys.map(k => s"th_$k").mkString(" + ")}) / CAST(5 AS DOUBLE)"))
+    withTheta.select(
+      expr("CAST(n AS BIGINT)").as("n_orders"),
+      expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE)").as("mean_value"),
+      expr(JackSeExpr).as("jack_se"))
+  }
+
+  /** √((g−1)/g · Σ(θ_k − θ̄)²) in dollars — one shared text. */
+  private val JackSeExpr: String = {
+    val sq = RegionKeys.map(k => s"(th_$k - th_bar) * (th_$k - th_bar)")
+      .mkString(" + ")
+    s"sqrt(CAST(4 AS DOUBLE) / CAST(5 AS DOUBLE) * ($sq)) / CAST(100 AS DOUBLE)"
+  }
+
+  val jackknifeRegionVarSql: String = {
+    val mSums = RegionKeys.flatMap { k =>
+      Seq(s"CAST(sum(CASE WHEN rk = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_$k",
+        s"CAST(sum(CASE WHEN rk = $k THEN v_c ELSE 0 END) AS DECIMAL(38,0)) AS s_$k")
+    }.mkString(",\n    ")
+    val thetas = RegionKeys.map(k =>
+      s"CAST(s - s_$k AS DOUBLE) / CAST(n - n_$k AS DOUBLE) AS th_$k").mkString(",\n    ")
+    s"""WITH keyed AS (
+       |  SELECT n.n_regionkey AS rk,
+       |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+       |m AS (
+       |  SELECT
+       |    $mSums
+       |  FROM keyed),
+       |tot AS (
+       |  SELECT *, ${RegionKeys.map(k => s"n_$k").mkString(" + ")} AS n,
+       |    ${RegionKeys.map(k => s"s_$k").mkString(" + ")} AS s
+       |  FROM m),
+       |th AS (
+       |  SELECT *,
+       |    $thetas
+       |  FROM tot),
+       |tb AS (
+       |  SELECT *, (${RegionKeys.map(k => s"th_$k").mkString(" + ")}) / CAST(5 AS DOUBLE) AS th_bar
+       |  FROM th)
+       |SELECT CAST(n AS BIGINT) AS n_orders,
+       |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE) AS mean_value,
+       |  $JackSeExpr AS jack_se
+       |FROM tb""".stripMargin
+  }
 }

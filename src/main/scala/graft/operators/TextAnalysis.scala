@@ -1119,4 +1119,52 @@ object TextAnalysis {
       |  CAST(n_ab * __n AS DOUBLE) / CAST(df_a * df_b AS DOUBLE) AS lift
       |FROM pairs, n
       |ORDER BY lift DESC, t1, t2""".stripMargin
+
+  // ---------------------------------------------------------------- hapax_ratio
+
+  /** Per-source hapax legomena profile: vocabulary size, number of
+    * terms occurring exactly once, and the hapax ratio — the
+    * lexical-diversity fingerprint that separates template/boilerplate
+    * sources (tiny hapax tail) from organic text (Zipf predicts ~50%
+    * hapax; pair with `zipf_profile`, which fits the head — this
+    * measures the tail). Tokenization is the whitespace convention
+    * (`text_tokencount`). All counts exact; the ratio is one int/int
+    * division.
+    *
+    * Scale shape: explode → two-level aggregate, all equi-shuffles on
+    * (source, term) then source. The term-grain partial agg combines
+    * map-side, so the shuffle carries the per-source vocabulary, not
+    * the token stream — the Zipf head is the only heavy key and it
+    * combines first.
+    */
+  def hapaxRatio(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables(spark, dir).documents
+      .select(col("source"), explode(filter(split(col("text"), " +"),
+        t => length(t) > 0)).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("hapax_count"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("source"), col("vocab_size"), col("hapax_count"), col("n_tokens"),
+        expr("CAST(hapax_count AS DOUBLE) / CAST(vocab_size AS DOUBLE)").as("hapax_ratio"))
+      .orderBy("source")
+  }
+
+  val hapaxRatioSql: String =
+    """WITH terms AS (
+      |  SELECT source, term, count(*) AS tf
+      |  FROM (
+      |    SELECT source, unnest(list_filter(string_split_regex(text, ' +'),
+      |      x -> len(x) > 0)) AS term
+      |    FROM documents)
+      |  GROUP BY source, term)
+      |SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+      |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+      |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS hapax_ratio
+      |FROM terms GROUP BY source
+      |ORDER BY source""".stripMargin
 }

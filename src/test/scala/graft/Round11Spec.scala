@@ -65,4 +65,119 @@ class Round11Spec extends AnyFunSuite {
     assert(a > 0, "factSales must be non-empty on sf0.001 (driver smoke gate)")
     assert(a == b, s"layout-dependent factSales counts: micros=$a nanosLong=$b")
   }
+
+  // ---------------------------------------------- round-11 operator pins
+
+  test("spearman_corr rho equals built-in corr of the doubled midranks to 1e-10") {
+    val row = graft.operators.Stats.spearmanCorr(spark, TestSpark.sf).collect()(0)
+    val rho = row.getAs[Double]("rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+    // independent re-derivation: Spark's corr() on the same midranks
+    val t = graft.core.Tables(spark, TestSpark.sf)
+    val perPart = t.lineitem.groupBy($"l_partkey")
+      .agg(sum(expr("CAST(l_quantity * 100 AS BIGINT)")).as("qty_c"))
+      .join(t.part.select($"p_partkey",
+        expr("CAST(p_retailprice * 100 AS BIGINT)").as("price_c")),
+        $"l_partkey" === $"p_partkey")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = perPart
+      .withColumn("rk_x", rank().over(Window.orderBy("price_c")))
+      .withColumn("tc_x", count(lit(1)).over(Window.partitionBy("price_c")))
+      .withColumn("rk_y", rank().over(Window.orderBy("qty_c")))
+      .withColumn("tc_y", count(lit(1)).over(Window.partitionBy("qty_c")))
+      .select(expr("CAST(2 * rk_x + tc_x - 1 AS DOUBLE)").as("rx"),
+        expr("CAST(2 * rk_y + tc_y - 1 AS DOUBLE)").as("ry"))
+    val builtin = ranked.agg(corr($"rx", $"ry")).collect()(0).getDouble(0)
+    assert(math.abs(rho - builtin) < 1e-10, s"rho=$rho builtin=$builtin")
+  }
+
+  test("kendall_tau counts are consistent and tau_b is bounded") {
+    val row = graft.operators.Stats.kendallTau(spark, TestSpark.sf).collect()(0)
+    val (n0, c, d) = (row.getAs[Long]("n_pairs"),
+      row.getAs[Long]("concordant"), row.getAs[Long]("discordant"))
+    val tau = row.getAs[Double]("tau_b")
+    assert(c + d <= n0, "concordant + discordant cannot exceed total pairs")
+    assert(tau >= -1.0 && tau <= 1.0)
+    assert((c > d) == (tau > 0), "tau sign must follow the concordance excess")
+  }
+
+  test("jackknife_region_var mean matches the direct mean and se >= 0") {
+    val row = graft.operators.Stats.jackknifeRegionVar(spark, TestSpark.sf).collect()(0)
+    val direct = graft.core.Tables(spark, TestSpark.sf).orders
+      .agg((sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")) /
+        count(lit(1))).cast("double")).collect()(0).getDouble(0)
+    assert(math.abs(row.getAs[Double]("mean_value") - direct) < 1e-6)
+    assert(row.getAs[Double]("jack_se") >= 0.0)
+  }
+
+  test("repeat_purchase_interval gap count reconciles to orders minus customers") {
+    val out = graft.operators.Commerce.repeatPurchaseInterval(spark, TestSpark.sf)
+    val nGaps = out.agg(sum($"n_gaps")).collect()(0).getLong(0)
+    val o = graft.core.Tables(spark, TestSpark.sf).orders
+    val expected = o.count() - o.select($"o_custkey").distinct().count()
+    assert(nGaps == expected, s"gaps=$nGaps expected=$expected")
+    for (r <- out.collect()) {
+      val med = r.getAs[Double]("median_gap_days")
+      val p90 = r.getAs[Long]("p90_gap_days")
+      assert(med <= p90.toDouble, "median cannot exceed p90")
+    }
+  }
+
+  test("churn_dormancy partitions the active customer base") {
+    val out = graft.operators.Commerce.churnDormancy(spark, TestSpark.sf)
+    val n = out.agg(sum($"n_customers")).collect()(0).getLong(0)
+    val active = graft.core.Tables(spark, TestSpark.sf).orders
+      .select($"o_custkey").distinct().count()
+    assert(n == active, s"bands must partition: $n vs $active")
+  }
+
+  test("mips_topk ranks are dense 1..k and inner products non-increasing") {
+    val rows = graft.operators.Ann.mipsTopk(spark, TestSpark.sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    for ((q, rs) <- byQ) {
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length),
+        s"query $q ranks not dense")
+      val ips = sorted.map(_.getAs[Long]("ip_q12"))
+      assert(ips.zip(ips.tail).forall { case (a, b) => a >= b },
+        s"query $q inner products must be non-increasing down the ranking")
+    }
+  }
+
+  test("ann_recall_eval recall is hits/k and LSH recall clears the suite floor") {
+    val rows = graft.operators.Ann.annRecallEval(spark, TestSpark.sf).collect()
+    for (r <- rows) {
+      val (k, hits) = (r.getAs[Long]("k"), r.getAs[Long]("hits"))
+      assert(hits >= 0 && hits <= k)
+      assert(r.getAs[Double]("recall") == hits.toDouble / k.toDouble)
+    }
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.4, s"mean LSH recall $mean below the 0.4 suite floor")
+  }
+
+  test("hapax_ratio invariants: hapax <= vocab <= tokens") {
+    for (r <- graft.operators.TextAnalysis.hapaxRatio(spark, TestSpark.sf).collect()) {
+      val (v, h, t) = (r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("hapax_count"), r.getAs[Long]("n_tokens"))
+      assert(h <= v && v <= t, s"source ${r.getString(0)}: h=$h v=$v t=$t")
+    }
+  }
+
+  test("compaction_plan conserves rows, keeps file_ids contiguous, fills all but the last file") {
+    val t = graft.core.Tables(spark, TestSpark.sf)
+    val out = graft.operators.Incremental.compactionPlan(spark, TestSpark.sf)
+      .collect().sortBy(_.getAs[Long]("file_id"))
+    val total = out.map(_.getAs[Long]("rows")).sum
+    assert(total == t.events.count(), "row conservation")
+    assert(out.map(_.getAs[Long]("file_id")).toSeq == out.indices.map(_.toLong),
+      "file ids must be contiguous from 0")
+    val target = graft.operators.Incremental.CompactionTargetRows
+    var cum = 0L
+    for ((r, i) <- out.zipWithIndex) {
+      cum += r.getAs[Long]("rows")
+      if (i < out.length - 1)
+        assert(cum >= (r.getAs[Long]("file_id") + 1) * target,
+          s"file ${r.getAs[Long]("file_id")} underfilled but not last")
+    }
+  }
 }
