@@ -1985,4 +1985,145 @@ object Reports {
       |  CAST(rev2 AS DOUBLE) / CAST(qty2 AS DOUBLE)
       |    * CAST(qty2 - qty1 AS DOUBLE) / CAST(100 AS DOUBLE) AS volume_effect
       |FROM h ORDER BY region""".stripMargin
+
+  // -------------------------------------------------------- xyz_classification
+
+  /** CV on exact operands, zero-months implicit: mean = Σy/M over ALL
+    * M calendar months, so cv = √(M·Σy² − (Σy)²)/Σy — sparse months
+    * contribute nothing and the dense part×month grid NEVER forms.
+    */
+  private val XyzCvExpr: String =
+    "sqrt(CAST(mm * syy - sy * sy AS DOUBLE)) / CAST(sy AS DOUBLE)"
+
+  /** XYZ demand-variability classification — `abc_classification`'s
+    * companion axis (ABC ranks by value, XYZ by predictability): per
+    * part, the coefficient of variation of monthly demand over the
+    * full month spine (X ≤ 0.5 steady, Y ≤ 1.0 seasonal, Z erratic —
+    * the planning thresholds). Zero-demand months enter the moments
+    * IMPLICITLY (see [[XyzCvExpr]]), so the computation stays on the
+    * observed (part, month) frame. cv is one shared expression on
+    * exact decimal(38,0) operands; class edges compare identical
+    * doubles — deterministic on both engines.
+    *
+    * Scale shape: one partial-agg pass to the (part, month) grain,
+    * one to the part grain (M broadcast as a scalar), one ≤3-row
+    * class rollup. No window, no dense grid, nothing part×month-sized
+    * ever materializes.
+    */
+  def xyzClassification(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").as("m"),
+        expr("CAST(l_quantity * 100 AS BIGINT)").as("q"))
+    val months = li.agg(countDistinct(col("m")).cast("decimal(38,0)").as("mm"))
+    val perPartMonth = li.groupBy(col("l_partkey"), col("m"))
+      .agg(sum(col("q")).as("y"))
+    val perPart = perPartMonth.groupBy(col("l_partkey"))
+      .agg(sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .crossJoin(broadcast(months))
+      .withColumn("cv", expr(XyzCvExpr))
+      .withColumn("xyz", expr(XyzClassExpr))
+    perPart.groupBy(col("xyz"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("cv")).as("min_cv"), max(col("cv")).as("max_cv"))
+      .orderBy("xyz")
+  }
+
+  /** Class edges are a planning-policy knob. The textbook retail cut
+    * (0.5/1.0) assumes near-continuous demand; this event log's parts
+    * sell in a handful of months, which floors the CV near 1.3 and
+    * collapses every part into Z. These edges straddle the observed
+    * demand regime so all three branches stay live at every SF.
+    */
+  private val XyzClassExpr: String =
+    "CASE WHEN cv <= 1.5 THEN 'X_steady' WHEN cv <= 2.0 THEN 'Y_variable'" +
+      " ELSE 'Z_erratic' END"
+
+  val xyzClassificationSql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey,
+       |    year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE)) - 1 AS m,
+       |    CAST(l_quantity * 100 AS BIGINT) AS q
+       |  FROM lineitem),
+       |mc AS (SELECT CAST(count(DISTINCT m) AS DECIMAL(38,0)) AS mm FROM li),
+       |pm AS (
+       |  SELECT l_partkey, m, CAST(sum(q) AS BIGINT) AS y
+       |  FROM li GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT l_partkey,
+       |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+       |  FROM pm GROUP BY 1),
+       |cvt AS (
+       |  SELECT l_partkey, $XyzCvExpr AS cv
+       |  FROM pp, mc),
+       |cls AS (SELECT l_partkey, cv, $XyzClassExpr AS xyz FROM cvt)
+       |SELECT xyz, CAST(count(*) AS BIGINT) AS n_parts,
+       |  min(cv) AS min_cv, max(cv) AS max_cv
+       |FROM cls GROUP BY xyz
+       |ORDER BY xyz""".stripMargin
+
+  // ---------------------------------------------------------- ship_lag_profile
+
+  /** Per-supplier order-to-ship latency profile: mean, exact
+    * order-statistic median, and percentile_disc p90 of
+    * (shipdate − orderdate) days — the supplier SLA scorecard
+    * (`q12_late_lines` asks whether late lines distort priorities;
+    * this ranks the suppliers causing them). Positions in pure
+    * integer arithmetic, the `repeat_purchase_interval` convention;
+    * mean = one division of exact day-sums.
+    *
+    * Scale shape: the lineitem⋈orders join shuffles on orderkey
+    * (both sides pre-projected to three columns); the rank window
+    * partitions BY SUPPLIER — parallel across the supplier dimension,
+    * never global; output is |supplier| rows.
+    */
+  def shipLagProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lags = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate").cast("date").as("ship_d"))
+      .join(t.orders.select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("suppkey"),
+        datediff(col("ship_d"), col("order_d")).cast("long").as("lag"))
+    val ranked = lags
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("suppkey").orderBy(col("lag"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("suppkey")))
+    ranked.groupBy(col("suppkey"))
+      .agg(max(col("n")).as("n_lines"),
+        sum(col("lag")).as("lag_sum"),
+        sum(when(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"), col("lag"))).as("msum"),
+        sum(when(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"), 1L).otherwise(0L)).as("mcnt"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("lag"))).as("p90_lag_days"))
+      .select(col("suppkey"), col("n_lines"),
+        expr("CAST(lag_sum AS DOUBLE) / CAST(n_lines AS DOUBLE)").as("mean_lag_days"),
+        expr("CAST(msum AS DOUBLE) / CAST(mcnt AS DOUBLE)").as("median_lag_days"),
+        col("p90_lag_days"))
+      .orderBy("suppkey")
+  }
+
+  val shipLagProfileSql: String =
+    """WITH lags AS (
+      |  SELECT l.l_suppkey AS suppkey,
+      |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lag
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |r AS (
+      |  SELECT suppkey, lag,
+      |    row_number() OVER (PARTITION BY suppkey ORDER BY lag) AS rn,
+      |    count(*) OVER (PARTITION BY suppkey) AS n
+      |  FROM lags)
+      |SELECT suppkey, CAST(max(n) AS BIGINT) AS n_lines,
+      |  CAST(sum(lag) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_lag_days,
+      |  CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN lag END) AS DOUBLE)
+      |    / CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS median_lag_days,
+      |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lag END) AS BIGINT) AS p90_lag_days
+      |FROM r GROUP BY suppkey
+      |ORDER BY suppkey""".stripMargin
 }

@@ -107,6 +107,25 @@ object EventStream {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Streaming heavy hitters: a per-event-type SpaceSaving top-k
+    * summary maintained ACROSS micro-batches — the streaming face of
+    * the batch `spacesaving_topk` query. The aggregation buffer IS
+    * the state: the store holds one ≤k-counter summary per type
+    * (O(groups·k) forever — exact streaming top-k would need every
+    * key in state), and the TypedImperativeAggregate's merge is the
+    * mergeable-summaries combine, so the est ∈ [true, true+err]
+    * guarantee holds over the CONCATENATED stream after any number of
+    * batches; in the no-eviction regime (≤ k distinct keys per group)
+    * the summary is exact and bit-equal to the batch aggregate.
+    */
+  def heavyHittersStream(spark: SparkSession, inputDir: String,
+      k: Int = 16): DataFrame = {
+    graft.functions.SpaceSaving.register(spark)
+    spark.readStream.schema(eventSchema).json(inputDir)
+      .groupBy(col("event_type"))
+      .agg(expr(s"graft_spacesaving($k, user_id)").as("hh"))
+  }
+
   /** Streaming exact dedup: suppress event_id replays within the
     * watermark horizon — the streaming face of the batch dedup suite
     * (state store holds only ids newer than watermark − 30 min, so

@@ -163,6 +163,93 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("xyz_classification classes partition the sold parts and cv bands are ordered") {
+    val out = graft.operators.Reports.xyzClassification(spark, TestSpark.sf).collect()
+    val nParts = out.map(_.getAs[Long]("n_parts")).sum
+    val sold = graft.core.Tables(spark, TestSpark.sf).lineitem
+      .select($"l_partkey").distinct().count()
+    assert(nParts == sold, s"classes must partition sold parts: $nParts vs $sold")
+    for (r <- out) {
+      assert(r.getAs[Double]("min_cv") >= 0.0)
+      assert(r.getAs[Double]("min_cv") <= r.getAs[Double]("max_cv"))
+    }
+    val byClass = out.map(r => r.getString(0) -> r).toMap
+    assert(byClass.keySet == Set("X_steady", "Y_variable", "Z_erratic"),
+      "all three classes must be live on the testdata")
+    for (x <- byClass.get("X_steady")) assert(x.getAs[Double]("max_cv") <= 1.5)
+    for (z <- byClass.get("Z_erratic")) assert(z.getAs[Double]("min_cv") > 2.0)
+  }
+
+  test("ship_lag_profile covers every supplier with ordered percentiles") {
+    val out = graft.operators.Reports.shipLagProfile(spark, TestSpark.sf).collect()
+    val nSupp = graft.core.Tables(spark, TestSpark.sf).lineitem
+      .select($"l_suppkey").distinct().count()
+    assert(out.length == nSupp)
+    for (r <- out) {
+      assert(r.getAs[Double]("median_lag_days") <= r.getAs[Long]("p90_lag_days").toDouble)
+      assert(r.getAs[Long]("n_lines") > 0)
+    }
+  }
+
+  test("local_clustering coefficients are consistent with triangle_count totals") {
+    val nodes = graft.operators.Graph.localClustering(spark, TestSpark.sf).collect()
+    for (r <- nodes) {
+      val c = r.getAs[Double]("clustering_coef")
+      assert(c >= 0.0 && c <= 1.0, s"node ${r.getLong(0)}: coef $c out of range")
+      val (deg, tri) = (r.getAs[Long]("deg"), r.getAs[Long]("triangles"))
+      assert(tri <= deg * (deg - 1) / 2, "triangles cannot exceed neighbor pairs")
+    }
+    // Σ per-node triangle credits = 3 × global triangle count
+    val total = graft.operators.Graph.triangleCount(spark, TestSpark.sf)
+      .collect()(0).getAs[Long]("n_triangles")
+    assert(nodes.map(_.getAs[Long]("triangles")).sum == 3 * total)
+  }
+
+  private def writeJsonlBatch(dir: String, name: String,
+      evs: Seq[graft.streaming.EventStream.Ev]): Unit = {
+    val lines = evs.map(e =>
+      s"""{"event_id":${e.event_id},"ts_us":${e.ts_us},"user_id":${e.user_id},"event_type":"${e.event_type}","value":${e.value}}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name"),
+      lines.mkString("\n"))
+  }
+
+  test("streaming SpaceSaving summary merges across micro-batches to the exact counts") {
+    import graft.streaming.EventStream
+    val tmp = Files.createTempDirectory("graft_hh_stream").toString
+    // no-eviction regime: ≤ 16 distinct users per type → exact counts owed
+    writeJsonlBatch(tmp, "b1.jsonl", Seq(
+      EventStream.Ev(1, 1000000L, 1, "click", 1.0),
+      EventStream.Ev(2, 2000000L, 1, "click", 1.0),
+      EventStream.Ev(3, 3000000L, 2, "click", 1.0),
+      EventStream.Ev(4, 4000000L, 7, "view", 1.0)))
+    val q = EventStream.heavyHittersStream(spark, tmp).writeStream
+      .outputMode("complete").format("memory").queryName("hh_s").start()
+    try {
+      q.processAllAvailable()
+      // second batch re-touches user 1 and adds a new user per type —
+      // the stored summaries must merge, not reset
+      writeJsonlBatch(tmp, "b2.jsonl", Seq(
+        EventStream.Ev(5, 5000000L, 1, "click", 1.0),
+        EventStream.Ev(6, 6000000L, 3, "click", 1.0),
+        EventStream.Ev(7, 7000000L, 7, "view", 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("hh_s")
+        .selectExpr("event_type", "explode(hh) AS h")
+        .select($"event_type", $"h.key", $"h.est", $"h.err")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val expected = Map(
+        ("click", 1L) -> 3L, ("click", 2L) -> 1L, ("click", 3L) -> 1L,
+        ("view", 7L) -> 2L)
+      assert(got.keySet == expected.keySet, s"keys ${got.keySet}")
+      for ((k, cnt) <- expected) {
+        assert(got(k)._1 == cnt, s"$k: est ${got(k)._1} != exact $cnt")
+        assert(got(k)._2 == 0L, s"$k: no eviction happened, err must be 0")
+      }
+    } finally q.stop()
+  }
+
   test("compaction_plan conserves rows, keeps file_ids contiguous, fills all but the last file") {
     val t = graft.core.Tables(spark, TestSpark.sf)
     val out = graft.operators.Incremental.compactionPlan(spark, TestSpark.sf)
