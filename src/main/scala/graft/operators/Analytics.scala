@@ -1162,4 +1162,70 @@ object Analytics {
       |  CAST(max(total) AS BIGINT) AS total_weight_x100
       |FROM c WHERE cum * 2 >= total
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------- session_duration_profile
+
+  /** The size-band CASE shared by both engines. */
+  private val SessBandExpr: String =
+    "CASE WHEN n_events = 1 THEN 'a_single' WHEN n_events <= 5 THEN 'b_short'" +
+      " ELSE 'c_long' END"
+
+  /** Session-duration profile by session size band — the engagement
+    * depth read on top of `sessionize` (single-hit bounces vs short
+    * visits vs long sessions, with how long each cohort actually
+    * stays): mean via one exact division, median and disc-p90 as
+    * order statistics over exact µs durations (integer positions, the
+    * `repeat_purchase_interval` convention). Single-event sessions
+    * have duration 0 by construction — kept, because the bounce band
+    * IS the point.
+    *
+    * Scale shape: inherits sessionize's user-partitioned shuffle; the
+    * rank window partitions by the ≤3 bands over the session-grain
+    * frame (range-partitionable), and the rollup is ≤3 rows.
+    */
+  def sessionDurationProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(spark, dir)
+      .select(col("n_events"),
+        (col("session_end_us") - col("session_start_us")).as("dur_us"))
+      .withColumn("band", expr(SessBandExpr))
+    val ranked = sess
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band").orderBy(col("dur_us"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("band")))
+    ranked.groupBy(col("band"))
+      .agg(max(col("n")).as("n_sessions"),
+        sum(col("dur_us")).as("dsum"),
+        sum(when(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"), col("dur_us"))).as("msum"),
+        sum(when(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"), 1L).otherwise(0L)).as("mcnt"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("dur_us"))).as("p90_dur_us"))
+      .select(col("band"), col("n_sessions"),
+        expr("CAST(dsum AS DOUBLE) / CAST(n_sessions AS DOUBLE) / CAST(1000000 AS DOUBLE)")
+          .as("mean_dur_sec"),
+        expr("CAST(msum AS DOUBLE) / CAST(mcnt AS DOUBLE) / CAST(1000000 AS DOUBLE)")
+          .as("median_dur_sec"),
+        col("p90_dur_us"))
+      .orderBy("band")
+  }
+
+  val sessionDurationProfileSql: String =
+    s"""WITH sess AS ($sessionizeSql),
+       |d AS (
+       |  SELECT n_events, session_end_us - session_start_us AS dur_us,
+       |    $SessBandExpr AS band
+       |  FROM sess),
+       |r AS (
+       |  SELECT band, dur_us,
+       |    row_number() OVER (PARTITION BY band ORDER BY dur_us) AS rn,
+       |    count(*) OVER (PARTITION BY band) AS n
+       |  FROM d)
+       |SELECT band, CAST(max(n) AS BIGINT) AS n_sessions,
+       |  CAST(sum(dur_us) AS DOUBLE) / CAST(max(n) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS mean_dur_sec,
+       |  CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN dur_us END) AS DOUBLE)
+       |    / CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE) AS median_dur_sec,
+       |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN dur_us END) AS BIGINT) AS p90_dur_us
+       |FROM r GROUP BY band
+       |ORDER BY band""".stripMargin
 }

@@ -290,4 +290,72 @@ object Features {
       |FROM toks JOIN vocab USING (term)
       |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
   }
+
+  // ---------------------------------------------------------- target_encode_brand
+
+  /** Smoothing pseudo-count: the brand's rate earns trust only past
+    * ~this many observations (the standard m-estimate knob).
+    */
+  private val TargetEncodeM = 100L
+
+  /** m-estimate smoothed rate entirely in exact integers: with prior
+    * = pos_tot/n_tot, (pos_b + M·prior)/(n_b + M) clears the prior's
+    * denominator to (pos_b·n_tot + M·pos_tot)/(n_tot·(n_b + M)) —
+    * ONE double division of exact decimal(38,0) products.
+    */
+  private val SmoothedRateExpr: String =
+    s"CAST(pos_b * n_tot + $TargetEncodeM * pos_tot AS DOUBLE)" +
+      s" / CAST(n_tot * (n_b + $TargetEncodeM) AS DOUBLE)"
+
+  /** Target encoding of brand → return rate (share of lines with
+    * `l_returnflag = 'R'`), m-estimate smoothed toward the global
+    * prior — the high-cardinality categorical featurizer one-hot
+    * can't serve (a 10⁶-brand catalog one-hots into a 10⁶-wide
+    * matrix; this is one column), with the smoothing that keeps
+    * rare brands from memorizing noise. Both rates are single
+    * divisions of exact integer counts ([[SmoothedRateExpr]]); the
+    * leakage discipline is `train_test_split`'s: fit on train only.
+    *
+    * Scale shape: one conditional-count partial-agg pass to the
+    * brand grain (part broadcast under the join), the 2-scalar global
+    * row broadcast back — the `one_hot_topk` frozen-vocabulary shape
+    * with statistics instead of indicator columns.
+    */
+  def targetEncodeBrand(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lines = t.lineitem
+      .select(col("l_partkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val perBrand = lines.groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_b"),
+        sum(col("ret")).cast("decimal(38,0)").as("pos_b"))
+    val tot = perBrand.agg(sum(col("n_b")).as("n_tot"), sum(col("pos_b")).as("pos_tot"))
+    perBrand.crossJoin(broadcast(tot))
+      .select(col("brand"),
+        col("n_b").cast("long").as("n_lines"),
+        col("pos_b").cast("long").as("n_returned"),
+        expr("CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)").as("raw_rate"),
+        expr(SmoothedRateExpr).as("smoothed_rate"))
+      .orderBy("brand")
+  }
+
+  val targetEncodeBrandSql: String =
+    s"""WITH lines AS (
+       |  SELECT p.p_brand AS brand,
+       |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |pb AS (
+       |  SELECT brand, CAST(count(*) AS DECIMAL(38,0)) AS n_b,
+       |    CAST(sum(ret) AS DECIMAL(38,0)) AS pos_b
+       |  FROM lines GROUP BY brand),
+       |t AS (SELECT sum(n_b) AS n_tot, sum(pos_b) AS pos_tot FROM pb)
+       |SELECT brand,
+       |  CAST(n_b AS BIGINT) AS n_lines,
+       |  CAST(pos_b AS BIGINT) AS n_returned,
+       |  CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS raw_rate,
+       |  $SmoothedRateExpr AS smoothed_rate
+       |FROM pb, t
+       |ORDER BY brand""".stripMargin
 }

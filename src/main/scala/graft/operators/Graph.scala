@@ -944,4 +944,92 @@ object Graph {
       |      / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS clustering_coef
       |FROM deg d LEFT JOIN corners c ON c.p = d.p
       |ORDER BY node""".stripMargin
+
+  // ------------------------------------------------------------ graph_modularity
+
+  /** Newman modularity of a partition, on exact integer sums only:
+    * Q = Σ_c[e_c/m − (d_c/2m)²] = Σe_c/m − Σd_c²/(4m²) — the two Σ
+    * are integer aggregates, so Q is ONE shared expression and the
+    * per-community float-sum order problem never arises.
+    */
+  private val ModularityExpr: String =
+    "CAST(se AS DOUBLE) / CAST(m AS DOUBLE)" +
+      " - CAST(sd2 AS DOUBLE) / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))"
+
+  /** Modularity of the connected-components partition over the
+    * co-purchase graph — the partition-quality score community
+    * detection optimizes (CC is its coarsest candidate: Q here is the
+    * ceiling disconnection alone buys, the baseline a Louvain-style
+    * refinement must beat). Intra-community edge and degree-mass sums
+    * are exact integers off the label join; Q closes in ONE shared
+    * expression ([[ModularityExpr]]) — no per-community float
+    * accumulation anywhere.
+    *
+    * Scale shape: reuses the session-cached [[supportEdges]] frame
+    * and [[ccLabels]]' per-round plan; the label frame is node-grain
+    * (AQE broadcasts it under the edge join at test scale, hashes at
+    * 10⁹ nodes); both Σ reduce to one row.
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val labels = ccLabels(spark, dir, CcRounds).select(col("p"), col("d").as("lbl"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val intra = und
+      .join(labels.toDF("p1", "l1"), "p1")
+      .join(labels.toDF("p2", "l2"), "p2")
+      .agg(sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).as("se"))
+    val deg = und.select(col("p1").as("p"))
+      .union(und.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val dmass = deg.join(labels, "p")
+      .groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
+    val sd2 = dmass.agg(count(lit(1)).as("n_communities"),
+      sum(expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).as("sd2"))
+    m.crossJoin(intra).crossJoin(sd2)
+      .select(col("m").as("n_edges"), col("n_communities"), col("se").as("intra_edges"),
+        expr(ModularityExpr).as("modularity"))
+  }
+
+  val graphModularitySql: String = {
+    def round(prev: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT p, min(lbl) AS lbl FROM (
+         |    SELECT p, lbl FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS p, $prev.lbl
+         |    FROM $prev JOIN e ON e.src = $prev.p) u
+         |  GROUP BY p)""".stripMargin
+    val rounds = (1 to CcRounds).map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+      |      UNION ALL SELECT p2, p1 FROM e0),
+      |l0 AS MATERIALIZED (SELECT DISTINCT src AS p, src AS lbl FROM e),
+      |$rounds,
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+      |sei AS (
+      |  SELECT CAST(sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END) AS BIGINT) AS se
+      |  FROM e0 JOIN l$CcRounds la ON la.p = e0.p1
+      |          JOIN l$CcRounds lb ON lb.p = e0.p2),
+      |deg AS (SELECT p, count(*) AS deg
+      |        FROM (SELECT p1 AS p FROM e0 UNION ALL SELECT p2 FROM e0)
+      |        GROUP BY p),
+      |dm AS (
+      |  SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS d_c
+      |  FROM deg d JOIN l$CcRounds l ON l.p = d.p
+      |  GROUP BY l.lbl),
+      |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+      |        sum(CAST(d_c AS DECIMAL(38,0)) * d_c) AS sd2
+      |       FROM dm)
+      |SELECT m AS n_edges, n_communities, se AS intra_edges,
+      |  $ModularityExpr AS modularity
+      |FROM mm, sei, s2""".stripMargin
+  }
 }

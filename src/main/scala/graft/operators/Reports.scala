@@ -2126,4 +2126,134 @@ object Reports {
       |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lag END) AS BIGINT) AS p90_lag_days
       |FROM r GROUP BY suppkey
       |ORDER BY suppkey""".stripMargin
+
+  // -------------------------------------------------------------- arc_elasticity
+
+  /** Arc elasticity with the midpoint formula ((q2−q1)/(q2+q1)) /
+    * ((p2−p1)/(p2+p1)), p_i = rev_i/q_i — ONE shared text evaluated
+    * on exactly-cast doubles, so both engines run the identical
+    * correctly-rounded IEEE sequence. The flat-price/flat-volume
+    * degenerate gate stays in EXACT integer space (rev·q products as
+    * decimal(18,0)×(18,0) → (37,0), inside both engines' 38-digit
+    * exact width — a (38,0)×(38,0) product would overflow DuckDB's
+    * decimal and silently fall back to double mid-expression, which
+    * is exactly the nondeterminism this discipline exists to avoid).
+    * The log-free answer to "how did demand respond to the price
+    * move" — point elasticity needs ln, which has no cross-engine bit
+    * guarantee (the `tv_distance_drift` lesson).
+    */
+  private val ArcElasticityExpr: String =
+    "CASE WHEN rev2 * q1 = rev1 * q2 OR q2 = q1 THEN NULL" +
+      " ELSE ((CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE))" +
+      " / (CAST(q2 AS DOUBLE) + CAST(q1 AS DOUBLE)))" +
+      " / ((CAST(rev2 AS DOUBLE) / CAST(q2 AS DOUBLE)" +
+      " - CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE))" +
+      " / (CAST(rev2 AS DOUBLE) / CAST(q2 AS DOUBLE)" +
+      " + CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE))) END"
+
+  /** Per-brand arc price elasticity of demand between the dataset's
+    * two time halves (the `price_volume_mix` split: mid = lo + Δ/2
+    * on shipdate): did brands whose unit price rose sell fewer units,
+    * and by how much per percent? Brands must transact in BOTH halves
+    * (inner gate) — elasticity of a missing half is undefined.
+    *
+    * Scale shape: one conditional-sum partial-agg pass over
+    * lineitem⋈part (part broadcast) to the brand grain; the scalar
+    * midpoint broadcasts; everything after is per-brand scalar
+    * arithmetic on the ≤|brand| frame.
+    */
+  def arcElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dated = t.lineitem.select(col("l_partkey"),
+        col("l_quantity").cast("decimal(18,0)").cast("long").as("q"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("p_c"),
+        col("l_shipdate").cast("date").as("sd"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val mid = dated.agg(min(col("sd")).as("lo"), max(col("sd")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) / 2 AS INT))").as("mid"))
+    dated.crossJoin(broadcast(mid))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        sum(when(col("sd") < col("mid"), col("p_c")).otherwise(0L))
+          .cast("decimal(18,0)").as("rev1"),
+        sum(when(col("sd") < col("mid"), col("q")).otherwise(0L))
+          .cast("decimal(18,0)").as("q1"),
+        sum(when(col("sd") >= col("mid"), col("p_c")).otherwise(0L))
+          .cast("decimal(18,0)").as("rev2"),
+        sum(when(col("sd") >= col("mid"), col("q")).otherwise(0L))
+          .cast("decimal(18,0)").as("q2"))
+      .filter(col("q1") > 0 && col("q2") > 0)
+      .select(col("brand"),
+        col("q1").cast("long").as("qty_h1"), col("q2").cast("long").as("qty_h2"),
+        expr("CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE) / CAST(100 AS DOUBLE)")
+          .as("unit_price_h1"),
+        expr("CAST(rev2 AS DOUBLE) / CAST(q2 AS DOUBLE) / CAST(100 AS DOUBLE)")
+          .as("unit_price_h2"),
+        expr(ArcElasticityExpr).as("arc_elasticity"))
+      .orderBy("brand")
+  }
+
+  val arcElasticitySql: String =
+    s"""WITH dated AS (
+       |  SELECT p.p_brand AS brand,
+       |    CAST(CAST(l.l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
+       |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_c,
+       |    CAST(l.l_shipdate AS DATE) AS sd
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |m AS (SELECT min(sd) + CAST((max(sd) - min(sd)) // 2 AS INTEGER) AS mid FROM dated),
+       |h AS (
+       |  SELECT brand,
+       |    CAST(sum(CASE WHEN sd < mid THEN p_c ELSE 0 END) AS DECIMAL(18,0)) AS rev1,
+       |    CAST(sum(CASE WHEN sd < mid THEN q ELSE 0 END) AS DECIMAL(18,0)) AS q1,
+       |    CAST(sum(CASE WHEN sd >= mid THEN p_c ELSE 0 END) AS DECIMAL(18,0)) AS rev2,
+       |    CAST(sum(CASE WHEN sd >= mid THEN q ELSE 0 END) AS DECIMAL(18,0)) AS q2
+       |  FROM dated, m GROUP BY brand)
+       |SELECT brand,
+       |  CAST(q1 AS BIGINT) AS qty_h1, CAST(q2 AS BIGINT) AS qty_h2,
+       |  CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE) / CAST(100 AS DOUBLE) AS unit_price_h1,
+       |  CAST(rev2 AS DOUBLE) / CAST(q2 AS DOUBLE) / CAST(100 AS DOUBLE) AS unit_price_h2,
+       |  $ArcElasticityExpr AS arc_elasticity
+       |FROM h WHERE q1 > 0 AND q2 > 0
+       |ORDER BY brand""".stripMargin
+
+  // ------------------------------------------------------ order_size_distribution
+
+  /** Lines-per-order distribution — the basket-width profile that
+    * sizes every order-grain operator (collect_set baskets, the Σ
+    * basket² pair-join bound the dedup/graph families lean on): for
+    * each order width, how many orders, their share, and the
+    * cumulative share. All counts exact; shares are single divisions;
+    * the cumulative window runs over the ≤max-width frame.
+    */
+  def orderSizeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val widths = Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+    val tot = widths.agg(sum(col("n_orders")).as("n_total"))
+    widths.crossJoin(broadcast(tot))
+      .withColumn("cum_orders", sum(col("n_orders")).over(
+        Window.orderBy("n_lines").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("n_lines"), col("n_orders"),
+        expr("CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE)").as("share"),
+        expr("CAST(cum_orders AS DOUBLE) / CAST(n_total AS DOUBLE)").as("cum_share"))
+      .orderBy("n_lines")
+  }
+
+  val orderSizeDistributionSql: String =
+    """WITH w AS (
+      |  SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders FROM (
+      |    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+      |    FROM lineitem GROUP BY 1)
+      |  GROUP BY n_lines),
+      |t AS (SELECT sum(n_orders) AS n_total FROM w),
+      |c AS (
+      |  SELECT n_lines, n_orders, n_total,
+      |    sum(n_orders) OVER (ORDER BY n_lines
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_orders
+      |  FROM w, t)
+      |SELECT n_lines, n_orders,
+      |  CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+      |  CAST(cum_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
+      |FROM c ORDER BY n_lines""".stripMargin
 }

@@ -250,6 +250,58 @@ class Round11Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_duration_profile bands partition sessions and bounces have zero duration") {
+    val out = graft.operators.Analytics.sessionDurationProfile(spark, TestSpark.sf).collect()
+    val nSessions = out.map(_.getAs[Long]("n_sessions")).sum
+    val total = graft.operators.Analytics.sessionize(spark, TestSpark.sf).count()
+    assert(nSessions == total, s"bands must partition sessions: $nSessions vs $total")
+    for (r <- out if r.getString(0) == "a_single") {
+      assert(r.getAs[Double]("mean_dur_sec") == 0.0, "bounce sessions span zero time")
+      assert(r.getAs[Long]("p90_dur_us") == 0L)
+    }
+  }
+
+  test("arc_elasticity covers two-sided brands with positive unit prices") {
+    val out = graft.operators.Reports.arcElasticity(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Double]("unit_price_h1") > 0.0)
+      assert(r.getAs[Double]("unit_price_h2") > 0.0)
+      assert(r.getAs[Long]("qty_h1") > 0 && r.getAs[Long]("qty_h2") > 0)
+    }
+  }
+
+  test("graph_modularity: CC partition makes every edge intra and bounds Q") {
+    val row = graft.operators.Graph.graphModularity(spark, TestSpark.sf).collect()(0)
+    assert(row.getAs[Long]("intra_edges") == row.getAs[Long]("n_edges"),
+      "a component partition cannot cut an edge")
+    val q = row.getAs[Double]("modularity")
+    assert(q >= 0.0 && q < 1.0, s"CC modularity $q out of [0,1)")
+  }
+
+  test("order_size_distribution shares close to 1 and orders reconcile") {
+    val out = graft.operators.Reports.orderSizeDistribution(spark, TestSpark.sf)
+      .orderBy("n_lines").collect()
+    val nOrders = out.map(_.getAs[Long]("n_orders")).sum
+    val total = graft.core.Tables(spark, TestSpark.sf).lineitem
+      .select($"l_orderkey").distinct().count()
+    assert(nOrders == total)
+    assert(math.abs(out.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
+  }
+
+  test("target_encode_brand shrinks every brand toward the global prior") {
+    val rows = graft.operators.Features.targetEncodeBrand(spark, TestSpark.sf).collect()
+    val nTot = rows.map(_.getAs[Long]("n_lines")).sum
+    val posTot = rows.map(_.getAs[Long]("n_returned")).sum
+    val prior = posTot.toDouble / nTot.toDouble
+    for (r <- rows) {
+      val (raw, sm) = (r.getAs[Double]("raw_rate"), r.getAs[Double]("smoothed_rate"))
+      val (lo, hi) = (math.min(raw, prior), math.max(raw, prior))
+      assert(sm >= lo - 1e-12 && sm <= hi + 1e-12,
+        s"brand ${r.getString(0)}: smoothed $sm outside [$lo, $hi]")
+    }
+  }
+
   test("compaction_plan conserves rows, keeps file_ids contiguous, fills all but the last file") {
     val t = graft.core.Tables(spark, TestSpark.sf)
     val out = graft.operators.Incremental.compactionPlan(spark, TestSpark.sf)
