@@ -1163,6 +1163,59 @@ object Analytics {
       |FROM c WHERE cum * 2 >= total
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------- stickiness_ratio
+
+  /** DAU/WAU stickiness per ISO week (Monday-truncated on both
+    * engines): Σ-of-daily-distinct over observed-days × weekly
+    * -distinct — the engagement-frequency KPI (1/days_obs = everyone
+    * once a week, 1.0 = everyone every day). Both distinct counts are
+    * exact; the ratio is one division. Partial trailing weeks
+    * normalize by their OBSERVED day count, not 7, so the boundary
+    * weeks don't read as artificially sticky/slack.
+    *
+    * Scale shape: two partial-agg distinct passes over (user, day) /
+    * (user, week) — the `active_users_window` shuffle grain — then a
+    * week-grain join of two calendar-bounded frames.
+    */
+  def stickinessRatio(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("CAST(to_date(timestamp_micros(ts_us)) AS DATE)").as("d"))
+      .withColumn("week", expr("CAST(date_trunc('week', d) AS DATE)"))
+    val daily = days.groupBy(col("week"), col("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("days_obs"), sum(col("dau")).as("dau_sum"))
+    val weekly = days.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    daily.join(weekly, "week")
+      .select(col("week").cast("string").as("week_start"),
+        col("days_obs"), col("dau_sum"), col("wau"),
+        expr("CAST(dau_sum AS DOUBLE) / CAST(days_obs * wau AS DOUBLE)")
+          .as("stickiness"))
+      .orderBy("week_start")
+  }
+
+  val stickinessRatioSql: String =
+    """WITH days AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+      |  FROM events),
+      |daily AS (
+      |  SELECT week, CAST(count(*) AS BIGINT) AS days_obs,
+      |    CAST(sum(dau) AS BIGINT) AS dau_sum FROM (
+      |    SELECT week, d, count(DISTINCT user_id) AS dau
+      |    FROM days GROUP BY 1, 2)
+      |  GROUP BY week),
+      |weekly AS (
+      |  SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM days GROUP BY 1)
+      |SELECT CAST(daily.week AS VARCHAR) AS week_start,
+      |  days_obs, dau_sum, wau,
+      |  CAST(dau_sum AS DOUBLE) / CAST(days_obs * wau AS DOUBLE) AS stickiness
+      |FROM daily JOIN weekly ON daily.week = weekly.week
+      |ORDER BY week_start""".stripMargin
+
   // ------------------------------------------------- session_duration_profile
 
   /** The size-band CASE shared by both engines. */

@@ -1146,6 +1146,64 @@ object Ann {
       .orderBy("query_id")
   }
 
+  // ---------------------------------------------------------- embedding_outliers
+
+  private val OutlierTopK = 3
+
+  /** Per-label embedding outliers: the [[OutlierTopK]] vectors
+    * farthest from their label centroid — the mislabel/contamination
+    * probe run before trusting `embedding_centroids` as class
+    * prototypes (a far outlier is a wrong label or a polluted
+    * embedding). Centroids are the kmeans-update convention
+    * (floor-div per-dim means on the micro-unit grid), so every
+    * distance² is an EXACT integer and the ranking carries no float
+    * at all — fully deterministic across engines.
+    *
+    * Scale shape: the (label, dim) centroid aggregate is
+    * domain-bounded (labels × dims rows); per-vector distances
+    * partial-agg locally (posexplode keeps a vector's dims in one
+    * task, so the vec_id shuffle carries one row per vector); the
+    * rank window partitions by label.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e6)))).as(Seq("dim", "v")))
+    val cent = ex.groupBy(col("label"), col("dim"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("c"))
+    val dist = ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("CAST((v - c) * (v - c) AS BIGINT)")).as("dist2"))
+    val w = Window.partitionBy("label").orderBy(col("dist2").desc, col("vec_id"))
+    dist.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= OutlierTopK)
+      .select(col("label"), col("vec_id"), col("dist2"), col("rank"))
+      .orderBy("label", "rank")
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+       |    floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS v
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, dim, floor(CAST(sum(v) AS DOUBLE) / count(*)) AS c
+       |  FROM ex GROUP BY 1, 2),
+       |d AS (
+       |  SELECT ex.vec_id, ex.label,
+       |    CAST(sum((ex.v - cent.c) * (ex.v - cent.c)) AS BIGINT) AS dist2
+       |  FROM ex JOIN cent ON cent.label = ex.label AND cent.dim = ex.dim
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT label, vec_id, dist2,
+       |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rank
+       |  FROM d)
+       |SELECT label, vec_id, dist2, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= $OutlierTopK
+       |ORDER BY label, rank""".stripMargin
+
   // lazy: interpolates annLshTopkSql via the same convention as
   // hybridRankFusionSql (declared-later interpolation).
   lazy val annRecallEvalSql: String =

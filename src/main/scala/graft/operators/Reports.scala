@@ -2217,6 +2217,44 @@ object Reports {
        |FROM h WHERE q1 > 0 AND q2 > 0
        |ORDER BY brand""".stripMargin
 
+  // ------------------------------------------------------- new_product_adoption
+
+  /** Catalog adoption curve: per month, how many parts sold for the
+    * FIRST time, and the cumulative distinct catalog ever sold — the
+    * assortment-rollout readout (a flattening curve = the long tail
+    * never transacts; pair with `xyz_classification` for what the
+    * adopted parts then do). First-sale month is a min-aggregate, the
+    * curve one cumulative window over the calendar-bounded month
+    * frame; all counts exact.
+    */
+  def newProductAdoption(spark: SparkSession, dir: String): DataFrame = {
+    val firstSale = Tables(spark, dir).lineitem
+      .groupBy(col("l_partkey"))
+      .agg(min(expr("year(l_shipdate) * 12 + month(l_shipdate) - 1")).as("m"))
+    firstSale.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_new_parts"))
+      .withColumn("cum_parts", sum(col("n_new_parts")).over(
+        Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(expr("CAST(m div 12 AS INT)").as("yr"),
+        expr("CAST(m % 12 + 1 AS INT)").as("mo"),
+        col("n_new_parts"), col("cum_parts"))
+      .orderBy("yr", "mo")
+  }
+
+  val newProductAdoptionSql: String =
+    """WITH fs AS (
+      |  SELECT l_partkey,
+      |    min(year(CAST(l_shipdate AS DATE)) * 12
+      |      + month(CAST(l_shipdate AS DATE)) - 1) AS m
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT m, CAST(count(*) AS BIGINT) AS n_new_parts FROM fs GROUP BY m)
+      |SELECT CAST(m // 12 AS INTEGER) AS yr, CAST(m % 12 + 1 AS INTEGER) AS mo,
+      |  n_new_parts,
+      |  CAST(sum(n_new_parts) OVER (ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_parts
+      |FROM c ORDER BY yr, mo""".stripMargin
+
   // ------------------------------------------------------ order_size_distribution
 
   /** Lines-per-order distribution — the basket-width profile that

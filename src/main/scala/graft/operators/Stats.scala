@@ -1380,6 +1380,64 @@ object Stats {
     s"sqrt(CAST(4 AS DOUBLE) / CAST(5 AS DOUBLE) * ($sq)) / CAST(100 AS DOUBLE)"
   }
 
+  // ------------------------------------------------------------ fano_burstiness
+
+  /** Fano factor on exact operands with zero-days implicit (the
+    * `xyz_classification` identity): F = var/mean over the M-day
+    * series = (M·Σy² − (Σy)²)/(M·Σy) — sparse days contribute
+    * nothing, the dense type×day grid never forms.
+    */
+  private val FanoExpr: String =
+    "CAST(mm * syy - sy * sy AS DOUBLE) / CAST(mm * sy AS DOUBLE)"
+
+  /** Fano factor (variance-to-mean) of daily event counts per type —
+    * the burstiness detector: a Poisson arrival process has F ≈ 1,
+    * campaign- or incident-driven traffic has F ≫ 1 (pair with
+    * `anomaly_rolling`, which flags WHEN; this says HOW non-Poisson
+    * the process is overall). Days with zero events enter the
+    * moments implicitly; every operand is an exact decimal(38,0)
+    * integer and F is ONE shared expression.
+    *
+    * Scale shape: one partial-agg pass to the (type, day) grain, one
+    * to the type grain, the scalar day count broadcast — ≤|types|
+    * rows out, nothing day×type-sized materializes.
+    */
+  def fanoBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("CAST(to_date(timestamp_micros(ts_us)) AS DATE)").as("d"))
+    val mm = daily.agg(countDistinct(col("d")).cast("decimal(38,0)").as("mm"))
+    val perTypeDay = daily.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("y"))
+    perTypeDay.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_active"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .crossJoin(broadcast(mm))
+      .select(col("event_type"), col("n_days_active"),
+        col("sy").cast("long").as("n_events"),
+        expr(FanoExpr).as("fano_factor"))
+      .orderBy("event_type")
+  }
+
+  val fanoBurstinessSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+       |mc AS (SELECT CAST(count(DISTINCT d) AS DECIMAL(38,0)) AS mm FROM daily),
+       |td AS (
+       |  SELECT event_type, d, CAST(count(*) AS BIGINT) AS y
+       |  FROM daily GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_active,
+       |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+       |  FROM td GROUP BY 1)
+       |SELECT event_type, n_days_active,
+       |  CAST(sy AS BIGINT) AS n_events,
+       |  $FanoExpr AS fano_factor
+       |FROM m, mc
+       |ORDER BY event_type""".stripMargin
+
   val jackknifeRegionVarSql: String = {
     val mSums = RegionKeys.flatMap { k =>
       Seq(s"CAST(sum(CASE WHEN rk = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_$k",

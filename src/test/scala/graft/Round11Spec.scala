@@ -302,6 +302,46 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("fano_burstiness events reconcile and the factor is non-negative") {
+    val out = graft.operators.Stats.fanoBurstiness(spark, TestSpark.sf).collect()
+    val nEvents = out.map(_.getAs[Long]("n_events")).sum
+    assert(nEvents == graft.core.Tables(spark, TestSpark.sf).events.count())
+    for (r <- out) assert(r.getAs[Double]("fano_factor") >= 0.0)
+  }
+
+  test("embedding_outliers ranks per label are dense and distances non-increasing") {
+    val rows = graft.operators.Ann.embeddingOutliers(spark, TestSpark.sf).collect()
+    for ((_, rs) <- rows.groupBy(_.getAs[Int]("label"))) {
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val d = sorted.map(_.getAs[Long]("dist2"))
+      assert(d.zip(d.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("stickiness_ratio is bounded by (1/days_obs, 1]") {
+    val out = graft.operators.Analytics.stickinessRatio(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val s = r.getAs[Double]("stickiness")
+      val days = r.getAs[Long]("days_obs")
+      assert(s > 0.0 && s <= 1.0, s"week ${r.getString(0)}: stickiness $s")
+      assert(s >= 1.0 / (days.toDouble * r.getAs[Long]("wau")),
+        "dau_sum >= wau forces the floor")
+    }
+  }
+
+  test("new_product_adoption cumulative curve ends at the sold catalog size") {
+    val out = graft.operators.Reports.newProductAdoption(spark, TestSpark.sf)
+      .orderBy("yr", "mo").collect()
+    val sold = graft.core.Tables(spark, TestSpark.sf).lineitem
+      .select($"l_partkey").distinct().count()
+    assert(out.last.getAs[Long]("cum_parts") == sold)
+    assert(out.map(_.getAs[Long]("n_new_parts")).sum == sold)
+    val cums = out.map(_.getAs[Long]("cum_parts"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+  }
+
   test("compaction_plan conserves rows, keeps file_ids contiguous, fills all but the last file") {
     val t = graft.core.Tables(spark, TestSpark.sf)
     val out = graft.operators.Incremental.compactionPlan(spark, TestSpark.sf)
