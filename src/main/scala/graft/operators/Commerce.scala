@@ -924,6 +924,82 @@ object Commerce {
       |FROM r GROUP BY segment
       |ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------- session_abandonment
+
+  /** Daily session-abandonment funnel: of the sessions that showed
+    * shopping intent (a view or click), how many never purchased —
+    * the cart-abandonment KPI at session grain (the windowed funnel
+    * family measures user-level progression; this scores SESSIONS,
+    * the unit a checkout-flow team optimizes). Sessions are the
+    * engine-wide 30-min-gap convention (`sessionize`'s window, one
+    * definition); flags are conditional maxes inside the same
+    * session aggregate; the rate is one exact division.
+    *
+    * Scale shape: identical to sessionize — user-partitioned window,
+    * session-grain partial agg, then a ≤days rollup on the session
+    * start day.
+    */
+  def sessionAbandonment(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val sessions = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("start_us"),
+        max(when(col("event_type") === "view" || col("event_type") === "click", 1L)
+          .otherwise(0L)).as("intent"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+    sessions
+      .groupBy(expr("CAST(to_date(timestamp_micros(start_us)) AS DATE)").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("intent")).as("n_intent"),
+        sum(when(col("intent") === 1L && col("purchased") === 0L, 1L).otherwise(0L))
+          .as("n_abandoned"))
+      .filter(col("n_intent") > 0)
+      .select(col("day").cast("string").as("day"), col("n_sessions"),
+        col("n_intent"), col("n_abandoned"),
+        expr("CAST(n_abandoned AS DOUBLE) / CAST(n_intent AS DOUBLE)")
+          .as("abandonment_rate"))
+      .orderBy("day")
+  }
+
+  val sessionAbandonmentSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30*60*1000000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM f),
+      |g AS (
+      |  SELECT user_id, session_seq, min(ts_us) AS start_us,
+      |    max(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS intent,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      |  FROM s GROUP BY 1, 2),
+      |d AS (
+      |  SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n_sessions,
+      |    CAST(sum(intent) AS BIGINT) AS n_intent,
+      |    CAST(sum(CASE WHEN intent = 1 AND purchased = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_abandoned
+      |  FROM g GROUP BY 1)
+      |SELECT CAST(day AS VARCHAR) AS day, n_sessions, n_intent, n_abandoned,
+      |  CAST(n_abandoned AS DOUBLE) / CAST(n_intent AS DOUBLE) AS abandonment_rate
+      |FROM d WHERE n_intent > 0
+      |ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------ churn_dormancy
 
   /** The CASE text shared by both engines — fixed band edges. */

@@ -239,4 +239,49 @@ object Multimodal {
       |  CAST(strlen(chunk) AS INTEGER) AS n_bytes,
       |  ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS chunk_checksum
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------------------ multimodal_dedup
+
+  /** Content-hash dedup of media payloads — the FIRST curation step
+    * of any image/audio corpus (identical bytes under different doc
+    * ids: re-crawls, mirror uploads): full-payload md5 identity
+    * groups with a deterministic min-id canonical and the duplicate
+    * id list — `dedup_exact`'s semantics on the BINARY column, where
+    * payload bytes (not text equality) define identity. Map-side
+    * 16-byte keys; only hash groups with >1 member survive the
+    * aggregate.
+    *
+    * Scale shape: the shuffle carries (hash, doc_id) pairs, never
+    * payloads; at 100 TB of media this is the same
+    * hash-then-group-by-digest plan every blob store dedup runs.
+    *
+    * Data note: the driver corpus has byte-identical payloads only
+    * from sf0.1 up (8 groups); at sf0.01/0.001 the correct result is
+    * empty — the planted-duplicate unit test pins the live path.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).documents
+      .filter(col("text").isNotNull)
+      .select(md5(col("text").cast("binary")).as("content_md5"), col("doc_id"))
+      .groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_doc_id"),
+        // id-sorted CSV, not an array — the listagg_export compare
+        // convention (array element nullability never hashes cleanly)
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("doc_ids"))
+      .filter(col("n_copies") > 1)
+      .orderBy("content_md5")
+  }
+
+  val multimodalDedupSql: String =
+    """WITH h AS (
+      |  SELECT md5(text) AS content_md5, doc_id
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT content_md5, CAST(count(*) AS BIGINT) AS n_copies,
+      |  min(doc_id) AS canonical_doc_id,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+      |FROM h GROUP BY content_md5
+      |HAVING count(*) > 1
+      |ORDER BY content_md5""".stripMargin
 }

@@ -1380,6 +1380,183 @@ object Stats {
     s"sqrt(CAST(4 AS DOUBLE) / CAST(5 AS DOUBLE) * ($sq)) / CAST(100 AS DOUBLE)"
   }
 
+  // ------------------------------------------------------ permutation_test_value
+
+  private val PermB = 20
+
+  /** Shared-text mean difference on exact integer moments; the
+    * pseudo-group complement is derived from the pooled totals, so
+    * each split costs two extra columns, not a second pass.
+    */
+  private def permDiffExpr(s1: String, n1: String): String =
+    s"(CAST($s1 AS DOUBLE) / CAST($n1 AS DOUBLE)" +
+      s" - CAST(s_p + s_c - $s1 AS DOUBLE) / CAST(n_p + n_c - $n1 AS DOUBLE))"
+
+  private def permObsExpr: String =
+    "(CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE)" +
+      " - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+
+  /** Permutation test for the purchase-vs-click value gap with
+    * DETERMINISTIC resampling: the [[PermB]] pseudo-assignments are
+    * md5-parity splits of the pooled rows (the `train_test_split`
+    * hash-not-random convention — reproducible under any
+    * repartitioning, and re-derivable by the oracle), so the
+    * empirical p̂ = (1 + #{|diff_b| ≥ |obs|})/(B+1) needs no random
+    * state and no distributional assumption — the inference
+    * `welch_t_test` does parametrically, re-derived nonparametrically.
+    * Every split's moments are exact integer conditional sums from
+    * ONE pass; every comparison is on shared-text doubles.
+    *
+    * Scale shape: one conditional-moment pass over the filtered log
+    * (B+1 sum/count column pairs — column count, not row count,
+    * scales with B), then scalar arithmetic on a single row.
+    */
+  def permutationTestValue(spark: SparkSession, dir: String): DataFrame = {
+    val pooled = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase" || col("event_type") === "click")
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val base = Seq(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_p"),
+      sum(when(col("event_type") === "purchase", col("c")).otherwise(0L)).as("s_p"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("event_type") === "click", col("c")).otherwise(0L)).as("s_c"))
+    val perB = (1 to PermB).flatMap { b =>
+      val in = expr(s"CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '_$b')), 1, 4), 16, 10) AS BIGINT) % 2 = 1")
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n1_$b"),
+        sum(when(in, col("c")).otherwise(0L)).as(s"s1_$b"))
+    }
+    val m = pooled.agg((base ++ perB).head, (base ++ perB).tail: _*)
+    val indicators = (1 to PermB)
+      .map(b => s"CASE WHEN abs(${permDiffExpr(s"s1_$b", s"n1_$b")})" +
+        s" >= abs($permObsExpr) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    m.selectExpr(
+      "n_p AS n_purchase", "n_c AS n_click",
+      s"$permObsExpr / CAST(100 AS DOUBLE) AS obs_diff",
+      s"CAST($indicators AS BIGINT) AS n_extreme",
+      s"CAST(1 + $indicators AS DOUBLE) / CAST(${PermB + 1} AS DOUBLE) AS p_value")
+  }
+
+  val permutationTestValueSql: String = {
+    val mSums = Seq(
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_p",
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS s_p",
+      "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_c",
+      "CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS s_c") ++
+      (1 to PermB).flatMap { b =>
+        val in = s"('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_$b'), 1, 4))::BIGINT % 2 = 1"
+        Seq(s"CAST(sum(CASE WHEN $in THEN 1 ELSE 0 END) AS BIGINT) AS n1_$b",
+          s"CAST(sum(CASE WHEN $in THEN c ELSE 0 END) AS BIGINT) AS s1_$b")
+      }
+    val indicators = (1 to PermB)
+      .map(b => s"CASE WHEN abs(${permDiffExpr(s"s1_$b", s"n1_$b")})" +
+        s" >= abs($permObsExpr) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH pooled AS (
+       |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events WHERE event_type IN ('purchase', 'click')),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM pooled)
+       |SELECT n_p AS n_purchase, n_c AS n_click,
+       |  $permObsExpr / CAST(100 AS DOUBLE) AS obs_diff,
+       |  CAST($indicators AS BIGINT) AS n_extreme,
+       |  CAST(1 + $indicators AS DOUBLE) / CAST(${PermB + 1} AS DOUBLE) AS p_value
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------------------------- holt_forecast
+
+  private[graft] val HoltLags = 12
+
+  /** Impulse-response weights of the zero-state Holt (double
+    * exponential) filter, α = 0.5, β = 0.3, truncated at
+    * [[HoltLags]]: the one-step forecast l_T + b_T is linear in the
+    * inputs, so its truncated weights are computed ONCE in exact
+    * BigDecimal arithmetic and shipped as integer literals (scaled
+    * 1e6) — the `ewma_revenue` no-runtime-pow convention extended to
+    * a two-state recursion. α/β are chosen so the truncated mass is
+    * CALIBRATED (Σw = 1.0025): Holt's weight tail is NEGATIVE, so at
+    * slower decays (α=0.3: Σw=1.17) cutting it leaves real mass and
+    * the boundary renormalization would flatten the trend response —
+    * the one filter where the EWMA prefix-renormalization trick is
+    * wrong unless the truncation is already near-lossless
+    * (test-pinned: a rising ramp forecasts ABOVE its last value).
+    */
+  private[graft] val HoltW: IndexedSeq[Long] = {
+    val alpha = BigDecimal("0.5"); val beta = BigDecimal("0.3")
+    val l = Array.fill(HoltLags)(BigDecimal(0))
+    val t = Array.fill(HoltLags)(BigDecimal(0))
+    l(0) = alpha; t(0) = beta * alpha
+    for (k <- 1 until HoltLags) {
+      l(k) = (BigDecimal(1) - alpha) * (l(k - 1) + t(k - 1))
+      t(k) = beta * (l(k) - l(k - 1)) + (BigDecimal(1) - beta) * t(k - 1)
+    }
+    (0 until HoltLags).map(k =>
+      ((l(k) + t(k)) * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+  }
+
+  /** Holt (level + trend) one-step revenue forecast per region — the
+    * trend-aware baseline beside `ewma_revenue` (level-only) and
+    * `snaive_backtest` (seasonal-naive): EWMA keeps forecasting
+    * yesterday's level through a ramp, Holt extrapolates it. The
+    * exact recursion is replaced by its truncated zero-state linear
+    * filter (weights above), renormalized over the window — a
+    * DOCUMENTED approximation that buys bit-exact cross-engine
+    * parity: integer weights × exact cents, two exact sums, one
+    * division. Emitted only where the full 12-lag window exists
+    * (partial-window Holt would silently degrade to a different
+    * filter).
+    *
+    * Scale shape: identical to ewma_revenue — the orders⋈customer
+    * partial agg dominates; the lag window runs per region over the
+    * bounded month axis.
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = regionMonthly(spark, dir)
+    val w = Window.partitionBy("region_name").orderBy("m")
+    var df = monthly
+    for (k <- 0 until HoltLags)
+      df = df.withColumn(s"lg$k", lag(col("rev_c"), k).over(w))
+    df.filter(col(s"lg${HoltLags - 1}").isNotNull)
+      .select(col("region_name"),
+        (col("m") / 12).cast("int").as("yr"), (col("m") % 12 + 1).cast("int").as("mo"),
+        expr("CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        expr(holtExpr).as("holt_forecast"))
+      .orderBy("region_name", "yr", "mo")
+  }
+
+  /** `(Σ lagₖ·Wₖ) / (Σ Wₖ) / 100` over the FULL window — one string,
+    * both engines (lag columns lg0..lg{n-1}).
+    */
+  private def holtExpr: String = {
+    val num = (0 until HoltLags).map { k =>
+      s"CAST(lg$k AS DECIMAL(18,0)) * ${HoltW(k)}"
+    }.mkString(" + ")
+    val den = HoltW.sum
+    s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / CAST(100 AS DOUBLE)"
+  }
+
+  val holtForecastSql: String = {
+    val lags = (0 until HoltLags).map { k =>
+      s"lag(rev_c, $k) OVER (PARTITION BY region_name ORDER BY m) AS lg$k"
+    }.mkString(",\n    ")
+    s"""WITH monthly AS (
+      |$RegionMonthlySqlCte),
+      |l AS (
+      |  SELECT region_name, m, rev_c,
+      |    $lags
+      |  FROM monthly)
+      |SELECT region_name, CAST(m // 12 AS INTEGER) AS yr,
+      |  CAST(m % 12 + 1 AS INTEGER) AS mo,
+      |  CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+      |  $holtExpr AS holt_forecast
+      |FROM l WHERE lg${HoltLags - 1} IS NOT NULL
+      |ORDER BY region_name, yr, mo""".stripMargin
+  }
+
   // ------------------------------------------------------------ fano_burstiness
 
   /** Fano factor on exact operands with zero-days implicit (the

@@ -342,6 +342,64 @@ class Round11Spec extends AnyFunSuite {
     assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
   }
 
+  test("session_abandonment reconciles with sessionize and bounds the rate") {
+    val out = graft.operators.Commerce.sessionAbandonment(spark, TestSpark.sf).collect()
+    val nSessions = out.map(_.getAs[Long]("n_sessions")).sum
+    val total = graft.operators.Analytics.sessionize(spark, TestSpark.sf).count()
+    assert(nSessions <= total)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_abandoned") <= r.getAs[Long]("n_intent"))
+      val rate = r.getAs[Double]("abandonment_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("permutation_test_value p-value is valid and obs_diff matches a direct computation") {
+    val row = graft.operators.Stats.permutationTestValue(spark, TestSpark.sf).collect()(0)
+    val p = row.getAs[Double]("p_value")
+    assert(p > 0.0 && p <= 1.0)
+    assert(row.getAs[Long]("n_extreme") <= 20L)
+    val ev = graft.core.Tables(spark, TestSpark.sf).events
+      .select($"event_type", expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    def mean(t: String): Double = {
+      val r = ev.filter($"event_type" === t).agg(sum($"c"), count(lit(1))).collect()(0)
+      r.getLong(0).toDouble / r.getLong(1).toDouble
+    }
+    val direct = (mean("purchase") - mean("click")) / 100.0
+    assert(math.abs(row.getAs[Double]("obs_diff") - direct) < 1e-10)
+  }
+
+  test("holt_forecast weights extrapolate a ramp beyond its last value (trend-awareness)") {
+    val w = graft.operators.Stats.HoltW
+    assert(w.sum > 0, "weight mass must be positive for the renormalized filter")
+    // recent lags weigh positive, the distant tail NEGATIVE — that sign
+    // structure IS trend extrapolation (an EWMA has no negative tail)
+    assert(w.head > 0 && w.last < 0)
+    // on a rising ramp y_{t-k} = 100 - k the filter must forecast ABOVE
+    // the last observation, where any positive-weight average cannot
+    val ramp = (0 until w.length).map(k => BigDecimal(100 - k))
+    val fc = (w, ramp).zipped.map((wi, y) => BigDecimal(wi) * y).sum / BigDecimal(w.sum)
+    assert(fc > BigDecimal(100), s"ramp forecast $fc must exceed the last value 100")
+    val out = graft.operators.Stats.holtForecast(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) assert(!r.getAs[Double]("holt_forecast").isNaN)
+  }
+
+  test("multimodal_dedup groups planted byte-identical payloads under the min-id canonical") {
+    val tmp = Files.createTempDirectory("graft_mmdedup").toString
+    Seq((1L, "same bytes", "a"), (2L, "same bytes", "b"), (3L, "different", "c"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.Multimodal.multimodalDedup(spark, tmp).collect()
+    assert(out.length == 1, "exactly one duplicate group planted")
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(0).getAs[Long]("canonical_doc_id") == 1L)
+    assert(out(0).getAs[String]("doc_ids") == "1,2")
+    // and the real sf0.001 corpus has no byte-identical pair — the
+    // 0-row result is the data, not a broken operator
+    assert(graft.operators.Multimodal.multimodalDedup(spark, TestSpark.sf).count() == 0)
+  }
+
   test("compaction_plan conserves rows, keeps file_ids contiguous, fills all but the last file") {
     val t = graft.core.Tables(spark, TestSpark.sf)
     val out = graft.operators.Incremental.compactionPlan(spark, TestSpark.sf)
