@@ -1163,6 +1163,73 @@ object Analytics {
       |FROM c WHERE cum * 2 >= total
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------- popularity_fallback_recs
+
+  private val FallbackK = 10
+  private val FallbackRecentDays = 90
+
+  /** Popularity fallback for cold/dormant users — the third leg of
+    * the recommender stack (`cooccur_recs` and `itemitem_cf` need
+    * history; a user with none, or stale history, gets the trailing
+    * -90-day bestseller list): top-[[FallbackK]] parts by recent
+    * order-line count, alongside the dormant-user audience size the
+    * list would serve (no order in the trailing window — the
+    * re-engagement campaign's target segment). Deterministic ranking
+    * (count desc, part id); all counts exact.
+    *
+    * Scale shape: the recency filter prunes the fact scan (predicate
+    * pushdown against the anchor broadcast); the part rollup is
+    * catalog-bounded and its top-k a single rank window over that
+    * bounded frame; the audience count is one anti-join-shaped
+    * conditional aggregate on the customer grain.
+    */
+  def popularityFallbackRecs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val anchor = t.orders.agg(max(col("o_orderdate").cast("date")).as("hi"))
+      .select(date_sub(col("hi"), FallbackRecentDays).as("cutoff"))
+    val recentOrders = t.orders.crossJoin(broadcast(anchor))
+      .filter(col("o_orderdate").cast("date") >= col("cutoff"))
+    val topParts = t.lineitem
+      .join(recentOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_recent_lines"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_recent_lines").desc, col("l_partkey"))))
+      .filter(col("rank") <= FallbackK)
+    val dormant = t.customer.join(
+        recentOrders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_dormant_customers"))
+    topParts.crossJoin(broadcast(dormant))
+      .select(col("rank"), col("l_partkey").as("part_key"),
+        col("n_recent_lines"), col("n_dormant_customers"))
+      .orderBy("rank")
+  }
+
+  val popularityFallbackRecsSql: String =
+    s"""WITH a AS (
+       |  SELECT max(CAST(o_orderdate AS DATE)) - $FallbackRecentDays AS cutoff
+       |  FROM orders),
+       |recent AS (
+       |  SELECT o_orderkey, o_custkey FROM orders, a
+       |  WHERE CAST(o_orderdate AS DATE) >= cutoff),
+       |tp AS (
+       |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_recent_lines
+       |  FROM lineitem JOIN recent ON l_orderkey = o_orderkey
+       |  GROUP BY 1),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY n_recent_lines DESC, l_partkey) AS rank
+       |  FROM tp),
+       |dorm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_dormant_customers
+       |  FROM customer
+       |  WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM recent))
+       |SELECT CAST(rank AS INTEGER) AS rank, l_partkey AS part_key,
+       |  n_recent_lines, n_dormant_customers
+       |FROM rk, dorm WHERE rank <= $FallbackK
+       |ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------- stickiness_ratio
 
   /** DAU/WAU stickiness per ISO week (Monday-truncated on both

@@ -1467,6 +1467,171 @@ object Stats {
        |FROM m""".stripMargin
   }
 
+  // --------------------------------------------------------------- diff_in_diff
+
+  /** All four cell means and the DiD in ONE shared text on exact
+    * integer sums (s = cents, n = counts per cell).
+    */
+  private val DidExpr: String =
+    "(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)" +
+      " - CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE))" +
+      " - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)" +
+      " - CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE))"
+
+  /** Difference-in-differences of mean order value, each region in
+    * turn as the treatment against the other four as control, pre
+    * vs post = the dataset's two time halves (the `price_volume_mix`
+    * midpoint) — the quasi-experimental effect readout when a change
+    * rolled out geography-by-geography (parallel-trends caveat is the
+    * analyst's, not the engine's). Per region: four exact
+    * conditional-sum cells from ONE pass, DiD one shared expression.
+    *
+    * Scale shape: one conditional-moment partial-agg pass over
+    * orders⋈customer⋈nation (dims broadcast) to the 5-region frame;
+    * the per-region pivot closes scalar.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val keyed = t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("rk"),
+        col("o_orderdate").cast("date").as("od"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v_c"))
+    val mid = keyed.agg(min(col("od")).as("lo"), max(col("od")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) / 2 AS INT))").as("mid"))
+    val cells = keyed.crossJoin(broadcast(mid))
+      .groupBy(col("rk"))
+      .agg(
+        sum(when(col("od") < col("mid"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("od") < col("mid"), col("v_c")).otherwise(0L)).as("s_a"),
+        sum(when(col("od") >= col("mid"), 1L).otherwise(0L)).as("n_p"),
+        sum(when(col("od") >= col("mid"), col("v_c")).otherwise(0L)).as("s_p"))
+    val tot = cells.agg(sum(col("n_a")).as("tn_a"), sum(col("s_a")).as("ts_a"),
+      sum(col("n_p")).as("tn_p"), sum(col("s_p")).as("ts_p"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("rk").as("treat_regionkey"),
+        col("n_a").as("n_ta"), col("s_a").as("s_ta"),
+        col("n_p").as("n_tp"), col("s_p").as("s_tp"),
+        (col("tn_a") - col("n_a")).as("n_ca"), (col("ts_a") - col("s_a")).as("s_ca"),
+        (col("tn_p") - col("n_p")).as("n_cp"), (col("ts_p") - col("s_p")).as("s_cp"))
+      .select(col("treat_regionkey"),
+        col("n_ta"), col("n_tp"),
+        expr(s"$DidExpr / CAST(100 AS DOUBLE)").as("did_mean_value"))
+      .orderBy("treat_regionkey")
+  }
+
+  val diffInDiffSql: String =
+    s"""WITH keyed AS (
+       |  SELECT n.n_regionkey AS rk, CAST(o.o_orderdate AS DATE) AS od,
+       |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+       |m AS (SELECT min(od) + CAST((max(od) - min(od)) // 2 AS INTEGER) AS mid FROM keyed),
+       |cells AS (
+       |  SELECT rk,
+       |    CAST(sum(CASE WHEN od < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN od < mid THEN v_c ELSE 0 END) AS BIGINT) AS s_a,
+       |    CAST(sum(CASE WHEN od >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       |    CAST(sum(CASE WHEN od >= mid THEN v_c ELSE 0 END) AS BIGINT) AS s_p
+       |  FROM keyed, m GROUP BY rk),
+       |tot AS (SELECT sum(n_a) AS tn_a, sum(s_a) AS ts_a,
+       |        sum(n_p) AS tn_p, sum(s_p) AS ts_p FROM cells),
+       |pv AS (
+       |  SELECT rk AS treat_regionkey,
+       |    n_a AS n_ta, s_a AS s_ta, n_p AS n_tp, s_p AS s_tp,
+       |    CAST(tn_a - n_a AS BIGINT) AS n_ca, CAST(ts_a - s_a AS BIGINT) AS s_ca,
+       |    CAST(tn_p - n_p AS BIGINT) AS n_cp, CAST(ts_p - s_p AS BIGINT) AS s_cp
+       |  FROM cells, tot)
+       |SELECT treat_regionkey, n_ta, n_tp,
+       |  $DidExpr / CAST(100 AS DOUBLE) AS did_mean_value
+       |FROM pv ORDER BY treat_regionkey""".stripMargin
+
+  // ----------------------------------------------------------- cuped_adjustment
+
+  /** θ, ρ² and the variance-reduction percentage in shared text. The
+    * operands are cast to DOUBLE INDIVIDUALLY — each moment is an
+    * exact integer < 2^53, so every cast is exact on both engines and
+    * every subsequent IEEE multiply/subtract/divide is
+    * correctly-rounded-identical. This matters: DuckDB's
+    * int128→double conversion is NOT correctly rounded (measured 1
+    * ulp off at ~1e20), so the `n·Σxy − ΣxΣy` cross-products must
+    * never materialize in decimal space above 2^53 — the
+    * arc_elasticity overflow lesson's second face.
+    */
+  private val CupedVarRedExpr: String =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+      " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+
+  private val CupedThetaExpr: String =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+
+  /** CUPED variance reduction for per-customer spend (pre = first
+    * time half as covariate, post = second half as metric): θ =
+    * cov(pre,post)/var(pre) and the guaranteed reduction 1 − ρ² —
+    * the experiment-sensitivity lever every A/B platform applies
+    * before `welch_t_test`/`permutation_test_value` read the metric.
+    * Customers with no orders in a half enter with 0 spend (the
+    * estimator's own convention). Spend quantizes to $10 units
+    * (floor-div — θ and ρ² are unit-invariant, so only harmless
+    * rounding noise enters) to keep Σx² < 2^53 through sf1; see
+    * [[CupedVarRedExpr]] for why that bound is load-bearing.
+    *
+    * Scale shape: one conditional-sum pass to the customer grain,
+    * one 6-moment aggregate to a single row.
+    */
+  def cupedAdjustment(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dated = t.orders.select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("od"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v_c"))
+    val mid = dated.agg(min(col("od")).as("lo"), max(col("od")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) / 2 AS INT))").as("mid"))
+    val per = dated.crossJoin(broadcast(mid))
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(CASE WHEN od < mid THEN v_c ELSE 0 END) div 1000").as("x"),
+        expr("sum(CASE WHEN od >= mid THEN v_c ELSE 0 END) div 1000").as("y"))
+    per.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"),
+        sum(expr("x * y")).as("sxy"))
+      .select(col("n").as("n_customers"),
+        expr(CupedThetaExpr).as("theta"),
+        expr(s"$CupedVarRedExpr * CAST(100 AS DOUBLE)").as("var_reduction_pct"))
+  }
+
+  val cupedAdjustmentSql: String =
+    s"""WITH dated AS (
+       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+       |  FROM orders),
+       |m AS (SELECT min(od) + CAST((max(od) - min(od)) // 2 AS INTEGER) AS mid FROM dated),
+       |per AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CASE WHEN od < mid THEN v_c ELSE 0 END) // 1000 AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN od >= mid THEN v_c ELSE 0 END) // 1000 AS BIGINT) AS y
+       |  FROM dated, m GROUP BY o_custkey),
+       |mm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM per)
+       |SELECT n AS n_customers,
+       |  $CupedThetaExpr AS theta,
+       |  $CupedVarRedExpr * CAST(100 AS DOUBLE) AS var_reduction_pct
+       |FROM mm""".stripMargin
+
   // ------------------------------------------------------------- holt_forecast
 
   private[graft] val HoltLags = 12

@@ -43,6 +43,20 @@ object GraftSources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** XML reader (Spark 4's built-in XML source) with explicit schema
+    * and row tag — the format legacy enterprise feeds still ship
+    * (product catalogs, EDI exports). Same no-inference rule; rows
+    * that fail to parse surface under PERMISSIVE as nulls rather than
+    * killing the 100 TB batch.
+    */
+  def xml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).xml(path)
+
+  /** XML sink — round-trips through [[xml]] with the same row tag. */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
   /** Hive-style partitioned parquet sink. `maxRecordsPerFile` caps
     * file size so a skewed partition can't produce a single huge file
     * (the 100 TB failure mode of naive partitioned writes).

@@ -84,4 +84,37 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name should be map-side up to the output sort:\n$plan")
     }
   }
+
+  test("round-11 additions keep their scale shapes in the executed plan") {
+    // permutation_test_value: ALL 21 splits' moments from ONE raw
+    // events pass — a per-split scan would be 21× the IO
+    val perm = executedPlan(graft.operators.Stats.permutationTestValue(spark, sf))
+    assert("events".r.findAllIn(perm).length <= 1,
+      s"permutation moments must come from one scan:\n$perm")
+    assert(!perm.contains("Join"), s"permutation test needs no join:\n$perm")
+    // target_encode_brand: the part dim rides a broadcast; the global
+    // prior is a broadcast back, never a re-aggregation of the fact
+    val te = executedPlan(graft.operators.Features.targetEncodeBrand(spark, sf))
+    assert(te.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$te")
+    assert(!te.contains("CartesianProduct"))
+    // mips_topk: query side broadcast (BNLJ by construction — the
+    // corpus side must stream map-only); never a sort-merge
+    val mips = executedPlan(graft.operators.Ann.mipsTopk(spark, sf))
+    assert(!mips.contains("SortMergeJoin"),
+      s"mips corpus scan must stream against the broadcast query set:\n$mips")
+    // local_clustering / graph_modularity: bounded equi-joins only
+    for ((name, df) <- Seq(
+        "local_clustering" -> graft.operators.Graph.localClustering(spark, sf),
+        "graph_modularity" -> graft.operators.Graph.graphModularity(spark, sf))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must stay equi-join-bounded:\n$plan")
+    }
+    // xyz_classification: moments reduce in ONE lineitem pass; the
+    // month-count scalar rides a broadcast
+    val xyz = executedPlan(graft.operators.Reports.xyzClassification(spark, sf))
+    assert("lineitem".r.findAllIn(xyz).length <= 2,
+      s"xyz should scan lineitem for moments + month count only:\n$xyz")
+    assert(!xyz.contains("SortMergeJoin"), s"scalar joins must broadcast:\n$xyz")
+  }
 }

@@ -400,6 +400,52 @@ class Round11Spec extends AnyFunSuite {
     assert(graft.operators.Multimodal.multimodalDedup(spark, TestSpark.sf).count() == 0)
   }
 
+  test("diff_in_diff regional effects cancel in aggregate") {
+    val out = graft.operators.Stats.diffInDiff(spark, TestSpark.sf).collect()
+    assert(out.length == 5, "one row per treatment region")
+    // the five treated-vs-rest contrasts are linear in the same cell
+    // means; a uniform shift in every region would zero all of them
+    for (r <- out) {
+      assert(r.getAs[Long]("n_ta") > 0 && r.getAs[Long]("n_tp") > 0)
+      assert(!r.getAs[Double]("did_mean_value").isNaN)
+    }
+  }
+
+  test("cuped_adjustment theta and variance reduction are consistent") {
+    val row = graft.operators.Stats.cupedAdjustment(spark, TestSpark.sf).collect()(0)
+    val red = row.getAs[Double]("var_reduction_pct")
+    assert(red >= 0.0 && red <= 100.0, s"rho^2 out of range: $red")
+    assert(!row.getAs[Double]("theta").isNaN)
+    assert(row.getAs[Long]("n_customers") ==
+      graft.core.Tables(spark, TestSpark.sf).orders
+        .select($"o_custkey").distinct().count())
+  }
+
+  test("popularity_fallback_recs ranks recent bestsellers with a dormant audience") {
+    val out = graft.operators.Analytics.popularityFallbackRecs(spark, TestSpark.sf)
+      .orderBy("rank").collect()
+    assert(out.length == 10)
+    val counts = out.map(_.getAs[Long]("n_recent_lines"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "fallback list must be popularity-ordered")
+    assert(out.map(_.getAs[Long]("n_dormant_customers")).distinct.length == 1)
+  }
+
+  test("XML source round-trips a typed frame through the built-in Spark 4 XML format") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DoubleType)))
+    val df = Seq((1L, "alpha", 9.5), (2L, "beta", 12.25))
+      .toDF("id", "name", "price")
+    graft.sources.GraftSources.writeXml(df, s"$tmp/items", "item")
+    val back = graft.sources.GraftSources.xml(spark, s"$tmp/items", schema, "item")
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "alpha", 9.5), (2L, "beta", 12.25)))
+  }
+
   test("compaction_plan conserves rows, keeps file_ids contiguous, fills all but the last file") {
     val t = graft.core.Tables(spark, TestSpark.sf)
     val out = graft.operators.Incremental.compactionPlan(spark, TestSpark.sf)
