@@ -990,4 +990,43 @@ object Dedup {
        |FROM names a JOIN names b ON a.name < b.name
        |WHERE levenshtein(a.name, b.name) <= $FuzzyTau
        |ORDER BY name_a, name_b""".stripMargin
+
+  // --------------------------------------------------- dedup_cross_source_matrix
+
+  /** Cross-source near-duplicate matrix: the MinHash pair frame
+    * rolled up by (source, source) — WHICH feeds copy WHICH (a heavy
+    * off-diagonal cell means one feed mirrors another; the diagonal
+    * is within-feed redundancy). `dup_rate_by_source` gives each
+    * feed's overall rate; this attributes it pairwise, which is what
+    * decides crawl dedup ORDER at curation time. Source pairs are
+    * canonicalized (least, greatest) so each unordered pair lands in
+    * one cell.
+    *
+    * Scale shape: composition over the LSH pair output (candidate-
+    * bounded by band buckets, never corpus²) joined twice against the
+    * narrow doc→source projection; the matrix is ≤|sources|² rows.
+    */
+  def dedupCrossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    dedupMinHashLsh(spark, dir)
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_1"),
+        greatest(col("src_a"), col("src_b")).as("source_2"))
+      .groupBy(col("source_1"), col("source_2"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("source_1", "source_2")
+  }
+
+  lazy val dedupCrossSourceMatrixSql: String =
+    s"""WITH pairs AS ($dedupMinHashLshSql),
+       |s AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_1,
+       |  greatest(sa.source, sb.source) AS source_2,
+       |  CAST(count(*) AS BIGINT) AS n_dup_pairs
+       |FROM pairs
+       |JOIN s sa ON sa.doc_id = pairs.doc_a
+       |JOIN s sb ON sb.doc_id = pairs.doc_b
+       |GROUP BY 1, 2
+       |ORDER BY source_1, source_2""".stripMargin
 }

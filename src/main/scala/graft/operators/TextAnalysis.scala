@@ -1120,6 +1120,43 @@ object TextAnalysis {
       |FROM pairs, n
       |ORDER BY lift DESC, t1, t2""".stripMargin
 
+  // ------------------------------------------------------------ lang_mix_by_source
+
+  /** Language mix per corpus feed: `text_langid`'s per-doc verdicts
+    * rolled up to (source, predicted language) with within-source
+    * share — the composition check a multilingual training-mix spec
+    * is written against (feed X claims German; its predicted mix
+    * says otherwise). Counts exact; share one division.
+    *
+    * Scale shape: the langid scoring is map-only; the rollup frame is
+    * ≤ sources×languages.
+    */
+  def langMixBySource(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    val mixed = textLangId(spark, dir).select(col("doc_id"), col("pred_lang"))
+      .join(src, "doc_id")
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    mixed
+      .withColumn("source_total", sum(col("n_docs")).over(
+        Window.partitionBy("source")))
+      .select(col("source"), col("pred_lang"), col("n_docs"),
+        expr("CAST(n_docs AS DOUBLE) / CAST(source_total AS DOUBLE)").as("share"))
+      .orderBy("source", "pred_lang")
+  }
+
+  lazy val langMixBySourceSql: String =
+    s"""WITH lid AS ($textLangIdSql),
+       |m AS (
+       |  SELECT d.source, lid.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM lid JOIN documents d ON d.doc_id = lid.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT source, pred_lang, n_docs,
+       |  CAST(n_docs AS DOUBLE)
+       |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS share
+       |FROM m
+       |ORDER BY source, pred_lang""".stripMargin
+
   // ---------------------------------------------------------------- hapax_ratio
 
   /** Per-source hapax legomena profile: vocabulary size, number of

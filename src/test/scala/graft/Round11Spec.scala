@@ -446,6 +446,25 @@ class Round11Spec extends AnyFunSuite {
       Seq((1L, "alpha", 9.5), (2L, "beta", 12.25)))
   }
 
+  test("dedup_cross_source_matrix cells account for every LSH pair exactly once") {
+    val matrix = graft.operators.Dedup.dedupCrossSourceMatrix(spark, TestSpark.sf).collect()
+    val total = matrix.map(_.getAs[Long]("n_dup_pairs")).sum
+    val pairs = graft.operators.Dedup.dedupMinHashLsh(spark, TestSpark.sf).count()
+    assert(total == pairs, s"matrix total $total must equal pair count $pairs")
+    for (r <- matrix)
+      assert(r.getString(0) <= r.getString(1), "cells must be canonicalized")
+  }
+
+  test("lang_mix_by_source shares sum to 1 per source and docs reconcile") {
+    val out = graft.operators.TextAnalysis.langMixBySource(spark, TestSpark.sf).collect()
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == graft.core.Tables(spark, TestSpark.sf).documents.count())
+    for ((_, rs) <- out.groupBy(_.getString(0))) {
+      val share = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(share - 1.0) < 1e-9, s"shares must partition: $share")
+    }
+  }
+
   test("compaction_plan conserves rows, keeps file_ids contiguous, fills all but the last file") {
     val t = graft.core.Tables(spark, TestSpark.sf)
     val out = graft.operators.Incremental.compactionPlan(spark, TestSpark.sf)
