@@ -991,6 +991,53 @@ object Dedup {
        |WHERE levenshtein(a.name, b.name) <= $FuzzyTau
        |ORDER BY name_a, name_b""".stripMargin
 
+  // ------------------------------------------------------ lsh_bucket_occupancy
+
+  /** LSH health diagnostic: per band, the bucket-size distribution
+    * and the EXACT candidate-pair bound Σ c(c−1)/2 that bucket sizes
+    * imply — the number the 100 TB scaling argument for the whole
+    * dedup family rests on (work ∝ colliding keys, never corpus²).
+    * This makes the bound observable per run: a band whose
+    * `candidate_pairs` explodes means the hash family degenerated on
+    * this corpus (skewed shingles, low-entropy docs) BEFORE the pair
+    * join pays for it. All counts exact integers.
+    *
+    * Scale shape: the signature pass is the map-only
+    * `dedup_minhash_lsh` build; occupancy is two partial-agg rollups,
+    * (band, key) then band — output is NumBands rows.
+    */
+  def lshBucketOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    MinHashSig.register(spark)
+    val sig = shingleSets(spark, dir).select(col("doc_id"),
+      call_function("graft_minhash", col("sh")).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+            h => h.cast("string")))))
+        .as(Seq("band", "band_key")))
+    banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_docs"),
+        max(col("c")).as("max_bucket"),
+        expr("sum(c * (c - 1)) div 2").as("candidate_pairs"))
+      .orderBy("band")
+  }
+
+  lazy val lshBucketOccupancySql: String =
+    s"""WITH $minHashPairCtes,
+       |occ AS (
+       |  SELECT band, bk, CAST(count(*) AS BIGINT) AS c
+       |  FROM band GROUP BY 1, 2)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(max(c) AS BIGINT) AS max_bucket,
+       |  CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS candidate_pairs
+       |FROM occ GROUP BY band
+       |ORDER BY band""".stripMargin
+
   // --------------------------------------------------- dedup_cross_source_matrix
 
   /** Cross-source near-duplicate matrix: the MinHash pair frame

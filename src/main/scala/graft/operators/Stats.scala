@@ -1467,6 +1467,76 @@ object Stats {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------------------ mde_sample_size
+
+  /** Absolute MDEs to tabulate, in basis points (1% / 2% / 5%), with
+    * the per-δ coefficient 2·z²/δ² (z = 1.96 two-sided 95%, 80% power
+    * folded into the standard 2z² shorthand) as an exact RATIONAL
+    * (num, den) — computed once in BigDecimal, shipped as integer
+    * literals so the ceil is pure integer arithmetic on both engines.
+    */
+  private val MdeBps: Seq[Int] = Seq(100, 200, 500)
+  private def mdeCoef(bps: Int): (Long, Long) = {
+    // 2·1.96² / (bps/10000)² = 7.6832·10⁸/bps² ; reduce the fraction
+    val num = BigInt(768320000)
+    val den = BigInt(bps.toLong * bps)
+    val g = num.gcd(den)
+    ((num / g).toLong, (den / g).toLong)
+  }
+
+  /** A/B sample-size table for the USER-DAY conversion rate (an
+    * active user-day containing a purchase — the daily-decision grain
+    * where the rate is a real fraction; lifetime user conversion
+    * saturates at 1 on this log): per absolute MDE δ, the per-arm
+    * n = ⌈2z²·p̂(1−p̂)/δ²⌉ every experiment-design doc starts from —
+    * computed as ONE integer ceiling
+    * ((coef·s·(n−s) + den·n² − 1) div (den·n²)) on exact counts, so
+    * the table is bit-identical across engines with no
+    * normal-quantile function anywhere (z is a literal). Paired with
+    * `conversion_wilson_ci` (the read side of the same design).
+    * Exact through ~3·10⁶ units in int64; beyond, the same rationals
+    * ride decimal(38,0) stepwise — only the proof changes.
+    *
+    * Scale shape: one (user, day) partial agg over events (the
+    * `active_users_window` grain), one 2-moment rollup, then a 3-row
+    * literal table of scalar arithmetic.
+    */
+  def mdeSampleSize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables(spark, dir).events
+      .groupBy(col("user_id"),
+        expr("CAST(to_date(timestamp_micros(ts_us)) AS DATE)").as("d"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+    val base = ud.agg(count(lit(1)).as("n"), sum(col("p")).as("s"))
+    val coefs = MdeBps.map { bps =>
+      val (cn, cd) = mdeCoef(bps); (bps, cn, cd)
+    }.toDF("mde_bps", "cn", "cd")
+    base.crossJoin(broadcast(coefs))
+      .selectExpr("mde_bps", "n AS n_active", "s AS n_converted",
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS baseline_rate",
+        "(cn * s * (n - s) + cd * n * n - 1) div (cd * n * n) AS n_per_arm")
+      .orderBy("mde_bps")
+  }
+
+  val mdeSampleSizeSql: String = {
+    val rows = MdeBps.map { bps =>
+      val (cn, cd) = mdeCoef(bps)
+      s"""SELECT $bps AS mde_bps, n AS n_active, s AS n_converted,
+         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS baseline_rate,
+         |  CAST(($cn * s * (n - s) + $cd * n * n - 1) // ($cd * n * n) AS BIGINT) AS n_per_arm
+         |FROM base""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ud AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+       |  FROM events GROUP BY 1, 2),
+       |base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS s
+       |  FROM ud)
+       |$rows
+       |ORDER BY mde_bps""".stripMargin
+  }
+
   // --------------------------------------------------------------- diff_in_diff
 
   /** All four cell means and the DiD in ONE shared text on exact

@@ -66,6 +66,37 @@ class Round11Spec extends AnyFunSuite {
     assert(a == b, s"layout-dependent factSales counts: micros=$a nanosLong=$b")
   }
 
+  /** Clone sf0.001 with selected tables rewritten (others symlinked). */
+  private def cloneSfWith(tables: Map[String, DataFrame]): String = {
+    val tmp = Files.createTempDirectory("graft_sfdrift").toString
+    for (f <- new java.io.File(TestSpark.sf).listFiles()
+         if !tables.contains(f.getName.stripSuffix(".parquet")))
+      Files.createSymbolicLink(Paths.get(s"$tmp/${f.getName}"), f.toPath)
+    for ((name, df) <- tables) df.write.parquet(s"$tmp/$name.parquet")
+    tmp
+  }
+
+  test("order/lineitem date columns survive a timestamp->DATE physical regen (r10 drift class)") {
+    // the r10 zero-round came from events.ts changing physical type
+    // under the driver's regen; orders/lineitem carry the same risk.
+    // Re-encode their date-bearing columns as physical DATE and pin
+    // that the query layer is invariant.
+    val t = graft.core.Tables(spark, TestSpark.sf)
+    val ordersDate = t.orders.withColumn("o_orderdate", $"o_orderdate".cast("date"))
+    val lineitemDate = t.lineitem.withColumn("l_shipdate", $"l_shipdate".cast("date"))
+    val drifted = cloneSfWith(Map("orders" -> ordersDate, "lineitem" -> lineitemDate))
+    val pairs = Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "q1_pricing_summary" -> ((s, d) => graft.operators.Analytics.q1PricingSummary(s, d)),
+      "q3_top_orders" -> ((s, d) => graft.operators.Analytics.q3TopOrders(s, d)),
+      "growth_mom_yoy" -> ((s, d) => graft.operators.Reports.growthMomYoy(s, d)),
+      "xyz_classification" -> ((s, d) => graft.operators.Reports.xyzClassification(s, d)))
+    for ((name, fn) <- pairs) {
+      val a = fn(spark, TestSpark.sf).collect()
+      val b = fn(spark, drifted).collect()
+      assert(a.toSeq == b.toSeq, s"$name differs under DATE-typed regen")
+    }
+  }
+
   // ---------------------------------------------- round-11 operator pins
 
   test("spearman_corr rho equals built-in corr of the doubled midranks to 1e-10") {
@@ -462,6 +493,38 @@ class Round11Spec extends AnyFunSuite {
     for ((_, rs) <- out.groupBy(_.getString(0))) {
       val share = rs.map(_.getAs[Double]("share")).sum
       assert(math.abs(share - 1.0) < 1e-9, s"shares must partition: $share")
+    }
+  }
+
+  test("lsh_bucket_occupancy bounds the realized candidate volume per band") {
+    val occ = graft.operators.Dedup.lshBucketOccupancy(spark, TestSpark.sf).collect()
+    val nDocs = graft.core.Tables(spark, TestSpark.sf).documents.count()
+    assert(occ.length == 16, "one row per LSH band")
+    for (r <- occ) {
+      assert(r.getAs[Long]("n_docs") == nDocs, "every doc lands in every band")
+      assert(r.getAs[Long]("max_bucket") <= r.getAs[Long]("n_docs"))
+    }
+    // the per-band pair bounds must cover every surviving LSH pair
+    val bound = occ.map(_.getAs[Long]("candidate_pairs")).sum
+    val survivors = graft.operators.Dedup.dedupMinHashLsh(spark, TestSpark.sf).count()
+    assert(bound >= survivors,
+      s"candidate bound $bound cannot be below surviving pairs $survivors")
+  }
+
+  test("mde_sample_size is monotone in the MDE and matches the float formula to 1") {
+    val out = graft.operators.Stats.mdeSampleSize(spark, TestSpark.sf)
+      .orderBy("mde_bps").collect()
+    assert(out.length == 3)
+    val arms = out.map(_.getAs[Long]("n_per_arm"))
+    assert(arms.zip(arms.tail).forall { case (a, b) => a >= b },
+      "a bigger detectable effect needs fewer samples")
+    for (r <- out) {
+      val p = r.getAs[Double]("baseline_rate")
+      assert(p > 0.0 && p < 1.0)
+      val delta = r.getAs[Int]("mde_bps").toDouble / 10000.0
+      val float = math.ceil(7.6832 * p * (1 - p) / (delta * delta))
+      assert(math.abs(r.getAs[Long]("n_per_arm").toDouble - float) <= 1.0,
+        s"integer ceil drifted from the formula: ${r.getAs[Long]("n_per_arm")} vs $float")
     }
   }
 
