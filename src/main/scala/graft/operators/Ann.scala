@@ -1119,6 +1119,101 @@ object Ann {
        |FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------------------- embedding_top_eigen
+
+  private val EigenIters = 3
+  private val CScaleDiv = 1000000L // scatter-entry clamp (see Scaladoc)
+  private val VScale = 1000L       // ∞-norm of the iterated vector
+
+  /** Toward-zero signed division shared by both engines: Spark's
+    * `div` truncates and DuckDB's `//` floors, which DISAGREE on
+    * negatives — splitting the sign and dividing magnitudes makes
+    * them identical (floor == trunc on non-negatives).
+    */
+  private def signedDivSpark(x: String, d: String): String =
+    s"CASE WHEN $x < 0 THEN -((-($x)) div $d) ELSE ($x) div $d END"
+  private def signedDivDuck(x: String, d: String): String =
+    s"CASE WHEN $x < 0 THEN -((-($x)) // $d) ELSE ($x) // $d END"
+
+  /** Principal component of the embedding corpus by power iteration —
+    * the spectral summary behind PCA whitening, ANN dimension
+    * ordering, and the "is there one dominant direction" collapse
+    * check on an embedding table. [[EigenIters]] fixed iterations on
+    * the INTEGER-QUANTIZED scatter matrix (the kmeans/oracle-unroll
+    * recipe applied to linear algebra): scatter entries are exact
+    * Σq_a·q_b sums clamped by [[CScaleDiv]] (sign-split division),
+    * each mat-vec is an exact int64 sum, and renormalization is by
+    * the ∞-norm (max |w|, an exact integer) instead of the L2 norm —
+    * so there is NO float and NO sqrt anywhere in the iteration, and
+    * the fixpoint is bit-identical across engines by construction.
+    * Magnitude ledger (sf0.1): Σq_aq_b ≤ 5·10¹⁵, clamped ≤ 5·10⁹,
+    * mat-vec ≤ 64·5·10⁹·10³ = 3.2·10¹⁴, ·10³ rescale ≤ 3.2·10¹⁷ —
+    * every intermediate int64-exact with ANSI overflow as the loud
+    * guard. Start vector all-ones ⇒ the sign convention is
+    * deterministic.
+    *
+    * Scale shape: the scatter build is one self-join on vec_id (dim²
+    * fan-out per vector, partial-aggregated map-side to the 64×64
+    * frame); each iteration is a broadcast-scale join on the
+    * dims-sized frame. At 10⁹ vectors only the first pass grows —
+    * the iteration cost is O(dim²) regardless of corpus.
+    */
+  def embeddingTopEigen(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e6)).cast("long")))
+          .as(Seq("dim", "v")))
+    val cm = ex.toDF("vec_id", "da", "va")
+      .join(ex.toDF("vec_id", "db", "vb"), "vec_id")
+      .groupBy(col("da"), col("db"))
+      .agg(sum(col("va") * col("vb")).as("s"))
+      .select(col("da"), col("db"),
+        expr(signedDivSpark("s", CScaleDiv.toString)).as("cab"))
+      .cache() // read once per iteration
+    graft.core.OwnedCaches.own(cm)
+    var v = cm.select(col("db").as("dim")).distinct()
+      .withColumn("vv", lit(VScale))
+    for (_ <- 1 to EigenIters) {
+      val w = cm.join(v.toDF("db", "vv"), "db")
+        .groupBy(col("da").as("dim"))
+        .agg(sum(col("cab") * col("vv")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("dim"),
+          expr(signedDivSpark(s"w * $VScale", "m")).as("vv"))
+    }
+    v.select(col("dim"), col("vv").as("loading_q3"),
+        expr(s"CAST(vv AS DOUBLE) / CAST($VScale AS DOUBLE)").as("loading"))
+      .orderBy("dim")
+  }
+
+  val embeddingTopEigenSql: String = {
+    def iter(prev: String, name: String): String =
+      s"""${name}_w AS (
+         |  SELECT c.da AS dim, CAST(sum(c.cab * p.vv) AS BIGINT) AS w
+         |  FROM cm c JOIN $prev p ON p.dim = c.db GROUP BY 1),
+         |${name}_m AS (SELECT max(abs(w)) AS m FROM ${name}_w),
+         |$name AS (
+         |  SELECT dim, CAST(${signedDivDuck(s"w * $VScale", "m")} AS BIGINT) AS vv
+         |  FROM ${name}_w, ${name}_m)""".stripMargin
+    val iters = (1 to EigenIters).map(k => iter(s"v${k - 1}", s"v$k")).mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+       |  FROM embeddings),
+       |cm AS MATERIALIZED (
+       |  SELECT a.dim AS da, b.dim AS db,
+       |    CAST(${signedDivDuck("sum(a.v * b.v)", CScaleDiv.toString)} AS BIGINT) AS cab
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT db AS dim, CAST($VScale AS BIGINT) AS vv FROM cm),
+       |$iters
+       |SELECT dim, vv AS loading_q3,
+       |  CAST(vv AS DOUBLE) / CAST($VScale AS DOUBLE) AS loading
+       |FROM v$EigenIters ORDER BY dim""".stripMargin
+  }
+
   // ----------------------------------------------------------- ann_recall_eval
 
   /** Recall@k of the LSH retriever against the exact brute-force

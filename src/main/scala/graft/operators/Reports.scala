@@ -1986,6 +1986,71 @@ object Reports {
       |    * CAST(qty2 - qty1 AS DOUBLE) / CAST(100 AS DOUBLE) AS volume_effect
       |FROM h ORDER BY region""".stripMargin
 
+  // --------------------------------------------------------- supplier_scorecard
+
+  /** One-row-per-supplier vendor scorecard: volume, revenue and its
+    * share, return rate, and mean order→ship latency — the four
+    * metrics procurement reviews together (each exists as its own
+    * deep-dive operator: `ship_lag_profile` for the latency
+    * distribution, `q10_returns` for the revenue at risk; this is the
+    * management face). Revenue exact cents; every rate ONE division
+    * of exact sums.
+    *
+    * Scale shape: one lineitem⋈orders shuffle on orderkey (dates +
+    * flags projected narrow), supplier-grain partial agg, supplier
+    * dim broadcast for names, one scalar total broadcast back.
+    */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lines = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("rev_c"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"),
+        col("l_shipdate").cast("date").as("ship_d"))
+      .join(t.orders.select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_d")),
+        col("l_orderkey") === col("o_orderkey"))
+    val per = lines.groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev_c")).as("rev_c"),
+        sum(col("ret")).as("n_returned"),
+        sum(datediff(col("ship_d"), col("order_d")).cast("long")).as("lag_sum"))
+    val tot = per.agg(sum(col("rev_c")).as("rev_total"))
+    per.crossJoin(broadcast(tot))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("suppkey") === col("s_suppkey"))
+      .select(col("suppkey"), col("s_name").as("supplier_name"), col("n_lines"),
+        expr("CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        expr("CAST(rev_c AS DOUBLE) / CAST(rev_total AS DOUBLE)").as("revenue_share"),
+        expr("CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)").as("return_rate"),
+        expr("CAST(lag_sum AS DOUBLE) / CAST(n_lines AS DOUBLE)").as("mean_lag_days"))
+      .orderBy("suppkey")
+  }
+
+  val supplierScorecardSql: String =
+    """WITH lines AS (
+      |  SELECT l.l_suppkey AS suppkey,
+      |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c,
+      |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+      |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lag
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |per AS (
+      |  SELECT suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(rev_c) AS BIGINT) AS rev_c,
+      |    CAST(sum(ret) AS BIGINT) AS n_returned,
+      |    CAST(sum(lag) AS BIGINT) AS lag_sum
+      |  FROM lines GROUP BY suppkey),
+      |t AS (SELECT sum(rev_c) AS rev_total FROM per)
+      |SELECT p.suppkey, s.s_name AS supplier_name, p.n_lines,
+      |  CAST(p.rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+      |  CAST(p.rev_c AS DOUBLE) / CAST(t.rev_total AS DOUBLE) AS revenue_share,
+      |  CAST(p.n_returned AS DOUBLE) / CAST(p.n_lines AS DOUBLE) AS return_rate,
+      |  CAST(p.lag_sum AS DOUBLE) / CAST(p.n_lines AS DOUBLE) AS mean_lag_days
+      |FROM per p
+      |JOIN supplier s ON s.s_suppkey = p.suppkey
+      |CROSS JOIN t
+      |ORDER BY p.suppkey""".stripMargin
+
   // -------------------------------------------------------- xyz_classification
 
   /** CV on exact operands, zero-months implicit: mean = Σy/M over ALL

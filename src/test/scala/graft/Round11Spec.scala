@@ -528,6 +528,42 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("supplier_scorecard reconciles lines and revenue share sums to 1") {
+    val out = graft.operators.Reports.supplierScorecard(spark, TestSpark.sf).collect()
+    val li = graft.core.Tables(spark, TestSpark.sf).lineitem
+    assert(out.map(_.getAs[Long]("n_lines")).sum == li.count())
+    val share = out.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(share - 1.0) < 1e-9)
+    for (r <- out) {
+      val rate = r.getAs[Double]("return_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("embedding_top_eigen matches an independent all-integer power iteration exactly") {
+    val out = graft.operators.Ann.embeddingTopEigen(spark, TestSpark.sf)
+      .orderBy("dim").collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Long]("loading_q3")).toMap
+    assert(out.values.map(math.abs).max == 1000L, "inf-norm fixpoint must be 1000")
+    // independent re-derivation: same quantized pipeline in plain Scala
+    val vecs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(f => math.floor(f.toDouble * 1e6).toLong).toArray)
+    val dims = vecs.head.length
+    val c = Array.ofDim[Long](dims, dims)
+    for (q <- vecs; a <- 0 until dims; b <- 0 until dims) c(a)(b) += q(a) * q(b)
+    def sdiv(x: Long, d: Long): Long = if (x < 0) -((-x) / d) else x / d
+    for (a <- 0 until dims; b <- 0 until dims) c(a)(b) = sdiv(c(a)(b), 1000000L)
+    var v = Array.fill(dims)(1000L)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dims)(a => (0 until dims).map(b => c(a)(b) * v(b)).sum)
+      val m = w.map(math.abs).max
+      v = w.map(x => sdiv(x * 1000L, m))
+    }
+    for (d <- 0 until dims)
+      assert(out(d) == v(d), s"dim $d: operator ${out(d)} vs reference ${v(d)}")
+  }
+
   test("compaction_plan conserves rows, keeps file_ids contiguous, fills all but the last file") {
     val t = graft.core.Tables(spark, TestSpark.sf)
     val out = graft.operators.Incremental.compactionPlan(spark, TestSpark.sf)
