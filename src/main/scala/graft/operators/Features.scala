@@ -298,14 +298,20 @@ object Features {
     */
   private val TargetEncodeM = 100L
 
-  /** m-estimate smoothed rate entirely in exact integers: with prior
-    * = pos_tot/n_tot, (pos_b + M·prior)/(n_b + M) clears the prior's
-    * denominator to (pos_b·n_tot + M·pos_tot)/(n_tot·(n_b + M)) —
-    * ONE double division of exact decimal(38,0) products.
+  /** m-estimate smoothed rate: with prior = pos_tot/n_tot,
+    * (pos_b + M·prior)/(n_b + M) clears the prior's denominator to
+    * (pos_b·n_tot + M·pos_tot)/(n_tot·(n_b + M)). Each exact count
+    * is cast to DOUBLE INDIVIDUALLY before any product (the
+    * `cuped_adjustment` convention) — a decimal×decimal cross-product
+    * would silently fall back to double in DuckDB once it overflows
+    * (38,0) while Spark stays decimal (ADVICE r11); identical IEEE
+    * text keeps bit parity while each count < 2^53 (any realistic
+    * corpus), ≤1-ulp oracle drift past it.
     */
   private val SmoothedRateExpr: String =
-    s"CAST(pos_b * n_tot + $TargetEncodeM * pos_tot AS DOUBLE)" +
-      s" / CAST(n_tot * (n_b + $TargetEncodeM) AS DOUBLE)"
+    s"(CAST(pos_b AS DOUBLE) * CAST(n_tot AS DOUBLE)" +
+      s" + CAST($TargetEncodeM AS DOUBLE) * CAST(pos_tot AS DOUBLE))" +
+      s" / (CAST(n_tot AS DOUBLE) * (CAST(n_b AS DOUBLE) + CAST($TargetEncodeM AS DOUBLE)))"
 
   /** Target encoding of brand → return rate (share of lines with
     * `l_returnflag = 'R'`), m-estimate smoothed toward the global

@@ -242,14 +242,16 @@ object Multimodal {
 
   // ------------------------------------------------------------ multimodal_dedup
 
-  /** Content-hash dedup of media payloads — the FIRST curation step
-    * of any image/audio corpus (identical bytes under different doc
-    * ids: re-crawls, mirror uploads): full-payload md5 identity
-    * groups with a deterministic min-id canonical and the duplicate
-    * id list — `dedup_exact`'s semantics on the BINARY column, where
-    * payload bytes (not text equality) define identity. Map-side
-    * 16-byte keys; only hash groups with >1 member survive the
-    * aggregate.
+  /** Content-hash (digest-identity) dedup — the FIRST curation step
+    * of any media corpus (identical bytes under different doc ids:
+    * re-crawls, mirror uploads): full-payload md5 identity groups
+    * with a deterministic min-id canonical and the duplicate id
+    * list. The driver corpus carries no binary media table, so the
+    * payload here is the document's UTF-8 TEXT BYTES (`text` cast to
+    * binary, md5'd byte-wise) — the identical plan applies unchanged
+    * to an image/audio `binary` column, since only the 16-byte
+    * digest ever leaves the scan. Map-side 16-byte keys; only hash
+    * groups with >1 member survive the aggregate.
     *
     * Scale shape: the shuffle carries (hash, doc_id) pairs, never
     * payloads; at 100 TB of media this is the same

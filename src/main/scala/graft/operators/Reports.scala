@@ -2053,12 +2053,18 @@ object Reports {
 
   // -------------------------------------------------------- xyz_classification
 
-  /** CV on exact operands, zero-months implicit: mean = Σy/M over ALL
-    * M calendar months, so cv = √(M·Σy² − (Σy)²)/Σy — sparse months
-    * contribute nothing and the dense part×month grid NEVER forms.
+  /** CV with zero-months implicit: mean = Σy/M over ALL M calendar
+    * months, so cv = √(M·Σy² − (Σy)²)/Σy — sparse months contribute
+    * nothing and the dense part×month grid NEVER forms. Each exact
+    * decimal moment is cast to DOUBLE INDIVIDUALLY before the
+    * products (the `cuped_adjustment` convention — (38,0)×(38,0) is
+    * a silent double-fallback in DuckDB; ADVICE r11): shared IEEE
+    * text keeps bit parity while moments < 2^53, ≤1-ulp oracle
+    * drift past it.
     */
   private val XyzCvExpr: String =
-    "sqrt(CAST(mm * syy - sy * sy AS DOUBLE)) / CAST(sy AS DOUBLE)"
+    "sqrt(CAST(mm AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / CAST(sy AS DOUBLE)"
 
   /** XYZ demand-variability classification — `abc_classification`'s
     * companion axis (ABC ranks by value, XYZ by predictability): per

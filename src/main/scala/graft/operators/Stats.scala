@@ -1189,31 +1189,41 @@ object Stats {
 
   // ------------------------------------------------------------ spearman_corr
 
-  /** The Pearson correlation on exact-integer operands — shared text
-    * for both engines. Operands are DOUBLED midranks (2·midrank =
+  /** The Pearson correlation on exactly-accumulated moments, combined
+    * in IEEE space. Operands are DOUBLED midranks (2·midrank =
     * 2·rank + tiecount − 1, the `auc_purchase_value` identity), so
-    * every moment is an exact bigint sum and the common factor 4
-    * cancels between numerator and the two sqrt terms.
+    * every MOMENT (n, Σr, Σr², Σrxry) is an exact decimal sum; each
+    * moment is then cast to DOUBLE INDIVIDUALLY before any product —
+    * the `cuped_adjustment` convention — because a (38,0)×(38,0)
+    * product overflows DuckDB's decimal and silently falls back to
+    * double MID-expression while Spark stays decimal (ADVICE r11).
+    * With identical text both engines run the same correctly-rounded
+    * IEEE multiply/subtract/sqrt. Bit parity needs each cast operand
+    * < 2^53 (DuckDB's int128→double cast is ~1 ulp off above that —
+    * the verify-skill ledger); past it the drift is ≤1 ulp in the
+    * oracle harness only, not a statistic error.
     */
   private val SpearmanRhoExpr: String =
-    "CAST(n * sxy - sx * sy AS DOUBLE)" +
-      " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))" +
-      " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+      " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
 
   /** Spearman rank correlation between a part's list price and its
     * total quantity sold — the monotone "does price suppress volume"
     * association, robust to the outliers that bend `corr_profile`'s
     * Pearson. Ties get midranks, kept in INTEGER space by doubling
     * (2·midrank is exact), so Σr, Σr², Σrxry accumulate exactly in
-    * decimal(38,0) and ρ is ONE shared expression on exact operands:
-    * both engines run the identical correctly-rounded IEEE ops.
+    * decimal(38,0); ρ combines the individually-double-cast moments
+    * in ONE shared IEEE expression ([[SpearmanRhoExpr]]) — both
+    * engines run the identical correctly-rounded ops at any scale.
     *
     * Scale shape: lineitem partial-aggregates to the part grain
     * BEFORE any window (the dim-build reduction); the two global rank
     * windows run on the ≤|part| frame — a range-partitioned sort at
     * 100 TB, same as `histogram_equidepth`'s note — and one aggregate
-    * closes to a single row. 2·rank ≤ 2n keeps n·Σxx ≤ 4n⁴ exact in
-    * 38 digits to n ~ 10⁹ parts.
+    * closes to a single row. Moments stay < 2^53 (bit-parity regime)
+    * to Σr² ≤ 4n³, i.e. n ~ 10⁵ parts; past that, ≤1-ulp oracle
+    * drift only ([[SpearmanRhoExpr]]).
     */
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -1794,13 +1804,19 @@ object Stats {
 
   // ------------------------------------------------------------ fano_burstiness
 
-  /** Fano factor on exact operands with zero-days implicit (the
-    * `xyz_classification` identity): F = var/mean over the M-day
-    * series = (M·Σy² − (Σy)²)/(M·Σy) — sparse days contribute
-    * nothing, the dense type×day grid never forms.
+  /** Fano factor with zero-days implicit (the `xyz_classification`
+    * identity): F = var/mean over the M-day series =
+    * (M·Σy² − (Σy)²)/(M·Σy) — sparse days contribute nothing, the
+    * dense type×day grid never forms. Moments accumulate exactly in
+    * decimal, then each is cast to DOUBLE INDIVIDUALLY before the
+    * products (the `cuped_adjustment` convention — a (38,0)×(38,0)
+    * product is a silent double-fallback in DuckDB; ADVICE r11); the
+    * shared IEEE text matches bit-for-bit while moments < 2^53,
+    * ≤1-ulp oracle drift past it.
     */
   private val FanoExpr: String =
-    "CAST(mm * syy - sy * sy AS DOUBLE) / CAST(mm * sy AS DOUBLE)"
+    "(CAST(mm AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / (CAST(mm AS DOUBLE) * CAST(sy AS DOUBLE))"
 
   /** Fano factor (variance-to-mean) of daily event counts per type —
     * the burstiness detector: a Poisson arrival process has F ≈ 1,
