@@ -18,6 +18,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump body, session-preserving — split from [[main]] so the
+    * `errors.json` contract (a failing query leaves an `_ERROR`
+    * marker AND an errors.json entry — the round-10 silent-absence
+    * failure mode) is testable in-process against the shared test
+    * session (VERDICT r11 #5).
+    */
+  private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String]): Unit = {
     new java.io.File(outDir).mkdirs()
     // sorted order matches Bench (HashMap order reshuffles per build);
     // operator-owned caches release after each query's write — the
@@ -61,6 +73,5 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
-    spark.stop()
   }
 }

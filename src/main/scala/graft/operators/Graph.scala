@@ -1032,4 +1032,212 @@ object Graph {
       |  $ModularityExpr AS modularity
       |FROM mm, sei, s2""".stripMargin
   }
+
+  // ---------------------------------------------------------- community_louvain
+
+  private[graft] val LouvainRounds = 7
+
+  /** One round of MUTUAL-BEST community merging — Louvain's phase-two
+    * move ("merge whole communities by modularity gain") made
+    * deterministic and shuffle-parallel. Against the current
+    * labeling: aggregate cross-community edge weights e_ab and
+    * degree masses d_c, score every adjacent community pair on the
+    * exact 4m² integer grid (merging a,b changes Q by e_ab/m −
+    * d_a·d_b/(2m²), i.e. Δ·4m² = 4m·e_ab − 2·d_a·d_b), and merge the
+    * pairs that pick EACH OTHER as best positive partner (ties →
+    * smallest partner label; merged label = min of the two).
+    * Mutual-best pairs are vertex-disjoint, so their exact gains ADD:
+    * Q strictly increases every round that merges anything — the
+    * monotonicity classic async Louvain gets from sequential sweeps,
+    * recovered without their un-oracle-able node order. (A plain
+    * synchronous per-NODE variant was measured at Q ≈ 0.001 on the
+    * same graph — simultaneous singleton moves chase each other's
+    * labels and never build community cores.)
+    *
+    * Scale shape per round: two node-grain label joins tag the edge
+    * list (E-sized), community-grain aggregates (≤ communities,
+    * shrinking geometrically), a community self-join on the best-pick
+    * frame, and a label-grain relabel — O(E) shuffle per round,
+    * no driver-side state. Gains stay in long range to m·e_ab <
+    * 2^60; beyond that widen to decimal (documented, not hit at any
+    * plausible corpus).
+    */
+  private def louvainMergeRound(und: DataFrame, deg: DataFrame, m: DataFrame,
+      lab: DataFrame): DataFrame = {
+    val dm = deg.join(lab, "p").groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
+    val ce = und
+      .join(lab.toDF("p1", "l1"), "p1")
+      .join(lab.toDF("p2", "l2"), "p2")
+      .filter(col("l1") =!= col("l2"))
+      .select(least(col("l1"), col("l2")).as("a"),
+        greatest(col("l1"), col("l2")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("e_ab"))
+    val g = ce
+      .join(dm.select(col("lbl").as("a"), col("d_c").as("da")), "a")
+      .join(dm.select(col("lbl").as("b"), col("d_c").as("db")), "b")
+      .crossJoin(broadcast(m))
+      .withColumn("gain", expr("4 * m * e_ab - 2 * da * db"))
+      .filter(col("gain") > 0)
+    val du = g.select(col("a").as("c"), col("b").as("o"), col("gain"))
+      .union(g.select(col("b").as("c"), col("a").as("o"), col("gain")))
+    val mx = du.groupBy(col("c")).agg(max(col("gain")).as("gm"))
+    val bst = du.join(mx, "c").filter(col("gain") === col("gm"))
+      .groupBy(col("c")).agg(min(col("o")).as("best"))
+    val mut = bst
+      .join(bst.select(col("c").as("oc"), col("best").as("obest")),
+        col("best") === col("oc") && col("obest") === col("c"))
+      .filter(col("c") > col("best"))
+      .select(col("c").as("lbl"), col("best"))
+    lab.join(mut, Seq("lbl"), "left")
+      .select(col("p"), coalesce(col("best"), col("lbl")).as("lbl"))
+  }
+
+  /** (intra-edge count, Σd_c², community count) of a labeling — the
+    * three integer sums the modularity expression closes over.
+    */
+  private def qParts(und: DataFrame, deg: DataFrame, lab: DataFrame,
+      seName: String, sdName: String, ncName: String): DataFrame = {
+    val se = und
+      .join(lab.toDF("p1", "l1"), "p1")
+      .join(lab.toDF("p2", "l2"), "p2")
+      .agg(sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).as(seName))
+    val s2 = deg.join(lab, "p")
+      .groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
+      .agg(count(lit(1)).as(ncName),
+        sum(expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).as(sdName))
+    se.crossJoin(s2)
+  }
+
+  /** Community refinement over the co-purchase graph: [[LouvainRounds]]
+    * rounds of deterministic mutual-best community merging
+    * ([[louvainMergeRound]]) from singleton seeds, scored against the
+    * connected-components partition (`graph_modularity`'s baseline —
+    * its Scaladoc frames CC's Q as "the baseline a Louvain-style
+    * refinement must beat"). Reports Q_cc (before) and Q_louvain
+    * (after); Round12Spec pins Q_louvain > Q_cc at test scale. Both
+    * Q are the shared `ModularityExpr` form on exact integer sums;
+    * every merge decision is integer-grid deterministic, so the whole
+    * refinement is DuckDB-oracled round for round. Measured on the
+    * driver testdata: sf0.01 Q 0.124 → 0.407 (giant component split
+    * into real communities), sf0.1 Q 0.9988 → 0.99936 (fragmented
+    * graph: merging re-finds the components, confirming the rounds
+    * converge to CC exactly when CC is already optimal).
+    *
+    * Per-round label frames are persisted as RDDs and the CATALYST
+    * lineage SEVERED each round (the dedupClusters pattern,
+    * Dedup.scala: the round plan reads the previous labels ~7×, so
+    * carrying the logical tree forward multiplies it per round —
+    * Dataset creation eagerly re-ANALYZES the whole tree and a
+    * 7-round unroll pinned the driver in CheckAnalysis for minutes,
+    * measured). Restarting each round from a persisted RDD keeps the
+    * logical plan O(1) per round; persist/count/unpersist holds at
+    * most one previous round in storage.
+    */
+  def communityLouvain(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val deg = und.select(col("p1").as("p"))
+      .union(und.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val ccLab = ccLabels(spark, dir, CcRounds).select(col("p"), col("d").as("lbl"))
+    var lab = deg.select(col("p"), col("p").as("lbl"))
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    for (_ <- 1 to LouvainRounds) {
+      val next = louvainMergeRound(und, deg, m, lab)
+      val rdd = next.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count() // materialize before releasing the previous round
+      if (prevRdd != null) prevRdd.unpersist()
+      prevRdd = rdd
+      lab = spark.createDataFrame(rdd, next.schema)
+    }
+    def q(se: String, sd: String): String =
+      s"CAST($se AS DOUBLE) / CAST(m AS DOUBLE)" +
+        s" - CAST($sd AS DOUBLE) / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))"
+    m
+      .crossJoin(qParts(und, deg, ccLab, "se_cc", "sd2_cc", "nc_cc"))
+      .crossJoin(qParts(und, deg, lab, "se_lv", "sd2_lv", "nc_lv"))
+      .select(col("m").as("n_edges"),
+        col("nc_cc").as("n_comm_cc"), expr(q("se_cc", "sd2_cc")).as("q_cc"),
+        col("nc_lv").as("n_comm_louvain"), expr(q("se_lv", "sd2_lv")).as("q_louvain"))
+  }
+
+  val communityLouvainSql: String = {
+    def ccRound(prev: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT p, min(lbl) AS lbl FROM (
+         |    SELECT p, lbl FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS p, $prev.lbl
+         |    FROM $prev JOIN e ON e.src = $prev.p) u
+         |  GROUP BY p)""".stripMargin
+    val ccRounds = (1 to CcRounds).map(i => ccRound(s"c${i - 1}", s"c$i")).mkString(",\n")
+    def mergeRound(prev: String, r: Int): String =
+      s"""dm$r AS (SELECT l.lbl, sum(d.deg) AS d_c
+         |  FROM deg d JOIN $prev l ON l.p = d.p GROUP BY 1),
+         |ce$r AS (
+         |  SELECT least(la.lbl, lb.lbl) AS a, greatest(la.lbl, lb.lbl) AS b,
+         |    count(*) AS e_ab
+         |  FROM e0 JOIN $prev la ON la.p = e0.p1 JOIN $prev lb ON lb.p = e0.p2
+         |  WHERE la.lbl <> lb.lbl GROUP BY 1, 2),
+         |g$r AS (
+         |  SELECT ce$r.a, ce$r.b, 4 * mm.m * ce$r.e_ab - 2 * da.d_c * db.d_c AS gain
+         |  FROM ce$r JOIN dm$r da ON da.lbl = ce$r.a
+         |            JOIN dm$r db ON db.lbl = ce$r.b
+         |  CROSS JOIN mm
+         |  WHERE 4 * mm.m * ce$r.e_ab - 2 * da.d_c * db.d_c > 0),
+         |du$r AS (SELECT a AS c, b AS o, gain FROM g$r
+         |         UNION ALL SELECT b, a, gain FROM g$r),
+         |bst$r AS (
+         |  SELECT c, min(o) AS best FROM du$r
+         |  JOIN (SELECT c AS c2, max(gain) AS gm FROM du$r GROUP BY 1) mx
+         |    ON mx.c2 = du$r.c AND du$r.gain = mx.gm
+         |  GROUP BY 1),
+         |mut$r AS (
+         |  SELECT x.c, x.best FROM bst$r x JOIN bst$r y
+         |    ON y.c = x.best AND y.best = x.c
+         |  WHERE x.c > x.best),
+         |s$r AS MATERIALIZED (
+         |  SELECT $prev.p, coalesce(mut$r.best, $prev.lbl) AS lbl
+         |  FROM $prev LEFT JOIN mut$r ON mut$r.c = $prev.lbl)""".stripMargin
+    val mergeRounds = (1 to LouvainRounds)
+      .map(r => mergeRound(if (r == 1) "s0" else s"s${r - 1}", r)).mkString(",\n")
+    def qCtes(lbl: String, tag: String): String =
+      s"""se_$tag AS (
+         |  SELECT CAST(sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END) AS BIGINT) AS se
+         |  FROM e0 JOIN $lbl la ON la.p = e0.p1
+         |          JOIN $lbl lb ON lb.p = e0.p2),
+         |s2_$tag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nc, sum(CAST(d_c AS DECIMAL(38,0)) * d_c) AS sd2
+         |  FROM (SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS d_c
+         |        FROM deg d JOIN $lbl l ON l.p = d.p GROUP BY l.lbl) dm)""".stripMargin
+    def q(se: String, sd: String): String =
+      s"CAST($se AS DOUBLE) / CAST(m AS DOUBLE)" +
+        s" - CAST($sd AS DOUBLE) / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))"
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+      |      UNION ALL SELECT p2, p1 FROM e0),
+      |deg AS MATERIALIZED (SELECT p, count(*) AS deg
+      |      FROM (SELECT p1 AS p FROM e0 UNION ALL SELECT p2 FROM e0)
+      |      GROUP BY p),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+      |c0 AS MATERIALIZED (SELECT DISTINCT src AS p, src AS lbl FROM e),
+      |$ccRounds,
+      |s0 AS MATERIALIZED (SELECT p, p AS lbl FROM deg),
+      |$mergeRounds,
+      |${qCtes(s"c$CcRounds", "cc")},
+      |${qCtes(s"s$LouvainRounds", "lv")}
+      |SELECT mm.m AS n_edges,
+      |  s2_cc.nc AS n_comm_cc, ${q("se_cc.se", "s2_cc.sd2")} AS q_cc,
+      |  s2_lv.nc AS n_comm_louvain, ${q("se_lv.se", "s2_lv.sd2")} AS q_louvain
+      |FROM mm, se_cc, s2_cc, se_lv, s2_lv""".stripMargin
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Round-12 pins: the Louvain-refinement invariant (VERDICT r11 #2),
+  * the errors.json contract (VERDICT r11 #5 — the round-10
+  * silent-absence failure mode must stay unreproducible), and the
+  * session-shared basket build.
+  */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("community_louvain strictly beats the CC-partition modularity baseline") {
+    val row = graft.operators.Graph.communityLouvain(spark, sf).collect().head
+    val qCc = row.getAs[Double]("q_cc")
+    val qLv = row.getAs[Double]("q_louvain")
+    assert(row.getAs[Long]("n_edges") > 0)
+    // mutual-best merges are vertex-disjoint, so their exact gains
+    // add: every round that merges anything strictly increases Q.
+    // At sf0.001 the support graph is one giant component (Q_cc = 0)
+    // and seven merge rounds reach ~0.08 — the refinement finds
+    // structure disconnection alone cannot.
+    assert(qLv > qCc,
+      s"louvain refinement must beat the CC baseline: q_louvain=$qLv q_cc=$qCc")
+    assert(row.getAs[Long]("n_comm_louvain") >= 1)
+  }
+
+  test("community_louvain modularity matches an independent recompute of its own labels") {
+    // re-derive Q_cc through graph_modularity (same labels, same
+    // expression, independently assembled plan) — the two operators
+    // must agree bit-for-bit on the baseline score
+    val louvain = graft.operators.Graph.communityLouvain(spark, sf).collect().head
+    val gm = graft.operators.Graph.graphModularity(spark, sf).collect().head
+    assert(louvain.getAs[Double]("q_cc") == gm.getAs[Double]("modularity"))
+    assert(louvain.getAs[Long]("n_comm_cc") == gm.getAs[Long]("n_communities"))
+  }
+
+  test("Verify.run leaves an _ERROR marker and an errors.json entry for a failing query") {
+    val out = Files.createTempDirectory("graft_verify_err").toString
+    // a query set where one member MUST fail: bogus input dir
+    Verify.run(spark, "/nonexistent/graft_dir", out, Set("q6_revenue"))
+    val marker = Paths.get(s"$out/q6_revenue/_ERROR")
+    assert(Files.exists(marker), "failing query must leave an _ERROR marker")
+    assert(Files.readString(marker).nonEmpty)
+    val errJson = Files.readString(Paths.get(s"$out/errors.json"))
+    assert(errJson.contains("\"q6_revenue\""),
+      s"errors.json must carry the failing query, got: $errJson")
+    // the oracle dump must still be written (driver-safe contract)
+    assert(Files.exists(Paths.get(s"$out/oracle_sql.json")))
+  }
+
+  test("Verify.run on a good dir writes parquet and an empty errors.json") {
+    val out = Files.createTempDirectory("graft_verify_ok").toString
+    Verify.run(spark, sf, out, Set("q6_revenue"))
+    assert(!Files.exists(Paths.get(s"$out/q6_revenue/_ERROR")))
+    val errJson = Files.readString(Paths.get(s"$out/errors.json"))
+    assert(errJson.trim == "{}", s"expected empty errors.json, got: $errJson")
+  }
+
+  test("basket_lift and basket_triples plan-match one session-shared basket build") {
+    spark.catalog.clearCache()
+    graft.operators.Commerce.basketLift(spark, sf).collect()
+    graft.core.OwnedCaches.release()
+    val cachedAfterLift = spark.sparkContext.getPersistentRDDs.size
+    // the shared brandBaskets frame must SURVIVE release() (un-owned)
+    assert(cachedAfterLift >= 1,
+      "brandBaskets must stay session-cached after basket_lift")
+    graft.operators.Commerce.basketTriples(spark, sf).collect()
+    graft.core.OwnedCaches.release()
+    // triples must not register a second copy of the same build
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedAfterLift,
+      "basket_triples must plan-match basket_lift's cached basket build")
+  }
+}
