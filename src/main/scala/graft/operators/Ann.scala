@@ -433,6 +433,14 @@ object Ann {
     */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
+    rerankQ6TopK(spark, dir, lshCandidates(spark, dir))
+  }
+
+  /** LSH candidate pairs (query_id, neighbor_id) — the equi-join on
+    * (table, bucket), deduped across tables. Shared by `ann_lsh_topk`
+    * and the `ann_frontier_eval` cost axis.
+    */
+  private def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.RademacherSketch.register(spark)
     val e = Tables(spark, dir).embeddings
     val sig = e.select(col("vec_id"),
@@ -440,14 +448,24 @@ object Ann {
         .as(Seq("tbl", "bucket")))
     val qsig = sig.filter(col("vec_id") < NumQueries)
       .toDF("query_id", "q_tbl", "q_bucket")
-    val pairs = sig.join(broadcast(qsig),
+    sig.join(broadcast(qsig),
         col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
           col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct() // union candidates across tables
+  }
+
+  /** Shared exact re-rank tail of the candidate-bounding retrievers
+    * (LSH / IVF / PQ): quantized-cosine score over the candidate
+    * pairs (bit-deterministic, see [[withQ6Norm]]), per-query top-K.
+    * Queries broadcast; the corpus side joins on neighbor id.
+    */
+  private def rerankQ6TopK(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val e = Tables(spark, dir).embeddings
     val q6 = withQ6Norm(e, "uid", "u", "nrm")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    pairs
+    cand
       .join(broadcast(q6.toDF("query_id", "q_emb", "q_n")), "query_id")
       .join(q6.toDF("neighbor_id", "c_emb", "c_n"), "neighbor_id")
       .withColumn("sim", unitDot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")))
@@ -505,6 +523,16 @@ object Ann {
     */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
+    rerankQ6TopK(spark, dir, ivfCandidates(spark, dir, NProbe))
+  }
+
+  /** IVF candidate pairs at a given probe width — the cell equi-join
+    * after map-side coarse quantization. Shared by `ann_ivf_topk`
+    * (nprobe = [[NProbe]]) and the `ann_frontier_eval` nprobe sweep.
+    */
+  private def ivfCandidates(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val e = Tables(spark, dir).embeddings
     // Micro-unit quantization makes the whole coarse-quantizer exact:
     // q = ⌊v·10⁶⌋ and integer centroid means keep every dot product /
@@ -538,21 +566,11 @@ object Ann {
       expr("element_at(ranked_cells, 1).cell").as("c_cell"))
     val probes = scored.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"),
-        explode(expr(s"slice(ranked_cells, 1, $NProbe)")).as("pc"))
+        explode(expr(s"slice(ranked_cells, 1, $nprobe)")).as("pc"))
       .select(col("query_id"), col("pc.cell").as("cell"))
-    val pairs = assigned.join(broadcast(probes),
+    assigned.join(broadcast(probes),
         col("cell") === col("c_cell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val q6n = withQ6Norm(e, "uid", "u", "nrm")
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    pairs
-      .join(broadcast(q6n.toDF("query_id", "q_emb", "q_n")), "query_id")
-      .join(q6n.toDF("neighbor_id", "c_emb", "c_n"), "neighbor_id")
-      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-      .orderBy("query_id", "rank")
   }
 
   /** Scalar int8 quantization of the embedding table: per-dimension
@@ -630,6 +648,14 @@ object Ann {
     */
   def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
+    rerankQ6TopK(spark, dir, pqShortlist(spark, dir))
+  }
+
+  /** PQ/ADC shortlist pairs (query_id, neighbor_id) — codes +
+    * query distance tables + ADC sum, shortlisted per query. Shared
+    * by `ann_pq_topk` and the `ann_frontier_eval` cost axis.
+    */
+  private def pqShortlist(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
       .select(col("vec_id"), col("d"),
@@ -663,19 +689,9 @@ object Ann {
     // vectors for the exact (quantized-cosine, bit-deterministic)
     // re-rank — the IO asymmetry that makes PQ the 100 TB scan format
     val wAdc = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
-    val shortlist = adc.withColumn("srk", row_number().over(wAdc))
+    adc.withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= Shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val q6n = withQ6Norm(e, "uid", "u", "nrm")
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    shortlist
-      .join(broadcast(q6n.toDF("query_id", "q_emb", "q_n")), "query_id")
-      .join(q6n.toDF("neighbor_id", "c_emb", "c_n"), "neighbor_id")
-      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-      .orderBy("query_id", "rank")
   }
 
   val annPqTopkSql: String =
@@ -1298,6 +1314,155 @@ object Ann {
        |SELECT label, vec_id, dist2, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= $OutlierTopK
        |ORDER BY label, rank""".stripMargin
+
+  // ---------------------------------------------------------- ann_frontier_eval
+
+  /** Recall/cost frontier across the three candidate-bounding
+    * retriever families — LSH (8 tables), IVF at nprobe ∈ {1, 3, 5},
+    * PQ/ADC (shortlist 50) — each scored as recall@K against the
+    * exact brute-force truth AND costed as its candidate-set size
+    * (the number of vectors that must be exactly re-ranked; at
+    * corpus scale that IS the query cost). One row per retriever ×
+    * cost point: the committed artifact every index-tuning decision
+    * reads ("how much recall does the next probe buy"). Candidate
+    * sets are supersets as nprobe grows, and the exact re-rank makes
+    * recall MONOTONE in the candidate set (any candidate outscoring
+    * a true top-K member would itself be true top-K) — pinned in
+    * Round12Spec.
+    *
+    * Scale shape: each candidate frame is the retriever's own
+    * bounded equi-join output (≤ queries × occupancy rows); the eval
+    * adds only count aggregates and a ≤ queries·K intersection join —
+    * cost never scales with the corpus, only with the query sample.
+    */
+  def annFrontierEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val bf = annTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    graft.core.OwnedCaches.own(bf)
+    def row(name: String, cand0: DataFrame): DataFrame = {
+      val cand = graft.core.OwnedCaches.own(cand0.cache())
+      val top = rerankQ6TopK(spark, dir, cand)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = bf.join(top, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val truth = bf.agg(count(lit(1)).as("n_truth"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      nc.crossJoin(hits).crossJoin(truth)
+        .select(lit(name).as("retriever"), col("n_cand"),
+          expr(s"CAST(n_cand AS DOUBLE) / CAST($NumQueries AS DOUBLE)")
+            .as("avg_candidates"),
+          col("hits"), col("n_truth"),
+          expr("CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE)").as("recall_at_k"))
+    }
+    row("ivf_np1", ivfCandidates(spark, dir, 1))
+      .unionByName(row("ivf_np3", ivfCandidates(spark, dir, 3)))
+      .unionByName(row("ivf_np5", ivfCandidates(spark, dir, 5)))
+      .unionByName(row("lsh_t8", lshCandidates(spark, dir)))
+      .unionByName(row("pq_sl50", pqShortlist(spark, dir)))
+      .orderBy("retriever")
+  }
+
+  lazy val annFrontierEvalSql: String = {
+    import graft.functions.RademacherSketch.{NumTables, PlanesPerTable, Dim}
+    def rerank(cand: String, tag: String): String =
+      s"""sims_$tag AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS sim
+         |  FROM $cand c
+         |    JOIN ex a ON a.vec_id = c.query_id
+         |    JOIN ex b ON b.vec_id = c.neighbor_id AND b.d = a.d
+         |    JOIN nrm na ON na.vec_id = c.query_id
+         |    JOIN nrm nb ON nb.vec_id = c.neighbor_id
+         |  GROUP BY 1, 2),
+         |top_$tag AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |    FROM sims_$tag) WHERE rank <= $K),
+         |row_$tag AS (
+         |  SELECT '$tag' AS retriever, nc.n_cand,
+         |    CAST(nc.n_cand AS DOUBLE) / CAST($NumQueries AS DOUBLE) AS avg_candidates,
+         |    h.hits, t.n_truth,
+         |    CAST(h.hits AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall_at_k
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM $cand) nc,
+         |       (SELECT CAST(count(*) AS BIGINT) AS hits
+         |        FROM bf JOIN top_$tag USING (query_id, neighbor_id)) h,
+         |       (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM bf) t)""".stripMargin
+    def ivfCand(np: Int): String =
+      s"""probes_np$np AS (SELECT vec_id AS query_id, cell FROM ranked
+         |  WHERE cell_rank <= $np AND vec_id < $NumQueries),
+         |cand_ivf_np$np AS (
+         |  SELECT DISTINCT p.query_id, a.neighbor_id
+         |  FROM probes_np$np p JOIN assigned a ON a.cell = p.cell
+         |  WHERE a.neighbor_id != p.query_id)""".stripMargin
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(generate_subscripts(embedding,1) - 1 AS INTEGER) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |nrm AS MATERIALIZED (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
+       |bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($annTopkBruteforceSql)),
+       |cent AS MATERIALIZED (
+       |  SELECT label, d, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |  FROM ex GROUP BY label, d),
+       |cy AS (SELECT label, sqrt(CAST(sum(cv*cv) AS DOUBLE)) AS cnorm FROM cent GROUP BY label),
+       |scores AS (
+       |  SELECT e.vec_id, c.label AS cell,
+       |         CAST(sum(e.qv * c.cv) AS DOUBLE) / any_value(cy.cnorm) AS score
+       |  FROM ex e JOIN cent c ON c.d = e.d JOIN cy ON cy.label = c.label
+       |  GROUP BY e.vec_id, c.label),
+       |ranked AS MATERIALIZED (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS cell_rank
+       |  FROM scores),
+       |assigned AS MATERIALIZED (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cell_rank = 1),
+       |${ivfCand(1)},
+       |${ivfCand(3)},
+       |${ivfCand(5)},
+       |grid AS (SELECT t, p, d,
+       |    CASE WHEN ('0x'||substr(md5(CAST(t AS VARCHAR)||'_'||CAST(p AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,1))::BIGINT & 1 = 1 THEN 1 ELSE -1 END AS w
+       |  FROM (SELECT unnest(range($NumTables)) AS t) a,
+       |       (SELECT unnest(range($PlanesPerTable)) AS p) b,
+       |       (SELECT unnest(range($Dim)) AS d) c),
+       |dots AS (SELECT e.vec_id, g.t, g.p, sum(g.w * e.qv) AS s
+       |         FROM ex e JOIN grid g ON g.d = e.d GROUP BY 1, 2, 3),
+       |buckets AS (SELECT vec_id, t, sum(CASE WHEN s > 0 THEN (1::BIGINT<<p) ELSE 0 END) AS bucket
+       |            FROM dots GROUP BY 1, 2),
+       |cand_lsh AS MATERIALIZED (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+       |  WHERE qb.vec_id < $NumQueries AND qb.vec_id != cb.vec_id),
+       |sd AS MATERIALIZED (
+       |  SELECT e.vec_id, e.d // $NSub AS sub, c.label AS clabel,
+       |         sum((e.qv - c.cv) * (e.qv - c.cv)) AS dist
+       |  FROM ex e JOIN cent c ON c.d = e.d
+       |  GROUP BY 1, 2, 3),
+       |code AS (
+       |  SELECT vec_id, sub, clabel AS code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, clabel) AS rn FROM sd)
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.dist) AS dist
+       |  FROM code c JOIN sd q ON q.sub = c.sub AND q.clabel = c.code
+       |  WHERE q.vec_id < $NumQueries AND q.vec_id != c.vec_id
+       |  GROUP BY 1, 2),
+       |cand_pq AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id
+       |  FROM (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS srk
+       |        FROM adc)
+       |  WHERE srk <= $Shortlist),
+       |${rerank("cand_ivf_np1", "ivf_np1")},
+       |${rerank("cand_ivf_np3", "ivf_np3")},
+       |${rerank("cand_ivf_np5", "ivf_np5")},
+       |${rerank("cand_lsh", "lsh_t8")},
+       |${rerank("cand_pq", "pq_sl50")}
+       |SELECT * FROM row_ivf_np1
+       |UNION ALL SELECT * FROM row_ivf_np3
+       |UNION ALL SELECT * FROM row_ivf_np5
+       |UNION ALL SELECT * FROM row_lsh_t8
+       |UNION ALL SELECT * FROM row_pq_sl50
+       |ORDER BY retriever""".stripMargin
+  }
 
   // lazy: interpolates annLshTopkSql via the same convention as
   // hybridRankFusionSql (declared-later interpolation).

@@ -59,6 +59,22 @@ class Round12Spec extends AnyFunSuite {
     assert(errJson.trim == "{}", s"expected empty errors.json, got: $errJson")
   }
 
+  test("ann_frontier_eval: IVF recall is monotone in nprobe and cost points are ordered") {
+    val rows = graft.operators.Ann.annFrontierEval(spark, sf).collect()
+      .map(r => r.getAs[String]("retriever") ->
+        (r.getAs[Long]("n_cand"), r.getAs[Double]("recall_at_k"))).toMap
+    assert(rows.keySet == Set("ivf_np1", "ivf_np3", "ivf_np5", "lsh_t8", "pq_sl50"))
+    // nprobe widens the candidate set (superset), and exact re-rank
+    // makes recall monotone in the candidate set — both directions
+    assert(rows("ivf_np1")._1 <= rows("ivf_np3")._1)
+    assert(rows("ivf_np3")._1 <= rows("ivf_np5")._1)
+    assert(rows("ivf_np1")._2 <= rows("ivf_np3")._2)
+    assert(rows("ivf_np3")._2 <= rows("ivf_np5")._2)
+    rows.values.foreach { case (n, r) =>
+      assert(n >= 0 && r >= 0.0 && r <= 1.0)
+    }
+  }
+
   test("basket_lift and basket_triples plan-match one session-shared basket build") {
     spark.catalog.clearCache()
     graft.operators.Commerce.basketLift(spark, sf).collect()
