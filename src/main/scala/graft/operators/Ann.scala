@@ -655,7 +655,12 @@ object Ann {
     * query distance tables + ADC sum, shortlisted per query. Shared
     * by `ann_pq_topk` and the `ann_frontier_eval` cost axis.
     */
-  private def pqShortlist(spark: SparkSession, dir: String): DataFrame = {
+  /** Per (vector, subspace, codebook entry) integer squared distance —
+    * feeds corpus encoding, the query distance tables, and (via
+    * `ann_ivfpq_topk`) the ADC pass over IVF-probed candidates.
+    * Cached and owned: every consumer reads it at least twice.
+    */
+  private def pqDistTables(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
       .select(col("vec_id"), col("d"),
@@ -665,14 +670,17 @@ object Ann {
         floor(col("v").cast("double") * lit(1e6)).as("qv"))
       .groupBy(col("label"), col("d"))
       .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).as("cv"))
-    // per (vector, subspace, codebook entry) integer squared distance —
-    // feeds BOTH corpus encoding and the query distance tables
     val sd = ex.join(broadcast(cent), "d")
       .groupBy(col("vec_id"), (col("d") / lit(NSub)).cast("int").as("sub"),
         col("label").as("clabel"))
       .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("dist"))
       .cache()
     graft.core.OwnedCaches.own(sd)
+    sd
+  }
+
+  private def pqShortlist(spark: SparkSession, dir: String): DataFrame = {
+    val sd = pqDistTables(spark, dir)
     val wEnc = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("clabel"))
     val code = sd.withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
@@ -1314,6 +1322,104 @@ object Ann {
        |SELECT label, vec_id, dist2, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= $OutlierTopK
        |ORDER BY label, rank""".stripMargin
+
+  // ------------------------------------------------------------ ann_ivfpq_topk
+
+  /** IVF+PQ composed retriever — the production index shape (FAISS
+    * IVFPQ): IVF probing bounds WHICH vectors are considered
+    * (nprobe = [[NProbe]] cells, candidate volume n·nprobe/nlist),
+    * then the PQ/ADC pass scores those candidates from 8 small codes
+    * each — no raw vectors touched — and shortlists [[Shortlist]]
+    * per query for the exact re-rank. Composes the two cost bounds
+    * the standalone retrievers demonstrate separately: IVF bounds
+    * the scan set, PQ bounds the bytes per scanned vector. At 100 TB
+    * this is the difference between reading 64 floats × n/nlist·
+    * nprobe and reading 8 bytes for the same set.
+    *
+    * Everything is micro-unit integer arithmetic (the IVF cell
+    * ranking and ADC distances are exact sub-2^53 integers), so the
+    * full composition is bit-reproducible in the DuckDB oracle.
+    */
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val cand = ivfCandidates(spark, dir, NProbe)
+    val sd = pqDistTables(spark, dir)
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("clabel"))
+    val code = sd.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sub"),
+        col("clabel").as("code_lbl"))
+    val qt = sd.filter(col("vec_id") < NumQueries)
+      .toDF("q_query", "q_sub", "q_clabel", "q_dist")
+    val adc = cand
+      .join(code, "neighbor_id")
+      .join(broadcast(qt),
+        col("q_query") === col("query_id") && col("q_sub") === col("sub") &&
+          col("q_clabel") === col("code_lbl"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("q_dist")).as("dist"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    val shortlist = adc.withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= Shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankQ6TopK(spark, dir, shortlist)
+  }
+
+  lazy val annIvfPqTopkSql: String =
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(generate_subscripts(embedding,1) - 1 AS INTEGER) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |cent AS MATERIALIZED (
+       |  SELECT label, d, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |  FROM ex GROUP BY label, d),
+       |cy AS (SELECT label, sqrt(CAST(sum(cv*cv) AS DOUBLE)) AS cnorm FROM cent GROUP BY label),
+       |scores AS (
+       |  SELECT e.vec_id, c.label AS cell,
+       |         CAST(sum(e.qv * c.cv) AS DOUBLE) / any_value(cy.cnorm) AS score
+       |  FROM ex e JOIN cent c ON c.d = e.d JOIN cy ON cy.label = c.label
+       |  GROUP BY e.vec_id, c.label),
+       |ranked AS (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS cell_rank
+       |  FROM scores),
+       |assigned AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cell_rank = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE cell_rank <= $NProbe AND vec_id < $NumQueries),
+       |cand AS MATERIALIZED (SELECT DISTINCT p.query_id, a.neighbor_id
+       |       FROM probes p JOIN assigned a ON a.cell = p.cell WHERE a.neighbor_id != p.query_id),
+       |sd AS MATERIALIZED (
+       |  SELECT e.vec_id, e.d // $NSub AS sub, c.label AS clabel,
+       |         sum((e.qv - c.cv) * (e.qv - c.cv)) AS dist
+       |  FROM ex e JOIN cent c ON c.d = e.d
+       |  GROUP BY 1, 2, 3),
+       |code AS (
+       |  SELECT vec_id AS neighbor_id, sub, clabel AS code_lbl
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, clabel) AS rn FROM sd)
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT cand.query_id, cand.neighbor_id, sum(q.dist) AS dist
+       |  FROM cand
+       |    JOIN code ON code.neighbor_id = cand.neighbor_id
+       |    JOIN sd q ON q.vec_id = cand.query_id AND q.sub = code.sub AND q.clabel = code.code_lbl
+       |  GROUP BY 1, 2),
+       |sl AS (SELECT query_id, neighbor_id
+       |       FROM (SELECT query_id, neighbor_id,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS srk
+       |             FROM adc)
+       |       WHERE srk <= $Shortlist),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
+       |sims AS (SELECT s.query_id, s.neighbor_id,
+       |           CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS sim
+       |         FROM sl s
+       |           JOIN ex a ON a.vec_id = s.query_id
+       |           JOIN ex b ON b.vec_id = s.neighbor_id AND b.d = a.d
+       |           JOIN nrm na ON na.vec_id = s.query_id
+       |           JOIN nrm nb ON nb.vec_id = s.neighbor_id
+       |         GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM sims)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------- ann_frontier_eval
 

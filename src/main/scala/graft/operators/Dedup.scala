@@ -1076,4 +1076,111 @@ object Dedup {
        |JOIN s sb ON sb.doc_id = pairs.doc_b
        |GROUP BY 1, 2
        |ORDER BY source_1, source_2""".stripMargin
+
+  // ------------------------------------------------------ minhash_band_tune
+
+  /** The (bands, rows) sweep this table feeds: all three configs
+    * consume the SAME 64-slot signature, sliced differently — more
+    * bands × fewer rows lowers the collision threshold (recall up,
+    * candidates up), fewer bands × more rows raises it.
+    */
+  private val BandConfigs = Seq((32, 2), (16, 4), (8, 8))
+
+  /** MinHash LSH band-geometry tuning table — for each (bands, rows)
+    * config over the shared 64-perm signature: candidate pair count
+    * (the Σc(c−1)/2 cost `lsh_bucket_occupancy` bounds), how many
+    * candidates verify at τ = 0.5 exact Jaccard, and the resulting
+    * precision. This is the table an operator reads before RESIZING
+    * the banding at a new corpus — `lsh_bucket_occupancy` makes one
+    * config's cost observable; this makes the trade-off across
+    * configs observable. All counts are exact integers; precision is
+    * one guarded double division.
+    *
+    * Scale shape: ONE signature build (map-side scalar expression
+    * over the session-shared shingle frame) serves all three
+    * configs; each config adds a band-key equi-join (work ∝ its own
+    * collisions — the quantity being measured) and a
+    * candidates-only verification. Nothing corpus² anywhere.
+    */
+  def minhashBandTune(spark: SparkSession, dir: String): DataFrame = {
+    MinHashSig.register(spark)
+    val sig = shingleSets(spark, dir).select(col("doc_id"),
+      call_function("graft_minhash", col("sh")).as("sig"))
+    val hv = hashedSets(spark, dir)
+    val rows = BandConfigs.map { case (b, r) =>
+      val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          bd => concat_ws(",",
+            transform(slice(col("sig"), bd * r + 1, lit(r)),
+              h => h.cast("string")))))
+          .as(Seq("band", "bk")))
+      val cand = banded.toDF("i", "band_i", "bk")
+        .join(banded.toDF("j", "band_j", "bk2"),
+          col("band_i") === col("band_j") && col("bk") === col("bk2") &&
+            col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+        .cache()
+      graft.core.OwnedCaches.own(cand)
+      val jac = col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common"))
+      val nTrue = cand
+        .join(hv.toDF("i", "hv_i"), "i")
+        .join(hv.toDF("j", "hv_j"), "j")
+        .select(call_function("graft_sorted_intersect",
+            col("hv_i"), col("hv_j")).as("n_common"),
+          size(col("hv_i")).as("na"), size(col("hv_j")).as("nb"))
+        .filter(jac >= 0.5)
+        .agg(count(lit(1)).as("n_true"))
+      cand.agg(count(lit(1)).as("n_cand")).crossJoin(nTrue)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_cand").as("n_candidate_pairs"),
+          col("n_true").as("n_true_pairs"),
+          expr("CASE WHEN n_cand = 0 THEN CAST(0 AS DOUBLE) " +
+            "ELSE CAST(n_true AS DOUBLE) / CAST(n_cand AS DOUBLE) END")
+            .as("precision_at_tau"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("bands").desc)
+  }
+
+  lazy val minhashBandTuneSql: String = {
+    val P = MinHashSig.P
+    val mins = MinHashSig.permConsts.zipWithIndex.map { case ((a, b), p) =>
+      s"min(($a*h0+$b)%$P) AS m$p"
+    }.mkString(",\n    ")
+    def bandCtes(b: Int, r: Int): String = {
+      val bands = (0 until b).map { bd =>
+        val key = (0 until r).map(i => s"m${bd * r + i}::VARCHAR")
+          .mkString("||','||")
+        s"SELECT doc_id, $bd AS band, $key AS bk FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""band_$b AS (
+         |  $bands),
+         |cand_$b AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM band_$b a JOIN band_$b b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |ver_$b AS (SELECT count(*) AS n_true FROM (
+         |  SELECT len(list_intersect(sa.sd, sb.sd)) AS n_common,
+         |         len(sa.sd) AS na, len(sb.sd) AS nb
+         |  FROM cand_$b JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j)
+         |  WHERE CAST(n_common AS DOUBLE)/(na+nb-n_common) >= 0.5),
+         |row_$b AS (
+         |  SELECT CAST($b AS INTEGER) AS bands, CAST($r AS INTEGER) AS rows_per_band,
+         |    nc.n_cand AS n_candidate_pairs, CAST(v.n_true AS BIGINT) AS n_true_pairs,
+         |    CASE WHEN nc.n_cand = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(v.n_true AS DOUBLE) / CAST(nc.n_cand AS DOUBLE) END AS precision_at_tau
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand_$b) nc, ver_$b v)""".stripMargin
+    }
+    val configs = BandConfigs.map { case (b, r) => bandCtes(b, r) }.mkString(",\n")
+    val rows = BandConfigs.map { case (b, _) => s"SELECT * FROM row_$b" }
+      .mkString("\nUNION ALL ")
+    s"""WITH $ToksCte,
+       |$ShCte,
+       |ex AS (SELECT doc_id, unnest(sd) AS s FROM sh),
+       |hb AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % $P AS h0 FROM ex),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    $mins
+       |  FROM hb GROUP BY doc_id),
+       |$configs
+       |$rows
+       |ORDER BY bands DESC""".stripMargin
+  }
 }

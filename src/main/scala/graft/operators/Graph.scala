@@ -1240,4 +1240,76 @@ object Graph {
       |  s2_lv.nc AS n_comm_louvain, ${q("se_lv.se", "s2_lv.sd2")} AS q_louvain
       |FROM mm, se_cc, s2_cc, se_lv, s2_lv""".stripMargin
   }
+
+  // ---------------------------------------------------- degree_assortativity
+
+  /** Degree assortativity of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over the directed edge list
+    * (Newman's r): positive means hubs buy with hubs (assortative
+    * mixing), negative means hub-and-spoke catalogs. Moments
+    * (M, Σx, Σy, Σx², Σxy, Σy² over the 2m directed edges) are
+    * exact decimal sums; r combines the INDIVIDUALLY-double-cast
+    * moments in one shared IEEE expression (the `cuped_adjustment`
+    * convention — decimal cross-products silently fall to double in
+    * DuckDB past (38,0); ADVICE r11), so parity is structural while
+    * each moment < 2^53.
+    *
+    * Scale shape: two node-grain joins tag each directed edge with
+    * its endpoint degrees (E-sized, the louvain tagging shape), one
+    * 6-moment aggregate to a single row. Nothing beyond E ever
+    * shuffles.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val deg = und.select(col("p1").as("p"))
+      .union(und.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val dir2 = und.select(col("p1").as("i"), col("p2").as("j"))
+      .union(und.select(col("p2").as("i"), col("p1").as("j")))
+    val tagged = dir2
+      .join(deg.toDF("i", "dx"), "i")
+      .join(deg.toDF("j", "dy"), "j")
+    def s38(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val r = "(CAST(md AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / (sqrt(CAST(md AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+      " * sqrt(CAST(md AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    tagged.agg(count(lit(1)).as("md"),
+        s38(col("dx")).as("sx"), s38(col("dy")).as("sy"),
+        s38(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sxx"),
+        s38(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"),
+        s38(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("syy"))
+      .select(expr("CAST(md / 2 AS BIGINT)").as("n_edges"),
+        expr(r).as("assortativity"))
+  }
+
+  val degreeAssortativitySql: String =
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |deg AS (SELECT p, count(*) AS deg
+      |        FROM (SELECT p1 AS p FROM e0 UNION ALL SELECT p2 FROM e0)
+      |        GROUP BY p),
+      |d2 AS (SELECT p1 AS i, p2 AS j FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+      |t AS (
+      |  SELECT di.deg AS dx, dj.deg AS dy
+      |  FROM d2 JOIN deg di ON di.p = d2.i JOIN deg dj ON dj.p = d2.j),
+      |a AS (
+      |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS md,
+      |    sum(CAST(dx AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(dy AS DECIMAL(38,0))) AS sy,
+      |    sum(CAST(dx AS DECIMAL(38,0)) * dx) AS sxx,
+      |    sum(CAST(dx AS DECIMAL(38,0)) * dy) AS sxy,
+      |    sum(CAST(dy AS DECIMAL(38,0)) * dy) AS syy
+      |  FROM t)
+      |SELECT CAST(md / 2 AS BIGINT) AS n_edges,
+      |  (CAST(md AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(md AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * sqrt(CAST(md AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
+      |FROM a""".stripMargin
 }

@@ -457,4 +457,62 @@ object Incremental {
        |  CAST(min(d) AS VARCHAR) AS min_day, CAST(max(d) AS VARCHAR) AS max_day
        |FROM c GROUP BY 1
        |ORDER BY file_id""".stripMargin
+
+  // --------------------------------------------------------- late_dim_backfill
+
+  /** Late-arriving-dimension repair — the warehouse failure mode the
+    * reference's fact build guards with coalesce('-1') surrogate
+    * keys (`fact_sales_order.sql`'s 5-way coalesce join): fact rows
+    * land BEFORE their dimension row exists, take the unknown-member
+    * surrogate at load, and a later backfill pass re-joins them
+    * against the refreshed dimension. Simulated here with a
+    * deterministic late slice (every 10th customer's dim row arrives
+    * after the order load); the output is the repair ledger — facts
+    * loaded, facts that took '-1', facts the backfill repaired, and
+    * the residual unknown count (0 when the dimension caught up) —
+    * all exact integer counts plus one coverage division.
+    *
+    * Scale shape: two fact⋈dim equi-joins (the second over ONLY the
+    * '-1' slice — backfill work ∝ late rows, not fact volume) and
+    * count aggregates. Identical to the production MERGE-backfill
+    * plan shape.
+    */
+  def lateDimBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val early = dim.filter(col("c_custkey") % 10 =!= 0)
+    val facts = t.orders.select(col("o_orderkey"), col("o_custkey"))
+    val loaded = facts
+      .join(early, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("c_mktsegment"), lit("-1")).as("segment_at_load"))
+    val missing = loaded.filter(col("segment_at_load") === "-1")
+    val repaired = missing
+      .join(dim, col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_missing_at_load"),
+        sum(when(col("c_mktsegment").isNotNull, 1L).otherwise(0L)).as("n_repaired"))
+    loaded.agg(count(lit(1)).as("n_facts")).crossJoin(repaired)
+      .select(col("n_facts"), col("n_missing_at_load"), col("n_repaired"),
+        (col("n_missing_at_load") - col("n_repaired")).as("n_unresolved"),
+        expr("CAST(n_repaired AS DOUBLE) / CAST(n_missing_at_load AS DOUBLE)")
+          .as("repair_coverage"))
+  }
+
+  val lateDimBackfillSql: String =
+    """WITH early AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 != 0),
+      |loaded AS (
+      |  SELECT o.o_orderkey, o.o_custkey,
+      |    coalesce(e.c_mktsegment, '-1') AS segment_at_load
+      |  FROM orders o LEFT JOIN early e ON e.c_custkey = o.o_custkey),
+      |missing AS (SELECT * FROM loaded WHERE segment_at_load = '-1'),
+      |rep AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_missing_at_load,
+      |    CAST(sum(CASE WHEN c.c_mktsegment IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired
+      |  FROM missing m LEFT JOIN customer c ON c.c_custkey = m.o_custkey),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_facts FROM loaded)
+      |SELECT n_facts, n_missing_at_load, n_repaired,
+      |  n_missing_at_load - n_repaired AS n_unresolved,
+      |  CAST(n_repaired AS DOUBLE) / CAST(n_missing_at_load AS DOUBLE) AS repair_coverage
+      |FROM tot, rep""".stripMargin
 }

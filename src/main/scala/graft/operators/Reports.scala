@@ -2365,4 +2365,62 @@ object Reports {
       |  CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
       |  CAST(cum_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
       |FROM c ORDER BY n_lines""".stripMargin
+
+  // ------------------------------------------------------------ croston_demand
+
+  /** Croston-style intermittent-demand rate per part — the
+    * replenishment forecast for the `xyz_classification` Z class,
+    * where a plain monthly mean is mostly zeros and a trend line is
+    * meaningless: split the signal into mean NONZERO demand size and
+    * mean inter-demand interval, and forecast their ratio (the
+    * bias-free empirical variant of Croston's smoothing — means
+    * instead of EWMA states, so every number is one division of
+    * exact integers and parity is structural). Top 100 parts by
+    * rate: the intermittent movers worth stocking ahead.
+    *
+    * mean_interval = (last − first)/(k − 1) active months;
+    * croston_rate = (Σqty·(k−1)) / (k·(last − first)) — both single
+    * double divisions of exact sub-2^53 integer products.
+    *
+    * Scale shape: one partial-agg pass to the (part, month) grain,
+    * one to the part grain, a rank-k cut — the dim-build reduction;
+    * nothing line-item-sized survives the first shuffle.
+    */
+  def crostonDemand(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables(spark, dir).lineitem
+      .groupBy(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).as("m"))
+      .agg(sum(expr("CAST(l_quantity * 100 AS BIGINT)")).as("q_c"))
+    pm.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("k"), sum(col("q_c")).as("q_tot"),
+        min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .filter(col("k") >= 2)
+      .select(col("l_partkey").as("part_key"), col("k").as("n_active_months"),
+        expr("CAST(q_tot AS DOUBLE) / CAST(k AS DOUBLE) / CAST(100 AS DOUBLE)")
+          .as("mean_demand"),
+        expr("CAST(m1 - m0 AS DOUBLE) / CAST(k - 1 AS DOUBLE)")
+          .as("mean_interval_months"),
+        expr("CAST(q_tot * (k - 1) AS DOUBLE) / CAST(k * (m1 - m0) AS DOUBLE) / CAST(100 AS DOUBLE)")
+          .as("croston_rate"))
+      .orderBy(col("croston_rate").desc, col("part_key"))
+      .limit(100)
+  }
+
+  val crostonDemandSql: String =
+    """WITH pm AS (
+      |  SELECT l_partkey,
+      |    year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m,
+      |    CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS q_c
+      |  FROM lineitem GROUP BY 1, 2),
+      |st AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(q_c) AS BIGINT) AS q_tot,
+      |    min(m) AS m0, max(m) AS m1
+      |  FROM pm GROUP BY 1)
+      |SELECT l_partkey AS part_key, k AS n_active_months,
+      |  CAST(q_tot AS DOUBLE) / CAST(k AS DOUBLE) / CAST(100 AS DOUBLE) AS mean_demand,
+      |  CAST(m1 - m0 AS DOUBLE) / CAST(k - 1 AS DOUBLE) AS mean_interval_months,
+      |  CAST(q_tot * (k - 1) AS DOUBLE) / CAST(k * (m1 - m0) AS DOUBLE) / CAST(100 AS DOUBLE) AS croston_rate
+      |FROM st WHERE k >= 2
+      |ORDER BY croston_rate DESC, part_key LIMIT 100""".stripMargin
 }

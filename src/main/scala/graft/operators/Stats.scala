@@ -1899,4 +1899,184 @@ object Stats {
        |  $JackSeExpr AS jack_se
        |FROM tb""".stripMargin
   }
+
+  // ------------------------------------------------------------ cramers_v
+
+  /** Cramér's V effect size of the event-type × value-band
+    * association — `chi_square_profile` answers "is there ANY
+    * dependence"; this answers "how strong", normalized to [0, 1]
+    * so bands/types with different cardinalities compare. The χ²
+    * sum reuses the profile's order-free trick (each cell's
+    * contribution is one shared-text double division of exact
+    * integers, ROUNDED to 6 decimals and summed as DECIMAL(18,6) —
+    * exact addition, no float-summation-order dependence); V closes
+    * with one sqrt on shared text. Three value bands (vs the
+    * profile's two) give a 5×3 table, dof = (r−1)(c−1) = 8.
+    *
+    * Scale shape: one conditional-count partial-agg pass to the
+    * 15-cell contingency, windows over the 15-row frame, one final
+    * one-row aggregate — nothing event-sized after the first shuffle.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"),
+      when(col("value") >= 150.0, "high")
+        .when(col("value") >= 50.0, "mid").otherwise("low").as("band"))
+    val cells = ev.groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("o"))
+    val t = cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy("event_type")))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy("band")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("contrib", expr(ChiContribExpr))
+    t.agg(
+        sum(expr("CAST(round(contrib, 6) AS DECIMAL(18,6))")).as("chi2d"),
+        max(col("n")).as("nn"),
+        countDistinct(col("event_type")).as("rr"),
+        countDistinct(col("band")).as("cc"))
+      .select(col("nn").cast("long").as("n_events"),
+        col("rr").cast("long").as("n_rows"),
+        col("cc").cast("long").as("n_cols"),
+        expr("CAST((rr - 1) * (cc - 1) AS INTEGER)").as("dof"),
+        expr("CAST(chi2d AS DOUBLE)").as("chi2"),
+        expr("sqrt(CAST(chi2d AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(least(rr, cc) - 1 AS DOUBLE)))")
+          .as("cramers_v"))
+  }
+
+  val cramersVSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CASE WHEN value >= 150.0 THEN 'high'
+       |         WHEN value >= 50.0 THEN 'mid' ELSE 'low' END AS band
+       |  FROM events),
+       |cells AS (
+       |  SELECT event_type, band, count(*) AS o FROM e GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *,
+       |    sum(o) OVER (PARTITION BY event_type) AS r,
+       |    sum(o) OVER (PARTITION BY band) AS c,
+       |    sum(o) OVER () AS n
+       |  FROM cells),
+       |x AS (SELECT *, $ChiContribExpr AS contrib FROM t),
+       |a AS (
+       |  SELECT sum(CAST(round(contrib, 6) AS DECIMAL(18,6))) AS chi2d,
+       |    CAST(max(n) AS BIGINT) AS nn,
+       |    CAST(count(DISTINCT event_type) AS BIGINT) AS rr,
+       |    CAST(count(DISTINCT band) AS BIGINT) AS cc
+       |  FROM x)
+       |SELECT nn AS n_events, rr AS n_rows, cc AS n_cols,
+       |  CAST((rr - 1) * (cc - 1) AS INTEGER) AS dof,
+       |  CAST(chi2d AS DOUBLE) AS chi2,
+       |  sqrt(CAST(chi2d AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(least(rr, cc) - 1 AS DOUBLE))) AS cramers_v
+       |FROM a""".stripMargin
+
+  // --------------------------------------------------------- poisson_rate_test
+
+  /** Pairwise Poisson rate comparison across event types — "does
+    * type A genuinely fire more often than type B, or is the gap
+    * arrival noise": for each ordered type pair over the SAME
+    * exposure window, the conditional test (under H₀ equal rates,
+    * k_a | k_a + k_b is Binomial(n, ½)) gives z = (k_a − k_b) /
+    * √(k_a + k_b) — exact integer counts, one shared-text sqrt, so
+    * parity is structural. The rate ratio rides along as one double
+    * division. The monitoring companion of `fano_burstiness` (that
+    * scores WITHIN-type burstiness; this compares BETWEEN types).
+    *
+    * Scale shape: one count-by-type partial-agg pass (5 rows), a
+    * broadcast self-join of the 5-row frame (≤ types² pairs), no
+    * event-sized state after the first shuffle.
+    */
+  def poissonRateTest(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).events
+      .groupBy(col("event_type")).agg(count(lit(1)).as("k"))
+    val a = counts.select(col("event_type").as("type_a"), col("k").as("k_a"))
+    val b = counts.select(col("event_type").as("type_b"), col("k").as("k_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("k_a"), col("k_b"),
+        expr("CAST(k_a AS DOUBLE) / CAST(k_b AS DOUBLE)").as("rate_ratio"),
+        expr("CAST(k_a - k_b AS DOUBLE) / sqrt(CAST(k_a + k_b AS DOUBLE))").as("z"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val poissonRateTestSql: String =
+    """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k FROM events GROUP BY 1)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  a.k AS k_a, b.k AS k_b,
+      |  CAST(a.k AS DOUBLE) / CAST(b.k AS DOUBLE) AS rate_ratio,
+      |  CAST(a.k - b.k AS DOUBLE) / sqrt(CAST(a.k + b.k AS DOUBLE)) AS z
+      |FROM c a JOIN c b ON a.event_type < b.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ---------------------------------------------------------- bollinger_bands
+
+  private val BollWin = 6
+
+  /** Full shared-text band arithmetic: mid/sd come from EXACT rolling
+    * integer moments (Σy, Σy² in cents over the [[BollWin]]-month
+    * frame), each cast to DOUBLE individually before any product
+    * (the `cuped_adjustment` convention), so mid, sd, both bands and
+    * the breakout comparison are the same IEEE bits on both engines.
+    */
+  private val BollMid =
+    "CAST(sy AS DOUBLE) / CAST(w AS DOUBLE) / CAST(100 AS DOUBLE)"
+  private val BollSd =
+    "sqrt(CAST(w AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / CAST(w AS DOUBLE) / CAST(100 AS DOUBLE)"
+
+  /** Bollinger bands over monthly region revenue: rolling
+    * [[BollWin]]-month mean ± 2σ with a breakout flag — the
+    * volatility-banded cousin of `anomaly_rolling` (that one z-scores
+    * a point against a trailing window; this materializes the bands
+    * themselves, the form dashboards chart and alerting thresholds
+    * read). Population σ over the window, derived from exact rolling
+    * integer moments — see [[BollSd]]; windows shorter than
+    * [[BollWin]] months are left out (the standard warm-up cut).
+    *
+    * Scale shape: one partial-agg pass to the region×month frame,
+    * then per-region ordered windows over a calendar-bounded series —
+    * the `ewma_revenue` shape exactly.
+    */
+  def bollingerBands(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = regionMonthly(spark, dir)
+    val w = Window.partitionBy("region_name").orderBy("m")
+      .rowsBetween(-(BollWin - 1), 0)
+    val bands = monthly
+      .withColumn("w", count(lit(1)).over(w))
+      .withColumn("sy", sum(col("rev_c").cast("decimal(38,0)")).over(w))
+      .withColumn("syy", sum(expr("CAST(rev_c AS DECIMAL(38,0)) * rev_c")).over(w))
+      .filter(col("w") === BollWin)
+    bands.select(col("region_name"),
+        (col("m") / 12).cast("int").as("yr"), (col("m") % 12 + 1).cast("int").as("mo"),
+        expr("CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("revenue"),
+        expr(BollMid).as("mid"),
+        expr(s"$BollMid - 2 * ($BollSd)").as("lower_band"),
+        expr(s"$BollMid + 2 * ($BollSd)").as("upper_band"),
+        expr(("CAST(CASE WHEN CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) > %s THEN 1 " +
+          "WHEN CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) < %s THEN -1 ELSE 0 END AS INTEGER)")
+          .format(s"$BollMid + 2 * ($BollSd)", s"$BollMid - 2 * ($BollSd)"))
+          .as("breakout"))
+      .orderBy("region_name", "yr", "mo")
+  }
+
+  val bollingerBandsSql: String =
+    s"""WITH monthly AS (
+       |$RegionMonthlySqlCte),
+       |r AS (
+       |  SELECT region_name, m, rev_c,
+       |    count(*) OVER win AS w,
+       |    sum(CAST(rev_c AS DECIMAL(38,0))) OVER win AS sy,
+       |    sum(CAST(rev_c AS DECIMAL(38,0)) * rev_c) OVER win AS syy
+       |  FROM monthly
+       |  WINDOW win AS (PARTITION BY region_name ORDER BY m
+       |                 ROWS BETWEEN ${BollWin - 1} PRECEDING AND CURRENT ROW))
+       |SELECT region_name,
+       |  CAST(m // 12 AS INTEGER) AS yr, CAST(m % 12 + 1 AS INTEGER) AS mo,
+       |  CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+       |  $BollMid AS mid,
+       |  $BollMid - 2 * ($BollSd) AS lower_band,
+       |  $BollMid + 2 * ($BollSd) AS upper_band,
+       |  CAST(CASE WHEN CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) > $BollMid + 2 * ($BollSd) THEN 1
+       |       WHEN CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) < $BollMid - 2 * ($BollSd) THEN -1
+       |       ELSE 0 END AS INTEGER) AS breakout
+       |FROM r WHERE w = $BollWin
+       |ORDER BY region_name, yr, mo""".stripMargin
 }

@@ -1204,4 +1204,92 @@ object TextAnalysis {
       |    / CAST(count(*) AS DOUBLE) AS hapax_ratio
       |FROM terms GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------- langid_confusion
+
+  /** Confusion matrix of the n-gram language detector against the
+    * corpus's labeled language — the eval every curation pipeline
+    * runs before TRUSTING `text_langid` to route documents (its
+    * per-doc scores say what was predicted; this says where the
+    * detector is wrong, per true language). Cells carry the count,
+    * the per-labeled-language share (row-normalized recall), and the
+    * overall accuracy repeated per row — all integer counts and two
+    * shared-text double divisions.
+    *
+    * Scale shape: the detector is map-only; the matrix is a ≤langs²
+    * aggregate with windows over that tiny frame. Eval cost never
+    * scales past the label cardinality after the first shuffle.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val p = textLangId(spark, dir).select(col("labeled_lang"), col("pred_lang"))
+    val cells = p.groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_labeled",
+        sum(col("n")).over(Window.partitionBy("labeled_lang")))
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("n_correct",
+        sum(when(col("labeled_lang") === col("pred_lang"), col("n"))
+          .otherwise(0L)).over(Window.partitionBy()))
+      .select(col("labeled_lang"), col("pred_lang"), col("n"),
+        expr("CAST(n AS DOUBLE) / CAST(n_labeled AS DOUBLE)").as("row_share"),
+        expr("CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE)").as("overall_accuracy"))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
+  lazy val langidConfusionSql: String =
+    s"""WITH pred AS ($textLangIdSql),
+       |cells AS (
+       |  SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *,
+       |    sum(n) OVER (PARTITION BY labeled_lang) AS n_labeled,
+       |    sum(n) OVER () AS n_total,
+       |    sum(CASE WHEN labeled_lang = pred_lang THEN n ELSE 0 END) OVER () AS n_correct
+       |  FROM cells)
+       |SELECT labeled_lang, pred_lang, n,
+       |  CAST(n AS DOUBLE) / CAST(n_labeled AS DOUBLE) AS row_share,
+       |  CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE) AS overall_accuracy
+       |FROM t ORDER BY labeled_lang, pred_lang""".stripMargin
+
+  // -------------------------------------------------------- tokenizer_fertility
+
+  /** Tokenizer fertility (chars per token) by language and source —
+    * the budgeting number BPE planning reads: a language whose
+    * fertility is high under the current tokenization burns more
+    * context window per character, and a source whose fertility
+    * deviates from its language's norm is markup- or noise-heavy.
+    * Tokens are the `text_tokencount` BPE-ish regex on lowered text;
+    * chars are raw lengths — totals are exact integers, fertility is
+    * one shared-text double division.
+    *
+    * Scale shape: map-only token/char counts, one partial-agg pass
+    * to the (lang, source) grain — nothing document-sized shuffles.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+    Tables(spark, dir).documents
+      .select(col("lang"), col("source"), length(col("text")).as("chars"),
+        toks.as("toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars").cast("long")).as("total_chars"),
+        sum(col("toks").cast("long")).as("total_tokens"))
+      .withColumn("fertility",
+        expr("CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)"))
+      .orderBy("lang", "source")
+  }
+
+  val tokenizerFertilitySql: String =
+    """WITH t AS (
+      |  SELECT lang, source, CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks
+      |  FROM documents)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  CAST(sum(chars) AS DOUBLE) / CAST(sum(toks) AS DOUBLE) AS fertility
+      |FROM t GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 }
