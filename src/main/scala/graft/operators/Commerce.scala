@@ -1071,4 +1071,82 @@ object Commerce {
        |  CAST(sum(spend_c) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_spend
        |FROM k GROUP BY bucket
        |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------- time_decay_attribution
+
+  /** Time-decay multi-touch attribution — `attribution_linear`'s
+    * credit split with recency weighting: a touch w days before the
+    * purchase earns weight 64 >> min(w, 6) (64, 32, …, 1 — the
+    * halving-per-day kernel on an exact integer grid, so weights,
+    * their sums, and every share stay engine-exact; an exp(−λt)
+    * kernel would put a non-portable exp() in the hot path for the
+    * same ranking). Purchases whose user has NO in-window touch keep
+    * full value under 'unattributed' — the same leak-proof left-join
+    * band as the linear variant.
+    *
+    * Scale shape: identical to `attribution_linear` — the time band
+    * lives in the user-keyed join, per-conversion weight sums are
+    * window aggregates on the conversion grain, and the final rollup
+    * is ≤channels rows.
+    */
+  def timeDecayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = AttribWindowDays * 86400000000L
+    val ev = Tables(spark, dir).events
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us").as("p_us"),
+        (money(col("value")) * 100).cast("long").as("rev_c"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_uid"), col("ts_us").as("t_us"), col("event_type"))
+    val weighted = conv.join(touch,
+        col("user_id") === col("t_uid") &&
+          col("t_us") <= col("p_us") && col("t_us") >= col("p_us") - windowUs,
+        "left")
+      .withColumn("w", when(col("t_us").isNull, lit(0L)).otherwise(
+        expr("shiftright(CAST(64 AS BIGINT), CAST(least((p_us - t_us) DIV 86400000000, 6) AS INT))")))
+      .groupBy(col("event_id"), col("rev_c"), col("event_type"))
+      .agg(sum(col("w")).as("sw"))
+    val perConv = weighted
+      .withColumn("k", sum(col("sw")).over(Window.partitionBy("event_id")))
+    perConv
+      .select(
+        when(col("k") === 0, lit("unattributed"))
+          .otherwise(col("event_type")).as("channel"),
+        when(col("k") === 0, col("rev_c").cast("double"))
+          .otherwise(expr(
+            "round(CAST(CAST(rev_c AS DECIMAL(38,0)) * sw AS DOUBLE) / CAST(k AS DOUBLE), 6)"))
+          .as("share_c"))
+      .groupBy(col("channel"))
+      .agg(expr("CAST(sum(CAST(share_c AS DECIMAL(28,6))) AS DOUBLE)").as("rev_cents"))
+      .select(col("channel"),
+        expr("rev_cents / CAST(100 AS DOUBLE)").as("attributed_revenue"))
+      .orderBy("channel")
+  }
+
+  val timeDecayAttributionSql: String = {
+    val windowUs = AttribWindowDays * 86400000000L
+    s"""WITH c AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS p_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id AS t_uid, epoch_us(ts) AS t_us, event_type
+      |      FROM events WHERE event_type <> 'purchase'),
+      |wt AS (
+      |  SELECT c.event_id, c.rev_c, t.event_type,
+      |    CAST(sum(CASE WHEN t.t_us IS NULL THEN 0
+      |      ELSE 64 >> least((c.p_us - t.t_us) // 86400000000, 6) END) AS BIGINT) AS sw
+      |  FROM c LEFT JOIN t ON t.t_uid = c.user_id
+      |    AND t.t_us <= c.p_us AND t.t_us >= c.p_us - $windowUs
+      |  GROUP BY 1, 2, 3),
+      |pc AS (
+      |  SELECT *, sum(sw) OVER (PARTITION BY event_id) AS k FROM wt),
+      |sh AS (
+      |  SELECT CASE WHEN k = 0 THEN 'unattributed' ELSE event_type END AS channel,
+      |    CASE WHEN k = 0 THEN CAST(rev_c AS DOUBLE)
+      |         ELSE round(CAST(CAST(rev_c AS DECIMAL(38,0)) * sw AS DOUBLE) / CAST(k AS DOUBLE), 6)
+      |    END AS share_c
+      |  FROM pc)
+      |SELECT channel,
+      |  CAST(sum(CAST(share_c AS DECIMAL(28,6))) AS DOUBLE) / CAST(100 AS DOUBLE) AS attributed_revenue
+      |FROM sh GROUP BY channel ORDER BY channel""".stripMargin
+  }
 }

@@ -2423,4 +2423,94 @@ object Reports {
       |  CAST(q_tot * (k - 1) AS DOUBLE) / CAST(k * (m1 - m0) AS DOUBLE) / CAST(100 AS DOUBLE) AS croston_rate
       |FROM st WHERE k >= 2
       |ORDER BY croston_rate DESC, part_key LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------ abc_xyz_matrix
+
+  /** The ABC × XYZ planning matrix — `abc_classification` (value
+    * rank) crossed with `xyz_classification` (demand variability) at
+    * part grain, rolled to the 9-cell policy grid every inventory
+    * planner works from (AX = automate replenishment, CZ = make to
+    * order). Each cell: part count, revenue, revenue share. Both
+    * classifications re-derive their exact part-grain builds (integer
+    * cum-share edges, the shared [[XyzCvExpr]]); the join is
+    * key-aligned by construction (both sides derive from the same
+    * lineitem part set).
+    *
+    * Scale shape: two part-grain aggregates off one lineitem pass
+    * each, a part-grain equi-join, a 9-row rollup. The global ABC
+    * rank window is the `histogram_equidepth` range-partitioned sort
+    * at 100 TB.
+    */
+  def abcXyzMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .groupBy(col("l_partkey"))
+      .agg((sum(money(col("l_extendedprice")) *
+        (lit(1) - money(col("l_discount")))) * 10000).cast("long").as("rev_c"))
+    val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("rev_c")).cast("decimal(38,0)").as("total_c"))
+    val abc = rev.crossJoin(broadcast(tot))
+      .withColumn("cum_c", sum(col("rev_c").cast("decimal(38,0)")).over(w))
+      .select(col("l_partkey"), col("rev_c"),
+        expr("CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A' " +
+          "WHEN cum_c * 100 <= total_c * 95 THEN 'B' ELSE 'C' END").as("abc_class"))
+    val li = t.lineitem
+      .select(col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").as("m"),
+        expr("CAST(l_quantity * 100 AS BIGINT)").as("q"))
+    val months = li.agg(countDistinct(col("m")).cast("decimal(38,0)").as("mm"))
+    val xyz = li.groupBy(col("l_partkey"), col("m"))
+      .agg(sum(col("q")).as("y"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .crossJoin(broadcast(months))
+      .withColumn("cv", expr(XyzCvExpr))
+      .select(col("l_partkey").as("xp"), expr(XyzClassExpr).as("xyz_class"))
+    abc.join(xyz, col("l_partkey") === col("xp"))
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_c").cast("decimal(38,0)")).as("cell_c"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+        expr("CAST(cell_c AS DOUBLE) / CAST(10000 AS DOUBLE)").as("revenue"),
+        expr("CAST(cell_c AS DOUBLE) / CAST(total_c AS DOUBLE)").as("revenue_share"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
+  val abcXyzMatrixSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_partkey,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS rev_c
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(rev_c) AS DECIMAL(38,0)) AS total_c FROM rev),
+       |abc AS (
+       |  SELECT l_partkey, rev_c,
+       |    CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+       |         WHEN cum_c * 100 <= total_c * 95 THEN 'B' ELSE 'C' END AS abc_class
+       |  FROM (SELECT l_partkey, rev_c, total_c,
+       |          sum(CAST(rev_c AS DECIMAL(38,0))) OVER (ORDER BY rev_c DESC, l_partkey
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+       |        FROM rev, t)),
+       |li AS (
+       |  SELECT l_partkey,
+       |    year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE)) - 1 AS m,
+       |    CAST(l_quantity * 100 AS BIGINT) AS q
+       |  FROM lineitem),
+       |mc AS (SELECT CAST(count(DISTINCT m) AS DECIMAL(38,0)) AS mm FROM li),
+       |pm AS (SELECT l_partkey, m, CAST(sum(q) AS BIGINT) AS y FROM li GROUP BY 1, 2),
+       |xyz AS (
+       |  SELECT l_partkey AS xp, $XyzClassExpr AS xyz_class
+       |  FROM (SELECT l_partkey, $XyzCvExpr AS cv
+       |        FROM (SELECT l_partkey,
+       |                sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |                sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+       |              FROM pm GROUP BY 1), mc))
+       |SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+       |  CAST(sum(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+       |  CAST(sum(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) / CAST((SELECT total_c FROM t) AS DOUBLE) AS revenue_share
+       |FROM abc JOIN xyz ON xyz.xp = abc.l_partkey
+       |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin
 }

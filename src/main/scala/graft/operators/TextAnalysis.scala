@@ -1292,4 +1292,60 @@ object TextAnalysis {
       |  CAST(sum(toks) AS BIGINT) AS total_tokens,
       |  CAST(sum(chars) AS DOUBLE) / CAST(sum(toks) AS DOUBLE) AS fertility
       |FROM t GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------- token_window_histogram
+
+  /** Context-window packing histogram: documents bucketed by BPE-ish
+    * token count into power-of-two context classes (≤16 … >512),
+    * with per-bucket doc counts, token mass, and CUMULATIVE doc
+    * share — the planning table `sequence_pack` consumes (what share
+    * of the corpus fits a 512 window, how much token mass the long
+    * tail carries). Bucket edges are integer comparisons in one
+    * shared CASE ladder; shares are single double divisions; the
+    * cumulative sum runs over the ≤8-row bucket frame.
+    *
+    * Scale shape: map-only token counts, one partial-agg pass to the
+    * bucket grain, windows over ≤8 rows. Nothing document-sized
+    * shuffles.
+    */
+  def tokenWindowHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    val bucketCase =
+      "CASE WHEN t <= 16 THEN 16 WHEN t <= 32 THEN 32 " +
+        "WHEN t <= 64 THEN 64 WHEN t <= 128 THEN 128 " +
+        "WHEN t <= 256 THEN 256 WHEN t <= 512 THEN 512 ELSE 1024 END"
+    val d = Tables(spark, dir).documents.select(toks.as("t"))
+      .select(col("t"), expr(bucketCase).as("window_bucket"))
+    val b = d.groupBy(col("window_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("total_tokens"))
+    val w = Window.orderBy("window_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("all_docs", sum(col("n_docs")).over(Window.partitionBy()))
+      .select(col("window_bucket").cast("int").as("window_bucket"),
+        col("n_docs"), col("total_tokens"),
+        expr("CAST(cum_docs AS DOUBLE) / CAST(all_docs AS DOUBLE)").as("cum_doc_share"))
+      .orderBy("window_bucket")
+  }
+
+  val tokenWindowHistogramSql: String =
+    """WITH d AS (
+      |  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS t
+      |  FROM documents),
+      |x AS (
+      |  SELECT t,
+      |    CASE WHEN t <= 16 THEN 16 WHEN t <= 32 THEN 32
+      |         WHEN t <= 64 THEN 64 WHEN t <= 128 THEN 128
+      |         WHEN t <= 256 THEN 256 WHEN t <= 512 THEN 512 ELSE 1024 END AS window_bucket
+      |  FROM d),
+      |b AS (
+      |  SELECT window_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(t) AS BIGINT) AS total_tokens
+      |  FROM x GROUP BY 1)
+      |SELECT CAST(window_bucket AS INTEGER) AS window_bucket, n_docs, total_tokens,
+      |  CAST(sum(n_docs) OVER (ORDER BY window_bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(sum(n_docs) OVER () AS DOUBLE) AS cum_doc_share
+      |FROM b ORDER BY window_bucket""".stripMargin
 }
