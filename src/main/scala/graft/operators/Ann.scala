@@ -1421,6 +1421,87 @@ object Ann {
        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------- hard_negative_pairs
+
+  private val HardNegK = 3
+
+  /** Hard-negative mining for contrastive training: per query
+    * vector, the [[HardNegK]] most-similar vectors carrying a
+    * DIFFERENT label — the near-miss examples a two-tower /
+    * embedding model learns the most from (random negatives are
+    * trivially separable; these sit at the decision boundary).
+    * Candidates come from the IVF probe join (the `ann_ivf_topk`
+    * bound — mining cost is the candidate volume, never corpus²);
+    * the label inequality lives IN the join, so scoring happens only
+    * on cross-label pairs (filter-then-score, the
+    * `ann_filtered_topk` discipline inverted). Quantized-cosine
+    * scores keep the ranking bit-reproducible.
+    */
+  def hardNegativePairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    val labels = e.select(col("vec_id"), col("label"))
+    val cand = ivfCandidates(spark, dir, NProbe)
+      .join(labels.toDF("query_id", "q_label"), "query_id")
+      .join(labels.toDF("neighbor_id", "c_label"), "neighbor_id")
+      .filter(col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("neighbor_id"), col("c_label"))
+    val q6 = withQ6Norm(e, "uid", "u", "nrm")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .join(broadcast(q6.toDF("query_id", "q_emb", "q_n")), "query_id")
+      .join(q6.toDF("neighbor_id", "c_emb", "c_n"), "neighbor_id")
+      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("c_label").as("negative_label"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  lazy val hardNegativePairsSql: String =
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(generate_subscripts(embedding,1) - 1 AS INTEGER) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, d, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |  FROM ex GROUP BY label, d),
+       |cy AS (SELECT label, sqrt(CAST(sum(cv*cv) AS DOUBLE)) AS cnorm FROM cent GROUP BY label),
+       |scores AS (
+       |  SELECT e.vec_id, c.label AS cell,
+       |         CAST(sum(e.qv * c.cv) AS DOUBLE) / any_value(cy.cnorm) AS score
+       |  FROM ex e JOIN cent c ON c.d = e.d JOIN cy ON cy.label = c.label
+       |  GROUP BY e.vec_id, c.label),
+       |ranked AS (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS cell_rank
+       |  FROM scores),
+       |assigned AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cell_rank = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE cell_rank <= $NProbe AND vec_id < $NumQueries),
+       |lv AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id, lc.label AS c_label
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  JOIN lv lq ON lq.vec_id = p.query_id
+       |  JOIN lv lc ON lc.vec_id = a.neighbor_id
+       |  WHERE a.neighbor_id != p.query_id AND lq.label != lc.label),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
+       |sims AS (SELECT c.query_id, c.neighbor_id, any_value(c.c_label) AS c_label,
+       |           CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS sim
+       |         FROM cand c
+       |           JOIN ex a ON a.vec_id = c.query_id
+       |           JOIN ex b ON b.vec_id = c.neighbor_id AND b.d = a.d
+       |           JOIN nrm na ON na.vec_id = c.query_id
+       |           JOIN nrm nb ON nb.vec_id = c.neighbor_id
+       |         GROUP BY c.query_id, c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, c_label,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM sims)
+       |SELECT query_id, neighbor_id, c_label AS negative_label,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= $HardNegK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------- ann_frontier_eval
 
   /** Recall/cost frontier across the three candidate-bounding

@@ -364,4 +364,72 @@ object Features {
        |  $SmoothedRateExpr AS smoothed_rate
        |FROM pb, t
        |ORDER BY brand""".stripMargin
+
+  // ---------------------------------------------------- negative_sampling_pairs
+
+  private val NegPerCustomer = 3
+  private val NegSampleMod = 50
+
+  /** Contrastive training pairs for a recommender: per sampled
+    * customer, every PURCHASED brand as a positive and
+    * [[NegPerCustomer]] deterministic non-purchased brands as
+    * negatives — the negative-sampling step every two-tower /
+    * matrix-factorization training set needs, with the md5 hash ring
+    * replacing RNG so the sample is reproducible run-to-run and
+    * engine-to-engine (the `train_test_split` discipline). Negatives
+    * rank by md5(custkey:brand) AFTER an anti-join on the positives,
+    * so label leakage is structurally impossible.
+    *
+    * Scale shape: positives partial-aggregate to the (customer,
+    * brand) grain; the candidate frame is sampled-customers × brand
+    * DICTIONARY (bounded by the catalog's brand count, never by fact
+    * volume); the per-customer top-k is a rank window on that
+    * bounded frame.
+    */
+  def negativeSamplingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sampled = t.customer.filter(col("c_custkey") % NegSampleMod === 0)
+      .select(col("c_custkey"))
+    val pos = t.orders.join(sampled, col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("c_custkey"), col("p_brand")).distinct()
+    val brands = t.part.select(col("p_brand")).distinct()
+    val cand = sampled.crossJoin(broadcast(brands))
+      .join(pos, Seq("c_custkey", "p_brand"), "left_anti")
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(concat(CAST(c_custkey AS STRING), ':', p_brand)), 1, 8), 16, 10) AS BIGINT)"))
+    val w = Window.partitionBy("c_custkey").orderBy(col("h"), col("p_brand"))
+    val neg = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NegPerCustomer)
+      .select(col("c_custkey"), col("p_brand"), lit(0).as("label"))
+    pos.select(col("c_custkey"), col("p_brand"), lit(1).as("label"))
+      .unionByName(neg)
+      .orderBy("c_custkey", "label", "p_brand")
+  }
+
+  val negativeSamplingPairsSql: String =
+    s"""WITH sampled AS (
+       |  SELECT c_custkey FROM customer WHERE c_custkey % $NegSampleMod = 0),
+       |pos AS (
+       |  SELECT DISTINCT s.c_custkey, p.p_brand
+       |  FROM sampled s
+       |  JOIN orders o ON o.o_custkey = s.c_custkey
+       |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  JOIN part p ON p.p_partkey = l.l_partkey),
+       |brands AS (SELECT DISTINCT p_brand FROM part),
+       |cand AS (
+       |  SELECT s.c_custkey, b.p_brand,
+       |    ('0x' || substr(md5(CAST(s.c_custkey AS VARCHAR) || ':' || b.p_brand), 1, 8))::BIGINT AS h
+       |  FROM sampled s CROSS JOIN brands b
+       |  ANTI JOIN pos ON pos.c_custkey = s.c_custkey AND pos.p_brand = b.p_brand),
+       |neg AS (
+       |  SELECT c_custkey, p_brand, CAST(0 AS INTEGER) AS label
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY h, p_brand) AS rn
+       |        FROM cand)
+       |  WHERE rn <= $NegPerCustomer)
+       |SELECT c_custkey, p_brand, CAST(1 AS INTEGER) AS label FROM pos
+       |UNION ALL SELECT * FROM neg
+       |ORDER BY c_custkey, label, p_brand""".stripMargin
 }

@@ -2442,37 +2442,43 @@ object Reports {
     * at 100 TB.
     */
   def abcXyzMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val rev = t.lineitem
-      .groupBy(col("l_partkey"))
-      .agg((sum(money(col("l_extendedprice")) *
-        (lit(1) - money(col("l_discount")))) * 10000).cast("long").as("rev_c"))
+    // ONE lineitem scan: both classifications partial-aggregate to
+    // the (part, month) grain first — revenue decimal sums associate
+    // exactly, so summing month slices to the part grain is
+    // bit-identical to a direct part-grain pass (the abc build), and
+    // the XYZ moments need the month grain anyway. A second scan
+    // would re-read the fact table for numbers this frame already
+    // carries. pm is cached for its three consumers (months scalar,
+    // part-grain rollup; released by the harness).
+    val pm = Tables(spark, dir).lineitem
+      .groupBy(col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").as("m"))
+      .agg(sum(expr("CAST(l_quantity * 100 AS BIGINT)")).as("y"),
+        sum(money(col("l_extendedprice")) *
+          (lit(1) - money(col("l_discount")))).as("rev_m"))
+      .cache()
+    graft.core.OwnedCaches.own(pm)
+    val months = pm.agg(countDistinct(col("m")).cast("decimal(38,0)").as("mm"))
+    val perPart = pm.groupBy(col("l_partkey"))
+      .agg((sum(col("rev_m")) * 10000).cast("long").as("rev_c"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
     val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = rev.agg(sum(col("rev_c")).cast("decimal(38,0)").as("total_c"))
-    val abc = rev.crossJoin(broadcast(tot))
-      .withColumn("cum_c", sum(col("rev_c").cast("decimal(38,0)")).over(w))
-      .select(col("l_partkey"), col("rev_c"),
-        expr("CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A' " +
-          "WHEN cum_c * 100 <= total_c * 95 THEN 'B' ELSE 'C' END").as("abc_class"))
-    val li = t.lineitem
-      .select(col("l_partkey"),
-        expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").as("m"),
-        expr("CAST(l_quantity * 100 AS BIGINT)").as("q"))
-    val months = li.agg(countDistinct(col("m")).cast("decimal(38,0)").as("mm"))
-    val xyz = li.groupBy(col("l_partkey"), col("m"))
-      .agg(sum(col("q")).as("y"))
-      .groupBy(col("l_partkey"))
-      .agg(sum(col("y").cast("decimal(38,0)")).as("sy"),
-        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    val tot = perPart.agg(sum(col("rev_c")).cast("decimal(38,0)").as("total_c"))
+    perPart
       .crossJoin(broadcast(months))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_c", sum(col("rev_c").cast("decimal(38,0)")).over(w))
+      .withColumn("abc_class",
+        expr("CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A' " +
+          "WHEN cum_c * 100 <= total_c * 95 THEN 'B' ELSE 'C' END"))
       .withColumn("cv", expr(XyzCvExpr))
-      .select(col("l_partkey").as("xp"), expr(XyzClassExpr).as("xyz_class"))
-    abc.join(xyz, col("l_partkey") === col("xp"))
+      .withColumn("xyz_class", expr(XyzClassExpr))
       .groupBy(col("abc_class"), col("xyz_class"))
       .agg(count(lit(1)).as("n_parts"),
-        sum(col("rev_c").cast("decimal(38,0)")).as("cell_c"))
-      .crossJoin(broadcast(tot))
+        sum(col("rev_c").cast("decimal(38,0)")).as("cell_c"),
+        max(col("total_c")).as("total_c"))
       .select(col("abc_class"), col("xyz_class"), col("n_parts"),
         expr("CAST(cell_c AS DOUBLE) / CAST(10000 AS DOUBLE)").as("revenue"),
         expr("CAST(cell_c AS DOUBLE) / CAST(total_c AS DOUBLE)").as("revenue_share"))

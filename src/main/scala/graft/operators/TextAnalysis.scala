@@ -1348,4 +1348,56 @@ object TextAnalysis {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    / CAST(sum(n_docs) OVER () AS DOUBLE) AS cum_doc_share
       |FROM b ORDER BY window_bucket""".stripMargin
+
+  // --------------------------------------------------- training_shard_manifest
+
+  private val NumShards = 8
+
+  /** Training-shard manifest: every document deterministically
+    * assigned to one of [[NumShards]] shards by md5(doc_id) — the
+    * dataset-prep step that writes the shard listing a training job
+    * consumes — with the balance audit per shard (doc count, token
+    * mass, share of tokens, doc-id range). Hash sharding beats
+    * range sharding here because adjacent doc ids are crawl
+    * neighbors (same feed, correlated length); the manifest IS the
+    * evidence the shards came out balanced. All counts exact; one
+    * share division.
+    *
+    * Scale shape: map-only hash + token count, one partial-agg pass
+    * to the [[NumShards]]-row manifest.
+    */
+  def trainingShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("t"),
+        expr(s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $NumShards")
+          .as("shard"))
+    val b = d.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+    b.withColumn("all_tokens",
+        sum(col("total_tokens")).over(Window.partitionBy()))
+      .select(col("shard").cast("int").as("shard"), col("n_docs"),
+        col("total_tokens"), col("min_doc_id"), col("max_doc_id"),
+        expr("CAST(total_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE)")
+          .as("token_share"))
+      .orderBy("shard")
+  }
+
+  val trainingShardManifestSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS t,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $NumShards AS shard
+       |  FROM documents),
+       |b AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(t) AS BIGINT) AS total_tokens,
+       |    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |  FROM d GROUP BY 1)
+       |SELECT CAST(shard AS INTEGER) AS shard, n_docs, total_tokens,
+       |  min_doc_id, max_doc_id,
+       |  CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE) AS token_share
+       |FROM b ORDER BY shard""".stripMargin
 }
