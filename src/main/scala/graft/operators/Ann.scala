@@ -1666,4 +1666,74 @@ object Ann {
        |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
        |FROM j GROUP BY query_id
        |ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------------------ embedding_norm_profile
+
+  /** Embedding norm health profile per label — the first thing to
+    * chart when an embedding feed degrades (collapsed encoders emit
+    * near-zero norms; un-normalized mixes show bimodal norms):
+    * count, min/max/median/mean of the SQUARED L2 norm on the
+    * milli-unit integer grid (⌊v·10³⌋ keeps every squared norm an
+    * exact sub-2^53 integer, so min/max/median are integer order
+    * statistics and the mean is one exact division — no float sum
+    * anywhere, the parity ledger's safe zone; a variance column
+    * would need Σ(norm²)² ≫ 2^53 and is deliberately left out).
+    * Median = explicit (min+max)/2 middle order statistics, the
+    * `embedding_median_centroid` convention.
+    *
+    * Scale shape: map-only per-vector norm (one row per vector into
+    * the shuffle), label-grain aggregate + rank window on the
+    * per-label frame.
+    */
+  def embeddingNormProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    // the squared norm is the codegen'd DotProduct of the quantized
+    // vector with itself — exact integer arithmetic in double space
+    // (each term < 2^53), never an interpreted lambda in the hot path
+    val n2 = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        expr("CAST(graft_dot(transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS DOUBLE)), " +
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS DOUBLE))) AS BIGINT)").as("n2"))
+    val r = n2
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy(col("n2"), col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("label")))
+    val med = r
+      .filter(expr("rn >= CAST(floor((cnt + 1) / 2.0) AS BIGINT) AND rn <= CAST(floor(cnt / 2.0) AS BIGINT) + 1"))
+      .groupBy(col("label"))
+      .agg(expr("CAST(min(n2) + max(n2) AS DOUBLE) / CAST(2 AS DOUBLE)").as("median_norm2"))
+    n2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"),
+        sum(col("n2")).as("s"))
+      .join(med, "label")
+      .select(col("label"), col("n_vectors"), col("min_norm2"),
+        col("max_norm2"), col("median_norm2"),
+        expr("CAST(s AS DOUBLE) / CAST(n_vectors AS DOUBLE)").as("mean_norm2"))
+      .orderBy("label")
+  }
+
+  val embeddingNormProfileSql: String =
+    """WITH n2 AS (
+      |  SELECT vec_id, label,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT) for v in embedding]),
+      |      (a, x) -> a + x * x) AS BIGINT) AS n2
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY n2, vec_id) AS rn,
+      |    count(*) OVER (PARTITION BY label) AS cnt
+      |  FROM n2),
+      |med AS (
+      |  SELECT label, CAST(min(n2) + max(n2) AS DOUBLE) / CAST(2 AS DOUBLE) AS median_norm2
+      |  FROM r
+      |  WHERE rn >= CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+      |    AND rn <= CAST(floor(cnt / 2.0) AS BIGINT) + 1
+      |  GROUP BY label)
+      |SELECT n2.label AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(min(n2) AS BIGINT) AS min_norm2, CAST(max(n2) AS BIGINT) AS max_norm2,
+      |  any_value(med.median_norm2) AS median_norm2,
+      |  CAST(sum(n2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_norm2
+      |FROM n2 JOIN med ON med.label = n2.label
+      |GROUP BY n2.label ORDER BY label""".stripMargin
 }

@@ -1183,4 +1183,71 @@ object Dedup {
        |$rows
        |ORDER BY bands DESC""".stripMargin
   }
+
+  // --------------------------------------------- dedup_threshold_sensitivity
+
+  /** Jaccard-threshold sensitivity of the MinHash-LSH dedup: from
+    * ONE verified candidate frame (the production banding), the
+    * surviving pair count at τ ∈ {0.4, 0.5, 0.6, 0.7} — the knob
+    * table read before moving the dedup threshold on a new corpus
+    * (`minhash_band_tune` varies the RECALL side; this varies the
+    * PRECISION cut on fixed candidates). Pair verdicts are exact
+    * int/int Jaccard comparisons against double literals both
+    * engines parse to identical bits; shares are one division each.
+    *
+    * Scale shape: the candidate frame is the banding's own bounded
+    * output; verification touches candidates only; the sweep is 4
+    * conditional counts in ONE aggregate pass — no re-verification
+    * per threshold.
+    */
+  def dedupThresholdSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    MinHashSig.register(spark)
+    val sets = shingleSets(spark, dir)
+    val sig = sets.select(col("doc_id"),
+      call_function("graft_minhash", col("sh")).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+            h => h.cast("string")))))
+        .as(Seq("band", "bk")))
+    val candidates = banded.toDF("i", "band_i", "bk")
+      .join(banded.toDF("j", "band_j", "bk2"),
+        col("band_i") === col("band_j") && col("bk") === col("bk2") &&
+          col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    val hv = hashedSets(spark, dir)
+    val verified = candidates
+      .join(hv.toDF("i", "hv_i"), "i")
+      .join(hv.toDF("j", "hv_j"), "j")
+      .select((call_function("graft_sorted_intersect", col("hv_i"), col("hv_j"))
+          .cast("double") /
+        (size(col("hv_i")) + size(col("hv_j")) -
+          call_function("graft_sorted_intersect", col("hv_i"), col("hv_j"))))
+        .as("jaccard"))
+    val agg = verified.agg(count(lit(1)).as("n_cand"),
+      sum(when(col("jaccard") >= 0.4, 1L).otherwise(0L)).as("n_t40"),
+      sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_t50"),
+      sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_t60"),
+      sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_t70"))
+    agg.select(col("n_cand"), col("n_t40"), col("n_t50"), col("n_t60"), col("n_t70"),
+      expr("CAST(n_t40 AS DOUBLE) / CAST(n_cand AS DOUBLE)").as("share_t40"),
+      expr("CAST(n_t70 AS DOUBLE) / CAST(n_cand AS DOUBLE)").as("share_t70"))
+  }
+
+  lazy val dedupThresholdSensitivitySql: String =
+    s"""WITH $minHashPairCtes,
+       |verall AS (
+       |  SELECT CAST(n_common AS DOUBLE)/(na+nb-n_common) AS jaccard FROM ver),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+       |    CAST(sum(CASE WHEN jaccard >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_t40,
+       |    CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_t50,
+       |    CAST(sum(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_t60,
+       |    CAST(sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_t70
+       |  FROM verall)
+       |SELECT n_cand, n_t40, n_t50, n_t60, n_t70,
+       |  CAST(n_t40 AS DOUBLE) / CAST(n_cand AS DOUBLE) AS share_t40,
+       |  CAST(n_t70 AS DOUBLE) / CAST(n_cand AS DOUBLE) AS share_t70
+       |FROM a""".stripMargin
 }

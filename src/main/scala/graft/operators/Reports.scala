@@ -2519,4 +2519,68 @@ object Reports {
        |  CAST(sum(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) / CAST((SELECT total_c FROM t) AS DOUBLE) AS revenue_share
        |FROM abc JOIN xyz ON xyz.xp = abc.l_partkey
        |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin
+
+  // ------------------------------------------------------ inventory_reorder_point
+
+  /** Reorder-point table per part: ROP = μ_d·L + z·σ_d·√L with a
+    * 7-day lead time and z = 1.645 (95% service level) — the
+    * safety-stock number `croston_demand` (rate) and
+    * `xyz_classification` (variability class) feed into. Daily
+    * demand moments use the zero-days-implicit identity over the
+    * D-day spine (sparse days contribute nothing, the dense
+    * part×day grid never forms): μ = Σq/D, σ = √(D·Σq² − (Σq)²)/D —
+    * exact integer moments cast to DOUBLE individually, the whole
+    * ROP one shared IEEE text (sqrt/multiply/add on identical
+    * operands). Top 50 parts by ROP.
+    *
+    * Scale shape: one partial-agg pass to the (part, day) grain, one
+    * to the part grain, the day-count scalar broadcast — the
+    * `xyz_classification` shape on the day axis.
+    */
+  private val LeadDays = 7
+  private val ServiceZ = "1.645"
+
+  private val RopExpr: String =
+    s"CAST(sq AS DOUBLE) / CAST(dd AS DOUBLE) * CAST($LeadDays AS DOUBLE)" +
+      s" + CAST($ServiceZ AS DOUBLE)" +
+      s" * (sqrt(CAST(dd AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))" +
+      s" / CAST(dd AS DOUBLE)) * sqrt(CAST($LeadDays AS DOUBLE))"
+
+  def inventoryReorderPoint(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_partkey"), col("l_shipdate").cast("date").as("d"),
+        expr("CAST(l_quantity * 100 AS BIGINT)").as("q"))
+    val days = li.agg(countDistinct(col("d")).cast("decimal(38,0)").as("dd"))
+    li.groupBy(col("l_partkey"), col("d"))
+      .agg(sum(col("q")).as("y"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_active_days"),
+        sum(col("y").cast("decimal(38,0)")).as("sq"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sqq"))
+      .crossJoin(broadcast(days))
+      .select(col("l_partkey").as("part_key"), col("n_active_days"),
+        expr("CAST(sq AS DOUBLE) / CAST(dd AS DOUBLE) / CAST(100 AS DOUBLE)")
+          .as("mean_daily_demand"),
+        expr(s"($RopExpr) / CAST(100 AS DOUBLE)").as("reorder_point"))
+      .orderBy(col("reorder_point").desc, col("part_key"))
+      .limit(50)
+  }
+
+  val inventoryReorderPointSql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+       |    CAST(l_quantity * 100 AS BIGINT) AS q
+       |  FROM lineitem),
+       |dc AS (SELECT CAST(count(DISTINCT d) AS DECIMAL(38,0)) AS dd FROM li),
+       |pd AS (SELECT l_partkey, d, CAST(sum(q) AS BIGINT) AS y FROM li GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_active_days,
+       |    sum(CAST(y AS DECIMAL(38,0))) AS sq,
+       |    sum(CAST(y AS DECIMAL(38,0)) * y) AS sqq
+       |  FROM pd GROUP BY 1)
+       |SELECT l_partkey AS part_key, n_active_days,
+       |  CAST(sq AS DOUBLE) / CAST(dd AS DOUBLE) / CAST(100 AS DOUBLE) AS mean_daily_demand,
+       |  ($RopExpr) / CAST(100 AS DOUBLE) AS reorder_point
+       |FROM pp, dc
+       |ORDER BY reorder_point DESC, part_key LIMIT 50""".stripMargin
 }

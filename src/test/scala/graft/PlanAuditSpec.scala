@@ -117,4 +117,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"xyz should scan lineitem for moments + month count only:\n$xyz")
     assert(!xyz.contains("SortMergeJoin"), s"scalar joins must broadcast:\n$xyz")
   }
+
+  test("round-12 additions keep their scale shapes in the executed plan") {
+    // abc_xyz_matrix: BOTH classifications from ONE lineitem scan
+    // (the cached (part, month) frame) — a regression to two scans
+    // would double the fact IO silently
+    val axm = executedPlan(graft.operators.Reports.abcXyzMatrix(spark, sf))
+    assert("lineitem".r.findAllIn(axm).length <= 1,
+      s"abc_xyz must derive both classifications from one scan:\n$axm")
+    graft.core.OwnedCaches.release()
+    // croston_demand: one partial-agg chain, no join at all
+    val cro = executedPlan(graft.operators.Reports.crostonDemand(spark, sf))
+    assert(!cro.contains("Join"), s"croston needs no join:\n$cro")
+    assert("lineitem".r.findAllIn(cro).length <= 1)
+    // degree_assortativity / community_louvain: equi-join bounded
+    for ((name, df) <- Seq(
+        "degree_assortativity" -> graft.operators.Graph.degreeAssortativity(spark, sf),
+        "cramers_v" -> graft.operators.Stats.cramersV(spark, sf),
+        "time_decay_attribution" -> graft.operators.Commerce.timeDecayAttribution(spark, sf))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must stay equi-join-bounded:\n$plan")
+    }
+    // negative_sampling_pairs: the customers × brands candidate frame
+    // must come from a BROADCAST of the brand dictionary (a shuffled
+    // cartesian would scale with the fact side)
+    val neg = executedPlan(graft.operators.Features.negativeSamplingPairs(spark, sf))
+    assert(!neg.contains("CartesianProduct"),
+      s"brand dictionary must broadcast under the candidate build:\n$neg")
+    // training_shard_manifest / token_window_histogram: map-only until
+    // the bucket/shard aggregate — exactly one documents scan
+    for ((name, df) <- Seq(
+        "training_shard_manifest" -> graft.operators.TextAnalysis.trainingShardManifest(spark, sf),
+        "token_window_histogram" -> graft.operators.TextAnalysis.tokenWindowHistogram(spark, sf))) {
+      val plan = executedPlan(df)
+      assert("documents".r.findAllIn(plan).length <= 1,
+        s"$name must reduce in one documents pass:\n$plan")
+    }
+  }
 }

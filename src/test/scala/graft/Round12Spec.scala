@@ -75,6 +75,54 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("minhash_band_tune: candidate sets are nested across band configs") {
+    // (8,8) bands align on (16,4) band boundaries which align on
+    // (32,2): a collision at coarse rows implies collisions in both
+    // aligned finer-row halves, so candidate sets nest by config
+    val rows = graft.operators.Dedup.minhashBandTune(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bands"),
+        (r.getAs[Long]("n_candidate_pairs"), r.getAs[Long]("n_true_pairs"),
+          r.getAs[Double]("precision_at_tau")))).toMap
+    assert(rows.keySet == Set(32, 16, 8))
+    assert(rows(32)._1 >= rows(16)._1 && rows(16)._1 >= rows(8)._1)
+    assert(rows(32)._2 >= rows(16)._2 && rows(16)._2 >= rows(8)._2)
+    rows.values.foreach { case (_, _, p) => assert(p >= 0.0 && p <= 1.0) }
+  }
+
+  test("time_decay_attribution conserves total purchase revenue") {
+    import org.apache.spark.sql.functions._
+    val attributed = graft.operators.Commerce.timeDecayAttribution(spark, sf)
+      .agg(sum(col("attributed_revenue"))).collect().head.getDouble(0)
+    val total = TestSpark.spark.read
+      .parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+      .collect().head.getLong(0) / 100.0
+    // rounding each conversion's share to 1e-6 cents bounds the drift
+    // at purchases * 1e-6 cents
+    assert(math.abs(attributed - total) < 1.0,
+      s"attributed=$attributed total=$total")
+  }
+
+  test("abc_xyz_matrix cells partition the part set") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.operators.Reports.abcXyzMatrix(spark, sf)
+    val nParts = cells.agg(sum(col("n_parts"))).collect().head.getLong(0)
+    val distinctParts = TestSpark.spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey")).distinct().count()
+    assert(nParts == distinctParts)
+    val share = cells.agg(sum(col("revenue_share"))).collect().head.getDouble(0)
+    assert(math.abs(share - 1.0) < 1e-9)
+  }
+
+  test("late_dim_backfill fully repairs when the dimension catches up") {
+    val row = graft.operators.Incremental.lateDimBackfill(spark, sf).collect().head
+    assert(row.getAs[Long]("n_unresolved") == 0L)
+    assert(row.getAs[Double]("repair_coverage") == 1.0)
+    assert(row.getAs[Long]("n_missing_at_load") > 0L,
+      "the simulated late slice must actually hit some facts")
+  }
+
   test("basket_lift and basket_triples plan-match one session-shared basket build") {
     spark.catalog.clearCache()
     graft.operators.Commerce.basketLift(spark, sf).collect()
