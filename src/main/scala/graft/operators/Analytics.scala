@@ -1348,4 +1348,71 @@ object Analytics {
        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN dur_us END) AS BIGINT) AS p90_dur_us
        |FROM r GROUP BY band
        |ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------- user_event_diversity
+
+  /** Gini–Simpson diversity 1 − Σ(cᵢ/n)² from per-user exact integer
+    * type counts — cast each moment to DOUBLE individually (Σcᵢ² and
+    * n² both well under 2^53 at per-user grain).
+    */
+  private val DiversityExpr =
+    "1 - CAST(cc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+
+  /** Behavioral-diversity profile: each user's event-type mix scored
+    * by Gini–Simpson diversity 1 − Σpᵢ² (0 = single-type specialist,
+    * → 0.8 = uniform over the 5 types), bucketed into percent bands (floor(d·100) — the observed spread is narrow, so tenths would collapse the profile) — the
+    * "are our actives monocultures or explorers" engagement read
+    * `stickiness_ratio` (how often) and `session_duration_profile`
+    * (how long) don't answer. Quadratic (q=2) diversity is chosen
+    * over Shannon entropy deliberately: it needs no log, so the
+    * whole statistic stays in the exact-integer + shared-IEEE-text
+    * regime ([[DiversityExpr]]) — same reasoning as `tv_distance_drift`
+    * vs KL. Band edges compare identical double bits, so bucketing
+    * is deterministic.
+    *
+    * Scale shape: (user, type) partial-agg → user-grain Σc² reduce —
+    * two co-partitioned user-keyed shuffles — then a 10-row band
+    * aggregate; the per-band mean is a round-then-decimal sum (d ≤ 1,
+    * far inside the 9-dp double grid).
+    */
+  def userEventDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Tables(spark, dir).events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val byUser = byType.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * col("c")).as("cc"),
+        count(lit(1)).as("n_types"))
+    byUser
+      .withColumn("d", expr(DiversityExpr))
+      .withColumn("band", expr("CAST(floor(d * 100) AS INTEGER)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+        avg(col("n_types").cast("double")).as("avg_types"),
+        sum(expr("CAST(round(d, 9) AS DECIMAL(18,9))")).as("sd"))
+      .selectExpr("band",
+        "CAST(n_users AS BIGINT) AS n_users",
+        "avg_types",
+        "CAST(sd AS DOUBLE) / CAST(n_users AS DOUBLE) AS avg_diversity")
+      .orderBy("band")
+  }
+
+  val userEventDiversitySql: String =
+    s"""WITH bt AS (
+       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |bu AS (
+       |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(c * c) AS BIGINT) AS cc,
+       |    CAST(count(*) AS BIGINT) AS n_types
+       |  FROM bt GROUP BY 1),
+       |d AS (
+       |  SELECT user_id, n_types, $DiversityExpr AS d FROM bu),
+       |b AS (
+       |  SELECT CAST(floor(d * 100) AS INTEGER) AS band, n_types, d FROM d)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+       |  avg(CAST(n_types AS DOUBLE)) AS avg_types,
+       |  CAST(sum(CAST(round(d, 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS avg_diversity
+       |FROM b GROUP BY band ORDER BY band""".stripMargin
 }

@@ -1149,4 +1149,107 @@ object Commerce {
       |  CAST(sum(CAST(share_c AS DECIMAL(28,6))) AS DOUBLE) / CAST(100 AS DOUBLE) AS attributed_revenue
       |FROM sh GROUP BY channel ORDER BY channel""".stripMargin
   }
+
+  // ------------------------------------------------- cross_price_elasticity
+
+  /** Minimum relative price move for a month transition to count:
+    * |%Δp_b| ≥ 1/[[XpeGate]] (5%), tested EXACTLY as |u|·gate ≥ v on
+    * the integer cross-products — near-zero price moves would
+    * otherwise blow the elasticity ratio up into pure noise.
+    */
+  private val XpeGate = 20
+
+  /** Cross-price arc elasticity between brand pairs: for brands a≠b
+    * and consecutive months, e = %Δq_a / %Δp_b with midpoint deltas —
+    * positive means substitutes (b gets pricier, a sells more),
+    * negative complements. `arc_elasticity` scores a brand against
+    * its OWN price; this is the cross matrix pricing teams read for
+    * cannibalization. With p = s/q the price ratio clears to exact
+    * integer cross-products (u = s₂q₁ − s₁q₂, v = s₂q₁ + s₁q₂ — the
+    * `target_encode_brand` denominator-clearing trick), so the gate
+    * is exact and the ratio is four individually-cast doubles. The
+    * per-pair mean over months is a round-then-decimal sum (|e| ≤
+    * [[XpeGate]], well inside the 6-dp double grid where that trick
+    * is sound).
+    *
+    * Scale shape: ONE lineitem⋈part pass reduces to the brand×month
+    * frame (bounded by the 25-brand × calendar grid at any corpus
+    * size); lag windows partition by brand; the pair join is
+    * month-keyed over that bounded frame — never touches facts
+    * again.
+    */
+  def crossPriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bm = t.lineitem
+      .select(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).as("m"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("s_c"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q_c"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("m"))
+      .agg(sum(col("s_c")).as("s"), sum(col("q_c")).as("q"))
+    val w = Window.partitionBy("p_brand").orderBy("m")
+    val tr = bm
+      .withColumn("m_prev", lag(col("m"), 1).over(w))
+      .withColumn("s1", lag(col("s"), 1).over(w))
+      .withColumn("q1", lag(col("q"), 1).over(w))
+      .filter(col("m_prev") === col("m") - 1)
+    val qa = tr.select(col("p_brand").as("brand_a"), col("m"),
+      (col("q") - col("q1")).as("dq"), (col("q") + col("q1")).as("tq"))
+    val pb = tr.select(col("p_brand").as("brand_b"), col("m").as("mb"),
+      (col("s").cast("decimal(38,0)") * col("q1")
+        - col("s1").cast("decimal(38,0)") * col("q")).cast("decimal(38,0)").as("u"),
+      (col("s").cast("decimal(38,0)") * col("q1")
+        + col("s1").cast("decimal(38,0)") * col("q")).cast("decimal(38,0)").as("v"))
+    val e = "CAST(dq AS DOUBLE) * CAST(v AS DOUBLE) / (CAST(tq AS DOUBLE) * CAST(u AS DOUBLE))"
+    qa.join(pb, col("m") === col("mb") && col("brand_a") =!= col("brand_b"))
+      .filter(col("tq") > 0 && expr(s"abs(u) * $XpeGate >= v"))
+      .withColumn("ed", expr(s"CAST(round($e, 6) AS DECIMAL(18,6))"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("ed")).as("se"))
+      .filter(col("n_transitions") >= 3)
+      .selectExpr("brand_a", "brand_b",
+        "CAST(n_transitions AS BIGINT) AS n_transitions",
+        "CAST(se AS DOUBLE) / CAST(n_transitions AS DOUBLE) AS avg_cross_elasticity")
+      .orderBy("brand_a", "brand_b")
+  }
+
+  val crossPriceElasticitySql: String = {
+    val e = "CAST(dq AS DOUBLE) * CAST(v AS DOUBLE) / (CAST(tq AS DOUBLE) * CAST(u AS DOUBLE))"
+    s"""WITH bm AS (
+       |  SELECT p_brand, year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m,
+       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s,
+       |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS q
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT *,
+       |    lag(m) OVER win AS m_prev,
+       |    lag(s) OVER win AS s1,
+       |    lag(q) OVER win AS q1
+       |  FROM bm
+       |  WINDOW win AS (PARTITION BY p_brand ORDER BY m)),
+       |tt AS (SELECT * FROM tr WHERE m_prev = m - 1),
+       |qa AS (SELECT p_brand AS brand_a, m, q - q1 AS dq, q + q1 AS tq FROM tt),
+       |pb AS (
+       |  SELECT p_brand AS brand_b, m AS mb,
+       |    CAST(CAST(s AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * q AS DECIMAL(38,0)) AS u,
+       |    CAST(CAST(s AS DECIMAL(38,0)) * q1 + CAST(s1 AS DECIMAL(38,0)) * q AS DECIMAL(38,0)) AS v
+       |  FROM tt),
+       |j AS (
+       |  SELECT brand_a, brand_b,
+       |    CAST(round($e, 6) AS DECIMAL(18,6)) AS ed
+       |  FROM qa JOIN pb ON m = mb AND brand_a != brand_b
+       |  WHERE tq > 0 AND abs(u) * $XpeGate >= v),
+       |g AS (
+       |  SELECT brand_a, brand_b, CAST(count(*) AS BIGINT) AS n_transitions,
+       |    sum(ed) AS se
+       |  FROM j GROUP BY 1, 2)
+       |SELECT brand_a, brand_b, n_transitions,
+       |  CAST(se AS DOUBLE) / CAST(n_transitions AS DOUBLE) AS avg_cross_elasticity
+       |FROM g WHERE n_transitions >= 3
+       |ORDER BY brand_a, brand_b""".stripMargin
+  }
 }

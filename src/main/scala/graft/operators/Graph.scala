@@ -1312,4 +1312,80 @@ object Graph {
       |    / (sqrt(CAST(md AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |     * sqrt(CAST(md AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
       |FROM a""".stripMargin
+
+  // --------------------------------------- link_prediction_resource_alloc
+
+  /** Per-wedge resource-allocation credit 1/deg(w), rounded to the
+    * 9-dp grid and summed EXACTLY in decimal so the Σ over a pair's
+    * wedge centers is order-independent (the `cramers_v` convention;
+    * 1/deg ≤ 1, far inside the grid where round() agrees across
+    * engines). The 9-dp quantization IS the documented semantics.
+    */
+  private val RaContribExpr =
+    "CAST(round(CAST(1 AS DOUBLE) / CAST(dw AS DOUBLE), 9) AS DECIMAL(18,9))"
+
+  /** Link prediction by the resource-allocation index: for every
+    * non-edge pair, RA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/deg(w) — common
+    * neighbors DISCOUNTED by their hubness (a shared rare neighbor is
+    * strong evidence; a shared hub is weak), the index Zhou et al.'s
+    * benchmark found beating plain common-neighbors and Jaccard.
+    * Adamic–Adar is the same shape with 1/log deg — RA is preferred
+    * here because it stays log-free (the `tv_distance_drift`-vs-KL
+    * reasoning) AND is the stronger published baseline. Complements
+    * `link_prediction_jaccard` (size-normalized overlap): RA weights
+    * WHO is shared, Jaccard only how much.
+    *
+    * Scale shape: identical to the Jaccard variant — wedge volume
+    * Σ deg² off the ONE cached undirected edge list, the center's
+    * degree joins at the wedge grain on the node key, existing edges
+    * leave via an equi anti-join. Hub capping / minhash sketching
+    * swap in at 100 TB the same way.
+    */
+  def linkPredictionResourceAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+    val cached = graft.core.OwnedCaches.own(edges.cache())
+    val deg = cached.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
+    val wedges = cached.select(col("src").as("w"), col("dst").as("a"))
+      .join(cached.select(col("src").as("w2"), col("dst").as("b")),
+        col("w") === col("w2") && col("a") < col("b"))
+      .join(deg.select(col("p").as("wp"), col("deg").as("dw")),
+        col("w") === col("wp"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr(RaContribExpr)).as("ra_d"))
+    wedges.join(und,
+        col("a") === col("p1") && col("b") === col("p2"), "left_anti")
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("common"),
+        expr("CAST(ra_d AS DOUBLE)").as("resource_alloc"))
+      .orderBy(col("resource_alloc").desc, col("node_a"), col("node_b"))
+      .limit(LinkPredTopK)
+  }
+
+  val linkPredictionResourceAllocSql: String =
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+      |      UNION ALL SELECT p2, p1 FROM e0),
+      |deg AS (SELECT src AS p, count(*) AS deg FROM e GROUP BY 1),
+      |w AS (
+      |  SELECT x.dst AS a, y.dst AS b, count(*) AS common,
+      |    sum($RaContribExpr) AS ra_d
+      |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+      |  JOIN (SELECT p, deg AS dw FROM deg) dc ON dc.p = x.src
+      |  GROUP BY 1, 2),
+      |ne AS (
+      |  SELECT w.* FROM w LEFT JOIN e0 ON w.a = e0.p1 AND w.b = e0.p2
+      |  WHERE e0.p1 IS NULL)
+      |SELECT a AS node_a, b AS node_b, CAST(common AS BIGINT) AS common,
+      |  CAST(ra_d AS DOUBLE) AS resource_alloc
+      |FROM ne ORDER BY resource_alloc DESC, node_a, node_b LIMIT $LinkPredTopK""".stripMargin
 }

@@ -2583,4 +2583,142 @@ object Reports {
        |  ($RopExpr) / CAST(100 AS DOUBLE) AS reorder_point
        |FROM pp, dc
        |ORDER BY reorder_point DESC, part_key LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------- pareto_threshold
+
+  private val ParetoPcts = Seq(50, 80, 90)
+
+  /** Pareto concentration thresholds: the MINIMUM number of customers
+    * (ranked by revenue, descending) whose cumulative revenue reaches
+    * 50 / 80 / 90% of the total — the "how many accounts are 80% of
+    * the business" number account teams size themselves by. The point
+    * answer `lorenz_curve` (fixed deciles) and `hhi_concentration`
+    * (one index) don't give directly. The reach test is EXACT integer
+    * arithmetic (cum·100 ≥ total·pct — no float share ever compared),
+    * and because the running sum is monotone, a conditional MIN picks
+    * both the threshold rank and the revenue attained at it in one
+    * aggregate.
+    *
+    * Scale shape: orders reduce to the customer-grain frame in one
+    * partial-agg pass; the global rank/cumsum runs on that bounded
+    * frame (the `lorenz_curve` convention — at extreme customer
+    * counts the two-level prefix-sum of `sequence_pack` swaps in
+    * without changing semantics), then ONE row of conditional mins.
+    */
+  def paretoThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+    val ord = Window.orderBy(col("rev_c").desc, col("o_custkey"))
+    val ranked = byCust
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("cum_c", sum(col("rev_c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_c", sum(col("rev_c")).over(Window.partitionBy()))
+    val aggCols =
+      Seq(max(col("rnk")).as("ntot"), max(col("total_c")).as("tot_c")) ++
+        ParetoPcts.flatMap { p =>
+          val reached = col("cum_c") * 100 >= col("total_c") * p
+          Seq(min(when(reached, col("rnk"))).as(s"n_$p"),
+            min(when(reached, col("cum_c"))).as(s"c_$p"))
+        }
+    val stackArgs = ParetoPcts.map(p => s"$p, n_$p, c_$p").mkString(", ")
+    ranked.agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr("ntot", "tot_c",
+        s"stack(${ParetoPcts.size}, $stackArgs) AS (pct, n_customers, cum_c)")
+      .selectExpr("CAST(pct AS INTEGER) AS pct",
+        "CAST(n_customers AS BIGINT) AS n_customers",
+        "CAST(n_customers AS DOUBLE) / CAST(ntot AS DOUBLE) AS cust_share",
+        "CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS rev_share")
+      .orderBy("pct")
+  }
+
+  val paretoThresholdSql: String = {
+    val aggs = ParetoPcts.flatMap { p =>
+      val reached = s"cum_c * 100 >= total_c * $p"
+      Seq(s"min(CASE WHEN $reached THEN rnk END) AS n_$p",
+        s"min(CASE WHEN $reached THEN cum_c END) AS c_$p")
+    }
+    val arms = ParetoPcts
+      .map(p => s"SELECT ntot, tot_c, $p AS pct, n_$p AS n_customers, c_$p AS cum_c FROM a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH byc AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT o_custkey, rev_c,
+       |    row_number() OVER win AS rnk,
+       |    sum(rev_c) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+       |    sum(rev_c) OVER () AS total_c
+       |  FROM byc
+       |  WINDOW win AS (ORDER BY rev_c DESC, o_custkey)),
+       |a AS (
+       |  SELECT max(rnk) AS ntot, max(total_c) AS tot_c,
+       |    ${aggs.mkString(",\n    ")}
+       |  FROM r),
+       |s AS (
+       |  $arms)
+       |SELECT CAST(pct AS INTEGER) AS pct,
+       |  CAST(n_customers AS BIGINT) AS n_customers,
+       |  CAST(n_customers AS DOUBLE) / CAST(ntot AS DOUBLE) AS cust_share,
+       |  CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS rev_share
+       |FROM s ORDER BY pct""".stripMargin
+  }
+
+  // ----------------------------------------------------- return_rate_by_brand
+
+  /** Per-brand return KPI: line and revenue return rates off the
+    * `l_returnflag = 'R'` mark — the merchandising quality scorecard
+    * (`q10_returns` ranks CUSTOMERS by returned revenue; this scores
+    * the PRODUCT side, where assortment decisions act). Counts and
+    * cent sums are exact; the two rates are single exact-integer
+    * divisions, so ordering by rate is deterministic.
+    *
+    * Scale shape: one lineitem⋈part equi-join on the part key (the
+    * brand-join grain every basket op shares) followed by a
+    * partial-agg reduce to the 25-row brand frame — no other
+    * shuffle.
+    */
+  def returnRateByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select(col("l_partkey"), col("l_returnflag"),
+        ((money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))) * 10000)
+          .cast("long").as("rev_c"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(col("rev_c")).as("s_rev"),
+        sum(when(col("l_returnflag") === "R", col("rev_c")).otherwise(0L)).as("s_ret"))
+      .selectExpr("p_brand AS brand",
+        "CAST(n_lines AS BIGINT) AS n_lines",
+        "CAST(n_returned AS BIGINT) AS n_returned",
+        "CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS line_return_rate",
+        "CAST(s_rev AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue",
+        "CAST(s_ret AS DOUBLE) / CAST(s_rev AS DOUBLE) AS revenue_return_share")
+      .orderBy(col("line_return_rate").desc, col("brand"))
+  }
+
+  val returnRateByBrandSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_c
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT p_brand,
+      |    CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      |    CAST(sum(rev_c) AS BIGINT) AS s_rev,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN rev_c ELSE 0 END) AS BIGINT) AS s_ret
+      |  FROM li JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT p_brand AS brand, n_lines, n_returned,
+      |  CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS line_return_rate,
+      |  CAST(s_rev AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+      |  CAST(s_ret AS DOUBLE) / CAST(s_rev AS DOUBLE) AS revenue_return_share
+      |FROM g ORDER BY line_return_rate DESC, brand""".stripMargin
 }

@@ -2079,4 +2079,198 @@ object Stats {
        |       ELSE 0 END AS INTEGER) AS breakout
        |FROM r WHERE w = $BollWin
        |ORDER BY region_name, yr, mo""".stripMargin
+
+  // ------------------------------------------------------------- anova_oneway
+
+  /** Between-group Σ s_k²/n_k as a FIXED-ORDER double sum over the
+    * five pivoted region columns (the `jackknife_region_var`
+    * convention — float-sum order nondeterminism sidestepped by
+    * construction, every operand an exact sub-2^53-after-cast moment
+    * cast to DOUBLE individually). The round-then-decimal-sum trick
+    * is deliberately NOT used here: s²/n ≈ 10¹⁸ cents² sits far
+    * beyond the 4-dp double grid, where the two engines' round()
+    * disagree.
+    */
+  private val AnovaBpart: String = RegionKeys
+    .map(k => s"CAST(s_$k AS DOUBLE) * CAST(s_$k AS DOUBLE) / CAST(n_$k AS DOUBLE)")
+    .mkString(" + ")
+  private val AnovaSsb =
+    s"($AnovaBpart) - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE)"
+  private val AnovaSsw =
+    s"CAST(sqtot AS DOUBLE) - ($AnovaBpart)"
+
+  /** One-way ANOVA across regions on order value: F = (SSB/(k−1)) /
+    * (SSW/(N−k)) from per-region exact integer moments (n, Σc, Σc² in
+    * cents) — "do the five regional order-value means genuinely
+    * differ" as one omnibus test, where `welch_t_test` compares a
+    * single pair and rank tests trade power for robustness. η² =
+    * SSB/(SSB+SSW) rides along as the effect size (the numeric
+    * companion of `cramers_v`, which scores categorical association).
+    * Between/within sums of squares come off the moment identities
+    * SSB = Σ s_k²/n_k − S²/N, SSW = ΣΣc² − Σ s_k²/n_k — no second
+    * data pass, no per-row deviations; the Σ over groups is a
+    * fixed-order pivoted-column sum ([[AnovaBpart]]).
+    *
+    * Scale shape: one partial-agg conditional-sum pass over
+    * orders⋈customer⋈nation (dims broadcast) reduces to a single
+    * 15-column row; everything after is scalar arithmetic.
+    */
+  def anovaOneway(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val keyed = t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("rk"),
+        (money(col("o_totalprice")) * 100).cast("long").as("c"))
+    val mCols = RegionKeys.flatMap { k =>
+      Seq(sum(when(col("rk") === k, 1L).otherwise(0L)).as(s"n_$k"),
+        sum(when(col("rk") === k, col("c")).otherwise(0L))
+          .cast("decimal(38,0)").as(s"s_$k"),
+        sum(when(col("rk") === k, col("c").cast("decimal(38,0)") * col("c"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("decimal(38,0)").as(s"ss_$k"))
+    }
+    keyed.agg(mCols.head, mCols.tail: _*)
+      .withColumn("nn", expr(RegionKeys.map(k => s"n_$k").mkString(" + ")))
+      .withColumn("stot", expr(RegionKeys.map(k => s"s_$k").mkString(" + ")))
+      .withColumn("sqtot", expr(RegionKeys.map(k => s"ss_$k").mkString(" + ")))
+      .selectExpr(
+        s"CAST(${RegionKeys.size} AS INTEGER) AS k_groups",
+        "CAST(nn AS BIGINT) AS n_orders",
+        s"($AnovaSsb) / CAST(10000 AS DOUBLE) AS ssb",
+        s"($AnovaSsw) / CAST(10000 AS DOUBLE) AS ssw",
+        s"(($AnovaSsb) / CAST(${RegionKeys.size - 1} AS DOUBLE)) / (($AnovaSsw) / CAST(nn - ${RegionKeys.size} AS DOUBLE)) AS f_stat",
+        s"($AnovaSsb) / (($AnovaSsb) + ($AnovaSsw)) AS eta_sq")
+  }
+
+  val anovaOnewaySql: String = {
+    val mSums = RegionKeys.flatMap { k =>
+      Seq(s"CAST(sum(CASE WHEN rk = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_$k",
+        s"CAST(sum(CASE WHEN rk = $k THEN CAST(c AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s_$k",
+        s"CAST(sum(CASE WHEN rk = $k THEN CAST(c AS DECIMAL(38,0)) * c ELSE 0 END) AS DECIMAL(38,0)) AS ss_$k")
+    }
+    s"""WITH o AS (
+       |  SELECT n_regionkey AS rk,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM o),
+       |a AS (
+       |  SELECT *,
+       |    ${RegionKeys.map(k => s"n_$k").mkString(" + ")} AS nn,
+       |    ${RegionKeys.map(k => s"s_$k").mkString(" + ")} AS stot,
+       |    ${RegionKeys.map(k => s"ss_$k").mkString(" + ")} AS sqtot
+       |  FROM m)
+       |SELECT CAST(${RegionKeys.size} AS INTEGER) AS k_groups,
+       |  CAST(nn AS BIGINT) AS n_orders,
+       |  ($AnovaSsb) / CAST(10000 AS DOUBLE) AS ssb,
+       |  ($AnovaSsw) / CAST(10000 AS DOUBLE) AS ssw,
+       |  (($AnovaSsb) / CAST(${RegionKeys.size - 1} AS DOUBLE)) / (($AnovaSsw) / CAST(nn - ${RegionKeys.size} AS DOUBLE)) AS f_stat,
+       |  ($AnovaSsb) / (($AnovaSsb) + ($AnovaSsw)) AS eta_sq
+       |FROM a""".stripMargin
+  }
+
+  // ------------------------------------------------------ bootstrap_poisson_ci
+
+  private[graft] val BootB = 40
+
+  /** Cumulative Poisson(1) CDF thresholds scaled to the 32-bit hash
+    * domain, computed once in BigDecimal and shipped as exact integer
+    * literals — the weight draw is pure integer comparison on both
+    * engines (the `mde_sample_size` literal-rational discipline).
+    */
+  private val BootThresholds: Seq[Long] = Seq(
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    .map(p => (BigDecimal(p) * BigDecimal(4294967296L)).toLong)
+
+  private def bootWeightCase(h: String): String =
+    BootThresholds.zipWithIndex
+      .map { case (t, i) => s"WHEN $h < $t THEN $i" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+
+  /** Bootstrap CI for mean daily revenue by the POISSON bootstrap —
+    * the at-scale form of the resampling bootstrap (per observation
+    * and resample b, a deterministic Poisson(1) weight stands in for
+    * the multinomial draw; the classic big-data substitution because
+    * it needs no global index and runs in ONE pass with B weight
+    * columns). Weights come from md5(day, b) compared against exact
+    * integer CDF thresholds ([[BootThresholds]]); each resample's
+    * weighted total/count are exact integers; the B means then rank
+    * and ranks 2 / B−1 of [[BootB]] = 40 give the ~95% percentile
+    * interval. The nonparametric uncertainty companion of
+    * `jackknife_region_var` (delete-one) and `permutation_test_value`
+    * (null resampling) — this one quantifies the SAMPLING error of a
+    * point estimate.
+    *
+    * Scale shape: one partial-agg pass to the calendar-bounded daily
+    * frame, one B-column conditional-moment pass over it (column
+    * count scales with B, never row count), then rank/select on a
+    * B-row frame.
+    */
+  def bootstrapPoissonCi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val base = Seq(count(lit(1)).as("nd"),
+      sum(col("y")).as("stot"))
+    val perB = (1 to BootB).flatMap { b =>
+      val h = s"CAST(conv(substring(md5(concat(CAST(d AS STRING), '_$b')), 1, 8), 16, 10) AS BIGINT)"
+      val w = bootWeightCase(h)
+      Seq(sum(expr(w)).as(s"sw_$b"),
+        sum(expr(s"($w) * y")).as(s"sy_$b"))
+    }
+    val m = daily.agg((base ++ perB).head, (base ++ perB).tail: _*)
+    val stackArgs = (1 to BootB)
+      .map(b => s"$b, CAST(sy_$b AS DOUBLE) / nullif(CAST(sw_$b AS DOUBLE), 0) / CAST(100 AS DOUBLE)")
+      .mkString(", ")
+    val rows = m.selectExpr("nd", "stot", s"stack($BootB, $stackArgs) AS (b, mean_b)")
+    rows.withColumn("r", row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+      .agg(max(col("nd")).as("nd_l"), max(col("stot")).as("stot_l"),
+        min(when(col("r") === 2, col("mean_b"))).as("lo"),
+        min(when(col("r") === BootB - 1, col("mean_b"))).as("hi"))
+      .selectExpr(
+        "CAST(nd_l AS BIGINT) AS n_days",
+        "CAST(stot_l AS DOUBLE) / CAST(nd_l AS DOUBLE) / CAST(100 AS DOUBLE) AS point_mean",
+        "lo AS ci_lo", "hi AS ci_hi",
+        s"CAST($BootB AS BIGINT) AS n_boot")
+  }
+
+  val bootstrapPoissonCiSql: String = {
+    val mSums = Seq(
+      "CAST(count(*) AS BIGINT) AS nd",
+      "CAST(sum(y) AS BIGINT) AS stot") ++
+      (1 to BootB).flatMap { b =>
+        val h = s"('0x' || substr(md5(CAST(d AS VARCHAR) || '_$b'), 1, 8))::BIGINT"
+        val w = bootWeightCase(h)
+        Seq(s"CAST(sum($w) AS BIGINT) AS sw_$b",
+          s"CAST(sum(($w) * y) AS BIGINT) AS sy_$b")
+      }
+    val arms = (1 to BootB)
+      .map(b => s"SELECT nd, stot, $b AS b, CAST(sy_$b AS DOUBLE) / nullif(CAST(sw_$b AS DOUBLE), 0) / CAST(100 AS DOUBLE) AS mean_b FROM m")
+      .mkString("\n  UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM daily),
+       |rows_b AS (
+       |  $arms),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY mean_b, b) AS r FROM rows_b)
+       |SELECT CAST(max(nd) AS BIGINT) AS n_days,
+       |  CAST(max(stot) AS DOUBLE) / CAST(max(nd) AS DOUBLE) / CAST(100 AS DOUBLE) AS point_mean,
+       |  min(CASE WHEN r = 2 THEN mean_b END) AS ci_lo,
+       |  min(CASE WHEN r = ${BootB - 1} THEN mean_b END) AS ci_hi,
+       |  CAST($BootB AS BIGINT) AS n_boot
+       |FROM ranked""".stripMargin
+  }
 }
