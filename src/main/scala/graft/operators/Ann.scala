@@ -1736,4 +1736,169 @@ object Ann {
       |  CAST(sum(n2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_norm2
       |FROM n2 JOIN med ON med.label = n2.label
       |GROUP BY n2.label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------- matryoshka_recall_eval
+
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-style truncation eval: recall@[[K]] of retrieval on
+    * PREFIX dimensions (8/16/32 of 64) against the full-dimension
+    * ranking — the measurement behind MRL-trained embeddings, where
+    * serving cost drops linearly with kept dims IF short-prefix
+    * rankings stay faithful. The 100 TB decision this artifact
+    * drives: a 8× cheaper scan (8 of 64 dims) is free capacity when
+    * recall holds and silent quality loss when it doesn't —
+    * complementing `ann_frontier_eval`, which sweeps CANDIDATE cost
+    * at fixed dimensionality while this sweeps the similarity's own
+    * resolution. All rankings run on the micro-unit grid (⌊v·10⁶⌋ —
+    * exact sub-2^53 integer dots, the [[withQ6Norm]] argument), so
+    * every top-k set and therefore every hit count is
+    * bit-reproducible; the d = 64 arm doubles as a self-check (hits
+    * = k·queries by construction).
+    *
+    * Scale shape: per arm, the broadcast-queries map-only scan of
+    * `ann_topk_bruteforce` over sliced arrays — 4 arms, no pair
+    * blow-up; at corpus scale each arm composes with IVF/LSH
+    * candidate bounding unchanged.
+    */
+  def matryoshkaRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    def topAtDim(d: Int): DataFrame = {
+      val q6 = expr(
+        s"transform(slice(embedding, 1, $d), v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS DOUBLE))")
+      val vecs = e.select(col("vec_id"), q6.as("u"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("u"), col("u"))))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      vecs.toDF("neighbor_id", "c_emb", "c_n")
+        .join(broadcast(vecs.toDF("query_id", "q_emb", "q_n")
+          .filter(col("query_id") < NumQueries)),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim",
+          unitDot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = topAtDim(MatryoshkaDims.max)
+    val arms = MatryoshkaDims.map { d =>
+      full.join(topAtDim(d).withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .selectExpr(s"CAST($d AS INTEGER) AS trunc_dim",
+          "CAST(n_queries AS BIGINT) AS n_queries",
+          "CAST(hits AS BIGINT) AS hits",
+          s"CAST(hits AS DOUBLE) / CAST(n_queries * $K AS DOUBLE) AS recall_at_$K")
+    }
+    arms.reduce(_.unionAll(_)).orderBy("trunc_dim")
+  }
+
+  lazy val matryoshkaRecallEvalSql: String = {
+    def rankCte(d: Int, name: String): String =
+      s"""nrm_$name AS (
+         |  SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm
+         |  FROM ex WHERE d < $d GROUP BY 1),
+         |sims_$name AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS sim
+         |  FROM ex a
+         |  JOIN ex b ON b.d = a.d AND a.d < $d AND b.vec_id != a.vec_id
+         |  JOIN nrm_$name na ON na.vec_id = a.vec_id
+         |  JOIN nrm_$name nb ON nb.vec_id = b.vec_id
+         |  WHERE a.vec_id < $NumQueries
+         |  GROUP BY 1, 2),
+         |top_$name AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |    FROM sims_$name) r0 WHERE rank <= $K)""".stripMargin
+    val arms = MatryoshkaDims.map { d =>
+      s"""SELECT CAST($d AS INTEGER) AS trunc_dim,
+         |  CAST(count(DISTINCT f.query_id) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(DISTINCT f.query_id) * $K AS DOUBLE) AS recall_at_$K
+         |FROM top_d64 f LEFT JOIN top_d$d t
+         |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding,1) - 1 AS INTEGER) AS d,
+       |    floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS qv
+       |  FROM embeddings),
+       |${MatryoshkaDims.map(d => rankCte(d, s"d$d")).mkString(",\n")}
+       |$arms
+       |ORDER BY trunc_dim""".stripMargin
+  }
+
+  // ----------------------------------------------------- ivf_cell_occupancy
+
+  /** IVF cell-occupancy diagnostic: per coarse cell, its population,
+    * corpus share, and the c(c−1)/2 candidate-pair bound — the
+    * `lsh_bucket_occupancy` read for the DATA-ADAPTIVE quantizer (the
+    * number the IVF scale argument rests on: probe cost ∝ Σ over
+    * probed cells of c, pair joins ∝ Σc²). A skewed occupancy table
+    * is the early warning that cells need re-training or splitting
+    * before the probe join hot-spots; pairs with `ann_frontier_eval`
+    * (which prices the same cells from the recall side).
+    *
+    * Scale shape: the assignment is the IVF coarse quantizer itself —
+    * centroids domain-bounded and broadcast as ONE row, per-vector
+    * cell choice map-side, then a cell-grain partial agg. Nothing
+    * shuffles at corpus width.
+    */
+  def ivfCellOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    val q6 = transform(col("embedding"),
+      v => floor(v.cast("double") * lit(1e6)).cast("double"))
+    val ex = e.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("label"), col("d"),
+        floor(col("v").cast("double") * lit(1e6)).as("qv"))
+    val cent = ex.groupBy(col("label"), col("d"))
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).as("cv"))
+    val cells = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+        s => s.getField("cv").cast("double")).as("c6"))
+      .select(col("label").as("cell"), col("c6"))
+      .withColumn("cnorm", sqrt(call_function("graft_dot", col("c6"), col("c6"))))
+    val cellsRow = cells.agg(collect_list(struct(col("cell"), col("c6"),
+      col("cnorm"))).as("cs"))
+    e.select(col("vec_id"), q6.as("q6"))
+      .join(broadcast(cellsRow))
+      .withColumn("cell", expr(
+        "element_at(array_sort(transform(cs, s -> struct(-(graft_dot(q6, s.c6) / s.cnorm) AS negscore, s.cell AS cell))), 1).cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      .selectExpr("cell", "CAST(c AS BIGINT) AS n_vectors",
+        "CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS cell_share",
+        "CAST(c * (c - 1) div 2 AS BIGINT) AS pair_bound")
+      .orderBy("cell")
+  }
+
+  val ivfCellOccupancySql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, CAST(generate_subscripts(embedding,1) - 1 AS INTEGER) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, d, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |  FROM ex GROUP BY label, d),
+       |cy AS (SELECT label, sqrt(CAST(sum(cv*cv) AS DOUBLE)) AS cnorm FROM cent GROUP BY label),
+       |scores AS (
+       |  SELECT e.vec_id, c.label AS cell,
+       |         CAST(sum(e.qv * c.cv) AS DOUBLE) / any_value(cy.cnorm) AS score
+       |  FROM ex e JOIN cent c ON c.d = e.d JOIN cy ON cy.label = c.label
+       |  GROUP BY e.vec_id, c.label),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS cell_rank
+       |    FROM scores) r0 WHERE cell_rank = 1),
+       |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS c FROM assigned GROUP BY 1),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM g)
+       |SELECT cell, c AS n_vectors,
+       |  CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS cell_share,
+       |  CAST(c * (c - 1) // 2 AS BIGINT) AS pair_bound
+       |FROM g, t ORDER BY cell""".stripMargin
 }

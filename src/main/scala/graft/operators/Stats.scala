@@ -2082,16 +2082,22 @@ object Stats {
 
   // ------------------------------------------------------------- anova_oneway
 
+  private val AnovaKeys = EventTypes.indices
+
   /** Between-group Σ s_k²/n_k as a FIXED-ORDER double sum over the
-    * five pivoted region columns (the `jackknife_region_var`
+    * five pivoted event-type columns (the `jackknife_region_var`
     * convention — float-sum order nondeterminism sidestepped by
-    * construction, every operand an exact sub-2^53-after-cast moment
-    * cast to DOUBLE individually). The round-then-decimal-sum trick
-    * is deliberately NOT used here: s²/n ≈ 10¹⁸ cents² sits far
-    * beyond the 4-dp double grid, where the two engines' round()
-    * disagree.
+    * construction, every operand an exact moment cast to DOUBLE
+    * individually). Magnitude ledger: c = round(value·100) ≤ ~2·10⁴,
+    * so Σc² ≈ n·4·10⁸ stays under 2^53 through n ≈ 2·10⁷ events per
+    * type (≥ sf10); beyond, the same pivot rides wider decimal
+    * splits — only the ledger changes. (The first cut of this
+    * operator ran on order totals in cents, where Σc² ≈ 10¹⁸ crossed
+    * the verify-skill decimal→double cast bound and DuckDB's
+    * int128→double 1-ulp drift became observable — the event-value
+    * domain keeps every cast operand inside 2^53.)
     */
-  private val AnovaBpart: String = RegionKeys
+  private val AnovaBpart: String = AnovaKeys
     .map(k => s"CAST(s_$k AS DOUBLE) * CAST(s_$k AS DOUBLE) / CAST(n_$k AS DOUBLE)")
     .mkString(" + ")
   private val AnovaSsb =
@@ -2099,78 +2105,71 @@ object Stats {
   private val AnovaSsw =
     s"CAST(sqtot AS DOUBLE) - ($AnovaBpart)"
 
-  /** One-way ANOVA across regions on order value: F = (SSB/(k−1)) /
-    * (SSW/(N−k)) from per-region exact integer moments (n, Σc, Σc² in
-    * cents) — "do the five regional order-value means genuinely
-    * differ" as one omnibus test, where `welch_t_test` compares a
-    * single pair and rank tests trade power for robustness. η² =
-    * SSB/(SSB+SSW) rides along as the effect size (the numeric
-    * companion of `cramers_v`, which scores categorical association).
-    * Between/within sums of squares come off the moment identities
-    * SSB = Σ s_k²/n_k − S²/N, SSW = ΣΣc² − Σ s_k²/n_k — no second
-    * data pass, no per-row deviations; the Σ over groups is a
-    * fixed-order pivoted-column sum ([[AnovaBpart]]).
+  /** One-way ANOVA across the five event types on event value:
+    * F = (SSB/(k−1)) / (SSW/(N−k)) from per-type exact integer
+    * moments (n, Σc, Σc² in cents) — "do the five type means
+    * genuinely differ" as one omnibus test, where `welch_t_test`
+    * compares a single pair (purchase vs click) and rank tests trade
+    * power for robustness. η² = SSB/(SSB+SSW) rides along as the
+    * effect size (the numeric companion of `cramers_v`, which scores
+    * categorical association). Between/within sums of squares come
+    * off the moment identities SSB = Σ s_k²/n_k − S²/N,
+    * SSW = ΣΣc² − Σ s_k²/n_k — no second data pass, no per-row
+    * deviations; the Σ over groups is a fixed-order pivoted-column
+    * sum ([[AnovaBpart]]).
     *
-    * Scale shape: one partial-agg conditional-sum pass over
-    * orders⋈customer⋈nation (dims broadcast) reduces to a single
-    * 15-column row; everything after is scalar arithmetic.
+    * Scale shape: ONE partial-agg conditional-sum pass over the raw
+    * event log reduces to a single 15-column row; everything after
+    * is scalar arithmetic.
     */
   def anovaOneway(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val keyed = t.orders
-      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_regionkey").as("rk"),
-        (money(col("o_totalprice")) * 100).cast("long").as("c"))
-    val mCols = RegionKeys.flatMap { k =>
-      Seq(sum(when(col("rk") === k, 1L).otherwise(0L)).as(s"n_$k"),
-        sum(when(col("rk") === k, col("c")).otherwise(0L))
-          .cast("decimal(38,0)").as(s"s_$k"),
-        sum(when(col("rk") === k, col("c").cast("decimal(38,0)") * col("c"))
-          .otherwise(lit(0).cast("decimal(38,0)"))).cast("decimal(38,0)").as(s"ss_$k"))
+    val keyed = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val mCols = AnovaKeys.flatMap { k =>
+      val is = col("event_type") === EventTypes(k)
+      Seq(sum(when(is, 1L).otherwise(0L)).as(s"n_$k"),
+        sum(when(is, col("c")).otherwise(0L)).as(s"s_$k"),
+        sum(when(is, col("c") * col("c")).otherwise(0L)).as(s"ss_$k"))
     }
     keyed.agg(mCols.head, mCols.tail: _*)
-      .withColumn("nn", expr(RegionKeys.map(k => s"n_$k").mkString(" + ")))
-      .withColumn("stot", expr(RegionKeys.map(k => s"s_$k").mkString(" + ")))
-      .withColumn("sqtot", expr(RegionKeys.map(k => s"ss_$k").mkString(" + ")))
+      .withColumn("nn", expr(AnovaKeys.map(k => s"n_$k").mkString(" + ")))
+      .withColumn("stot", expr(AnovaKeys.map(k => s"s_$k").mkString(" + ")))
+      .withColumn("sqtot", expr(AnovaKeys.map(k => s"ss_$k").mkString(" + ")))
       .selectExpr(
-        s"CAST(${RegionKeys.size} AS INTEGER) AS k_groups",
-        "CAST(nn AS BIGINT) AS n_orders",
+        s"CAST(${AnovaKeys.size} AS INTEGER) AS k_groups",
+        "CAST(nn AS BIGINT) AS n_events",
         s"($AnovaSsb) / CAST(10000 AS DOUBLE) AS ssb",
         s"($AnovaSsw) / CAST(10000 AS DOUBLE) AS ssw",
-        s"(($AnovaSsb) / CAST(${RegionKeys.size - 1} AS DOUBLE)) / (($AnovaSsw) / CAST(nn - ${RegionKeys.size} AS DOUBLE)) AS f_stat",
+        s"(($AnovaSsb) / CAST(${AnovaKeys.size - 1} AS DOUBLE)) / (($AnovaSsw) / CAST(nn - ${AnovaKeys.size} AS DOUBLE)) AS f_stat",
         s"($AnovaSsb) / (($AnovaSsb) + ($AnovaSsw)) AS eta_sq")
   }
 
   val anovaOnewaySql: String = {
-    val mSums = RegionKeys.flatMap { k =>
-      Seq(s"CAST(sum(CASE WHEN rk = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_$k",
-        s"CAST(sum(CASE WHEN rk = $k THEN CAST(c AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s_$k",
-        s"CAST(sum(CASE WHEN rk = $k THEN CAST(c AS DECIMAL(38,0)) * c ELSE 0 END) AS DECIMAL(38,0)) AS ss_$k")
+    val mSums = AnovaKeys.flatMap { k =>
+      val is = s"event_type = '${EventTypes(k)}'"
+      Seq(s"CAST(sum(CASE WHEN $is THEN 1 ELSE 0 END) AS BIGINT) AS n_$k",
+        s"CAST(sum(CASE WHEN $is THEN c ELSE 0 END) AS BIGINT) AS s_$k",
+        s"CAST(sum(CASE WHEN $is THEN c * c ELSE 0 END) AS BIGINT) AS ss_$k")
     }
     s"""WITH o AS (
-       |  SELECT n_regionkey AS rk,
-       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-       |  FROM orders
-       |  JOIN customer ON o_custkey = c_custkey
-       |  JOIN nation ON c_nationkey = n_nationkey),
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events),
        |m AS (
        |  SELECT
        |    ${mSums.mkString(",\n    ")}
        |  FROM o),
        |a AS (
        |  SELECT *,
-       |    ${RegionKeys.map(k => s"n_$k").mkString(" + ")} AS nn,
-       |    ${RegionKeys.map(k => s"s_$k").mkString(" + ")} AS stot,
-       |    ${RegionKeys.map(k => s"ss_$k").mkString(" + ")} AS sqtot
+       |    ${AnovaKeys.map(k => s"n_$k").mkString(" + ")} AS nn,
+       |    ${AnovaKeys.map(k => s"s_$k").mkString(" + ")} AS stot,
+       |    ${AnovaKeys.map(k => s"ss_$k").mkString(" + ")} AS sqtot
        |  FROM m)
-       |SELECT CAST(${RegionKeys.size} AS INTEGER) AS k_groups,
-       |  CAST(nn AS BIGINT) AS n_orders,
+       |SELECT CAST(${AnovaKeys.size} AS INTEGER) AS k_groups,
+       |  CAST(nn AS BIGINT) AS n_events,
        |  ($AnovaSsb) / CAST(10000 AS DOUBLE) AS ssb,
        |  ($AnovaSsw) / CAST(10000 AS DOUBLE) AS ssw,
-       |  (($AnovaSsb) / CAST(${RegionKeys.size - 1} AS DOUBLE)) / (($AnovaSsw) / CAST(nn - ${RegionKeys.size} AS DOUBLE)) AS f_stat,
+       |  (($AnovaSsb) / CAST(${AnovaKeys.size - 1} AS DOUBLE)) / (($AnovaSsw) / CAST(nn - ${AnovaKeys.size} AS DOUBLE)) AS f_stat,
        |  ($AnovaSsb) / (($AnovaSsb) + ($AnovaSsw)) AS eta_sq
        |FROM a""".stripMargin
   }
