@@ -240,4 +240,50 @@ object QualityChecks {
       |    CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM supplier) AS DOUBLE)
       |  FROM supplier WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
       |ORDER BY entity""".stripMargin
+
+  // ------------------------------------------------------ partition_freshness
+
+  /** Per-day partition freshness report over the event log: row and
+    * user volume per event-date partition plus its lag (in days)
+    * behind the newest partition — the "is the feed current, and did
+    * yesterday's load arrive at full volume" table a warehouse
+    * freshness monitor pages on (the reference's stage-5/6 loads run
+    * on exactly this partition grain;
+    * `trigger_bigquery_load.py` / `main_flow.py` schedule by it).
+    * Complements `data_quality_summary` (field-level validity) and
+    * `orphaned_dimensions` (referential integrity) with the
+    * TEMPORAL completeness axis. Day arithmetic is exact integer
+    * date-diff; days render as ISO strings (the cross-engine date
+    * convention).
+    *
+    * Scale shape: one partial-agg pass reduces the log to the
+    * calendar-bounded day frame (count + per-day exact distinct over
+    * the day-partitioned shuffle); the max-day scalar broadcasts
+    * back. At 100 TB the date partition IS the physical layout, so
+    * the "scan" is metadata-cheap per partition.
+    */
+  def partitionFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(timestamp_micros(col("ts_us")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val dmax = daily.agg(max(col("d")).as("dmax"))
+    daily.crossJoin(broadcast(dmax))
+      .select(col("d").cast("string").as("day"),
+        col("n_events").cast("long").as("n_events"),
+        col("n_users").cast("long").as("n_users"),
+        datediff(col("dmax"), col("d")).cast("int").as("lag_days"))
+      .orderBy("day")
+  }
+
+  val partitionFreshnessSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM events GROUP BY 1),
+      |mx AS (SELECT max(d) AS dmax FROM daily)
+      |SELECT CAST(d AS VARCHAR) AS day, n_events, n_users,
+      |  CAST(dmax - d AS INTEGER) AS lag_days
+      |FROM daily, mx ORDER BY day""".stripMargin
 }

@@ -1250,4 +1250,61 @@ object Dedup {
        |  CAST(n_t40 AS DOUBLE) / CAST(n_cand AS DOUBLE) AS share_t40,
        |  CAST(n_t70 AS DOUBLE) / CAST(n_cand AS DOUBLE) AS share_t70
        |FROM a""".stripMargin
+
+  // ------------------------------------------------- dedup_cluster_size_hist
+
+  /** Near-dup cluster-size histogram: how many clusters of size 2, 3,
+    * … the LSH pair graph collapses into, plus the size-1 row for the
+    * untouched remainder — the shape that decides the dedup POLICY
+    * (a corpus of big template families needs canonical-plus-sample
+    * retention; a corpus of isolated pairs needs nothing fancier than
+    * keep-min). `dedup_clusters` labels members; this is the
+    * distributional read a curation review actually consumes, and the
+    * denominator behind `dup_rate_by_source`. Pure integer counts
+    * end-to-end.
+    *
+    * Scale shape: the cluster label frame reduces cluster-grain, then
+    * size-grain — two partial aggs over frames bounded by the
+    * CLUSTERED doc count (≪ corpus); the singleton row is corpus
+    * count minus clustered count, two scalar aggregates.
+    */
+  def dedupClusterSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir)
+    val hist = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size").cast("long"),
+        col("n_clusters").cast("long"),
+        (col("cluster_size") * col("n_clusters")).cast("long").as("n_docs"))
+    val nd = Tables(spark, dir).documents.agg(count(lit(1)).as("nd"))
+    val nc = cl.agg(count(lit(1)).as("nc"))
+    val singles = nd.crossJoin(nc).select(
+      lit(1L).as("cluster_size"),
+      (col("nd") - col("nc")).cast("long").as("n_clusters"),
+      (col("nd") - col("nc")).cast("long").as("n_docs"))
+    hist.unionAll(singles).orderBy("cluster_size")
+  }
+
+  lazy val dedupClusterSizeHistSql: String =
+    s"""WITH RECURSIVE $minHashPairCtes,
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      |          UNION SELECT doc_b, doc_a FROM mh_pairs),
+      |reach(n, m) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      |  UNION
+      |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n),
+      |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+      |sizes AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1),
+      |hist AS (
+      |  SELECT CAST(sz AS BIGINT) AS cluster_size,
+      |    CAST(count(*) AS BIGINT) AS n_clusters,
+      |    CAST(sz * count(*) AS BIGINT) AS n_docs
+      |  FROM sizes GROUP BY sz),
+      |tot AS (SELECT count(*) AS nd FROM documents),
+      |clus AS (SELECT count(*) AS nc FROM cc)
+      |SELECT * FROM hist
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), CAST(nd - nc AS BIGINT), CAST(nd - nc AS BIGINT)
+      |FROM tot, clus
+      |ORDER BY cluster_size""".stripMargin
 }

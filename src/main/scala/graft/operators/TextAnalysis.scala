@@ -1400,4 +1400,148 @@ object TextAnalysis {
        |  min_doc_id, max_doc_id,
        |  CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE) AS token_share
        |FROM b ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------- vocab_coverage_topk
+
+  private val CoverageKs = Seq(10, 100, 1000)
+
+  /** Vocabulary coverage curve: the share of all token OCCURRENCES
+    * covered by the top-10/100/1000 most frequent types — the number
+    * a tokenizer-vocabulary budget is sized against (`zipf_profile`
+    * shows the head's shape; this integrates it into the cumulative
+    * share a vocab of size k buys, and `bpe_merge_topk` then spends
+    * that budget). Frequencies and cumulative covered counts are
+    * exact integers; each k's coverage is one conditional sum off the
+    * SAME ranked frame (no per-k pass), and the share is a single
+    * exact division.
+    *
+    * Scale shape: one explode + term-grain partial agg (the tf
+    * shuffle every term op shares), a global rank over the
+    * VOCABULARY-bounded frame (≪ corpus; Heaps' law keeps it
+    * sublinear), then ONE row of conditional sums stacked to 3.
+    */
+  def vocabCoverageTopk(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir).documents
+      .select(explode(normTokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val ranked = tf.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+    val aggs = Seq(count(lit(1)).as("vocab"), sum(col("freq")).as("total")) ++
+      CoverageKs.map(k =>
+        sum(when(col("rank") <= k, col("freq")).otherwise(0L)).as(s"c_$k"))
+    val stackArgs = CoverageKs.map(k => s"$k, c_$k").mkString(", ")
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("vocab", "total",
+        s"stack(${CoverageKs.size}, $stackArgs) AS (top_k, covered)")
+      .selectExpr("CAST(top_k AS INTEGER) AS top_k",
+        "CAST(vocab AS BIGINT) AS vocab_size",
+        "CAST(total AS BIGINT) AS total_tokens",
+        "CAST(covered AS BIGINT) AS covered_tokens",
+        "CAST(covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage")
+      .orderBy("top_k")
+  }
+
+  val vocabCoverageTopkSql: String = {
+    val sums = CoverageKs.map(k =>
+      s"CAST(sum(CASE WHEN rank <= $k THEN freq ELSE 0 END) AS BIGINT) AS c_$k")
+    val arms = CoverageKs.map(k =>
+      s"SELECT vocab, total, $k AS top_k, c_$k AS covered FROM a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ex AS (
+       |  SELECT unnest(list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+       |    x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, count(*) AS freq FROM ex GROUP BY 1),
+       |r AS (
+       |  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+       |  FROM tf),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS vocab, CAST(sum(freq) AS BIGINT) AS total,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM r),
+       |s AS (
+       |  $arms)
+       |SELECT CAST(top_k AS INTEGER) AS top_k, vocab AS vocab_size,
+       |  total AS total_tokens, covered AS covered_tokens,
+       |  CAST(covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+       |FROM s ORDER BY top_k""".stripMargin
+  }
+
+  // ------------------------------------------------------- heaps_law_curve
+
+  private val HeapsQuarters = 1 to 4
+
+  /** Heaps'-law vocabulary growth: distinct-type and token counts at
+    * the 25/50/75/100% corpus prefixes (by doc id — the generator's
+    * arrival order), the curve that predicts how much NEW vocabulary
+    * the next billion tokens will add (sizing unknown-token risk and
+    * vocab budgets before a 100 TB crawl is committed). The key
+    * observation making this ONE pass instead of four: vocab(prefix)
+    * = #{terms whose FIRST document falls inside the prefix}, so a
+    * single term-grain min(doc_id) aggregate answers every
+    * checkpoint via conditional sums — no per-checkpoint distinct.
+    * Prefix membership tests are exact integer cross-products
+    * (doc·4 < q·n_docs — no division anywhere).
+    *
+    * Scale shape: one explode + term-grain min partial-agg (the tf
+    * shuffle), one doc-grain token-count partial-agg, each reduced to
+    * a single conditional-sum row — joined as two 1-row frames and
+    * stacked to 4.
+    */
+  def heapsLawCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), explode(normTokens(col("text"))).as("term"))
+    val nd = docs.agg((max(col("doc_id")) + 1).as("nd"))
+    val fd = toks.groupBy(col("term")).agg(min(col("doc_id")).as("fdoc"))
+    val vAggs = HeapsQuarters.map(q =>
+      sum(when(col("fdoc") * 4 < col("nd") * q, 1L).otherwise(0L)).as(s"v_$q"))
+    val vrow = fd.crossJoin(broadcast(nd)).agg(vAggs.head, vAggs.tail: _*)
+    val tc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("tc"))
+    val tAggs = HeapsQuarters.flatMap(q =>
+      Seq(sum(when(col("doc_id") * 4 < col("nd") * q, col("tc")).otherwise(0L)).as(s"t_$q"),
+        sum(when(col("doc_id") * 4 < col("nd") * q, 1L).otherwise(0L)).as(s"d_$q")))
+    val trow = tc.crossJoin(broadcast(nd)).agg(tAggs.head, tAggs.tail: _*)
+    val stackArgs = HeapsQuarters.map(q => s"$q, d_$q, t_$q, v_$q").mkString(", ")
+    vrow.crossJoin(trow)
+      .selectExpr(s"stack(${HeapsQuarters.size}, $stackArgs) AS (quartile, n_docs, n_tokens, vocab_size)")
+      .selectExpr("CAST(quartile AS INTEGER) AS quartile",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(vocab_size AS BIGINT) AS vocab_size",
+        "CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio")
+      .orderBy("quartile")
+  }
+
+  val heapsLawCurveSql: String = {
+    val vSums = HeapsQuarters.map(q =>
+      s"CAST(sum(CASE WHEN fdoc * 4 < nd * $q THEN 1 ELSE 0 END) AS BIGINT) AS v_$q")
+    val tSums = HeapsQuarters.flatMap(q =>
+      Seq(s"CAST(sum(CASE WHEN doc_id * 4 < nd * $q THEN tc ELSE 0 END) AS BIGINT) AS t_$q",
+        s"CAST(sum(CASE WHEN doc_id * 4 < nd * $q THEN 1 ELSE 0 END) AS BIGINT) AS d_$q"))
+    val arms = HeapsQuarters.map(q =>
+      s"SELECT $q AS quartile, d_$q AS n_docs, t_$q AS n_tokens, v_$q AS vocab_size FROM vrow, trow")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+       |    x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |nd AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS nd FROM documents),
+       |fd AS (SELECT term, CAST(min(doc_id) AS BIGINT) AS fdoc FROM ex GROUP BY 1),
+       |vrow AS (
+       |  SELECT
+       |    ${vSums.mkString(",\n    ")}
+       |  FROM fd, nd),
+       |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tc FROM ex GROUP BY 1),
+       |trow AS (
+       |  SELECT
+       |    ${tSums.mkString(",\n    ")}
+       |  FROM tc, nd),
+       |s AS (
+       |  $arms)
+       |SELECT CAST(quartile AS INTEGER) AS quartile, n_docs, n_tokens, vocab_size,
+       |  CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio
+       |FROM s ORDER BY quartile""".stripMargin
+  }
 }

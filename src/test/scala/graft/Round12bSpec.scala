@@ -1,0 +1,188 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 continuation pins — invariants for the 13 operators added
+  * after the r11-verdict items closed (stats inference, concentration
+  * KPIs, retrieval evals, corpus-growth curves, dedup/freshness
+  * diagnostics).
+  */
+class Round12bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("anova_oneway: partition identity and effect size bounds") {
+    val r = graft.operators.Stats.anovaOneway(spark, sf).collect().head
+    val ssb = r.getAs[Double]("ssb")
+    val ssw = r.getAs[Double]("ssw")
+    val eta = r.getAs[Double]("eta_sq")
+    assert(r.getAs[Int]("k_groups") == 5)
+    assert(r.getAs[Long]("n_events") > 0)
+    assert(ssb >= 0 && ssw > 0, s"sums of squares must be nonnegative: ssb=$ssb ssw=$ssw")
+    assert(eta >= 0 && eta <= 1)
+    // eta must equal ssb/(ssb+ssw) as computed from the emitted parts
+    assert(math.abs(eta - ssb / (ssb + ssw)) < 1e-12)
+  }
+
+  test("bootstrap_poisson_ci: interval is ordered and brackets the point estimate") {
+    val r = graft.operators.Stats.bootstrapPoissonCi(spark, sf).collect().head
+    val lo = r.getAs[Double]("ci_lo")
+    val hi = r.getAs[Double]("ci_hi")
+    val pt = r.getAs[Double]("point_mean")
+    assert(r.getAs[Long]("n_boot") == 40L)
+    assert(lo < hi, s"percentile interval must be ordered: [$lo, $hi]")
+    // Poisson resample means scatter AROUND the full-sample mean; a
+    // point estimate outside its own 95% interval means the weight
+    // draw is broken, not that the data is surprising
+    assert(pt > lo && pt < hi, s"point $pt outside [$lo, $hi]")
+  }
+
+  test("pareto_threshold: monotone in pct and reaches each revenue target") {
+    val rows = graft.operators.Reports.paretoThreshold(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("pct")).toSeq == Seq(50, 80, 90))
+    val byPct = rows.map(r => r.getAs[Int]("pct") -> r).toMap
+    assert(byPct(50).getAs[Long]("n_customers") <= byPct(80).getAs[Long]("n_customers"))
+    assert(byPct(80).getAs[Long]("n_customers") <= byPct(90).getAs[Long]("n_customers"))
+    rows.foreach { r =>
+      // the threshold rank is the FIRST to reach the target, so the
+      // attained share is >= pct and the share one rank earlier is <
+      assert(r.getAs[Double]("rev_share") >= r.getAs[Int]("pct") / 100.0)
+      assert(r.getAs[Double]("cust_share") > 0 && r.getAs[Double]("cust_share") <= 1)
+    }
+  }
+
+  test("return_rate_by_brand: rates bounded, totals conserve the lineitem scan") {
+    val rows = graft.operators.Reports.returnRateByBrand(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_returned") <= r.getAs[Long]("n_lines"))
+      val rate = r.getAs[Double]("line_return_rate")
+      assert(rate >= 0 && rate <= 1)
+    }
+    val totLines = rows.map(_.getAs[Long]("n_lines")).sum
+    val liCount = graft.core.Tables(spark, sf).lineitem.count()
+    assert(totLines == liCount,
+      s"brand partition must cover every line: $totLines != $liCount")
+  }
+
+  test("cross_price_elasticity: gated transitions only, pair grain is deduped") {
+    val rows = graft.operators.Commerce.crossPriceElasticity(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_transitions") >= 3)
+      val e = r.getAs[Double]("avg_cross_elasticity")
+      // |e| <= gate by construction: |%dq| <= 1 and |%dp| >= 1/gate
+      assert(!e.isNaN && math.abs(e) <= 20.0 + 1e-9)
+    }
+    val pairs = rows.map(r => (r.getAs[String]("brand_a"), r.getAs[String]("brand_b")))
+    assert(pairs.distinct.size == pairs.size)
+  }
+
+  test("user_event_diversity: bands bounded by the 5-type maximum, users conserved") {
+    val rows = graft.operators.Analytics.userEventDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("band")
+      // 1 - sum(p^2) over 5 types peaks at 1 - 1/5 = 0.8 -> band <= 80
+      assert(b >= 0 && b <= 80)
+      val d = r.getAs[Double]("avg_diversity")
+      assert(d >= b / 100.0 - 1e-9 && d < (b + 1) / 100.0 + 1e-9)
+    }
+    val totUsers = rows.map(_.getAs[Long]("n_users")).sum
+    val distinctUsers = graft.core.Tables(spark, sf).events
+      .select("user_id").distinct().count()
+    assert(totUsers == distinctUsers)
+  }
+
+  test("link_prediction_resource_alloc: RA bounded by the common count, non-edges only") {
+    val ra = graft.operators.Graph.linkPredictionResourceAlloc(spark, sf).collect()
+    assert(ra.nonEmpty)
+    ra.foreach { r =>
+      assert(r.getAs[Long]("node_a") < r.getAs[Long]("node_b"))
+      // each wedge contributes 1/deg <= 1, so RA <= common
+      assert(r.getAs[Double]("resource_alloc") <= r.getAs[Long]("common") + 1e-9)
+      assert(r.getAs[Double]("resource_alloc") > 0)
+    }
+  }
+
+  test("matryoshka_recall_eval: full-dim arm is the identity, all arms bounded") {
+    val rows = graft.operators.Ann.matryoshkaRecallEval(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("trunc_dim")).toSeq == Seq(8, 16, 32, 64))
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_5")
+      assert(rec >= 0 && rec <= 1)
+    }
+    val full = rows.find(_.getAs[Int]("trunc_dim") == 64).get
+    assert(full.getAs[Double]("recall_at_5") == 1.0,
+      "the 64-dim arm compares the ranking against itself and must be exactly 1")
+  }
+
+  test("ivf_cell_occupancy: cells partition the corpus, pair bound is c(c-1)/2") {
+    val rows = graft.operators.Ann.ivfCellOccupancy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tot = rows.map(_.getAs[Long]("n_vectors")).sum
+    val n = graft.core.Tables(spark, sf).embeddings.count()
+    assert(tot == n, s"cells must partition the corpus: $tot != $n")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("n_vectors")
+      assert(r.getAs[Long]("pair_bound") == c * (c - 1) / 2)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("cell_share")).sum - 1.0) < 1e-9)
+  }
+
+  test("vocab_coverage_topk: coverage monotone in k, bounded by 1") {
+    val rows = graft.operators.TextAnalysis.vocabCoverageTopk(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("top_k")).toSeq == Seq(10, 100, 1000))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      s"coverage must be monotone in k: ${cov.mkString(",")}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("total_tokens"))
+    }
+  }
+
+  test("heaps_law_curve: prefixes nest, and the full-corpus vocab matches the tf build") {
+    val rows = graft.operators.TextAnalysis.heapsLawCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("quartile")).toSeq == Seq(1, 2, 3, 4))
+    def mono(f: org.apache.spark.sql.Row => Long) = {
+      val v = rows.map(f)
+      v.zip(v.tail).forall { case (a, b) => a <= b }
+    }
+    assert(mono(_.getAs[Long]("n_docs")) && mono(_.getAs[Long]("n_tokens"))
+      && mono(_.getAs[Long]("vocab_size")), "prefix counts must nest")
+    // the 100% checkpoint's vocab is THE corpus vocabulary — must
+    // equal the coverage table's denominator (independently built)
+    val fullVocab = rows.last.getAs[Long]("vocab_size")
+    val covVocab = graft.operators.TextAnalysis.vocabCoverageTopk(spark, sf)
+      .collect().head.getAs[Long]("vocab_size")
+    assert(fullVocab == covVocab)
+  }
+
+  test("dedup_cluster_size_hist: histogram partitions the corpus, sizes >= 2 in clusters") {
+    val rows = graft.operators.Dedup.dedupClusterSizeHist(spark, sf).collect()
+    val totDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val n = graft.core.Tables(spark, sf).documents.count()
+    assert(totDocs == n, s"histogram must partition the corpus: $totDocs != $n")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs")
+        == r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+    // multi-doc rows must agree with the cluster labeling's row count
+    val clustered = rows.filter(_.getAs[Long]("cluster_size") >= 2)
+      .map(_.getAs[Long]("n_docs")).sum
+    val labels = graft.operators.Dedup.dedupClusters(spark, sf).count()
+    assert(clustered == labels)
+  }
+
+  test("partition_freshness: newest partition has zero lag, volumes conserve") {
+    val fr = graft.etl.QualityChecks.partitionFreshness(spark, sf).collect()
+    assert(fr.nonEmpty)
+    assert(fr.map(_.getAs[Int]("lag_days")).min == 0)
+    val tot = fr.map(_.getAs[Long]("n_events")).sum
+    val n = graft.core.Tables(spark, sf).events.count()
+    assert(tot == n)
+    // days are ISO strings and unique (a real partition key)
+    val days = fr.map(_.getAs[String]("day"))
+    assert(days.distinct.length == days.length)
+    assert(days.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")))
+  }
+}
