@@ -155,4 +155,42 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name must reduce in one documents pass:\n$plan")
     }
   }
+
+  test("round-12b additions keep their scale shapes in the executed plan") {
+    // anova_oneway: ONE conditional-moment pass over the raw log —
+    // no join, no second scan (the whole point of the pivoted form)
+    val an = executedPlan(graft.operators.Stats.anovaOneway(spark, sf))
+    assert(!an.contains("Join"), s"anova needs no join:\n$an")
+    // count the scan by file path — the n_events OUTPUT column would
+    // otherwise trip a bare "events" substring count
+    assert("events.parquet".r.findAllIn(an).length <= 1)
+    // bootstrap_poisson_ci: the B weight columns ride ONE orders scan
+    val bo = executedPlan(graft.operators.Stats.bootstrapPoissonCi(spark, sf))
+    assert("orders".r.findAllIn(bo).length <= 1,
+      s"all 40 resamples must come from one scan:\n$bo")
+    // pareto_threshold: one orders scan feeds the ranked cumsum
+    val pa = executedPlan(graft.operators.Reports.paretoThreshold(spark, sf))
+    assert("orders".r.findAllIn(pa).length <= 1,
+      s"pareto thresholds read orders once:\n$pa")
+    // return_rate_by_brand: one lineitem scan, brand join only
+    val rr = executedPlan(graft.operators.Reports.returnRateByBrand(spark, sf))
+    assert("lineitem".r.findAllIn(rr).length <= 1,
+      s"return rates reduce in one lineitem pass:\n$rr")
+    // vocab_coverage_topk: conditional sums off ONE ranked tf frame —
+    // a per-k pass would re-scan documents
+    val vc = executedPlan(graft.operators.TextAnalysis.vocabCoverageTopk(spark, sf))
+    assert("documents".r.findAllIn(vc).length <= 1,
+      s"coverage curve must come from one tf build:\n$vc")
+    // cross_price_elasticity / user_event_diversity /
+    // link_prediction_resource_alloc: equi-join bounded
+    for ((name, df) <- Seq(
+        "cross_price_elasticity" -> graft.operators.Commerce.crossPriceElasticity(spark, sf),
+        "user_event_diversity" -> graft.operators.Analytics.userEventDiversity(spark, sf),
+        "link_prediction_resource_alloc" -> graft.operators.Graph.linkPredictionResourceAlloc(spark, sf))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must stay equi-join-bounded:\n$plan")
+    }
+    graft.core.OwnedCaches.release()
+  }
 }
