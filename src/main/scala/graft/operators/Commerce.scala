@@ -1150,6 +1150,129 @@ object Commerce {
       |FROM sh GROUP BY channel ORDER BY channel""".stripMargin
   }
 
+  // ----------------------------------------------------- recs_holdout_eval
+
+  private val RecsSplitDate = "2000-01-01"
+  private val RecsEvalK = 3
+
+  /** Temporal-holdout evaluation of the co-occurrence recommender:
+    * train the brand co-occurrence matrix on orders BEFORE
+    * [[RecsSplitDate]], recommend top-[[RecsEvalK]] unseen brands per
+    * customer (score = Σ co-occurrence with the training profile,
+    * the item-based CF aggregate `itemitem_cf`/`cooccur_recs` rank),
+    * and score them against the brands the customer ACTUALLY first
+    * bought in the holdout period — precision@k and recall@k. The
+    * eval table that turns the recommender family from "produces
+    * plausible lists" into a measured model (the `ann_recall_eval`
+    * discipline applied to CF); temporal split, not random, because
+    * that is the leak-free deployment simulation. Every score is an
+    * exact integer sum and ranks tie-break on brand, so the metric is
+    * bit-deterministic.
+    *
+    * Scale shape: the pair build is the basket Σ² at BRAND grain
+    * (25-row dictionary — bounded at any corpus); user profiles and
+    * truth are user-keyed equi-joins; the rec ranking windows
+    * partition by user. No fact-sized state after the first
+    * partial-agg passes.
+    */
+  def recsHoldoutEval(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ub = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("p_brand").as("b"),
+        (col("o_orderdate").cast("date") < lit(RecsSplitDate).cast("date")).as("is_train"))
+      .distinct()
+    val train = ub.filter(col("is_train")).select(col("u"), col("b"))
+    val testNovel = ub.filter(!col("is_train")).select(col("u"), col("b"))
+      .join(train.toDF("u", "b"), Seq("u", "b"), "left_anti")
+    val ob = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(t.part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate").cast("date") < lit(RecsSplitDate).cast("date"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    val pairs = ob.toDF("o", "a")
+      .join(ob.toDF("o2", "b2"), col("o") === col("o2") && col("a") =!= col("b2"))
+      .groupBy(col("a"), col("b2")).agg(count(lit(1)).as("n"))
+    val scores = train.join(pairs, col("b") === col("a"))
+      .groupBy(col("u"), col("b2")).agg(sum(col("n")).as("score"))
+      .join(train.toDF("u", "b2"), Seq("u", "b2"), "left_anti")
+    val w = Window.partitionBy("u").orderBy(col("score").desc, col("b2"))
+    val recs = scores.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= RecsEvalK)
+      .select(col("u"), col("b2").as("b"))
+    val hits = recs.join(testNovel.withColumn("hit", lit(1L)), Seq("u", "b"), "left")
+    val truthForRecUsers = testNovel.groupBy(col("u")).agg(count(lit(1)).as("n_truth"))
+      .join(recs.select(col("u")).distinct(), Seq("u"))
+      .agg(sum(col("n_truth")).as("n_truth"))
+    hits.agg(countDistinct(col("u")).as("n_users"),
+        count(lit(1)).as("n_recs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(truthForRecUsers))
+      .selectExpr(
+        "CAST(n_users AS BIGINT) AS n_users",
+        "CAST(n_recs AS BIGINT) AS n_recs",
+        "CAST(n_hits AS BIGINT) AS n_hits",
+        s"CAST($RecsEvalK AS INTEGER) AS k",
+        s"CAST(n_hits AS DOUBLE) / CAST(n_recs AS DOUBLE) AS precision_at_$RecsEvalK",
+        s"CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_at_$RecsEvalK")
+  }
+
+  val recsHoldoutEvalSql: String =
+    s"""WITH ub AS (
+       |  SELECT DISTINCT o_custkey AS u, p_brand AS b,
+       |    CAST(o_orderdate AS DATE) < DATE '$RecsSplitDate' AS is_train
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey),
+       |train AS (SELECT DISTINCT u, b FROM ub WHERE is_train),
+       |test_novel AS (
+       |  SELECT t.u, t.b
+       |  FROM (SELECT DISTINCT u, b FROM ub WHERE NOT is_train) t
+       |  LEFT JOIN train tr ON tr.u = t.u AND tr.b = t.b
+       |  WHERE tr.u IS NULL),
+       |ob AS (
+       |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE CAST(o_orderdate AS DATE) < DATE '$RecsSplitDate'),
+       |pairs AS (
+       |  SELECT x.b AS a, y.b AS b2, CAST(count(*) AS BIGINT) AS n
+       |  FROM ob x JOIN ob y ON x.o = y.o AND x.b != y.b
+       |  GROUP BY 1, 2),
+       |scores0 AS (
+       |  SELECT tr.u, p.b2, CAST(sum(p.n) AS BIGINT) AS score
+       |  FROM train tr JOIN pairs p ON p.a = tr.b
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT s.u, s.b2, s.score
+       |  FROM scores0 s LEFT JOIN train tr ON tr.u = s.u AND tr.b = s.b2
+       |  WHERE tr.u IS NULL),
+       |recs AS (
+       |  SELECT u, b2 AS b,
+       |    row_number() OVER (PARTITION BY u ORDER BY score DESC, b2) AS rnk
+       |  FROM cand QUALIFY rnk <= $RecsEvalK),
+       |h AS (
+       |  SELECT r.u, CASE WHEN tn.u IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM recs r LEFT JOIN test_novel tn ON tn.u = r.u AND tn.b = r.b),
+       |tt AS (
+       |  SELECT CAST(sum(n_truth) AS BIGINT) AS n_truth
+       |  FROM (SELECT u, count(*) AS n_truth FROM test_novel GROUP BY 1) x
+       |  JOIN (SELECT DISTINCT u FROM recs) ru USING (u))
+       |SELECT CAST(count(DISTINCT h.u) AS BIGINT) AS n_users,
+       |  CAST(count(*) AS BIGINT) AS n_recs,
+       |  CAST(sum(hit) AS BIGINT) AS n_hits,
+       |  CAST($RecsEvalK AS INTEGER) AS k,
+       |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS precision_at_$RecsEvalK,
+       |  CAST(sum(hit) AS DOUBLE) / CAST(any_value(n_truth) AS DOUBLE) AS recall_at_$RecsEvalK
+       |FROM h, tt""".stripMargin
+
   // ------------------------------------------------- cross_price_elasticity
 
   /** Minimum relative price move for a month transition to count:

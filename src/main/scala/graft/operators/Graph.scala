@@ -1133,23 +1133,118 @@ object Graph {
     * logical plan O(1) per round; persist/count/unpersist holds at
     * most one previous round in storage.
     */
-  def communityLouvain(spark: SparkSession, dir: String): DataFrame = {
+  def communityLouvain(spark: SparkSession, dir: String): DataFrame =
+    communityLouvain(spark, dir, forceDistributed = false)
+
+  /** All [[LouvainRounds]] mutual-best merge rounds in ONE task — the
+    * boundedRelax / labelPropagate layout selection applied to
+    * Louvain: below [[SingleTaskEdgeCap]] edges the distributed loop
+    * is pure stage latency (measured ~4.5 s/ROUND on the 3.5k-edge
+    * sf0.1 support graph → ~95 s for the full unroll vs sub-second
+    * local replay). Replicates the distributed round bit-for-bit:
+    * same integer 4m² gain grid, same max-gain/min-partner
+    * tie-break, same one-shot min-label merge per round, same
+    * no-merge fixpoint exit — branch equality pinned in Round12bSpec.
+    */
+  private def louvainLocalLabels(und: DataFrame): DataFrame = {
+    val sess = und.sparkSession
+    import sess.implicits._
+    und.select(col("p1").cast("long"), col("p2").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val m = edges.length.toLong
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        edges.foreach { case (a, b) =>
+          deg(a) = deg.getOrElse(a, 0L) + 1
+          deg(b) = deg.getOrElse(b, 0L) + 1
+        }
+        val lab = scala.collection.mutable.LongMap.empty[Long]
+        deg.keysIterator.foreach(p => lab(p) = p)
+        var converged = false
+        var round = 0
+        while (round < LouvainRounds && !converged) {
+          round += 1
+          val dC = scala.collection.mutable.LongMap.empty[Long]
+          deg.foreach { case (p, d) => val l = lab(p); dC(l) = dC.getOrElse(l, 0L) + d }
+          val eAb = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+          edges.foreach { case (p1, p2) =>
+            val l1 = lab(p1); val l2 = lab(p2)
+            if (l1 != l2) {
+              val k = (math.min(l1, l2), math.max(l1, l2))
+              eAb(k) = eAb.getOrElse(k, 0L) + 1
+            }
+          }
+          val bestGain = scala.collection.mutable.LongMap.empty[Long]
+          val bestOf = scala.collection.mutable.LongMap.empty[Long]
+          def offer(c: Long, o: Long, gain: Long): Unit = {
+            val g0 = bestGain.getOrElse(c, Long.MinValue)
+            if (gain > g0 || (gain == g0 && o < bestOf(c))) {
+              bestGain(c) = gain; bestOf(c) = o
+            }
+          }
+          eAb.foreach { case ((a, b), e) =>
+            // 4m·e_ab − 2·d_a·d_b — stays in long to m·e < 2^60, the
+            // distributed round's documented grid
+            val gain = 4 * m * e - 2 * dC(a) * dC(b)
+            if (gain > 0) { offer(a, b, gain); offer(b, a, gain) }
+          }
+          val merges = scala.collection.mutable.LongMap.empty[Long]
+          bestOf.foreach { case (c, o) =>
+            if (c > o && bestOf.getOrElse(o, -1L) == c) merges(c) = o
+          }
+          if (merges.isEmpty) converged = true
+          else deg.keysIterator.foreach { p =>
+            val l = lab(p)
+            if (merges.contains(l)) lab(p) = merges(l)
+          }
+        }
+        lab.iterator
+      }
+      .toDF("p", "lbl")
+  }
+
+  private[graft] def communityLouvain(spark: SparkSession, dir: String,
+      forceDistributed: Boolean): DataFrame = {
     val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
     val deg = und.select(col("p1").as("p"))
       .union(und.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
     val m = und.agg(count(lit(1)).as("m"))
     val ccLab = ccLabels(spark, dir, CcRounds).select(col("p"), col("d").as("lbl"))
-    var lab = deg.select(col("p"), col("p").as("lbl"))
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    for (_ <- 1 to LouvainRounds) {
-      val next = louvainMergeRound(und, deg, m, lab)
-      val rdd = next.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count() // materialize before releasing the previous round
-      if (prevRdd != null) prevRdd.unpersist()
-      prevRdd = rdd
-      lab = spark.createDataFrame(rdd, next.schema)
+    // layout selection (ONE scalar crosses the driver): the cached
+    // support graph is tiny at every driver SF, so the single-task
+    // replay is the near-universal branch; the distributed loop is
+    // the >cap scale path
+    val small = !forceDistributed && und.count() <= SingleTaskEdgeCap
+    var lab: DataFrame =
+      if (small) louvainLocalLabels(und)
+      else deg.select(col("p"), col("p").as("lbl"))
+    if (!small) {
+      var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+      // fixpoint early-exit: a merge strictly DECREASES the distinct
+      // label count and relabeling never increases it, so an
+      // unchanged count certifies a no-merge round — which maps every
+      // label to itself, so all later rounds provably recompute the
+      // identical labeling (the 7-round oracle unroll reaches the
+      // same fixpoint; only wasted jobs are skipped). One scalar per
+      // round crosses the driver — the labelPropagate converged-flag
+      // discipline.
+      var prevLabels = -1L
+      var converged = false
+      for (_ <- 1 to LouvainRounds if !converged) {
+        val next = louvainMergeRound(und, deg, m, lab)
+        val rdd = next.rdd
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count() // materialize before releasing the previous round
+        if (prevRdd != null) prevRdd.unpersist()
+        prevRdd = rdd
+        lab = spark.createDataFrame(rdd, next.schema)
+        val nLabels = lab.agg(countDistinct(col("lbl"))).head.getLong(0)
+        converged = nLabels == prevLabels
+        prevLabels = nLabels
+      }
     }
     def q(se: String, sd: String): String =
       s"CAST($se AS DOUBLE) / CAST(m AS DOUBLE)" +

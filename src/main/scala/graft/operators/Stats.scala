@@ -2174,6 +2174,156 @@ object Stats {
        |FROM a""".stripMargin
   }
 
+  // ------------------------------------------------------------- anova_twoway
+
+  private val TwA = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val TwB = Seq("A", "N", "R")
+
+  /** Fixed-order Σ s²/n over a list of (s, n) column-name pairs —
+    * every operand an exact integer cast to DOUBLE individually, the
+    * `anova_oneway` pivot convention extended to the 15-cell grid.
+    */
+  private def twPart(pairs: Seq[(String, String)]): String =
+    pairs.map { case (s, n) =>
+      s"CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / CAST($n AS DOUBLE)" }
+      .mkString(" + ")
+
+  /** Two-way ANOVA on the order→ship lag by order priority ×
+    * return flag (the 5×3 cell-means model): main-effect and
+    * interaction sums of squares off ONE conditional-moment pass —
+    * SSA = Σ s_a²/n_a − S²/N on the priority marginals, SSB on the
+    * flag marginals, SSAB = SScells − SSA − SSB (the sequential
+    * decomposition, documented — the design is unbalanced, so
+    * Type-I/II/III differ and this pins Type I), SSW = ΣΣy² −
+    * SScells. Answers "does fulfilment speed shift with priority,
+    * with outcome, or only with their combination" — the factorial
+    * follow-up to `anova_oneway`'s single factor and
+    * `ship_lag_profile`'s per-supplier read. All 23 marginal/total
+    * moments are integer sums of the 45 cell moments (exact), and
+    * every Σ of double parts is fixed-order ([[twPart]]); lag² keeps
+    * ΣΣy² under 2^53 through ≥ sf100.
+    *
+    * Scale shape: one lineitem⋈orders equi-join (the ship-lag grain),
+    * reduced map-side to a single 45-column moment row; everything
+    * after is scalar arithmetic on that row.
+    */
+  def anovaTwoway(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val keyed = t.lineitem
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_shipdate").cast("date").as("ship_d"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("order_d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("a"), col("l_returnflag").as("b"),
+        datediff(col("ship_d"), col("order_d")).cast("long").as("y"))
+    val mCols = for {
+      (av, i) <- TwA.zipWithIndex
+      (bv, j) <- TwB.zipWithIndex
+      c <- {
+        val is = col("a") === av && col("b") === bv
+        Seq(sum(when(is, 1L).otherwise(0L)).as(s"n_${i}_$j"),
+          sum(when(is, col("y")).otherwise(0L)).as(s"s_${i}_$j"),
+          sum(when(is, col("y") * col("y")).otherwise(0L)).as(s"ss_${i}_$j"))
+      }
+    } yield c
+    val cellPairs = for {
+      i <- TwA.indices; j <- TwB.indices
+    } yield (s"s_${i}_$j", s"n_${i}_$j")
+    val m = keyed.agg(mCols.head, mCols.tail: _*)
+    val withMarg = TwA.indices.foldLeft(
+        TwB.indices.foldLeft(m) { (df, j) =>
+          df.withColumn(s"nb_$j", expr(TwA.indices.map(i => s"n_${i}_$j").mkString(" + ")))
+            .withColumn(s"sb_$j", expr(TwA.indices.map(i => s"s_${i}_$j").mkString(" + ")))
+        }) { (df, i) =>
+        df.withColumn(s"na_$i", expr(TwB.indices.map(j => s"n_${i}_$j").mkString(" + ")))
+          .withColumn(s"sa_$i", expr(TwB.indices.map(j => s"s_${i}_$j").mkString(" + ")))
+      }
+      .withColumn("nn", expr(TwA.indices.map(i => s"na_$i").mkString(" + ")))
+      .withColumn("stot", expr(TwA.indices.map(i => s"sa_$i").mkString(" + ")))
+      .withColumn("sqtot", expr(
+        (for { i <- TwA.indices; j <- TwB.indices } yield s"ss_${i}_$j").mkString(" + ")))
+    val corr = "CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE)"
+    val aPart = twPart(TwA.indices.map(i => (s"sa_$i", s"na_$i")))
+    val bPart = twPart(TwB.indices.map(j => (s"sb_$j", s"nb_$j")))
+    val cPart = twPart(cellPairs)
+    val ssa = s"(($aPart) - ($corr))"
+    val ssb = s"(($bPart) - ($corr))"
+    val ssc = s"(($cPart) - ($corr))"
+    val ssab = s"(($ssc) - ($ssa) - ($ssb))"
+    val ssw = s"(CAST(sqtot AS DOUBLE) - ($cPart))"
+    val dfw = s"CAST(nn - ${TwA.size * TwB.size} AS DOUBLE)"
+    withMarg.selectExpr(
+      "CAST(nn AS BIGINT) AS n_lines",
+      s"$ssa AS ss_priority",
+      s"$ssb AS ss_returnflag",
+      s"$ssab AS ss_interaction",
+      s"$ssw AS ss_within",
+      s"(($ssa) / CAST(${TwA.size - 1} AS DOUBLE)) / (($ssw) / $dfw) AS f_priority",
+      s"(($ssb) / CAST(${TwB.size - 1} AS DOUBLE)) / (($ssw) / $dfw) AS f_returnflag",
+      s"(($ssab) / CAST(${(TwA.size - 1) * (TwB.size - 1)} AS DOUBLE)) / (($ssw) / $dfw) AS f_interaction")
+  }
+
+  val anovaTwowaySql: String = {
+    val mSums = (for {
+      (av, i) <- TwA.zipWithIndex
+      (bv, j) <- TwB.zipWithIndex
+      c <- {
+        val is = s"a = '$av' AND b = '$bv'"
+        Seq(s"CAST(sum(CASE WHEN $is THEN 1 ELSE 0 END) AS BIGINT) AS n_${i}_$j",
+          s"CAST(sum(CASE WHEN $is THEN y ELSE 0 END) AS BIGINT) AS s_${i}_$j",
+          s"CAST(sum(CASE WHEN $is THEN y * y ELSE 0 END) AS BIGINT) AS ss_${i}_$j")
+      }
+    } yield c)
+    val cellPairs = for {
+      i <- TwA.indices; j <- TwB.indices
+    } yield (s"s_${i}_$j", s"n_${i}_$j")
+    val margs =
+      TwB.indices.flatMap(j => Seq(
+        s"${TwA.indices.map(i => s"n_${i}_$j").mkString(" + ")} AS nb_$j",
+        s"${TwA.indices.map(i => s"s_${i}_$j").mkString(" + ")} AS sb_$j")) ++
+      TwA.indices.flatMap(i => Seq(
+        s"${TwB.indices.map(j => s"n_${i}_$j").mkString(" + ")} AS na_$i",
+        s"${TwB.indices.map(j => s"s_${i}_$j").mkString(" + ")} AS sa_$i"))
+    val corr = "CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE)"
+    val aPart = twPart(TwA.indices.map(i => (s"sa_$i", s"na_$i")))
+    val bPart = twPart(TwB.indices.map(j => (s"sb_$j", s"nb_$j")))
+    val cPart = twPart(cellPairs)
+    val ssa = s"(($aPart) - ($corr))"
+    val ssb = s"(($bPart) - ($corr))"
+    val ssc = s"(($cPart) - ($corr))"
+    val ssab = s"(($ssc) - ($ssa) - ($ssb))"
+    val ssw = s"(CAST(sqtot AS DOUBLE) - ($cPart))"
+    val dfw = s"CAST(nn - ${TwA.size * TwB.size} AS DOUBLE)"
+    s"""WITH k AS (
+       |  SELECT o_orderpriority AS a, l_returnflag AS b,
+       |    CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS y
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM k),
+       |g AS (
+       |  SELECT *,
+       |    ${margs.mkString(",\n    ")}
+       |  FROM m),
+       |h AS (
+       |  SELECT *,
+       |    ${TwA.indices.map(i => s"na_$i").mkString(" + ")} AS nn,
+       |    ${TwA.indices.map(i => s"sa_$i").mkString(" + ")} AS stot,
+       |    ${(for { i <- TwA.indices; j <- TwB.indices } yield s"ss_${i}_$j").mkString(" + ")} AS sqtot
+       |  FROM g)
+       |SELECT CAST(nn AS BIGINT) AS n_lines,
+       |  $ssa AS ss_priority,
+       |  $ssb AS ss_returnflag,
+       |  $ssab AS ss_interaction,
+       |  $ssw AS ss_within,
+       |  (($ssa) / CAST(${TwA.size - 1} AS DOUBLE)) / (($ssw) / $dfw) AS f_priority,
+       |  (($ssb) / CAST(${TwB.size - 1} AS DOUBLE)) / (($ssw) / $dfw) AS f_returnflag,
+       |  (($ssab) / CAST(${(TwA.size - 1) * (TwB.size - 1)} AS DOUBLE)) / (($ssw) / $dfw) AS f_interaction
+       |FROM h""".stripMargin
+  }
+
   // ------------------------------------------------------ bootstrap_poisson_ci
 
   private[graft] val BootB = 40

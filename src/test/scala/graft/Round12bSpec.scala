@@ -173,6 +173,45 @@ class Round12bSpec extends AnyFunSuite {
     assert(clustered == labels)
   }
 
+  test("anova_twoway: main-effect sums of squares nonnegative, grain conserved") {
+    val r = graft.operators.Stats.anovaTwoway(spark, sf).collect().head
+    val liCount = graft.core.Tables(spark, sf).lineitem.count()
+    assert(r.getAs[Long]("n_lines") == liCount)
+    // marginal (main-effect) SS are variance decompositions over a
+    // partition and cannot be negative; the Type-I interaction CAN go
+    // slightly negative in unbalanced designs, so it is not pinned
+    assert(r.getAs[Double]("ss_priority") >= 0)
+    assert(r.getAs[Double]("ss_returnflag") >= 0)
+    assert(r.getAs[Double]("ss_within") > 0)
+    Seq("f_priority", "f_returnflag", "f_interaction").foreach { c =>
+      assert(!r.getAs[Double](c).isNaN && !r.getAs[Double](c).isInfinite)
+    }
+  }
+
+  test("recs_holdout_eval: bounded metrics, recs capped at k per user") {
+    val r = graft.operators.Commerce.recsHoldoutEval(spark, sf).collect().head
+    val users = r.getAs[Long]("n_users")
+    val recs = r.getAs[Long]("n_recs")
+    val hits = r.getAs[Long]("n_hits")
+    assert(users > 0 && recs > 0)
+    assert(recs <= users * r.getAs[Int]("k"), "more than k recs for some user")
+    assert(hits <= recs)
+    val p = r.getAs[Double]("precision_at_3")
+    assert(p >= 0 && p <= 1)
+    val rec = r.getAs[Double]("recall_at_3")
+    assert(rec >= 0 && rec <= 1)
+  }
+
+  test("community_louvain single-task and distributed branches agree exactly") {
+    // the layout-selected local replay (added after the sf0.1 driver
+    // bench showed ~4.5 s/round of pure stage latency on a 3.5k-edge
+    // graph) must be bit-identical to the distributed merge rounds
+    val local = graft.operators.Graph.communityLouvain(spark, sf).collect().head
+    val dist = graft.operators.Graph
+      .communityLouvain(spark, sf, forceDistributed = true).collect().head
+    assert(local == dist, s"branches diverged:\n local=$local\n dist=$dist")
+  }
+
   test("partition_freshness: newest partition has zero lag, volumes conserve") {
     val fr = graft.etl.QualityChecks.partitionFreshness(spark, sf).collect()
     assert(fr.nonEmpty)
