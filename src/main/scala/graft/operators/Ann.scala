@@ -1831,6 +1831,107 @@ object Ann {
        |ORDER BY trunc_dim""".stripMargin
   }
 
+  // ---------------------------------------------------- pq_distortion_eval
+
+  /** PQ/ADC distortion eval: for each query's ADC shortlist, the
+    * table-lookup distance against the EXACT micro-unit squared
+    * distance — ratio, mean absolute relative error, and overshoot
+    * share per query. The quality ledger behind trusting
+    * `ann_pq_topk`'s shortlist (its recall eval says WHETHER the
+    * right neighbors surface; this says HOW WRONG the distances that
+    * chose them were — the codebook-retraining trigger), completing
+    * the eval trio with `ann_frontier_eval` (cost) and
+    * `matryoshka_recall_eval` (resolution). Every distance on both
+    * sides is an exact integer (ADC sums the shared cached
+    * [[pqDistTables]]; the exact side is Σ(Δqv)² on the shortlist
+    * pairs only), so all three metrics are single exact-integer
+    * divisions — no float accumulation anywhere. Ledger: per-pair
+    * dist ≲ 4·10¹², ×50-pair shortlist ≈ 2·10¹⁴ — inside 2^53.
+    *
+    * Scale shape: the ADC build is the `ann_pq_topk` plan (codes +
+    * broadcast query tables); the exact side touches raw vectors for
+    * shortlist×dims rows ONLY — the same IO asymmetry the retriever
+    * itself exploits.
+    */
+  def pqDistortionEval(spark: SparkSession, dir: String): DataFrame = {
+    val sd = pqDistTables(spark, dir)
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("clabel"))
+    val code = sd.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("clabel").as("code"))
+    val qtab = sd.filter(col("vec_id") < NumQueries)
+      .toDF("query_id", "q_sub", "q_clabel", "q_dist")
+    val adc = code.join(broadcast(qtab),
+        col("q_sub") === col("sub") && col("q_clabel") === col("code") &&
+          col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("q_dist")).as("adc"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    val sl = adc.withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= Shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val ex = Tables(spark, dir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"),
+        floor(col("v").cast("double") * lit(1e6)).cast("long").as("qv"))
+    val exact = sl
+      .join(ex.toDF("query_id", "d", "qa"), "query_id")
+      .join(ex.toDF("neighbor_id", "d", "qb"), Seq("neighbor_id", "d"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("adc"))
+      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("ex_d"))
+    exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ex_d")).as("se"), sum(col("adc")).as("sa"),
+        sum(abs(col("adc") - col("ex_d"))).as("sabs"),
+        sum(when(col("adc") > col("ex_d"), 1L).otherwise(0L)).as("n_over"))
+      .selectExpr("query_id",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(sa AS DOUBLE) / CAST(se AS DOUBLE) AS adc_to_exact_ratio",
+        "CAST(sabs AS DOUBLE) / CAST(se AS DOUBLE) AS mean_abs_rel_err",
+        "CAST(n_over AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS overshoot_share")
+      .orderBy("query_id")
+  }
+
+  val pqDistortionEvalSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, CAST(generate_subscripts(embedding,1) - 1 AS INTEGER) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, d, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |  FROM ex GROUP BY label, d),
+       |sd AS (
+       |  SELECT e.vec_id, e.d // $NSub AS sub, c.label AS clabel,
+       |         sum((e.qv - c.cv) * (e.qv - c.cv)) AS dist
+       |  FROM ex e JOIN cent c ON c.d = e.d
+       |  GROUP BY 1, 2, 3),
+       |code AS (
+       |  SELECT vec_id, sub, clabel AS code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, clabel) AS rn FROM sd) r0
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, CAST(sum(q.dist) AS BIGINT) AS adc
+       |  FROM code c JOIN sd q ON q.sub = c.sub AND q.clabel = c.code
+       |  WHERE q.vec_id < $NumQueries AND q.vec_id != c.vec_id
+       |  GROUP BY 1, 2),
+       |sl AS (SELECT query_id, neighbor_id, adc
+       |       FROM (SELECT query_id, neighbor_id, adc,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS srk
+       |             FROM adc) r1
+       |       WHERE srk <= $Shortlist),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id, s.adc,
+       |    CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS ex_d
+       |  FROM sl s
+       |  JOIN ex a ON a.vec_id = s.query_id
+       |  JOIN ex b ON b.vec_id = s.neighbor_id AND b.d = a.d
+       |  GROUP BY 1, 2, 3)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(adc) AS DOUBLE) / CAST(sum(ex_d) AS DOUBLE) AS adc_to_exact_ratio,
+       |  CAST(sum(abs(adc - ex_d)) AS DOUBLE) / CAST(sum(ex_d) AS DOUBLE) AS mean_abs_rel_err,
+       |  CAST(sum(CASE WHEN adc > ex_d THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overshoot_share
+       |FROM exact GROUP BY query_id ORDER BY query_id""".stripMargin
+
   // ----------------------------------------------------- ivf_cell_occupancy
 
   /** IVF cell-occupancy diagnostic: per coarse cell, its population,

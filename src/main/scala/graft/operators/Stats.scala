@@ -2174,6 +2174,98 @@ object Stats {
        |FROM a""".stripMargin
   }
 
+  // ------------------------------------------------------ seasonal_decompose
+
+  /** OLS slope over (x, y) exact moments — each cast to DOUBLE
+    * individually, ONE shared text (the `regression_trend` form on
+    * the month-offset grid x = m − m₀, which keeps Σx² tiny).
+    */
+  private val SdSlope =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+
+  /** Trend value at month offset x, in dollars — intercept + slope·x
+    * off the same moment row, shared text.
+    */
+  private val SdTrend =
+    s"((CAST(sy AS DOUBLE) - ($SdSlope) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)" +
+      s" + ($SdSlope) * CAST(x AS DOUBLE)) / CAST(100 AS DOUBLE)"
+
+  /** Additive seasonal decomposition of monthly revenue: y = trend +
+    * seasonal + residual — trend the exact-moment OLS line
+    * ([[SdSlope]]), seasonal the per-calendar-month mean of the
+    * detrended series (round-then-decimal sum — values are
+    * revenue-scale, well inside the 6-dp grid), residual the
+    * remainder. The table every seasonality-aware forecast reads
+    * first: `seasonal_index` gives the weekday multiplier and
+    * `holt_forecast` smooths the level, but neither SEPARATES the
+    * series into the three additive components an analyst charts.
+    * Both derived columns are shared-text doubles off exact integer
+    * moments, so all three components hash-match.
+    *
+    * Scale shape: one partial-agg pass to the calendar-bounded
+    * monthly frame; the moment row broadcasts back; the seasonal
+    * means group 12 calendar cells. Nothing beyond the month frame
+    * ever shuffles.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val m0 = monthly.agg(min(col("m")).as("m0"))
+    val base = monthly.crossJoin(broadcast(m0))
+      .select(col("m"), (col("m") - col("m0")).as("x"), col("y"))
+    val mom = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val detr = base.crossJoin(broadcast(mom))
+      .withColumn("detr", expr(s"CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) - ($SdTrend)"))
+      .withColumn("trend", expr(SdTrend))
+      .withColumn("moy", expr("CAST(m % 12 AS INTEGER)"))
+    val seas = detr.groupBy(col("moy"))
+      .agg(sum(expr("CAST(round(detr, 6) AS DECIMAL(28,6))")).as("sdetr"),
+        count(lit(1)).as("nm"))
+      .selectExpr("moy",
+        "CAST(sdetr AS DOUBLE) / CAST(nm AS DOUBLE) AS seasonal")
+    detr.join(broadcast(seas), "moy")
+      .selectExpr("CAST(m div 12 AS INTEGER) AS yr",
+        "CAST(m % 12 + 1 AS INTEGER) AS mo",
+        "CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue",
+        "trend", "seasonal",
+        "detr - seasonal AS residual")
+      .orderBy("yr", "mo")
+  }
+
+  val seasonalDecomposeSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |m0 AS (SELECT min(m) AS m0 FROM monthly),
+       |base AS (SELECT m, m - m0 AS x, y FROM monthly, m0),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM base),
+       |d AS (
+       |  SELECT m, x, y,
+       |    CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) - ($SdTrend) AS detr,
+       |    $SdTrend AS trend,
+       |    CAST(m % 12 AS INTEGER) AS moy
+       |  FROM base, mom),
+       |seas AS (
+       |  SELECT moy,
+       |    CAST(sum(CAST(round(detr, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS seasonal
+       |  FROM d GROUP BY 1)
+       |SELECT CAST(m // 12 AS INTEGER) AS yr, CAST(m % 12 + 1 AS INTEGER) AS mo,
+       |  CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+       |  trend, seasonal,
+       |  detr - seasonal AS residual
+       |FROM d JOIN seas USING (moy)
+       |ORDER BY yr, mo""".stripMargin
+
   // ------------------------------------------------------------- anova_twoway
 
   private val TwA = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")

@@ -202,6 +202,39 @@ class Round12bSpec extends AnyFunSuite {
     assert(rec >= 0 && rec <= 1)
   }
 
+  test("pq_distortion_eval: full shortlists, abs error dominates the signed gap") {
+    val rows = graft.operators.Ann.pqDistortionEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0)
+      val ratio = r.getAs[Double]("adc_to_exact_ratio")
+      val mae = r.getAs[Double]("mean_abs_rel_err")
+      val over = r.getAs[Double]("overshoot_share")
+      assert(ratio > 0)
+      // sum|a-e| >= |sum a - sum e| always
+      assert(mae >= math.abs(ratio - 1) - 1e-12)
+      assert(over >= 0 && over <= 1)
+    }
+  }
+
+  test("seasonal_decompose: components reassemble the series, residuals center") {
+    val rows = graft.operators.Stats.seasonalDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val y = r.getAs[Double]("revenue")
+      val t = r.getAs[Double]("trend")
+      val s = r.getAs[Double]("seasonal")
+      val e = r.getAs[Double]("residual")
+      assert(math.abs(y - (t + s + e)) < 1e-6 * math.max(1.0, math.abs(y)),
+        s"additive identity broken: $y != $t + $s + $e")
+    }
+    // OLS-with-intercept residuals sum to ~0; the seasonal means only
+    // redistribute them, so the residual column must center near zero
+    // (round-to-6dp noise x months is the only slack)
+    val sumRes = rows.map(_.getAs[Double]("residual")).sum
+    assert(math.abs(sumRes) < 1.0, s"residuals do not center: $sumRes")
+  }
+
   test("community_louvain single-task and distributed branches agree exactly") {
     // the layout-selected local replay (added after the sf0.1 driver
     // bench showed ~4.5 s/round of pure stage latency on a 3.5k-edge
