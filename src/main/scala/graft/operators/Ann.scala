@@ -1831,6 +1831,61 @@ object Ann {
        |ORDER BY trunc_dim""".stripMargin
   }
 
+  // --------------------------------------------------------- knn_confusion
+
+  /** Corpus-wide kNN label confusion matrix: every vector classified
+    * by majority vote of its [[KnnK]] graph neighbors (the
+    * `knn_graph` edges — candidate-bounded, never all-pairs), tallied
+    * into (actual, predicted) cells with per-actual-row shares. Where
+    * `knn_classify` scores 10 held-out queries and `cluster_purity`
+    * scores unsupervised cells, this is the full-corpus
+    * label-noise/mislabel screen — the matrix a curation pass reads
+    * to find which label PAIRS bleed into each other before trusting
+    * labels as training targets. Votes and cells are exact integer
+    * counts; ties break to the smaller label on both engines.
+    *
+    * Scale shape: inherits the knn_graph plan (broadcast centroids,
+    * cell-bounded pair join, corpus-scaled k), then two label-grain
+    * aggregates over the k·n edge frame.
+    */
+  def knnConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val votes = knnGraph(spark, dir)
+      .join(e.toDF("neighbor_id", "nl"), "neighbor_id")
+      .groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("votes"))
+    val pred = votes.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("votes").desc, col("nl"))))
+      .filter(col("rn") === 1)
+    pred.join(e.toDF("vec_id", "actual"), "vec_id")
+      .groupBy(col("actual").as("actual_label"), col("nl").as("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy("actual_label")))
+      .selectExpr("actual_label", "predicted_label", "CAST(n AS BIGINT) AS n",
+        "CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS row_share")
+      .orderBy("actual_label", "predicted_label")
+  }
+
+  lazy val knnConfusionSql: String =
+    s"""WITH kg AS ($knnGraphSql),
+       |votes AS (
+       |  SELECT kg.vec_id, e.label AS nl, count(*) AS votes
+       |  FROM kg JOIN embeddings e ON e.vec_id = kg.neighbor_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT vec_id, nl FROM (
+       |    SELECT vec_id, nl,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, nl) AS rn
+       |    FROM votes) r0 WHERE rn = 1),
+       |cells AS (
+       |  SELECT q.label AS actual_label, p.nl AS predicted_label,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM pred p JOIN embeddings q ON q.vec_id = p.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT actual_label, predicted_label, n,
+       |  CAST(n AS DOUBLE)
+       |    / CAST(sum(n) OVER (PARTITION BY actual_label) AS DOUBLE) AS row_share
+       |FROM cells ORDER BY actual_label, predicted_label""".stripMargin
+
   // ---------------------------------------------------- pq_distortion_eval
 
   /** PQ/ADC distortion eval: for each query's ADC shortlist, the

@@ -2666,6 +2666,64 @@ object Reports {
        |FROM s ORDER BY pct""".stripMargin
   }
 
+  // ---------------------------------------------------- price_point_profile
+
+  /** Per-brand price-architecture profile: distinct price points,
+    * band (min/max), and the modal price with its share — the "what
+    * does this brand's price ladder look like" table assortment and
+    * pricing reviews start from (complements `histogram_price`,
+    * which bins the whole catalog, and `arc_elasticity`, which
+    * moves one price). Prices are exact 2-dp decimals end-to-end;
+    * the modal pick ties to the LOWEST price on both engines.
+    *
+    * Scale shape: two partial-agg passes over the part dim (brand ×
+    * price grain then brand grain) — dimension-bounded at any
+    * corpus; no fact table involved.
+    */
+  def pricePointProfile(spark: SparkSession, dir: String): DataFrame = {
+    val pp = Tables(spark, dir).part
+      .select(col("p_brand"), money(col("p_retailprice")).as("price"))
+    val cnt = pp.groupBy(col("p_brand"), col("price")).agg(count(lit(1)).as("c"))
+    val modal = cnt.withColumn("rn", row_number().over(
+        Window.partitionBy("p_brand").orderBy(col("c").desc, col("price"))))
+      .filter(col("rn") === 1)
+      .select(col("p_brand"), col("price").as("modal_price_d"), col("c").as("modal_n"))
+    cnt.groupBy(col("p_brand"))
+      .agg(sum(col("c")).as("n_parts"), count(lit(1)).as("n_prices"),
+        min(col("price")).as("min_price_d"), max(col("price")).as("max_price_d"))
+      .join(modal, "p_brand")
+      .selectExpr("p_brand AS brand",
+        "CAST(n_parts AS BIGINT) AS n_parts",
+        "CAST(n_prices AS BIGINT) AS n_price_points",
+        "CAST(min_price_d AS DOUBLE) AS min_price",
+        "CAST(max_price_d AS DOUBLE) AS max_price",
+        "CAST(modal_price_d AS DOUBLE) AS modal_price",
+        "CAST(modal_n AS DOUBLE) / CAST(n_parts AS DOUBLE) AS modal_share")
+      .orderBy("brand")
+  }
+
+  val pricePointProfileSql: String =
+    """WITH pp AS (
+      |  SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price FROM part),
+      |cnt AS (SELECT p_brand, price, CAST(count(*) AS BIGINT) AS c
+      |        FROM pp GROUP BY 1, 2),
+      |modal AS (
+      |  SELECT p_brand, price AS modal_price_d, c AS modal_n FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY c DESC, price) AS rn
+      |    FROM cnt) r0 WHERE rn = 1),
+      |agg AS (
+      |  SELECT p_brand, CAST(sum(c) AS BIGINT) AS n_parts,
+      |    CAST(count(*) AS BIGINT) AS n_prices,
+      |    min(price) AS min_price_d, max(price) AS max_price_d
+      |  FROM cnt GROUP BY 1)
+      |SELECT a.p_brand AS brand, n_parts, n_prices AS n_price_points,
+      |  CAST(min_price_d AS DOUBLE) AS min_price,
+      |  CAST(max_price_d AS DOUBLE) AS max_price,
+      |  CAST(modal_price_d AS DOUBLE) AS modal_price,
+      |  CAST(modal_n AS DOUBLE) / CAST(n_parts AS DOUBLE) AS modal_share
+      |FROM agg a JOIN modal m ON m.p_brand = a.p_brand
+      |ORDER BY brand""".stripMargin
+
   // ----------------------------------------------------- return_rate_by_brand
 
   /** Per-brand return KPI: line and revenue return rates off the

@@ -1468,6 +1468,84 @@ object TextAnalysis {
        |FROM s ORDER BY top_k""".stripMargin
   }
 
+  // --------------------------------------------------- term_drift_by_source
+
+  private val DriftTopTerms = 50
+
+  /** Per-source term-distribution drift vs the corpus: total-variation
+    * distance over the global top-[[DriftTopTerms]] terms plus an
+    * "everything else" bucket — the LOG-FREE feed-composition monitor
+    * (KL would need ln; TV is ½Σ|p−q| and stays exact — the
+    * `tv_distance_drift` reasoning applied at TERM grain). A source
+    * whose term mix walks away from the corpus is the early sign of
+    * a template flood, a language shift, or a scraper change —
+    * caught BEFORE it shifts `lang_mix_by_source` or `zipf_profile`.
+    * Every |p_s(t) − p(t)| clears denominators to
+    * |c_s·N − C·n_s| / (2·n_s·N): exact integer cross-products, ONE
+    * double division per source.
+    *
+    * Scale shape: the tf build is the shared term-grain shuffle; the
+    * top-k head is vocabulary-bounded; the drift grid is sources ×
+    * (k+1) — domain-bounded at any corpus size.
+    */
+  def termDriftBySource(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), explode(normTokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cg"))
+    val top = tf.withColumn("rn",
+        row_number().over(Window.orderBy(col("cg").desc, col("term"))))
+      .filter(col("rn") <= DriftTopTerms).select(col("term"), col("cg"))
+    val nTot = tf.agg(sum(col("cg")).as("n_g"))
+    val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val st = toks.join(broadcast(top.select(col("term"))), "term")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs0"))
+    val grid = srcTot.crossJoin(broadcast(top))
+      .join(st, Seq("source", "term"), "left")
+      .withColumn("cs", coalesce(col("cs0"), lit(0L)))
+    val agg = grid.crossJoin(broadcast(nTot))
+      .withColumn("num", abs(col("cs") * col("n_g") - col("cg") * col("n_s")))
+      .groupBy(col("source"), col("n_s"), col("n_g"))
+      .agg(sum(col("num")).as("sum_top"),
+        sum(col("cs")).as("cs_top"), sum(col("cg")).as("cg_top"))
+    agg
+      .withColumn("oth_num",
+        abs((col("n_s") - col("cs_top")) * col("n_g")
+          - (col("n_g") - col("cg_top")) * col("n_s")))
+      .selectExpr("source", "CAST(n_s AS BIGINT) AS n_tokens",
+        "CAST(sum_top + oth_num AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_s AS DOUBLE) * CAST(n_g AS DOUBLE)) AS tv_distance")
+      .orderBy("source")
+  }
+
+  val termDriftBySourceSql: String =
+    s"""WITH ex AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+       |    x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cg FROM ex GROUP BY 1),
+       |top AS (
+       |  SELECT term, cg FROM (
+       |    SELECT *, row_number() OVER (ORDER BY cg DESC, term) AS rn FROM tf) r0
+       |  WHERE rn <= $DriftTopTerms),
+       |ng AS (SELECT CAST(sum(cg) AS BIGINT) AS n_g FROM tf),
+       |stot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM ex GROUP BY 1),
+       |st AS (
+       |  SELECT source, ex.term, CAST(count(*) AS BIGINT) AS cs
+       |  FROM ex JOIN top ON top.term = ex.term GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT s.source, s.n_s, t.term, t.cg, coalesce(st.cs, 0) AS cs
+       |  FROM stot s CROSS JOIN top t
+       |  LEFT JOIN st ON st.source = s.source AND st.term = t.term),
+       |agg AS (
+       |  SELECT source, n_s, any_value(n_g) AS n_g,
+       |    CAST(sum(abs(cs * n_g - cg * n_s)) AS BIGINT) AS sum_top,
+       |    CAST(sum(cs) AS BIGINT) AS cs_top, CAST(sum(cg) AS BIGINT) AS cg_top
+       |  FROM grid, ng GROUP BY 1, 2)
+       |SELECT source, n_s AS n_tokens,
+       |  CAST(sum_top + abs((n_s - cs_top) * n_g - (n_g - cg_top) * n_s) AS DOUBLE)
+       |    / (CAST(2 AS DOUBLE) * CAST(n_s AS DOUBLE) * CAST(n_g AS DOUBLE)) AS tv_distance
+       |FROM agg ORDER BY source""".stripMargin
+
   // ------------------------------------------------------- heaps_law_curve
 
   private val HeapsQuarters = 1 to 4

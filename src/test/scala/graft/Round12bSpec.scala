@@ -235,6 +235,44 @@ class Round12bSpec extends AnyFunSuite {
     assert(math.abs(sumRes) < 1.0, s"residuals do not center: $sumRes")
   }
 
+  test("knn_confusion: cells partition the corpus, row shares close to 1") {
+    val rows = graft.operators.Ann.knnConfusion(spark, sf).collect()
+    val tot = rows.map(_.getAs[Long]("n")).sum
+    val n = graft.core.Tables(spark, sf).embeddings.count()
+    assert(tot == n, s"every vector must classify exactly once: $tot != $n")
+    rows.groupBy(_.getAs[Int]("actual_label")).foreach { case (lbl, cells) =>
+      val s = cells.map(_.getAs[Double]("row_share")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"label $lbl shares sum to $s")
+    }
+  }
+
+  test("price_point_profile: band ordering and bounded modal share") {
+    val rows = graft.operators.Reports.pricePointProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_price_points") <= r.getAs[Long]("n_parts"))
+      val (lo, md, hi) = (r.getAs[Double]("min_price"),
+        r.getAs[Double]("modal_price"), r.getAs[Double]("max_price"))
+      assert(lo <= md && md <= hi, s"modal outside band: $lo $md $hi")
+      val share = r.getAs[Double]("modal_share")
+      assert(share > 0 && share <= 1)
+    }
+  }
+
+  test("term_drift_by_source: TV bounded, token mass conserved") {
+    val rows = graft.operators.TextAnalysis.termDriftBySource(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[Double]("tv_distance")
+      assert(tv >= 0 && tv <= 1, s"TV out of range: $tv")
+    }
+    val srcTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val corpusTokens = graft.operators.TextAnalysis.vocabCoverageTopk(spark, sf)
+      .collect().head.getAs[Long]("total_tokens")
+    assert(srcTokens == corpusTokens,
+      s"source token mass must equal the corpus total: $srcTokens != $corpusTokens")
+  }
+
   test("community_louvain single-task and distributed branches agree exactly") {
     // the layout-selected local replay (added after the sf0.1 driver
     // bench showed ~4.5 s/round of pure stage latency on a 3.5k-edge
