@@ -1831,6 +1831,81 @@ object Ann {
        |ORDER BY trunc_dim""".stripMargin
   }
 
+  // ----------------------------------------------- label_separation_profile
+
+  /** Per-label cluster-quality profile: mean squared distance to the
+    * OWN label centroid (compactness) vs the nearest OTHER centroid's
+    * squared distance (separation), and their ratio — the
+    * silhouette-shaped read at LABEL grain that says whether labels
+    * are geometrically meaningful before anything trains on them
+    * (`knn_confusion` finds which labels bleed; this says how much
+    * margin each label has). Centroids are the kmeans-update integer
+    * convention; every distance is an exact integer (per-vector d² ≲
+    * 10¹², label sums ≲ 10¹⁵ at driver SFs — inside the 2^53 cast
+    * bound, asserted in the spec), so the two means and the ratio
+    * are plain exact-operand divisions.
+    *
+    * Scale shape: the (label, dim) centroid aggregate is
+    * domain-bounded; per-vector distances partial-agg locally; the
+    * centroid-pair frame is labels² — bounded. One corpus-width
+    * shuffle total (the vec-grain reduce).
+    */
+  def labelSeparationProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e6)))).as(Seq("dim", "v")))
+    val cent = ex.groupBy(col("label"), col("dim"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("c"))
+    val intra = ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("CAST((v - c) * (v - c) AS BIGINT)")).as("d2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+    val inter = cent.toDF("la", "dim", "ca")
+      .join(cent.toDF("lb", "dim", "cb"), "dim")
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(expr("CAST((ca - cb) * (ca - cb) AS BIGINT)")).as("cd2"))
+      .groupBy(col("la")).agg(min(col("cd2")).as("min_inter"))
+    intra.join(inter, col("label") === col("la"))
+      .selectExpr("label", "CAST(n AS BIGINT) AS n_vectors",
+        "CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_intra_d2",
+        "CAST(min_inter AS BIGINT) AS min_inter_d2",
+        "CAST(min_inter AS DOUBLE) / (CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE)) AS separation_ratio")
+      .orderBy("label")
+  }
+
+  val labelSeparationProfileSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+      |    floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS v
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, dim, floor(CAST(sum(v) AS DOUBLE) / count(*)) AS c
+      |  FROM ex GROUP BY 1, 2),
+      |d AS (
+      |  SELECT ex.vec_id, ex.label,
+      |    CAST(sum((ex.v - cent.c) * (ex.v - cent.c)) AS BIGINT) AS d2
+      |  FROM ex JOIN cent ON cent.label = ex.label AND cent.dim = ex.dim
+      |  GROUP BY 1, 2),
+      |intra AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(d2) AS BIGINT) AS sd2
+      |  FROM d GROUP BY 1),
+      |cp AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |    CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS cd2
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label != b.label
+      |  GROUP BY 1, 2),
+      |inter AS (SELECT la, CAST(min(cd2) AS BIGINT) AS min_inter FROM cp GROUP BY 1)
+      |SELECT label, n AS n_vectors,
+      |  CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_intra_d2,
+      |  min_inter AS min_inter_d2,
+      |  CAST(min_inter AS DOUBLE) / (CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE)) AS separation_ratio
+      |FROM intra JOIN inter ON inter.la = intra.label
+      |ORDER BY label""".stripMargin
+
   // --------------------------------------------------------- knn_confusion
 
   /** Corpus-wide kNN label confusion matrix: every vector classified

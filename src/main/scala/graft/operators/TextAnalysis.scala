@@ -1468,6 +1468,54 @@ object TextAnalysis {
        |FROM s ORDER BY top_k""".stripMargin
   }
 
+  // ------------------------------------------------- quality_pass_by_source
+
+  /** The quality gate rolled to FEED grain: per source, docs kept vs
+    * rejected by first-failing reason (the `quality_filter` audit
+    * trail aggregated to the table a feed owner is actually shown) —
+    * pass rate plus per-reason counts as columns, so one row per
+    * source reads as a scorecard. A feed whose pass rate sags or
+    * whose dominant reason flips (length → repetition) changed
+    * upstream; paired with `term_drift_by_source` (what shifted) and
+    * `dup_rate_by_source` (how much is copies). Pure integer counts
+    * + exact divisions.
+    *
+    * Scale shape: the per-doc classification is `quality_filter`'s
+    * map-only pass; one source-grain partial agg after a doc-grain
+    * source join — both corpus-linear, no new shuffle grain.
+    */
+  def qualityPassBySource(spark: SparkSession, dir: String): DataFrame = {
+    val cls = qualityFilter(spark, dir)
+      .select(col("doc_id"), col("reject_reason"))
+    val src = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    cls.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("reject_reason") === "ok", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("reject_reason") === "too_short", 1L).otherwise(0L)).as("n_too_short"),
+        sum(when(col("reject_reason") === "repetitive", 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(col("reject_reason") === "low_stopword", 1L).otherwise(0L)).as("n_low_stopword"))
+      .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_kept AS BIGINT) AS n_kept",
+        "CAST(n_too_short AS BIGINT) AS n_too_short",
+        "CAST(n_repetitive AS BIGINT) AS n_repetitive",
+        "CAST(n_low_stopword AS BIGINT) AS n_low_stopword",
+        "CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate")
+      .orderBy("source")
+  }
+
+  lazy val qualityPassBySourceSql: String =
+    s"""WITH qf AS ($qualityFilterSql)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN reject_reason = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN reject_reason = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       |  CAST(sum(CASE WHEN reject_reason = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       |  CAST(sum(CASE WHEN reject_reason = 'low_stopword' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+       |  CAST(sum(CASE WHEN reject_reason = 'ok' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS pass_rate
+       |FROM qf JOIN documents d ON d.doc_id = qf.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // --------------------------------------------------- term_drift_by_source
 
   private val DriftTopTerms = 50

@@ -273,6 +273,37 @@ class Round12bSpec extends AnyFunSuite {
       s"source token mass must equal the corpus total: $srcTokens != $corpusTokens")
   }
 
+  test("label_separation_profile: corpus partition and the 2^53 distance ledger") {
+    val rows = graft.operators.Ann.labelSeparationProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tot = rows.map(_.getAs[Long]("n_vectors")).sum
+    assert(tot == graft.core.Tables(spark, sf).embeddings.count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_intra_d2") > 0)
+      assert(r.getAs[Long]("min_inter_d2") >= 0)
+      assert(r.getAs[Double]("separation_ratio") >= 0)
+      // the decimal->double cast bound the Scaladoc claims: the label
+      // distance sum must stay an exactly-castable integer
+      val sd2 = r.getAs[Double]("mean_intra_d2") * r.getAs[Long]("n_vectors")
+      assert(sd2 < math.pow(2, 53), s"intra sum crosses the cast ledger: $sd2")
+    }
+  }
+
+  test("quality_pass_by_source: reasons partition each source's docs") {
+    val rows = graft.operators.TextAnalysis.qualityPassBySource(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getAs[Long]("n_kept") + r.getAs[Long]("n_too_short") +
+        r.getAs[Long]("n_repetitive") + r.getAs[Long]("n_low_stopword")
+      assert(parts == r.getAs[Long]("n_docs"),
+        s"reasons must partition: $parts != ${r.getAs[Long]("n_docs")}")
+      val pr = r.getAs[Double]("pass_rate")
+      assert(pr >= 0 && pr <= 1)
+    }
+    val tot = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(tot == graft.core.Tables(spark, sf).documents.count())
+  }
+
   test("community_louvain single-task and distributed branches agree exactly") {
     // the layout-selected local replay (added after the sf0.1 driver
     // bench showed ~4.5 s/round of pure stage latency on a 3.5k-edge
