@@ -1150,6 +1150,52 @@ object Commerce {
       |FROM sh GROUP BY channel ORDER BY channel""".stripMargin
   }
 
+  // ------------------------------------------------------------- srm_check
+
+  /** Sample-ratio-mismatch check for the A/B assignment: the 1-df
+    * chi-square (n_a − n_b)²/(n_a + n_b) of the md5 user split
+    * against its designed 50/50, flagged at the 95% critical value —
+    * the guardrail every experiment readout runs BEFORE trusting
+    * `ab_test_conversion`'s z (an SRM means the assignment or
+    * logging is broken and the conversion comparison is void). The
+    * chi-square clears to one division of exact integer counts; the
+    * critical value 3.841 is a literal, so the flag is an exact
+    * comparison on identical double bits.
+    *
+    * Scale shape: one user-grain distinct pass (the a/b ops' grain)
+    * reduced to two conditional counts — nothing else.
+    */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables(spark, dir).events
+      .select(col("user_id")).distinct()
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+    users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .selectExpr("CAST(n_a AS BIGINT) AS n_a", "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS share_a",
+        "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS chi2",
+        "CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS INTEGER) AS srm_flag")
+  }
+
+  val srmCheckSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |v AS (
+      |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant
+      |  FROM u),
+      |m AS (
+      |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM v)
+      |SELECT n_a, n_b,
+      |  CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS share_a,
+      |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS chi2,
+      |  CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+      |FROM m""".stripMargin
+
   // ----------------------------------------------------- recs_holdout_eval
 
   private val RecsSplitDate = "2000-01-01"

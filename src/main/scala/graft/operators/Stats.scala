@@ -2174,6 +2174,110 @@ object Stats {
        |FROM a""".stripMargin
   }
 
+  // ------------------------------------------------------- markov_absorption
+
+  private val AbsorbState = "purchase"
+  private val AbsorbSteps = 4
+  private val NonAbsorbing: Seq[Int] =
+    EventTypes.zipWithIndex.filter(_._1 != AbsorbState).map(_._2)
+  private def absorbP(i: Int, j: Int): String =
+    s"CAST(n_${i}_$j AS DOUBLE) / CAST(nf_$i AS DOUBLE)"
+
+  /** K-step absorption probabilities into the purchase state: with
+    * purchase absorbing, A_k(s) = p(s,buy) + Σ_{s'≠buy} p(s,s')·
+    * A_{k−1}(s') unrolled [[AbsorbSteps]] times — "starting from a
+    * click (or error, or signup), what is the chance the user
+    * reaches a purchase within k more events". The decision-ready
+    * read on top of `markov_transitions` (which reports the raw
+    * matrix): funnels rank states by where intervention buys the
+    * most absorption. Transition counts pivot to ONE row of exact
+    * integers; every probability and every unrolled step is a
+    * fixed-order shared-text double expression — the `anova_oneway`
+    * pivot discipline applied to matrix iteration.
+    *
+    * Scale shape: one lead-window pass over user-partitioned
+    * sequences (the markov_transitions shuffle) reduces to a
+    * 24-column row; the k-step recursion is scalar column arithmetic
+    * — no joins, no per-step passes.
+    */
+  def markovAbsorption(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val trans = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("f"), col("next_type").as("t"))
+    val mCols = NonAbsorbing.flatMap { i =>
+      EventTypes.indices.map { j =>
+        sum(when(col("f") === EventTypes(i) && col("t") === EventTypes(j), 1L)
+          .otherwise(0L)).as(s"n_${i}_$j")
+      }
+    }
+    val m = trans.agg(mCols.head, mCols.tail: _*)
+    val withTotals = NonAbsorbing.foldLeft(m) { (df, i) =>
+      df.withColumn(s"nf_$i",
+        expr(EventTypes.indices.map(j => s"n_${i}_$j").mkString(" + ")))
+    }
+    val buy = EventTypes.indexOf(AbsorbState)
+    val stepped = (1 to AbsorbSteps).foldLeft(withTotals) { (df, k) =>
+      NonAbsorbing.foldLeft(df) { (d, i) =>
+        val terms =
+          if (k == 1) absorbP(i, buy)
+          else absorbP(i, buy) + " + " + NonAbsorbing
+            .map(j => s"${absorbP(i, j)} * a${k - 1}_$j").mkString(" + ")
+        d.withColumn(s"a${k}_$i", expr(terms))
+      }
+    }
+    val stackArgs = NonAbsorbing
+      .map(i => s"'${EventTypes(i)}', " +
+        (1 to AbsorbSteps).map(k => s"a${k}_$i").mkString(", "))
+      .mkString(", ")
+    stepped.selectExpr(
+        s"stack(${NonAbsorbing.size}, $stackArgs) AS (state, ${(1 to AbsorbSteps).map(k => s"p_absorb_$k").mkString(", ")})")
+      .orderBy("state")
+  }
+
+  val markovAbsorptionSql: String = {
+    val buy = EventTypes.indexOf(AbsorbState)
+    val mSums = NonAbsorbing.flatMap { i =>
+      EventTypes.indices.map { j =>
+        s"CAST(sum(CASE WHEN f = '${EventTypes(i)}' AND t = '${EventTypes(j)}' THEN 1 ELSE 0 END) AS BIGINT) AS n_${i}_$j"
+      }
+    }
+    val totals = NonAbsorbing.map(i =>
+      s"${EventTypes.indices.map(j => s"n_${i}_$j").mkString(" + ")} AS nf_$i")
+    val stepCtes = (1 to AbsorbSteps).map { k =>
+      val cols = NonAbsorbing.map { i =>
+        val terms =
+          if (k == 1) absorbP(i, buy)
+          else absorbP(i, buy) + " + " + NonAbsorbing
+            .map(j => s"${absorbP(i, j)} * a${k - 1}_$j").mkString(" + ")
+        s"$terms AS a${k}_$i"
+      }
+      s"s$k AS (SELECT *, ${cols.mkString(", ")} FROM ${if (k == 1) "g" else s"s${k - 1}"})"
+    }
+    val arms = NonAbsorbing.map(i =>
+      s"SELECT '${EventTypes(i)}' AS state, ${(1 to AbsorbSteps).map(k => s"a${k}_$i AS p_absorb_$k").mkString(", ")} FROM s$AbsorbSteps")
+      .mkString("\n  UNION ALL ")
+    s"""WITH seq AS (
+       |  SELECT event_type AS f,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+       |  FROM events),
+       |trans AS (SELECT f, t FROM seq WHERE t IS NOT NULL),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM trans),
+       |g AS (
+       |  SELECT *,
+       |    ${totals.mkString(",\n    ")}
+       |  FROM m),
+       |${stepCtes.mkString(",\n")},
+       |u AS (
+       |  $arms)
+       |SELECT * FROM u ORDER BY state""".stripMargin
+  }
+
   // ------------------------------------------------------ seasonal_decompose
 
   /** OLS slope over (x, y) exact moments — each cast to DOUBLE

@@ -304,6 +304,27 @@ class Round12bSpec extends AnyFunSuite {
     assert(tot == graft.core.Tables(spark, sf).documents.count())
   }
 
+  test("markov_absorption: probabilities monotone in steps and bounded") {
+    val rows = graft.operators.Stats.markovAbsorption(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val ps = (1 to 4).map(k => r.getAs[Double](s"p_absorb_$k"))
+      ps.foreach(p => assert(p >= 0 && p <= 1, s"absorption out of range: $p"))
+      // adding a step can only add absorption paths
+      ps.zip(ps.tail).foreach { case (a, b) =>
+        assert(b >= a - 1e-12, s"absorption must be monotone in k: $a -> $b") }
+    }
+  }
+
+  test("srm_check: variants partition the users, flag matches the statistic") {
+    val r = graft.operators.Commerce.srmCheck(spark, sf).collect().head
+    val users = graft.core.Tables(spark, sf).events.select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    val chi2 = r.getAs[Double]("chi2")
+    assert(chi2 >= 0)
+    assert(r.getAs[Int]("srm_flag") == (if (chi2 > 3.841) 1 else 0))
+  }
+
   test("community_louvain single-task and distributed branches agree exactly") {
     // the layout-selected local replay (added after the sf0.1 driver
     // bench showed ~4.5 s/round of pure stage latency on a 3.5k-edge
