@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: the session-shared cache working set across ~300 bench
+  // queries exceeds 8g's ~4.5g storage fraction and evicts mid-run
+  // (measured: the ANN family re-paid its builds in run 2, shared
+  // totals 185s -> 253s at 290 -> 299 queries); the sandbox has
+  // 128 GiB, so a 24g driver is the honest local[32] sizing.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
