@@ -241,6 +241,73 @@ object QualityChecks {
       |  FROM supplier WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
       |ORDER BY entity""".stripMargin
 
+  // ------------------------------------------------------- scd2_conformance
+
+  /** SCD2 integrity audit over the customer-state history: the four
+    * invariants every slowly-changing-dimension consumer silently
+    * assumes — exactly ONE open (is_current) row per key, validity
+    * intervals neither overlapping nor gapped (valid_to = next
+    * valid_from), and dense version numbers — each reported as a
+    * violation count (all-zero on a healthy build; the dbt
+    * relationship-test shape of this module applied to TEMPORAL
+    * integrity, which the reference's schema tests don't cover). The
+    * check recomputes from the published history frame, not from its
+    * build internals, so a future scd2 refactor that breaks an
+    * invariant is caught here even if its own tests pass.
+    *
+    * Scale shape: one lead-window pass over the key-partitioned
+    * history + two key-grain partial aggs — the history's own
+    * shuffle grain, nothing wider.
+    */
+  def scd2Conformance(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.etl.StarSchema.scd2History(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("customer_source_id").orderBy("version")
+    val x = h.withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+    val perKey = x.groupBy(col("customer_source_id"))
+      .agg(count(lit(1)).as("n"), max(col("version")).as("maxv"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("valid_to_us").isNotNull && col("next_from").isNotNull &&
+          col("valid_to_us") > col("next_from"), 1L).otherwise(0L)).as("n_olap"),
+        sum(when(col("valid_to_us").isNotNull && col("next_from").isNotNull &&
+          col("valid_to_us") < col("next_from"), 1L).otherwise(0L)).as("n_gap"))
+    perKey.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        sum(when(col("n_open") =!= 1L, 1L).otherwise(0L)).as("open_row_violations"),
+        sum(col("n_olap")).as("overlap_violations"),
+        sum(col("n_gap")).as("gap_violations"),
+        sum(when(col("maxv").cast("long") =!= col("n"), 1L).otherwise(0L))
+          .as("version_density_violations"))
+      .selectExpr("CAST(n_keys AS BIGINT) AS n_keys",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(open_row_violations AS BIGINT) AS open_row_violations",
+        "CAST(overlap_violations AS BIGINT) AS overlap_violations",
+        "CAST(gap_violations AS BIGINT) AS gap_violations",
+        "CAST(version_density_violations AS BIGINT) AS version_density_violations")
+  }
+
+  lazy val scd2ConformanceSql: String =
+    s"""WITH hist AS (${graft.etl.StarSchema.scd2HistorySql}),
+       |x AS (
+       |  SELECT *,
+       |    lead(valid_from_us) OVER (PARTITION BY customer_source_id ORDER BY version) AS next_from
+       |  FROM hist),
+       |pk AS (
+       |  SELECT customer_source_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(max(version) AS BIGINT) AS maxv,
+       |    CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       |    CAST(sum(CASE WHEN valid_to_us IS NOT NULL AND next_from IS NOT NULL
+       |      AND valid_to_us > next_from THEN 1 ELSE 0 END) AS BIGINT) AS n_olap,
+       |    CAST(sum(CASE WHEN valid_to_us IS NOT NULL AND next_from IS NOT NULL
+       |      AND valid_to_us < next_from THEN 1 ELSE 0 END) AS BIGINT) AS n_gap
+       |  FROM x GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN n_open != 1 THEN 1 ELSE 0 END) AS BIGINT) AS open_row_violations,
+       |  CAST(sum(n_olap) AS BIGINT) AS overlap_violations,
+       |  CAST(sum(n_gap) AS BIGINT) AS gap_violations,
+       |  CAST(sum(CASE WHEN maxv != n THEN 1 ELSE 0 END) AS BIGINT) AS version_density_violations
+       |FROM pk""".stripMargin
+
   // ------------------------------------------------------ partition_freshness
 
   /** Per-day partition freshness report over the event log: row and

@@ -325,6 +325,18 @@ class Round12bSpec extends AnyFunSuite {
     assert(r.getAs[Int]("srm_flag") == (if (chi2 > 3.841) 1 else 0))
   }
 
+  test("scd2_conformance: healthy build reports zero violations, grain matches history") {
+    val r = graft.etl.QualityChecks.scd2Conformance(spark, sf).collect().head
+    val hist = graft.etl.StarSchema.scd2History(spark, sf)
+    assert(r.getAs[Long]("n_rows") == hist.count())
+    assert(r.getAs[Long]("n_keys") ==
+      hist.select("customer_source_id").distinct().count())
+    Seq("open_row_violations", "overlap_violations", "gap_violations",
+        "version_density_violations").foreach { c =>
+      assert(r.getAs[Long](c) == 0L, s"$c must be zero on the published history")
+    }
+  }
+
   test("community_louvain single-task and distributed branches agree exactly") {
     // the layout-selected local replay (added after the sf0.1 driver
     // bench showed ~4.5 s/round of pure stage latency on a 3.5k-edge
