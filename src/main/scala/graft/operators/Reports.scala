@@ -1490,9 +1490,10 @@ object Reports {
     * convention.
     *
     * Scale shape: two half-period revenue aggregates from one scan
-    * (conditional sums), two bounded ntile sorts over the customer
-    * dim (the histogram_equidepth boundary pattern at 10⁹ customers),
-    * and a ≤25-cell rollup.
+    * (conditional sums), two DISTRIBUTED quartile ranks over the
+    * customer dim (the rfm_segment two-level prefix sum — banded
+    * local windows + broadcast bucket offsets, no unpartitioned
+    * window ever touches the customer frame), and a ≤25-cell rollup.
     */
   def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -1507,13 +1508,29 @@ object Reports {
         (sum(when(expr("datediff(o_orderdate, DATE '1970-01-01') > mid"),
           money(col("o_totalprice"))).otherwise(expr("CAST(0 AS DECIMAL(18,2))"))) * 100)
           .cast("long").as("rev_b"))
-    val seg = per
-      .withColumn("seg_a", when(col("rev_a") === 0L, 0)
-        .otherwise(ntile(4).over(Window.partitionBy(col("rev_a") === 0L)
-          .orderBy(col("rev_a"), col("o_custkey")))))
-      .withColumn("seg_b", when(col("rev_b") === 0L, 0)
-        .otherwise(ntile(4).over(Window.partitionBy(col("rev_b") === 0L)
-          .orderBy(col("rev_b"), col("o_custkey")))))
+    // The oracle's ntile(4) OVER (PARTITION BY rev=0 ORDER BY rev,
+    // custkey) discards the zero partition's tile — so only the
+    // NON-zero class needs a rank, and that rank is the rfm_segment
+    // two-level prefix sum (cents banded at the MonetaryBucketWidth
+    // convention), never an unpartitioned window over the customer
+    // frame. per is cached: it feeds both class filters + the join
+    // spine (one orders scan total; released by the harness).
+    val perC = graft.core.OwnedCaches.own(per.cache())
+    val bandC = (Commerce.MonetaryBucketWidth * 100).toLong
+    def segCol(rev: String, out: String): DataFrame = {
+      val nz = perC.filter(col(rev) =!= 0L).select(col("o_custkey"), col(rev))
+      val n = nz.agg(count(lit(1)).as("__n"))
+      Commerce.globalRowNumber(nz, floor(col(rev) / bandC),
+          Seq(col(rev), col("o_custkey")), "__rk")
+        .crossJoin(broadcast(n))
+        .select(col("o_custkey"),
+          Commerce.ntileExpr("__rk", "__n", 4).cast("int").as(out))
+    }
+    val seg = perC
+      .join(segCol("rev_a", "seg_a"), Seq("o_custkey"), "left")
+      .join(segCol("rev_b", "seg_b"), Seq("o_custkey"), "left")
+      .select(coalesce(col("seg_a"), lit(0)).as("seg_a"),
+        coalesce(col("seg_b"), lit(0)).as("seg_b"))
     seg.groupBy(col("seg_a"), col("seg_b"))
       .agg(count(lit(1)).as("n_customers"))
       .withColumn("row_total", sum(col("n_customers")).over(
@@ -1818,19 +1835,29 @@ object Reports {
     * to one number. Cents accumulate exactly; the share is ONE
     * integer-over-integer divide.
     *
-    * Scale shape: per-customer revenue partial-aggregates; the global
-    * ascending sort for ntile is the `histogram_equidepth` path (at
-    * 100 TB: range-partitioned rank from distributed percentiles, not
-    * a single-task window — documented there); the decile rollup is
-    * 10 rows.
+    * Scale shape: per-customer revenue partial-aggregates; the decile
+    * rank is the rfm_segment two-level prefix sum (banded local
+    * windows + broadcast bucket offsets — no single-task window over
+    * the customer frame at any scale); the decile rollup is 10 rows.
     */
   def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val byCust = t.orders
+    // cached: the decile rank AND the row-count scalar read this
+    // customer-grain frame (one orders scan; released by the harness)
+    val byCust = graft.core.OwnedCaches.own(t.orders
       .groupBy(col("o_custkey"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
-    val ranked = byCust.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("rev_c"), col("o_custkey"))))
+      .cache())
+    // distributed ntile(10): rfm_segment's two-level prefix-sum rank
+    // (cents banded at the MonetaryBucketWidth convention) + the
+    // SQL-standard tile arithmetic — equal to the oracle's global
+    // ntile by construction, with no single-task customer sort
+    val n = byCust.agg(count(lit(1)).as("__n"))
+    val bandC = (Commerce.MonetaryBucketWidth * 100).toLong
+    val ranked = Commerce.globalRowNumber(byCust, floor(col("rev_c") / bandC),
+        Seq(col("rev_c"), col("o_custkey")), "__rk")
+      .crossJoin(broadcast(n))
+      .withColumn("decile", Commerce.ntileExpr("__rk", "__n", 10).cast("int"))
     ranked.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("dec_c"))
       .withColumn("cum_c", sum(col("dec_c")).over(
@@ -2601,20 +2628,29 @@ object Reports {
     *
     * Scale shape: orders reduce to the customer-grain frame in one
     * partial-agg pass; the global rank/cumsum runs on that bounded
-    * frame (the `lorenz_curve` convention — at extreme customer
-    * counts the two-level prefix-sum of `sequence_pack` swaps in
-    * without changing semantics), then ONE row of conditional mins.
+    * frame as a two-level prefix sum ([[Commerce.globalRankCumsum]] —
+    * banded local rank/cumsum windows + broadcast bucket offsets, no
+    * unpartitioned window), then ONE row of conditional mins.
     */
   def paretoThreshold(spark: SparkSession, dir: String): DataFrame = {
-    val byCust = Tables(spark, dir).orders
+    // cached: the rank/cumsum pass AND the grand-total scalar read
+    // this customer-grain frame (one orders scan; harness-released)
+    val byCust = graft.core.OwnedCaches.own(Tables(spark, dir).orders
       .groupBy(col("o_custkey"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
-    val ord = Window.orderBy(col("rev_c").desc, col("o_custkey"))
-    val ranked = byCust
-      .withColumn("rnk", row_number().over(ord))
-      .withColumn("cum_c", sum(col("rev_c")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total_c", sum(col("rev_c")).over(Window.partitionBy()))
+      .cache())
+    // distributed rank + running revenue sum in ONE two-level
+    // prefix-sum pass (globalRankCumsum — descending-revenue band
+    // buckets at the MonetaryBucketWidth convention): equal to the
+    // oracle's global row_number/cumsum windows by construction,
+    // with no single-task sort over the customer frame
+    val bandC = (Commerce.MonetaryBucketWidth * 100).toLong
+    val tot = byCust.agg(sum(col("rev_c")).as("total_c"))
+    val ranked = Commerce.globalRankCumsum(byCust,
+        -floor(col("rev_c") / bandC),
+        Seq(col("rev_c").desc, col("o_custkey")),
+        col("rev_c"), "rnk", "cum_c")
+      .crossJoin(broadcast(tot))
     val aggCols =
       Seq(max(col("rnk")).as("ntot"), max(col("total_c")).as("tot_c")) ++
         ParetoPcts.flatMap { p =>

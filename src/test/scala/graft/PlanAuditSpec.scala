@@ -156,6 +156,52 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13: no unpartitioned window over a customer-grain frame") {
+    // segment_migration / pareto_threshold / lorenz_curve / decile_lift
+    // route their customer-grain ranks through the two-level prefix
+    // sum (Commerce.globalRowNumber/globalRankCumsum). A regression
+    // would reappear as (a) an ntile over the raw customer frame or
+    // (b) a Window whose spec touches o_custkey without the __bucket
+    // partition column — both pinned here. (The remaining
+    // unpartitioned windows in these plans run over per-bucket or
+    // per-decile aggregates — bounded by value range, not row count.)
+    // thunks, not DataFrames: eager construction would register all
+    // four queries' owned caches up front, and the first release()
+    // would unpersist the later queries' frames before they run
+    for ((name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "segment_migration" -> (() => graft.operators.Reports.segmentMigration(spark, sf)),
+        "pareto_threshold" -> (() => graft.operators.Reports.paretoThreshold(spark, sf)),
+        "lorenz_curve" -> (() => graft.operators.Reports.lorenzCurve(spark, sf)),
+        "decile_lift" -> (() => graft.operators.Features.decileLift(spark, sf)))) {
+      val plan = executedPlan(mk())
+      assert(!plan.contains("ntile("),
+        s"$name must rank via the prefix-sum tile arithmetic:\n$plan")
+      val bad = plan.linesIterator.filter(l =>
+        l.contains("Window ") && l.contains("o_custkey") &&
+          !l.contains("__bucket")).toSeq
+      assert(bad.isEmpty,
+        s"$name has an unpartitioned customer-grain window:\n${bad.mkString("\n")}")
+      // ≤2: the customer-grain frame itself scans orders once; the
+      // date-horizon / period-midpoint scalar takes its own tiny
+      // min/max agg pass (segment_migration, decile_lift)
+      assert("orders".r.findAllIn(plan).length <= 2,
+        s"$name must not rebuild the customer frame per rank:\n$plan")
+      graft.core.OwnedCaches.release()
+    }
+  }
+
+  test("round-13: recs_holdout_eval derives both frames from one fact scan") {
+    // ub (user profiles) and ob (training baskets) must both read the
+    // cached (order, user, brand, is_train) frame — a regression to
+    // independent lineitem⋈part⋈orders builds doubles the fact IO
+    val plan = executedPlan(graft.operators.Commerce.recsHoldoutEval(spark, sf))
+    assert("lineitem".r.findAllIn(plan).length <= 1,
+      s"recs_holdout_eval must scan lineitem once:\n$plan")
+    assert("orders".r.findAllIn(plan).length <= 1,
+      s"recs_holdout_eval must scan orders once:\n$plan")
+    graft.core.OwnedCaches.release()
+  }
+
   test("round-12b additions keep their scale shapes in the executed plan") {
     // anova_oneway: ONE conditional-moment pass over the raw log —
     // no join, no second scan (the whole point of the pivoted form)
