@@ -30,10 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g: the session-shared cache working set across ~300 bench
-  // queries exceeds 8g's ~4.5g storage fraction and evicts mid-run
-  // (measured: the ANN family re-paid its builds in run 2, shared
-  // totals 185s -> 253s at 290 -> 299 queries); the sandbox has
-  // 128 GiB, so a 24g driver is the honest local[32] sizing.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g portable default (ADVICE r12): the r12 24g bump sized the heap
+  // to the query count and still didn't hold on the driver host. The
+  // round-13 fix is structural instead — SharedFrames releases each
+  // session-shared frame after its last planned consumer, so the full
+  // 300-query bench's storage working set stays one-family-sized and
+  // fits 8g. SPARK_DRIVER_MEM overrides for bigger local experiments.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -11,6 +11,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- self-diagnosing sidecar (VERDICT r12 #1): the r12 driver
+    // bench collapsed 2.17× on unchanged code in one alphabetical
+    // band, and nothing in the artifact could adjudicate env (GC /
+    // storage-eviction churn) vs plan. Every query now records:
+    //   gc_ms        driver+executor JVM GC delta (local[n]: one JVM)
+    //   task_gc_ms   GC attributed to this query's tasks (listener;
+    //                the bus is async so attribution is ±one query)
+    //   storage_mb / storage_disk_mb   cached bytes AFTER the query
+    //   evicted_parts  cached-RDD partitions dropped from memory
+    //                  (partial caching = LRU eviction happened)
+    //   shared_rebuilds  shared frames rebuilt after release (stale
+    //                    consumer list in SharedFrames — drift tell)
+    val taskGc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) taskGc.addAndGet(t.taskMetrics.jvmGCTime)
+    })
+    def jvmGcMs: Long = {
+      var s = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => if (b.getCollectionTime > 0) s += b.getCollectionTime)
+      s
+    }
+    def storageNow: (Long, Long, Long) = {
+      var mem = 0L; var disk = 0L; var evicted = 0L
+      spark.sparkContext.getRDDStorageInfo.foreach { r =>
+        mem += r.memSize; disk += r.diskSize
+        if (r.numCachedPartitions > 0 && r.numCachedPartitions < r.numPartitions)
+          evicted += r.numPartitions - r.numCachedPartitions
+      }
+      (mem >> 20, disk >> 20, evicted)
+    }
     // absorb one-time JVM / codegen / parquet-reader init with a tiny
     // touch of each table, so per-query timings reflect steady state
     // instead of landing the warmup cost on whichever query runs first
@@ -26,16 +58,20 @@ object Bench {
     // unchanged code (VERDICT r8 #3 forensics: q12 0.36→5.10 s).
     // Sorted order makes attribution identical across rounds.
     //
-    // Default (shared-cache) mode deliberately does NOT clear caches
-    // between queries — the dedup suite shares one cached shingle-set
-    // build across four queries (CacheManager plan-matches it),
-    // exactly as a real warehouse session would; clearing between
-    // queries re-computes it four times and inflates the total ~25%.
-    // SPARK_GRAFT_ISOLATE=1 clears the catalog cache before EVERY
-    // timed run instead: per-query numbers then measure each query's
-    // own full cost, comparable round over round regardless of which
-    // queries ran before — the mode to read when adjudicating a
-    // per-query regression.
+    // Default (shared-cache) mode does NOT clear caches between
+    // queries — the dedup suite shares one shingle-set build across
+    // twelve queries, exactly as a real warehouse session would. But
+    // the working set is BOUNDED structurally (VERDICT r12 #2): the
+    // sorted query list is declared to SharedFrames up front, and
+    // after each query every shared frame whose last planned consumer
+    // has finished is released — peak storage holds one family's
+    // frames, not all ~10 families', so the full 300-query run fits
+    // an 8g driver with no mid-run LRU eviction.
+    // SPARK_GRAFT_ISOLATE=1 clears the catalog cache AND the shared-
+    // frame registry before EVERY timed run instead: per-query numbers
+    // then measure each query's own full cost, comparable round over
+    // round regardless of which queries ran before — the mode to read
+    // when adjudicating a per-query regression.
     // each query is timed TWICE and the minimum reported: single-shot
     // numbers on a noisy shared host swing up to 5× on unchanged code
     // (round-4 forensics), while the per-query min is stable within
@@ -45,24 +81,37 @@ object Bench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty)
     val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").exists(v => v == "1" || v == "true")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+    graft.core.SharedFrames.planQueries(names)
+    val sidecar = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val gc0 = jvmGcMs; val tgc0 = taskGc.get()
+      val reb0 = graft.core.SharedFrames.diagnostics._1
       def once: Double = {
-        if (isolate) spark.catalog.clearCache()
+        if (isolate) { spark.catalog.clearCache(); graft.core.SharedFrames.reset() }
+        graft.core.SharedFrames.begin(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // operator-owned caches release between runs (untimed): each
         // run then pays its own full cost — per-query numbers stop
         // depending on which queries (and whose leaked caches) ran
-        // before (VERDICT r8 #3/#4); session-shared frames stay
+        // before (VERDICT r8 #3/#4); session-shared frames stay until
+        // their last planned consumer (released in queryDone below)
         graft.core.OwnedCaches.release()
         if (ok) dt else -1.0
       }
       // min over SUCCESSFUL runs only: -1 is a failure sentinel, and
       // min(ok, -1) would discard the good timing and poison the total
       val ok = Seq(once, once).filter(_ >= 0.0)
+      graft.core.SharedFrames.queryDone(name)
+      val (mem, disk, evicted) = storageNow
+      sidecar(name) =
+        s"""{"gc_ms":${jvmGcMs - gc0},"task_gc_ms":${taskGc.get() - tgc0},""" +
+        s""""storage_mb":$mem,"storage_disk_mb":$disk,"evicted_parts":$evicted,""" +
+        s""""shared_rebuilds":${graft.core.SharedFrames.diagnostics._1 - reb0}}"""
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
@@ -87,22 +136,33 @@ object Bench {
       if (grandFailed == 0) ""
       else results.toSeq.filter(_._2 < 0).map(_._1).sorted
         .map("\"" + esc(_) + "\"").mkString(""","failed_queries":[""", ",", "]")
-    def render(vals: Map[String, Double]): String = {
+    // a truncated printed line declares itself (ADVICE r12): consumers
+    // must never mistake the slowest-queries subset for the full map
+    def render(vals: Map[String, Double], extra: String = ""): String = {
       val qs = vals.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$grandTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","order":"sorted","isolated":$isolate,"failed":$grandFailed$failedNames}"""
+      val trunc =
+        if (vals.size == results.size) ""
+        else s""","queries_shown":${vals.size},"queries_total":${results.size},"truncated":true"""
+      s"""{"metric":"total","value":$grandTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","order":"sorted","isolated":$isolate,"failed":$grandFailed$failedNames$trunc$extra}"""
     }
-    val full = render(results)
-    // the full per-query map always lands in BENCH_RESULT.json; the
-    // PRINTED line must fit inside the driver's 2000-char tail capture
-    // (a longer line truncates mid-JSON and parses as null), so when
-    // the full line is too long print a short variant carrying the
-    // total plus the slowest queries that fit the budget
+    val (_, undeclared, _) = graft.core.SharedFrames.diagnostics
+    val undeclaredJson = undeclared.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+    val sidecarJson = sidecar.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    val full = render(results,
+      s""","sidecar":$sidecarJson,"shared_undeclared":$undeclaredJson""")
+    // the full per-query map (+ sidecar) always lands in
+    // BENCH_RESULT.json; the PRINTED line must fit inside the driver's
+    // 2000-char tail capture (a longer line truncates mid-JSON and
+    // parses as null), so when the full line is too long print a short
+    // variant carrying the total plus the slowest queries that fit
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
       (full + "\n").getBytes("UTF-8"))
+    val fullLine = render(results)
     val printed =
-      if (full.length <= 1800) full
+      if (fullLine.length <= 1800) fullLine
       else {
         // keep the most expensive queries — the ones perf grading reads
         val bySlowest = results.toSeq.sortBy(-_._2)

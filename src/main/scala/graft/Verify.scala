@@ -32,15 +32,21 @@ object Verify {
       only: Set[String]): Unit = {
     new java.io.File(outDir).mkdirs()
     // sorted order matches Bench (HashMap order reshuffles per build);
-    // operator-owned caches release after each query's write — the
-    // session-shared frames (dedup shingles) stay for their siblings
+    // operator-owned caches release after each query's write; the
+    // session-shared frames (dedup shingles, support edges, kmeans
+    // assignment, brand baskets) release after their LAST planned
+    // consumer via SharedFrames — the full dump's storage working set
+    // stays one-family-sized instead of growing O(#queries)
     // a failing query must leave a visible trace, not just a stderr
     // line — absence from the artifact otherwise masquerades as
     // "no entry" (this is how 55 failures vanished in round 10)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+    graft.core.SharedFrames.planQueries(names)
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      graft.core.SharedFrames.begin(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -52,6 +58,7 @@ object Verify {
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
       }
       graft.core.OwnedCaches.release()
+      graft.core.SharedFrames.queryDone(name)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -836,20 +836,28 @@ object Ann {
     * quantized corpus it ran over, and the final centroid table (for
     * multi-cell probing).
     */
+  /** The queries that read the shared quantized corpus / final
+    * Lloyd's assignment (directly or via [[knnGraph]]).
+    */
+  private[graft] val KmeansConsumers: Set[String] = Set(
+    "cluster_purity", "embedding_kmeans", "semdedup_prune",
+    "knn_graph", "knn_confusion")
+
   private[graft] def kmeansAssign(spark: SparkSession, dir: String,
       kOverride: Option[Int] = None): (DataFrame, DataFrame, DataFrame, Long) = {
     graft.functions.DotProduct.register(spark)
-    val q = Tables(spark, dir).embeddings
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          v => floor(v.cast("double") * lit(1e6)).cast("double")).as("qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Deliberately SESSION-SHARED, not OwnedCaches-owned (the dedup
-    // shingle-set rule): FOUR oracled queries plan-match this same
-    // quantized corpus through the CacheManager (embedding_kmeans,
-    // semdedup_prune, knn_graph, dedup_embedding_clusters) — owning
-    // it made each rebuild the corpus, +5 s across the family in the
-    // round-9 bench. MEMORY_AND_DISK and corpus-bounded.
+    // shingle-set rule): five oracled queries reuse this same
+    // quantized corpus — owning it made each rebuild the corpus,
+    // +5 s across the family in the round-9 bench. Since round 13 the
+    // sharing goes through SharedFrames (released after the family's
+    // last planned consumer). MEMORY_AND_DISK and corpus-bounded.
+    val q = graft.core.SharedFrames.get(spark, "ann.kmeans.q", dir, KmeansConsumers) {
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1e6)).cast("double")).as("qv"))
+    }
     val nVec = q.count() // O(1) result; materializes the persisted corpus
     val k = kOverride.getOrElse(kmKFor(nVec))
     val wInit = Window.orderBy("vec_id") // k-row frame: single task by construction
@@ -880,10 +888,13 @@ object Ann {
     // the FINAL assignment is cached (session-shared like q, n×3
     // rows): every consumer's plan otherwise re-unrolls the whole
     // 3-iteration Lloyd's chain — several times per query where both
-    // join sides descend from `assigned` — and the CacheManager
-    // plan-matches this one frame across all four kmeans-family
-    // queries. Values are unchanged: same deterministic plan.
-    assigned = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // join sides descend from `assigned`. One memoized frame serves
+    // the whole kmeans family; the key carries k because a test
+    // kOverride is a DIFFERENT clustering. Values are unchanged:
+    // same deterministic plan.
+    val plan = assigned
+    assigned = graft.core.SharedFrames.get(spark, s"ann.kmeans.assign.k$k", dir,
+      KmeansConsumers)(plan)
     (assigned, q, centroids, nVec)
   }
 

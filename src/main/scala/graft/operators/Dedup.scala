@@ -58,35 +58,65 @@ object Dedup {
       |    ELSE [array_to_string(t, ' ')] END) AS sd
       |  FROM toks)""".stripMargin
 
+  /** The `SparkEntry.queries` names that (directly or transitively)
+    * read the shared shingle frames below — the release-on-last-
+    * consumer sets for [[graft.core.SharedFrames]]. Drift (a new
+    * query consuming a frame without being listed) is harmless for
+    * correctness (the frame rebuilds) and observable: Bench's sidecar
+    * reports rebuild-after-release and undeclared-access counts.
+    */
+  private[graft] val ShingleConsumers: Set[String] = Set(
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_keep_canonical", "dedup_method_agreement",
+    "dedup_cross_source_matrix", "dedup_cluster_size_hist",
+    "dedup_incremental", "dedup_threshold_sensitivity",
+    "minhash_estimate_audit", "minhash_band_tune", "lsh_bucket_occupancy")
+
+  private[graft] val HashedConsumers: Set[String] =
+    ShingleConsumers - "lsh_bucket_occupancy"
+
+  /** The minhash-LSH banded signature frame's consumers: every query
+    * that runs [[dedupMinHashLsh]] itself or through the cluster
+    * family.
+    */
+  private[graft] val LshBandedConsumers: Set[String] = Set(
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_canonical",
+    "dedup_method_agreement", "dedup_cross_source_matrix",
+    "dedup_cluster_size_hist")
+
   /** Distinct 3-gram shingle set per doc via the one-pass
     * TokenShingles expression, cached: every dedup operator reuses
     * this set 3–5 times in one plan (prefix index, signature build,
     * exact verification), and recomputing the shingling dominated the
     * runtime before caching. Deliberately SESSION-SHARED, not
-    * [[graft.core.OwnedCaches]]-owned: four dedup queries plan-match
-    * this same frame through the CacheManager, exactly as a warehouse
-    * session would — releasing it per query would rebuild the
-    * shingling four times per pipeline run.
+    * [[graft.core.OwnedCaches]]-owned — twelve dedup queries reuse
+    * this one frame, exactly as a warehouse session would; since
+    * round 13 the sharing goes through [[graft.core.SharedFrames]],
+    * which releases it after its LAST planned consumer instead of
+    * holding it until the session dies.
     */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TokenShingles.register(spark)
-    Tables(spark, dir).documents
-      .select(col("doc_id"), call_function("graft_shingles", col("text"), lit(3)).as("sh"))
-      .cache()
+    graft.core.SharedFrames.get(spark, "dedup.shingles", dir, ShingleConsumers) {
+      Tables(spark, dir).documents
+        .select(col("doc_id"), call_function("graft_shingles", col("text"), lit(3)).as("sh"))
+    }
   }
 
   /** Per-doc sorted xxhash64 shingle fingerprints (8-byte set
     * representation): the prefix index slices this array directly and
     * pair verification merge-walks two sorted long arrays — no string
-    * keys leave the map side. Cached: the candidate join reads it
-    * twice and verification twice more.
+    * keys leave the map side. Session-shared like [[shingleSets]]:
+    * the candidate join reads it twice and verification twice more,
+    * across eleven queries.
     */
   private def hashedSets(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedHashes.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
-    shingleSets(spark, dir)
-      .select(col("doc_id"), call_function("graft_sorted_hashes", col("sh")).as("hv"))
-      .cache()
+    graft.core.SharedFrames.get(spark, "dedup.hashed", dir, HashedConsumers) {
+      shingleSets(spark, dir)
+        .select(col("doc_id"), call_function("graft_sorted_hashes", col("sh")).as("hv"))
+    }
   }
 
   /** Exact n-gram Jaccard near-dup pairs (τ = 0.5), candidates blocked
@@ -110,10 +140,14 @@ object Dedup {
     //     shuffle carries 8-byte keys; hash collisions can only ADD
     //     candidates, which the exact verification then rejects.
     val hs = hashedSets(spark, dir)
-    val prefix = hs.select(col("doc_id"), size(col("hv")).as("nsh"),
+    // both sides of the candidate self-join read this; shared with
+    // dedup_method_agreement's ngram leg
+    val prefix = graft.core.SharedFrames.get(spark, "dedup.ngramPrefix", dir,
+        Set("dedup_ngram_jaccard", "dedup_method_agreement")) {
+      hs.select(col("doc_id"), size(col("hv")).as("nsh"),
         posexplode(slice(col("hv"), lit(1),
           floor(size(col("hv")) / 2) + 1)).as(Seq("p", "s")))
-      .cache() // both sides of the candidate self-join read this
+    }
     val candidates = prefix.toDF("i", "na", "pa", "hs1")
       .join(prefix.toDF("j", "nb", "pb", "hs2"),
         col("hs1") === col("hs2") && col("i") < col("j") &&
@@ -174,13 +208,17 @@ object Dedup {
     // values comma-joined (string equality — exactly the oracle's key)
     val sig = sets.select(col("doc_id"),
       call_function("graft_minhash", col("sh")).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-        b => concat_ws(",",
-          transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
-            h => h.cast("string")))))
-        .as(Seq("band", "band_key")))
-      .cache() // both sides of the bucket self-join read this
+    // both sides of the bucket self-join read this; shared across the
+    // six queries that run the LSH path (see LshBandedConsumers)
+    val banded = graft.core.SharedFrames.get(spark, "dedup.lshBanded", dir,
+        LshBandedConsumers) {
+      sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => concat_ws(",",
+            transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+              h => h.cast("string")))))
+          .as(Seq("band", "band_key")))
+    }
     val candidates = banded.toDF("i", "band_i", "bk")
       .join(banded.toDF("j", "band_j", "bk2"),
         col("band_i") === col("band_j") && col("bk") === col("bk2") &&
@@ -675,7 +713,9 @@ object Dedup {
           .filter(col("df") > maxDf)
           .select(col("h"))
         spansAll.join(hot, Seq("h"), "left_anti")
-      }).cache() // the pair join reads it twice; shingling dominates otherwise
+      }).cache() // the pair join reads it twice (this query only —
+                 // operator-owned, harness-released)
+    graft.core.OwnedCaches.own(spans)
     spans.select(col("doc_id").as("doc_a"), col("h"))
       .join(spans.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
@@ -771,7 +811,9 @@ object Dedup {
           transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
             h => h.cast("string")))))
         .as(Seq("band", "band_key")))
-      .cache() // both sides of the cross-split join read this
+      .cache() // both sides of the cross-split join read this (this
+               // query only — operator-owned, harness-released)
+    graft.core.OwnedCaches.own(banded)
     val candidates = banded.filter(col("is_new"))
       .select(col("doc_id").as("i"), col("band"), col("band_key"))
       .join(banded.filter(!col("is_new"))
