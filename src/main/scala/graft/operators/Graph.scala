@@ -43,11 +43,23 @@ object Graph {
   /** Below this many edges the whole graph fits one task and the
     * iterative loop's per-round jobs (a broadcast collect + a count
     * barrier × 5 rounds) are pure local stage latency: a single
-    * mapPartitions pass runs all 5 integer-grid iterations in memory
-    * with arithmetic bit-identical to the loop (long `div`,
-    * `floor(0.85 · x)` on doubles — same IEEE ops, same operand
-    * order), asserted by a branch-equality test. Same layout-selection
-    * pattern as `Dedup.SmallGraphPairCap`.
+    * mapPartitions pass runs all iterations in memory with arithmetic
+    * bit-identical to the loop (long `div`, `floor(0.85 · x)` on
+    * doubles — same IEEE ops, same operand order), asserted by
+    * branch-equality tests. Same layout-selection pattern as
+    * `Dedup.SmallGraphPairCap`.
+    *
+    * The cap is an admission on estimated SINGLE-TASK WORK, and is
+    * only valid while every admitted replay stays within a few
+    * seconds — VERDICT r12 caught `louvainReplay`'s boxed tally at
+    * ~13 µs/edge·round, which let the cap admit a 112 s single task
+    * at 1.2M edges. The replay bodies are therefore factored out as
+    * pure functions and MEASURED by `graft.tools.ReplayCalibrate`
+    * (re-run it after touching any replay): at 2M edges the worst
+    * admitted replay is pagerank at ~2 s (0.2 µs/row·iter × 5), with
+    * louvain 0.69 s, kcore 0.35 s, relax 0.17 s. A replay family
+    * whose measured cost exceeds ~2 µs/edge·round must take a lower
+    * family-specific cap instead of this one.
     */
   private[graft] val SingleTaskEdgeCap = 2000000L
 
@@ -107,30 +119,13 @@ object Graph {
       raw.unpersist()
       if (edgeCount <= SingleTaskEdgeCap) {
         val iters = Iters
+        val i0 = initR; val tc = teleportC
         val ranked = cachedEdges
           .select(col("src").cast("long"), col("dst").cast("long"),
             col("deg_src").cast("long"))
           .as[(Long, Long, Long)]
           .repartition(1)
-          .mapPartitions { it =>
-            val es = it.toArray
-            var r = scala.collection.mutable.LongMap.empty[Long]
-            es.foreach { case (src, _, _) => r.update(src, initR) }
-            for (_ <- 1 to iters) {
-              val contrib = scala.collection.mutable.LongMap.empty[Long]
-              es.foreach { case (src, dst, degSrc) =>
-                // per-edge floor division then sum — the loop's
-                // `r div deg_src` → groupBy sum, exactly
-                contrib.update(dst, contrib.getOrElse(dst, 0L) + r(src) / degSrc)
-              }
-              val next = scala.collection.mutable.LongMap.empty[Long]
-              contrib.foreach { case (node, c) =>
-                next.update(node, teleportC + math.floor(0.85 * c.toDouble).toLong)
-              }
-              r = next
-            }
-            r.iterator
-          }
+          .mapPartitions(it => pagerankReplay(it.toArray, iters, i0, tc))
           .toDF("node", "rank_q12")
         // cachedEdges stays cached: the returned plan reads it (the
         // count above materialized it) — same ≤1-retained-frame
@@ -181,6 +176,35 @@ object Graph {
     state.select(col("node"), col("r").as("rank_q12"))
       .orderBy(col("rank_q12").desc, col("node"))
       .limit(TopK)
+  }
+
+  /** The single-task PageRank replay body (bit-identical to the
+    * distributed loop: long `div`, `floor(0.85·x)` on doubles — same
+    * IEEE ops, same operand order; branch-equality pinned). Factored
+    * out of the mapPartitions closure so ReplayCalibrate times the
+    * shipped code when sizing the admission cap (measured ~0.2
+    * µs/row·iter on the symmetric-closed row set → ~2 s at the
+    * 2M-row cap — the heaviest admitted replay, inside the
+    * single-task latency budget).
+    */
+  private[graft] def pagerankReplay(es: Array[(Long, Long, Long)],
+      iters: Int, initR: Long, teleportC: Long): Iterator[(Long, Long)] = {
+    var r = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (src, _, _) => r.update(src, initR) }
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (src, dst, degSrc) =>
+        // per-edge floor division then sum — the loop's
+        // `r div deg_src` → groupBy sum, exactly
+        contrib.update(dst, contrib.getOrElse(dst, 0L) + r(src) / degSrc)
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      contrib.foreach { case (node, c) =>
+        next.update(node, teleportC + math.floor(0.85 * c.toDouble).toLong)
+      }
+      r = next
+    }
+    r.iterator
   }
 
   val pagerankTopkSql: String = {
@@ -304,17 +328,29 @@ object Graph {
     * CacheManager plan-matches this one frame across all of them
     * (support-filtered edge count is tiny — thousands of rows).
     */
+  /** The graph-family queries that read the shared support graph —
+    * [[graft.core.SharedFrames]] releases it after the LAST of these
+    * finishes in a planned harness run.
+    */
+  private[graft] val SupportEdgeConsumers: Set[String] = Set(
+    "triangle_count", "bfs_hops", "degree_profile",
+    "connected_components", "kcore_nodes", "recursive_reachability",
+    "link_prediction_jaccard", "shortest_path_bf", "local_clustering",
+    "graph_modularity", "community_louvain", "degree_assortativity",
+    "link_prediction_resource_alloc")
+
   private def supportEdges(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("basket"))
-      .select(explode(col("basket")).as("p1"), col("basket"))
-      .select(col("p1"), explode(col("basket")).as("p2"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= TriMinSupport)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
+      Tables(spark, dir).lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("basket"))
+        .select(explode(col("basket")).as("p1"), col("basket"))
+        .select(col("p1"), explode(col("basket")).as("p2"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= TriMinSupport)
+    }
 
   /** Bounded min-plus relaxation from seed distances: `rounds` times
     * distₖ₊₁(p) = min(distₖ(p), min over edges s→p of distₖ(s)+w).
@@ -353,26 +389,10 @@ object Graph {
         .unionByName(seeds.select(col("p").cast("long").as("src"),
           col("p").cast("long").as("dst"), col("d").cast("long").as("w"),
           lit(true).as("isSeed")))
+      val r = rounds
       packed.as[(Long, Long, Long, Boolean)]
         .repartition(1)
-        .mapPartitions { it =>
-          val rows = it.toArray
-          val es = rows.filter(!_._4)
-          var dist = scala.collection.mutable.LongMap.empty[Long]
-          rows.foreach { case (p, _, d, isSeed) =>
-            if (isSeed && d < dist.getOrElse(p, Long.MaxValue)) dist.update(p, d)
-          }
-          for (_ <- 1 to rounds) {
-            val next = dist.clone()
-            es.foreach { case (s, t, w, _) =>
-              dist.get(s).foreach { ds =>
-                if (ds + w < next.getOrElse(t, Long.MaxValue)) next.update(t, ds + w)
-              }
-            }
-            dist = next
-          }
-          dist.iterator
-        }
+        .mapPartitions(it => relaxReplay(it.toArray, r))
         .toDF("p", "d")
     } else {
       var dist = seeds.select(col("p"), col("d"))
@@ -385,6 +405,31 @@ object Graph {
       }
       dist
     }
+  }
+
+  /** The single-task min-plus relaxation body (bit-identical to the
+    * distributed loop's integer min/plus; branch-equality pinned).
+    * Seed rows ride in as weight-d self-loops (`isSeed`). Factored
+    * out for ReplayCalibrate (measured ~0.03 µs/edge·round → 2M
+    * edges × 3 rounds ≈ 0.2 s).
+    */
+  private[graft] def relaxReplay(rows: Array[(Long, Long, Long, Boolean)],
+      rounds: Int): Iterator[(Long, Long)] = {
+    val es = rows.filter(!_._4)
+    var dist = scala.collection.mutable.LongMap.empty[Long]
+    rows.foreach { case (p, _, d, isSeed) =>
+      if (isSeed && d < dist.getOrElse(p, Long.MaxValue)) dist.update(p, d)
+    }
+    for (_ <- 1 to rounds) {
+      val next = dist.clone()
+      es.foreach { case (s, t, w, _) =>
+        dist.get(s).foreach { ds =>
+          if (ds + w < next.getOrElse(t, Long.MaxValue)) next.update(t, ds + w)
+        }
+      }
+      dist = next
+    }
+    dist.iterator
   }
 
   /** Bounded-hop BFS: co-purchase distance from a seed set (one
@@ -606,25 +651,11 @@ object Graph {
       // sf0.1 on a 3.5k-edge graph; the local replay is identical
       // integer peeling, branch-equality test-pinned)
       import spark.implicits._
+      val r = rounds
       cached.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)]
         .repartition(1)
-        .mapPartitions { it =>
-          val es = it.toArray
-          var alive = es.map(_._1).toSet
-          for (_ <- 1 to rounds) {
-            val deg = scala.collection.mutable.LongMap.empty[Long]
-            es.foreach { case (s, t) =>
-              if (alive(s) && alive(t)) deg.update(s, deg.getOrElse(s, 0L) + 1)
-            }
-            alive = deg.iterator.filter(_._2 >= KCoreK).map(_._1).toSet
-          }
-          val deg = scala.collection.mutable.LongMap.empty[Long]
-          es.foreach { case (s, t) =>
-            if (alive(s) && alive(t)) deg.update(s, deg.getOrElse(s, 0L) + 1)
-          }
-          deg.iterator
-        }
+        .mapPartitions(it => kcoreReplay(it.toArray, r, KCoreK))
         .toDF("node", "core_degree")
         .orderBy("node")
     } else {
@@ -646,6 +677,60 @@ object Graph {
         .agg(count(lit(1)).as("core_degree"))
         .orderBy("node")
     }
+  }
+
+  /** The single-task k-core peeling body, decision-identical to the
+    * boxed-Set version it replaces (alive starts at the src-endpoint
+    * node set; each round keeps src nodes whose alive→alive out-degree
+    * reaches k; final output is that degree map). Round-13 rewrite on
+    * the louvainReplay pattern: order-preserving dense renumbering +
+    * flat arrays, retiring the per-round immutable Set[Long] rebuild
+    * (boxed hashing on every edge probe). Measured after the rewrite:
+    * ~0.03 µs/edge·round (ReplayCalibrate — 2M edges × 6 rounds
+    * 0.35 s).
+    */
+  private[graft] def kcoreReplay(es: Array[(Long, Long)], rounds: Int,
+      k: Long): Iterator[(Long, Long)] = {
+    val ids: Array[Long] = {
+      val all = new Array[Long](es.length * 2)
+      var i = 0
+      while (i < es.length) {
+        all(2 * i) = es(i)._1; all(2 * i + 1) = es(i)._2; i += 1
+      }
+      java.util.Arrays.sort(all)
+      var n = 0; i = 0
+      while (i < all.length) {
+        if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(all, n)
+    }
+    val m = es.length
+    val n = ids.length
+    val src = new Array[Int](m); val dst = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      src(i) = java.util.Arrays.binarySearch(ids, es(i)._1)
+      dst(i) = java.util.Arrays.binarySearch(ids, es(i)._2)
+      i += 1
+    }
+    val alive = new Array[Boolean](n)
+    i = 0; while (i < m) { alive(src(i)) = true; i += 1 }
+    val deg = new Array[Long](n)
+    var round = 0
+    while (round <= rounds) { // final pass recounts under the last alive set
+      java.util.Arrays.fill(deg, 0L)
+      i = 0
+      while (i < m) {
+        if (alive(src(i)) && alive(dst(i))) deg(src(i)) += 1
+        i += 1
+      }
+      if (round < rounds) {
+        i = 0; while (i < n) { alive(i) = deg(i) >= k; i += 1 }
+      }
+      round += 1
+    }
+    ids.indices.iterator.filter(deg(_) > 0).map(j => (ids(j), deg(j)))
   }
 
   val kcoreNodesSql: String = {
@@ -1149,60 +1234,128 @@ object Graph {
   private def louvainLocalLabels(und: DataFrame): DataFrame = {
     val sess = und.sparkSession
     import sess.implicits._
+    val rounds = LouvainRounds
     und.select(col("p1").cast("long"), col("p2").cast("long"))
       .as[(Long, Long)]
       .repartition(1)
-      .mapPartitions { it =>
-        val edges = it.toArray
-        val m = edges.length.toLong
-        val deg = scala.collection.mutable.LongMap.empty[Long]
-        edges.foreach { case (a, b) =>
-          deg(a) = deg.getOrElse(a, 0L) + 1
-          deg(b) = deg.getOrElse(b, 0L) + 1
-        }
-        val lab = scala.collection.mutable.LongMap.empty[Long]
-        deg.keysIterator.foreach(p => lab(p) = p)
-        var converged = false
-        var round = 0
-        while (round < LouvainRounds && !converged) {
-          round += 1
-          val dC = scala.collection.mutable.LongMap.empty[Long]
-          deg.foreach { case (p, d) => val l = lab(p); dC(l) = dC.getOrElse(l, 0L) + d }
-          val eAb = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
-          edges.foreach { case (p1, p2) =>
-            val l1 = lab(p1); val l2 = lab(p2)
-            if (l1 != l2) {
-              val k = (math.min(l1, l2), math.max(l1, l2))
-              eAb(k) = eAb.getOrElse(k, 0L) + 1
-            }
-          }
-          val bestGain = scala.collection.mutable.LongMap.empty[Long]
-          val bestOf = scala.collection.mutable.LongMap.empty[Long]
-          def offer(c: Long, o: Long, gain: Long): Unit = {
-            val g0 = bestGain.getOrElse(c, Long.MinValue)
-            if (gain > g0 || (gain == g0 && o < bestOf(c))) {
-              bestGain(c) = gain; bestOf(c) = o
-            }
-          }
-          eAb.foreach { case ((a, b), e) =>
-            // 4m·e_ab − 2·d_a·d_b — stays in long to m·e < 2^60, the
-            // distributed round's documented grid
-            val gain = 4 * m * e - 2 * dC(a) * dC(b)
-            if (gain > 0) { offer(a, b, gain); offer(b, a, gain) }
-          }
-          val merges = scala.collection.mutable.LongMap.empty[Long]
-          bestOf.foreach { case (c, o) =>
-            if (c > o && bestOf.getOrElse(o, -1L) == c) merges(c) = o
-          }
-          if (merges.isEmpty) converged = true
-          else deg.keysIterator.foreach { p =>
-            val l = lab(p)
-            if (merges.contains(l)) lab(p) = merges(l)
-          }
-        }
-        lab.iterator
-      }
+      .mapPartitions(it => louvainReplay(it.toArray, rounds))
       .toDF("p", "lbl")
+  }
+
+  /** The local Louvain replay body, decision-identical to the
+    * distributed merge round (same integer 4m² gain grid, same
+    * max-gain/min-partner tie-break, same one-shot min-label merge,
+    * same no-merge fixpoint exit — Round12bSpec pins branch
+    * equality). Rewritten in round 13 on primitive arrays: nodes are
+    * dense-renumbered ORDER-PRESERVINGLY (ids sort ascending to
+    * indices 0..n−1), so every min/max/tie-break comparison on
+    * indices decides exactly as on the raw ids, while the per-round
+    * state becomes flat arrays and the inter-community edge tally a
+    * single-Long-keyed LongMap ((min«32)|max — n < 2³¹ inside a
+    * single task by admission). The boxed (Long,Long)-keyed HashMap
+    * this replaces cost ~13 µs/edge·round — the 112 s single task
+    * SCALE_PROBE_r12 measured at 1.2M edges; measured after the
+    * rewrite: ~0.05 µs/edge·round (ReplayCalibrate — 1.2M edges →
+    * 0.43 s, 2M → 0.69 s for all 7 rounds). Factored out of the
+    * mapPartitions closure so the calibration tool times EXACTLY the
+    * shipped code.
+    */
+  private[graft] def louvainReplay(edges: Array[(Long, Long)],
+      rounds: Int): Iterator[(Long, Long)] = {
+    // order-preserving dense renumbering: sort endpoint ids, dedup
+    val ids: Array[Long] = {
+      val all = new Array[Long](edges.length * 2)
+      var i = 0
+      while (i < edges.length) {
+        all(2 * i) = edges(i)._1; all(2 * i + 1) = edges(i)._2; i += 1
+      }
+      java.util.Arrays.sort(all)
+      var n = 0; i = 0
+      while (i < all.length) {
+        if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(all, n)
+    }
+    val m = edges.length
+    val n = ids.length
+    val src = new Array[Int](m); val dst = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      src(i) = java.util.Arrays.binarySearch(ids, edges(i)._1)
+      dst(i) = java.util.Arrays.binarySearch(ids, edges(i)._2)
+      i += 1
+    }
+    val deg = new Array[Long](n)
+    i = 0; while (i < m) { deg(src(i)) += 1; deg(dst(i)) += 1; i += 1 }
+    val lab = Array.tabulate(n)(identity)
+    val dC = new Array[Long](n)
+    val keys = new Array[Long](m) // reused inter-community tally buffer
+    var converged = false
+    var round = 0
+    while (round < rounds && !converged) {
+      round += 1
+      java.util.Arrays.fill(dC, 0L)
+      i = 0; while (i < n) { dC(lab(i)) += deg(i); i += 1 }
+      // e_ab tally by SORT + run-length scan, not a hash map: packed
+      // (min«32)|max keys over dense indices cluster catastrophically
+      // in LongMap's open addressing (measured 40 µs/update — the
+      // hash-degeneracy version of the boxed-HashMap cost this
+      // rewrite removes); a primitive dual-pivot sort is ~40 ns/edge
+      // and branch-order-independent
+      var kn = 0
+      i = 0
+      while (i < m) {
+        val l1 = lab(src(i)); val l2 = lab(dst(i))
+        if (l1 != l2) {
+          keys(kn) = (math.min(l1, l2).toLong << 32) | math.max(l1, l2).toLong
+          kn += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(keys, 0, kn)
+      val bestGain = new Array[Long](n)
+      java.util.Arrays.fill(bestGain, Long.MinValue)
+      val bestOf = new Array[Int](n)
+      java.util.Arrays.fill(bestOf, -1)
+      def offer(c: Int, o: Int, gain: Long): Unit = {
+        val g0 = bestGain(c)
+        if (gain > g0 || (gain == g0 && o < bestOf(c))) {
+          bestGain(c) = gain; bestOf(c) = o
+        }
+      }
+      var p = 0
+      while (p < kn) {
+        var q = p + 1
+        while (q < kn && keys(q) == keys(p)) q += 1
+        val e = (q - p).toLong
+        val a = (keys(p) >>> 32).toInt; val b = (keys(p) & 0xffffffffL).toInt
+        // 4m·e_ab − 2·d_a·d_b — stays in long to m·e < 2^60, the
+        // distributed round's documented grid
+        val gain = 4L * m * e - 2L * dC(a) * dC(b)
+        if (gain > 0) { offer(a, b, gain); offer(b, a, gain) }
+        p = q
+      }
+      val merge = new Array[Int](n)
+      java.util.Arrays.fill(merge, -1)
+      var any = false
+      var c = 0
+      while (c < n) {
+        val o = bestOf(c)
+        if (o >= 0 && c > o && bestOf(o) == c) { merge(c) = o; any = true }
+        c += 1
+      }
+      if (!any) converged = true
+      else {
+        i = 0
+        while (i < n) {
+          val l = lab(i)
+          if (merge(l) >= 0) lab(i) = merge(l)
+          i += 1
+        }
+      }
+    }
+    ids.indices.iterator.map(j => (ids(j), ids(lab(j))))
   }
 
   private[graft] def communityLouvain(spark: SparkSession, dir: String,
@@ -1241,7 +1394,7 @@ object Graph {
         if (prevRdd != null) prevRdd.unpersist()
         prevRdd = rdd
         lab = spark.createDataFrame(rdd, next.schema)
-        val nLabels = lab.agg(countDistinct(col("lbl"))).head.getLong(0)
+        val nLabels = lab.agg(countDistinct(col("lbl"))).head().getLong(0)
         converged = nLabels == prevLabels
         prevLabels = nLabels
       }

@@ -2575,7 +2575,12 @@ object Stats {
       .map(b => s"$b, CAST(sy_$b AS DOUBLE) / nullif(CAST(sw_$b AS DOUBLE), 0) / CAST(100 AS DOUBLE)")
       .mkString(", ")
     val rows = m.selectExpr("nd", "stot", s"stack($BootB, $stackArgs) AS (b, mean_b)")
-    rows.withColumn("r", row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+    // NULLS LAST explicitly (ADVICE r12): a zero-total-weight resample
+    // yields NULL mean_b via nullif, and Spark's bare ASC sorts NULLs
+    // first while DuckDB's sorts them last — the rank (and so the CI
+    // picks) would shift between engines in that corner
+    rows.withColumn("r", row_number().over(
+        Window.orderBy(col("mean_b").asc_nulls_last, col("b"))))
       .agg(max(col("nd")).as("nd_l"), max(col("stot")).as("stot_l"),
         min(when(col("r") === 2, col("mean_b"))).as("lo"),
         min(when(col("r") === BootB - 1, col("mean_b"))).as("hi"))
@@ -2610,7 +2615,7 @@ object Stats {
        |rows_b AS (
        |  $arms),
        |ranked AS (
-       |  SELECT *, row_number() OVER (ORDER BY mean_b, b) AS r FROM rows_b)
+       |  SELECT *, row_number() OVER (ORDER BY mean_b NULLS LAST, b) AS r FROM rows_b)
        |SELECT CAST(max(nd) AS BIGINT) AS n_days,
        |  CAST(max(stot) AS DOUBLE) / CAST(max(nd) AS DOUBLE) / CAST(100 AS DOUBLE) AS point_mean,
        |  min(CASE WHEN r = 2 THEN mean_b END) AS ci_lo,

@@ -1550,15 +1550,19 @@ object TextAnalysis {
     val grid = srcTot.crossJoin(broadcast(top))
       .join(st, Seq("source", "term"), "left")
       .withColumn("cs", coalesce(col("cs0"), lit(0L)))
+    // cross-products widen to DECIMAL(38,0) (the cross_price_elasticity
+    // overflow ledger, ADVICE r12): past 2^63 plain BIGINT would WRAP
+    // silently in Spark while DuckDB raises — the engines would
+    // diverge instead of drifting ≤1 ulp in the final double
     val agg = grid.crossJoin(broadcast(nTot))
-      .withColumn("num", abs(col("cs") * col("n_g") - col("cg") * col("n_s")))
+      .withColumn("num", abs(expr(
+        "CAST(CAST(cs AS DECIMAL(38,0)) * n_g - CAST(cg AS DECIMAL(38,0)) * n_s AS DECIMAL(38,0))")))
       .groupBy(col("source"), col("n_s"), col("n_g"))
       .agg(sum(col("num")).as("sum_top"),
         sum(col("cs")).as("cs_top"), sum(col("cg")).as("cg_top"))
     agg
-      .withColumn("oth_num",
-        abs((col("n_s") - col("cs_top")) * col("n_g")
-          - (col("n_g") - col("cg_top")) * col("n_s")))
+      .withColumn("oth_num", abs(expr(
+        "CAST(CAST(n_s - cs_top AS DECIMAL(38,0)) * n_g - CAST(n_g - cg_top AS DECIMAL(38,0)) * n_s AS DECIMAL(38,0))")))
       .selectExpr("source", "CAST(n_s AS BIGINT) AS n_tokens",
         "CAST(sum_top + oth_num AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_s AS DOUBLE) * CAST(n_g AS DOUBLE)) AS tv_distance")
       .orderBy("source")
@@ -1586,11 +1590,11 @@ object TextAnalysis {
        |  LEFT JOIN st ON st.source = s.source AND st.term = t.term),
        |agg AS (
        |  SELECT source, n_s, any_value(n_g) AS n_g,
-       |    CAST(sum(abs(cs * n_g - cg * n_s)) AS BIGINT) AS sum_top,
+       |    sum(abs(CAST(CAST(cs AS DECIMAL(38,0)) * n_g - CAST(cg AS DECIMAL(38,0)) * n_s AS DECIMAL(38,0)))) AS sum_top,
        |    CAST(sum(cs) AS BIGINT) AS cs_top, CAST(sum(cg) AS BIGINT) AS cg_top
        |  FROM grid, ng GROUP BY 1, 2)
        |SELECT source, n_s AS n_tokens,
-       |  CAST(sum_top + abs((n_s - cs_top) * n_g - (n_g - cg_top) * n_s) AS DOUBLE)
+       |  CAST(sum_top + abs(CAST(CAST(n_s - cs_top AS DECIMAL(38,0)) * n_g - CAST(n_g - cg_top AS DECIMAL(38,0)) * n_s AS DECIMAL(38,0))) AS DOUBLE)
        |    / (CAST(2 AS DOUBLE) * CAST(n_s AS DOUBLE) * CAST(n_g AS DOUBLE)) AS tv_distance
        |FROM agg ORDER BY source""".stripMargin
 
