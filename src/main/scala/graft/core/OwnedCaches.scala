@@ -38,6 +38,8 @@ import org.apache.spark.sql.DataFrame
 object OwnedCaches {
   private val pending =
     new java.util.concurrent.ConcurrentHashMap[Long, java.util.ArrayDeque[DataFrame]]()
+  private val pendingRdds =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]]()
 
   private def tid: Long = Thread.currentThread().getId
 
@@ -50,6 +52,18 @@ object OwnedCaches {
     df
   }
 
+  /** RDD variant of [[own]] for the lineage-severed iterative loops
+    * (boundedRelax / kcore / louvain distributed rounds persist each
+    * round's RDD to cut the 2^rounds analyzed-tree re-expansion; the
+    * FINAL round's RDD backs the returned frame and must live until
+    * the harness materializes it).
+    */
+  def ownRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+    pendingRdds.computeIfAbsent(tid, _ => new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]())
+      .add(rdd)
+    rdd
+  }
+
   /** Unpersist every owned frame registered by THIS thread since its
     * last release. Safe to call at any time: releasing a cache is a
     * performance decision, never a correctness one (the plan
@@ -58,11 +72,14 @@ object OwnedCaches {
   def release(): Unit = {
     val q = pending.remove(tid)
     if (q != null) q.forEach(_.unpersist(blocking = false))
+    val r = pendingRdds.remove(tid)
+    if (r != null) r.forEach(_.unpersist(blocking = false))
   }
 
   /** Owned frames registered by this thread and not yet released. */
   private[graft] def pendingCount: Int = {
     val q = pending.get(tid)
-    if (q == null) 0 else q.size
+    val r = pendingRdds.get(tid)
+    (if (q == null) 0 else q.size) + (if (r == null) 0 else r.size)
   }
 }

@@ -61,7 +61,29 @@ object Graph {
     * whose measured cost exceeds ~2 µs/edge·round must take a lower
     * family-specific cap instead of this one.
     */
+  @deprecated("superseded by the measured replayCap admission", "round 13")
   private[graft] val SingleTaskEdgeCap = 2000000L
+
+  /** Work-based single-task admission (round 13): cap = budget /
+    * (measured per-row·round replay cost × rounds), clamped to
+    * [[SingleTaskRowMax]] rows so one task's edge array stays a few
+    * hundred MB. The per-family constants come from ReplayCalibrate
+    * on the SHIPPED replay bodies (margins above the measured
+    * 0.03–0.05 µs for the array replays, ~0.2–0.4 µs for pagerank's
+    * LongMap replay). The flat 2M [[SingleTaskEdgeCap]] this replaces
+    * both ADMITTED a too-expensive replay (the r12 112 s Louvain,
+    * before the replay rewrite) and REJECTED cheap ones — the 10×
+    * probe's 2.4M-row CC relax fell to the distributed loop and paid
+    * 30 s of stage latency for 0.4 s of single-task work.
+    */
+  private[graft] val SingleTaskBudgetUs = 3e6
+  private[graft] val SingleTaskRowMax = 8000000L
+  private[graft] def replayCap(perRowUs: Double, rounds: Int): Long =
+    math.min(SingleTaskRowMax, (SingleTaskBudgetUs / (perRowUs * rounds)).toLong)
+  private[graft] val RelaxPerRowUs = 0.06
+  private[graft] val KcorePerRowUs = 0.06
+  private[graft] val LouvainPerRowUs = 0.08
+  private[graft] val PagerankPerRowUs = 0.40
 
   /** Top-20 PageRank nodes. Node encoding: customer c → 2c,
     * supplier s → 2s+1 (disjoint integer id spaces, no string keys in
@@ -111,13 +133,13 @@ object Graph {
     // single-task branch: only consulted when the node count already
     // says the graph MIGHT be tiny (n ≤ cap ⇒ the extra count job is
     // amortized by the ~12 per-iteration jobs it removes)
-    if (!forceCopartition && !forceLoop && n <= SingleTaskEdgeCap) {
+    if (!forceCopartition && !forceLoop && n <= replayCap(PagerankPerRowUs, Iters)) {
       val sess = spark
       import sess.implicits._
       val cachedEdges = graft.core.OwnedCaches.own(edgesFlat.cache())
       val edgeCount = cachedEdges.count() // materializes the edge cache
       raw.unpersist()
-      if (edgeCount <= SingleTaskEdgeCap) {
+      if (edgeCount <= replayCap(PagerankPerRowUs, Iters)) {
         val iters = Iters
         val i0 = initR; val tc = teleportC
         val ranked = cachedEdges
@@ -358,8 +380,8 @@ object Graph {
     * Bellman-Ford is real weights, min-label components is w≡0 with
     * each node seeded to its own id.
     *
-    * Layout-selected like `pagerank`: ≤ [[SingleTaskEdgeCap]] edges
-    * runs ALL rounds in one mapPartitions task — the per-round
+    * Layout-selected like `pagerank`: up to [[replayCap]] rows
+    * (measured admission) runs ALL rounds in one mapPartitions task — the per-round
     * distributed loop on a small graph is pure stage latency (6
     * cached rounds ≈ 11 s at sf0.1 for a 3.5k-edge graph; the local
     * sim is sub-second). Seeds ride into the task as weight-d
@@ -381,7 +403,7 @@ object Graph {
     val spark = edges.sparkSession
     val cached = graft.core.OwnedCaches.own(edges.cache())
     val n = cached.count()
-    if (!forceLoop && n <= SingleTaskEdgeCap) {
+    if (!forceLoop && n <= replayCap(RelaxPerRowUs, rounds)) {
       import spark.implicits._
       val packed = cached
         .select(col("src").cast("long"), col("dst").cast("long"),
@@ -395,13 +417,28 @@ object Graph {
         .mapPartitions(it => relaxReplay(it.toArray, r))
         .toDF("p", "d")
     } else {
+      // each round references the previous state TWICE (keep ∪ relax),
+      // so an unsevered chain re-expands 2^rounds at ANALYSIS time —
+      // the documented unrolled-loop blowup (at the 10× probe this
+      // was ~30 s of driver plan-time on a 2.4M-row relax). Severing:
+      // materialize each round to a persisted RDD and restart the
+      // lineage from it (the communityLouvain merge-loop discipline);
+      // one count job per round, O(1) retained round frames, and the
+      // final round's RDD is harness-released via ownRdd.
       var dist = seeds.select(col("p"), col("d"))
-      for (_ <- 1 to rounds) {
-        val cur = graft.core.OwnedCaches.own(dist.cache()) // 2-ref per round
-        val relax = cur.join(cached, col("p") === col("src"))
+      var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+      for (r <- 1 to rounds) {
+        val relax = dist.join(cached, col("p") === col("src"))
           .select(col("dst").as("p"), (col("d") + col("w")).as("d"))
-        dist = cur.unionByName(relax)
+        val next = dist.unionByName(relax)
           .groupBy(col("p")).agg(min(col("d")).as("d"))
+        val rdd = next.rdd
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+        if (r == rounds) graft.core.OwnedCaches.ownRdd(rdd)
+        dist = spark.createDataFrame(rdd, next.schema)
       }
       dist
     }
@@ -645,7 +682,7 @@ object Graph {
       .union(und.select(col("p2").as("src"), col("p1").as("dst")))
     val cached = graft.core.OwnedCaches.own(edges.cache())
     val n = cached.count()
-    if (!forceLoop && n <= SingleTaskEdgeCap) {
+    if (!forceLoop && n <= replayCap(KcorePerRowUs, rounds)) {
       // all peeling rounds in one task — the boundedRelax layout
       // selection (6 distributed rounds ≈ 5.8 s of stage latency at
       // sf0.1 on a 3.5k-edge graph; the local replay is identical
@@ -659,16 +696,27 @@ object Graph {
         .toDF("node", "core_degree")
         .orderBy("node")
     } else {
+      // per-round lineage sever (the boundedRelax discipline): the
+      // alive set is referenced twice per round (both join sides), so
+      // an unsevered chain re-analyzes 2^rounds — materialize each
+      // round's survivors to a persisted RDD and restart from it
       var nodes = cached.select(col("src").as("p")).distinct()
-      for (_ <- 1 to rounds) {
-        val cur = graft.core.OwnedCaches.own(nodes.cache()) // 2-ref per round
-        nodes = cached
-          .join(cur.select(col("p").as("sa")), col("src") === col("sa"))
-          .join(cur.select(col("p").as("sb")), col("dst") === col("sb"))
+      var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+      for (r <- 1 to rounds) {
+        val next = cached
+          .join(nodes.select(col("p").as("sa")), col("src") === col("sa"))
+          .join(nodes.select(col("p").as("sb")), col("dst") === col("sb"))
           .groupBy(col("src").as("p"))
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= KCoreK)
           .select(col("p"))
+        val rdd = next.rdd
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = rdd
+        if (r == rounds) graft.core.OwnedCaches.ownRdd(rdd)
+        nodes = spark.createDataFrame(rdd, next.schema)
       }
       cached
         .join(nodes.select(col("p").as("sa")), col("src") === col("sa"))
@@ -1223,7 +1271,7 @@ object Graph {
 
   /** All [[LouvainRounds]] mutual-best merge rounds in ONE task — the
     * boundedRelax / labelPropagate layout selection applied to
-    * Louvain: below [[SingleTaskEdgeCap]] edges the distributed loop
+    * Louvain: below the measured [[replayCap]] admission the distributed loop
     * is pure stage latency (measured ~4.5 s/ROUND on the 3.5k-edge
     * sf0.1 support graph → ~95 s for the full unroll vs sub-second
     * local replay). Replicates the distributed round bit-for-bit:
@@ -1370,7 +1418,8 @@ object Graph {
     // support graph is tiny at every driver SF, so the single-task
     // replay is the near-universal branch; the distributed loop is
     // the >cap scale path
-    val small = !forceDistributed && und.count() <= SingleTaskEdgeCap
+    val small = !forceDistributed &&
+      und.count() <= replayCap(LouvainPerRowUs, LouvainRounds)
     var lab: DataFrame =
       if (small) louvainLocalLabels(und)
       else deg.select(col("p"), col("p").as("lbl"))
@@ -1398,6 +1447,9 @@ object Graph {
         converged = nLabels == prevLabels
         prevLabels = nLabels
       }
+      // the final round's RDD backs `lab` through the modularity
+      // readout below — harness-released, not leaked
+      if (prevRdd != null) graft.core.OwnedCaches.ownRdd(prevRdd)
     }
     def q(se: String, sd: String): String =
       s"CAST($se AS DOUBLE) / CAST(m AS DOUBLE)" +
