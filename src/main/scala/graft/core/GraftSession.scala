@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_rolling_hashes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.RollingHashes(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_unit"),
+      new ExpressionInfo(classOf[graft.functions.UnitVector].getName, "graft_unit"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.UnitVector(exprs.head)))
     e.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "graft_topk"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -97,6 +101,7 @@ object GraftSession {
     graft.functions.SortedIntersectCount.register(spark)
     graft.functions.RademacherSketch.register(spark)
     graft.functions.RollingHashes.register(spark)
+    graft.functions.UnitVector.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

@@ -66,10 +66,9 @@ object Ann {
     */
   def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
+    graft.functions.UnitVector.register(spark)
     val e = Tables(spark, dir).embeddings
-    val norm = sqrt(aggregate(transform(col("embedding"),
-      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
-    val unit = transform(col("embedding"), x => x.cast("double") / norm)
+    val unit = call_function("graft_unit", col("embedding"))
     val q = e.select(col("vec_id").as("query_id"), col("label").as("q_label"),
       unit.as("q_emb")).filter(col("query_id") < NumQueries)
     val c = e.select(col("vec_id").as("neighbor_id"), col("label").as("c_label"),
@@ -103,10 +102,9 @@ object Ann {
     * norms per pair.
     */
   private def withUnit(e: DataFrame, idAs: String, unitAs: String): DataFrame = {
-    val norm = sqrt(aggregate(transform(col("embedding"),
-      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+    graft.functions.UnitVector.register(e.sparkSession)
     e.select(col("vec_id").as(idAs),
-      transform(col("embedding"), x => x.cast("double") / norm).as(unitAs))
+      call_function("graft_unit", col("embedding")).as(unitAs))
   }
 
   /** Dot product of two unit vectors (= cosine), index-ordered sum —

@@ -1272,7 +1272,10 @@ object Commerce {
         .distinct()
         .cache())
     val ub = lpo.select(col("u"), col("b"), col("is_train")).distinct()
-    val train = ub.filter(col("is_train")).select(col("u"), col("b"))
+    // train is read three times (scoring join, candidate anti-join,
+    // novel-truth anti-join) — cache the (user, brand)-bounded frame
+    val train = graft.core.OwnedCaches.own(
+      ub.filter(col("is_train")).select(col("u"), col("b")).cache())
     val testNovel = ub.filter(!col("is_train")).select(col("u"), col("b"))
       .join(train.toDF("u", "b"), Seq("u", "b"), "left_anti")
     val ob = lpo.filter(col("is_train"))
@@ -1285,9 +1288,14 @@ object Commerce {
       .groupBy(col("u"), col("b2")).agg(sum(col("n")).as("score"))
       .join(train.toDF("u", "b2"), Seq("u", "b2"), "left_anti")
     val w = Window.partitionBy("u").orderBy(col("score").desc, col("b2"))
-    val recs = scores.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= RecsEvalK)
-      .select(col("u"), col("b2").as("b"))
+    // recs feeds BOTH the hit join and the truth-restriction join —
+    // uncached, each consumer re-executes the whole scoring chain
+    // (the fan-out join + two anti-joins); ≤ k rows per user, tiny
+    val recs = graft.core.OwnedCaches.own(
+      scores.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= RecsEvalK)
+        .select(col("u"), col("b2").as("b"))
+        .cache())
     val hits = recs.join(testNovel.withColumn("hit", lit(1L)), Seq("u", "b"), "left")
     val truthForRecUsers = testNovel.groupBy(col("u")).agg(count(lit(1)).as("n_truth"))
       .join(recs.select(col("u")).distinct(), Seq("u"))

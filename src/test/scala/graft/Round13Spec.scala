@@ -93,6 +93,35 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("graft_unit normalizes in one pass and matches the declarative form bit-for-bit") {
+    import spark.implicits._
+    graft.functions.UnitVector.register(spark)
+    graft.functions.DotProduct.register(spark)
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.1f, 0.2f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val norm = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+    val both = df.select(
+      call_function("graft_unit", col("embedding")).as("fast"),
+      transform(col("embedding"), x => x.cast("double") / norm).as("slow"))
+      .collect()
+    both.foreach { r =>
+      val f = r.getSeq[Double](0); val s = r.getSeq[Double](1)
+      assert(f.size == s.size)
+      f.zip(s).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b), s"$a != $b bitwise")
+      }
+    }
+    // the codegen'd expression must actually be in the executed ANN
+    // plan — a silent fallback to the O(dim²) lambda form is the
+    // regression this pin catches
+    val plan = graft.operators.Ann.annTopkBruteforce(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("unitvector"),
+      s"bruteforce must normalize through the UnitVector expression:\n$plan")
+  }
+
   test("globalRankCumsum equals the single-window rank + running sum") {
     import spark.implicits._
     val df = Seq((5L, "a"), (3L, "b"), (5L, "c"), (1L, "d"), (8L, "e"),
