@@ -962,7 +962,13 @@ object Ann {
     * probe ranking, and the cell pair ranking.
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
-    knnGraph(spark, dir, kOverride = None, forceShuffle = false)
+    // session-shared: knn_confusion consumes the identical graph —
+    // one cell-bounded pair-join materialization serves both queries,
+    // released after the later of the two in a planned harness run
+    graft.core.SharedFrames.get(spark, "ann.knnGraph", dir,
+        Set("knn_graph", "knn_confusion")) {
+      knnGraph(spark, dir, kOverride = None, forceShuffle = false)
+    }
 
   /** Test-parameterized face: `kOverride` forces a cell count (the
     * corpus-scaled formula is exercised with a large k at test size),
