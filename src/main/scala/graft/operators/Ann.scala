@@ -556,10 +556,15 @@ object Ann {
     // queries keep NProbe)
     val cellsRow = cells.agg(collect_list(struct(col("cell"), col("c6"),
       col("cnorm"))).as("cs"))
-    val scored = e.select(col("vec_id"), q6.as("q6"))
+    // cached: assigned + probes both read it, and ann_frontier_eval's
+    // three nprobe arms build this identical frame — the CacheManager
+    // plan-matches one materialization across all three (the nprobe
+    // slice happens downstream); harness-released
+    val scored = graft.core.OwnedCaches.own(e.select(col("vec_id"), q6.as("q6"))
       .join(broadcast(cellsRow))
       .withColumn("ranked_cells", expr(
         "array_sort(transform(cs, s -> struct(-(graft_dot(q6, s.c6) / s.cnorm) AS negscore, s.cell AS cell)))"))
+      .cache())
     val assigned = scored.select(col("vec_id").as("neighbor_id"),
       expr("element_at(ranked_cells, 1).cell").as("c_cell"))
     val probes = scored.filter(col("vec_id") < NumQueries)
