@@ -61,11 +61,23 @@ object SharedFrames {
       consumers: Set[String])(build: => DataFrame): DataFrame = {
     val k = s"$key@$dir@${System.identityHashCode(spark)}"
     if (current.nonEmpty && !consumers.contains(current)) undeclared.add(s"$k<-$current")
-    val e = entries.computeIfAbsent(k, _ => {
-      // count > 1 with a plan active = rebuilt after release (drift)
-      buildCounts.merge(k, 1, (a: Int, b: Int) => a + b)
-      Entry(build.persist(StorageLevel.MEMORY_AND_DISK), consumers)
-    })
+    // NOT computeIfAbsent: build thunks NEST (hashedSets builds on
+    // shingleSets), and ConcurrentHashMap.computeIfAbsent throws
+    // "Recursive update" when a reentrant computation lands in the
+    // same bin — a hash-layout-dependent landmine. Plain double-checked
+    // get/put under the object monitor instead (reentrant for the
+    // nested build; builds are driver-side plan construction, so the
+    // serialization is cheap).
+    var e = entries.get(k)
+    if (e == null) synchronized {
+      e = entries.get(k)
+      if (e == null) {
+        // count > 1 with a plan active = rebuilt after release (drift)
+        buildCounts.merge(k, 1, (a: Int, b: Int) => a + b)
+        e = Entry(build.persist(StorageLevel.MEMORY_AND_DISK), consumers)
+        entries.put(k, e)
+      }
+    }
     // an external spark.catalog.clearCache() (isolated tests) strips
     // the persistence but not the memo — re-pin, matching the old
     // plan-match-on-.cache() behavior
