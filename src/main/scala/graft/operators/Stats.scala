@@ -2623,4 +2623,263 @@ object Stats {
        |  CAST($BootB AS BIGINT) AS n_boot
        |FROM ranked""".stripMargin
   }
+
+  // ----------------------------------------------------------------- psi_drift
+
+  private val PsiBins = 16
+
+  /** Population Stability Index of the order-value distribution
+    * between the first and second calendar halves — the scorecard-
+    * monitoring drift metric `dist_drift` (per-bin shift) and
+    * `tv_distance_drift` (worst-case mass move) don't give: PSI
+    * weights each bin's shift by the LOG of its proportion ratio, so
+    * it reacts to tail bins emptying out, the failure mode a flat
+    * percent delta underweights. Bins are the `dist_drift` fixed
+    * equal-width convention; proportions are Laplace-smoothed
+    * (+1 per bin) so empty bins stay in-domain, and EVERY bin
+    * including empty ones contributes (a literal 0..15 spine
+    * left-joins the observed counts). The logarithm is
+    * [[graft.functions.ExactLn]] — sqrt-reduction + Horner series in
+    * correctly-rounded IEEE ops only, bit-identical on both engines —
+    * the repo's first transcendental that survives the hash gate.
+    * Convention PSI < 0.1 stable / 0.1–0.25 shifting / > 0.25 drifted.
+    *
+    * Scale shape: one orders pass partial-aggregates to 16 bins; the
+    * spine join, smoothing, and ln run on the 16-row frame. Count
+    * factors cast to double individually (each < 2⁵³ to ~10¹⁵ rows);
+    * ratio domain [2⁻⁴⁰, 2⁴⁰] holds while totals < 2³⁹.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val o = Tables(spark, dir).orders
+      .select(unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_totalprice").as("v"))
+    val bounds = o.agg(
+      min(col("v")).as("lo"), max(col("v")).as("hi"),
+      expr("(min(t) + max(t)) div 2").as("mid"))
+    val counts = o.crossJoin(broadcast(bounds))
+      .select(
+        when(col("hi") === col("lo"), 0)
+          .otherwise(least(
+            floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / lit(PsiBins.toDouble))).cast("int"),
+            lit(PsiBins - 1))).as("bin"),
+        (col("t") <= col("mid")).as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("rc"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val spine = spark.range(PsiBins).select(col("id").cast("int").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("rc"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cc"), lit(0L)).as("cur_cnt"))
+      .withColumn("rt", sum(col("ref_cnt")).over(Window.partitionBy()))
+      .withColumn("ct", sum(col("cur_cnt")).over(Window.partitionBy()))
+    full
+      .withColumn("ratio", expr(PsiRatioExpr))
+      .withColumn("__y", expr(ExactLn.yExpr("ratio")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("contrib", expr(s"($PsiDeltaExpr) * ${ExactLn.lnExpr("__z")}"))
+      .withColumn("psi_total",
+        expr("CAST(sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) OVER () AS DOUBLE)"))
+      .selectExpr("bin", "ref_cnt", "cur_cnt",
+        s"$PsiRefPct AS ref_pct", s"$PsiCurPct AS cur_pct",
+        "contrib AS psi_contrib", "psi_total")
+      .orderBy("bin")
+  }
+
+  private val PsiRefPct =
+    s"(CAST(ref_cnt + 1 AS DOUBLE) / CAST(rt + $PsiBins AS DOUBLE))"
+  private val PsiCurPct =
+    s"(CAST(cur_cnt + 1 AS DOUBLE) / CAST(ct + $PsiBins AS DOUBLE))"
+  private val PsiDeltaExpr = s"$PsiCurPct - $PsiRefPct"
+  private val PsiRatioExpr =
+    s"(CAST(cur_cnt + 1 AS DOUBLE) * CAST(rt + $PsiBins AS DOUBLE))" +
+      s" / (CAST(ref_cnt + 1 AS DOUBLE) * CAST(ct + $PsiBins AS DOUBLE))"
+
+  val psiDriftSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH o AS (SELECT epoch_us(o_orderdate) AS t, o_totalprice AS v FROM orders),
+       |b AS (SELECT min(v) AS lo, max(v) AS hi,
+       |             (min(t) + max(t)) // 2 AS mid FROM o),
+       |h AS (SELECT CAST(CASE WHEN hi = lo THEN 0
+       |        ELSE least(CAST(floor((v - lo) / ((hi - lo) / ${PsiBins.toDouble})) AS INTEGER), ${PsiBins - 1}) END AS INTEGER) AS bin,
+       |        t <= mid AS is_ref
+       |      FROM o, b),
+       |g AS (SELECT bin,
+       |        CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS rc,
+       |        CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+       |      FROM h GROUP BY bin),
+       |spine AS (SELECT CAST(s.x AS INTEGER) AS bin FROM generate_series(0, ${PsiBins - 1}) AS s(x)),
+       |full_g AS (
+       |  SELECT spine.bin,
+       |    CAST(coalesce(rc, 0) AS BIGINT) AS ref_cnt,
+       |    CAST(coalesce(cc, 0) AS BIGINT) AS cur_cnt
+       |  FROM spine LEFT JOIN g ON spine.bin = g.bin),
+       |tt AS (
+       |  SELECT *,
+       |    sum(ref_cnt) OVER () AS rt, sum(cur_cnt) OVER () AS ct
+       |  FROM full_g),
+       |r AS (SELECT *, $PsiRatioExpr AS ratio FROM tt),
+       |y AS (SELECT *, ${ExactLn.yExpr("ratio")} AS __y FROM r),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |c AS (SELECT *, ($PsiDeltaExpr) * ${ExactLn.lnExpr("__z")} AS contrib FROM z)
+       |SELECT bin, ref_cnt, cur_cnt,
+       |  $PsiRefPct AS ref_pct, $PsiCurPct AS cur_pct,
+       |  contrib AS psi_contrib,
+       |  CAST(sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) OVER () AS DOUBLE) AS psi_total
+       |FROM c ORDER BY bin""".stripMargin
+  }
+
+  // ------------------------------------------------------ js_divergence_drift
+
+  /** Jensen–Shannon divergence of the event-type mix between the
+    * first and second time halves — the bounded (≤ ln 2), symmetric
+    * information-theoretic companion of `tv_distance_drift`: TV
+    * reports worst-case mass movement, JS weights every category's
+    * shift by how SURPRISING it is against the mixture, so a rare
+    * type doubling moves JS long before it moves TV. Ratios to the
+    * mixture reduce to 2·a·tb / (a·tb + b·ta) — count factors cast
+    * to double individually (sub-2⁵³), ln is the engine-exact
+    * [[graft.functions.ExactLn]], zero-count terms vanish by the
+    * CASE guard exactly as the p·ln p limit demands.
+    *
+    * Scale shape: one events pass partial-aggregates to the ≤ 8-type
+    * frame; everything after runs on bounded rows. Ratio domain
+    * needs totals < 2³⁹ (ratio ≥ 2/total when a category is present).
+    */
+  def jsDivergenceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val ev = Tables(spark, dir).events
+    val mid = ev.agg(expr("CAST(floor((min(ts_us) + max(ts_us)) / 2.0) AS BIGINT)").as("mid"))
+    val counts = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("ts_us") <= col("mid"), 1L).otherwise(0L)).as("cnt_first"),
+        sum(when(col("ts_us") > col("mid"), 1L).otherwise(0L)).as("cnt_second"))
+      .withColumn("tot_a", sum(col("cnt_first")).over(Window.partitionBy()))
+      .withColumn("tot_b", sum(col("cnt_second")).over(Window.partitionBy()))
+    counts
+      .withColumn("da", expr("CAST(cnt_first AS DOUBLE) * CAST(tot_b AS DOUBLE)"))
+      .withColumn("db", expr("CAST(cnt_second AS DOUBLE) * CAST(tot_a AS DOUBLE)"))
+      .withColumn("rp", expr("2.0 * da / (da + db)"))
+      .withColumn("rq", expr("2.0 * db / (da + db)"))
+      .withColumn("__ya", expr(ExactLn.yExpr("rp")))
+      .withColumn("__za", expr(ExactLn.zExpr("__ya")))
+      .withColumn("__yb", expr(ExactLn.yExpr("rq")))
+      .withColumn("__zb", expr(ExactLn.zExpr("__yb")))
+      .withColumn("contrib", expr(
+        s"0.5 * ((CASE WHEN cnt_first = 0 THEN 0.0 ELSE ($JsP) * ${ExactLn.lnExpr("__za")} END)" +
+          s" + (CASE WHEN cnt_second = 0 THEN 0.0 ELSE ($JsQ) * ${ExactLn.lnExpr("__zb")} END))"))
+      .withColumn("js_total",
+        expr("CAST(sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) OVER () AS DOUBLE)"))
+      .selectExpr("event_type", "cnt_first", "cnt_second",
+        s"$JsP AS p_first", s"$JsQ AS p_second",
+        "contrib AS js_contrib", "js_total")
+      .orderBy("event_type")
+  }
+
+  private val JsP = "(CAST(cnt_first AS DOUBLE) / CAST(tot_a AS DOUBLE))"
+  private val JsQ = "(CAST(cnt_second AS DOUBLE) / CAST(tot_b AS DOUBLE))"
+
+  val jsDivergenceDriftSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH mid AS (
+       |  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0) AS BIGINT) AS mid
+       |  FROM events),
+       |counts AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS BIGINT) AS cnt_first,
+       |    CAST(sum(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END) AS BIGINT) AS cnt_second
+       |  FROM events, mid GROUP BY event_type),
+       |t AS (
+       |  SELECT *, sum(cnt_first) OVER () AS tot_a, sum(cnt_second) OVER () AS tot_b
+       |  FROM counts),
+       |d AS (SELECT *,
+       |    CAST(cnt_first AS DOUBLE) * CAST(tot_b AS DOUBLE) AS da,
+       |    CAST(cnt_second AS DOUBLE) * CAST(tot_a AS DOUBLE) AS db
+       |  FROM t),
+       |rr AS (SELECT *, 2.0 * da / (da + db) AS rp, 2.0 * db / (da + db) AS rq FROM d),
+       |ya AS (SELECT *, ${ExactLn.yExpr("rp")} AS __ya, ${ExactLn.yExpr("rq")} AS __yb FROM rr),
+       |za AS (SELECT *, ${ExactLn.zExpr("__ya")} AS __za, ${ExactLn.zExpr("__yb")} AS __zb FROM ya),
+       |c AS (SELECT *,
+       |    0.5 * ((CASE WHEN cnt_first = 0 THEN 0.0 ELSE ($JsP) * ${ExactLn.lnExpr("__za")} END)
+       |      + (CASE WHEN cnt_second = 0 THEN 0.0 ELSE ($JsQ) * ${ExactLn.lnExpr("__zb")} END)) AS contrib
+       |  FROM za)
+       |SELECT event_type, cnt_first, cnt_second,
+       |  $JsP AS p_first, $JsQ AS p_second,
+       |  contrib AS js_contrib,
+       |  CAST(sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) OVER () AS DOUBLE) AS js_total
+       |FROM c ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- g_test
+
+  /** G-test of independence (log-likelihood ratio) on the order
+    * priority × status grid — the chi-square family's likelihood
+    * twin: G = 2·Σ O·ln(O/E) is additive under partitioning of the
+    * grid (chi² isn't), which is what hierarchical slicing of a
+    * contingency table needs. Expected counts stay RATIONAL
+    * (E = R·C/N), so the ratio O·N/(R·C) is four sub-2⁵³ exact
+    * counts cast to double individually; ln is engine-exact
+    * [[graft.functions.ExactLn]]; observed-zero cells contribute 0
+    * (the O·ln O limit) by never appearing in the grouped grid.
+    *
+    * Scale shape: one orders pass partial-aggregates to the ≤ 15-cell
+    * grid; windows and ln run on those rows. Ratio domain needs
+    * N < 2⁴⁰.
+    */
+  def gTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val cells = Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy("o_orderpriority")))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy("o_orderstatus")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("ratio", expr(GRatioExpr))
+      .withColumn("__y", expr(ExactLn.yExpr("ratio")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("contrib",
+        expr(s"2.0 * CAST(o AS DOUBLE) * ${ExactLn.lnExpr("__z")}"))
+      .agg(
+        sum(expr("CAST(round(contrib, 6) AS DECIMAL(18,6))")).as("gd"),
+        max(col("n")).as("nn"),
+        countDistinct(col("o_orderpriority")).as("rr"),
+        countDistinct(col("o_orderstatus")).as("cc"))
+      .select(col("nn").cast("long").as("n_orders"),
+        col("rr").cast("long").as("n_rows"),
+        col("cc").cast("long").as("n_cols"),
+        expr("CAST((rr - 1) * (cc - 1) AS INTEGER)").as("dof"),
+        expr("CAST(gd AS DOUBLE)").as("g_stat"))
+  }
+
+  private val GRatioExpr =
+    "(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+
+  val gTestSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS o
+       |  FROM orders GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *,
+       |    sum(o) OVER (PARTITION BY o_orderpriority) AS r,
+       |    sum(o) OVER (PARTITION BY o_orderstatus) AS c,
+       |    sum(o) OVER () AS n
+       |  FROM cells),
+       |rt AS (SELECT *, $GRatioExpr AS ratio FROM t),
+       |y AS (SELECT *, ${ExactLn.yExpr("ratio")} AS __y FROM rt),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |x AS (SELECT *, 2.0 * CAST(o AS DOUBLE) * ${ExactLn.lnExpr("__z")} AS contrib FROM z),
+       |a AS (
+       |  SELECT sum(CAST(round(contrib, 6) AS DECIMAL(18,6))) AS gd,
+       |    CAST(max(n) AS BIGINT) AS nn,
+       |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS rr,
+       |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS cc
+       |  FROM x)
+       |SELECT nn AS n_orders, rr AS n_rows, cc AS n_cols,
+       |  CAST((rr - 1) * (cc - 1) AS INTEGER) AS dof,
+       |  CAST(gd AS DOUBLE) AS g_stat
+       |FROM a""".stripMargin
+  }
 }

@@ -140,4 +140,56 @@ class Round13Spec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(got.sameElements(want))
   }
+
+  test("ExactLn tracks Math.log within 5e-14 absolute across its domain") {
+    import graft.functions.ExactLn
+    import spark.implicits._
+    // log-spaced sweep over the documented domain [2^-40, 2^40],
+    // plus the near-1 cancellation band the Sterbenz argument covers
+    val xs = (-40 to 40).map(e => math.pow(2.0, e)) ++
+      Seq(1.0 - 1e-9, 1.0 + 1e-9, 0.999, 1.001, 3.0, 1.0 / 3.0,
+        9.094947017729282e-13, 1.0995116277760e12)
+    val got = xs.toDF("x")
+      .withColumn("__y", expr(ExactLn.yExpr("x")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("ln_x", expr(ExactLn.lnExpr("__z")))
+      .select("x", "ln_x").collect()
+    got.foreach { r =>
+      val x = r.getDouble(0); val ln = r.getDouble(1)
+      assert(math.abs(ln - math.log(x)) < 5e-14,
+        s"ExactLn($x) = $ln vs Math.log = ${math.log(x)}")
+    }
+  }
+
+  test("psi_drift: full spine, non-negative total, consistent smoothing") {
+    val rows = graft.operators.Stats.psiDrift(spark, sf).collect()
+    assert(rows.length == 16, "every bin of the spine must be present")
+    val total = rows.map(_.getAs[Double]("psi_total")).distinct
+    assert(total.length == 1, "psi_total must be the same on every row")
+    assert(total.head >= -1e-9, s"PSI is a sum of (p-q)ln(p/q) >= 0 terms: $total")
+    // each contribution individually non-negative (p−q and ln(p/q) share sign)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi_contrib") >= -1e-12)
+      assert(r.getAs[Double]("ref_pct") > 0 && r.getAs[Double]("cur_pct") > 0,
+        "Laplace smoothing must keep every bin strictly positive")
+    }
+  }
+
+  test("js_divergence_drift: bounded by ln 2, proportions sum to 1") {
+    val rows = graft.operators.Stats.jsDivergenceDrift(spark, sf).collect()
+    val total = rows.map(_.getAs[Double]("js_total")).distinct
+    assert(total.length == 1)
+    assert(total.head >= -1e-9 && total.head <= math.log(2.0) + 1e-9,
+      s"JS divergence must lie in [0, ln 2]: $total")
+    assert(math.abs(rows.map(_.getAs[Double]("p_first")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("p_second")).sum - 1.0) < 1e-9)
+  }
+
+  test("g_test: non-negative statistic, grid-consistent dof") {
+    val r = graft.operators.Stats.gTest(spark, sf).collect().head
+    assert(r.getAs[Double]("g_stat") >= -1e-6,
+      "G = 2 sum O ln(O/E) is non-negative by Gibbs' inequality")
+    assert(r.getAs[Int]("dof") ==
+      (r.getAs[Long]("n_rows") - 1) * (r.getAs[Long]("n_cols") - 1))
+  }
 }
