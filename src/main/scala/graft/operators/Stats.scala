@@ -2856,6 +2856,207 @@ object Stats {
   private val GRatioExpr =
     "(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
 
+  // --------------------------------------------------------- kruskal_wallis
+
+  private[graft] val PrioKeys = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Kruskal–Wallis H across the five order priorities on order value
+    * — the k-group generalization of `mann_whitney` (two groups) and
+    * the rank-robust twin of `anova_oneway` (which assumes
+    * near-normal residuals; order totals are heavy-tailed, exactly
+    * where rank tests keep their power). Average ranks with full tie
+    * handling stay EXACT: avg-rank·2 = 2·cum_≤v − n_v + 1 is integer,
+    * per-group doubled rank sums R2_g are exact BIGINT, and the tie
+    * term Σ(n_v³ − n_v) rides exact DECIMAL; H and its tie-corrected
+    * form are fixed-order double expressions over five pivoted
+    * moments (the `anova_oneway` discipline).
+    *
+    * Scale shape: orders partial-aggregate to (value, priority)
+    * cells, then to distinct values; the global cumulative count runs
+    * as a [[Commerce.globalRankCumsum]] two-level prefix sum (banded
+    * buckets — no unpartitioned window over the value frame); the
+    * join back is distinct-value-keyed. Magnitude ledger: R2_g ≤ 2N²
+    * casts exactly to double through N ≈ 6·10⁷ orders (~sf40);
+    * beyond, the same pivot rides wider decimals with a lifted final
+    * cast — the plan does not change.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("g"),
+        (money(col("o_totalprice")) * 100).cast("long").as("c"))
+    val perVG = o.groupBy(col("c"), col("g")).agg(count(lit(1)).as("n_vg"))
+    val perV = perVG.groupBy(col("c")).agg(sum(col("n_vg")).as("n_v"))
+    // distributed cumulative count over distinct values (ascending):
+    // banded two-level prefix sum, never a single-task global sort
+    val ranked = Commerce.globalRankCumsum(perV,
+        floor(col("c") / lit((Commerce.MonetaryBucketWidth * 100).toLong)),
+        Seq(col("c")), col("n_v"), "rk", "cumv")
+      .select(col("c"), col("n_v"), col("cumv"))
+    val contrib = perVG.join(ranked, Seq("c"))
+      .withColumn("w2", expr("2 * cumv - n_v + 1")) // = 2·avg-rank of value c
+    val mCols = PrioKeys.indices.flatMap { k =>
+      val is = col("g") === PrioKeys(k)
+      Seq(sum(when(is, col("n_vg"))).as(s"n_$k"),
+        sum(when(is, expr("n_vg * w2"))).as(s"r2_$k"))
+    } :+ sum(col("n_vg")).as("nn")
+    // tie term comes from perV (one row per value), not perVG — keep
+    // the two aggregates separate and broadcast the scalars together
+    val moments = contrib.agg(mCols.head, mCols.tail: _*)
+    val ties = perV.agg(
+      sum(expr("CAST(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0)) - n_v AS DECIMAL(38,0))")).as("tt"))
+    val one = moments.crossJoin(broadcast(ties))
+    val stackArgs = PrioKeys.indices.map { k =>
+      s"'${PrioKeys(k)}', n_$k, CAST(r2_$k AS DOUBLE) / (2.0 * CAST(n_$k AS DOUBLE))"
+    }.mkString(", ")
+    one
+      .withColumn("h_stat", expr(KwHExpr))
+      .withColumn("h_tied", expr(KwHTiedExpr))
+      .selectExpr("nn", "h_stat", "h_tied",
+        s"stack(${PrioKeys.size}, $stackArgs) AS (priority, n_g, mean_rank)")
+      .selectExpr("priority", "CAST(n_g AS BIGINT) AS n_g", "mean_rank",
+        "CAST(nn AS BIGINT) AS n_orders",
+        s"CAST(${PrioKeys.size - 1} AS INTEGER) AS dof",
+        "h_stat", "h_tied")
+      .orderBy("priority")
+  }
+
+  private val KwRpart: String = PrioKeys.indices
+    .map(k => s"CAST(r2_$k AS DOUBLE) * CAST(r2_$k AS DOUBLE) / (4.0 * CAST(n_$k AS DOUBLE))")
+    .mkString(" + ")
+  private val KwHExpr =
+    s"(12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))) * ($KwRpart)" +
+      " - 3.0 * (CAST(nn AS DOUBLE) + 1.0)"
+  private val KwHTiedExpr =
+    s"($KwHExpr) / (1.0 - CAST(tt AS DOUBLE) / " +
+      "(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))"
+
+  val kruskalWallisSql: String = {
+    val mSums = PrioKeys.indices.flatMap { k =>
+      val is = s"g = '${PrioKeys(k)}'"
+      Seq(s"CAST(sum(CASE WHEN $is THEN n_vg END) AS BIGINT) AS n_$k",
+        s"CAST(sum(CASE WHEN $is THEN n_vg * w2 END) AS BIGINT) AS r2_$k")
+    } :+ "CAST(sum(n_vg) AS BIGINT) AS nn"
+    val arms = PrioKeys.indices.map { k =>
+      s"SELECT nn, h_stat, h_tied, '${PrioKeys(k)}' AS priority, n_$k AS n_g, CAST(r2_$k AS DOUBLE) / (2.0 * CAST(n_$k AS DOUBLE)) AS mean_rank FROM one"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM orders),
+       |pvg AS (SELECT c, g, CAST(count(*) AS BIGINT) AS n_vg FROM o GROUP BY 1, 2),
+       |pv AS (SELECT c, CAST(sum(n_vg) AS BIGINT) AS n_v FROM pvg GROUP BY 1),
+       |r AS (
+       |  SELECT c, n_v,
+       |    sum(n_v) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+       |  FROM pv),
+       |j AS (
+       |  SELECT pvg.*, 2 * cumv - n_v + 1 AS w2
+       |  FROM pvg JOIN r ON pvg.c = r.c),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM j),
+       |tie AS (
+       |  SELECT sum(CAST(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0)) - n_v AS DECIMAL(38,0))) AS tt
+       |  FROM pv),
+       |one AS (SELECT *, $KwHExpr AS h_stat, $KwHTiedExpr AS h_tied FROM m, tie),
+       |s AS (
+       |  $arms)
+       |SELECT priority, n_g, mean_rank,
+       |  nn AS n_orders,
+       |  CAST(${PrioKeys.size - 1} AS INTEGER) AS dof,
+       |  h_stat, h_tied
+       |FROM s ORDER BY priority""".stripMargin
+  }
+
+  // ------------------------------------------------------------- levene_test
+
+  /** Brown–Forsythe test (Levene with group MEDIANS) for variance
+    * homogeneity across the five event types — the gate in front of
+    * `anova_oneway`: ANOVA's F assumes equal group variances, and
+    * this is the standard robust check of exactly that assumption.
+    * Each type's lower median is picked by exact rank (no
+    * interpolation — the selected value is a real cent amount), the
+    * deviations z = |c − med| stay exact integers, and the one-way
+    * F on z reuses the `anova_oneway` fixed-order pivoted-moment
+    * expressions verbatim (same n_k/s_k/ss_k column contract).
+    *
+    * Scale shape: the per-type median rank runs as a
+    * [[Commerce.classRowNumber]] two-level prefix sum (banded —
+    * never a whole type's values through one task); the 5-row median
+    * frame broadcasts back; moments are one conditional-aggregate
+    * pass. Same 2^53 ledger as `anova_oneway` (good through ≈ 2·10⁷
+    * events per type).
+    */
+  def leveneTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val ranked = Commerce.classRowNumber(ev, Seq("event_type"),
+      floor(col("c") / lit(1000L)), Seq(col("c")), "rk")
+    val ng = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_g"))
+    val med = ranked.join(broadcast(ng), Seq("event_type"))
+      .filter(expr("rk = (n_g + 1) div 2"))
+      .select(col("event_type"), col("c").as("med"))
+    val z = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("c") - col("med")).as("zc"))
+    val mCols = AnovaKeys.flatMap { k =>
+      val is = col("event_type") === EventTypes(k)
+      Seq(sum(when(is, 1L).otherwise(0L)).as(s"n_$k"),
+        sum(when(is, col("zc")).otherwise(0L)).as(s"s_$k"),
+        sum(when(is, col("zc") * col("zc")).otherwise(0L)).as(s"ss_$k"))
+    }
+    z.agg(mCols.head, mCols.tail: _*)
+      .withColumn("nn", expr(AnovaKeys.map(k => s"n_$k").mkString(" + ")))
+      .withColumn("stot", expr(AnovaKeys.map(k => s"s_$k").mkString(" + ")))
+      .withColumn("sqtot", expr(AnovaKeys.map(k => s"ss_$k").mkString(" + ")))
+      .selectExpr(
+        s"CAST(${AnovaKeys.size} AS INTEGER) AS k_groups",
+        "CAST(nn AS BIGINT) AS n_events",
+        s"($AnovaSsb) / CAST(10000 AS DOUBLE) AS ssb_z",
+        s"($AnovaSsw) / CAST(10000 AS DOUBLE) AS ssw_z",
+        s"(($AnovaSsb) / CAST(${AnovaKeys.size - 1} AS DOUBLE)) / (($AnovaSsw) / CAST(nn - ${AnovaKeys.size} AS DOUBLE)) AS w_stat")
+  }
+
+  val leveneTestSql: String = {
+    val mSums = AnovaKeys.flatMap { k =>
+      val is = s"event_type = '${EventTypes(k)}'"
+      Seq(s"CAST(sum(CASE WHEN $is THEN 1 ELSE 0 END) AS BIGINT) AS n_$k",
+        s"CAST(sum(CASE WHEN $is THEN zc ELSE 0 END) AS BIGINT) AS s_$k",
+        s"CAST(sum(CASE WHEN $is THEN zc * zc ELSE 0 END) AS BIGINT) AS ss_$k")
+    }
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, c,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS n_g
+       |  FROM e),
+       |med AS (
+       |  SELECT event_type, c AS med FROM r WHERE rk = (n_g + 1) // 2),
+       |z AS (
+       |  SELECT e.event_type, abs(e.c - med.med) AS zc
+       |  FROM e JOIN med ON e.event_type = med.event_type),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM z),
+       |a AS (
+       |  SELECT *,
+       |    ${AnovaKeys.map(k => s"n_$k").mkString(" + ")} AS nn,
+       |    ${AnovaKeys.map(k => s"s_$k").mkString(" + ")} AS stot,
+       |    ${AnovaKeys.map(k => s"ss_$k").mkString(" + ")} AS sqtot
+       |  FROM m)
+       |SELECT CAST(${AnovaKeys.size} AS INTEGER) AS k_groups,
+       |  CAST(nn AS BIGINT) AS n_events,
+       |  ($AnovaSsb) / CAST(10000 AS DOUBLE) AS ssb_z,
+       |  ($AnovaSsw) / CAST(10000 AS DOUBLE) AS ssw_z,
+       |  (($AnovaSsb) / CAST(${AnovaKeys.size - 1} AS DOUBLE)) / (($AnovaSsw) / CAST(nn - ${AnovaKeys.size} AS DOUBLE)) AS w_stat
+       |FROM a""".stripMargin
+  }
+
   val gTestSql: String = {
     import graft.functions.ExactLn
     s"""WITH cells AS (

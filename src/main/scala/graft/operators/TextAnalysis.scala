@@ -1253,6 +1253,82 @@ object TextAnalysis {
        |  CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE) AS overall_accuracy
        |FROM t ORDER BY labeled_lang, pred_lang""".stripMargin
 
+  // ------------------------------------------------------------ cohens_kappa
+
+  /** Cohen's κ for the language router against the labeled language —
+    * the chance-corrected agreement score `langid_confusion`'s raw
+    * accuracy overstates: a router that always answers the majority
+    * language scores high accuracy but κ ≈ 0. p₀ = Σdiag/N is one
+    * exact division; pₑ = Σ_g (row_g·col_g)/N² sums per-language
+    * products of sub-2⁵³ double casts with the order-independent
+    * round-to-decimal reduction (bounded ≤ 1, 9 dp); κ = (p₀−pₑ)/(1−pₑ)
+    * is pure IEEE on both engines.
+    *
+    * Scale shape: rides the langid confusion cells (≤ langs² rows);
+    * everything beyond the one corpus scan is bounded-cardinality.
+    */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val pred = textLangId(spark, dir)
+      .select(col("labeled_lang"), col("pred_lang"))
+    val cells = pred.groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.agg(sum(col("n")).as("nn"),
+      sum(when(col("labeled_lang") === col("pred_lang"), col("n"))
+        .otherwise(0L)).as("diag"))
+    // pe marginals via a FULL OUTER join on language — a language the
+    // router never gets right still contributes row_g·col_g (building
+    // pe from diagonal cells alone would silently drop it)
+    val rows = cells.groupBy(col("labeled_lang").as("lang")).agg(sum(col("n")).as("r"))
+    val cols = cells.groupBy(col("pred_lang").as("lang")).agg(sum(col("n")).as("c"))
+    val marg = rows.join(cols, Seq("lang"), "full_outer")
+      .select(coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pe_term", expr(
+        "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))"))
+    marg.agg(
+        max(col("nn")).as("n_docs"),
+        max(col("diag")).as("n_agree"),
+        sum(expr("CAST(round(pe_term, 9) AS DECIMAL(18,9))")).as("ped"))
+      .selectExpr(
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_agree AS BIGINT) AS n_agree",
+        "CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po",
+        "CAST(ped AS DOUBLE) AS pe",
+        "(CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) - CAST(ped AS DOUBLE))" +
+          " / (1.0 - CAST(ped AS DOUBLE)) AS kappa")
+  }
+
+  lazy val cohensKappaSql: String =
+    s"""WITH pred AS ($textLangIdSql),
+       |cells AS (
+       |  SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(CASE WHEN labeled_lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS diag
+       |  FROM cells),
+       |rw AS (SELECT labeled_lang AS lang, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |cl AS (SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+       |marg AS (
+       |  SELECT coalesce(r, 0) AS r, coalesce(c, 0) AS c, nn, diag
+       |  FROM rw FULL OUTER JOIN cl USING (lang), tot),
+       |p AS (
+       |  SELECT *,
+       |    (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe_term
+       |  FROM marg),
+       |a AS (
+       |  SELECT CAST(max(nn) AS BIGINT) AS n_docs,
+       |    CAST(max(diag) AS BIGINT) AS n_agree,
+       |    sum(CAST(round(pe_term, 9) AS DECIMAL(18,9))) AS ped
+       |  FROM p)
+       |SELECT n_docs, n_agree,
+       |  CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+       |  CAST(ped AS DOUBLE) AS pe,
+       |  (CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) - CAST(ped AS DOUBLE))
+       |    / (1.0 - CAST(ped AS DOUBLE)) AS kappa
+       |FROM a""".stripMargin
+
   // -------------------------------------------------------- tokenizer_fertility
 
   /** Tokenizer fertility (chars per token) by language and source —

@@ -185,6 +185,38 @@ class Round13Spec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getAs[Double]("p_second")).sum - 1.0) < 1e-9)
   }
 
+  test("kruskal_wallis: rank-sum identity, tie correction only inflates") {
+    val rows = graft.operators.Stats.kruskalWallis(spark, sf).collect()
+    assert(rows.length == 5)
+    val n = rows.head.getAs[Long]("n_orders")
+    // Σ n_g · mean_rank = N(N+1)/2 — the rank bookkeeping must cover
+    // every order exactly once with average ranks
+    val total = rows.map(r => r.getAs[Long]("n_g") * r.getAs[Double]("mean_rank")).sum
+    assert(math.abs(total - n.toDouble * (n + 1) / 2) < 1e-6 * total,
+      s"rank sums must partition N(N+1)/2: $total vs ${n.toDouble * (n + 1) / 2}")
+    val h = rows.head.getAs[Double]("h_stat")
+    val ht = rows.head.getAs[Double]("h_tied")
+    assert(h >= -1e-9 && ht >= h - 1e-12,
+      s"tie correction divides by (1 - T) <= 1 so h_tied >= h_stat: $h, $ht")
+  }
+
+  test("levene_test: non-negative variance decomposition on deviations") {
+    val r = graft.operators.Stats.leveneTest(spark, sf).collect().head
+    assert(r.getAs[Double]("ssb_z") >= -1e-9)
+    assert(r.getAs[Double]("ssw_z") >= -1e-9)
+    assert(r.getAs[Double]("w_stat") >= -1e-9)
+    assert(r.getAs[Int]("k_groups") == 5)
+  }
+
+  test("cohens_kappa: chance-corrected identity and bounds") {
+    val r = graft.operators.TextAnalysis.cohensKappa(spark, sf).collect().head
+    val po = r.getAs[Double]("po"); val pe = r.getAs[Double]("pe")
+    val k = r.getAs[Double]("kappa")
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-12)
+    assert(k <= 1.0 + 1e-12)
+  }
+
   test("g_test: non-negative statistic, grid-consistent dof") {
     val r = graft.operators.Stats.gTest(spark, sf).collect().head
     assert(r.getAs[Double]("g_stat") >= -1e-6,
