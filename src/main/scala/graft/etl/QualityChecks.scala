@@ -2,6 +2,7 @@ package graft.etl
 
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks — the dbt schema-test layer of the reference
@@ -72,10 +73,11 @@ object QualityChecks {
       |) ORDER BY check_name""".stripMargin
 
   /** Categorical-column profile: distinct count, Gini impurity
-    * (1 − Σp² — the concentration measure that stays EXACT: Shannon
-    * entropy needs `ln`, which is not correctly rounded across
-    * engines), and the top value's share, for the order log's
-    * categorical columns. The dbt-style "profile your staging table"
+    * (1 − Σp² — the concentration measure that stays EXACT in pure
+    * rational arithmetic; `shannon_entropy_profile` adds the
+    * logarithmic twin via the engine-exact
+    * [[graft.functions.ExactLn]]), and the top value's share, for
+    * the order log's categorical columns. The dbt-style "profile your staging table"
     * report, numeric enough to alert on (a column collapsing to one
     * value → gini → 0).
     *
@@ -120,6 +122,76 @@ object QualityChecks {
       |  CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS top_share
       |FROM agg ORDER BY col_name""".stripMargin
 
+  // ------------------------------------------------- shannon_entropy_profile
+
+  /** Shannon entropy (nats) of the order log's categorical columns —
+    * `gini_profile`'s information-theoretic twin, unreachable until
+    * the engine-exact [[graft.functions.ExactLn]] landed (libm `ln`
+    * rounds differently on the two engines; this one is bit-exact by
+    * construction). Reports raw entropy and the [0,1]-normalized
+    * H/ln(k) evenness score monitoring alerts on: a column collapsing
+    * toward one value drives evenness → 0 long before distinct-count
+    * changes. Per-value contributions −p·ln p reduce order-
+    * independently via the round-to-decimal sum; ln arguments
+    * p ≥ 1/n stay in ExactLn's domain through n = 2⁴⁰ rows.
+    *
+    * Scale shape: same as `gini_profile` — ONE scan, map-side 2×
+    * bounded unpivot, a single partial-agg count per (column, value),
+    * then per-column reduction over value cardinality.
+    */
+  def shannonEntropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val counts = Tables(spark, dir).orders
+      .select(explode(map(
+        lit("o_orderstatus"), col("o_orderstatus"),
+        lit("o_orderpriority"), col("o_orderpriority"))).as(Seq("col_name", "val")))
+      .groupBy(col("col_name"), col("val"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("col_name")))
+      .withColumn("p", expr("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("__y", expr(ExactLn.yExpr("p")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("contrib", expr(s"-(p * ${ExactLn.lnExpr("__z")})"))
+    counts.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(expr("CAST(round(contrib, 9) AS DECIMAL(18,9))")).as("hd"))
+      .withColumn("kd", expr("CAST(n_distinct AS DOUBLE)"))
+      .withColumn("__yk", expr(ExactLn.yExpr("kd")))
+      .withColumn("__zk", expr(ExactLn.zExpr("__yk")))
+      .selectExpr("col_name", "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "CAST(hd AS DOUBLE) AS entropy_nats",
+        "CASE WHEN n_distinct = 1 THEN CAST(0 AS DOUBLE) " +
+          s"ELSE CAST(hd AS DOUBLE) / ${ExactLn.lnExpr("__zk")} END AS evenness")
+      .orderBy("col_name")
+  }
+
+  val shannonEntropyProfileSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH u AS (
+       |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+       |  UNION ALL
+       |  SELECT 'o_orderpriority', o_orderpriority FROM orders),
+       |counts AS (SELECT col_name, val, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *, sum(c) OVER (PARTITION BY col_name) AS n FROM counts),
+       |p AS (SELECT *, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM t),
+       |y AS (SELECT *, ${ExactLn.yExpr("p")} AS __y FROM p),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |x AS (SELECT *, -(p * ${ExactLn.lnExpr("__z")}) AS contrib FROM z),
+       |g AS (
+       |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+       |    sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) AS hd
+       |  FROM x GROUP BY 1),
+       |k AS (SELECT *, CAST(n_distinct AS DOUBLE) AS kd FROM g),
+       |yk AS (SELECT *, ${ExactLn.yExpr("kd")} AS __yk FROM k),
+       |zk AS (SELECT *, ${ExactLn.zExpr("__yk")} AS __zk FROM yk)
+       |SELECT col_name, n_distinct,
+       |  CAST(hd AS DOUBLE) AS entropy_nats,
+       |  CASE WHEN n_distinct = 1 THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(hd AS DOUBLE) / ${ExactLn.lnExpr("__zk")} END AS evenness
+       |FROM zk ORDER BY col_name""".stripMargin
+  }
+
   private val DriftBins = 10
 
   /** Distribution drift monitor (PSI-style): split the order log at
@@ -127,10 +199,11 @@ object QualityChecks {
     * `o_totalprice` into 10 equal-width bins over the GLOBAL range,
     * and report per-bin counts, per-period shares, and the share
     * shift — the table a pipeline alarms on when yesterday's data
-    * stops looking like last month's. (The PSI scalar itself needs
-    * `ln`, which is not correctly rounded across engines; the per-bin
-    * share-shift table it sums is exact, and the consumer can fold it
-    * with whatever weighting it wants.)
+    * stops looking like last month's. (The PSI scalar itself is
+    * `psi_drift` (Stats.psiDrift), computable since the engine-exact
+    * [[graft.functions.ExactLn]] landed; this per-bin share-shift
+    * table remains the pure-rational view a consumer can fold with
+    * whatever weighting it wants.)
     *
     * Scale shape: one tiny min/max/midpoint aggregate broadcast back,
     * then ONE conditional-aggregation scan produces both periods'

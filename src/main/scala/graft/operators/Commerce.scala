@@ -1465,4 +1465,74 @@ object Commerce {
        |FROM g WHERE n_transitions >= 3
        |ORDER BY brand_a, brand_b""".stripMargin
   }
+
+  // ------------------------------------------------------- share_of_wallet
+
+  /** Share-of-wallet concentration: per customer, the share of spend
+    * captured by their TOP brand, profiled into ten SOW bands — the
+    * loyalty-vs-promiscuity distribution (`rfm_segment` scores how
+    * much/how often; this scores how CONCENTRATED, the number a
+    * brand-loyalty program sizes against). Spend stays exact cents
+    * through both aggregation levels; SOW is one double division and
+    * the band is an exact floor (a 100%-loyal customer lands in the
+    * top band via least).
+    *
+    * Scale shape: lineitem joins the part dim broadcast and orders
+    * on the orderkey equi-join (the fact-to-fact shuffle every
+    * profit query pays), partial-aggregates to (customer, brand),
+    * re-aggregates to customer — both reductions map-side-combine;
+    * the band profile is a bounded 10-row frame. Per-band SOW means
+    * reduce via the order-independent round-to-decimal sum.
+    */
+  def shareOfWallet(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val spend = t.lineitem
+      .select(col("l_orderkey"), col("l_partkey"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("p_brand"))
+      .agg(sum(col("cents")).as("spend_c"))
+    val perCust = spend.groupBy(col("o_custkey"))
+      .agg(sum(col("spend_c")).as("total_c"),
+        max(col("spend_c")).as("top_c"),
+        count(lit(1)).as("n_brands"))
+      .withColumn("sow", expr("CAST(top_c AS DOUBLE) / CAST(total_c AS DOUBLE)"))
+    perCust
+      .withColumn("band", expr("least(CAST(floor(sow * 10) AS INTEGER), 9)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(round(sow, 9) AS DECIMAL(18,9))")).as("sd"),
+        avg(expr("CAST(n_brands AS DOUBLE)")).as("avg_brands"),
+        (sum(col("total_c")) / 100).cast("double").as("total_spend"))
+      .selectExpr("CAST(band AS BIGINT) AS band",
+        "CAST(n_customers AS BIGINT) AS n_customers",
+        "CAST(sd AS DOUBLE) / CAST(n_customers AS DOUBLE) AS avg_sow",
+        "avg_brands", "total_spend")
+      .orderBy("band")
+  }
+
+  val shareOfWalletSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, p_brand,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS spend_c
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |pc AS (
+      |  SELECT o_custkey, CAST(sum(spend_c) AS BIGINT) AS total_c,
+      |    CAST(max(spend_c) AS BIGINT) AS top_c,
+      |    CAST(count(*) AS BIGINT) AS n_brands
+      |  FROM spend GROUP BY 1),
+      |s AS (SELECT *, CAST(top_c AS DOUBLE) / CAST(total_c AS DOUBLE) AS sow FROM pc),
+      |b AS (SELECT *, least(CAST(floor(sow * 10) AS INTEGER), 9) AS band FROM s)
+      |SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(round(sow, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS avg_sow,
+      |  avg(CAST(n_brands AS DOUBLE)) AS avg_brands,
+      |  CAST(CAST(sum(total_c) AS BIGINT) / 100 AS DOUBLE) AS total_spend
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
 }

@@ -2815,4 +2815,55 @@ object Reports {
       |  CAST(s_rev AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
       |  CAST(s_ret AS DOUBLE) / CAST(s_rev AS DOUBLE) AS revenue_return_share
       |FROM g ORDER BY line_return_rate DESC, brand""".stripMargin
+
+  // ------------------------------------------------ discount_depth_response
+
+  /** Demand response by discount depth: for each percent of discount
+    * actually granted, the line volume, average quantity, and share
+    * of gross revenue — the first read a pricing team takes before
+    * the elasticity models (`arc_elasticity`, `cross_price_elasticity`
+    * fit curves; this is the raw response table they fit against,
+    * and the depth mix itself is the margin-leak audit). Depth is an
+    * exact integer percent (discounts are stored at 2 dp), all sums
+    * are exact decimal/bigint, shares and averages are single final
+    * divisions.
+    *
+    * Scale shape: ONE lineitem pass partial-aggregates to ≤ 11 depth
+    * rows; the revenue-share window runs over that bounded frame.
+    */
+  def discountDepthResponse(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+      .select(expr("CAST(round(l_discount * 100) AS INTEGER)").as("depth_pct"),
+        col("l_quantity"),
+        (money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).as("net"))
+    l.groupBy(col("depth_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("qty"),
+        (sum(col("net")) * 10000).cast("long").as("rev_c"))
+      .withColumn("tot_c", sum(col("rev_c")).over(Window.partitionBy()))
+      .selectExpr("depth_pct", "n_lines",
+        "CAST(qty AS DOUBLE) / CAST(n_lines AS DOUBLE) AS avg_qty",
+        "CAST(rev_c AS DOUBLE) / CAST(10000 AS DOUBLE) AS net_revenue",
+        "CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS rev_share")
+      .orderBy("depth_pct")
+  }
+
+  val discountDepthResponseSql: String =
+    """WITH l AS (
+      |  SELECT CAST(round(l_discount * 100) AS INTEGER) AS depth_pct,
+      |    l_quantity,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS net
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT depth_pct, CAST(count(*) AS BIGINT) AS n_lines,
+      |    sum(l_quantity) AS qty,
+      |    CAST(sum(net) * 10000 AS BIGINT) AS rev_c
+      |  FROM l GROUP BY 1),
+      |t AS (SELECT *, sum(rev_c) OVER () AS tot_c FROM g)
+      |SELECT depth_pct, n_lines,
+      |  CAST(qty AS DOUBLE) / CAST(n_lines AS DOUBLE) AS avg_qty,
+      |  CAST(rev_c AS DOUBLE) / CAST(10000 AS DOUBLE) AS net_revenue,
+      |  CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS rev_share
+      |FROM t ORDER BY depth_pct""".stripMargin
 }

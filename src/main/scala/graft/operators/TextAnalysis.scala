@@ -1033,6 +1033,94 @@ object TextAnalysis {
       |  CAST(rank * freq AS DOUBLE) / CAST(total AS DOUBLE) AS zipf_c
       |FROM r, t ORDER BY rank""".stripMargin
 
+  // --------------------------------------------------- token_entropy_by_source
+
+  /** Per-source unigram entropy and KL divergence against the corpus
+    * LM — "how idiosyncratic is each feed": entropy reads lexical
+    * diversity on the source's own distribution, KL(src ‖ corpus)
+    * reads how far the source's token mix sits from the blend the
+    * model will actually train on (the corpus-mix rebalancer's
+    * ranking signal). Both were out of reach before the engine-exact
+    * [[graft.functions.ExactLn]]; `zipf_profile` (rank-frequency
+    * slope) and `hapax_ratio` (singleton share) profile different
+    * axes. Every word in a source exists in the corpus, so the KL
+    * denominator needs no smoothing; per-term contributions reduce
+    * order-independently via the round-to-decimal sum.
+    *
+    * Scale shape: the token stream partial-aggregates to (source,
+    * word) cells map-side — VOCABULARY survives the shuffle, the
+    * token stream doesn't; the corpus-marginal join is vocab-keyed;
+    * ln arguments p ≥ 1/n_tot stay in domain through 2⁴⁰ tokens.
+    */
+  def tokenEntropyBySource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val tok = Tables(spark, dir).documents
+      .select(col("source"), explode(normTokens(col("text"))).as("w"))
+    val perSW = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val perW = perSW.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val tot = perW.agg(sum(col("c_w")).as("n_tot"))
+    perSW.join(perW, Seq("w"))
+      .withColumn("n_s", sum(col("c_sw")).over(Window.partitionBy("source")))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_src", expr("CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)"))
+      .withColumn("p_cor", expr("CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE)"))
+      .withColumn("__ys", expr(ExactLn.yExpr("p_src")))
+      .withColumn("__zs", expr(ExactLn.zExpr("__ys")))
+      .withColumn("__yc", expr(ExactLn.yExpr("p_cor")))
+      .withColumn("__zc", expr(ExactLn.zExpr("__yc")))
+      .withColumn("ent_t", expr(s"-(p_src * ${ExactLn.lnExpr("__zs")})"))
+      .withColumn("crs_t", expr(s"-(p_src * ${ExactLn.lnExpr("__zc")})"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(expr("CAST(round(ent_t, 9) AS DECIMAL(18,9))")).as("hd"),
+        sum(expr("CAST(round(crs_t, 9) AS DECIMAL(18,9))")).as("cd"))
+      .selectExpr("source",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(vocab_size AS BIGINT) AS vocab_size",
+        "CAST(hd AS DOUBLE) AS entropy_nats",
+        "CAST(cd AS DOUBLE) AS cross_entropy_nats",
+        "CAST(cd AS DOUBLE) - CAST(hd AS DOUBLE) AS kl_nats")
+      .orderBy("source")
+  }
+
+  val tokenEntropyBySourceSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH ex AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+       |    x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |psw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw FROM ex GROUP BY 1, 2),
+       |pw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM psw GROUP BY 1),
+       |tt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tot FROM pw),
+       |j AS (
+       |  SELECT psw.*, pw.c_w, n_tot,
+       |    sum(c_sw) OVER (PARTITION BY source) AS n_s
+       |  FROM psw JOIN pw USING (w), tt),
+       |p AS (SELECT *,
+       |    CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE) AS p_src,
+       |    CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE) AS p_cor
+       |  FROM j),
+       |y AS (SELECT *, ${ExactLn.yExpr("p_src")} AS __ys, ${ExactLn.yExpr("p_cor")} AS __yc FROM p),
+       |z AS (SELECT *, ${ExactLn.zExpr("__ys")} AS __zs, ${ExactLn.zExpr("__yc")} AS __zc FROM y),
+       |x AS (SELECT *,
+       |    -(p_src * ${ExactLn.lnExpr("__zs")}) AS ent_t,
+       |    -(p_src * ${ExactLn.lnExpr("__zc")}) AS crs_t
+       |  FROM z),
+       |g AS (
+       |  SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab_size,
+       |    sum(CAST(round(ent_t, 9) AS DECIMAL(18,9))) AS hd,
+       |    sum(CAST(round(crs_t, 9) AS DECIMAL(18,9))) AS cd
+       |  FROM x GROUP BY 1)
+       |SELECT source, n_tokens, vocab_size,
+       |  CAST(hd AS DOUBLE) AS entropy_nats,
+       |  CAST(cd AS DOUBLE) AS cross_entropy_nats,
+       |  CAST(cd AS DOUBLE) - CAST(hd AS DOUBLE) AS kl_nats
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------- dup_rate_by_source
 
   /** Duplicate share per corpus source (exact md5 identity): the

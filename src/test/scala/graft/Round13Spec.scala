@@ -224,4 +224,48 @@ class Round13Spec extends AnyFunSuite {
     assert(r.getAs[Int]("dof") ==
       (r.getAs[Long]("n_rows") - 1) * (r.getAs[Long]("n_cols") - 1))
   }
+
+  test("shannon_entropy_profile: entropy bounds and evenness in [0,1]") {
+    val rows = graft.etl.QualityChecks.shannonEntropyProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_distinct")
+      val h = r.getAs[Double]("entropy_nats")
+      val ev = r.getAs[Double]("evenness")
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-9,
+        s"0 <= H <= ln k: H=$h k=$k")
+      assert(ev >= -1e-9 && ev <= 1.0 + 1e-9)
+    }
+  }
+
+  test("token_entropy_by_source: KL >= 0 by Gibbs, entropy <= ln(vocab)") {
+    val rows = graft.operators.TextAnalysis.tokenEntropyBySource(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_nats")
+      val kl = r.getAs[Double]("kl_nats")
+      val v = r.getAs[Long]("vocab_size")
+      assert(kl >= -1e-7, s"KL(src||corpus) must be >= 0: $kl")
+      assert(h >= -1e-9 && h <= math.log(v.toDouble) + 1e-9)
+    }
+  }
+
+  test("discount_depth_response: shares sum to 1, depth spine exact-integer") {
+    val rows = graft.operators.Reports.discountDepthResponse(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 11)
+    assert(math.abs(rows.map(_.getAs[Double]("rev_share")).sum - 1.0) < 1e-9)
+    rows.foreach(r => assert((0 to 10).contains(r.getAs[Int]("depth_pct"))))
+  }
+
+  test("share_of_wallet: bands partition customers, avg_sow inside band range") {
+    val rows = graft.operators.Commerce.shareOfWallet(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      val s = r.getAs[Double]("avg_sow")
+      // band b holds sow in [b/10, (b+1)/10) except band 9 which holds [0.9, 1]
+      assert(s >= b / 10.0 - 1e-9 && s <= (if (b == 9) 1.0 else (b + 1) / 10.0) + 1e-9,
+        s"band $b avg_sow $s outside its band range")
+    }
+  }
 }
