@@ -359,7 +359,7 @@ object Graph {
     "connected_components", "kcore_nodes", "recursive_reachability",
     "link_prediction_jaccard", "shortest_path_bf", "local_clustering",
     "graph_modularity", "community_louvain", "degree_assortativity",
-    "link_prediction_resource_alloc")
+    "link_prediction_resource_alloc", "rich_club_coefficient")
 
   private def supportEdges(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
@@ -1688,4 +1688,159 @@ object Graph {
       |SELECT a AS node_a, b AS node_b, CAST(common AS BIGINT) AS common,
       |  CAST(ra_d AS DOUBLE) AS resource_alloc
       |FROM ne ORDER BY resource_alloc DESC, node_a, node_b LIMIT $LinkPredTopK""".stripMargin
+
+  // ---------------------------------------------------- rich_club_coefficient
+
+  private val RichClubKs = Seq(1, 2, 4, 8, 16, 32)
+
+  /** Rich-club coefficient φ(k) of the co-purchase support graph at
+    * doubling degree thresholds: among nodes of degree > k, the
+    * realized fraction of possible edges — "do the hub products
+    * preferentially connect to EACH OTHER" (assortativity's scalar
+    * r says whether degree correlates along edges; φ(k) reads the
+    * density of the hub core itself, the structure that decides
+    * whether a few anchor products carry the whole affinity graph).
+    * φ is exact-count rational: 2·E_k over N_k(N_k−1), one double
+    * division per spine row; a sub-2-node club reports 0.
+    *
+    * Scale shape: degrees are one partial-agg over the shared
+    * support-edge frame; each edge picks up its endpoints' degrees
+    * via two node-keyed joins (the triangle orientation shape); both
+    * the node and edge frames then reduce by CONDITIONAL sums over
+    * the 6-value literal spine — no per-threshold passes, no
+    * node×spine blowup, everything after the two joins is a 6-row
+    * frame.
+    */
+  def richClubCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val edges = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val deg = edges.select(col("p1").as("p"))
+      .union(edges.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val nCols = RichClubKs.map(k =>
+      sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k"))
+    val nodeCnt = deg.agg(nCols.head, nCols.tail: _*)
+    val edgeMin = edges
+      .join(deg.select(col("p").as("p1"), col("deg").as("d1")), Seq("p1"))
+      .join(deg.select(col("p").as("p2"), col("deg").as("d2")), Seq("p2"))
+      .select(least(col("d1"), col("d2")).as("dmin"))
+    val eCols = RichClubKs.map(k =>
+      sum(when(col("dmin") > k, 1L).otherwise(0L)).as(s"e_$k"))
+    val edgeCnt = edgeMin.agg(eCols.head, eCols.tail: _*)
+    val arms = RichClubKs.map(k =>
+      s"named_struct('k', CAST($k AS BIGINT), 'n_nodes', n_$k, 'n_edges', e_$k)")
+    nodeCnt.crossJoin(edgeCnt)
+      .selectExpr(s"inline(array(${arms.mkString(", ")}))")
+      .selectExpr("k", "n_nodes", "n_edges",
+        """CASE WHEN n_nodes < 2 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes * (n_nodes - 1) AS DOUBLE)
+          |END AS phi""".stripMargin)
+      .orderBy("k")
+  }
+
+  val richClubCoefficientSql: String = {
+    val nCols = RichClubKs.map(k =>
+      s"CAST(sum(CASE WHEN deg > $k THEN 1 ELSE 0 END) AS BIGINT) AS n_$k").mkString(", ")
+    val eCols = RichClubKs.map(k =>
+      s"CAST(sum(CASE WHEN dmin > $k THEN 1 ELSE 0 END) AS BIGINT) AS e_$k").mkString(", ")
+    val arms = RichClubKs.map(k => s"SELECT $k AS k, n_$k AS n_nodes, e_$k AS n_edges FROM nc, ec")
+      .mkString("\n      UNION ALL ")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+       |  FROM lineitem GROUP BY 1),
+       |pr AS (
+       |  SELECT u1.p1, u2.p2
+       |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+       |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+       |  WHERE u1.p1 < u2.p2),
+       |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |deg AS (SELECT p, count(*) AS deg FROM (
+       |    SELECT p1 AS p FROM e0 UNION ALL SELECT p2 FROM e0) u GROUP BY 1),
+       |nc AS (SELECT $nCols FROM deg),
+       |em AS (
+       |  SELECT least(d1.deg, d2.deg) AS dmin
+       |  FROM e0 JOIN deg d1 ON d1.p = e0.p1 JOIN deg d2 ON d2.p = e0.p2),
+       |ec AS (SELECT $eCols FROM em),
+       |s AS ($arms)
+       |SELECT CAST(k AS BIGINT) AS k, n_nodes, n_edges,
+       |  CASE WHEN n_nodes < 2 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes * (n_nodes - 1) AS DOUBLE)
+       |  END AS phi
+       |FROM s ORDER BY k""".stripMargin
+  }
+
+  // -------------------------------------------------------------- hits_scores
+
+  private val HitsTopK = 10
+
+  /** HITS hubs & authorities on the directed customer→supplier
+    * purchase graph (the `pagerank_topk` bipartite encoding) — the
+    * two-sided centrality PageRank's single score flattens: a hub
+    * customer buys from many strong suppliers, an authority supplier
+    * sells to many strong customers, and the mutual recursion is the
+    * definition. Two full power-iteration rounds, each renormalized
+    * onto the 10¹² grid by BIGINT floor-division (divisor
+    * 1 + max // Scale — a no-op while max < Scale, exact always), so
+    * every state is an integer < 2⁵³·10³ and every sum is
+    * order-independent; the fixed point is value-checked in DuckDB
+    * with the same unrolled integer arithmetic. Output: top-10 per
+    * role by (score, node).
+    *
+    * Scale shape: the edge list builds once (the pagerank
+    * orders⋈lineitem shuffle) and is cached across the four
+    * half-rounds; each half-round is one node-keyed equi-join +
+    * partial-agg sum — state frames are node-grain, maxima reduce
+    * via 1-row aggregates broadcast back, never a window over the
+    * node frame. Magnitude ledger: normalized state ≤ ~10¹²·deg —
+    * raw sums ≤ maxdeg·10¹² ≈ 10¹⁸ < 2⁶³ through 10⁶-degree hubs;
+    * beyond, the same plan rides DECIMAL sums.
+    */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = graft.core.OwnedCaches.own(
+      t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .cache())
+    def norm(state: DataFrame, vc: String): DataFrame = {
+      val m = state.agg(max(col(vc)).as("m"))
+      state.crossJoin(broadcast(m))
+        .select(col(state.columns.head),
+          expr(s"$vc div (1 + m div ${Scale}L)").as(vc))
+    }
+    // h1 = deg(c) normalized (a0 ≡ 1 for every supplier)
+    val h1 = norm(edges.groupBy(col("c")).agg(count(lit(1)).as("h")), "h")
+    val a1 = norm(edges.join(h1, Seq("c")).groupBy(col("s"))
+      .agg(sum(col("h")).as("a")), "a")
+    val h2 = norm(edges.join(a1, Seq("s")).groupBy(col("c"))
+      .agg(sum(col("a")).as("h")), "h")
+    val a2 = norm(edges.join(h2, Seq("c")).groupBy(col("s"))
+      .agg(sum(col("h")).as("a")), "a")
+    val hubs = h2.orderBy(col("h").desc, col("c")).limit(HitsTopK)
+      .select(lit("hub").as("role"), col("c").as("node"), col("h").as("score"))
+    val auths = a2.orderBy(col("a").desc, col("s")).limit(HitsTopK)
+      .select(lit("authority").as("role"), col("s").as("node"), col("a").as("score"))
+    hubs.unionByName(auths).orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  val hitsScoresSql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |h1r AS (SELECT c, count(*) AS h FROM edges GROUP BY 1),
+       |h1 AS (SELECT c, h // (1 + (SELECT max(h) FROM h1r) // $Scale) AS h FROM h1r),
+       |a1r AS (SELECT s, sum(h) AS a FROM edges JOIN h1 USING (c) GROUP BY 1),
+       |a1 AS (SELECT s, a // (1 + (SELECT max(a) FROM a1r) // $Scale) AS a FROM a1r),
+       |h2r AS (SELECT c, sum(a) AS h FROM edges JOIN a1 USING (s) GROUP BY 1),
+       |h2 AS (SELECT c, h // (1 + (SELECT max(h) FROM h2r) // $Scale) AS h FROM h2r),
+       |a2r AS (SELECT s, sum(h) AS a FROM edges JOIN h2 USING (c) GROUP BY 1),
+       |a2 AS (SELECT s, a // (1 + (SELECT max(a) FROM a2r) // $Scale) AS a FROM a2r),
+       |hub AS (SELECT 'hub' AS role, c AS node, h AS score
+       |  FROM h2 ORDER BY h DESC, c LIMIT $HitsTopK),
+       |auth AS (SELECT 'authority' AS role, s AS node, a AS score
+       |  FROM a2 ORDER BY a DESC, s LIMIT $HitsTopK)
+       |SELECT role, node, CAST(score AS BIGINT) AS score
+       |FROM (SELECT * FROM hub UNION ALL SELECT * FROM auth) u
+       |ORDER BY role, score DESC, node""".stripMargin
 }

@@ -257,6 +257,35 @@ class Round13Spec extends AnyFunSuite {
     rows.foreach(r => assert((0 to 10).contains(r.getAs[Int]("depth_pct"))))
   }
 
+  test("rich_club_coefficient: club nesting is monotone, phi bounded by density") {
+    val rows = graft.operators.Graph.richClubCoefficient(spark, sf).collect()
+    assert(rows.length == 6)
+    // larger k → smaller club: both node and edge counts non-increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_nodes") >= b.getAs[Long]("n_nodes"))
+      assert(a.getAs[Long]("n_edges") >= b.getAs[Long]("n_edges"))
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_nodes"); val e = r.getAs[Long]("n_edges")
+      val phi = r.getAs[Double]("phi")
+      assert(phi >= -1e-12 && phi <= 1.0 + 1e-12, s"phi out of [0,1]: $phi")
+      if (n >= 2) assert(e <= n * (n - 1) / 2, "edge count exceeds the complete club")
+    }
+  }
+
+  test("hits_scores: both roles filled, grid-bounded, rank-ordered") {
+    val rows = graft.operators.Graph.hitsScores(spark, sf).collect()
+    val byRole = rows.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet == Set("hub", "authority"))
+    byRole.foreach { case (_, rs) =>
+      assert(rs.length == 10)
+      val scores = rs.map(_.getAs[Long]("score"))
+      assert(scores.forall(s => s > 0 && s <= 1000000000000L * 1000),
+        "normalized state must stay on the 10^12 grid's magnitude")
+      assert(scores.sameElements(scores.sortBy(-_)), "rows must be rank-ordered")
+    }
+  }
+
   test("share_of_wallet: bands partition customers, avg_sow inside band range") {
     val rows = graft.operators.Commerce.shareOfWallet(spark, sf).collect()
     assert(rows.nonEmpty)
