@@ -2152,4 +2152,135 @@ object Ann {
        |  CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS cell_share,
        |  CAST(c * (c - 1) // 2 AS BIGINT) AS pair_bound
        |FROM g, t ORDER BY cell""".stripMargin
+
+  // ----------------------------------------------------------- ann_mmr_rerank
+
+  private val MmrCand = 10
+  private val MmrSelect = 5
+  // λ = 0.7: literal texts shared by both engines (0.3 is written as a
+  // literal, not computed as 1 − 0.7, so the bits match by parsing)
+  private val MmrLambda = "CAST(0.7 AS DOUBLE)"
+  private val MmrOneMinus = "CAST(0.3 AS DOUBLE)"
+
+  /** Maximal-marginal-relevance rerank of each query's top-10
+    * retrieval: greedily select 5 of 10 maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the diversity pass a
+    * retrieval stack runs AFTER the ANN index so near-duplicate hits
+    * don't crowd the context window (`semdedup_prune` removes dups
+    * from the CORPUS; this de-dups each RESULT LIST at query time).
+    * Every similarity is a q6 micro-unit cosine (exact-integer dot
+    * < 2⁵³ over correctly-rounded sqrt/div — bit-identical across
+    * engines, see [[withQ6Norm]]), and each greedy step is one
+    * fixed-form IEEE expression + (score desc, id) argmax, so the
+    * whole selection SEQUENCE is deterministic and the oracle replays
+    * it as 4 unrolled CTE steps.
+    *
+    * Scale shape: candidate generation is the broadcast-query
+    * map-only corpus scan (at 100 TB, swap in the IVF probe — MMR
+    * only reads the candidate frame); after that everything is
+    * per-query bounded: ≤10 candidates, ≤90 pair sims, 4 unrolled
+    * steps of (anti-join, max-over-≤4-selected, argmax) on cached
+    * bounded frames.
+    */
+  def annMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    val q6 = withQ6Norm(e, "uid", "u", "nrm")
+    val q = q6.filter(col("uid") < NumQueries).toDF("query_id", "q_emb", "q_n")
+    val wRel = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cid"))
+    val cand = graft.core.OwnedCaches.own(
+      q6.toDF("cid", "c_emb", "c_n")
+        .join(broadcast(q), col("query_id") =!= col("cid"))
+        .withColumn("rel", expr("graft_dot(q_emb, c_emb) / (q_n * c_n)"))
+        .withColumn("rk", row_number().over(wRel))
+        .filter(col("rk") <= MmrCand)
+        .select(col("query_id"), col("cid"), col("c_emb"), col("c_n"), col("rel"))
+        .cache())
+    val pair = graft.core.OwnedCaches.own(
+      cand.select(col("query_id"), col("cid").as("pa"),
+          col("c_emb").as("ea"), col("c_n").as("na"))
+        .join(cand.select(col("query_id"), col("cid").as("pb"),
+          col("c_emb").as("eb"), col("c_n").as("nb")), Seq("query_id"))
+        .filter(col("pa") =!= col("pb"))
+        .select(col("query_id"), col("pa"), col("pb"),
+          expr("graft_dot(ea, eb) / (na * nb)").as("s"))
+        .cache())
+    val lean = cand.select(col("query_id"), col("cid"), col("rel"))
+    var result = lean
+      .withColumn("rk", row_number().over(wRel)).filter(col("rk") === 1)
+      .select(col("query_id"), col("cid"), lit(1).as("mmr_rank"))
+    for (step <- 2 to MmrSelect) {
+      val rem = lean.join(result.select(col("query_id"), col("cid")),
+        Seq("query_id", "cid"), "left_anti")
+      val pen = rem
+        .join(result.select(col("query_id"), col("cid").as("pb")), Seq("query_id"))
+        .join(pair.select(col("query_id"), col("pa"), col("pb"), col("s")),
+          Seq("query_id", "pb")).filter(col("pa") === col("cid"))
+        .groupBy(col("query_id"), col("cid"), col("rel"))
+        .agg(max(col("s")).as("pen"))
+        .withColumn("score", expr(s"$MmrLambda * rel - $MmrOneMinus * pen"))
+      val wS = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
+      val pick = pen.withColumn("rk", row_number().over(wS)).filter(col("rk") === 1)
+        .select(col("query_id"), col("cid"), lit(step).as("mmr_rank"))
+      result = result.unionByName(pick)
+    }
+    result.select(col("query_id"), col("cid").as("neighbor_id"), col("mmr_rank"))
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  val annMmrRerankSql: String = {
+    val steps = (2 to MmrSelect).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""rem$i AS (
+         |  SELECT c.* FROM cand c LEFT JOIN $prev s
+         |    ON c.query_id = s.query_id AND c.cid = s.cid
+         |  WHERE s.cid IS NULL),
+         |pen$i AS (
+         |  SELECT r.query_id, r.cid, r.rel, max(p.s) AS pen
+         |  FROM rem$i r JOIN $prev s ON s.query_id = r.query_id
+         |    JOIN pair p ON p.query_id = r.query_id AND p.pa = r.cid AND p.pb = s.cid
+         |  GROUP BY 1, 2, 3),
+         |pick$i AS (
+         |  SELECT query_id, cid, $i AS mmr_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $MmrLambda * rel - $MmrOneMinus * pen DESC, cid) AS rk
+         |    FROM pen$i) z WHERE rk = 1),
+         |sel$i AS (SELECT query_id, cid FROM sel${i - 1}
+         |  UNION ALL SELECT query_id, cid FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    val picks = (2 to MmrSelect).map(i =>
+      s"SELECT * FROM pick$i").mkString("\n      UNION ALL ")
+    s"""WITH q6 AS (SELECT vec_id, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1e6) AS BIGINT)) AS q FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS d FROM q6),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
+       |rels AS (SELECT qq.vec_id AS query_id, cc.vec_id AS cid,
+       |    CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS rel
+       |  FROM q6 qq JOIN q6 cc ON qq.vec_id < $NumQueries AND cc.vec_id != qq.vec_id
+       |    JOIN ex a ON a.vec_id = qq.vec_id
+       |    JOIN ex b ON b.vec_id = cc.vec_id AND b.d = a.d
+       |    JOIN nrm na ON na.vec_id = qq.vec_id
+       |    JOIN nrm nb ON nb.vec_id = cc.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS MATERIALIZED (SELECT query_id, cid, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+       |    FROM rels) z WHERE rk <= $MmrCand),
+       |pair AS MATERIALIZED (
+       |  SELECT x.query_id, x.cid AS pa, y.cid AS pb,
+       |    CAST(sum(ea.qv * eb.qv) AS DOUBLE) / (any_value(nna.nrm) * any_value(nnb.nrm)) AS s
+       |  FROM cand x JOIN cand y ON x.query_id = y.query_id AND x.cid != y.cid
+       |    JOIN ex ea ON ea.vec_id = x.cid
+       |    JOIN ex eb ON eb.vec_id = y.cid AND eb.d = ea.d
+       |    JOIN nrm nna ON nna.vec_id = x.cid
+       |    JOIN nrm nnb ON nnb.vec_id = y.cid
+       |  GROUP BY 1, 2, 3),
+       |pick1 AS (SELECT query_id, cid, 1 AS mmr_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+       |    FROM cand) z WHERE rk = 1),
+       |sel1 AS (SELECT query_id, cid FROM pick1),
+       |$steps
+       |SELECT query_id, cid AS neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank
+       |FROM (SELECT * FROM pick1
+       |      UNION ALL $picks) u
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
 }

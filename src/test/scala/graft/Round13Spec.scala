@@ -286,6 +286,18 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("ann_mmr_rerank: full rank spine per query, no repeats, penalty bites") {
+    val rows = graft.operators.Ann.annMmrRerank(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("mmr_rank")).sorted.sameElements(1 to 5),
+        s"query $q must select exactly ranks 1..5")
+      assert(rs.map(_.getAs[Long]("neighbor_id")).distinct.length == 5,
+        s"query $q re-selected a neighbor")
+    }
+  }
+
   test("share_of_wallet: bands partition customers, avg_sow inside band range") {
     val rows = graft.operators.Commerce.shareOfWallet(spark, sf).collect()
     assert(rows.nonEmpty)
