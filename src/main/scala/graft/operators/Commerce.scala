@@ -1535,4 +1535,105 @@ object Commerce {
       |  avg(CAST(n_brands AS DOUBLE)) AS avg_brands,
       |  CAST(CAST(sum(total_c) AS BIGINT) / 100 AS DOUBLE) AS total_spend
       |FROM b GROUP BY band ORDER BY band""".stripMargin
+
+  // ------------------------------------------------- mantel_haenszel_effect
+
+  /** Mantel–Haenszel pooled risk ratio of the A/B conversion effect
+    * stratified by the customer's market segment — the Simpson's-
+    * paradox-proof readout `ab_test_conversion`'s crude rates can't
+    * give: if segment mix differs between arms, the crude ratio
+    * confounds mix with effect, and the MH estimator pools the
+    * per-stratum ratios weighted by their information content
+    * (Σ b·n_a/N over Σ a·n_b/N). Per-stratum rows carry their own RR
+    * plus the pooled and crude ratios (same-on-every-row, the
+    * psi_total convention) — crude far from pooled IS the
+    * confounding alarm. Every product casts each exact count to
+    * double individually (the sub-2⁵³ cuped ledger — valid to ~9·10¹⁵
+    * users); stratum terms reduce via the round-to-decimal sum over
+    * the 5-row frame.
+    *
+    * Scale shape: the user-day conversion aggregate (the ab_test
+    * shape) joins the customer dim on the user key — a dim join AQE
+    * broadcasts at any realistic dim/fact ratio; everything after is
+    * the 5-row segment frame.
+    */
+  def mantelHaenszelEffect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ud = t.events
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(max(col("p")).as("converted"))
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+    val cell = ud
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    cell
+      .withColumn("num_i", expr(
+        "CAST(conv_b AS DOUBLE) * CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"))
+      .withColumn("den_i", expr(
+        "CAST(conv_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"))
+      .withColumn("nd", sum(expr("CAST(round(num_i, 9) AS DECIMAL(18,9))"))
+        .over(Window.partitionBy()))
+      .withColumn("dd", sum(expr("CAST(round(den_i, 9) AS DECIMAL(18,9))"))
+        .over(Window.partitionBy()))
+      .withColumn("ca", sum(col("conv_a")).over(Window.partitionBy()))
+      .withColumn("na", sum(col("n_a")).over(Window.partitionBy()))
+      .withColumn("cb", sum(col("conv_b")).over(Window.partitionBy()))
+      .withColumn("nb", sum(col("n_b")).over(Window.partitionBy()))
+      .selectExpr("segment", "n_a", "conv_a", "n_b", "conv_b",
+        """CASE WHEN conv_a = 0 OR n_b = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          |   / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) END AS rr_stratum""".stripMargin,
+        "CAST(nd AS DOUBLE) / CAST(dd AS DOUBLE) AS rr_mh",
+        """(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+          | / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) AS rr_crude""".stripMargin)
+      .orderBy("segment")
+  }
+
+  val mantelHaenszelEffectSql: String =
+    """WITH ud AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |v AS (
+      |  SELECT ud.*, c_mktsegment AS segment,
+      |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 2 AS variant
+      |  FROM ud JOIN customer ON user_id = c_custkey),
+      |cell AS (
+      |  SELECT segment,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM v GROUP BY 1),
+      |e AS (
+      |  SELECT *,
+      |    CAST(conv_b AS DOUBLE) * CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS num_i,
+      |    CAST(conv_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS den_i
+      |  FROM cell),
+      |w AS (
+      |  SELECT *,
+      |    sum(CAST(round(num_i, 9) AS DECIMAL(18,9))) OVER () AS nd,
+      |    sum(CAST(round(den_i, 9) AS DECIMAL(18,9))) OVER () AS dd,
+      |    sum(conv_a) OVER () AS ca, sum(n_a) OVER () AS na,
+      |    sum(conv_b) OVER () AS cb, sum(n_b) OVER () AS nb
+      |  FROM e)
+      |SELECT segment, n_a, conv_a, n_b, conv_b,
+      |  CASE WHEN conv_a = 0 OR n_b = 0 THEN CAST(0 AS DOUBLE)
+      |  ELSE (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |     / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) END AS rr_stratum,
+      |  CAST(nd AS DOUBLE) / CAST(dd AS DOUBLE) AS rr_mh,
+      |  (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |   / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) AS rr_crude
+      |FROM w ORDER BY segment""".stripMargin
 }

@@ -3083,4 +3083,88 @@ object Stats {
        |  CAST(gd AS DOUBLE) AS g_stat
        |FROM a""".stripMargin
   }
+
+  // --------------------------------------------------------- calibration_curve
+
+  /** Reliability diagram of the naive conversion predictor: each
+    * user's FIRST-half daily conversion rate predicts whether they
+    * purchase in the second half, binned into ten predicted-
+    * probability bands with observed rate and the overall Brier
+    * score — the calibration read `auc_purchase_value` doesn't give
+    * (AUC is rank-only: a model can rank perfectly and still be
+    * badly miscalibrated; the gap between mean_pred and obs_rate per
+    * band is what a decision threshold actually consumes). Scores
+    * are exact fractions cast to double once; Brier terms (p−y)² are
+    * single IEEE expressions on deterministic doubles; per-band and
+    * global reductions ride round-to-decimal sums; the global
+    * windows run over the ≤10-band frame only.
+    *
+    * Scale shape: two user-keyed partial aggregations (train
+    * user-days → per-user score; test per-user outcome) + one
+    * user-keyed join; band profile is bounded.
+    */
+  def calibrationCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val mid = ev.agg(expr("CAST(floor((min(ts_us) + max(ts_us)) / 2.0) AS BIGINT)").as("mid"))
+    val ud = ev.crossJoin(broadcast(mid))
+      .select(col("user_id"), (col("ts_us") <= col("mid")).as("is_train"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+    val score = ud.filter(col("is_train"))
+      .groupBy(col("user_id"), col("d")).agg(max(col("p")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("days"), sum(col("c")).as("convs"))
+      .withColumn("pred", expr("CAST(convs AS DOUBLE) / CAST(days AS DOUBLE)"))
+    val outcome = ud.filter(!col("is_train"))
+      .groupBy(col("user_id")).agg(max(col("p")).as("y"))
+    score.join(outcome, Seq("user_id"))
+      .withColumn("band", expr("least(CAST(floor(pred * 10) AS INTEGER), 9)"))
+      .withColumn("sq",
+        expr("(pred - CAST(y AS DOUBLE)) * (pred - CAST(y AS DOUBLE))"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("CAST(round(pred, 9) AS DECIMAL(18,9))")).as("pd"),
+        sum(col("y")).as("n_pos"),
+        sum(expr("CAST(round(sq, 9) AS DECIMAL(18,9))")).as("sqd"))
+      .withColumn("tot_n", sum(col("n_users")).over(Window.partitionBy()))
+      .withColumn("tot_sq", sum(col("sqd")).over(Window.partitionBy()))
+      .selectExpr("CAST(band AS BIGINT) AS band",
+        "CAST(n_users AS BIGINT) AS n_users",
+        "CAST(pd AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_pred",
+        "CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE) AS obs_rate",
+        "CAST(tot_sq AS DOUBLE) / CAST(tot_n AS DOUBLE) AS brier_score")
+      .orderBy("band")
+  }
+
+  val calibrationCurveSql: String =
+    """WITH mid AS (
+      |  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0) AS BIGINT) AS mid
+      |  FROM events),
+      |ud AS (
+      |  SELECT user_id, epoch_us(ts) <= mid AS is_train, CAST(ts AS DATE) AS d,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      |  FROM events, mid),
+      |tr AS (SELECT user_id, d, max(p) AS c FROM ud WHERE is_train GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS days, CAST(sum(c) AS BIGINT) AS convs,
+      |    CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pred
+      |  FROM tr GROUP BY 1),
+      |oc AS (SELECT user_id, CAST(max(p) AS BIGINT) AS y FROM ud WHERE NOT is_train GROUP BY 1),
+      |j AS (
+      |  SELECT sc.user_id, pred, y,
+      |    least(CAST(floor(pred * 10) AS INTEGER), 9) AS band,
+      |    (pred - CAST(y AS DOUBLE)) * (pred - CAST(y AS DOUBLE)) AS sq
+      |  FROM sc JOIN oc ON sc.user_id = oc.user_id),
+      |g AS (
+      |  SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+      |    sum(CAST(round(pred, 9) AS DECIMAL(18,9))) AS pd,
+      |    CAST(sum(y) AS BIGINT) AS n_pos,
+      |    sum(CAST(round(sq, 9) AS DECIMAL(18,9))) AS sqd
+      |  FROM j GROUP BY 1),
+      |w AS (SELECT *, sum(n_users) OVER () AS tot_n, sum(sqd) OVER () AS tot_sq FROM g)
+      |SELECT CAST(band AS BIGINT) AS band, n_users,
+      |  CAST(pd AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_pred,
+      |  CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE) AS obs_rate,
+      |  CAST(tot_sq AS DOUBLE) / CAST(tot_n AS DOUBLE) AS brier_score
+      |FROM w ORDER BY band""".stripMargin
 }

@@ -1838,4 +1838,97 @@ object TextAnalysis {
        |  CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio
        |FROM s ORDER BY quartile""".stripMargin
   }
+
+  // -------------------------------------------- bigram_perplexity_by_source
+
+  /** Per-source bigram-LM cross-entropy on the held-out split — the
+    * CCNet-style quality signal: train an add-1-smoothed bigram model
+    * on the 90% md5 split (the `lm_novelty` split convention), score
+    * the 10% test docs with p(w₂|w₁) = (c₁₂+1)/(c₁+V+1), and roll
+    * mean negative log-likelihood (nats/bigram) to source grain — a
+    * feed whose text the corpus LM finds surprising is boilerplate,
+    * another language, or garbage, and this is the number corpus
+    * curation thresholds on. `lm_novelty` counts UNSEEN bigrams
+    * (support); this weights every bigram by how unlikely it is
+    * (probability) — possible only since the engine-exact
+    * [[graft.functions.ExactLn]]. p's numerator and denominator are
+    * exact counts cast to double individually; −ln p terms reduce
+    * order-independently via the round-to-decimal sum; p ≥ 1/(c₁+V+1)
+    * keeps ln in domain through 2⁴⁰ train bigrams.
+    *
+    * Scale shape: bigram/unigram counts partial-aggregate map-side —
+    * the LM's VOCABULARY survives the two shuffles, the token stream
+    * doesn't; test scoring is two hash-keyed equi-joins (h₂ for c₁₂,
+    * h₁ for c₁) + one broadcast 1-row vocab frame; the roll-up is
+    * source-grain.
+    */
+  def bigramPerplexityBySource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    graft.functions.TokenGrams.register(spark)
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100)
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        when(bucket < 90, "train").otherwise("test").as("split"),
+        explode(call_function("graft_grams", col("text"), lit(2))).as("g"))
+      .select(col("doc_id"), col("source"), col("split"),
+        conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long").as("h2"),
+        conv(substring(md5(split(col("g"), " ").getItem(0)), 1, 14), 16, 10)
+          .cast("long").as("h1"))
+    val train = base.filter(col("split") === "train")
+    val biCnt = train.groupBy(col("h2")).agg(count(lit(1)).as("c12"))
+    val uniCnt = train.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val vocab = train.agg(countDistinct(col("h1")).as("v"))
+    base.filter(col("split") === "test")
+      .join(biCnt, Seq("h2"), "left")
+      .join(uniCnt, Seq("h1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p", expr(
+        "CAST(coalesce(c12, 0) + 1 AS DOUBLE) / CAST(coalesce(c1, 0) + v + 1 AS DOUBLE)"))
+      .withColumn("__y", expr(ExactLn.yExpr("p")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("nll", expr(s"-(${ExactLn.lnExpr("__z")})"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(expr("CAST(round(nll, 9) AS DECIMAL(18,9))")).as("sd"))
+      .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+        "CAST(sd AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS cross_entropy_nats")
+      .orderBy("source")
+  }
+
+  val bigramPerplexityBySourceSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90
+       |         THEN 'train' ELSE 'test' END AS split,
+       |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, split,
+       |    unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g2
+       |  FROM t),
+       |h AS (SELECT doc_id, source, split,
+       |    ('0x' || substr(md5(g2), 1, 14))::BIGINT AS h2,
+       |    ('0x' || substr(md5(split_part(g2, ' ', 1)), 1, 14))::BIGINT AS h1
+       |  FROM g),
+       |bi AS (SELECT h2, count(*) AS c12 FROM h WHERE split = 'train' GROUP BY 1),
+       |uni AS (SELECT h1, count(*) AS c1 FROM h WHERE split = 'train' GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT h1) AS v FROM h WHERE split = 'train'),
+       |te AS (
+       |  SELECT tst.doc_id, tst.source,
+       |    CAST(coalesce(c12, 0) + 1 AS DOUBLE) / CAST(coalesce(c1, 0) + v + 1 AS DOUBLE) AS p
+       |  FROM h tst LEFT JOIN bi USING (h2) LEFT JOIN uni USING (h1), vv
+       |  WHERE tst.split = 'test'),
+       |y AS (SELECT *, ${ExactLn.yExpr("p")} AS __y FROM te),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |x AS (SELECT *, -(${ExactLn.lnExpr("__z")}) AS nll FROM z)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CAST(round(nll, 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS cross_entropy_nats
+       |FROM x GROUP BY 1 ORDER BY source""".stripMargin
+  }
 }

@@ -286,6 +286,47 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("bigram_perplexity_by_source: positive nats, every source scored") {
+    val rows = graft.operators.TextAnalysis.bigramPerplexityBySource(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("cross_entropy_nats")
+      assert(h > 0 && !h.isNaN && !h.isInfinite,
+        s"held-out cross-entropy must be positive finite: $h")
+      assert(r.getAs[Long]("n_bigrams") >= r.getAs[Long]("n_docs"),
+        "every scored doc contributes at least one bigram")
+    }
+  }
+
+  test("calibration_curve: rates in [0,1], one global Brier, band containment") {
+    val rows = graft.operators.Stats.calibrationCurve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val briers = rows.map(_.getAs[Double]("brier_score")).distinct
+    assert(briers.length == 1 && briers.head >= 0 && briers.head <= 1)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      val mp = r.getAs[Double]("mean_pred"); val or = r.getAs[Double]("obs_rate")
+      assert(or >= -1e-12 && or <= 1 + 1e-12)
+      assert(mp >= b / 10.0 - 1e-9 && mp <= (if (b == 9) 1.0 else (b + 1) / 10.0) + 1e-9,
+        s"band $b mean_pred $mp outside its band")
+    }
+  }
+
+  test("mantel_haenszel_effect: pooled ratio consistent and between stratum extremes") {
+    val rows = graft.operators.Commerce.mantelHaenszelEffect(spark, sf).collect()
+    // the stratum spine is data-driven: ≤5 market segments, only those
+    // with at least one event-active customer appear
+    assert(rows.nonEmpty && rows.length <= 5)
+    val mh = rows.map(_.getAs[Double]("rr_mh")).distinct
+    val crude = rows.map(_.getAs[Double]("rr_crude")).distinct
+    assert(mh.length == 1 && crude.length == 1)
+    assert(mh.head > 0 && crude.head > 0)
+    val strata = rows.map(_.getAs[Double]("rr_stratum")).filter(_ > 0)
+    // MH is a convex combination of stratum ratios: it cannot escape their range
+    assert(mh.head >= strata.min - 1e-9 && mh.head <= strata.max + 1e-9,
+      s"rr_mh ${mh.head} outside stratum range [${strata.min}, ${strata.max}]")
+  }
+
   test("ann_mmr_rerank: full rank spine per query, no repeats, penalty bites") {
     val rows = graft.operators.Ann.annMmrRerank(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
