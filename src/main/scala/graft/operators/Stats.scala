@@ -2278,6 +2278,189 @@ object Stats {
        |SELECT * FROM u ORDER BY state""".stripMargin
   }
 
+  // ---------------------------------------------- markov_removal_attribution
+
+  /** Markov removal-effect attribution across the event channels:
+    * for each non-absorbing state r, sever every path through r
+    * (drop its terms from the k-step absorption recursion, zero the
+    * users who START there) and report how much of the baseline
+    * purchase-reach probability disappears — effect_r = 1 −
+    * P₋ᵣ/P_full — normalized into the attribution shares a budget
+    * split consumes. The causal-flavored alternative to
+    * `attribution_linear`/`time_decay_attribution` (which split
+    * credit by position inside converting paths only; removal
+    * effects price a channel by what the WHOLE traffic graph loses
+    * without it — the data-driven attribution model). Start mass is
+    * each user's first event; reach is [[AbsorbSteps]]-step
+    * absorption. Counts pivot to ONE exact-integer row (transition
+    * grid + start counts); the full and all four removed recursions
+    * are fixed-order shared-text double expressions — no joins, no
+    * per-removal passes.
+    *
+    * Scale shape: the markov_transitions lead-window shuffle + a
+    * first-event row_number over the same user partitioning, each
+    * reduced map-side to a bounded pivot; everything after is scalar
+    * column arithmetic on a 1-row frame.
+    */
+  def markovRemovalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+    val trans = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("f"), col("next_type").as("t"))
+    val mCols = NonAbsorbing.flatMap { i =>
+      EventTypes.indices.map { j =>
+        sum(when(col("f") === EventTypes(i) && col("t") === EventTypes(j), 1L)
+          .otherwise(0L)).as(s"n_${i}_$j")
+      }
+    }
+    val m = trans.agg(mCols.head, mCols.tail: _*)
+    val stCols = NonAbsorbing.map(i =>
+      sum(when(col("event_type") === EventTypes(i), 1L).otherwise(0L)).as(s"st_$i"))
+    val starts = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .agg(stCols.head, stCols.tail: _*)
+    val base = NonAbsorbing.foldLeft(m.crossJoin(broadcast(starts))) { (df, i) =>
+      df.withColumn(s"nf_$i",
+        expr(EventTypes.indices.map(j => s"n_${i}_$j").mkString(" + ")))
+    }
+    val buy = EventTypes.indexOf(AbsorbState)
+    // full recursion a{k}_{i}, then one removed recursion b{r}{k}_{i} per channel
+    val full = (1 to AbsorbSteps).foldLeft(base) { (df, k) =>
+      NonAbsorbing.foldLeft(df) { (d, i) =>
+        val terms =
+          if (k == 1) absorbP(i, buy)
+          else absorbP(i, buy) + " + " + NonAbsorbing
+            .map(j => s"${absorbP(i, j)} * a${k - 1}_$j").mkString(" + ")
+        d.withColumn(s"a${k}_$i", expr(terms))
+      }
+    }
+    val removed = NonAbsorbing.foldLeft(full) { (df0, r) =>
+      (1 to AbsorbSteps).foldLeft(df0) { (df, k) =>
+        NonAbsorbing.filter(_ != r).foldLeft(df) { (d, i) =>
+          val keep = NonAbsorbing.filter(j => j != r)
+          val terms =
+            if (k == 1) absorbP(i, buy)
+            else absorbP(i, buy) + " + " + keep
+              .map(j => s"${absorbP(i, j)} * b$r${k - 1}_$j").mkString(" + ")
+          d.withColumn(s"b$r${k}_$i", expr(terms))
+        }
+      }
+    }
+    val scored = removalScoreCols.foldLeft(removed) { case (d, (name, text)) =>
+      d.withColumn(name, expr(text))
+    }
+    val arms = NonAbsorbing.map(i =>
+      s"'${EventTypes(i)}', p_removed_$i, effect_$i, share_$i").mkString(", ")
+    scored.selectExpr("p_full",
+        s"stack(${NonAbsorbing.size}, $arms) AS (channel, p_removed, removal_effect, attribution_share)")
+      .selectExpr("channel", "p_full", "p_removed", "removal_effect",
+        "attribution_share")
+      .orderBy("channel")
+  }
+
+  /** The shared-text scalar layer: P_full, per-removal reach, effects
+    * and shares — identical strings evaluated by both engines.
+    */
+  private def removalScoreCols: Seq[(String, String)] = {
+    val stTot = NonAbsorbing.map(i => s"st_$i").mkString(" + ")
+    val pFull = "(" + NonAbsorbing.map(i =>
+      s"CAST(st_$i AS DOUBLE) * a${AbsorbSteps}_$i").mkString(" + ") +
+      s") / CAST($stTot AS DOUBLE)"
+    val pRem = NonAbsorbing.map { r =>
+      val num = NonAbsorbing.filter(_ != r).map(i =>
+        s"CAST(st_$i AS DOUBLE) * b$r${AbsorbSteps}_$i").mkString(" + ")
+      s"p_removed_$r" -> s"($num) / CAST($stTot AS DOUBLE)"
+    }
+    val eff = NonAbsorbing.map { r =>
+      s"effect_$r" ->
+        s"CASE WHEN p_full = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE (p_full - p_removed_$r) / p_full END"
+    }
+    val effSum = NonAbsorbing.map(r => s"effect_$r").mkString(" + ")
+    val share = NonAbsorbing.map { r =>
+      s"share_$r" ->
+        s"CASE WHEN ($effSum) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE effect_$r / ($effSum) END"
+    }
+    (("p_full" -> pFull) +: pRem) ++ eff ++ share
+  }
+
+  val markovRemovalAttributionSql: String = {
+    val buy = EventTypes.indexOf(AbsorbState)
+    val mSums = NonAbsorbing.flatMap { i =>
+      EventTypes.indices.map { j =>
+        s"CAST(sum(CASE WHEN f = '${EventTypes(i)}' AND t = '${EventTypes(j)}' THEN 1 ELSE 0 END) AS BIGINT) AS n_${i}_$j"
+      }
+    }
+    val stSums = NonAbsorbing.map(i =>
+      s"CAST(sum(CASE WHEN event_type = '${EventTypes(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS st_$i")
+    val totals = NonAbsorbing.map(i =>
+      s"${EventTypes.indices.map(j => s"n_${i}_$j").mkString(" + ")} AS nf_$i")
+    val fullCtes = (1 to AbsorbSteps).map { k =>
+      val cols = NonAbsorbing.map { i =>
+        val terms =
+          if (k == 1) absorbP(i, buy)
+          else absorbP(i, buy) + " + " + NonAbsorbing
+            .map(j => s"${absorbP(i, j)} * a${k - 1}_$j").mkString(" + ")
+        s"$terms AS a${k}_$i"
+      }
+      s"s$k AS (SELECT *, ${cols.mkString(", ")} FROM ${if (k == 1) "g" else s"s${k - 1}"})"
+    }
+    val remCtes = NonAbsorbing.flatMap { r =>
+      (1 to AbsorbSteps).map { k =>
+        val keep = NonAbsorbing.filter(_ != r)
+        val cols = keep.map { i =>
+          val terms =
+            if (k == 1) absorbP(i, buy)
+            else absorbP(i, buy) + " + " + keep
+              .map(j => s"${absorbP(i, j)} * b$r${k - 1}_$j").mkString(" + ")
+          s"$terms AS b$r${k}_$i"
+        }
+        val prev =
+          if (r == NonAbsorbing.head && k == 1) s"s$AbsorbSteps"
+          else if (k == 1) {
+            val pr = NonAbsorbing(NonAbsorbing.indexOf(r) - 1)
+            s"t${pr}_$AbsorbSteps"
+          } else s"t${r}_${k - 1}"
+        s"t${r}_$k AS (SELECT *, ${cols.mkString(", ")} FROM $prev)"
+      }
+    }
+    val scoreCols = removalScoreCols
+    val scoreSelect = scoreCols.map { case (n, t) => s"$t AS $n" }
+    // effects/shares reference p_full / effect columns: layer the CTEs
+    val lastRem = s"t${NonAbsorbing.last}_$AbsorbSteps"
+    val arms = NonAbsorbing.map(i =>
+      s"SELECT '${EventTypes(i)}' AS channel, p_full, p_removed_$i AS p_removed, effect_$i AS removal_effect, share_$i AS attribution_share FROM sc3")
+      .mkString("\n  UNION ALL ")
+    s"""WITH seq AS (
+       |  SELECT event_type AS f,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+       |  FROM events),
+       |trans AS (SELECT f, t FROM seq WHERE t IS NOT NULL),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM trans),
+       |st AS (
+       |  SELECT
+       |    ${stSums.mkString(",\n    ")}
+       |  FROM (
+       |    SELECT event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |    FROM events) z WHERE rn = 1),
+       |g AS (
+       |  SELECT *,
+       |    ${totals.mkString(",\n    ")}
+       |  FROM m, st),
+       |${fullCtes.mkString(",\n")},
+       |${remCtes.mkString(",\n")},
+       |sc1 AS (SELECT *, ${scoreSelect.take(1 + NonAbsorbing.size).mkString(", ")} FROM $lastRem),
+       |sc2 AS (SELECT *, ${scoreSelect.slice(1 + NonAbsorbing.size, 1 + 2 * NonAbsorbing.size).mkString(", ")} FROM sc1),
+       |sc3 AS (SELECT *, ${scoreSelect.drop(1 + 2 * NonAbsorbing.size).mkString(", ")} FROM sc2),
+       |u AS (
+       |  $arms)
+       |SELECT * FROM u ORDER BY channel""".stripMargin
+  }
+
   // ------------------------------------------------------ seasonal_decompose
 
   /** OLS slope over (x, y) exact moments — each cast to DOUBLE

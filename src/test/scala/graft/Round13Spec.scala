@@ -327,6 +327,24 @@ class Round13Spec extends AnyFunSuite {
       s"rr_mh ${mh.head} outside stratum range [${strata.min}, ${strata.max}]")
   }
 
+  test("markov_removal_attribution: removal only loses mass, shares partition 1") {
+    val rows = graft.operators.Stats.markovRemovalAttribution(spark, sf).collect()
+    assert(rows.length == 4)
+    val pf = rows.map(_.getAs[Double]("p_full")).distinct
+    assert(pf.length == 1 && pf.head >= 0 && pf.head <= 1)
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("p_removed")
+      val ef = r.getAs[Double]("removal_effect")
+      // the removed recursion is term-wise dominated by the full one
+      assert(pr >= -1e-12 && pr <= pf.head + 1e-12,
+        s"p_removed $pr must not exceed p_full ${pf.head}")
+      assert(ef >= -1e-12 && ef <= 1 + 1e-12)
+    }
+    val shareSum = rows.map(_.getAs[Double]("attribution_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9 || math.abs(shareSum) < 1e-12,
+      s"shares must partition 1 (or all-zero when no effect): $shareSum")
+  }
+
   test("ann_mmr_rerank: full rank spine per query, no repeats, penalty bites") {
     val rows = graft.operators.Ann.annMmrRerank(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
