@@ -3350,4 +3350,106 @@ object Stats {
       |  CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE) AS obs_rate,
       |  CAST(tot_sq AS DOUBLE) / CAST(tot_n AS DOUBLE) AS brier_score
       |FROM w ORDER BY band""".stripMargin
+
+  // ----------------------------------------------------------- sprt_trajectory
+
+  /** Wald SPRT trajectory for the B arm's conversion rate: daily
+    * cumulative log-likelihood ratio of H₁ (p₁ = 1.1·p₀, the 10%-lift
+    * alternative) against H₀ (p₀ = the A arm's rate), with the
+    * α = β = 0.05 decision boundaries ±ln 19 — the sequential
+    * early-stopping readout `ab_test_conversion`'s fixed-horizon z
+    * can't give (peeking at a z-test inflates α; the SPRT boundary
+    * is valid at EVERY day by construction, which is why
+    * experimentation platforms run it). All logs are the engine-
+    * exact [[graft.functions.ExactLn]] on shared-text ratios, so the
+    * whole trajectory hash-matches; cumulative counts are exact
+    * window sums over the bounded day-grain frame.
+    *
+    * Scale shape: ONE user-day aggregate (the ab_test shuffle)
+    * reduces to day grain map-side; the cumulative window, ratio
+    * arithmetic, and ln chains run on the ≤O(days) frame. (The
+    * day-grain cumulative window is single-task but bounded by the
+    * calendar, not the data — the `daily_revenue_gapfill`
+    * convention.)
+    */
+  def sprtTrajectory(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(max(col("p")).as("converted"))
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+    val p0 = ud.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"))
+      .selectExpr("CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p0")
+    val daily = ud.filter(col("variant") === 1)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_d"), sum(col("converted")).as("c_d"))
+      .withColumn("n_cum", sum(col("n_d")).over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("c_cum", sum(col("c_d")).over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    daily.crossJoin(broadcast(p0))
+      .withColumn("p1", expr("p0 * CAST(1.1 AS DOUBLE)"))
+      .withColumn("r1", expr("p1 / p0"))
+      .withColumn("r2", expr("(1.0 - p1) / (1.0 - p0)"))
+      .withColumn("__y1", expr(ExactLn.yExpr("r1")))
+      .withColumn("__z1", expr(ExactLn.zExpr("__y1")))
+      .withColumn("__y2", expr(ExactLn.yExpr("r2")))
+      .withColumn("__z2", expr(ExactLn.zExpr("__y2")))
+      .withColumn("__yb", expr(ExactLn.yExpr("19.0")))
+      .withColumn("__zb", expr(ExactLn.zExpr("__yb")))
+      .withColumn("llr", expr(
+        s"CAST(c_cum AS DOUBLE) * ${ExactLn.lnExpr("__z1")}" +
+          s" + CAST(n_cum - c_cum AS DOUBLE) * ${ExactLn.lnExpr("__z2")}"))
+      .withColumn("bound", expr(ExactLn.lnExpr("__zb")))
+      .selectExpr("CAST(d AS STRING) AS day", "n_cum", "c_cum", "llr",
+        "bound AS upper_bound", "-(bound) AS lower_bound",
+        """CASE WHEN llr >= bound THEN 'reject_h0'
+          |WHEN llr <= -(bound) THEN 'accept_h0'
+          |ELSE 'continue' END AS decision""".stripMargin)
+      .orderBy("day")
+  }
+
+  val sprtTrajectorySql: String = {
+    import graft.functions.ExactLn
+    s"""WITH ud AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+       |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 2 AS variant
+       |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+       |pa AS (
+       |  SELECT CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS p0
+       |  FROM ud),
+       |daily AS (
+       |  SELECT d, CAST(count(*) AS BIGINT) AS n_d,
+       |    CAST(sum(converted) AS BIGINT) AS c_d
+       |  FROM ud WHERE variant = 1 GROUP BY 1),
+       |cum AS (
+       |  SELECT *,
+       |    CAST(sum(n_d) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+       |    CAST(sum(c_d) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_cum
+       |  FROM daily),
+       |r AS (SELECT *, p0 * CAST(1.1 AS DOUBLE) AS p1 FROM cum, pa),
+       |rr AS (SELECT *, p1 / p0 AS r1, (1.0 - p1) / (1.0 - p0) AS r2 FROM r),
+       |y AS (SELECT *, ${ExactLn.yExpr("r1")} AS __y1, ${ExactLn.yExpr("r2")} AS __y2, ${ExactLn.yExpr("19.0")} AS __yb FROM rr),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y1")} AS __z1, ${ExactLn.zExpr("__y2")} AS __z2, ${ExactLn.zExpr("__yb")} AS __zb FROM y),
+       |s AS (SELECT *,
+       |    CAST(c_cum AS DOUBLE) * ${ExactLn.lnExpr("__z1")}
+       |      + CAST(n_cum - c_cum AS DOUBLE) * ${ExactLn.lnExpr("__z2")} AS llr,
+       |    ${ExactLn.lnExpr("__zb")} AS bound
+       |  FROM z)
+       |SELECT CAST(d AS VARCHAR) AS day, n_cum, c_cum, llr,
+       |  bound AS upper_bound, -(bound) AS lower_bound,
+       |  CASE WHEN llr >= bound THEN 'reject_h0'
+       |  WHEN llr <= -(bound) THEN 'accept_h0'
+       |  ELSE 'continue' END AS decision
+       |FROM s ORDER BY day""".stripMargin
+  }
 }

@@ -1931,4 +1931,62 @@ object TextAnalysis {
        |    / CAST(count(*) AS DOUBLE) AS cross_entropy_nats
        |FROM x GROUP BY 1 ORDER BY source""".stripMargin
   }
+
+  // -------------------------------------------------------- weighted_sample_topk
+
+  private val WsTopK = 100
+
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws u from its identity
+    * hash and ranks by ln(u)/w with w = its length — the top-k under
+    * that key IS an exact weighted sample, and because the key is
+    * pure arithmetic on the doc's own row it runs as ONE map-side
+    * expression + a distributed top-k, no sequential draw loop (the
+    * classic distributed answer to "sample 100 docs ∝ length").
+    * `corpus_mix_sample` hits per-source TARGET counts; this is the
+    * single-knob proportional-to-weight primitive a curriculum or
+    * eval-set builder reaches for first. Identity-hashed u means the
+    * sample is REPRODUCIBLE across reruns, repartitions, and
+    * incremental rebuilds (the mlm_mask determinism argument); u is
+    * 40 hash bits mapped to [2⁻⁴⁰, 1] — exactly [[ExactLn]]'s
+    * domain — and ln(u)/w is shared-text IEEE, so even the sample
+    * KEYS hash-match the oracle.
+    */
+  def weightedSampleTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        greatest(length(col("text")), lit(1)).cast("long").as("w"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("u", expr(
+        "(CAST(h AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(1099511627776 AS DOUBLE)"))
+      .withColumn("__y", expr(ExactLn.yExpr("u")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("sample_key", expr(
+        s"${ExactLn.lnExpr("__z")} / CAST(w AS DOUBLE)"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(WsTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sample_key").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("source"), col("w"), col("sample_key"))
+      .orderBy("rank")
+  }
+
+  val weightedSampleTopkSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |    CAST(greatest(len(text), 1) AS BIGINT) AS w,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS h
+       |  FROM documents),
+       |u AS (SELECT *, (CAST(h AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(1099511627776 AS DOUBLE) AS u FROM b),
+       |y AS (SELECT *, ${ExactLn.yExpr("u")} AS __y FROM u),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |k AS (SELECT *, ${ExactLn.lnExpr("__z")} / CAST(w AS DOUBLE) AS sample_key FROM z),
+       |r AS (SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rank FROM k)
+       |SELECT CAST(rank AS INTEGER) AS rank, doc_id, source, w, sample_key
+       |FROM r WHERE rank <= $WsTopK ORDER BY rank""".stripMargin
+  }
 }

@@ -345,6 +345,33 @@ class Round13Spec extends AnyFunSuite {
       s"shares must partition 1 (or all-zero when no effect): $shareSum")
   }
 
+  test("sprt_trajectory: cumulative counts monotone, decision matches boundary") {
+    val rows = graft.operators.Stats.sprtTrajectory(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var lastN = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_cum")
+      assert(n >= lastN, "cumulative trials must be monotone"); lastN = n
+      val llr = r.getAs[Double]("llr")
+      val ub = r.getAs[Double]("upper_bound"); val lb = r.getAs[Double]("lower_bound")
+      assert(math.abs(ub - math.log(19.0)) < 1e-12 && math.abs(lb + ub) < 1e-15)
+      val want = if (llr >= ub) "reject_h0" else if (llr <= lb) "accept_h0" else "continue"
+      assert(r.getAs[String]("decision") == want)
+    }
+  }
+
+  test("weighted_sample_topk: full spine, keys non-positive and ordered, reproducible") {
+    val a = graft.operators.TextAnalysis.weightedSampleTopk(spark, sf).collect()
+    assert(a.length == 100)
+    assert(a.map(_.getAs[Int]("rank")).sameElements(1 to 100))
+    val keys = a.map(_.getAs[Double]("sample_key"))
+    assert(keys.forall(_ <= 1e-15), "ln(u)/w with u in (0,1] is non-positive")
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y }, "keys must be sorted desc")
+    // identity-hashed u: a rerun returns the identical sample
+    val b = graft.operators.TextAnalysis.weightedSampleTopk(spark, sf).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).sameElements(b.map(_.getAs[Long]("doc_id"))))
+  }
+
   test("ann_mmr_rerank: full rank spine per query, no repeats, penalty bites") {
     val rows = graft.operators.Ann.annMmrRerank(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
