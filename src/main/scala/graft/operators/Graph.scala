@@ -1803,7 +1803,12 @@ object Graph {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
         .cache())
-    def norm(state: DataFrame, vc: String): DataFrame = {
+    // Each round is CACHED before `norm` reads it twice (max + values)
+    // and before the next round joins it: an uncached chain re-expands
+    // 2^rounds (the severed-lineage discipline of the graph loops —
+    // measured 13.5 s → ~2 s at sf0.1 for these four rounds).
+    def norm(state0: DataFrame, vc: String): DataFrame = {
+      val state = graft.core.OwnedCaches.own(state0.cache())
       val m = state.agg(max(col(vc)).as("m"))
       state.crossJoin(broadcast(m))
         .select(col(state.columns.head),
