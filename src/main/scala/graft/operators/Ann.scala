@@ -2153,6 +2153,107 @@ object Ann {
        |  CAST(c * (c - 1) // 2 AS BIGINT) AS pair_bound
        |FROM g, t ORDER BY cell""".stripMargin
 
+  // ------------------------------------------------------------- ann_ndcg_eval
+
+  private val NdcgK = 10
+
+  /** NDCG@10 of the cosine retrieval against label relevance: does
+    * the embedding space rank same-label neighbors FIRST, not just
+    * somewhere in the top-k (`ann_recall_eval` scores set overlap —
+    * position-blind; NDCG is the ranking metric a retrieval eval
+    * actually reports, discounting hits by 1/log₂(rank+1)). The
+    * ranked list is the q6 micro-unit cosine top-10 (deterministic
+    * order), relevance is label equality, IDCG re-ranks the SAME
+    * list ideally (rel desc, rank asc), and every log₂ is
+    * ExactLn(x)/ExactLn(2) — shared-text, so even the discounted
+    * gains hash-match. Per-query rows; ndcg = 0 when nothing
+    * relevant was retrieved.
+    *
+    * Scale shape: candidate generation is the broadcast-query
+    * map-only scan (IVF-probe swappable); everything after is ≤10
+    * rows per query.
+    */
+  def annNdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    val q6 = withQ6Norm(e, "uid", "u", "nrm")
+      .join(e.select(col("vec_id").as("uid"), col("label")), Seq("uid"))
+    val q = q6.toDF("query_id", "q_emb", "q_n", "q_label")
+      .filter(col("query_id") < NumQueries)
+    val wRel = Window.partitionBy("query_id").orderBy(col("relv").desc, col("cid"))
+    val ranked = q6.toDF("cid", "c_emb", "c_n", "c_label")
+      .join(broadcast(q), col("query_id") =!= col("cid"))
+      .withColumn("relv", expr("graft_dot(q_emb, c_emb) / (q_n * c_n)"))
+      .withColumn("rank", row_number().over(wRel))
+      .filter(col("rank") <= NdcgK)
+      .select(col("query_id"), col("cid"), col("rank"),
+        when(col("c_label") === col("q_label"), 1L).otherwise(0L).as("rel"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("rank"))
+    ranked
+      .withColumn("ideal_rank", row_number().over(wIdeal))
+      .withColumn("__ya", expr(ExactLn.yExpr("CAST(rank + 1 AS DOUBLE)")))
+      .withColumn("__za", expr(ExactLn.zExpr("__ya")))
+      .withColumn("__yi", expr(ExactLn.yExpr("CAST(ideal_rank + 1 AS DOUBLE)")))
+      .withColumn("__zi", expr(ExactLn.zExpr("__yi")))
+      .withColumn("__y2", expr(ExactLn.yExpr("2.0")))
+      .withColumn("__z2", expr(ExactLn.zExpr("__y2")))
+      .withColumn("g", expr(
+        s"CAST(rel AS DOUBLE) * ${ExactLn.lnExpr("__z2")} / ${ExactLn.lnExpr("__za")}"))
+      .withColumn("gi", expr(
+        s"CAST(rel AS DOUBLE) * ${ExactLn.lnExpr("__z2")} / ${ExactLn.lnExpr("__zi")}"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(col("rel")).as("n_rel"),
+        sum(expr("CAST(round(g, 9) AS DECIMAL(18,9))")).as("dcgd"),
+        sum(expr("CAST(round(gi, 9) AS DECIMAL(18,9))")).as("idcgd"))
+      .selectExpr("query_id", "CAST(k AS BIGINT) AS k",
+        "CAST(n_rel AS BIGINT) AS n_rel",
+        "CAST(dcgd AS DOUBLE) AS dcg", "CAST(idcgd AS DOUBLE) AS idcg",
+        """CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(dcgd AS DOUBLE) / CAST(idcgd AS DOUBLE) END AS ndcg""".stripMargin)
+      .orderBy("query_id")
+  }
+
+  val annNdcgEvalSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH q6 AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1e6) AS BIGINT)) AS q FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS d FROM q6),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
+       |rels AS (SELECT qq.vec_id AS query_id, cc.vec_id AS cid,
+       |    any_value(qq.label) AS q_label, any_value(cc.label) AS c_label,
+       |    CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS relv
+       |  FROM q6 qq JOIN q6 cc ON qq.vec_id < $NumQueries AND cc.vec_id != qq.vec_id
+       |    JOIN ex a ON a.vec_id = qq.vec_id
+       |    JOIN ex b ON b.vec_id = cc.vec_id AND b.d = a.d
+       |    JOIN nrm na ON na.vec_id = qq.vec_id
+       |    JOIN nrm nb ON nb.vec_id = cc.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, cid, rank,
+       |    CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY relv DESC, cid) AS rank
+       |        FROM rels) z
+       |  WHERE rank <= $NdcgK),
+       |ir AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rank) AS ideal_rank FROM ranked),
+       |ya AS (SELECT *, ${ExactLn.yExpr("CAST(rank + 1 AS DOUBLE)")} AS __ya, ${ExactLn.yExpr("CAST(ideal_rank + 1 AS DOUBLE)")} AS __yi, ${ExactLn.yExpr("2.0")} AS __y2 FROM ir),
+       |za AS (SELECT *, ${ExactLn.zExpr("__ya")} AS __za, ${ExactLn.zExpr("__yi")} AS __zi, ${ExactLn.zExpr("__y2")} AS __z2 FROM ya),
+       |g AS (SELECT *,
+       |    CAST(rel AS DOUBLE) * ${ExactLn.lnExpr("__z2")} / ${ExactLn.lnExpr("__za")} AS g,
+       |    CAST(rel AS DOUBLE) * ${ExactLn.lnExpr("__z2")} / ${ExactLn.lnExpr("__zi")} AS gi
+       |  FROM za),
+       |agg AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS k, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |    sum(CAST(round(g, 9) AS DECIMAL(18,9))) AS dcgd,
+       |    sum(CAST(round(gi, 9) AS DECIMAL(18,9))) AS idcgd
+       |  FROM g GROUP BY 1)
+       |SELECT query_id, k, n_rel,
+       |  CAST(dcgd AS DOUBLE) AS dcg, CAST(idcgd AS DOUBLE) AS idcg,
+       |  CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(dcgd AS DOUBLE) / CAST(idcgd AS DOUBLE) END AS ndcg
+       |FROM agg ORDER BY query_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- ann_mmr_rerank
 
   private val MmrCand = 10

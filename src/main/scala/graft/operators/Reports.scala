@@ -2866,4 +2866,67 @@ object Reports {
       |  CAST(rev_c AS DOUBLE) / CAST(10000 AS DOUBLE) AS net_revenue,
       |  CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS rev_share
       |FROM t ORDER BY depth_pct""".stripMargin
+
+  // ------------------------------------------------------------ hill_tail_index
+
+  private val HillK = 100
+
+  /** Hill estimator of the order-value tail index over the top-100
+    * orders: α̂ = (k−1) / Σ ln(xᵢ/x₍ₖ₎) — HOW heavy the heavy tail is
+    * (`pareto_threshold` locates the 80% revenue cut, `hhi_concentration`
+    * scores share concentration; the tail index is the exponent that
+    * says whether the next 10× customer is plausible — α ≤ 2 means
+    * infinite variance and revenue forecasting off order means is
+    * broken). Cents are exact BIGINT; each ratio casts two sub-2⁵³
+    * integers individually; logs are the engine-exact
+    * [[graft.functions.ExactLn]]; the xᵢ = x₍ₖ₎ boundary terms
+    * contribute exactly 0 (ln 1), so ties at the cut are harmless.
+    *
+    * Scale shape: ONE distributed top-k (TakeOrdered — no global
+    * sort) bounds everything; the estimator runs on the 100-row
+    * frame.
+    */
+  def hillTailIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val top = Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+      .limit(HillK)
+    top
+      .withColumn("xk", min(col("cents")).over(Window.partitionBy()))
+      .withColumn("ratio", expr("CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE)"))
+      .withColumn("__y", expr(ExactLn.yExpr("ratio")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("lr", expr(ExactLn.lnExpr("__z")))
+      .agg(count(lit(1)).as("k"),
+        min(col("xk")).as("xkc"),
+        sum(expr("CAST(round(lr, 9) AS DECIMAL(18,9))")).as("sd"))
+      .selectExpr("CAST(k AS BIGINT) AS k",
+        "CAST(xkc AS DOUBLE) / CAST(100 AS DOUBLE) AS x_k",
+        "CAST(sd AS DOUBLE) AS sum_log_ratio",
+        """CASE WHEN CAST(sd AS DOUBLE) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(k - 1 AS DOUBLE) / CAST(sd AS DOUBLE) END AS tail_index""".stripMargin)
+  }
+
+  val hillTailIndexSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH top AS (
+       |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM orders ORDER BY cents DESC, o_orderkey LIMIT $HillK),
+       |w AS (SELECT *, min(cents) OVER () AS xk FROM top),
+       |r AS (SELECT *, CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE) AS ratio FROM w),
+       |y AS (SELECT *, ${ExactLn.yExpr("ratio")} AS __y FROM r),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |x AS (SELECT *, ${ExactLn.lnExpr("__z")} AS lr FROM z),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(min(xk) AS BIGINT) AS xkc,
+       |    sum(CAST(round(lr, 9) AS DECIMAL(18,9))) AS sd
+       |  FROM x)
+       |SELECT k, CAST(xkc AS DOUBLE) / CAST(100 AS DOUBLE) AS x_k,
+       |  CAST(sd AS DOUBLE) AS sum_log_ratio,
+       |  CASE WHEN CAST(sd AS DOUBLE) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(k - 1 AS DOUBLE) / CAST(sd AS DOUBLE) END AS tail_index
+       |FROM a""".stripMargin
+  }
 }

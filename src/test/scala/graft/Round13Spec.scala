@@ -372,6 +372,29 @@ class Round13Spec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("doc_id")).sameElements(b.map(_.getAs[Long]("doc_id"))))
   }
 
+  test("ann_ndcg_eval: ndcg in [0,1], idcg dominates dcg, perfect when all relevant") {
+    val rows = graft.operators.Ann.annNdcgEval(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val dcg = r.getAs[Double]("dcg"); val idcg = r.getAs[Double]("idcg")
+      val ndcg = r.getAs[Double]("ndcg"); val nRel = r.getAs[Long]("n_rel")
+      assert(ndcg >= -1e-12 && ndcg <= 1.0 + 1e-9, s"ndcg out of [0,1]: $ndcg")
+      assert(idcg >= dcg - 1e-9, "the ideal reranking cannot score lower")
+      if (nRel == r.getAs[Long]("k")) assert(math.abs(ndcg - 1.0) < 1e-9,
+        "an all-relevant list is already ideally ranked")
+      if (nRel == 0) assert(ndcg == 0.0)
+    }
+  }
+
+  test("hill_tail_index: positive estimator consistent with its sum") {
+    val r = graft.operators.Reports.hillTailIndex(spark, sf).collect().head
+    assert(r.getAs[Long]("k") == 100)
+    val s = r.getAs[Double]("sum_log_ratio")
+    assert(s >= 0, "top-k ratios are >= 1 so log-sum is non-negative")
+    val ti = r.getAs[Double]("tail_index")
+    if (s > 0) assert(math.abs(ti - 99.0 / s) < 1e-9)
+  }
+
   test("ann_mmr_rerank: full rank spine per query, no repeats, penalty bites") {
     val rows = graft.operators.Ann.annMmrRerank(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
