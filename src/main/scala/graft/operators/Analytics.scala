@@ -642,6 +642,68 @@ object Analytics {
       |  CAST(rk AS INTEGER) AS rank
       |FROM r WHERE rk <= 3 ORDER BY part_key, rank""".stripMargin
 
+  // ------------------------------------------------------ recs_coverage_profile
+
+  /** Catalog coverage and concentration of the co-occurrence
+    * recommender — the diversity half of the recsys eval pair
+    * (`recs_holdout_eval` scores ACCURACY; a recommender can be
+    * accurate while recommending the same 50 bestsellers to
+    * everyone, and this one-row profile is what catches it):
+    * coverage = share of catalog that appears as a recommendation,
+    * concentration = Gini–Simpson 1 − Σp² of recommendation
+    * appearances (log-free, the `user_event_diversity` convention),
+    * plus the single most-recommended part's share. Appearance
+    * counts are exact; Σc² and (Σc)² factors cast to double
+    * individually (sub-2⁵³ ledger — Σc = 3·catalog holds to ~10¹⁵
+    * rec rows).
+    *
+    * Scale shape: rides `cooccur_recs`' Σ basket² pair build (plan-
+    * matched, so a warm cache shares it); the appearance aggregate
+    * is catalog-bounded; the part-count side is a dim aggregate.
+    */
+  def recsCoverageProfile(spark: SparkSession, dir: String): DataFrame = {
+    val recs = cooccurRecs(spark, dir)
+    val app = recs.groupBy(col("rec_part_key")).agg(count(lit(1)).as("c"))
+    val stats = app.agg(
+      count(lit(1)).as("n_recommended"),
+      sum(col("c")).as("tot"),
+      sum(expr("c * c")).as("sumsq"),
+      max(col("c")).as("mx"))
+    val cat = Tables(spark, dir).part.agg(count(lit(1)).as("n_catalog"))
+    stats.crossJoin(broadcast(cat))
+      .selectExpr("CAST(n_catalog AS BIGINT) AS n_catalog",
+        "CAST(n_recommended AS BIGINT) AS n_recommended",
+        "CAST(n_recommended AS DOUBLE) / CAST(n_catalog AS DOUBLE) AS coverage",
+        """CAST(1 AS DOUBLE) - CAST(sumsq AS DOUBLE)
+          | / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS rec_concentration""".stripMargin,
+        "CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS top_rec_share")
+  }
+
+  val recsCoverageProfileSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_cooccur
+      |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT p1, p2,
+      |        row_number() OVER (PARTITION BY p1 ORDER BY n_cooccur DESC, p2) AS rk
+      |      FROM pairs),
+      |recs AS (SELECT p1, p2 FROM r WHERE rk <= 3),
+      |app AS (SELECT p2, CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_recommended,
+      |    CAST(sum(c) AS BIGINT) AS tot,
+      |    CAST(sum(c * c) AS BIGINT) AS sumsq,
+      |    CAST(max(c) AS BIGINT) AS mx
+      |  FROM app),
+      |cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM part)
+      |SELECT n_catalog, n_recommended,
+      |  CAST(n_recommended AS DOUBLE) / CAST(n_catalog AS DOUBLE) AS coverage,
+      |  CAST(1 AS DOUBLE) - CAST(sumsq AS DOUBLE)
+      |   / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS rec_concentration,
+      |  CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS top_rec_share
+      |FROM s, cat""".stripMargin
+
   /** Relative-standing windows: percent_rank + cume_dist per priority
     * class over a total order (totalprice, key tiebreak). Both
     * functions are integer-ratio divisions ((rank−1)/(n−1),

@@ -395,6 +395,19 @@ class Round13Spec extends AnyFunSuite {
     if (s > 0) assert(math.abs(ti - 99.0 / s) < 1e-9)
   }
 
+  test("recs_coverage_profile: coverage and concentration bounded, shares consistent") {
+    val r = graft.operators.Analytics.recsCoverageProfile(spark, sf).collect().head
+    val cov = r.getAs[Double]("coverage")
+    val conc = r.getAs[Double]("rec_concentration")
+    val top = r.getAs[Double]("top_rec_share")
+    assert(cov > 0 && cov <= 1.0 + 1e-12)
+    assert(r.getAs[Long]("n_recommended") <= r.getAs[Long]("n_catalog"))
+    assert(conc >= -1e-12 && conc < 1.0, "Gini-Simpson lives in [0, 1)")
+    assert(top > 0 && top <= 1.0)
+    // 1 - conc = sum p^2 >= top^2 (the max share's own square is in the sum)
+    assert(1.0 - conc >= top * top - 1e-12)
+  }
+
   test("ann_mmr_rerank: full rank spine per query, no repeats, penalty bites") {
     val rows = graft.operators.Ann.annMmrRerank(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
