@@ -1536,6 +1536,118 @@ object Commerce {
       |  CAST(CAST(sum(total_c) AS BIGINT) / 100 AS DOUBLE) AS total_spend
       |FROM b GROUP BY band ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------- survival_km_curve
+
+  private val KmCensorDays = 90
+
+  /** Kaplan–Meier survival curve of customer lifetime (weeks from
+    * first to last order; a customer whose last order is within
+    * [[KmCensorDays]] of the dataset horizon is CENSORED — still
+    * alive, their tail unobserved): S(t) = Π_{u≤t} (1 − d_u/n_u),
+    * the product-limit estimator that uses censored lifetimes
+    * correctly, which `survival_hazard`'s raw per-period rates and
+    * `churn_dormancy`'s bucket profile don't attempt. The product is
+    * exp(Σ ln(1−h)) with BOTH transcendentals engine-exact
+    * ([[graft.functions.ExactLn]] / [[graft.functions.ExactExp]] —
+    * the round-trip composition is the first in the repo), so the
+    * whole curve hash-matches; a week where the entire risk set
+    * exits churned (h = 1, only possible at the curve's end) is
+    * handled by a cumulative dead-flag, survival exactly 0, with
+    * the CASE discarding the out-of-domain ln identically on both
+    * engines.
+    *
+    * Scale shape: ONE orders pass reduces to customer grain
+    * map-side, then to the bounded week spine; risk sets are a
+    * reverse cumulative sum over that spine (calendar-bounded
+    * window, the sprt convention). ExactExp domain: |log S| ≤ 40
+    * holds while S ≥ e⁻⁴⁰ — at realistic cohort sizes S ≥ 1/n well
+    * inside it.
+    */
+  def survivalKmCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ExactExp, ExactLn}
+    val per = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("first_d"),
+        max(col("o_orderdate").cast("date")).as("last_d"))
+    val anchor = Tables(spark, dir).orders
+      .agg(max(col("o_orderdate").cast("date")).as("anchor"))
+    val weekly = per.crossJoin(broadcast(anchor))
+      .select(
+        expr("CAST(datediff(last_d, first_d) AS BIGINT) div 7").as("t"),
+        when(datediff(col("anchor"), col("last_d")).cast("long") > KmCensorDays, 1L)
+          .otherwise(0L).as("churned"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("leaving"), sum(col("churned")).as("d"))
+    val wAsc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    weekly
+      .withColumn("n_risk", sum(col("leaving")).over(wDesc))
+      .withColumn("h", expr("CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)"))
+      .withColumn("s1h", expr("CAST(1 AS DOUBLE) - h"))
+      .withColumn("__y", expr(ExactLn.yExpr("s1h")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("lnt", expr(
+        s"CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE) ELSE ${ExactLn.lnExpr("__z")} END"))
+      .withColumn("logS", sum(expr("CAST(round(lnt, 9) AS DECIMAL(18,9))")).over(wAsc))
+      .withColumn("dead", max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wAsc))
+      .withColumn("ls", expr("CAST(logS AS DOUBLE)"))
+      .withColumn("__u", expr(ExactExp.uExpr("ls")))
+      .withColumn("__p", expr(ExactExp.pExpr("__u")))
+      .selectExpr("CAST(t AS BIGINT) AS week", "n_risk",
+        "CAST(d AS BIGINT) AS n_events",
+        "CAST(leaving - d AS BIGINT) AS n_censored",
+        "h AS hazard",
+        s"""CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+           |ELSE ${ExactExp.expExpr("__p")} END AS survival""".stripMargin)
+      .orderBy("week")
+  }
+
+  val survivalKmCurveSql: String = {
+    import graft.functions.{ExactExp, ExactLn}
+    s"""WITH per AS (
+       |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d,
+       |    max(CAST(o_orderdate AS DATE)) AS last_d
+       |  FROM orders GROUP BY 1),
+       |anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+       |cust AS (
+       |  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) // 7 AS t,
+       |    CASE WHEN CAST(date_diff('day', last_d, anchor) AS BIGINT) > $KmCensorDays
+       |         THEN 1 ELSE 0 END AS churned
+       |  FROM per, anchor),
+       |weekly AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS leaving,
+       |    CAST(sum(churned) AS BIGINT) AS d
+       |  FROM cust GROUP BY 1),
+       |risk AS (
+       |  SELECT *,
+       |    CAST(sum(leaving) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+       |  FROM weekly),
+       |hz AS (SELECT *, CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h,
+       |    CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS s1h
+       |  FROM risk),
+       |y AS (SELECT *, ${ExactLn.yExpr("s1h")} AS __y FROM hz),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |l AS (SELECT *,
+       |    CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE) ELSE ${ExactLn.lnExpr("__z")} END AS lnt
+       |  FROM z),
+       |c AS (
+       |  SELECT *,
+       |    sum(CAST(round(lnt, 9) AS DECIMAL(18,9))) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS logS,
+       |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+       |  FROM l),
+       |e AS (SELECT *, CAST(logS AS DOUBLE) AS ls FROM c),
+       |u AS (SELECT *, ${ExactExp.uExpr("ls")} AS __u FROM e),
+       |p AS (SELECT *, ${ExactExp.pExpr("__u")} AS __p FROM u)
+       |SELECT t AS week, n_risk, d AS n_events,
+       |  CAST(leaving - d AS BIGINT) AS n_censored,
+       |  h AS hazard,
+       |  CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+       |  ELSE ${ExactExp.expExpr("__p")} END AS survival
+       |FROM p ORDER BY week""".stripMargin
+  }
+
   // ------------------------------------------------- mantel_haenszel_effect
 
   /** Mantel–Haenszel pooled risk ratio of the A/B conversion effect

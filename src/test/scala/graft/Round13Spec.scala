@@ -408,6 +408,38 @@ class Round13Spec extends AnyFunSuite {
     assert(1.0 - conc >= top * top - 1e-12)
   }
 
+  test("ExactExp matches Math.exp to 1e-13 relative across the domain") {
+    import graft.functions.ExactExp
+    import spark.implicits._
+    val xs = (-40 to 40).map(_.toDouble) ++
+      Seq(-0.5, -1e-9, 0.0, 1e-9, 0.5, 1.0, math.Pi, -math.Pi, 39.9, -39.9)
+    val got = xs.toDF("x")
+      .withColumn("__u", expr(ExactExp.uExpr("x")))
+      .withColumn("__p", expr(ExactExp.pExpr("__u")))
+      .withColumn("ex", expr(ExactExp.expExpr("__p")))
+      .select("x", "ex").collect()
+    got.foreach { r =>
+      val x = r.getDouble(0); val e = r.getDouble(1)
+      assert(math.abs(e - math.exp(x)) <= 1e-13 * math.exp(x),
+        s"ExactExp($x) = $e vs Math.exp = ${math.exp(x)}")
+    }
+  }
+
+  test("survival_km_curve: survival monotone non-increasing in [0,1], risk set shrinks") {
+    val rows = graft.operators.Commerce.survivalKmCurve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var lastS = 1.0; var lastN = Long.MaxValue
+    rows.foreach { r =>
+      val s = r.getAs[Double]("survival"); val n = r.getAs[Long]("n_risk")
+      val d = r.getAs[Long]("n_events"); val c = r.getAs[Long]("n_censored")
+      assert(s >= -1e-15 && s <= lastS + 1e-12,
+        s"survival must be non-increasing in [0,1]: $s after $lastS")
+      assert(n <= lastN, "the risk set can only shrink")
+      assert(d + c <= n, "exits cannot exceed the risk set")
+      lastS = s; lastN = n
+    }
+  }
+
   test("ann_mmr_rerank: full rank spine per query, no repeats, penalty bites") {
     val rows = graft.operators.Ann.annMmrRerank(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
