@@ -1536,6 +1536,95 @@ object Commerce {
       |  CAST(CAST(sum(total_c) AS BIGINT) / 100 AS DOUBLE) AS total_spend
       |FROM b GROUP BY band ORDER BY band""".stripMargin
 
+  // -------------------------------------------------------------- odds_ratio_ci
+
+  /** Odds ratio of the A/B conversion 2×2 with the Woolf log-normal
+    * 95% CI: OR = ad/bc, SE(ln OR) = √(1/a+1/b+1/c+1/d), bounds
+    * exp(ln OR ± 1.96·SE) — the effect-size readout epidemiology and
+    * experimentation quote when rates are small and relative effect
+    * is what matters (`ab_test_conversion` gives the z;
+    * `conversion_wilson_ci` intervals each ARM — this intervals the
+    * EFFECT). The ln and both exp's are engine-exact
+    * ([[graft.functions.ExactLn]]/[[graft.functions.ExactExp]]), all
+    * four cell counts cast to double individually (sub-2⁵³), so the
+    * entire CI hash-matches. One row; `significant` = CI excludes 1.
+    *
+    * Scale shape: the ab_test user-day aggregate; everything after
+    * is scalar arithmetic on one row.
+    */
+  def oddsRatioCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ExactExp, ExactLn}
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(max(col("p")).as("converted"))
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+    ud.agg(
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("a"),
+        sum(when(col("variant") === 1, lit(1L) - col("converted")).otherwise(0L)).as("b"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("c"),
+        sum(when(col("variant") === 0, lit(1L) - col("converted")).otherwise(0L)).as("dd"))
+      .withColumn("or_", expr(
+        "(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)) / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"))
+      .withColumn("__y", expr(ExactLn.yExpr("or_")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("lor", expr(ExactLn.lnExpr("__z")))
+      .withColumn("se", expr(
+        "sqrt(CAST(1 AS DOUBLE)/CAST(a AS DOUBLE) + CAST(1 AS DOUBLE)/CAST(b AS DOUBLE)" +
+          " + CAST(1 AS DOUBLE)/CAST(c AS DOUBLE) + CAST(1 AS DOUBLE)/CAST(dd AS DOUBLE))"))
+      .withColumn("lo", expr("lor - CAST(1.96 AS DOUBLE) * se"))
+      .withColumn("hi", expr("lor + CAST(1.96 AS DOUBLE) * se"))
+      .withColumn("__ul", expr(ExactExp.uExpr("lo")))
+      .withColumn("__pl", expr(ExactExp.pExpr("__ul")))
+      .withColumn("__uh", expr(ExactExp.uExpr("hi")))
+      .withColumn("__ph", expr(ExactExp.pExpr("__uh")))
+      .selectExpr("a AS conv_b", "b AS noconv_b", "c AS conv_a", "dd AS noconv_a",
+        "or_ AS odds_ratio", "lor AS ln_or", "se",
+        s"${ExactExp.expExpr("__pl")} AS or_low",
+        s"${ExactExp.expExpr("__ph")} AS or_high",
+        s"""CASE WHEN ${ExactExp.expExpr("__pl")} > CAST(1 AS DOUBLE)
+           |  OR ${ExactExp.expExpr("__ph")} < CAST(1 AS DOUBLE)
+           |THEN 1 ELSE 0 END AS significant""".stripMargin)
+  }
+
+  val oddsRatioCiSql: String = {
+    import graft.functions.{ExactExp, ExactLn}
+    s"""WITH ud AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+       |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 2 AS variant
+       |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+       |cell AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 - converted ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 - converted ELSE 0 END) AS BIGINT) AS dd
+       |  FROM ud),
+       |o AS (SELECT *, (CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)) / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS or_ FROM cell),
+       |y AS (SELECT *, ${ExactLn.yExpr("or_")} AS __y FROM o),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |l AS (SELECT *, ${ExactLn.lnExpr("__z")} AS lor,
+       |    sqrt(CAST(1 AS DOUBLE)/CAST(a AS DOUBLE) + CAST(1 AS DOUBLE)/CAST(b AS DOUBLE)
+       |      + CAST(1 AS DOUBLE)/CAST(c AS DOUBLE) + CAST(1 AS DOUBLE)/CAST(dd AS DOUBLE)) AS se
+       |  FROM z),
+       |bnd AS (SELECT *, lor - CAST(1.96 AS DOUBLE) * se AS lo, lor + CAST(1.96 AS DOUBLE) * se AS hi FROM l),
+       |eu AS (SELECT *, ${ExactExp.uExpr("lo")} AS __ul, ${ExactExp.uExpr("hi")} AS __uh FROM bnd),
+       |ep AS (SELECT *, ${ExactExp.pExpr("__ul")} AS __pl, ${ExactExp.pExpr("__uh")} AS __ph FROM eu)
+       |SELECT a AS conv_b, b AS noconv_b, c AS conv_a, dd AS noconv_a,
+       |  or_ AS odds_ratio, lor AS ln_or, se,
+       |  ${ExactExp.expExpr("__pl")} AS or_low,
+       |  ${ExactExp.expExpr("__ph")} AS or_high,
+       |  CASE WHEN ${ExactExp.expExpr("__pl")} > CAST(1 AS DOUBLE)
+       |    OR ${ExactExp.expExpr("__ph")} < CAST(1 AS DOUBLE)
+       |  THEN 1 ELSE 0 END AS significant
+       |FROM ep""".stripMargin
+  }
+
   // ---------------------------------------------------------- survival_km_curve
 
   private val KmCensorDays = 90

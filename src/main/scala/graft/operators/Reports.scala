@@ -2867,6 +2867,99 @@ object Reports {
       |  CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS rev_share
       |FROM t ORDER BY depth_pct""".stripMargin
 
+  // ---------------------------------------------------------- loglog_elasticity
+
+  /** Canonical log-log demand elasticity per brand: regress
+    * ln(quantity) on ln(net unit price) across the brand's realized
+    * price points — the OLS slope IS the constant-elasticity
+    * exponent (`arc_elasticity` reads one adjacent-period arc;
+    * `cross_price_elasticity` reads brand pairs; this is the curve
+    * fit pricing actually quotes, and `discount_depth_response` is
+    * the raw table it fits). Price points are exact cents (net of
+    * discount, rounded), quantities exact sums; both logs are
+    * engine-exact [[graft.functions.ExactLn]]; per-brand moments
+    * reduce via round-to-decimal sums and the slope is the
+    * `regression_trend` fixed-order form. Degenerate brands (single
+    * price point) report 0.
+    *
+    * Scale shape: one lineitem pass joins the broadcast part dim,
+    * partial-aggregates to (brand, price-point) — bounded by the
+    * brand × realized-price grid — then to brand grain.
+    */
+  def loglogElasticity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val t = Tables(spark, dir)
+    val pts = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) / l_quantity * 100) AS BIGINT)").as("price_c"),
+        col("l_quantity"))
+      .groupBy(col("p_brand"), col("price_c"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    pts
+      .withColumn("px", expr("CAST(price_c AS DOUBLE) / CAST(100 AS DOUBLE)"))
+      .withColumn("qy", expr("CAST(qty AS DOUBLE)"))
+      .withColumn("__yx", expr(ExactLn.yExpr("px")))
+      .withColumn("__zx", expr(ExactLn.zExpr("__yx")))
+      .withColumn("__yy", expr(ExactLn.yExpr("qy")))
+      .withColumn("__zy", expr(ExactLn.zExpr("__yy")))
+      .withColumn("lx", expr(ExactLn.lnExpr("__zx")))
+      .withColumn("ly", expr(ExactLn.lnExpr("__zy")))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(expr("CAST(round(lx, 9) AS DECIMAL(18,9))")).as("sx"),
+        sum(expr("CAST(round(ly, 9) AS DECIMAL(18,9))")).as("sy"),
+        sum(expr("CAST(round(lx * ly, 9) AS DECIMAL(18,9))")).as("sxy"),
+        sum(expr("CAST(round(lx * lx, 9) AS DECIMAL(18,9))")).as("sxx"))
+      .selectExpr("p_brand AS brand", "CAST(n_points AS BIGINT) AS n_points",
+        """CASE WHEN CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = CAST(0 AS DOUBLE)
+          |THEN CAST(0 AS DOUBLE)
+          |ELSE (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS elasticity""".stripMargin,
+        "CAST(sx AS DOUBLE) / CAST(n_points AS DOUBLE) AS ln_price_mean",
+        "CAST(sy AS DOUBLE) / CAST(n_points AS DOUBLE) AS ln_qty_mean")
+      .orderBy("brand")
+  }
+
+  val loglogElasticitySql: String = {
+    import graft.functions.ExactLn
+    s"""WITH pts AS (
+       |  SELECT p_brand,
+       |    CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) / l_quantity * 100) AS BIGINT) AS price_c,
+       |    l_quantity
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |g AS (
+       |  SELECT p_brand, price_c, CAST(sum(l_quantity) AS BIGINT) AS qty
+       |  FROM pts GROUP BY 1, 2),
+       |d AS (SELECT *, CAST(price_c AS DOUBLE) / CAST(100 AS DOUBLE) AS px,
+       |    CAST(qty AS DOUBLE) AS qy FROM g),
+       |y AS (SELECT *, ${ExactLn.yExpr("px")} AS __yx, ${ExactLn.yExpr("qy")} AS __yy FROM d),
+       |z AS (SELECT *, ${ExactLn.zExpr("__yx")} AS __zx, ${ExactLn.zExpr("__yy")} AS __zy FROM y),
+       |l AS (SELECT *, ${ExactLn.lnExpr("__zx")} AS lx, ${ExactLn.lnExpr("__zy")} AS ly FROM z),
+       |m AS (
+       |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_points,
+       |    sum(CAST(round(lx, 9) AS DECIMAL(18,9))) AS sx,
+       |    sum(CAST(round(ly, 9) AS DECIMAL(18,9))) AS sy,
+       |    sum(CAST(round(lx * ly, 9) AS DECIMAL(18,9))) AS sxy,
+       |    sum(CAST(round(lx * lx, 9) AS DECIMAL(18,9))) AS sxx
+       |  FROM l GROUP BY 1)
+       |SELECT p_brand AS brand, n_points,
+       |  CASE WHEN CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = CAST(0 AS DOUBLE)
+       |  THEN CAST(0 AS DOUBLE)
+       |  ELSE (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS elasticity,
+       |  CAST(sx AS DOUBLE) / CAST(n_points AS DOUBLE) AS ln_price_mean,
+       |  CAST(sy AS DOUBLE) / CAST(n_points AS DOUBLE) AS ln_qty_mean
+       |FROM m ORDER BY brand""".stripMargin
+  }
+
   // ------------------------------------------------------------ hill_tail_index
 
   private val HillK = 100

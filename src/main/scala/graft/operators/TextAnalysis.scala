@@ -1892,9 +1892,13 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_bigrams"),
         sum(expr("CAST(round(nll, 9) AS DECIMAL(18,9))")).as("sd"))
+      .withColumn("hh", expr("CAST(sd AS DOUBLE) / CAST(n_bigrams AS DOUBLE)"))
+      .withColumn("__u", expr(graft.functions.ExactExp.uExpr("hh")))
+      .withColumn("__p", expr(graft.functions.ExactExp.pExpr("__u")))
       .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
         "CAST(n_bigrams AS BIGINT) AS n_bigrams",
-        "CAST(sd AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS cross_entropy_nats")
+        "hh AS cross_entropy_nats",
+        s"${graft.functions.ExactExp.expExpr("__p")} AS perplexity")
       .orderBy("source")
   }
 
@@ -1924,12 +1928,18 @@ object TextAnalysis {
        |  WHERE tst.split = 'test'),
        |y AS (SELECT *, ${ExactLn.yExpr("p")} AS __y FROM te),
        |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
-       |x AS (SELECT *, -(${ExactLn.lnExpr("__z")}) AS nll FROM z)
-       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       |  CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  CAST(sum(CAST(round(nll, 9) AS DECIMAL(18,9))) AS DOUBLE)
-       |    / CAST(count(*) AS DOUBLE) AS cross_entropy_nats
-       |FROM x GROUP BY 1 ORDER BY source""".stripMargin
+       |x AS (SELECT *, -(${ExactLn.lnExpr("__z")}) AS nll FROM z),
+       |agg AS (
+       |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CAST(round(nll, 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS hh
+       |  FROM x GROUP BY 1),
+       |eu AS (SELECT *, ${graft.functions.ExactExp.uExpr("hh")} AS __u FROM agg),
+       |ep AS (SELECT *, ${graft.functions.ExactExp.pExpr("__u")} AS __p FROM eu)
+       |SELECT source, n_docs, n_bigrams, hh AS cross_entropy_nats,
+       |  ${graft.functions.ExactExp.expExpr("__p")} AS perplexity
+       |FROM ep ORDER BY source""".stripMargin
   }
 
   // -------------------------------------------------------- weighted_sample_topk

@@ -440,6 +440,38 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("loglog_elasticity: every brand fitted on a real price grid, finite slope") {
+    val rows = graft.operators.Reports.loglogElasticity(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_points") > 1, "a demand curve needs >1 price point")
+      val e = r.getAs[Double]("elasticity")
+      assert(!e.isNaN && !e.isInfinite)
+      assert(r.getAs[Double]("ln_price_mean") > 0, "prices are > $1")
+    }
+  }
+
+  test("odds_ratio_ci: CI brackets the point estimate, flag matches the interval") {
+    val r = graft.operators.Commerce.oddsRatioCi(spark, sf).collect().head
+    val or = r.getAs[Double]("odds_ratio")
+    val lo = r.getAs[Double]("or_low"); val hi = r.getAs[Double]("or_high")
+    assert(or > 0 && lo > 0 && lo <= or + 1e-9 && or <= hi + 1e-9)
+    assert(math.abs(r.getAs[Double]("ln_or") - math.log(or)) < 1e-12)
+    val sig = r.getAs[Int]("significant")
+    assert(sig == (if (lo > 1.0 || hi < 1.0) 1 else 0))
+  }
+
+  test("bigram perplexity column is exp of the cross-entropy") {
+    val rows = graft.operators.TextAnalysis.bigramPerplexityBySource(spark, sf).collect()
+    rows.foreach { r =>
+      val h = r.getAs[Double]("cross_entropy_nats")
+      val p = r.getAs[Double]("perplexity")
+      assert(p >= 1.0 - 1e-12, "perplexity of any model is >= 1")
+      assert(math.abs(p - math.exp(h)) <= 1e-12 * p,
+        s"perplexity $p must be exp($h)")
+    }
+  }
+
   test("ann_mmr_rerank: full rank spine per query, no repeats, penalty bites") {
     val rows = graft.operators.Ann.annMmrRerank(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
