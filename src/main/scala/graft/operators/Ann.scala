@@ -2157,6 +2157,28 @@ object Ann {
 
   private val NdcgK = 10
 
+  /** Oracle twin of [[evalRankedTopK]] — the labeled cosine top-10
+    * CTE chain shared verbatim by the NDCG and MRR oracle texts. */
+  private lazy val EvalRankedCte: String =
+    s"""q6 AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1e6) AS BIGINT)) AS q FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS d FROM q6),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
+       |rels AS (SELECT qq.vec_id AS query_id, cc.vec_id AS cid,
+       |    any_value(qq.label) AS q_label, any_value(cc.label) AS c_label,
+       |    CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS relv
+       |  FROM q6 qq JOIN q6 cc ON qq.vec_id < $NumQueries AND cc.vec_id != qq.vec_id
+       |    JOIN ex a ON a.vec_id = qq.vec_id
+       |    JOIN ex b ON b.vec_id = cc.vec_id AND b.d = a.d
+       |    JOIN nrm na ON na.vec_id = qq.vec_id
+       |    JOIN nrm nb ON nb.vec_id = cc.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, cid, rank,
+       |    CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY relv DESC, cid) AS rank
+       |        FROM rels) z
+       |  WHERE rank <= $NdcgK)""".stripMargin
+
   /** NDCG@10 of the cosine retrieval against label relevance: does
     * the embedding space rank same-label neighbors FIRST, not just
     * somewhere in the top-k (`ann_recall_eval` scores set overlap —
@@ -2173,22 +2195,35 @@ object Ann {
     * map-only scan (IVF-probe swappable); everything after is ≤10
     * rows per query.
     */
+  /** Shared labeled top-[[NdcgK]] ranking for the retrieval evals
+    * (`ann_ndcg_eval`, `ann_mrr_eval`): q6 micro-unit cosine with the
+    * deterministic (relv desc, cid) order, rel = label equality.
+    * Session-shared via [[graft.core.SharedFrames]] — candidate
+    * scoring is the one expensive pass; both evals are ≤10-rows-per-
+    * query arithmetic on top of it.
+    */
+  private def evalRankedTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.get(spark, "ann.evalRanked", dir,
+      Set("ann_ndcg_eval", "ann_mrr_eval")) {
+      graft.functions.DotProduct.register(spark)
+      val e = Tables(spark, dir).embeddings
+      val q6 = withQ6Norm(e, "uid", "u", "nrm")
+        .join(e.select(col("vec_id").as("uid"), col("label")), Seq("uid"))
+      val q = q6.toDF("query_id", "q_emb", "q_n", "q_label")
+        .filter(col("query_id") < NumQueries)
+      val wRel = Window.partitionBy("query_id").orderBy(col("relv").desc, col("cid"))
+      q6.toDF("cid", "c_emb", "c_n", "c_label")
+        .join(broadcast(q), col("query_id") =!= col("cid"))
+        .withColumn("relv", expr("graft_dot(q_emb, c_emb) / (q_n * c_n)"))
+        .withColumn("rank", row_number().over(wRel))
+        .filter(col("rank") <= NdcgK)
+        .select(col("query_id"), col("cid"), col("rank"),
+          when(col("c_label") === col("q_label"), 1L).otherwise(0L).as("rel"))
+    }
+
   def annNdcgEval(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactLn
-    graft.functions.DotProduct.register(spark)
-    val e = Tables(spark, dir).embeddings
-    val q6 = withQ6Norm(e, "uid", "u", "nrm")
-      .join(e.select(col("vec_id").as("uid"), col("label")), Seq("uid"))
-    val q = q6.toDF("query_id", "q_emb", "q_n", "q_label")
-      .filter(col("query_id") < NumQueries)
-    val wRel = Window.partitionBy("query_id").orderBy(col("relv").desc, col("cid"))
-    val ranked = q6.toDF("cid", "c_emb", "c_n", "c_label")
-      .join(broadcast(q), col("query_id") =!= col("cid"))
-      .withColumn("relv", expr("graft_dot(q_emb, c_emb) / (q_n * c_n)"))
-      .withColumn("rank", row_number().over(wRel))
-      .filter(col("rank") <= NdcgK)
-      .select(col("query_id"), col("cid"), col("rank"),
-        when(col("c_label") === col("q_label"), 1L).otherwise(0L).as("rel"))
+    val ranked = evalRankedTopK(spark, dir)
     val wIdeal = Window.partitionBy("query_id")
       .orderBy(col("rel").desc, col("rank"))
     ranked
@@ -2217,24 +2252,7 @@ object Ann {
 
   val annNdcgEvalSql: String = {
     import graft.functions.ExactLn
-    s"""WITH q6 AS (SELECT vec_id, label, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1e6) AS BIGINT)) AS q FROM embeddings),
-       |ex AS (SELECT vec_id, unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS d FROM q6),
-       |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv*qv) AS DOUBLE)) AS nrm FROM ex GROUP BY vec_id),
-       |rels AS (SELECT qq.vec_id AS query_id, cc.vec_id AS cid,
-       |    any_value(qq.label) AS q_label, any_value(cc.label) AS c_label,
-       |    CAST(sum(a.qv * b.qv) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) AS relv
-       |  FROM q6 qq JOIN q6 cc ON qq.vec_id < $NumQueries AND cc.vec_id != qq.vec_id
-       |    JOIN ex a ON a.vec_id = qq.vec_id
-       |    JOIN ex b ON b.vec_id = cc.vec_id AND b.d = a.d
-       |    JOIN nrm na ON na.vec_id = qq.vec_id
-       |    JOIN nrm nb ON nb.vec_id = cc.vec_id
-       |  GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT query_id, cid, rank,
-       |    CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY relv DESC, cid) AS rank
-       |        FROM rels) z
-       |  WHERE rank <= $NdcgK),
+    s"""WITH $EvalRankedCte,
        |ir AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rank) AS ideal_rank FROM ranked),
        |ya AS (SELECT *, ${ExactLn.yExpr("CAST(rank + 1 AS DOUBLE)")} AS __ya, ${ExactLn.yExpr("CAST(ideal_rank + 1 AS DOUBLE)")} AS __yi, ${ExactLn.yExpr("2.0")} AS __y2 FROM ir),
        |za AS (SELECT *, ${ExactLn.zExpr("__ya")} AS __za, ${ExactLn.zExpr("__yi")} AS __zi, ${ExactLn.zExpr("__y2")} AS __z2 FROM ya),
@@ -2253,6 +2271,58 @@ object Ann {
        |  ELSE CAST(dcgd AS DOUBLE) / CAST(idcgd AS DOUBLE) END AS ndcg
        |FROM agg ORDER BY query_id""".stripMargin
   }
+
+  // ------------------------------------------------------------- ann_mrr_eval
+
+  /** MRR@10 over the SAME labeled ranking `ann_ndcg_eval` scores
+    * ([[evalRankedTopK]], session-shared): reciprocal rank of the
+    * FIRST same-label hit, 0 when nothing relevant lands in the
+    * top-10 — the metric retrieval evals quote when only the first
+    * useful hit matters (RAG context slot 1, known-item search).
+    * rr is an exact small-integer ratio in double; the pooled MRR
+    * reduces via the round-to-decimal sum, so everything
+    * hash-matches. Per-query rows, pooled `mrr` on every row (the
+    * psi_total convention).
+    *
+    * Scale shape: candidate generation is the shared broadcast-query
+    * map-only scan; this query adds one ≤10-rows-per-query aggregate
+    * and a 1-row broadcast for the pooled mean.
+    */
+  def annMrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val per = evalRankedTopK(spark, dir)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1L, col("rank"))).as("fr"))
+      .withColumn("first_rel_rank", coalesce(col("fr"), lit(0)).cast("long"))
+      .withColumn("rr", expr(
+        """CASE WHEN first_rel_rank = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(1 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE) END""".stripMargin))
+    val pooled = per.agg(
+        sum(expr("CAST(round(rr, 9) AS DECIMAL(18,9))")).as("rrd"),
+        count(lit(1)).as("nq"))
+      .selectExpr("CAST(rrd AS DOUBLE) / CAST(nq AS DOUBLE) AS mrr")
+    per.crossJoin(broadcast(pooled))
+      .selectExpr("query_id", "CAST(k AS BIGINT) AS k",
+        "CAST(n_rel AS BIGINT) AS n_rel", "first_rel_rank",
+        "rr AS reciprocal_rank", "mrr")
+      .orderBy("query_id")
+  }
+
+  val annMrrEvalSql: String =
+    s"""WITH $EvalRankedCte,
+       |per AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(rel) AS BIGINT) AS n_rel,
+       |    CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT) AS first_rel_rank
+       |  FROM ranked GROUP BY 1),
+       |pr AS (SELECT *,
+       |    CASE WHEN first_rel_rank = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(1 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE) END AS rr
+       |  FROM per),
+       |pool AS (SELECT CAST(sum(CAST(round(rr, 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS mrr FROM pr)
+       |SELECT query_id, k, n_rel, first_rel_rank, rr AS reciprocal_rank, mrr
+       |FROM pr, pool ORDER BY query_id""".stripMargin
 
   // ----------------------------------------------------------- ann_mmr_rerank
 

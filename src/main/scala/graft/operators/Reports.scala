@@ -3022,4 +3022,90 @@ object Reports {
        |  ELSE CAST(k - 1 AS DOUBLE) / CAST(sd AS DOUBLE) END AS tail_index
        |FROM a""".stripMargin
   }
+
+  // ---------------------------------------------------------- newsvendor_stock
+
+  // critical ratio 0.8 as the exact integer rank ceil(8n/10) =
+  // (8n+9) div 10 — never floor(n·0.8) in IEEE (5·0.8 rounds to
+  // 4.000000000000000222 and ceil'ing it is off by one)
+  private val NewsvendorEpoch = "1990-01-01"
+
+  /** Newsvendor stocking level per brand: the critical-ratio (0.8)
+    * quantile of WEEKLY shipped demand — the classic single-period
+    * inventory answer (stock at P[demand ≤ S] ≥ cu/(cu+co)), which
+    * `inventory_reorder_point`'s mean+safety-stock normal
+    * approximation isn't: this one reads the EMPIRICAL distribution,
+    * so it's right under skew and intermittency. Quantiles are exact
+    * order statistics via the integer ceil-rank (no percentile_disc
+    * — its edge-interpolation differs subtly across engines), plus
+    * the achieved service level = share of weeks the chosen stock
+    * would have covered. mean_weekly is exact-integer / count.
+    *
+    * Scale shape: ONE lineitem pass with the part dim broadcast
+    * reduces to (brand, week) — partial aggregation map-side; the
+    * rank window partitions by brand over the bounded week spine;
+    * the coverage re-join is brand-keyed on that same bounded frame.
+    */
+  def newsvendorStock(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val weekly = graft.core.OwnedCaches.own(
+      t.lineitem
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          expr(s"CAST(datediff(CAST(l_shipdate AS DATE), DATE'$NewsvendorEpoch') AS BIGINT) div 7")
+            .as("wk"))
+        .agg(sum(col("l_quantity").cast("decimal(18,0)")).cast("long").as("demand"))
+        .cache())
+    val wD = Window.partitionBy("p_brand").orderBy(col("demand"), col("wk"))
+    val per = weekly
+      .withColumn("rn", row_number().over(wD))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("p_brand")))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_weeks"), sum(col("demand")).as("tot"),
+        max(when(col("rn") === expr("(8 * cnt + 9) div 10"), col("demand"))).as("stock"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("demand"))).as("p50"))
+    val svc = weekly
+      .join(per.select(col("p_brand"), col("stock")), Seq("p_brand"))
+      .groupBy(col("p_brand"))
+      .agg(sum(when(col("demand") <= col("stock"), 1L).otherwise(0L)).as("wk_cov"))
+    per.join(svc, Seq("p_brand"))
+      .selectExpr("p_brand AS brand", "CAST(n_weeks AS BIGINT) AS n_weeks",
+        "CAST(tot AS DOUBLE) / CAST(n_weeks AS DOUBLE) AS mean_weekly",
+        "CAST(p50 AS BIGINT) AS p50_demand",
+        "CAST(stock AS BIGINT) AS stock_level",
+        "CAST(wk_cov AS DOUBLE) / CAST(n_weeks AS DOUBLE) AS service_level")
+      .orderBy("brand")
+  }
+
+  val newsvendorStockSql: String =
+    s"""WITH weekly AS (
+       |  SELECT p_brand,
+       |    CAST(date_diff('day', DATE '$NewsvendorEpoch', CAST(l_shipdate AS DATE)) AS BIGINT) // 7 AS wk,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS demand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY p_brand ORDER BY demand, wk) AS rn,
+       |    count(*) OVER (PARTITION BY p_brand) AS cnt
+       |  FROM weekly),
+       |per AS (
+       |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_weeks,
+       |    CAST(sum(demand) AS BIGINT) AS tot,
+       |    max(CASE WHEN rn = (8 * cnt + 9) // 10 THEN demand END) AS stock,
+       |    max(CASE WHEN rn = (cnt + 1) // 2 THEN demand END) AS p50
+       |  FROM r GROUP BY 1),
+       |svc AS (
+       |  SELECT weekly.p_brand,
+       |    CAST(sum(CASE WHEN demand <= stock THEN 1 ELSE 0 END) AS BIGINT) AS wk_cov
+       |  FROM weekly JOIN per ON weekly.p_brand = per.p_brand
+       |  GROUP BY 1)
+       |SELECT per.p_brand AS brand, n_weeks,
+       |  CAST(tot AS DOUBLE) / CAST(n_weeks AS DOUBLE) AS mean_weekly,
+       |  CAST(p50 AS BIGINT) AS p50_demand,
+       |  CAST(stock AS BIGINT) AS stock_level,
+       |  CAST(wk_cov AS DOUBLE) / CAST(n_weeks AS DOUBLE) AS service_level
+       |FROM per JOIN svc ON per.p_brand = svc.p_brand
+       |ORDER BY brand""".stripMargin
 }

@@ -3452,4 +3452,338 @@ object Stats {
        |  ELSE 'continue' END AS decision
        |FROM s ORDER BY day""".stripMargin
   }
+
+  // --------------------------------------------------------- roc_curve_points
+
+  /** ROC curve of the calibration split's rate score at USER-DAY
+    * grain: the train-half conversion frequency (the
+    * `calibration_curve` score) predicts whether EACH test-half
+    * active user-day converts — per decile threshold, cumulative
+    * TP/FP from the top score down, TPR/FPR, and Youden's J
+    * (TPR − FPR, the operating-point pick). User-day grain is what
+    * keeps both classes populated (a whole-test-half max() outcome
+    * saturates to all-positive on any engaged cohort) and is the
+    * decision a daily campaign actually scores. Complements
+    * `auc_purchase_value` (one number, rank-sum) and
+    * `calibration_curve` (probability accuracy) with the
+    * threshold-choice table. All counts exact integers; every rate
+    * is one cast-each-operand double division behind a shared
+    * zero-total CASE guard, so the curve hash-matches.
+    *
+    * Scale shape: two aggregates off one events pass (the
+    * calibration shape; the outcome side stays at user-day grain —
+    * map-side combining), a user-keyed join, then a ≤10-row decile
+    * spine — the unpartitioned windows run on that bounded spine
+    * only.
+    */
+  def rocCurvePoints(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val mid = ev.agg(expr("CAST(floor((min(ts_us) + max(ts_us)) / 2.0) AS BIGINT)").as("mid"))
+    val ud = ev.crossJoin(broadcast(mid))
+      .select(col("user_id"), (col("ts_us") <= col("mid")).as("is_train"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+    val score = ud.filter(col("is_train"))
+      .groupBy(col("user_id"), col("d")).agg(max(col("p")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("days"), sum(col("c")).as("convs"))
+      .withColumn("pred", expr("CAST(convs AS DOUBLE) / CAST(days AS DOUBLE)"))
+    val outcome = ud.filter(!col("is_train"))
+      .groupBy(col("user_id"), col("d")).agg(max(col("p")).as("y"))
+    val banded = score.join(outcome, Seq("user_id"))
+      .withColumn("band", expr("least(CAST(floor(pred * 10) AS INTEGER), 9)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_cases"), sum(col("y")).as("pos"),
+        sum(lit(1L) - col("y")).as("neg"))
+    val wDesc = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded
+      .withColumn("tp", sum(col("pos")).over(wDesc))
+      .withColumn("fp", sum(col("neg")).over(wDesc))
+      .withColumn("tot_pos", sum(col("pos")).over(Window.partitionBy()))
+      .withColumn("tot_neg", sum(col("neg")).over(Window.partitionBy()))
+      .withColumn("tpr", expr(RocRate("tp", "tot_pos")))
+      .withColumn("fpr", expr(RocRate("fp", "tot_neg")))
+      .selectExpr("CAST(band AS BIGINT) AS band",
+        "CAST(band AS DOUBLE) / CAST(10 AS DOUBLE) AS threshold",
+        "CAST(n_cases AS BIGINT) AS n_cases",
+        "CAST(tp AS BIGINT) AS tp", "CAST(fp AS BIGINT) AS fp",
+        "tpr", "fpr", "tpr - fpr AS youden_j")
+      .orderBy("band")
+  }
+
+  // shared rate text: guard the zero-total edge identically on both
+  // engines (ANSI Spark raises on /0 where DuckDB yields inf/NaN)
+  private def RocRate(num: String, den: String): String =
+    s"CASE WHEN $den = 0 THEN CAST(0 AS DOUBLE) ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END"
+
+  val rocCurvePointsSql: String =
+    s"""WITH mid AS (
+      |  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0) AS BIGINT) AS mid
+      |  FROM events),
+      |ud AS (
+      |  SELECT user_id, epoch_us(ts) <= mid AS is_train, CAST(ts AS DATE) AS d,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      |  FROM events, mid),
+      |tr AS (SELECT user_id, d, max(p) AS c FROM ud WHERE is_train GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT user_id,
+      |    CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pred
+      |  FROM tr GROUP BY 1),
+      |oc AS (SELECT user_id, d, CAST(max(p) AS BIGINT) AS y
+      |  FROM ud WHERE NOT is_train GROUP BY 1, 2),
+      |j AS (
+      |  SELECT sc.user_id, y,
+      |    least(CAST(floor(pred * 10) AS INTEGER), 9) AS band
+      |  FROM sc JOIN oc ON sc.user_id = oc.user_id),
+      |g AS (
+      |  SELECT band, CAST(count(*) AS BIGINT) AS n_cases,
+      |    CAST(sum(y) AS BIGINT) AS pos, CAST(sum(1 - y) AS BIGINT) AS neg
+      |  FROM j GROUP BY 1),
+      |w AS (
+      |  SELECT *,
+      |    CAST(sum(pos) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+      |    CAST(sum(neg) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+      |    CAST(sum(pos) OVER () AS BIGINT) AS tot_pos,
+      |    CAST(sum(neg) OVER () AS BIGINT) AS tot_neg
+      |  FROM g),
+      |r AS (
+      |  SELECT *, ${RocRate("tp", "tot_pos")} AS tpr, ${RocRate("fp", "tot_neg")} AS fpr
+      |  FROM w)
+      |SELECT CAST(band AS BIGINT) AS band,
+      |  CAST(band AS DOUBLE) / CAST(10 AS DOUBLE) AS threshold,
+      |  n_cases, tp, fp, tpr, fpr, tpr - fpr AS youden_j
+      |FROM r ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------- quadratic_trend
+
+  /** Degree-2 polynomial fit of monthly revenue (y = c + b·x + a·x²,
+    * x = months since the first month, y = monthly revenue in
+    * exact-floored kilodollars): the curvature readout
+    * `regression_trend`'s straight line can't give — is growth
+    * accelerating (a>0), decelerating, or peaking (vertex inside the
+    * observed range)? Normal equations solved in closed form by
+    * Cramer's rule on EXACT integer moments (n…Σx⁴, Σy…Σx²y — x is a
+    * small month index so Σx⁴ stays tiny; y in kdollars keeps
+    * Σx²y/Σy² well under 2⁵³ to ~sf30, coarsen units beyond), every
+    * moment cast to double individually, every derived quantity one
+    * fixed-form shared expression — the whole fit hash-matches.
+    *
+    * Scale shape: ONE orders pass partial-aggregates to the bounded
+    * month spine; moments reduce that spine to one row; the fit is
+    * scalar arithmetic.
+    */
+  def quadraticTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+      // x as BIGINT: the INT x⁴ product would overflow (ANSI throw)
+      // past a ~215-month spine
+      .withColumn("x", (col("m") - min(col("m")).over(Window.partitionBy())).cast("long"))
+    val m = monthly.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(expr("x * x")).as("sx2"), sum(expr("x * x * x")).as("sx3"),
+      sum(expr("x * x * x * x")).as("sx4"), sum(col("y")).as("sy"),
+      sum(expr("x * y")).as("sxy"), sum(expr("x * x * y")).as("sx2y"),
+      sum(expr("y * y")).as("syy"), max(col("x")).as("xmax"))
+    m.selectExpr(("*" +: QuadStage1): _*)
+      .selectExpr(("*" +: QuadStage2): _*)
+      .selectExpr("CAST(n AS BIGINT) AS n_months", "cc AS intercept",
+        "bb AS slope", "aa AS curvature", "r2",
+        """CASE WHEN aa = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |ELSE -(bb) / (CAST(2 AS DOUBLE) * aa) END AS vertex_month""".stripMargin,
+        "cc + bb * CAST(xmax AS DOUBLE) + aa * CAST(xmax AS DOUBLE) * CAST(xmax AS DOUBLE) AS fitted_last")
+  }
+
+  // Cramer's rule on the quadratic normal equations, shared text.
+  // Stage 1 computes the four determinants + coefficients; stage 2
+  // the fit diagnostics. Every moment cast to double individually.
+  private val QuadStage1: Seq[String] = {
+    def d(s: String) = s"CAST($s AS DOUBLE)"
+    val (n, sx, sx2, sx3, sx4) = (d("n"), d("sx"), d("sx2"), d("sx3"), d("sx4"))
+    val (sy, sxy, sx2y) = (d("sy"), d("sxy"), d("sx2y"))
+    val det =
+      s"($n * ($sx2 * $sx4 - $sx3 * $sx3) - $sx * ($sx * $sx4 - $sx3 * $sx2) + $sx2 * ($sx * $sx3 - $sx2 * $sx2))"
+    val dc =
+      s"($sy * ($sx2 * $sx4 - $sx3 * $sx3) - $sx * ($sxy * $sx4 - $sx3 * $sx2y) + $sx2 * ($sxy * $sx3 - $sx2 * $sx2y))"
+    val db =
+      s"($n * ($sxy * $sx4 - $sx3 * $sx2y) - $sy * ($sx * $sx4 - $sx3 * $sx2) + $sx2 * ($sx * $sx2y - $sxy * $sx2))"
+    val da =
+      s"($n * ($sx2 * $sx2y - $sxy * $sx3) - $sx * ($sx * $sx2y - $sxy * $sx2) + $sy * ($sx * $sx3 - $sx2 * $sx2))"
+    // det = 0 only on a degenerate (<3 distinct x) spine, but ANSI
+    // Spark raises on double /0 where DuckDB yields inf — guard both
+    def coef(num: String, as: String) =
+      s"""CASE WHEN $det = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+         |ELSE $num / $det END AS $as""".stripMargin
+    Seq(coef(dc, "cc"), coef(db, "bb"), coef(da, "aa"))
+  }
+
+  private val QuadStage2: Seq[String] = {
+    def d(s: String) = s"CAST($s AS DOUBLE)"
+    val rss = s"(${d("syy")} - CAST(2 AS DOUBLE) * (cc * ${d("sy")} + bb * ${d("sxy")} + aa * ${d("sx2y")})" +
+      s" + cc * cc * ${d("n")} + bb * bb * ${d("sx2")} + aa * aa * ${d("sx4")}" +
+      s" + CAST(2 AS DOUBLE) * (cc * bb * ${d("sx")} + cc * aa * ${d("sx2")} + aa * bb * ${d("sx3")}))"
+    val sst = s"(${d("syy")} - ${d("sy")} * ${d("sy")} / ${d("n")})"
+    Seq(
+      s"""CASE WHEN $sst = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+         |ELSE CAST(1 AS DOUBLE) - $rss / $sst END AS r2""".stripMargin)
+  }
+
+  val quadraticTrendSql: String = {
+    val s1 = QuadStage1.mkString(",\n    ")
+    val s2 = QuadStage2.mkString(",\n    ")
+    s"""WITH monthly0 AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |monthly AS (SELECT *, m - min(m) OVER () AS x FROM monthly0),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(x * x * x) AS BIGINT) AS sx3,
+       |    CAST(sum(x * x * x * x) AS BIGINT) AS sx4, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x * y) AS BIGINT) AS sx2y,
+       |    CAST(sum(y * y) AS BIGINT) AS syy, CAST(max(x) AS BIGINT) AS xmax
+       |  FROM monthly),
+       |c1 AS (SELECT *,
+       |    $s1
+       |  FROM mom),
+       |c2 AS (SELECT *,
+       |    $s2
+       |  FROM c1)
+       |SELECT n AS n_months, cc AS intercept, bb AS slope, aa AS curvature, r2,
+       |  CASE WHEN aa = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE -(bb) / (CAST(2 AS DOUBLE) * aa) END AS vertex_month,
+       |  cc + bb * CAST(xmax AS DOUBLE) + aa * CAST(xmax AS DOUBLE) * CAST(xmax AS DOUBLE) AS fitted_last
+       |FROM c2""".stripMargin
+  }
+
+  // ------------------------------------------------------------- granger_lag1
+
+  /** Lag-1 Granger causality between the EUROPE and AMERICA monthly
+    * revenue series, both directions: does last month's revenue in
+    * one market improve the prediction of this month's revenue in
+    * the other beyond the other's OWN lag (`crosscorr_lag` measures
+    * association at each lag; Granger asks the incremental-
+    * predictability question)? Restricted model y~y₋₁ vs
+    * unrestricted y~y₋₁+x₋₁, both solved in closed form on centered
+    * EXACT integer moments (monthly kilodollars keep every product
+    * term under 2⁵³ to ~sf30; coarsen units beyond), F = ΔRSS/(RSS_u
+    * /(n−3)) with the 3.84 (5%, df1=1) cut — every derived quantity
+    * is one fixed-form shared expression staged identically on both
+    * engines, so both rows hash-match.
+    *
+    * Scale shape: the q5-style dim-broadcast orders pass reduces to
+    * the bounded month spine; the lag window and the moment
+    * aggregate run on that spine; both direction rows are scalar
+    * arithmetic off ONE cached 1-row moment frame.
+    */
+  def grangerLag1(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = regionMonthly(spark, dir)
+      .withColumn("kd", expr("rev_c div 100000"))
+      .groupBy(col("m"))
+      .agg(coalesce(sum(when(col("region_name") === "AMERICA", col("kd"))), lit(0L)).as("am"),
+        coalesce(sum(when(col("region_name") === "EUROPE", col("kd"))), lit(0L)).as("eu"))
+    val wM = Window.orderBy("m")
+    val lagged = pivoted
+      .withColumn("am_l", lag(col("am"), 1).over(wM))
+      .withColumn("eu_l", lag(col("eu"), 1).over(wM))
+      .filter(col("am_l").isNotNull)
+    val mom = graft.core.OwnedCaches.own(lagged.agg(
+      count(lit(1)).as("n"),
+      sum(col("am")).as("sam"), sum(col("eu")).as("seu"),
+      sum(col("am_l")).as("sal"), sum(col("eu_l")).as("sel"),
+      sum(expr("am_l * am_l")).as("sal2"), sum(expr("eu_l * eu_l")).as("sel2"),
+      sum(expr("am_l * eu_l")).as("salel"),
+      sum(expr("am * am")).as("sam2"), sum(expr("eu * eu")).as("seu2"),
+      sum(expr("am * am_l")).as("samal"), sum(expr("am * eu_l")).as("samel"),
+      sum(expr("eu * eu_l")).as("seuel"), sum(expr("eu * am_l")).as("seual")).cache())
+    def direction(label: String, st1: Seq[String]): DataFrame =
+      GrangerLaterStages.foldLeft(mom.selectExpr(("*" +: st1): _*)) {
+        (df, st) => df.selectExpr(("*" +: st): _*)
+      }.selectExpr(s"'$label' AS direction", "CAST(n AS BIGINT) AS n_obs",
+        "beta AS beta_own_lag", "gamma AS gamma_cross_lag",
+        "rss_r AS rss_restricted", "rss_u AS rss_unrestricted", "f_stat",
+        "CASE WHEN f_stat > CAST(3.84 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+    direction("eu_leads_am", grangerStage1("sam", "sal", "sel", "sam2", "sal2", "sel2", "salel", "samal", "samel"))
+      .unionAll(direction("am_leads_eu", grangerStage1("seu", "sel", "sal", "seu2", "sel2", "sal2", "salel", "seuel", "seual")))
+      .orderBy("direction")
+  }
+
+  /** Centered-moment stage for one Granger direction: y's total is
+    * `sy`, own-lag total `syl`, cross-lag total `sxl`, and the six
+    * second moments follow the same naming. Shared text. */
+  private def grangerStage1(sy: String, syl: String, sxl: String,
+      syy: String, syl2: String, sxl2: String, sylxl: String,
+      syyl: String, syxl: String): Seq[String] = {
+    def d(s: String) = s"CAST($s AS DOUBLE)"
+    Seq(
+      s"${d(syl2)} - ${d(syl)} * ${d(syl)} / ${d("n")} AS a11",
+      s"${d(sxl2)} - ${d(sxl)} * ${d(sxl)} / ${d("n")} AS a22",
+      s"${d(sylxl)} - ${d(syl)} * ${d(sxl)} / ${d("n")} AS a12",
+      s"${d(syyl)} - ${d(syl)} * ${d(sy)} / ${d("n")} AS b1",
+      s"${d(syxl)} - ${d(sxl)} * ${d(sy)} / ${d("n")} AS b2",
+      s"${d(syy)} - ${d(sy)} * ${d(sy)} / ${d("n")} AS syyc")
+  }
+
+  /** Direction-independent later stages (each references the previous
+    * stage's columns only — staged identically as Spark selectExprs
+    * and DuckDB CTEs). */
+  private val GrangerLaterStages: Seq[Seq[String]] = Seq(
+    Seq("a11 * a22 - a12 * a12 AS det"),
+    Seq(
+      """CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+        |ELSE (b1 * a22 - b2 * a12) / det END AS beta""".stripMargin,
+      """CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+        |ELSE (b2 * a11 - b1 * a12) / det END AS gamma""".stripMargin,
+      """CASE WHEN a11 = CAST(0 AS DOUBLE) THEN syyc
+        |ELSE syyc - b1 * b1 / a11 END AS rss_r""".stripMargin),
+    Seq("syyc - beta * b1 - gamma * b2 AS rss_u"),
+    Seq(
+      """CASE WHEN rss_u <= CAST(0 AS DOUBLE) OR n <= 3 THEN CAST(0 AS DOUBLE)
+        |ELSE (rss_r - rss_u) / (rss_u / CAST(n - 3 AS DOUBLE)) END AS f_stat""".stripMargin))
+
+  val grangerLag1Sql: String = {
+    def chain(tag: String, st1: Seq[String]): String = {
+      val stages = st1 +: GrangerLaterStages
+      val ctes = stages.zipWithIndex.map { case (st, i) =>
+        val from = if (i == 0) "mom" else s"c${i}$tag"
+        s"c${i + 1}$tag AS (SELECT *,\n    ${st.mkString(",\n    ")}\n  FROM $from)"
+      }
+      ctes.mkString(",\n")
+    }
+    def fin(tag: String, label: String): String =
+      s"""SELECT '$label' AS direction, n AS n_obs,
+         |  beta AS beta_own_lag, gamma AS gamma_cross_lag,
+         |  rss_r AS rss_restricted, rss_u AS rss_unrestricted, f_stat,
+         |  CASE WHEN f_stat > CAST(3.84 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+         |FROM c5$tag""".stripMargin
+    s"""WITH rm AS (
+       |$RegionMonthlySqlCte),
+       |pv AS (
+       |  SELECT m,
+       |    coalesce(sum(CASE WHEN region_name = 'AMERICA' THEN rev_c // 100000 END), 0) AS am,
+       |    coalesce(sum(CASE WHEN region_name = 'EUROPE' THEN rev_c // 100000 END), 0) AS eu
+       |  FROM rm GROUP BY 1),
+       |lg AS (
+       |  SELECT m, am, eu,
+       |    lag(am, 1) OVER (ORDER BY m) AS am_l,
+       |    lag(eu, 1) OVER (ORDER BY m) AS eu_l
+       |  FROM pv),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(am) AS BIGINT) AS sam, CAST(sum(eu) AS BIGINT) AS seu,
+       |    CAST(sum(am_l) AS BIGINT) AS sal, CAST(sum(eu_l) AS BIGINT) AS sel,
+       |    CAST(sum(am_l * am_l) AS BIGINT) AS sal2, CAST(sum(eu_l * eu_l) AS BIGINT) AS sel2,
+       |    CAST(sum(am_l * eu_l) AS BIGINT) AS salel,
+       |    CAST(sum(am * am) AS BIGINT) AS sam2, CAST(sum(eu * eu) AS BIGINT) AS seu2,
+       |    CAST(sum(am * am_l) AS BIGINT) AS samal, CAST(sum(am * eu_l) AS BIGINT) AS samel,
+       |    CAST(sum(eu * eu_l) AS BIGINT) AS seuel, CAST(sum(eu * am_l) AS BIGINT) AS seual
+       |  FROM lg WHERE am_l IS NOT NULL),
+       |${chain("a", grangerStage1("sam", "sal", "sel", "sam2", "sal2", "sel2", "salel", "samal", "samel"))},
+       |${chain("b", grangerStage1("seu", "sel", "sal", "seu2", "sel2", "sal2", "salel", "seuel", "seual"))}
+       |${fin("a", "eu_leads_am")}
+       |UNION ALL
+       |${fin("b", "am_leads_eu")}
+       |ORDER BY direction""".stripMargin
+  }
 }
