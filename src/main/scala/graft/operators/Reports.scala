@@ -3108,4 +3108,180 @@ object Reports {
        |  CAST(wk_cov AS DOUBLE) / CAST(n_weeks AS DOUBLE) AS service_level
        |FROM per JOIN svc ON per.p_brand = svc.p_brand
        |ORDER BY brand""".stripMargin
+
+  // ------------------------------------------------------ mahalanobis_outliers
+
+  private val MahalanobisTopK = 20
+  // χ²(df=2, 0.95) — the standard 2-feature outlier cut
+  private val MahalanobisCut = "5.99"
+
+  /** Top-20 multivariate order outliers by Mahalanobis distance over
+    * (order value in kilodollars, line count) — the correlation-aware
+    * outlier score the univariate detectors (`anomaly_zscore`,
+    * `anomaly_mad`, `iqr_outliers`) can't give: a 6-line order at a
+    * 1-line price is extreme even when both marginals are ordinary.
+    * Covariance from exact integer moments (kilodollar units keep
+    * every product far under 2⁵³ at any realistic SF), 2×2 inverse in
+    * closed form, d² per order as one fixed-form shared expression;
+    * ties broken by order key, so the top-20 hash-matches.
+    *
+    * Scale shape: lineitem partial-aggregates to order grain and
+    * joins orders on the key; the 1-row moment frame broadcasts back
+    * over the order frame map-side; top-20 is a distributed
+    * TakeOrdered, never a global sort.
+    */
+  def mahalanobisOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perOrder = graft.core.OwnedCaches.own(t.orders
+      .select(col("o_orderkey"),
+        expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) AS BIGINT)").as("x1"))
+      .join(t.lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("x2")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("x1"), col("x2"))
+      .cache())
+    val mom = perOrder.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(expr("x1 * x1")).as("s11"), sum(expr("x2 * x2")).as("s22"),
+      sum(expr("x1 * x2")).as("s12"))
+    val fit = MahalanobisStages.foldLeft(mom) { (df, st) =>
+      df.selectExpr(("*" +: st): _*)
+    }.select("m1", "m2", "c11", "c22", "c12", "det")
+    perOrder.crossJoin(broadcast(fit))
+      .selectExpr("o_orderkey", "x1 AS total_kdollars", "x2 AS n_lines",
+        s"""CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+           |ELSE (c22 * (CAST(x1 AS DOUBLE) - m1) * (CAST(x1 AS DOUBLE) - m1)
+           |  - CAST(2 AS DOUBLE) * c12 * (CAST(x1 AS DOUBLE) - m1) * (CAST(x2 AS DOUBLE) - m2)
+           |  + c11 * (CAST(x2 AS DOUBLE) - m2) * (CAST(x2 AS DOUBLE) - m2)) / det END AS d2""".stripMargin)
+      .withColumn("is_outlier",
+        expr(s"CASE WHEN d2 > CAST($MahalanobisCut AS DOUBLE) THEN 1 ELSE 0 END"))
+      .orderBy(col("d2").desc, col("o_orderkey"))
+      .limit(MahalanobisTopK)
+  }
+
+  private val MahalanobisStages: Seq[Seq[String]] = {
+    def d(s: String) = s"CAST($s AS DOUBLE)"
+    Seq(
+      Seq(s"${d("s1")} / ${d("n")} AS m1", s"${d("s2")} / ${d("n")} AS m2",
+        s"""CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+           |ELSE (${d("s11")} - ${d("s1")} * ${d("s1")} / ${d("n")}) / ${d("n - 1")} END AS c11""".stripMargin,
+        s"""CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+           |ELSE (${d("s22")} - ${d("s2")} * ${d("s2")} / ${d("n")}) / ${d("n - 1")} END AS c22""".stripMargin,
+        s"""CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+           |ELSE (${d("s12")} - ${d("s1")} * ${d("s2")} / ${d("n")}) / ${d("n - 1")} END AS c12""".stripMargin),
+      Seq("c11 * c22 - c12 * c12 AS det"))
+  }
+
+  val mahalanobisOutliersSql: String = {
+    val ctes = MahalanobisStages.zipWithIndex.map { case (st, i) =>
+      val from = if (i == 0) "mom" else s"f$i"
+      s"f${i + 1} AS (SELECT *,\n    ${st.mkString(",\n    ")}\n  FROM $from)"
+    }.mkString(",\n")
+    s"""WITH per_order AS (
+       |  SELECT o_orderkey,
+       |    CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) AS BIGINT) AS x1,
+       |    CAST(lc.x2 AS BIGINT) AS x2
+       |  FROM orders JOIN (
+       |    SELECT l_orderkey, count(*) AS x2 FROM lineitem GROUP BY 1) lc
+       |  ON o_orderkey = l_orderkey),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |    CAST(sum(x1 * x2) AS BIGINT) AS s12
+       |  FROM per_order),
+       |$ctes,
+       |fit AS (SELECT m1, m2, c11, c22, c12, det FROM f${MahalanobisStages.size}),
+       |scored AS (
+       |  SELECT o_orderkey, x1 AS total_kdollars, x2 AS n_lines,
+       |    CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |    ELSE (c22 * (CAST(x1 AS DOUBLE) - m1) * (CAST(x1 AS DOUBLE) - m1)
+       |      - CAST(2 AS DOUBLE) * c12 * (CAST(x1 AS DOUBLE) - m1) * (CAST(x2 AS DOUBLE) - m2)
+       |      + c11 * (CAST(x2 AS DOUBLE) - m2) * (CAST(x2 AS DOUBLE) - m2)) / det END AS d2
+       |  FROM per_order, fit)
+       |SELECT o_orderkey, total_kdollars, n_lines, d2,
+       |  CASE WHEN d2 > CAST($MahalanobisCut AS DOUBLE) THEN 1 ELSE 0 END AS is_outlier
+       |FROM scored ORDER BY d2 DESC, o_orderkey LIMIT $MahalanobisTopK""".stripMargin
+  }
+
+  // ------------------------------------------------------ rank_biased_overlap
+
+  private val RboDepth = 10
+  private val RboP = 0.9
+
+  /** Rank-biased overlap (Webber et al.) between the brand ranking
+    * by revenue and by unit volume, truncated at depth 10 — the
+    * top-weighted ranking-agreement measure for comparing two
+    * leaderboards that `spearman_corr`/`kendall_tau` (whole-list,
+    * uniform-weight) aren't: RBO discounts depth d by p^(d−1), so
+    * disagreement at rank 1 costs more than at rank 10. Both
+    * rankings are exact-decimal row_numbers; per-depth agreement
+    * |S_d∩T_d|/d is an exact count over doubles; the geometric
+    * weights are precomputed shortest-round-trip literals; rbo_at_10
+    * reduces via the round-to-decimal sum — every row hash-matches.
+    *
+    * Scale shape: ONE lineitem pass with the part dim broadcast
+    * reduces to the ≤|brands| spine; both rank windows and the
+    * depth-spine join run on bounded frames only.
+    */
+  def rankBiasedOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byBrand = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum((money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))).as("rev"),
+        sum(col("l_quantity").cast("decimal(18,0)")).as("qty"))
+    val ranked = byBrand
+      .withColumn("rs", row_number().over(Window.orderBy(col("rev").desc, col("p_brand"))))
+      .withColumn("rt", row_number().over(Window.orderBy(col("qty").desc, col("p_brand"))))
+    val weights = RboWeights.map { case (dd, w) => s"($dd, CAST($w AS DOUBLE))" }
+      .mkString(", ")
+    val spine = spark.sql(s"SELECT d, w FROM VALUES $weights AS v(d, w)")
+    spine.join(ranked, col("rs") <= col("d") && col("rt") <= col("d"), "left")
+      .groupBy(col("d"), col("w"))
+      .agg(count(col("p_brand")).as("overlap"))
+      .withColumn("agreement", expr("CAST(overlap AS DOUBLE) / CAST(d AS DOUBLE)"))
+      .withColumn("term", expr("w * agreement"))
+      .withColumn("rbo", sum(expr("CAST(round(term, 9) AS DECIMAL(18,9))"))
+        .over(Window.partitionBy()))
+      .selectExpr("CAST(d AS BIGINT) AS depth", "CAST(overlap AS BIGINT) AS overlap",
+        "agreement", "w AS weight", "term", "CAST(rbo AS DOUBLE) AS rbo_at_10")
+      .orderBy("depth")
+  }
+
+  // (d, (1−p)·p^(d−1)) as shortest-round-trip literals shared by both
+  // engine texts
+  private val RboWeights: Seq[(Int, String)] =
+    (1 to RboDepth).map(dd => (dd, ((1.0 - RboP) * math.pow(RboP, dd - 1)).toString))
+
+  val rankBiasedOverlapSql: String = {
+    val weights = RboWeights.map { case (dd, w) => s"($dd, CAST($w AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH by_brand AS (
+       |  SELECT p_brand,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+       |    sum(CAST(l_quantity AS DECIMAL(18,0))) AS qty
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1),
+       |ranked AS (
+       |  SELECT p_brand,
+       |    row_number() OVER (ORDER BY rev DESC, p_brand) AS rs,
+       |    row_number() OVER (ORDER BY qty DESC, p_brand) AS rt
+       |  FROM by_brand),
+       |spine AS (SELECT * FROM (VALUES $weights) AS v(d, w)),
+       |g AS (
+       |  SELECT d, w, CAST(count(p_brand) AS BIGINT) AS overlap
+       |  FROM spine LEFT JOIN ranked ON rs <= d AND rt <= d
+       |  GROUP BY 1, 2),
+       |a AS (
+       |  SELECT *, CAST(overlap AS DOUBLE) / CAST(d AS DOUBLE) AS agreement
+       |  FROM g),
+       |tm AS (SELECT *, w * agreement AS term FROM a),
+       |s AS (SELECT *,
+       |    sum(CAST(round(term, 9) AS DECIMAL(18,9))) OVER () AS rbo
+       |  FROM tm)
+       |SELECT CAST(d AS BIGINT) AS depth, overlap, agreement, w AS weight, term,
+       |  CAST(rbo AS DOUBLE) AS rbo_at_10
+       |FROM s ORDER BY depth""".stripMargin
+  }
 }

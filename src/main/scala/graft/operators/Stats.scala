@@ -3786,4 +3786,95 @@ object Stats {
        |${fin("b", "am_leads_eu")}
        |ORDER BY direction""".stripMargin
   }
+
+  // -------------------------------------------------------- gumbel_extreme_fit
+
+  // constants emitted as shortest-round-trip double literals — both
+  // engines parse them to the same bits, and the ln() calls they
+  // replace never run at query time
+  private val GumbelS6Pi = (math.sqrt(6.0) / math.Pi).toString // √6/π
+  private val GumbelGamma = "0.5772156649015329" // Euler–Mascheroni
+  private def gumbelRlConst(t: Int): String =
+    (-math.log(-math.log(1.0 - 1.0 / t))).toString
+
+  /** Gumbel (EV-I) fit of monthly block maxima of daily revenue by
+    * the method of moments (β = s·√6/π, μ = x̄ − γβ) — the
+    * extreme-value readout a capacity planner needs that
+    * `anomaly_zscore`'s normal assumption systematically understates:
+    * return levels (the daily revenue exceeded once per 12/60/120
+    * months, μ + β·c_T with c_T = −ln(−ln(1−1/T)) precomputed as
+    * shared literals) and the exceedance probability of the largest
+    * observed maximum via the double exponential — BOTH exp's
+    * engine-exact ([[graft.functions.ExactExp]]), moments exact
+    * integers in kilodollar units, so the whole fit hash-matches.
+    *
+    * Scale shape: ONE orders pass partial-aggregates to the day
+    * spine, a second tiny aggregate to month-block maxima, then one
+    * 1-row moment reduce; the fit is scalar arithmetic.
+    */
+  def gumbelExtremeFit(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("dk"))
+    val blocks = daily
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg(max(col("dk")).as("y"))
+    val mom = blocks.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(expr("y * y")).as("syy"), max(col("y")).as("ymax"))
+    GumbelStages.foldLeft(mom) { (df, st) => df.selectExpr(("*" +: st): _*) }
+      .selectExpr("CAST(n AS BIGINT) AS n_blocks", "mean_max", "sd_max",
+        "mu AS location", "beta AS scale",
+        s"mu + beta * CAST(${gumbelRlConst(12)} AS DOUBLE) AS return_level_12",
+        s"mu + beta * CAST(${gumbelRlConst(60)} AS DOUBLE) AS return_level_60",
+        s"mu + beta * CAST(${gumbelRlConst(120)} AS DOUBLE) AS return_level_120",
+        s"""CASE WHEN beta = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+           |ELSE 1.0 - ${graft.functions.ExactExp.expExpr("__p2")} END AS prob_exceed_max""".stripMargin)
+  }
+
+  private val GumbelStages: Seq[Seq[String]] = {
+    import graft.functions.ExactExp
+    def d(s: String) = s"CAST($s AS DOUBLE)"
+    Seq(
+      Seq(s"${d("sy")} / ${d("n")} AS mean_max",
+        s"""CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+           |ELSE (${d("syy")} - ${d("sy")} * ${d("sy")} / ${d("n")}) / ${d("n - 1")} END AS varm""".stripMargin),
+      Seq("sqrt(varm) AS sd_max"),
+      Seq(s"sd_max * CAST($GumbelS6Pi AS DOUBLE) AS beta"),
+      Seq(s"mean_max - CAST($GumbelGamma AS DOUBLE) * beta AS mu"),
+      Seq(
+        s"""CASE WHEN beta = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+           |ELSE (${d("ymax")} - mu) / beta END AS z""".stripMargin),
+      Seq(s"${ExactExp.uExpr("-(z)")} AS __u1"),
+      Seq(s"${ExactExp.pExpr("__u1")} AS __p1"),
+      Seq(s"${ExactExp.expExpr("__p1")} AS e1"),
+      Seq(s"${ExactExp.uExpr("-(e1)")} AS __u2"),
+      Seq(s"${ExactExp.pExpr("__u2")} AS __p2"))
+  }
+
+  val gumbelExtremeFitSql: String = {
+    val ctes = GumbelStages.zipWithIndex.map { case (st, i) =>
+      val from = if (i == 0) "mom" else s"g$i"
+      s"g${i + 1} AS (SELECT *,\n    ${st.mkString(",\n    ")}\n  FROM $from)"
+    }.mkString(",\n")
+    s"""WITH daily AS (
+       |  SELECT o_orderdate,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS dk
+       |  FROM orders GROUP BY 1),
+       |blocks AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(max(dk) AS BIGINT) AS y
+       |  FROM daily GROUP BY 1),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(y * y) AS BIGINT) AS syy, CAST(max(y) AS BIGINT) AS ymax
+       |  FROM blocks),
+       |$ctes
+       |SELECT n AS n_blocks, mean_max, sd_max, mu AS location, beta AS scale,
+       |  mu + beta * CAST(${gumbelRlConst(12)} AS DOUBLE) AS return_level_12,
+       |  mu + beta * CAST(${gumbelRlConst(60)} AS DOUBLE) AS return_level_60,
+       |  mu + beta * CAST(${gumbelRlConst(120)} AS DOUBLE) AS return_level_120,
+       |  CASE WHEN beta = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE 1.0 - ${graft.functions.ExactExp.expExpr("__p2")} END AS prob_exceed_max
+       |FROM g${GumbelStages.size}""".stripMargin
+  }
 }
