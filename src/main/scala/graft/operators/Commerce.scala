@@ -254,7 +254,7 @@ object Commerce {
     */
   private def brandBaskets(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "commerce.brandBaskets", dir,
-        Set("basket_lift", "basket_triples")) {
+        Set("basket_lift", "basket_triples", "basket_lift_significance")) {
       val t = Tables(spark, dir)
       t.lineitem.select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
@@ -1837,4 +1837,80 @@ object Commerce {
       |  (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
       |   / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) AS rr_crude
       |FROM w ORDER BY segment""".stripMargin
+
+  // ------------------------------------------------- basket_lift_significance
+
+  private val BasketSigTopK = 20
+
+  /** Significance screen over the basket-lift pairs: the
+    * co-occurrence z-score (k − n·p_a·p_b) / √(n·p_a·p_b·(1−p_a)·
+    * (1−p_b)) — the normal approximation to the independence null a
+    * rule miner applies BEFORE quoting a lift (`basket_lift` ranks by
+    * lift, which is noisiest exactly where supports are small; the z
+    * orders pairs by how unlikely their count is under independence).
+    * Same pair frame and ≥30 support floor as `basket_lift` (shared
+    * [[brandBaskets]] build), top-20 by z. All counts exact integers;
+    * z and χ² (=z²) are one fixed-form shared expression over
+    * cast-each-operand doubles.
+    *
+    * Scale shape: identical to basket_lift — pairs explode map-side
+    * off the shared basket frame (Σ basket² at brand grain), the
+    * marginal/total frames broadcast, top-20 is a TakeOrdered.
+    */
+  def basketLiftSignificance(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = brandBaskets(spark, dir)
+    val n = baskets.agg(count(lit(1)).as("__n"))
+    val cnt = baskets.select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    baskets
+      .select(explode(col("bs")).as("ba"), col("bs"))
+      .select(col("ba"), explode(col("bs")).as("bb"))
+      .filter(col("ba") < col("bb"))
+      .groupBy(col("ba").as("brand_a"), col("bb").as("brand_b"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 30)
+      .join(broadcast(cnt.select(col("b").as("brand_a"), col("c").as("ca"))), Seq("brand_a"))
+      .join(broadcast(cnt.select(col("b").as("brand_b"), col("c").as("cb"))), Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .selectExpr("brand_a", "brand_b", "CAST(k AS BIGINT) AS pair_count",
+        "CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(__n AS DOUBLE) AS expected",
+        BasketSigZ + " AS z_score",
+        s"($BasketSigZ) * ($BasketSigZ) AS chi2")
+      .orderBy(col("z_score").desc, col("brand_a"), col("brand_b"))
+      .limit(BasketSigTopK)
+  }
+
+  // shared z text: p_a = ca/n, p_b = cb/n staged inline (each count
+  // cast to double individually, the cuped ledger)
+  private val BasketSigZ: String = {
+    val pa = "(CAST(ca AS DOUBLE) / CAST(__n AS DOUBLE))"
+    val pb = "(CAST(cb AS DOUBLE) / CAST(__n AS DOUBLE))"
+    val e = s"(CAST(__n AS DOUBLE) * $pa * $pb)"
+    val v = s"($e * (CAST(1 AS DOUBLE) - $pa) * (CAST(1 AS DOUBLE) - $pb))"
+    s"""CASE WHEN $v <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |ELSE (CAST(k AS DOUBLE) - $e) / sqrt($v) END""".stripMargin
+  }
+
+  val basketLiftSignificanceSql: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS __n FROM ob),
+       |cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.b AS brand_a, b2.b AS brand_b, CAST(count(*) AS BIGINT) AS k
+       |  FROM ob a JOIN ob b2 ON a.o = b2.o AND a.b < b2.b GROUP BY 1, 2),
+       |j AS (
+       |  SELECT brand_a, brand_b, k, ca.c AS ca, cb.c AS cb, __n
+       |  FROM pairs
+       |  JOIN cnt ca ON pairs.brand_a = ca.b
+       |  JOIN cnt cb ON pairs.brand_b = cb.b
+       |  CROSS JOIN n
+       |  WHERE k >= 30)
+       |SELECT brand_a, brand_b, k AS pair_count,
+       |  CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(__n AS DOUBLE) AS expected,
+       |  $BasketSigZ AS z_score,
+       |  ($BasketSigZ) * ($BasketSigZ) AS chi2
+       |FROM j
+       |ORDER BY z_score DESC, brand_a, brand_b LIMIT $BasketSigTopK""".stripMargin
 }

@@ -70,7 +70,8 @@ object Dedup {
     "dedup_keep_canonical", "dedup_method_agreement",
     "dedup_cross_source_matrix", "dedup_cluster_size_hist",
     "dedup_incremental", "dedup_threshold_sensitivity",
-    "minhash_estimate_audit", "minhash_band_tune", "lsh_bucket_occupancy")
+    "minhash_estimate_audit", "minhash_band_tune", "lsh_bucket_occupancy",
+    "dedup_shingle_size_sensitivity")
 
   private[graft] val HashedConsumers: Set[String] =
     ShingleConsumers - "lsh_bucket_occupancy"
@@ -1349,4 +1350,101 @@ object Dedup {
       |SELECT CAST(1 AS BIGINT), CAST(nd - nc AS BIGINT), CAST(nd - nc AS BIGINT)
       |FROM tot, clus
       |ORDER BY cluster_size""".stripMargin
+
+  // ---------------------------------------- dedup_shingle_size_sensitivity
+
+  private val ShingleSizes = Seq(2, 3, 5)
+
+  /** Shingle-size calibration on FIXED candidates: the exact Jaccard
+    * of every 3-gram LSH candidate pair recomputed at shingle sizes
+    * 2, 3, and 5 — the third axis of the dedup calibration triptych
+    * (`minhash_band_tune` sweeps banding, `dedup_threshold_sensitivity`
+    * sweeps τ; this sweeps the SHINGLE unit, which controls what
+    * "duplicate" even means: 2-grams inflate similarity on shared
+    * vocabulary, 5-grams demand near-verbatim phrasing). Candidate
+    * set held fixed across rows so the comparison isolates the
+    * shingle size; per-size Jaccards are exact-integer ratios, mean
+    * via the round-to-decimal sum.
+    *
+    * Scale shape: candidates come from the banded equi-join (work ∝
+    * colliding band keys, never corpus²); each size row re-shingles
+    * map-side ([[graft.functions.TokenShingles]], one linear pass)
+    * and joins only the candidate pairs.
+    */
+  def dedupShingleSizeSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    MinHashSig.register(spark)
+    graft.functions.TokenShingles.register(spark)
+    graft.functions.SortedHashes.register(spark)
+    graft.functions.SortedIntersectCount.register(spark)
+    val sets = shingleSets(spark, dir)
+    val sig = sets.select(col("doc_id"),
+      call_function("graft_minhash", col("sh")).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+            h => h.cast("string")))))
+        .as(Seq("band", "bk")))
+    val candidates = graft.core.OwnedCaches.own(banded.toDF("i", "band_i", "bk")
+      .join(banded.toDF("j", "band_j", "bk2"),
+        col("band_i") === col("band_j") && col("bk") === col("bk2") &&
+          col("i") < col("j"))
+      .select(col("i"), col("j")).distinct().cache())
+    def sizeRow(n: Int): DataFrame = {
+      val hv =
+        if (n == 3) hashedSets(spark, dir)
+        else Tables(spark, dir).documents.select(col("doc_id"),
+          call_function("graft_sorted_hashes",
+            call_function("graft_shingles", col("text"), lit(n))).as("hv"))
+      candidates
+        .join(hv.toDF("i", "hv_i"), "i")
+        .join(hv.toDF("j", "hv_j"), "j")
+        .select((call_function("graft_sorted_intersect", col("hv_i"), col("hv_j"))
+            .cast("double") /
+          (size(col("hv_i")) + size(col("hv_j")) -
+            call_function("graft_sorted_intersect", col("hv_i"), col("hv_j"))))
+          .as("jaccard"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_pass"),
+          sum(expr("CAST(round(jaccard, 9) AS DECIMAL(18,9))")).as("mj"))
+        .selectExpr(s"CAST($n AS BIGINT) AS shingle_n",
+          "CAST(n_cand AS BIGINT) AS n_cand", "CAST(n_pass AS BIGINT) AS n_pass",
+          """CASE WHEN n_cand = 0 THEN CAST(0 AS DOUBLE)
+            |ELSE CAST(n_pass AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS share_pass""".stripMargin,
+          """CASE WHEN n_cand = 0 THEN CAST(0 AS DOUBLE)
+            |ELSE CAST(mj AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS mean_jaccard""".stripMargin)
+    }
+    ShingleSizes.map(sizeRow).reduce(_ union _).orderBy("shingle_n")
+  }
+
+  lazy val dedupShingleSizeSensitivitySql: String = {
+    def shCte(n: Int) =
+      s"""sh$n AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= $n
+         |    THEN [array_to_string(t[i:i+${n - 1}], ' ') for i in range(1, len(t) - ${n - 2})]
+         |    ELSE [array_to_string(t, ' ')] END) AS sd
+         |  FROM toks)""".stripMargin
+    def rowCte(n: Int) = {
+      val src = if (n == 3) "sh" else s"sh$n"
+      s"""row$n AS (
+         |  SELECT CAST($n AS BIGINT) AS shingle_n, CAST(count(*) AS BIGINT) AS n_cand,
+         |    CAST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |    sum(CAST(round(jacc, 9) AS DECIMAL(18,9))) AS mj
+         |  FROM (SELECT CAST(len(list_intersect(sa.sd, sb.sd)) AS DOUBLE)
+         |      / (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) AS jacc
+         |    FROM cand JOIN $src sa ON sa.doc_id = i JOIN $src sb ON sb.doc_id = j) v)""".stripMargin
+    }
+    val extraSh = ShingleSizes.filter(_ != 3).map(shCte).mkString(",\n")
+    val rows = ShingleSizes.map(rowCte).mkString(",\n")
+    val un = ShingleSizes.map(n => s"SELECT * FROM row$n").mkString(" UNION ALL ")
+    s"""WITH $minHashPairCtes,
+       |$extraSh,
+       |$rows
+       |SELECT shingle_n, n_cand, n_pass,
+       |  CASE WHEN n_cand = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(n_pass AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS share_pass,
+       |  CASE WHEN n_cand = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(mj AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS mean_jaccard
+       |FROM ($un) u ORDER BY shingle_n""".stripMargin
+  }
 }

@@ -359,7 +359,8 @@ object Graph {
     "connected_components", "kcore_nodes", "recursive_reachability",
     "link_prediction_jaccard", "shortest_path_bf", "local_clustering",
     "graph_modularity", "community_louvain", "degree_assortativity",
-    "link_prediction_resource_alloc", "rich_club_coefficient")
+    "link_prediction_resource_alloc", "rich_club_coefficient",
+    "hub_closeness_profile")
 
   private def supportEdges(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
@@ -1848,4 +1849,95 @@ object Graph {
        |SELECT role, node, CAST(score AS BIGINT) AS score
        |FROM (SELECT * FROM hub UNION ALL SELECT * FROM auth) u
        |ORDER BY role, score DESC, node""".stripMargin
+
+  // ---------------------------------------------------- hub_closeness_profile
+
+  private val HubCount = 5
+  private val HubHops = 3
+
+  /** Bounded-hop harmonic closeness of the top-[[HubCount]]
+    * co-purchase hubs: per-hop reach counts and Σ 1/dist over nodes
+    * within [[HubHops]] hops — the centrality read `degree_profile`
+    * (local only) and `bfs_hops` (one seed set, no per-source
+    * attribution) don't give, and the harmonic form handles
+    * disconnected remainders without an ∞. Exact-integer hop counts;
+    * closeness reduces 1/hop rationals via the round-to-decimal sum.
+    *
+    * Scale shape: full closeness is O(V·E) — the classic
+    * non-starter; bounding sources to the top-H hubs caps the BFS
+    * frame at H·|reach| rows (per-round node-keyed join + min
+    * partial-agg, each round cached), which is the standard
+    * hub-centrality approximation at 100 TB. Hub selection is a
+    * distributed TakeOrdered on the degree frame.
+    */
+  def hubClosenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    val edges = supportEdges(spark, dir)
+    val sym = graft.core.OwnedCaches.own(
+      edges.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(edges.select(col("p2").as("src"), col("p1").as("dst")))
+        .cache())
+    val deg = sym.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
+    val hubs = graft.core.OwnedCaches.own(
+      deg.orderBy(col("deg").desc, col("p")).limit(HubCount)
+        .select(col("p").as("hub"), col("deg")).cache())
+    var frontier = hubs.select(col("hub"), col("hub").as("node"), lit(0L).as("hop"))
+    for (h <- 1 to HubHops) {
+      val nxt = frontier.join(sym, col("node") === col("src"))
+        .select(col("hub"), col("dst").as("node"), lit(h.toLong).as("hop"))
+      frontier = graft.core.OwnedCaches.own(frontier.union(nxt)
+        .groupBy(col("hub"), col("node")).agg(min(col("hop")).as("hop")).cache())
+    }
+    frontier.filter(col("hop") > 0)
+      .groupBy(col("hub"))
+      .agg(sum(when(col("hop") === 1L, 1L).otherwise(0L)).as("r1"),
+        sum(when(col("hop") === 2L, 1L).otherwise(0L)).as("r2"),
+        sum(when(col("hop") === 3L, 1L).otherwise(0L)).as("r3"),
+        sum(expr("CAST(round(CAST(1 AS DOUBLE) / CAST(hop AS DOUBLE), 9) AS DECIMAL(18,9))"))
+          .as("hc"))
+      .join(hubs, Seq("hub"))
+      .selectExpr("hub AS part_key", "CAST(deg AS BIGINT) AS degree",
+        "CAST(r1 AS BIGINT) AS n_hop1", "CAST(r2 AS BIGINT) AS n_hop2",
+        "CAST(r3 AS BIGINT) AS n_hop3",
+        "CAST(hc AS DOUBLE) AS harmonic_closeness")
+      .orderBy(col("degree").desc, col("part_key"))
+  }
+
+  val hubClosenessProfileSql: String = {
+    def relax(prev: String, name: String, hop: Int): String =
+      s"""$name AS (
+         |  SELECT hub, node, min(hop) AS hop FROM (
+         |    SELECT hub, node, hop FROM $prev
+         |    UNION ALL
+         |    SELECT $prev.hub, e.dst AS node, $hop AS hop
+         |    FROM $prev JOIN e ON e.src = $prev.node) u
+         |  GROUP BY hub, node)""".stripMargin
+    val rounds = (1 to HubHops).map(i => relax(s"d${i - 1}", s"d$i", i)).mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+       |  FROM lineitem GROUP BY 1),
+       |pr AS (
+       |  SELECT u1.p1, u2.p2
+       |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+       |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+       |  WHERE u1.p1 < u2.p2),
+       |e0 AS (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |e AS (SELECT p1 AS src, p2 AS dst FROM e0
+       |      UNION ALL SELECT p2, p1 FROM e0),
+       |deg AS (SELECT src AS p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |hubs AS (SELECT p AS hub, deg FROM deg ORDER BY deg DESC, p LIMIT $HubCount),
+       |d0 AS (SELECT hub, hub AS node, CAST(0 AS BIGINT) AS hop FROM hubs),
+       |$rounds,
+       |agg AS (
+       |  SELECT hub,
+       |    CAST(sum(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+       |    CAST(sum(CASE WHEN hop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+       |    CAST(sum(CASE WHEN hop = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+       |    sum(CAST(round(CAST(1 AS DOUBLE) / CAST(hop AS DOUBLE), 9) AS DECIMAL(18,9))) AS hc
+       |  FROM d$HubHops WHERE hop > 0 GROUP BY 1)
+       |SELECT hub AS part_key, deg AS degree,
+       |  r1 AS n_hop1, r2 AS n_hop2, r3 AS n_hop3,
+       |  CAST(hc AS DOUBLE) AS harmonic_closeness
+       |FROM agg JOIN hubs USING (hub)
+       |ORDER BY degree DESC, part_key""".stripMargin
+  }
 }

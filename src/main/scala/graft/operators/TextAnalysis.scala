@@ -1999,4 +1999,66 @@ object TextAnalysis {
        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, source, w, sample_key
        |FROM r WHERE rank <= $WsTopK ORDER BY rank""".stripMargin
   }
+
+  // ------------------------------------------------------- readability_profile
+
+  /** Flesch-style readability profile per source: words per sentence
+    * unit, syllables per word (vowel-group approximation — the
+    * standard heuristic when no dictionary is at hand), share of
+    * complex (≥3-syllable) words, and the Flesch reading-ease score
+    * 206.835 − 1.015·(w/s) − 84.6·(syl/w). This corpus carries no
+    * sentence punctuation, so the sentence unit degrades to the
+    * DOCUMENT (swap the splitter for `[.!?]+` runs on a punctuated
+    * corpus); the formula mechanics and the per-source comparison are
+    * the point — a curation gate uses exactly this to spot sources
+    * whose complexity profile drifts from the mix. All counts exact
+    * integers; every rate is a cast-each-operand double division over
+    * shared literal coefficients.
+    *
+    * Scale shape: map-only per-doc counting (one regexp pass per
+    * doc), then ONE partial-aggregating reduce to the bounded source
+    * spine.
+    */
+  def readabilityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val toks = normTokens(col("text"))
+    val syl = size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+    val cw = size(filter(toks,
+      t => size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))) >= 3))
+    Tables(spark, dir).documents
+      .select(col("source"), size(toks).as("nw"), syl.as("syl"), cw.as("cw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tw"),
+        sum(col("syl")).as("ts"), sum(col("cw")).as("tc"))
+      .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(tw AS BIGINT) AS n_words",
+        "CAST(tw AS DOUBLE) / CAST(n_docs AS DOUBLE) AS words_per_doc",
+        "CAST(ts AS DOUBLE) / CAST(tw AS DOUBLE) AS syllables_per_word",
+        "CAST(tc AS DOUBLE) / CAST(tw AS DOUBLE) AS pct_complex",
+        "CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(tw AS DOUBLE) / CAST(n_docs AS DOUBLE))" +
+          " - CAST(84.6 AS DOUBLE) * (CAST(ts AS DOUBLE) / CAST(tw AS DOUBLE)) AS flesch_score")
+      .orderBy("source")
+  }
+
+  val readabilityProfileSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks,
+      |    len(regexp_extract_all(text, '[aeiouy]+')) AS syl
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, len(toks) AS nw, syl,
+      |    len(list_filter(toks, x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3)) AS cw
+      |  FROM t),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nw) AS BIGINT) AS tw, CAST(sum(syl) AS BIGINT) AS ts,
+      |    CAST(sum(cw) AS BIGINT) AS tc
+      |  FROM per GROUP BY 1)
+      |SELECT source, n_docs, tw AS n_words,
+      |  CAST(tw AS DOUBLE) / CAST(n_docs AS DOUBLE) AS words_per_doc,
+      |  CAST(ts AS DOUBLE) / CAST(tw AS DOUBLE) AS syllables_per_word,
+      |  CAST(tc AS DOUBLE) / CAST(tw AS DOUBLE) AS pct_complex,
+      |  CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(tw AS DOUBLE) / CAST(n_docs AS DOUBLE))
+      |    - CAST(84.6 AS DOUBLE) * (CAST(ts AS DOUBLE) / CAST(tw AS DOUBLE)) AS flesch_score
+      |FROM g ORDER BY source""".stripMargin
 }
