@@ -1913,4 +1913,110 @@ object Commerce {
        |  ($BasketSigZ) * ($BasketSigZ) AS chi2
        |FROM j
        |ORDER BY z_score DESC, brand_a, brand_b LIMIT $BasketSigTopK""".stripMargin
+
+  // ------------------------------------------------------- retention_decay_fit
+
+  // −ln 2 numerator of the half-life, as a shared round-trip literal
+  private val Ln2Lit = math.log(2.0).toString
+
+  /** Exponential-decay fit of the retention curve: OLS of
+    * ln(retention rate) on cohort age over every (cohort, offset ≥ 1)
+    * cell of the `retention_cohorts` frame — one decay rate and a
+    * HALF-LIFE (−ln2/slope) where the raw table
+    * (`retention_cohorts`) leaves you eyeballing rows; churn
+    * forecasting and LTV multiply off exactly this exponent. Rates
+    * are exact-integer ratios, each point's ln engine-exact
+    * ([[graft.functions.ExactLn]]) and rounded to the 9dp decimal
+    * grid BEFORE the moment sums (the deterministic-sum convention;
+    * squares/products rounded on the same grid), fit via
+    * cast-each-operand closed form. One row.
+    *
+    * Scale shape: one orders pass to customer-first grain, a second
+    * to the (cohort, offset) spine (both partial-aggregating); the
+    * fit runs on that bounded spine.
+    */
+  def retentionDecayFit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort_year"))
+    val sizes = first.groupBy(col("cohort_year")).agg(count(lit(1)).as("cohort_size"))
+    val pts = o.join(first, "o_custkey")
+      .select(col("cohort_year"), col("o_custkey"), col("yr"))
+      .distinct()
+      .groupBy(col("cohort_year"),
+        (col("yr") - col("cohort_year")).cast("long").as("x"))
+      .agg(count(lit(1)).as("active"))
+      .join(broadcast(sizes), Seq("cohort_year"))
+      .filter(col("x") >= 1)
+      .withColumn("r", expr("CAST(active AS DOUBLE) / CAST(cohort_size AS DOUBLE)"))
+      .withColumn("__y", expr(ExactLn.yExpr("r")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("lnr", expr(ExactLn.lnExpr("__z")))
+    val mom = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(expr("x * x")).as("sxx"),
+      sum(expr("CAST(round(lnr, 9) AS DECIMAL(18,9))")).as("sy"),
+      sum(expr("CAST(round(lnr * CAST(x AS DOUBLE), 9) AS DECIMAL(18,9))")).as("sxy"),
+      sum(expr("CAST(round(lnr * lnr, 9) AS DECIMAL(18,9))")).as("syy"))
+    mom.selectExpr("*", s"$RetDecayNum AS num", s"$RetDecayDen AS den")
+      .selectExpr("*",
+        """CASE WHEN den = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |ELSE num / den END AS slope""".stripMargin)
+      .selectExpr("CAST(n AS BIGINT) AS n_points", "slope",
+        "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept",
+        s"""CASE WHEN slope >= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+           |ELSE -(CAST($Ln2Lit AS DOUBLE)) / slope END AS half_life_years""".stripMargin,
+        s"""CASE WHEN den = CAST(0 AS DOUBLE) OR $RetDecaySyyC = CAST(0 AS DOUBLE)
+           |THEN CAST(0 AS DOUBLE)
+           |ELSE num * num / (den * ($RetDecaySyyC)) END AS r2""".stripMargin)
+  }
+
+  private def retD(s: String) = s"CAST($s AS DOUBLE)"
+  private val RetDecayNum =
+    s"(${retD("n")} * ${retD("sxy")} - ${retD("sx")} * ${retD("sy")})"
+  private val RetDecayDen =
+    s"(${retD("n")} * ${retD("sxx")} - ${retD("sx")} * ${retD("sx")})"
+  private val RetDecaySyyC =
+    s"(${retD("n")} * ${retD("syy")} - ${retD("sy")} * ${retD("sy")})"
+
+  val retentionDecayFitSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH first AS (
+       |  SELECT o_custkey, min(year(o_orderdate)) AS cohort_year FROM orders GROUP BY 1),
+       |act AS (
+       |  SELECT DISTINCT f.cohort_year, o.o_custkey, year(o.o_orderdate) AS yr
+       |  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey),
+       |sizes AS (SELECT cohort_year, CAST(count(*) AS BIGINT) AS cohort_size FROM first GROUP BY 1),
+       |pts0 AS (
+       |  SELECT a.cohort_year, CAST(a.yr - a.cohort_year AS BIGINT) AS x,
+       |    CAST(count(*) AS BIGINT) AS active, s.cohort_size
+       |  FROM act a JOIN sizes s ON a.cohort_year = s.cohort_year
+       |  GROUP BY 1, 2, 4),
+       |pts1 AS (
+       |  SELECT *, CAST(active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS r
+       |  FROM pts0 WHERE x >= 1),
+       |y AS (SELECT *, ${ExactLn.yExpr("r")} AS __y FROM pts1),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |l AS (SELECT *, ${ExactLn.lnExpr("__z")} AS lnr FROM z),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    sum(CAST(round(lnr, 9) AS DECIMAL(18,9))) AS sy,
+       |    sum(CAST(round(lnr * CAST(x AS DOUBLE), 9) AS DECIMAL(18,9))) AS sxy,
+       |    sum(CAST(round(lnr * lnr, 9) AS DECIMAL(18,9))) AS syy
+       |  FROM l),
+       |c1 AS (SELECT *, $RetDecayNum AS num, $RetDecayDen AS den FROM mom),
+       |c2 AS (SELECT *,
+       |    CASE WHEN den = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |    ELSE num / den END AS slope
+       |  FROM c1)
+       |SELECT n AS n_points, slope,
+       |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       |  CASE WHEN slope >= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE -(CAST($Ln2Lit AS DOUBLE)) / slope END AS half_life_years,
+       |  CASE WHEN den = CAST(0 AS DOUBLE) OR $RetDecaySyyC = CAST(0 AS DOUBLE)
+       |  THEN CAST(0 AS DOUBLE)
+       |  ELSE num * num / (den * ($RetDecaySyyC)) END AS r2
+       |FROM c2""".stripMargin
+  }
 }

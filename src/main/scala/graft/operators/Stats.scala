@@ -3476,25 +3476,35 @@ object Stats {
     * spine — the unpartitioned windows run on that bounded spine
     * only.
     */
+  /** The banded decile score/outcome frame both threshold evals read
+    * (`roc_curve_points`, `pr_auc_eval`) — session-shared: the events
+    * pass and user-keyed join run once; each eval is a ≤10-row spine
+    * on top. */
+  private def rocBanded(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.get(spark, "stats.rocBanded", dir,
+      Set("roc_curve_points", "pr_auc_eval")) {
+      val ev = Tables(spark, dir).events
+      val mid = ev.agg(expr("CAST(floor((min(ts_us) + max(ts_us)) / 2.0) AS BIGINT)").as("mid"))
+      val ud = ev.crossJoin(broadcast(mid))
+        .select(col("user_id"), (col("ts_us") <= col("mid")).as("is_train"),
+          timestamp_micros(col("ts_us")).cast("date").as("d"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      val score = ud.filter(col("is_train"))
+        .groupBy(col("user_id"), col("d")).agg(max(col("p")).as("c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("days"), sum(col("c")).as("convs"))
+        .withColumn("pred", expr("CAST(convs AS DOUBLE) / CAST(days AS DOUBLE)"))
+      val outcome = ud.filter(!col("is_train"))
+        .groupBy(col("user_id"), col("d")).agg(max(col("p")).as("y"))
+      score.join(outcome, Seq("user_id"))
+        .withColumn("band", expr("least(CAST(floor(pred * 10) AS INTEGER), 9)"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_cases"), sum(col("y")).as("pos"),
+          sum(lit(1L) - col("y")).as("neg"))
+    }
+
   def rocCurvePoints(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
-    val mid = ev.agg(expr("CAST(floor((min(ts_us) + max(ts_us)) / 2.0) AS BIGINT)").as("mid"))
-    val ud = ev.crossJoin(broadcast(mid))
-      .select(col("user_id"), (col("ts_us") <= col("mid")).as("is_train"),
-        timestamp_micros(col("ts_us")).cast("date").as("d"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
-    val score = ud.filter(col("is_train"))
-      .groupBy(col("user_id"), col("d")).agg(max(col("p")).as("c"))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("days"), sum(col("c")).as("convs"))
-      .withColumn("pred", expr("CAST(convs AS DOUBLE) / CAST(days AS DOUBLE)"))
-    val outcome = ud.filter(!col("is_train"))
-      .groupBy(col("user_id"), col("d")).agg(max(col("p")).as("y"))
-    val banded = score.join(outcome, Seq("user_id"))
-      .withColumn("band", expr("least(CAST(floor(pred * 10) AS INTEGER), 9)"))
-      .groupBy(col("band"))
-      .agg(count(lit(1)).as("n_cases"), sum(col("y")).as("pos"),
-        sum(lit(1L) - col("y")).as("neg"))
+    val banded = rocBanded(spark, dir)
     val wDesc = Window.orderBy(col("band").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     banded
@@ -3517,8 +3527,9 @@ object Stats {
   private def RocRate(num: String, den: String): String =
     s"CASE WHEN $den = 0 THEN CAST(0 AS DOUBLE) ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END"
 
-  val rocCurvePointsSql: String =
-    s"""WITH mid AS (
+  // shared CTE text for the banded frame (the SQL twin of [[rocBanded]])
+  private val RocBandedCte: String =
+    """mid AS (
       |  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0) AS BIGINT) AS mid
       |  FROM events),
       |ud AS (
@@ -3539,7 +3550,10 @@ object Stats {
       |g AS (
       |  SELECT band, CAST(count(*) AS BIGINT) AS n_cases,
       |    CAST(sum(y) AS BIGINT) AS pos, CAST(sum(1 - y) AS BIGINT) AS neg
-      |  FROM j GROUP BY 1),
+      |  FROM j GROUP BY 1)""".stripMargin
+
+  val rocCurvePointsSql: String =
+    s"""WITH $RocBandedCte,
       |w AS (
       |  SELECT *,
       |    CAST(sum(pos) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
@@ -3554,6 +3568,149 @@ object Stats {
       |  CAST(band AS DOUBLE) / CAST(10 AS DOUBLE) AS threshold,
       |  n_cases, tp, fp, tpr, fpr, tpr - fpr AS youden_j
       |FROM r ORDER BY band""".stripMargin
+
+  // -------------------------------------------------------------- pr_auc_eval
+
+  /** Precision-recall table + average precision over the SAME banded
+    * decile frame `roc_curve_points` reads ([[rocBanded]],
+    * session-shared): per threshold from the top score down,
+    * precision, recall, F1, and AP = Σ ΔR·P — the metric that stays
+    * honest under class imbalance where ROC flatters (negatives
+    * dominate FPR). All counts exact; rates guarded shared-text
+    * doubles; AP reduces via the round-to-decimal sum over the
+    * bounded spine.
+    *
+    * Scale shape: the events pass is shared; this query is a ≤10-row
+    * spine of window arithmetic.
+    */
+  def prAucEval(spark: SparkSession, dir: String): DataFrame = {
+    val banded = rocBanded(spark, dir)
+    val wDesc = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded
+      .withColumn("tp", sum(col("pos")).over(wDesc))
+      .withColumn("fp", sum(col("neg")).over(wDesc))
+      .withColumn("tot_pos", sum(col("pos")).over(Window.partitionBy()))
+      .withColumn("prec", expr(RocRate("tp", "tp + fp")))
+      .withColumn("rec", expr(RocRate("tp", "tot_pos")))
+      .withColumn("rec_prev", coalesce(lag(col("rec"), 1)
+        .over(Window.orderBy(col("band").desc)), lit(0.0).cast("double")))
+      .withColumn("ap_term", expr("(rec - rec_prev) * prec"))
+      .withColumn("ap", expr(
+        "CAST(sum(CAST(round(ap_term, 9) AS DECIMAL(18,9))) OVER () AS DOUBLE)"))
+      .selectExpr("CAST(band AS BIGINT) AS band",
+        "CAST(band AS DOUBLE) / CAST(10 AS DOUBLE) AS threshold",
+        "CAST(tp AS BIGINT) AS tp", "CAST(fp AS BIGINT) AS fp",
+        "prec AS precision", "rec AS recall",
+        """CASE WHEN prec + rec = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(2 AS DOUBLE) * prec * rec / (prec + rec) END AS f1""".stripMargin,
+        "ap AS average_precision")
+      .orderBy("band")
+  }
+
+  val prAucEvalSql: String =
+    s"""WITH $RocBandedCte,
+      |w AS (
+      |  SELECT *,
+      |    CAST(sum(pos) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+      |    CAST(sum(neg) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+      |    CAST(sum(pos) OVER () AS BIGINT) AS tot_pos
+      |  FROM g),
+      |p AS (
+      |  SELECT *, ${RocRate("tp", "tp + fp")} AS prec, ${RocRate("tp", "tot_pos")} AS rec
+      |  FROM w),
+      |l AS (
+      |  SELECT *, coalesce(lag(rec, 1) OVER (ORDER BY band DESC), CAST(0 AS DOUBLE)) AS rec_prev
+      |  FROM p),
+      |t AS (SELECT *, (rec - rec_prev) * prec AS ap_term FROM l),
+      |s AS (SELECT *,
+      |    CAST(sum(CAST(round(ap_term, 9) AS DECIMAL(18,9))) OVER () AS DOUBLE) AS ap
+      |  FROM t)
+      |SELECT CAST(band AS BIGINT) AS band,
+      |  CAST(band AS DOUBLE) / CAST(10 AS DOUBLE) AS threshold,
+      |  tp, fp, prec AS precision, rec AS recall,
+      |  CASE WHEN prec + rec = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+      |  ELSE CAST(2 AS DOUBLE) * prec * rec / (prec + rec) END AS f1,
+      |  ap AS average_precision
+      |FROM s ORDER BY band""".stripMargin
+
+  // ------------------------------------------------------- effect_size_regions
+
+  /** Pairwise Cohen's d / Hedges' g of order value (kilodollars)
+    * between regions — the EFFECT-SIZE companion to `welch_t_test`'s
+    * significance: with warehouse-scale n everything is significant,
+    * and d (difference in pooled-SD units, with g's small-sample
+    * bias correction) is the number a decision actually turns on.
+    * Exact integer moments per region, pooled SD and both effect
+    * sizes one fixed-form shared expression per pair; the pair frame
+    * is the 5-row moment spine self-joined (10 rows).
+    *
+    * Scale shape: one dim-broadcast orders pass partial-aggregates
+    * to 5 region-moment rows; everything after is scalar arithmetic
+    * on the bounded pair frame.
+    */
+  def effectSizeRegions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val mom = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) AS BIGINT)").as("x"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"), sum(expr("x * x")).as("s2"))
+    val a = mom.toDF("ra", "na", "sa", "s2a")
+    val b = mom.toDF("rb", "nb", "sb", "s2b")
+    a.join(b, col("ra") < col("rb"))
+      .selectExpr("ra AS region_a", "rb AS region_b",
+        "CAST(na AS BIGINT) AS n_a", "CAST(nb AS BIGINT) AS n_b",
+        s"$EffSizeMeanA AS mean_a", s"$EffSizeMeanB AS mean_b",
+        s"$EffSizeD AS cohens_d",
+        s"($EffSizeD) * $EffSizeGCorr AS hedges_g")
+      .orderBy("region_a", "region_b")
+  }
+
+  private def effVar(s2: String, s: String, n: String): String =
+    s"((CAST($s2 AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / CAST($n AS DOUBLE)) / CAST($n - 1 AS DOUBLE))"
+
+  private val EffSizeMeanA = "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+  private val EffSizeMeanB = "(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+
+  private val EffSizeD: String = {
+    val sp = s"sqrt((CAST(na - 1 AS DOUBLE) * ${effVar("s2a", "sa", "na")}" +
+      s" + CAST(nb - 1 AS DOUBLE) * ${effVar("s2b", "sb", "nb")})" +
+      " / CAST(na + nb - 2 AS DOUBLE))"
+    s"""CASE WHEN $sp = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |ELSE ($EffSizeMeanA - $EffSizeMeanB) / $sp END""".stripMargin
+  }
+
+  private val EffSizeGCorr =
+    "(CAST(1 AS DOUBLE) - CAST(3 AS DOUBLE) / (CAST(4 AS DOUBLE) * CAST(na + nb AS DOUBLE) - CAST(9 AS DOUBLE)))"
+
+  val effectSizeRegionsSql: String =
+    s"""WITH mom AS (
+       |  SELECT r_name,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) AS BIGINT)) AS BIGINT) AS s,
+       |    CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) AS BIGINT)
+       |           * CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) AS BIGINT)) AS BIGINT) AS s2
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY 1),
+       |pr AS (
+       |  SELECT a.r_name AS ra, a.n AS na, a.s AS sa, a.s2 AS s2a,
+       |    b.r_name AS rb, b.n AS nb, b.s AS sb, b.s2 AS s2b
+       |  FROM mom a JOIN mom b ON a.r_name < b.r_name)
+       |SELECT ra AS region_a, rb AS region_b, na AS n_a, nb AS n_b,
+       |  $EffSizeMeanA AS mean_a, $EffSizeMeanB AS mean_b,
+       |  $EffSizeD AS cohens_d,
+       |  ($EffSizeD) * $EffSizeGCorr AS hedges_g
+       |FROM pr ORDER BY region_a, region_b""".stripMargin
 
   // ---------------------------------------------------------- quadratic_trend
 

@@ -2061,4 +2061,100 @@ object TextAnalysis {
       |  CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(tw AS DOUBLE) / CAST(n_docs AS DOUBLE))
       |    - CAST(84.6 AS DOUBLE) * (CAST(ts AS DOUBLE) / CAST(tw AS DOUBLE)) AS flesch_score
       |FROM g ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- source_divergence_matrix
+
+  /** Pairwise Jensen–Shannon divergence between every pair of source
+    * unigram distributions — the redundancy MATRIX behind a corpus
+    * mix (`js_divergence_drift` compares two time halves of one
+    * stream; `term_drift_by_source` scores each source against the
+    * blend; this says which sources duplicate EACH OTHER, the signal
+    * for merging or down-weighting a source before training). Exact
+    * integer counts; the 2p/(p+q) ratio trick avoids explicit
+    * normalization; every ln engine-exact
+    * ([[graft.functions.ExactLn]]); per-pair JS by round-to-decimal
+    * sum. JS is symmetric and bounded by ln 2 — both pinned.
+    *
+    * Scale shape: the token stream partial-aggregates to (source,
+    * word) cells map-side (the vocabulary survives the shuffle, the
+    * stream doesn't); the pair grid is |sources|²/2 × vocab —
+    * vocab-bounded, never token- or corpus-bounded; totals and vocab
+    * ride broadcasts.
+    */
+  def sourceDivergenceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val cells = graft.core.OwnedCaches.own(Tables(spark, dir).documents
+      .select(col("source"), explode(normTokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .cache())
+    val totals = cells.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val vocab = cells.select(col("w")).distinct()
+    val pairs = totals.toDF("sa", "ta")
+      .join(totals.toDF("sb", "tb"), col("sa") < col("sb"))
+    pairs.crossJoin(broadcast(vocab))
+      .join(cells.toDF("sa", "w", "ca"), Seq("sa", "w"), "left")
+      .join(cells.toDF("sb", "w", "cb"), Seq("sb", "w"), "left")
+      .withColumn("ca", coalesce(col("ca"), lit(0L)))
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      .filter(col("ca") + col("cb") > 0)
+      .withColumn("da", expr("CAST(ca AS DOUBLE) * CAST(tb AS DOUBLE)"))
+      .withColumn("db", expr("CAST(cb AS DOUBLE) * CAST(ta AS DOUBLE)"))
+      .withColumn("rp", expr("2.0 * da / (da + db)"))
+      .withColumn("rq", expr("2.0 * db / (da + db)"))
+      .withColumn("__ya", expr(ExactLn.yExpr("rp")))
+      .withColumn("__za", expr(ExactLn.zExpr("__ya")))
+      .withColumn("__yb", expr(ExactLn.yExpr("rq")))
+      .withColumn("__zb", expr(ExactLn.zExpr("__yb")))
+      .withColumn("contrib", expr(
+        s"0.5 * ((CASE WHEN ca = 0 THEN 0.0 ELSE (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) * ${ExactLn.lnExpr("__za")} END)" +
+          s" + (CASE WHEN cb = 0 THEN 0.0 ELSE (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) * ${ExactLn.lnExpr("__zb")} END))"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("n_shared"),
+        sum(expr("CAST(round(contrib, 9) AS DECIMAL(18,9))")).as("jsd"))
+      .selectExpr("sa AS source_a", "sb AS source_b",
+        "CAST(n_union AS BIGINT) AS n_union_words",
+        "CAST(n_shared AS BIGINT) AS n_shared_words",
+        "CAST(jsd AS DOUBLE) AS js_divergence")
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceDivergenceMatrixSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH ex AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+       |    x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |cells AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY 1, 2),
+       |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM cells GROUP BY 1),
+       |vocab AS (SELECT DISTINCT w FROM cells),
+       |pairs AS (
+       |  SELECT a.source AS sa, a.tot AS ta, b.source AS sb, b.tot AS tb
+       |  FROM totals a JOIN totals b ON a.source < b.source),
+       |grid AS (SELECT sa, ta, sb, tb, w FROM pairs CROSS JOIN vocab),
+       |g2 AS (
+       |  SELECT grid.sa, grid.ta, grid.sb, grid.tb, grid.w,
+       |    coalesce(la.c, 0) AS ca, coalesce(lb.c, 0) AS cb
+       |  FROM grid
+       |  LEFT JOIN cells la ON la.source = grid.sa AND la.w = grid.w
+       |  LEFT JOIN cells lb ON lb.source = grid.sb AND lb.w = grid.w),
+       |g3 AS (SELECT * FROM g2 WHERE ca + cb > 0),
+       |d AS (SELECT *,
+       |    CAST(ca AS DOUBLE) * CAST(tb AS DOUBLE) AS da,
+       |    CAST(cb AS DOUBLE) * CAST(ta AS DOUBLE) AS db
+       |  FROM g3),
+       |rr AS (SELECT *, 2.0 * da / (da + db) AS rp, 2.0 * db / (da + db) AS rq FROM d),
+       |y AS (SELECT *, ${ExactLn.yExpr("rp")} AS __ya, ${ExactLn.yExpr("rq")} AS __yb FROM rr),
+       |z AS (SELECT *, ${ExactLn.zExpr("__ya")} AS __za, ${ExactLn.zExpr("__yb")} AS __zb FROM y),
+       |ct AS (SELECT *,
+       |    0.5 * ((CASE WHEN ca = 0 THEN 0.0 ELSE (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)) * ${ExactLn.lnExpr("__za")} END)
+       |      + (CASE WHEN cb = 0 THEN 0.0 ELSE (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) * ${ExactLn.lnExpr("__zb")} END)) AS contrib
+       |  FROM z)
+       |SELECT sa AS source_a, sb AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_union_words,
+       |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_words,
+       |  CAST(sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) AS DOUBLE) AS js_divergence
+       |FROM ct GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+  }
 }
