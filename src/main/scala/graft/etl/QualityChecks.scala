@@ -426,4 +426,163 @@ object QualityChecks {
       |SELECT CAST(d AS VARCHAR) AS day, n_events, n_users,
       |  CAST(dmax - d AS INTEGER) AS lag_days
       |FROM daily, mx ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------- k_anonymity_audit
+
+  /** k-anonymity audit of the customer dim under the
+    * (nation, market segment) quasi-identifier: equivalence-class
+    * size bands, how many customers sit in classes smaller than the
+    * k=5 / k=10 conventions, and each band's share — the
+    * re-identification exposure readout a privacy review wants
+    * BEFORE an export (none of the data-quality checks measure
+    * linkability). Pure integer counting; shares are guarded
+    * cast-each-operand doubles.
+    *
+    * Scale shape: one partial-aggregating pass to the QI-class frame
+    * (bounded by |nations|·|segments|), a second to the 4-row band
+    * spine; the share window runs on that spine only.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = Tables(spark, dir).customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("k"))
+    classes
+      .withColumn("band", expr(KAnonBandCase))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_customers"),
+        min(col("k")).as("min_k"))
+      .withColumn("tot", sum(col("n_customers")).over(Window.partitionBy()))
+      .selectExpr("band", "CAST(n_classes AS BIGINT) AS n_classes",
+        "CAST(n_customers AS BIGINT) AS n_customers",
+        "CAST(min_k AS BIGINT) AS min_k",
+        "CAST(n_customers AS DOUBLE) / CAST(tot AS DOUBLE) AS share_customers")
+      .orderBy("band")
+  }
+
+  private val KAnonBandCase: String =
+    """CASE WHEN k = 1 THEN '1_unique' WHEN k < 5 THEN '2_to_4'
+      |WHEN k < 10 THEN '5_to_9' ELSE '10_plus' END""".stripMargin
+
+  val kAnonymityAuditSql: String =
+    s"""WITH classes AS (
+       |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k
+       |  FROM customer GROUP BY 1, 2),
+       |b AS (
+       |  SELECT $KAnonBandCase AS band,
+       |    CAST(count(*) AS BIGINT) AS n_classes,
+       |    CAST(sum(k) AS BIGINT) AS n_customers,
+       |    CAST(min(k) AS BIGINT) AS min_k
+       |  FROM classes GROUP BY 1),
+       |t AS (SELECT *, CAST(sum(n_customers) OVER () AS BIGINT) AS tot FROM b)
+       |SELECT band, n_classes, n_customers, min_k,
+       |  CAST(n_customers AS DOUBLE) / CAST(tot AS DOUBLE) AS share_customers
+       |FROM t ORDER BY band""".stripMargin
+
+  // ------------------------------------------------ mutual_information_matrix
+
+  // MI cell term p·ln((c·n)/(cx·cy)) and margin-entropy term −p·ln p,
+  // both on fixed-order cast-each-operand doubles with the engine-
+  // exact ln staged, each Σ term 9-dp decimal-quantized (the repo's
+  // order-independent-sum convention). Ratio ≥ 1/n keeps ExactLn in
+  // domain for n < 2⁴⁰.
+  private val MiRatio =
+    "((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))"
+  private val MiTerm =
+    "CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * __ln, 9) AS DECIMAL(18,9))"
+  private val MarP = "(CAST(cm AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val MarTerm =
+    s"CAST(round(-($MarP * __ln), 9) AS DECIMAL(18,9))"
+
+  /** Mutual information (nats) between categorical column pairs of
+    * the orders feed — status×priority, status×weekday,
+    * priority×weekday — with each column's marginal entropy and the
+    * normalized MI/min(H) coefficient: `chi_square_profile` /
+    * `cramers_v` measure ASSOCIATION on the χ² scale; MI measures it
+    * in BITS-equivalent (how much knowing one column shrinks the
+    * other's entropy), the number feature selection and leakage
+    * review actually rank by. Cell and margin counts are exact; both
+    * logs are the engine-exact [[graft.functions.ExactLn]]
+    * construction; every Σ is over 9-dp-quantized decimals.
+    *
+    * Scale shape: one orders pass fans into three (pair, va, vb)
+    * streams that partial-aggregate to domain-bounded cell frames
+    * (≤ |status|·|priority| etc.); margins, entropies and MI all run
+    * on those bounded spines.
+    */
+  def mutualInformationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val base = Tables(spark, dir).orders.select(
+      col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
+      expr("CAST(CAST(datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') AS BIGINT) % 7 AS STRING)").as("wd"))
+    val u = base.selectExpr("'status_priority' AS pair", "st AS va", "pr AS vb")
+      .unionByName(base.selectExpr("'status_weekday' AS pair", "st AS va", "wd AS vb"))
+      .unionByName(base.selectExpr("'priority_weekday' AS pair", "pr AS va", "wd AS vb"))
+    val cells = u.groupBy(col("pair"), col("va"), col("vb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cx", sum(col("c")).over(Window.partitionBy("pair", "va")))
+      .withColumn("cy", sum(col("c")).over(Window.partitionBy("pair", "vb")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("pair")))
+    val mi = cells
+      .withColumn("__y", expr(ExactLn.yExpr(MiRatio)))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("__ln", expr(ExactLn.lnExpr("__z")))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_cells"), sum(expr(MiTerm)).as("mi"))
+    def marginEntropy(key: String, out: String): DataFrame = cells
+      .groupBy(col("pair"), col(key))
+      .agg(sum(col("c")).as("cm"), max(col("n")).as("n"))
+      .withColumn("__y", expr(ExactLn.yExpr(MarP)))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("__ln", expr(ExactLn.lnExpr("__z")))
+      .groupBy(col("pair")).agg(sum(expr(MarTerm)).as(out))
+    mi.join(marginEntropy("va", "ha"), "pair")
+      .join(marginEntropy("vb", "hb"), "pair")
+      .selectExpr("pair", "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(mi AS DOUBLE) AS mi_nats",
+        "CAST(ha AS DOUBLE) AS h_a", "CAST(hb AS DOUBLE) AS h_b",
+        """CASE WHEN CAST(least(ha, hb) AS DOUBLE) <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(mi AS DOUBLE) / CAST(least(ha, hb) AS DOUBLE) END AS nmi""".stripMargin)
+      .orderBy("pair")
+  }
+
+  val mutualInformationMatrixSql: String = {
+    import graft.functions.ExactLn
+    def marginCtes(key: String, tag: String, out: String): String =
+      s"""m$tag AS (
+         |  SELECT pair, $key, CAST(sum(c) AS BIGINT) AS cm, CAST(max(n) AS BIGINT) AS n
+         |  FROM cells GROUP BY 1, 2),
+         |m${tag}y AS (SELECT pair, cm, n, ${ExactLn.yExpr(MarP)} AS __y FROM m$tag),
+         |m${tag}z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM m${tag}y),
+         |m${tag}l AS (SELECT *, ${ExactLn.lnExpr("__z")} AS __ln FROM m${tag}z),
+         |h$tag AS (SELECT pair, sum($MarTerm) AS $out FROM m${tag}l GROUP BY 1)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+       |    CAST(CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 7 AS VARCHAR) AS wd
+       |  FROM orders),
+       |u AS (
+       |  SELECT 'status_priority' AS pair, st AS va, pr AS vb FROM base
+       |  UNION ALL SELECT 'status_weekday', st, wd FROM base
+       |  UNION ALL SELECT 'priority_weekday', pr, wd FROM base),
+       |cells AS (
+       |  SELECT pair, va, vb, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(count(*)) OVER (PARTITION BY pair, va) AS BIGINT) AS cx,
+       |    CAST(sum(count(*)) OVER (PARTITION BY pair, vb) AS BIGINT) AS cy,
+       |    CAST(sum(count(*)) OVER (PARTITION BY pair) AS BIGINT) AS n
+       |  FROM u GROUP BY 1, 2, 3),
+       |cy0 AS (SELECT pair, c, n, cx, cy, ${ExactLn.yExpr(MiRatio)} AS __y FROM cells),
+       |cz AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM cy0),
+       |cl AS (SELECT *, ${ExactLn.lnExpr("__z")} AS __ln FROM cz),
+       |mi AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS n_cells, sum($MiTerm) AS mi
+       |  FROM cl GROUP BY 1),
+       |${marginCtes("va", "a", "ha")},
+       |${marginCtes("vb", "b", "hb")}
+       |SELECT mi.pair, n_cells, CAST(mi AS DOUBLE) AS mi_nats,
+       |  CAST(ha AS DOUBLE) AS h_a, CAST(hb AS DOUBLE) AS h_b,
+       |  CASE WHEN CAST(least(ha, hb) AS DOUBLE) <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(mi AS DOUBLE) / CAST(least(ha, hb) AS DOUBLE) END AS nmi
+       |FROM mi JOIN ha USING (pair) JOIN hb USING (pair)
+       |ORDER BY pair""".stripMargin
+  }
 }

@@ -71,7 +71,8 @@ object Dedup {
     "dedup_cross_source_matrix", "dedup_cluster_size_hist",
     "dedup_incremental", "dedup_threshold_sensitivity",
     "minhash_estimate_audit", "minhash_band_tune", "lsh_bucket_occupancy",
-    "dedup_shingle_size_sensitivity")
+    "dedup_shingle_size_sensitivity", "lsh_recall_audit",
+    "dup_ngram_coverage")
 
   private[graft] val HashedConsumers: Set[String] =
     ShingleConsumers - "lsh_bucket_occupancy"
@@ -144,7 +145,7 @@ object Dedup {
     // both sides of the candidate self-join read this; shared with
     // dedup_method_agreement's ngram leg
     val prefix = graft.core.SharedFrames.get(spark, "dedup.ngramPrefix", dir,
-        Set("dedup_ngram_jaccard", "dedup_method_agreement")) {
+        Set("dedup_ngram_jaccard", "dedup_method_agreement", "lsh_recall_audit")) {
       hs.select(col("doc_id"), size(col("hv")).as("nsh"),
         posexplode(slice(col("hv"), lit(1),
           floor(size(col("hv")) / 2) + 1)).as(Seq("p", "s")))
@@ -1417,6 +1418,95 @@ object Dedup {
     ShingleSizes.map(sizeRow).reduce(_ union _).orderBy("shingle_n")
   }
 
+  // ------------------------------------------------------- lsh_recall_audit
+
+  /** MEASURED recall of the production LSH banding against exact
+    * ground truth, per Jaccard bucket: every true τ=0.5 n-gram pair
+    * (the PPJoin-exact `dedup_ngram_jaccard` set) checked for
+    * membership in the banded candidate set, next to the THEORETICAL
+    * S-curve 1−(1−j^r)^b at the bucket midpoint —
+    * `minhash_band_tune` predicts the curve, this closes the loop by
+    * measuring it on the real corpus (the audit that catches a bad
+    * hash family or a banding bug that theory can't). Counts exact;
+    * recall guarded shared-text; theory values precomputed
+    * shortest-round-trip literals.
+    *
+    * Scale shape: truth pairs come from the exact prefix-filtered
+    * path, candidates from the banded equi-join — both
+    * collision-bounded; the audit join runs on the (tiny) pair
+    * frames only.
+    */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    MinHashSig.register(spark)
+    val truth = dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sets = shingleSets(spark, dir)
+    val sig = sets.select(col("doc_id"),
+      call_function("graft_minhash", col("sh")).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+            h => h.cast("string")))))
+        .as(Seq("band", "bk")))
+    val cand = banded.toDF("i", "band_i", "bk")
+      .join(banded.toDF("j", "band_j", "bk2"),
+        col("band_i") === col("band_j") && col("bk") === col("bk2") &&
+          col("i") < col("j"))
+      .select(col("i").as("doc_a"), col("j").as("doc_b")).distinct()
+      .withColumn("hit", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", expr("least(CAST(floor(jaccard * 10) AS INTEGER), 9)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .selectExpr("CAST(bucket AS BIGINT) AS bucket",
+        "CAST(bucket AS DOUBLE) / CAST(10 AS DOUBLE) AS jaccard_lo",
+        "CAST(n_true AS BIGINT) AS n_true", "CAST(n_hit AS BIGINT) AS n_hit",
+        """CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall""".stripMargin,
+        LshTheoryCase + " AS theory_recall")
+      .orderBy("bucket")
+  }
+
+  // 1−(1−m^r)^b at each bucket midpoint, precomputed as literals.
+  // String-literal cast: DuckDB parses a bare 16-digit numeric literal
+  // as DECIMAL first (1-ulp drift vs the double); VARCHAR→DOUBLE is
+  // correctly-rounded strtod on both engines.
+  private lazy val LshTheoryCase: String = {
+    val cases = (5 to 9).map { bk =>
+      val m = bk / 10.0 + 0.05
+      val p = 1.0 - math.pow(1.0 - math.pow(m, BandSize), NumBands)
+      s"WHEN bucket = $bk THEN CAST('$p' AS DOUBLE)"
+    }.mkString(" ")
+    s"(CASE $cases ELSE CAST(0 AS DOUBLE) END)"
+  }
+
+  lazy val lshRecallAuditSql: String =
+    s"""WITH $minHashPairCtes,
+       |truth AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+       |      / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+       |      / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))) >= 0.5),
+       |au AS (
+       |  SELECT truth.jaccard,
+       |    CASE WHEN cand.i IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM truth LEFT JOIN cand ON cand.i = truth.i AND cand.j = truth.j),
+       |g AS (
+       |  SELECT least(CAST(floor(jaccard * 10) AS INTEGER), 9) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_true, CAST(sum(hit) AS BIGINT) AS n_hit
+       |  FROM au GROUP BY 1)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(bucket AS DOUBLE) / CAST(10 AS DOUBLE) AS jaccard_lo,
+       |  n_true, n_hit,
+       |  CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall,
+       |  $LshTheoryCase AS theory_recall
+       |FROM g ORDER BY bucket""".stripMargin
+
   lazy val dedupShingleSizeSensitivitySql: String = {
     def shCte(n: Int) =
       s"""sh$n AS (
@@ -1447,4 +1537,71 @@ object Dedup {
        |  ELSE CAST(mj AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS mean_jaccard
        |FROM ($un) u ORDER BY shingle_n""".stripMargin
   }
+
+  // ----------------------------------------------------- dup_ngram_coverage
+
+  /** Cross-document duplicated-n-gram coverage per source: the share
+    * of each source's (distinct, per-doc) shingles that occur in ≥2
+    * documents corpus-wide, plus how many docs are majority-duplicated
+    * — the RefinedWeb/Gopher-style *coverage* readout.
+    * `text_repetition` measures WITHIN-doc shingle repetition and
+    * `dup_rate_by_source` exact WHOLE-doc duplicates; this is the
+    * in-between grain (how much of a source's text is boilerplate
+    * shared across documents) that decides whether a source needs
+    * substring-level dedup before training. Counts exact integers;
+    * the high-dup flag is the integer cross-product 2·dup ≥ total;
+    * coverage is one guarded double division per source.
+    *
+    * Scale shape: shingle-grain doc-frequency partial-agg + one
+    * shingle-grain join back (both on 8-byte hashes off the
+    * session-shared [[hashedSets]] frame — strings never shuffle),
+    * then a doc-grain and a source-grain reduction. Work ∝ corpus
+    * token volume; nothing pairwise anywhere.
+    */
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ex = hashedSets(spark, dir)
+      .select(col("doc_id"), explode(col("hv")).as("h"))
+    val df = ex.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    val pd = ex.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    pd.join(Tables(spark, dir).documents.select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_dup")).as("n_dup_shingles"),
+        sum(when(col("n_dup") * 2 >= col("n_sh"), 1L).otherwise(0L))
+          .as("n_docs_high_dup"))
+      .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_shingles AS BIGINT) AS n_shingles",
+        "CAST(n_dup_shingles AS BIGINT) AS n_dup_shingles",
+        // every doc yields ≥1 shingle (TokenShingles' whole-doc ELSE
+        // branch), so the denominator is never 0; guarded anyway to
+        // keep the text total
+        """CASE WHEN n_shingles = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(n_dup_shingles AS DOUBLE) / CAST(n_shingles AS DOUBLE) END AS dup_coverage""".stripMargin,
+        "CAST(n_docs_high_dup AS BIGINT) AS n_docs_high_dup")
+      .orderBy("source")
+  }
+
+  val dupNgramCoverageSql: String =
+    s"""WITH $ToksCte,
+       |$ShCte,
+       |ex AS (SELECT doc_id, unnest(sd) AS s FROM sh),
+       |df AS (SELECT s, CAST(count(*) AS BIGINT) AS ndocs FROM ex GROUP BY 1),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+       |    CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM ex JOIN df USING (s) GROUP BY 1),
+       |j AS (SELECT d.source, pd.n_sh, pd.n_dup
+       |  FROM pd JOIN documents d USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+       |  CAST(sum(n_dup) AS BIGINT) AS n_dup_shingles,
+       |  CASE WHEN sum(n_sh) = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE) END AS dup_coverage,
+       |  CAST(sum(CASE WHEN n_dup * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_high_dup
+       |FROM j GROUP BY 1 ORDER BY source""".stripMargin
 }

@@ -360,7 +360,7 @@ object Graph {
     "link_prediction_jaccard", "shortest_path_bf", "local_clustering",
     "graph_modularity", "community_louvain", "degree_assortativity",
     "link_prediction_resource_alloc", "rich_club_coefficient",
-    "hub_closeness_profile")
+    "hub_closeness_profile", "adamic_adar_links")
 
   private def supportEdges(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
@@ -1940,4 +1940,90 @@ object Graph {
        |FROM agg JOIN hubs USING (hub)
        |ORDER BY degree DESC, part_key""".stripMargin
   }
+
+  // ------------------------------------------------------ adamic_adar_links
+
+  // engine-exact ln(deg) staged at NODE grain (vocabulary-bounded —
+  // never per wedge), then the AA contribution 1/ln(deg) quantized on
+  // the 9-dp grid and summed exactly in decimal (the RaContribExpr
+  // order-independence convention). A wedge center always has deg ≥ 2,
+  // so ln(deg) ≥ ln 2 — never 0.
+  private val AaY = graft.functions.ExactLn.yExpr("CAST(deg AS DOUBLE)")
+  private val AaZ = graft.functions.ExactLn.zExpr("__y")
+  private val AaLn = graft.functions.ExactLn.lnExpr("__z")
+  // deg-1 nodes never center a wedge, but the column is computed for
+  // every node — guard ln(1)=0 to keep ANSI division happy (the 0
+  // sentinel is never summed)
+  private val AaContrib =
+    "CAST(CASE WHEN deg < 2 THEN CAST(0 AS DOUBLE) " +
+      "ELSE round(CAST(1 AS DOUBLE) / __ln, 9) END AS DECIMAL(18,9))"
+
+  /** Link prediction by the Adamic-Adar index: for every non-edge
+    * pair, AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — the classic
+    * sibling of `link_prediction_resource_alloc` with a LOGARITHMIC
+    * hub discount (RA's 1/deg kills hub evidence almost entirely; AA
+    * keeps a diminishing share, which ranks mid-degree shared
+    * neighbors differently — the standard pair a recsys ablation
+    * compares). ln is the engine-exact [[graft.functions.ExactLn]]
+    * construction evaluated once per NODE; contributions are 9-dp
+    * decimal-quantized so the Σ is order-independent.
+    *
+    * Scale shape: shares the session-cached [[supportEdges]] frame;
+    * the wedge self-join's work is Σ deg(w)² (the quantity
+    * `degree_profile` bounds), the ln staging is node-grain map-side,
+    * and the final TakeOrdered keeps only top-[[LinkPredTopK]].
+    */
+  def adamicAdarLinks(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+    val cached = graft.core.OwnedCaches.own(edges.cache())
+    val deg = cached.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
+      .withColumn("__y", expr(AaY))
+      .withColumn("__z", expr(AaZ))
+      .withColumn("__ln", expr(AaLn))
+      .select(col("p"), expr(AaContrib).as("aa_c"))
+    val wedges = cached.select(col("src").as("w"), col("dst").as("a"))
+      .join(cached.select(col("src").as("w2"), col("dst").as("b")),
+        col("w") === col("w2") && col("a") < col("b"))
+      .join(deg.select(col("p").as("wp"), col("aa_c")), col("w") === col("wp"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"), sum(col("aa_c")).as("aa_d"))
+    wedges.join(und,
+        col("a") === col("p1") && col("b") === col("p2"), "left_anti")
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("common"),
+        expr("CAST(aa_d AS DOUBLE)").as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("node_a"), col("node_b"))
+      .limit(LinkPredTopK)
+  }
+
+  val adamicAdarLinksSql: String =
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+      |      UNION ALL SELECT p2, p1 FROM e0),
+      |deg0 AS (SELECT src AS p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |degy AS (SELECT p, deg, $AaY AS __y FROM deg0),
+      |degz AS (SELECT p, deg, $AaZ AS __z FROM degy),
+      |degl AS (SELECT p, deg, $AaLn AS __ln FROM degz),
+      |degc AS (SELECT p, $AaContrib AS aa_c FROM degl),
+      |w AS (
+      |  SELECT x.dst AS a, y.dst AS b, count(*) AS common,
+      |    sum(aa_c) AS aa_d
+      |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+      |  JOIN degc ON degc.p = x.src
+      |  GROUP BY 1, 2),
+      |ne AS (
+      |  SELECT w.* FROM w LEFT JOIN e0 ON w.a = e0.p1 AND w.b = e0.p2
+      |  WHERE e0.p1 IS NULL)
+      |SELECT a AS node_a, b AS node_b, CAST(common AS BIGINT) AS common,
+      |  CAST(aa_d AS DOUBLE) AS adamic_adar
+      |FROM ne ORDER BY adamic_adar DESC, node_a, node_b LIMIT $LinkPredTopK""".stripMargin
 }

@@ -515,4 +515,116 @@ object Incremental {
       |  n_missing_at_load - n_repaired AS n_unresolved,
       |  CAST(n_repaired AS DOUBLE) / CAST(n_missing_at_load AS DOUBLE) AS repair_coverage
       |FROM tot, rep""".stripMargin
+
+  // ----------------------------------------------------------- zone_map_prune
+
+  /** Rows per simulated insert-order file for the zone-map audit —
+    * sized so sf0.01 yields O(10–100) files, like a real writer's
+    * rowgroup target. */
+  private val ZoneFileSpan = 4096
+
+  /** (label, lo, hi) shipdate predicates the audit evaluates. */
+  private val ZonePreds: Seq[(String, String, String)] = Seq(
+    ("q1_1994", "1994-01-01", "1994-03-31"),
+    ("year_1995", "1995-01-01", "1995-12-31"),
+    ("dec_1996", "1996-12-01", "1996-12-31"))
+
+  // predicate bounds as integer day numbers vs the repo's 1990-01-01
+  // epoch — computed ONCE driver-side so both engine texts carry the
+  // same literals (no engine date arithmetic in the hot path)
+  private def zoneDay(s: String): Long =
+    java.time.LocalDate.parse(s).toEpochDay -
+      java.time.LocalDate.parse("1990-01-01").toEpochDay
+
+  /** Zone-map (min/max) file-skipping audit: lineitem rows are binned
+    * into insert-order "files" of [[ZoneFileSpan]] order keys, each
+    * file keeps a (min, max) shipdate zone, and three date predicates
+    * are tested for how many files they PRUNE vs how many rows the
+    * surviving files force the scan to read — the
+    * rows_scanned/rows_matching amplification is the number that
+    * decides whether a table needs re-clustering on shipdate
+    * (`compaction_plan` sizes files; this measures whether their
+    * STATISTICS actually cut I/O — the parquet rowgroup-stats /
+    * Delta data-skipping readout). All counts exact integers; the two
+    * ratios are guarded doubles.
+    *
+    * Scale shape: one lineitem partial-agg to the file-grain zone
+    * frame + one conditional-sum pass for per-predicate match counts;
+    * every predicate evaluates as conditional sums over those two
+    * bounded frames — the predicate set never multiplies row volume.
+    */
+  def zoneMapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val d = "CAST(datediff(CAST(l_shipdate AS DATE), DATE'1990-01-01') AS BIGINT)"
+    val li = Tables(spark, dir).lineitem
+    val zones = li
+      .select(expr(s"l_orderkey div $ZoneFileSpan").as("f"), expr(d).as("d"))
+      .groupBy(col("f"))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
+        count(lit(1)).as("n_rows"))
+    val zcols = count(lit(1)).as("n_files") +: sum(col("n_rows")).as("rows_total") +:
+      ZonePreds.zipWithIndex.flatMap { case ((_, lo, hi), i) =>
+        val ov = s"(mx >= ${zoneDay(lo)} AND mn <= ${zoneDay(hi)})"
+        Seq(sum(when(expr(ov), 1L).otherwise(0L)).as(s"sc$i"),
+          sum(when(expr(ov), col("n_rows")).otherwise(0L)).as(s"rs$i"))
+      }
+    val zagg = zones.agg(zcols.head, zcols.tail: _*)
+    val mcols = ZonePreds.zipWithIndex.map { case ((_, lo, hi), i) =>
+      sum(when(expr(s"(d >= ${zoneDay(lo)} AND d <= ${zoneDay(hi)})"), 1L)
+        .otherwise(0L)).as(s"mt$i")
+    }
+    val magg = li.select(expr(d).as("d")).agg(mcols.head, mcols.tail: _*)
+    val stackArgs = ZonePreds.zipWithIndex
+      .map { case ((nm, _, _), i) => s"'$nm', sc$i, rs$i, mt$i" }.mkString(", ")
+    zagg.crossJoin(magg)
+      .selectExpr("n_files", "rows_total",
+        s"stack(${ZonePreds.size}, $stackArgs) AS (predicate, n_files_scanned, rows_scanned, rows_matching)")
+      .selectExpr("predicate", "CAST(n_files AS BIGINT) AS n_files",
+        "CAST(n_files_scanned AS BIGINT) AS n_files_scanned",
+        "CAST(n_files - n_files_scanned AS BIGINT) AS n_files_pruned",
+        "CAST(n_files - n_files_scanned AS DOUBLE) / CAST(n_files AS DOUBLE) AS prune_ratio",
+        "CAST(rows_total AS BIGINT) AS rows_total",
+        "CAST(rows_scanned AS BIGINT) AS rows_scanned",
+        "CAST(rows_matching AS BIGINT) AS rows_matching",
+        """CASE WHEN rows_matching = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(rows_scanned AS DOUBLE) / CAST(rows_matching AS DOUBLE) END AS scan_amplification""".stripMargin)
+      .orderBy("predicate")
+  }
+
+  val zoneMapPruneSql: String = {
+    val dd = "CAST(date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)"
+    val zcols = ZonePreds.zipWithIndex.map { case ((_, lo, hi), i) =>
+      s"""CAST(sum(CASE WHEN (mx >= ${zoneDay(lo)} AND mn <= ${zoneDay(hi)}) THEN 1 ELSE 0 END) AS BIGINT) AS sc$i,
+         |    CAST(sum(CASE WHEN (mx >= ${zoneDay(lo)} AND mn <= ${zoneDay(hi)}) THEN n_rows ELSE 0 END) AS BIGINT) AS rs$i""".stripMargin
+    }.mkString(",\n    ")
+    val mcols = ZonePreds.zipWithIndex.map { case ((_, lo, hi), i) =>
+      s"CAST(sum(CASE WHEN (d >= ${zoneDay(lo)} AND d <= ${zoneDay(hi)}) THEN 1 ELSE 0 END) AS BIGINT) AS mt$i"
+    }.mkString(",\n    ")
+    val rows = ZonePreds.zipWithIndex.map { case ((nm, _, _), i) =>
+      s"SELECT n_files, rows_total, '$nm' AS predicate, sc$i AS n_files_scanned, rs$i AS rows_scanned, mt$i AS rows_matching FROM za, ma"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH z AS (
+       |  SELECT l_orderkey // $ZoneFileSpan AS f, $dd AS d
+       |  FROM lineitem),
+       |zones AS (
+       |  SELECT f, min(d) AS mn, max(d) AS mx, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM z GROUP BY 1),
+       |za AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_files,
+       |    CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       |    $zcols
+       |  FROM zones),
+       |ma AS (
+       |  SELECT
+       |    $mcols
+       |  FROM z),
+       |u AS (
+       |  $rows)
+       |SELECT predicate, n_files, n_files_scanned,
+       |  n_files - n_files_scanned AS n_files_pruned,
+       |  CAST(n_files - n_files_scanned AS DOUBLE) / CAST(n_files AS DOUBLE) AS prune_ratio,
+       |  rows_total, rows_scanned, rows_matching,
+       |  CASE WHEN rows_matching = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(rows_scanned AS DOUBLE) / CAST(rows_matching AS DOUBLE) END AS scan_amplification
+       |FROM u ORDER BY predicate""".stripMargin
+  }
 }

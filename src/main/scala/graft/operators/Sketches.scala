@@ -628,4 +628,108 @@ object Sketches {
       |  TRUE AS bound_ok
       |FROM r WHERE rk <= 10
       |ORDER BY return_flag, rank""".stripMargin
+
+  // ---------------------------------------------------- quantile_sketch_audit
+
+  private val QsBuckets = 256
+  private val QsQuantiles = Seq(50, 95, 99)
+
+  /** Equi-width histogram quantile sketch audited against the exact
+    * answer: order totals (exact cents) hash into [[QsBuckets]]
+    * fixed-width buckets in ONE map-side pass, each target quantile
+    * reads its ceil-rank bucket and reports the bucket MIDPOINT, and
+    * the audit joins the exact ceil-rank quantile next to it with
+    * abs/relative error — the accuracy-vs-cost readout that justifies
+    * replacing a full sort with a bounded sketch at 100 TB (same
+    * contract as the HLL above: the sketch is cheap, the audit proves
+    * how cheap is safe). Bucket indices and both quantile positions
+    * are exact integer cross-products; only the two error ratios are
+    * doubles.
+    *
+    * Scale shape: the sketch side partial-aggregates to ≤[[QsBuckets]]
+    * rows (map-side combine does almost all the work); the exact side
+    * is a value-grain count histogram + cumulative window — the
+    * ground truth the audit exists to compare against, kept to ONE
+    * pass; quantile extraction runs on bounded frames.
+    */
+  def quantileSketchAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, dir).orders
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+    val bounds = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n"))
+    val hist = v.crossJoin(broadcast(bounds))
+      .select(expr(s"((v - mn) * $QsBuckets) div (mx - mn + 1)").as("bk"),
+        col("mn"), col("mx"), col("n"))
+      .groupBy(col("bk"), col("mn"), col("mx"), col("n"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exact = v.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+      .withColumn("cumv", sum(col("cv")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rows = QsQuantiles.map { q =>
+      val est = hist
+        .filter(col("cum") >= expr(s"($q * n + 99) div 100"))
+        .agg(min(col("bk")).as("bk"), max(col("mn")).as("mn"),
+          max(col("mx")).as("mx"), max(col("n")).as("n"))
+        .selectExpr(s"CAST($q AS BIGINT) AS q", "n",
+          "mn + (bk * (mx - mn + 1)) div " + QsBuckets + " AS lo_b",
+          s"mn + ((bk + 1) * (mx - mn + 1)) div $QsBuckets - 1 AS hi_b")
+        .selectExpr("q", "n", "(lo_b + hi_b) div 2 AS est_value")
+      val ex = exact.crossJoin(broadcast(bounds.select(col("n").as("n2"))))
+        .filter(col("cumv") >= expr(s"($q * n2 + 99) div 100"))
+        .agg(min(col("v")).as("exact_value"))
+      est.crossJoin(ex)
+    }
+    rows.reduce(_ unionByName _)
+      .selectExpr("q", "CAST(n AS BIGINT) AS n_rows",
+        s"CAST($QsBuckets AS BIGINT) AS n_buckets",
+        "CAST(est_value AS BIGINT) AS est_value",
+        "CAST(exact_value AS BIGINT) AS exact_value",
+        "CAST(abs(est_value - exact_value) AS BIGINT) AS abs_err",
+        """CASE WHEN exact_value = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(abs(est_value - exact_value) AS DOUBLE) / CAST(exact_value AS DOUBLE) END AS rel_err""".stripMargin)
+      .orderBy("q")
+  }
+
+  val quantileSketchAuditSql: String = {
+    val qrows = QsQuantiles.map { q =>
+      s"""SELECT $q AS q, n,
+         |    (SELECT min(bk) FROM hist WHERE cum >= ($q * b.n + 99) // 100) AS bk,
+         |    mn, mx,
+         |    (SELECT min(v) FROM exact WHERE cumv >= ($q * b.n + 99) // 100) AS exact_value
+         |  FROM b""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH vals AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM orders),
+       |b AS (SELECT CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx,
+       |    CAST(count(*) AS BIGINT) AS n FROM vals),
+       |hist AS (
+       |  SELECT bk, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(count(*)) OVER (ORDER BY bk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM (SELECT ((v - mn) * $QsBuckets) // (mx - mn + 1) AS bk FROM vals, b) h
+       |  GROUP BY bk),
+       |exact AS (
+       |  SELECT v, CAST(sum(count(*)) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumv
+       |  FROM vals GROUP BY v),
+       |qq AS (
+       |  $qrows),
+       |est AS (
+       |  SELECT q, n, exact_value,
+       |    mn + (bk * (mx - mn + 1)) // $QsBuckets AS lo_b,
+       |    mn + ((bk + 1) * (mx - mn + 1)) // $QsBuckets - 1 AS hi_b
+       |  FROM qq)
+       |SELECT CAST(q AS BIGINT) AS q, n AS n_rows,
+       |  CAST($QsBuckets AS BIGINT) AS n_buckets,
+       |  CAST((lo_b + hi_b) // 2 AS BIGINT) AS est_value,
+       |  CAST(exact_value AS BIGINT) AS exact_value,
+       |  CAST(abs((lo_b + hi_b) // 2 - exact_value) AS BIGINT) AS abs_err,
+       |  CASE WHEN exact_value = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(abs((lo_b + hi_b) // 2 - exact_value) AS DOUBLE) / CAST(exact_value AS DOUBLE) END AS rel_err
+       |FROM est ORDER BY q""".stripMargin
+  }
 }

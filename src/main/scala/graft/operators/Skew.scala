@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.GraftFunctions.money
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-handling patterns (SURVEY.md §5). AQE's skew-join splitting
@@ -233,4 +234,142 @@ object Skew {
       |  CAST(max_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE) AS imbalance_factor,
       |  CAST(topk_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) AS topk_share
       |FROM s, t""".stripMargin
+
+  // ------------------------------------------------------- join_key_skew_audit
+
+  /** Multiplicity-percentile skew audit of the two big join keys
+    * (`lineitem.l_partkey`, `orders.o_custkey`): p50/p99/max key
+    * multiplicity, top-1 share, and the max/mean skew ratio — the
+    * pre-join read that decides whether a key needs salting
+    * (`skew_diagnose` profiles ONE key's top-k; this gives the
+    * percentile shape for both, and the percentiles come from the
+    * COUNT-OF-COUNTS histogram, so no key-grain global sort exists
+    * anywhere in the plan). Integer ceil-ranks locate the
+    * percentiles exactly; ratios are guarded cast-each-operand
+    * doubles.
+    *
+    * Scale shape: each audited key partial-aggregates to its
+    * frequency frame, then to the multiplicity histogram — bounded
+    * by DISTINCT MULTIPLICITY VALUES (tiny even at 10⁹ keys); the
+    * cumulative window runs on that bounded spine, never on the key
+    * frame.
+    */
+  def joinKeySkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def audit(name: String, df: DataFrame, key: String): DataFrame = {
+      val hist = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("nk"))
+      val wAsc = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("nk")).over(wAsc))
+        .withColumn("tk", sum(col("nk")).over(Window.partitionBy()))
+        .withColumn("tr", sum(expr("c * nk")).over(Window.partitionBy()))
+        .agg(max(col("c")).as("maxm"),
+          min(when(col("cum") >= expr("(tk + 1) div 2"), col("c"))).as("p50"),
+          min(when(col("cum") >= expr("(99 * tk + 99) div 100"), col("c"))).as("p99"),
+          max(col("tk")).as("n_keys"), max(col("tr")).as("n_rows"))
+        .selectExpr(s"'$name' AS join_key", "CAST(n_keys AS BIGINT) AS n_keys",
+          "CAST(n_rows AS BIGINT) AS n_rows",
+          "CAST(p50 AS BIGINT) AS p50_mult", "CAST(p99 AS BIGINT) AS p99_mult",
+          "CAST(maxm AS BIGINT) AS max_mult",
+          "CAST(maxm AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share",
+          "CAST(maxm AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio")
+    }
+    audit("lineitem.l_partkey", t.lineitem.select(col("l_partkey")), "l_partkey")
+      .union(audit("orders.o_custkey", t.orders.select(col("o_custkey")), "o_custkey"))
+      .orderBy("join_key")
+  }
+
+  val joinKeySkewAuditSql: String = {
+    def audit(name: String, table: String, key: String, tag: String): String =
+      s"""f$tag AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1),
+         |h$tag AS (SELECT c, CAST(count(*) AS BIGINT) AS nk FROM f$tag GROUP BY 1),
+         |w$tag AS (
+         |  SELECT *,
+         |    CAST(sum(nk) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(nk) OVER () AS BIGINT) AS tk,
+         |    CAST(sum(c * nk) OVER () AS BIGINT) AS tr
+         |  FROM h$tag),
+         |a$tag AS (
+         |  SELECT '$name' AS join_key, CAST(max(tk) AS BIGINT) AS n_keys,
+         |    CAST(max(tr) AS BIGINT) AS n_rows,
+         |    CAST(min(CASE WHEN cum >= (tk + 1) // 2 THEN c END) AS BIGINT) AS p50_mult,
+         |    CAST(min(CASE WHEN cum >= (99 * tk + 99) // 100 THEN c END) AS BIGINT) AS p99_mult,
+         |    CAST(max(c) AS BIGINT) AS max_mult
+         |  FROM w$tag)""".stripMargin
+    s"""WITH ${audit("lineitem.l_partkey", "lineitem", "l_partkey", "a")},
+       |${audit("orders.o_custkey", "orders", "o_custkey", "b")}
+       |SELECT join_key, n_keys, n_rows, p50_mult, p99_mult, max_mult,
+       |  CAST(max_mult AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+       |  CAST(max_mult AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio
+       |FROM (SELECT * FROM aa UNION ALL SELECT * FROM ab) u
+       |ORDER BY join_key""".stripMargin
+  }
+
+  // ------------------------------------------------------ shuffle_partition_sim
+
+  private val SimPartitions = 32
+
+  /** AQE-style shuffle-partition skew simulation: lineitem keyed by
+    * `l_partkey` is hashed into [[SimPartitions]] reducer partitions
+    * (hash-prefix-of-md5 — engine-portable, NOT Spark's internal
+    * Murmur3, so the oracle reproduces the same layout), and each
+    * partition reports its row/key load, its share, whether Spark's
+    * skew rule (size > 5× median) would flag it, and how many splits
+    * an AQE skew-join would cut it into (⌈rows/median⌉) —
+    * `join_key_skew_audit` profiles the KEY distribution; this shows
+    * what that distribution DOES to a fixed reducer layout, the
+    * bridge between key skew and actual stage imbalance. Median via
+    * the exact ceil-rank position on the 32-row spine; everything
+    * integer except the share.
+    *
+    * Scale shape: one map-side hash + partial-agg to the
+    * [[SimPartitions]]-row frame (count-distinct of keys is the only
+    * real shuffle); all windows run on the bounded partition spine.
+    */
+  def shufflePartitionSim(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables(spark, dir).lineitem
+      .select(expr(s"CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % $SimPartitions")
+          .as("p"),
+        col("l_partkey"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("l_partkey")).as("n_keys"))
+    sizes
+      .withColumn("rn", row_number().over(Window.orderBy("n_rows", "p")))
+      .withColumn("tk", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tot", sum(col("n_rows")).over(Window.partitionBy()))
+      .withColumn("med", min(when(col("rn") === expr("(tk + 1) div 2"), col("n_rows")))
+        .over(Window.partitionBy()))
+      .selectExpr("CAST(p AS BIGINT) AS partition_id",
+        "CAST(n_rows AS BIGINT) AS n_rows", "CAST(n_keys AS BIGINT) AS n_keys",
+        "CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) AS row_share",
+        "CAST(med AS BIGINT) AS median_rows",
+        "CASE WHEN n_rows > 5 * med THEN 1 ELSE 0 END AS skewed",
+        "CASE WHEN n_rows > 5 * med THEN CAST((n_rows + med - 1) div med AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_splits")
+      .orderBy("partition_id")
+  }
+
+  val shufflePartitionSimSql: String =
+    s"""WITH k AS (
+       |  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % $SimPartitions AS p,
+       |    l_partkey
+       |  FROM lineitem),
+       |sizes AS (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys
+       |  FROM k GROUP BY 1),
+       |w AS (
+       |  SELECT *,
+       |    row_number() OVER (ORDER BY n_rows, p) AS rn,
+       |    CAST(count(*) OVER () AS BIGINT) AS tk,
+       |    CAST(sum(n_rows) OVER () AS BIGINT) AS tot
+       |  FROM sizes),
+       |m AS (SELECT *, CAST(min(CASE WHEN rn = (tk + 1) // 2 THEN n_rows END) OVER () AS BIGINT) AS med FROM w)
+       |SELECT CAST(p AS BIGINT) AS partition_id, n_rows, n_keys,
+       |  CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) AS row_share,
+       |  med AS median_rows,
+       |  CASE WHEN n_rows > 5 * med THEN 1 ELSE 0 END AS skewed,
+       |  CASE WHEN n_rows > 5 * med THEN (n_rows + med - 1) // med ELSE CAST(1 AS BIGINT) END AS n_splits
+       |FROM m ORDER BY partition_id""".stripMargin
 }

@@ -3944,6 +3944,92 @@ object Stats {
        |ORDER BY direction""".stripMargin
   }
 
+  // ------------------------------------------------------------ weekday_anova
+
+  /** One-way ANOVA of daily revenue across the seven weekdays — is
+    * the weekday seasonality `seasonal_index` tabulates statistically
+    * real? Weekday from pure integer date arithmetic (days since the
+    * Monday epoch mod 7 — never an engine `dayofweek` whose 0/1
+    * anchor differs), and the whole F follows the `anova_oneway`
+    * fixed-order pivoted-moment convention: the 7 groups pivot into
+    * FIXED columns in one pass, SSB/SSW combine the exact integer
+    * moments in one fixed-order IEEE expression — no decimal
+    * round-trip anywhere, so the statistic hash-matches at any
+    * magnitude.
+    *
+    * Scale shape: ONE orders pass partial-aggregates to the day
+    * spine; the pivot reduces it to a single 21-column row; the F is
+    * scalar arithmetic.
+    */
+  def weekdayAnova(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+      .withColumn("wd",
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') AS BIGINT) % 7"))
+    val aggs = (0 to 6).flatMap(d => Seq(
+      sum(when(col("wd") === d, 1L).otherwise(0L)).as(s"n$d"),
+      sum(when(col("wd") === d, col("y")).otherwise(0L)).as(s"s$d"),
+      sum(when(col("wd") === d, expr("y * y")).otherwise(0L)).as(s"q$d")))
+    daily.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("*", s"$WdBetween AS bt", s"($WdTotN) AS tn",
+        s"($WdTotS) AS ts", s"($WdTotQ) AS tq")
+      .selectExpr("*",
+        """CASE WHEN tn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |ELSE bt - ts * ts / tn END AS ssb""".stripMargin,
+        "tq - bt AS ssw")
+      .selectExpr(
+        s"CAST(${(0 to 6).map(d => s"n$d").mkString(" + ")} AS BIGINT) AS n_days",
+        "ssb", "ssw",
+        """CASE WHEN ssw <= CAST(0 AS DOUBLE) OR tn <= CAST(7 AS DOUBLE)
+          |THEN CAST(0 AS DOUBLE)
+          |ELSE (ssb / CAST(6 AS DOUBLE)) / (ssw / (tn - CAST(7 AS DOUBLE))) END AS f_stat""".stripMargin)
+      .selectExpr("*",
+        "CASE WHEN f_stat > CAST(2.1 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  private def wdD(s: String) = s"CAST($s AS DOUBLE)"
+  private lazy val WdTotN = (0 to 6).map(d => wdD(s"n$d")).mkString(" + ")
+  private lazy val WdTotS = (0 to 6).map(d => wdD(s"s$d")).mkString(" + ")
+  private lazy val WdTotQ = (0 to 6).map(d => wdD(s"q$d")).mkString(" + ")
+  private lazy val WdBetween = "(" + (0 to 6).map(d =>
+    s"(CASE WHEN n$d = 0 THEN CAST(0 AS DOUBLE) ELSE ${wdD(s"s$d")} * ${wdD(s"s$d")} / ${wdD(s"n$d")} END)")
+    .mkString(" + ") + ")"
+
+  val weekdayAnovaSql: String = {
+    val moms = (0 to 6).flatMap(d => Seq(
+      s"CAST(sum(CASE WHEN wd = $d THEN 1 ELSE 0 END) AS BIGINT) AS n$d",
+      s"CAST(sum(CASE WHEN wd = $d THEN y ELSE 0 END) AS BIGINT) AS s$d",
+      s"CAST(sum(CASE WHEN wd = $d THEN y * y ELSE 0 END) AS BIGINT) AS q$d"))
+      .mkString(",\n    ")
+    s"""WITH daily AS (
+       |  SELECT o_orderdate,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |wdd AS (
+       |  SELECT *, CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 7 AS wd
+       |  FROM daily),
+       |mom AS (
+       |  SELECT
+       |    $moms
+       |  FROM wdd),
+       |c1 AS (SELECT *, $WdBetween AS bt, ($WdTotN) AS tn, ($WdTotS) AS ts, ($WdTotQ) AS tq FROM mom),
+       |c2 AS (SELECT *,
+       |    CASE WHEN tn = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |    ELSE bt - ts * ts / tn END AS ssb,
+       |    tq - bt AS ssw
+       |  FROM c1),
+       |c3 AS (SELECT
+       |    CAST(${(0 to 6).map(d => s"n$d").mkString(" + ")} AS BIGINT) AS n_days,
+       |    ssb, ssw,
+       |    CASE WHEN ssw <= CAST(0 AS DOUBLE) OR tn <= CAST(7 AS DOUBLE)
+       |    THEN CAST(0 AS DOUBLE)
+       |    ELSE (ssb / CAST(6 AS DOUBLE)) / (ssw / (tn - CAST(7 AS DOUBLE))) END AS f_stat
+       |  FROM c2)
+       |SELECT *, CASE WHEN f_stat > CAST(2.1 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM c3""".stripMargin
+  }
+
   // -------------------------------------------------------- gumbel_extreme_fit
 
   // constants emitted as shortest-round-trip double literals — both
@@ -4034,4 +4120,406 @@ object Stats {
        |  ELSE 1.0 - ${graft.functions.ExactExp.expExpr("__p2")} END AS prob_exceed_max
        |FROM g${GumbelStages.size}""".stripMargin
   }
+
+  // ---------------------------------------------------------- friedman_test
+
+  /** Friedman rank test of weekday effect with months as blocks: each
+    * (month, weekday) revenue cell is ranked WITHIN its month, and
+    * χ²_F = 12/(b·k(k+1))·ΣR_j² − 3b(k+1) asks whether the weekday
+    * rank profile is consistent across months — the nonparametric
+    * counterpart of `weekday_anova` (no normality assumption; a
+    * single outlier month can't fake significance), completing the
+    * test family the way `kruskal_wallis` complements `anova_oneway`.
+    * Months missing a weekday cell are dropped whole (complete-block
+    * listwise deletion — the standard treatment).
+    * Ranks are rank()+tie-averaged, carried as exact integer
+    * DOUBLE-RANKS (2·rank + ties − 1 — half-units, no fractions), so
+    * ΣR_j² is an exact integer moment and χ² is ONE fixed-order IEEE
+    * expression; ties are averaged with no tie-correction factor
+    * (exact integer revenue cells make ties measure-zero — documented
+    * semantics).
+    *
+    * Scale shape: one orders partial-agg to the (month, weekday)
+    * cell frame (bounded: 12·years·7 rows); ranking windows and all
+    * moments run on that bounded spine.
+    */
+  def friedmanTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') AS BIGINT) % 7").as("wd"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 100) AS BIGINT)").as("y"))
+    // Friedman requires COMPLETE blocks: a sparse month missing a
+    // weekday cell is dropped entirely (listwise deletion — the
+    // standard treatment, and the only one that keeps ranks 1..k)
+    val full = cells
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy("m")))
+      .filter(col("nc") === 7)
+    val ranked = full
+      .withColumn("rk", rank().over(Window.partitionBy("m").orderBy("y")))
+      .withColumn("ct", count(lit(1)).over(Window.partitionBy("m", "y")))
+      .withColumn("dr", expr("CAST(2 * rk + ct - 1 AS BIGINT)"))
+    val byTreat = ranked.groupBy(col("wd"))
+      .agg(sum(col("dr")).as("rj2"), count(lit(1)).as("nb"))
+    byTreat
+      .agg(sum(expr("rj2 * rj2")).as("s2"), max(col("nb")).as("b"),
+        min(col("nb")).as("bmin"), count(lit(1)).as("k"))
+      .selectExpr("CAST(b AS BIGINT) AS n_blocks", "CAST(k AS BIGINT) AS k_treatments",
+        FriedmanChi2 + " AS chi2_f", "CAST(6 AS BIGINT) AS df",
+        s"CASE WHEN $FriedmanChi2 > CAST(12.592 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  // ΣR_j² = Σ(dr/2)² = Σdr²/4 exactly; k=7 ⇒ k(k+1)=56, 3(k+1)=24 —
+  // spelled as fixed-order cast-each-operand doubles in BOTH texts
+  private val FriedmanChi2: String =
+    "((CAST(12 AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(4 AS DOUBLE))) " +
+      "/ (CAST(b AS DOUBLE) * CAST(56 AS DOUBLE)) " +
+      "- CAST(3 AS DOUBLE) * CAST(b AS DOUBLE) * CAST(8 AS DOUBLE))"
+
+  val friedmanTestSql: String =
+    s"""WITH cells AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 7 AS wd,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 100) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1, 2),
+       |fullb AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY m) AS nc FROM cells) c0
+       |  WHERE nc = 7),
+       |ranked AS (
+       |  SELECT wd,
+       |    CAST(2 * rank() OVER (PARTITION BY m ORDER BY y)
+       |      + count(*) OVER (PARTITION BY m, y) - 1 AS BIGINT) AS dr
+       |  FROM fullb),
+       |bt AS (
+       |  SELECT wd, CAST(sum(dr) AS BIGINT) AS rj2, CAST(count(*) AS BIGINT) AS nb
+       |  FROM ranked GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(sum(rj2 * rj2) AS BIGINT) AS s2, CAST(max(nb) AS BIGINT) AS b,
+       |    CAST(min(nb) AS BIGINT) AS bmin, CAST(count(*) AS BIGINT) AS k
+       |  FROM bt)
+       |SELECT b AS n_blocks, k AS k_treatments,
+       |  $FriedmanChi2 AS chi2_f, CAST(6 AS BIGINT) AS df,
+       |  CASE WHEN $FriedmanChi2 > CAST(12.592 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------ theil_decomposition
+
+  // customer-grain and group-grain mean ratios as FIXED-ORDER pure
+  // IEEE double expressions (cast-each-operand — the weekday_anova
+  // convention), so the ExactLn argument is bit-identical across
+  // engines; each Σ term is 9-dp decimal-quantized (order-independent
+  // sum, the RaContribExpr convention)
+  private val ThRatioC =
+    "((CAST(y AS DOUBLE) * CAST(ng AS DOUBLE)) / CAST(yg AS DOUBLE))"
+  private val ThTermC =
+    "CAST(round((CAST(y AS DOUBLE) / CAST(yg AS DOUBLE)) * __ln, 9) AS DECIMAL(18,9))"
+  private val ThRatioG =
+    "((CAST(yg AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(yt AS DOUBLE) * CAST(ng AS DOUBLE)))"
+  private val ThBetween =
+    "CAST(round((CAST(yg AS DOUBLE) / CAST(yt AS DOUBLE)) * __lnb, 9) AS DECIMAL(18,9))"
+
+  /** Theil-T inequality decomposition of customer revenue across
+    * nations: T = Σ_g between_term + Σ_g within_term, with
+    * between_g = (Y_g/Y)·ln(μ_g/μ) (is nation g richer than the
+    * world?) and within_g = (Y_g/Y)·T_g (how unequal is nation g
+    * internally?). The decomposition `lorenz_curve`/Gini can't give —
+    * Gini doesn't split additively by subgroup; Theil does, which is
+    * why feed-composition and marketplace-equity reviews use it.
+    * Revenue is exact integer units; both ln's are the engine-exact
+    * [[graft.functions.ExactLn]] construction (customer-grain staged
+    * map-side, group-grain on the 25-row spine); Σ terms are 9-dp
+    * decimal-quantized.
+    *
+    * Scale shape: one orders partial-agg to customer grain, one
+    * broadcast dim enrich, a customer-grain map-side ln + term, then
+    * a nation-grain reduction — the per-customer frame is touched
+    * twice (totals + terms) but never joined to itself; the final
+    * arithmetic runs on the 25-row nation spine.
+    */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val t = Tables(spark, dir)
+    val cust = t.orders.groupBy(col("o_custkey"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 10) AS BIGINT)").as("y"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("y"))
+    val grp = cust.groupBy(col("nation"))
+      .agg(count(lit(1)).as("ng"), sum(col("y")).as("yg"))
+    val glob = cust.agg(count(lit(1)).as("n"), sum(col("y")).as("yt"))
+    val tg = cust.join(broadcast(grp), "nation")
+      .withColumn("__y", expr(ExactLn.yExpr(ThRatioC)))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("__ln", expr(ExactLn.lnExpr("__z")))
+      .groupBy(col("nation")).agg(sum(expr(ThTermC)).as("tg"))
+    grp.join(tg, "nation").crossJoin(broadcast(glob))
+      .withColumn("__yb", expr(ExactLn.yExpr(ThRatioG)))
+      .withColumn("__zb", expr(ExactLn.zExpr("__yb")))
+      .withColumn("__lnb", expr(ExactLn.lnExpr("__zb")))
+      .selectExpr("nation", "CAST(ng AS BIGINT) AS n_customers",
+        "CAST(yg AS DOUBLE) / CAST(yt AS DOUBLE) AS revenue_share",
+        s"$ThRatioG AS mean_ratio",
+        "CAST(tg AS DOUBLE) AS theil_within_g",
+        s"CAST($ThBetween AS DOUBLE) AS between_term",
+        "(CAST(yg AS DOUBLE) / CAST(yt AS DOUBLE)) * CAST(tg AS DOUBLE) AS within_term")
+      .orderBy("nation")
+  }
+
+  val theilDecompositionSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH cust AS (
+       |  SELECT n_name AS nation,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 10) AS BIGINT) AS y
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY o_custkey, n_name),
+       |grp AS (SELECT nation, CAST(count(*) AS BIGINT) AS ng,
+       |    CAST(sum(y) AS BIGINT) AS yg FROM cust GROUP BY 1),
+       |glb AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS yt FROM cust),
+       |ty AS (SELECT nation, y, ng, yg, ${ExactLn.yExpr(ThRatioC)} AS __y
+       |  FROM cust JOIN grp USING (nation)),
+       |tz AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM ty),
+       |tl AS (SELECT *, ${ExactLn.lnExpr("__z")} AS __ln FROM tz),
+       |tgc AS (SELECT nation, sum($ThTermC) AS tg FROM tl GROUP BY 1),
+       |g2 AS (SELECT grp.nation, ng, yg, tg, n, yt
+       |  FROM grp JOIN tgc USING (nation), glb),
+       |gy AS (SELECT *, ${ExactLn.yExpr(ThRatioG)} AS __yb FROM g2),
+       |gz AS (SELECT *, ${ExactLn.zExpr("__yb")} AS __zb FROM gy),
+       |gl AS (SELECT *, ${ExactLn.lnExpr("__zb")} AS __lnb FROM gz)
+       |SELECT nation, ng AS n_customers,
+       |  CAST(yg AS DOUBLE) / CAST(yt AS DOUBLE) AS revenue_share,
+       |  $ThRatioG AS mean_ratio,
+       |  CAST(tg AS DOUBLE) AS theil_within_g,
+       |  CAST($ThBetween AS DOUBLE) AS between_term,
+       |  (CAST(yg AS DOUBLE) / CAST(yt AS DOUBLE)) * CAST(tg AS DOUBLE) AS within_term
+       |FROM gl ORDER BY nation""".stripMargin
+  }
+
+  // ------------------------------------------------------------ page_trend_test
+
+  /** Page's trend test for an ORDERED weekday effect: same
+    * complete-block month×weekday rank frame as `friedman_test`, but
+    * the statistic L = Σ_j j·R_j asks specifically whether revenue
+    * rises MONOTONICALLY through the week (Friedman only asks "any
+    * difference"; Page trades that generality for power against the
+    * ordered alternative — the classic follow-up when the hypothesis
+    * is a trend, not a difference). Double-ranks keep ΣjR_j an exact
+    * integer moment; E[L] = b·k(k+1)²/4 and Var[L] =
+    * b·k²(k+1)²(k−1)/144 combine in ONE fixed-order IEEE expression
+    * (k=7 ⇒ the constants fold to 112·b and 49·64·6/144·b).
+    * One-sided test at z > 1.645.
+    *
+    * Scale shape: identical to `friedman_test` — one orders
+    * partial-agg to the bounded (month, weekday) spine; everything
+    * after runs on that spine.
+    */
+  def pageTrendTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') AS BIGINT) % 7").as("wd"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 100) AS BIGINT)").as("y"))
+    val full = cells
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy("m")))
+      .filter(col("nc") === 7)
+    val ranked = full
+      .withColumn("rk", rank().over(Window.partitionBy("m").orderBy("y")))
+      .withColumn("ct", count(lit(1)).over(Window.partitionBy("m", "y")))
+      .withColumn("dr", expr("CAST(2 * rk + ct - 1 AS BIGINT)"))
+    ranked.groupBy(col("wd"))
+      .agg(sum(col("dr")).as("rj2"), count(lit(1)).as("nb"))
+      .agg(sum(expr("(wd + 1) * rj2")).as("l2"), max(col("nb")).as("b"))
+      .selectExpr("CAST(b AS BIGINT) AS n_blocks",
+        s"$PageL AS l_stat", s"$PageZ AS z_stat",
+        s"CASE WHEN $PageZ > CAST(1.645 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  // L = l2/2 exactly (double-ranks); E[L] = 112b, Var[L] = 49·64·6/144·b
+  private val PageL = "(CAST(l2 AS DOUBLE) / CAST(2 AS DOUBLE))"
+  private val PageZ =
+    s"(($PageL - CAST(112 AS DOUBLE) * CAST(b AS DOUBLE)) / " +
+      "sqrt((CAST(49 AS DOUBLE) * CAST(64 AS DOUBLE) * CAST(6 AS DOUBLE) " +
+      "/ CAST(144 AS DOUBLE)) * CAST(b AS DOUBLE)))"
+
+  val pageTrendTestSql: String =
+    s"""WITH cells AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 7 AS wd,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 100) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1, 2),
+       |fullb AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY m) AS nc FROM cells) c0
+       |  WHERE nc = 7),
+       |ranked AS (
+       |  SELECT wd,
+       |    CAST(2 * rank() OVER (PARTITION BY m ORDER BY y)
+       |      + count(*) OVER (PARTITION BY m, y) - 1 AS BIGINT) AS dr
+       |  FROM fullb),
+       |bt AS (
+       |  SELECT wd, CAST(sum(dr) AS BIGINT) AS rj2, CAST(count(*) AS BIGINT) AS nb
+       |  FROM ranked GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(sum((wd + 1) * rj2) AS BIGINT) AS l2, CAST(max(nb) AS BIGINT) AS b
+       |  FROM bt)
+       |SELECT b AS n_blocks, $PageL AS l_stat, $PageZ AS z_stat,
+       |  CASE WHEN $PageZ > CAST(1.645 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------ hodges_lehmann_shift
+
+  /** Hodges-Lehmann location shift between the first two regions (by
+    * name): the MEDIAN of all pairwise monthly-revenue differences
+    * y_a − y_b — the robust effect-size companion to `mann_whitney`
+    * (which only says WHETHER the distributions differ; HL says BY
+    * HOW MUCH, immune to the outlier months that drag the plain mean
+    * difference around). Monthly cells are exact integers, the pair
+    * grid is exact differences, and the median is the ceil-rank
+    * (n+1)/2 position under a total (d, month_a, month_b) order —
+    * deterministic in both engines.
+    *
+    * Scale shape: one fact pass partial-aggregates to the (region,
+    * month) spine; the pair grid is months² of the TWO regions only
+    * (bounded by the calendar, not the data), and the rank runs on
+    * that bounded grid.
+    */
+  def hodgesLehmannShift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val monthly = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 100) AS BIGINT)").as("y"))
+    val regs = t.region.select(col("r_name"))
+      .withColumn("rn", row_number().over(Window.orderBy("r_name")))
+      .filter(col("rn") <= 2)
+    val a = monthly.join(broadcast(regs.filter(col("rn") === 1)), Seq("r_name"))
+      .select(col("r_name").as("ra"), col("m").as("ma"), col("y").as("ya"))
+    val b = monthly.join(broadcast(regs.filter(col("rn") === 2)), Seq("r_name"))
+      .select(col("r_name").as("rb"), col("m").as("mb"), col("y").as("yb"))
+    val pairs = a.crossJoin(b)
+      .select(col("ra"), col("rb"), col("ma"), col("mb"),
+        expr("CAST(ya - yb AS BIGINT)").as("d"))
+    pairs
+      .withColumn("rnk", row_number().over(Window.orderBy("d", "ma", "mb")))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+      .agg(max(col("ra")).as("region_a"), max(col("rb")).as("region_b"),
+        max(col("np")).as("n_pairs"),
+        min(when(col("rnk") === expr("(np + 1) div 2"), col("d"))).as("hl"),
+        sum(col("d")).as("sd"))
+      .selectExpr("region_a", "region_b", "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(hl AS BIGINT) AS hl_shift",
+        "CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mean_shift")
+  }
+
+  val hodgesLehmannShiftSql: String =
+    s"""WITH monthly AS (
+       |  SELECT r_name, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 100) AS BIGINT) AS y
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY 1, 2),
+       |regs AS (
+       |  SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn FROM region),
+       |a AS (SELECT monthly.r_name AS ra, m AS ma, y AS ya
+       |  FROM monthly JOIN regs USING (r_name) WHERE rn = 1),
+       |b AS (SELECT monthly.r_name AS rb, m AS mb, y AS yb
+       |  FROM monthly JOIN regs USING (r_name) WHERE rn = 2),
+       |pairs AS (
+       |  SELECT ra, rb, ma, mb, CAST(ya - yb AS BIGINT) AS d FROM a CROSS JOIN b),
+       |w AS (
+       |  SELECT *, row_number() OVER (ORDER BY d, ma, mb) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS np
+       |  FROM pairs)
+       |SELECT max(ra) AS region_a, max(rb) AS region_b,
+       |  CAST(max(np) AS BIGINT) AS n_pairs,
+       |  CAST(min(CASE WHEN rnk = (np + 1) // 2 THEN d END) AS BIGINT) AS hl_shift,
+       |  CAST(sum(d) AS DOUBLE) / CAST(max(np) AS DOUBLE) AS mean_shift
+       |FROM w""".stripMargin
+
+  // ------------------------------------------------- cochran_armitage_trend
+
+  /** Cochran-Armitage trend test: does the probability that a
+    * customer experiences a RETURN rise monotonically across account
+    * -balance quintiles? `chi_square_profile` would only say the
+    * quintiles differ; CA tests the ORDERED dose-response with scores
+    * j = 1..5, the standard epidemiological trend statistic. Dose
+    * groups are exact ntile(5) under a total (acctbal, custkey)
+    * order; all moments (Σjn_j, Σj²n_j, Σjr_j) are exact integers;
+    * z is ONE fixed-order IEEE expression. Two-sided at |z| > 1.96.
+    *
+    * Scale shape: one orders⋈lineitem semi-join marks responders at
+    * customer grain, the quintile ntile is the only customer-grain
+    * sort, and the five (n_j, r_j) moments partial-aggregate to one
+    * row.
+    */
+  def cochranArmitageTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val responders = t.orders
+      .join(t.lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_custkey")).distinct()
+      .withColumn("resp", lit(1L))
+    val dosed = t.customer.select(col("c_custkey"), col("c_acctbal"))
+      .join(responders, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("j", ntile(5).over(Window.orderBy("c_acctbal", "c_custkey")))
+      .withColumn("r", coalesce(col("resp"), lit(0L)))
+    dosed.groupBy(col("j"))
+      .agg(count(lit(1)).as("nj"), sum(col("r")).as("rj"))
+      .agg(sum(col("nj")).as("n"), sum(col("rj")).as("rr"),
+        sum(expr("j * nj")).as("s1"), sum(expr("j * j * nj")).as("s2"),
+        sum(expr("j * rj")).as("t1"))
+      .selectExpr("CAST(n AS BIGINT) AS n_customers",
+        "CAST(rr AS BIGINT) AS n_responders",
+        s"$CaZ AS z_trend",
+        s"CASE WHEN abs($CaZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  // z = (Σjr_j − p̄Σjn_j) / sqrt(p̄(1−p̄)(Σj²n_j − (Σjn_j)²/N)),
+  // p̄ = R/N — fixed-order cast-each-operand doubles in both texts
+  private val CaZ: String = {
+    val p = "(CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))"
+    val num = s"(CAST(t1 AS DOUBLE) - $p * CAST(s1 AS DOUBLE))"
+    val v = s"($p * (CAST(1 AS DOUBLE) - $p) * (CAST(s2 AS DOUBLE) " +
+      "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+    s"(CASE WHEN $v <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE $num / sqrt($v) END)"
+  }
+
+  val cochranArmitageTrendSql: String =
+    s"""WITH responders AS (
+       |  SELECT DISTINCT o_custkey
+       |  FROM orders
+       |  WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')),
+       |dosed AS (
+       |  SELECT c_custkey,
+       |    ntile(5) OVER (ORDER BY c_acctbal, c_custkey) AS j,
+       |    CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS r
+       |  FROM customer LEFT JOIN responders ON c_custkey = o_custkey),
+       |g AS (
+       |  SELECT j, CAST(count(*) AS BIGINT) AS nj, CAST(sum(r) AS BIGINT) AS rj
+       |  FROM dosed GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(sum(nj) AS BIGINT) AS n, CAST(sum(rj) AS BIGINT) AS rr,
+       |    CAST(sum(j * nj) AS BIGINT) AS s1, CAST(sum(j * j * nj) AS BIGINT) AS s2,
+       |    CAST(sum(j * rj) AS BIGINT) AS t1
+       |  FROM g)
+       |SELECT n AS n_customers, rr AS n_responders,
+       |  $CaZ AS z_trend,
+       |  CASE WHEN abs($CaZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM agg""".stripMargin
 }

@@ -2157,4 +2157,86 @@ object TextAnalysis {
        |  CAST(sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) AS DOUBLE) AS js_divergence
        |FROM ct GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
   }
+
+  // ------------------------------------------------- stylometry_delta_matrix
+
+  private val StyloTopTerms = 30
+
+  /** Rank-based stylometric distance between every source pair: each
+    * source ranks the global top-[[StyloTopTerms]] terms by its OWN
+    * usage frequency, and each pair reports the mean absolute rank
+    * displacement plus the Spearman ρ of the two rankings — the
+    * Burrows-Delta idea made integer-exact (classic Delta z-scores
+    * per-word frequencies, which would put engine-divergent σ's in
+    * the hot path; ranking by count WITHIN a source is the same
+    * ordering as relative frequency — n_s is constant per source —
+    * so the whole statistic reduces to exact integer rank
+    * arithmetic). `source_divergence_matrix` measures WHAT mass
+    * shifted; this measures whether the USAGE ORDER of the common
+    * vocabulary changed — the stylometric signature that survives
+    * volume differences.
+    *
+    * Scale shape: the term-frequency shuffle is shared-shape with
+    * `term_drift_by_source`; the ranked grid is sources ×
+    * [[StyloTopTerms]] and the pair join runs on that domain-bounded
+    * grid only.
+    */
+  def stylometryDeltaMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), explode(normTokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cg"))
+    val top = tf.withColumn("rn",
+        row_number().over(Window.orderBy(col("cg").desc, col("term"))))
+      .filter(col("rn") <= StyloTopTerms).select(col("term"))
+    val st = toks.join(broadcast(top), "term")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs0"))
+    val grid = toks.select(col("source")).distinct().crossJoin(broadcast(top))
+      .join(st, Seq("source", "term"), "left")
+      .withColumn("cs", coalesce(col("cs0"), lit(0L)))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("cs").desc, col("term"))))
+    val a = grid.select(col("source").as("source_a"), col("term"), col("r").as("ra"))
+    val b = grid.select(col("source").as("source_b"), col("term"), col("r").as("rb"))
+    a.join(b, Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("k"),
+        sum(expr("abs(ra - rb)")).as("sad"),
+        sum(expr("(ra - rb) * (ra - rb)")).as("sd2"))
+      .selectExpr("source_a", "source_b", "CAST(k AS BIGINT) AS n_terms",
+        "CAST(sad AS DOUBLE) / CAST(k AS DOUBLE) AS rank_delta",
+        // ρ = 1 − 6Σd²/(k(k²−1)) — exact integer moments, one division
+        "CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE) * CAST(sd2 AS DOUBLE) / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - CAST(1 AS DOUBLE))) AS spearman_rho")
+      .orderBy("source_a", "source_b")
+  }
+
+  val stylometryDeltaMatrixSql: String =
+    s"""WITH ex AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+       |    x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cg FROM ex GROUP BY 1),
+       |top AS (
+       |  SELECT term FROM (
+       |    SELECT term, row_number() OVER (ORDER BY cg DESC, term) AS rn FROM tf) r0
+       |  WHERE rn <= $StyloTopTerms),
+       |st AS (
+       |  SELECT source, ex.term, CAST(count(*) AS BIGINT) AS cs
+       |  FROM ex JOIN top ON top.term = ex.term GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT s.source, t.term, coalesce(st.cs, 0) AS cs
+       |  FROM (SELECT DISTINCT source FROM ex) s CROSS JOIN top t
+       |  LEFT JOIN st ON st.source = s.source AND st.term = t.term),
+       |rk AS (
+       |  SELECT source, term,
+       |    row_number() OVER (PARTITION BY source ORDER BY cs DESC, term) AS r
+       |  FROM grid)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(abs(a.r - b.r)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rank_delta,
+       |  CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE) * CAST(sum((a.r - b.r) * (a.r - b.r)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - CAST(1 AS DOUBLE))) AS spearman_rho
+       |FROM rk a JOIN rk b ON a.term = b.term AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 }
