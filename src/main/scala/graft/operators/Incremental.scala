@@ -521,13 +521,15 @@ object Incremental {
   /** Rows per simulated insert-order file for the zone-map audit —
     * sized so sf0.01 yields O(10–100) files, like a real writer's
     * rowgroup target. */
-  private val ZoneFileSpan = 4096
+  private val ZoneFileSpan = 1024
 
-  /** (label, lo, hi) shipdate predicates the audit evaluates. */
+  /** (label, lo, hi) shipdate predicates the audit evaluates — inside
+    * the generator's 1995–2001 order-date range so every predicate
+    * exercises real pruning. */
   private val ZonePreds: Seq[(String, String, String)] = Seq(
-    ("q1_1994", "1994-01-01", "1994-03-31"),
-    ("year_1995", "1995-01-01", "1995-12-31"),
-    ("dec_1996", "1996-12-01", "1996-12-31"))
+    ("q1_1996", "1996-01-01", "1996-03-31"),
+    ("year_1997", "1997-01-01", "1997-12-31"),
+    ("dec_1999", "1999-12-01", "1999-12-31"))
 
   // predicate bounds as integer day numbers vs the repo's 1990-01-01
   // epoch — computed ONCE driver-side so both engine texts carry the
@@ -536,49 +538,61 @@ object Incremental {
     java.time.LocalDate.parse(s).toEpochDay -
       java.time.LocalDate.parse("1990-01-01").toEpochDay
 
-  /** Zone-map (min/max) file-skipping audit: lineitem rows are binned
-    * into insert-order "files" of [[ZoneFileSpan]] order keys, each
-    * file keeps a (min, max) shipdate zone, and three date predicates
-    * are tested for how many files they PRUNE vs how many rows the
-    * surviving files force the scan to read — the
-    * rows_scanned/rows_matching amplification is the number that
-    * decides whether a table needs re-clustering on shipdate
-    * (`compaction_plan` sizes files; this measures whether their
-    * STATISTICS actually cut I/O — the parquet rowgroup-stats /
-    * Delta data-skipping readout). All counts exact integers; the two
-    * ratios are guarded doubles.
+  /** Zone-map (min/max) file-skipping audit, BEFORE vs AFTER
+    * re-clustering: lineitem rows are binned into "files" two ways —
+    * the physical insert order ([[ZoneFileSpan]] order keys per
+    * file) and a simulated shipdate re-cluster with the SAME file
+    * count — each file keeps a (min, max) shipdate zone, and three
+    * date predicates are tested for how many files they PRUNE vs how
+    * many rows the surviving files force the scan to read. The
+    * layout contrast is the actual decision input: on this
+    * generator's data the insert-order layout prunes NOTHING (order
+    * keys are date-uncorrelated — `zone_overlap_depth` shows every
+    * zone spans the whole range) while the clustered layout prunes
+    * to near the predicate's selectivity — the quantified benefit a
+    * re-cluster (Delta OPTIMIZE ZORDER / parquet sort) would buy.
+    * All counts exact integers; the two ratios are guarded doubles.
     *
-    * Scale shape: one lineitem partial-agg to the file-grain zone
-    * frame + one conditional-sum pass for per-predicate match counts;
-    * every predicate evaluates as conditional sums over those two
-    * bounded frames — the predicate set never multiplies row volume.
+    * Scale shape: one pass partial-aggregates BOTH layouts' zone
+    * frames (the clustered file id is a map-side integer
+    * cross-product off broadcast day bounds) + one conditional-sum
+    * pass for per-predicate match counts; predicates evaluate as
+    * conditional sums over bounded frames — nothing multiplies row
+    * volume.
     */
   def zoneMapPrune(spark: SparkSession, dir: String): DataFrame = {
     val d = "CAST(datediff(CAST(l_shipdate AS DATE), DATE'1990-01-01') AS BIGINT)"
-    val li = Tables(spark, dir).lineitem
-    val zones = li
-      .select(expr(s"l_orderkey div $ZoneFileSpan").as("f"), expr(d).as("d"))
-      .groupBy(col("f"))
-      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
-        count(lit(1)).as("n_rows"))
-    val zcols = count(lit(1)).as("n_files") +: sum(col("n_rows")).as("rows_total") +:
-      ZonePreds.zipWithIndex.flatMap { case ((_, lo, hi), i) =>
-        val ov = s"(mx >= ${zoneDay(lo)} AND mn <= ${zoneDay(hi)})"
-        Seq(sum(when(expr(ov), 1L).otherwise(0L)).as(s"sc$i"),
-          sum(when(expr(ov), col("n_rows")).otherwise(0L)).as(s"rs$i"))
-      }
-    val zagg = zones.agg(zcols.head, zcols.tail: _*)
+    val li0 = Tables(spark, dir).lineitem
+      .select(expr(s"l_orderkey div $ZoneFileSpan").as("fi"), expr(d).as("d"))
+    val db = li0.agg(min(col("d")).as("dmn"), max(col("d")).as("dmx"),
+      countDistinct(col("fi")).as("nf"))
+    val li = li0.crossJoin(broadcast(db))
+      .withColumn("fc", expr("((d - dmn) * nf) div (dmx - dmn + 1)"))
+    def layoutAgg(name: String, fcol: String): DataFrame = {
+      val zones = li.groupBy(col(fcol).as("f"))
+        .agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
+          count(lit(1)).as("n_rows"))
+      val zcols = count(lit(1)).as("n_files") +: sum(col("n_rows")).as("rows_total") +:
+        ZonePreds.zipWithIndex.flatMap { case ((_, lo, hi), i) =>
+          val ov = s"(mx >= ${zoneDay(lo)} AND mn <= ${zoneDay(hi)})"
+          Seq(sum(when(expr(ov), 1L).otherwise(0L)).as(s"sc$i"),
+            sum(when(expr(ov), col("n_rows")).otherwise(0L)).as(s"rs$i"))
+        }
+      zones.agg(zcols.head, zcols.tail: _*).withColumn("layout", lit(name))
+    }
     val mcols = ZonePreds.zipWithIndex.map { case ((_, lo, hi), i) =>
       sum(when(expr(s"(d >= ${zoneDay(lo)} AND d <= ${zoneDay(hi)})"), 1L)
         .otherwise(0L)).as(s"mt$i")
     }
-    val magg = li.select(expr(d).as("d")).agg(mcols.head, mcols.tail: _*)
+    val magg = li0.agg(mcols.head, mcols.tail: _*)
     val stackArgs = ZonePreds.zipWithIndex
       .map { case ((nm, _, _), i) => s"'$nm', sc$i, rs$i, mt$i" }.mkString(", ")
-    zagg.crossJoin(magg)
-      .selectExpr("n_files", "rows_total",
+    layoutAgg("insert_order", "fi")
+      .unionByName(layoutAgg("clustered_by_date", "fc"))
+      .crossJoin(magg)
+      .selectExpr("layout", "n_files", "rows_total",
         s"stack(${ZonePreds.size}, $stackArgs) AS (predicate, n_files_scanned, rows_scanned, rows_matching)")
-      .selectExpr("predicate", "CAST(n_files AS BIGINT) AS n_files",
+      .selectExpr("layout", "predicate", "CAST(n_files AS BIGINT) AS n_files",
         "CAST(n_files_scanned AS BIGINT) AS n_files_scanned",
         "CAST(n_files - n_files_scanned AS BIGINT) AS n_files_pruned",
         "CAST(n_files - n_files_scanned AS DOUBLE) / CAST(n_files AS DOUBLE) AS prune_ratio",
@@ -587,7 +601,78 @@ object Incremental {
         "CAST(rows_matching AS BIGINT) AS rows_matching",
         """CASE WHEN rows_matching = 0 THEN CAST(0 AS DOUBLE)
           |ELSE CAST(rows_scanned AS DOUBLE) / CAST(rows_matching AS DOUBLE) END AS scan_amplification""".stripMargin)
-      .orderBy("predicate")
+      .orderBy("layout", "predicate")
+  }
+
+  // ------------------------------------------------------- zone_overlap_depth
+
+  /** Clustering-depth profile of the zone maps: a ±1 sweep over the
+    * per-file (min, max) shipdate zones yields, for every day in the
+    * covered range, HOW MANY file zones contain it — the Delta-Lake
+    * "clustering depth" metric that says whether the table is
+    * actually clustered on shipdate (depth ≈ 1–2) or interleaved
+    * (depth ≈ n_files, every point query touches every file).
+    * `zone_map_prune` measures three predicates' outcomes; this
+    * measures the LAYOUT property that causes them. Exact integer
+    * sweep (+1 at min, −1 at max+1, cumulative over the endpoint
+    * spine); one share division.
+    *
+    * Scale shape: one lineitem partial-agg to the file-grain zone
+    * frame; the sweep runs on ≤ 2·files endpoint rows — never on row
+    * or day grain.
+    */
+  def zoneOverlapDepth(spark: SparkSession, dir: String): DataFrame = {
+    val d = "CAST(datediff(CAST(l_shipdate AS DATE), DATE'1990-01-01') AS BIGINT)"
+    val zones = Tables(spark, dir).lineitem
+      .select(expr(s"l_orderkey div $ZoneFileSpan").as("f"), expr(d).as("d"))
+      .groupBy(col("f"))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    val events = zones.select(col("mn").as("day"), lit(1L).as("delta"))
+      .unionByName(zones.select((col("mx") + 1).as("day"), lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    val sweep = events
+      .withColumn("depth", sum(col("delta")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nxt", lead(col("day"), 1).over(Window.orderBy("day")))
+      .filter(col("nxt").isNotNull && col("depth") >= 1)
+      .withColumn("len", expr("nxt - day"))
+    sweep.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("len")).as("n_days"))
+      .withColumn("tot", sum(col("n_days")).over(Window.partitionBy()))
+      .selectExpr("CAST(depth AS BIGINT) AS depth",
+        "CAST(n_segments AS BIGINT) AS n_segments",
+        "CAST(n_days AS BIGINT) AS n_days",
+        "CAST(n_days AS DOUBLE) / CAST(tot AS DOUBLE) AS share_days")
+      .orderBy("depth")
+  }
+
+  val zoneOverlapDepthSql: String = {
+    val dd = "CAST(date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)"
+    s"""WITH zones AS (
+       |  SELECT l_orderkey // $ZoneFileSpan AS f, min($dd) AS mn, max($dd) AS mx
+       |  FROM lineitem GROUP BY 1),
+       |events AS (
+       |  SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM (
+       |    SELECT mn AS day, 1 AS delta FROM zones
+       |    UNION ALL SELECT mx + 1, -1 FROM zones) e
+       |  GROUP BY 1),
+       |sweep AS (
+       |  SELECT day,
+       |    CAST(sum(delta) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth,
+       |    lead(day, 1) OVER (ORDER BY day) AS nxt
+       |  FROM events),
+       |seg AS (
+       |  SELECT depth, nxt - day AS len FROM sweep
+       |  WHERE nxt IS NOT NULL AND depth >= 1),
+       |g AS (
+       |  SELECT depth, CAST(count(*) AS BIGINT) AS n_segments,
+       |    CAST(sum(len) AS BIGINT) AS n_days
+       |  FROM seg GROUP BY 1),
+       |t AS (SELECT *, CAST(sum(n_days) OVER () AS BIGINT) AS tot FROM g)
+       |SELECT depth, n_segments, n_days,
+       |  CAST(n_days AS DOUBLE) / CAST(tot AS DOUBLE) AS share_days
+       |FROM t ORDER BY depth""".stripMargin
   }
 
   val zoneMapPruneSql: String = {
@@ -599,32 +684,44 @@ object Incremental {
     val mcols = ZonePreds.zipWithIndex.map { case ((_, lo, hi), i) =>
       s"CAST(sum(CASE WHEN (d >= ${zoneDay(lo)} AND d <= ${zoneDay(hi)}) THEN 1 ELSE 0 END) AS BIGINT) AS mt$i"
     }.mkString(",\n    ")
-    val rows = ZonePreds.zipWithIndex.map { case ((nm, _, _), i) =>
-      s"SELECT n_files, rows_total, '$nm' AS predicate, sc$i AS n_files_scanned, rs$i AS rows_scanned, mt$i AS rows_matching FROM za, ma"
+    val rows = Seq(("insert_order", "i"), ("clustered_by_date", "c")).flatMap {
+      case (lname, tag) =>
+        ZonePreds.zipWithIndex.map { case ((nm, _, _), i) =>
+          s"SELECT '$lname' AS layout, n_files, rows_total, '$nm' AS predicate, sc$i AS n_files_scanned, rs$i AS rows_scanned, mt$i AS rows_matching FROM za_$tag, ma"
+        }
     }.mkString("\n  UNION ALL ")
-    s"""WITH z AS (
-       |  SELECT l_orderkey // $ZoneFileSpan AS f, $dd AS d
+    def za(tag: String, zonesCte: String): String =
+      s"""za_$tag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(sum(n_rows) AS BIGINT) AS rows_total,
+         |    $zcols
+         |  FROM $zonesCte)""".stripMargin
+    s"""WITH z0 AS (
+       |  SELECT l_orderkey // $ZoneFileSpan AS fi, $dd AS d
        |  FROM lineitem),
-       |zones AS (
-       |  SELECT f, min(d) AS mn, max(d) AS mx, CAST(count(*) AS BIGINT) AS n_rows
+       |db AS (SELECT CAST(min(d) AS BIGINT) AS dmn, CAST(max(d) AS BIGINT) AS dmx,
+       |    CAST(count(DISTINCT fi) AS BIGINT) AS nf FROM z0),
+       |z AS (SELECT fi, ((d - dmn) * nf) // (dmx - dmn + 1) AS fc, d FROM z0, db),
+       |zones_i AS (
+       |  SELECT fi AS f, min(d) AS mn, max(d) AS mx, CAST(count(*) AS BIGINT) AS n_rows
        |  FROM z GROUP BY 1),
-       |za AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n_files,
-       |    CAST(sum(n_rows) AS BIGINT) AS rows_total,
-       |    $zcols
-       |  FROM zones),
+       |zones_c AS (
+       |  SELECT fc AS f, min(d) AS mn, max(d) AS mx, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM z GROUP BY 1),
+       |${za("i", "zones_i")},
+       |${za("c", "zones_c")},
        |ma AS (
        |  SELECT
        |    $mcols
-       |  FROM z),
+       |  FROM z0),
        |u AS (
        |  $rows)
-       |SELECT predicate, n_files, n_files_scanned,
+       |SELECT layout, predicate, n_files, n_files_scanned,
        |  n_files - n_files_scanned AS n_files_pruned,
        |  CAST(n_files - n_files_scanned AS DOUBLE) / CAST(n_files AS DOUBLE) AS prune_ratio,
        |  rows_total, rows_scanned, rows_matching,
        |  CASE WHEN rows_matching = 0 THEN CAST(0 AS DOUBLE)
        |  ELSE CAST(rows_scanned AS DOUBLE) / CAST(rows_matching AS DOUBLE) END AS scan_amplification
-       |FROM u ORDER BY predicate""".stripMargin
+       |FROM u ORDER BY layout, predicate""".stripMargin
   }
 }

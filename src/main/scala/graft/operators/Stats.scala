@@ -4522,4 +4522,319 @@ object Stats {
        |  $CaZ AS z_trend,
        |  CASE WHEN abs($CaZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant
        |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- ljung_box
+
+  /** Ljung-Box portmanteau test on daily revenue: Q = n(n+2)·Σ_{k≤7}
+    * r_k²/(n−k) pools the first [[AcfMaxLag]] autocorrelations into
+    * ONE whiteness verdict — `autocorr_lag` shows each r_k, this
+    * answers the question they're usually computed for ("is there ANY
+    * serial structure left?"), the standard residual-diagnostic gate
+    * before trusting an iid-based CI. Reuses autocorr's exact
+    * centered cross-products (dev = n·y − Σy in DECIMAL(38,0), so
+    * num/den are exact); each r_k is the same CAST-to-double division
+    * `autocorr_lag` ships, and the Q fold is spelled in FIXED order
+    * in both engine texts.
+    *
+    * Scale shape: identical to `autocorr_lag` — one orders
+    * partial-agg to the day spine, 7 lag columns in one window pass,
+    * one moment row; Q is scalar arithmetic.
+    */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).cast("decimal(38,0)").as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("n").cast("decimal(38,0)") * col("y") - col("s")).as("dev"))
+    val wLag = Window.orderBy("d")
+    val lagged = dev.select(
+      col("n") +: col("dev") +:
+        (1 to AcfMaxLag).map(k => lag(col("dev"), k).over(wLag).as(s"dev_$k")): _*)
+    lagged.agg(
+        max(col("n")).as("n"),
+        (sum(col("dev") * col("dev")).as("den") +:
+          (1 to AcfMaxLag).map(k => sum(col("dev") * col(s"dev_$k")).as(s"num_$k"))): _*)
+      .selectExpr("CAST(n AS BIGINT) AS n_days",
+        s"CAST($AcfMaxLag AS BIGINT) AS df",
+        s"$LbQ AS q_stat",
+        s"CASE WHEN $LbQ > CAST(14.067 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  // Q = n(n+2)·(((t1+t2)+…)+t7), t_k = r_k²/(n−k) — fixed-order fold
+  private lazy val LbQ: String = {
+    def rk(k: Int) = s"(CAST(num_$k AS DOUBLE) / CAST(den AS DOUBLE))"
+    val terms = (1 to AcfMaxLag).map(k =>
+      s"(${rk(k)} * ${rk(k)} / (CAST(n AS DOUBLE) - CAST($k AS DOUBLE)))")
+    val fold = terms.reduce((a, b) => s"($a + $b)")
+    s"(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + CAST(2 AS DOUBLE)) * $fold)"
+  }
+
+  val ljungBoxSql: String = {
+    val lagCols = (1 to AcfMaxLag)
+      .map(k => s"lag(dev, $k) OVER (ORDER BY d) AS dev_$k").mkString(",\n    ")
+    val numSums = (1 to AcfMaxLag)
+      .map(k => s"sum(dev * dev_$k) AS num_$k").mkString(",\n    ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT count(*) AS n, sum(CAST(y AS DECIMAL(38,0))) AS s FROM daily),
+       |dv AS (
+       |  SELECT d, t.n, CAST(t.n AS DECIMAL(38,0)) * y - t.s AS dev
+       |  FROM daily, t),
+       |lg AS (
+       |  SELECT n, dev,
+       |    $lagCols
+       |  FROM dv),
+       |s AS (
+       |  SELECT max(n) AS n, sum(dev * dev) AS den,
+       |    $numSums
+       |  FROM lg)
+       |SELECT CAST(n AS BIGINT) AS n_days, CAST($AcfMaxLag AS BIGINT) AS df,
+       |  $LbQ AS q_stat,
+       |  CASE WHEN $LbQ > CAST(14.067 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM s""".stripMargin
+  }
+
+  // ------------------------------------------------------------ durbin_watson
+
+  /** Durbin-Watson serial-correlation diagnostic on the monthly
+    * revenue trend fit: DW = Σ(e_t − e_{t−1})²/Σe_t² over the OLS
+    * residuals — `regression_trend` reports the slope, this reports
+    * whether its residuals are serially correlated (DW ≪ 2), which is
+    * what decides if the trend's standard errors can be believed.
+    * The fit uses exact integer moments; residuals are computed in
+    * ONE fixed-order IEEE expression and then ROUNDED TO INTEGER
+    * units (the documented quantization — monthly revenue in
+    * thousands makes sub-unit residual precision noise), so both
+    * moment sums are exact BIGINT arithmetic and DW is one safe
+    * sub-2^53 division.
+    *
+    * Scale shape: one orders partial-agg to the month spine;
+    * the fit moments, residuals, lag window and DW all run on that
+    * bounded spine.
+    */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+    val base = monthly
+      .withColumn("m0", min(col("m")).over(Window.partitionBy()))
+      .withColumn("x", expr("CAST(m - m0 AS BIGINT)"))
+    val fit = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+    val resid = base.crossJoin(broadcast(fit))
+      .withColumn("e", expr(DwResid))
+      .withColumn("e1", lag(col("e"), 1).over(Window.orderBy("m")))
+    resid.agg(max(col("n")).as("n"),
+        sum(expr("e * e")).as("see"),
+        sum(expr("(e - e1) * (e - e1)")).as("sde"))
+      .selectExpr("CAST(n AS BIGINT) AS n_months",
+        """CASE WHEN see = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(sde AS DOUBLE) / CAST(see AS DOUBLE) END AS dw_stat""".stripMargin,
+        """CASE WHEN see = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(1 AS DOUBLE) - (CAST(sde AS DOUBLE) / CAST(see AS DOUBLE)) / CAST(2 AS DOUBLE) END AS rho_lag1""".stripMargin,
+        """CASE WHEN see = 0 THEN 0
+          |WHEN CAST(sde AS DOUBLE) / CAST(see AS DOUBLE) < CAST(1.5 AS DOUBLE) THEN 1
+          |ELSE 0 END AS positive_autocorr""".stripMargin)
+  }
+
+  // e = round(y − (a + b·x)) as BIGINT: b = (nΣxy−ΣxΣy)/(nΣxx−(Σx)²)
+  // and a = (Σy − bΣx)/n as fixed-order doubles from exact moments
+  private val DwResid: String = {
+    val b = "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    val a = s"((CAST(sy AS DOUBLE) - $b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+    s"CAST(round(CAST(y AS DOUBLE) - ($a + $b * CAST(x AS DOUBLE)), 0) AS BIGINT)"
+  }
+
+  val durbinWatsonSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |base AS (
+       |  SELECT m, y, CAST(m - min(m) OVER () AS BIGINT) AS x FROM monthly),
+       |fit AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM base),
+       |resid AS (
+       |  SELECT n, m, $DwResid AS e FROM base, fit),
+       |lagged AS (
+       |  SELECT n, e, lag(e, 1) OVER (ORDER BY m) AS e1 FROM resid),
+       |s AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS n, CAST(sum(e * e) AS BIGINT) AS see,
+       |    CAST(sum((e - e1) * (e - e1)) AS BIGINT) AS sde
+       |  FROM lagged)
+       |SELECT n AS n_months,
+       |  CASE WHEN see = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(sde AS DOUBLE) / CAST(see AS DOUBLE) END AS dw_stat,
+       |  CASE WHEN see = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(1 AS DOUBLE) - (CAST(sde AS DOUBLE) / CAST(see AS DOUBLE)) / CAST(2 AS DOUBLE) END AS rho_lag1,
+       |  CASE WHEN see = 0 THEN 0
+       |  WHEN CAST(sde AS DOUBLE) / CAST(see AS DOUBLE) < CAST(1.5 AS DOUBLE) THEN 1
+       |  ELSE 0 END AS positive_autocorr
+       |FROM s""".stripMargin
+
+  // -------------------------------------------------------------- runs_test
+
+  /** Wald-Wolfowitz runs test on daily revenue vs its median: are
+    * above-median and below-median days RANDOMLY interleaved, or do
+    * they clump (momentum) / alternate (overcorrection)? The
+    * distribution-free randomness check that needs no model at all —
+    * the right first question before fitting any of the trend family.
+    * Median is the exact ceil-rank day (lower median); median-tied
+    * days are DROPPED (the standard treatment); the run count is an
+    * exact integer scan and z is one fixed-order IEEE expression
+    * from the (n1, n2, R) integers.
+    *
+    * Scale shape: one orders partial-agg to the day spine; the
+    * median, signs, run count and moments all run on that bounded
+    * spine.
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy("y", "d")))
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy()))
+      .agg(min(when(col("rn") === expr("(nt + 1) div 2"), col("y"))).as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("y") =!= col("med"))
+      .withColumn("s", when(col("y") > col("med"), 1).otherwise(0))
+      .withColumn("s1", lag(col("s"), 1).over(Window.orderBy("d")))
+    signs.agg(
+        sum(col("s")).as("n1"),
+        sum(expr("1 - s")).as("n2"),
+        (sum(when(col("s1").isNull || col("s") =!= col("s1"), 1L).otherwise(0L)))
+          .as("runs"))
+      .selectExpr("CAST(n1 AS BIGINT) AS n_above", "CAST(n2 AS BIGINT) AS n_below",
+        "CAST(runs AS BIGINT) AS n_runs",
+        s"$RunsZ AS z_stat",
+        s"CASE WHEN abs($RunsZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  // z = (R − E)/sqrt(V); E = 1 + 2n1n2/n, V = 2n1n2(2n1n2−n)/(n²(n−1))
+  private val RunsZ: String = {
+    val n = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    val m2 = "(CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    val e = s"(CAST(1 AS DOUBLE) + $m2 / $n)"
+    val v = s"(($m2 * ($m2 - $n)) / ($n * $n * ($n - CAST(1 AS DOUBLE))))"
+    s"(CASE WHEN $v <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (CAST(runs AS DOUBLE) - $e) / sqrt($v) END)"
+  }
+
+  val runsTestSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |w AS (
+       |  SELECT *, row_number() OVER (ORDER BY y, d) AS rn,
+       |    CAST(count(*) OVER () AS BIGINT) AS nt
+       |  FROM daily),
+       |med AS (SELECT CAST(min(CASE WHEN rn = (nt + 1) // 2 THEN y END) AS BIGINT) AS med FROM w),
+       |signs AS (
+       |  SELECT d, CASE WHEN y > med THEN 1 ELSE 0 END AS s
+       |  FROM daily, med WHERE y != med),
+       |lg AS (SELECT s, lag(s, 1) OVER (ORDER BY d) AS s1 FROM signs),
+       |agg AS (
+       |  SELECT CAST(sum(s) AS BIGINT) AS n1, CAST(sum(1 - s) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN s1 IS NULL OR s != s1 THEN 1 ELSE 0 END) AS BIGINT) AS runs
+       |  FROM lg)
+       |SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+       |  $RunsZ AS z_stat,
+       |  CASE WHEN abs($RunsZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------ mcnemar_test
+
+  /** McNemar paired test of return behavior drift: each ordering
+    * customer is PAIRED WITH THEMSELVES across the two halves of the
+    * order-date range (split at the exact median order day), response
+    * = "had a returned order in that half", and the continuity-
+    * corrected χ² = (|b−c|−1)²/(b+c) tests whether flippers are
+    * symmetric — the PAIRED drift test `dist_drift`/`psi_drift` can't
+    * give (they compare marginals; McNemar conditions on the same
+    * customer, removing all between-customer variance). Everything is
+    * exact integer counting; χ² is one guarded division.
+    *
+    * Scale shape: the median day comes from an order-grain ceil-rank
+    * on the bounded day histogram; the per-customer half-flags are
+    * one conditional partial-agg over the order⋈return semi-join;
+    * the 2×2 cells reduce to one row.
+    */
+  def mcnemarTest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val days = t.orders.select(
+      expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') AS BIGINT)").as("day"),
+      col("o_orderkey"), col("o_custkey"))
+    val hist = days.groupBy(col("day")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nt", sum(col("c")).over(Window.partitionBy()))
+    val pivot = hist.agg(min(when(col("cum") >= expr("(nt + 1) div 2"), col("day"))).as("pv"))
+    val ret = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    val flags = days
+      .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .crossJoin(broadcast(pivot))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("day") < col("pv"), 1).otherwise(0)).as("ra"),
+        max(when(col("day") >= col("pv"), 1).otherwise(0)).as("rb"))
+    val allCust = days.select(col("o_custkey")).distinct()
+    allCust.join(flags, Seq("o_custkey"), "left")
+      .select(coalesce(col("ra"), lit(0)).as("ra"), coalesce(col("rb"), lit(0)).as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END")).as("b"),
+        sum(expr("CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END")).as("c"))
+      .selectExpr("CAST(n AS BIGINT) AS n_customers",
+        "CAST(b AS BIGINT) AS n_first_only", "CAST(c AS BIGINT) AS n_second_only",
+        s"$McnChi2 AS chi2",
+        s"CASE WHEN $McnChi2 > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  private val McnChi2: String =
+    "(CASE WHEN b + c = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE (CAST(abs(b - c) - 1 AS DOUBLE) * CAST(abs(b - c) - 1 AS DOUBLE)) " +
+      "/ CAST(b + c AS DOUBLE) END)"
+
+  val mcnemarTestSql: String =
+    s"""WITH days AS (
+       |  SELECT CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       |    o_orderkey, o_custkey
+       |  FROM orders),
+       |hist AS (
+       |  SELECT day, count(*) AS c,
+       |    CAST(sum(count(*)) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(count(*)) OVER () AS BIGINT) AS nt
+       |  FROM days GROUP BY 1),
+       |pvt AS (SELECT CAST(min(CASE WHEN cum >= (nt + 1) // 2 THEN day END) AS BIGINT) AS pv FROM hist),
+       |ret AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+       |flags AS (
+       |  SELECT o_custkey,
+       |    max(CASE WHEN day < pv THEN 1 ELSE 0 END) AS ra,
+       |    max(CASE WHEN day >= pv THEN 1 ELSE 0 END) AS rb
+       |  FROM days JOIN ret ON o_orderkey = l_orderkey CROSS JOIN pvt
+       |  GROUP BY 1),
+       |cells AS (
+       |  SELECT coalesce(ra, 0) AS ra, coalesce(rb, 0) AS rb
+       |  FROM (SELECT DISTINCT o_custkey FROM days) ac
+       |  LEFT JOIN flags USING (o_custkey)),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM cells)
+       |SELECT n AS n_customers, b AS n_first_only, c AS n_second_only,
+       |  $McnChi2 AS chi2,
+       |  CASE WHEN $McnChi2 > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM agg""".stripMargin
 }

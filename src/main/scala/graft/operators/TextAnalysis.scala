@@ -2158,6 +2158,69 @@ object TextAnalysis {
        |FROM ct GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
   }
 
+  // ------------------------------------------- doclen_percentiles_by_source
+
+  /** Document-length percentile profile per source (p10/p50/p90/p99
+    * token counts + mean): the length SHAPE a pretraining mix is
+    * balanced against — `training_shard_manifest` totals tokens per
+    * shard and `readability_profile` averages per source; neither
+    * shows the tails, and it's the tails (truncation risk at p99,
+    * fragment noise at p10) that drive sequence-packing and filter
+    * thresholds. Percentiles are exact ceil-rank positions on the
+    * per-source COUNT-OF-COUNTS histogram — no doc-grain sort
+    * anywhere; mean is one double division.
+    *
+    * Scale shape: one map-side token count, one partial-agg to the
+    * (source, distinct-length) histogram (bounded by distinct length
+    * VALUES, tiny even at 10⁹ docs); windows run per source on that
+    * bounded frame.
+    */
+  def doclenPercentilesBySource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    val hist = Tables(spark, dir).documents
+      .select(col("source"), toks.as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy("source")
+        .orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+      .withColumn("st", sum(expr("t * c")).over(Window.partitionBy("source")))
+    hist.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), max(col("st")).as("total_tokens"),
+        min(when(col("cum") >= expr("(10 * n + 99) div 100"), col("t"))).as("p10"),
+        min(when(col("cum") >= expr("(50 * n + 99) div 100"), col("t"))).as("p50"),
+        min(when(col("cum") >= expr("(90 * n + 99) div 100"), col("t"))).as("p90"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("t"))).as("p99"))
+      .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(p10 AS BIGINT) AS p10_tokens", "CAST(p50 AS BIGINT) AS p50_tokens",
+        "CAST(p90 AS BIGINT) AS p90_tokens", "CAST(p99 AS BIGINT) AS p99_tokens",
+        "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens")
+      .orderBy("source")
+  }
+
+  val doclenPercentilesBySourceSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS t
+       |  FROM documents),
+       |hist AS (
+       |  SELECT source, t, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT) AS n,
+       |    CAST(sum(t * count(*)) OVER (PARTITION BY source) AS BIGINT) AS st
+       |  FROM d GROUP BY 1, 2)
+       |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       |  CAST(max(st) AS BIGINT) AS total_tokens,
+       |  CAST(min(CASE WHEN cum >= (10 * n + 99) // 100 THEN t END) AS BIGINT) AS p10_tokens,
+       |  CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN t END) AS BIGINT) AS p50_tokens,
+       |  CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN t END) AS BIGINT) AS p90_tokens,
+       |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN t END) AS BIGINT) AS p99_tokens,
+       |  CAST(max(st) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_tokens
+       |FROM hist GROUP BY 1 ORDER BY source""".stripMargin
+
   // ------------------------------------------------- stylometry_delta_matrix
 
   private val StyloTopTerms = 30

@@ -107,9 +107,10 @@ class Round13eSpec extends AnyFunSuite {
     assert(math.abs(got - chi2) < 1e-6, s"chi2 mismatch: got $got, recomputed $chi2")
   }
 
-  test("zone_map_prune: partition identity, scan covers every match") {
+  test("zone_map_prune: partition identity, scan covers every match, " +
+      "clustering never prunes less") {
     val r = rows("zone_map_prune")
-    assert(r.length == 3)
+    assert(r.length == 6, "2 layouts x 3 predicates")
     val li = graft.core.Tables(spark, sf).lineitem.count()
     r.foreach { row =>
       assert(row.getAs[Long]("rows_total") == li)
@@ -122,6 +123,15 @@ class Round13eSpec extends AnyFunSuite {
       assert(row.getAs[Long]("rows_scanned") >= row.getAs[Long]("rows_matching"))
       assert(row.getAs[Double]("scan_amplification") >= 1.0 - 1e-12 ||
         row.getAs[Long]("rows_matching") == 0L)
+    }
+    // the date-clustered layout scans no more rows than insert order
+    // for a date predicate, per predicate
+    r.groupBy(_.getAs[String]("predicate")).values.foreach { g =>
+      val ins = g.find(_.getAs[String]("layout") == "insert_order").get
+      val cl = g.find(_.getAs[String]("layout") == "clustered_by_date").get
+      assert(cl.getAs[Long]("rows_scanned") <= ins.getAs[Long]("rows_scanned"))
+      // match counts are layout-independent
+      assert(cl.getAs[Long]("rows_matching") == ins.getAs[Long]("rows_matching"))
     }
   }
 
