@@ -2019,4 +2019,90 @@ object Commerce {
        |  ELSE num * num / (den * ($RetDecaySyyC)) END AS r2
        |FROM c2""".stripMargin
   }
+
+  // -------------------------------------------------------- price_index_monthly
+
+  /** Matched-basket Laspeyres / Paasche / Fisher price indices per
+    * month vs the first month: unit prices p̄ = revenue/quantity at
+    * part grain, weighted by BASE-month quantities (Laspeyres — "what
+    * would the old basket cost now") and CURRENT quantities (Paasche),
+    * Fisher the geometric mean — the inflation decomposition
+    * `price_volume_mix` approximates at aggregate grain done
+    * properly at part grain with a matched basket (only parts traded
+    * in BOTH months enter, the standard index-number treatment).
+    * Every basket term is the exact integer floor
+    * (rev·weight) div (qty·10⁴) — dollars grain, documented ≤$1/part
+    * floor error — because a rounded double term here would sit ON
+    * the .5 quantization boundary (rev·w/qty is a small-denominator
+    * rational) where the engines' round() semantics differ; floor of
+    * positive integers is engine-identical. Index ratios and sqrt
+    * are IEEE over the four exact sums (sub-2^53 through ~sf10).
+    *
+    * Scale shape: one lineitem partial-agg to the (month, part)
+    * frame; the base month broadcasts; per-month index sums
+    * partial-aggregate — nothing beyond the part-month grain ever
+    * shuffles.
+    */
+  def priceIndexMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables(spark, dir).lineitem
+      .groupBy(expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").as("m"),
+        col("l_partkey"))
+      .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)").as("rev"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT)").as("qty"))
+      .filter(col("qty") > 0)
+    val m0 = pm.agg(min(col("m")).as("m0"))
+    val base = pm.crossJoin(broadcast(m0)).filter(col("m") === col("m0"))
+      .select(col("l_partkey"), col("rev").as("rev0"), col("qty").as("qty0"))
+    pm.join(broadcast(base), "l_partkey")
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_matched_parts"),
+        sum(expr(piLNumS)).as("ln_"), sum(expr(piLDenS)).as("ld"),
+        sum(expr(piPNumS)).as("pn"), sum(expr(piPDenS)).as("pd"))
+      .selectExpr("CAST(m AS BIGINT) AS month_id",
+        "CAST(n_matched_parts AS BIGINT) AS n_matched_parts",
+        s"$PiL AS laspeyres", s"$PiP AS paasche",
+        s"CASE WHEN $PiL * $PiP < CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+          s"ELSE sqrt($PiL * $PiP) END AS fisher")
+      .orderBy("month_id")
+  }
+
+  // exact whole-dollar basket term: (rev·w) div (qty·10⁴) — integer
+  // products stay < 2^63 through ~sf100 (rev ≤ ~1e13 · w ≤ ~1e4);
+  // `div` is Spark's integer division, `//` DuckDB's — same floor on
+  // positive ints (the joinKeySkewAudit pairing)
+  private def piTerm(rev: String, qty: String, w: String, op: String): String =
+    s"(($rev * $w) $op ($qty * 10000))"
+  private def piTerms(op: String): Seq[String] = Seq(
+    piTerm("rev", "qty", "qty0", op), piTerm("rev0", "qty0", "qty0", op),
+    piTerm("rev", "qty", "qty", op), piTerm("rev0", "qty0", "qty", op))
+  private val Seq(piLNumS, piLDenS, piPNumS, piPDenS) = piTerms("div")
+  private val Seq(piLNumD, piLDenD, piPNumD, piPDenD) = piTerms("//")
+  private val PiL =
+    "(CASE WHEN CAST(ld AS DOUBLE) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(ln_ AS DOUBLE) / CAST(ld AS DOUBLE) END)"
+  private val PiP =
+    "(CASE WHEN CAST(pd AS DOUBLE) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) END)"
+
+  val priceIndexMonthlySql: String =
+    s"""WITH pm AS (
+       |  SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m, l_partkey,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS rev,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS qty
+       |  FROM lineitem GROUP BY 1, 2 HAVING sum(CAST(l_quantity AS DECIMAL(18,0))) > 0),
+       |m0 AS (SELECT min(m) AS m0 FROM pm),
+       |base AS (
+       |  SELECT l_partkey, rev AS rev0, qty AS qty0
+       |  FROM pm, m0 WHERE m = m0),
+       |j AS (SELECT pm.* , base.rev0, base.qty0 FROM pm JOIN base USING (l_partkey)),
+       |g AS (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS n_matched_parts,
+       |    CAST(sum($piLNumD) AS BIGINT) AS ln_, CAST(sum($piLDenD) AS BIGINT) AS ld,
+       |    CAST(sum($piPNumD) AS BIGINT) AS pn, CAST(sum($piPDenD) AS BIGINT) AS pd
+       |  FROM j GROUP BY 1)
+       |SELECT m AS month_id, n_matched_parts,
+       |  $PiL AS laspeyres, $PiP AS paasche,
+       |  CASE WHEN $PiL * $PiP < CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE sqrt($PiL * $PiP) END AS fisher
+       |FROM g ORDER BY month_id""".stripMargin
 }

@@ -4837,4 +4837,346 @@ object Stats {
        |  $McnChi2 AS chi2,
        |  CASE WHEN $McnChi2 > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS significant
        |FROM agg""".stripMargin
+
+  // ------------------------------------------------------ cooks_distance_months
+
+  /** Cook's distance for every month of the revenue trend fit: which
+    * months, if DELETED, would move the regression line — the
+    * influence diagnostic that separates "big residual" from "big
+    * residual AT HIGH LEVERAGE" (`durbin_watson` judges the residual
+    * SEQUENCE; this judges each point's pull). Same exact-moment OLS
+    * and integer-quantized residuals as `durbin_watson`; leverage
+    * h_t = 1/n + (x−x̄)²/Sxx and D_t = e²h/(2s²(1−h)²) are per-row
+    * fixed-order IEEE with no cross-row double sums (SSE is an exact
+    * integer moment).
+    *
+    * Scale shape: one orders partial-agg to the month spine; fit
+    * moments broadcast back; everything per-row on the bounded spine.
+    */
+  def cooksDistanceMonths(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+    val base = monthly
+      .withColumn("m0", min(col("m")).over(Window.partitionBy()))
+      .withColumn("x", expr("CAST(m - m0 AS BIGINT)"))
+    val fit = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+    val resid = base.crossJoin(broadcast(fit))
+      .withColumn("e", expr(DwResid))
+    val sse = resid.groupBy().agg(sum(expr("e * e")).as("sse"))
+    resid.crossJoin(broadcast(sse))
+      .withColumn("lev", expr(CooksLev))
+      .withColumn("cd", expr(CooksD))
+      .selectExpr("CAST(m AS BIGINT) AS month_id", "CAST(y AS BIGINT) AS revenue",
+        "CAST(e AS BIGINT) AS residual", "lev AS leverage", "cd AS cooks_d",
+        "CASE WHEN cd > CAST(4 AS DOUBLE) / CAST(n AS DOUBLE) THEN 1 ELSE 0 END AS influential")
+      .orderBy("month_id")
+  }
+
+  // h = 1/n + (x − Σx/n)² / (Σx² − (Σx)²/n); D = e²h / (2·s²·(1−h)²),
+  // s² = SSE/(n−2) — all fixed-order cast-each-operand doubles
+  private val CooksLev: String = {
+    val dx = "(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val sxxC = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"(CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) + $dx * $dx / $sxxC)"
+  }
+  private val CooksD: String = {
+    val s2 = "(CAST(sse AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(2 AS DOUBLE)))"
+    s"(CASE WHEN $s2 <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * lev) / " +
+      s"(CAST(2 AS DOUBLE) * $s2 * (CAST(1 AS DOUBLE) - lev) * (CAST(1 AS DOUBLE) - lev)) END)"
+  }
+
+  val cooksDistanceMonthsSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |base AS (
+       |  SELECT m, y, CAST(m - min(m) OVER () AS BIGINT) AS x FROM monthly),
+       |fit AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM base),
+       |resid AS (
+       |  SELECT m, y, x, n, sx, sxx, $DwResid AS e FROM base, fit),
+       |ss AS (SELECT CAST(sum(e * e) AS BIGINT) AS sse FROM resid),
+       |lv AS (SELECT *, $CooksLev AS lev FROM resid, ss),
+       |cd AS (SELECT *, $CooksD AS cd FROM lv)
+       |SELECT m AS month_id, y AS revenue, e AS residual,
+       |  lev AS leverage, cd AS cooks_d,
+       |  CASE WHEN cd > CAST(4 AS DOUBLE) / CAST(n AS DOUBLE) THEN 1 ELSE 0 END AS influential
+       |FROM cd ORDER BY month_id""".stripMargin
+
+  // ---------------------------------------------------------------- grubbs_test
+
+  /** Grubbs-style maximum-outlier score of monthly revenue: G =
+    * max|y − ȳ|/s plus which month carries it — the single-point
+    * complement of `anomaly_zscore`'s full listing (one number a
+    * monitoring gate thresholds, with the argmax attached).
+    * Moments exact; mean/sd one fixed-order IEEE expression; argmax
+    * by total (|dev| desc, month) order. The 3.0 threshold is the
+    * conventional sigma gate (documented — not the exact Grubbs
+    * critical value, which needs a t-quantile).
+    *
+    * Scale shape: one orders partial-agg to the month spine; moments
+    * and argmax on the spine.
+    */
+  def grubbsTest(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+    val mom = monthly.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(expr("y * y")).as("syy"))
+    monthly.crossJoin(broadcast(mom))
+      .withColumn("g", expr(GrubbsG))
+      .orderBy(col("g").desc, col("m"))
+      .limit(1)
+      .selectExpr("CAST(n AS BIGINT) AS n_months",
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_revenue",
+        "CAST(m AS BIGINT) AS outlier_month", "CAST(y AS BIGINT) AS outlier_value",
+        "g AS g_stat",
+        "CASE WHEN g > CAST(3 AS DOUBLE) THEN 1 ELSE 0 END AS exceeds_3sigma")
+  }
+
+  // G = |y − Σy/n| / sqrt((Σy² − (Σy)²/n)/(n−1))
+  private val GrubbsG: String = {
+    val mean = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    val v = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))"
+    s"(CASE WHEN $v <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE abs(CAST(y AS DOUBLE) - $mean) / sqrt($v) END)"
+  }
+
+  val grubbsTestSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM monthly),
+       |g AS (SELECT *, $GrubbsG AS g FROM monthly, mom)
+       |SELECT n AS n_months,
+       |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_revenue,
+       |  m AS outlier_month, y AS outlier_value, g AS g_stat,
+       |  CASE WHEN g > CAST(3 AS DOUBLE) THEN 1 ELSE 0 END AS exceeds_3sigma
+       |FROM g ORDER BY g DESC, m LIMIT 1""".stripMargin
+
+  // ---------------------------------------------------------- kpss_stationarity
+
+  /** KPSS level-stationarity statistic on monthly revenue:
+    * η = Σ_t S_t² / (n·Σ_t e_t²) with S_t the running sum of the
+    * mean-deviations — the complement of trend tests (`regression
+    * _trend` asks "is there a trend?"; KPSS asks "is the level even
+    * stable enough for that question?" — η > 0.463 rejects level
+    * stationarity at 5%). Deviations are INTEGER-QUANTIZED
+    * (round(y − Σy/n), the `durbin_watson` residual convention —
+    * sub-unit precision is noise against monthly thousands, and it
+    * keeps every running sum and quadratic moment in exact BIGINT,
+    * clear of the decimal-product width traps); η is one guarded
+    * division. LAG-0 variance only (no HAC bandwidth) — documented
+    * semantics. Moment ledger: st² sums stay < 2^53 through ~sf1;
+    * raise the /1000 divisor beyond that.
+    *
+    * Scale shape: one orders partial-agg to the month spine; the
+    * cumulative window and moments run on the spine.
+    */
+  def kpssStationarity(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+    val tot = monthly.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val dev = monthly.crossJoin(broadcast(tot))
+      .select(col("m"), col("n"), expr(KpssDev).as("dev"))
+      .withColumn("st", sum(col("dev")).over(
+        Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    dev.agg(max(col("n")).as("n"),
+        sum(expr("st * st")).as("num"), sum(expr("dev * dev")).as("den"))
+      .selectExpr("CAST(n AS BIGINT) AS n_months",
+        s"$KpssEta AS eta",
+        s"CASE WHEN $KpssEta > CAST(0.463 AS DOUBLE) THEN 1 ELSE 0 END AS reject_stationarity")
+  }
+
+  private val KpssDev: String =
+    "CAST(round(CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0) AS BIGINT)"
+  private val KpssEta: String =
+    "(CASE WHEN den = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(den AS DOUBLE)) END)"
+
+  val kpssStationaritySql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM monthly),
+       |dv AS (
+       |  SELECT m, t.n, $KpssDev AS dev
+       |  FROM monthly, t),
+       |cs AS (
+       |  SELECT n, dev,
+       |    CAST(sum(dev) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS st
+       |  FROM dv),
+       |agg AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS n, CAST(sum(st * st) AS BIGINT) AS num,
+       |    CAST(sum(dev * dev) AS BIGINT) AS den FROM cs)
+       |SELECT CAST(n AS BIGINT) AS n_months,
+       |  $KpssEta AS eta,
+       |  CASE WHEN $KpssEta > CAST(0.463 AS DOUBLE) THEN 1 ELSE 0 END AS reject_stationarity
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------ cronbach_alpha
+
+  /** Cronbach's α over the month×weekday revenue matrix: do the seven
+    * weekday series move together month to month (α near 1 — weekdays
+    * are interchangeable "items" measuring the same monthly demand)
+    * or independently (α near 0)? The internal-consistency readout
+    * behind "can I impute a missing weekday from the month's
+    * others?". Same complete-block cell construction as
+    * `friedman_test` (coarser /10000 units so every moment product
+    * stays well inside BIGINT — sub-2^53 ledger holds through ~sf1);
+    * item and total variances come from exact integer moments
+    * (population variance — documented); α is one fixed-order IEEE
+    * expression.
+    *
+    * Scale shape: one orders partial-agg to the bounded cell spine;
+    * per-item moments pivot to one row; total-variance moments come
+    * from the month-grain sums of the same spine.
+    */
+  def cronbachAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') AS BIGINT) % 7").as("wd"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 10000) AS BIGINT)").as("y"))
+    val full = cells
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy("m")))
+      .filter(col("nc") === 7)
+    val items = full.groupBy(col("wd"))
+      .agg(count(lit(1)).as("b"), sum(col("y")).as("s"), sum(expr("y * y")).as("q"))
+      .agg(max(col("b")).as("b"),
+        sum(expr(CronItemVarNum)).as("ivn"))
+    val totals = full.groupBy(col("m")).agg(sum(col("y")).as("t"))
+      .agg(count(lit(1)).as("b2"), sum(col("t")).as("st"), sum(expr("t * t")).as("qt"))
+    items.crossJoin(totals)
+      .selectExpr("CAST(b AS BIGINT) AS n_months", "CAST(7 AS BIGINT) AS k_items",
+        s"$CronAlpha AS alpha",
+        s"CASE WHEN $CronAlpha >= CAST(0.7 AS DOUBLE) THEN 1 ELSE 0 END AS acceptable")
+  }
+
+  // per-item population-variance NUMERATOR b·q − s² kept exact in
+  // plain BIGINT (the /10000 cell units keep b·q < 2^53 through ~sf1;
+  // ANSI overflow would THROW, not wrap); the common 1/b² factor is
+  // applied once in the α expression
+  private val CronItemVarNum = "b * q - s * s"
+  private val CronAlpha: String = {
+    val sumItemVar = "(CAST(ivn AS DOUBLE) / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))"
+    val totVar = "((CAST(b2 AS DOUBLE) * CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / (CAST(b2 AS DOUBLE) * CAST(b2 AS DOUBLE)))"
+    s"(CASE WHEN $totVar <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (CAST(7 AS DOUBLE) / CAST(6 AS DOUBLE)) * (CAST(1 AS DOUBLE) - $sumItemVar / $totVar) END)"
+  }
+
+  val cronbachAlphaSql: String =
+    s"""WITH cells AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 7 AS wd,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 10000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1, 2),
+       |fullb AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY m) AS nc FROM cells) c0
+       |  WHERE nc = 7),
+       |itm AS (
+       |  SELECT wd, CAST(count(*) AS BIGINT) AS b, CAST(sum(y) AS BIGINT) AS s,
+       |    CAST(sum(y * y) AS BIGINT) AS q
+       |  FROM fullb GROUP BY 1),
+       |items AS (
+       |  SELECT CAST(max(b) AS BIGINT) AS b, CAST(sum($CronItemVarNum) AS BIGINT) AS ivn FROM itm),
+       |tm AS (SELECT m, CAST(sum(y) AS BIGINT) AS t FROM fullb GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS b2, CAST(sum(t) AS BIGINT) AS st,
+       |    CAST(sum(t * t) AS BIGINT) AS qt
+       |  FROM tm)
+       |SELECT b AS n_months, CAST(7 AS BIGINT) AS k_items,
+       |  $CronAlpha AS alpha,
+       |  CASE WHEN $CronAlpha >= CAST(0.7 AS DOUBLE) THEN 1 ELSE 0 END AS acceptable
+       |FROM items, totals""".stripMargin
+
+  // -------------------------------------------------------- markov_entropy_rate
+
+  /** Entropy rate of the session event-type Markov chain:
+    * H = −Σ_i π̂_i Σ_j p_ij ln p_ij with π̂ the EMPIRICAL from-state
+    * distribution (documented — not the stationary eigenvector),
+    * normalized by ln(k) into [0, 1] — `markov_transitions` publishes
+    * the matrix; this compresses it to "how predictable is the next
+    * event", the one number that says whether next-event prediction
+    * is worth building. Both lns are the engine-exact
+    * [[graft.functions.ExactLn]]; Σ terms 9-dp decimal-quantized.
+    *
+    * Scale shape: the lead-window pass is the only event-grain work
+    * (shared shape with `markov_transitions`); everything after runs
+    * on the k² cell spine.
+    */
+  def markovEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val cells = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("ft"), col("next_type").as("tt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", sum(col("c")).over(Window.partitionBy("ft")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val h = cells
+      .withColumn("__y", expr(ExactLn.yExpr(MerP)))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("__ln", expr(ExactLn.lnExpr("__z")))
+      .agg(countDistinct(col("ft")).as("k"), count(lit(1)).as("n_cells"),
+        sum(expr(MerTerm)).as("h"))
+    h.withColumn("kd", expr("CAST(k AS DOUBLE)"))
+      .withColumn("__yk", expr(ExactLn.yExpr("kd")))
+      .withColumn("__zk", expr(ExactLn.zExpr("__yk")))
+      .withColumn("lnk", expr(ExactLn.lnExpr("__zk")))
+      .selectExpr("CAST(k AS BIGINT) AS n_states", "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(h AS DOUBLE) AS entropy_rate_nats", "lnk AS max_entropy_nats",
+        """CASE WHEN lnk <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(h AS DOUBLE) / lnk END AS predictability_gap""".stripMargin)
+  }
+
+  private val MerP = "(CAST(c AS DOUBLE) / CAST(rn AS DOUBLE))"
+  private val MerTerm =
+    s"CAST(round(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * __ln), 9) AS DECIMAL(18,9))"
+
+  val markovEntropyRateSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS next_type
+       |  FROM events),
+       |cells AS (
+       |  SELECT event_type AS ft, next_type AS tt, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT) AS rn,
+       |    CAST(sum(count(*)) OVER () AS BIGINT) AS n
+       |  FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |cy AS (SELECT c, rn, n, ft, ${ExactLn.yExpr(MerP)} AS __y FROM cells),
+       |cz AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM cy),
+       |cl AS (SELECT *, ${ExactLn.lnExpr("__z")} AS __ln FROM cz),
+       |agg AS (
+       |  SELECT CAST(count(DISTINCT ft) AS BIGINT) AS k,
+       |    CAST(count(*) AS BIGINT) AS n_cells, sum($MerTerm) AS h
+       |  FROM cl),
+       |ky AS (SELECT *, CAST(k AS DOUBLE) AS kd FROM agg),
+       |ky2 AS (SELECT *, ${ExactLn.yExpr("kd")} AS __yk FROM ky),
+       |kz AS (SELECT *, ${ExactLn.zExpr("__yk")} AS __zk FROM ky2),
+       |kl AS (SELECT *, ${ExactLn.lnExpr("__zk")} AS lnk FROM kz)
+       |SELECT k AS n_states, n_cells, CAST(h AS DOUBLE) AS entropy_rate_nats,
+       |  lnk AS max_entropy_nats,
+       |  CASE WHEN lnk <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(h AS DOUBLE) / lnk END AS predictability_gap
+       |FROM kl""".stripMargin
+  }
 }
