@@ -2105,4 +2105,98 @@ object Commerce {
        |  CASE WHEN $PiL * $PiP < CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
        |  ELSE sqrt($PiL * $PiP) END AS fisher
        |FROM g ORDER BY month_id""".stripMargin
+
+  // --------------------------------------------------------- shapley_attribution
+
+  /** Exact Shapley-value channel attribution over the four
+    * non-conversion event channels (click, error, signup, view):
+    * v(S) = purchase rate of users whose EXACT touch-set is S, and
+    * each channel's φ is the exact 8-term Shapley sum over the 16
+    * coalition cells — the game-theoretic completion of the
+    * attribution family (`attribution_linear` splits evenly,
+    * `time_decay_attribution` by recency, `markov_removal_attribution`
+    * by removal effect; Shapley is the only one satisfying
+    * efficiency + symmetry + dummy axioms, and with k=4 it's EXACT,
+    * no sampling). Cell counts are exact integers; coalition values
+    * and the φ folds are fixed-order IEEE with rational-cast weights
+    * (s!(k−s−1)!/k! spelled as integer-cast divisions — both engines
+    * parse and round identically).
+    *
+    * Scale shape: one events pass partial-aggregates to user-grain
+    * flags, one more to the 16-cell coalition frame; the φ algebra is
+    * scalar over one pivoted row.
+    */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("b0"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("b1"),
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("b2"),
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("b3"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .withColumn("mask", expr("b0 + 2 * b1 + 4 * b2 + 8 * b3"))
+    val cellCols = (0 until 16).flatMap { m =>
+      Seq(sum(when(col("mask") === m, 1L).otherwise(0L)).as(s"n$m"),
+        sum(when(col("mask") === m, col("conv").cast("long")).otherwise(0L)).as(s"c$m"))
+    }
+    val pivoted = users.agg(cellCols.head, cellCols.tail: _*)
+    val stackArgs = ShapChannels.zipWithIndex
+      .map { case (ch, i) => s"'$ch', ${shapPhi(i)}" }.mkString(", ")
+    pivoted
+      .selectExpr(s"${shapV(15)} AS v_full", s"${shapV(0)} AS v_empty",
+        s"stack(4, $stackArgs) AS (channel, phi)")
+      .selectExpr("channel", "phi", "v_full", "v_empty",
+        """CASE WHEN v_full - v_empty = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |ELSE phi / (v_full - v_empty) END AS share""".stripMargin)
+      .orderBy("channel")
+  }
+
+  private val ShapChannels = Seq("click", "error", "signup", "view")
+
+  // v(mask) = conversions/users of the EXACT coalition cell (empty
+  // cell ⇒ 0, documented)
+  private def shapV(m: Int): String =
+    s"(CASE WHEN n$m = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(c$m AS DOUBLE) / CAST(n$m AS DOUBLE) END)"
+
+  // φ_c = Σ_{S ∌ c} s!(3−s)!/4! · (v(S∪c) − v(S)) — 8 terms folded in
+  // ascending-mask order, weights as exact rational casts
+  private def shapPhi(c: Int): String = {
+    val bit = 1 << c
+    val terms = (0 until 16).filter(m => (m & bit) == 0).map { m =>
+      val s = Integer.bitCount(m)
+      val fact = Seq(1, 1, 2, 6)
+      val w = s"(CAST(${fact(s) * fact(3 - s)} AS DOUBLE) / CAST(24 AS DOUBLE))"
+      s"($w * (${shapV(m | bit)} - ${shapV(m)}))"
+    }
+    terms.reduce((a, b) => s"($a + $b)")
+  }
+
+  val shapleyAttributionSql: String = {
+    val cellCols = (0 until 16).flatMap { m =>
+      Seq(s"CAST(sum(CASE WHEN mask = $m THEN 1 ELSE 0 END) AS BIGINT) AS n$m",
+        s"CAST(sum(CASE WHEN mask = $m THEN conv ELSE 0 END) AS BIGINT) AS c$m")
+    }.mkString(",\n    ")
+    val chRows = ShapChannels.zipWithIndex.map { case (ch, i) =>
+      s"SELECT '$ch' AS channel, ${shapPhi(i)} AS phi, ${shapV(15)} AS v_full, ${shapV(0)} AS v_empty FROM p"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       |      + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mask,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1),
+       |p AS (
+       |  SELECT
+       |    $cellCols
+       |  FROM u),
+       |rows_s AS (
+       |  $chRows)
+       |SELECT channel, phi, v_full, v_empty,
+       |  CASE WHEN v_full - v_empty = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE phi / (v_full - v_empty) END AS share
+       |FROM rows_s ORDER BY channel""".stripMargin
+  }
 }

@@ -3284,4 +3284,72 @@ object Reports {
        |  CAST(rbo AS DOUBLE) AS rbo_at_10
        |FROM s ORDER BY depth""".stripMargin
   }
+
+  // ------------------------------------------------------------- inventory_eoq
+
+  /** Economic order quantity per brand: EOQ = √(2·D·S/H) with annual
+    * demand D from the observed span, a fixed $100 ordering cost, and
+    * holding cost H = 20% of the brand's average unit price — the
+    * order-sizing companion to `inventory_reorder_point` (WHEN to
+    * reorder) and `newsvendor_stock` (how much under uncertainty):
+    * EOQ answers HOW MUCH per order under deterministic demand.
+    * Demand/revenue stay exact integers to the division; the formula
+    * is one fixed-order IEEE expression with rational-cast constants.
+    *
+    * Scale shape: one lineitem pass with a broadcast part join
+    * partial-aggregates to the brand spine; the formula is per-row
+    * scalar on ~25 rows.
+    */
+  def inventoryEoq(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(l_quantity AS DECIMAL(18,0))").as("q"),
+        expr("CAST(l_extendedprice AS DECIMAL(18,2)) * 100").as("revc"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").as("m"))
+    val span = li.agg((max(col("m")) - min(col("m")) + 1).as("months"))
+    li.groupBy(col("p_brand"))
+      .agg(expr("CAST(sum(q) AS BIGINT)").as("qty"),
+        expr("CAST(sum(revc) AS BIGINT)").as("revc"))
+      .crossJoin(broadcast(span))
+      .selectExpr("p_brand AS brand", "CAST(qty AS BIGINT) AS total_qty",
+        "CAST(months AS BIGINT) AS n_months",
+        s"$EoqD AS annual_demand", s"$EoqPrice AS avg_unit_price",
+        s"$EoqExpr AS eoq_units",
+        s"""CASE WHEN $EoqExpr = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+           |ELSE $EoqD / $EoqExpr END AS orders_per_year""".stripMargin)
+      .orderBy("brand")
+  }
+
+  // D = qty·12/months; price = rev_cents/qty/100 dollars; H = 0.2·price;
+  // EOQ = sqrt(2·D·100/H) — all rational casts, engine-identical
+  private val EoqD =
+    "(CAST(qty AS DOUBLE) * CAST(12 AS DOUBLE) / CAST(months AS DOUBLE))"
+  private val EoqPrice =
+    "(CAST(revc AS DOUBLE) / CAST(qty AS DOUBLE) / CAST(100 AS DOUBLE))"
+  private val EoqExpr =
+    s"(CASE WHEN $EoqPrice <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE sqrt(CAST(2 AS DOUBLE) * $EoqD * CAST(100 AS DOUBLE) / " +
+      s"(CAST(0.2 AS DOUBLE) * $EoqPrice)) END)"
+
+  val inventoryEoqSql: String =
+    s"""WITH li AS (
+       |  SELECT p_brand,
+       |    CAST(l_quantity AS DECIMAL(18,0)) AS q,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS revc,
+       |    year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |span AS (SELECT CAST(max(m) - min(m) + 1 AS BIGINT) AS months FROM li),
+       |g AS (
+       |  SELECT p_brand, CAST(sum(q) AS BIGINT) AS qty,
+       |    CAST(sum(revc) AS BIGINT) AS revc
+       |  FROM li GROUP BY 1)
+       |SELECT p_brand AS brand, qty AS total_qty, months AS n_months,
+       |  $EoqD AS annual_demand, $EoqPrice AS avg_unit_price,
+       |  $EoqExpr AS eoq_units,
+       |  CASE WHEN $EoqExpr = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE $EoqD / $EoqExpr END AS orders_per_year
+       |FROM g, span ORDER BY brand""".stripMargin
 }

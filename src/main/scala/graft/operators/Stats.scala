@@ -5146,6 +5146,58 @@ object Stats {
           |ELSE CAST(h AS DOUBLE) / lnk END AS predictability_gap""".stripMargin)
   }
 
+  // ---------------------------------------------------- negative_binomial_fit
+
+  /** Method-of-moments negative-binomial fit of per-customer order
+    * counts: mean, sample variance, the dispersion index v/m, and the
+    * NB (size r, prob p) parameters when overdispersed — the
+    * count-model diagnostic that decides whether a Poisson rate
+    * (`poisson_rate_test`'s model) is even admissible for purchase
+    * frequency, and the parametric input a spend-frequency model
+    * (BG/NBD-style) starts from. Moments exact integers; every
+    * derived quantity is one fixed-order IEEE expression; r and p
+    * are 0-guarded when v ≤ m (under/equi-dispersed — flagged).
+    *
+    * Scale shape: one orders partial-agg to customer counts, one
+    * moment reduction to a single row.
+    */
+  def negativeBinomialFit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).orders
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+    counts.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(expr("c * c")).as("q"))
+      .selectExpr("CAST(n AS BIGINT) AS n_customers",
+        s"$NbMean AS mean_orders", s"$NbVar AS variance",
+        s"CASE WHEN $NbMean = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+          s"ELSE $NbVar / $NbMean END AS dispersion_index",
+        s"CASE WHEN $NbVar > $NbMean THEN 1 ELSE 0 END AS overdispersed",
+        s"CASE WHEN $NbVar <= $NbMean THEN CAST(0 AS DOUBLE) " +
+          s"ELSE $NbMean * $NbMean / ($NbVar - $NbMean) END AS nb_size_r",
+        s"CASE WHEN $NbVar <= $NbMean THEN CAST(0 AS DOUBLE) " +
+          s"ELSE $NbMean / $NbVar END AS nb_prob_p")
+  }
+
+  private val NbMean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val NbVar =
+    "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))"
+
+  val negativeBinomialFitSql: String =
+    s"""WITH counts AS (
+       |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+       |    CAST(sum(c * c) AS BIGINT) AS q
+       |  FROM counts)
+       |SELECT n AS n_customers, $NbMean AS mean_orders, $NbVar AS variance,
+       |  CASE WHEN $NbMean = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |  ELSE $NbVar / $NbMean END AS dispersion_index,
+       |  CASE WHEN $NbVar > $NbMean THEN 1 ELSE 0 END AS overdispersed,
+       |  CASE WHEN $NbVar <= $NbMean THEN CAST(0 AS DOUBLE)
+       |  ELSE $NbMean * $NbMean / ($NbVar - $NbMean) END AS nb_size_r,
+       |  CASE WHEN $NbVar <= $NbMean THEN CAST(0 AS DOUBLE)
+       |  ELSE $NbMean / $NbVar END AS nb_prob_p
+       |FROM mom""".stripMargin
+
   private val MerP = "(CAST(c AS DOUBLE) / CAST(rn AS DOUBLE))"
   private val MerTerm =
     s"CAST(round(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * __ln), 9) AS DECIMAL(18,9))"
