@@ -5231,4 +5231,385 @@ object Stats {
        |  ELSE CAST(h AS DOUBLE) / lnk END AS predictability_gap
        |FROM kl""".stripMargin
   }
+
+  // ------------------------------------------------------------------ tukey_hsd
+
+  private val TukPairs: Seq[(Int, Int)] =
+    for { i <- AnovaKeys; j <- AnovaKeys if i < j } yield (i, j)
+  // MSW in cents² off the same pivoted exact moments as anova_oneway
+  private val TukMsw = s"(($AnovaSsw) / CAST(nn - ${AnovaKeys.size} AS DOUBLE))"
+  private def tukMean(k: Int) = s"(CAST(s_$k AS DOUBLE) / CAST(n_$k AS DOUBLE))"
+  // Tukey–Kramer SE for unequal n: sqrt(MSW/2 · (1/n_i + 1/n_j))
+  private def tukSe(i: Int, j: Int) =
+    s"sqrt($TukMsw / CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) / CAST(n_$i AS DOUBLE)" +
+      s" + CAST(1 AS DOUBLE) / CAST(n_$j AS DOUBLE)))"
+  // studentized-range critical value q(k=5, df→∞, α=0.05) — the df here
+  // is N−k (millions of events), where the table row is flat at 3.858
+  private val TukQCrit = "CAST(3.858 AS DOUBLE)"
+
+  /** Tukey–Kramer HSD post-hoc on the `anova_oneway` frame: the
+    * omnibus F says the five event-type value means differ; this says
+    * WHICH of the ten pairs differ, with the studentized-range
+    * statistic q = |m̄_i − m̄_j| / √(MSW/2·(1/n_i+1/n_j)) that holds
+    * the FAMILYWISE error at α (ten naive t-tests would inflate it
+    * ~40%). Runs off the identical one-row pivot of per-type exact
+    * integer moments — no second data pass; every pair statistic is
+    * a fixed-order double expression over those moments, and the
+    * critical value is the df→∞ table row (documented — event counts
+    * put N−k far past the table's last finite-df line).
+    *
+    * Scale shape: the anova_oneway shape exactly — ONE conditional-sum
+    * partial-agg pass over events to a 15-column row; the ten pair
+    * rows come from `stack` on that single row.
+    */
+  def tukeyHsd(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val mCols = AnovaKeys.flatMap { k =>
+      val is = col("event_type") === EventTypes(k)
+      Seq(sum(when(is, 1L).otherwise(0L)).as(s"n_$k"),
+        sum(when(is, col("c")).otherwise(0L)).as(s"s_$k"),
+        sum(when(is, col("c") * col("c")).otherwise(0L)).as(s"ss_$k"))
+    }
+    val pairCols = TukPairs.flatMap { case (i, j) =>
+      Seq(
+        expr(s"${tukMean(i)} / CAST(100 AS DOUBLE)").as(s"ma_${i}_$j"),
+        expr(s"${tukMean(j)} / CAST(100 AS DOUBLE)").as(s"mb_${i}_$j"),
+        expr(s"(${tukMean(i)} - ${tukMean(j)}) / CAST(100 AS DOUBLE)").as(s"md_${i}_$j"),
+        expr(s"${tukSe(i, j)} / CAST(100 AS DOUBLE)").as(s"se_${i}_$j"),
+        expr(s"abs(${tukMean(i)} - ${tukMean(j)}) / ${tukSe(i, j)}").as(s"q_${i}_$j"),
+        expr(s"CASE WHEN abs(${tukMean(i)} - ${tukMean(j)}) / ${tukSe(i, j)}" +
+          s" > $TukQCrit THEN 1 ELSE 0 END").as(s"sg_${i}_$j"))
+    }
+    val stackArgs = TukPairs.map { case (i, j) =>
+      s"'${EventTypes(i)}', '${EventTypes(j)}', ma_${i}_$j, mb_${i}_$j," +
+        s" md_${i}_$j, se_${i}_$j, q_${i}_$j, sg_${i}_$j"
+    }.mkString(", ")
+    keyed.agg(mCols.head, mCols.tail: _*)
+      .withColumn("nn", expr(AnovaKeys.map(k => s"n_$k").mkString(" + ")))
+      .withColumn("sqtot", expr(AnovaKeys.map(k => s"ss_$k").mkString(" + ")))
+      .select(pairCols: _*)
+      .selectExpr(s"stack(${TukPairs.size}, $stackArgs) AS " +
+        "(type_a, type_b, mean_a, mean_b, mean_diff, se, q_stat, significant)")
+      .orderBy("type_a", "type_b")
+  }
+
+  val tukeyHsdSql: String = {
+    val mSums = AnovaKeys.flatMap { k =>
+      val is = s"event_type = '${EventTypes(k)}'"
+      Seq(s"CAST(sum(CASE WHEN $is THEN 1 ELSE 0 END) AS BIGINT) AS n_$k",
+        s"CAST(sum(CASE WHEN $is THEN c ELSE 0 END) AS BIGINT) AS s_$k",
+        s"CAST(sum(CASE WHEN $is THEN c * c ELSE 0 END) AS BIGINT) AS ss_$k")
+    }
+    val unions = TukPairs.map { case (i, j) =>
+      s"""SELECT '${EventTypes(i)}' AS type_a, '${EventTypes(j)}' AS type_b,
+         |  ${tukMean(i)} / CAST(100 AS DOUBLE) AS mean_a,
+         |  ${tukMean(j)} / CAST(100 AS DOUBLE) AS mean_b,
+         |  (${tukMean(i)} - ${tukMean(j)}) / CAST(100 AS DOUBLE) AS mean_diff,
+         |  ${tukSe(i, j)} / CAST(100 AS DOUBLE) AS se,
+         |  abs(${tukMean(i)} - ${tukMean(j)}) / ${tukSe(i, j)} AS q_stat,
+         |  CASE WHEN abs(${tukMean(i)} - ${tukMean(j)}) / ${tukSe(i, j)} > $TukQCrit
+         |  THEN 1 ELSE 0 END AS significant
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH o AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM o),
+       |a AS (
+       |  SELECT *, ${AnovaKeys.map(k => s"n_$k").mkString(" + ")} AS nn,
+       |    ${AnovaKeys.map(k => s"ss_$k").mkString(" + ")} AS sqtot
+       |  FROM m)
+       |$unions
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------- moran_i
+
+  private val MoranI =
+    "(CASE WHEN vt = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      "(CAST(n AS DOUBLE) / CAST(s0 AS DOUBLE)) * " +
+      "(CAST(w2 AS DOUBLE) / CAST(vt AS DOUBLE)) END)"
+  private val MoranE = "(CAST(-1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+
+  /** Moran's I spatial autocorrelation of per-nation revenue under
+    * binary same-region contiguity weights (w_ij = 1 iff nations i≠j
+    * share a region) — "do high-revenue nations sit in high-revenue
+    * regions", the SPATIAL clustering read that `gini_profile`
+    * (dispersion) and `hhi_concentration` (share mass) don't give.
+    * Block-diagonal weights collapse the double sum: Σ_ij w z_i z_j =
+    * Σ_regions (U_r² − V_r) with U_r = Σz, V_r = Σz² inside the
+    * region. The mean-centering division is eliminated exactly by the
+    * substitution u_i = n·x_i − S (u ∝ z, and I is scale-invariant in
+    * z), so every accumulated quantity — u, u², U_r², S0 — is exact
+    * scale-0 DECIMAL(38,0) integer math (cents·n ~ 10¹⁶ at 100 TB,
+    * squares ~ 10³², inside the 38-digit ledger), and I is one
+    * fixed-order double expression at the very end.
+    *
+    * Scale shape: one orders⋈customer partial-agg to the 25-nation
+    * spine; all windows/sums run on nation- and region-grain frames
+    * bounded by the dims, not the data.
+    */
+  def moranI(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("r"))
+    val x = t.nation
+      .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
+      .join(rev, Seq("nk"), "left")
+      .select(col("rk"),
+        expr("CAST(coalesce(r, 0) * 100 AS DECIMAL(38,0))").as("x"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("s", sum(col("x")).over(Window.partitionBy()))
+      .withColumn("u", expr("CAST(n AS DECIMAL(38,0)) * x - s"))
+    val reg = x.groupBy(col("rk"))
+      .agg(count(lit(1)).as("nr"), sum(col("u")).as("ur"),
+        sum(expr("u * u")).as("vr"), max(col("n")).as("n"))
+    reg.agg(max(col("n")).as("n"), count(lit(1)).as("n_regions"),
+        sum(expr("nr * (nr - 1)")).as("s0"),
+        sum(expr("ur * ur - vr")).as("w2"), sum(col("vr")).as("vt"))
+      .selectExpr("CAST(n AS BIGINT) AS n_nations",
+        "CAST(n_regions AS BIGINT) AS n_regions", "CAST(s0 AS BIGINT) AS s0",
+        s"$MoranI AS moran_i", s"$MoranE AS expected_i",
+        s"CASE WHEN $MoranI > $MoranE THEN 1 ELSE 0 END AS clustered")
+  }
+
+  val moranISql: String =
+    s"""WITH rev AS (
+       |  SELECT c_nationkey AS nk, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+       |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+       |x AS (
+       |  SELECT n_regionkey AS rk,
+       |    CAST(coalesce(r, 0) * 100 AS DECIMAL(38,0)) AS x,
+       |    count(*) OVER () AS n, sum(CAST(coalesce(r, 0) * 100 AS DECIMAL(38,0))) OVER () AS s
+       |  FROM nation LEFT JOIN rev ON n_nationkey = nk),
+       |u AS (SELECT rk, n, CAST(n AS DECIMAL(38,0)) * x - s AS u FROM x),
+       |reg AS (
+       |  SELECT rk, count(*) AS nr, sum(u) AS ur, sum(u * u) AS vr, max(n) AS n
+       |  FROM u GROUP BY 1),
+       |a AS (
+       |  SELECT max(n) AS n, count(*) AS n_regions,
+       |    sum(nr * (nr - 1)) AS s0, sum(ur * ur - vr) AS w2, sum(vr) AS vt
+       |  FROM reg)
+       |SELECT CAST(n AS BIGINT) AS n_nations, CAST(n_regions AS BIGINT) AS n_regions,
+       |  CAST(s0 AS BIGINT) AS s0, $MoranI AS moran_i, $MoranE AS expected_i,
+       |  CASE WHEN $MoranI > $MoranE THEN 1 ELSE 0 END AS clustered
+       |FROM a""".stripMargin
+
+  // ------------------------------------------------------------------ kendalls_w
+
+  // S·4 = Σ(Σdr_j)² − (ΣΣdr)²/k on the doubled-rank sums (exact ints)
+  private val KwS4 =
+    "(CAST(s2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(k AS DOUBLE))"
+  // W = 12·(S4/4) / (m²(k³−k) − m·T), tie-corrected
+  private val KwW =
+    s"((CAST(12 AS DOUBLE) * ($KwS4 / CAST(4 AS DOUBLE))) / " +
+      "(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) * CAST(k * k * k - k AS DOUBLE)" +
+      " - CAST(b AS DOUBLE) * CAST(tsum AS DOUBLE)))"
+
+  /** Kendall's coefficient of concordance W across monthly brand
+    * rankings: each complete month ranks the 25 brands by revenue;
+    * W ∈ [0,1] says how STABLE that ranking is across the calendar —
+    * the assortment-consistency read (`friedman_test` asks "do
+    * weekdays differ"; this asks "do the months agree", the dual).
+    * Ties ride the doubled-rank trick (dr = 2·rank + ties − 1 keeps
+    * every rank sum an exact integer) with the standard tie
+    * correction T = Σ(t³−t); χ²_F = m(k−1)·W is the significance
+    * recompute. Incomplete months are listwise-dropped (ranks must
+    * be 1..k — the friedman_test convention).
+    *
+    * Scale shape: one lineitem⋈broadcast(part) partial-agg to the
+    * (month × brand) spine (domain-bounded: calendar × 25); every
+    * window and rank runs on that spine, never on fact rows.
+    */
+  def kendallsW(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cells = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").as("m"),
+        col("p_brand"))
+      .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)").as("y"))
+    val full = cells
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy("m")))
+      .filter(col("nc") === 25)
+    val ties = full.groupBy(col("m"), col("y"))
+      .agg(count(lit(1)).as("tc"))
+      .agg(coalesce(sum(expr("tc * tc * tc - tc")), lit(0L)).as("tsum"))
+    val ranked = full
+      .withColumn("rk", rank().over(Window.partitionBy("m").orderBy("y")))
+      .withColumn("ct", count(lit(1)).over(Window.partitionBy("m", "y")))
+      .withColumn("dr", expr("CAST(2 * rk + ct - 1 AS BIGINT)"))
+    val byBrand = ranked.groupBy(col("p_brand"))
+      .agg(sum(col("dr")).as("sdr"), count(lit(1)).as("nb"))
+    byBrand
+      .agg(sum(expr("sdr * sdr")).as("s2"), sum(col("sdr")).as("st"),
+        max(col("nb")).as("b"), count(lit(1)).as("k"))
+      .crossJoin(broadcast(ties))
+      .selectExpr("CAST(b AS BIGINT) AS n_blocks", "CAST(k AS BIGINT) AS k_items",
+        "CAST(tsum AS BIGINT) AS tie_sum",
+        s"$KwS4 / CAST(4 AS DOUBLE) AS s_between",
+        s"$KwW AS w",
+        s"CAST(b AS DOUBLE) * CAST(k - 1 AS DOUBLE) * $KwW AS chi2_f")
+  }
+
+  val kendallsWSql: String =
+    s"""WITH cells AS (
+       |  SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m, p_brand,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+       |full_m AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY m) AS nc FROM cells)
+       |  WHERE nc = 25),
+       |tie AS (
+       |  SELECT coalesce(sum(tc * tc * tc - tc), 0) AS tsum FROM (
+       |    SELECT m, y, CAST(count(*) AS BIGINT) AS tc FROM full_m GROUP BY 1, 2)),
+       |ranked AS (
+       |  SELECT p_brand,
+       |    CAST(2 * rank() OVER (PARTITION BY m ORDER BY y)
+       |      + count(*) OVER (PARTITION BY m, y) - 1 AS BIGINT) AS dr
+       |  FROM full_m),
+       |bb AS (
+       |  SELECT p_brand, CAST(sum(dr) AS BIGINT) AS sdr, count(*) AS nb
+       |  FROM ranked GROUP BY 1),
+       |a AS (
+       |  SELECT CAST(sum(sdr * sdr) AS BIGINT) AS s2, CAST(sum(sdr) AS BIGINT) AS st,
+       |    CAST(max(nb) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS k
+       |  FROM bb)
+       |SELECT b AS n_blocks, k AS k_items, CAST(tsum AS BIGINT) AS tie_sum,
+       |  $KwS4 / CAST(4 AS DOUBLE) AS s_between, $KwW AS w,
+       |  CAST(b AS DOUBLE) * CAST(k - 1 AS DOUBLE) * $KwW AS chi2_f
+       |FROM a, tie""".stripMargin
+
+  // --------------------------------------------------------- brier_decomposition
+
+  private val BdPbar = "(CAST(pd AS DOUBLE) / CAST(n_users AS DOUBLE))"
+  private val BdObar = "(CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))"
+  private val BdOall = "(CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE))"
+
+  /** Murphy decomposition of the Brier score over the
+    * `calibration_curve` bands: BS = UNC + REL − RES + WBV − 2·WCV,
+    * where reliability (how far band means sit from observed rates)
+    * is the fixable miscalibration, resolution (how far band rates
+    * spread from the base rate) is the model's real skill, and
+    * uncertainty ō(1−ō) is the floor no model beats — plus the two
+    * within-bin terms the textbook three-way form drops when
+    * predictions vary inside a band (they do here; the identity is
+    * EXACT with them). One number per component instead of
+    * calibration_curve's per-band eyeball. Band moments (Σp, Σp²,
+    * Σpy, Σ(p−y)²) are 9-dp-quantized decimal sums of deterministic
+    * per-user doubles; every component is a fixed-order expression
+    * over those exact band moments.
+    *
+    * Scale shape: the calibration_curve shape — two user-keyed
+    * partial aggs + one user-keyed join; the decomposition runs on
+    * the ≤10-band spine.
+    */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val mid = ev.agg(expr("CAST(floor((min(ts_us) + max(ts_us)) / 2.0) AS BIGINT)").as("mid"))
+    val ud = ev.crossJoin(broadcast(mid))
+      .select(col("user_id"), (col("ts_us") <= col("mid")).as("is_train"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+    val score = ud.filter(col("is_train"))
+      .groupBy(col("user_id"), col("d")).agg(max(col("p")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("days"), sum(col("c")).as("convs"))
+      .withColumn("pred", expr("CAST(convs AS DOUBLE) / CAST(days AS DOUBLE)"))
+    val outcome = ud.filter(!col("is_train"))
+      .groupBy(col("user_id")).agg(max(col("p")).as("y"))
+    val bands = score.join(outcome, Seq("user_id"))
+      .withColumn("band", expr("least(CAST(floor(pred * 10) AS INTEGER), 9)"))
+      .withColumn("sq",
+        expr("(pred - CAST(y AS DOUBLE)) * (pred - CAST(y AS DOUBLE))"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("CAST(round(pred, 9) AS DECIMAL(18,9))")).as("pd"),
+        sum(expr("CAST(round(pred * pred, 9) AS DECIMAL(18,9))")).as("p2d"),
+        sum(col("y")).as("n_pos"),
+        sum(expr("CAST(round(CASE WHEN y = 1 THEN pred ELSE CAST(0 AS DOUBLE) END, 9) AS DECIMAL(18,9))")).as("spy"),
+        sum(expr("CAST(round(sq, 9) AS DECIMAL(18,9))")).as("sqd"))
+      .withColumn("tot_n", sum(col("n_users")).over(Window.partitionBy()))
+      .withColumn("tot_pos", sum(col("n_pos")).over(Window.partitionBy()))
+      .withColumn("tot_sq", sum(col("sqd")).over(Window.partitionBy()))
+    bands
+      .withColumn("rel_t", expr(s"CAST(n_users AS DOUBLE) * ($BdPbar - $BdObar) * ($BdPbar - $BdObar)"))
+      .withColumn("res_t", expr(s"CAST(n_users AS DOUBLE) * ($BdObar - $BdOall) * ($BdObar - $BdOall)"))
+      .withColumn("wbv_t", expr(s"CAST(p2d AS DOUBLE) - CAST(n_users AS DOUBLE) * $BdPbar * $BdPbar"))
+      .withColumn("wcv_t", expr(s"CAST(spy AS DOUBLE) - $BdPbar * CAST(n_pos AS DOUBLE)"))
+      .agg(max(col("tot_n")).as("nn"), max(col("tot_pos")).as("np"),
+        max(col("tot_sq")).as("sq"),
+        sum(expr("CAST(round(rel_t, 9) AS DECIMAL(18,9))")).as("rel_s"),
+        sum(expr("CAST(round(res_t, 9) AS DECIMAL(18,9))")).as("res_s"),
+        sum(expr("CAST(round(wbv_t, 9) AS DECIMAL(18,9))")).as("wbv_s"),
+        sum(expr("CAST(round(wcv_t, 9) AS DECIMAL(18,9))")).as("wcv_s"))
+      .selectExpr("CAST(nn AS BIGINT) AS n_users",
+        "CAST(sq AS DOUBLE) / CAST(nn AS DOUBLE) AS brier_score",
+        "(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) AS uncertainty",
+        "CAST(rel_s AS DOUBLE) / CAST(nn AS DOUBLE) AS reliability",
+        "CAST(res_s AS DOUBLE) / CAST(nn AS DOUBLE) AS resolution",
+        "CAST(wbv_s AS DOUBLE) / CAST(nn AS DOUBLE) AS within_bin_var",
+        "CAST(wcv_s AS DOUBLE) / CAST(nn AS DOUBLE) AS within_bin_cov")
+  }
+
+  val brierDecompositionSql: String =
+    s"""WITH mid AS (
+       |  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0) AS BIGINT) AS mid
+       |  FROM events),
+       |ud AS (
+       |  SELECT user_id, epoch_us(ts) <= mid AS is_train, CAST(ts AS DATE) AS d,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+       |  FROM events, mid),
+       |tr AS (SELECT user_id, d, max(p) AS c FROM ud WHERE is_train GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT user_id,
+       |    CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pred
+       |  FROM tr GROUP BY 1),
+       |oc AS (SELECT user_id, CAST(max(p) AS BIGINT) AS y FROM ud WHERE NOT is_train GROUP BY 1),
+       |j AS (
+       |  SELECT pred, y, least(CAST(floor(pred * 10) AS INTEGER), 9) AS band,
+       |    (pred - CAST(y AS DOUBLE)) * (pred - CAST(y AS DOUBLE)) AS sq
+       |  FROM sc JOIN oc ON sc.user_id = oc.user_id),
+       |g AS (
+       |  SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+       |    sum(CAST(round(pred, 9) AS DECIMAL(18,9))) AS pd,
+       |    sum(CAST(round(pred * pred, 9) AS DECIMAL(18,9))) AS p2d,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    sum(CAST(round(CASE WHEN y = 1 THEN pred ELSE CAST(0 AS DOUBLE) END, 9) AS DECIMAL(18,9))) AS spy,
+       |    sum(CAST(round(sq, 9) AS DECIMAL(18,9))) AS sqd
+       |  FROM j GROUP BY 1),
+       |w AS (
+       |  SELECT *, sum(n_users) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos,
+       |    sum(sqd) OVER () AS tot_sq
+       |  FROM g),
+       |terms AS (
+       |  SELECT *,
+       |    CAST(n_users AS DOUBLE) * ($BdPbar - $BdObar) * ($BdPbar - $BdObar) AS rel_t,
+       |    CAST(n_users AS DOUBLE) * ($BdObar - $BdOall) * ($BdObar - $BdOall) AS res_t,
+       |    CAST(p2d AS DOUBLE) - CAST(n_users AS DOUBLE) * $BdPbar * $BdPbar AS wbv_t,
+       |    CAST(spy AS DOUBLE) - $BdPbar * CAST(n_pos AS DOUBLE) AS wcv_t
+       |  FROM w),
+       |a AS (
+       |  SELECT max(tot_n) AS nn, max(tot_pos) AS np, max(tot_sq) AS sq,
+       |    sum(CAST(round(rel_t, 9) AS DECIMAL(18,9))) AS rel_s,
+       |    sum(CAST(round(res_t, 9) AS DECIMAL(18,9))) AS res_s,
+       |    sum(CAST(round(wbv_t, 9) AS DECIMAL(18,9))) AS wbv_s,
+       |    sum(CAST(round(wcv_t, 9) AS DECIMAL(18,9))) AS wcv_s
+       |  FROM terms)
+       |SELECT CAST(nn AS BIGINT) AS n_users,
+       |  CAST(sq AS DOUBLE) / CAST(nn AS DOUBLE) AS brier_score,
+       |  (CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) AS uncertainty,
+       |  CAST(rel_s AS DOUBLE) / CAST(nn AS DOUBLE) AS reliability,
+       |  CAST(res_s AS DOUBLE) / CAST(nn AS DOUBLE) AS resolution,
+       |  CAST(wbv_s AS DOUBLE) / CAST(nn AS DOUBLE) AS within_bin_var,
+       |  CAST(wcv_s AS DOUBLE) / CAST(nn AS DOUBLE) AS within_bin_cov
+       |FROM a""".stripMargin
 }
