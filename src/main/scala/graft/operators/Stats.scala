@@ -5612,4 +5612,399 @@ object Stats {
        |  CAST(wbv_s AS DOUBLE) / CAST(nn AS DOUBLE) AS within_bin_var,
        |  CAST(wcv_s AS DOUBLE) / CAST(nn AS DOUBLE) AS within_bin_cov
        |FROM a""".stripMargin
+
+  // --------------------------------------------------------------- ks_fdr_battery
+
+  private val FdrBrands: Seq[String] = (1 to 25).map(i => s"Brand#$i")
+  private val FdrAlpha = "CAST(0.05 AS DOUBLE)"
+  // two-sample KS D for brand k vs the pooled rest, off cumulative
+  // integer counts (exact-long divisions, max of identical doubles)
+  private def fdrD(k: Int, ftot: String, ntot: String): String =
+    s"max(abs(CAST(f_$k AS DOUBLE) / CAST(n_$k AS DOUBLE)" +
+      s" - CAST($ftot - f_$k AS DOUBLE) / CAST($ntot - n_$k AS DOUBLE)))"
+  // one-term asymptotic two-sample KS p: 2·exp(−2·n_e·D²), exponent
+  // clamped at −40 (the ExactExp domain; past it p < 4e−18 — a FLOOR,
+  // documented, far beyond any decision threshold)
+  private val FdrArg =
+    "greatest(CAST(-40 AS DOUBLE), CAST(-2 AS DOUBLE) * " +
+      "(CAST(nb AS DOUBLE) * CAST(nt - nb AS DOUBLE) / CAST(nt AS DOUBLE))" +
+      " * d_stat * d_stat)"
+
+  /** Benjamini–Hochberg FDR over a 25-test KS battery: each brand's
+    * $1k-quantized line-price distribution against the pooled rest,
+    * p-values from the standard one-term asymptotic 2·e^(−2·n_e·D²)
+    * (engine-exact via [[graft.functions.ExactExp]], exponent clamped
+    * at the |x| ≤ 40 domain — a documented p-floor of ~4e−18), then
+    * the step-up procedure at α = 0.05: reject every test ranked at
+    * or below the largest i with p_(i) ≤ i·α/m. THE multiple-testing
+    * pattern a monitoring warehouse needs — 25 uncorrected tests at
+    * α = 0.05 fire ~1.25 false alarms per run forever; BH bounds the
+    * FALSE DISCOVERY RATE while keeping far more power than
+    * Bonferroni. `ks_test` gives one pair; this runs the family and
+    * adjudicates it as a family.
+    *
+    * Scale shape: one lineitem⋈broadcast(part) conditional-count pass
+    * reduces to the ~105-row $1k price grid × 25 columns (domain-
+    * bounded — the ks_test convention); the ECDF window, the D maxes,
+    * the exp chain, and the BH ranking all run on grid- or
+    * battery-sized frames.
+    */
+  def ksFdrBattery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactExp
+    val t = Tables(spark, dir)
+    val rows = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT)").as("v"),
+        col("p_brand"))
+    val ks = FdrBrands.indices
+    val cCols = ks.map(k =>
+      sum(when(col("p_brand") === FdrBrands(k), 1L).otherwise(0L)).as(s"c_$k"))
+    val grid = rows.groupBy(col("v")).agg(cCols.head, cCols.tail: _*)
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      col("v") +: ks.map(k => sum(col(s"c_$k")).over(w).as(s"f_$k")): _*)
+    val nCols = ks.map(k => sum(col(s"c_$k")).as(s"n_$k"))
+    val totals = grid.agg(nCols.head, nCols.tail: _*)
+    val ftot = ks.map(k => s"f_$k").mkString(" + ")
+    val ntot = ks.map(k => s"n_$k").mkString(" + ")
+    val dCols = ks.map(k => expr(fdrD(k, s"($ftot)", s"($ntot)")).as(s"d_$k"))
+    val maxes = cum.crossJoin(broadcast(totals)).agg(dCols.head, dCols.tail: _*)
+    val stackArgs = ks.map(k => s"'${FdrBrands(k)}', n_$k, d_$k").mkString(", ")
+    val battery = maxes.crossJoin(broadcast(totals))
+      .withColumn("nt", expr(ntot))
+      .selectExpr("nt", s"stack(${ks.size}, $stackArgs) AS (p_brand, nb, d_stat)")
+      .withColumn("__a", expr(FdrArg))
+      .withColumn("__u", expr(ExactExp.uExpr("__a")))
+      .withColumn("__p", expr(ExactExp.pExpr("__u")))
+      .withColumn("pv", expr(
+        s"least(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE) * ${ExactExp.expExpr("__p")})"))
+    battery
+      .withColumn("rk", row_number().over(Window.orderBy(col("pv"), col("p_brand"))))
+      .withColumn("thr", expr(s"CAST(rk AS DOUBLE) * $FdrAlpha / CAST(${ks.size} AS DOUBLE)"))
+      .withColumn("crossing", max(expr("CASE WHEN pv <= thr THEN rk ELSE 0 END"))
+        .over(Window.partitionBy()))
+      .selectExpr("p_brand", "CAST(nb AS BIGINT) AS n_brand", "d_stat",
+        "pv AS p_value", "CAST(rk AS INTEGER) AS bh_rank", "thr AS bh_threshold",
+        "CASE WHEN rk <= crossing THEN 1 ELSE 0 END AS rejected")
+      .orderBy("p_brand")
+  }
+
+  val ksFdrBatterySql: String = {
+    import graft.functions.ExactExp
+    val ks = FdrBrands.indices
+    val cSums = ks.map(k =>
+      s"CAST(sum(CASE WHEN p_brand = '${FdrBrands(k)}' THEN 1 ELSE 0 END) AS BIGINT) AS c_$k")
+      .mkString(",\n    ")
+    val fCums = ks.map(k =>
+      s"sum(c_$k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$k")
+      .mkString(",\n    ")
+    val nTots = ks.map(k => s"CAST(sum(c_$k) AS BIGINT) AS n_$k").mkString(", ")
+    val ftot = ks.map(k => s"f_$k").mkString(" + ")
+    val ntot = ks.map(k => s"n_$k").mkString(" + ")
+    val dMaxes = ks.map(k => s"${fdrD(k, s"($ftot)", s"($ntot)")} AS d_$k")
+      .mkString(",\n    ")
+    val unions = ks.map(k =>
+      s"SELECT '${FdrBrands(k)}' AS p_brand, n_$k AS nb, d_$k AS d_stat, nt FROM m, t")
+      .mkString("\nUNION ALL ")
+    s"""WITH rows_b AS (
+       |  SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT) AS v,
+       |    p_brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |g AS (
+       |  SELECT v,
+       |    $cSums
+       |  FROM rows_b GROUP BY v),
+       |f AS (
+       |  SELECT v,
+       |    $fCums
+       |  FROM g),
+       |t AS (SELECT $nTots FROM g),
+       |m AS (
+       |  SELECT
+       |    $dMaxes,
+       |    max($ntot) AS nt
+       |  FROM f, t),
+       |battery AS (
+       |  $unions),
+       |e1 AS (SELECT *, $FdrArg AS __a FROM battery),
+       |e2 AS (SELECT *, ${ExactExp.uExpr("__a")} AS __u FROM e1),
+       |e3 AS (SELECT *, ${ExactExp.pExpr("__u")} AS __p FROM e2),
+       |pv AS (
+       |  SELECT p_brand, nb, d_stat,
+       |    least(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE) * ${ExactExp.expExpr("__p")}) AS pv
+       |  FROM e3),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY pv, p_brand) AS rk FROM pv),
+       |thr AS (
+       |  SELECT *, CAST(rk AS DOUBLE) * $FdrAlpha / CAST(${ks.size} AS DOUBLE) AS thr FROM rk),
+       |cr AS (
+       |  SELECT *, max(CASE WHEN pv <= thr THEN rk ELSE 0 END) OVER () AS crossing FROM thr)
+       |SELECT p_brand, CAST(nb AS BIGINT) AS n_brand, d_stat, pv AS p_value,
+       |  CAST(rk AS INTEGER) AS bh_rank, thr AS bh_threshold,
+       |  CASE WHEN rk <= crossing THEN 1 ELSE 0 END AS rejected
+       |FROM cr ORDER BY p_brand""".stripMargin
+  }
+
+  // --------------------------------------------------------------- theta_forecast
+
+  /** Theta-method (θ = 2) one-step monthly revenue forecast per
+    * region via the Hyndman–Billah equivalence: ŷ_{T+1} = SES level
+    * + b/2 with b the OLS slope of the full series — the M3-winning
+    * baseline that beats both its parents (`ewma_revenue` has no
+    * drift and lags every ramp; `regression_trend` has no level
+    * adaptation and overshoots every turn). SES is the truncated
+    * integer-weight EWMA filter ([[EwmaW]], prefix-renormalized —
+    * positive weights, so truncation renormalizes losslessly), the
+    * slope the exact-moment [[SdSlope]] on per-region month offsets;
+    * both stage as deterministic doubles and the forecast is one
+    * fixed-order expression.
+    *
+    * Scale shape: the orders⋈customer reduce dominates (the
+    * regionMonthly shape); the lag window, moment agg, and 5-row
+    * region join all run on the calendar-bounded month spine.
+    */
+  def thetaForecast(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = regionMonthly(spark, dir)
+    val w = Window.partitionBy("region_name").orderBy("m")
+    var df = monthly
+    for (k <- 0 until EwmaLags)
+      df = df.withColumn(s"lg$k", lag(col("rev_c"), k).over(w))
+    val last = df
+      .withColumn("mx", max(col("m")).over(Window.partitionBy("region_name")))
+      .filter(col("m") === col("mx"))
+      .withColumn("ses", expr(ewmaExpr))
+      .select(col("region_name"),
+        expr("CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE)").as("last_revenue"),
+        col("ses"))
+    val mom = monthly
+      .withColumn("x", col("m") - min(col("m")).over(Window.partitionBy("region_name")))
+      .groupBy(col("region_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("rev_c")).as("sy"),
+        sum(col("x") * col("rev_c")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_d", expr(s"($SdSlope) / CAST(100 AS DOUBLE)"))
+    last.join(broadcast(mom.select(col("region_name"), col("n"), col("slope_d"))),
+        Seq("region_name"))
+      .selectExpr("region_name", "CAST(n AS BIGINT) AS n_months", "last_revenue",
+        "ses AS ses_level", "slope_d AS ols_slope_monthly",
+        "ses + slope_d / CAST(2 AS DOUBLE) AS theta_forecast")
+      .orderBy("region_name")
+  }
+
+  val thetaForecastSql: String = {
+    val lags = (0 until EwmaLags).map { k =>
+      s"lag(rev_c, $k) OVER (PARTITION BY region_name ORDER BY m) AS lg$k"
+    }.mkString(",\n    ")
+    s"""WITH monthly AS (
+       |$RegionMonthlySqlCte),
+       |l AS (
+       |  SELECT region_name, m, rev_c,
+       |    max(m) OVER (PARTITION BY region_name) AS mx,
+       |    $lags
+       |  FROM monthly),
+       |lastrow AS (
+       |  SELECT region_name,
+       |    CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS last_revenue,
+       |    $ewmaExpr AS ses
+       |  FROM l WHERE m = mx),
+       |mom AS (
+       |  SELECT region_name, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(rev_c) AS BIGINT) AS sy,
+       |    CAST(sum(x * rev_c) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM (
+       |    SELECT region_name, rev_c,
+       |      m - min(m) OVER (PARTITION BY region_name) AS x
+       |    FROM monthly) z
+       |  GROUP BY 1),
+       |sl AS (SELECT region_name, n, ($SdSlope) / CAST(100 AS DOUBLE) AS slope_d FROM mom)
+       |SELECT lastrow.region_name, n AS n_months, last_revenue, ses AS ses_level,
+       |  slope_d AS ols_slope_monthly,
+       |  ses + slope_d / CAST(2 AS DOUBLE) AS theta_forecast
+       |FROM lastrow JOIN sl ON lastrow.region_name = sl.region_name
+       |ORDER BY lastrow.region_name""".stripMargin
+  }
+
+  // -------------------------------------------------------- simpson_paradox_audit
+
+  // OLS slope of quantity on discount basis points from exact integer
+  // moments, zero-variance-guarded in IEEE space (shared text)
+  private def spSlope(p: String): String = {
+    val den = s"(CAST(${p}n AS DOUBLE) * CAST(${p}sdd AS DOUBLE)" +
+      s" - CAST(${p}sd AS DOUBLE) * CAST(${p}sd AS DOUBLE))"
+    s"(CASE WHEN $den = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE " +
+      s"(CAST(${p}n AS DOUBLE) * CAST(${p}sdq AS DOUBLE)" +
+      s" - CAST(${p}sd AS DOUBLE) * CAST(${p}sq AS DOUBLE)) / $den END)"
+  }
+
+  /** Simpson's-paradox audit of the discount→quantity relationship:
+    * the OLS slope pooled across ALL lineitems next to each brand's
+    * own slope, flagging brands whose stratified sign CONTRADICTS the
+    * pooled sign — the aggregation-bias tripwire every self-serve
+    * dashboard needs (a pooled "discounts move volume" conclusion can
+    * be an artifact of brand mix; the per-stratum signs are the
+    * check). Slopes are the exact-moment OLS form on integer basis
+    * points × integer quantities; the pooled moments are the exact
+    * integer window sums of the per-brand moments (same one data
+    * pass), and both slope texts are IEEE-guarded against
+    * zero-variance strata.
+    *
+    * Scale shape: one lineitem⋈broadcast(part) partial-agg pass to
+    * 25 brand moment rows; the pooled window and both slopes run on
+    * that bounded spine.
+    */
+  def simpsonParadoxAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val mom = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"), sum(col("q")).as("sq"),
+        sum(col("d") * col("q")).as("sdq"), sum(col("d") * col("d")).as("sdd"))
+    val wAll = Window.partitionBy()
+    mom
+      .withColumn("tn", sum(col("n")).over(wAll))
+      .withColumn("tsd", sum(col("sd")).over(wAll))
+      .withColumn("tsq", sum(col("sq")).over(wAll))
+      .withColumn("tsdq", sum(col("sdq")).over(wAll))
+      .withColumn("tsdd", sum(col("sdd")).over(wAll))
+      .selectExpr("p_brand", "CAST(n AS BIGINT) AS n_rows",
+        s"${spSlope("")} AS brand_slope", s"${spSlope("t")} AS pooled_slope",
+        s"CASE WHEN ${spSlope("")} * ${spSlope("t")} < CAST(0 AS DOUBLE)" +
+          " THEN 1 ELSE 0 END AS sign_flip")
+      .orderBy("p_brand")
+  }
+
+  val simpsonParadoxAuditSql: String =
+    s"""WITH rows_b AS (
+       |  SELECT p_brand, CAST(round(l_discount * 100) AS BIGINT) AS d,
+       |    CAST(l_quantity AS BIGINT) AS q
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |mom AS (
+       |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS sd,
+       |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d * q) AS BIGINT) AS sdq,
+       |    CAST(sum(d * d) AS BIGINT) AS sdd
+       |  FROM rows_b GROUP BY 1),
+       |w AS (
+       |  SELECT *, sum(n) OVER () AS tn, sum(sd) OVER () AS tsd,
+       |    sum(sq) OVER () AS tsq, sum(sdq) OVER () AS tsdq,
+       |    sum(sdd) OVER () AS tsdd
+       |  FROM mom)
+       |SELECT p_brand, n AS n_rows, ${spSlope("")} AS brand_slope,
+       |  ${spSlope("t")} AS pooled_slope,
+       |  CASE WHEN ${spSlope("")} * ${spSlope("t")} < CAST(0 AS DOUBLE)
+       |  THEN 1 ELSE 0 END AS sign_flip
+       |FROM w ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------------------------------ seasonal_strength
+
+  // population variance from $M-scaled 9-dp-quantized decimal moments,
+  // zero-guarded (shared text); prefix picks the series
+  private def ssVar(p: String): String =
+    s"greatest(CAST(0 AS DOUBLE), CAST(${p}qs AS DOUBLE) / CAST(nm AS DOUBLE)" +
+      s" - (CAST(${p}s AS DOUBLE) / CAST(nm AS DOUBLE))" +
+      s" * (CAST(${p}s AS DOUBLE) / CAST(nm AS DOUBLE)))"
+  private def ssStrength(p: String): String =
+    s"(CASE WHEN ${ssVar(p)} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE " +
+      s"greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - ${ssVar("r")} / ${ssVar(p)}) END)"
+
+  /** Seasonal and trend STRENGTH of monthly revenue (the tsfeatures
+    * F_S = max(0, 1 − Var(R)/Var(S+R)) and F_T = max(0, 1 −
+    * Var(R)/Var(T+R)) on `seasonal_decompose`'s additive components)
+    * — the two scalars that tell a forecasting pipeline WHICH model
+    * family the series needs (F_S high → seasonal terms earn their
+    * parameters; F_T high → drift does), where the decompose table
+    * itself needs an analyst's eyeball. Components re-derive from the
+    * same exact-moment texts; the variances run on $M-scaled 9-dp
+    * quantized moments (deviation ledger: squares stay < 2^53 for
+    * monthly deviations up to ~$3B — far past sf100; beyond, widen
+    * the quantization, only the exactness proof changes).
+    *
+    * Scale shape: the seasonal_decompose shape — one partial-agg pass
+    * to the calendar-bounded month frame; everything downstream runs
+    * on month-, 12-cell-, or 1-row frames.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val m0 = monthly.agg(min(col("m")).as("m0"))
+    val base = monthly.crossJoin(broadcast(m0))
+      .select(col("m"), (col("m") - col("m0")).as("x"), col("y"))
+    val mom = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val detr = base.crossJoin(broadcast(mom))
+      .withColumn("detr", expr(s"CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) - ($SdTrend)"))
+      .withColumn("moy", expr("CAST(m % 12 AS INTEGER)"))
+    val seas = detr.groupBy(col("moy"))
+      .agg(sum(expr("CAST(round(detr, 6) AS DECIMAL(28,6))")).as("sdetr"),
+        count(lit(1)).as("nm"))
+      .selectExpr("moy",
+        "CAST(sdetr AS DOUBLE) / CAST(nm AS DOUBLE) AS seasonal")
+    val comp = detr.join(broadcast(seas), "moy")
+      // $M units keep every quantized square far inside 2^53
+      .withColumn("r_m", expr("(detr - seasonal) / CAST(1000000 AS DOUBLE)"))
+      .withColumn("sr_m", expr("detr / CAST(1000000 AS DOUBLE)"))
+      .withColumn("tr_m", expr(
+        "(CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) - seasonal) / CAST(1000000 AS DOUBLE)"))
+    comp.agg(count(lit(1)).as("nm"),
+        sum(expr("CAST(round(r_m, 9) AS DECIMAL(38,9))")).as("rs"),
+        sum(expr("CAST(round(r_m * r_m, 9) AS DECIMAL(38,9))")).as("rqs"),
+        sum(expr("CAST(round(sr_m, 9) AS DECIMAL(38,9))")).as("srs"),
+        sum(expr("CAST(round(sr_m * sr_m, 9) AS DECIMAL(38,9))")).as("srqs"),
+        sum(expr("CAST(round(tr_m, 9) AS DECIMAL(38,9))")).as("trs"),
+        sum(expr("CAST(round(tr_m * tr_m, 9) AS DECIMAL(38,9))")).as("trqs"))
+      .selectExpr("CAST(nm AS BIGINT) AS n_months",
+        s"${ssVar("r")} AS var_residual",
+        s"${ssVar("sr")} AS var_detrended",
+        s"${ssVar("tr")} AS var_deseasonalized",
+        s"${ssStrength("sr")} AS seasonal_strength",
+        s"${ssStrength("tr")} AS trend_strength")
+  }
+
+  val seasonalStrengthSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |m0 AS (SELECT min(m) AS m0 FROM monthly),
+       |base AS (SELECT m, m - m0 AS x, y FROM monthly, m0),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM base),
+       |d AS (
+       |  SELECT m, x, y,
+       |    CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) - ($SdTrend) AS detr,
+       |    CAST(m % 12 AS INTEGER) AS moy
+       |  FROM base, mom),
+       |seas AS (
+       |  SELECT moy,
+       |    CAST(sum(CAST(round(detr, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS seasonal
+       |  FROM d GROUP BY 1),
+       |comp AS (
+       |  SELECT (detr - seasonal) / CAST(1000000 AS DOUBLE) AS r_m,
+       |    detr / CAST(1000000 AS DOUBLE) AS sr_m,
+       |    (CAST(y AS DOUBLE) / CAST(100 AS DOUBLE) - seasonal) / CAST(1000000 AS DOUBLE) AS tr_m
+       |  FROM d JOIN seas USING (moy)),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nm,
+       |    sum(CAST(round(r_m, 9) AS DECIMAL(38,9))) AS rs,
+       |    sum(CAST(round(r_m * r_m, 9) AS DECIMAL(38,9))) AS rqs,
+       |    sum(CAST(round(sr_m, 9) AS DECIMAL(38,9))) AS srs,
+       |    sum(CAST(round(sr_m * sr_m, 9) AS DECIMAL(38,9))) AS srqs,
+       |    sum(CAST(round(tr_m, 9) AS DECIMAL(38,9))) AS trs,
+       |    sum(CAST(round(tr_m * tr_m, 9) AS DECIMAL(38,9))) AS trqs
+       |  FROM comp)
+       |SELECT nm AS n_months, ${ssVar("r")} AS var_residual,
+       |  ${ssVar("sr")} AS var_detrended, ${ssVar("tr")} AS var_deseasonalized,
+       |  ${ssStrength("sr")} AS seasonal_strength,
+       |  ${ssStrength("tr")} AS trend_strength
+       |FROM a""".stripMargin
 }
