@@ -360,7 +360,7 @@ object Graph {
     "link_prediction_jaccard", "shortest_path_bf", "local_clustering",
     "graph_modularity", "community_louvain", "degree_assortativity",
     "link_prediction_resource_alloc", "rich_club_coefficient",
-    "hub_closeness_profile", "adamic_adar_links")
+    "hub_closeness_profile", "adamic_adar_links", "betweenness_sample")
 
   private def supportEdges(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
@@ -2026,4 +2026,159 @@ object Graph {
       |SELECT a AS node_a, b AS node_b, CAST(common AS BIGINT) AS common,
       |  CAST(aa_d AS DOUBLE) AS adamic_adar
       |FROM ne ORDER BY adamic_adar DESC, node_a, node_b LIMIT $LinkPredTopK""".stripMargin
+
+  // ---------------------------------------------------------- betweenness_sample
+
+  private[graft] val BtSources = 8
+  private[graft] val BtHops = 4
+  private val BtTopK = 20
+  /** One Brandes dependency term σ(v)/σ(w)·(1+δ(w)), 9-dp quantized
+    * for the order-free decimal sum — shared text on the staged
+    * (sigv, sigw, deltaw) columns.
+    */
+  private val BtTerm =
+    "CAST(round(CAST(sigv AS DOUBLE) / CAST(sigw AS DOUBLE)" +
+      " * (CAST(1 AS DOUBLE) + deltaw), 9) AS DECIMAL(28,9))"
+
+  /** Sampled-source betweenness centrality (Brandes, hop-bounded):
+    * forward BFS with exact shortest-path COUNTS from the
+    * [[BtSources]] highest-degree nodes (ties by id — deterministic),
+    * then the backward dependency accumulation δ(v) = Σ_succ
+    * σ(v)/σ(w)·(1+δ(w)) level by level, top-[[BtTopK]] nodes by
+    * accumulated score — the "who do shortest paths FLOW THROUGH"
+    * centrality the degree/closeness/PageRank family doesn't give
+    * (a low-degree bridge node outranks any hub). Source sampling +
+    * the [[BtHops]]-hop horizon is the standard scale
+    * approximation (exact Brandes is O(V·E) — a non-starter at any
+    * size); both caps are explicit constants. Path counts are exact
+    * BIGINTs (σ ≤ deg^hops — document the 2⁶³ ledger before raising
+    * hops); every δ is a 9-dp quantized decimal sum of [[BtTerm]]
+    * doubles, so accumulation order never shows.
+    *
+    * Scale shape: per level one frontier⋈edges node-keyed equi-join +
+    * partial-agg sum and one anti-join against the visited set — the
+    * boundedRelax plan shape with a σ-sum instead of a min; the
+    * backward pass is three more node-keyed joins. Frontier frames
+    * are (source × reach)-bounded; each level severs lineage through
+    * a persisted RDD (the boundedRelax discipline — visited is
+    * referenced by every later level, so an unsevered chain
+    * re-analyzes 2^levels; measured 195 s → ~8 s at sf0.01).
+    */
+  def betweennessSample(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val sym = graft.core.OwnedCaches.own(
+      und.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(und.select(col("p2").as("src"), col("p1").as("dst"))).cache())
+    val deg = sym.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
+    val srcs = deg.orderBy(col("deg").desc, col("p")).limit(BtSources)
+      .select(col("p").as("s"))
+    // per-level lineage sever (the boundedRelax discipline): every
+    // level references BOTH the previous frontier and the cumulative
+    // visited set, so an unsevered chain re-analyzes 2^levels —
+    // materialize each tiny (sources × reach) frame to a persisted
+    // RDD and restart the lineage from it
+    def sever(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      graft.core.OwnedCaches.ownRdd(rdd)
+      spark.createDataFrame(rdd, df.schema)
+    }
+    val f0 = sever(srcs.select(col("s"), col("s").as("v"), lit(1L).as("sig")))
+    // forward: exact path counts per level, visited-set anti-joins
+    val fronts = scala.collection.mutable.ArrayBuffer(f0)
+    var visited = f0.select(col("s"), col("v"))
+    for (_ <- 1 to BtHops) {
+      val prev = fronts.last
+      val next = sever(
+        prev.join(sym, prev("v") === sym("src"))
+          .select(col("s"), col("dst").as("v"), col("sig"))
+          .join(visited.select(col("s").as("s2"), col("v").as("v2")),
+            col("s") === col("s2") && col("v") === col("v2"), "left_anti")
+          .groupBy(col("s"), col("v")).agg(sum(col("sig")).as("sig")))
+      fronts += next
+      visited = sever(visited.union(next.select(col("s"), col("v"))))
+    }
+    // backward: δ per level, deepest level δ = 0
+    var below = fronts(BtHops).withColumn("delta", expr("CAST(0 AS DOUBLE)"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (l <- (BtHops - 1) to 1 by -1) {
+      val fl = fronts(l)
+      val contrib = fl
+        .join(sym, fl("v") === sym("src"))
+        .select(col("s"), col("v"), col("sig").as("sigv"), col("dst").as("w"))
+        .join(below.select(col("s").as("s2"), col("v").as("w2"),
+          col("sig").as("sigw"), col("delta").as("deltaw")),
+          col("s") === col("s2") && col("w") === col("w2"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(expr(BtTerm)).as("ds"))
+      val bl = sever(
+        fl.join(contrib.select(col("s").as("s3"), col("v").as("v3"), col("ds")),
+            fl("s") === col("s3") && fl("v") === col("v3"), "left")
+          .select(col("s"), col("v"), col("sig"),
+            expr("CAST(coalesce(ds, 0) AS DOUBLE)").as("delta")))
+      deltas += bl
+      below = bl
+    }
+    deltas.reduce(_.unionByName(_))
+      .groupBy(col("v"))
+      .agg(sum(expr("CAST(round(delta, 9) AS DECIMAL(28,9))")).as("sc"))
+      .selectExpr("CAST(v AS BIGINT) AS part_key", "CAST(sc AS DOUBLE) AS betweenness")
+      .orderBy(col("betweenness").desc, col("part_key"))
+      .limit(BtTopK)
+  }
+
+  val betweennessSampleSql: String = {
+    // forward levels with cumulative-visited anti-joins
+    val fwd = (1 to BtHops).map { l =>
+      val vis = if (l == 1) "f0" else s"vis${l - 1}"
+      val visCte =
+        if (l == 1) ""
+        else
+          s"vis${l - 1} AS (SELECT s, v FROM vis${if (l == 2) "0" else (l - 2).toString} " +
+            s"UNION ALL SELECT s, v FROM f${l - 1}),\n"
+      s"""${visCte}f$l AS MATERIALIZED (
+         |  SELECT f${l - 1}.s, e.dst AS v, CAST(sum(f${l - 1}.sig) AS BIGINT) AS sig
+         |  FROM f${l - 1} JOIN e ON f${l - 1}.v = e.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM $vis x WHERE x.s = f${l - 1}.s AND x.v = e.dst)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((BtHops - 1) to 1 by -1).map { l =>
+      s"""c$l AS (
+         |  SELECT z.s, z.v, sum($BtTerm) AS ds FROM (
+         |    SELECT f$l.s, f$l.v, f$l.sig AS sigv, b${l + 1}.sig AS sigw,
+         |      b${l + 1}.delta AS deltaw
+         |    FROM f$l JOIN e ON f$l.v = e.src
+         |    JOIN b${l + 1} ON b${l + 1}.s = f$l.s AND b${l + 1}.v = e.dst) z
+         |  GROUP BY 1, 2),
+         |b$l AS MATERIALIZED (
+         |  SELECT f$l.s, f$l.v, f$l.sig, CAST(coalesce(ds, 0) AS DOUBLE) AS delta
+         |  FROM f$l LEFT JOIN c$l ON c$l.s = f$l.s AND c$l.v = f$l.v)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to (BtHops - 1))
+      .map(l => s"SELECT v, delta FROM b$l").mkString(" UNION ALL ")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+       |  FROM lineitem GROUP BY 1),
+       |pr AS (
+       |  SELECT u1.p1, u2.p2
+       |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+       |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+       |  WHERE u1.p1 < u2.p2),
+       |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+       |      UNION ALL SELECT p2, p1 FROM e0),
+       |deg AS (SELECT src AS p, count(*) AS deg FROM e GROUP BY 1),
+       |srcs AS MATERIALIZED (SELECT p AS s FROM deg ORDER BY deg DESC, p LIMIT $BtSources),
+       |f0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig FROM srcs),
+       |vis0 AS (SELECT s, v FROM f0),
+       |$fwd,
+       |b$BtHops AS (SELECT s, v, sig, CAST(0 AS DOUBLE) AS delta FROM f$BtHops),
+       |$bwd,
+       |score AS (
+       |  SELECT v, sum(CAST(round(delta, 9) AS DECIMAL(28,9))) AS sc
+       |  FROM ($unions) u GROUP BY 1)
+       |SELECT CAST(v AS BIGINT) AS part_key, CAST(sc AS DOUBLE) AS betweenness
+       |FROM score ORDER BY betweenness DESC, part_key LIMIT $BtTopK""".stripMargin
+  }
 }
