@@ -2302,4 +2302,134 @@ object TextAnalysis {
        |  CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE) * CAST(sum((a.r - b.r) * (a.r - b.r)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - CAST(1 AS DOUBLE))) AS spearman_rho
        |FROM rk a JOIN rk b ON a.term = b.term AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  // ----------------------------------------------------- perplexity_bucket_filter
+
+  /** CCNet-style perplexity bucketing: every document scored by the
+    * add-one-smoothed bigram LM trained on the 90% md5 split (the
+    * `bigram_perplexity_by_source` model — that op reports per-source
+    * TEST cross-entropy; this scores EVERY doc and assigns it to the
+    * head / middle / tail of its OWN source's distribution, the exact
+    * shape CCNet uses to keep fluent text and route the tail to
+    * re-review). Doc cross-entropy is a 9-dp quantized decimal mean
+    * of engine-exact lns, then quantized to a 3-dp grid so source
+    * terciles come off a COUNT-OF-COUNTS histogram (ceil-rank
+    * thresholds, ties-to-head — value-threshold semantics,
+    * deterministic) — no doc-grain global sort anywhere, the
+    * `doclen_percentiles_by_source` discipline.
+    *
+    * Scale shape: the token explode → (doc) partial agg is the only
+    * data-scale shuffle (LM counts are vocabulary-grain, the
+    * bigram_perplexity shape); terciles, buckets, and shares all run
+    * on the (source × 3-dp CE grid) frame, bounded by the quantized
+    * domain, not the corpus.
+    */
+  def perplexityBucketFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    graft.functions.TokenGrams.register(spark)
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100)
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        when(bucket < 90, "train").otherwise("test").as("split"),
+        explode(call_function("graft_grams", col("text"), lit(2))).as("g"))
+      .select(col("doc_id"), col("source"), col("split"),
+        conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long").as("h2"),
+        conv(substring(md5(split(col("g"), " ").getItem(0)), 1, 14), 16, 10)
+          .cast("long").as("h1"))
+    val train = base.filter(col("split") === "train")
+    val biCnt = train.groupBy(col("h2")).agg(count(lit(1)).as("c12"))
+    val uniCnt = train.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val vocab = train.agg(countDistinct(col("h1")).as("v"))
+    val docCe = base
+      .join(biCnt, Seq("h2"), "left")
+      .join(uniCnt, Seq("h1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p", expr(
+        "CAST(coalesce(c12, 0) + 1 AS DOUBLE) / CAST(coalesce(c1, 0) + v + 1 AS DOUBLE)"))
+      .withColumn("__y", expr(ExactLn.yExpr("p")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("nll", expr(s"-(${ExactLn.lnExpr("__z")})"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("CAST(round(nll, 9) AS DECIMAL(18,9))")).as("sd"))
+      .withColumn("q", expr(
+        "CAST(round(CAST(sd AS DOUBLE) / CAST(nb AS DOUBLE), 3) AS DECIMAL(12,3))"))
+    val cells = docCe.groupBy(col("source"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("source").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("source")))
+    val thr = cells.groupBy(col("source"))
+      .agg(min(expr("CASE WHEN cum >= (n + 2) div 3 THEN q END")).as("thr1"),
+        min(expr("CASE WHEN cum >= (2 * n + 2) div 3 THEN q END")).as("thr2"))
+    cells.join(broadcast(thr), Seq("source"))
+      .withColumn("bucket", expr(
+        "CASE WHEN q <= thr1 THEN 'head' WHEN q <= thr2 THEN 'middle' ELSE 'tail' END"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("cnt")).as("n_docs"), max(col("n")).as("n_src"),
+        sum(expr("q * cnt")).as("qs"),
+        max(col("thr1")).as("t1"), max(col("thr2")).as("t2"))
+      .selectExpr("source", "bucket", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE) AS share",
+        "CAST(qs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_cross_entropy",
+        "CAST(t1 AS DOUBLE) AS head_threshold", "CAST(t2 AS DOUBLE) AS tail_threshold")
+      .orderBy("source", "bucket")
+  }
+
+  val perplexityBucketFilterSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90
+       |         THEN 'train' ELSE 'test' END AS split,
+       |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, split,
+       |    unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g2
+       |  FROM t),
+       |h AS (SELECT doc_id, source, split,
+       |    ('0x' || substr(md5(g2), 1, 14))::BIGINT AS h2,
+       |    ('0x' || substr(md5(split_part(g2, ' ', 1)), 1, 14))::BIGINT AS h1
+       |  FROM g),
+       |bi AS (SELECT h2, count(*) AS c12 FROM h WHERE split = 'train' GROUP BY 1),
+       |uni AS (SELECT h1, count(*) AS c1 FROM h WHERE split = 'train' GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT h1) AS v FROM h WHERE split = 'train'),
+       |sc AS (
+       |  SELECT a.doc_id, a.source,
+       |    CAST(coalesce(c12, 0) + 1 AS DOUBLE) / CAST(coalesce(c1, 0) + v + 1 AS DOUBLE) AS p
+       |  FROM h a LEFT JOIN bi USING (h2) LEFT JOIN uni USING (h1), vv),
+       |y AS (SELECT *, ${ExactLn.yExpr("p")} AS __y FROM sc),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |x AS (SELECT *, -(${ExactLn.lnExpr("__z")}) AS nll FROM z),
+       |dce AS (
+       |  SELECT doc_id, source,
+       |    CAST(round(CAST(sum(CAST(round(nll, 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 3) AS DECIMAL(12,3)) AS q
+       |  FROM x GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT source, q, CAST(count(*) AS BIGINT) AS cnt,
+       |    sum(count(*)) OVER (PARTITION BY source ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(count(*)) OVER (PARTITION BY source) AS n
+       |  FROM dce GROUP BY 1, 2),
+       |thr AS (
+       |  SELECT source,
+       |    min(CASE WHEN cum >= (n + 2) // 3 THEN q END) AS thr1,
+       |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN q END) AS thr2
+       |  FROM cells GROUP BY 1),
+       |bk AS (
+       |  SELECT cells.*, thr1, thr2,
+       |    CASE WHEN q <= thr1 THEN 'head' WHEN q <= thr2 THEN 'middle'
+       |    ELSE 'tail' END AS bucket
+       |  FROM cells JOIN thr USING (source))
+       |SELECT source, bucket, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(sum(cnt) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS share,
+       |  CAST(sum(q * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS mean_cross_entropy,
+       |  CAST(max(thr1) AS DOUBLE) AS head_threshold,
+       |  CAST(max(thr2) AS DOUBLE) AS tail_threshold
+       |FROM bk GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+  }
 }
