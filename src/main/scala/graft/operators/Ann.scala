@@ -2459,4 +2459,92 @@ object Ann {
        |      UNION ALL $picks) u
        |ORDER BY query_id, mmr_rank""".stripMargin
   }
+
+  // ------------------------------------------------------ embedding_isotropy_audit
+
+  /** Isotropy audit of the embedding space via the EXACT sum-vector
+    * identity: Σ_{i≠j} û_i·û_j = ‖Σ û‖² − Σ‖û‖², so the mean pairwise
+    * cosine — the Ethayarajh anisotropy number; contextual encoders
+    * often sit near 0.5-0.9 where a healthy retrieval space sits near
+    * 0 — costs ONE O(n·d) pass instead of the n² it naively reads as.
+    * Vectors are unit-normalized onto a 10⁶ integer grid (floor —
+    * deterministic), so per-dimension component sums are exact
+    * integer-valued doubles (exact while n·10⁶ < 2⁵³), squared-sum
+    * terms are 1e12-normalized and 6-dp quantized, and the identity
+    * is deterministic bit-for-bit. `embedding_norm_profile` audits
+    * magnitudes; this audits DIRECTION concentration — the number
+    * that says whether cosine top-k has any contrast to work with.
+    *
+    * Scale shape: one map pass (normalize + self-dot), one posexplode
+    * → dim-grain partial agg (the embedding_centroids shuffle shape,
+    * d-bounded output), two scalar reductions. Nothing pairwise ever
+    * materializes.
+    */
+  def embeddingIsotropyAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val m = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS DOUBLE))"
+    val base = Tables(spark, dir).embeddings
+      .withColumn("n2", expr(s"CAST(graft_dot($m, $m) AS BIGINT)"))
+      .filter(col("n2") > 0)
+      .withColumn("u", expr(
+        s"transform($m, x -> CAST(floor(x * CAST(1000000 AS DOUBLE)" +
+          " / sqrt(CAST(n2 AS DOUBLE))) AS DOUBLE))"))
+      .withColumn("un2", expr("graft_dot(u, u)"))
+    // ‖u‖² deviates from the nominal 10¹² only by the floor-quantization
+    // residue (|dev| ≤ 2d·10⁶) — summing the exact integer DEVIATION
+    // avoids any round() halfway case and stays order-free
+    val rowAgg = base.agg(count(lit(1)).as("nv"),
+      sum(expr("CAST(un2 - CAST(1000000000000 AS DOUBLE) AS DECIMAL(38,0))"))
+        .as("sdev"))
+    val dimAgg = base
+      .select(posexplode(col("u")).as(Seq("d", "uk")))
+      .groupBy(col("d")).agg(sum(col("uk")).as("sk"))
+      .agg(count(lit(1)).as("dim"),
+        sum(expr("CAST(round((sk / CAST(1000000 AS DOUBLE)) * (sk / CAST(1000000 AS DOUBLE)), 6) AS DECIMAL(28,6))"))
+          .as("ssq"))
+    rowAgg.crossJoin(broadcast(dimAgg))
+      .selectExpr("CAST(nv AS BIGINT) AS n_vectors", "CAST(dim AS BIGINT) AS dim",
+        "CAST(1 AS DOUBLE) + CAST(sdev AS DOUBLE)" +
+          " / (CAST(nv AS DOUBLE) * CAST(1000000000000 AS DOUBLE)) AS mean_unit_norm2",
+        "(CAST(ssq AS DOUBLE) - (CAST(nv AS DOUBLE) + CAST(sdev AS DOUBLE)" +
+          " / CAST(1000000000000 AS DOUBLE)))" +
+          " / (CAST(nv AS DOUBLE) * CAST(nv - 1 AS DOUBLE)) AS mean_pairwise_cosine")
+  }
+
+  val embeddingIsotropyAuditSql: String =
+    """WITH mv AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(v AS DOUBLE) * 1000) AS DOUBLE) for v in embedding] AS m
+      |  FROM embeddings),
+      |nn AS (
+      |  SELECT vec_id, m,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), m), (a, x) -> a + x * x) AS BIGINT) AS n2
+      |  FROM mv),
+      |u AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(x * CAST(1000000 AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))) AS DOUBLE) for x in m] AS u
+      |  FROM nn WHERE n2 > 0),
+      |un AS (
+      |  SELECT vec_id, u,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), u), (a, x) -> a + x * x) AS un2
+      |  FROM u),
+      |ra AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nv,
+      |    sum(CAST(un2 - CAST(1000000000000 AS DOUBLE) AS DECIMAL(38,0))) AS sdev
+      |  FROM un),
+      |dx AS (
+      |  SELECT generate_subscripts(u, 1) AS d, unnest(u) AS uk FROM un),
+      |da AS (
+      |  SELECT d, sum(uk) AS sk FROM dx GROUP BY 1),
+      |dd AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS dim,
+      |    sum(CAST(round((sk / CAST(1000000 AS DOUBLE)) * (sk / CAST(1000000 AS DOUBLE)), 6) AS DECIMAL(28,6))) AS ssq
+      |  FROM da)
+      |SELECT nv AS n_vectors, dim,
+      |  CAST(1 AS DOUBLE) + CAST(sdev AS DOUBLE)
+      |    / (CAST(nv AS DOUBLE) * CAST(1000000000000 AS DOUBLE)) AS mean_unit_norm2,
+      |  (CAST(ssq AS DOUBLE) - (CAST(nv AS DOUBLE) + CAST(sdev AS DOUBLE)
+      |    / CAST(1000000000000 AS DOUBLE)))
+      |    / (CAST(nv AS DOUBLE) * CAST(nv - 1 AS DOUBLE)) AS mean_pairwise_cosine
+      |FROM ra, dd""".stripMargin
 }

@@ -6007,4 +6007,187 @@ object Stats {
        |  ${ssStrength("sr")} AS seasonal_strength,
        |  ${ssStrength("tr")} AS trend_strength
        |FROM a""".stripMargin
+
+  // ---------------------------------------------------------- partial_correlation
+
+  // Pearson r from exact decimal(38,0) moments — the corrExpr
+  // convention (Reports.scala): decimal arithmetic inside, ONE cast
+  private def pcCorr(sx: String, sy: String, sxx: String, syy: String,
+      sxy: String): String =
+    s"(CAST(n * $sxy - $sx * $sy AS DOUBLE)" +
+      s" / (sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE))" +
+      s" * sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE))))"
+  // first-order partial r_xy·z on the staged pairwise correlations
+  private def pcPartial(rxy: String, rxz: String, ryz: String): String =
+    s"(($rxy - $rxz * $ryz) / (sqrt((CAST(1 AS DOUBLE) - $rxz * $rxz)" +
+      s" * (CAST(1 AS DOUBLE) - $ryz * $ryz))))"
+
+  /** First-order partial correlations of (quantity, price, discount)
+    * over lineitems: each pairwise Pearson r NEXT TO the same pair's
+    * correlation with the third variable partialled out — the
+    * confounder check `corr_profile` (raw pairwise only) can't make:
+    * a price↔quantity correlation that collapses when discount is
+    * controlled was never a price effect. Moments accumulate exactly
+    * in scale-0 decimal(38,0) (the corrExpr convention); the three
+    * r's stage as deterministic doubles and each partial is one
+    * fixed-order expression on them.
+    *
+    * Scale shape: ONE lineitem partial-agg pass to a 10-moment row;
+    * everything after is scalar arithmetic.
+    */
+  def partialCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir).lineitem.selectExpr(
+      "CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q",
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p",
+      "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d")
+    g.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"),
+        sum(expr("CAST(p AS DECIMAL(38,0))")).as("sp"),
+        sum(expr("CAST(d AS DECIMAL(38,0))")).as("sd"),
+        sum(expr("CAST(q * q AS DECIMAL(38,0))")).as("sqq"),
+        sum(expr("CAST(p * p AS DECIMAL(38,0))")).as("spp"),
+        sum(expr("CAST(d * d AS DECIMAL(38,0))")).as("sdd"),
+        sum(expr("CAST(q * p AS DECIMAL(38,0))")).as("sqp"),
+        sum(expr("CAST(q * d AS DECIMAL(38,0))")).as("sqd"),
+        sum(expr("CAST(d * p AS DECIMAL(38,0))")).as("sdp"))
+      .withColumn("r_qp", expr(pcCorr("sq", "sp", "sqq", "spp", "sqp")))
+      .withColumn("r_qd", expr(pcCorr("sq", "sd", "sqq", "sdd", "sqd")))
+      .withColumn("r_dp", expr(pcCorr("sd", "sp", "sdd", "spp", "sdp")))
+      .selectExpr("CAST(n AS BIGINT) AS n_rows",
+        "r_qp AS corr_qty_price", "r_qd AS corr_qty_disc", "r_dp AS corr_disc_price",
+        s"${pcPartial("r_qp", "r_qd", "r_dp")} AS partial_qty_price",
+        s"${pcPartial("r_qd", "r_qp", "r_dp")} AS partial_qty_disc",
+        s"${pcPartial("r_dp", "r_qd", "r_qp")} AS partial_disc_price")
+  }
+
+  val partialCorrelationSql: String =
+    s"""WITH g AS (
+       |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+       |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(q AS DECIMAL(38,0))) AS sq, sum(CAST(p AS DECIMAL(38,0))) AS sp,
+       |    sum(CAST(d AS DECIMAL(38,0))) AS sd,
+       |    sum(CAST(q * q AS DECIMAL(38,0))) AS sqq,
+       |    sum(CAST(p * p AS DECIMAL(38,0))) AS spp,
+       |    sum(CAST(d * d AS DECIMAL(38,0))) AS sdd,
+       |    sum(CAST(q * p AS DECIMAL(38,0))) AS sqp,
+       |    sum(CAST(q * d AS DECIMAL(38,0))) AS sqd,
+       |    sum(CAST(d * p AS DECIMAL(38,0))) AS sdp
+       |  FROM g),
+       |r AS (
+       |  SELECT *, ${pcCorr("sq", "sp", "sqq", "spp", "sqp")} AS r_qp,
+       |    ${pcCorr("sq", "sd", "sqq", "sdd", "sqd")} AS r_qd,
+       |    ${pcCorr("sd", "sp", "sdd", "spp", "sdp")} AS r_dp
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n_rows,
+       |  r_qp AS corr_qty_price, r_qd AS corr_qty_disc, r_dp AS corr_disc_price,
+       |  ${pcPartial("r_qp", "r_qd", "r_dp")} AS partial_qty_price,
+       |  ${pcPartial("r_qd", "r_qp", "r_dp")} AS partial_qty_disc,
+       |  ${pcPartial("r_dp", "r_qd", "r_qp")} AS partial_disc_price
+       |FROM r""".stripMargin
+
+  // -------------------------------------------------------------- bartlett_test
+
+  private def btVar(k: Int): String =
+    s"((CAST(ss_$k AS DOUBLE) - CAST(s_$k AS DOUBLE) * CAST(s_$k AS DOUBLE)" +
+      s" / CAST(n_$k AS DOUBLE)) / CAST(n_$k - 1 AS DOUBLE))"
+  private val BtlC: String = {
+    val inv = AnovaKeys
+      .map(k => s"CAST(1 AS DOUBLE) / CAST(n_$k - 1 AS DOUBLE)").mkString(" + ")
+    s"(CAST(1 AS DOUBLE) + (($inv) - CAST(1 AS DOUBLE)" +
+      s" / CAST(nn - ${AnovaKeys.size} AS DOUBLE)) / CAST(12 AS DOUBLE))"
+  }
+  private val BtlChi2: String = {
+    val sum = AnovaKeys.map(k => s"CAST(n_$k - 1 AS DOUBLE) * ln_$k").mkString(" + ")
+    s"((CAST(nn - ${AnovaKeys.size} AS DOUBLE) * ln_p - ($sum)) / $BtlC)"
+  }
+
+  /** Bartlett's test of variance homogeneity across the five event
+    * types — the PARAMETRIC power-house beside `levene_test` (Levene
+    * is robust to non-normality but blunt; Bartlett is exact under
+    * normality and what classical ANOVA texts prescribe checking
+    * before trusting `anova_oneway`'s pooled MSW). Per-type sample
+    * variances and the pooled variance come off the SAME one-row
+    * exact-moment pivot as anova/tukey; all six logs are the
+    * engine-exact [[graft.functions.ExactLn]] chains (cents² values
+    * sit mid-domain, and the statistic is unit-invariant because
+    * Σ(n_k−1) = N−k makes the scale shifts cancel); χ² and the
+    * Bartlett correction C are fixed-order expressions on the staged
+    * ln columns.
+    *
+    * Scale shape: the anova_oneway shape — one conditional-sum pass
+    * to a 15-column row, then scalar arithmetic.
+    */
+  def bartlettTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val keyed = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val mCols = AnovaKeys.flatMap { k =>
+      val is = col("event_type") === EventTypes(k)
+      Seq(sum(when(is, 1L).otherwise(0L)).as(s"n_$k"),
+        sum(when(is, col("c")).otherwise(0L)).as(s"s_$k"),
+        sum(when(is, col("c") * col("c")).otherwise(0L)).as(s"ss_$k"))
+    }
+    var df = keyed.agg(mCols.head, mCols.tail: _*)
+      .withColumn("nn", expr(AnovaKeys.map(k => s"n_$k").mkString(" + ")))
+      .withColumn("sqtot", expr(AnovaKeys.map(k => s"ss_$k").mkString(" + ")))
+      .withColumn("v_p", expr(TukMsw))
+    for (k <- AnovaKeys) {
+      df = df.withColumn(s"v_$k", expr(btVar(k)))
+        .withColumn(s"__y$k", expr(ExactLn.yExpr(s"v_$k")))
+        .withColumn(s"__z$k", expr(ExactLn.zExpr(s"__y$k")))
+        .withColumn(s"ln_$k", expr(ExactLn.lnExpr(s"__z$k")))
+    }
+    df.withColumn("__yp", expr(ExactLn.yExpr("v_p")))
+      .withColumn("__zp", expr(ExactLn.zExpr("__yp")))
+      .withColumn("ln_p", expr(ExactLn.lnExpr("__zp")))
+      .selectExpr(s"CAST(${AnovaKeys.size} AS INTEGER) AS k_groups",
+        "CAST(nn AS BIGINT) AS n_events",
+        "v_p / CAST(10000 AS DOUBLE) AS pooled_var",
+        s"$BtlChi2 AS bartlett_chi2",
+        s"CAST(${AnovaKeys.size - 1} AS INTEGER) AS dof",
+        s"CASE WHEN $BtlChi2 > CAST(9.488 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  val bartlettTestSql: String = {
+    import graft.functions.ExactLn
+    val mSums = AnovaKeys.flatMap { k =>
+      val is = s"event_type = '${EventTypes(k)}'"
+      Seq(s"CAST(sum(CASE WHEN $is THEN 1 ELSE 0 END) AS BIGINT) AS n_$k",
+        s"CAST(sum(CASE WHEN $is THEN c ELSE 0 END) AS BIGINT) AS s_$k",
+        s"CAST(sum(CASE WHEN $is THEN c * c ELSE 0 END) AS BIGINT) AS ss_$k")
+    }
+    val varCtes = AnovaKeys.map { k =>
+      s"w$k AS (SELECT *, ${btVar(k)} AS v_$k FROM ${if (k == 0) "a" else s"l${k - 1}"}),\n" +
+        s"y$k AS (SELECT *, ${ExactLn.yExpr(s"v_$k")} AS __y$k FROM w$k),\n" +
+        s"z$k AS (SELECT *, ${ExactLn.zExpr(s"__y$k")} AS __z$k FROM y$k),\n" +
+        s"l$k AS (SELECT *, ${ExactLn.lnExpr(s"__z$k")} AS ln_$k FROM z$k)"
+    }.mkString(",\n")
+    s"""WITH o AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM o),
+       |a0 AS (
+       |  SELECT *, ${AnovaKeys.map(k => s"n_$k").mkString(" + ")} AS nn,
+       |    ${AnovaKeys.map(k => s"ss_$k").mkString(" + ")} AS sqtot
+       |  FROM m),
+       |a AS (SELECT *, $TukMsw AS v_p FROM a0),
+       |$varCtes,
+       |yp AS (SELECT *, ${ExactLn.yExpr("v_p")} AS __yp FROM l${AnovaKeys.size - 1}),
+       |zp AS (SELECT *, ${ExactLn.zExpr("__yp")} AS __zp FROM yp),
+       |lp AS (SELECT *, ${ExactLn.lnExpr("__zp")} AS ln_p FROM zp)
+       |SELECT CAST(${AnovaKeys.size} AS INTEGER) AS k_groups,
+       |  CAST(nn AS BIGINT) AS n_events,
+       |  v_p / CAST(10000 AS DOUBLE) AS pooled_var,
+       |  $BtlChi2 AS bartlett_chi2,
+       |  CAST(${AnovaKeys.size - 1} AS INTEGER) AS dof,
+       |  CASE WHEN $BtlChi2 > CAST(9.488 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM lp""".stripMargin
+  }
 }
