@@ -2199,4 +2199,110 @@ object Commerce {
        |  ELSE phi / (v_full - v_empty) END AS share
        |FROM rows_s ORDER BY channel""".stripMargin
   }
+
+  // ----------------------------------------------------------------- logrank_test
+
+  private val LrSegA = "MACHINERY"
+  private val LrSegB = "FURNITURE"
+  // per-week logrank terms on the pivoted exact counts (d = d_a + d_b,
+  // n = n_a + n_b at risk): E_a = d·n_a/n; hypergeometric variance
+  private val LrEa = "(CAST(d AS DOUBLE) * CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))"
+  private val LrVa =
+    "(CASE WHEN nt <= 1 THEN CAST(0 AS DOUBLE) ELSE " +
+      "CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))" +
+      " * (CAST(1 AS DOUBLE) - CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))" +
+      " * CAST(nt - d AS DOUBLE) / CAST(nt - 1 AS DOUBLE) END)"
+
+  /** Log-rank test between two market segments' churn survival curves
+    * — the significance companion of `survival_km_curve` (the curve
+    * shows a gap; this says whether the gap survives the censoring
+    * structure): at each event week the observed segment-A deaths are
+    * compared to the hypergeometric expectation given the pooled
+    * hazard, χ² = (ΣO−ΣE)²/ΣV on 1 df. Same churn definition and
+    * week grid as the KM curve; at-risk counts are exact reverse-
+    * cumulative integers per segment; the E and V terms are
+    * fixed-order doubles 9-dp-quantized into order-free decimal sums.
+    *
+    * Scale shape: one orders⋈customer pass partial-aggregates to the
+    * (week × 2) pivoted spine; every window runs on the
+    * calendar-bounded week grid (the survival_km_curve convention).
+    */
+  def logrankTest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val per = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(LrSegA, LrSegB))
+      .groupBy(col("o_custkey"), col("c_mktsegment"))
+      .agg(min(col("o_orderdate").cast("date")).as("first_d"),
+        max(col("o_orderdate").cast("date")).as("last_d"))
+    val anchor = t.orders.agg(max(col("o_orderdate").cast("date")).as("anchor"))
+    val weekly = per.crossJoin(broadcast(anchor))
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(datediff(last_d, first_d) AS BIGINT) div 7").as("t"),
+        when(datediff(col("anchor"), col("last_d")).cast("long") > KmCensorDays, 1L)
+          .otherwise(0L).as("churned"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("seg") === LrSegA, 1L).otherwise(0L)).as("la"),
+        sum(when(col("seg") === LrSegA, col("churned")).otherwise(0L)).as("da"),
+        sum(when(col("seg") === LrSegB, 1L).otherwise(0L)).as("lb"),
+        sum(when(col("seg") === LrSegB, col("churned")).otherwise(0L)).as("db"))
+    val wDesc = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    weekly
+      .withColumn("na", sum(col("la")).over(wDesc))
+      .withColumn("nb", sum(col("lb")).over(wDesc))
+      .withColumn("nt", expr("na + nb"))
+      .withColumn("d", expr("da + db"))
+      .filter(col("d") > 0)
+      .agg(sum(col("da")).as("oa"),
+        sum(expr(s"CAST(round($LrEa, 9) AS DECIMAL(18,9))")).as("ea"),
+        sum(expr(s"CAST(round($LrVa, 9) AS DECIMAL(18,9))")).as("va"),
+        count(lit(1)).as("n_event_weeks"))
+      .selectExpr("CAST(n_event_weeks AS BIGINT) AS n_event_weeks",
+        "CAST(oa AS BIGINT) AS observed_a",
+        "CAST(ea AS DOUBLE) AS expected_a",
+        "CAST(va AS DOUBLE) AS variance_a",
+        "(CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE)) * (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))" +
+          " / CAST(va AS DOUBLE) AS logrank_chi2",
+        "CASE WHEN (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE)) * (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))" +
+          " / CAST(va AS DOUBLE) > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  val logrankTestSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey, c_mktsegment AS seg,
+       |    min(CAST(o_orderdate AS DATE)) AS first_d,
+       |    max(CAST(o_orderdate AS DATE)) AS last_d
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment IN ('$LrSegA', '$LrSegB')
+       |  GROUP BY 1, 2),
+       |anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+       |weekly AS (
+       |  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) // 7 AS t,
+       |    CAST(sum(CASE WHEN seg = '$LrSegA' THEN 1 ELSE 0 END) AS BIGINT) AS la,
+       |    CAST(sum(CASE WHEN seg = '$LrSegA' AND CAST(date_diff('day', last_d, anchor) AS BIGINT) > $KmCensorDays THEN 1 ELSE 0 END) AS BIGINT) AS da,
+       |    CAST(sum(CASE WHEN seg = '$LrSegB' THEN 1 ELSE 0 END) AS BIGINT) AS lb,
+       |    CAST(sum(CASE WHEN seg = '$LrSegB' AND CAST(date_diff('day', last_d, anchor) AS BIGINT) > $KmCensorDays THEN 1 ELSE 0 END) AS BIGINT) AS db
+       |  FROM per, anchor GROUP BY 1),
+       |risk AS (
+       |  SELECT *,
+       |    sum(la) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS na,
+       |    sum(lb) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+       |  FROM weekly),
+       |ev AS (
+       |  SELECT *, na + nb AS nt, da + db AS d FROM risk),
+       |agg AS (
+       |  SELECT CAST(sum(da) AS BIGINT) AS oa,
+       |    sum(CAST(round($LrEa, 9) AS DECIMAL(18,9))) AS ea,
+       |    sum(CAST(round($LrVa, 9) AS DECIMAL(18,9))) AS va,
+       |    CAST(count(*) AS BIGINT) AS n_event_weeks
+       |  FROM ev WHERE d > 0)
+       |SELECT n_event_weeks, oa AS observed_a, CAST(ea AS DOUBLE) AS expected_a,
+       |  CAST(va AS DOUBLE) AS variance_a,
+       |  (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE)) * (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+       |    / CAST(va AS DOUBLE) AS logrank_chi2,
+       |  CASE WHEN (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE)) * (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+       |    / CAST(va AS DOUBLE) > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM agg""".stripMargin
 }

@@ -6190,4 +6190,162 @@ object Stats {
        |  CASE WHEN $BtlChi2 > CAST(9.488 AS DOUBLE) THEN 1 ELSE 0 END AS significant
        |FROM lp""".stripMargin
   }
+
+  // ---------------------------------------------------------- mann_kendall_trend
+
+  // Var(S) with tie correction, exact integers until the one division
+  private val MkVar =
+    "(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / CAST(18 AS DOUBLE))"
+  // continuity-corrected z, shared CASE text
+  private val MkZ =
+    s"(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt($MkVar) " +
+      s"WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt($MkVar) " +
+      "ELSE CAST(0 AS DOUBLE) END)"
+
+  /** Mann–Kendall trend test on monthly revenue: S = Σ_{i<j}
+    * sign(y_j − y_i) with the tie-corrected variance and
+    * continuity-corrected z — the SIGNIFICANCE companion of
+    * `theil_sen_trend` (Sen gives the robust slope, MK says whether a
+    * monotone trend exists at all; `regression_trend`'s t assumes
+    * linearity + normal errors, MK assumes nothing). Everything is
+    * exact integer arithmetic — sign pairs, tie triples, Var(S) —
+    * until the single z division.
+    *
+    * Scale shape: one orders partial-agg pass to the calendar-bounded
+    * month spine; the sign-pair grid is months², bounded by the
+    * calendar, not the data (the hodges_lehmann convention).
+    */
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)").as("y"))
+    val pairs = monthly.select(col("m").as("m1"), col("y").as("y1"))
+      .join(monthly.select(col("m").as("m2"), col("y").as("y2")),
+        col("m1") < col("m2"))
+      .agg(sum(expr("CAST(sign(y2 - y1) AS BIGINT)")).as("s"))
+    val ties = monthly.groupBy(col("y")).agg(count(lit(1)).as("tc"))
+      .agg(coalesce(sum(expr("tc * (tc - 1) * (2 * tc + 5)")), lit(0L)).as("tsum"))
+    val n = monthly.agg(count(lit(1)).as("n"))
+    pairs.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .selectExpr("CAST(n AS BIGINT) AS n_months", "CAST(s AS BIGINT) AS s_stat",
+        s"$MkVar AS var_s", s"$MkZ AS z_stat",
+        s"CASE WHEN abs($MkZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant",
+        "CAST(sign(s) AS INTEGER) AS direction")
+  }
+
+  val mannKendallTrendSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |p AS (
+       |  SELECT CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s
+       |  FROM monthly a JOIN monthly b ON a.m < b.m),
+       |tie AS (
+       |  SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT) AS tsum
+       |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS tc FROM monthly GROUP BY 1)),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM monthly)
+       |SELECT n AS n_months, s AS s_stat, $MkVar AS var_s, $MkZ AS z_stat,
+       |  CASE WHEN abs($MkZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant,
+       |  CAST(sign(s) AS INTEGER) AS direction
+       |FROM p, tie, c""".stripMargin
+
+  // --------------------------------------------------------- engle_granger_coint
+
+  // step-1 OLS y = a + b·x on exact moments (decimal internals, one
+  // cast — the corrExpr convention); residual quantized to the $k
+  // integer grid (the durbin_watson convention)
+  private val EgB =
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+  private val EgA =
+    s"((CAST(sy AS DOUBLE) - $EgB * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+  private val EgResid =
+    s"CAST(round(CAST(y AS DOUBLE) - ($EgA + $EgB * CAST(x AS DOUBLE)), 0) AS BIGINT)"
+  // step-2 DF regression Δe_t = ρ·e_{t−1} (no intercept): ρ and its t
+  private val EgRho = "(CAST(sede AS DOUBLE) / CAST(se2 AS DOUBLE))"
+  private val EgS2 =
+    s"((CAST(sde2 AS DOUBLE) - CAST(2 AS DOUBLE) * $EgRho * CAST(sede AS DOUBLE)" +
+      s" + $EgRho * $EgRho * CAST(se2 AS DOUBLE)) / CAST(t - 2 AS DOUBLE))"
+  private val EgT = s"($EgRho * sqrt(CAST(se2 AS DOUBLE)) / sqrt($EgS2))"
+
+  /** Engle–Granger two-step cointegration between two regions'
+    * monthly revenue ($k units): step 1 regresses ASIA on AMERICA
+    * (exact-moment OLS), step 2 runs the no-intercept Dickey–Fuller
+    * regression Δe_t = ρ·e_{t−1} on the INTEGER-QUANTIZED residual
+    * series and reports the DF t — the do-these-series-share-a-
+    * common-trend read behind pairs analysis and demand transfer
+    * (`crosscorr_lag` measures co-movement at lags; cointegration is
+    * the stronger long-run-equilibrium claim). Cointegrated at 5%
+    * when t < −3.37 (the Engle–Granger two-variable critical value,
+    * documented constant; lag-0 DF — the kpss_stationarity
+    * convention). Residuals follow the durbin_watson $k grid; all DF
+    * moments are exact BIGINTs.
+    *
+    * Scale shape: one orders⋈customer⋈dims partial-agg to the
+    * (month × 2 regions) pivoted spine; everything downstream runs
+    * on the calendar-bounded month frame.
+    */
+  def engleGrangerCoint(spark: SparkSession, dir: String): DataFrame = {
+    val pair = regionMonthly(spark, dir)
+      .filter(col("region_name").isin("AMERICA", "ASIA"))
+      .groupBy(col("m"))
+      .agg(
+        sum(when(col("region_name") === "AMERICA",
+          expr("rev_c div 100000")).otherwise(0L)).as("x"),
+        sum(when(col("region_name") === "AMERICA", 1L).otherwise(0L)).as("ha"),
+        sum(when(col("region_name") === "ASIA",
+          expr("rev_c div 100000")).otherwise(0L)).as("y"),
+        sum(when(col("region_name") === "ASIA", 1L).otherwise(0L)).as("hb"))
+      .filter(col("ha") === 1 && col("hb") === 1)
+    val fit = pair.agg(count(lit(1)).as("n"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+      sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+      sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"))
+    val resid = pair.crossJoin(broadcast(fit))
+      .withColumn("e", expr(EgResid))
+      .withColumn("e1", lag(col("e"), 1).over(Window.orderBy("m")))
+      .filter(col("e1").isNotNull)
+      .withColumn("de", expr("e - e1"))
+    resid.agg(max(col("n")).as("nm"), count(lit(1)).as("t"),
+        sum(expr("CAST(e1 * de AS DECIMAL(38,0))")).as("sede"),
+        sum(expr("CAST(e1 * e1 AS DECIMAL(38,0))")).as("se2"),
+        sum(expr("CAST(de * de AS DECIMAL(38,0))")).as("sde2"))
+      .selectExpr("CAST(nm AS BIGINT) AS n_months",
+        s"$EgRho AS df_rho", s"$EgT AS df_t",
+        s"CASE WHEN $EgT < CAST(-3.37 AS DOUBLE) THEN 1 ELSE 0 END AS cointegrated")
+  }
+
+  val engleGrangerCointSql: String =
+    s"""WITH monthly AS (
+       |$RegionMonthlySqlCte),
+       |pair AS (
+       |  SELECT m,
+       |    CAST(sum(CASE WHEN region_name = 'AMERICA' THEN rev_c // 100000 ELSE 0 END) AS BIGINT) AS x,
+       |    sum(CASE WHEN region_name = 'AMERICA' THEN 1 ELSE 0 END) AS ha,
+       |    CAST(sum(CASE WHEN region_name = 'ASIA' THEN rev_c // 100000 ELSE 0 END) AS BIGINT) AS y,
+       |    sum(CASE WHEN region_name = 'ASIA' THEN 1 ELSE 0 END) AS hb
+       |  FROM monthly WHERE region_name IN ('AMERICA', 'ASIA') GROUP BY 1),
+       |pp AS (SELECT * FROM pair WHERE ha = 1 AND hb = 1),
+       |fit AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+       |  FROM pp),
+       |resid AS (
+       |  SELECT n, $EgResid AS e,
+       |    lag($EgResid) OVER (ORDER BY m) AS e1
+       |  FROM pp, fit),
+       |d AS (SELECT n, e, e1, e - e1 AS de FROM resid WHERE e1 IS NOT NULL),
+       |agg AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS nm, CAST(count(*) AS BIGINT) AS t,
+       |    sum(CAST(e1 * de AS DECIMAL(38,0))) AS sede,
+       |    sum(CAST(e1 * e1 AS DECIMAL(38,0))) AS se2,
+       |    sum(CAST(de * de AS DECIMAL(38,0))) AS sde2
+       |  FROM d)
+       |SELECT nm AS n_months, $EgRho AS df_rho, $EgT AS df_t,
+       |  CASE WHEN $EgT < CAST(-3.37 AS DOUBLE) THEN 1 ELSE 0 END AS cointegrated
+       |FROM agg""".stripMargin
 }
