@@ -2482,27 +2482,31 @@ object Ann {
     */
   def embeddingIsotropyAudit(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
-    val m = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS DOUBLE))"
+    // the fused codegen'd primitive: interpreted transform() lambdas
+    // re-run per element per reference (19 s at 10× un-staged, 10 s
+    // staged); graft_qunit runs the identical IEEE ops once per row
+    graft.functions.QuantUnitVector.register(spark)
     val base = Tables(spark, dir).embeddings
-      .withColumn("n2", expr(s"CAST(graft_dot($m, $m) AS BIGINT)"))
-      .filter(col("n2") > 0)
-      .withColumn("u", expr(
-        s"transform($m, x -> CAST(floor(x * CAST(1000000 AS DOUBLE)" +
-          " / sqrt(CAST(n2 AS DOUBLE))) AS DOUBLE))"))
-      .withColumn("un2", expr("graft_dot(u, u)"))
-    // ‖u‖² deviates from the nominal 10¹² only by the floor-quantization
-    // residue (|dev| ≤ 2d·10⁶) — summing the exact integer DEVIATION
-    // avoids any round() halfway case and stays order-free
-    val rowAgg = base.agg(count(lit(1)).as("nv"),
-      sum(expr("CAST(un2 - CAST(1000000000000 AS DOUBLE) AS DECIMAL(38,0))"))
-        .as("sdev"))
+      .withColumn("u", expr("graft_qunit(embedding)"))
+      .filter(col("u").isNotNull)
+    // ONE exploded aggregation carries everything: per-dimension
+    // component sums (exact integer-valued doubles), the exact
+    // DECIMAL Σuk² (so Σ‖u‖² needs no second scan and no round()
+    // halfway case — the deviation from the nominal nv·10¹² is exact
+    // decimal algebra), and nv as the per-dimension row count
     val dimAgg = base
       .select(posexplode(col("u")).as(Seq("d", "uk")))
-      .groupBy(col("d")).agg(sum(col("uk")).as("sk"))
-      .agg(count(lit(1)).as("dim"),
+      .groupBy(col("d"))
+      .agg(sum(col("uk")).as("sk"),
+        sum(expr("CAST(uk * uk AS DECIMAL(38,0))")).as("sqs"),
+        count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("dim"), max(col("cnt")).as("nv"),
         sum(expr("CAST(round((sk / CAST(1000000 AS DOUBLE)) * (sk / CAST(1000000 AS DOUBLE)), 6) AS DECIMAL(28,6))"))
-          .as("ssq"))
-    rowAgg.crossJoin(broadcast(dimAgg))
+          .as("ssq"),
+        sum(col("sqs")).as("stot"))
+      .withColumn("sdev", expr(
+        "stot - CAST(nv AS DECIMAL(38,0)) * CAST(1000000000000 AS DECIMAL(38,0))"))
+    dimAgg
       .selectExpr("CAST(nv AS BIGINT) AS n_vectors", "CAST(dim AS BIGINT) AS dim",
         "CAST(1 AS DOUBLE) + CAST(sdev AS DOUBLE)" +
           " / (CAST(nv AS DOUBLE) * CAST(1000000000000 AS DOUBLE)) AS mean_unit_norm2",
@@ -2524,27 +2528,25 @@ object Ann {
       |  SELECT vec_id,
       |    [CAST(floor(x * CAST(1000000 AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))) AS DOUBLE) for x in m] AS u
       |  FROM nn WHERE n2 > 0),
-      |un AS (
-      |  SELECT vec_id, u,
-      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), u), (a, x) -> a + x * x) AS un2
-      |  FROM u),
-      |ra AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS nv,
-      |    sum(CAST(un2 - CAST(1000000000000 AS DOUBLE) AS DECIMAL(38,0))) AS sdev
-      |  FROM un),
       |dx AS (
-      |  SELECT generate_subscripts(u, 1) AS d, unnest(u) AS uk FROM un),
+      |  SELECT generate_subscripts(u, 1) AS d, unnest(u) AS uk FROM u),
       |da AS (
-      |  SELECT d, sum(uk) AS sk FROM dx GROUP BY 1),
+      |  SELECT d, sum(uk) AS sk, sum(CAST(uk * uk AS DECIMAL(38,0))) AS sqs,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM dx GROUP BY 1),
       |dd AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS dim,
-      |    sum(CAST(round((sk / CAST(1000000 AS DOUBLE)) * (sk / CAST(1000000 AS DOUBLE)), 6) AS DECIMAL(28,6))) AS ssq
-      |  FROM da)
+      |  SELECT CAST(count(*) AS BIGINT) AS dim, CAST(max(cnt) AS BIGINT) AS nv,
+      |    sum(CAST(round((sk / CAST(1000000 AS DOUBLE)) * (sk / CAST(1000000 AS DOUBLE)), 6) AS DECIMAL(28,6))) AS ssq,
+      |    sum(sqs) AS stot
+      |  FROM da),
+      |dv AS (
+      |  SELECT *, stot - CAST(nv AS DECIMAL(38,0)) * CAST(1000000000000 AS DECIMAL(38,0)) AS sdev
+      |  FROM dd)
       |SELECT nv AS n_vectors, dim,
       |  CAST(1 AS DOUBLE) + CAST(sdev AS DOUBLE)
       |    / (CAST(nv AS DOUBLE) * CAST(1000000000000 AS DOUBLE)) AS mean_unit_norm2,
       |  (CAST(ssq AS DOUBLE) - (CAST(nv AS DOUBLE) + CAST(sdev AS DOUBLE)
       |    / CAST(1000000000000 AS DOUBLE)))
       |    / (CAST(nv AS DOUBLE) * CAST(nv - 1 AS DOUBLE)) AS mean_pairwise_cosine
-      |FROM ra, dd""".stripMargin
+      |FROM dv""".stripMargin
 }
