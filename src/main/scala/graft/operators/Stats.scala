@@ -6348,4 +6348,182 @@ object Stats {
        |SELECT nm AS n_months, $EgRho AS df_rho, $EgT AS df_t,
        |  CASE WHEN $EgT < CAST(-3.37 AS DOUBLE) THEN 1 ELSE 0 END AS cointegrated
        |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------ mood_median_test
+
+  private val MoodPrios =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  // χ² over the 2×5 (above/≤ median × priority) table from the pivoted
+  // exact counts: E_g,above = n_g·A/N, E_g,below = n_g·B/N
+  private val MoodChi2: String = MoodPrios.indices.map { g =>
+    val ea = s"(CAST(n_$g AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(nn AS DOUBLE))"
+    val eb = s"(CAST(n_$g AS DOUBLE) * CAST(nn - ta AS DOUBLE) / CAST(nn AS DOUBLE))"
+    s"(CAST(a_$g AS DOUBLE) - $ea) * (CAST(a_$g AS DOUBLE) - $ea) / $ea" +
+      s" + (CAST(n_$g - a_$g AS DOUBLE) - $eb) * (CAST(n_$g - a_$g AS DOUBLE) - $eb) / $eb"
+  }.mkString(" + ")
+
+  /** Mood's median test of order value across the five priorities:
+    * the exact lower-median splits every order into above / at-or-
+    * below, and a 2×k χ² asks whether the split is priority-
+    * independent — the location test that needs NOTHING from the
+    * distribution (kruskal_wallis assumes comparable shapes; this
+    * only counts medians crossed). The median comes off a cents-grid
+    * count-of-counts cumulative (ceil-rank, lower median — the value
+    * grid is price-domain-bounded, the ks_test convention), and the
+    * SAME grid supplies every cell count — one fact pass total.
+    *
+    * Scale shape: one orders partial-agg to the (cents × 5) pivoted
+    * grid; the cumulative and the pivoted cell sums run on the grid;
+    * χ² is one fixed-order expression on a 12-integer row.
+    */
+  def moodMedianTest(spark: SparkSession, dir: String): DataFrame = {
+    val cCols = MoodPrios.indices.map(g =>
+      sum(when(col("o_orderpriority") === MoodPrios(g), 1L).otherwise(0L)).as(s"c_$g"))
+    val grid = Tables(spark, dir).orders
+      .select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .groupBy(col("v")).agg(cCols.head, cCols.tail: _*)
+      .withColumn("ct", expr(MoodPrios.indices.map(g => s"c_$g").mkString(" + ")))
+      .withColumn("cum", sum(col("ct")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nn", sum(col("ct")).over(Window.partitionBy()))
+    val med = grid
+      .filter(expr("cum >= (nn + 1) div 2"))
+      .agg(min(col("v")).as("med"))
+    val aCols = MoodPrios.indices.flatMap(g => Seq(
+      sum(expr(s"CASE WHEN v > med THEN c_$g ELSE 0 END")).as(s"a_$g"),
+      sum(col(s"c_$g")).as(s"n_$g")))
+    grid.crossJoin(broadcast(med))
+      .agg(aCols.head, aCols.tail: _*)
+      .withColumn("nn", expr(MoodPrios.indices.map(g => s"n_$g").mkString(" + ")))
+      .withColumn("ta", expr(MoodPrios.indices.map(g => s"a_$g").mkString(" + ")))
+      .crossJoin(broadcast(med))
+      .selectExpr("CAST(nn AS BIGINT) AS n_orders",
+        "CAST(med AS DOUBLE) / CAST(100 AS DOUBLE) AS median_price",
+        s"$MoodChi2 AS chi2",
+        s"CAST(${MoodPrios.size - 1} AS INTEGER) AS dof",
+        s"CASE WHEN $MoodChi2 > CAST(9.488 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  val moodMedianTestSql: String = {
+    val cSums = MoodPrios.indices.map(g =>
+      s"CAST(sum(CASE WHEN o_orderpriority = '${MoodPrios(g)}' THEN 1 ELSE 0 END) AS BIGINT) AS c_$g")
+      .mkString(",\n    ")
+    val aSums = MoodPrios.indices.flatMap(g => Seq(
+      s"CAST(sum(CASE WHEN v > med THEN c_$g ELSE 0 END) AS BIGINT) AS a_$g",
+      s"CAST(sum(c_$g) AS BIGINT) AS n_$g")).mkString(",\n    ")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM orders),
+       |g AS (
+       |  SELECT v,
+       |    $cSums
+       |  FROM o GROUP BY v),
+       |cg AS (
+       |  SELECT *, ${MoodPrios.indices.map(g => s"c_$g").mkString(" + ")} AS ct FROM g),
+       |cc AS (
+       |  SELECT *,
+       |    sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(ct) OVER () AS nn
+       |  FROM cg),
+       |med AS (SELECT min(v) AS med FROM cc WHERE cum >= (nn + 1) // 2),
+       |cells AS (
+       |  SELECT
+       |    $aSums
+       |  FROM cc, med),
+       |tot AS (
+       |  SELECT *, ${MoodPrios.indices.map(g => s"n_$g").mkString(" + ")} AS nn,
+       |    ${MoodPrios.indices.map(g => s"a_$g").mkString(" + ")} AS ta
+       |  FROM cells)
+       |SELECT CAST(nn AS BIGINT) AS n_orders,
+       |  CAST(med AS DOUBLE) / CAST(100 AS DOUBLE) AS median_price,
+       |  $MoodChi2 AS chi2,
+       |  CAST(${MoodPrios.size - 1} AS INTEGER) AS dof,
+       |  CASE WHEN $MoodChi2 > CAST(9.488 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM tot, med""".stripMargin
+  }
+
+  // ---------------------------------------------------------- conformal_interval
+
+  /** Split-conformal prediction interval for order value under the
+    * priority-mean model: fit on the md5 70% split, take the
+    * ceil((1−α)(n+1))-rank absolute residual on the 20% calibration
+    * split (the finite-sample-valid conformal quantile), report
+    * MEASURED coverage on the held-out 10% — the distribution-free
+    * uncertainty wrapper modern eval stacks put around ANY point
+    * model, with the coverage guarantee checked rather than assumed.
+    * Residuals quantize to the cents grid so the calibration quantile
+    * is an exact ceil-rank off a count-of-counts cumulative (domain-
+    * bounded, the mood_median convention); group means are exact
+    * rationals cast once.
+    *
+    * Scale shape: one orders pass partial-aggregates the train means
+    * (5-row broadcast); one more computes residual grids and the
+    * test coverage counts; every window runs on the cents grid.
+    */
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    // conv() returns STRING — cast before % (the round-12 gotcha)
+    val h = "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100"
+    val base = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"),
+        expr(s"CASE WHEN $h < 70 THEN 'train' WHEN $h < 90 THEN 'cal' " +
+          "ELSE 'test' END").as("split"))
+    val fit = base.filter(col("split") === "train")
+      .groupBy(col("g")).agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+      .withColumn("mu", expr("CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE)"))
+      .select(col("g"), col("mu"))
+    val scored = base.filter(col("split") =!= "train")
+      .join(broadcast(fit), Seq("g"))
+      .withColumn("r", expr("CAST(round(abs(CAST(v AS DOUBLE) - mu), 0) AS BIGINT)"))
+    val calGrid = scored.filter(col("split") === "cal")
+      .groupBy(col("r")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nc", sum(col("c")).over(Window.partitionBy()))
+    val q = calGrid
+      .filter(expr("cum >= least((9 * nc + 18) div 10, nc)"))
+      .agg(min(col("r")).as("q"), max(col("nc")).as("n_cal"))
+    scored.filter(col("split") === "test")
+      .crossJoin(broadcast(q))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("q")).as("q"),
+        count(lit(1)).as("n_test"),
+        sum(expr("CASE WHEN r <= q THEN 1 ELSE 0 END")).as("covered"))
+      .selectExpr("CAST(n_cal AS BIGINT) AS n_cal", "CAST(n_test AS BIGINT) AS n_test",
+        "CAST(q AS DOUBLE) / CAST(100 AS DOUBLE) AS q90_halfwidth",
+        "CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage",
+        "CAST(0.9 AS DOUBLE) AS target_coverage")
+  }
+
+  val conformalIntervalSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |    CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 70 THEN 'train'
+       |    WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'cal'
+       |    ELSE 'test' END AS split
+       |  FROM orders),
+       |fit AS (
+       |  SELECT g, CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+       |  FROM base WHERE split = 'train' GROUP BY 1),
+       |scored AS (
+       |  SELECT split, CAST(round(abs(CAST(v AS DOUBLE) - mu), 0) AS BIGINT) AS r
+       |  FROM base JOIN fit USING (g) WHERE split <> 'train'),
+       |calgrid AS (
+       |  SELECT r, CAST(count(*) AS BIGINT) AS c FROM scored WHERE split = 'cal' GROUP BY 1),
+       |cc AS (
+       |  SELECT *,
+       |    sum(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER () AS nc
+       |  FROM calgrid),
+       |q AS (
+       |  SELECT CAST(min(r) AS BIGINT) AS q, CAST(max(nc) AS BIGINT) AS n_cal
+       |  FROM cc WHERE cum >= least((9 * nc + 18) // 10, nc))
+       |SELECT n_cal, CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(q AS DOUBLE) / CAST(100 AS DOUBLE) AS q90_halfwidth,
+       |  CAST(sum(CASE WHEN r <= q THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS coverage,
+       |  CAST(0.9 AS DOUBLE) AS target_coverage
+       |FROM scored, q WHERE split = 'test' GROUP BY n_cal, q""".stripMargin
 }
