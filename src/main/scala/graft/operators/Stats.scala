@@ -6526,4 +6526,218 @@ object Stats {
        |    / CAST(count(*) AS DOUBLE) AS coverage,
        |  CAST(0.9 AS DOUBLE) AS target_coverage
        |FROM scored, q WHERE split = 'test' GROUP BY n_cal, q""".stripMargin
+
+  // -------------------------------------------------------- jonckheere_terpstra
+
+  private val JtGroups = 5
+  private val JtPairs: Seq[(Int, Int)] =
+    for { g <- 0 until JtGroups; h <- (g + 1) until JtGroups } yield (g, h)
+  // doubled z: 2J − 2μ over 2σ, everything exact until the casts
+  private val JtZ: String = {
+    val mu2 = "CAST(CAST(nn AS DECIMAL(38,0)) * nn - sn2 AS DOUBLE) / CAST(2 AS DOUBLE)"
+    val sig2x4 =
+      "CAST(CAST(nn AS DECIMAL(38,0)) * nn * (2 * CAST(nn AS DECIMAL(38,0)) + 3) - sn23 AS DOUBLE) / CAST(18 AS DOUBLE)"
+    s"((CAST(j2 AS DOUBLE) - $mu2) / sqrt($sig2x4))"
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative test: does customer
+    * SPEND increase monotonically across account-balance quintiles —
+    * the rank test for an ORDERED dose that `kruskal_wallis` (any
+    * difference) and `cochran_armitage_trend` (binary response)
+    * bracket but don't cover. Quintiles are exact ceil-rank VALUE
+    * thresholds off the balance-cents count-of-counts grid
+    * (ties-low, fully distributed — no ntile window); J accumulates
+    * as the doubled Mann–Whitney identity 2J = ΣΣ c_h·(2·cumBefore_g
+    * + c_g) over the $100-quantized spend grid (ties count half,
+    * exactly), so every term is an exact decimal integer; z uses the
+    * standard no-tie variance (conservative under the mild
+    * quantization ties — documented).
+    *
+    * Scale shape: one orders partial-agg + one customer pass to the
+    * (spend-grid × 5) pivoted frame; both cumulative windows run on
+    * domain-bounded grids; J/μ/σ are one fixed-order expression each.
+    */
+  def jonckheereTerpstra(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.select(col("c_custkey"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ab"))
+    val abGrid = cust.groupBy(col("ab")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("ab")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val thrCols = (1 to JtGroups - 1).map(j =>
+      min(expr(s"CASE WHEN cum >= ($j * n + ${JtGroups - 1}) div $JtGroups THEN ab END"))
+        .as(s"t$j"))
+    val thr = abGrid.agg(thrCols.head, thrCols.tail: _*)
+    val spend = t.orders.groupBy(col("o_custkey"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)").as("sp"))
+    val graded = cust
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(thr))
+      .select(
+        expr((1 to JtGroups - 1).map(j => s"WHEN ab <= t$j THEN ${j - 1}")
+          .mkString("CASE ", " ", s" ELSE ${JtGroups - 1} END")).as("g"),
+        expr("coalesce(sp, 0) div 10000").as("v"))
+    val cCols = (0 until JtGroups).map(g =>
+      sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c_$g"))
+    val grid = graded.groupBy(col("v")).agg(cCols.head, cCols.tail: _*)
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      (col("v") +: (0 until JtGroups).map(g => col(s"c_$g"))) ++
+        (0 until JtGroups).map(g => sum(col(s"c_$g")).over(w).as(s"f_$g")): _*)
+    val pairTerms = JtPairs.map { case (g, h) =>
+      s"CAST(c_$h AS DECIMAL(38,0)) * (2 * (f_$g - c_$g) + c_$g)"
+    }.mkString(" + ")
+    cum.agg(
+        sum(expr(pairTerms)).as("j2"),
+        (0 until JtGroups).map(g => sum(col(s"c_$g")).as(s"n_$g")): _*)
+      .withColumn("nn", expr((0 until JtGroups).map(g => s"n_$g").mkString(" + ")))
+      .withColumn("sn2", expr((0 until JtGroups)
+        .map(g => s"CAST(n_$g AS DECIMAL(38,0)) * n_$g").mkString(" + ")))
+      .withColumn("sn23", expr((0 until JtGroups)
+        .map(g => s"CAST(n_$g AS DECIMAL(38,0)) * n_$g * (2 * CAST(n_$g AS DECIMAL(38,0)) + 3)")
+        .mkString(" + ")))
+      .selectExpr("CAST(nn AS BIGINT) AS n_customers",
+        s"CAST($JtGroups AS INTEGER) AS k_groups",
+        "CAST(j2 AS DOUBLE) / CAST(2 AS DOUBLE) AS j_stat",
+        s"$JtZ AS z_stat",
+        s"CASE WHEN abs($JtZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  val jonckheereTerpstraSql: String = {
+    val thrSel = (1 to JtGroups - 1).map(j =>
+      s"min(CASE WHEN cum >= ($j * n + ${JtGroups - 1}) // $JtGroups THEN ab END) AS t$j")
+      .mkString(", ")
+    val gCase = (1 to JtGroups - 1).map(j => s"WHEN ab <= t$j THEN ${j - 1}")
+      .mkString("CASE ", " ", s" ELSE ${JtGroups - 1} END")
+    val cSums = (0 until JtGroups).map(g =>
+      s"CAST(sum(CASE WHEN g = $g THEN 1 ELSE 0 END) AS BIGINT) AS c_$g").mkString(",\n    ")
+    val fCums = (0 until JtGroups).map(g =>
+      s"sum(c_$g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$g")
+      .mkString(",\n    ")
+    val pairTerms = JtPairs.map { case (g, h) =>
+      s"CAST(c_$h AS DECIMAL(38,0)) * (2 * (f_$g - c_$g) + c_$g)"
+    }.mkString(" + ")
+    val nSums = (0 until JtGroups).map(g => s"CAST(sum(c_$g) AS BIGINT) AS n_$g")
+      .mkString(", ")
+    s"""WITH cust AS (
+       |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS ab
+       |  FROM customer),
+       |ag AS (
+       |  SELECT ab, count(*) AS c FROM cust GROUP BY 1),
+       |ac AS (
+       |  SELECT *,
+       |    sum(c) OVER (ORDER BY ab ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER () AS n
+       |  FROM ag),
+       |thr AS (SELECT $thrSel FROM ac),
+       |spend AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS sp
+       |  FROM orders GROUP BY 1),
+       |graded AS (
+       |  SELECT $gCase AS g, coalesce(sp, 0) // 10000 AS v
+       |  FROM cust LEFT JOIN spend ON c_custkey = o_custkey, thr),
+       |grid AS (
+       |  SELECT v,
+       |    $cSums
+       |  FROM graded GROUP BY v),
+       |cc AS (
+       |  SELECT *,
+       |    $fCums
+       |  FROM grid),
+       |agg AS (
+       |  SELECT sum($pairTerms) AS j2, $nSums FROM cc),
+       |tot AS (
+       |  SELECT *, ${(0 until JtGroups).map(g => s"n_$g").mkString(" + ")} AS nn,
+       |    ${(0 until JtGroups).map(g => s"CAST(n_$g AS DECIMAL(38,0)) * n_$g").mkString(" + ")} AS sn2,
+       |    ${(0 until JtGroups).map(g => s"CAST(n_$g AS DECIMAL(38,0)) * n_$g * (2 * CAST(n_$g AS DECIMAL(38,0)) + 3)").mkString(" + ")} AS sn23
+       |  FROM agg)
+       |SELECT CAST(nn AS BIGINT) AS n_customers, CAST($JtGroups AS INTEGER) AS k_groups,
+       |  CAST(j2 AS DOUBLE) / CAST(2 AS DOUBLE) AS j_stat,
+       |  $JtZ AS z_stat,
+       |  CASE WHEN abs($JtZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM tot""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- pacf_profile
+
+  // Durbin–Levinson closed forms for the first three partial
+  // autocorrelations on the staged r1/r2/r3 doubles
+  private val Pacf2 =
+    "((r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1))"
+  private val Pacf3 = {
+    val a21 = s"(r1 - $Pacf2 * r1)"
+    s"((r3 - $a21 * r2 - $Pacf2 * r1) / (CAST(1 AS DOUBLE) - $a21 * r1 - $Pacf2 * r2))"
+  }
+
+  /** Partial autocorrelation of daily revenue at lags 1–3 via the
+    * Durbin–Levinson closed forms on the exact-decimal ACF ratios —
+    * the AR-order diagnostic `autocorr_lag` (raw ACF) can't give: a
+    * slowly decaying ACF with a PACF cutoff at lag p is the textbook
+    * AR(p) signature, and PACF is what an order-selection step
+    * actually reads. Shares the autocorr_lag deviation frame (exact
+    * n·y − S decimals); r₁..r₃ stage as deterministic doubles and
+    * each φ_kk is one fixed-order expression; the ±1.96/√n band rides
+    * along.
+    *
+    * Scale shape: the autocorr_lag shape — one partial-agg to the
+    * day grid, three lag columns over the calendar-bounded frame,
+    * one moment row out.
+    */
+  def pacfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).cast("decimal(38,0)").as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("n").cast("decimal(38,0)") * col("y") - col("s")).as("dev"))
+    val wLag = Window.orderBy("d")
+    val lagged = dev.select(
+      col("n") +: col("dev") +:
+        (1 to 3).map(k => lag(col("dev"), k).over(wLag).as(s"dev_$k")): _*)
+    lagged.agg(
+        max(col("n")).as("n"),
+        (sum(col("dev") * col("dev")).as("den") +:
+          (1 to 3).map(k => sum(col("dev") * col(s"dev_$k")).as(s"num_$k"))): _*)
+      .withColumn("r1", expr("CAST(num_1 AS DOUBLE) / CAST(den AS DOUBLE)"))
+      .withColumn("r2", expr("CAST(num_2 AS DOUBLE) / CAST(den AS DOUBLE)"))
+      .withColumn("r3", expr("CAST(num_3 AS DOUBLE) / CAST(den AS DOUBLE)"))
+      .selectExpr("CAST(n AS BIGINT) AS n_days",
+        "r1 AS acf_1", "r2 AS acf_2", "r3 AS acf_3",
+        "r1 AS pacf_1", s"$Pacf2 AS pacf_2", s"$Pacf3 AS pacf_3",
+        "CAST(1.96 AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS band_95")
+  }
+
+  val pacfProfileSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT count(*) AS n, sum(CAST(y AS DECIMAL(38,0))) AS s FROM daily),
+       |dv AS (
+       |  SELECT d, t.n, CAST(t.n AS DECIMAL(38,0)) * y - t.s AS dev
+       |  FROM daily, t),
+       |lg AS (
+       |  SELECT n, dev,
+       |    lag(dev, 1) OVER (ORDER BY d) AS dev_1,
+       |    lag(dev, 2) OVER (ORDER BY d) AS dev_2,
+       |    lag(dev, 3) OVER (ORDER BY d) AS dev_3
+       |  FROM dv),
+       |sm AS (
+       |  SELECT max(n) AS n, sum(dev * dev) AS den,
+       |    sum(dev * dev_1) AS num_1, sum(dev * dev_2) AS num_2,
+       |    sum(dev * dev_3) AS num_3
+       |  FROM lg),
+       |r AS (
+       |  SELECT *, CAST(num_1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+       |    CAST(num_2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+       |    CAST(num_3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+       |  FROM sm)
+       |SELECT CAST(n AS BIGINT) AS n_days, r1 AS acf_1, r2 AS acf_2, r3 AS acf_3,
+       |  r1 AS pacf_1, $Pacf2 AS pacf_2, $Pacf3 AS pacf_3,
+       |  CAST(1.96 AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS band_95
+       |FROM r""".stripMargin
 }
