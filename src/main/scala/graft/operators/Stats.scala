@@ -6740,4 +6740,146 @@ object Stats {
        |  r1 AS pacf_1, $Pacf2 AS pacf_2, $Pacf3 AS pacf_3,
        |  CAST(1.96 AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS band_95
        |FROM r""".stripMargin
+
+  // ------------------------------------------------------------ page_hinkley_drift
+
+  // δ and λ in $k revenue units; per-day term x_t − x̄_t − δ with the
+  // EXACT running mean (cum·1 − t·x̄ cleared by cross-multiplying:
+  // term = (t·x_t − cum_t)/t − δ, cum exact BIGINT)
+  private val PhDelta = "CAST(200 AS DOUBLE)"
+  private val PhLambda = "CAST(5000 AS DOUBLE)"
+  private val PhTerm =
+    "(CAST(CAST(t AS DECIMAL(38,0)) * y - cum AS DOUBLE) / CAST(t AS DOUBLE)" +
+      s" - $PhDelta)"
+
+  /** Page–Hinkley drift detector on daily revenue ($k units): the
+    * sequential ADAPTIVE-MEAN change detector (`cusum_alerts` tracks
+    * deviations from a FIXED reference; PH re-centers on the running
+    * mean, so slow level creep doesn't poison the alarm) — m_t =
+    * Σ_{i≤t}(x_i − x̄_i − δ), alarm when m_t − min_{i≤t} m_i > λ.
+    * Each term clears the running-mean division by cross-multiplying
+    * exact cumulative BIGINTs; terms are 6-dp quantized into an
+    * order-free decimal cumsum, and the min-tracking is a second
+    * window on the same day grid. Output is the one-row summary a
+    * monitoring page consumes (max PH, alarm-day count, first alarm);
+    * δ = 200 $k ≈ 0.3σ of daily revenue, λ = 5000 ≈ 7σ — the
+    * generator's real multi-year level drift DOES alarm, honestly.
+    *
+    * Scale shape: one orders partial-agg to the calendar-bounded day
+    * grid; all three windows (cum, cumsum, running min) run on the
+    * grid, never on raw rows.
+    */
+  def pageHinkleyDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+    val wc = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", count(lit(1)).over(wc))
+      .withColumn("cum", sum(col("y")).over(wc))
+      .withColumn("term", expr(s"CAST(round($PhTerm, 6) AS DECIMAL(28,6))"))
+      .withColumn("m", sum(col("term")).over(wc))
+      .withColumn("mmin", min(col("m")).over(wc))
+      .withColumn("ph", expr("CAST(m - mmin AS DOUBLE)"))
+      .agg(count(lit(1)).as("n_days"), max(col("ph")).as("max_ph"),
+        sum(expr(s"CASE WHEN ph > $PhLambda THEN 1 ELSE 0 END")).as("n_alarms"),
+        min(expr(s"CASE WHEN ph > $PhLambda THEN CAST(d AS STRING) END")).as("fa"))
+      .selectExpr("CAST(n_days AS BIGINT) AS n_days",
+        s"$PhDelta AS delta_k", s"$PhLambda AS lambda_k",
+        "max_ph", "CAST(n_alarms AS BIGINT) AS n_alarm_days",
+        "coalesce(fa, 'none') AS first_alarm_day")
+  }
+
+  val pageHinkleyDriftSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |c AS (
+       |  SELECT *,
+       |    count(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+       |    sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM daily),
+       |tm AS (
+       |  SELECT *, CAST(round($PhTerm, 6) AS DECIMAL(28,6)) AS term FROM c),
+       |mm AS (
+       |  SELECT *,
+       |    sum(term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+       |  FROM tm),
+       |mn AS (
+       |  SELECT *,
+       |    min(m) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin
+       |  FROM mm),
+       |ph AS (SELECT *, CAST(m - mmin AS DOUBLE) AS ph FROM mn)
+       |SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |  $PhDelta AS delta_k, $PhLambda AS lambda_k,
+       |  max(ph) AS max_ph,
+       |  CAST(sum(CASE WHEN ph > $PhLambda THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+       |  coalesce(min(CASE WHEN ph > $PhLambda THEN CAST(d AS VARCHAR) END), 'none') AS first_alarm_day
+       |FROM ph""".stripMargin
+
+  // ------------------------------------------------------------------ jarque_bera
+
+  // standardized 3rd/4th central moments off exact raw moments:
+  // m_k = Σ(x−x̄)^k/n expanded in raw power sums, each operand cast
+  // individually (the anova pivot discipline); values in cents ≤ ~2e4
+  // keep Σc⁴ ≤ 1.6e17·n exact in decimal(38,0) to any realistic n
+  private val JbMean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val JbM2 =
+    s"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - $JbMean * $JbMean)"
+  private val JbM3 =
+    s"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(3 AS DOUBLE) * $JbMean * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)" +
+      s" + CAST(2 AS DOUBLE) * $JbMean * $JbMean * $JbMean)"
+  private val JbM4 =
+    s"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(4 AS DOUBLE) * $JbMean * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)" +
+      s" + CAST(6 AS DOUBLE) * $JbMean * $JbMean * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)" +
+      s" - CAST(3 AS DOUBLE) * $JbMean * $JbMean * $JbMean * $JbMean)"
+  private val JbSkew = s"($JbM3 / (sqrt($JbM2) * sqrt($JbM2) * sqrt($JbM2)))"
+  private val JbKurt = s"($JbM4 / ($JbM2 * $JbM2) - CAST(3 AS DOUBLE))"
+  private val JbStat =
+    s"(CAST(n AS DOUBLE) / CAST(6 AS DOUBLE) * ($JbSkew * $JbSkew" +
+      s" + $JbKurt * $JbKurt / CAST(4 AS DOUBLE)))"
+
+  /** Jarque–Bera normality test of event values: skewness and excess
+    * kurtosis off EXACT raw power sums Σc..Σc⁴ (one conditional-free
+    * partial-agg pass, decimal(38,0) ledger — cents ≤ 2·10⁴ keeps Σc⁴
+    * inside 38 digits to any realistic corpus), JB = n/6·(S² + K²/4)
+    * vs χ²₂ — the normality gate `welch_t_test`/`anova_oneway`
+    * implicitly lean on and nothing else in the battery checks.
+    * Every derived moment is one fixed-order shared-text expression
+    * (the anova pivot discipline).
+    *
+    * Scale shape: ONE map-side-combining pass to a 5-number row;
+    * everything after is scalar arithmetic.
+    */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).events
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("s2"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c").cast("decimal(38,0)")).as("s3"),
+        sum(expr("(CAST(c AS DECIMAL(38,0)) * c) * (CAST(c AS DECIMAL(38,0)) * c)").cast("decimal(38,0)")).as("s4"))
+      .selectExpr("CAST(n AS BIGINT) AS n_events",
+        s"$JbSkew AS skewness", s"$JbKurt AS excess_kurtosis",
+        s"$JbStat AS jb_stat",
+        s"CASE WHEN $JbStat > CAST(5.991 AS DOUBLE) THEN 1 ELSE 0 END AS non_normal")
+  }
+
+  val jarqueBeraSql: String =
+    s"""WITH o AS (
+       |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(c AS DECIMAL(38,0))) AS s1,
+       |    sum(CAST(c * c AS DECIMAL(38,0))) AS s2,
+       |    sum(CAST(CAST(c AS DECIMAL(38,0)) * c * c AS DECIMAL(38,0))) AS s3,
+       |    sum(CAST((CAST(c AS DECIMAL(38,0)) * c) * (CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))) AS s4
+       |  FROM o)
+       |SELECT CAST(n AS BIGINT) AS n_events,
+       |  $JbSkew AS skewness, $JbKurt AS excess_kurtosis,
+       |  $JbStat AS jb_stat,
+       |  CASE WHEN $JbStat > CAST(5.991 AS DOUBLE) THEN 1 ELSE 0 END AS non_normal
+       |FROM m""".stripMargin
 }
