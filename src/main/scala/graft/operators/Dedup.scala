@@ -788,6 +788,71 @@ object Dedup {
       |  (SELECT CAST(count(*) AS BIGINT) FROM mh JOIN sh USING (doc_a, doc_b)) AS n_minhash_simhash,
       |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_union""".stripMargin
 
+  // ------------------------------------------------------ capture_recapture_dupes
+
+  // Chapman estimator on the two detector "captures" (n1, n2, overlap m)
+  private val CrChapman =
+    "(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE)" +
+      " - CAST(1 AS DOUBLE))"
+  private val CrVar =
+    "(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) * CAST(n1 - m AS DOUBLE)" +
+      " * CAST(n2 - m AS DOUBLE) / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)" +
+      " * CAST(m + 2 AS DOUBLE)))"
+
+  /** Capture–recapture estimate of the TRUE near-duplicate pair count
+    * from two independent detectors: MinHash-LSH and SimHash are the
+    * two "capture occasions", their overlap calibrates each one's
+    * recall, and the Chapman estimator N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    * (with its standard variance) estimates how many duplicate pairs
+    * EXIST — including the ones neither detector caught. The
+    * completeness audit `dedup_method_agreement` (raw overlap counts)
+    * and `lsh_recall_audit` (recall vs an exact truth set that only
+    * exists at test scale) can't give at 100 TB, where no exact truth
+    * set is computable and ecology's estimator is exactly the tool.
+    * Independence of the two detectors is the stated assumption
+    * (hash-family vs bit-projection — documented).
+    *
+    * Scale shape: both pair sets are the existing bucketed detector
+    * plans (work ∝ colliding candidates); the overlap is one pair-
+    * keyed join; the estimator is scalar arithmetic on five counts.
+    */
+  def captureRecaptureDupes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.OwnedCaches.own
+    val mh = own(dedupMinHashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache())
+    val sh = own(dedupSimHash(spark, dir).select(col("doc_a"), col("doc_b")).cache())
+    mh.agg(count(lit(1)).cast("long").as("n1"))
+      .crossJoin(sh.agg(count(lit(1)).cast("long").as("n2")))
+      .crossJoin(mh.intersect(sh).agg(count(lit(1)).cast("long").as("m")))
+      .crossJoin(mh.union(sh).distinct()
+        .agg(count(lit(1)).cast("long").as("n_union")))
+      .selectExpr("n1 AS n_minhash", "n2 AS n_simhash", "m AS n_overlap",
+        "n_union",
+        s"$CrChapman AS chapman_estimate",
+        s"sqrt($CrVar) AS se",
+        s"greatest(CAST(n_union AS DOUBLE), $CrChapman - CAST(1.96 AS DOUBLE) * sqrt($CrVar)) AS ci_low",
+        s"$CrChapman + CAST(1.96 AS DOUBLE) * sqrt($CrVar) AS ci_high",
+        s"greatest(CAST(0 AS DOUBLE), $CrChapman - CAST(n_union AS DOUBLE)) AS undetected_estimate")
+  }
+
+  lazy val captureRecaptureDupesSql: String =
+    s"""WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinHashLshSql) t1),
+      |sh AS (SELECT doc_a, doc_b FROM ($dedupSimHashSql) t2),
+      |c AS (
+      |  SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n1,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM sh) AS n2,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM mh JOIN sh USING (doc_a, doc_b)) AS m,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM (
+      |      SELECT DISTINCT doc_a, doc_b FROM (
+      |        SELECT doc_a, doc_b FROM mh UNION ALL SELECT doc_a, doc_b FROM sh))) AS n_union)
+      |SELECT n1 AS n_minhash, n2 AS n_simhash, m AS n_overlap, n_union,
+      |  $CrChapman AS chapman_estimate,
+      |  sqrt($CrVar) AS se,
+      |  greatest(CAST(n_union AS DOUBLE), $CrChapman - CAST(1.96 AS DOUBLE) * sqrt($CrVar)) AS ci_low,
+      |  $CrChapman + CAST(1.96 AS DOUBLE) * sqrt($CrVar) AS ci_high,
+      |  greatest(CAST(0 AS DOUBLE), $CrChapman - CAST(n_union AS DOUBLE)) AS undetected_estimate
+      |FROM c""".stripMargin
+
   /** INCREMENTAL corpus admission — the batch face of streaming
     * `NearDupSink`: screen an arriving document batch (content-hash
     * split, ≥90 bucket = "new") against the EXISTING corpus only,

@@ -6819,6 +6819,80 @@ object Stats {
        |  coalesce(min(CASE WHEN ph > $PhLambda THEN CAST(d AS VARCHAR) END), 'none') AS first_alarm_day
        |FROM ph""".stripMargin
 
+  // ----------------------------------------------------------------- pot_tail_fit
+
+  // method-of-moments GPD on the exceedances: ξ = (1 − m²/s²)/2,
+  // σ = m·(m²/s² + 1)/2, from exact integer excess moments
+  private val PotMean = "(CAST(se1 AS DOUBLE) / CAST(ne AS DOUBLE))"
+  private val PotVar =
+    s"((CAST(se2 AS DOUBLE) - CAST(se1 AS DOUBLE) * CAST(se1 AS DOUBLE)" +
+      s" / CAST(ne AS DOUBLE)) / CAST(ne - 1 AS DOUBLE))"
+  private val PotRatio = s"($PotMean * $PotMean / $PotVar)"
+  private val PotXi = s"((CAST(1 AS DOUBLE) - $PotRatio) / CAST(2 AS DOUBLE))"
+  private val PotSigma = s"($PotMean * ($PotRatio + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE))"
+
+  /** Peaks-over-threshold GPD tail fit of order values: the exact
+    * ceil-rank p95 (cents count-of-counts grid) is the threshold, and
+    * the method-of-moments generalized-Pareto parameters of the
+    * exceedances — ξ (tail shape: > 0 heavy, < 0 bounded) and σ
+    * (scale) — are the OTHER extreme-value branch beside
+    * `gumbel_extreme_fit` (block maxima): POT uses every exceedance
+    * instead of one max per block, which is what a risk/capacity
+    * model actually fits. Excess moments are exact decimal integers
+    * off the same grid that found the threshold — ONE fact pass total.
+    *
+    * Scale shape: one orders partial-agg to the price-domain-bounded
+    * cents grid; threshold, excess moments, and the fit all run on
+    * the grid / a one-row frame.
+    */
+  def potTailFit(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables(spark, dir).orders
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val thr = grid.filter(expr("cum >= (19 * n + 19) div 20"))
+      .agg(min(col("v")).as("u"), max(col("n")).as("nt"))
+    grid.drop("n").crossJoin(broadcast(thr))
+      .filter(col("v") > col("u"))
+      .agg(max(col("nt")).as("n"), max(col("u")).as("u"), sum(col("c")).as("ne"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (v - u)")).as("se1"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (v - u) * (v - u)")).as("se2"))
+      .selectExpr("CAST(n AS BIGINT) AS n_orders",
+        "CAST(u AS DOUBLE) / CAST(100 AS DOUBLE) AS threshold_p95",
+        "CAST(ne AS BIGINT) AS n_exceed",
+        s"$PotMean / CAST(100 AS DOUBLE) AS mean_excess",
+        s"$PotXi AS gpd_xi", s"$PotSigma / CAST(100 AS DOUBLE) AS gpd_sigma",
+        s"CASE WHEN $PotXi > CAST(0 AS DOUBLE) THEN 1 ELSE 0 END AS heavy_tail")
+  }
+
+  val potTailFitSql: String =
+    s"""WITH o AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM orders),
+       |g AS (SELECT v, count(*) AS c FROM o GROUP BY 1),
+       |cc AS (
+       |  SELECT *,
+       |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER () AS n
+       |  FROM g),
+       |thr AS (
+       |  SELECT CAST(min(v) AS BIGINT) AS u, CAST(max(n) AS BIGINT) AS nt
+       |  FROM cc WHERE cum >= (19 * n + 19) // 20),
+       |agg AS (
+       |  SELECT max(nt) AS n, max(u) AS u, CAST(sum(c) AS BIGINT) AS ne,
+       |    sum(CAST(c AS DECIMAL(38,0)) * (v - u)) AS se1,
+       |    sum(CAST(c AS DECIMAL(38,0)) * (v - u) * (v - u)) AS se2
+       |  FROM cc, thr WHERE v > u)
+       |SELECT CAST(n AS BIGINT) AS n_orders,
+       |  CAST(u AS DOUBLE) / CAST(100 AS DOUBLE) AS threshold_p95,
+       |  ne AS n_exceed,
+       |  $PotMean / CAST(100 AS DOUBLE) AS mean_excess,
+       |  $PotXi AS gpd_xi, $PotSigma / CAST(100 AS DOUBLE) AS gpd_sigma,
+       |  CASE WHEN $PotXi > CAST(0 AS DOUBLE) THEN 1 ELSE 0 END AS heavy_tail
+       |FROM agg""".stripMargin
+
   // ------------------------------------------------------------------ jarque_bera
 
   // standardized 3rd/4th central moments off exact raw moments:
