@@ -72,7 +72,7 @@ object Dedup {
     "dedup_incremental", "dedup_threshold_sensitivity",
     "minhash_estimate_audit", "minhash_band_tune", "lsh_bucket_occupancy",
     "dedup_shingle_size_sensitivity", "lsh_recall_audit",
-    "dup_ngram_coverage")
+    "dup_ngram_coverage", "capture_recapture_dupes")
 
   private[graft] val HashedConsumers: Set[String] =
     ShingleConsumers - "lsh_bucket_occupancy"
@@ -84,7 +84,7 @@ object Dedup {
   private[graft] val LshBandedConsumers: Set[String] = Set(
     "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_canonical",
     "dedup_method_agreement", "dedup_cross_source_matrix",
-    "dedup_cluster_size_hist")
+    "dedup_cluster_size_hist", "capture_recapture_dupes")
 
   /** Distinct 3-gram shingle set per doc via the one-pass
     * TokenShingles expression, cached: every dedup operator reuses
