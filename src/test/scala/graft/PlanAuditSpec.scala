@@ -239,4 +239,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     graft.core.OwnedCaches.release()
   }
+
+  test("dynamic partition pruning engages on a partitioned fact join") {
+    // at 100 TB the fact lives partitioned (month/date); a dim-filtered
+    // join must prune partitions at RUNTIME via DPP — a regression to
+    // a full scan is invisible at test SF except in the plan, so pin
+    // the DynamicPruningExpression in the partition filters
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    graft.core.Tables(spark, sf).orders
+      .withColumn("m", expr("year(o_orderdate) * 12 + month(o_orderdate) - 1"))
+      .write.mode("overwrite").partitionBy("m").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val months = fact.select(col("m")).distinct().limit(3)
+      .collect().map(_.getAs[Int]("m"))
+    // DPP's planner wants a SELECTIVE predicate on the build side —
+    // write the dim to parquet and filter it, the shape a real
+    // dim-filtered fact join has
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    fact.select(col("m")).distinct()
+      .withColumn("keep", when(col("m").isin(months.map(Integer.valueOf): _*), 1).otherwise(0))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("keep") === 1)
+    val joined = fact.join(dim, Seq("m"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("m")).as("nm"))
+    val rows = joined.collect()
+    assert(rows.head.getAs[Long]("nm") == months.length.toLong)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"the fact scan must carry a DynamicPruningExpression partition filter:\n" +
+        plan.take(4000))
+  }
 }
