@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming quantile dashboard (SURVEY.md §2 K): a `foreachBatch`
+  * sink that maintains per-key FIXED-BOUND equi-width histograms
+  * across micro-batches — the streaming face of
+  * `quantile_sketch_audit`'s sketch-for-sort argument. Exact streaming
+  * quantiles would hold every value in state (unbounded); the
+  * histogram is ≤ keys × 256 rows FOREVER, and because the bucket
+  * layout is FIXED (not data-dependent min/max — the production
+  * configuration choice), merging a batch is a lossless
+  * sum-per-bucket: the state after any number of micro-batches is
+  * bucket-for-bucket identical to one batch histogram over the
+  * concatenated input (unit-tested), and every ceil-rank midpoint
+  * estimate is within one bucket width of the exact quantile.
+  * State versioning follows [[UpsertSink]] (snapshot rotation,
+  * object-store safe).
+  */
+object HistogramSink {
+
+  /** Fixed value domain in exact integer units (covers TPC-H order
+    * totals in cents with headroom); values past the edge clamp into
+    * the end buckets — the standard configured-domain tradeoff,
+    * observable as end-bucket mass.
+    */
+  val Lo = 0L
+  val Hi = 64000000L
+  val Buckets = 256
+  val Width: Long = (Hi - Lo) / Buckets
+
+  /** Schema of a streamed value file (JSONL): grouping key + exact
+    * integer value (cents).
+    */
+  val valueSchema: StructType = StructType(Seq(
+    StructField("k", StringType),
+    StructField("v", LongType)))
+
+  private val stateSchema = StructType(Seq(
+    StructField("k", StringType),
+    StructField("bucket", LongType),
+    StructField("c", LongType)))
+
+  /** Per-(key, bucket) counts of one frame — the ONE bucketing
+    * derivation both the sink and the batch-parity check use.
+    */
+  def histogram(df: DataFrame): DataFrame =
+    df.select(col("k"),
+        expr(s"least(greatest((v - $Lo) div $Width, 0), ${Buckets - 1})").as("bucket"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Current histogram state (empty, schema'd, before the first batch). */
+  def currentHistogram(spark: SparkSession, stateDir: String): DataFrame =
+    VersionedState.readOrEmpty(spark, stateDir, stateSchema)
+
+  /** Ceil-rank bucket-midpoint estimates per key for quantile `q`
+    * (percent) from the current state.
+    */
+  def currentEstimate(spark: SparkSession, stateDir: String, q: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    currentHistogram(spark, stateDir)
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("k").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("k")))
+      .filter(expr(s"cum >= ($q * n + 99) div 100"))
+      .groupBy(col("k"))
+      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n"))
+      .selectExpr("k", s"CAST($q AS INTEGER) AS q", "CAST(n AS BIGINT) AS n",
+        s"$Lo + bucket * $Width + ${Width / 2} AS est_value")
+      .orderBy("k")
+  }
+
+  /** Start the histogram-maintenance stream over JSONL values. */
+  def start(spark: SparkSession, inputDir: String, stateDir: String): StreamingQuery =
+    spark.readStream.schema(valueSchema).json(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val merged = currentHistogram(sp, stateDir)
+          .unionByName(histogram(batch))
+          .groupBy(col("k"), col("bucket"))
+          .agg(sum(col("c")).as("c"))
+        VersionedState.commit(merged, stateDir)
+        ()
+      }
+      .start()
+}
