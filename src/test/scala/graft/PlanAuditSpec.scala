@@ -270,4 +270,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the fact scan must carry a DynamicPruningExpression partition filter:\n" +
         plan.take(4000))
   }
+
+  test("AQE skew-join handling engages on a manufactured hot key") {
+    // salted_join is the MANUAL skew treatment; at 100 TB the first
+    // line of defense is AQE's runtime skew split — pin that the
+    // session config actually produces a skew=true sort-merge join
+    // when one key carries ~all the probe rows
+    import org.apache.spark.sql.functions._
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" ->
+        spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin", "false"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try {
+      val hot = spark.range(0, 200000)
+        .selectExpr("CASE WHEN id % 100 < 99 THEN 0 ELSE id END AS k",
+          "repeat(CAST(id AS STRING), 8) AS payload")
+      val dim = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS attr")
+      val joined = hot.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(expr("attr + length(payload)")).as("s"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot-key join skew=true:\n${plan.take(4000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
