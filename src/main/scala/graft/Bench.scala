@@ -23,11 +23,26 @@ object Bench {
     //                  (partial caching = LRU eviction happened)
     //   shared_rebuilds  shared frames rebuilt after release (stale
     //                    consumer list in SharedFrames — drift tell)
+    // sidecar v2 (round 14): the r13 gap analysis (BENCH_GAP_r14.md)
+    // ruled out GC/eviction/rebuilds but had to INFER external host
+    // contention. task wall-vs-CPU and /proc/loadavg make it direct:
+    // contention = cpu/run ratio drops AND load1 > core count, while
+    // a genuinely slower plan raises run and cpu together.
     val taskGc = new java.util.concurrent.atomic.AtomicLong
+    val taskRun = new java.util.concurrent.atomic.AtomicLong
+    val taskCpu = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null) taskGc.addAndGet(t.taskMetrics.jvmGCTime)
+        if (t.taskMetrics != null) {
+          taskGc.addAndGet(t.taskMetrics.jvmGCTime)
+          taskRun.addAndGet(t.taskMetrics.executorRunTime)
+          taskCpu.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
+        }
     })
+    def load1: Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     def jvmGcMs: Long = {
       var s = 0L
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -88,6 +103,7 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val gc0 = jvmGcMs; val tgc0 = taskGc.get()
+      val trun0 = taskRun.get(); val tcpu0 = taskCpu.get()
       val reb0 = graft.core.SharedFrames.diagnostics._1
       def once: Double = {
         if (isolate) { spark.catalog.clearCache(); graft.core.SharedFrames.reset() }
@@ -105,11 +121,16 @@ object Bench {
       }
       // min over SUCCESSFUL runs only: -1 is a failure sentinel, and
       // min(ok, -1) would discard the good timing and poison the total
-      val ok = Seq(once, once).filter(_ >= 0.0)
+      val r1 = once; val r2 = once
+      val ok = Seq(r1, r2).filter(_ >= 0.0)
       graft.core.SharedFrames.queryDone(name)
       val (mem, disk, evicted) = storageNow
       sidecar(name) =
         s"""{"gc_ms":${jvmGcMs - gc0},"task_gc_ms":${taskGc.get() - tgc0},""" +
+        s""""task_run_ms":${taskRun.get() - trun0},"task_cpu_ms":${taskCpu.get() - tcpu0},""" +
+        s""""load1":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(load1))},""" +
+        s""""run1_s":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(r1))},""" +
+        s""""run2_s":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(r2))},""" +
         s""""storage_mb":$mem,"storage_disk_mb":$disk,"evicted_parts":$evicted,""" +
         s""""shared_rebuilds":${graft.core.SharedFrames.diagnostics._1 - reb0}}"""
       name -> (if (ok.nonEmpty) ok.min else -1.0)

@@ -84,5 +84,13 @@ object QuantUnitVector {
   /** Register `graft_qunit` in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_qunit", exprs => QuantUnitVector(exprs.head), "scala_udf")
+      "graft_qunit", exprs => {
+        // arity-checked like the other graft_* registrations: silently
+        // dropping extra args (or NoSuchElementException on zero) hides
+        // caller bugs behind wrong-but-plausible results (ADVICE r13)
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"graft_qunit expects exactly 1 argument (array<double>), got ${exprs.length}")
+        QuantUnitVector(exprs.head)
+      }, "scala_udf")
 }

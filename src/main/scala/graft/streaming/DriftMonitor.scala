@@ -73,15 +73,39 @@ object DriftMonitor {
     }
   }
 
-  /** The streaming query: JSONL daily rollups → per-series PH rows. */
+  /** The streaming query: JSONL daily rollups → per-series PH rows.
+    *
+    * Precondition: `transformWithState` requires the RocksDB state
+    * store provider AT QUERY START. This builder does NOT mutate the
+    * session conf (ADVICE r13: a global set here silently switched the
+    * provider for every other streaming query in the session and
+    * outlived this one) — wrap the `.start()` call in
+    * [[withRocksDbProvider]] instead.
+    */
   def pageHinkleyStream(spark: SparkSession, inputDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.readStream.schema(dailySchema).json(inputDir).as[DailyIn]
       .groupByKey(_.series_id)
       .transformWithState(new PageHinkleyProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF()
+  }
+
+  /** Scope the RocksDB state-store provider to one query start: the
+    * provider class is captured when the query starts, so setting it
+    * around `.start()` and restoring the previous value immediately
+    * after leaves every other (and every future) streaming query on
+    * the session's own provider.
+    */
+  def withRocksDbProvider[T](spark: SparkSession)(startQuery: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try startQuery
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }

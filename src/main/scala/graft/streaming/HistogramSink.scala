@@ -59,6 +59,16 @@ object HistogramSink {
 
   /** Ceil-rank bucket-midpoint estimates per key for quantile `q`
     * (percent) from the current state.
+    *
+    * `clamped_count` is the key's mass sitting in the two SATURATING
+    * end buckets (values outside [Lo, Hi) clamp into bucket 0 /
+    * Buckets-1): when it is non-zero the "within one bucket width"
+    * error bound no longer holds for quantiles that land in clamped
+    * mass — consumers must check it rather than trust the estimate
+    * blindly (ADVICE r13). In-domain values that legitimately bucket
+    * to the ends are counted too (the state cannot tell them apart);
+    * the column is a conservative saturation alarm, not an exact
+    * out-of-domain count.
     */
   def currentEstimate(spark: SparkSession, stateDir: String, q: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -67,11 +77,16 @@ object HistogramSink {
         Window.partitionBy("k").orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("c")).over(Window.partitionBy("k")))
+      .withColumn("clamped", sum(expr(
+        s"CASE WHEN bucket = 0 OR bucket = ${Buckets - 1} THEN c ELSE 0 END"))
+        .over(Window.partitionBy("k")))
       .filter(expr(s"cum >= ($q * n + 99) div 100"))
       .groupBy(col("k"))
-      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n"))
+      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n"),
+        max(col("clamped")).as("clamped"))
       .selectExpr("k", s"CAST($q AS INTEGER) AS q", "CAST(n AS BIGINT) AS n",
-        s"$Lo + bucket * $Width + ${Width / 2} AS est_value")
+        s"$Lo + bucket * $Width + ${Width / 2} AS est_value",
+        "CAST(clamped AS BIGINT) AS clamped_count")
       .orderBy("k")
   }
 

@@ -17,8 +17,13 @@ class Round13tSpec extends AnyFunSuite {
       .orderBy("d").collect()
       .map(r => (r.getAs[java.sql.Date]("d").toString, r.getAs[Long]("y")))
     val dir = java.nio.file.Files.createTempDirectory("ph_stream").toString
-    val q = DriftMonitor.pageHinkleyStream(spark, dir).writeStream
-      .outputMode("update").format("memory").queryName("ph_stream").start()
+    val q = DriftMonitor.withRocksDbProvider(spark) {
+      DriftMonitor.pageHinkleyStream(spark, dir).writeStream
+        .outputMode("update").format("memory").queryName("ph_stream").start()
+    }
+    // the provider scoping must not leak past start (ADVICE r13)
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
     try {
       // two chronological micro-batches — state must carry across
       val (h1, h2) = days.splitAt(days.length / 2)

@@ -37,13 +37,23 @@ class Round13uSpec extends AnyFunSuite {
       assert(got == want, "merged state must equal the one-shot histogram")
       // estimates: within one bucket width of the exact ceil-rank value
       for (qq <- Seq(50, 95, 99)) {
-        val est = HistogramSink.currentEstimate(spark, st, qq).collect()
-          .map(r => r.getAs[String]("k") -> r.getAs[Long]("est_value")).toMap
+        val rows = HistogramSink.currentEstimate(spark, st, qq).collect()
+        val est = rows.map(r => r.getAs[String]("k") -> r.getAs[Long]("est_value")).toMap
+        // saturation alarm column (ADVICE r13): o_totalprice*100 is in
+        // domain, so clamped_count must equal the true end-bucket mass
+        val clamped = rows.map(r => r.getAs[String]("k") -> r.getAs[Long]("clamped_count")).toMap
         vals.groupBy(_._1).foreach { case (k, rows) =>
           val sorted = rows.map(_._2).sorted
           val exact = sorted((qq * sorted.length + 99) / 100 - 1)
           assert(math.abs(est(k) - exact) <= HistogramSink.Width,
             s"$k p$qq: est ${est(k)} vs exact $exact beyond one bucket width")
+          val endMass = rows.map(_._2).count { v =>
+            val b = math.min(math.max((v - HistogramSink.Lo) / HistogramSink.Width, 0L),
+              HistogramSink.Buckets - 1L)
+            b == 0L || b == HistogramSink.Buckets - 1L
+          }
+          assert(clamped(k) == endMass.toLong,
+            s"$k: clamped_count ${clamped(k)} != end-bucket mass $endMass")
         }
       }
     } finally q.stop()
