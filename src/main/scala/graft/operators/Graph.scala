@@ -81,6 +81,7 @@ object Graph {
   private[graft] def replayCap(perRowUs: Double, rounds: Int): Long =
     math.min(SingleTaskRowMax, (SingleTaskBudgetUs / (perRowUs * rounds)).toLong)
   private[graft] val RelaxPerRowUs = 0.06
+  private[graft] val TrianglePerRowUs = 1.5
   private[graft] val KcorePerRowUs = 0.06
   private[graft] val LouvainPerRowUs = 0.08
   private[graft] val PagerankPerRowUs = 0.40
@@ -209,6 +210,48 @@ object Graph {
     * 2M-row cap — the heaviest admitted replay, inside the
     * single-task latency budget).
     */
+  /** The single-task triangle replay body — the same degree-oriented
+    * wedge enumeration as the distributed branch (orient each edge
+    * from its lower (deg·2³¹+id) endpoint, count wedges whose closing
+    * oriented edge exists), all-integer so the count is bit-identical
+    * by construction. Factored out for ReplayCalibrate (measured
+    * ~1.1-1.5 µs/edge on ring-of-cliques — hash-set probes dominate;
+    * the 2M-edge cap replay is ~3 s, inside the single-task budget).
+    */
+  private[graft] def triangleReplay(es: Array[(Long, Long)]): Iterator[(Long, Long, Long)] = {
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    es.foreach { case (a, b) =>
+      deg.update(a, deg.getOrElse(a, 0L) + 1L)
+      deg.update(b, deg.getOrElse(b, 0L) + 1L)
+    }
+    def rank(p: Long): Long = deg(p) * 2147483648L + p
+    val out = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val oriented = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    es.foreach { case (a, b) =>
+      val (s, d) = if (rank(a) < rank(b)) (a, b) else (b, a)
+      out.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty[Long]) += d
+      oriented += ((s, d))
+    }
+    var tri = 0L
+    out.valuesIterator.foreach { ds =>
+      val arr = ds.toArray
+      var i = 0
+      while (i < arr.length) {
+        var j = 0
+        while (j < arr.length) {
+          // wedge (v, w) ordered by the same rdst total order as the
+          // distributed filter x.rdst < y.rdst
+          if (j != i && rank(arr(i)) < rank(arr(j)) &&
+              oriented.contains((arr(i), arr(j)))) tri += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    Iterator.single((deg.size.toLong, es.length.toLong, tri))
+  }
+
   private[graft] def pagerankReplay(es: Array[(Long, Long, Long)],
       iters: Int, initR: Long, teleportC: Long): Iterator[(Long, Long)] = {
     var r = scala.collection.mutable.LongMap.empty[Long]
@@ -276,7 +319,14 @@ object Graph {
     * id-ordered join — the triangle count is orientation-invariant,
     * so two different enumeration strategies must land on one hash.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCount(spark, dir, forceDistributed = false)
+
+  /** `forceDistributed` pins the at-scale wedge-join branch for the
+    * branch-equality test.
+    */
+  private[graft] def triangleCount(spark: SparkSession, dir: String,
+      forceDistributed: Boolean): DataFrame = {
     // cached (shared [[supportEdges]] layer): referenced by deg (×2
     // via the union), the orientation join, and the edge-count leaf —
     // without a cache AQE replans each consumer independently and the
@@ -285,6 +335,27 @@ object Graph {
     // plan). The frame is the support-FILTERED edge list — O(repeat
     // co-purchase pairs), far below pair volume, safe at any scale.
     val edges = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    // replay admission (round 14, VERDICT r13 #2): the support graph
+    // at bench scale is ~3.5k edges with ONE triangle, yet the
+    // distributed orientation (union-deg, two joins, self-join, semi
+    // probe) pays ~8 shuffle stages of pure latency — measured 2.1 s
+    // of which <1 ms is arithmetic. Same measured-cost admission as
+    // pagerank/relax: under the cap the whole enumeration runs in one
+    // task on the cached edge list (count below also materializes the
+    // shared frame exactly where the distributed branch would);
+    // integer wedge counting is enumeration-order invariant, so both
+    // branches land on one hash. Above the cap: the O(m^1.5)
+    // distributed wedge join below, unchanged.
+    val nE = edges.count()
+    if (!forceDistributed && nE <= replayCap(TrianglePerRowUs, 1)) {
+      val sess = spark
+      import sess.implicits._
+      return edges.select(col("p1").cast("long"), col("p2").cast("long"))
+        .as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions(it => triangleReplay(it.toArray))
+        .toDF("n_nodes", "n_edges", "n_triangles")
+    }
     val deg = edges.select(col("p1").as("p"))
       .union(edges.select(col("p2").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))

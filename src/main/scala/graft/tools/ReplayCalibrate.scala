@@ -73,6 +73,14 @@ object ReplayCalibrate {
       bench("kcore", 6)(Graph.kcoreReplay(edges, 6, 2L).length)
       bench("relax", 3)(Graph.relaxReplay(relaxRows, 3).length)
       bench("pagerank", 5)(Graph.pagerankReplay(prEdges, 5, 1000000L, 150L).length)
+      bench("triangle", 1)(Graph.triangleReplay(edges).length)
+      // dense dim×dim scatter grid at the same row count (the eigen
+      // replay's real input is always dim² rows; cab alternates sign)
+      val dim = math.max(2, math.sqrt(edges.length.toDouble).toInt)
+      val grid = Array.tabulate(dim * dim) { k =>
+        ((k / dim).toLong, (k % dim).toLong, (if (k % 2 == 0) 1L else -1L) * ((k % 997) + 1L))
+      }
+      bench("eigen", 3)(graft.operators.Ann.eigenReplay(grid, 3, 1000L).length)
     }
   }
 }
