@@ -598,6 +598,57 @@ object Commerce {
         expr("p90_us / CAST(1000000 AS DOUBLE)").as("p90_latency_s"))
   }
 
+  /** Driver-gated audit of [[timeToConvertApprox]] (VERDICT r13 #4,
+    * same contract-gating as Reports.quantileProfileApproxAudit): the
+    * exact funnel counts and conversion rate ride through verbatim
+    * (engine-reproducible), while the two sketched latency
+    * percentiles are reduced to GK rank-bound booleans over the
+    * converted-user latency population. One summary row.
+    */
+  def timeToConvertApproxAudit(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val (su, conv) = conversionLatencyFrames(spark, dir)
+    // read twice (sketch + rank probe) — user-grain, tiny relative to events
+    val convC = graft.core.OwnedCaches.own(conv.cache())
+    val eps = 1.0 / accuracy
+    val sk = convC.agg(
+      expr(s"approx_percentile(lat_us, 0.5, $accuracy)").as("p50_us"),
+      expr(s"approx_percentile(lat_us, 0.9, $accuracy)").as("p90_us"))
+    val counts = convC.crossJoin(broadcast(sk))
+      .agg(count(lit(1)).as("n_converted"),
+        sum(when(col("lat_us") < col("p50_us"), 1L).otherwise(0L)).as("nlt_p50"),
+        sum(when(col("lat_us") <= col("p50_us"), 1L).otherwise(0L)).as("nle_p50"),
+        sum(when(col("lat_us") < col("p90_us"), 1L).otherwise(0L)).as("nlt_p90"),
+        sum(when(col("lat_us") <= col("p90_us"), 1L).otherwise(0L)).as("nle_p90"))
+    def rankOk(q: Double, nm: String) = {
+      val n = col("n_converted").cast("double")
+      ((col(s"nlt_$nm").cast("double") <= lit(q) * n + lit(eps) * n + lit(2.0)) &&
+        (col(s"nle_$nm").cast("double") >= lit(q) * n - lit(eps) * n - lit(2.0)))
+        .as(s"${nm}_rank_ok")
+    }
+    su.agg(count(lit(1)).as("n_signup")).crossJoin(broadcast(counts))
+      .select(col("n_signup"), col("n_converted"),
+        expr("CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE)").as("conv_rate"),
+        rankOk(0.5, "p50"), rankOk(0.9, "p90"))
+  }
+
+  val timeToConvertApproxAuditSql: String =
+    """WITH su AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |cv AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) - su.s_us AS lat_us
+      |  FROM events e JOIN su ON su.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_us
+      |  GROUP BY e.user_id, su.s_us),
+      |a AS (SELECT count(*) AS n_signup FROM su),
+      |b AS (SELECT count(*) AS n_converted FROM cv)
+      |SELECT CAST(n_signup AS BIGINT) AS n_signup,
+      |  CAST(n_converted AS BIGINT) AS n_converted,
+      |  CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE) AS conv_rate,
+      |  true AS p50_rank_ok, true AS p90_rank_ok
+      |FROM a, b""".stripMargin
+
   val timeToConvertSql: String =
     """WITH su AS (
       |  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events

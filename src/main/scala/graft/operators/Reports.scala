@@ -245,14 +245,7 @@ object Reports {
     */
   def anomalyMadApprox(spark: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame = {
-    val ev = Tables(spark, dir).events
-      .select(col("event_id"), col("event_type"), col("value"))
-    val med = ev.groupBy(col("event_type"))
-      .agg(expr(s"approx_percentile(value, 0.5, $accuracy)").as("med"))
-    val withDev = ev.join(broadcast(med), "event_type")
-      .withColumn("dev", abs(col("value") - col("med")))
-    val mad = withDev.groupBy(col("event_type"))
-      .agg(expr(s"approx_percentile(dev, 0.5, $accuracy)").as("mad"))
+    val (_, _, withDev, mad) = madApproxFrames(spark, dir, accuracy)
     withDev.join(broadcast(mad), "event_type")
       .filter(col("mad") > 0)
       .withColumn("mad_ratio", col("dev") / col("mad"))
@@ -261,6 +254,55 @@ object Reports {
         col("med"), col("mad"), col("mad_ratio"))
       .orderBy("event_id")
   }
+
+  /** The sketch frames [[anomalyMadApprox]] and its audit share. */
+  private def madApproxFrames(spark: SparkSession, dir: String,
+      accuracy: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, 0.5, $accuracy)").as("med"))
+    val withDev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(dev, 0.5, $accuracy)").as("mad"))
+    (ev, med, withDev, mad)
+  }
+
+  /** Driver-gated audit of [[anomalyMadApprox]] (VERDICT r13 #4, same
+    * contract-gating as [[quantileProfileApproxAudit]]): per event
+    * type, exact count plus rank-bound booleans for BOTH stacked
+    * sketches — the approx median against the value population and
+    * the approx MAD against the absolute-deviation population — and a
+    * mad-positivity boolean (the op's degenerate-group gate).
+    */
+  def anomalyMadApproxAudit(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val (_, _, withDev, mad) = madApproxFrames(spark, dir, accuracy)
+    val eps = 1.0 / accuracy
+    val counts = withDev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("med"), 1L).otherwise(0L)).as("nlt_med"),
+        sum(when(col("value") <= col("med"), 1L).otherwise(0L)).as("nle_med"),
+        sum(when(col("dev") < col("mad"), 1L).otherwise(0L)).as("nlt_mad"),
+        sum(when(col("dev") <= col("mad"), 1L).otherwise(0L)).as("nle_mad"),
+        min(when(col("mad") > 0, 1L).otherwise(0L)).as("mp"))
+    def rankOk(nm: String) = {
+      val n = col("n_events").cast("double")
+      ((col(s"nlt_$nm").cast("double") <= lit(0.5) * n + lit(eps) * n + lit(2.0)) &&
+        (col(s"nle_$nm").cast("double") >= lit(0.5) * n - lit(eps) * n - lit(2.0)))
+        .as(s"${nm}_rank_ok")
+    }
+    counts.select(col("event_type"), col("n_events"),
+        rankOk("med"), rankOk("mad"), (col("mp") === 1L).as("mad_positive"))
+      .orderBy("event_type")
+  }
+
+  val anomalyMadApproxAuditSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  true AS med_rank_ok, true AS mad_rank_ok, true AS mad_positive
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Tukey-fence outliers: rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR]
     * per event type — the boxplot rule, the third member of the
@@ -390,6 +432,48 @@ object Reports {
       .orderBy("event_id")
   }
 
+  /** Driver-gated audit of [[winsorizeApprox]] (VERDICT r13 #4, same
+    * contract-gating as [[quantileProfileApproxAudit]]): per event
+    * type, exact count plus rank-bound booleans for the two sketched
+    * clamp bounds and internal-consistency booleans (clamp flag and
+    * winsorized value recompute from the emitted bounds row-for-row).
+    * Runs the REAL operator output through the gate — clamped counts
+    * themselves are sketch-dependent and so reduced to invariants.
+    */
+  def winsorizeApproxAudit(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val out = winsorizeApprox(spark, dir, accuracy)
+    val eps = 1.0 / accuracy
+    val counts = out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("nlt_lo"),
+        sum(when(col("value") <= col("lo"), 1L).otherwise(0L)).as("nle_lo"),
+        sum(when(col("value") < col("hi"), 1L).otherwise(0L)).as("nlt_hi"),
+        sum(when(col("value") <= col("hi"), 1L).otherwise(0L)).as("nle_hi"),
+        min(when(((col("value") < col("lo")) || (col("value") > col("hi")))
+          === col("was_clamped"), 1L).otherwise(0L)).as("cc"),
+        min(when(col("value_winsorized")
+          === greatest(col("lo"), least(col("hi"), col("value"))), 1L)
+          .otherwise(0L)).as("wc"))
+    def rankOk(q: Double, nm: String) = {
+      val n = col("n_events").cast("double")
+      ((col(s"nlt_$nm").cast("double") <= lit(q) * n + lit(eps) * n + lit(2.0)) &&
+        (col(s"nle_$nm").cast("double") >= lit(q) * n - lit(eps) * n - lit(2.0)))
+        .as(s"${nm}_rank_ok")
+    }
+    counts.select(col("event_type"), col("n_events"),
+        rankOk(0.05, "lo"), rankOk(0.95, "hi"),
+        (col("cc") === 1L).as("clamp_consistent"),
+        (col("wc") === 1L).as("winsor_consistent"))
+      .orderBy("event_type")
+  }
+
+  val winsorizeApproxAuditSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  true AS lo_rank_ok, true AS hi_rank_ok,
+      |  true AS clamp_consistent, true AS winsor_consistent
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Time-series gap-fill: project the event stream onto a dense
     * per-user daily grid and forward-fill missing days with the last
     * observed value (`last(_, ignoreNulls)` over an unbounded-preceding
@@ -485,6 +569,54 @@ object Reports {
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
       .orderBy("o_orderpriority")
+
+  /** Driver-gated audit of [[quantileProfileApprox]] (VERDICT r13 #4):
+    * every output column is engine-reproducible — group key, exact
+    * count, exact min/max, and one boolean per sketched quantile
+    * asserting the GK rank guarantee (the returned value's rank
+    * window [n_lt+1, n_le] intersects [(q−ε)n ± 2] — the ±2 absorbs
+    * ceil-vs-floor rank conventions). The sketch VALUES are not
+    * emitted (any member inside the rank window is a legal GK
+    * answer — not cross-engine reproducible); the DuckDB oracle
+    * states the invariant (`true`) and the hash gate fails the moment
+    * the sketch breaks its bound. This exercises the exact 100 TB
+    * plan: the sketch partial-aggregates map-side and the rank check
+    * is one broadcast join + conditional partial sums.
+    */
+  def quantileProfileApproxAudit(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90")
+    val approx = quantileProfileApprox(spark, dir, accuracy)
+      .select(col("o_orderpriority") +: qs.map(q => col(q._2)): _*)
+    val eps = 1.0 / accuracy
+    val counts = Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .join(broadcast(approx), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (Seq(min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price")) ++
+          qs.flatMap { case (_, nm) => Seq(
+            sum(when(col("o_totalprice") < col(nm), 1L).otherwise(0L)).as(s"nlt_$nm"),
+            sum(when(col("o_totalprice") <= col(nm), 1L).otherwise(0L)).as(s"nle_$nm"))
+          }): _*)
+    counts.select(
+      Seq(col("o_orderpriority"), col("n_orders"),
+        col("min_price"), col("max_price")) ++
+        qs.map { case (q, nm) =>
+          val n = col("n_orders").cast("double")
+          ((col(s"nlt_$nm").cast("double") <= lit(q) * n + lit(eps) * n + lit(2.0)) &&
+            (col(s"nle_$nm").cast("double") >= lit(q) * n - lit(eps) * n - lit(2.0)))
+            .as(s"${nm}_ok")
+        }: _*)
+      .orderBy("o_orderpriority")
+  }
+
+  val quantileProfileApproxAuditSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  true AS p25_ok, true AS p50_ok, true AS p75_ok, true AS p90_ok
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   val quantileProfileSql: String =
     """SELECT o_orderpriority, count(*) AS n_orders,

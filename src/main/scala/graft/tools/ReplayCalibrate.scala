@@ -73,7 +73,20 @@ object ReplayCalibrate {
       bench("kcore", 6)(Graph.kcoreReplay(edges, 6, 2L).length)
       bench("relax", 3)(Graph.relaxReplay(relaxRows, 3).length)
       bench("pagerank", 5)(Graph.pagerankReplay(prEdges, 5, 1000000L, 150L).length)
-      bench("triangle", 1)(Graph.triangleReplay(edges).length)
+      // triangle is costed per WEDGE-BOUND unit (Σ min(deg a, deg b)) —
+      // the admission gate's work term — not per edge
+      locally {
+        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+        edges.foreach { case (a, b) =>
+          deg.update(a, deg.getOrElse(a, 0L) + 1L)
+          deg.update(b, deg.getOrElse(b, 0L) + 1L)
+        }
+        val wb = edges.map { case (a, b) => math.min(deg(a), deg(b)) }.sum
+        Graph.triangleReplay(edges).length // warmup
+        val t = math.min(time(Graph.triangleReplay(edges).length)._1,
+          time(Graph.triangleReplay(edges).length)._1)
+        println(f"${"triangle"}%-10s ${edges.length}%10d ${1}%6d $t%8.2f ${t * 1e6 / wb}%14.3f  (per wedge-bound unit; wb=$wb)")
+      }
       // dense dim×dim scatter grid at the same row count (the eigen
       // replay's real input is always dim² rows; cab alternates sign)
       val dim = math.max(2, math.sqrt(edges.length.toDouble).toInt)

@@ -32,6 +32,46 @@ class Round14Spec extends AnyFunSuite {
     assert((n, m, tri) == ((8L, 10L, 5L)))
   }
 
+  test("approx audit queries: invariants hold and exact columns recompute") {
+    import org.apache.spark.sql.functions._
+    val t = graft.core.Tables(spark, sf)
+    // quantile_profile_approx: booleans all true, counts/min/max exact
+    val qp = SparkEntry.queries("quantile_profile_approx")(spark, sf).collect()
+    graft.core.OwnedCaches.release()
+    assert(qp.nonEmpty)
+    qp.foreach { r =>
+      Seq("p25_ok", "p50_ok", "p75_ok", "p90_ok").foreach(c =>
+        assert(r.getAs[Boolean](c), s"${r.getAs[String]("o_orderpriority")} $c"))
+    }
+    val exact = t.orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))).toMap
+    qp.foreach { r =>
+      val k = r.getAs[String]("o_orderpriority")
+      assert((r.getAs[Long]("n_orders"), r.getAs[Double]("min_price"),
+        r.getAs[Double]("max_price")) == exact(k))
+    }
+    // winsorize_approx / anomaly_mad_approx: all booleans true
+    for (q <- Seq("winsorize_approx", "anomaly_mad_approx")) {
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      graft.core.OwnedCaches.release()
+      assert(rows.nonEmpty, q)
+      rows.foreach { r =>
+        r.schema.fields.filter(_.dataType.typeName == "boolean").foreach(f =>
+          assert(r.getAs[Boolean](f.name), s"$q ${f.name}"))
+      }
+    }
+    // time_to_convert_approx: exact columns match the exact op's
+    val ta = SparkEntry.queries("time_to_convert_approx")(spark, sf).collect().head
+    graft.core.OwnedCaches.release()
+    val te = SparkEntry.queries("time_to_convert")(spark, sf).collect().head
+    graft.core.OwnedCaches.release()
+    assert(ta.getAs[Boolean]("p50_rank_ok") && ta.getAs[Boolean]("p90_rank_ok"))
+    assert(ta.getAs[Long]("n_signup") == te.getAs[Long]("n_signup"))
+    assert(ta.getAs[Long]("n_converted") == te.getAs[Long]("n_converted"))
+  }
+
   test("embedding_top_eigen: single-task replay equals the distributed iteration") {
     import graft.operators.Ann
     def rows(df: org.apache.spark.sql.DataFrame) =
