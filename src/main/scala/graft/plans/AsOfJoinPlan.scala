@@ -208,6 +208,36 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Probe-side filter pushdown for [[AsOfJoin]] (VERDICT r13 #5 —
+  * RangeBandJoin's `PushFilterThroughRangeBandJoin` applied to the
+  * as-of operator): a deterministic conjunct referencing only probe
+  * columns commutes with the join — each probe row's match depends
+  * only on the build side, never on other probe rows — so it sinks
+  * below the custom node and from there Spark's own rules carry it to
+  * the parquet scan (`PushedFilters`). Build-side or generated-column
+  * (`matched_ts`/`matched_key`) conjuncts must NOT move: dropping
+  * build rows changes which row is "most recent" for surviving
+  * probes, and generated columns don't exist below the node.
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j @ AsOfJoin(left, _, _, _)) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.withNewChildren(
+          Seq(Filter(push.reduce(And), left), j.right)).asInstanceOf[AsOfJoin]
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Public API for the custom operator. */
 object AsOf {
   /** As-of join two frames on the positional contract (uid, ts,
@@ -227,6 +257,8 @@ object AsOf {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
     GraftSqlShim.ofRows(spark,
       AsOfJoin(GraftSqlShim.logicalPlan(probe), GraftSqlShim.logicalPlan(build)))
   }

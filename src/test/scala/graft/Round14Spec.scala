@@ -72,6 +72,31 @@ class Round14Spec extends AnyFunSuite {
     assert(ta.getAs[Long]("n_converted") == te.getAs[Long]("n_converted"))
   }
 
+  test("probe-side filters push through AsOfJoin down to the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val t = graft.core.Tables(spark, sf)
+    def probe = t.events.select(col("user_id").as("uid"), col("ts_us"),
+      col("event_id"))
+    def build = t.orders.select(col("o_custkey").as("uid"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+      col("o_orderkey"))
+    val filtered = graft.plans.AsOf.join(spark, probe, build)
+      .filter(col("event_id") < 100 && col("matched_key").isNotNull)
+    // the probe-only conjunct must sink below the custom node; the
+    // matched_key conjunct (a generated column) must stay above it
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    assert(optimized.indexOf("AsOfJoin") < optimized.indexOf("event_id"),
+      s"probe filter did not move below the custom node:\n$optimized")
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*LessThan\\(event_id,100\\)".r.findFirstIn(physical).isDefined,
+      s"pushed predicate never reached the parquet scan:\n$physical")
+    // and the rewrite is semantics-preserving
+    val expected = graft.plans.AsOf.join(spark, probe, build)
+      .collect().filter(r => r.getLong(2) < 100 && !r.isNullAt(4))
+    assert(filtered.count() == expected.length)
+  }
+
   test("embedding_top_eigen: single-task replay equals the distributed iteration") {
     import graft.operators.Ann
     def rows(df: org.apache.spark.sql.DataFrame) =
