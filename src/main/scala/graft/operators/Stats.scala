@@ -6956,4 +6956,109 @@ object Stats {
        |  $JbStat AS jb_stat,
        |  CASE WHEN $JbStat > CAST(5.991 AS DOUBLE) THEN 1 ELSE 0 END AS non_normal
        |FROM m""".stripMargin
+
+  // ------------------------------------------------------ brown_forsythe_test
+
+  /** Between-group Σ s_k²/n_k for the Brown–Forsythe deviations —
+    * the anova_oneway fixed-order pivoted-column sum on the `d`
+    * moments. Ledger: d = |c − med_k| ≤ ~2·10⁴ cents, Σd² ≈ n·4·10⁸
+    * under 2^53 through n ≈ 2·10⁷ per type.
+    */
+  private val BfBpart: String = AnovaKeys
+    .map(k => s"CAST(ds_$k AS DOUBLE) * CAST(ds_$k AS DOUBLE) / CAST(dn_$k AS DOUBLE)")
+    .mkString(" + ")
+  private val BfSsb =
+    s"($BfBpart) - CAST(dstot AS DOUBLE) * CAST(dstot AS DOUBLE) / CAST(dnn AS DOUBLE)"
+  private val BfSsw = s"CAST(dsqtot AS DOUBLE) - ($BfBpart)"
+
+  /** Brown–Forsythe robust variance-homogeneity test across the five
+    * event types: Levene's F computed on |c − median_k| instead of
+    * mean-centered deviations ([[leveneTest]] centers on means) —
+    * the recommended default under skew, because the median center
+    * keeps the test's size when groups are non-normal. Group medians
+    * are exact LOWER medians on the cents grid (the weighted_median
+    * count-of-counts convention — the cumulative window runs at
+    * distinct-value grain, never a full-group buffer), deviations are
+    * exact integers, and F comes off the one-pass moment identities
+    * with the fixed-order pivoted-column sum (the anova_oneway
+    * convention, so both engines add in one declared order).
+    *
+    * Scale shape: one (type, c) partial-agg grid pass (grid-sized,
+    * not event-sized) for the medians, a 5-row broadcast back onto
+    * the raw log, ONE conditional-sum pass to the 15-moment row;
+    * scalar arithmetic after.
+    */
+  def brownForsytheTest(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val grid = keyed.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("w"))
+    val cum = grid
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("w")).over(Window.partitionBy("event_type")))
+    val med = cum.filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("event_type")).agg(min(col("c")).as("med"))
+    val dev = keyed.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("c") - col("med")).as("d"))
+    val mCols = AnovaKeys.flatMap { k =>
+      val is = col("event_type") === EventTypes(k)
+      Seq(sum(when(is, 1L).otherwise(0L)).as(s"dn_$k"),
+        sum(when(is, col("d")).otherwise(0L)).as(s"ds_$k"),
+        sum(when(is, col("d") * col("d")).otherwise(0L)).as(s"dsq_$k"))
+    }
+    dev.agg(mCols.head, mCols.tail: _*)
+      .withColumn("dnn", expr(AnovaKeys.map(k => s"dn_$k").mkString(" + ")))
+      .withColumn("dstot", expr(AnovaKeys.map(k => s"ds_$k").mkString(" + ")))
+      .withColumn("dsqtot", expr(AnovaKeys.map(k => s"dsq_$k").mkString(" + ")))
+      .selectExpr(
+        s"CAST(${AnovaKeys.size} AS INTEGER) AS k_groups",
+        "CAST(dnn AS BIGINT) AS n_events",
+        s"($BfSsb) / CAST(10000 AS DOUBLE) AS ssb",
+        s"($BfSsw) / CAST(10000 AS DOUBLE) AS ssw",
+        s"(($BfSsb) / CAST(${AnovaKeys.size - 1} AS DOUBLE)) / (($BfSsw) / CAST(dnn - ${AnovaKeys.size} AS DOUBLE)) AS f_stat")
+  }
+
+  val brownForsytheTestSql: String = {
+    val mSums = AnovaKeys.flatMap { k =>
+      val is = s"event_type = '${EventTypes(k)}'"
+      Seq(s"CAST(sum(CASE WHEN $is THEN 1 ELSE 0 END) AS BIGINT) AS dn_$k",
+        s"CAST(sum(CASE WHEN $is THEN d ELSE 0 END) AS BIGINT) AS ds_$k",
+        s"CAST(sum(CASE WHEN $is THEN d * d ELSE 0 END) AS BIGINT) AS dsq_$k")
+    }
+    s"""WITH o AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |g AS (
+       |  SELECT event_type, c, count(*) AS w FROM o GROUP BY 1, 2),
+       |cm AS (
+       |  SELECT *,
+       |    sum(w) OVER (PARTITION BY event_type ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(w) OVER (PARTITION BY event_type) AS total
+       |  FROM g),
+       |med AS (
+       |  SELECT event_type, min(c) AS med FROM cm
+       |  WHERE cum * 2 >= total GROUP BY 1),
+       |dv AS (
+       |  SELECT o.event_type, abs(o.c - med.med) AS d
+       |  FROM o JOIN med ON med.event_type = o.event_type),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM dv),
+       |a AS (
+       |  SELECT *,
+       |    ${AnovaKeys.map(k => s"dn_$k").mkString(" + ")} AS dnn,
+       |    ${AnovaKeys.map(k => s"ds_$k").mkString(" + ")} AS dstot,
+       |    ${AnovaKeys.map(k => s"dsq_$k").mkString(" + ")} AS dsqtot
+       |  FROM m)
+       |SELECT CAST(${AnovaKeys.size} AS INTEGER) AS k_groups,
+       |  CAST(dnn AS BIGINT) AS n_events,
+       |  ($BfSsb) / CAST(10000 AS DOUBLE) AS ssb,
+       |  ($BfSsw) / CAST(10000 AS DOUBLE) AS ssw,
+       |  (($BfSsb) / CAST(${AnovaKeys.size - 1} AS DOUBLE)) / (($BfSsw) / CAST(dnn - ${AnovaKeys.size} AS DOUBLE)) AS f_stat
+       |FROM a""".stripMargin
+  }
 }

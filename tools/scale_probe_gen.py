@@ -17,7 +17,18 @@ workload grows ~linearly in every organic dimension:
 - orders/part/supplier/customer/nation/region: copied (dims) or
                order-shifted to stay referentially intact.
 
-Usage: python3 tools/scale_probe_gen.py <outDir> [REP]
+Round 14 (VERDICT r13 #3): `--sparse` also offsets the part /
+supplier / customer key spaces per replica (replicating those dims
+with matching shifted keys, so referential integrity holds). The
+default mode repeats part pairs REP times, which DENSIFIES the
+co-purchase support graph ~10^5x (every pair re-passes the c>=2
+support threshold) and freezes the customer-supplier graph's node
+set; sparse mode keeps pair sparsity, so graph edges grow ~REP x —
+the honest scaling story for the graph family. Brand/name strings
+are untouched (brand-grain dictionaries stay 25 brands — more parts
+per brand, as organic growth would).
+
+Usage: python3 tools/scale_probe_gen.py <outDir> [REP] [--sparse]
 """
 import sys
 import pyarrow as pa
@@ -27,6 +38,7 @@ import pyarrow.compute as pc
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1]
 REP = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+SPARSE = "--sparse" in sys.argv
 
 import os
 os.makedirs(OUT, exist_ok=True)
@@ -105,19 +117,44 @@ write("embeddings", shifted_concat(emb, mut_emb))
 
 li = read("lineitem")
 orders = read("orders")
+part = read("part")
+supplier = read("supplier")
+customer = read("customer")
 max_ord = pc.max(orders["o_orderkey"]).as_py() + 1
+max_part = pc.max(part["p_partkey"]).as_py() + 1
+max_supp = pc.max(supplier["s_suppkey"]).as_py() + 1
+max_cust = pc.max(customer["c_custkey"]).as_py() + 1
+
+
+def shift_col(t, name, step, i):
+    j = t.schema.get_field_index(name)
+    return t.set_column(j, name, pc.add(t[name], i * step))
 
 
 def mut_li(t, i):
-    return t.set_column(0, "l_orderkey", pc.add(t["l_orderkey"], i * max_ord))
+    t = shift_col(t, "l_orderkey", max_ord, i)
+    if SPARSE:
+        t = shift_col(t, "l_partkey", max_part, i)
+        t = shift_col(t, "l_suppkey", max_supp, i)
+    return t
 
 
 def mut_orders(t, i):
-    return t.set_column(0, "o_orderkey", pc.add(t["o_orderkey"], i * max_ord))
+    t = shift_col(t, "o_orderkey", max_ord, i)
+    if SPARSE:
+        t = shift_col(t, "o_custkey", max_cust, i)
+    return t
 
 
 write("lineitem", shifted_concat(li, mut_li))
 write("orders", shifted_concat(orders, mut_orders))
 
-for dim in ["part", "supplier", "customer", "nation", "region"]:
+if SPARSE:
+    write("part", shifted_concat(part, lambda t, i: shift_col(t, "p_partkey", max_part, i)))
+    write("supplier", shifted_concat(supplier, lambda t, i: shift_col(t, "s_suppkey", max_supp, i)))
+    write("customer", shifted_concat(customer, lambda t, i: shift_col(t, "c_custkey", max_cust, i)))
+else:
+    for dim in ["part", "supplier", "customer"]:
+        write(dim, read(dim))
+for dim in ["nation", "region"]:
     write(dim, read(dim))
