@@ -462,6 +462,9 @@ object Graph {
       |FROM n, ec, t""".stripMargin
 
   private val BfsHops = 3
+  private val EccSeedMax = 6       // seeds = the part keys ≤ this
+  private val EccHops = 4          // bounded-eccentricity horizon
+  private val EccOff = 16777216L   // 2^24 — above any replicated part-key space
   private val BfsSeedBrand = "Brand#1"
 
   /** Support-filtered undirected co-purchase edges (p1 < p2, support
@@ -484,7 +487,8 @@ object Graph {
     "link_prediction_jaccard", "shortest_path_bf", "local_clustering",
     "graph_modularity", "community_louvain", "degree_assortativity",
     "link_prediction_resource_alloc", "rich_club_coefficient",
-    "hub_closeness_profile", "adamic_adar_links", "betweenness_sample")
+    "hub_closeness_profile", "adamic_adar_links", "betweenness_sample",
+    "graph_eccentricity_sample")
 
   private def supportEdges(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
@@ -620,6 +624,72 @@ object Graph {
       .select(col("p_partkey").as("p"), lit(0L).as("d"))
     boundedRelax(edges, seeds, BfsHops, forceLoop)
       .select(col("p").as("part_key"), col("d").as("hop")).orderBy("part_key")
+  }
+
+  /** H-hop bounded eccentricity sample (round 14): BFS from each of
+    * the [[EccSeedMax]] lowest part keys SIMULTANEOUSLY via the
+    * multi-source trick — replicate the edge list per seed under
+    * disjoint id offsets (seed s's copy lives at s·2²⁴ + node) and run
+    * ONE [[boundedRelax]] over the union, so the whole sample costs
+    * one traversal's worth of rounds whatever K is. Per seed: nodes
+    * reached within [[EccHops]] hops and the bounded eccentricity
+    * (max hop among reached) — the reach/diameter profile that a full
+    * diameter computation would need Θ(n) BFS runs for. Seeds outside
+    * the support graph report reach 1 / ecc 0 (the self-loop seed row)
+    * rather than vanishing, so the output row set is data-independent.
+    *
+    * Scale shape: edge volume ×K inside ONE relax (same shuffle count
+    * as a single BFS); the measured admission cap sees K·E rows and
+    * selects single-task vs distributed accordingly. At 100 TB the
+    * sample widens by raising K, never by more rounds.
+    */
+  def graphEccentricitySample(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val sym = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+    val seeds = Tables(spark, dir).part
+      .filter(col("p_partkey") <= EccSeedMax)
+      .select(col("p_partkey").as("s"))
+    val edges = sym.crossJoin(broadcast(seeds))
+      .select((col("s") * EccOff + col("src")).as("src"),
+        (col("s") * EccOff + col("dst")).as("dst"), lit(1L).as("w"))
+    val seeded = seeds.select((col("s") * EccOff + col("s")).as("p"), lit(0L).as("d"))
+    boundedRelax(edges, seeded, EccHops)
+      .groupBy(expr(s"p div $EccOff").as("seed_part"))
+      .agg(count(lit(1)).as("n_reached"), max(col("d")).as("ecc_bounded"))
+      .orderBy("seed_part")
+  }
+
+  val graphEccentricitySampleSql: String = {
+    def relax(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT p, min(hop) AS hop FROM (
+         |    SELECT p, hop FROM $prev
+         |    UNION ALL
+         |    SELECT e2.dst AS p, $prev.hop + 1 AS hop
+         |    FROM $prev JOIN e2 ON e2.src = $prev.p) u
+         |  GROUP BY p)""".stripMargin
+    val rounds = (1 to EccHops).map(i => relax(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH b AS (
+      |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS (
+      |  SELECT u1.p1, u2.p2
+      |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+      |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+      |  WHERE u1.p1 < u2.p2),
+      |e0 AS (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |e AS (SELECT p1 AS src, p2 AS dst FROM e0
+      |      UNION ALL SELECT p2, p1 FROM e0),
+      |seeds AS (SELECT p_partkey AS s FROM part WHERE p_partkey <= $EccSeedMax),
+      |e2 AS (SELECT seeds.s * $EccOff + e.src AS src,
+      |              seeds.s * $EccOff + e.dst AS dst FROM e, seeds),
+      |d0 AS (SELECT s * $EccOff + s AS p, CAST(0 AS BIGINT) AS hop FROM seeds),
+      |$rounds
+      |SELECT p // $EccOff AS seed_part,
+      |  CAST(count(*) AS BIGINT) AS n_reached,
+      |  CAST(max(hop) AS BIGINT) AS ecc_bounded
+      |FROM d$EccHops GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val bfsHopsSql: String = {

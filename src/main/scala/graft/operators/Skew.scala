@@ -372,4 +372,79 @@ object Skew {
        |  CASE WHEN n_rows > 5 * med THEN 1 ELSE 0 END AS skewed,
        |  CASE WHEN n_rows > 5 * med THEN (n_rows + med - 1) // med ELSE CAST(1 AS BIGINT) END AS n_splits
        |FROM m ORDER BY partition_id""".stripMargin
+
+  // ------------------------------------------------- join_cardinality_audit
+
+  private val CardBuckets = Seq(16, 64, 256)
+
+  /** Histogram-based join-cardinality estimation audited against the
+    * exact answer (round 14) — the cost-model diagnostic behind every
+    * join-order decision: bucket both join-key histograms B ways
+    * (k % B, the equi-width layout a catalog keeps), estimate
+    * |events ⋈ orders| per bucket with the classical containment
+    * estimator rows_e·rows_o / max(keys_e, keys_o), and report the
+    * estimate next to the EXACT cardinality (computed from key-grain
+    * count products — never by executing the join) for B ∈
+    * {16, 64, 256}. The resolution sweep shows exactly how fast the
+    * estimate converges on this key distribution — the number a
+    * warehouse uses to size its statistics.
+    *
+    * Parity: the per-bucket estimate is an exact integer (product ≤
+    * rows²/B, floor-div by greatest — Spark `div` == DuckDB `//` on
+    * non-negatives), sums are order-free integer aggregates, and the
+    * one double division closes err_pct identically. Ledger: per-
+    * bucket products ≤ (10⁷/16)² ≈ 4·10¹¹ through ~sf10; wider
+    * scales raise B with the data (a fixed-B histogram is wrong at
+    * 100 TB anyway).
+    *
+    * Scale shape: the key-grain frames partial-aggregate map-side and
+    * are cached once (reused by the exact pass and every B); each
+    * B-pass is a B-row aggregate — the audit never shuffles more
+    * than the key cardinality.
+    */
+  def joinCardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ek = graft.core.OwnedCaches.own(
+      t.events.groupBy(col("user_id").as("k")).agg(count(lit(1)).as("ne")).cache())
+    val ok = graft.core.OwnedCaches.own(
+      t.orders.groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("no")).cache())
+    val actual = ek.join(ok, "k").agg(sum(col("ne") * col("no")).as("actual_rows"))
+    val per = CardBuckets.map { b =>
+      val he = ek.groupBy(expr(s"k % $b").as("bkt"))
+        .agg(sum(col("ne")).as("re"), count(lit(1)).as("ke"))
+      val ho = ok.groupBy(expr(s"k % $b").as("bkt"))
+        .agg(sum(col("no")).as("ro"), count(lit(1)).as("ko"))
+      he.join(ho, "bkt")
+        .agg(sum(expr("(re * ro) div greatest(ke, ko)")).as("est_rows"))
+        .select(lit(b).cast("int").as("n_buckets"), col("est_rows"))
+    }.reduce(_ unionByName _)
+    per.crossJoin(broadcast(actual))
+      .selectExpr("n_buckets", "CAST(est_rows AS BIGINT) AS est_rows",
+        "CAST(actual_rows AS BIGINT) AS actual_rows",
+        "(CAST(est_rows AS DOUBLE) - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE) AS err_pct")
+      .orderBy("n_buckets")
+  }
+
+  val joinCardinalityAuditSql: String = {
+    val perB = CardBuckets.map { b =>
+      s"""est_$b AS (
+         |  SELECT CAST($b AS INTEGER) AS n_buckets,
+         |    CAST(sum((re * ro) // greatest(ke, ko)) AS BIGINT) AS est_rows
+         |  FROM (SELECT k % $b AS bkt, sum(ne) AS re, count(*) AS ke FROM ek GROUP BY 1) he
+         |  JOIN (SELECT k % $b AS bkt, sum(no) AS ro, count(*) AS ko FROM ok GROUP BY 1) ho
+         |    USING (bkt))""".stripMargin
+    }
+    s"""WITH ek AS (
+       |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ne FROM events GROUP BY 1),
+       |ok AS (
+       |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS no FROM orders GROUP BY 1),
+       |actual AS (
+       |  SELECT CAST(sum(ne * no) AS BIGINT) AS actual_rows
+       |  FROM ek JOIN ok USING (k)),
+       |${perB.mkString(",\n")},
+       |per AS (${CardBuckets.map(b => s"SELECT * FROM est_$b").mkString(" UNION ALL ")})
+       |SELECT n_buckets, est_rows, actual_rows,
+       |  (CAST(est_rows AS DOUBLE) - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE) AS err_pct
+       |FROM per, actual ORDER BY n_buckets""".stripMargin
+  }
 }

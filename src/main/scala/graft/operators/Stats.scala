@@ -6957,108 +6957,122 @@ object Stats {
        |  CASE WHEN $JbStat > CAST(5.991 AS DOUBLE) THEN 1 ELSE 0 END AS non_normal
        |FROM m""".stripMargin
 
-  // ------------------------------------------------------ brown_forsythe_test
+  // --------------------------------------------------------- ses_grid_search
 
-  /** Between-group Σ s_k²/n_k for the Brown–Forsythe deviations —
-    * the anova_oneway fixed-order pivoted-column sum on the `d`
-    * moments. Ledger: d = |c − med_k| ≤ ~2·10⁴ cents, Σd² ≈ n·4·10⁸
-    * under 2^53 through n ≈ 2·10⁷ per type.
-    */
-  private val BfBpart: String = AnovaKeys
-    .map(k => s"CAST(ds_$k AS DOUBLE) * CAST(ds_$k AS DOUBLE) / CAST(dn_$k AS DOUBLE)")
-    .mkString(" + ")
-  private val BfSsb =
-    s"($BfBpart) - CAST(dstot AS DOUBLE) * CAST(dstot AS DOUBLE) / CAST(dnn AS DOUBLE)"
-  private val BfSsw = s"CAST(dsqtot AS DOUBLE) - ($BfBpart)"
+  private val SesLags = 6
+  private val SesAlphas = 1 to 9
 
-  /** Brown–Forsythe robust variance-homogeneity test across the five
-    * event types: Levene's F computed on |c − median_k| instead of
-    * mean-centered deviations ([[leveneTest]] centers on means) —
-    * the recommended default under skew, because the median center
-    * keeps the test's size when groups are non-normal. Group medians
-    * are exact LOWER medians on the cents grid (the weighted_median
-    * count-of-counts convention — the cumulative window runs at
-    * distinct-value grain, never a full-group buffer), deviations are
-    * exact integers, and F comes off the one-pass moment identities
-    * with the fixed-order pivoted-column sum (the anova_oneway
-    * convention, so both engines add in one declared order).
-    *
-    * Scale shape: one (type, c) partial-agg grid pass (grid-sized,
-    * not event-sized) for the medians, a 5-row broadcast back onto
-    * the raw log, ONE conditional-sum pass to the 15-moment row;
-    * scalar arithmetic after.
+  /** Per-alpha truncated-SES forecast numerator in exact integers:
+    * f = Σ_{j=0..K-1} a·(10−a)^j·10^{K-1-j}·lag_{j+1} over the common
+    * denominator 10^K. Ledger: coefficients ≤ 9·10⁵, y = monthly
+    * order counts ≤ ~10⁵ per region-month at sf10, f ≤ ~5·10¹¹ —
+    * every cast operand exact and < 2^53.
     */
-  def brownForsytheTest(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables(spark, dir).events
-      .select(col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
-    val grid = keyed.groupBy(col("event_type"), col("c"))
-      .agg(count(lit(1)).as("w"))
-    val cum = grid
-      .withColumn("cum", sum(col("w")).over(
-        Window.partitionBy("event_type").orderBy("c")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("w")).over(Window.partitionBy("event_type")))
-    val med = cum.filter(col("cum") * 2 >= col("total"))
-      .groupBy(col("event_type")).agg(min(col("c")).as("med"))
-    val dev = keyed.join(broadcast(med), "event_type")
-      .select(col("event_type"), abs(col("c") - col("med")).as("d"))
-    val mCols = AnovaKeys.flatMap { k =>
-      val is = col("event_type") === EventTypes(k)
-      Seq(sum(when(is, 1L).otherwise(0L)).as(s"dn_$k"),
-        sum(when(is, col("d")).otherwise(0L)).as(s"ds_$k"),
-        sum(when(is, col("d") * col("d")).otherwise(0L)).as(s"dsq_$k"))
-    }
-    dev.agg(mCols.head, mCols.tail: _*)
-      .withColumn("dnn", expr(AnovaKeys.map(k => s"dn_$k").mkString(" + ")))
-      .withColumn("dstot", expr(AnovaKeys.map(k => s"ds_$k").mkString(" + ")))
-      .withColumn("dsqtot", expr(AnovaKeys.map(k => s"dsq_$k").mkString(" + ")))
-      .selectExpr(
-        s"CAST(${AnovaKeys.size} AS INTEGER) AS k_groups",
-        "CAST(dnn AS BIGINT) AS n_events",
-        s"($BfSsb) / CAST(10000 AS DOUBLE) AS ssb",
-        s"($BfSsw) / CAST(10000 AS DOUBLE) AS ssw",
-        s"(($BfSsb) / CAST(${AnovaKeys.size - 1} AS DOUBLE)) / (($BfSsw) / CAST(dnn - ${AnovaKeys.size} AS DOUBLE)) AS f_stat")
+  /** Quantized squared error ⌊e²/10^8⌋ in PURE BIGINT: |e| ≤ 10¹¹
+    * splits as h·10⁴ + l, so e² = h²·10⁸ + (2hl·10⁴ + l²) and the
+    * floor-divide is h² + ⌊(2hl·10⁴ + l²)/10⁸⌋ with every operand
+    * < 2^53 — a DECIMAL(38,0) square here hash-split the engines
+    * because DuckDB's `//` on wide decimals falls back to DOUBLE (the
+    * verify-skill (38,0) trap). `div` is Spark\'s integer division,
+    * `//` DuckDB\'s; all operands non-negative so they agree.
+    */
+  private def sesE2q(a: Int, div: String): String = {
+    val e = s"y * 1000000 - (${sesFNum(a)})"
+    val h = s"(abs($e) $div 10000)"
+    val l = s"(abs($e) % 10000)"
+    s"$h * $h + (2 * $h * $l * 10000 + $l * $l) $div 100000000 AS e2q_$a"
   }
 
-  val brownForsytheTestSql: String = {
-    val mSums = AnovaKeys.flatMap { k =>
-      val is = s"event_type = '${EventTypes(k)}'"
-      Seq(s"CAST(sum(CASE WHEN $is THEN 1 ELSE 0 END) AS BIGINT) AS dn_$k",
-        s"CAST(sum(CASE WHEN $is THEN d ELSE 0 END) AS BIGINT) AS ds_$k",
-        s"CAST(sum(CASE WHEN $is THEN d * d ELSE 0 END) AS BIGINT) AS dsq_$k")
-    }
-    s"""WITH o AS (
-       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
-       |g AS (
-       |  SELECT event_type, c, count(*) AS w FROM o GROUP BY 1, 2),
-       |cm AS (
+  private def sesFNum(a: Int): String =
+    (0 until SesLags).map { j =>
+      val coef = a.toLong * math.pow(10 - a, j).toLong * math.pow(10, SesLags - 1 - j).toLong
+      s"$coef * lg${j + 1}"
+    }.mkString(" + ")
+
+  /** Grid-searched simple exponential smoothing (round 14): for each
+    * region\'s monthly order-count series, score the truncated-SES
+    * one-step forecast (the [[holtForecast]] finite-lag convention,
+    * K = [[SesLags]]) at nine smoothing factors α ∈ {0.1..0.9} and
+    * report the SSE-minimizing α — the model-selection step a
+    * forecasting pipeline runs before `ewma_revenue`/`holt_forecast`
+    * ship a fixed α. The SSE is EXACT-INTEGER end to end: the error
+    * numerator over the 10^K weight grid is a bigint, its square is
+    * floor-divided (DECIMAL intermediate) onto a 10^8-coarser grid so
+    * every summand is < 2^53, and the per-α sums are order-free
+    * integer aggregates — a float SSE here hash-split the engines at
+    * 1-2 ulp because DuckDB's windowed sums add pairwise (segment
+    * tree) while Spark's add sequentially. Argmin on the exact
+    * integers; ties break to the smallest α (first CASE match).
+    *
+    * Scale shape: the series is months × regions (calendar-bounded);
+    * the nine α columns are pivoted onto one frame, so the whole
+    * search is one aggregate over a tiny frame after one fact-scan
+    * aggregate — at 100 TB the grid search costs the same as a
+    * single forecast.
+    */
+  def sesGridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val monthly = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("region_name").orderBy("m")
+    var df = monthly
+    for (j <- 1 to SesLags) df = df.withColumn(s"lg$j", lag(col("y"), j).over(w))
+    df = df.filter(col(s"lg$SesLags").isNotNull)
+    for (a <- SesAlphas) df = df.withColumn(s"e2q_$a", expr(sesE2q(a, "div")))
+    val agg = df.groupBy(col("region_name"))
+      .agg(count(lit(1)).as("n_months"),
+        SesAlphas.map(a => sum(col(s"e2q_$a")).as(s"sse_$a")): _*)
+    val minExpr = s"least(${SesAlphas.map(a => s"sse_$a").mkString(", ")})"
+    val bestAlpha = "CASE " + SesAlphas.map(a =>
+      s"WHEN sse_$a = __min THEN CAST($a AS DOUBLE) / CAST(10 AS DOUBLE)").mkString(" ") + " END"
+    agg.withColumn("__min", expr(minExpr))
+      .selectExpr("region_name", "CAST(n_months AS BIGINT) AS n_months",
+        s"$bestAlpha AS best_alpha",
+        "CAST(__min AS DOUBLE) / CAST(10000 AS DOUBLE) AS sse_best")
+      .orderBy("region_name")
+  }
+
+  val sesGridSearchSql: String = {
+    val e2Cols = SesAlphas.map(a => sesE2q(a, "//"))
+    val minExpr = s"least(${SesAlphas.map(a => s"sse_$a").mkString(", ")})"
+    val bestAlpha = "CASE " + SesAlphas.map(a =>
+      s"WHEN sse_$a = mn THEN CAST($a AS DOUBLE) / CAST(10 AS DOUBLE)").mkString(" ") + " END"
+    s"""WITH monthly AS (
+       |  SELECT r_name AS region_name,
+       |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    count(*) AS y
+       |  FROM orders
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  GROUP BY 1, 2),
+       |lagged AS (
        |  SELECT *,
-       |    sum(w) OVER (PARTITION BY event_type ORDER BY c
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       |    sum(w) OVER (PARTITION BY event_type) AS total
-       |  FROM g),
-       |med AS (
-       |  SELECT event_type, min(c) AS med FROM cm
-       |  WHERE cum * 2 >= total GROUP BY 1),
-       |dv AS (
-       |  SELECT o.event_type, abs(o.c - med.med) AS d
-       |  FROM o JOIN med ON med.event_type = o.event_type),
-       |m AS (
-       |  SELECT
-       |    ${mSums.mkString(",\n    ")}
-       |  FROM dv),
-       |a AS (
-       |  SELECT *,
-       |    ${AnovaKeys.map(k => s"dn_$k").mkString(" + ")} AS dnn,
-       |    ${AnovaKeys.map(k => s"ds_$k").mkString(" + ")} AS dstot,
-       |    ${AnovaKeys.map(k => s"dsq_$k").mkString(" + ")} AS dsqtot
-       |  FROM m)
-       |SELECT CAST(${AnovaKeys.size} AS INTEGER) AS k_groups,
-       |  CAST(dnn AS BIGINT) AS n_events,
-       |  ($BfSsb) / CAST(10000 AS DOUBLE) AS ssb,
-       |  ($BfSsw) / CAST(10000 AS DOUBLE) AS ssw,
-       |  (($BfSsb) / CAST(${AnovaKeys.size - 1} AS DOUBLE)) / (($BfSsw) / CAST(dnn - ${AnovaKeys.size} AS DOUBLE)) AS f_stat
-       |FROM a""".stripMargin
+       |    ${(1 to SesLags).map(j =>
+             s"lag(y, $j) OVER (PARTITION BY region_name ORDER BY m) AS lg$j")
+            .mkString(",\n    ")}
+       |  FROM monthly),
+       |scored AS (
+       |  SELECT region_name, m, y,
+       |    ${e2Cols.mkString(",\n    ")}
+       |  FROM lagged WHERE lg$SesLags IS NOT NULL),
+       |agg AS (
+       |  SELECT region_name, count(*) AS n_months,
+       |    ${SesAlphas.map(a => s"sum(e2q_$a) AS sse_$a").mkString(",\n    ")}
+       |  FROM scored GROUP BY 1),
+       |lastrow AS (
+       |  SELECT *, $minExpr AS mn FROM agg)
+       |SELECT region_name, CAST(n_months AS BIGINT) AS n_months,
+       |  $bestAlpha AS best_alpha,
+       |  CAST(mn AS DOUBLE) / CAST(10000 AS DOUBLE) AS sse_best
+       |FROM lastrow ORDER BY region_name""".stripMargin
   }
 }

@@ -2432,4 +2432,59 @@ object TextAnalysis {
        |  CAST(max(thr2) AS DOUBLE) AS tail_threshold
        |FROM bk GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
   }
+
+  // ------------------------------------------------------- corpus_mix_plan
+
+  /** Static data-mixing plan (round 14): per source, the exact token
+    * inventory and the repeat factor / epoch count needed to hit a
+    * UNIFORM target mix at the corpus's own total-token budget — the
+    * planning artifact behind weighted multi-epoch sampling (DoReMi /
+    * Pile-style mixes reduce to exactly this table with a different
+    * target vector). `corpus_mix_sample` draws the rows; this PLANS
+    * the weights: repeat_factor = (total/K)/tokens says how many
+    * passes over a source hit its target share, epochs = its ceiling
+    * is what a shuffled-epoch loader actually runs.
+    *
+    * Parity: counts are exact whitespace tokens (the textTokenCount
+    * convention), every non-integer output is one division of exact
+    * sub-2^53 integers in identical text on both engines, and
+    * Spark\'s `ceil(double)`→LONG vs DuckDB\'s `ceil`→DOUBLE is
+    * reconciled by the explicit BIGINT cast.
+    *
+    * Scale shape: one map-side token-count pass partial-aggregates to
+    * a |sources|-row frame; the total is a 1-row broadcast back. At
+    * 100 TB this is a metadata query over the same scan the quality
+    * screens already make.
+    */
+  def corpusMixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ws = size(filter(split(col("text"), " +"), t => length(t) > 0)).cast("long")
+    val per = Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(ws).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("total_tokens"),
+      count(lit(1)).as("k_sources"))
+    per.crossJoin(broadcast(tot))
+      .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(tokens AS BIGINT) AS tokens",
+        "CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS natural_share",
+        "CAST(1 AS DOUBLE) / CAST(k_sources AS DOUBLE) AS target_share",
+        "CAST(total_tokens AS DOUBLE) / CAST(k_sources AS DOUBLE) / CAST(tokens AS DOUBLE) AS repeat_factor",
+        "CAST(ceil(CAST(total_tokens AS DOUBLE) / CAST(k_sources AS DOUBLE) / CAST(tokens AS DOUBLE)) AS BIGINT) AS epochs")
+      .orderBy("source")
+  }
+
+  val corpusMixPlanSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    sum(len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0))) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT sum(tokens) AS total_tokens, count(*) AS k_sources FROM per)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(tokens AS BIGINT) AS tokens,
+      |  CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS natural_share,
+      |  CAST(1 AS DOUBLE) / CAST(k_sources AS DOUBLE) AS target_share,
+      |  CAST(total_tokens AS DOUBLE) / CAST(k_sources AS DOUBLE) / CAST(tokens AS DOUBLE) AS repeat_factor,
+      |  CAST(ceil(CAST(total_tokens AS DOUBLE) / CAST(k_sources AS DOUBLE) / CAST(tokens AS DOUBLE)) AS BIGINT) AS epochs
+      |FROM per, tot ORDER BY source""".stripMargin
 }

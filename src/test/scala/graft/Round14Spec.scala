@@ -72,6 +72,105 @@ class Round14Spec extends AnyFunSuite {
     assert(ta.getAs[Long]("n_converted") == te.getAs[Long]("n_converted"))
   }
 
+  test("graph_eccentricity_sample: brute BFS per seed agrees") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("graph_eccentricity_sample")(spark, sf).collect()
+      .map(r => r.getAs[Long]("seed_part") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Long]("ecc_bounded")))).toMap
+    graft.core.OwnedCaches.release()
+    val t = graft.core.Tables(spark, sf)
+    val edges = t.lineitem.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps")).collect()
+      .flatMap(r => r.getSeq[Long](1).sorted.toList.combinations(2).map(x => (x(0), x(1))))
+      .groupBy(identity).filter(_._2.length >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = t.part.filter(col("p_partkey") <= 6)
+      .select("p_partkey").collect().map(_.getLong(0))
+    assert(got.keySet == seeds.toSet)
+    seeds.foreach { s =>
+      var dist = Map(s -> 0L); var frontier = Set(s)
+      for (h <- 1 to 4) {
+        val nxt = frontier.flatMap(p => adj.getOrElse(p, Set.empty)) -- dist.keySet
+        dist ++= nxt.map(_ -> h.toLong); frontier = nxt
+      }
+      assert(got(s) == ((dist.size.toLong, dist.values.max)), s"seed $s")
+    }
+  }
+
+  test("corpus_mix_plan: shares sum to 1 and epochs = ceil(repeat_factor)") {
+    val rows = SparkEntry.queries("corpus_mix_plan")(spark, sf).collect()
+    val k = rows.length
+    assert(k > 1)
+    val totalTokens = rows.map(_.getAs[Long]("tokens")).sum
+    assert(math.abs(rows.map(_.getAs[Double]("natural_share")).sum - 1.0) < 1e-12)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("target_share") == 1.0 / k)
+      val rf = r.getAs[Double]("repeat_factor")
+      assert(math.abs(rf - totalTokens.toDouble / k / r.getAs[Long]("tokens")) < 1e-12 * rf)
+      assert(r.getAs[Long]("epochs") == math.ceil(rf).toLong)
+    }
+  }
+
+  test("join_cardinality_audit: exact cardinality equals the executed join;" +
+    " estimator recomputes") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("join_cardinality_audit")(spark, sf).collect()
+    graft.core.OwnedCaches.release()
+    assert(rows.map(_.getAs[Int]("n_buckets")).toSeq == Seq(16, 64, 256))
+    val t = graft.core.Tables(spark, sf)
+    val actualJoin = t.events.select(col("user_id"))
+      .join(t.orders.select(col("o_custkey")), col("user_id") === col("o_custkey"))
+      .count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("actual_rows") == actualJoin,
+        "exact pass must equal the executed join's cardinality")
+      assert(r.getAs[Double]("err_pct") ==
+        (r.getAs[Long]("est_rows").toDouble - actualJoin.toDouble) / actualJoin.toDouble)
+    }
+    // brute-force the B=16 containment estimate
+    val ek = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ok = t.orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val he = ek.groupBy(_._1 % 16).view.mapValues(v => (v.map(_._2).sum, v.length.toLong))
+    val ho = ok.groupBy(_._1 % 16).view.mapValues(v => (v.map(_._2).sum, v.length.toLong))
+    val est = he.keys.filter(ho.keySet).map { b =>
+      val (re, ke) = he(b); val (ro, ko) = ho(b)
+      re * ro / math.max(ke, ko)
+    }.sum
+    assert(rows.find(_.getAs[Int]("n_buckets") == 16).get.getAs[Long]("est_rows") == est)
+  }
+
+  test("ses_grid_search: exact-integer SSE argmin recomputes") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ses_grid_search")(spark, sf).collect()
+      .map(r => r.getAs[String]("region_name") ->
+        ((r.getAs[Double]("best_alpha"), r.getAs[Double]("sse_best")))).toMap
+    val t = graft.core.Tables(spark, sf)
+    val monthly = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getAs[String]("r_name"), r.getAs[Int]("m"), r.getAs[Long]("y")))
+    monthly.groupBy(_._1).foreach { case (reg, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      val sses = (1 to 9).map { a =>
+        a -> ys.indices.drop(6).map { i =>
+          val f = (0 until 6).map(j =>
+            a.toLong * math.pow(10 - a, j).toLong * math.pow(10, 5 - j).toLong * ys(i - 1 - j)).sum
+          val ae = math.abs(ys(i) * 1000000L - f)
+          val h = ae / 10000; val l = ae % 10000
+          h * h + (2 * h * l * 10000 + l * l) / 100000000L
+        }.sum
+      }
+      val best = sses.minBy { case (a, s) => (s, a) }
+      assert(got(reg) == ((best._1 / 10.0, best._2.toDouble / 10000.0)), reg)
+    }
+  }
+
   test("probe-side filters push through AsOfJoin down to the parquet scan") {
     import org.apache.spark.sql.functions._
     val t = graft.core.Tables(spark, sf)
