@@ -254,7 +254,8 @@ object Commerce {
     */
   private def brandBaskets(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "commerce.brandBaskets", dir,
-        Set("basket_lift", "basket_triples", "basket_lift_significance")) {
+        Set("basket_lift", "basket_triples", "basket_lift_significance",
+          "basket_conviction_rules")) {
       val t = Tables(spark, dir)
       t.lineitem.select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
@@ -288,6 +289,78 @@ object Commerce {
       .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
       .limit(50)
   }
+
+  /** Directional association rules (round 14): where [[basketLift]]
+    * scores the SYMMETRIC pair, this emits both directions x→y with
+    * the rule-mining triple — confidence P(y|x), conviction
+    * (1−supp_y)/(1−conf) (how much more often x appears WITHOUT y
+    * than independence predicts — the directional miss-rate ratio
+    * lift cannot express), and leverage supp_xy − supp_x·supp_y.
+    * Same shared [[brandBaskets]] frame and ≥30-support floor; every
+    * ratio is one division (or two, identical text) of exact
+    * sub-2^53 integer cross-products; conviction of an exceptionless
+    * rule (conf = 1) is NULL by CASE on both engines. Top-40 by
+    * confidence, (x, y) tiebreak.
+    *
+    * Scale shape: identical to basket_lift — pairs explode map-side
+    * off the shared basket frame, marginals broadcast back onto the
+    * ≤|brands|² rule rows.
+    */
+  def basketConvictionRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = brandBaskets(spark, dir)
+    val n = baskets.agg(count(lit(1)).as("__n"))
+    val cnt = baskets.select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val und = baskets
+      .select(explode(col("bs")).as("ba"), col("bs"))
+      .select(col("ba"), explode(col("bs")).as("bb"))
+      .filter(col("ba") < col("bb"))
+      .groupBy(col("ba"), col("bb"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= 30)
+    val directed = und.select(col("ba").as("brand_x"), col("bb").as("brand_y"), col("pair_count"))
+      .unionByName(und.select(col("bb").as("brand_x"), col("ba").as("brand_y"), col("pair_count")))
+    directed
+      .join(broadcast(cnt.select(col("b").as("brand_x"), col("c").as("__cx"))), Seq("brand_x"))
+      .join(broadcast(cnt.select(col("b").as("brand_y"), col("c").as("__cy"))), Seq("brand_y"))
+      .crossJoin(broadcast(n))
+      .selectExpr("brand_x", "brand_y", "CAST(pair_count AS BIGINT) AS pair_count",
+        "CAST(pair_count AS DOUBLE) / CAST(__cx AS DOUBLE) AS confidence",
+        """CASE WHEN __cx = pair_count THEN NULL
+          |ELSE CAST((__n - __cy) * __cx AS DOUBLE) / CAST(__n * (__cx - pair_count) AS DOUBLE)
+          |END AS conviction""".stripMargin,
+        "CAST(pair_count * __n - __cx * __cy AS DOUBLE) / CAST(__n AS DOUBLE) / CAST(__n AS DOUBLE) AS leverage")
+      .orderBy(col("confidence").desc, col("brand_x"), col("brand_y"))
+      .limit(40)
+  }
+
+  val basketConvictionRulesSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+      |cnt AS (SELECT b, count(*) AS c FROM ob GROUP BY 1),
+      |und AS (
+      |  SELECT a.b AS ba, b2.b AS bb, count(*) AS pair_count
+      |  FROM ob a JOIN ob b2 ON a.o = b2.o AND a.b < b2.b GROUP BY 1, 2
+      |  HAVING count(*) >= 30),
+      |directed AS (
+      |  SELECT ba AS brand_x, bb AS brand_y, pair_count FROM und
+      |  UNION ALL
+      |  SELECT bb, ba, pair_count FROM und)
+      |SELECT brand_x, brand_y, CAST(pair_count AS BIGINT) AS pair_count,
+      |  CAST(pair_count AS DOUBLE) / CAST(cx.c AS DOUBLE) AS confidence,
+      |  CASE WHEN cx.c = pair_count THEN NULL
+      |  ELSE CAST(((SELECT n_orders FROM n) - cy.c) * cx.c AS DOUBLE)
+      |    / CAST((SELECT n_orders FROM n) * (cx.c - pair_count) AS DOUBLE)
+      |  END AS conviction,
+      |  CAST(pair_count * (SELECT n_orders FROM n) - cx.c * cy.c AS DOUBLE)
+      |    / CAST((SELECT n_orders FROM n) AS DOUBLE)
+      |    / CAST((SELECT n_orders FROM n) AS DOUBLE) AS leverage
+      |FROM directed
+      |JOIN cnt cx ON directed.brand_x = cx.b
+      |JOIN cnt cy ON directed.brand_y = cy.b
+      |ORDER BY confidence DESC, brand_x, brand_y LIMIT 40""".stripMargin
 
   val basketLiftSql: String =
     """WITH ob AS (

@@ -171,6 +171,36 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("basket_conviction_rules: rule identities recompute from basket_lift's frame") {
+    import org.apache.spark.sql.functions._
+    val rules = SparkEntry.queries("basket_conviction_rules")(spark, sf).collect()
+    graft.core.OwnedCaches.release()
+    assert(rules.nonEmpty && rules.length <= 40)
+    val t = graft.core.Tables(spark, sf)
+    val ob = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = ob.map(_._1).distinct.length.toLong
+    val cnt = ob.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pair = ob.groupBy(_._1).values
+      .flatMap(_.map(_._2).sorted.combinations(2).map(_.toList)).toSeq
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rules.foreach { r =>
+      val x = r.getAs[String]("brand_x"); val y = r.getAs[String]("brand_y")
+      val pc = pair(List(x, y).sorted)
+      assert(r.getAs[Long]("pair_count") == pc && pc >= 30)
+      assert(r.getAs[Double]("confidence") == pc.toDouble / cnt(x))
+      if (!r.isNullAt(r.fieldIndex("conviction")))
+        assert(r.getAs[Double]("conviction") ==
+          ((n - cnt(y)) * cnt(x)).toDouble / (n * (cnt(x) - pc)).toDouble)
+      assert(r.getAs[Double]("leverage") ==
+        (pc * n - cnt(x) * cnt(y)).toDouble / n.toDouble / n.toDouble)
+    }
+    // confidence is monotone non-increasing down the emitted ranking
+    val confs = rules.map(_.getAs[Double]("confidence"))
+    assert(confs.zip(confs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("probe-side filters push through AsOfJoin down to the parquet scan") {
     import org.apache.spark.sql.functions._
     val t = graft.core.Tables(spark, sf)
