@@ -323,6 +323,15 @@ class Round8bSpec extends AnyFunSuite {
     val plan = Graph.triangleCount(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "triangle wedge join degenerated to a cartesian")
-    assert(plan.contains("LeftSemi"), "closing-edge check should be a LEFT SEMI join")
+    // round 14: under the measured admission cap the executed plan is
+    // the single-task replay (no join at all); the at-scale branch
+    // keeps the equi-join + LEFT SEMI closing probe
+    assert(plan.contains("MapPartitions"),
+      "bench-scale graph should take the single-task replay")
+    val dplan = Graph.triangleCount(spark, TestSpark.sf, forceDistributed = true)
+      .queryExecution.executedPlan.toString
+    graft.core.OwnedCaches.release()
+    assert(!dplan.contains("CartesianProduct"), "triangle wedge join degenerated to a cartesian")
+    assert(dplan.contains("LeftSemi"), "closing-edge check should be a LEFT SEMI join")
   }
 }

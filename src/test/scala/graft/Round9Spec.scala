@@ -111,7 +111,10 @@ class Round9Spec extends AnyFunSuite {
       // basket_lift moved to the warm section above: its basket build
       // is session-shared (un-owned) since round 12
       () => graft.operators.Graph.bfsHops(spark, sf),
-      () => graft.operators.Graph.triangleCount(spark, sf),
+      // forceDistributed: the r14 replay branch owns no caches (it
+      // reads only the session-shared support frame); the owned
+      // degEdges cache under test belongs to the at-scale branch
+      () => graft.operators.Graph.triangleCount(spark, sf, forceDistributed = true),
       () => graft.operators.Graph.pagerankTopk(spark, sf))
     ops.foreach { op =>
       op().collect()
