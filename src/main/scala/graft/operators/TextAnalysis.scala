@@ -2461,6 +2461,15 @@ object TextAnalysis {
     val per = Tables(spark, dir).documents
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(ws).as("tokens"))
+    mixPlanFrom(per)
+  }
+
+  /** The mixing-table projection over a (source, n_docs, tokens)
+    * frame — shared by the batch operator and the streaming
+    * [[graft.streaming.MixPlanSink]], so both faces derive the plan
+    * with the identical expressions.
+    */
+  def mixPlanFrom(per: DataFrame): DataFrame = {
     val tot = per.agg(sum(col("tokens")).as("total_tokens"),
       count(lit(1)).as("k_sources"))
     per.crossJoin(broadcast(tot))

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming corpus-mix monitor (SURVEY.md §2 K, round 14): the
+  * streaming face of `TextAnalysis.corpusMixPlan` — a `foreachBatch`
+  * sink that maintains per-source (n_docs, tokens) counters across
+  * micro-batches, so an ingest pipeline watches its mix drift LIVE
+  * instead of re-scanning the corpus. The merge is a lossless integer
+  * sum: state after any number of micro-batches is row-identical to
+  * one batch aggregate over the concatenated input (spec-pinned), and
+  * `currentPlan` derives the mixing table (natural vs uniform-target
+  * share, repeat factor, epoch ceiling) from state through the SAME
+  * shared projection the batch operator uses
+  * ([[graft.operators.TextAnalysis.mixPlanFrom]]) — the two faces
+  * cannot drift apart. State is ≤ |sources| rows forever; snapshot
+  * versioning follows [[UpsertSink]] (rotation, object-store safe).
+  *
+  * Scale shape: each micro-batch pays one map-side token-count
+  * partial aggregate over its own rows plus a |sources|-row merge —
+  * the monitor's cost is O(batch), never O(corpus).
+  */
+object MixPlanSink {
+
+  /** Schema of a streamed document file (JSONL). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType)))
+
+  private val stateSchema = StructType(Seq(
+    StructField("source", StringType),
+    StructField("n_docs", LongType),
+    StructField("tokens", LongType)))
+
+  /** Per-source doc/token counters of one frame — the ONE counting
+    * derivation both the sink and the batch-parity check use
+    * (whitespace tokens, the textTokenCount convention).
+    */
+  def perSource(df: DataFrame): DataFrame =
+    df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " +"), t => length(t) > 0)).cast("long"))
+          .as("tokens"))
+
+  /** Current counters (empty, schema'd, before the first batch). */
+  def currentState(spark: SparkSession, stateDir: String): DataFrame =
+    VersionedState.readOrEmpty(spark, stateDir, stateSchema)
+
+  /** The live mixing table — the batch operator's exact projection
+    * over the maintained counters.
+    */
+  def currentPlan(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TextAnalysis.mixPlanFrom(currentState(spark, stateDir))
+
+  /** Start the counter-maintenance stream over JSONL documents. */
+  def start(spark: SparkSession, inputDir: String, stateDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).json(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val merged = currentState(sp, stateDir)
+          .unionByName(perSource(batch))
+          .groupBy(col("source"))
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"))
+        VersionedState.commit(merged, stateDir)
+        ()
+      }
+      .start()
+}
