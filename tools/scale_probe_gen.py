@@ -104,11 +104,21 @@ def mut_emb(t, i):
     t = t.set_column(0, "vec_id", pc.add(t["vec_id"], i * max_vec))
     if i == 0:
         return t
-    # nudge dim 0 by i * 1e-4 — replicas stop being exact duplicates
-    # but stay in the same cosine neighborhoods (organic-ish growth)
     vecs = t["embedding"].to_pylist()
-    for v in vecs:
-        v[0] = v[0] + i * 1e-4
+    if SPARSE:
+        # circular-shift each vector by i dims: norms and WITHIN-replica
+        # cosine structure are preserved exactly (every pair shifts
+        # together), but replicas leave the originals' neighborhoods —
+        # near-dup GROUPS grow linearly with REP instead of every group
+        # becoming a REP-times-larger clique (candidate pairs grew
+        # ~REP^2 under the nudge mode; see SCALE_PROBE_r14.md).
+        vecs = [v[i % len(v):] + v[:i % len(v)] for v in vecs]
+    else:
+        # nudge dim 0 by i * 1e-4 — replicas stop being exact duplicates
+        # but stay in the same cosine neighborhoods (planted-duplicate
+        # growth: the adversarial near-dup-density lens)
+        for v in vecs:
+            v[0] = v[0] + i * 1e-4
     return t.set_column(1, "embedding",
                         pa.array(vecs, type=pa.list_(pa.float32())))
 
