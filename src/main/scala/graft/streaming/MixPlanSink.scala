@@ -56,18 +56,32 @@ object MixPlanSink {
   def currentPlan(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TextAnalysis.mixPlanFrom(currentState(spark, stateDir))
 
+  /** Apply one micro-batch to the counters — REPLAY-IDEMPOTENT: the
+    * sum merge is not naturally idempotent (unlike the OR/MAX sinks),
+    * so a batch at-or-below the recorded applied id is skipped —
+    * foreachBatch re-delivers the last batch on failure recovery and
+    * a second sum would double-count every source it touched.
+    * Factored out of the stream closure so the replay contract is
+    * directly testable.
+    */
+  private[graft] def applyBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    if (batchId > VersionedState.lastAppliedBatch(stateDir)) {
+      val merged = currentState(sp, stateDir)
+        .unionByName(perSource(batch))
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"))
+      VersionedState.commit(merged, stateDir, batchId)
+    }
+  }
+
   /** Start the counter-maintenance stream over JSONL documents. */
   def start(spark: SparkSession, inputDir: String, stateDir: String): StreamingQuery =
     spark.readStream.schema(docSchema).json(inputDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        val merged = currentState(sp, stateDir)
-          .unionByName(perSource(batch))
-          .groupBy(col("source"))
-          .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"))
-        VersionedState.commit(merged, stateDir)
-        ()
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        applyBatch(batch, stateDir, bid)
       }
       .start()
 }

@@ -44,4 +44,40 @@ private[streaming] object VersionedState {
       .foreach(dir => org.apache.commons.io.FileUtils.deleteDirectory(dir))
     nextV
   }
+
+  /** The micro-batch id recorded with the latest snapshot, −1 if none
+    * (pre-batch-0 state, or a snapshot from a sink that doesn't track
+    * ids). Lets NON-idempotent merges (sum-counters — HistogramSink,
+    * MixPlanSink) skip a REPLAYED batch: foreachBatch re-runs the last
+    * batch after a failure-recovery, and a second sum would
+    * double-count where the OR/MAX/upsert sinks absorb it naturally.
+    * Contract: ids are the query's checkpointed batch ids (monotonic
+    * across restarts FROM the checkpoint); pointing a brand-new query
+    * (fresh checkpoint, ids restarting at 0) at an old state dir is
+    * a caller error.
+    */
+  def lastAppliedBatch(stateDir: String): Long =
+    latestVersion(stateDir).map { case (path, _) =>
+      val f = new java.io.File(path, "_applied_batch")
+      if (!f.exists()) -1L
+      else scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
+        .getOrElse(-1L)
+    }.getOrElse(-1L)
+
+  /** [[commit]] plus the applied-batch marker (an `_`-prefixed file —
+    * parquet readers ignore it, `_SUCCESS`-style). The marker lands
+    * after the snapshot data: a crash in between leaves a snapshot
+    * with no marker, which reads as "unknown" (−1) and the replayed
+    * batch re-applies — the same at-least-once window the snapshot
+    * write itself has, never a silent double-count of a MARKED batch.
+    */
+  def commit(next: DataFrame, stateDir: String, batchId: Long): Int = {
+    val v = commit(next, stateDir)
+    if (batchId >= 0)
+      java.nio.file.Files.write(
+        new java.io.File(s"$stateDir/v$v", "_applied_batch").toPath,
+        batchId.toString.getBytes("UTF-8"))
+    v
+  }
 }
