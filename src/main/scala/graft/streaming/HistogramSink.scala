@@ -53,9 +53,13 @@ object HistogramSink {
       .groupBy(col("k"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
-  /** Current histogram state (empty, schema'd, before the first batch). */
+  /** Current histogram state (empty, schema'd, before the first
+    * batch). Reads the latest COMMITTED (marker-bearing) snapshot: a
+    * marker-less version is foreign/uncommitted debris and must not
+    * serve as merge base (see [[VersionedState.latestCommitted]]).
+    */
   def currentHistogram(spark: SparkSession, stateDir: String): DataFrame =
-    VersionedState.readOrEmpty(spark, stateDir, stateSchema)
+    VersionedState.readCommittedOrEmpty(spark, stateDir, stateSchema)
 
   /** Ceil-rank bucket-midpoint estimates per key for quantile `q`
     * (percent) from the current state.
@@ -90,10 +94,19 @@ object HistogramSink {
       .orderBy("k")
   }
 
-  /** Start the histogram-maintenance stream over JSONL values. */
-  def start(spark: SparkSession, inputDir: String, stateDir: String): StreamingQuery =
+  /** Start the histogram-maintenance stream over JSONL values.
+    *
+    * `checkpointDir` defaults to a STABLE location under the state
+    * dir (ADVICE r14): a fresh temp checkpoint per invocation restarts
+    * batch ids at 0, and the replay guard would then silently skip
+    * every new batch after a restart. Stable checkpoint → monotonic
+    * ids — the applied-batch-marker contract.
+    */
+  def start(spark: SparkSession, inputDir: String, stateDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery =
     spark.readStream.schema(valueSchema).json(inputDir)
       .writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$stateDir/_checkpoint"))
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         applyBatch(batch, stateDir, bid)
       }

@@ -46,9 +46,13 @@ object MixPlanSink {
         sum(size(filter(split(col("text"), " +"), t => length(t) > 0)).cast("long"))
           .as("tokens"))
 
-  /** Current counters (empty, schema'd, before the first batch). */
+  /** Current counters (empty, schema'd, before the first batch).
+    * Reads the latest COMMITTED (marker-bearing) snapshot: a
+    * marker-less version is foreign/uncommitted debris and must not
+    * serve as merge base (see [[VersionedState.latestCommitted]]).
+    */
   def currentState(spark: SparkSession, stateDir: String): DataFrame =
-    VersionedState.readOrEmpty(spark, stateDir, stateSchema)
+    VersionedState.readCommittedOrEmpty(spark, stateDir, stateSchema)
 
   /** The live mixing table — the batch operator's exact projection
     * over the maintained counters.
@@ -76,10 +80,21 @@ object MixPlanSink {
     }
   }
 
-  /** Start the counter-maintenance stream over JSONL documents. */
-  def start(spark: SparkSession, inputDir: String, stateDir: String): StreamingQuery =
+  /** Start the counter-maintenance stream over JSONL documents.
+    *
+    * `checkpointDir` defaults to a STABLE location under the state
+    * dir (ADVICE r14): without it every invocation got a fresh temp
+    * checkpoint whose batch ids restart at 0, and the
+    * `batchId > lastAppliedBatch` replay guard would then silently
+    * SKIP every new batch after a restart. A stable checkpoint keeps
+    * ids monotonic across restarts — the contract the applied-batch
+    * marker assumes.
+    */
+  def start(spark: SparkSession, inputDir: String, stateDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery =
     spark.readStream.schema(docSchema).json(inputDir)
       .writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$stateDir/_checkpoint"))
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         applyBatch(batch, stateDir, bid)
       }

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-15 streaming pins (VERDICT r14 #2 + ADVICE r14):
+  *
+  *  - The sum-merge sinks survive the MANUFACTURED crash state the
+  *    r14 marker left possible — a latest snapshot WITHOUT its
+  *    `_applied_batch` marker — without double-counting: the
+  *    marker-less version is treated as uncommitted, the merge base
+  *    falls back to the newest marked predecessor, and the replayed
+  *    batch re-applies exactly once.
+  *  - `commit` publishes marker + snapshot atomically (stage + one
+  *    move): no post-commit state ever has a marked predecessor
+  *    shadowed by a marker-less latest, and no staging debris
+  *    survives.
+  *  - `start()` pins a stable checkpointLocation, so a RESTARTED
+  *    stream keeps monotonic batch ids and the replay guard cannot
+  *    silently skip new batches (the ADVICE r14 data-loss mode).
+  */
+class Round15Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def dropMarker(stateDir: String): Unit = {
+    val latest = graft.streaming.VersionedState.latestVersion(stateDir).get._1
+    val marker = new java.io.File(latest, "_applied_batch")
+    assert(marker.exists(), "test setup: latest version should carry a marker")
+    assert(marker.delete())
+  }
+
+  test("MixPlanSink: replay onto a marker-less latest snapshot does not double-count") {
+    import graft.streaming.MixPlanSink
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("source"))
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    def m(st: String) = MixPlanSink.currentState(spark, st).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens")))).toMap
+    // reference run: both batches, no crash
+    val ref = java.nio.file.Files.createTempDirectory("mix_ref").toString
+    MixPlanSink.applyBatch(b0, ref, 0L)
+    MixPlanSink.applyBatch(b1, ref, 1L)
+    val want = m(ref)
+    // crash run: batch 1's snapshot lands but its marker is destroyed
+    // (the pre-r15 crash window, manufactured) — recovery replays it
+    val st = java.nio.file.Files.createTempDirectory("mix_crash").toString
+    MixPlanSink.applyBatch(b0, st, 0L)
+    MixPlanSink.applyBatch(b1, st, 1L)
+    dropMarker(st)
+    MixPlanSink.applyBatch(b1, st, 1L) // foreachBatch failure-recovery replay
+    assert(m(st) == want, "replay onto marker-less state double-counted")
+    // and the next id still merges on top of the recovered state
+    MixPlanSink.applyBatch(b1.limit(5), st, 2L)
+    assert(m(st).values.map(_._1).sum == want.values.map(_._1).sum + 5)
+  }
+
+  test("HistogramSink: replay onto a marker-less latest snapshot does not double-count") {
+    import graft.streaming.HistogramSink
+    val vals = graft.core.Tables(spark, sf).orders
+      .selectExpr("o_orderpriority AS k",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v")
+    val b0 = vals.filter(col("v") % 2 === 0)
+    val b1 = vals.filter(col("v") % 2 =!= 0)
+    def total(st: String) = HistogramSink.currentHistogram(spark, st)
+      .agg(coalesce(sum(col("c")), lit(0L))).collect().head.getLong(0)
+    val ref = java.nio.file.Files.createTempDirectory("hist_ref").toString
+    HistogramSink.applyBatch(b0, ref, 0L)
+    HistogramSink.applyBatch(b1, ref, 1L)
+    val want = total(ref)
+    val st = java.nio.file.Files.createTempDirectory("hist_crash").toString
+    HistogramSink.applyBatch(b0, st, 0L)
+    HistogramSink.applyBatch(b1, st, 1L)
+    dropMarker(st)
+    HistogramSink.applyBatch(b1, st, 1L)
+    assert(total(st) == want, "replay onto marker-less state doubled bucket mass")
+  }
+
+  test("VersionedState.commit publishes marker atomically and sweeps staging") {
+    val VersionedState = graft.streaming.VersionedState
+    val st = java.nio.file.Files.createTempDirectory("vs_atomic").toString
+    val df = spark.range(3).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    val v0 = VersionedState.commit(df, st, 7L)
+    // the published version carries its marker (same atomic move)
+    assert(new java.io.File(s"$st/v$v0", "_applied_batch").exists())
+    assert(VersionedState.lastAppliedBatch(st) == 7L)
+    // no staging debris survives a successful commit
+    val stray = Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".stage-"))
+    assert(stray.isEmpty, s"staging debris left behind: ${stray.mkString(",")}")
+    // latestCommitted walks past a manufactured marker-less successor
+    val v1 = VersionedState.commit(df, st, 8L)
+    assert(new java.io.File(s"$st/v$v1", "_applied_batch").delete())
+    assert(VersionedState.lastAppliedBatch(st) == 7L,
+      "marker-less latest must read as uncommitted (fall back to v0's id)")
+  }
+
+  test("MixPlanSink.start: a RESTARTED stream keeps merging new batches (stable checkpoint)") {
+    import graft.streaming.MixPlanSink
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("source"))
+    val in = java.nio.file.Files.createTempDirectory("mix_rs_in").toString
+    val st = java.nio.file.Files.createTempDirectory("mix_rs_state").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").json(s"$in/b0")
+    val q1 = MixPlanSink.start(spark, s"$in/*", st)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = MixPlanSink.currentState(spark, st)
+      .agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(afterFirst > 0)
+    // restart the stream (same state dir, default checkpoint) and feed
+    // a NEW file: with a fresh temp checkpoint the ids would restart at
+    // 0 ≤ lastAppliedBatch and the guard would silently drop the batch
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").json(s"$in/b1")
+    val q2 = MixPlanSink.start(spark, s"$in/*", st)
+    try q2.processAllAvailable() finally q2.stop()
+    val afterSecond = MixPlanSink.currentState(spark, st)
+      .agg(sum(col("n_docs"))).collect().head.getLong(0)
+    val want = docs.count()
+    assert(afterSecond == want,
+      s"restarted stream lost data: $afterSecond of $want docs counted")
+  }
+}
