@@ -30,13 +30,17 @@ object Bench {
     // a genuinely slower plan raises run and cpu together.
     val taskGc = new java.util.concurrent.atomic.AtomicLong
     val taskRun = new java.util.concurrent.atomic.AtomicLong
-    val taskCpu = new java.util.concurrent.atomic.AtomicLong
+    // raw NANOSECONDS, divided once at emit (ADVICE r14): truncating
+    // ns→ms per task undercounts up to ~1 ms × thousands of short
+    // tasks — enough to bias the cpu/run contention ratio the sidecar
+    // exists to measure
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null) {
           taskGc.addAndGet(t.taskMetrics.jvmGCTime)
           taskRun.addAndGet(t.taskMetrics.executorRunTime)
-          taskCpu.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
+          taskCpuNs.addAndGet(t.taskMetrics.executorCpuTime)
         }
     })
     def load1: Double =
@@ -98,12 +102,36 @@ object Bench {
     val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").exists(v => v == "1" || v == "true")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
+    // UNTIMED warmup sweep (VERDICT r14 #3): the r14 driver tail was
+    // concentrated in the run's FIRST families alphabetically
+    // (ann_pq_topk 8.9 s driver vs 1.6 s shared, load1 7.2, BOTH raw
+    // runs slow) — the opening window pays JIT/codegen compilation and
+    // whatever host contention the run starts under, and min-of-2
+    // can't absorb it when both runs land inside the window. A small
+    // representative query set (one per machinery family: scan+agg,
+    // window, shuffle join, custom-Expression dedup, SRP sketch,
+    // kmeans/higher-order array math, graph, stats) runs untimed
+    // first, then every cache/shared-frame effect is dropped so timed
+    // queries still pay their own documented costs. Skipped under
+    // SPARK_GRAFT_ONLY (fast local iteration on a subset).
+    if (only.isEmpty) {
+      val warmup = Seq("q1_pricing_summary", "window_running_total",
+        "q3_top_orders", "dedup_exact", "ann_lsh_topk", "embedding_kmeans",
+        "triangle_count", "ks_test")
+      warmup.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+      graft.core.SharedFrames.reset()
+      graft.core.OwnedCaches.release()
+    }
     graft.core.SharedFrames.planQueries(names)
     val sidecar = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val gc0 = jvmGcMs; val tgc0 = taskGc.get()
-      val trun0 = taskRun.get(); val tcpu0 = taskCpu.get()
+      val trun0 = taskRun.get(); val tcpu0 = taskCpuNs.get()
       val reb0 = graft.core.SharedFrames.diagnostics._1
       def once: Double = {
         if (isolate) { spark.catalog.clearCache(); graft.core.SharedFrames.reset() }
@@ -127,7 +155,7 @@ object Bench {
       val (mem, disk, evicted) = storageNow
       sidecar(name) =
         s"""{"gc_ms":${jvmGcMs - gc0},"task_gc_ms":${taskGc.get() - tgc0},""" +
-        s""""task_run_ms":${taskRun.get() - trun0},"task_cpu_ms":${taskCpu.get() - tcpu0},""" +
+        s""""task_run_ms":${taskRun.get() - trun0},"task_cpu_ms":${(taskCpuNs.get() - tcpu0) / 1000000L},""" +
         s""""load1":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(load1))},""" +
         s""""run1_s":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(r1))},""" +
         s""""run2_s":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(r2))},""" +

@@ -1259,7 +1259,12 @@ object Ann {
       val w = cm.join(v.toDF("db", "vv"), "db")
         .groupBy(col("da").as("dim"))
         .agg(sum(col("cab") * col("vv")).as("w"))
-      val m = w.agg(max(abs(col("w"))).as("m"))
+      // max(|w|) floored at 1 (ADVICE r14): a degenerate input where
+      // every w sums to zero otherwise divides by zero — NULLs here,
+      // ArithmeticException in the replay. Flooring renorms the
+      // all-zero vector to itself on all three faces (this loop, the
+      // replay, the oracle); any real input has m ≥ 1 and is unchanged.
+      val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
       v = w.crossJoin(broadcast(m))
         .select(col("dim"),
           expr(signedDivSpark(s"w * $VScale", "m")).as("vv"))
@@ -1289,7 +1294,7 @@ object Ann {
           w.update(da, Math.addExact(w.getOrElse(da, 0L), Math.multiplyExact(cab, vv)))
         }
       }
-      var m = 0L
+      var m = 1L // floor 1, mirroring the distributed greatest(max|w|, 1)
       w.foreachValue { x => val a = math.abs(x); if (a > m) m = a }
       val next = scala.collection.mutable.LongMap.empty[Long]
       w.foreach { case (da, wv) => next.update(da, Math.multiplyExact(wv, vscale) / m) }
@@ -1303,7 +1308,7 @@ object Ann {
       s"""${name}_w AS (
          |  SELECT c.da AS dim, CAST(sum(c.cab * p.vv) AS BIGINT) AS w
          |  FROM cm c JOIN $prev p ON p.dim = c.db GROUP BY 1),
-         |${name}_m AS (SELECT max(abs(w)) AS m FROM ${name}_w),
+         |${name}_m AS (SELECT greatest(max(abs(w)), 1) AS m FROM ${name}_w),
          |$name AS (
          |  SELECT dim, CAST(${signedDivDuck(s"w * $VScale", "m")} AS BIGINT) AS vv
          |  FROM ${name}_w, ${name}_m)""".stripMargin

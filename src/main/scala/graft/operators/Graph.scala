@@ -464,7 +464,6 @@ object Graph {
   private val BfsHops = 3
   private val EccSeedMax = 6       // seeds = the part keys ≤ this
   private val EccHops = 4          // bounded-eccentricity horizon
-  private val EccOff = 16777216L   // 2^24 — above any replicated part-key space
   private val BfsSeedBrand = "Brand#1"
 
   /** Support-filtered undirected co-purchase edges (p1 < p2, support
@@ -650,12 +649,23 @@ object Graph {
     val seeds = Tables(spark, dir).part
       .filter(col("p_partkey") <= EccSeedMax)
       .select(col("p_partkey").as("s"))
-    val edges = sym.crossJoin(broadcast(seeds))
-      .select((col("s") * EccOff + col("src")).as("src"),
-        (col("s") * EccOff + col("dst")).as("dst"), lit(1L).as("w"))
-    val seeded = seeds.select((col("s") * EccOff + col("s")).as("p"), lit(0L).as("d"))
+    // replica-space offset DERIVED FROM THE DATA (ADVICE r14): a fixed
+    // 2^24 literal collides once part keys exceed it (~sf100), making
+    // seed copies bleed into each other — and the SQL oracle shared
+    // the literal, so the hash gate could never catch it. max(key)+1
+    // is collision-free at ANY key width by construction (node < off),
+    // computed identically by both engines; it rides every row as a
+    // broadcast 1-row scalar join, never a driver-side collect.
+    val off = Tables(spark, dir).part
+      .agg((max(col("p_partkey")).cast("long") + lit(1L)).as("off"))
+    val edges = sym.crossJoin(broadcast(seeds)).crossJoin(broadcast(off))
+      .select((col("s") * col("off") + col("src")).as("src"),
+        (col("s") * col("off") + col("dst")).as("dst"), lit(1L).as("w"))
+    val seeded = seeds.crossJoin(broadcast(off))
+      .select((col("s") * col("off") + col("s")).as("p"), lit(0L).as("d"))
     boundedRelax(edges, seeded, EccHops)
-      .groupBy(expr(s"p div $EccOff").as("seed_part"))
+      .crossJoin(broadcast(off))
+      .groupBy(expr("p div off").as("seed_part"))
       .agg(count(lit(1)).as("n_reached"), max(col("d")).as("ecc_bounded"))
       .orderBy("seed_part")
   }
@@ -682,11 +692,12 @@ object Graph {
       |e AS (SELECT p1 AS src, p2 AS dst FROM e0
       |      UNION ALL SELECT p2, p1 FROM e0),
       |seeds AS (SELECT p_partkey AS s FROM part WHERE p_partkey <= $EccSeedMax),
-      |e2 AS (SELECT seeds.s * $EccOff + e.src AS src,
-      |              seeds.s * $EccOff + e.dst AS dst FROM e, seeds),
-      |d0 AS (SELECT s * $EccOff + s AS p, CAST(0 AS BIGINT) AS hop FROM seeds),
+      |off AS (SELECT CAST(max(p_partkey) AS BIGINT) + 1 AS o FROM part),
+      |e2 AS (SELECT seeds.s * off.o + e.src AS src,
+      |              seeds.s * off.o + e.dst AS dst FROM e, seeds, off),
+      |d0 AS (SELECT s * off.o + s AS p, CAST(0 AS BIGINT) AS hop FROM seeds, off),
       |$rounds
-      |SELECT p // $EccOff AS seed_part,
+      |SELECT p // (SELECT o FROM off) AS seed_part,
       |  CAST(count(*) AS BIGINT) AS n_reached,
       |  CAST(max(hop) AS BIGINT) AS ecc_bounded
       |FROM d$EccHops GROUP BY 1 ORDER BY 1""".stripMargin

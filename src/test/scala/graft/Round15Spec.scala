@@ -97,6 +97,15 @@ class Round15Spec extends AnyFunSuite {
       "marker-less latest must read as uncommitted (fall back to v0's id)")
   }
 
+  test("eigenReplay: degenerate all-zero scatter renorms to the zero vector, no throw") {
+    // ADVICE r14: max|w| = 0 divided the replay by zero while the
+    // distributed branch NULLed — both now floor the renorm at 1
+    val rows = Array((0L, 0L, 0L), (1L, 1L, 0L), (0L, 1L, 0L))
+    val out = graft.operators.Ann.eigenReplay(rows, iters = 3, vscale = 1000L).toSeq
+    assert(out == Seq((0L, 0L), (1L, 0L)),
+      s"zero scatter must fix the zero vector, got $out")
+  }
+
   test("MixPlanSink.start: a RESTARTED stream keeps merging new batches (stable checkpoint)") {
     import graft.streaming.MixPlanSink
     val docs = graft.core.Tables(spark, sf).documents
