@@ -882,7 +882,9 @@ object Ann {
     // before they might)
     "dedup_embedding_lsh", "dedup_embedding_incremental",
     "embedding_neardup_recall", "dedup_embedding_cosine",
-    "dedup_embedding_clusters")
+    "dedup_embedding_clusters", "embedding_keep_canonical",
+    // riders of the shared kNN graph (its build reads these frames)
+    "embedding_hubness_audit", "knn_reciprocal_rate")
 
   private[graft] def kmeansAssign(spark: SparkSession, dir: String,
       kOverride: Option[Int] = None): (DataFrame, DataFrame, DataFrame, Long) = {
@@ -1018,7 +1020,8 @@ object Ann {
     // one cell-bounded pair-join materialization serves both queries,
     // released after the later of the two in a planned harness run
     graft.core.SharedFrames.get(spark, "ann.knnGraph", dir,
-        Set("knn_graph", "knn_confusion")) {
+        Set("knn_graph", "knn_confusion",
+          "embedding_hubness_audit", "knn_reciprocal_rate")) {
       knnGraph(spark, dir, kOverride = None, forceShuffle = false)
     }
 
@@ -1180,7 +1183,7 @@ object Ann {
   private[graft] val CellProbeConsumers: Set[String] = Set(
     "dedup_embedding_lsh", "dedup_embedding_incremental",
     "embedding_neardup_recall", "dedup_embedding_cosine",
-    "dedup_embedding_clusters")
+    "dedup_embedding_clusters", "embedding_keep_canonical")
 
   /** Every vector's [[KnnProbe]] nearest cells (va, cl) — the
     * multi-probe relation under the whole cell-bounded near-dup
@@ -1231,7 +1234,7 @@ object Ann {
     // frame is near-dup-sized, not candidate-sized
     graft.core.SharedFrames.get(spark, "ann.cellNearDup", dir,
         Set("dedup_embedding_lsh", "dedup_embedding_cosine",
-          "dedup_embedding_clusters")) {
+          "dedup_embedding_clusters", "embedding_keep_canonical")) {
       val (assigned, q, _, nVec) = kmeansAssign(spark, dir)
       val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
       val probes = cellProbes(spark, dir)
@@ -1466,6 +1469,157 @@ object Ann {
        |  coalesce(d.n_corpus_dups, 0) = 0 AS admitted
        |FROM sp s LEFT JOIN dups d ON d.nid = s.vec_id
        |WHERE s.is_new ORDER BY s.vec_id""".stripMargin
+
+  // ------------------------------------------------ embedding_hubness_audit
+
+  /** HUBNESS audit of the corpus kNN graph: the distribution of
+    * k-occurrence (how often each vector appears as someone's
+    * neighbor) — the classic high-dimensional metric-health readout
+    * (Radovanović et al., JMLR'10): a healthy space has in-degree
+    * concentrated near k; a degrading one grows hub vectors with huge
+    * in-degree and "anti-hubs" that are nobody's neighbor (the
+    * in_degree = 0 row), which silently bias every kNN-derived
+    * decision (semdedup pruning, kNN labels, retrieval). Pure integer
+    * counting over the session-shared [[knnGraph]] frame — eval cost
+    * is the graph's n·k rows, never the corpus pair space.
+    */
+  def embeddingHubnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(spark, dir)
+    val indeg = g.groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("d"))
+    Tables(spark, dir).embeddings.select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .selectExpr("CAST(in_degree AS BIGINT) AS in_degree",
+        "CAST(n_vectors AS BIGINT) AS n_vectors")
+      .orderBy("in_degree")
+  }
+
+  lazy val embeddingHubnessAuditSql: String =
+    s"""WITH g AS ($knnGraphSql),
+       |ind AS (
+       |  SELECT e.vec_id, CAST(count(g.vec_id) AS BIGINT) AS d
+       |  FROM embeddings e LEFT JOIN g ON g.neighbor_id = e.vec_id
+       |  GROUP BY e.vec_id)
+       |SELECT d AS in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM ind GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------- knn_reciprocal_rate
+
+  /** Reciprocal-neighbor rate of the kNN graph: the share of directed
+    * edges whose reverse edge is also present. Low reciprocity is the
+    * other face of hubness (hubs absorb in-edges they never return)
+    * and the standard gate before using the graph symmetrically
+    * (mutual-kNN clustering, UMAP-style graphs). One self-semi-join
+    * on the shared n·k-row frame; counts exact, one final division.
+    */
+  def knnReciprocalRate(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(spark, dir).select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+    val recip = g.join(g.select(col("b").as("a"), col("a").as("b")),
+      Seq("a", "b"), "left_semi")
+    g.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).cast("long").as("n_reciprocal")))
+      .selectExpr("n_edges", "n_reciprocal",
+        "n_reciprocal div 2 AS n_mutual_pairs",
+        "CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocal_rate")
+  }
+
+  lazy val knnReciprocalRateSql: String =
+    s"""WITH g AS ($knnGraphSql),
+       |e AS (SELECT vec_id AS a, neighbor_id AS b FROM g),
+       |r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+       |      FROM e JOIN e e2 ON e2.a = e.b AND e2.b = e.a),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       |SELECT n_edges, n_reciprocal,
+       |  n_reciprocal // 2 AS n_mutual_pairs,
+       |  CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocal_rate
+       |FROM n, r""".stripMargin
+
+  // ------------------------------------------------- srp_bucket_occupancy
+
+  /** Per-table occupancy audit of the sign-random-projection LSH
+    * tables — the `lsh_bucket_occupancy` / `ivf_cell_occupancy`
+    * counterpart for the SRP family, completing the rule that every
+    * candidate generator ships its own Σc(c−1)/2 candidate-pair bound
+    * (the number its 100 TB argument rests on, observable per run:
+    * a collapsed table — one bucket absorbing the corpus — shows up
+    * here BEFORE a pair join pays for it). Map-side signatures, one
+    * (table, bucket) count, 8 output rows.
+    */
+  def srpBucketOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.RademacherSketch.register(spark)
+    Tables(spark, dir).embeddings
+      .select(posexplode(call_function("graft_rademacher", col("embedding")))
+        .as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_occupancy"),
+        sum(col("c") * (col("c") - 1)).as("cp2"))
+      .selectExpr("CAST(tbl AS INTEGER) AS tbl", "CAST(n_buckets AS BIGINT) AS n_buckets",
+        "CAST(max_occupancy AS BIGINT) AS max_occupancy",
+        "cp2 div 2 AS candidate_pairs")
+      .orderBy("tbl")
+  }
+
+  lazy val srpBucketOccupancySql: String = {
+    import graft.functions.RademacherSketch.{NumTables, PlanesPerTable, Dim}
+    s"""WITH q6 AS (SELECT vec_id, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1e6) AS BIGINT)) AS q FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS d FROM q6),
+       |grid AS (SELECT t, p, d,
+       |    CASE WHEN ('0x'||substr(md5(CAST(t AS VARCHAR)||'_'||CAST(p AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,1))::BIGINT & 1 = 1 THEN 1 ELSE -1 END AS w
+       |  FROM (SELECT unnest(range($NumTables)) AS t) a,
+       |       (SELECT unnest(range($PlanesPerTable)) AS p) b,
+       |       (SELECT unnest(range($Dim)) AS d) c),
+       |dots AS (SELECT e.vec_id, g.t, g.p, sum(g.w * e.qv) AS s
+       |         FROM ex e JOIN grid g ON g.d = e.d GROUP BY 1, 2, 3),
+       |buckets AS (SELECT vec_id, t, sum(CASE WHEN s > 0 THEN (1::BIGINT<<p) ELSE 0 END) AS bucket
+       |            FROM dots GROUP BY 1, 2),
+       |occ AS (SELECT t, bucket, CAST(count(*) AS BIGINT) AS c FROM buckets GROUP BY 1, 2)
+       |SELECT CAST(t AS INTEGER) AS tbl, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(c) AS BIGINT) AS max_occupancy,
+       |  CAST(sum(c * (c - 1)) AS BIGINT) // 2 AS candidate_pairs
+       |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ----------------------------------------------- embedding_keep_canonical
+
+  /** Surviving vector corpus after near-dup collapse — the embedding
+    * face of `dedup_keep_canonical`: keep each cosine-cluster's
+    * canonical representative (its min-id member) plus every
+    * unclustered vector. One anti-join against the (tiny)
+    * non-canonical member list, so the corpus streams map-side at any
+    * scale; the pair/cluster build inherits the family's corpus-cap
+    * routing.
+    */
+  def embeddingKeepCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = embeddingDedupClusters(spark, dir)
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id"))
+    Tables(spark, dir).embeddings
+      .join(broadcast(dropped), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  lazy val embeddingKeepCanonicalSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= $DupThreshold),
+       |edges AS (SELECT va AS a, vb AS b FROM pairs
+       |          UNION SELECT vb, va FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       |  UNION
+       |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n),
+       |cc AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n)
+       |SELECT e.vec_id, e.label
+       |FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.vec_id
+       |WHERE cc.vec_id IS NULL OR cc.cluster_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   // ----------------------------------------------------------------- mips_topk
 

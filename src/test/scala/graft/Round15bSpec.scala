@@ -77,6 +77,35 @@ class Round15bSpec extends AnyFunSuite {
     }
   }
 
+  test("hubness/reciprocity audits conserve the kNN graph's mass") {
+    val g = graft.operators.Ann.knnGraph(spark, sf)
+    val nEdges = g.count()
+    val hub = SparkEntry.queries("embedding_hubness_audit")(spark, sf).collect()
+    val nVec = graft.core.Tables(spark, sf).embeddings.count()
+    assert(hub.map(_.getAs[Long]("n_vectors")).sum == nVec,
+      "in-degree histogram must partition the corpus")
+    assert(hub.map(r => r.getAs[Long]("in_degree") * r.getAs[Long]("n_vectors")).sum
+      == nEdges, "sum of in-degrees must equal the edge count")
+    val rr = SparkEntry.queries("knn_reciprocal_rate")(spark, sf).collect().head
+    assert(rr.getAs[Long]("n_edges") == nEdges)
+    assert(rr.getAs[Long]("n_reciprocal") >= 0 &&
+      rr.getAs[Long]("n_reciprocal") <= nEdges)
+    assert(rr.getAs[Long]("n_reciprocal") % 2 == 0,
+      "reciprocal directed edges come in pairs")
+    // srp occupancy: each of the 8 tables partitions the corpus
+    val occ = SparkEntry.queries("srp_bucket_occupancy")(spark, sf).collect()
+    assert(occ.length == 8)
+    occ.foreach { r =>
+      assert(r.getAs[Long]("max_occupancy") <= nVec)
+      assert(r.getAs[Long]("n_buckets") <= 16L) // 4 planes -> <=16 buckets
+    }
+    // keep-canonical: survivors = corpus - (clustered non-representatives)
+    val clusters = SparkEntry.queries("dedup_embedding_clusters")(spark, sf).collect()
+    val droppedN = clusters.count(r => r.getLong(0) != r.getLong(1))
+    val kept = SparkEntry.queries("embedding_keep_canonical")(spark, sf).count()
+    assert(kept == nVec - droppedN)
+  }
+
   test("dedup_embedding_clusters inherits the routing: scale-branch pairs cluster consistently") {
     // below the cap (test scale) the clusters form over the EXACT pair
     // set — pin that the registered query still does exactly that
