@@ -6349,6 +6349,109 @@ object Stats {
        |  CASE WHEN $EgT < CAST(-3.37 AS DOUBLE) THEN 1 ELSE 0 END AS cointegrated
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------------------------ adf_test
+
+  // Cramer's-rule solution of the 3-parameter ADF regression
+  // Δy = α + γ·y₁ + β·Δy₁ from exact integer moments, written once and
+  // shared verbatim by both engines (identical IEEE op order → the
+  // floats hash-match; the moments themselves are exact BIGINTs, the
+  // quadratic_trend / engle_granger convention).
+  private val AdfT = "CAST(tt AS DOUBLE)"
+  private val AdfS1 = "CAST(s1 AS DOUBLE)"
+  private val AdfS2 = "CAST(s2 AS DOUBLE)"
+  private val AdfS11 = "CAST(s11 AS DOUBLE)"
+  private val AdfS12 = "CAST(s12 AS DOUBLE)"
+  private val AdfS22 = "CAST(s22 AS DOUBLE)"
+  private val AdfSy = "CAST(sy AS DOUBLE)"
+  private val AdfS1y = "CAST(s1y AS DOUBLE)"
+  private val AdfS2y = "CAST(s2y AS DOUBLE)"
+  private val AdfSyy = "CAST(syy AS DOUBLE)"
+  private val AdfDet =
+    s"($AdfT*($AdfS11*$AdfS22 - $AdfS12*$AdfS12) - $AdfS1*($AdfS1*$AdfS22 - $AdfS12*$AdfS2) + $AdfS2*($AdfS1*$AdfS12 - $AdfS11*$AdfS2))"
+  private val AdfDet0 = // α numerator: column 0 ← X'Y
+    s"($AdfSy*($AdfS11*$AdfS22 - $AdfS12*$AdfS12) - $AdfS1*($AdfS1y*$AdfS22 - $AdfS12*$AdfS2y) + $AdfS2*($AdfS1y*$AdfS12 - $AdfS11*$AdfS2y))"
+  private val AdfDet1 = // γ numerator: column 1 ← X'Y
+    s"($AdfT*($AdfS1y*$AdfS22 - $AdfS12*$AdfS2y) - $AdfSy*($AdfS1*$AdfS22 - $AdfS12*$AdfS2) + $AdfS2*($AdfS1*$AdfS2y - $AdfS1y*$AdfS2))"
+  private val AdfDet2 = // β numerator: column 2 ← X'Y
+    s"($AdfT*($AdfS11*$AdfS2y - $AdfS1y*$AdfS12) - $AdfS1*($AdfS1*$AdfS2y - $AdfS1y*$AdfS2) + $AdfSy*($AdfS1*$AdfS12 - $AdfS11*$AdfS2))"
+  private val AdfSsr =
+    s"($AdfSyy - ($AdfDet0*$AdfSy + $AdfDet1*$AdfS1y + $AdfDet2*$AdfS2y) / $AdfDet)"
+  private val AdfVarG = // s²·[(X'X)⁻¹]_γγ with cofactor C₁₁ = T·S22 − S2²
+    s"(($AdfSsr / ($AdfT - CAST(3 AS DOUBLE))) * ($AdfT*$AdfS22 - $AdfS2*$AdfS2) / $AdfDet)"
+  private val AdfStat = s"(($AdfDet1 / $AdfDet) / sqrt($AdfVarG))"
+
+  /** Augmented Dickey–Fuller unit-root test (intercept, one augmented
+    * lag) on the AMERICA monthly revenue series — the complementary
+    * null to `kpss_stationarity` (ADF: H₀ = unit root; KPSS: H₀ =
+    * stationary; the pair is how practitioners actually decide, since
+    * each test alone can't distinguish "can't reject" from evidence).
+    * The regression Δy = α + γ·y₍t₋₁₎ + β·Δy₍t₋₁₎ is solved in closed
+    * form by Cramer's rule from EXACT integer moments (revenue in
+    * 10⁵-cent units; every product ≤ DECIMAL(38,0), every double cast
+    * < 2^53), so both engines compute bit-identical statistics; the
+    * 5% critical value −2.89 (intercept, n≈100) gates the verdict.
+    *
+    * Scale shape: one orders⋈customer partial-agg to the bounded
+    * region-month grid; lags/diffs on the ~100-row series; moments in
+    * one tiny aggregate — fact-table cost is the monthly rollup only.
+    */
+  def adfTest(spark: SparkSession, dir: String): DataFrame = {
+    val series = regionMonthly(spark, dir)
+      .filter(col("region_name") === "AMERICA")
+      .select(col("m"), expr("rev_c div 100000").as("y"))
+    val w = Window.orderBy("m")
+    val lagged = series
+      .withColumn("y1", lag(col("y"), 1).over(w))
+      .withColumn("y2", lag(col("y"), 2).over(w))
+      .filter(col("y2").isNotNull)
+      .select((col("y") - col("y1")).as("d"), col("y1"),
+        (col("y1") - col("y2")).as("d1"))
+    lagged.agg(count(lit(1)).as("tt"),
+        sum(expr("CAST(y1 AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(d1 AS DECIMAL(38,0))")).as("s2"),
+        sum(expr("CAST(y1 * y1 AS DECIMAL(38,0))")).as("s11"),
+        sum(expr("CAST(y1 * d1 AS DECIMAL(38,0))")).as("s12"),
+        sum(expr("CAST(d1 * d1 AS DECIMAL(38,0))")).as("s22"),
+        sum(expr("CAST(d AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(y1 * d AS DECIMAL(38,0))")).as("s1y"),
+        sum(expr("CAST(d1 * d AS DECIMAL(38,0))")).as("s2y"),
+        sum(expr("CAST(d * d AS DECIMAL(38,0))")).as("syy"))
+      .selectExpr("CAST(tt AS BIGINT) AS n_obs",
+        s"$AdfDet1 / $AdfDet AS gamma",
+        s"$AdfStat AS adf_t",
+        s"CASE WHEN $AdfStat < CAST(-2.89 AS DOUBLE) THEN 1 ELSE 0 END AS stationary")
+  }
+
+  val adfTestSql: String =
+    s"""WITH monthly AS (
+       |$RegionMonthlySqlCte),
+       |series AS (
+       |  SELECT m, rev_c // 100000 AS y FROM monthly
+       |  WHERE region_name = 'AMERICA'),
+       |lagged AS (
+       |  SELECT y - y1 AS d, y1, y1 - y2 AS d1 FROM (
+       |    SELECT y, lag(y, 1) OVER (ORDER BY m) AS y1,
+       |      lag(y, 2) OVER (ORDER BY m) AS y2
+       |    FROM series) z
+       |  WHERE y2 IS NOT NULL),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS tt,
+       |    sum(CAST(y1 AS DECIMAL(38,0))) AS s1,
+       |    sum(CAST(d1 AS DECIMAL(38,0))) AS s2,
+       |    sum(CAST(y1 * y1 AS DECIMAL(38,0))) AS s11,
+       |    sum(CAST(y1 * d1 AS DECIMAL(38,0))) AS s12,
+       |    sum(CAST(d1 * d1 AS DECIMAL(38,0))) AS s22,
+       |    sum(CAST(d AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(y1 * d AS DECIMAL(38,0))) AS s1y,
+       |    sum(CAST(d1 * d AS DECIMAL(38,0))) AS s2y,
+       |    sum(CAST(d * d AS DECIMAL(38,0))) AS syy
+       |  FROM lagged)
+       |SELECT tt AS n_obs,
+       |  $AdfDet1 / $AdfDet AS gamma,
+       |  $AdfStat AS adf_t,
+       |  CASE WHEN $AdfStat < CAST(-2.89 AS DOUBLE) THEN 1 ELSE 0 END AS stationary
+       |FROM agg""".stripMargin
+
   // ------------------------------------------------------------ mood_median_test
 
   private val MoodPrios =

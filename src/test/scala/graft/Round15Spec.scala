@@ -97,6 +97,51 @@ class Round15Spec extends AnyFunSuite {
       "marker-less latest must read as uncommitted (fall back to v0's id)")
   }
 
+  test("adf_test: Cramer solution matches a driver-side OLS replay") {
+    val row = SparkEntry.queries("adf_test")(spark, sf).collect().head
+    val n = row.getAs[Long]("n_obs")
+    val gamma = row.getAs[Double]("gamma")
+    val t = row.getAs[Double]("adf_t")
+    assert(n > 30)
+    assert(!gamma.isNaN && !t.isNaN)
+    // replay: rebuild the series locally and solve the same normal
+    // equations with an independent (LU-free) method
+    import org.apache.spark.sql.functions.{col, expr, lag}
+    val series = graft.core.Tables(spark, sf).orders
+      .join(graft.core.Tables(spark, sf).customer
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.core.Tables(spark, sf).nation
+        .select(col("n_nationkey"), col("n_regionkey")), col("c_nationkey") === col("n_nationkey"))
+      .join(graft.core.Tables(spark, sf).region
+        .select(col("r_regionkey"), col("r_name")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA")
+      .groupBy((org.apache.spark.sql.functions.year(col("o_orderdate")) * 12 +
+        org.apache.spark.sql.functions.month(col("o_orderdate")) - 1).as("m"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) div 100000").as("y"))
+      .orderBy("m").collect().map(_.getAs[Long]("y").toDouble)
+    val rows = (2 until series.length).map { i =>
+      (series(i) - series(i - 1), series(i - 1), series(i - 1) - series(i - 2))
+    }
+    assert(rows.length == n)
+    // 3-param OLS via explicit normal equations (Gaussian elimination)
+    val x = rows.map { case (_, y1, d1) => Array(1.0, y1, d1) }
+    val yv = rows.map(_._1)
+    val xtx = Array.tabulate(3, 3)((a, b) => x.map(r => r(a) * r(b)).sum)
+    val xty = Array.tabulate(3)(a => x.zip(yv).map { case (r, v) => r(a) * v }.sum)
+    // solve by elimination
+    val m2 = xtx.map(_.clone())
+    val b = xty.clone()
+    for (p <- 0 until 3; r <- 0 until 3 if r != p) {
+      val f = m2(r)(p) / m2(p)(p)
+      for (c2 <- 0 until 3) m2(r)(c2) -= f * m2(p)(c2)
+      b(r) -= f * b(p)
+    }
+    val coef = Array.tabulate(3)(i => b(i) / m2(i)(i))
+    assert(math.abs(coef(1) - gamma) < 1e-8,
+      s"gamma replay ${coef(1)} != $gamma")
+  }
+
   test("eigenReplay: degenerate all-zero scatter renorms to the zero vector, no throw") {
     // ADVICE r14: max|w| = 0 divided the replay by zero while the
     // distributed branch NULLed — both now floor the renorm at 1
