@@ -87,7 +87,8 @@ class Round13Spec extends AnyFunSuite {
         "dedup.hashed" -> graft.operators.Dedup.HashedConsumers,
         "dedup.lshBanded" -> graft.operators.Dedup.LshBandedConsumers,
         "graph.supportEdges" -> graft.operators.Graph.SupportEdgeConsumers,
-        "ann.kmeans" -> graft.operators.Ann.KmeansConsumers)) {
+        "ann.kmeans" -> graft.operators.Ann.KmeansConsumers,
+        "ann.cellProbes" -> graft.operators.Ann.CellProbeConsumers)) {
       val unknown = consumers.diff(qs)
       assert(unknown.isEmpty, s"$family declares non-existent queries: $unknown")
     }
