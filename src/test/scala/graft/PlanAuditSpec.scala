@@ -240,6 +240,41 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.core.OwnedCaches.release()
   }
 
+  test("round-15 embedding near-dup family keeps its scale shapes in the executed plan") {
+    // cellNearDupPairs: the candidate join is a cell EQUI-join with the
+    // resident side broadcast below the cap — never a cartesian pair
+    // scan (the O(n²) shape this family exists to retire), never a
+    // sort-merge on the tiny cell key
+    val lsh = executedPlan(graft.operators.Ann.dedupEmbeddingLsh(spark, sf))
+    assert(!lsh.contains("CartesianProduct"),
+      s"cell-bounded scan must never form a cartesian pair space:\n$lsh")
+    assert(lsh.contains("BroadcastHashJoin"),
+      s"resident side must broadcast below the cap:\n$lsh")
+    // the exact branch below the corpus cap IS the documented
+    // broadcast pair loop (oracle ground truth) — pin the branch
+    // SELECTION: exact at test scale, cell-bounded when forced
+    val exact = executedPlan(
+      graft.operators.Ann.dedupEmbeddingCosine(spark, sf, forceScale = false))
+    assert(exact.contains("BroadcastNestedLoopJoin"),
+      s"below the cap the exact pair loop must run:\n$exact")
+    // the routed branch keeps broadcast nested loops only for the
+    // k-row centroid crossJoin (the approved scalar-broadcast
+    // pattern); the PAIR space must come from the cell equi-join —
+    // pin that no BNLJ carries the exact branch's vec_a < vec_b
+    // inequality pair condition
+    val routed = executedPlan(
+      graft.operators.Ann.dedupEmbeddingCosine(spark, sf, forceScale = true))
+    assert(!routed.contains("CartesianProduct"))
+    val pairLoop = "BroadcastNestedLoopJoin[^\\n]*vec_a[^\\n]*<[^\\n]*vec_b".r
+    assert(pairLoop.findFirstIn(routed).isEmpty,
+      s"the routed branch must not contain the n² pair loop:\n$routed")
+    // incremental: spanning joins only — no cartesian, equi-joins on
+    // cell, corpus×corpus never forms (split-before-join)
+    val inc = executedPlan(graft.operators.Ann.dedupEmbeddingIncremental(spark, sf))
+    assert(!inc.contains("CartesianProduct"),
+      s"incremental screen must stay cell-equi-join-bounded:\n$inc")
+  }
+
   test("dynamic partition pruning engages on a partitioned fact join") {
     // at 100 TB the fact lives partitioned (month/date); a dim-filtered
     // join must prune partitions at RUNTIME via DPP — a regression to
