@@ -29,10 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField,
   */
 object VectorIngestSink {
 
-  /** Cosine threshold for "near-dup" — the batch family's τ. */
-  val Tau = 0.4
-  /** Probe width — the batch family's nprobe. */
-  val NProbe = 3
+  /** Cosine threshold for "near-dup" — BOUND to the batch family's τ
+    * (a literal copy here could silently drift the two faces apart).
+    */
+  val Tau: Double = graft.operators.Ann.DupThreshold
+  /** Probe width — bound to the batch family's nprobe. */
+  val NProbe: Int = graft.operators.Ann.KnnProbe
 
   /** Schema of a streamed vector file (JSONL). */
   val vectorSchema: StructType = StructType(Seq(
@@ -127,8 +129,20 @@ object VectorIngestSink {
   private[graft] def applyBatch(batch: DataFrame, stateDir: String): Unit = {
     val spark = batch.sparkSession
     val corpus = currentCorpus(spark, stateDir)
+    // intra-batch dedup FIRST: an at-least-once source can re-deliver
+    // an id inside one trigger — without this, both copies pass the
+    // anti-join below and the id-keyed-insert invariant (at most one
+    // state row per vec_id) breaks permanently. Deterministic winner:
+    // the lexicographically-smallest quantized vector (a content key,
+    // so identical re-deliveries are a no-op and conflicting ones
+    // resolve the same way on every replay).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(expr("concat_ws(',', transform(qv, v -> CAST(v AS STRING)))"))
     val admitted = screen(batch, stateDir)
       .filter(col("admitted"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .select(col("vec_id"), col("qv"), col("nrm"), col("cell"), col("probes"))
       // a replayed (or re-sent) id never displaces existing state
       .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")

@@ -52,6 +52,14 @@ private[graft] object VersionedState {
   private def commitStaged(next: DataFrame, stateDir: String,
       batchId: Option[Long]): Int = {
     val nextV = latestVersion(stateDir).map(_._2 + 1).getOrElse(0)
+    // the version an in-flight reader could be holding: readers of
+    // id-tracked sinks resolve latestCommitted, which can sit BELOW
+    // latestVersion when marker-less debris is newest — the pruning
+    // floor must protect whichever predecessor is actually readable,
+    // or a recovery commit deletes the snapshot out from under a
+    // concurrent dashboard read while keeping the unreadable debris
+    val readableV = latestCommitted(stateDir).map(_._2).getOrElse(nextV - 1)
+    val keepFloor = math.min(nextV - 1, readableV)
     val staging = new java.io.File(stateDir, s".stage-v$nextV")
     // sweep staging leftovers from a crashed previous attempt (any
     // version number — a crash between computing nextV and the move
@@ -71,7 +79,7 @@ private[graft] object VersionedState {
     Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .filter(f => scala.util.Try(f.getName.drop(1).toInt).toOption
-        .exists(_ < nextV - 1))
+        .exists(_ < keepFloor))
       .foreach(dir => org.apache.commons.io.FileUtils.deleteDirectory(dir))
     nextV
   }
@@ -79,20 +87,26 @@ private[graft] object VersionedState {
   /** Latest version carrying an `_applied_batch` marker — the
     * committed state of an id-tracked (sum-merge) sink. Since round
     * 15 the id-tracked [[commit]] publishes marker + snapshot in one
-    * atomic move, so a marker-less version in an id-tracked state dir
-    * can only be foreign (legacy pre-r15 crash debris, or a
-    * marker-less sink's dir): it is treated as UNCOMMITTED and walked
-    * past, down to the newest marked predecessor — the replayed batch
-    * then re-merges from state that provably does NOT contain it,
-    * instead of double-counting on top of state that silently did.
+    * atomic move, so in a dir that HAS marked versions a marker-less
+    * newer one can only be foreign (legacy pre-r15 crash debris): it
+    * is treated as UNCOMMITTED and walked past, down to the newest
+    * marked predecessor — the replayed batch then re-merges from
+    * state that provably does NOT contain it, instead of
+    * double-counting on top of state that silently did.
+    *
+    * LEGACY dirs (versions exist but NONE carries a marker — written
+    * before the marker existed) fall back to the newest version with
+    * id −1: discarding years of accumulated counters because they
+    * predate the marker would be silent data loss; reading them keeps
+    * the pre-r15 at-least-once semantics (a replay may re-apply once)
+    * for exactly one recovery, after which every commit is marked.
     */
   def latestCommitted(stateDir: String): Option[(String, Int, Long)] = {
     val root = new java.io.File(stateDir)
-    Option(root.listFiles()).getOrElse(Array.empty)
+    val versions = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .flatMap(f => scala.util.Try(f.getName.drop(1).toInt).toOption.map(f -> _))
       .sortBy(-_._2)
-      .iterator
       .map { case (f, v) =>
         val m = new java.io.File(f, "_applied_batch")
         val id =
@@ -101,7 +115,8 @@ private[graft] object VersionedState {
             java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim.toLong).toOption
         (f.getPath, v, id)
       }
-      .collectFirst { case (p, v, Some(id)) => (p, v, id) }
+    versions.collectFirst { case (p, v, Some(id)) => (p, v, id) }
+      .orElse(versions.headOption.map { case (p, v, _) => (p, v, -1L) })
   }
 
   /** Committed state of an id-tracked sink, or an empty frame with

@@ -97,6 +97,23 @@ class Round15Spec extends AnyFunSuite {
       "marker-less latest must read as uncommitted (fall back to v0's id)")
   }
 
+  test("VersionedState: a fully marker-less LEGACY dir reads its newest version, not empty") {
+    // pre-r14 state dirs have NO _applied_batch anywhere; treating
+    // them as uncommitted would silently discard every accumulated
+    // counter (review finding, round 15) — they fall back to the
+    // newest version with id -1 (one at-least-once recovery, then
+    // every commit is marked)
+    val VersionedState = graft.streaming.VersionedState
+    val st = java.nio.file.Files.createTempDirectory("vs_legacy").toString
+    val df1 = spark.range(3).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    val df2 = spark.range(5).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    VersionedState.commit(df1, st) // marker-less (legacy style)
+    VersionedState.commit(df2, st)
+    assert(VersionedState.lastAppliedBatch(st) == -1L)
+    val got = VersionedState.readCommittedOrEmpty(spark, st, df2.schema)
+    assert(got.count() == 5, "legacy dir must read its newest version")
+  }
+
   test("adf_test: Cramer solution matches a driver-side OLS replay") {
     val row = SparkEntry.queries("adf_test")(spark, sf).collect().head
     val n = row.getAs[Long]("n_obs")
