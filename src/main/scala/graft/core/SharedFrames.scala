@@ -61,6 +61,17 @@ object SharedFrames {
       consumers: Set[String])(build: => DataFrame): DataFrame = {
     val k = s"$key@$dir@${System.identityHashCode(spark)}"
     if (current.nonEmpty && !consumers.contains(current)) undeclared.add(s"$k<-$current")
+    // identityHashCode is not unique: two LIVE sessions can collide on
+    // the key suffix (each entry's DataFrame strongly pins its own
+    // session, so a dead-session collision cannot occur — but a live
+    // one can). A frame resolves temp views/confs against the session
+    // that built it; never hand it to a different one — drop and
+    // rebuild for the caller's session instead.
+    val existing = entries.get(k)
+    if (existing != null && (existing.df.sparkSession ne spark)) {
+      existing.df.unpersist(blocking = false)
+      entries.remove(k, existing)
+    }
     // NOT computeIfAbsent: build thunks NEST (hashedSets builds on
     // shingleSets), and ConcurrentHashMap.computeIfAbsent throws
     // "Recursive update" when a reentrant computation lands in the
@@ -155,5 +166,24 @@ object SharedFrames {
   private[graft] def clearPlan(): Unit = synchronized {
     pending = None
     current = ""
+  }
+
+  /** Release every frame a session built and forget its entries — the
+    * lifecycle hook for long-lived processes that create and discard
+    * many sessions: without [[planQueries]] nothing auto-releases (by
+    * design — library semantics), and each entry strongly pins both
+    * its frame's storage and its session, so abandoning sessions
+    * without calling this accumulates one entry per key×dir×session
+    * for the life of the process.
+    */
+  def releaseSession(spark: SparkSession): Unit = synchronized {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.df.sparkSession eq spark) {
+        e.getValue.df.unpersist(blocking = false)
+        it.remove()
+      }
+    }
   }
 }

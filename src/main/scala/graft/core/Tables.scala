@@ -21,7 +21,10 @@ final class Tables(spark: SparkSession, dir: String) {
     * a raw nanos long under the legacy conf) and plain `timestamp[us]`
     * (read as TIMESTAMP_NTZ). Branch on the READ schema so either
     * layout yields the same `ts_us` = epoch micros (floor):
-    *  - LongType (nanos-as-long)  → `ts div 1000`
+    *  - LongType (nanos-as-long)  → floored ns→µs division (plain
+    *    `div` truncates toward zero, which differs from DuckDB's
+    *    epoch_us FLOOR for pre-1970 nanos: −1500 ns must be −2 µs,
+    *    not −1 — hence the pmod-corrected form)
     *  - Timestamp / TimestampNTZ  → `unix_micros(cast(ts as timestamp_ltz))`
     * The session TZ is UTC everywhere (GraftSession/Verify/Bench), so
     * NTZ→LTZ is an identity re-tag, and the µs floor matches DuckDB's
@@ -35,7 +38,7 @@ final class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
     val tsUs = raw.schema("ts").dataType match {
-      case LongType => expr("ts div 1000")
+      case LongType => expr("(ts - pmod(ts, 1000)) div 1000")
       case TimestampType | TimestampNTZType =>
         expr("unix_micros(cast(ts as timestamp_ltz))")
       case other => throw new IllegalStateException(

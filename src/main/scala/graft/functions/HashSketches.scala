@@ -132,7 +132,10 @@ case class SortedHashes(child: Expression)
       i += 1
     }
     java.util.Arrays.sort(out)
-    new GenericArrayData(out.map(v => v: Any))
+    // primitive-backed result: this runs once per document in the
+    // corpus-wide dedup scan — boxing n Longs per row was pure GC
+    // pressure (review finding, round 15)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -447,7 +450,9 @@ case class MinHashSig(child: Expression)
       }
       i += 1
     }
-    new GenericArrayData(mins.map(v => v: Any))
+    // primitive-backed 64-slot signature (see SortedHashes — no boxing
+    // in the per-document sketch path)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

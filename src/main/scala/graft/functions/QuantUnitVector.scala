@@ -26,8 +26,15 @@ case class QuantUnitVector(child: Expression) extends UnaryExpression {
 
   override def nullable: Boolean = true
 
-  private lazy val isFloat =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // typed rejection of non-float/double element arrays (the
+  // RademacherSketch.readElem discipline — getDouble on e.g. an int
+  // array silently misreads the buffer)
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_qunit expects array<float> or array<double>, got $other")
+  }
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]

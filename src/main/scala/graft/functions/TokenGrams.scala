@@ -25,16 +25,9 @@ case class TokenGrams(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType)
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      val lc = Character.toLowerCase(c)
-      sb.append(if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) lc else ' ')
-      i += 1
-    }
-    val toks = sb.toString.split(" +").filter(_.nonEmpty)
+    // normalization shared with TokenShingles ([[TextNorm]]) — the two
+    // families feed the same oracle SQL and must never drift
+    val toks = TextNorm.normTokens(input.asInstanceOf[UTF8String].toString)
     if (toks.length < n) return new GenericArrayData(new Array[Any](0))
     val arr = new Array[Any](toks.length - n + 1)
     var j = 0

@@ -21,11 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `[^a-z0-9 ]` → space, split on space runs, drop empties; docs with
   * fewer than n tokens yield one whole-text shingle.
   *
-  * Case-mapping caveat: per-char `Character.toLowerCase` matches SQL
-  * `lower()` for ASCII/Latin-1 (all that survives the `[a-z0-9]`
-  * filter anyway); locale-special one-to-many mappings (e.g. İ → i̇)
-  * differ between JVM and SQL, but both sides then space-out the
-  * non-ASCII result, so shingle sets stay aligned.
+  * Case-mapping note (round 15): the WHOLE string is lowercased via
+  * `String.toLowerCase(Locale.ROOT)` — the same full (one-to-many)
+  * case mapping Spark's `lower()` applies — BEFORE the `[a-z0-9]`
+  * scan, so token boundaries match the declarative twin even for
+  * 1:M-mapped characters (İ → i + combining dot → the dot spaces out
+  * and ends the token, where a per-char `Character.toLowerCase` kept
+  * the token running). DuckDB's `lower()` uses per-codepoint simple
+  * mappings, so such characters remain a documented engine divergence
+  * — none occur in [a-z0-9]-normalized ASCII corpora.
   */
 case class TokenShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -33,16 +37,7 @@ case class TokenShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType)
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      val lc = Character.toLowerCase(c)
-      sb.append(if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) lc else ' ')
-      i += 1
-    }
-    val toks = sb.toString.split(" +").filter(_.nonEmpty)
+    val toks = TextNorm.normTokens(input.asInstanceOf[UTF8String].toString)
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length >= n) {
       var j = 0
@@ -75,4 +70,25 @@ object TokenShingles {
       exprs => TokenShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Int]),
       "scala_udf")
+}
+
+/** The ONE text-normalization contract under the shingle/gram family
+  * (shared by [[TokenShingles]] and [[TokenGrams]] — previously two
+  * verbatim copies, a drift surface on a load-bearing oracle
+  * contract): full-string `toLowerCase(Locale.ROOT)` (Spark `lower()`
+  * semantics, including one-to-many mappings), `[^a-z0-9]` → space,
+  * split on space runs, drop empties.
+  */
+private[functions] object TextNorm {
+  def normTokens(s: String): Array[String] = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lower.length)
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      sb.append(if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c else ' ')
+      i += 1
+    }
+    sb.toString.split(" +").filter(_.nonEmpty)
+  }
 }

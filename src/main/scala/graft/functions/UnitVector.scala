@@ -30,8 +30,15 @@ case class UnitVector(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
-  private lazy val isFloat =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // resolved once; any non-float/double element type fails loudly with
+  // a typed message instead of getDouble silently misreading the array
+  // buffer (the RademacherSketch.readElem discipline)
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_unit expects array<float> or array<double>, got $other")
+  }
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]

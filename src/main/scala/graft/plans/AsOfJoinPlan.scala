@@ -101,25 +101,41 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var has = false
         private var mTs = 0L
         private var mKey = 0L
+        private var mKeyNull = false
 
         override def hasNext: Boolean = probeIter.hasNext
 
         override def next(): InternalRow = {
           val p = probeIter.next()
+          // a NULL uid/ts probe row matches nothing (SQL null-equality
+          // semantics — getLong would read 0 and as-of-match it against
+          // uid 0's build rows); such rows sort FIRST, so skipping them
+          // without advancing the walk preserves the merge invariant
+          if (p.isNullAt(0) || p.isNullAt(1)) {
+            matchRow.setNullAt(0); matchRow.setNullAt(1)
+            return project(joined(p, matchRow))
+          }
           val uid = p.getLong(0)
           val ts = p.getLong(1)
           if (uid != curUid) { curUid = uid; has = false }
-          // drop build rows for earlier users
-          while (build.hasNext && build.head.getLong(0) < uid) build.next()
+          // drop build rows for earlier users — and rows with a null
+          // uid/ts, which can satisfy no match predicate (they sort
+          // first under NULLS FIRST, and a null ts can never be ≤ ts)
+          while (build.hasNext && (build.head.isNullAt(0) || build.head.isNullAt(1) ||
+              build.head.getLong(0) < uid)) build.next()
           // absorb build rows for this user at or before the probe time;
           // last one wins = max ts, then max key (build sort order)
           while (build.hasNext && build.head.getLong(0) == uid &&
               build.head.getLong(1) <= ts) {
             val b = build.next()
-            has = true; mTs = b.getLong(1); mKey = b.getLong(2)
+            has = true; mTs = b.getLong(1)
+            mKeyNull = b.isNullAt(2)
+            mKey = if (mKeyNull) 0L else b.getLong(2)
           }
-          if (has) { matchRow.setLong(0, mTs); matchRow.setLong(1, mKey) }
-          else { matchRow.setNullAt(0); matchRow.setNullAt(1) }
+          if (has) {
+            matchRow.setLong(0, mTs)
+            if (mKeyNull) matchRow.setNullAt(1) else matchRow.setLong(1, mKey)
+          } else { matchRow.setNullAt(0); matchRow.setNullAt(1) }
           project(joined(p, matchRow))
         }
       }
@@ -151,6 +167,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val has = ctx.addMutableState("boolean", "asofHas")
     val mTs = ctx.addMutableState("long", "asofMTs")
     val mKey = ctx.addMutableState("long", "asofMKey")
+    val mKeyNull = ctx.addMutableState("boolean", "asofMKeyNull")
     val probeRow = ctx.freshName("probeRow")
     val uid = ctx.freshName("uid")
     val ts = ctx.freshName("ts")
@@ -166,28 +183,47 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     // consume() can declare the same local twice when the parent embeds
     // deferred var code (janino error → silent interpreted fallback).
     val evaluatedProbe = evaluateVariables(probeVars)
-    // matched columns are the walk-state variables themselves
+    // matched columns are the walk-state variables themselves, gated
+    // per row: a NULL-uid/ts probe row matches nothing and must not
+    // surface the PREVIOUS row's walk state
+    val pNull = ctx.freshName("probeNull")
+    val rowHas = ctx.freshName("rowHas")
+    val dropB = ctx.freshName("dropBuild")
     val tsVar = ExprCode(code"",
-      JavaCode.isNullExpression(s"!$has"), JavaCode.variable(mTs, LongType))
+      JavaCode.isNullExpression(s"!$rowHas"), JavaCode.variable(mTs, LongType))
     val keyVar = ExprCode(code"",
-      JavaCode.isNullExpression(s"!$has"), JavaCode.variable(mKey, LongType))
+      JavaCode.isNullExpression(s"(!$rowHas || $mKeyNull)"),
+      JavaCode.variable(mKey, LongType))
     val consumed = consume(ctx, probeVars ++ Seq(tsVar, keyVar))
     s"""
        |while ($probeInput.hasNext()) {
        |  InternalRow $probeRow = (InternalRow) $probeInput.next();
-       |  long $uid = $probeRow.getLong(0);
-       |  long $ts = $probeRow.getLong(1);
-       |  if ($uid != $curUid) { $curUid = $uid; $has = false; }
-       |  if ($bufRow == null && $buildInput.hasNext()) {
-       |    $bufRow = (InternalRow) $buildInput.next();
+       |  boolean $pNull = $probeRow.isNullAt(0) || $probeRow.isNullAt(1);
+       |  long $uid = $pNull ? 0L : $probeRow.getLong(0);
+       |  long $ts = $pNull ? 0L : $probeRow.getLong(1);
+       |  if (!$pNull) {
+       |    if ($uid != $curUid) { $curUid = $uid; $has = false; }
+       |    if ($bufRow == null && $buildInput.hasNext()) {
+       |      $bufRow = (InternalRow) $buildInput.next();
+       |    }
+       |    while ($bufRow != null) {
+       |      // null uid/ts build rows (sorted first) match nothing; then
+       |      // drop earlier users. Split into a named local: janino
+       |      // mis-parses a parenthesized || group that starts with a
+       |      // mutable-state array access as a cast type.
+       |      boolean $dropB = $bufRow.isNullAt(0) || $bufRow.isNullAt(1);
+       |      if (!$dropB) $dropB = $bufRow.getLong(0) < $uid;
+       |      if (!$dropB) break;
+       |      $bufRow = $buildInput.hasNext() ? (InternalRow) $buildInput.next() : null;
+       |    }
+       |    while ($bufRow != null && $bufRow.getLong(0) == $uid && $bufRow.getLong(1) <= $ts) {
+       |      $has = true; $mTs = $bufRow.getLong(1);
+       |      $mKeyNull = $bufRow.isNullAt(2);
+       |      $mKey = $mKeyNull ? 0L : $bufRow.getLong(2);
+       |      $bufRow = $buildInput.hasNext() ? (InternalRow) $buildInput.next() : null;
+       |    }
        |  }
-       |  while ($bufRow != null && $bufRow.getLong(0) < $uid) {
-       |    $bufRow = $buildInput.hasNext() ? (InternalRow) $buildInput.next() : null;
-       |  }
-       |  while ($bufRow != null && $bufRow.getLong(0) == $uid && $bufRow.getLong(1) <= $ts) {
-       |    $has = true; $mTs = $bufRow.getLong(1); $mKey = $bufRow.getLong(2);
-       |    $bufRow = $buildInput.hasNext() ? (InternalRow) $buildInput.next() : null;
-       |  }
+       |  boolean $rowHas = !$pNull && $has;
        |  $evaluatedProbe
        |  $consumed
        |  if (shouldStop()) return;
@@ -254,11 +290,16 @@ object AsOf {
           s"got ${df.schema.simpleString}")
     }
     check(probe, "probe"); check(build, "build")
+    // synchronized on the session's ExperimentalMethods: the
+    // check-then-append races under concurrent first calls (and
+    // RangeBand.join appends to the same lists) — see RangeBand.join
     val exp = spark.experimental
-    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
-    if (!exp.extraOptimizations.contains(PushFilterThroughAsOfJoin))
-      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+      if (!exp.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+        exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
+    }
     GraftSqlShim.ofRows(spark,
       AsOfJoin(GraftSqlShim.logicalPlan(probe), GraftSqlShim.logicalPlan(build)))
   }

@@ -69,6 +69,12 @@ case class RangeBandJoinExec(left: SparkPlan, right: SparkPlan,
     * that makes "the last lo ≤ v" the unique candidate).
     */
   private def edgeArrays(rows: Array[InternalRow]): (Array[Long], Array[Long], Array[Long]) = {
+    // a null band field is a broken config table — fail loudly before
+    // sorting reads it as 0 and silently mis-shapes the edge arrays
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        "RangeBandJoin: band rows must have non-null (lo, hi, band_id)")
+    }
     val sorted = rows.sortBy(_.getLong(0))
     val n = sorted.length
     val lo = new Array[Long](n); val hi = new Array[Long](n); val id = new Array[Long](n)
@@ -84,19 +90,31 @@ case class RangeBandJoinExec(left: SparkPlan, right: SparkPlan,
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    // edge arrays built and validated ONCE on the driver (matching the
+    // codegen path) and re-broadcast in built form — previously every
+    // TASK re-sorted and re-validated the band rows (O(b log b) per
+    // partition, and validation failures surfaced per-task on
+    // executors instead of once at execute time)
+    val edgesBc = session.sparkContext.broadcast(
+      edgeArrays(right.executeBroadcast[Array[InternalRow]]().value))
     val resultTypes = output.map(_.dataType).toArray
     left.execute().mapPartitions { iter =>
-      val (lo, hi, id) = edgeArrays(bcast.value)
+      val (lo, hi, id) = edgesBc.value
       val matchRow = new SpecificInternalRow(Seq(LongType))
       val joined = new JoinedRow
       val project = UnsafeProjection.create(resultTypes)
       iter.map { p =>
-        val v = p.getLong(0)
-        val r = java.util.Arrays.binarySearch(lo, v)
-        val idx = if (r >= 0) r else -r - 2
-        if (idx >= 0 && v < hi(idx)) matchRow.setLong(0, id(idx))
-        else matchRow.setNullAt(0)
+        // a NULL probe key matches no band (null comparisons are false
+        // in the declarative twin) — getLong would read it as 0 and
+        // silently match the band covering 0
+        if (p.isNullAt(0)) matchRow.setNullAt(0)
+        else {
+          val v = p.getLong(0)
+          val r = java.util.Arrays.binarySearch(lo, v)
+          val idx = if (r >= 0) r else -r - 2
+          if (idx >= 0 && v < hi(idx)) matchRow.setLong(0, id(idx))
+          else matchRow.setNullAt(0)
+        }
         project(joined(p, matchRow))
       }
     }
@@ -132,12 +150,14 @@ case class RangeBandJoinExec(left: SparkPlan, right: SparkPlan,
     val bandVar = ExprCode(code"",
       JavaCode.isNullExpression(s"!$matched"), JavaCode.variable(bid, LongType))
     val consumed = consume(ctx, probeVars :+ bandVar)
+    val kNull = ctx.freshName("bandKeyNull")
     s"""
        |while ($input.hasNext()) {
        |  InternalRow $probeRow = (InternalRow) $input.next();
-       |  long $v = $probeRow.getLong(0);
+       |  boolean $kNull = $probeRow.isNullAt(0);
+       |  long $v = $kNull ? 0L : $probeRow.getLong(0);
        |  int $idx; { int r = java.util.Arrays.binarySearch($loTerm, $v); $idx = r >= 0 ? r : -r - 2; }
-       |  boolean $matched = $idx >= 0 && $v < $hiTerm[$idx];
+       |  boolean $matched = !$kNull && $idx >= 0 && $v < $hiTerm[$idx];
        |  long $bid = $matched ? $idTerm[$idx] : -1L;
        |  $evaluatedProbe
        |  $consumed
@@ -203,11 +223,17 @@ object RangeBand {
     require(bf.length == 3 && bf.forall(_.dataType == LongType),
       s"RangeBand.join bands must be exactly (lo: Long, hi: Long, band_id: Long); " +
         s"got ${bands.schema.simpleString}")
+    // synchronized: the check-then-append on the session's shared
+    // strategy lists races under concurrent first calls (AsOf.join
+    // appends to the SAME lists) — a lost append fails the losing
+    // query at planning, timing-dependent
     val exp = spark.experimental
-    if (!exp.extraStrategies.contains(RangeBandJoinStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ RangeBandJoinStrategy
-    if (!exp.extraOptimizations.contains(PushFilterThroughRangeBandJoin))
-      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughRangeBandJoin
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(RangeBandJoinStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ RangeBandJoinStrategy
+      if (!exp.extraOptimizations.contains(PushFilterThroughRangeBandJoin))
+        exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughRangeBandJoin
+    }
     GraftSqlShim.ofRows(spark,
       RangeBandJoin(GraftSqlShim.logicalPlan(probe), GraftSqlShim.logicalPlan(bands)))
   }
