@@ -66,9 +66,13 @@ object Bench {
     // touch of each table, so per-query timings reflect steady state
     // instead of landing the warmup cost on whichever query runs first
     val t = graft.core.Tables(spark, sfDir)
+    // NonFatal only (ADVICE r15): swallowing OutOfMemoryError or a
+    // linkage error here would mask a warmup-time JVM failure and
+    // misattribute it to the first timed query
     Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
       t.lineitem, t.events, t.documents, t.embeddings)
-      .foreach(df => try df.limit(1).count() catch { case _: Throwable => () })
+      .foreach(df => try df.limit(1).count()
+        catch { case scala.util.control.NonFatal(_) => () })
     // Queries execute in SORTED NAME ORDER: SparkEntry.queries is an
     // unordered HashMap whose iteration order reshuffles whenever an
     // entry is added, and shared caches leak across queries — unsorted
@@ -120,7 +124,7 @@ object Bench {
         "triangle_count", "ks_test")
       warmup.foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       spark.catalog.clearCache()
       graft.core.SharedFrames.reset()

@@ -78,6 +78,25 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // corpus-cap routing audit (ADVICE r15): the embedding near-dup
+    // family's exact-n² oracle is the ground truth ONLY on the exact
+    // branch (corpus ≤ cap). Dump which branch this dir takes so an
+    // oracle mismatch on a routed corpus reads as the expected
+    // semantics (recall-audited candidates), not silent breakage.
+    val routedFamily = Seq("dedup_embedding_cosine", "dedup_embedding_clusters",
+      "embedding_keep_canonical")
+    if (routedFamily.exists(n => only.isEmpty || only.contains(n))) {
+      try {
+        val (n, cap, branch) = graft.operators.Ann.embRouteAudit(spark, sfDir)
+        Files.writeString(Paths.get(s"$outDir/route_audit.json"),
+          s"""{"family": ${routedFamily.map(q).mkString("[", ",", "]")}, """ +
+            s""""corpus": $n, "cap": $cap, "branch": ${q(branch)}, """ +
+            s""""exact_oracle_valid": ${branch == "exact"}}""")
+        if (branch != "exact")
+          System.err.println(s"[verify] embeddings corpus $n > cap $cap: " +
+            "near-dup family runs the ROUTED branch; exact-n² oracle hashes will not match")
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
   }

@@ -80,8 +80,18 @@ object SharedFrames {
     // nested build; builds are driver-side plan construction, so the
     // serialization is cheap).
     var e = entries.get(k)
-    if (e == null) synchronized {
+    if (e == null || (e.df.sparkSession ne spark)) synchronized {
       e = entries.get(k)
+      // re-verify the SESSION inside the monitor, not just presence: a
+      // colliding live session can re-insert its entry between the
+      // unsynchronized eviction above and this re-get, and returning
+      // that entry hands the caller a frame bound to the wrong session
+      // — the exact bug the collision check exists to fix (ADVICE r15)
+      if (e != null && (e.df.sparkSession ne spark)) {
+        e.df.unpersist(blocking = false)
+        entries.remove(k, e)
+        e = null
+      }
       if (e == null) {
         // count > 1 with a plan active = rebuilt after release (drift)
         buildCounts.merge(k, 1, (a: Int, b: Int) => a + b)
@@ -139,7 +149,23 @@ object SharedFrames {
   def reset(): Unit = synchronized {
     entries.forEach((_, e) => e.df.unpersist(blocking = false))
     entries.clear() // the plan (pending) survives; entries rebuild on demand
+    evictHooks.forEach(h => h(None))
   }
+
+  // side-caches keyed like SharedFrames (dir × session identity) that
+  // must not outlive the frames they route for — e.g. Ann's corpus-count
+  // routing memo, which would otherwise keep picking a branch off a
+  // stale count after the table at a dir is rewritten within one
+  // session (ADVICE r15). reset() fires with None (drop everything);
+  // releaseSession(s) fires with Some(s) (drop that session's keys).
+  private val evictHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[Option[SparkSession] => Unit]()
+
+  /** Register a cache-invalidation hook fired on [[reset]] (None) and
+    * [[releaseSession]] (Some(session)). Idempotent hooks only; fired
+    * under the registry monitor.
+    */
+  def onEvict(f: Option[SparkSession] => Unit): Unit = evictHooks.add(f)
 
   /** (rebuild-after-release count, undeclared-access tags, live keys). */
   def diagnostics: (Int, Seq[String], Seq[String]) = {
@@ -185,5 +211,6 @@ object SharedFrames {
         it.remove()
       }
     }
+    evictHooks.forEach(h => h(Some(spark)))
   }
 }

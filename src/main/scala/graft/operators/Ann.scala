@@ -151,15 +151,38 @@ object Ann {
   // routing-count memo: THREE registered queries route through
   // dedupEmbeddingCosine, and an unmemoized count() is a full table
   // scan per call purely to pick a branch (review finding, round 15).
-  // Keyed like SharedFrames (session identity × dir); a count is a
-  // plain Long, so no persistence lifecycle is needed.
+  // Keyed like SharedFrames (session identity × dir) AND invalidated
+  // with it (ADVICE r15): a table rewritten or grown within one
+  // session would otherwise keep routing on the stale count — any
+  // SharedFrames.reset()/releaseSession() drops the memo too, and
+  // long-lived ingest processes already make those calls.
   private val embCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  graft.core.SharedFrames.onEvict {
+    case None    => embCountMemo.clear()
+    case Some(s) =>
+      val suffix = s"@${System.identityHashCode(s)}"
+      embCountMemo.keySet.removeIf(_.endsWith(suffix))
+  }
 
   private def embCorpusCount(spark: SparkSession, dir: String): Long =
     embCountMemo.computeIfAbsent(
       s"$dir@${System.identityHashCode(spark)}",
       _ => Tables(spark, dir).embeddings.count()).longValue()
+
+  /** Which branch the corpus-cap routing takes at `dir` — (corpus
+    * size, cap, "exact" | "routed"). The registered exact-n² oracle
+    * SQL is only the ground truth on the exact branch; the verify
+    * harness dumps this so a >cap corpus (where the routed pair set
+    * is the intended, recall-audited answer and a hash mismatch
+    * against the n² oracle is EXPECTED) is loudly visible instead of
+    * a silent semantics change (ADVICE r15).
+    */
+  private[graft] def embRouteAudit(spark: SparkSession, dir: String): (Long, Long, String) = {
+    val n = embCorpusCount(spark, dir)
+    (n, EmbExactCap, if (n > EmbExactCap) "routed" else "exact")
+  }
 
   /** Embedding near-dup pairs: cosine ≥ τ over all id-ordered pairs.
     * Layout-selected by corpus size (round 15, VERDICT r14 #1): up to
@@ -1532,7 +1555,12 @@ object Ann {
       .crossJoin(recip.agg(count(lit(1)).cast("long").as("n_reciprocal")))
       .selectExpr("n_edges", "n_reciprocal",
         "n_reciprocal div 2 AS n_mutual_pairs",
-        "CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocal_rate")
+        // n_edges = 0 (empty corpus) yields NULL/NaN division whose
+        // representation the engines need not agree on — pin the
+        // degenerate input to 0.0, matching the recall query's
+        // n_true = 0 convention (ADVICE r15)
+        "CASE WHEN n_edges = 0 THEN CAST(0 AS DOUBLE) " +
+          "ELSE CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) END AS reciprocal_rate")
   }
 
   lazy val knnReciprocalRateSql: String =
@@ -1543,7 +1571,8 @@ object Ann {
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
        |SELECT n_edges, n_reciprocal,
        |  n_reciprocal // 2 AS n_mutual_pairs,
-       |  CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocal_rate
+       |  CASE WHEN n_edges = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) END AS reciprocal_rate
        |FROM n, r""".stripMargin
 
   // ------------------------------------------------- srp_bucket_occupancy
