@@ -37,4 +37,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 300-query bench's storage working set stays one-family-sized and
   // fits 8g. SPARK_DRIVER_MEM overrides for bigger local experiments.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JIT code cache sized for a 400+-distinct-query session (round 16,
+  // VERDICT r15 #1): each query compiles ~10 whole-stage-codegen
+  // classes per pass and Spark's 100-entry codegen cache evicts across
+  // a full registry run, so a bench/verify sweep loads thousands of
+  // generated classes. The JDK default reserve (240m, segmented) was
+  // measured 153m-used at sf0.001 already; once a segment fills,
+  // HotSpot stops compiling NEW generated classes — everything loaded
+  // after the fill point runs interpreted (~10-15× CPU) while earlier
+  // queries keep their compiled code, which is exactly the r15
+  // driver-bench signature (a 13.6×/5.7×/5.4×/4.7× CPU-ratio tail
+  // confined to one alphabetical band of the sorted run, on identical
+  // work at idle load). A long-lived production executor serving many
+  // distinct queries needs the same sizing.
+  "-XX:ReservedCodeCacheSize=512m",
 )

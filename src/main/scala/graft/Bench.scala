@@ -53,6 +53,33 @@ object Bench {
         .forEach(b => if (b.getCollectionTime > 0) s += b.getCollectionTime)
       s
     }
+    // sidecar v3 (round 16): the r15 driver-vs-shared CPU-ratio tail
+    // (13.6×/5.7×/5.4×/4.7×/3.8× on identical work, idle host, gc 0)
+    // sat ENTIRELY inside one alphabetical band (m..p) of the sorted
+    // run — the signature of JIT code-cache exhaustion, not of any
+    // single query's generated code (CodegenAudit measured every
+    // registry stage ≤ 4.3 KB/method, far under HotSpot's 8 KB JIT
+    // refusal limit). Once the reserved code cache fills mid-run,
+    // ALREADY-compiled methods keep running compiled but every
+    // generated class loaded AFTER the fill point runs interpreted
+    // (~10-15× CPU) until flushing catches up — a mode that flips per
+    // run on marginal occupancy. Make it directly observable:
+    //   codecache_mb  used bytes across all CodeHeap pools AFTER the
+    //                 query (climbing toward the reserve = at risk)
+    //   jit_ms        JIT compilation-time delta attributed to this
+    //                 query (≈0 while CPU is high = compiler was off)
+    def codeCacheUsedMb: Long = {
+      var used = 0L
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach { p =>
+        if (p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+          used += p.getUsage.getUsed
+      }
+      used >> 20
+    }
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs: Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else -1L
     def storageNow: (Long, Long, Long) = {
       var mem = 0L; var disk = 0L; var evicted = 0L
       spark.sparkContext.getRDDStorageInfo.foreach { r =>
@@ -136,6 +163,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val gc0 = jvmGcMs; val tgc0 = taskGc.get()
       val trun0 = taskRun.get(); val tcpu0 = taskCpuNs.get()
+      val jit0 = jitMs
       val reb0 = graft.core.SharedFrames.diagnostics._1
       def once: Double = {
         if (isolate) { spark.catalog.clearCache(); graft.core.SharedFrames.reset() }
@@ -164,6 +192,7 @@ object Bench {
         s""""run1_s":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(r1))},""" +
         s""""run2_s":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(r2))},""" +
         s""""storage_mb":$mem,"storage_disk_mb":$disk,"evicted_parts":$evicted,""" +
+        s""""codecache_mb":$codeCacheUsedMb,"jit_ms":${jitMs - jit0},""" +
         s""""shared_rebuilds":${graft.core.SharedFrames.diagnostics._1 - reb0}}"""
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
@@ -204,8 +233,24 @@ object Bench {
     val undeclaredJson = undeclared.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val sidecarJson = sidecar.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
+    // run-level execution-mode summary (round 16): peak code-cache
+    // occupancy vs the reserve, and total JIT time — the two numbers
+    // that adjudicate "interpreted-generated-code mode" (peak at the
+    // reserve + jit flatlining) without re-running anything
+    val (ccPeakMb, ccMaxMb) = {
+      var peak = 0L; var mx = 0L
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach { p =>
+        if (p.getName.contains("CodeHeap") || p.getName.contains("Code Cache")) {
+          peak += p.getPeakUsage.getUsed
+          mx += p.getUsage.getMax
+        }
+      }
+      (peak >> 20, mx >> 20)
+    }
     val full = render(results,
-      s""","sidecar":$sidecarJson,"shared_undeclared":$undeclaredJson""")
+      s""","codecache_peak_mb":$ccPeakMb,"codecache_reserved_mb":$ccMaxMb,""" +
+        s""""jit_total_ms":$jitMs,""" +
+        s""""sidecar":$sidecarJson,"shared_undeclared":$undeclaredJson""")
     // the full per-query map (+ sidecar) always lands in
     // BENCH_RESULT.json; the PRINTED line must fit inside the driver's
     // 2000-char tail capture (a longer line truncates mid-JSON and

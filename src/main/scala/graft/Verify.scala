@@ -83,18 +83,30 @@ object Verify {
     // branch (corpus ≤ cap). Dump which branch this dir takes so an
     // oracle mismatch on a routed corpus reads as the expected
     // semantics (recall-audited candidates), not silent breakage.
+    // two divergence channels, both corpus-size-gated: the exact-n²
+    // oracles are ground truth only ≤ EmbExactCap, and EVERY oracle
+    // that replays the Lloyd's/probe CTEs bakes k = 8 — valid only
+    // while kmKFor(corpus) = 8 (≤ 8·KmTargetCellSize vectors) AND the
+    // flat quantizer branch is active (k ≤ TwoLevelK)
     val routedFamily = Seq("dedup_embedding_cosine", "dedup_embedding_clusters",
-      "embedding_keep_canonical")
+      "embedding_keep_canonical", "dedup_embedding_lsh",
+      "dedup_embedding_incremental", "embedding_neardup_recall",
+      "knn_graph", "knn_confusion", "embedding_kmeans", "semdedup_prune",
+      "cluster_purity", "embedding_hubness_audit", "knn_reciprocal_rate")
     if (routedFamily.exists(n => only.isEmpty || only.contains(n))) {
       try {
         val (n, cap, branch) = graft.operators.Ann.embRouteAudit(spark, sfDir)
+        val k = graft.operators.Ann.kmKFor(n)
+        val flatK8 = k == 8 && k <= graft.operators.Ann.TwoLevelK
         Files.writeString(Paths.get(s"$outDir/route_audit.json"),
           s"""{"family": ${routedFamily.map(q).mkString("[", ",", "]")}, """ +
-            s""""corpus": $n, "cap": $cap, "branch": ${q(branch)}, """ +
-            s""""exact_oracle_valid": ${branch == "exact"}}""")
-        if (branch != "exact")
-          System.err.println(s"[verify] embeddings corpus $n > cap $cap: " +
-            "near-dup family runs the ROUTED branch; exact-n² oracle hashes will not match")
+            s""""corpus": $n, "cap": $cap, "branch": ${q(branch)}, "k": $k, """ +
+            s""""exact_oracle_valid": ${branch == "exact"}, """ +
+            s""""kmeans_oracle_valid": $flatK8}""")
+        if (branch != "exact" || !flatK8)
+          System.err.println(s"[verify] embeddings corpus $n (k=$k, cap $cap): " +
+            "kmeans-family oracles expect the flat k=8 quantizer; " +
+            "hash mismatches on this dir are the routed semantics, not breakage")
       } catch { case scala.util.control.NonFatal(_) => () }
     }
     if (errors.nonEmpty)

@@ -922,25 +922,34 @@ object Ann {
     "dedup_embedding_lsh", "dedup_embedding_incremental",
     "embedding_neardup_recall", "dedup_embedding_cosine",
     "dedup_embedding_clusters", "embedding_keep_canonical",
+    // round 16: the two-level route's level 1 runs through kmeansAssign
+    "ann_twolevel_recall",
     // riders of the shared kNN graph (its build reads these frames)
     "embedding_hubness_audit", "knn_reciprocal_rate")
 
-  private[graft] def kmeansAssign(spark: SparkSession, dir: String,
-      kOverride: Option[Int] = None): (DataFrame, DataFrame, DataFrame, Long) = {
+  /** The session-shared micro-unit quantized corpus and its count —
+    * the input every kmeans-family build reads. Deliberately
+    * SESSION-SHARED, not OwnedCaches-owned (the dedup shingle-set
+    * rule): five oracled queries reuse this same quantized corpus —
+    * owning it made each rebuild the corpus, +5 s across the family
+    * in the round-9 bench. Since round 13 the sharing goes through
+    * SharedFrames (released after the family's last planned
+    * consumer). MEMORY_AND_DISK and corpus-bounded.
+    */
+  private[graft] def quantizedCorpus(spark: SparkSession, dir: String): (DataFrame, Long) = {
     graft.functions.DotProduct.register(spark)
-    // Deliberately SESSION-SHARED, not OwnedCaches-owned (the dedup
-    // shingle-set rule): five oracled queries reuse this same
-    // quantized corpus — owning it made each rebuild the corpus,
-    // +5 s across the family in the round-9 bench. Since round 13 the
-    // sharing goes through SharedFrames (released after the family's
-    // last planned consumer). MEMORY_AND_DISK and corpus-bounded.
     val q = graft.core.SharedFrames.get(spark, "ann.kmeans.q", dir, KmeansConsumers) {
       Tables(spark, dir).embeddings
         .select(col("vec_id"),
           transform(col("embedding"),
             v => floor(v.cast("double") * lit(1e6)).cast("double")).as("qv"))
     }
-    val nVec = q.count() // O(1) result; materializes the persisted corpus
+    (q, q.count()) // O(1) result; materializes the persisted corpus
+  }
+
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String,
+      kOverride: Option[Int] = None): (DataFrame, DataFrame, DataFrame, Long) = {
+    val (q, nVec) = quantizedCorpus(spark, dir)
     val k = kOverride.getOrElse(kmKFor(nVec))
     val wInit = Window.orderBy("vec_id") // k-row frame: single task by construction
     var centroids = q.orderBy("vec_id").limit(k)
@@ -1036,6 +1045,28 @@ object Ann {
   private val KnnK = 3
   private[graft] val KnnProbe = 3 // shared with VectorIngestSink (see DupThreshold)
   private val KnnBroadcastCap = 200000L // resident side broadcastable below this
+
+  /** Corpus-scaled probe width for the NEAR-DUP family (round 16,
+    * VERDICT r15 #4): a fixed nprobe's recall on a fixed similarity
+    * band DECAYS as k grows — cells shrink while the τ-ball does not,
+    * so the fraction of a vector's τ-neighborhood inside its 3
+    * nearest cells falls (measured at 10×: τ-boundary bucket 0.69
+    * with nprobe=3 where the sf0.1 panel read 1.0). Holding
+    * band-recall as k grows requires probing a constant FRACTION of
+    * cells (nprobe ∝ k — quadratic candidates), so the knob is
+    * bounded: nprobe = max(3, min(16, ⌈k/4⌉)). Candidate volume
+    * stays nprobe·cellsize·n ≤ 16·1000·n — linear with a capped
+    * constant — the floor is MEASURED to hold at 10× and 30×
+    * (SCALE_PROBE_r16), and past k = 64 the boundary-bucket decay
+    * resumes by design, stated and observable per run
+    * (`embedding_neardup_recall` — the recall/cost physics every
+    * linear-cost candidate generator obeys; raise the cap when a
+    * corpus needs deeper boundary recall and pay its constant).
+    * At k = 8 this is exactly [[KnnProbe]], so every oracle text
+    * (which bakes nprobe = 3) is untouched on the oracle-gated dirs.
+    */
+  private[graft] def nprobeFor(k: Int): Int =
+    math.max(KnnProbe, math.min(16, (k + 3) / 4))
 
   /** Corpus-wide kNN GRAPH: every vector's top-3 nearest neighbors —
     * the similarity SELF-join (both sides are the corpus), the
@@ -1157,7 +1188,14 @@ object Ann {
     * the two gates can never drift apart. A `def` (not a val): it is
     * referenced by vals declared above it.
     */
-  private def kmeansCtes: String = {
+  /** The unrolled flat-Lloyd's CTE chain, parametrized (round 16) so
+    * the two-level oracle can replay a SECOND chain (level 1 at k₂)
+    * over the same q/ex without name collisions: `k` is the init
+    * width, `cPfx`/`aPfx` the centroid/assignment CTE prefixes.
+    * `withBase = false` omits the shared q/ex CTEs (emit them once).
+    */
+  private def kmeansCtesFor(k: Int, cPfx: String, aPfx: String,
+      withBase: Boolean): String = {
     def assign(cprev: String, aname: String): String =
       s"""$aname AS (
          |  SELECT vec_id, cl, dist2 FROM (
@@ -1174,23 +1212,26 @@ object Ann {
          |  SELECT cl, list(cvd ORDER BY dim) AS cv FROM ${cname}_s GROUP BY cl
          |  UNION ALL
          |  SELECT c.cl, c.cv FROM $cprev c WHERE c.cl NOT IN (SELECT cl FROM ${cname}_s))""".stripMargin
-    val ctes = Seq(
+    val base = if (!withBase) Nil else Seq(
       """q AS (
         |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1e6) AS DOUBLE) for x in embedding] AS qv
         |  FROM embeddings)""".stripMargin,
       """ex AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INTEGER) AS dim,
         |         floor(CAST(unnest(embedding) AS DOUBLE)*1e6) AS v
-        |  FROM embeddings)""".stripMargin,
-      s"""c0 AS (
+        |  FROM embeddings)""".stripMargin)
+    val ctes = base ++ Seq(
+      s"""${cPfx}0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, qv AS cv
-         |  FROM (SELECT * FROM q ORDER BY vec_id LIMIT $KmK))""".stripMargin) ++
+         |  FROM (SELECT * FROM q ORDER BY vec_id LIMIT $k))""".stripMargin) ++
       (1 to KmIters).flatMap { i =>
-        Seq(assign(s"c${i - 1}", s"a$i")) ++
-          (if (i < KmIters) Seq(update(s"a$i", s"c${i - 1}", s"c$i")) else Nil)
+        Seq(assign(s"$cPfx${i - 1}", s"$aPfx$i")) ++
+          (if (i < KmIters) Seq(update(s"$aPfx$i", s"$cPfx${i - 1}", s"$cPfx$i")) else Nil)
       }
     ctes.mkString(",\n")
   }
+
+  private def kmeansCtes: String = kmeansCtesFor(KmK, "c", "a", withBase = true)
 
   val embeddingKmeansSql: String =
     s"""WITH $kmeansCtes
@@ -1222,7 +1263,9 @@ object Ann {
   private[graft] val CellProbeConsumers: Set[String] = Set(
     "dedup_embedding_lsh", "dedup_embedding_incremental",
     "embedding_neardup_recall", "dedup_embedding_cosine",
-    "dedup_embedding_clusters", "embedding_keep_canonical")
+    "dedup_embedding_clusters", "embedding_keep_canonical",
+    // round 16: the forced-k two-level frames share these keys
+    "ann_twolevel_recall")
 
   /** Every vector's [[KnnProbe]] nearest cells (va, cl) — the
     * multi-probe relation under the whole cell-bounded near-dup
@@ -1233,9 +1276,9 @@ object Ann {
     * consumer (measured: +4 s per query at sf0.1). n×nprobe narrow
     * rows — corpus-bounded.
     */
-  private def cellProbes(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def cellProbes(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "ann.cellProbes", dir, CellProbeConsumers) {
-      val (_, q, centroids, _) = kmeansAssign(spark, dir)
+      val (_, q, centroids, nVec) = kmeansAssign(spark, dir)
       val dist2 = call_function("graft_dot", col("qv"), col("qv")) -
         lit(2.0) * call_function("graft_dot", col("qv"), col("cv")) +
         call_function("graft_dot", col("cv"), col("cv"))
@@ -1243,9 +1286,192 @@ object Ann {
       q.crossJoin(broadcast(centroids))
         .select(col("vec_id").as("va"), col("cl"), dist2.as("d2"))
         .withColumn("rk", row_number().over(wProbe))
-        .filter(col("rk") <= KnnProbe)
+        .filter(col("rk") <= nprobeFor(kmKFor(nVec))) // = KnnProbe at oracle dirs
         .select(col("va"), col("cl"))
     }
+
+  // ------------------------------------------ two-level coarse quantizer
+
+  /** Above this cell count the flat quantizer's n·k assignment/probe
+    * ranking routes through the two-level hierarchy instead (VERDICT
+    * r15 #3): flat cost per vector is k = ⌈n/1000⌉ distance
+    * evaluations — n²/1000 total, invisible at 20 k vectors (k = 20)
+    * and fatal at 10⁹ (k = 10⁶ → 10¹⁵ ops) — while the hierarchy
+    * pays k₂ + SuperProbe·⌈k/k₂⌉ ≈ (1+SuperProbe)·√k per vector,
+    * O(n·√k) total, and its TRAINING is O(n·√k·iters) too (level 1
+    * is Lloyd's at k₂; level 2 ranks each vector only against its
+    * own super-cell's children). The strict work crossover is
+    * k = (1+SuperProbe)² = 25; routing starts at 16 because the
+    * k ∈ (16, 25] band is a wash (21·√k vs k within ±25%) while the
+    * vector-store asymptote (k = 10⁶ → 200× less assignment work) is
+    * the design point — and every oracle-gated dir (sf0.001/0.01/0.1
+    * → k = 8) stays BELOW 16, so the flat branch remains the
+    * oracle-replayed ground truth and the hierarchy is the measured
+    * scale route (the EmbExactCap routing convention, one level up).
+    */
+  private[graft] val TwoLevelK = 16
+  // super-cells probed before child ranking — the hierarchy's own
+  // recall/cost knob (each +1 costs ⌈k/k₂⌉ ≈ √k more child ranks per
+  // vector): 3 measured 0.797 pair recall on the forced k=20/500-
+  // vector worst-case geometry and 0.661 on the 10× replica's
+  // 59-pair 0.5-band; 5 holds every 10×/30× bucket at the 0.8 floor
+  // (SCALE_PROBE_r16) while the per-vector rank pool stays
+  // (1+SuperProbe)·√k ≪ k at vector-store scale
+  private[graft] val SuperProbe = 5
+
+  /** The two-level quantizer's (home-cell assignment, multi-probe)
+    * frames — the O(n·√k) replacement for [[kmeansAssign]]'s flat
+    * argmin plus [[cellProbes]]' flat ranking above [[TwoLevelK]]
+    * cells.
+    *
+    * Construction (all on the micro-unit grid — the exact-integer
+    * distance identity keeps every argmin bit-deterministic):
+    *   1. level 1: [[kmeansAssign]] at k₂ = ⌈√k⌉ — Lloyd's over the
+    *      corpus, n·k₂ per iteration;
+    *   2. level 2: ⌈k/k₂⌉ children per super-cell, Lloyd's KEYED on
+    *      the super-cell (each vector ranks only its own super's
+    *      children — an equi-join on `scl` against the broadcast
+    *      k-row child table, never a crossJoin), n·⌈k/k₂⌉ per
+    *      iteration; init is each super's ⌈k/k₂⌉ lowest-id members,
+    *      empty children carry their previous centroid (the flat
+    *      recipe's conventions, group-keyed);
+    *   3. home cell: the level-2 argmin within the vector's own
+    *      super (the IVF assignment convention);
+    *   4. probes: rank the k₂ super-centroids (n·k₂, top
+    *      [[SuperProbe]]), then rank ONLY the probed supers' children
+    *      (n·SuperProbe·⌈k/k₂⌉, top [[KnnProbe]]).
+    *
+    * Global cell id: cl = scl·⌈k/k₂⌉ + child — consumers only ever
+    * equi-join on it. Recall vs the flat route loses only pairs whose
+    * true near-cells hide under an unprobed super; the end-to-end
+    * recall audit (`embedding_neardup_recall`) measures exactly that
+    * channel at scale, and Round16Spec pins it ≥ 0.8 with the
+    * hierarchy FORCED at test size.
+    */
+  private[graft] def hierCellFrames(spark: SparkSession, dir: String,
+      kOpt: Option[Int] = None): (DataFrame, DataFrame) = {
+    val (q, nVec) = quantizedCorpus(spark, dir)
+    val k = kOpt.getOrElse(kmKFor(nVec))
+    val k2 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kc = (k + k2 - 1) / k2 // children per super-cell
+    val keyTag = s"k$k" // a forced k is a DIFFERENT quantizer (test face)
+    def d2(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      call_function("graft_dot", v, v) -
+        lit(2.0) * call_function("graft_dot", v, c) +
+        call_function("graft_dot", c, c)
+    // level 1 — the existing Lloyd's machinery at k₂ (its SharedFrames
+    // keys carry k₂, so this never collides with a flat corpus-k build).
+    // Materialize (and so pin) the memoized L1 frames EAGERLY: every
+    // level-2 frame descends from them, and a lazy chain here stacks
+    // the L1 iterations under the L2 ones — the 2^levels analysis/
+    // re-execution blowup the skill file warns about, which at 10×
+    // presented as >300 s broadcast-thread materializations (the
+    // broadcast timeout killed three queries before severance landed)
+    val (supAssign, _, supCent, _) = kmeansAssign(spark, dir, Some(k2))
+    supCent.count()
+    // members with their vectors: the one vec_id-keyed shuffle join of
+    // the build; session-shared because the level-2 loop reads it
+    // iters·2 times and both returned frames descend from it
+    val m = graft.core.SharedFrames.get(spark, s"ann.hier.members.$keyTag", dir,
+        CellProbeConsumers) {
+      supAssign.select(col("vec_id"), col("cl").as("scl")).join(q, "vec_id")
+    }
+    m.count()
+    // lineage severance per level-2 round (the communityLouvain /
+    // betweenness pattern): child_{i} references child_{i-1} three
+    // times (assignment join, update carry, anti-join) — unsevered,
+    // materialization re-executes the base chain 3^iters times
+    def sever(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      graft.core.OwnedCaches.ownRdd(rdd)
+      spark.createDataFrame(rdd, df.schema)
+    }
+    // level 2 — group-keyed Lloyd's: init = each super's kc lowest ids
+    val wIn = Window.partitionBy(col("scl")).orderBy(col("vec_id"))
+    var child = sever(m.withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") <= kc)
+      .select(col("scl"), (col("rn") - 1).cast("long").as("ch"), col("qv").as("cv")))
+    val mex = m.select(col("vec_id"), col("scl"),
+      posexplode(col("qv")).as(Seq("dim", "v")))
+    var asg: DataFrame = null
+    for (i <- 1 to KmIters) {
+      asg = m.join(broadcast(child), Seq("scl"))
+        .select(col("vec_id"), col("scl"), col("ch"),
+          d2(col("qv"), col("cv")).as("d2"))
+        .groupBy(col("vec_id"), col("scl"))
+        .agg(min(struct(col("d2"), col("ch"))).as("mm"))
+        .select(col("vec_id"), col("scl"), col("mm.ch").as("ch"))
+      if (i < KmIters) {
+        val sums = asg.join(mex, Seq("vec_id", "scl"))
+          .groupBy(col("scl"), col("ch"), col("dim"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("cvd"))
+        val rebuilt = sums.groupBy(col("scl"), col("ch"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cvd")))),
+            s => s.getField("cvd")).as("cv"))
+        val carried = child.join(rebuilt.select("scl", "ch"), Seq("scl", "ch"), "left_anti")
+        child = sever(rebuilt.unionByName(carried))
+      }
+    }
+    // the final child table is read by BOTH returned frames and by
+    // every consumer that broadcasts it — memoize like the flat
+    // centroids (k rows; already severed, so the memoized frame's
+    // plan is one shallow scan)
+    val childF = graft.core.SharedFrames.get(spark, s"ann.hier.child.$keyTag", dir,
+      CellProbeConsumers)(child)
+    val cellId = (col("scl") * lit(kc.toLong) + col("ch")).as("cl")
+    val assign = graft.core.SharedFrames.get(spark, s"ann.hier.assign.$keyTag", dir,
+      CellProbeConsumers) {
+      asg.select(col("vec_id"), (col("scl") * lit(kc.toLong) + col("ch")).as("cl"))
+    }
+    val probes = graft.core.SharedFrames.get(spark, s"ann.hier.probes.$keyTag", dir,
+      CellProbeConsumers) {
+      val wSup = Window.partitionBy(col("va")).orderBy(col("d2"), col("scl"))
+      val supProbes = q.crossJoin(broadcast(supCent.select(col("cl").as("scl"),
+          col("cv").as("sv"))))
+        .select(col("vec_id").as("va"), col("scl"), d2(col("qv"), col("sv")).as("d2"))
+        .withColumn("rk", row_number().over(wSup))
+        .filter(col("rk") <= SuperProbe)
+        .select(col("va"), col("scl"))
+      val wCell = Window.partitionBy(col("va")).orderBy(col("d2"), col("cl"))
+      val ranked = supProbes.join(q.select(col("vec_id").as("va"), col("qv")), "va")
+        .join(broadcast(childF), Seq("scl"))
+        .select(col("va"), cellId, d2(col("qv"), col("cv")).as("d2"))
+        .withColumn("rk", row_number().over(wCell))
+        // corpus-scaled probe width (the recall knob — see nprobeFor);
+        // the SuperProbe·⌈k/k₂⌉ ranked pool is ≥ 4√k ≥ nprobe ≤ 16
+        // for every k > TwoLevelK
+        .filter(col("rk") <= nprobeFor(k))
+        .select(col("va"), col("cl"))
+      // the HOME cell always rides along: in the flat quantizer the
+      // rank-1 probe IS the home cell by construction, but here the
+      // top-KnnProbe of the combined child ranking can exclude it (a
+      // neighboring super's children can all rank closer) — and an
+      // in-cell pair neither member probes would be silently lost.
+      // ≤ n extra narrow rows, distinct-collapsed.
+      ranked.unionByName(assign.select(col("vec_id").as("va"), col("cl")))
+        .distinct()
+    }
+    (assign, probes)
+  }
+
+  /** Layout router for the cell-bounded near-dup family: the (home
+    * assignment, probes, corpus, count) its pair scans consume — flat
+    * quantizer (oracle-replayed) up to [[TwoLevelK]] cells,
+    * two-level hierarchy above it.
+    */
+  private[graft] def nearDupCellFrames(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, Long) = {
+    val (q, nVec) = quantizedCorpus(spark, dir)
+    if (kmKFor(nVec) <= TwoLevelK) {
+      val (assigned, _, _, _) = kmeansAssign(spark, dir)
+      (assigned.select(col("vec_id"), col("cl")), cellProbes(spark, dir), q, nVec)
+    } else {
+      val (assign, probes) = hierCellFrames(spark, dir)
+      (assign, probes, q, nVec)
+    }
+  }
 
   /** Cell-bounded near-dup pair scan — the 100 TB face of the
     * embedding dedup family (round 15, VERDICT r14 #1): candidates
@@ -1275,27 +1501,40 @@ object Ann {
         Set("dedup_embedding_lsh", "dedup_embedding_cosine",
           "dedup_embedding_clusters", "embedding_keep_canonical",
           "embedding_neardup_recall")) {
-      val (assigned, q, _, nVec) = kmeansAssign(spark, dir)
-      val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
-      val probes = cellProbes(spark, dir)
-      val l = probes.join(qn.select(col("vec_id").as("va"),
-        col("qv").as("qa"), col("nrm").as("na")), "va")
-      val r = assigned.select(col("vec_id").as("vb"), col("cl"))
-        .join(qn.select(col("vec_id").as("vb"),
-          col("qv").as("qb"), col("nrm").as("nb")), "vb")
-      val paired =
-        if (nVec <= KnnBroadcastCap) l.join(broadcast(r), Seq("cl"))
-        else l.join(r, Seq("cl"))
-      paired
-        .filter(col("va") =!= col("vb"))
-        .filter(col("na") * col("nb") > 0) // zero-norm gate (see semdedupPrune)
-        .withColumn("sim", call_function("graft_dot", col("qa"), col("qb")) /
-          (col("na") * col("nb")))
-        .filter(col("sim") >= DupThreshold)
-        .select(least(col("va"), col("vb")).as("vec_a"),
-          greatest(col("va"), col("vb")).as("vec_b"), col("sim"))
-        .distinct()
+      // flat (oracle-replayed) quantizer up to TwoLevelK cells, the
+      // O(n·√k) two-level hierarchy above — the route's second-stage
+      // routing (round 16, VERDICT r15 #3); the verify + canonicalize
+      // stages below are branch-independent
+      val (assigned, probes, q, nVec) = nearDupCellFrames(spark, dir)
+      cellPairScan(assigned, probes, q, nVec)
     }
+
+  /** The branch-independent (probe × resident) pair scan + exact
+    * micro-unit cosine verify + canonicalize — shared by both
+    * quantizer layouts and by Round16Spec's forced-hierarchy recall
+    * pin.
+    */
+  private[graft] def cellPairScan(assigned: DataFrame, probes: DataFrame,
+      q: DataFrame, nVec: Long): DataFrame = {
+    val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
+    val l = probes.join(qn.select(col("vec_id").as("va"),
+      col("qv").as("qa"), col("nrm").as("na")), "va")
+    val r = assigned.select(col("vec_id").as("vb"), col("cl"))
+      .join(qn.select(col("vec_id").as("vb"),
+        col("qv").as("qb"), col("nrm").as("nb")), "vb")
+    val paired =
+      if (nVec <= KnnBroadcastCap) l.join(broadcast(r), Seq("cl"))
+      else l.join(r, Seq("cl"))
+    paired
+      .filter(col("va") =!= col("vb"))
+      .filter(col("na") * col("nb") > 0) // zero-norm gate (see semdedupPrune)
+      .withColumn("sim", call_function("graft_dot", col("qa"), col("qb")) /
+        (col("na") * col("nb")))
+      .filter(col("sim") >= DupThreshold)
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"), col("sim"))
+      .distinct()
+  }
 
   /** [[cellNearDupPairs]] as a first-class query: every verified
     * near-dup pair with its (bit-deterministic) micro-unit cosine.
@@ -1416,6 +1655,158 @@ object Ann {
        |  ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
        |FROM g ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------- ann_twolevel_recall
+
+  /** The forced two-level quantizer for the oracle gate: k = 20 over
+    * the sf0.01 corpus is the smallest geometry where BOTH hierarchy
+    * levels are non-degenerate (k₂ = 5 supers × 4 children,
+    * [[SuperProbe]] = 5 selective at neither level's floor) while the
+    * oracle CTE chain stays a fixed unroll.
+    */
+  private[graft] val TwoLevelForceK = 20
+
+  /** End-to-end recall of the TWO-LEVEL quantizer route (round 16,
+    * VERDICT r15 #3) against exact anchored ground truth — the
+    * `embedding_neardup_recall` audit pointed at the hierarchy,
+    * FORCED to k = [[TwoLevelForceK]] so the scale branch (which only
+    * activates above [[TwoLevelK]] cells, beyond every oracle-gated
+    * dir) is itself oracle-gated at test scale: the DuckDB side
+    * replays the level-1 Lloyd's at k₂, the group-keyed level-2
+    * Lloyd's (init = each super's lowest-id members, empty children
+    * carried), the super ranking, the child ranking with the
+    * corpus-scaled probe width, the home-cell union, the cell pair
+    * join, and every exact micro-unit cosine verdict. The same
+    * construction un-forced is what `dedup_embedding_cosine` (and the
+    * whole near-dup family) runs above TwoLevelK cells, where flat
+    * assignment would be O(n·k) = O(n²/1000).
+    */
+  def annTwolevelRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    val a = withUnit(e, "vec_a", "ua").filter(col("vec_a") < RecallAnchors)
+    val b = withUnit(e, "vec_b", "ub")
+    val truth = a.join(b, col("vec_a") < col("vec_b"))
+      .filter(unitDot(col("ua"), col("ub")) >= DupThreshold)
+      .select(col("vec_a"), col("vec_b"))
+    val (q, nVec) = quantizedCorpus(spark, dir)
+    val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
+    val (assign, probes) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
+    val cand = cellPairScan(assign, probes, q, nVec)
+      .select(col("vec_a"), col("vec_b")).withColumn("hit", lit(1L))
+    truth
+      .join(qn.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na")), "vec_a")
+      .join(qn.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb")), "vec_b")
+      .filter(col("na") * col("nb") > 0)
+      .withColumn("simq", call_function("graft_dot", col("qa"), col("qb")) /
+        (col("na") * col("nb")))
+      .join(cand, Seq("vec_a", "vec_b"), "left")
+      .withColumn("bucket", expr("least(CAST(floor(simq * 10) AS INTEGER), 9)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .selectExpr("CAST(bucket AS BIGINT) AS bucket",
+        "CAST(n_true AS BIGINT) AS n_true", "CAST(n_hit AS BIGINT) AS n_hit",
+        """CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall""".stripMargin)
+      .orderBy("bucket")
+  }
+
+  lazy val annTwolevelRecallSql: String = {
+    val k = TwoLevelForceK
+    val k2 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kc = (k + k2 - 1) / k2
+    val np = nprobeFor(k)
+    def d2(v: String, c: String): String =
+      s"list_dot_product($v, $v) - 2*list_dot_product($v, $c) + list_dot_product($c, $c)"
+    // the group-keyed level-2 Lloyd's, unrolled (the kmeansCtesFor
+    // recipe with every join keyed on the super cell)
+    val l2 = (1 to KmIters).flatMap { i =>
+      val asg =
+        s"""asg$i AS (
+           |  SELECT vec_id, scl, ch FROM (
+           |    SELECT m.vec_id, m.scl, c.ch,
+           |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+           |        ${d2("m.qv", "c.cv")}, c.ch) AS rk
+           |    FROM m JOIN ch${i - 1} c ON c.scl = m.scl) z WHERE rk = 1)""".stripMargin
+      val upd = if (i >= KmIters) Nil else Seq(
+        s"""chs$i AS (
+           |  SELECT a.scl, a.ch, dim, floor(CAST(sum(v) AS DOUBLE) / count(*)) AS cvd
+           |  FROM asg$i a JOIN mex ON mex.vec_id = a.vec_id AND mex.scl = a.scl
+           |  GROUP BY a.scl, a.ch, dim),
+           |ch$i AS (
+           |  SELECT scl, ch, list(cvd ORDER BY dim) AS cv FROM chs$i GROUP BY scl, ch
+           |  UNION ALL
+           |  SELECT c.scl, c.ch, c.cv FROM ch${i - 1} c
+           |  WHERE NOT EXISTS (SELECT 1 FROM chs$i s WHERE s.scl = c.scl AND s.ch = c.ch))""".stripMargin)
+      Seq(asg) ++ upd
+    }.mkString(",\n")
+    s"""WITH ${kmeansCtesFor(k2, "sc", "sa", withBase = true)},
+       |n AS (SELECT vec_id, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+       |m AS (SELECT s.vec_id, s.cl AS scl, q.qv FROM sa$KmIters s JOIN q ON q.vec_id = s.vec_id),
+       |mex AS (
+       |  SELECT vec_id, scl, CAST(generate_subscripts(qv,1)-1 AS INTEGER) AS dim,
+       |         unnest(qv) AS v
+       |  FROM m),
+       |ch0 AS (
+       |  SELECT scl, CAST(rn - 1 AS BIGINT) AS ch, qv AS cv FROM (
+       |    SELECT scl, vec_id, qv,
+       |      row_number() OVER (PARTITION BY scl ORDER BY vec_id) AS rn
+       |    FROM m) z WHERE rn <= $kc),
+       |$l2,
+       |h AS (SELECT vec_id, scl * $kc + ch AS cl FROM asg$KmIters),
+       |sup AS (
+       |  SELECT va, scl FROM (
+       |    SELECT q.vec_id AS va, c.cl AS scl,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${d2("q.qv", "c.cv")}, c.cl) AS rk
+       |    FROM q CROSS JOIN sc${KmIters - 1} c) z WHERE rk <= $SuperProbe),
+       |pr AS (
+       |  SELECT va, cl FROM (
+       |    SELECT s.va, c.scl * $kc + c.ch AS cl,
+       |      row_number() OVER (PARTITION BY s.va ORDER BY
+       |        ${d2("q.qv", "c.cv")}, c.scl * $kc + c.ch) AS rk
+       |    FROM sup s JOIN q ON q.vec_id = s.va
+       |    JOIN ch${KmIters - 1} c ON c.scl = s.scl) z WHERE rk <= $np),
+       |p AS (
+       |  SELECT DISTINCT va, cl FROM (
+       |    SELECT va, cl FROM pr
+       |    UNION ALL SELECT vec_id AS va, cl FROM h) u),
+       |cand AS (
+       |  SELECT DISTINCT least(p.va, y.vec_id) AS va, greatest(p.va, y.vec_id) AS vb
+       |  FROM p JOIN h y ON y.cl = p.cl AND y.vec_id != p.va
+       |  JOIN q qx ON qx.vec_id = p.va
+       |  JOIN q qy ON qy.vec_id = y.vec_id
+       |  JOIN n nx ON nx.vec_id = p.va
+       |  JOIN n ny ON ny.vec_id = y.vec_id
+       |  WHERE nx.nrm * ny.nrm > 0
+       |    AND list_dot_product(qx.qv, qy.qv) / (nx.nrm * ny.nrm) >= $DupThreshold),
+       |truth AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE a.vec_id < $RecallAnchors
+       |    AND list_cosine_similarity(a.embedding, b.embedding) >= $DupThreshold),
+       |qs AS (
+       |  SELECT t.va, t.vb,
+       |    list_dot_product(qa.qv, qb.qv) / (na.nrm * nb.nrm) AS simq
+       |  FROM truth t
+       |  JOIN q qa ON qa.vec_id = t.va
+       |  JOIN q qb ON qb.vec_id = t.vb
+       |  JOIN n na ON na.vec_id = t.va
+       |  JOIN n nb ON nb.vec_id = t.vb
+       |  WHERE na.nrm * nb.nrm > 0),
+       |au AS (
+       |  SELECT qs.simq, CASE WHEN c.va IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM qs LEFT JOIN cand c ON c.va = qs.va AND c.vb = qs.vb),
+       |g AS (
+       |  SELECT least(CAST(floor(simq * 10) AS INTEGER), 9) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_true, CAST(sum(hit) AS BIGINT) AS n_hit
+       |  FROM au GROUP BY 1)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n_true, n_hit,
+       |  CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+       |FROM g ORDER BY bucket""".stripMargin
+  }
+
   // ---------------------------------------- dedup_embedding_incremental
 
   /** INCREMENTAL vector-corpus admission — the embedding face of the
@@ -1436,11 +1827,11 @@ object Ann {
     * probe relation are kept).
     */
   def dedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, q, _, nVec) = kmeansAssign(spark, dir)
+    val (assigned, probesF, q, nVec) = nearDupCellFrames(spark, dir)
     val isNew = (id: org.apache.spark.sql.Column) =>
       conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 100 >= 90
     val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
-    val probes = cellProbes(spark, dir)
+    val probes = probesF
       .select(col("va"), col("cl"), isNew(col("va")).as("new_a"))
     val residents = assigned.select(col("vec_id").as("vb"), col("cl"),
       isNew(col("vec_id")).as("new_b"))
