@@ -923,7 +923,7 @@ object Ann {
     "embedding_neardup_recall", "dedup_embedding_cosine",
     "dedup_embedding_clusters", "embedding_keep_canonical",
     // round 16: the two-level route's level 1 runs through kmeansAssign
-    "ann_twolevel_recall",
+    "ann_twolevel_recall", "twolevel_cell_occupancy",
     // riders of the shared kNN graph (its build reads these frames)
     "embedding_hubness_audit", "knn_reciprocal_rate")
 
@@ -1101,17 +1101,28 @@ object Ann {
     */
   private[graft] def knnGraph(spark: SparkSession, dir: String,
       kOverride: Option[Int], forceShuffle: Boolean): DataFrame = {
-    val (assigned, q, centroids, nVec) = kmeansAssign(spark, dir, kOverride)
+    // main face routes through the same layout selector as the
+    // near-dup family (round 16): flat ranked cells — identical
+    // relation to the inline construction this replaced — on every
+    // oracle-gated dir, the O(n·√k) two-level frames above TwoLevelK
+    // cells (the kNN graph had the same O(n·k) assignment ceiling);
+    // the kOverride test face keeps the explicit flat build
+    val (assigned, probes, q, nVec) = kOverride match {
+      case None => nearDupCellFrames(spark, dir)
+      case Some(_) =>
+        val (a, qq, centroids, n) = kmeansAssign(spark, dir, kOverride)
+        val dist2 = call_function("graft_dot", col("qv"), col("qv")) -
+          lit(2.0) * call_function("graft_dot", col("qv"), col("cv")) +
+          call_function("graft_dot", col("cv"), col("cv"))
+        val wProbe = Window.partitionBy(col("va")).orderBy(col("d2"), col("cl"))
+        val p = qq.crossJoin(broadcast(centroids))
+          .select(col("vec_id").as("va"), col("cl"), dist2.as("d2"))
+          .withColumn("rk", row_number().over(wProbe))
+          .filter(col("rk") <= KnnProbe)
+          .select(col("va"), col("cl"))
+        (a.select(col("vec_id"), col("cl")), p, qq, n)
+    }
     val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
-    val dist2 = call_function("graft_dot", col("qv"), col("qv")) -
-      lit(2.0) * call_function("graft_dot", col("qv"), col("cv")) +
-      call_function("graft_dot", col("cv"), col("cv"))
-    val wProbe = Window.partitionBy(col("va")).orderBy(col("d2"), col("cl"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("vec_id").as("va"), col("cl"), dist2.as("d2"))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= KnnProbe)
-      .select(col("va"), col("cl"))
     val l = probes.join(qn.select(col("vec_id").as("va"),
       col("qv").as("qa"), col("nrm").as("na")), "va")
     val r = assigned.select(col("vec_id").as("vb"), col("cl"))
@@ -1264,8 +1275,13 @@ object Ann {
     "dedup_embedding_lsh", "dedup_embedding_incremental",
     "embedding_neardup_recall", "dedup_embedding_cosine",
     "dedup_embedding_clusters", "embedding_keep_canonical",
-    // round 16: the forced-k two-level frames share these keys
-    "ann_twolevel_recall")
+    // round 16: the forced-k two-level frames share these keys, and
+    // the kNN-graph family now routes through the same layout
+    // selector (its inline flat probe build had the same O(n·k)
+    // assignment ceiling)
+    "ann_twolevel_recall", "twolevel_cell_occupancy",
+    "knn_graph", "knn_confusion",
+    "embedding_hubness_audit", "knn_reciprocal_rate")
 
   /** Every vector's [[KnnProbe]] nearest cells (va, cl) — the
     * multi-probe relation under the whole cell-bounded near-dup
@@ -1711,10 +1727,23 @@ object Ann {
       .orderBy("bucket")
   }
 
-  lazy val annTwolevelRecallSql: String = {
+  /** Children per super-cell at the forced oracle geometry. */
+  private def twoLevelKc: Int = {
+    val k2 = math.ceil(math.sqrt(TwoLevelForceK.toDouble)).toInt
+    (TwoLevelForceK + k2 - 1) / k2
+  }
+
+  /** The forced-k two-level construction as one shared CTE prelude —
+    * level-1 chain, members, level-2 group-keyed chain, home cells
+    * (`h`), super/child rankings and the home-union probe set (`p`) —
+    * spliced verbatim into every oracle that replays the hierarchy
+    * (`ann_twolevel_recall`, `twolevel_cell_occupancy`), so the
+    * gates cannot drift.
+    */
+  private lazy val twolevelCtes: String = {
     val k = TwoLevelForceK
     val k2 = math.ceil(math.sqrt(k.toDouble)).toInt
-    val kc = (k + k2 - 1) / k2
+    val kc = twoLevelKc
     val np = nprobeFor(k)
     def d2(v: String, c: String): String =
       s"list_dot_product($v, $v) - 2*list_dot_product($v, $c) + list_dot_product($c, $c)"
@@ -1740,7 +1769,7 @@ object Ann {
            |  WHERE NOT EXISTS (SELECT 1 FROM chs$i s WHERE s.scl = c.scl AND s.ch = c.ch))""".stripMargin)
       Seq(asg) ++ upd
     }.mkString(",\n")
-    s"""WITH ${kmeansCtesFor(k2, "sc", "sa", withBase = true)},
+    s"""${kmeansCtesFor(k2, "sc", "sa", withBase = true)},
        |n AS (SELECT vec_id, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
        |m AS (SELECT s.vec_id, s.cl AS scl, q.qv FROM sa$KmIters s JOIN q ON q.vec_id = s.vec_id),
        |mex AS (
@@ -1770,7 +1799,11 @@ object Ann {
        |p AS (
        |  SELECT DISTINCT va, cl FROM (
        |    SELECT va, cl FROM pr
-       |    UNION ALL SELECT vec_id AS va, cl FROM h) u),
+       |    UNION ALL SELECT vec_id AS va, cl FROM h) u)""".stripMargin
+  }
+
+  lazy val annTwolevelRecallSql: String =
+    s"""WITH $twolevelCtes,
        |cand AS (
        |  SELECT DISTINCT least(p.va, y.vec_id) AS va, greatest(p.va, y.vec_id) AS vb
        |  FROM p JOIN h y ON y.cl = p.cl AND y.vec_id != p.va
@@ -1805,7 +1838,36 @@ object Ann {
        |  CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
        |  ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
        |FROM g ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------ twolevel_cell_occupancy
+
+  /** Per-cell occupancy audit of the TWO-LEVEL quantizer (forced
+    * k = [[TwoLevelForceK]]) — the `ivf_cell_occupancy` /
+    * `srp_bucket_occupancy` rule applied to the round-16 candidate
+    * generator: every generator ships its Σc(c−1)/2 candidate-pair
+    * bound, so a collapsed level (one super absorbing the corpus, or
+    * an empty-child pileup) is observable per run BEFORE a pair join
+    * pays for it. One groupBy over the home assignment; k rows out.
+    */
+  def twolevelCellOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
+    val kc = twoLevelKc
+    assign.groupBy(col("cl")).agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      .selectExpr(s"CAST(cl div $kc AS BIGINT) AS super_cell",
+        "CAST(cl AS BIGINT) AS cell", "CAST(c AS BIGINT) AS n_vectors",
+        "CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS cell_share",
+        "CAST(c * (c - 1) div 2 AS BIGINT) AS pair_bound")
+      .orderBy("cell")
   }
+
+  lazy val twolevelCellOccupancySql: String =
+    s"""WITH $twolevelCtes
+       |SELECT CAST(cl // $twoLevelKc AS BIGINT) AS super_cell,
+       |  CAST(cl AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM h) AS DOUBLE) AS cell_share,
+       |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_bound
+       |FROM h GROUP BY cl ORDER BY cell""".stripMargin
 
   // ---------------------------------------- dedup_embedding_incremental
 

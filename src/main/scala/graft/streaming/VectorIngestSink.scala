@@ -71,6 +71,12 @@ object VectorIngestSink {
   def assignProbes(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
     graft.functions.DotProduct.register(spark)
+    // probe width follows the INSTALLED quantizer's size through the
+    // same corpus-scaled knob as the batch family (round 16): a fixed
+    // width on a k-cell quantizer would silently drift the streaming
+    // screen's recall from the batch screen's as k grows; at the
+    // test/oracle geometry (k = 8) this is exactly NProbe = 3
+    val np = graft.operators.Ann.nprobeFor(cents.count().toInt)
     val q6 = transform(col("embedding"),
       v => floor(v.cast("double") * lit(1e6)).cast("double"))
     val centsRow = cents
@@ -87,7 +93,7 @@ object VectorIngestSink {
           |  s.cl AS cl)))""".stripMargin))
       .select(col("vec_id"), col("qv"), col("nrm"),
         expr("element_at(ranked, 1).cl").as("cell"),
-        expr(s"transform(slice(ranked, 1, $NProbe), s -> s.cl)").as("probes"))
+        expr(s"transform(slice(ranked, 1, $np), s -> s.cl)").as("probes"))
   }
 
   /** Screen one raw-vector frame against the current corpus state:
