@@ -585,4 +585,78 @@ object QualityChecks {
        |FROM mi JOIN ha USING (pair) JOIN hb USING (pair)
        |ORDER BY pair""".stripMargin
   }
+
+  // ----------------------------------------------------------- dp_noisy_counts
+
+  /** ε for the Laplace release (sensitivity 1 per-source doc counts ⇒
+    * scale b = 1/ε).
+    */
+  private val DpEpsilon = 1.0
+
+  /** Differentially-private release of the per-source document counts
+    * — the ε-DP Laplace mechanism with DETERMINISTIC inverse-CDF
+    * sampling, the companion to [[kAnonymityAudit]]: k-anonymity says
+    * which cells are safe to release raw; this is how the unsafe ones
+    * get released anyway. noise = −b·sign(t)·ln(1−2|t|) with
+    * t = u − ½ and u an md5-seeded uniform — the textbook Laplace
+    * inverse CDF. The seed offset (h + ½)/2⁴⁰ keeps u strictly inside
+    * (0,1) and t away from both 0 and ±½, so the ln argument is
+    * always positive and the sign never degenerate. Both engines
+    * derive u from the same md5 hex, run the same
+    * [[graft.functions.ExactLn]] staged chain, and multiply in the
+    * same order — the release is bit-reproducible (an AUDIT property:
+    * the published noise can be re-derived and verified; production
+    * would rotate the seed per release).
+    *
+    * Scale shape: one map-side count groupBy to the source-bounded
+    * frame; everything after runs on ≤ |sources| rows.
+    */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    Tables(spark, dir).documents
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("h", conv(substring(md5(concat(col("source"), lit("_dp"))), 1, 10), 16, 10)
+        .cast("long"))
+      .withColumn("t", expr(
+        "(CAST(h AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1099511627776 AS DOUBLE)" +
+          " - CAST(0.5 AS DOUBLE)"))
+      .withColumn("a", expr(
+        "CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * (CASE WHEN t < 0 THEN 0.0 - t ELSE t END)"))
+      .withColumn("__y", expr(ExactLn.yExpr("a")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("noise", expr(
+        s"(0.0 - (CAST(1 AS DOUBLE) / CAST($DpEpsilon AS DOUBLE)))" +
+          s" * (CASE WHEN t < 0 THEN -1.0 ELSE 1.0 END) * (${ExactLn.lnExpr("__z")})"))
+      .select(col("source"), col("n_docs"),
+        lit(DpEpsilon).as("epsilon"), col("noise"),
+        expr("CAST(n_docs AS DOUBLE) + noise").as("noisy_count"))
+      .orderBy("source")
+  }
+
+  val dpNoisyCountsSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+       |h AS (
+       |  SELECT *, ('0x' || substr(md5(source || '_dp'), 1, 10))::BIGINT AS h FROM c),
+       |t AS (
+       |  SELECT *,
+       |    (CAST(h AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1099511627776 AS DOUBLE)
+       |      - CAST(0.5 AS DOUBLE) AS t
+       |  FROM h),
+       |a AS (
+       |  SELECT *,
+       |    CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * (CASE WHEN t < 0 THEN 0.0 - t ELSE t END) AS a
+       |  FROM t),
+       |y AS (SELECT *, ${ExactLn.yExpr("a")} AS __y FROM a),
+       |z AS (SELECT *, ${ExactLn.zExpr("__y")} AS __z FROM y),
+       |n AS (
+       |  SELECT *,
+       |    (0.0 - (CAST(1 AS DOUBLE) / CAST($DpEpsilon AS DOUBLE)))
+       |      * (CASE WHEN t < 0 THEN -1.0 ELSE 1.0 END) * (${ExactLn.lnExpr("__z")}) AS noise
+       |  FROM z)
+       |SELECT source, n_docs, CAST($DpEpsilon AS DOUBLE) AS epsilon, noise,
+       |  CAST(n_docs AS DOUBLE) + noise AS noisy_count
+       |FROM n ORDER BY source""".stripMargin
+  }
 }

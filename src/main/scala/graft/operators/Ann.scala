@@ -3624,4 +3624,85 @@ object Ann {
       |    / CAST(1000000000000 AS DOUBLE)))
       |    / (CAST(nv AS DOUBLE) * CAST(nv - 1 AS DOUBLE)) AS mean_pairwise_cosine
       |FROM dv""".stripMargin
+
+  // --------------------------------------------------------- ann_range_search
+
+  /** Cosine radius for the range query (on the q6 micro-unit grid, so
+    * the ≥-boundary is bit-deterministic across engines — no
+    * adjacent-sim-gap assumption needed for a THRESHOLD the way there
+    * is for a rank cut).
+    */
+  private val RangeTau = 0.45
+
+  /** Range (radius) search: for each query in the fixed anchor panel,
+    * ALL corpus vectors within cosine ≥ τ — the "every near neighbor,
+    * not the top k" face of vector retrieval (dedup candidate pull,
+    * recall-complete RAG context, blocklist screening). Top-k and
+    * range are different contracts: k bounds the OUTPUT, τ bounds the
+    * GEOMETRY, and a fixed k silently truncates dense neighborhoods
+    * while a radius returns them whole. Per anchor: the in-range
+    * count, the min/max in-range similarity (q12 ints — exact), and
+    * the nearest id — count 0 rows keep the anchor with NULL extrema
+    * (left join), so panel coverage is explicit.
+    *
+    * Scale shape: the anchor panel broadcasts against the corpus scan
+    * (map-only O(anchors·n), the recall-audit convention — never a
+    * corpus self-join); the per-anchor aggregate is map-side partial.
+    * At corpus scale the same τ-screen composes with the IVF cell
+    * route exactly as the near-dup family does ([[cellNearDupPairs]]);
+    * this is the exact-scan face, the one recall audits need.
+    */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables(spark, dir).embeddings
+    val q = withQ6Norm(e, "query_id", "qv", "qn").filter(col("query_id") < NumQueries)
+    val c = withQ6Norm(e, "neighbor_id", "cv", "cn")
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        call_function("graft_dot", col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("sim") >= RangeTau)
+      .withColumn("sim_q12", expr("CAST(floor(sim * 1e12) AS BIGINT)"))
+    val agg = sims.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_in_range"),
+        max(col("sim_q12")).as("max_sim_q12"),
+        min(col("sim_q12")).as("min_sim_q12"),
+        min(struct(negate(col("sim_q12")), col("neighbor_id")))
+          .getField("neighbor_id").as("nearest_id"))
+    q.select(col("query_id"))
+      .join(agg, Seq("query_id"), "left")
+      .withColumn("n_in_range", coalesce(col("n_in_range"), lit(0L)))
+      .orderBy("query_id")
+  }
+
+  val annRangeSearchSql: String =
+    s"""WITH q6 AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS DOUBLE) for x in embedding] AS qv
+       |  FROM embeddings),
+       |nrm AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nm FROM q6),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.qv, c.qv) / (q.nm * c.nm) AS sim
+       |  FROM nrm q JOIN nrm c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |inr AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(floor(sim * 1e12) AS BIGINT) AS sim_q12
+       |  FROM s WHERE sim >= $RangeTau),
+       |rk AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_q12 DESC, neighbor_id) AS rn
+       |  FROM inr),
+       |agg AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_in_range,
+       |    max(sim_q12) AS max_sim_q12, min(sim_q12) AS min_sim_q12,
+       |    max(CASE WHEN rn = 1 THEN neighbor_id END) AS nearest_id
+       |  FROM rk GROUP BY 1)
+       |SELECT q.vec_id AS query_id,
+       |  coalesce(a.n_in_range, 0) AS n_in_range,
+       |  a.max_sim_q12, a.min_sim_q12, a.nearest_id
+       |FROM q6 q LEFT JOIN agg a ON a.query_id = q.vec_id
+       |WHERE q.vec_id < $NumQueries
+       |ORDER BY query_id""".stripMargin
 }

@@ -2386,4 +2386,79 @@ object Graph {
        |SELECT CAST(v AS BIGINT) AS part_key, CAST(sc AS DOUBLE) AS betweenness
        |FROM score ORDER BY betweenness DESC, part_key LIMIT $BtTopK""".stripMargin
   }
+
+  // ------------------------------------------------------------- katz_topk
+
+  private val KatzIters = 4
+  private val KatzBase = 1000000L // 10^6 fixed-point unit (q6)
+  private val KatzTopK = 20
+  // α = 1/8, applied as a per-edge floor division (x_u div 8) so every
+  // contribution is an exact nonnegative integer and the in-sum is
+  // order-independent — the pagerank q12 discipline at q6.
+
+  /** Katz centrality over the customer–supplier transaction graph
+    * (same bipartite symmetric closure as [[pagerank]]): x_{t+1}(v) =
+    * β + α·Σ_{u→v} x_t(u), the "influence through ALL walks,
+    * attenuated by length" centrality — the complement of pagerank's
+    * random-surfer stationary mass (Katz rewards being reachable by
+    * many short walks even from low-degree sources; pagerank splits
+    * each source's vote by its out-degree). Truncated at
+    * [[KatzIters]] walk length with β = α-scaled unit mass, exact
+    * fixed-point integers end to end: contributions floor-divide
+    * per edge, sums accumulate in decimal(38,0), so every engine
+    * agrees bit for bit. α must satisfy α·λ_max < 1 for the untruncated
+    * series; at the fixed α = 1/8 the truncated magnitudes stay
+    * ≤ β·(d̄/8)⁴ — inside long for any realistic degree profile.
+    *
+    * Scale shape: the fact-sized edge list is built once and cached
+    * (three passes: node spine, 4 iterations, final top-k); each
+    * iteration is one co-partitioned join + partial-agg groupBy on
+    * the edge key — no broadcast of anything node-sized, no
+    * driver-side state. Top-k via orderBy+limit (TakeOrdered, never a
+    * global sort materialization).
+    */
+  def katzTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = graft.core.OwnedCaches.own(
+      pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .cache())
+    // symmetric closure ⇒ every node appears as a dst with in-degree
+    // ≥ 1, so the per-iteration groupBy(dst) keeps the full node set
+    // and no left-join backfill is needed (the pagerank argument).
+    var x = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(KatzBase).as("r"))
+    for (_ <- 1 to KatzIters) {
+      x = edges.join(x.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div 8").cast("decimal(38,0)")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(KatzBase).cast("decimal(38,0)") + col("s")).cast("long").as("r"))
+    }
+    x.select(col("node"), col("r").as("katz_q6"))
+      .orderBy(col("katz_q6").desc, col("node"))
+      .limit(KatzTopK)
+  }
+
+  val katzTopkSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (SELECT e.dst AS node,
+         |    $KatzBase + CAST(sum($prev.r // 8) AS BIGINT) AS r
+         |  FROM edges e JOIN $prev ON $prev.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    val iters = (1 to KatzIters).map(i => iter(s"k${i - 1}", s"k$i")).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+       |k0 AS (SELECT DISTINCT src AS node, $KatzBase AS r FROM edges),
+       |$iters
+       |SELECT node, r AS katz_q6 FROM k$KatzIters
+       |ORDER BY katz_q6 DESC, node LIMIT $KatzTopK""".stripMargin
+  }
 }

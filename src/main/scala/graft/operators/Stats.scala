@@ -7178,4 +7178,292 @@ object Stats {
        |  CAST(mn AS DOUBLE) / CAST(10000 AS DOUBLE) AS sse_best
        |FROM lastrow ORDER BY region_name""".stripMargin
   }
+
+  // --------------------------------------------------- wilcoxon_signed_rank
+
+  /** z from the one-row exact-integer summary: with average ranks in
+    * halves, the engine carries the DOUBLED positive-rank sum W2⁺
+    * (always an integer), so E[2W⁺] = n(n+1)/2 and
+    * Var[2W⁺] = 4·Var[W⁺] = (2n(n+1)(2n+1) − tsum)/12 with the
+    * standard tie correction tsum = Σ(t³−t) — all exact decimal
+    * before the two DOUBLE casts.
+    */
+  private val WsrZExpr: String =
+    "CAST(w2_plus - CAST(n AS DECIMAL(38,0)) * (n + 1) / 2 AS DOUBLE) / " +
+      "sqrt(CAST(CAST(2 AS DECIMAL(38,0)) * n * (n + 1) * (2 * n + 1) - tsum AS DOUBLE)" +
+      " / CAST(12 AS DOUBLE))"
+
+  /** Wilcoxon signed-rank test on paired daily samples: per calendar
+    * day, total `purchase` value minus total `click` value (exact
+    * cents) — "did purchases outweigh clicks day-by-day", the paired
+    * complement of [[mannWhitney]]'s two-independent-samples rank sum.
+    * Zero-difference days drop (the standard Wilcoxon convention);
+    * |d| tie groups get average ranks via the same doubled-rank
+    * identity as Mann–Whitney: 2·ΣR⁺ = Σ pos·(2·cumBefore + m + 1)
+    * over |d| groups, exact in decimal(38,0) end to end, z with tie
+    * correction via [[WsrZExpr]].
+    *
+    * Scale shape: one conditional-sum groupBy(day) pass reduces the
+    * raw log to the calendar-bounded daily frame; the |d| tie-group
+    * aggregate and its rank window run on ≤ that many rows. Nothing
+    * row-sized survives the first shuffle.
+    */
+  def wilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val daily = Tables(spark, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(expr(s"ts_us div $DayUs").as("day"))
+      .agg((sum(when(col("event_type") === "purchase", money(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))) * 100 -
+        sum(when(col("event_type") === "click", money(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+        .cast("long").as("d"))
+      .filter(col("d") =!= 0L)
+    val grp = daily
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+    val wPrev = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grp.withColumn("cum_before",
+      coalesce(sum(col("m")).over(wPrev), lit(0L)))
+    ranked.agg(
+        sum(col("m")).as("n"),
+        sum(col("pos").cast("decimal(38,0)") *
+          (lit(2) * col("cum_before") + col("m") + 1)).as("w2_plus"),
+        sum(col("m").cast("decimal(38,0)") * col("m") * col("m") - col("m"))
+          .as("tsum"))
+      .select(col("n").as("n_pairs"),
+        expr("CAST(w2_plus AS DOUBLE) / CAST(2 AS DOUBLE)").as("w_plus"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * (n + 1) - w2_plus AS DOUBLE)" +
+          " / CAST(2 AS DOUBLE)").as("w_minus"),
+        expr(WsrZExpr).as("z_score"))
+  }
+
+  val wilcoxonSignedRankSql: String =
+    s"""WITH daily AS (
+       |  SELECT ts_us // 86400000000 AS day,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+       |       - sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS d
+       |  FROM (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+       |        WHERE event_type IN ('click', 'purchase'))
+       |  GROUP BY 1),
+       |nz AS (SELECT * FROM daily WHERE d != 0),
+       |grp AS (
+       |  SELECT abs(d) AS ad, count(*) AS m,
+       |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM nz GROUP BY 1),
+       |r AS (
+       |  SELECT *,
+       |    coalesce(sum(m) OVER (ORDER BY ad
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM grp),
+       |s AS (
+       |  SELECT CAST(sum(m) AS BIGINT) AS n,
+       |    sum(CAST(pos AS DECIMAL(38,0)) * (2 * cum_before + m + 1)) AS w2_plus,
+       |    sum(CAST(m AS DECIMAL(38,0)) * m * m - m) AS tsum
+       |  FROM r)
+       |SELECT n AS n_pairs,
+       |  CAST(w2_plus AS DOUBLE) / CAST(2 AS DOUBLE) AS w_plus,
+       |  CAST(CAST(n AS DECIMAL(38,0)) * (n + 1) - w2_plus AS DOUBLE) / CAST(2 AS DOUBLE) AS w_minus,
+       |  $WsrZExpr AS z_score
+       |FROM s""".stripMargin
+
+  // ------------------------------------------------------------- kuiper_test
+
+  /** Kuiper V per pair: D⁺ + D⁻ over the shared ECDF grid — the
+    * cyclic-shift/tail-sensitive complement of [[ksTest]]'s sup-norm
+    * (KS is blind to a shift that moves mass symmetrically into both
+    * tails; V = max(F−G) + max(G−F) is not). ONE string per component
+    * for both engines: exact-long/exact-long divisions, max of
+    * identical doubles.
+    */
+  private def kuiperUpExpr(a: String, b: String): String =
+    s"max(CAST(f_$a AS DOUBLE)/CAST(n_$a AS DOUBLE)" +
+      s" - CAST(f_$b AS DOUBLE)/CAST(n_$b AS DOUBLE))"
+  private def kuiperDownExpr(a: String, b: String): String =
+    s"max(CAST(f_$b AS DOUBLE)/CAST(n_$b AS DOUBLE)" +
+      s" - CAST(f_$a AS DOUBLE)/CAST(n_$a AS DOUBLE))"
+
+  /** Two-sample Kuiper test for every pair of event types over the
+    * `value` distribution: V = D⁺ + D⁻, both one-sided sup-norms of
+    * the ECDF difference. Same one-pass value-grid machinery as
+    * [[ksTest]] (per-value counts → one cumulative window → a single
+    * aggregate takes all 2×10 sup-norms); the two maxima are exact
+    * doubles of exact-integer ratios, and their sum is one IEEE add —
+    * bit-identical across engines.
+    *
+    * Scale shape: identical to [[ksTest]] — the cumsum runs over the
+    * bounded value grid (≤ ~50k rows at any corpus size), the raw
+    * scan is one map-side conditional-count pass.
+    */
+  def kuiperTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val cCols = EventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val grid = ev.groupBy(col("value")).agg(cCols.head, cCols.tail: _*)
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      col("value") +: EventTypes.map(t => sum(col(s"c_$t")).over(w).as(s"f_$t")): _*)
+    val nCols = EventTypes.map(t => sum(col(s"c_$t")).as(s"n_$t"))
+    val totals = grid.agg(nCols.head, nCols.tail: _*)
+    val dCols = TypePairs.flatMap { case (a, b) =>
+      Seq(expr(kuiperUpExpr(a, b)).as(s"dp_${a}_$b"),
+        expr(kuiperDownExpr(a, b)).as(s"dm_${a}_$b"))
+    }
+    val maxes = cum.crossJoin(broadcast(totals)).agg(dCols.head, dCols.tail: _*)
+    val stackArgs = TypePairs
+      .map { case (a, b) =>
+        s"'$a', '$b', dp_${a}_$b, dm_${a}_$b, dp_${a}_$b + dm_${a}_$b" }
+      .mkString(", ")
+    maxes.selectExpr(
+        s"stack(${TypePairs.size}, $stackArgs)" +
+          " AS (type_a, type_b, d_plus, d_minus, v_stat)")
+      .orderBy("type_a", "type_b")
+  }
+
+  val kuiperTestSql: String = {
+    val cSums = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+      .mkString(",\n    ")
+    val fCums = EventTypes.map(t =>
+      s"sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$t")
+      .mkString(",\n    ")
+    val nTots = EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS n_$t").mkString(", ")
+    val dMaxes = TypePairs
+      .flatMap { case (a, b) => Seq(
+        s"${kuiperUpExpr(a, b)} AS dp_${a}_$b",
+        s"${kuiperDownExpr(a, b)} AS dm_${a}_$b") }
+      .mkString(",\n    ")
+    val unions = TypePairs
+      .map { case (a, b) =>
+        s"SELECT '$a' AS type_a, '$b' AS type_b, dp_${a}_$b AS d_plus, " +
+          s"dm_${a}_$b AS d_minus, dp_${a}_$b + dm_${a}_$b AS v_stat FROM m" }
+      .mkString("\nUNION ALL ")
+    s"""WITH g AS (
+       |  SELECT value,
+       |    $cSums
+       |  FROM events GROUP BY value),
+       |f AS (
+       |  SELECT value,
+       |    $fCums
+       |  FROM g),
+       |t AS (SELECT $nTots FROM g),
+       |m AS (
+       |  SELECT
+       |    $dMaxes
+       |  FROM f, t)
+       |$unions
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
+  // ----------------------------------------------------------- breusch_pagan
+
+  /** Original Breusch–Pagan LM = ESS/2 of the auxiliary regression
+    * h = g/σ̂² on x, which closed-forms to
+    * LM = n·(n·sxg − sx·sg)² / (2·sg²·(n·sxx − sx²)) — deliberately
+    * the ORIGINAL (not Koenker's n·R²) statistic because it needs no
+    * Σg² moment: g ~ cents² makes g² overflow any exact decimal at
+    * warehouse magnitudes, while sg/sxg stay comfortably inside
+    * decimal(38,6). sx/sxx are long-exact, sg/sxg decimal-exact, so
+    * every operand is exact before the DOUBLE casts — shared text.
+    */
+  private val BpNum =
+    "(CAST(n AS DOUBLE) * CAST(sxg AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sg AS DOUBLE))"
+  private val BpLmExpr: String =
+    s"CAST(n AS DOUBLE) * ($BpNum * $BpNum)" +
+      s" / (CAST(2 AS DOUBLE) * CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)" +
+      s" * CAST(n * sxx - sx * sx AS DOUBLE))"
+
+  /** Breusch–Pagan heteroscedasticity test on the daily-revenue trend
+    * ([[regressionTrend]]'s fit): do the squared RELATIVE residuals
+    * themselves trend with time? LM = ESS/2 of the auxiliary
+    * regression g ~ x with g = (e/ŷ)², χ²(1) under homoscedasticity —
+    * the diagnostic that says whether the trend's error bars can be
+    * trusted or the variance itself is drifting. Residuals are
+    * RELATIVE (e over the fitted value, floored at 1) on purpose:
+    * g stays O(1) at ANY corpus magnitude, so the rounded-exact
+    * auxiliary moments sg/sxg never approach the 2⁵³ ceiling where a
+    * decimal→DOUBLE cast stops being correctly rounded in one engine
+    * (the cupedAdjustment lesson) — cents² moments would cross it at
+    * warehouse scale. The primary fit's slope/intercept come from the
+    * same exact-moment formulation as regression_trend (bit-identical
+    * doubles); each day's g is rounded to 6 decimals into
+    * DECIMAL(18,6) (the rounded-parity convention — a per-day sum of
+    * doubles has no canonical order), so the auxiliary moments are
+    * exact and [[BpLmExpr]] reproduces bit for bit.
+    *
+    * Scale shape: one groupBy(date) pass reduces orders to the
+    * calendar-bounded daily frame; the 1-row fit broadcasts back over
+    * it; the auxiliary moments are a second single-row aggregate on
+    * the same bounded frame.
+    */
+  def breuschPagan(spark: SparkSession, dir: String): DataFrame = {
+    def s38(c: Column) = sum(c.cast("decimal(38,0)"))
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+      .select(datediff(col("dt"), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").as("x"), col("y"))
+    val fit = daily.agg(count(lit(1)).as("n"),
+        s38(col("x")).as("sx"), s38(col("y")).as("sy"),
+        s38(col("x") * col("x")).as("sxx"),
+        s38(col("x") * col("y")).as("sxy"))
+      .withColumn("slope", expr(RegSlopeC))
+      .withColumn("intercept", expr(RegInterceptC))
+      .select("slope", "intercept")
+    val resid = daily.crossJoin(broadcast(fit))
+      .withColumn("fv", expr("intercept + slope * CAST(x AS DOUBLE)"))
+      .withColumn("rel", expr(
+        "(CAST(y AS DOUBLE) - fv) / (CASE WHEN fv < 1.0 AND fv > -1.0 THEN 1.0" +
+          " WHEN fv < 0.0 THEN 0.0 - fv ELSE fv END)"))
+      .withColumn("g", expr("CAST(round(rel * rel, 6) AS DECIMAL(18,6))"))
+    // x narrowed to decimal(10,0) before the product: long×(18,6)
+    // promotes past precision 38 and Spark silently sheds scale
+    // digits to fit (allowPrecisionLoss) where DuckDB stays exact —
+    // (10,0)×(18,6) keeps both engines exact at scale 6.
+    resid.agg(count(lit(1)).as("n"),
+        s38(col("x")).as("sx"),
+        s38(col("x") * col("x")).as("sxx"),
+        sum(col("g")).as("sg"),
+        sum(col("x").cast("decimal(10,0)") * col("g")).as("sxg"),
+        first(col("slope")).as("slope"),
+        first(col("intercept")).as("intercept"))
+      .select(col("n").as("n_days"), col("slope"), col("intercept"),
+        expr(BpLmExpr).as("bp_stat"), lit(1).as("dof"))
+  }
+
+  val breuschPaganSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+       |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+       |  FROM daily),
+       |fit AS (SELECT $RegSlopeC AS slope, $RegInterceptC AS intercept FROM m),
+       |fv AS (
+       |  SELECT d.x, d.y, f.slope, f.intercept,
+       |    f.intercept + f.slope * CAST(d.x AS DOUBLE) AS fv
+       |  FROM daily d, fit f),
+       |rel AS (
+       |  SELECT *,
+       |    (CAST(y AS DOUBLE) - fv) / (CASE WHEN fv < 1.0 AND fv > -1.0 THEN 1.0
+       |      WHEN fv < 0.0 THEN 0.0 - fv ELSE fv END) AS rel
+       |  FROM fv),
+       |resid AS (
+       |  SELECT x, CAST(round(rel * rel, 6) AS DECIMAL(18,6)) AS g, slope, intercept
+       |  FROM rel),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+       |    sum(g) AS sg, sum(CAST(x AS DECIMAL(10,0)) * g) AS sxg,
+       |    any_value(slope) AS slope, any_value(intercept) AS intercept
+       |  FROM resid)
+       |SELECT n AS n_days, slope, intercept, $BpLmExpr AS bp_stat, CAST(1 AS INTEGER) AS dof
+       |FROM s""".stripMargin
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-16 behavior pins for the eight new operators — each checks
+  * a property the DuckDB hash gate CANNOT see (the oracle proves the
+  * two engines agree; these prove the agreed-on answer means what the
+  * Scaladoc claims).
+  */
+class Round16bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf01 = "/root/testdata/sf0.01"
+  private val Stats = graft.operators.Stats
+  private val Graph = graft.operators.Graph
+  private val Ann = graft.operators.Ann
+  private val Text = graft.operators.TextAnalysis
+
+  test("wilcoxon_signed_rank: rank-sum identity W+ + W- = n(n+1)/2, z finite") {
+    val r = Stats.wilcoxonSignedRank(spark, sf01).collect()(0)
+    val n = r.getAs[Long]("n_pairs")
+    val wp = r.getAs[Double]("w_plus"); val wm = r.getAs[Double]("w_minus")
+    assert(n > 10, "daily pairs must populate")
+    assert(math.abs(wp + wm - n.toDouble * (n + 1) / 2) < 1e-6,
+      "positive and negative rank sums must partition the total rank mass")
+    assert(!r.getAs[Double]("z_score").isNaN)
+  }
+
+  test("kuiper_test: V = D+ + D-, V >= KS D, both one-sided stats in [0,1]") {
+    val kp = Stats.kuiperTest(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("d_plus"), r.getAs[Double]("d_minus"), r.getAs[Double]("v_stat"))).toMap
+    val ks = Stats.ksTest(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("d_stat")).toMap
+    assert(kp.size == 10)
+    kp.foreach { case (pair, (dp, dm, v)) =>
+      assert(dp >= 0 && dp <= 1 && dm >= 0 && dm <= 1, s"$pair one-sided sup-norms in range")
+      assert(math.abs(v - (dp + dm)) == 0.0, s"$pair V is the exact sum")
+      // sup|F-G| = max(D+, D-) <= D+ + D- = V, and V >= KS by definition
+      assert(v >= ks(pair) - 1e-15, s"$pair Kuiper V must dominate the KS sup-norm")
+    }
+  }
+
+  test("breusch_pagan: LM nonnegative, slope matches regression_trend's fit") {
+    val bp = Stats.breuschPagan(spark, sf01).collect()(0)
+    val rt = Stats.regressionTrend(spark, sf01).collect()(0)
+    assert(bp.getAs[Double]("bp_stat") >= 0.0)
+    // regression_trend reports currency/day (cents fit / 100); the BP
+    // fit stays in cents — same fit, unit apart
+    assert(math.abs(bp.getAs[Double]("slope") / 100.0 - rt.getAs[Double]("slope"))
+      <= 1e-12 * math.abs(rt.getAs[Double]("slope")),
+      "the primary fit must be regression_trend's fit up to the unit factor")
+    assert(bp.getAs[Long]("n_days") > 100)
+  }
+
+  test("katz_topk: scores exceed the base mass, descend, and respect degree dominance") {
+    val rows = Graph.katzTopk(spark, sf01).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Long]("katz_q6"))
+    assert(scores.forall(_ > 1000000L), "every surviving score carries walk mass beyond β")
+    assert(scores.sameElements(scores.sortBy(-_)), "top-k must descend")
+  }
+
+  test("ann_range_search: agrees with brute-force top-k where both see the same neighbors") {
+    val rs = Ann.annRangeSearch(spark, sf01).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(rs.size == 10, "every panel anchor reported, including empty radii")
+    rs.values.foreach { r =>
+      val n = r.getAs[Long]("n_in_range")
+      if (n > 0) {
+        val mx = r.getAs[Long]("max_sim_q12"); val mn = r.getAs[Long]("min_sim_q12")
+        assert(mx >= mn && mn >= (0.45 * 1e12 - 1).toLong, "extrema ordered and above tau")
+      } else assert(r.isNullAt(r.fieldIndex("max_sim_q12")))
+    }
+    // the nearest in-range neighbor must be the rank-1 brute-force hit
+    // whenever the rank-1 hit itself clears tau (same grid, same ties)
+    val bf = Ann.annTopkBruteforce(spark, sf01)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    rs.values.filter(_.getAs[Long]("n_in_range") > 0).foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("nearest_id") == bf(q),
+        s"anchor $q: radius-search nearest must equal the brute-force rank-1 neighbor")
+    }
+  }
+
+  test("importance_resample: target-source docs score higher on average than raw") {
+    val df = Text.importanceResample(spark, sf01)
+      .filter(col("n_vocab_toks") > 0)
+    val tgt = Seq("src0", "src1", "src2", "src3")
+    val m = df.groupBy(col("source").isin(tgt: _*).as("is_tgt"))
+      .agg(avg(col("weight")).as("w"), count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> (r.getAs[Double]("w"), r.getLong(2))).toMap
+    assert(m(true)._2 > 0 && m(false)._2 > 0)
+    assert(m(true)._1 > m(false)._1,
+      "the importance LM must upweight the domain it was fit to — " +
+        s"target mean ${m(true)._1} vs raw mean ${m(false)._1}")
+    // admit boundary is the exact sum sign, never a float threshold
+    val bad = df.filter((col("weight") > 0) =!= col("admit")).count()
+    assert(bad == 0, "admit must equal weight > 0 on every doc with vocab tokens")
+  }
+
+  test("quality_logreg_filter: distillation beats the untrained AND the best-constant baseline, admits separate") {
+    val rows = Text.qualityLogregFilter(spark, sf01).collect()
+    assert(rows.length > 400)
+    val n = rows.length.toDouble
+    val loss = rows.map { r =>
+      val y = r.getAs[Double]("label_kept"); val z = r.getAs[Double]("logit")
+      math.log1p(math.exp(-z)) + (1.0 - y) * z // -y ln sig(z) - (1-y) ln(1-sig(z))
+    }.sum / n
+    // untrained (w=0) loss = ln 2; best CONSTANT predictor loss =
+    // H(base rate) -- beating the latter proves the features carry
+    // signal, not just the intercept
+    val pbar = rows.map(_.getAs[Double]("label_kept")).sum / n
+    val hBase = -(pbar * math.log(pbar) + (1 - pbar) * math.log(1 - pbar))
+    assert(loss < math.log(2.0), s"must beat the untrained ln2 baseline, got $loss")
+    assert(loss < hBase, s"must beat the best-constant baseline $hBase, got $loss")
+    val keptAdmit = rows.filter(_.getAs[Double]("label_kept") == 1.0)
+      .count(_.getAs[Boolean]("admit")).toDouble /
+      rows.count(_.getAs[Double]("label_kept") == 1.0)
+    val rejAdmit = rows.filter(_.getAs[Double]("label_kept") == 0.0)
+      .count(_.getAs[Boolean]("admit")).toDouble /
+      math.max(1, rows.count(_.getAs[Double]("label_kept") == 0.0))
+    assert(keptAdmit > rejAdmit,
+      s"the distilled filter must admit rule-kept docs at a higher rate ($keptAdmit vs $rejAdmit)")
+    // distillation sanity vs the teacher itself
+    val agree = rows.count(r =>
+      (r.getAs[Double]("label_kept") == 1.0) == r.getAs[Boolean]("admit")) / n
+    assert(agree > 0.5, s"student-teacher agreement must beat coin flip, got $agree")
+  }
+
+  test("dp_noisy_counts: noise is reproducible, zero-mean-ish, and never degenerate") {
+    val rows = graft.etl.QualityChecks.dpNoisyCounts(spark, sf01).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val noise = r.getAs[Double]("noise")
+      assert(!noise.isNaN && !noise.isInfinite, "ln argument must stay positive")
+      assert(math.abs(r.getAs[Double]("noisy_count") -
+        (r.getAs[Long]("n_docs") + noise)) == 0.0)
+    }
+    // Laplace(1) has ~50/50 sign split; 20 seeded draws shouldn't all agree
+    val pos = rows.count(_.getAs[Double]("noise") > 0)
+    assert(pos > 0 && pos < 20, "seeded noise must carry both signs across sources")
+    // determinism: a second run reproduces the release bit for bit
+    val again = graft.etl.QualityChecks.dpNoisyCounts(spark, sf01).collect()
+      .map(_.getAs[Double]("noise"))
+    assert(rows.map(_.getAs[Double]("noise")).sameElements(again))
+  }
+}
