@@ -7466,4 +7466,327 @@ object Stats {
        |  FROM resid)
        |SELECT n AS n_days, slope, intercept, $BpLmExpr AS bp_stat, CAST(1 AS INTEGER) AS dof
        |FROM s""".stripMargin
+
+  // ------------------------------------------------------- turning_point_test
+
+  /** z from the one-row exact-integer summary: E[T] = 2(n−2)/3,
+    * Var[T] = (16n−29)/90 under iid — both rationals of exact longs,
+    * combined in one shared IEEE expression.
+    */
+  private val TpZExpr: String =
+    "(CAST(t AS DOUBLE) - CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE) / CAST(3 AS DOUBLE))" +
+      " / sqrt(CAST(16 AS DOUBLE) * CAST(n AS DOUBLE) - CAST(29 AS DOUBLE))" +
+      " * sqrt(CAST(90 AS DOUBLE))"
+
+  /** Turning-point test of randomness on the daily-revenue series: a
+    * day is a turning point iff it is a STRICT local max or min of
+    * its two calendar neighbors; under iid the count is
+    * asymptotically normal with mean 2(n−2)/3 and variance
+    * (16n−29)/90 — too FEW turning points means trend/persistence,
+    * too MANY means negative autocorrelation (the cheap first look
+    * before `ljung_box`/`runs_test`, on the VALUE series rather than
+    * signs or residuals). Strictness is the documented tie
+    * convention: exact-cent ties break neither < nor >, so they
+    * simply do not turn. Everything is exact integers until the one
+    * shared z expression.
+    *
+    * Scale shape: one groupBy(date) pass to the calendar-bounded
+    * daily frame; lag/lead windows run on that bounded frame only.
+    */
+  def turningPointTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val w = Window.orderBy("dt")
+    daily
+      .withColumn("yp", lag(col("y"), 1).over(w))
+      .withColumn("yn", lead(col("y"), 1).over(w))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("yp").isNotNull && col("yn").isNotNull &&
+            ((col("y") > col("yp") && col("y") > col("yn")) ||
+             (col("y") < col("yp") && col("y") < col("yn"))), 1L)
+          .otherwise(0L)).as("t"))
+      .select(col("n").as("n_days"), col("t").as("n_turning"),
+        expr("CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE) / CAST(3 AS DOUBLE)")
+          .as("expected"),
+        expr(TpZExpr).as("z_score"))
+  }
+
+  val turningPointTestSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS dt,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |l AS (
+       |  SELECT y,
+       |    lag(y) OVER (ORDER BY dt) AS yp,
+       |    lead(y) OVER (ORDER BY dt) AS yn
+       |  FROM daily),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+       |      AND ((y > yp AND y > yn) OR (y < yp AND y < yn))
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+       |  FROM l)
+       |SELECT n AS n_days, t AS n_turning,
+       |  CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE) / CAST(3 AS DOUBLE) AS expected,
+       |  $TpZExpr AS z_score
+       |FROM s""".stripMargin
+
+  // ------------------------------------------------------------ max_drawdown
+
+  /** Maximum drawdown of the daily-revenue series: the largest
+    * peak-to-trough fall relative to the running maximum — "how far
+    * below its best day has revenue ever sunk", the risk statistic a
+    * monitoring dashboard alerts on (a deep drawdown is a demand
+    * shock even when the trend later recovers). Running peak via one
+    * ordered window over the calendar-bounded daily frame (exact
+    * cents); the trough is the FIRST day attaining the maximal
+    * drawdown (min-date tiebreak — deterministic); share reported as
+    * the exact-cent ratio cast once.
+    *
+    * Scale shape: groupBy(date) reduction first; the running-max
+    * window and the argmin both run on the bounded daily frame.
+    */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val w = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("y")).over(w))
+      .withColumn("dd", col("peak") - col("y"))
+      .agg(min(struct(negate(col("dd")).as("ndd"), col("dt").as("dt"))).as("m"),
+        count(lit(1)).as("n"))
+      .select(col("n").as("n_days"),
+        negate(col("m").getField("ndd")).as("max_dd_cents"),
+        col("m").getField("dt").cast("string").as("trough_date"))
+      .join(daily.select(col("dt").cast("string").as("trough_date"),
+        col("y").as("trough_cents")), Seq("trough_date"))
+      .select(col("n_days"), col("max_dd_cents"),
+        (col("max_dd_cents") + col("trough_cents")).as("peak_cents"),
+        col("trough_date"),
+        expr("CAST(max_dd_cents AS DOUBLE)" +
+          " / CAST(max_dd_cents + trough_cents AS DOUBLE)").as("dd_share"))
+  }
+
+  val maxDrawdownSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS dt,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |p AS (
+       |  SELECT dt, y,
+       |    max(y) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM daily),
+       |d AS (SELECT dt, y, peak - y AS dd FROM p),
+       |r AS (SELECT *, row_number() OVER (ORDER BY dd DESC, dt) AS rn,
+       |        count(*) OVER () AS n FROM d)
+       |SELECT CAST(n AS BIGINT) AS n_days, dd AS max_dd_cents,
+       |  dd + y AS peak_cents,
+       |  CAST(dt AS VARCHAR) AS trough_date,
+       |  CAST(dd AS DOUBLE) / CAST(dd + y AS DOUBLE) AS dd_share
+       |FROM r WHERE rn = 1""".stripMargin
+
+  // -------------------------------------------------------- record_highs_test
+
+  /** Record-highs test on the daily-revenue series: the number of
+    * record-breaking days (strictly above every earlier day, the
+    * first day counting as record 1) against the iid law — E[T] =
+    * H_n (harmonic) and Var[T] = H_n − H_n⁽²⁾, DISTRIBUTION-FREE
+    * facts that need no moment assumptions at all. Too many records
+    * = upward drift; the record-statistics complement of the
+    * turning-point and runs tests. Records from one running-max
+    * window on exact cents; the harmonic sums accumulate 12-dp
+    * rounded-exact reciprocals over the same bounded frame (the
+    * rounded-parity convention), so both engines agree bit for bit.
+    *
+    * Scale shape: everything after the groupBy(date) reduction runs
+    * on the calendar-bounded daily frame.
+    */
+  def recordHighsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val wPrev = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, -1)
+    val wIdx = Window.orderBy("dt")
+    daily
+      .withColumn("prevmax", max(col("y")).over(wPrev))
+      .withColumn("k", row_number().over(wIdx).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("prevmax").isNull || (col("y") > col("prevmax")), 1L)
+          .otherwise(0L)).as("t"),
+        sum(expr("CAST(round(CAST(1 AS DOUBLE) / CAST(k AS DOUBLE), 12)" +
+          " AS DECIMAL(18,12))")).as("h1"),
+        sum(expr("CAST(round(CAST(1 AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)), 12)" +
+          " AS DECIMAL(18,12))")).as("h2"))
+      .select(col("n").as("n_days"), col("t").as("n_records"),
+        expr("CAST(h1 AS DOUBLE)").as("expected"),
+        expr("(CAST(t AS DOUBLE) - CAST(h1 AS DOUBLE))" +
+          " / sqrt(CAST(h1 - h2 AS DOUBLE))").as("z_score"))
+  }
+
+  val recordHighsTestSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS dt,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |p AS (
+       |  SELECT dt, y,
+       |    max(y) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax,
+       |    CAST(row_number() OVER (ORDER BY dt) AS BIGINT) AS k
+       |  FROM daily),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN prevmax IS NULL OR y > prevmax THEN 1 ELSE 0 END) AS BIGINT) AS t,
+       |    sum(CAST(round(CAST(1 AS DOUBLE) / CAST(k AS DOUBLE), 12) AS DECIMAL(18,12))) AS h1,
+       |    sum(CAST(round(CAST(1 AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)), 12) AS DECIMAL(18,12))) AS h2
+       |  FROM p)
+       |SELECT n AS n_days, t AS n_records,
+       |  CAST(h1 AS DOUBLE) AS expected,
+       |  (CAST(t AS DOUBLE) - CAST(h1 AS DOUBLE)) / sqrt(CAST(h1 - h2 AS DOUBLE)) AS z_score
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------- hurst_exponent
+
+  private val HurstSizes = Seq(8, 16, 32, 64)
+
+  /** Hurst exponent of daily revenue by rescaled-range (R/S)
+    * analysis: mean R/S per block size, log–log slope over the size
+    * grid — H ≈ 0.5 is memoryless, H > 0.5 long-range persistence
+    * (trends feed themselves), H < 0.5 mean reversion. The
+    * long-memory diagnostic `autocorr_lag` (one lag) and `adf_test`
+    * (unit root) bracket but don't measure.
+    *
+    * Exactness: the series is first made SCALE-FREE — yq =
+    * ⌊10⁶·y/ȳ⌋, identical ints from one global-mean division — so
+    * every per-block moment stays an int64 at ANY corpus magnitude
+    * (the breusch_pagan lesson applied to R/S). Within a block of
+    * size s the cumulative deviation is kept in integers by scaling:
+    * dev_k = s·prefix_k − k·syq (exact), so R = (max−min)/s and
+    * S = √(s·syyq − syq²)/s give R/S = (max−min)/√(s·syyq − syq²) —
+    * two int64→DOUBLE casts (correctly rounded on BOTH engines at
+    * any magnitude, unlike decimal→double) and one IEEE division.
+    * Per-size means and the 4-point log–log OLS use 9-dp
+    * rounded-exact sums with [[graft.functions.ExactLn]].
+    *
+    * Scale shape: groupBy(date) reduction first; the ×4 size
+    * explosion, block windows, and everything after run on the
+    * calendar-bounded daily frame (4n rows, never data-sized).
+    * Constant blocks (S = 0) are excluded on both faces.
+    */
+  def hurstExponent(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val wIdx = Window.orderBy("dt")
+    val idx = daily
+      .withColumn("rn", row_number().over(wIdx).cast("long"))
+      .withColumn("ybar", expr(
+        "CAST(sum(y) OVER () AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE)"))
+      .withColumn("yq", expr("CAST(floor(CAST(1000000 AS DOUBLE) * (CAST(y AS DOUBLE) / ybar)) AS BIGINT)"))
+      .select(col("rn"), col("yq"))
+    val sized = idx.crossJoin(
+        spark.range(1).select(explode(lit(HurstSizes.toArray)).as("s")))
+      .withColumn("b", expr("(rn - 1) div s"))
+    val wBlk = Window.partitionBy("s", "b").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCnt = Window.partitionBy("s", "b")
+    val dev = sized
+      .withColumn("k", count(lit(1)).over(wBlk))
+      .withColumn("prefix", sum(col("yq")).over(wBlk))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .withColumn("syq", sum(col("yq")).over(wCnt))
+      .filter(col("cnt") === col("s"))
+      .withColumn("dev", col("s") * col("prefix") - col("k") * col("syq"))
+    val blocks = dev.groupBy(col("s"), col("b"))
+      .agg((max(col("dev")) - min(col("dev"))).as("r_int"),
+        (first(col("s")).cast("long") * sum(col("yq") * col("yq")) -
+          first(col("syq")) * first(col("syq"))).as("s2_int"))
+      .filter(col("s2_int") > 0)
+      .withColumn("rs", expr("CAST(r_int AS DOUBLE) / sqrt(CAST(s2_int AS DOUBLE))"))
+    val perSize = blocks.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("CAST(round(rs, 9) AS DECIMAL(18,9))")).as("srs"))
+      .withColumn("mean_rs", expr("CAST(srs AS DOUBLE) / CAST(n_blocks AS DOUBLE)"))
+      .withColumn("ls0", expr("CAST(s AS DOUBLE)"))
+      .withColumn("__ys", expr(ExactLn.yExpr("ls0")))
+      .withColumn("__zs", expr(ExactLn.zExpr("__ys")))
+      .withColumn("lx", expr(ExactLn.lnExpr("__zs")))
+      .withColumn("__yr", expr(ExactLn.yExpr("mean_rs")))
+      .withColumn("__zr", expr(ExactLn.zExpr("__yr")))
+      .withColumn("ly", expr(ExactLn.lnExpr("__zr")))
+    val wAll = Window.partitionBy()
+    def rsum(c: String) =
+      sum(expr(s"CAST(round($c, 9) AS DECIMAL(18,9))")).over(wAll)
+    perSize
+      .withColumn("m", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("sx", rsum("lx")).withColumn("sy2", rsum("ly"))
+      .withColumn("sxx", rsum("lx * lx")).withColumn("sxy", rsum("lx * ly"))
+      .withColumn("hurst", expr(
+        "CAST(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy2 AS DOUBLE) AS DOUBLE)" +
+          " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
+      .select(col("s").cast("int").as("block_size"), col("n_blocks"),
+        col("mean_rs"), col("hurst"))
+      .orderBy("block_size")
+  }
+
+  val hurstExponentSql: String = {
+    import graft.functions.ExactLn
+    val sizes = HurstSizes.mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS dt,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |idx AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY dt) AS BIGINT) AS rn,
+       |    CAST(floor(CAST(1000000 AS DOUBLE) * (CAST(y AS DOUBLE)
+       |      / (CAST(sum(y) OVER () AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE)))) AS BIGINT) AS yq
+       |  FROM daily),
+       |sized AS (
+       |  SELECT rn, yq, CAST(s AS BIGINT) AS s, (rn - 1) // s AS b
+       |  FROM idx, (SELECT unnest([$sizes]) AS s)),
+       |dev0 AS (
+       |  SELECT *,
+       |    CAST(count(*) OVER wb AS BIGINT) AS k,
+       |    sum(yq) OVER wb AS prefix,
+       |    CAST(count(*) OVER wc AS BIGINT) AS cnt,
+       |    sum(yq) OVER wc AS syq
+       |  FROM sized
+       |  WINDOW wb AS (PARTITION BY s, b ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wc AS (PARTITION BY s, b)),
+       |dev AS (
+       |  SELECT *, s * prefix - k * syq AS dev FROM dev0 WHERE cnt = s),
+       |blocks AS (
+       |  SELECT s, b, CAST(max(dev) - min(dev) AS BIGINT) AS r_int,
+       |    CAST(any_value(s) * sum(yq * yq) - any_value(syq) * any_value(syq) AS BIGINT) AS s2_int
+       |  FROM dev GROUP BY 1, 2),
+       |bl AS (
+       |  SELECT *, CAST(r_int AS DOUBLE) / sqrt(CAST(s2_int AS DOUBLE)) AS rs
+       |  FROM blocks WHERE s2_int > 0),
+       |per_size AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+       |    sum(CAST(round(rs, 9) AS DECIMAL(18,9))) AS srs
+       |  FROM bl GROUP BY 1),
+       |ms AS (
+       |  SELECT *, CAST(srs AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean_rs,
+       |    CAST(s AS DOUBLE) AS ls0
+       |  FROM per_size),
+       |y1 AS (SELECT *, ${ExactLn.yExpr("ls0")} AS __ys, ${ExactLn.yExpr("mean_rs")} AS __yr FROM ms),
+       |z1 AS (SELECT *, ${ExactLn.zExpr("__ys")} AS __zs, ${ExactLn.zExpr("__yr")} AS __zr FROM y1),
+       |l1 AS (SELECT *, ${ExactLn.lnExpr("__zs")} AS lx, ${ExactLn.lnExpr("__zr")} AS ly FROM z1),
+       |mo AS (
+       |  SELECT *,
+       |    CAST(count(*) OVER () AS BIGINT) AS m,
+       |    sum(CAST(round(lx, 9) AS DECIMAL(18,9))) OVER () AS sx,
+       |    sum(CAST(round(ly, 9) AS DECIMAL(18,9))) OVER () AS sy2,
+       |    sum(CAST(round(lx * lx, 9) AS DECIMAL(18,9))) OVER () AS sxx,
+       |    sum(CAST(round(lx * ly, 9) AS DECIMAL(18,9))) OVER () AS sxy
+       |  FROM l1)
+       |SELECT CAST(s AS INTEGER) AS block_size, n_blocks, mean_rs,
+       |  CAST(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy2 AS DOUBLE) AS DOUBLE)
+       |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS hurst
+       |FROM mo ORDER BY block_size""".stripMargin
+  }
 }

@@ -129,6 +129,46 @@ class Round16bSpec extends AnyFunSuite {
     assert(agree > 0.5, s"student-teacher agreement must beat coin flip, got $agree")
   }
 
+  test("turning_point_test: count bounded by interior days, expectation exact, z finite") {
+    val r = Stats.turningPointTest(spark, sf01).collect()(0)
+    val n = r.getAs[Long]("n_days"); val t = r.getAs[Long]("n_turning")
+    assert(t >= 0 && t <= n - 2, "only interior days can turn")
+    assert(math.abs(r.getAs[Double]("expected") - 2.0 * (n - 2) / 3.0) < 1e-9)
+    assert(!r.getAs[Double]("z_score").isNaN)
+  }
+
+  test("max_drawdown: nonnegative, peak dominates trough, share in [0,1)") {
+    val r = Stats.maxDrawdown(spark, sf01).collect()(0)
+    val dd = r.getAs[Long]("max_dd_cents"); val pk = r.getAs[Long]("peak_cents")
+    assert(dd >= 0 && pk >= dd, "drawdown is peak minus trough, peak >= drawdown")
+    val share = r.getAs[Double]("dd_share")
+    assert(share >= 0.0 && share < 1.0, "revenue never goes negative, so share < 1")
+    assert(r.getAs[String]("trough_date").matches("\\d{4}-\\d{2}-\\d{2}"))
+  }
+
+  test("record_highs_test: at least the first record, harmonic expectation in the ln-n window") {
+    val r = Stats.recordHighsTest(spark, sf01).collect()(0)
+    val n = r.getAs[Long]("n_days"); val t = r.getAs[Long]("n_records")
+    assert(t >= 1 && t <= n)
+    val e = r.getAs[Double]("expected")
+    // H_n = ln n + gamma + o(1)
+    assert(e > math.log(n.toDouble) && e < math.log(n.toDouble) + 1.0,
+      s"harmonic expectation $e must sit just above ln($n)")
+    assert(!r.getAs[Double]("z_score").isNaN)
+  }
+
+  test("hurst_exponent: one shared slope, R/S grows with block size, H in a sane band") {
+    val rows = Stats.hurstExponent(spark, sf01).collect()
+    assert(rows.length == 4)
+    val hs = rows.map(_.getAs[Double]("hurst")).distinct
+    assert(hs.length == 1, "the log-log slope is a single shared statistic")
+    assert(hs(0) > 0.0 && hs(0) < 1.5, s"H=${hs(0)} must be a plausible exponent")
+    val rs = rows.sortBy(_.getAs[Int]("block_size")).map(_.getAs[Double]("mean_rs"))
+    assert(rs.sameElements(rs.sorted), "mean R/S must be nondecreasing in block size")
+    rows.foreach(r => assert(r.getAs[Long]("n_blocks") >= 4,
+      "every size on the grid must have enough full blocks to mean over"))
+  }
+
   test("dp_noisy_counts: noise is reproducible, zero-mean-ish, and never degenerate") {
     val rows = graft.etl.QualityChecks.dpNoisyCounts(spark, sf01).collect()
     assert(rows.length == 20)
