@@ -99,26 +99,45 @@ object Graph {
     * the single-task shortcut). The default selects by edge count,
     * then node count (see [[SingleTaskEdgeCap]], [[BroadcastNodeCap]]).
     */
-  private[graft] def pagerank(spark: SparkSession, dir: String,
-      forceCopartition: Boolean, forceLoop: Boolean = false): DataFrame = {
+  /** The customer–supplier transaction graph: distinct (customer,
+    * supplier) purchase pairs encoded on disjoint node ids (2c even /
+    * 2s+1 odd), symmetric closure — ONE definition shared by
+    * [[pagerank]] and [[katzTopk]] (Spark face) with its SQL twin
+    * [[CustSuppEdgesCte]], so the two centralities can never drift
+    * onto different graphs. orders⋈lineitem stays a shuffle join on
+    * purpose: at scale BOTH sides are fact-sized (AQE will still
+    * broadcast if one side turns out small at runtime). Returned
+    * UNCACHED — each consumer owns its persistence lifecycle.
+    */
+  private[graft] def custSuppEdges(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // orders⋈lineitem stays a shuffle join on purpose: at scale BOTH
-    // sides are fact-sized (AQE will still broadcast if one side turns
-    // out small at runtime)
     val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** [[custSuppEdges]]' SQL twin — the `pairs`/`edges` CTE prelude
+    * both graph oracles splice in verbatim.
+    */
+  private[graft] val CustSuppEdgesCte: String =
+    """pairs AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs)""".stripMargin
+
+  private[graft] def pagerank(spark: SparkSession, dir: String,
+      forceCopartition: Boolean, forceLoop: Boolean = false): DataFrame = {
     // The loop-invariant out-degree rides ON the edge rows (it only
     // ever divides the source's rank), so the iterating state is just
     // (node, r) and no per-iteration degree join exists at all.
     // cached: deg's count, the edge-count layout probe, and the final
     // query would each rebuild the orders⋈lineitem pair join otherwise
     // (three full fact-join passes for one graph)
-    val raw = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-      .cache()
+    val raw = custSuppEdges(spark, dir).cache()
     val deg = raw.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     // every node has degree ≥ 1 and appears on both edge sides
     // (symmetric closure), so there are no dangling nodes to handle.
@@ -306,10 +325,7 @@ object Graph {
          |  FROM edges e JOIN $prev ON $prev.node = e.src JOIN deg ON deg.node = e.src
          |  GROUP BY e.dst)""".stripMargin
     val iters = (1 to Iters).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
-       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-       |edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+    s"""WITH $CustSuppEdgesCte,
        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM deg),
        |r0 AS (SELECT node, $Scale // (SELECT n FROM nn) AS r FROM deg),
@@ -2396,8 +2412,8 @@ object Graph {
   // contribution is an exact nonnegative integer and the in-sum is
   // order-independent — the pagerank q12 discipline at q6.
 
-  /** Katz centrality over the customer–supplier transaction graph
-    * (same bipartite symmetric closure as [[pagerank]]): x_{t+1}(v) =
+  /** Katz centrality over [[custSuppEdges]] (the ONE shared graph
+    * definition [[pagerank]] also reads): x_{t+1}(v) =
     * β + α·Σ_{u→v} x_t(u), the "influence through ALL walks,
     * attenuated by length" centrality — the complement of pagerank's
     * random-surfer stationary mass (Katz rewards being reachable by
@@ -2418,16 +2434,7 @@ object Graph {
     * global sort materialization).
     */
   def katzTopk(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-    val edges = graft.core.OwnedCaches.own(
-      pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-        .cache())
+    val edges = graft.core.OwnedCaches.own(custSuppEdges(spark, dir).cache())
     // symmetric closure ⇒ every node appears as a dst with in-degree
     // ≥ 1, so the per-iteration groupBy(dst) keeps the full node set
     // and no left-join backfill is needed (the pagerank argument).
@@ -2452,10 +2459,7 @@ object Graph {
          |  FROM edges e JOIN $prev ON $prev.node = e.src
          |  GROUP BY e.dst)""".stripMargin
     val iters = (1 to KatzIters).map(i => iter(s"k${i - 1}", s"k$i")).mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
-       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-       |edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+    s"""WITH $CustSuppEdgesCte,
        |k0 AS (SELECT DISTINCT src AS node, $KatzBase AS r FROM edges),
        |$iters
        |SELECT node, r AS katz_q6 FROM k$KatzIters

@@ -57,7 +57,15 @@ object Stats {
     * that bounded grid, never over raw rows; the raw scan is one
     * map-side conditional-count pass.
     */
-  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared one-pass ECDF value grid: per-value conditional
+    * counts pivoted to a column per event type, one cumulative window
+    * to ECDF numerators (`f_<type>`), and the per-type totals
+    * (`n_<type>`) — ONE definition consumed by [[ksTest]] and
+    * [[kuiperTest]] (SQL twin [[ecdfGridSqlCtes]]), so the two
+    * sup-norm statistics can never run on subtly different grids and
+    * the cross-operator dominance V ≥ D stays a mathematical fact.
+    */
+  private def ecdfGrid(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
     val cCols = EventTypes.map(t =>
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
@@ -68,6 +76,33 @@ object Stats {
       col("value") +: EventTypes.map(t => sum(col(s"c_$t")).over(w).as(s"f_$t")): _*)
     val nCols = EventTypes.map(t => sum(col(s"c_$t")).as(s"n_$t"))
     val totals = grid.agg(nCols.head, nCols.tail: _*)
+    (cum, totals)
+  }
+
+  /** [[ecdfGrid]]'s SQL twin — the `g`/`f`/`t` CTE prelude both
+    * sup-norm oracles splice in verbatim.
+    */
+  private def ecdfGridSqlCtes: String = {
+    val cSums = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+      .mkString(",\n    ")
+    val fCums = EventTypes.map(t =>
+      s"sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$t")
+      .mkString(",\n    ")
+    val nTots = EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS n_$t").mkString(", ")
+    s"""g AS (
+       |  SELECT value,
+       |    $cSums
+       |  FROM events GROUP BY value),
+       |f AS (
+       |  SELECT value,
+       |    $fCums
+       |  FROM g),
+       |t AS (SELECT $nTots FROM g)""".stripMargin
+  }
+
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val (cum, totals) = ecdfGrid(spark, dir)
     val dCols = TypePairs.map { case (a, b) => expr(ksMaxExpr(a, b)).as(s"d_${a}_$b") }
     val maxes = cum.crossJoin(broadcast(totals)).agg(dCols.head, dCols.tail: _*)
     val stackArgs = TypePairs
@@ -78,28 +113,13 @@ object Stats {
   }
 
   val ksTestSql: String = {
-    val cSums = EventTypes.map(t =>
-      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
-      .mkString(",\n    ")
-    val fCums = EventTypes.map(t =>
-      s"sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$t")
-      .mkString(",\n    ")
-    val nTots = EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS n_$t").mkString(", ")
     val dMaxes = TypePairs
       .map { case (a, b) => s"${ksMaxExpr(a, b)} AS d_${a}_$b" }.mkString(",\n    ")
     val unions = TypePairs
       .map { case (a, b) =>
         s"SELECT '$a' AS type_a, '$b' AS type_b, d_${a}_$b AS d_stat FROM m" }
       .mkString("\nUNION ALL ")
-    s"""WITH g AS (
-       |  SELECT value,
-       |    $cSums
-       |  FROM events GROUP BY value),
-       |f AS (
-       |  SELECT value,
-       |    $fCums
-       |  FROM g),
-       |t AS (SELECT $nTots FROM g),
+    s"""WITH $ecdfGridSqlCtes,
        |m AS (
        |  SELECT
        |    $dMaxes
@@ -7297,16 +7317,7 @@ object Stats {
     * scan is one map-side conditional-count pass.
     */
   def kuiperTest(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
-    val cCols = EventTypes.map(t =>
-      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
-    val grid = ev.groupBy(col("value")).agg(cCols.head, cCols.tail: _*)
-    val w = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid.select(
-      col("value") +: EventTypes.map(t => sum(col(s"c_$t")).over(w).as(s"f_$t")): _*)
-    val nCols = EventTypes.map(t => sum(col(s"c_$t")).as(s"n_$t"))
-    val totals = grid.agg(nCols.head, nCols.tail: _*)
+    val (cum, totals) = ecdfGrid(spark, dir)
     val dCols = TypePairs.flatMap { case (a, b) =>
       Seq(expr(kuiperUpExpr(a, b)).as(s"dp_${a}_$b"),
         expr(kuiperDownExpr(a, b)).as(s"dm_${a}_$b"))
@@ -7323,13 +7334,6 @@ object Stats {
   }
 
   val kuiperTestSql: String = {
-    val cSums = EventTypes.map(t =>
-      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
-      .mkString(",\n    ")
-    val fCums = EventTypes.map(t =>
-      s"sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$t")
-      .mkString(",\n    ")
-    val nTots = EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS n_$t").mkString(", ")
     val dMaxes = TypePairs
       .flatMap { case (a, b) => Seq(
         s"${kuiperUpExpr(a, b)} AS dp_${a}_$b",
@@ -7340,15 +7344,7 @@ object Stats {
         s"SELECT '$a' AS type_a, '$b' AS type_b, dp_${a}_$b AS d_plus, " +
           s"dm_${a}_$b AS d_minus, dp_${a}_$b + dm_${a}_$b AS v_stat FROM m" }
       .mkString("\nUNION ALL ")
-    s"""WITH g AS (
-       |  SELECT value,
-       |    $cSums
-       |  FROM events GROUP BY value),
-       |f AS (
-       |  SELECT value,
-       |    $fCums
-       |  FROM g),
-       |t AS (SELECT $nTots FROM g),
+    s"""WITH $ecdfGridSqlCtes,
        |m AS (
        |  SELECT
        |    $dMaxes
@@ -7405,10 +7401,15 @@ object Stats {
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
       .select(datediff(col("dt"), lit(java.sql.Date.valueOf("1970-01-01")))
         .cast("long").as("x"), col("y"))
+    // x pre-cast BEFORE the product (its own oracle already does):
+    // an int64 x*y throws under ANSI at extreme corpus magnitudes
+    // where the decimal product stays exact — and the VALUE is
+    // identical to regression_trend's long-multiplied moment, so the
+    // bit-for-bit fit equality holds
     val fit = daily.agg(count(lit(1)).as("n"),
         s38(col("x")).as("sx"), s38(col("y")).as("sy"),
         s38(col("x") * col("x")).as("sxx"),
-        s38(col("x") * col("y")).as("sxy"))
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
       .withColumn("slope", expr(RegSlopeC))
       .withColumn("intercept", expr(RegInterceptC))
       .select("slope", "intercept")
@@ -7553,21 +7554,24 @@ object Stats {
       .groupBy(col("o_orderdate").cast("date").as("dt"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
     val w = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the trough's own revenue rides THROUGH the argmin struct, so
+    // one aggregate answers everything — no second orders scan, no
+    // join back (the SQL face's rn = 1 in one pass)
     daily
       .withColumn("peak", max(col("y")).over(w))
       .withColumn("dd", col("peak") - col("y"))
-      .agg(min(struct(negate(col("dd")).as("ndd"), col("dt").as("dt"))).as("m"),
+      .agg(min(struct(negate(col("dd")).as("ndd"), col("dt").as("dt"),
+          col("y").as("y"))).as("m"),
         count(lit(1)).as("n"))
       .select(col("n").as("n_days"),
         negate(col("m").getField("ndd")).as("max_dd_cents"),
-        col("m").getField("dt").cast("string").as("trough_date"))
-      .join(daily.select(col("dt").cast("string").as("trough_date"),
-        col("y").as("trough_cents")), Seq("trough_date"))
-      .select(col("n_days"), col("max_dd_cents"),
-        (col("max_dd_cents") + col("trough_cents")).as("peak_cents"),
+        (negate(col("m").getField("ndd")) + col("m").getField("y")).as("peak_cents"),
+        col("m").getField("dt").cast("string").as("trough_date"),
+        col("m").getField("y").as("trough_cents"))
+      .select(col("n_days"), col("max_dd_cents"), col("peak_cents"),
         col("trough_date"),
         expr("CAST(max_dd_cents AS DOUBLE)" +
-          " / CAST(max_dd_cents + trough_cents AS DOUBLE)").as("dd_share"))
+          " / CAST(peak_cents AS DOUBLE)").as("dd_share"))
   }
 
   val maxDrawdownSql: String =
@@ -7660,8 +7664,11 @@ object Stats {
     *
     * Exactness: the series is first made SCALE-FREE — yq =
     * ⌊10⁶·y/ȳ⌋, identical ints from one global-mean division — so
-    * every per-block moment stays an int64 at ANY corpus magnitude
-    * (the breusch_pagan lesson applied to R/S). Within a block of
+    * block moments are magnitude-invariant (the breusch_pagan lesson
+    * applied to R/S); the yq² sums run in exact decimal and the
+    * block variance casts to int64 LOUDLY on both engines, so
+    * pathological skew (a day thousands of times the mean) fails the
+    * same way everywhere instead of silently diverging. Within a block of
     * size s the cumulative deviation is kept in integers by scaling:
     * dev_k = s·prefix_k − k·syq (exact), so R = (max−min)/s and
     * S = √(s·syyq − syq²)/s give R/S = (max−min)/√(s·syyq − syq²) —
@@ -7700,10 +7707,17 @@ object Stats {
       .withColumn("syq", sum(col("yq")).over(wCnt))
       .filter(col("cnt") === col("s"))
       .withColumn("dev", col("s") * col("prefix") - col("k") * col("syq"))
+    // yq² summed in exact decimal, the s·Σyq² − (Σyq)² difference
+    // computed in decimal, THEN cast to long: the cast is exact
+    // whenever the block variance fits int64 and fails LOUDLY (ANSI
+    // throw here, CAST error in DuckDB) on pathological skew —
+    // never a silent per-row int64 wrap on one engine only
     val blocks = dev.groupBy(col("s"), col("b"))
       .agg((max(col("dev")) - min(col("dev"))).as("r_int"),
-        (first(col("s")).cast("long") * sum(col("yq") * col("yq")) -
-          first(col("syq")) * first(col("syq"))).as("s2_int"))
+        (first(col("s")).cast("decimal(38,0)") *
+            sum(col("yq").cast("decimal(38,0)") * col("yq")) -
+          first(col("syq")).cast("decimal(38,0)") * first(col("syq")))
+          .cast("long").as("s2_int"))
       .filter(col("s2_int") > 0)
       .withColumn("rs", expr("CAST(r_int AS DOUBLE) / sqrt(CAST(s2_int AS DOUBLE))"))
     val perSize = blocks.groupBy(col("s"))
@@ -7760,7 +7774,8 @@ object Stats {
        |  SELECT *, s * prefix - k * syq AS dev FROM dev0 WHERE cnt = s),
        |blocks AS (
        |  SELECT s, b, CAST(max(dev) - min(dev) AS BIGINT) AS r_int,
-       |    CAST(any_value(s) * sum(yq * yq) - any_value(syq) * any_value(syq) AS BIGINT) AS s2_int
+       |    CAST(CAST(any_value(s) AS DECIMAL(38,0)) * sum(CAST(yq AS DECIMAL(38,0)) * yq)
+       |      - CAST(any_value(syq) AS DECIMAL(38,0)) * any_value(syq) AS BIGINT) AS s2_int
        |  FROM dev GROUP BY 1, 2),
        |bl AS (
        |  SELECT *, CAST(r_int AS DOUBLE) / sqrt(CAST(s2_int AS DOUBLE)) AS rs

@@ -513,19 +513,53 @@ object TextAnalysis {
     * comparison is bit-identical in the oracle, and both ratios are
     * int/int divisions — the verdicts hash-match exactly.
     */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** The quality rule's raw INTEGER signals — cleaned token count,
+    * duplicate-3-shingle excess over the shingle total, stopword
+    * count — ONE definition shared by [[qualityFilter]] (the verdict)
+    * and [[qualityLogregFilter]] (the student distilled from it), so
+    * retuning the rule can never leave the trained filter supervised
+    * by a stale copy. SQL twins: [[QualityToksCte]] /
+    * [[TriShingleDistinctSql]] / [[StopListSql]].
+    */
+  private def qualityRuleSignals(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TokenShingles.register(spark)
     val nTok = size(col("toks"))
     val total = greatest(nTok - 2, lit(1))
     val nd = size(call_function("graft_shingles", col("text"), lit(3)))
-    val rep = (total - nd).cast("double") / total.cast("double")
     val stopCnt = size(filter(col("toks"), t => t.isin(stopwords: _*)))
-    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
-    val thresh = expr("CAST(0.05 AS DOUBLE)")
     Tables(spark, dir).documents
       .withColumn("toks", normTokens(col("text")))
-      .select(col("doc_id"), nTok.as("n_tokens"),
-        rep.as("dup_ngram_ratio"), stopRatio.as("stopword_ratio"))
+      .select(col("doc_id"), nTok.cast("long").as("nt"),
+        (total - nd).cast("long").as("dupn"), total.cast("long").as("tt"),
+        stopCnt.cast("long").as("sc"))
+  }
+
+  /** [[qualityRuleSignals]]' SQL prelude — the cleaned-token CTE both
+    * quality oracles splice in verbatim.
+    */
+  private val QualityToksCte: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents)""".stripMargin
+
+  /** Distinct-3-shingle count over the cleaned tokens `t` — the
+    * shared SQL text of the rule's repetition signal.
+    */
+  private val TriShingleDistinctSql: String =
+    """len(list_distinct(CASE WHEN len(t) >= 3
+      |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+      |    ELSE [array_to_string(t, ' ')] END))""".stripMargin
+
+  /** The stoplist as SQL — generated from the ONE [[stopwords]] Seq. */
+  private val StopListSql: String = stopwords.map("'" + _ + "'").mkString(",")
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val thresh = expr("CAST(0.05 AS DOUBLE)")
+    qualityRuleSignals(spark, dir)
+      .select(col("doc_id"), col("nt").cast("int").as("n_tokens"),
+        (col("dupn").cast("double") / col("tt").cast("double")).as("dup_ngram_ratio"),
+        (col("sc").cast("double") / col("nt").cast("double")).as("stopword_ratio"))
       .withColumn("reject_reason",
         when(col("n_tokens") < MinKeepTokens, "too_short")
           .when(col("dup_ngram_ratio") >= thresh, "repetitive")
@@ -536,15 +570,10 @@ object TextAnalysis {
   }
 
   val qualityFilterSql: String =
-    s"""WITH toks AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
-      |  FROM documents),
+    s"""WITH $QualityToksCte,
       |m AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
-      |  CAST(greatest(len(t) - 2, 1) - len(list_distinct(CASE WHEN len(t) >= 3
-      |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
-      |    ELSE [array_to_string(t, ' ')] END)) AS DOUBLE) / greatest(len(t) - 2, 1) AS dup_ngram_ratio,
-      |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE) / len(t) AS stopword_ratio
+      |  CAST(greatest(len(t) - 2, 1) - $TriShingleDistinctSql AS DOUBLE) / greatest(len(t) - 2, 1) AS dup_ngram_ratio,
+      |  CAST(len(list_filter(t, x -> x IN ($StopListSql))) AS DOUBLE) / len(t) AS stopword_ratio
       | FROM toks),
       |v AS (SELECT doc_id, n_tokens, dup_ngram_ratio, stopword_ratio,
       |  CASE WHEN n_tokens < $MinKeepTokens THEN 'too_short'
@@ -2525,7 +2554,8 @@ object TextAnalysis {
     * Scale shape: one token-explode pass builds the raw counts; the
     * vocabulary is a TakeOrdered top-V (never a global sort); target
     * counts reduce before joining; the per-doc score is one
-    * broadcast join (V rows) + partial-agg groupBy(doc). The ln runs
+    * broadcast join (V rows) + partial-agg groupBy(doc); the exploded
+    * frame is cached across its three consumers. The ln runs
     * [[graft.functions.ExactLn]] on the V-row vocab frame only —
     * per-doc work is integer counts and one exact-decimal sum.
     */
@@ -2533,8 +2563,13 @@ object TextAnalysis {
     import graft.functions.ExactLn
     graft.functions.TokenGrams.register(spark)
     val docs = Tables(spark, dir).documents
-    val ex = docs.select(col("doc_id"), col("source"),
-      explode(call_function("graft_grams", col("text"), lit(1))).as("w"))
+    // the exploded token frame feeds THREE independent subtrees (raw
+    // counts, target counts, per-doc scoring) — cached once so the
+    // tokenize+explode pass is paid once, not three times
+    val ex = graft.core.OwnedCaches.own(
+      docs.select(col("doc_id"), col("source"),
+        explode(call_function("graft_grams", col("text"), lit(1))).as("w"))
+      .cache())
     val rawCnt = ex.groupBy(col("w")).agg(count(lit(1)).as("c_r"))
     val vocab = rawCnt.orderBy(col("c_r").desc, col("w")).limit(DsirVocab)
     val tgtCnt = ex.filter(col("source").isin(DsirTargets: _*))
@@ -2656,17 +2691,8 @@ object TextAnalysis {
     */
   def qualityLogregFilter(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactExp
-    graft.functions.TokenShingles.register(spark)
-    val nTok = size(col("toks"))
-    val total = greatest(nTok - 2, lit(1))
-    val nd = size(call_function("graft_shingles", col("text"), lit(3)))
-    val stopCnt = size(filter(col("toks"), t => t.isin(stopwords: _*)))
     val feat = graft.core.OwnedCaches.own(
-      Tables(spark, dir).documents
-        .withColumn("toks", normTokens(col("text")))
-        .select(col("doc_id"), nTok.cast("long").as("nt"),
-          (total - nd).cast("long").as("dupn"), total.cast("long").as("tt"),
-          stopCnt.cast("long").as("sc"))
+      qualityRuleSignals(spark, dir)
         .filter(col("nt") > 0)
         .select(col("doc_id"),
           expr("CASE WHEN nt >= " + MinKeepTokens +
@@ -2733,17 +2759,12 @@ object TextAnalysis {
          |  FROM su$i)""".stripMargin
     }
     val steps = (1 to LrSteps).map(i => step(s"w${i - 1}", i)).mkString(",\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> len(x) > 0) AS t
-       |  FROM documents),
+    s"""WITH $QualityToksCte,
        |base AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
-       |    CAST(greatest(len(t) - 2, 1) - len(list_distinct(CASE WHEN len(t) >= 3
-       |      THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
-       |      ELSE [array_to_string(t, ' ')] END)) AS BIGINT) AS dupn,
+       |    CAST(greatest(len(t) - 2, 1) - $TriShingleDistinctSql AS BIGINT) AS dupn,
        |    CAST(greatest(len(t) - 2, 1) AS BIGINT) AS tt,
-       |    CAST(len(list_filter(t, x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS sc
+       |    CAST(len(list_filter(t, x -> x IN ($StopListSql))) AS BIGINT) AS sc
        |  FROM toks WHERE len(t) > 0),
        |feat AS (
        |  SELECT doc_id,
