@@ -521,7 +521,7 @@ object TextAnalysis {
     * by a stale copy. SQL twins: [[QualityToksCte]] /
     * [[TriShingleDistinctSql]] / [[StopListSql]].
     */
-  private def qualityRuleSignals(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def qualityRuleSignals(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TokenShingles.register(spark)
     val nTok = size(col("toks"))
     val total = greatest(nTok - 2, lit(1))
@@ -2689,20 +2689,49 @@ object TextAnalysis {
     * T+1 scans of the cached features, zero shuffles beyond the
     * 1-row aggregates.
     */
-  def qualityLogregFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** The model's feature projection over the raw rule signals —
+    * shared by training ([[qualityLogregFilter]]) and streaming
+    * serving ([[graft.streaming.QualityScoreStream]]), so the served
+    * features can never drift from the trained ones. `withLabel`
+    * adds the teacher verdict (training only — a served stream has
+    * no label).
+    */
+  private[graft] def lrFeaturesOf(signals: DataFrame, withLabel: Boolean): DataFrame = {
+    val base = signals.filter(col("nt") > 0)
+    val feats = Seq(
+      expr("CAST(nt AS DOUBLE) / 100.0").as("x1"),
+      expr("CAST(sc AS DOUBLE) / CAST(nt AS DOUBLE)").as("x2"),
+      expr("CAST(dupn AS DOUBLE) / CAST(tt AS DOUBLE)").as("x3"))
+    if (withLabel)
+      base.select(col("doc_id") +: (expr("CASE WHEN nt >= " + MinKeepTokens +
+        " AND CAST(dupn AS DOUBLE) / CAST(tt AS DOUBLE) < CAST(0.05 AS DOUBLE)" +
+        " AND CAST(sc AS DOUBLE) / CAST(nt AS DOUBLE) >= CAST(0.05 AS DOUBLE)" +
+        " THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END").as("y") +: feats): _*)
+    else base.select(col("doc_id") +: feats: _*)
+  }
+
+  /** [[qualityRuleSignals]] over an ARBITRARY documents frame (the
+    * streaming face scores micro-batches, not a table dir).
+    */
+  private[graft] def qualityRuleSignalsOf(docs: DataFrame): DataFrame = {
+    graft.functions.TokenShingles.register(docs.sparkSession)
+    val nTok = size(col("toks"))
+    val total = greatest(nTok - 2, lit(1))
+    val nd = size(call_function("graft_shingles", col("text"), lit(3)))
+    val stopCnt = size(filter(col("toks"), t => t.isin(stopwords: _*)))
+    docs.withColumn("toks", normTokens(col("text")))
+      .select(col("doc_id"), nTok.cast("long").as("nt"),
+        (total - nd).cast("long").as("dupn"), total.cast("long").as("tt"),
+        stopCnt.cast("long").as("sc"))
+  }
+
+  /** Train the quality model and return its 1-row weight frame
+    * (w0..w3) — the artifact a serving surface installs (the
+    * VectorIngestSink installed-quantizer pattern: train offline,
+    * serve anywhere).
+    */
+  private[graft] def trainQualityModel(feat: DataFrame): DataFrame = {
     import graft.functions.ExactExp
-    val feat = graft.core.OwnedCaches.own(
-      qualityRuleSignals(spark, dir)
-        .filter(col("nt") > 0)
-        .select(col("doc_id"),
-          expr("CASE WHEN nt >= " + MinKeepTokens +
-            " AND CAST(dupn AS DOUBLE) / CAST(tt AS DOUBLE) < CAST(0.05 AS DOUBLE)" +
-            " AND CAST(sc AS DOUBLE) / CAST(nt AS DOUBLE) >= CAST(0.05 AS DOUBLE)" +
-            " THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END").as("y"),
-          expr("CAST(nt AS DOUBLE) / 100.0").as("x1"),
-          expr("CAST(sc AS DOUBLE) / CAST(nt AS DOUBLE)").as("x2"),
-          expr("CAST(dupn AS DOUBLE) / CAST(tt AS DOUBLE)").as("x3"))
-        .cache())
     var w = feat.sparkSession.range(1)
       .select(lit(0.0).as("w0"), lit(0.0).as("w1"),
         lit(0.0).as("w2"), lit(0.0).as("w3"))
@@ -2724,10 +2753,25 @@ object TextAnalysis {
         (0 to 3).map(j => expr(
           s"(pw$j - $LrRate * (CAST(s$j AS DOUBLE) / CAST(n AS DOUBLE)))").as(s"w$j")): _*)
     }
-    feat.crossJoin(broadcast(w))
+    w
+  }
+
+  /** Score a feature frame against a broadcast 1-row weight frame —
+    * the serving projection, shared by the batch query and the
+    * streaming sink.
+    */
+  private[graft] def scoreQuality(feat: DataFrame, weights: DataFrame): DataFrame =
+    feat.crossJoin(broadcast(weights))
       .withColumn("logit", expr(lrLogit("")))
+      .withColumn("admit", col("logit") >= 0.0)
+
+  def qualityLogregFilter(spark: SparkSession, dir: String): DataFrame = {
+    val feat = graft.core.OwnedCaches.own(
+      lrFeaturesOf(qualityRuleSignals(spark, dir), withLabel = true).cache())
+    val w = trainQualityModel(feat)
+    scoreQuality(feat, w)
       .select(col("doc_id"), col("y").as("label_kept"),
-        col("logit"), (col("logit") >= 0.0).as("admit"))
+        col("logit"), col("admit"))
       .orderBy("doc_id")
   }
 
