@@ -2775,7 +2775,12 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val qualityLogregFilterSql: String = {
+  /** The full train-chain CTE prelude (toks → base → feat → w0 →
+    * unrolled GD steps → w{LrSteps}) — shared text between the
+    * scoring oracle and the eval oracle, so the two always replay the
+    * identical training.
+    */
+  private def lrChainCtes: String = {
     import graft.functions.ExactExp
     def step(prev: String, i: Int): String = {
       val sig = s"(1.0 / (1.0 + ${ExactExp.expExpr(s"__p$i")}))"
@@ -2803,7 +2808,7 @@ object TextAnalysis {
          |  FROM su$i)""".stripMargin
     }
     val steps = (1 to LrSteps).map(i => step(s"w${i - 1}", i)).mkString(",\n")
-    s"""WITH $QualityToksCte,
+    s"""$QualityToksCte,
        |base AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
        |    CAST(greatest(len(t) - 2, 1) - $TriShingleDistinctSql AS BIGINT) AS dupn,
@@ -2821,11 +2826,96 @@ object TextAnalysis {
        |    CAST(dupn AS DOUBLE) / CAST(tt AS DOUBLE) AS x3
        |  FROM base),
        |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  val qualityLogregFilterSql: String =
+    s"""WITH $lrChainCtes
        |SELECT f.doc_id, f.y AS label_kept,
        |  (${lrLogit("w.")}) AS logit,
        |  (${lrLogit("w.")}) >= 0.0 AS admit
        |FROM feat f, w$LrSteps w
        |ORDER BY f.doc_id""".stripMargin
+
+  // ----------------------------------------------------- quality_logreg_eval
+
+  /** Operating points for the student-vs-teacher sweep (logit
+    * thresholds, q1 units ×10 to keep the spine integer).
+    */
+  private val LrEvalThresholdsQ1 = Seq(-2, -1, 0, 1, 2)
+
+  /** Student-vs-teacher evaluation of the distilled quality filter:
+    * the confusion matrix (TP/FP/FN/TN vs [[qualityFilter]]'s
+    * verdict) with precision / recall / F1 at FIVE logit operating
+    * points — the curve a pipeline owner reads to RETUNE the admit
+    * threshold without retraining (the whole point of replacing the
+    * hard rule with a calibrated score). Completes the family's
+    * predict → measure → decide loop: `quality_logreg_filter` trains
+    * and scores, this measures what the score buys at each cut.
+    *
+    * Parity: the training chain is the SAME unrolled text
+    * ([[lrChainCtes]]); thresholds are exact q1 decimals; every
+    * confusion cell is an exact conditional count and the three
+    * ratios are single divisions of exact longs. F1 as 2TP/(2TP+FP+FN)
+    * — one division, no precision·recall float composition; empty
+    * denominators return 0 on both faces (the knn_reciprocal_rate
+    * degenerate-input convention).
+    *
+    * Scale shape: one scored pass (bounded threshold spine ×
+    * doc-frame, map-side conditional counts) — the explode is 5×,
+    * never data-shaped; output is 5 rows.
+    */
+  def qualityLogregEval(spark: SparkSession, dir: String): DataFrame = {
+    val feat = graft.core.OwnedCaches.own(
+      lrFeaturesOf(qualityRuleSignals(spark, dir), withLabel = true).cache())
+    val w = trainQualityModel(feat)
+    val scored = scoreQuality(feat, w)
+    val spine = spark.range(1).select(
+      explode(lit(LrEvalThresholdsQ1.toArray)).as("tq1"))
+      .withColumn("threshold", expr("CAST(tq1 AS DOUBLE) / CAST(10 AS DOUBLE)"))
+    scored.crossJoin(broadcast(spine))
+      .groupBy(col("tq1"), col("threshold"))
+      .agg(
+        sum(when(col("y") === 1.0 && col("logit") >= col("threshold"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0.0 && col("logit") >= col("threshold"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1.0 && col("logit") < col("threshold"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0.0 && col("logit") < col("threshold"), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS DOUBLE)" +
+          " ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END").as("precision"),
+        expr("CASE WHEN tp + fn = 0 THEN CAST(0 AS DOUBLE)" +
+          " ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END").as("recall"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS DOUBLE)" +
+          " ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END").as("f1"))
+      .orderBy("threshold")
+  }
+
+  val qualityLogregEvalSql: String = {
+    val spine = LrEvalThresholdsQ1.mkString(", ")
+    s"""WITH $lrChainCtes,
+       |scored AS (
+       |  SELECT f.y, (${lrLogit("w.")}) AS logit
+       |  FROM feat f, w$LrSteps w),
+       |spine AS (SELECT unnest([$spine]) AS tq1),
+       |sp AS (SELECT tq1, CAST(tq1 AS DOUBLE) / CAST(10 AS DOUBLE) AS threshold FROM spine),
+       |cm AS (
+       |  SELECT threshold,
+       |    CAST(sum(CASE WHEN y = 1.0 AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN y = 0.0 AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN y = 1.0 AND logit < threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN y = 0.0 AND logit < threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM scored, sp GROUP BY 1)
+       |SELECT threshold, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+       |FROM cm ORDER BY threshold""".stripMargin
   }
 }

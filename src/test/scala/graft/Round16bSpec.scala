@@ -173,6 +173,21 @@ class Round16bSpec extends AnyFunSuite {
       "every size on the grid must have enough full blocks to mean over"))
   }
 
+  test("quality_logreg_eval: recall monotone nonincreasing in threshold, cells partition the corpus") {
+    val rows = Text.qualityLogregEval(spark, sf01).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length == 5)
+    val totals = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn")).distinct
+    assert(totals.length == 1, "every operating point sees the same corpus")
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      "raising the admit threshold can only lose true positives")
+    val admits = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp"))
+    assert(admits.zip(admits.tail).forall { case (a, b) => a >= b },
+      "admitted volume is monotone in the threshold")
+  }
+
   test("dp_noisy_counts: noise is reproducible, zero-mean-ish, and never degenerate") {
     val rows = graft.etl.QualityChecks.dpNoisyCounts(spark, sf01).collect()
     assert(rows.length == 20)
