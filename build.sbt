@@ -50,5 +50,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // confined to one alphabetical band of the sorted run, on identical
   // work at idle load). A long-lived production executor serving many
   // distinct queries needs the same sizing.
-  "-XX:ReservedCodeCacheSize=512m",
+  // 768m (round 17): the r16 512m reserve closed the saturation
+  // channel (peak 180m with the 100-entry codegen cache churning
+  // classes); round 17 retains ALL generated classes for the session
+  // (spark.sql.codegen.cache.maxEntries=4096 in Bench) so nothing is
+  // ever re-Janino'd — full retention compiles more total code, and
+  // the default UseCodeCacheFlushing stays on as the backstop.
+  "-XX:ReservedCodeCacheSize=768m",
+  // Pin the JIT compiler thread count (round 17, VERDICT r16 #1): the
+  // residual driver-bench band (10-23x task CPU in the first ~130
+  // queries, near-zero per-query jit_ms, decaying over minutes) is
+  // the signature of a backlogged compile queue — generated classes
+  // running interpreted while C1/C2 catch up. CICompilerCount derives
+  // from availableProcessors at JVM start, so a host that exposes
+  // fewer CPUs to this fork (cgroup quota, concurrent driver work)
+  // silently gets a fraction of the compile bandwidth and a
+  // minutes-long interpreted window. Pinning makes compile bandwidth
+  // part of the benchmark contract instead of an env accident;
+  // Bench's run JSON emits available_processors to adjudicate.
+  "-XX:CICompilerCount=12",
 )

@@ -9,6 +9,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, must be set before the first session (round 17,
+      // VERDICT r16 #1): the default 100-entry codegen cache evicts
+      // every generated class several times across a 429-query sweep,
+      // so the timed pass re-Janinos (and re-JITs) code the warmup
+      // sweep already compiled. A full-registry session generates
+      // ~2-3k distinct codegen units (CODEGEN_AUDIT_r16: ~2k WSCG
+      // stages + projections/predicates/orderings); 4096 retains them
+      // all, making warmup compilation actually pay for the timed pass.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ---- self-diagnosing sidecar (VERDICT r12 #1): the r12 driver
@@ -80,6 +89,14 @@ object Bench {
     def jitMs: Long =
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else -1L
+    // sidecar v4 (round 17): classes loaded during a TIMED query's two
+    // runs. After the full-registry warmup every generated class should
+    // already be loaded and cached (codegen cache 4096) — a nonzero
+    // delta here means the timed pass REGENERATED code (codegen-cache
+    // miss → fresh Janino class → fresh JIT), which together with
+    // jit_ms adjudicates regeneration vs compile-queue backlog directly.
+    val classBean = java.lang.management.ManagementFactory.getClassLoadingMXBean
+    def classesLoaded: Long = classBean.getTotalLoadedClassCount
     def storageNow: (Long, Long, Long) = {
       var mem = 0L; var disk = 0L; var evicted = 0L
       spark.sparkContext.getRDDStorageInfo.foreach { r =>
@@ -133,29 +150,75 @@ object Bench {
     val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").exists(v => v == "1" || v == "true")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
-    // UNTIMED warmup sweep (VERDICT r14 #3): the r14 driver tail was
-    // concentrated in the run's FIRST families alphabetically
-    // (ann_pq_topk 8.9 s driver vs 1.6 s shared, load1 7.2, BOTH raw
-    // runs slow) — the opening window pays JIT/codegen compilation and
-    // whatever host contention the run starts under, and min-of-2
-    // can't absorb it when both runs land inside the window. A small
-    // representative query set (one per machinery family: scan+agg,
-    // window, shuffle join, custom-Expression dedup, SRP sketch,
-    // kmeans/higher-order array math, graph, stats) runs untimed
-    // first, then every cache/shared-frame effect is dropped so timed
-    // queries still pay their own documented costs. Skipped under
-    // SPARK_GRAFT_ONLY (fast local iteration on a subset).
+    // FULL-REGISTRY untimed warmup sweep (round 17, VERDICT r16 #1).
+    // History: r14 added an 8-query one-per-family warmup after the
+    // driver tail concentrated in the run's first families; r16 sized
+    // the code cache (512m) after the m–p band read as cache
+    // saturation. Both helped, but the r16 driver run STILL carried a
+    // 10–23× task-CPU band across positions ~13–130 of the sorted run
+    // (ann_ndcg_eval 23.5×, ann_mmr_rerank 18.6× with run2 = 102.6 s),
+    // persisting across BOTH min-of-2 runs at code-cache occupancy
+    // ~100–140 MB of 512 — NOT saturation. The signature (task CPU
+    // inflated ~10× while per-query jit_ms is near zero, decaying over
+    // the first minutes, absent from our matched shared runs of the
+    // identical binary) is a JVM-wide degraded window at run start:
+    // the C1/C2 compile queues are backlogged with thousands of
+    // freshly generated classes, so early queries execute interpreted
+    // while the compiler catches up — and min-of-2 cannot absorb a
+    // window longer than one query. The fix frontloads ALL compilation:
+    // every registry query runs once UNTIMED in the same sorted order
+    // (same SharedFrames lifecycle, so the working set stays one
+    // family-sized), then caches/frames are dropped, then an explicit
+    // JIT-drain barrier waits for the compiler to go idle before the
+    // first timed query. With the 4096-entry codegen cache above, the
+    // timed pass reuses the exact classes the warmup compiled — zero
+    // regeneration, zero recompilation, measured not assumed: the
+    // per-query classes_loaded sidecar field counts classes loaded
+    // during timed runs (nonzero = regeneration happened anyway), and
+    // warmup_s/jit_drain_s land in the run-level JSON.
+    // SPARK_GRAFT_WARMUP=quick restores the r14 8-query warmup for
+    // fast local iteration; SPARK_GRAFT_ONLY skips warmup entirely.
+    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "full")
+    var warmupS = -1.0; var jitDrainS = -1.0
     if (only.isEmpty) {
-      val warmup = Seq("q1_pricing_summary", "window_running_total",
-        "q3_top_orders", "dedup_exact", "ann_lsh_topk", "embedding_kmeans",
-        "triangle_count", "ks_test")
-      warmup.foreach { n =>
-        try SparkEntry.queries(n)(spark, sfDir).count()
-        catch { case scala.util.control.NonFatal(_) => () }
+      val w0 = System.nanoTime()
+      if (warmupMode == "quick") {
+        val warmup = Seq("q1_pricing_summary", "window_running_total",
+          "q3_top_orders", "dedup_exact", "ann_lsh_topk", "embedding_kmeans",
+          "triangle_count", "ks_test")
+        warmup.foreach { n =>
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      } else {
+        graft.core.SharedFrames.planQueries(names)
+        names.foreach { n =>
+          graft.core.SharedFrames.begin(n)
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case scala.util.control.NonFatal(_) => () }
+          graft.core.OwnedCaches.release()
+          graft.core.SharedFrames.queryDone(n)
+        }
       }
       spark.catalog.clearCache()
       graft.core.SharedFrames.reset()
       graft.core.OwnedCaches.release()
+      warmupS = (System.nanoTime() - w0) / 1e9
+      // JIT-drain barrier: wait until the compiler has been near-idle
+      // (< 100 ms of compile time per second) for 3 consecutive
+      // seconds, capped at 120 s. The cap is a safety valve, not a
+      // target — with the full sweep done the queue normally drains in
+      // a few seconds; the measured wait is emitted so a long drain is
+      // visible evidence of compile-bandwidth starvation on the host.
+      val d0 = System.nanoTime()
+      var calm = 0; var last = jitMs
+      while (calm < 3 && (System.nanoTime() - d0) < 120e9) {
+        Thread.sleep(1000)
+        val now = jitMs
+        if (now - last < 100) calm += 1 else calm = 0
+        last = now
+      }
+      jitDrainS = (System.nanoTime() - d0) / 1e9
     }
     graft.core.SharedFrames.planQueries(names)
     val sidecar = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -164,6 +227,7 @@ object Bench {
       val gc0 = jvmGcMs; val tgc0 = taskGc.get()
       val trun0 = taskRun.get(); val tcpu0 = taskCpuNs.get()
       val jit0 = jitMs
+      val cls0 = classesLoaded
       val reb0 = graft.core.SharedFrames.diagnostics._1
       def once: Double = {
         if (isolate) { spark.catalog.clearCache(); graft.core.SharedFrames.reset() }
@@ -193,6 +257,7 @@ object Bench {
         s""""run2_s":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(r2))},""" +
         s""""storage_mb":$mem,"storage_disk_mb":$disk,"evicted_parts":$evicted,""" +
         s""""codecache_mb":$codeCacheUsedMb,"jit_ms":${jitMs - jit0},""" +
+        s""""classes_loaded":${classesLoaded - cls0},""" +
         s""""shared_rebuilds":${graft.core.SharedFrames.diagnostics._1 - reb0}}"""
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
@@ -250,6 +315,9 @@ object Bench {
     val full = render(results,
       s""","codecache_peak_mb":$ccPeakMb,"codecache_reserved_mb":$ccMaxMb,""" +
         s""""jit_total_ms":$jitMs,""" +
+        s""""warmup_s":${fmt(warmupS)},"jit_drain_s":${fmt(jitDrainS)},""" +
+        s""""warmup_mode":"${esc(if (only.isEmpty) warmupMode else "skipped")}",""" +
+        s""""available_processors":${Runtime.getRuntime.availableProcessors},""" +
         s""""sidecar":$sidecarJson,"shared_undeclared":$undeclaredJson""")
     // the full per-query map (+ sidecar) always lands in
     // BENCH_RESULT.json; the PRINTED line must fit inside the driver's

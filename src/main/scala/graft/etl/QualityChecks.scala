@@ -593,25 +593,11 @@ object QualityChecks {
     */
   private val DpEpsilon = 1.0
 
-  /** Differentially-private release of the per-source document counts
-    * — the ε-DP Laplace mechanism with DETERMINISTIC inverse-CDF
-    * sampling, the companion to [[kAnonymityAudit]]: k-anonymity says
-    * which cells are safe to release raw; this is how the unsafe ones
-    * get released anyway. noise = −b·sign(t)·ln(1−2|t|) with
-    * t = u − ½ and u an md5-seeded uniform — the textbook Laplace
-    * inverse CDF. The seed offset (h + ½)/2⁴⁰ keeps u strictly inside
-    * (0,1) and t away from both 0 and ±½, so the ln argument is
-    * always positive and the sign never degenerate. Both engines
-    * derive u from the same md5 hex, run the same
-    * [[graft.functions.ExactLn]] staged chain, and multiply in the
-    * same order — the release is bit-reproducible (an AUDIT property:
-    * the published noise can be re-derived and verified; production
-    * would rotate the seed per release).
-    *
-    * Scale shape: one map-side count groupBy to the source-bounded
-    * frame; everything after runs on ≤ |sources| rows.
+  /** The Laplace-mechanism computation shared by the release
+    * ([[dpNoisyCounts]]) and the audit ([[dpReleaseAudit]]) — all
+    * intermediate columns, never published as-is.
     */
-  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame = {
+  private def dpNoisyBody(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactLn
     Tables(spark, dir).documents
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -627,15 +613,59 @@ object QualityChecks {
       .withColumn("noise", expr(
         s"(0.0 - (CAST(1 AS DOUBLE) / CAST($DpEpsilon AS DOUBLE)))" +
           s" * (CASE WHEN t < 0 THEN -1.0 ELSE 1.0 END) * (${ExactLn.lnExpr("__z")})"))
+  }
+
+  /** Differentially-private release of the per-source document counts
+    * — the ε-DP Laplace mechanism with DETERMINISTIC inverse-CDF
+    * sampling, the companion to [[kAnonymityAudit]]: k-anonymity says
+    * which cells are safe to release raw; this is how the unsafe ones
+    * get released anyway. noise = −b·sign(t)·ln(1−2|t|) with
+    * t = u − ½ and u an md5-seeded uniform — the textbook Laplace
+    * inverse CDF. The seed offset (h + ½)/2⁴⁰ keeps u strictly inside
+    * (0,1) and t away from both 0 and ±½, so the ln argument is
+    * always positive and the sign never degenerate.
+    *
+    * The RELEASE projection is (source, epsilon, noisy_count) ONLY
+    * (round 17, ADVICE r16): publishing the raw count or the noise
+    * alongside the noisy count would make the mechanism decorative.
+    * Privacy caveat, stated not implied: with the md5 seed fixed and
+    * public, anyone can re-derive the noise from the source name, so
+    * THIS release carries no real ε guarantee — it is the mechanism's
+    * bit-reproducible test face. A production release must draw the
+    * uniform from a secret seed rotated per release; the ε=1 label
+    * describes the mechanism's calibration, not a guarantee of this
+    * fixed-seed instance. The raw-count/noise face lives in
+    * [[dpReleaseAudit]], explicitly named as an audit.
+    *
+    * Scale shape: one map-side count groupBy to the source-bounded
+    * frame; everything after runs on ≤ |sources| rows.
+    */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame =
+    dpNoisyBody(spark, dir)
+      .select(col("source"), lit(DpEpsilon).as("epsilon"),
+        expr("CAST(n_docs AS DOUBLE) + noise").as("noisy_count"))
+      .orderBy("source")
+
+  /** AUDIT face of [[dpNoisyCounts]] — the raw count, the derived
+    * noise, and the released value side by side, so the release can
+    * be re-derived and verified end-to-end (deterministic seed ⇒ the
+    * audit is reproducible). By construction this exposes everything
+    * the release hides: run it where the raw counts are already
+    * visible (the data owner's side), never publish it.
+    */
+  def dpReleaseAudit(spark: SparkSession, dir: String): DataFrame =
+    dpNoisyBody(spark, dir)
       .select(col("source"), col("n_docs"),
         lit(DpEpsilon).as("epsilon"), col("noise"),
         expr("CAST(n_docs AS DOUBLE) + noise").as("noisy_count"))
       .orderBy("source")
-  }
 
-  val dpNoisyCountsSql: String = {
+  /** The shared Laplace-mechanism CTE chain (ends at CTE `n` with
+    * n_docs/noise columns) — one text under both dp oracles.
+    */
+  private val dpNoisyCtes: String = {
     import graft.functions.ExactLn
-    s"""WITH c AS (
+    s"""c AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
        |h AS (
        |  SELECT *, ('0x' || substr(md5(source || '_dp'), 1, 10))::BIGINT AS h FROM c),
@@ -654,9 +684,18 @@ object QualityChecks {
        |  SELECT *,
        |    (0.0 - (CAST(1 AS DOUBLE) / CAST($DpEpsilon AS DOUBLE)))
        |      * (CASE WHEN t < 0 THEN -1.0 ELSE 1.0 END) * (${ExactLn.lnExpr("__z")}) AS noise
-       |  FROM z)
+       |  FROM z)""".stripMargin
+  }
+
+  val dpNoisyCountsSql: String =
+    s"""WITH $dpNoisyCtes
+       |SELECT source, CAST($DpEpsilon AS DOUBLE) AS epsilon,
+       |  CAST(n_docs AS DOUBLE) + noise AS noisy_count
+       |FROM n ORDER BY source""".stripMargin
+
+  val dpReleaseAuditSql: String =
+    s"""WITH $dpNoisyCtes
        |SELECT source, n_docs, CAST($DpEpsilon AS DOUBLE) AS epsilon, noise,
        |  CAST(n_docs AS DOUBLE) + noise AS noisy_count
        |FROM n ORDER BY source""".stripMargin
-  }
 }

@@ -271,6 +271,97 @@ object RademacherSketch {
       "graft_rademacher", exprs => RademacherSketch(exprs.head), "scala_udf")
 }
 
+/** 126-bit signed-random-projection signature of an embedding — the
+  * CHEAP similarity screen behind the two-level quantizer's boundary
+  * ring (round 17, VERDICT r16 #2). Same construction discipline as
+  * [[RademacherSketch]] (micro-unit quantize, ±1 planes from md5
+  * parity, exact integer sign sums ⇒ bit-reproducible in the DuckDB
+  * oracle), but 126 planes packed into TWO longs, sized for per-PAIR
+  * screening rather than bucketing: at cos τ = 0.4 (θ ≈ 66.4°) the
+  * expected hamming distance is 126·θ/π ≈ 46.5 with σ ≈ 5.4, so a
+  * hamming cap in the low 50s passes ~90% of τ-band pairs while
+  * rejecting the bulk of orthogonal ones — an 8-byte-per-side pair
+  * test where the exact cosine needs both full vectors.
+  *
+  * 63 planes per word (the [[SimHash64]] convention): both words stay
+  * positive in a signed BIGINT, so the oracle can build them as exact
+  * sums of distinct powers of two on every engine.
+  *
+  * Output: array<long> of 2 — word w holds planes 63w..63w+62, plane
+  * j sets bit (j mod 63) iff Σ_d ±q_d > 0 with the ± from the parity
+  * of the first hex digit of md5("srp_j_d") (key space disjoint from
+  * the rademacher grid's "t_p_d").
+  */
+case class Srp126(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val readElem: (ArrayData, Int) => Double = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      (a, i) => a.getFloat(i).toDouble
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      (a, i) => a.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"graft_srp126 expects array<float> or array<double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import Srp126._
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      q(d) = math.floor(readElem(arr, d) * 1e6).toLong
+      d += 1
+    }
+    val out = new Array[Any](Words)
+    var w = 0
+    while (w < Words) {
+      var bits = 0L
+      var j = 0
+      while (j < 63) {
+        val plane = weights(w * 63 + j)
+        var s = 0L
+        var dd = 0
+        val lim = math.min(n, plane.length)
+        while (dd < lim) { s += plane(dd) * q(dd); dd += 1 }
+        if (s > 0) bits |= (1L << j)
+        j += 1
+      }
+      out(w) = bits
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Srp126 {
+  val Bits = 126
+  val Words = 2
+  val Dim = 64
+
+  /** ±1 plane matrix: w(j,d) = +1 iff the first hex digit of
+    * md5("srp_j_d") is odd — replayed in SQL as
+    * `('0x'||substr(md5('srp_'||j||'_'||d),1,1))::BIGINT & 1`.
+    */
+  lazy val weights: Array[Array[Int]] =
+    Array.tabulate(Bits, Dim) { (j, d) =>
+      val (h1, _) = Md5Words.firstTwoWords(
+        s"srp_${j}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((h1 >>> 28) & 1L) == 1L) 1 else -1
+    }
+
+  /** Register `graft_srp126(embedding)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp126", exprs => Srp126(exprs.head), "scala_udf")
+}
+
 /** True rolling-hash (Rabin–Karp) document fingerprints: polynomial
   * hashes of every K-byte window, computed in ONE O(n) pass (each
   * slide removes the outgoing byte via the precomputed B^(K−1) term —

@@ -1107,8 +1107,13 @@ object Ann {
     // oracle-gated dir, the O(n·√k) two-level frames above TwoLevelK
     // cells (the kNN graph had the same O(n·k) assignment ceiling);
     // the kOverride test face keeps the explicit flat build
+    // the kNN graph ranks TOP-K neighbors, so the ring channel (a
+    // pair-level τ-screen, not a per-cell probe) does not compose with
+    // its rank window — the graph keeps the probe-cell channel only
     val (assigned, probes, q, nVec) = kOverride match {
-      case None => nearDupCellFrames(spark, dir)
+      case None =>
+        val (a, p, _, qq, n) = nearDupCellFrames(spark, dir)
+        (a, p, qq, n)
       case Some(_) =>
         val (a, qq, centroids, n) = kmeansAssign(spark, dir, kOverride)
         val dist2 = call_function("graft_dot", col("qv"), col("qv")) -
@@ -1335,6 +1340,27 @@ object Ann {
   // (1+SuperProbe)·√k ≪ k at vector-store scale
   private[graft] val SuperProbe = 5
 
+  /** Hamming cap of the boundary-ring SRP screen (round 17, VERDICT
+    * r16 #2). The r16 knob left τ-boundary recall band-limited: with
+    * nprobe capped at 16, bucket-4 recall read 0.626 at 100× vectors
+    * (k = 200), and the measured miss attribution (RouteRecall `why`,
+    * SCALE_PROBE_r17) showed 56% of those misses sit INSIDE the
+    * 64-deep ranked pool (median rank 29) — reachable by deeper
+    * probing, but probing 4× more cells exactly would 4× the exact
+    * verify volume. The refine: cells ranked (nprobe, ringDepth] join
+    * as NARROW rows (vec_id, cell, two 63-bit SRP words — 16 bytes of
+    * signature vs the full vector + norm) and a pair survives to the
+    * exact cosine verify only if hamming(sig_a, sig_b) ≤ this cap. At
+    * τ = 0.4 (θ ≈ 66.4°) the expected hamming distance is
+    * 126·θ/π ≈ 46.5 (σ ≈ 5.4), so 54 ≈ +1.4σ passes ~92% of τ-band
+    * pairs while rejecting the bulk of near-orthogonal ones (mean 63,
+    * P[≤54] ≈ 4%) — the ring's exact-verify volume stays a small
+    * fraction of the base channel's instead of 4×. Both the screen
+    * and its verdicts are exact integer bit math — replayed verbatim
+    * by the forced-k oracles.
+    */
+  private[graft] val RingHammingCap = 54
+
   /** The two-level quantizer's (home-cell assignment, multi-probe)
     * frames — the O(n·√k) replacement for [[kmeansAssign]]'s flat
     * argmin plus [[cellProbes]]' flat ranking above [[TwoLevelK]]
@@ -1365,7 +1391,7 @@ object Ann {
     * hierarchy FORCED at test size.
     */
   private[graft] def hierCellFrames(spark: SparkSession, dir: String,
-      kOpt: Option[Int] = None): (DataFrame, DataFrame) = {
+      kOpt: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
     val (q, nVec) = quantizedCorpus(spark, dir)
     val k = kOpt.getOrElse(kmKFor(nVec))
     val k2 = math.ceil(math.sqrt(k.toDouble)).toInt
@@ -1441,7 +1467,13 @@ object Ann {
       CellProbeConsumers) {
       asg.select(col("vec_id"), (col("scl") * lit(kc.toLong) + col("ch")).as("cl"))
     }
-    val probes = graft.core.SharedFrames.get(spark, s"ann.hier.probes.$keyTag", dir,
+    // the ranked child pool — every (vector, candidate cell) pair the
+    // probe stage considers, with its exact integer distance and rank,
+    // capped at [[ringDepthFor]] (≥ nprobe). Its own shared frame
+    // (round 17): the production probe set AND the adaptive boundary
+    // ring both derive from it with cheap filters, and the RouteRecall
+    // miss-attribution probe reads it directly.
+    val rankedF = graft.core.SharedFrames.get(spark, s"ann.hier.ranked.$keyTag", dir,
       CellProbeConsumers) {
       val wSup = Window.partitionBy(col("va")).orderBy(col("d2"), col("scl"))
       val supProbes = q.crossJoin(broadcast(supCent.select(col("cl").as("scl"),
@@ -1451,14 +1483,18 @@ object Ann {
         .filter(col("rk") <= SuperProbe)
         .select(col("va"), col("scl"))
       val wCell = Window.partitionBy(col("va")).orderBy(col("d2"), col("cl"))
-      val ranked = supProbes.join(q.select(col("vec_id").as("va"), col("qv")), "va")
+      supProbes.join(q.select(col("vec_id").as("va"), col("qv")), "va")
         .join(broadcast(childF), Seq("scl"))
         .select(col("va"), cellId, d2(col("qv"), col("cv")).as("d2"))
         .withColumn("rk", row_number().over(wCell))
-        // corpus-scaled probe width (the recall knob — see nprobeFor);
-        // the SuperProbe·⌈k/k₂⌉ ranked pool is ≥ 4√k ≥ nprobe ≤ 16
-        // for every k > TwoLevelK
-        .filter(col("rk") <= nprobeFor(k))
+        .filter(col("rk") <= ringDepthFor(k))
+    }
+    val probes = graft.core.SharedFrames.get(spark, s"ann.hier.probes.$keyTag", dir,
+      CellProbeConsumers) {
+      // corpus-scaled probe width (the recall knob — see nprobeFor);
+      // the SuperProbe·⌈k/k₂⌉ ranked pool is ≥ 4√k ≥ nprobe ≤ 16
+      // for every k > TwoLevelK
+      val ranked = rankedF.filter(col("rk") <= nprobeFor(k))
         .select(col("va"), col("cl"))
       // the HOME cell always rides along: in the flat quantizer the
       // rank-1 probe IS the home cell by construction, but here the
@@ -1469,23 +1505,82 @@ object Ann {
       ranked.unionByName(assign.select(col("vec_id").as("va"), col("cl")))
         .distinct()
     }
-    (assign, probes)
+    // the boundary ring's SRP-screened pair channel (round 17): cells
+    // ranked (nprobe, ringDepth] carry only 16-byte signatures through
+    // the cell equi-join; survivors of the hamming screen go to the
+    // exact verify. Persisted SURVIVOR-sized (the screen runs inside
+    // the build), shared by the near-dup scan and the incremental
+    // admission so the iff-equivalence between them holds by
+    // construction.
+    val ring = graft.core.SharedFrames.get(spark, s"ann.hier.ring.$keyTag", dir,
+      CellProbeConsumers) {
+      val sig = graft.core.SharedFrames.get(spark, "ann.srpsig", dir,
+        CellProbeConsumers) {
+        graft.functions.Srp126.register(spark)
+        q.select(col("vec_id"),
+          call_function("graft_srp126", col("qv")).as("sg"))
+          .select(col("vec_id"), col("sg").getItem(0).as("s0"),
+            col("sg").getItem(1).as("s1"))
+      }
+      val l = rankedF.filter(col("rk") > nprobeFor(k))
+        .select(col("va"), col("cl"))
+        .join(sig.select(col("vec_id").as("va"),
+          col("s0").as("a0"), col("s1").as("a1")), "va")
+      val r = assign.select(col("vec_id").as("vb"), col("cl"))
+        .join(sig.select(col("vec_id").as("vb"),
+          col("s0").as("b0"), col("s1").as("b1")), "vb")
+      val paired =
+        if (nVec <= KnnBroadcastCap) l.join(broadcast(r), Seq("cl"))
+        else l.join(r, Seq("cl"))
+      paired
+        .filter(col("va") =!= col("vb"))
+        .filter((expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)"))
+          <= RingHammingCap)
+        .select(col("va"), col("vb"))
+    }
+    (assign, probes, ring)
+  }
+
+  /** Depth of the ranked child pool kept by [[hierCellFrames]] — the
+    * candidate-cell horizon for both the base probe width and the
+    * adaptive boundary ring (round 17). 4× the base width, bounded by
+    * the pool the [[SuperProbe]] supers expose.
+    */
+  private[graft] def ringDepthFor(k: Int): Int = {
+    val k2 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kc = (k + k2 - 1) / k2
+    math.min(4 * nprobeFor(k), SuperProbe * kc)
+  }
+
+  /** The ranked child pool (va, cl, d2, rk ≤ [[ringDepthFor]]) of the
+    * two-level quantizer — dev-probe accessor (RouteRecall's
+    * miss-attribution mode reads ranks and distances directly).
+    */
+  private[graft] def hierRankedPool(spark: SparkSession, dir: String,
+      kOpt: Option[Int] = None): DataFrame = {
+    val (q, nVec) = quantizedCorpus(spark, dir)
+    val k = kOpt.getOrElse(kmKFor(nVec))
+    hierCellFrames(spark, dir, kOpt) // ensures the shared frame exists
+    graft.core.SharedFrames.get(spark, s"ann.hier.ranked.k$k", dir,
+      CellProbeConsumers)(sys.error("ranked pool must already be built"))
   }
 
   /** Layout router for the cell-bounded near-dup family: the (home
-    * assignment, probes, corpus, count) its pair scans consume — flat
-    * quantizer (oracle-replayed) up to [[TwoLevelK]] cells,
-    * two-level hierarchy above it.
+    * assignment, probes, ring pairs, corpus, count) its pair scans
+    * consume — flat quantizer (oracle-replayed) up to [[TwoLevelK]]
+    * cells (no ring: the flat probe width already spans a constant
+    * fraction of its ≤16 cells), two-level hierarchy + SRP-screened
+    * boundary ring above it.
     */
   private[graft] def nearDupCellFrames(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame, Long) = {
+      dir: String): (DataFrame, DataFrame, Option[DataFrame], DataFrame, Long) = {
     val (q, nVec) = quantizedCorpus(spark, dir)
     if (kmKFor(nVec) <= TwoLevelK) {
       val (assigned, _, _, _) = kmeansAssign(spark, dir)
-      (assigned.select(col("vec_id"), col("cl")), cellProbes(spark, dir), q, nVec)
+      (assigned.select(col("vec_id"), col("cl")), cellProbes(spark, dir), None, q, nVec)
     } else {
-      val (assign, probes) = hierCellFrames(spark, dir)
-      (assign, probes, q, nVec)
+      val (assign, probes, ring) = hierCellFrames(spark, dir)
+      (assign, probes, Some(ring), q, nVec)
     }
   }
 
@@ -1521,17 +1616,22 @@ object Ann {
       // O(n·√k) two-level hierarchy above — the route's second-stage
       // routing (round 16, VERDICT r15 #3); the verify + canonicalize
       // stages below are branch-independent
-      val (assigned, probes, q, nVec) = nearDupCellFrames(spark, dir)
-      cellPairScan(assigned, probes, q, nVec)
+      val (assigned, probes, ring, q, nVec) = nearDupCellFrames(spark, dir)
+      cellPairScan(assigned, probes, q, nVec, ring)
     }
 
   /** The branch-independent (probe × resident) pair scan + exact
     * micro-unit cosine verify + canonicalize — shared by both
     * quantizer layouts and by Round16Spec's forced-hierarchy recall
-    * pin.
+    * pin. `ring` (routed branch only) adds the SRP-screened boundary
+    * pairs as a SECOND verified channel: the survivors fetch their
+    * vectors by vec_id (survivor-sized joins, not ring-sized), pass
+    * the identical exact-cosine gate, and the canonical distinct
+    * collapses cross-channel duplicates exactly (same inputs ⇒ same
+    * bit-identical sim on both channels).
     */
   private[graft] def cellPairScan(assigned: DataFrame, probes: DataFrame,
-      q: DataFrame, nVec: Long): DataFrame = {
+      q: DataFrame, nVec: Long, ring: Option[DataFrame] = None): DataFrame = {
     val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
     val l = probes.join(qn.select(col("vec_id").as("va"),
       col("qv").as("qa"), col("nrm").as("na")), "va")
@@ -1541,7 +1641,7 @@ object Ann {
     val paired =
       if (nVec <= KnnBroadcastCap) l.join(broadcast(r), Seq("cl"))
       else l.join(r, Seq("cl"))
-    paired
+    def verified(cand: DataFrame): DataFrame = cand
       .filter(col("va") =!= col("vb"))
       .filter(col("na") * col("nb") > 0) // zero-norm gate (see semdedupPrune)
       .withColumn("sim", call_function("graft_dot", col("qa"), col("qb")) /
@@ -1549,7 +1649,18 @@ object Ann {
       .filter(col("sim") >= DupThreshold)
       .select(least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"), col("sim"))
-      .distinct()
+    val base = verified(paired)
+    val withRing = ring match {
+      case None => base
+      case Some(rp) =>
+        val extra = verified(rp
+          .join(qn.select(col("vec_id").as("va"),
+            col("qv").as("qa"), col("nrm").as("na")), "va")
+          .join(qn.select(col("vec_id").as("vb"),
+            col("qv").as("qb"), col("nrm").as("nb")), "vb"))
+        base.unionByName(extra)
+    }
+    withRing.distinct()
   }
 
   /** [[cellNearDupPairs]] as a first-class query: every verified
@@ -1706,8 +1817,8 @@ object Ann {
       .select(col("vec_a"), col("vec_b"))
     val (q, nVec) = quantizedCorpus(spark, dir)
     val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
-    val (assign, probes) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
-    val cand = cellPairScan(assign, probes, q, nVec)
+    val (assign, probes, ring) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
+    val cand = cellPairScan(assign, probes, q, nVec, Some(ring))
       .select(col("vec_a"), col("vec_b")).withColumn("hit", lit(1L))
     truth
       .join(qn.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na")), "vec_a")
@@ -1789,28 +1900,52 @@ object Ann {
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${d2("q.qv", "c.cv")}, c.cl) AS rk
        |    FROM q CROSS JOIN sc${KmIters - 1} c) z WHERE rk <= $SuperProbe),
-       |pr AS (
-       |  SELECT va, cl FROM (
+       |rkd AS (
+       |  SELECT va, cl, rk FROM (
        |    SELECT s.va, c.scl * $kc + c.ch AS cl,
        |      row_number() OVER (PARTITION BY s.va ORDER BY
        |        ${d2("q.qv", "c.cv")}, c.scl * $kc + c.ch) AS rk
        |    FROM sup s JOIN q ON q.vec_id = s.va
-       |    JOIN ch${KmIters - 1} c ON c.scl = s.scl) z WHERE rk <= $np),
+       |    JOIN ch${KmIters - 1} c ON c.scl = s.scl) z WHERE rk <= ${ringDepthFor(k)}),
+       |pr AS (SELECT va, cl FROM rkd WHERE rk <= $np),
        |p AS (
        |  SELECT DISTINCT va, cl FROM (
        |    SELECT va, cl FROM pr
-       |    UNION ALL SELECT vec_id AS va, cl FROM h) u)""".stripMargin
+       |    UNION ALL SELECT vec_id AS va, cl FROM h) u),
+       |srpg AS (
+       |  SELECT j, d,
+       |    CASE WHEN ('0x'||substr(md5('srp_'||CAST(j AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,1))::BIGINT & 1 = 1 THEN 1 ELSE -1 END AS w
+       |  FROM (SELECT unnest(range(126)) AS j) a, (SELECT unnest(range(64)) AS d) b),
+       |qx2 AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv,1)-1 AS d FROM q),
+       |srpd AS (SELECT e.vec_id, g.j, sum(g.w * e.v) AS s
+       |         FROM qx2 e JOIN srpg g ON g.d = e.d GROUP BY 1, 2),
+       |srps AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN s > 0 AND j < 63 THEN (1::BIGINT << (j % 63)) ELSE 0 END) AS BIGINT) AS s0,
+       |    CAST(sum(CASE WHEN s > 0 AND j >= 63 THEN (1::BIGINT << (j % 63)) ELSE 0 END) AS BIGINT) AS s1
+       |  FROM srpd GROUP BY 1),
+       |rp AS (
+       |  SELECT r.va, y.vec_id AS vb
+       |  FROM rkd r JOIN h y ON y.cl = r.cl AND y.vec_id != r.va
+       |  JOIN srps sa ON sa.vec_id = r.va
+       |  JOIN srps sb ON sb.vec_id = y.vec_id
+       |  WHERE r.rk > $np
+       |    AND bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1)) <= $RingHammingCap)""".stripMargin
   }
 
   lazy val annTwolevelRecallSql: String =
     s"""WITH $twolevelCtes,
-       |cand AS (
-       |  SELECT DISTINCT least(p.va, y.vec_id) AS va, greatest(p.va, y.vec_id) AS vb
+       |uc AS (
+       |  SELECT p.va, y.vec_id AS vb
        |  FROM p JOIN h y ON y.cl = p.cl AND y.vec_id != p.va
-       |  JOIN q qx ON qx.vec_id = p.va
-       |  JOIN q qy ON qy.vec_id = y.vec_id
-       |  JOIN n nx ON nx.vec_id = p.va
-       |  JOIN n ny ON ny.vec_id = y.vec_id
+       |  UNION ALL
+       |  SELECT va, vb FROM rp),
+       |cand AS (
+       |  SELECT DISTINCT least(u.va, u.vb) AS va, greatest(u.va, u.vb) AS vb
+       |  FROM uc u
+       |  JOIN q qx ON qx.vec_id = u.va
+       |  JOIN q qy ON qy.vec_id = u.vb
+       |  JOIN n nx ON nx.vec_id = u.va
+       |  JOIN n ny ON ny.vec_id = u.vb
        |  WHERE nx.nrm * ny.nrm > 0
        |    AND list_dot_product(qx.qv, qy.qv) / (nx.nrm * ny.nrm) >= $DupThreshold),
        |truth AS (
@@ -1850,7 +1985,7 @@ object Ann {
     * pays for it. One groupBy over the home assignment; k rows out.
     */
   def twolevelCellOccupancy(spark: SparkSession, dir: String): DataFrame = {
-    val (assign, _) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
+    val (assign, _, _) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
     val kc = twoLevelKc
     assign.groupBy(col("cl")).agg(count(lit(1)).as("c"))
       .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
@@ -1889,7 +2024,7 @@ object Ann {
     * probe relation are kept).
     */
   def dedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, probesF, q, nVec) = nearDupCellFrames(spark, dir)
+    val (assigned, probesF, ring, q, nVec) = nearDupCellFrames(spark, dir)
     val isNew = (id: org.apache.spark.sql.Column) =>
       conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 100 >= 90
     val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
@@ -1903,11 +2038,22 @@ object Ann {
       (if (nVec <= KnnBroadcastCap) p.join(broadcast(r), Seq("cl"))
        else p.join(r, Seq("cl")))
         .filter(col("va") =!= col("vb"))
-    val spanning = side(probes.filter(col("new_a")), residents.filter(!col("new_b")))
+    // the routed branch's ring channel spans here too (round 17): the
+    // batch⟷corpus iff-equivalence with [[cellNearDupPairs]] holds by
+    // construction only if BOTH candidate channels screen both ways
+    val ringSpan = ring.map { rp =>
+      val rn = rp.select(col("va"), col("vb"),
+        isNew(col("va")).as("new_a"), isNew(col("vb")).as("new_b"))
+      rn.filter(col("new_a") && !col("new_b"))
+        .select(col("va").as("nid"), col("vb").as("oid"))
+        .unionByName(rn.filter(!col("new_a") && col("new_b"))
+          .select(col("vb").as("nid"), col("va").as("oid")))
+    }
+    val cellSpan = side(probes.filter(col("new_a")), residents.filter(!col("new_b")))
       .select(col("va").as("nid"), col("vb").as("oid"))
       .unionByName(side(probes.filter(!col("new_a")), residents.filter(col("new_b")))
         .select(col("vb").as("nid"), col("va").as("oid")))
-      .distinct()
+    val spanning = ringSpan.fold(cellSpan)(cellSpan.unionByName(_)).distinct()
     val dups = spanning
       .join(qn.select(col("vec_id").as("nid"), col("qv").as("qa"), col("nrm").as("na")), "nid")
       .join(qn.select(col("vec_id").as("oid"), col("qv").as("qb"), col("nrm").as("nb")), "oid")

@@ -16,7 +16,7 @@ object RouteRecall {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val mode = args(1)
-    val anchors = if (args.length > 2) args(2).toInt else 500
+    val anchors = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(500)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,18 +29,21 @@ object RouteRecall {
     val (q, nVec) = Ann.quantizedCorpus(spark, dir)
     q.count() // corpus quantize outside both timers
     val t0 = System.nanoTime()
-    val (assign, probes) = mode match {
+    val (assign, probes, ring) = mode match {
       case "flat" =>
         val (a, _, _, _) = Ann.kmeansAssign(spark, dir)
-        (a.select(col("vec_id"), col("cl")), Ann.cellProbes(spark, dir))
-      case "hier" => Ann.hierCellFrames(spark, dir)
+        (a.select(col("vec_id"), col("cl")), Ann.cellProbes(spark, dir),
+          None: Option[org.apache.spark.sql.DataFrame])
+      case "hier" =>
+        val (a, p, rg) = Ann.hierCellFrames(spark, dir)
+        (a, p, Some(rg))
       case m => sys.error(s"unknown mode $m")
     }
     // phase 1: train + assign + probe (the n·k vs n·√k phase)
-    assign.count(); probes.count()
+    assign.count(); probes.count(); ring.foreach(_.count())
     val tAssign = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val cand = Ann.cellPairScan(assign, probes, q, nVec)
+    val cand = Ann.cellPairScan(assign, probes, q, nVec, ring)
       .select(col("vec_a"), col("vec_b")).withColumn("hit", lit(1L))
     graft.functions.DotProduct.register(spark)
     graft.functions.UnitVector.register(spark)
@@ -62,7 +65,49 @@ object RouteRecall {
       val nt = r.getAs[Long]("n_true"); val nh = r.getAs[Long]("n_hit")
       println(f"""{"mode":"$mode","bucket":${r.getAs[Int]("bucket")},"n_true":$nt,"n_hit":$nh,"recall":${nh.toDouble / nt}%.4f}""")
     }
-    println(f"""{"mode":"$mode","corpus":$nVec,"k":${Ann.kmKFor(nVec)},"assign_secs":$tAssign%.2f,"scan_secs":$tScan%.2f}""")
+    // candidate volume: the linear-cost claim is MEASURED, not assumed
+    val candTotal = cand.count()
+    println(f"""{"mode":"$mode","corpus":$nVec,"k":${Ann.kmKFor(nVec)},"assign_secs":$tAssign%.2f,"scan_secs":$tScan%.2f,"cand_pairs":$candTotal,"probe_rows":${probes.count()},"ring_pairs":${ring.map(_.count()).getOrElse(0L)}}""")
+    // miss attribution (hier only, round 17, VERDICT r16 #2): for each
+    // missed truth pair, is the partner's HOME cell inside the probing
+    // vector's ranked child pool at all — and at what rank / distance
+    // slack? Tells whether a deeper probe ring (in-pool misses) or a
+    // different channel (outside-pool: unprobed super) buys the recall.
+    if (mode == "hier" && args.contains("why")) {
+      val pool = Ann.hierRankedPool(spark, dir)
+      val d1 = pool.filter(col("rk") === 1)
+        .select(col("va"), col("d2").as("d1"))
+      val poolN = pool.join(d1, "va")
+        .select(col("va"), col("cl"), col("rk"),
+          (col("d2") / col("d1")).as("slack"))
+      val home = assign.select(col("vec_id"), col("cl"))
+      val misses = truth.join(cand, Seq("vec_a", "vec_b"), "left_anti")
+        .select(col("vec_a"), col("vec_b"), col("sim"))
+      def dirRank(m: DataFrame, probe: String, res: String) =
+        m.join(home.select(col("vec_id").as(res), col("cl")), res)
+          .join(poolN.withColumnRenamed("va", probe), Seq(probe, "cl"), "left")
+          .select(col("vec_a"), col("vec_b"), col("sim"),
+            col("rk").as(s"rk_$probe"), col("slack").as(s"sl_$probe"))
+      val attributed = dirRank(misses, "vec_a", "vec_b")
+        .join(dirRank(misses, "vec_b", "vec_a")
+          .select(col("vec_a"), col("vec_b"), col("rk_vec_b"), col("sl_vec_b")),
+          Seq("vec_a", "vec_b"))
+        .withColumn("min_rk", least(col("rk_vec_a"), col("rk_vec_b")))
+        .withColumn("min_sl", least(col("sl_vec_a"), col("sl_vec_b")))
+        .withColumn("bucket", expr("least(CAST(floor(sim * 10) AS INTEGER), 9)"))
+      attributed.groupBy("bucket").agg(
+        count(lit(1)).as("misses"),
+        sum(when(col("min_rk").isNotNull, 1L).otherwise(0L)).as("in_pool"),
+        expr("percentile_approx(min_rk, 0.5)").as("rk_p50"),
+        expr("percentile_approx(min_rk, 0.9)").as("rk_p90"),
+        expr("round(percentile_approx(min_sl, 0.5), 3)").as("sl_p50"),
+        expr("round(percentile_approx(min_sl, 0.9), 3)").as("sl_p90"))
+        .orderBy("bucket").collect()
+        .foreach(r => println(s"""{"why_bucket":${r.get(0)},"misses":${r.get(1)},"in_pool":${r.get(2)},"rk_p50":${r.get(3)},"rk_p90":${r.get(4)},"sl_p50":${r.get(5)},"sl_p90":${r.get(6)}}"""))
+      // hit-side comparison: the slack distribution of CAUGHT pairs
+      val hits = truth.join(cand.select("vec_a", "vec_b"), Seq("vec_a", "vec_b"))
+      println(s"""{"why_hits":${hits.count()},"why_misses":${misses.count()}}""")
+    }
     spark.stop()
   }
 }

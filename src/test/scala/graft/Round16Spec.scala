@@ -34,7 +34,7 @@ class Round16Spec extends AnyFunSuite {
   }
 
   test("forced two-level quantizer: assignment partitions the corpus, probes bounded and home-covering") {
-    val (assign, probes) = Ann.hierCellFrames(spark, sf01, Some(20))
+    val (assign, probes, _) = Ann.hierCellFrames(spark, sf01, Some(20))
     val n = graft.core.Tables(spark, sf01).embeddings.count()
     assert(assign.count() == n, "every vector gets exactly one home cell")
     assert(assign.select("vec_id").distinct().count() == n)
@@ -54,9 +54,9 @@ class Round16Spec extends AnyFunSuite {
   test("forced two-level pair scan: recall vs the exact near-dup pair set") {
     val exact = pairSet(Ann.dedupEmbeddingCosine(spark, sf01)) // flat/exact branch at 500
     assert(exact.nonEmpty, "test data must contain near-dup pairs")
-    val (assign, probes) = Ann.hierCellFrames(spark, sf01, Some(20))
+    val (assign, probes, ring) = Ann.hierCellFrames(spark, sf01, Some(20))
     val (q, n) = Ann.quantizedCorpus(spark, sf01)
-    val hier = pairSet(Ann.cellPairScan(assign, probes, q, n))
+    val hier = pairSet(Ann.cellPairScan(assign, probes, q, n, Some(ring)))
     val recall = (exact & hier).size.toDouble / exact.size
     assert(recall >= 0.8, s"two-level pair recall $recall below floor (0.8)")
     // precision is structural: the scan verifies every candidate with
