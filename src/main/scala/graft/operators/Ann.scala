@@ -924,6 +924,8 @@ object Ann {
     "dedup_embedding_clusters", "embedding_keep_canonical",
     // round 16: the two-level route's level 1 runs through kmeansAssign
     "ann_twolevel_recall", "twolevel_cell_occupancy",
+    // round 17: forced-k audit faces of the same route
+    "twolevel_ring_contribution", "ann_adaptive_nprobe",
     // riders of the shared kNN graph (its build reads these frames)
     "embedding_hubness_audit", "knn_reciprocal_rate")
 
@@ -1285,6 +1287,9 @@ object Ann {
     // selector (its inline flat probe build had the same O(n·k)
     // assignment ceiling)
     "ann_twolevel_recall", "twolevel_cell_occupancy",
+    // round 17: the ring-channel audit and the adaptive-probe audit
+    // replay the same forced-k frames
+    "twolevel_ring_contribution", "ann_adaptive_nprobe",
     "knn_graph", "knn_confusion",
     "embedding_hubness_audit", "knn_reciprocal_rate")
 
@@ -2003,6 +2008,134 @@ object Ann {
        |  CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM h) AS DOUBLE) AS cell_share,
        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_bound
        |FROM h GROUP BY cl ORDER BY cell""".stripMargin
+
+  // ----------------------------------------- twolevel_ring_contribution
+
+  /** Per-channel yield of the routed candidate generator (round 17,
+    * VERDICT r16 #2), forced to k = [[TwoLevelForceK]] so the SRP
+    * boundary ring is oracle-gated at test scale: every VERIFIED
+    * near-dup pair is attributed to the channel that produced it —
+    * `base` (the nprobe-wide cell equi-join) or `ring_only` (pairs
+    * ONLY the hamming-screened boundary ring reaches) — and bucketed
+    * by its exact micro-unit cosine. The ring exists to buy
+    * τ-boundary depth without widening the exact-verify channel, so
+    * its contribution should concentrate in the low buckets; a
+    * ring_only count in the high buckets would mean the base probe
+    * width is mis-sized. The DuckDB side replays both channels —
+    * the two-level Lloyd's chain, the probe union, the SRP
+    * signatures, the hamming screen, and every cosine verdict.
+    */
+  def twolevelRingContribution(spark: SparkSession, dir: String): DataFrame = {
+    val (q, nVec) = quantizedCorpus(spark, dir)
+    val (assign, probes, ring) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
+    val base = cellPairScan(assign, probes, q, nVec, None)
+    val all = cellPairScan(assign, probes, q, nVec, Some(ring))
+    val ringOnly = all.join(base.select(col("vec_a"), col("vec_b")),
+      Seq("vec_a", "vec_b"), "left_anti")
+    base.withColumn("channel", lit("base"))
+      .unionByName(ringOnly.withColumn("channel", lit("ring_only")))
+      .withColumn("bucket", expr("least(CAST(floor(sim * 10) AS INTEGER), 9)"))
+      .groupBy(col("channel"), col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .selectExpr("channel", "CAST(bucket AS BIGINT) AS bucket",
+        "CAST(n_pairs AS BIGINT) AS n_pairs")
+      .orderBy("channel", "bucket")
+  }
+
+  lazy val twolevelRingContributionSql: String =
+    s"""WITH $twolevelCtes,
+       |base AS (
+       |  SELECT DISTINCT least(p.va, y.vec_id) AS vec_a,
+       |    greatest(p.va, y.vec_id) AS vec_b,
+       |    list_dot_product(qx.qv, qy.qv) / (nx.nrm * ny.nrm) AS sim
+       |  FROM p JOIN h y ON y.cl = p.cl AND y.vec_id != p.va
+       |  JOIN q qx ON qx.vec_id = p.va
+       |  JOIN q qy ON qy.vec_id = y.vec_id
+       |  JOIN n nx ON nx.vec_id = p.va
+       |  JOIN n ny ON ny.vec_id = y.vec_id
+       |  WHERE nx.nrm * ny.nrm > 0
+       |    AND list_dot_product(qx.qv, qy.qv) / (nx.nrm * ny.nrm) >= $DupThreshold),
+       |ringv AS (
+       |  SELECT DISTINCT least(r.va, r.vb) AS vec_a,
+       |    greatest(r.va, r.vb) AS vec_b,
+       |    list_dot_product(qx.qv, qy.qv) / (nx.nrm * ny.nrm) AS sim
+       |  FROM rp r
+       |  JOIN q qx ON qx.vec_id = r.va
+       |  JOIN q qy ON qy.vec_id = r.vb
+       |  JOIN n nx ON nx.vec_id = r.va
+       |  JOIN n ny ON ny.vec_id = r.vb
+       |  WHERE nx.nrm * ny.nrm > 0
+       |    AND list_dot_product(qx.qv, qy.qv) / (nx.nrm * ny.nrm) >= $DupThreshold),
+       |ring_only AS (
+       |  SELECT * FROM ringv
+       |  WHERE NOT EXISTS (SELECT 1 FROM base b
+       |    WHERE b.vec_a = ringv.vec_a AND b.vec_b = ringv.vec_b)),
+       |u AS (
+       |  SELECT 'base' AS channel, sim FROM base
+       |  UNION ALL SELECT 'ring_only' AS channel, sim FROM ring_only)
+       |SELECT channel,
+       |  CAST(least(CAST(floor(sim * 10) AS INTEGER), 9) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM u GROUP BY 1, 2 ORDER BY channel, bucket""".stripMargin
+
+  // --------------------------------------------------- ann_adaptive_nprobe
+
+  /** Occupancy-adaptive probe-width audit (round 17, VERDICT r16 #2's
+    * "probe until a candidate-mass target" design, as an oracled
+    * query at the forced two-level geometry): each probing vector
+    * walks its ranked cell pool in rank order and stops once the
+    * CUMULATIVE home-cell mass before a cell reaches
+    * 4·⌈n/k⌉ (four average cells) — skewed layouts reach the target
+    * in fewer, shallower probes; sparse ones walk deeper at the same
+    * candidate cost, which is exactly the trade a fixed nprobe cannot
+    * make. Output is the distribution of probes used with the average
+    * candidate mass actually admitted — the two numbers that say
+    * whether probe COUNT or candidate VOLUME is the binding cost.
+    * The pool is capped at [[ringDepthFor]], so the walk is bounded
+    * either way; everything is exact integers except the one avg
+    * division.
+    */
+  def annAdaptiveNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val (q, nVec) = quantizedCorpus(spark, dir)
+    val k = TwoLevelForceK
+    val (assign, _, _) = hierCellFrames(spark, dir, Some(k))
+    val ranked = hierRankedPool(spark, dir, Some(k))
+    val target = 4L * ((nVec + k - 1) / k)
+    val occ = assign.groupBy(col("cl")).agg(count(lit(1)).as("mass"))
+    val wBefore = Window.partitionBy("va").orderBy("rk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ranked.join(occ, Seq("cl"), "left")
+      .select(col("va"), col("rk"), coalesce(col("mass"), lit(0L)).as("mass"))
+      .withColumn("before", coalesce(sum(col("mass")).over(wBefore), lit(0L)))
+    cum.filter(col("before") < lit(target))
+      .groupBy(col("va"))
+      .agg(count(lit(1)).as("probes_used"), sum(col("mass")).as("cand_mass"))
+      .groupBy(col("probes_used"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("cand_mass")).as("tot_mass"))
+      .selectExpr("CAST(probes_used AS BIGINT) AS probes_used",
+        "CAST(n_vectors AS BIGINT) AS n_vectors",
+        "CAST(tot_mass AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS avg_cand_mass")
+      .orderBy("probes_used")
+  }
+
+  lazy val annAdaptiveNprobeSql: String = {
+    val k = TwoLevelForceK
+    s"""WITH $twolevelCtes,
+       |tgt AS (SELECT 4 * ((count(*) + $k - 1) // $k) AS target FROM q),
+       |occ AS (SELECT cl, count(*) AS mass FROM h GROUP BY 1),
+       |cm AS (
+       |  SELECT r.va, coalesce(o.mass, 0) AS mass,
+       |    coalesce(sum(coalesce(o.mass, 0)) OVER (PARTITION BY r.va ORDER BY r.rk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM rkd r LEFT JOIN occ o ON o.cl = r.cl),
+       |tk AS (
+       |  SELECT va, count(*) AS probes_used, sum(mass) AS cand_mass
+       |  FROM cm, tgt WHERE before < tgt.target GROUP BY va)
+       |SELECT CAST(probes_used AS BIGINT) AS probes_used,
+       |  CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(cand_mass) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cand_mass
+       |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // ---------------------------------------- dedup_embedding_incremental
 

@@ -7804,4 +7804,520 @@ object Stats {
        |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS hurst
        |FROM mo ORDER BY block_size""".stripMargin
   }
+
+  // ========================================================== round 17 batch
+
+  /** The daily-revenue 2×midrank frame shared by [[pettittTest]] and
+    * [[bartelsRankTest]]: each observed day joined with TWICE the
+    * midrank of its revenue within the full series. Doubling keeps
+    * tied midranks (k + 0.5 forms) exact integers — the
+    * [[wilcoxonSignedRank]] trick applied to a value-grid ranking:
+    * for a revenue value with m ties and cum_before smaller values,
+    * every tied day carries 2·midrank = 2·cum_before + m + 1.
+    */
+  private def dailyRank2(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val grp = daily.groupBy(col("y")).agg(count(lit(1)).as("m"))
+    val wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = grp
+      .withColumn("cb", coalesce(sum(col("m")).over(wv), lit(0L)))
+      .select(col("y"), (lit(2L) * col("cb") + col("m") + 1L).as("r2"))
+    daily.join(r2, "y").select(col("d"), col("y"), col("r2"))
+  }
+
+  /** [[dailyRank2]]'s SQL twin — `daily`/`grp`/`rr`/`dr` CTEs both
+    * rank-based series tests splice in verbatim.
+    */
+  private val dailyRank2SqlCtes: String =
+    """daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |grp AS (SELECT y, count(*) AS m FROM daily GROUP BY 1),
+      |rr AS (
+      |  SELECT y, 2 * coalesce(sum(m) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS r2
+      |  FROM grp),
+      |dr AS (SELECT d, daily.y, r2 FROM daily JOIN rr ON rr.y = daily.y)""".stripMargin
+
+  // ------------------------------------------------------------ pettitt_test
+
+  /** x = −6K²/(n³+n²), clamped at the ExactExp domain floor: past −40
+    * the true p is < 2e−18 and the clamp only keeps the shared
+    * Taylor/squaring text inside its convergence contract.
+    */
+  private val PettittXExpr: String =
+    "greatest(CAST(-6 AS DOUBLE) * (CAST(k2 AS DOUBLE) / CAST(nn AS DOUBLE))," +
+      " CAST(-40 AS DOUBLE))"
+
+  /** Pettitt rank-based change point on the daily-revenue series: the
+    * day t maximizing |U_t|, U_t = 2·Σ_{i≤t} rank(y_i) − t·(n+1) —
+    * the nonparametric complement of [[changepointDetect]] (that
+    * query maximizes the SSE gain of a MEAN shift and is leverage-
+    * sensitive; Pettitt tests a distribution shift on ranks and is
+    * immune to single-day outliers). With the [[dailyRank2]] doubled
+    * midranks U_t = S2_t − t·(n+1) stays exact-integer throughout —
+    * |U| ≤ n(n+1)/2 and n is calendar-bounded, so nothing approaches
+    * int64. The classic approximation p ≈ 2·exp(−6K²/(n³+n²)) is the
+    * one shared ExactExp chain, clamped to the |x| ≤ 40 contract
+    * ([[PettittXExpr]]).
+    *
+    * Scale shape: orders reduce to the calendar-bounded daily frame;
+    * the value-grid ranking, the chronological cumsum, and the argmax
+    * all run on that bounded frame (the [[changepointDetect]] shape).
+    */
+  def pettittTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactExp
+    val dr = dailyRank2(spark, dir)
+    val tot = dr.agg(count(lit(1)).as("n"))
+    val wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = dr.crossJoin(broadcast(tot))
+      .withColumn("t", count(lit(1)).over(wd))
+      .withColumn("s2", sum(col("r2")).over(wd))
+      .filter(col("t") < col("n"))
+      .withColumn("u", col("s2") - col("t") * (col("n") + 1L))
+      .withColumn("au", abs(col("u")))
+    val wBest = Window.orderBy(col("au").desc, col("d"))
+    u.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .withColumn("k2", col("au") * col("au"))
+      .withColumn("nn", col("n") * col("n") * (col("n") + 1L))
+      .withColumn("__px", expr(PettittXExpr))
+      .withColumn("__pu", expr(ExactExp.uExpr("__px")))
+      .withColumn("__pp", expr(ExactExp.pExpr("__pu")))
+      .select(col("n").as("n_days"), col("au").as("k_stat"),
+        col("d").cast("string").as("change_day"),
+        expr(s"CAST(2 AS DOUBLE) * ${ExactExp.expExpr("__pp")}").as("p_approx"))
+  }
+
+  lazy val pettittTestSql: String = {
+    import graft.functions.ExactExp
+    s"""WITH $dailyRank2SqlCtes,
+       |tt AS (SELECT count(*) AS n FROM daily),
+       |cum AS (
+       |  SELECT d, tt.n,
+       |    count(*) OVER w AS t,
+       |    sum(r2) OVER w AS s2
+       |  FROM dr, tt
+       |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |uu AS (
+       |  SELECT *, abs(s2 - t * (n + 1)) AS au FROM cum WHERE t < n),
+       |best AS (SELECT *, row_number() OVER (ORDER BY au DESC, d) AS rk FROM uu),
+       |b AS (SELECT *, au * au AS k2, n * n * (n + 1) AS nn FROM best WHERE rk = 1),
+       |x1 AS (SELECT *, $PettittXExpr AS __px FROM b),
+       |e1 AS (SELECT *, ${ExactExp.uExpr("__px")} AS __pu FROM x1),
+       |e2 AS (SELECT *, ${ExactExp.pExpr("__pu")} AS __pp FROM e1)
+       |SELECT CAST(n AS BIGINT) AS n_days, CAST(au AS BIGINT) AS k_stat,
+       |  CAST(d AS VARCHAR) AS change_day,
+       |  CAST(2 AS DOUBLE) * ${ExactExp.expExpr("__pp")} AS p_approx
+       |FROM e2""".stripMargin
+  }
+
+  // ------------------------------------------------------- bartels_rank_test
+
+  private val BartelsRvnExpr: String =
+    "CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE)"
+  private val BartelsZExpr: String =
+    "(rvn - CAST(2 AS DOUBLE))" +
+      " / sqrt(CAST(20 AS DOUBLE) / CAST(5 * n + 7 AS DOUBLE))"
+
+  /** Bartels rank von Neumann randomness test on the daily-revenue
+    * series: RVN = Σ(r_t − r_{t+1})² / Σ(r_t − r̄)² over chronological
+    * midranks — the RANK-serial-correlation complement of
+    * [[runsTest]] (sign-of-median runs) and [[turningPointTest]]
+    * (local extrema): positive serial dependence drags RVN below 2,
+    * alternation pushes it above. Doubled midranks keep both sums
+    * exact integers (the 4s cancel in the ratio); Σ2r = n(n+1)
+    * exactly, so the denominator closed-forms to Σ(2r)² − n(n+1)².
+    * z uses the standard asymptotic var(RVN) ≈ 20/(5n+7).
+    *
+    * Scale shape: identical to [[pettittTest]] — everything after the
+    * one orders scan runs on the calendar-bounded daily frame.
+    */
+  def bartelsRankTest(spark: SparkSession, dir: String): DataFrame = {
+    val dr = dailyRank2(spark, dir)
+    val wd = Window.orderBy("d")
+    val diff = dr.withColumn("r2n", lead(col("r2"), 1).over(wd))
+    diff.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("r2n").isNotNull,
+          (col("r2") - col("r2n")) * (col("r2") - col("r2n")))).as("num2"),
+        sum(col("r2") * col("r2")).as("sr2q"))
+      .withColumn("den2",
+        col("sr2q") - col("n") * (col("n") + 1L) * (col("n") + 1L))
+      .withColumn("rvn", expr(BartelsRvnExpr))
+      .select(col("n").as("n_days"), col("rvn"), expr(BartelsZExpr).as("z_score"))
+  }
+
+  lazy val bartelsRankTestSql: String =
+    s"""WITH $dailyRank2SqlCtes,
+       |diff AS (
+       |  SELECT r2, lead(r2) OVER (ORDER BY d) AS r2n FROM dr),
+       |s AS (
+       |  SELECT count(*) AS n,
+       |    sum(CASE WHEN r2n IS NOT NULL THEN (r2 - r2n) * (r2 - r2n) END) AS num2,
+       |    sum(r2 * r2) AS sr2q
+       |  FROM diff),
+       |dn AS (SELECT *, sr2q - n * (n + 1) * (n + 1) AS den2 FROM s),
+       |rv AS (SELECT *, $BartelsRvnExpr AS rvn FROM dn)
+       |SELECT CAST(n AS BIGINT) AS n_days, rvn, $BartelsZExpr AS z_score
+       |FROM rv""".stripMargin
+
+  // ------------------------------------------------------- cox_stuart_trend
+
+  private val CoxStuartZExpr: String =
+    "CAST(2 * pos - m AS DOUBLE) / sqrt(CAST(m AS DOUBLE))"
+
+  /** Cox–Stuart trend test on daily revenue: pair day i with day
+    * i + ⌈n/2⌉ and sign-test the paired differences — the
+    * distribution-free "is the second half systematically above the
+    * first" check (complement of [[regressionTrend]]'s parametric
+    * slope and [[mannKendallTrend]]'s all-pairs S: Cox–Stuart is the
+    * n/2-lag sign test, O(n) and immune to any monotone
+    * transformation of the values). Ties (y equal across the half-
+    * gap) drop from the effective m, per the classic definition.
+    * Everything is exact integers except the one z expression.
+    *
+    * Scale shape: the half-gap self-join runs on the calendar-bounded
+    * daily frame (row_number alignment, broadcast total), after the
+    * single orders scan.
+    */
+  def coxStuartTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"))
+    val wd = Window.orderBy("d")
+    val idx = daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("c", expr("n div 2"))
+      .withColumn("h", col("n") - expr("n div 2"))
+    val a = idx.filter(col("t") <= col("c"))
+      .select(col("t"), col("y").as("ya"), col("n"), col("h"))
+    val b = idx.filter(col("t") > col("h"))
+      .select((col("t") - col("h")).as("t"), col("y").as("yb"))
+    a.join(b, "t")
+      .agg(max(col("n")).as("n"),
+        sum(when(col("yb") > col("ya"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("yb") < col("ya"), 1L).otherwise(0L)).as("neg"))
+      .withColumn("m", col("pos") + col("neg"))
+      .select(col("n").as("n_days"), col("m").as("n_pairs"),
+        col("pos").as("n_rises"), col("neg").as("n_falls"),
+        expr(CoxStuartZExpr).as("z_score"))
+  }
+
+  lazy val coxStuartTrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |tt AS (SELECT count(*) AS n FROM daily),
+       |idx AS (
+       |  SELECT d, y, tt.n, row_number() OVER (ORDER BY d) AS t,
+       |    tt.n // 2 AS c, tt.n - tt.n // 2 AS h
+       |  FROM daily, tt),
+       |pr AS (
+       |  SELECT a.n, a.y AS ya, b.y AS yb
+       |  FROM idx a JOIN idx b ON b.t = a.t + a.h
+       |  WHERE a.t <= a.c),
+       |s AS (
+       |  SELECT max(n) AS n,
+       |    CAST(sum(CASE WHEN yb > ya THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(sum(CASE WHEN yb < ya THEN 1 ELSE 0 END) AS BIGINT) AS neg
+       |  FROM pr),
+       |sm AS (SELECT *, pos + neg AS m FROM s)
+       |SELECT CAST(n AS BIGINT) AS n_days, CAST(m AS BIGINT) AS n_pairs,
+       |  pos AS n_rises, neg AS n_falls,
+       |  $CoxStuartZExpr AS z_score
+       |FROM sm""".stripMargin
+
+  // --------------------------------------------------- variance_ratio_test
+
+  private val VrExpr: String =
+    "(CAST(qs2 AS DOUBLE) / CAST(nq AS DOUBLE)" +
+      " - (CAST(qs AS DOUBLE) / CAST(nq AS DOUBLE))" +
+      " * (CAST(qs AS DOUBLE) / CAST(nq AS DOUBLE)))" +
+      " / (CAST(5 AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)" +
+      " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))" +
+      " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))"
+  private val VrZExpr: String =
+    "(vr - CAST(1 AS DOUBLE))" +
+      " * sqrt(CAST(15 AS DOUBLE) * CAST(n AS DOUBLE) / CAST(72 AS DOUBLE))"
+
+  /** Lo–MacKinlay variance-ratio test (q = 5) on daily log revenue
+    * changes: VR(q) = Var(5-day overlapping log-change sums) /
+    * (5·Var(1-day)) — 1 under a random walk, < 1 for mean reversion,
+    * > 1 for momentum/trending. The econometric complement of
+    * [[autocorrLag]] (VR aggregates the first q−1 autocorrelations
+    * with Bartlett weights) and of [[hurstExponent]] (same question,
+    * variance-scaling form, with an asymptotic z). Log changes come
+    * from the shared ExactLn chain on exact-integer daily ratios, are
+    * rounded to 9 decimals into DECIMAL (the rounded-parity
+    * convention — both engines then sum identical exact decimals),
+    * and the two variances plus the z are single shared expressions
+    * over those exact moments. z uses the homoskedastic asymptotic
+    * var 2(2q−1)(q−1)/(3qn) = 72/(15n) at q = 5.
+    *
+    * Scale shape: one orders scan reduces to the calendar-bounded
+    * daily frame; the lag, the 5-row window sum, and the final
+    * single-row aggregate all run on that bounded frame.
+    */
+  def varianceRatioTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+      .filter(col("y") > 0L)
+    val wd = Window.orderBy("d")
+    val ret = daily
+      .withColumn("yp", lag(col("y"), 1).over(wd))
+      .filter(col("yp").isNotNull)
+      .withColumn("ratio", expr("CAST(y AS DOUBLE) / CAST(yp AS DOUBLE)"))
+      .withColumn("__vy", expr(ExactLn.yExpr("ratio")))
+      .withColumn("__vz", expr(ExactLn.zExpr("__vy")))
+      .withColumn("r", expr(ExactLn.lnExpr("__vz")))
+      .withColumn("r9", expr("CAST(round(r, 9) AS DECIMAL(18,9))"))
+    val wq = Window.orderBy("d").rowsBetween(-4, 0)
+    val withQ = ret
+      .withColumn("cnt5", count(lit(1)).over(wq))
+      .withColumn("sq", sum(col("r9")).over(wq))
+      .withColumn("sqd", expr("CAST(sq AS DOUBLE)"))
+    withQ.agg(
+        count(lit(1)).as("n"),
+        sum(col("r9")).as("s1"),
+        sum(expr("CAST(round(CAST(r9 AS DOUBLE) * CAST(r9 AS DOUBLE), 9) AS DECIMAL(18,9))")).as("s2"),
+        sum(when(col("cnt5") === 5, 1L).otherwise(0L)).as("nq"),
+        sum(when(col("cnt5") === 5, col("sq"))).as("qs"),
+        sum(when(col("cnt5") === 5,
+          expr("CAST(round(sqd * sqd, 9) AS DECIMAL(18,9))"))).as("qs2"))
+      .withColumn("vr", expr(VrExpr))
+      .select(lit(5L).as("q"), col("n").as("n_returns"), col("vr"),
+        expr(VrZExpr).as("z_score"))
+  }
+
+  lazy val varianceRatioTestSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1 HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) > 0),
+       |lg AS (
+       |  SELECT d, y, lag(y) OVER (ORDER BY d) AS yp FROM daily),
+       |rt AS (
+       |  SELECT d, CAST(y AS DOUBLE) / CAST(yp AS DOUBLE) AS ratio
+       |  FROM lg WHERE yp IS NOT NULL),
+       |y1 AS (SELECT *, ${ExactLn.yExpr("ratio")} AS __vy FROM rt),
+       |z1 AS (SELECT *, ${ExactLn.zExpr("__vy")} AS __vz FROM y1),
+       |l1 AS (SELECT *, ${ExactLn.lnExpr("__vz")} AS r FROM z1),
+       |r9t AS (SELECT d, CAST(round(r, 9) AS DECIMAL(18,9)) AS r9 FROM l1),
+       |wq AS (
+       |  SELECT r9,
+       |    count(*) OVER w AS cnt5,
+       |    sum(r9) OVER w AS sq
+       |  FROM r9t
+       |  WINDOW w AS (ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+       |wq2 AS (SELECT *, CAST(sq AS DOUBLE) AS sqd FROM wq),
+       |s AS (
+       |  SELECT count(*) AS n,
+       |    sum(r9) AS s1,
+       |    sum(CAST(round(CAST(r9 AS DOUBLE) * CAST(r9 AS DOUBLE), 9) AS DECIMAL(18,9))) AS s2,
+       |    CAST(sum(CASE WHEN cnt5 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+       |    sum(CASE WHEN cnt5 = 5 THEN sq END) AS qs,
+       |    sum(CASE WHEN cnt5 = 5 THEN CAST(round(sqd * sqd, 9) AS DECIMAL(18,9)) END) AS qs2
+       |  FROM wq2),
+       |v AS (SELECT *, $VrExpr AS vr FROM s)
+       |SELECT CAST(5 AS BIGINT) AS q, CAST(n AS BIGINT) AS n_returns, vr,
+       |  $VrZExpr AS z_score
+       |FROM v""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- chow_test
+
+  /** Centered-moment SSR of the OLS line fit over the `$p`-suffixed
+    * exact moment columns — one text, three splice points (pooled and
+    * both regimes).
+    */
+  private def chowSsrExpr(p: String): String = {
+    val sxyC = s"(CAST(sxy$p AS DOUBLE) - CAST(sx$p AS DOUBLE) * CAST(sy$p AS DOUBLE) / CAST(n$p AS DOUBLE))"
+    s"(CAST(syy$p AS DOUBLE) - CAST(sy$p AS DOUBLE) * CAST(sy$p AS DOUBLE) / CAST(n$p AS DOUBLE))" +
+      s" - $sxyC * $sxyC" +
+      s" / (CAST(sxx$p AS DOUBLE) - CAST(sx$p AS DOUBLE) * CAST(sx$p AS DOUBLE) / CAST(n$p AS DOUBLE))"
+  }
+  private val ChowFExpr: String =
+    "((ssr0 - ssr1 - ssr2) / CAST(2 AS DOUBLE))" +
+      " / ((ssr1 + ssr2) / CAST(n0 - 4 AS DOUBLE))"
+
+  /** Chow structural-break F-test on the daily-revenue trend, break
+    * at the series midpoint: fit y = a + b·t pooled and separately on
+    * each half; F = ((SSR_pooled − SSR₁ − SSR₂)/k) /
+    * ((SSR₁+SSR₂)/(n−2k)) with k = 2 — the parametric complement of
+    * [[pettittTest]] (does the LINE change, not just the level?) and
+    * the significance test [[changepointDetect]]'s gain lacks. All
+    * five moments per regime are exact decimals (pooled = regime
+    * sums, exactness preserved); the three SSRs and F are shared
+    * expressions over them ([[chowSsrExpr]] — the [[CpGainExpr]]
+    * big-decimal-to-double convention).
+    *
+    * Scale shape: one orders scan → calendar-bounded daily frame →
+    * one conditional-moment aggregate row. The row_number runs on the
+    * bounded frame.
+    */
+  def chowTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("y"))
+    val tot = daily.agg(count(lit(1)).as("nAll"))
+    val wd = Window.orderBy("d")
+    val idx = daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("rg", when(col("t") <= expr("nAll div 2"), 1).otherwise(2))
+    def mom(g: Int): Seq[org.apache.spark.sql.Column] = {
+      def s0(c: org.apache.spark.sql.Column) =
+        sum(when(col("rg") === g, c.cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+      Seq(
+        sum(when(col("rg") === g, 1L).otherwise(0L)).as(s"n$g"),
+        s0(col("t")).as(s"sx$g"), s0(col("y")).as(s"sy$g"),
+        s0(col("t") * col("t")).as(s"sxx$g"),
+        sum(when(col("rg") === g, col("t").cast("decimal(38,0)") * col("y"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sxy$g"),
+        sum(when(col("rg") === g, col("y").cast("decimal(38,0)") * col("y"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"syy$g"))
+    }
+    val cols = mom(1) ++ mom(2)
+    idx.agg(cols.head, cols.tail: _*)
+      .withColumn("n0", col("n1") + col("n2"))
+      .withColumn("sx0", col("sx1") + col("sx2"))
+      .withColumn("sy0", col("sy1") + col("sy2"))
+      .withColumn("sxx0", col("sxx1") + col("sxx2"))
+      .withColumn("sxy0", col("sxy1") + col("sxy2"))
+      .withColumn("syy0", col("syy1") + col("syy2"))
+      .withColumn("ssr0", expr(chowSsrExpr("0")))
+      .withColumn("ssr1", expr(chowSsrExpr("1")))
+      .withColumn("ssr2", expr(chowSsrExpr("2")))
+      .select(col("n1").as("n_first"), col("n2").as("n_second"),
+        expr("ssr0 / CAST(10000 AS DOUBLE)").as("ssr_pooled"),
+        expr("(ssr1 + ssr2) / CAST(10000 AS DOUBLE)").as("ssr_split"),
+        expr(ChowFExpr).as("f_stat"))
+  }
+
+  lazy val chowTestSql: String = {
+    def mom(g: Int): String =
+      s"""CAST(sum(CASE WHEN rg = $g THEN 1 ELSE 0 END) AS BIGINT) AS n$g,
+         |    sum(CASE WHEN rg = $g THEN CAST(t AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sx$g,
+         |    sum(CASE WHEN rg = $g THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sy$g,
+         |    sum(CASE WHEN rg = $g THEN CAST(t AS DECIMAL(38,0)) * t ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxx$g,
+         |    sum(CASE WHEN rg = $g THEN CAST(t AS DECIMAL(38,0)) * y ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxy$g,
+         |    sum(CASE WHEN rg = $g THEN CAST(y AS DECIMAL(38,0)) * y ELSE CAST(0 AS DECIMAL(38,0)) END) AS syy$g""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |tt AS (SELECT count(*) AS nall FROM daily),
+       |idx AS (
+       |  SELECT y, row_number() OVER (ORDER BY d) AS t,
+       |    CASE WHEN row_number() OVER (ORDER BY d) <= tt.nall // 2 THEN 1 ELSE 2 END AS rg
+       |  FROM daily, tt),
+       |m AS (
+       |  SELECT
+       |    ${mom(1)},
+       |    ${mom(2)}
+       |  FROM idx),
+       |p AS (
+       |  SELECT *, n1 + n2 AS n0, sx1 + sx2 AS sx0, sy1 + sy2 AS sy0,
+       |    sxx1 + sxx2 AS sxx0, sxy1 + sxy2 AS sxy0, syy1 + syy2 AS syy0
+       |  FROM m),
+       |r AS (
+       |  SELECT *, ${chowSsrExpr("0")} AS ssr0, ${chowSsrExpr("1")} AS ssr1,
+       |    ${chowSsrExpr("2")} AS ssr2
+       |  FROM p)
+       |SELECT n1 AS n_first, n2 AS n_second,
+       |  ssr0 / CAST(10000 AS DOUBLE) AS ssr_pooled,
+       |  (ssr1 + ssr2) / CAST(10000 AS DOUBLE) AS ssr_split,
+       |  $ChowFExpr AS f_stat
+       |FROM r""".stripMargin
+  }
+
+  // --------------------------------------------------------------- cliff_delta
+
+  private def cliffDeltaExpr(a: String, b: String): String =
+    s"(CAST(gt_${a}_$b AS DOUBLE) - CAST(lt_${a}_$b AS DOUBLE))" +
+      s" / (CAST(n_$a AS DOUBLE) * CAST(n_$b AS DOUBLE))"
+
+  /** Cliff's delta for every pair of event types over the `value`
+    * distribution: δ = P(X > Y) − P(X < Y) — the ordinal effect size
+    * that [[mannWhitney]]'s U rescales to (δ = 2U/(n₁n₂) − 1 with
+    * ties counted half), reported directly so "how big is the shift"
+    * rides next to [[ksTest]]'s "is there a shift". All 10 pairs come
+    * out of the one value-grid pass: per-value counts per type, one
+    * cumulative window, then greater/less cross-mass sums
+    * Σ_v c_a(v)·F_b(v⁻) and Σ_v c_a(v)·(n_b − F_b(v)) — exact longs
+    * (≤ n_a·n_b), one shared double expression per pair.
+    *
+    * Scale shape: the [[ksTest]] shape — the raw scan reduces to the
+    * bounded value grid before the window; the pair sums are one
+    * aggregate over that grid.
+    */
+  def cliffDelta(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val cCols = EventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val grid = ev.groupBy(col("value")).agg(cCols.head, cCols.tail: _*)
+    val wv = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      (EventTypes.map(t => col(s"c_$t")) ++
+        EventTypes.map(t => sum(col(s"c_$t")).over(wv).as(s"f_$t"))): _*)
+    val nCols = EventTypes.map(t => sum(col(s"c_$t")).as(s"n_$t"))
+    val totals = grid.agg(nCols.head, nCols.tail: _*)
+    val pairCols = TypePairs.flatMap { case (a, b) => Seq(
+      sum(col(s"c_$a") * (col(s"f_$b") - col(s"c_$b"))).as(s"gt_${a}_$b"),
+      sum(col(s"c_$a") * (col(s"n_$b") - col(s"f_$b"))).as(s"lt_${a}_$b")) }
+    val m = cum.crossJoin(broadcast(totals))
+      .agg(pairCols.head, pairCols.tail: _*)
+      .crossJoin(broadcast(totals))
+    val stackArgs = TypePairs
+      .map { case (a, b) =>
+        s"'$a', '$b', CAST(n_$a AS BIGINT), CAST(n_$b AS BIGINT), ${cliffDeltaExpr(a, b)}" }
+      .mkString(", ")
+    m.selectExpr(
+        s"stack(${TypePairs.size}, $stackArgs)" +
+          " AS (type_a, type_b, n_a, n_b, delta)")
+      .orderBy("type_a", "type_b")
+  }
+
+  lazy val cliffDeltaSql: String = {
+    val cSums = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+      .mkString(",\n    ")
+    val fCums = EventTypes.map(t =>
+      s"sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$t")
+      .mkString(",\n    ")
+    val nTots = EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS n_$t").mkString(", ")
+    val pairSums = TypePairs.flatMap { case (a, b) => Seq(
+      s"sum(c_$a * (f_$b - c_$b)) AS gt_${a}_$b",
+      s"sum(c_$a * (n_$b - f_$b)) AS lt_${a}_$b") }
+      .mkString(",\n    ")
+    val unions = TypePairs
+      .map { case (a, b) =>
+        s"SELECT '$a' AS type_a, '$b' AS type_b, CAST(n_$a AS BIGINT) AS n_a," +
+          s" CAST(n_$b AS BIGINT) AS n_b, ${cliffDeltaExpr(a, b)} AS delta FROM m, t" }
+      .mkString("\nUNION ALL ")
+    s"""WITH g AS (
+       |  SELECT value,
+       |    $cSums
+       |  FROM events GROUP BY value),
+       |f AS (
+       |  SELECT value,
+       |    ${EventTypes.map(t => s"c_$t").mkString(", ")},
+       |    $fCums
+       |  FROM g),
+       |t AS (SELECT $nTots FROM g),
+       |m AS (
+       |  SELECT
+       |    $pairSums
+       |  FROM f, t)
+       |$unions
+       |ORDER BY type_a, type_b""".stripMargin
+  }
 }

@@ -188,8 +188,10 @@ class Round16bSpec extends AnyFunSuite {
       "admitted volume is monotone in the threshold")
   }
 
-  test("dp_noisy_counts: noise is reproducible, zero-mean-ish, and never degenerate") {
-    val rows = graft.etl.QualityChecks.dpNoisyCounts(spark, sf01).collect()
+  test("dp mechanism: noise is reproducible, zero-mean-ish, and never degenerate;" +
+      " the release projects it away") {
+    // the audit face carries the raw count and noise (round 17 split)
+    val rows = graft.etl.QualityChecks.dpReleaseAudit(spark, sf01).collect()
     assert(rows.length == 20)
     rows.foreach { r =>
       val noise = r.getAs[Double]("noise")
@@ -200,9 +202,12 @@ class Round16bSpec extends AnyFunSuite {
     // Laplace(1) has ~50/50 sign split; 20 seeded draws shouldn't all agree
     val pos = rows.count(_.getAs[Double]("noise") > 0)
     assert(pos > 0 && pos < 20, "seeded noise must carry both signs across sources")
-    // determinism: a second run reproduces the release bit for bit
-    val again = graft.etl.QualityChecks.dpNoisyCounts(spark, sf01).collect()
+    // determinism: a second run reproduces the audit bit for bit
+    val again = graft.etl.QualityChecks.dpReleaseAudit(spark, sf01).collect()
       .map(_.getAs[Double]("noise"))
     assert(rows.map(_.getAs[Double]("noise")).sameElements(again))
+    // the RELEASE face must expose neither the raw count nor the noise
+    val rel = graft.etl.QualityChecks.dpNoisyCounts(spark, sf01)
+    assert(rel.columns.sorted.sameElements(Array("epsilon", "noisy_count", "source")))
   }
 }
