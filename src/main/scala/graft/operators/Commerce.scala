@@ -2429,4 +2429,116 @@ object Commerce {
        |  CASE WHEN (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE)) * (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
        |    / CAST(va AS DOUBLE) > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS significant
        |FROM agg""".stripMargin
+
+  // ------------------------------------------------------ bass_diffusion_fit
+
+  // exact BIGINT moments cast bigint→double (correctly rounded on both
+  // engines at any magnitude — the int128→double 1-ulp trap is why the
+  // DECIMAL sums are cast THROUGH BIGINT first)
+  private def bassD(x: String): String = s"CAST(CAST($x AS BIGINT) AS DOUBLE)"
+  private val BassN = "CAST(n AS DOUBLE)"
+  private val BassDet =
+    s"($BassN*(${bassD("sx2")}*${bassD("sx4")} - ${bassD("sx3")}*${bassD("sx3")})" +
+      s" - ${bassD("sx")}*(${bassD("sx")}*${bassD("sx4")} - ${bassD("sx3")}*${bassD("sx2")})" +
+      s" + ${bassD("sx2")}*(${bassD("sx")}*${bassD("sx3")} - ${bassD("sx2")}*${bassD("sx2")}))"
+  private val BassDetA = // intercept numerator: column 0 ← X'Y
+    s"(${bassD("sy")}*(${bassD("sx2")}*${bassD("sx4")} - ${bassD("sx3")}*${bassD("sx3")})" +
+      s" - ${bassD("sx")}*(${bassD("sxy")}*${bassD("sx4")} - ${bassD("sx3")}*${bassD("sx2y")})" +
+      s" + ${bassD("sx2")}*(${bassD("sxy")}*${bassD("sx3")} - ${bassD("sx2")}*${bassD("sx2y")}))"
+  private val BassDetB = // linear numerator: column 1 ← X'Y
+    s"($BassN*(${bassD("sxy")}*${bassD("sx4")} - ${bassD("sx3")}*${bassD("sx2y")})" +
+      s" - ${bassD("sy")}*(${bassD("sx")}*${bassD("sx4")} - ${bassD("sx3")}*${bassD("sx2")})" +
+      s" + ${bassD("sx2")}*(${bassD("sx")}*${bassD("sx2y")} - ${bassD("sxy")}*${bassD("sx2")}))"
+  private val BassDetC = // quadratic numerator: column 2 ← X'Y
+    s"($BassN*(${bassD("sx2")}*${bassD("sx2y")} - ${bassD("sxy")}*${bassD("sx3")})" +
+      s" - ${bassD("sx")}*(${bassD("sx")}*${bassD("sx2y")} - ${bassD("sxy")}*${bassD("sx2")})" +
+      s" + ${bassD("sy")}*(${bassD("sx")}*${bassD("sx3")} - ${bassD("sx2")}*${bassD("sx2")}))"
+
+  /** Bass diffusion fit over the customer adoption curve: regress
+    * monthly NEW adopters S(t) on the cumulative adoption fraction
+    * F(t−1) and F(t−1)² (the discrete Bass identity S = m·p +
+    * (q−p)·N − (q/m)·N², in fraction form so the regressor lives on
+    * a fixed 10⁴ grid at ANY corpus size) and map the OLS
+    * coefficients back to the innovation rate p̂ = a/m and imitation
+    * rate q̂ = −c·10⁸/m — the launch-forecasting primitive behind
+    * `new_product_adoption`'s descriptive curve (that query reports
+    * adoption; this one fits WHY it bends: externals vs word of
+    * mouth). First order month per customer = adoption event; m =
+    * total observed adopters (the market-is-observed convention,
+    * stated). The 3×3 normal equations solve by Cramer's rule over
+    * exact integer moments ([[BassDet]] — the adf_test pattern); the
+    * fraction grid caps every per-row product at 10¹⁶ so the DECIMAL
+    * sums pass through BIGINT exactly at any replica scale.
+    *
+    * Scale shape: one orders scan → min-month per customer (partial
+    * agg) → calendar-bounded monthly frame; the cumulative window,
+    * the moment aggregate, and the Cramer solve all run on ≤ months
+    * rows.
+    */
+  def bassDiffusionFit(spark: SparkSession, dir: String): DataFrame = {
+    val first = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(min(expr("year(o_orderdate) * 100 + month(o_orderdate)")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("s"))
+    val wm = Window.orderBy("m")
+    val cum = first
+      .withColumn("cumn", sum(col("s")).over(wm))
+      .withColumn("np", lag(col("cumn"), 1).over(wm))
+      .withColumn("mtot", sum(col("s")).over(Window.partitionBy()))
+      .filter(col("np").isNotNull)
+      .select(col("s").as("y"),
+        expr("(np * 10000) div mtot").as("x"), col("mtot"))
+    cum.agg(
+        count(lit(1)).as("n"), max(col("mtot")).as("m_adopters"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sx2"),
+        sum(expr("CAST(x * x * x AS DECIMAL(38,0))")).as("sx3"),
+        sum(expr("CAST(x * x * x * x AS DECIMAL(38,0))")).as("sx4"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(x * x * y AS DECIMAL(38,0))")).as("sx2y"))
+      .selectExpr("CAST(n AS BIGINT) AS n_months",
+        "CAST(m_adopters AS BIGINT) AS m_adopters",
+        s"$BassDetA / $BassDet AS coef_a",
+        s"$BassDetB / $BassDet AS coef_b",
+        s"$BassDetC / $BassDet AS coef_c",
+        s"($BassDetA / $BassDet) / CAST(m_adopters AS DOUBLE) AS p_hat",
+        s"(CAST(0 AS DOUBLE) - ($BassDetC / $BassDet))" +
+          s" * CAST(100000000 AS DOUBLE) / CAST(m_adopters AS DOUBLE) AS q_hat")
+  }
+
+  val bassDiffusionFitSql: String =
+    s"""WITH first AS (
+       |  SELECT m, count(*) AS s FROM (
+       |    SELECT o_custkey, min(year(o_orderdate) * 100 + month(o_orderdate)) AS m
+       |    FROM orders GROUP BY 1) z
+       |  GROUP BY 1),
+       |cum0 AS (
+       |  SELECT s, m,
+       |    sum(s) OVER (ORDER BY m) AS cumn,
+       |    sum(s) OVER () AS mtot
+       |  FROM first),
+       |cum AS (
+       |  SELECT s, m, mtot, lag(cumn) OVER (ORDER BY m) AS np FROM cum0),
+       |x AS (
+       |  SELECT s AS y, (np * 10000) // mtot AS x, mtot
+       |  FROM cum WHERE np IS NOT NULL),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(mtot) AS BIGINT) AS m_adopters,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(x * x AS DECIMAL(38,0))) AS sx2,
+       |    sum(CAST(x * x * x AS DECIMAL(38,0))) AS sx3,
+       |    sum(CAST(x * x * x * x AS DECIMAL(38,0))) AS sx4,
+       |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+       |    sum(CAST(x * x * y AS DECIMAL(38,0))) AS sx2y
+       |  FROM x)
+       |SELECT n AS n_months, m_adopters,
+       |  $BassDetA / $BassDet AS coef_a,
+       |  $BassDetB / $BassDet AS coef_b,
+       |  $BassDetC / $BassDet AS coef_c,
+       |  ($BassDetA / $BassDet) / CAST(m_adopters AS DOUBLE) AS p_hat,
+       |  (CAST(0 AS DOUBLE) - ($BassDetC / $BassDet))
+       |    * CAST(100000000 AS DOUBLE) / CAST(m_adopters AS DOUBLE) AS q_hat
+       |FROM agg""".stripMargin
 }

@@ -503,7 +503,9 @@ object Graph {
     "graph_modularity", "community_louvain", "degree_assortativity",
     "link_prediction_resource_alloc", "rich_club_coefficient",
     "hub_closeness_profile", "adamic_adar_links", "betweenness_sample",
-    "graph_eccentricity_sample")
+    "graph_eccentricity_sample",
+    // round 17: the 4-cycle census reuses the same wedge machinery
+    "four_cycle_count")
 
   private def supportEdges(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
@@ -2465,4 +2467,165 @@ object Graph {
        |SELECT node, r AS katz_q6 FROM k$KatzIters
        |ORDER BY katz_q6 DESC, node LIMIT $KatzTopK""".stripMargin
   }
+
+  // ------------------------------------------------- personalized_pagerank
+
+  /** Top-20 supplier affinity by personalized PageRank (random walk
+    * with restart) from a single seed customer — the recommendation
+    * face of [[pagerankTopk]]: global PageRank asks "who is central",
+    * PPR asks "who is central RELATIVE TO this customer". Seed = the
+    * lowest-custkey customer in the graph (deterministic); teleport
+    * mass restarts AT THE SEED instead of spreading 0.15/N, so rank
+    * concentrates in the seed's purchase neighborhood and 2-hop
+    * co-purchase affinity ranks suppliers the seed never bought from.
+    * Same exact-integer grid as PageRank (rank on the 10¹² grid,
+    * per-edge floor division by out-degree, floor(0.85·x) damping) —
+    * the oracle replays all 5 iterations as unrolled CTEs, including
+    * the union row that injects the seed's restart mass.
+    *
+    * Scale shape: the state frame starts at ONE row and grows with
+    * the reachable set, so early iterations broadcast a tiny frame;
+    * the same [[BroadcastNodeCap]] switch as PageRank co-partitions
+    * the join once the state could rival the edge list. The damped
+    * floor keeps abandoned branches at rank 0 (never re-emitted), so
+    * state stays sparse on power-law graphs — the property that makes
+    * PPR the scalable personalization primitive (one seed's state
+    * visits its neighborhood, not the graph).
+    */
+  def personalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val raw = custSuppEdges(spark, dir).cache()
+    val deg = raw.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    val copartition = n > BroadcastNodeCap
+    val edgesFlat = raw
+      .join(deg.toDF("src", "deg_src"), "src")
+      .select(col("src"), col("dst"), col("deg_src"))
+    val edges = (if (copartition) edgesFlat.repartition(col("src")) else edgesFlat)
+      .cache()
+    edges.count()
+    raw.unpersist()
+    // ONE scalar (the seed id) crosses the driver — the pagerank-N
+    // convention; everything else stays distributed
+    val seed = edges.agg(min(when(col("src") % 2 === 0, col("src")))).collect()(0).getLong(0)
+    val tc = expr(
+      s"CAST(floor(CAST(0.15 AS DOUBLE) * CAST($Scale AS DOUBLE)) AS BIGINT)")
+    val sess = spark
+    import sess.implicits._
+    val seedRow = Seq(seed).toDF("node").select(col("node"), tc.as("r"))
+    var state = Seq(seed).toDF("node").select(col("node"), lit(Scale).as("r")).cache()
+    for (_ <- 1 to Iters) {
+      val stateSide = if (copartition) state else broadcast(state)
+      val next = edges
+        .join(stateSide, edges("src") === state("node"))
+        .select(col("dst"), expr("r div deg_src").as("cm"))
+        .groupBy(col("dst"))
+        .agg(sum(col("cm")).as("contrib"))
+        .select(col("dst").as("node"),
+          expr("CAST(floor(CAST(0.85 AS DOUBLE) * CAST(contrib AS DOUBLE)) AS BIGINT)").as("r"))
+        .unionByName(seedRow)
+        .groupBy(col("node")).agg(sum(col("r")).as("r"))
+        .cache()
+      next.count()
+      state.unpersist()
+      state = next
+    }
+    edges.unpersist()
+    graft.core.OwnedCaches.own(state)
+    state.filter(col("node") % 2 === 1)
+      .select(expr("(node - 1) div 2").as("supp_key"), col("r").as("rank_q12"))
+      .orderBy(col("rank_q12").desc, col("supp_key"))
+      .limit(TopK)
+  }
+
+  val personalizedPagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT node, sum(r) AS r FROM (
+         |    SELECT e.dst AS node,
+         |      CAST(floor(CAST(0.85 AS DOUBLE) * CAST(sum($prev.r // deg.deg) AS DOUBLE)) AS BIGINT) AS r
+         |    FROM edges e JOIN $prev ON $prev.node = e.src JOIN deg ON deg.node = e.src
+         |    GROUP BY e.dst
+         |    UNION ALL
+         |    SELECT s AS node,
+         |      CAST(floor(CAST(0.15 AS DOUBLE) * CAST($Scale AS DOUBLE)) AS BIGINT) AS r
+         |    FROM seed
+         |  ) u GROUP BY node)""".stripMargin
+    val iters = (1 to Iters).map(i => iter(s"p${i - 1}", s"p$i")).mkString(",\n")
+    s"""WITH $CustSuppEdgesCte,
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |seed AS (SELECT min(c) AS s FROM pairs),
+       |p0 AS (SELECT s AS node, CAST($Scale AS BIGINT) AS r FROM seed),
+       |$iters
+       |SELECT (node - 1) // 2 AS supp_key, CAST(r AS BIGINT) AS rank_q12
+       |FROM p$Iters WHERE node % 2 = 1
+       |ORDER BY rank_q12 DESC, supp_key LIMIT $TopK""".stripMargin
+  }
+
+  // ------------------------------------------------------ four_cycle_count
+
+  /** Exact 4-cycle census of the co-purchase product graph — the
+    * bipartite-style motif that [[triangleCount]] misses (triangles
+    * measure direct clustering; 4-cycles measure SHARED-NEIGHBORHOOD
+    * redundancy, the "two products bridged by two distinct baskets"
+    * pattern that dominates purchase graphs). Identity: each 4-cycle
+    * has exactly two diagonals, so C₄ = ½·Σ_{a<b} C(codeg(a,b), 2)
+    * over all vertex pairs with codeg ≥ 2 — computed from the same
+    * common-neighbor (wedge) aggregation [[linkPredictionJaccard]]
+    * ranks, all exact integers (the pair sum is even by the identity,
+    * so the final floor-halving is exact division).
+    *
+    * Scale shape: wedge volume is Σ_w deg(w)², the link-prediction
+    * bound — the support threshold keeps the graph affinity-sparse,
+    * and a production run over a hub-heavy graph takes the same
+    * degree-cap mitigation as the link predictors (drop w above a
+    * degree ceiling: hubs contribute noise wedges, not affinity).
+    * One edge-list pass for degrees, one self-join for wedges, one
+    * single-row aggregate out.
+    */
+  def fourCycleCount(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+    val cached = graft.core.OwnedCaches.own(edges.cache())
+    val codeg = cached.select(col("src").as("w"), col("dst").as("a"))
+      .join(cached.select(col("src").as("w2"), col("dst").as("b")),
+        col("w") === col("w2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    val cyc = codeg.agg(
+      count(lit(1)).as("wedge_pairs"),
+      sum(expr("common * (common - 1) div 2")).as("cyc2"))
+    val nNodes = cached.select(col("src")).distinct().agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    cyc.crossJoin(broadcast(nNodes)).crossJoin(broadcast(nEdges))
+      .select(col("n_nodes"), col("n_edges"),
+        col("wedge_pairs"),
+        expr("CAST(cyc2 div 2 AS BIGINT)").as("four_cycles"))
+  }
+
+  val fourCycleCountSql: String =
+    s"""WITH b AS (
+       |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+       |  FROM lineitem GROUP BY 1),
+       |pr AS (
+       |  SELECT u1.p1, u2.p2
+       |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+       |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+       |  WHERE u1.p1 < u2.p2),
+       |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+       |      UNION ALL SELECT p2, p1 FROM e0),
+       |w AS (
+       |  SELECT x.dst AS a, y.dst AS b, count(*) AS common
+       |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS wedge_pairs,
+       |    sum(common * (common - 1) // 2) AS cyc2
+       |  FROM w),
+       |nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes FROM e),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
+       |SELECT n_nodes, n_edges, wedge_pairs,
+       |  CAST(cyc2 // 2 AS BIGINT) AS four_cycles
+       |FROM c, nn, ne""".stripMargin
 }

@@ -2918,4 +2918,139 @@ object TextAnalysis {
        |    ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
        |FROM cm ORDER BY threshold""".stripMargin
   }
+
+  // ------------------------------------------------------------ ttr_by_source
+
+  /** Lexical diversity per source, both grains at once: the corpus
+    * type-token ratio (vocab / tokens — [[heapsLawCurve]]'s endpoint,
+    * size-confounded by design) and the MEAN per-document TTR (the
+    * size-robust diversity readout curation actually thresholds on:
+    * a source of short varied docs and a source of long repetitive
+    * ones can share a corpus TTR while their doc-level means
+    * separate). Complements [[hapaxRatio]] (singleton share of the
+    * vocabulary) with the share-of-use view. Per-doc ratios are
+    * rounded to 9 decimals into DECIMAL before the mean (the
+    * rounded-parity convention — a per-source sum of raw doubles has
+    * no canonical order).
+    *
+    * Scale shape: one token explode feeds two partial-agg groupBys
+    * ((source, doc) and (source, term)); everything after runs on
+    * source-bounded frames.
+    */
+  def ttrBySource(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"),
+        explode(filter(split(col("text"), " +"), t => length(t) > 0)).as("term"))
+    val perDoc = tok.groupBy(col("source"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("v"), count(lit(1)).as("nt"))
+      .withColumn("ttr9",
+        expr("CAST(round(CAST(v AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS DECIMAL(18,9))"))
+    val docAgg = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ttr9")).as("sttr"))
+    val srcAgg = tok.groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("vocab_size"), count(lit(1)).as("n_tokens"))
+    docAgg.join(srcAgg, "source")
+      .select(col("source"), col("n_docs"), col("vocab_size"), col("n_tokens"),
+        expr("CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE)").as("source_ttr"),
+        expr("CAST(sttr AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("mean_doc_ttr"))
+      .orderBy("source")
+  }
+
+  val ttrBySourceSql: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id, unnest(list_filter(string_split_regex(text, ' +'),
+      |    x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |per_doc AS (
+      |  SELECT source, doc_id, count(DISTINCT term) AS v, count(*) AS nt
+      |  FROM tok GROUP BY 1, 2),
+      |pd9 AS (
+      |  SELECT source,
+      |    CAST(round(CAST(v AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS DECIMAL(18,9)) AS ttr9
+      |  FROM per_doc),
+      |da AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, sum(ttr9) AS sttr
+      |  FROM pd9 GROUP BY 1),
+      |sa AS (
+      |  SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS vocab_size,
+      |    CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM tok GROUP BY 1)
+      |SELECT source, n_docs, vocab_size, n_tokens,
+      |  CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS source_ttr,
+      |  CAST(sttr AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_ttr
+      |FROM da JOIN sa USING (source)
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- kl_vs_corpus_by_source
+
+  /** Per-source unigram KL divergence from the corpus mix:
+    * KL(p_source ‖ p_corpus) = Σ_t p(t|s)·ln(p(t|s)/p(t)) — the
+    * single-number "how far does this source's vocabulary usage sit
+    * from the blend" that ranks sources for mixture reweighting
+    * (the one-vs-corpus companion of `source_divergence_matrix`'s
+    * pairwise table, and the quantity DSIR-style importance weights
+    * exponentiate). Every term ratio is an exact-integer cross ratio
+    * (tf_s·N)/(tf·N_s) fed to the shared ExactLn chain; per-term
+    * contributions are rounded to 12 decimals into DECIMAL and
+    * summed exactly (the rounded-parity convention). KL ≥ 0 with
+    * equality iff the source matches the blend; no smoothing is
+    * needed because every source term occurs in the corpus by
+    * construction.
+    *
+    * Scale shape: one (source, term) partial-agg pass, a broadcast
+    * corpus-total join keyed on term, and a source-bounded final
+    * aggregate. Vocabulary-bounded, not corpus-bounded, after the
+    * first shuffle.
+    */
+  def klVsCorpusBySource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val tok = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(filter(split(col("text"), " +"), t => length(t) > 0)).as("term"))
+    val terms = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val nsrc = terms.groupBy(col("source")).agg(sum(col("tf")).as("ns"))
+    val corpus = terms.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val nn = corpus.agg(sum(col("ctf")).as("nn"))
+    terms.join(nsrc, "source").join(corpus, "term").crossJoin(broadcast(nn))
+      .withColumn("ratio",
+        expr("CAST(tf * nn AS DOUBLE) / CAST(ctf * ns AS DOUBLE)"))
+      .withColumn("__ky", expr(ExactLn.yExpr("ratio")))
+      .withColumn("__kz", expr(ExactLn.zExpr("__ky")))
+      .withColumn("contrib", expr(
+        s"CAST(round((CAST(tf AS DOUBLE) / CAST(ns AS DOUBLE)) * (${ExactLn.lnExpr("__kz")}), 12) AS DECIMAL(18,12))"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), max(col("ns")).as("n_tokens"),
+        sum(col("contrib")).as("klsum"))
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        expr("CAST(klsum AS DOUBLE)").as("kl_nats"))
+      .orderBy("source")
+  }
+
+  lazy val klVsCorpusBySourceSql: String = {
+    import graft.functions.ExactLn
+    s"""WITH tok AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(text, ' +'),
+       |    x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |terms AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |nsrc AS (SELECT source, CAST(sum(tf) AS BIGINT) AS ns FROM terms GROUP BY 1),
+       |corpus AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM terms GROUP BY 1),
+       |nnt AS (SELECT CAST(sum(ctf) AS BIGINT) AS nn FROM corpus),
+       |r AS (
+       |  SELECT t.source, t.tf, s.ns,
+       |    CAST(t.tf * nnt.nn AS DOUBLE) / CAST(c.ctf * s.ns AS DOUBLE) AS ratio
+       |  FROM terms t JOIN nsrc s USING (source) JOIN corpus c USING (term), nnt),
+       |y1 AS (SELECT *, ${ExactLn.yExpr("ratio")} AS __ky FROM r),
+       |z1 AS (SELECT *, ${ExactLn.zExpr("__ky")} AS __kz FROM y1),
+       |cb AS (
+       |  SELECT source, ns,
+       |    CAST(round((CAST(tf AS DOUBLE) / CAST(ns AS DOUBLE)) * (${ExactLn.lnExpr("__kz")}), 12) AS DECIMAL(18,12)) AS contrib
+       |  FROM z1)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(max(ns) AS BIGINT) AS n_tokens,
+       |  CAST(sum(contrib) AS DOUBLE) AS kl_nats
+       |FROM cb GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -43,8 +43,15 @@ object RouteRecall {
     assign.count(); probes.count(); ring.foreach(_.count())
     val tAssign = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
+    // cached + materialized ONCE: the verified pair set is survivor-
+    // sized (~near-dup count), but its lineage is the full cell scan —
+    // recomputing it for the volume count after the recall compare
+    // doubled the live shuffle footprint and ran a 100×-replica probe
+    // out of disk (two full scans' shuffle files coexist until job GC)
     val cand = Ann.cellPairScan(assign, probes, q, nVec, ring)
       .select(col("vec_a"), col("vec_b")).withColumn("hit", lit(1L))
+      .cache()
+    val candTotal = cand.count()
     graft.functions.DotProduct.register(spark)
     graft.functions.UnitVector.register(spark)
     val e = graft.core.Tables(spark, dir).embeddings
@@ -66,7 +73,6 @@ object RouteRecall {
       println(f"""{"mode":"$mode","bucket":${r.getAs[Int]("bucket")},"n_true":$nt,"n_hit":$nh,"recall":${nh.toDouble / nt}%.4f}""")
     }
     // candidate volume: the linear-cost claim is MEASURED, not assumed
-    val candTotal = cand.count()
     println(f"""{"mode":"$mode","corpus":$nVec,"k":${Ann.kmKFor(nVec)},"assign_secs":$tAssign%.2f,"scan_secs":$tScan%.2f,"cand_pairs":$candTotal,"probe_rows":${probes.count()},"ring_pairs":${ring.map(_.count()).getOrElse(0L)}}""")
     // miss attribution (hier only, round 17, VERDICT r16 #2): for each
     // missed truth pair, is the partner's HOME cell inside the probing
