@@ -1658,12 +1658,20 @@ object Ann {
     val withRing = ring match {
       case None => base
       case Some(rp) =>
-        val extra = verified(rp
-          .join(qn.select(col("vec_id").as("va"),
-            col("qv").as("qa"), col("nrm").as("na")), "va")
-          .join(qn.select(col("vec_id").as("vb"),
-            col("qv").as("qb"), col("nrm").as("nb")), "vb"))
-        base.unionByName(extra)
+        // the ring's vector fetch keys on vec_id with the SURVIVOR set
+        // on the probe side — below the cap the corpus side broadcasts
+        // (BroadcastHashJoin streams the ring rows; a sort-merge join
+        // here sorts the ring side TWICE, which at a 100×-replica probe
+        // was hundreds of millions of rows of pure spill), above it the
+        // ring side shuffles exactly like the cell join
+        val qa = qn.select(col("vec_id").as("va"),
+          col("qv").as("qa"), col("nrm").as("na"))
+        val qb = qn.select(col("vec_id").as("vb"),
+          col("qv").as("qb"), col("nrm").as("nb"))
+        val fetched =
+          if (nVec <= KnnBroadcastCap) rp.join(broadcast(qa), "va").join(broadcast(qb), "vb")
+          else rp.join(qa, "va").join(qb, "vb")
+        base.unionByName(verified(fetched))
     }
     withRing.distinct()
   }
@@ -2187,9 +2195,14 @@ object Ann {
       .unionByName(side(probes.filter(!col("new_a")), residents.filter(col("new_b")))
         .select(col("vb").as("nid"), col("va").as("oid")))
     val spanning = ringSpan.fold(cellSpan)(cellSpan.unionByName(_)).distinct()
-    val dups = spanning
-      .join(qn.select(col("vec_id").as("nid"), col("qv").as("qa"), col("nrm").as("na")), "nid")
-      .join(qn.select(col("vec_id").as("oid"), col("qv").as("qb"), col("nrm").as("nb")), "oid")
+    // vector fetch: broadcast the corpus side below the cap (the
+    // cellPairScan ring rule — a sort-merge join here sorts the
+    // spanning-pair side, candidate-sized, for no reason)
+    val qna = qn.select(col("vec_id").as("nid"), col("qv").as("qa"), col("nrm").as("na"))
+    val qnb = qn.select(col("vec_id").as("oid"), col("qv").as("qb"), col("nrm").as("nb"))
+    val dups = (if (nVec <= KnnBroadcastCap)
+        spanning.join(broadcast(qna), "nid").join(broadcast(qnb), "oid")
+      else spanning.join(qna, "nid").join(qnb, "oid"))
       .filter(col("na") * col("nb") > 0)
       .filter(call_function("graft_dot", col("qa"), col("qb")) /
         (col("na") * col("nb")) >= DupThreshold)

@@ -8320,4 +8320,138 @@ object Stats {
        |$unions
        |ORDER BY type_a, type_b""".stripMargin
   }
+
+  // ------------------------------------------------------------ brunner_munzel
+
+  /** Per-pair Brunner–Munzel pieces over the doubled-rank sums: the
+    * relative effect p̂ = P(X_b > X_a) + ½P(=), the rank-variance
+    * terms, and the studentized statistic (the lawstat
+    * `brunner.munzel.test` formulation) — one text per pair for both
+    * engines.
+    */
+  private def bmExprs(a: String, b: String): (String, String, String) = {
+    // the sum columns are keyed by the pair tag; the COUNT columns by
+    // the bare type name (they come off the shared totals row)
+    def mean(g: String) = {
+      val tag = s"${g}_in_${a}_$b"
+      s"(CAST(src_$tag AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_$g AS DOUBLE)))"
+    }
+    def v(g: String) = {
+      val tag = s"${g}_in_${a}_$b"
+      s"((CAST(sd2_$tag AS DOUBLE) - CAST(sd_$tag AS DOUBLE) * CAST(sd_$tag AS DOUBLE) / CAST(n_$g AS DOUBLE))" +
+        s" / (CAST(4 AS DOUBLE) * CAST(n_$g - 1 AS DOUBLE)))"
+    }
+    val phat =
+      s"((${mean(b)} - (CAST(n_$b AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE))" +
+        s" / CAST(n_$a AS DOUBLE))"
+    val stat =
+      s"(CAST(n_$a AS DOUBLE) * CAST(n_$b AS DOUBLE)" +
+        s" * (${mean(b)} - ${mean(a)})" +
+        s" / ((CAST(n_$a AS DOUBLE) + CAST(n_$b AS DOUBLE))" +
+        s" * sqrt(CAST(n_$a AS DOUBLE) * ${v(a)}" +
+        s" + CAST(n_$b AS DOUBLE) * ${v(b)})))"
+    (phat, stat, mean(a))
+  }
+
+  /** Brunner–Munzel test for every event-type pair over the `value`
+    * distribution — the heteroscedasticity-robust replacement for
+    * [[mannWhitney]] (MW assumes equal shapes under H₀; BM
+    * studentizes the rank means with per-group rank variances, the
+    * recommended default when spreads differ). Everything reduces to
+    * the one value-grid pass: for a member at value v, the COMBINED
+    * doubled midrank 2R = 2(F_a⁻+F_b⁻) + c_a+c_b + 1 and the
+    * WITHIN-group doubled midrank 2R_w = 2F_g⁻ + c_g + 1 come off the
+    * same cumulative columns, so the group rank means and the
+    * placement variances (of R − R_w, the standard BM device) are
+    * exact-integer conditional sums (DECIMAL(38,0) — Σc·d² crosses
+    * int64 past ~10⁶ rows per type) with one shared double expression
+    * per output column. Reports the relative effect
+    * p̂ = P(X_b > X_a) + ½P(X_b = X_a) and the studentized statistic.
+    *
+    * Scale shape: the [[ksTest]] shape — raw scan → bounded value
+    * grid → one aggregate; 10 pairs from one pass.
+    */
+  def brunnerMunzel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val cCols = EventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val grid = ev.groupBy(col("value")).agg(cCols.head, cCols.tail: _*)
+    val wv = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      (EventTypes.map(t => col(s"c_$t")) ++
+        EventTypes.map(t => sum(col(s"c_$t")).over(wv).as(s"f_$t"))): _*)
+    val nCols = EventTypes.map(t => sum(col(s"c_$t")).as(s"n_$t"))
+    val totals = grid.agg(nCols.head, nCols.tail: _*)
+    // per-pair per-row doubled midranks, then conditional exact sums
+    def r2c(a: String, b: String) =
+      s"(2 * ((f_$a - c_$a) + (f_$b - c_$b)) + c_$a + c_$b + 1)"
+    def r2w(g: String) = s"(2 * (f_$g - c_$g) + c_$g + 1)"
+    val pairCols = TypePairs.flatMap { case (a, b) =>
+      Seq(a, b).flatMap { g =>
+        val d = s"(${r2c(a, b)} - ${r2w(g)})"
+        val tag = s"${g}_in_${a}_$b"
+        Seq(
+          sum(expr(s"CAST(c_$g * ${r2c(a, b)} AS DECIMAL(38,0))")).as(s"src_$tag"),
+          sum(expr(s"CAST(c_$g * $d AS DECIMAL(38,0))")).as(s"sd_$tag"),
+          // c·d stays BIGINT, then ONE (19,0)×int multiply — width 37,
+          // exact on BOTH engines (a (38,0)×int product silently falls
+          // back to DOUBLE in DuckDB; see the round-11 width ledger)
+          sum(expr(s"CAST(c_$g * $d AS DECIMAL(19,0)) * $d")).as(s"sd2_$tag"))
+      }
+    }
+    val m = cum.agg(pairCols.head, pairCols.tail: _*).crossJoin(broadcast(totals))
+    val stackArgs = TypePairs.map { case (a, b) =>
+      val (phat, stat, _) = bmExprs(a, b)
+      s"'$a', '$b', CAST(n_$a AS BIGINT), CAST(n_$b AS BIGINT), $phat, $stat"
+    }.mkString(", ")
+    m.selectExpr(
+        s"stack(${TypePairs.size}, $stackArgs)" +
+          " AS (type_a, type_b, n_a, n_b, p_hat, bm_stat)")
+      .orderBy("type_a", "type_b")
+  }
+
+  lazy val brunnerMunzelSql: String = {
+    val cSums = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+      .mkString(",\n    ")
+    val fCums = EventTypes.map(t =>
+      s"sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$t")
+      .mkString(",\n    ")
+    val nTots = EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS n_$t").mkString(", ")
+    def r2c(a: String, b: String) =
+      s"(2 * ((f_$a - c_$a) + (f_$b - c_$b)) + c_$a + c_$b + 1)"
+    def r2w(g: String) = s"(2 * (f_$g - c_$g) + c_$g + 1)"
+    val pairSums = TypePairs.flatMap { case (a, b) =>
+      Seq(a, b).flatMap { g =>
+        val d = s"(${r2c(a, b)} - ${r2w(g)})"
+        val tag = s"${g}_in_${a}_$b"
+        Seq(
+          s"sum(CAST(c_$g * ${r2c(a, b)} AS DECIMAL(38,0))) AS src_$tag",
+          s"sum(CAST(c_$g * $d AS DECIMAL(38,0))) AS sd_$tag",
+          s"sum(CAST(c_$g * $d AS DECIMAL(19,0)) * $d) AS sd2_$tag")
+      }
+    }.mkString(",\n    ")
+    val unions = TypePairs.map { case (a, b) =>
+      val (phat, stat, _) = bmExprs(a, b)
+      s"SELECT '$a' AS type_a, '$b' AS type_b, CAST(n_$a AS BIGINT) AS n_a," +
+        s" CAST(n_$b AS BIGINT) AS n_b, $phat AS p_hat, $stat AS bm_stat FROM m, t"
+    }.mkString("\nUNION ALL ")
+    s"""WITH g AS (
+       |  SELECT value,
+       |    $cSums
+       |  FROM events GROUP BY value),
+       |f AS (
+       |  SELECT value,
+       |    ${EventTypes.map(t => s"c_$t").mkString(", ")},
+       |    $fCums
+       |  FROM g),
+       |t AS (SELECT $nTots FROM g),
+       |m AS (
+       |  SELECT
+       |    $pairSums
+       |  FROM f)
+       |$unions
+       |ORDER BY type_a, type_b""".stripMargin
+  }
 }

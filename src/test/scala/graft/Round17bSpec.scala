@@ -97,6 +97,21 @@ class Round17bSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("p_hat") - r.getAs[Double]("coef_a") / mtot) < 1e-12)
   }
 
+  test("brunner_munzel: relative effect is Cliff's delta re-expressed, p_hat in [0,1]") {
+    val Stats = graft.operators.Stats
+    val bm = Stats.brunnerMunzel(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("p_hat")).toMap
+    val cd = Stats.cliffDelta(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("delta")).toMap
+    assert(bm.size == 10)
+    bm.foreach { case (pair, p) =>
+      assert(p >= 0.0 && p <= 1.0, s"$pair relative effect in [0,1]")
+      // p̂ = P(X_b>X_a) + ½P(=) = (1 − δ_ab)/2 — two operators, one grid
+      assert(math.abs(p - (1.0 - cd(pair)) / 2.0) < 1e-9,
+        s"$pair BM relative effect must equal (1 - cliff delta)/2")
+    }
+  }
+
   test("ttr_by_source: ratios in range, vocabulary never exceeds token mass") {
     val rows = Text.ttrBySource(spark, sf01).collect()
     assert(rows.length == 20)
