@@ -1396,7 +1396,17 @@ object Ann {
     * hierarchy FORCED at test size.
     */
   private[graft] def hierCellFrames(spark: SparkSession, dir: String,
-      kOpt: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
+      kOpt: Option[Int] = None): (DataFrame, DataFrame, DataFrame) =
+    // production route (kOpt = None): occupancy-adaptive probe walk
+    // (round 18, VERDICT r17 #5 — `ann_adaptive_nprobe` promoted from
+    // audit to the routing decision). The forced-k face keeps the
+    // fixed width: it is the ORACLE-REPLAYED geometry (the four
+    // twolevel oracles bake the fixed-nprobe CTE), and the audit
+    // query stays the walk's own oracle.
+    hierCellFrames(spark, dir, kOpt, adaptive = kOpt.isEmpty)
+
+  private[graft] def hierCellFrames(spark: SparkSession, dir: String,
+      kOpt: Option[Int], adaptive: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val (q, nVec) = quantizedCorpus(spark, dir)
     val k = kOpt.getOrElse(kmKFor(nVec))
     val k2 = math.ceil(math.sqrt(k.toDouble)).toInt
@@ -1494,13 +1504,37 @@ object Ann {
         .withColumn("rk", row_number().over(wCell))
         .filter(col("rk") <= ringDepthFor(k))
     }
-    val probes = graft.core.SharedFrames.get(spark, s"ann.hier.probes.$keyTag", dir,
+    // the admission walk (adaptive face only): every pool cell tagged
+    // with whether the cumulative home-cell mass of the cells ranked
+    // BEFORE it stays under 4·⌈n/k⌉ — the `ann_adaptive_nprobe` rule.
+    // Skewed layouts stop in fewer, heavier probes; sparse ones walk
+    // deeper at the same admitted candidate mass — the trade a fixed
+    // nprobe cannot make, and the reason this is the production route.
+    // One shared frame because the probe set AND the boundary ring are
+    // its two complements (admitted / leftover pool).
+    val adaptTag = if (adaptive) s"$keyTag.adp" else keyTag
+    lazy val walkF = graft.core.SharedFrames.get(spark,
+        s"ann.hier.walk.$keyTag", dir, CellProbeConsumers) {
+      val target = 4L * ((nVec + k - 1) / k)
+      val occ = assign.groupBy(col("cl")).agg(count(lit(1)).as("mass"))
+      val wBefore = Window.partitionBy("va").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rankedF.join(occ, Seq("cl"), "left")
+        .select(col("va"), col("cl"), col("rk"),
+          coalesce(col("mass"), lit(0L)).as("mass"))
+        .withColumn("adm",
+          coalesce(sum(col("mass")).over(wBefore), lit(0L)) < lit(target))
+        .select(col("va"), col("cl"), col("adm"))
+    }
+    val probes = graft.core.SharedFrames.get(spark, s"ann.hier.probes.$adaptTag", dir,
       CellProbeConsumers) {
-      // corpus-scaled probe width (the recall knob — see nprobeFor);
-      // the SuperProbe·⌈k/k₂⌉ ranked pool is ≥ 4√k ≥ nprobe ≤ 16
-      // for every k > TwoLevelK
-      val ranked = rankedF.filter(col("rk") <= nprobeFor(k))
-        .select(col("va"), col("cl"))
+      // corpus-scaled probe width (the recall knob): the fixed face
+      // takes nprobeFor(k); the adaptive face admits by cumulative
+      // occupancy. Either way the SuperProbe·⌈k/k₂⌉ ranked pool is
+      // ≥ 4√k ≥ nprobe ≤ 16 for every k > TwoLevelK.
+      val ranked =
+        if (adaptive) walkF.filter(col("adm")).select(col("va"), col("cl"))
+        else rankedF.filter(col("rk") <= nprobeFor(k)).select(col("va"), col("cl"))
       // the HOME cell always rides along: in the flat quantizer the
       // rank-1 probe IS the home cell by construction, but here the
       // top-KnnProbe of the combined child ranking can exclude it (a
@@ -1517,7 +1551,7 @@ object Ann {
     // the build), shared by the near-dup scan and the incremental
     // admission so the iff-equivalence between them holds by
     // construction.
-    val ring = graft.core.SharedFrames.get(spark, s"ann.hier.ring.$keyTag", dir,
+    val ring = graft.core.SharedFrames.get(spark, s"ann.hier.ring.$adaptTag", dir,
       CellProbeConsumers) {
       val sig = graft.core.SharedFrames.get(spark, "ann.srpsig", dir,
         CellProbeConsumers) {
@@ -1527,7 +1561,11 @@ object Ann {
           .select(col("vec_id"), col("sg").getItem(0).as("s0"),
             col("sg").getItem(1).as("s1"))
       }
-      val l = rankedF.filter(col("rk") > nprobeFor(k))
+      // ring = the pool the probe stage did NOT admit (walk leftover
+      // on the adaptive face, rank > nprobe on the fixed face) — the
+      // two faces partition the same ranked pool either way
+      val l = (if (adaptive) walkF.filter(!col("adm"))
+               else rankedF.filter(col("rk") > nprobeFor(k)))
         .select(col("va"), col("cl"))
         .join(sig.select(col("vec_id").as("va"),
           col("s0").as("a0"), col("s1").as("a1")), "va")
@@ -1637,6 +1675,35 @@ object Ann {
     */
   private[graft] def cellPairScan(assigned: DataFrame, probes: DataFrame,
       q: DataFrame, nVec: Long, ring: Option[DataFrame] = None): DataFrame = {
+    val base = cellBaseVerified(assigned, probes, q, nVec)
+    (ring match {
+      case None => base
+      case Some(rp) => base.unionByName(ringVerified(rp, q, nVec))
+    }).distinct()
+  }
+
+  /** Exact micro-unit-cosine verify + canonicalize, shared by both
+    * candidate channels. NOT deduped — callers distinct() after the
+    * channel union so cross-channel duplicates collapse exactly
+    * (same inputs ⇒ same bit-identical sim on both channels).
+    */
+  private def pairVerify(cand: DataFrame): DataFrame = cand
+    .filter(col("va") =!= col("vb"))
+    .filter(col("na") * col("nb") > 0) // zero-norm gate (see semdedupPrune)
+    .withColumn("sim", call_function("graft_dot", col("qa"), col("qb")) /
+      (col("na") * col("nb")))
+    .filter(col("sim") >= DupThreshold)
+    .select(least(col("va"), col("vb")).as("vec_a"),
+      greatest(col("va"), col("vb")).as("vec_b"), col("sim"))
+
+  /** BASE channel: the nprobe-wide (probe × resident) cell equi-join,
+    * verified. Factored out of [[cellPairScan]] (VERDICT r17 #1) so
+    * `twolevel_ring_contribution` can compute it ONCE and derive both
+    * channels from it instead of paying the full equi-join twice.
+    * NOT deduped — see [[pairVerify]].
+    */
+  private[graft] def cellBaseVerified(assigned: DataFrame, probes: DataFrame,
+      q: DataFrame, nVec: Long): DataFrame = {
     val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
     val l = probes.join(qn.select(col("vec_id").as("va"),
       col("qv").as("qa"), col("nrm").as("na")), "va")
@@ -1646,34 +1713,28 @@ object Ann {
     val paired =
       if (nVec <= KnnBroadcastCap) l.join(broadcast(r), Seq("cl"))
       else l.join(r, Seq("cl"))
-    def verified(cand: DataFrame): DataFrame = cand
-      .filter(col("va") =!= col("vb"))
-      .filter(col("na") * col("nb") > 0) // zero-norm gate (see semdedupPrune)
-      .withColumn("sim", call_function("graft_dot", col("qa"), col("qb")) /
-        (col("na") * col("nb")))
-      .filter(col("sim") >= DupThreshold)
-      .select(least(col("va"), col("vb")).as("vec_a"),
-        greatest(col("va"), col("vb")).as("vec_b"), col("sim"))
-    val base = verified(paired)
-    val withRing = ring match {
-      case None => base
-      case Some(rp) =>
-        // the ring's vector fetch keys on vec_id with the SURVIVOR set
-        // on the probe side — below the cap the corpus side broadcasts
-        // (BroadcastHashJoin streams the ring rows; a sort-merge join
-        // here sorts the ring side TWICE, which at a 100×-replica probe
-        // was hundreds of millions of rows of pure spill), above it the
-        // ring side shuffles exactly like the cell join
-        val qa = qn.select(col("vec_id").as("va"),
-          col("qv").as("qa"), col("nrm").as("na"))
-        val qb = qn.select(col("vec_id").as("vb"),
-          col("qv").as("qb"), col("nrm").as("nb"))
-        val fetched =
-          if (nVec <= KnnBroadcastCap) rp.join(broadcast(qa), "va").join(broadcast(qb), "vb")
-          else rp.join(qa, "va").join(qb, "vb")
-        base.unionByName(verified(fetched))
-    }
-    withRing.distinct()
+    pairVerify(paired)
+  }
+
+  /** RING channel: the SRP-screened boundary pairs, vector-fetched and
+    * verified. The ring's vector fetch keys on vec_id with the
+    * SURVIVOR set on the probe side — below the cap the corpus side
+    * broadcasts (BroadcastHashJoin streams the ring rows; a sort-merge
+    * join here sorts the ring side TWICE, which at a 100×-replica
+    * probe was hundreds of millions of rows of pure spill), above it
+    * the ring side shuffles exactly like the cell join. NOT deduped —
+    * see [[pairVerify]].
+    */
+  private[graft] def ringVerified(rp: DataFrame, q: DataFrame, nVec: Long): DataFrame = {
+    val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
+    val qa = qn.select(col("vec_id").as("va"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val qb = qn.select(col("vec_id").as("vb"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val fetched =
+      if (nVec <= KnnBroadcastCap) rp.join(broadcast(qa), "va").join(broadcast(qb), "vb")
+      else rp.join(qa, "va").join(qb, "vb")
+    pairVerify(fetched)
   }
 
   /** [[cellNearDupPairs]] as a first-class query: every verified
@@ -2036,10 +2097,19 @@ object Ann {
   def twolevelRingContribution(spark: SparkSession, dir: String): DataFrame = {
     val (q, nVec) = quantizedCorpus(spark, dir)
     val (assign, probes, ring) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
-    val base = cellPairScan(assign, probes, q, nVec, None)
-    val all = cellPairScan(assign, probes, q, nVec, Some(ring))
-    val ringOnly = all.join(base.select(col("vec_a"), col("vec_b")),
-      Seq("vec_a", "vec_b"), "left_anti")
+    // VERDICT r17 #1: the base equi-join is the expensive channel and
+    // both output legs need it (as the base rows AND as the anti-join
+    // reference for ring_only) — verify it ONCE, cache the τ-survivor
+    // frame (near-dup-sized, not candidate-sized), and scan only the
+    // ring channel separately. ring_only = verified-ring \ base is
+    // set-identical to the old (base ∪ ring).distinct \ base because
+    // the verify gate is per-pair deterministic and bit-identical
+    // across channels.
+    val base = graft.core.OwnedCaches.own(
+      cellBaseVerified(assign, probes, q, nVec).distinct().cache())
+    val ringOnly = ringVerified(ring, q, nVec).distinct()
+      .join(base.select(col("vec_a"), col("vec_b")),
+        Seq("vec_a", "vec_b"), "left_anti")
     base.withColumn("channel", lit("base"))
       .unionByName(ringOnly.withColumn("channel", lit("ring_only")))
       .withColumn("bucket", expr("least(CAST(floor(sim * 10) AS INTEGER), 9)"))

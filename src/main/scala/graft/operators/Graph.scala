@@ -86,6 +86,7 @@ object Graph {
   private[graft] val KcorePerRowUs = 0.06
   private[graft] val LouvainPerRowUs = 0.08
   private[graft] val PagerankPerRowUs = 0.40
+  private[graft] val PprPerRowUs = 0.40 // ReplayCalibrate: see pprReplay
 
   /** Top-20 PageRank nodes. Node encoding: customer c → 2c,
     * supplier s → 2s+1 (disjoint integer id spaces, no string keys in
@@ -317,6 +318,45 @@ object Graph {
     r.iterator
   }
 
+  /** The single-task personalized-PageRank replay body (bit-identical
+    * to the distributed loop: inner-join semantics — only sources
+    * PRESENT in the state contribute, and a reached dst whose
+    * contributions all floor to 0 still gets its rank-0 row; long
+    * `div`, `floor(0.85·x)` on doubles, then the seed-union-sum that
+    * injects floor(0.15·Scale) restart mass). The seed (lowest even
+    * node = lowest custkey) is derived from the edge array inside the
+    * task, so this branch moves ZERO scalars through the driver.
+    * Factored out of the mapPartitions closure so ReplayCalibrate
+    * times the shipped code when sizing [[PprPerRowUs]].
+    */
+  private[graft] def pprReplay(es: Array[(Long, Long, Long)],
+      iters: Int, scale: Long): Iterator[(Long, Long)] = {
+    var seed = Long.MaxValue
+    es.foreach { case (src, _, _) => if (src % 2 == 0 && src < seed) seed = src }
+    val teleportC = math.floor(0.15 * scale.toDouble).toLong
+    var r = scala.collection.mutable.LongMap.empty[Long]
+    r.update(seed, scale)
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (src, dst, degSrc) =>
+        // inner join: absent sources contribute nothing AND create no
+        // dst row; a present source always creates the dst row, even
+        // when its floored share is 0 (the loop's join-then-groupBy).
+        // Ranks are non-negative by construction, so -1 is a safe
+        // absent sentinel (avoids an Option box per edge·iter).
+        val rv = r.getOrElse(src, -1L)
+        if (rv >= 0) contrib.update(dst, contrib.getOrElse(dst, 0L) + rv / degSrc)
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      contrib.foreach { case (node, c) =>
+        next.update(node, math.floor(0.85 * c.toDouble).toLong)
+      }
+      next.update(seed, next.getOrElse(seed, 0L) + teleportC)
+      r = next
+    }
+    r.iterator
+  }
+
   val pagerankTopkSql: String = {
     def iter(prev: String, cur: String): String =
       s"""$cur AS (SELECT e.dst AS node,
@@ -505,7 +545,9 @@ object Graph {
     "hub_closeness_profile", "adamic_adar_links", "betweenness_sample",
     "graph_eccentricity_sample",
     // round 17: the 4-cycle census reuses the same wedge machinery
-    "four_cycle_count")
+    "four_cycle_count",
+    // round 18: the degree-cap route's dropped-hub audit
+    "wedge_cap_audit")
 
   private def supportEdges(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
@@ -1098,19 +1140,52 @@ object Graph {
     * ONE divide, deterministic top-[[LinkPredTopK]].
     *
     * Scale shape: wedge volume is Σ deg² — the triangle/cooccur
-    * bound; existing edges leave via an equi anti-join. At 100 TB one
-    * caps hub degrees (sample neighborhoods) or sketches N(v) with
-    * minhash before the pair join — the dedup_minhash machinery.
+    * bound, held to n·cap² by the [[cappedWedgeFrame]] hub ceiling
+    * (identity below [[WedgeDegreeCap]]; dropped share audited by
+    * `wedge_cap_audit`); existing edges leave via an equi anti-join.
+    * The alternative at 100 TB is sketching N(v) with minhash before
+    * the pair join — the dedup_minhash machinery.
     */
+  /** Degree ceiling on the wedge CENTER w (round 18, VERDICT r17 #4):
+    * wedge volume is Σ_w deg(w)² — the bound every wedge consumer
+    * documents — and one hub product sitting in every basket makes
+    * that sum explode before the support threshold saves it (a
+    * degree-10⁶ hub alone is 10¹² wedge rows). The route drops
+    * centers above the ceiling BEFORE the self-join: a surviving
+    * center costs ≤ cap² wedges, so total work is bounded by
+    * n·cap² regardless of the degree tail — the winsorize/approx-
+    * gating pattern applied to graph wedges. Dropping (not sampling)
+    * is the right default for AFFINITY scores: a hub's wedges assert
+    * "everything co-occurs with everything", which is noise for
+    * link prediction and redundancy census alike — and the dropped
+    * share is observable per run via `wedge_cap_audit` before any
+    * pair join pays for it. Below the cap the route is the identity
+    * (Round18bSpec pins set equality; oracle dirs max out at degree
+    * ~13, so every oracle replays the uncapped join verbatim).
+    */
+  private[graft] val WedgeDegreeCap = 1024L
+
+  /** The shared wedge frame (w, a, b) over a symmetric cached edge
+    * frame, center-capped per [[WedgeDegreeCap]]. The hub set is at
+    * most 2m/cap nodes (Σdeg = 2m), so the anti-join broadcasts.
+    */
+  private[graft] def cappedWedgeFrame(cached: DataFrame,
+      cap: Long = WedgeDegreeCap): DataFrame = {
+    val hubs = cached.groupBy(col("src")).agg(count(lit(1)).as("degw"))
+      .filter(col("degw") > cap).select(col("src"))
+    val kept = cached.join(broadcast(hubs), Seq("src"), "left_anti")
+    kept.select(col("src").as("w"), col("dst").as("a"))
+      .join(kept.select(col("src").as("w2"), col("dst").as("b")),
+        col("w") === col("w2") && col("a") < col("b"))
+  }
+
   def linkPredictionJaccard(spark: SparkSession, dir: String): DataFrame = {
     val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
     val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
       .union(und.select(col("p2").as("src"), col("p1").as("dst")))
     val cached = graft.core.OwnedCaches.own(edges.cache())
     val deg = cached.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
-    val wedges = cached.select(col("src").as("w"), col("dst").as("a"))
-      .join(cached.select(col("src").as("w2"), col("dst").as("b")),
-        col("w") === col("w2") && col("a") < col("b"))
+    val wedges = cappedWedgeFrame(cached)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
     val nonEdges = wedges.join(und,
@@ -1871,9 +1946,7 @@ object Graph {
       .union(und.select(col("p2").as("src"), col("p1").as("dst")))
     val cached = graft.core.OwnedCaches.own(edges.cache())
     val deg = cached.groupBy(col("src").as("p")).agg(count(lit(1)).as("deg"))
-    val wedges = cached.select(col("src").as("w"), col("dst").as("a"))
-      .join(cached.select(col("src").as("w2"), col("dst").as("b")),
-        col("w") === col("w2") && col("a") < col("b"))
+    val wedges = cappedWedgeFrame(cached)
       .join(deg.select(col("p").as("wp"), col("deg").as("dw")),
         col("w") === col("wp"))
       .groupBy(col("a"), col("b"))
@@ -2206,9 +2279,7 @@ object Graph {
       .withColumn("__z", expr(AaZ))
       .withColumn("__ln", expr(AaLn))
       .select(col("p"), expr(AaContrib).as("aa_c"))
-    val wedges = cached.select(col("src").as("w"), col("dst").as("a"))
-      .join(cached.select(col("src").as("w2"), col("dst").as("b")),
-        col("w") === col("w2") && col("a") < col("b"))
+    val wedges = cappedWedgeFrame(cached)
       .join(deg.select(col("p").as("wp"), col("aa_c")), col("w") === col("wp"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"), sum(col("aa_c")).as("aa_d"))
@@ -2492,7 +2563,14 @@ object Graph {
     * PPR the scalable personalization primitive (one seed's state
     * visits its neighborhood, not the graph).
     */
-  def personalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+  def personalizedPagerank(spark: SparkSession, dir: String): DataFrame =
+    personalizedPagerank(spark, dir, forceLoop = false)
+
+  /** `forceLoop` pins the distributed-iteration branch for the
+    * branch-equality test (the [[pagerank]] convention).
+    */
+  private[graft] def personalizedPagerank(spark: SparkSession, dir: String,
+      forceLoop: Boolean): DataFrame = {
     val raw = custSuppEdges(spark, dir).cache()
     val deg = raw.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val n = deg.count()
@@ -2500,6 +2578,37 @@ object Graph {
     val edgesFlat = raw
       .join(deg.toDF("src", "deg_src"), "src")
       .select(col("src"), col("dst"), col("deg_src"))
+    // single-task branch (VERDICT r17 #3, the pagerank admission
+    // discipline): a one-seed walk's 5 iterations cost ~12 scheduled
+    // jobs in the loop below — for graphs under the MEASURED replay
+    // cap the whole walk is microseconds of arithmetic, so replay it
+    // in one task, bit-identical to the loop (same long div, same
+    // floor(0.85·x) on doubles, same seed-union-sum; the seed itself
+    // is derived INSIDE the task — no driver collect at all on this
+    // branch).
+    if (!forceLoop && n <= replayCap(PprPerRowUs, Iters)) {
+      val sess = spark
+      import sess.implicits._
+      val cachedEdges = graft.core.OwnedCaches.own(edgesFlat.cache())
+      val edgeCount = cachedEdges.count() // materializes the edge cache
+      raw.unpersist()
+      if (edgeCount <= replayCap(PprPerRowUs, Iters)) {
+        val iters = Iters; val sc = Scale
+        val ranked = cachedEdges
+          .select(col("src").cast("long"), col("dst").cast("long"),
+            col("deg_src").cast("long"))
+          .as[(Long, Long, Long)]
+          .repartition(1)
+          .mapPartitions(it => pprReplay(it.toArray, iters, sc))
+          .toDF("node", "r")
+        return ranked.filter(col("node") % 2 === 1)
+          .select(expr("(node - 1) div 2").as("supp_key"), col("r").as("rank_q12"))
+          .orderBy(col("rank_q12").desc, col("supp_key"))
+          .limit(TopK)
+      }
+      // dense small-n graph over the edge cap: fall through to the
+      // loop (the cache stays warm for its iterations)
+    }
     val edges = (if (copartition) edgesFlat.repartition(col("src")) else edgesFlat)
       .cache()
     edges.count()
@@ -2576,20 +2685,18 @@ object Graph {
     *
     * Scale shape: wedge volume is Σ_w deg(w)², the link-prediction
     * bound — the support threshold keeps the graph affinity-sparse,
-    * and a production run over a hub-heavy graph takes the same
-    * degree-cap mitigation as the link predictors (drop w above a
-    * degree ceiling: hubs contribute noise wedges, not affinity).
-    * One edge-list pass for degrees, one self-join for wedges, one
-    * single-row aggregate out.
+    * and the [[cappedWedgeFrame]] hub ceiling bounds the residue to
+    * n·cap² (identity below [[WedgeDegreeCap]]; hubs contribute
+    * noise wedges, not affinity — dropped share audited by
+    * `wedge_cap_audit`). One edge-list pass for degrees, one
+    * self-join for wedges, one single-row aggregate out.
     */
   def fourCycleCount(spark: SparkSession, dir: String): DataFrame = {
     val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
     val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
       .union(und.select(col("p2").as("src"), col("p1").as("dst")))
     val cached = graft.core.OwnedCaches.own(edges.cache())
-    val codeg = cached.select(col("src").as("w"), col("dst").as("a"))
-      .join(cached.select(col("src").as("w2"), col("dst").as("b")),
-        col("w") === col("w2") && col("a") < col("b"))
+    val codeg = cappedWedgeFrame(cached)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
     val cyc = codeg.agg(
@@ -2628,4 +2735,93 @@ object Graph {
        |SELECT n_nodes, n_edges, wedge_pairs,
        |  CAST(cyc2 // 2 AS BIGINT) AS four_cycles
        |FROM c, nn, ne""".stripMargin
+
+  // -------------------------------------------------------- wedge_cap_audit
+
+  /** Cap ladder for the dropped-hub audit: doubling ceilings up to
+    * the production [[WedgeDegreeCap]], so the audit carries real
+    * nonzero drop shares at ANY scale (tiny caps bind on the oracle
+    * graph, the production cap binds only on hub-heavy corpora) —
+    * a flat "0 dropped at cap 1024" row alone would hash green
+    * while saying nothing.
+    */
+  private[graft] val WedgeCapLadder: Seq[Long] = Seq(4L, 8L, 16L, 64L, WedgeDegreeCap)
+
+  /** Dropped-hub share of the [[cappedWedgeFrame]] degree-cap route,
+    * per ladder cap (round 18, VERDICT r17 #4): for each ceiling,
+    * how many wedge CENTERS exceed it and what fraction of the total
+    * wedge bound Σ_w deg(w)·(deg(w)−1)/2 their wedges carry — the
+    * number that says what the capped link predictors / 4-cycle
+    * census actually gave up, BEFORE any pair join pays for the
+    * survivors. The production-row invariant (`dropped_share` = 0 at
+    * [[WedgeDegreeCap]] on affinity-sparse graphs) is the license
+    * for the equality-below-cap route; a nonzero production row is
+    * the signal to inspect the hub products. All exact integers +
+    * one guarded divide.
+    *
+    * Scale shape: one degree aggregate over the shared support-edge
+    * frame, then a 5-literal spine of conditional sums — node-bounded,
+    * never wedge-bounded (the audit must stay cheaper than the work
+    * it gates).
+    */
+  def wedgeCapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val deg = und.select(col("p1").as("p"))
+      .union(und.select(col("p2").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val perCap = WedgeCapLadder.flatMap { c => Seq(
+      sum(when(col("deg") > c, 1L).otherwise(0L)).as(s"hubs_$c"),
+      sum(when(col("deg") > c, expr("deg * (deg - 1) div 2"))
+        .otherwise(lit(0L))).as(s"drop_$c"))
+    }
+    val aggCols = Seq(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("wb")) ++ perCap
+    val m = deg.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = WedgeCapLadder.map(c =>
+      s"CAST($c AS BIGINT), n_nodes, wb, hubs_$c, drop_$c").mkString(", ")
+    m.selectExpr(s"stack(${WedgeCapLadder.size}, $stackArgs)" +
+        " AS (cap, n_nodes, wedge_bound, n_hubs, wedge_bound_dropped)")
+      .selectExpr("cap", "n_nodes", "wedge_bound", "n_hubs",
+        "wedge_bound_dropped",
+        """CASE WHEN wedge_bound = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(wedge_bound_dropped AS DOUBLE) / CAST(wedge_bound AS DOUBLE)
+          |END AS dropped_share""".stripMargin)
+      .orderBy("cap")
+  }
+
+  val wedgeCapAuditSql: String = {
+    val unions = WedgeCapLadder.map(c =>
+      s"""SELECT CAST($c AS BIGINT) AS cap, n_nodes, wedge_bound,
+         |  CAST(hubs_$c AS BIGINT) AS n_hubs,
+         |  CAST(drop_$c AS BIGINT) AS wedge_bound_dropped,
+         |  CASE WHEN wedge_bound = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(drop_$c AS DOUBLE) / CAST(wedge_bound AS DOUBLE)
+         |  END AS dropped_share
+         |FROM m""".stripMargin).mkString("\nUNION ALL ")
+    val perCap = WedgeCapLadder.map(c =>
+      s"""sum(CASE WHEN deg > $c THEN 1 ELSE 0 END) AS hubs_$c,
+         |    sum(CASE WHEN deg > $c THEN deg * (deg - 1) // 2 ELSE 0 END) AS drop_$c""".stripMargin)
+      .mkString(",\n    ")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+       |  FROM lineitem GROUP BY 1),
+       |pr AS (
+       |  SELECT u1.p1, u2.p2
+       |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+       |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+       |  WHERE u1.p1 < u2.p2),
+       |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |d AS (
+       |  SELECT p, count(*) AS deg FROM (
+       |    SELECT p1 AS p FROM e0 UNION ALL SELECT p2 FROM e0) u
+       |  GROUP BY 1),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedge_bound,
+       |    $perCap
+       |  FROM d)
+       |$unions
+       |ORDER BY cap""".stripMargin
+  }
 }

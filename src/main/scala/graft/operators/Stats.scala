@@ -8202,13 +8202,18 @@ object Stats {
   }
 
   lazy val chowTestSql: String = {
+    // Squared/cross moments use ONE (19,0)×int64 multiply — a
+    // (38,0)×int product silently falls back to DOUBLE in DuckDB
+    // (brunnerMunzelSql's width ledger), which would sum rounded
+    // doubles against Spark's exact decimal(38,0) sums once y² (daily
+    // revenue in cents, squared) crosses 2^53.
     def mom(g: Int): String =
       s"""CAST(sum(CASE WHEN rg = $g THEN 1 ELSE 0 END) AS BIGINT) AS n$g,
          |    sum(CASE WHEN rg = $g THEN CAST(t AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sx$g,
          |    sum(CASE WHEN rg = $g THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sy$g,
-         |    sum(CASE WHEN rg = $g THEN CAST(t AS DECIMAL(38,0)) * t ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxx$g,
-         |    sum(CASE WHEN rg = $g THEN CAST(t AS DECIMAL(38,0)) * y ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxy$g,
-         |    sum(CASE WHEN rg = $g THEN CAST(y AS DECIMAL(38,0)) * y ELSE CAST(0 AS DECIMAL(38,0)) END) AS syy$g""".stripMargin
+         |    sum(CASE WHEN rg = $g THEN CAST(CAST(t AS DECIMAL(19,0)) * t AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxx$g,
+         |    sum(CASE WHEN rg = $g THEN CAST(CAST(t AS DECIMAL(19,0)) * y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxy$g,
+         |    sum(CASE WHEN rg = $g THEN CAST(CAST(y AS DECIMAL(19,0)) * y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS syy$g""".stripMargin
     s"""WITH daily AS (
        |  SELECT CAST(o_orderdate AS DATE) AS d,
        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y

@@ -3013,7 +3013,12 @@ object TextAnalysis {
     val nn = corpus.agg(sum(col("ctf")).as("nn"))
     terms.join(nsrc, "source").join(corpus, "term").crossJoin(broadcast(nn))
       .withColumn("ratio",
-        expr("CAST(tf * nn AS DOUBLE) / CAST(ctf * ns AS DOUBLE)"))
+        // Each factor fits int64 and is exact in a double, so casting
+        // per-factor keeps the correctly-rounded product while avoiding
+        // the silent BIGINT wrap of tf*nn once ns*nn nears 9.2e18
+        // (DuckDB raises there; Spark wraps — per-factor casts keep the
+        // two engines on the same arithmetic at any corpus size).
+        expr("(CAST(tf AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(ctf AS DOUBLE) * CAST(ns AS DOUBLE))"))
       .withColumn("__ky", expr(ExactLn.yExpr("ratio")))
       .withColumn("__kz", expr(ExactLn.zExpr("__ky")))
       .withColumn("contrib", expr(
@@ -3039,7 +3044,7 @@ object TextAnalysis {
        |nnt AS (SELECT CAST(sum(ctf) AS BIGINT) AS nn FROM corpus),
        |r AS (
        |  SELECT t.source, t.tf, s.ns,
-       |    CAST(t.tf * nnt.nn AS DOUBLE) / CAST(c.ctf * s.ns AS DOUBLE) AS ratio
+       |    (CAST(t.tf AS DOUBLE) * CAST(nnt.nn AS DOUBLE)) / (CAST(c.ctf AS DOUBLE) * CAST(s.ns AS DOUBLE)) AS ratio
        |  FROM terms t JOIN nsrc s USING (source) JOIN corpus c USING (term), nnt),
        |y1 AS (SELECT *, ${ExactLn.yExpr("ratio")} AS __ky FROM r),
        |z1 AS (SELECT *, ${ExactLn.zExpr("__ky")} AS __kz FROM y1),

@@ -73,6 +73,7 @@ object ReplayCalibrate {
       bench("kcore", 6)(Graph.kcoreReplay(edges, 6, 2L).length)
       bench("relax", 3)(Graph.relaxReplay(relaxRows, 3).length)
       bench("pagerank", 5)(Graph.pagerankReplay(prEdges, 5, 1000000L, 150L).length)
+      bench("ppr", 5)(Graph.pprReplay(prEdges, 5, 1000000000000L).length)
       // triangle is costed per WEDGE-BOUND unit (Σ min(deg a, deg b)) —
       // the admission gate's work term — not per edge
       locally {

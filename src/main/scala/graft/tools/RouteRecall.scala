@@ -35,7 +35,14 @@ object RouteRecall {
         (a.select(col("vec_id"), col("cl")), Ann.cellProbes(spark, dir),
           None: Option[org.apache.spark.sql.DataFrame])
       case "hier" =>
+        // production route: occupancy-adaptive probe walk (round 18)
         val (a, p, rg) = Ann.hierCellFrames(spark, dir)
+        (a, p, Some(rg))
+      case "hier-fixed" =>
+        // r17 baseline: fixed nprobeFor width + ring — kept so the
+        // adaptive promotion's recall/volume deltas are same-session
+        // matched, not cross-round
+        val (a, p, rg) = Ann.hierCellFrames(spark, dir, None, adaptive = false)
         (a, p, Some(rg))
       case m => sys.error(s"unknown mode $m")
     }
