@@ -927,7 +927,9 @@ object Ann {
     // round 17: forced-k audit faces of the same route
     "twolevel_ring_contribution", "ann_adaptive_nprobe",
     // riders of the shared kNN graph (its build reads these frames)
-    "embedding_hubness_audit", "knn_reciprocal_rate")
+    "embedding_hubness_audit", "knn_reciprocal_rate",
+    // round 18: the nprobe tuning curve ranks the same centroids
+    "ann_probe_width_curve")
 
   /** The session-shared micro-unit quantized corpus and its count —
     * the input every kmeans-family build reads. Deliberately
@@ -1515,7 +1517,15 @@ object Ann {
     val adaptTag = if (adaptive) s"$keyTag.adp" else keyTag
     lazy val walkF = graft.core.SharedFrames.get(spark,
         s"ann.hier.walk.$keyTag", dir, CellProbeConsumers) {
-      val target = 4L * ((nVec + k - 1) / k)
+      // BUDGET-MATCHED target (vs the audit's fixed 4·⌈n/k⌉ probe of
+      // the rule): nprobeFor(k) average cells of cumulative mass — the
+      // exact expected candidate budget of the fixed width, so on a
+      // UNIFORM layout the walk admits the same nprobe cells and the
+      // promotion is behavior-neutral; on skew it trades heavy
+      // early cells for deeper sparse walks at the same admitted mass
+      // (measured 10×: 88.8k probe rows vs fixed 100k at equal
+      // recall — see SCALE_PROBE_r18)
+      val target = nprobeFor(k).toLong * ((nVec + k - 1) / k)
       val occ = assign.groupBy(col("cl")).agg(count(lit(1)).as("mass"))
       val wBefore = Window.partitionBy("va").orderBy("rk")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -2047,6 +2057,113 @@ object Ann {
        |  CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
        |  ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
        |FROM g ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------ ann_probe_width_curve
+
+  /** Probe widths swept by the coverage curve — up to one past the
+    * production [[KnnProbe]], so the marginal-recall-per-extra-probe
+    * read is visible on BOTH sides of the shipped width.
+    */
+  private val ProbeCurveMaxW = 4
+
+  /** Candidate-COVERAGE recall vs probe width w = 1…[[ProbeCurveMaxW]]
+    * on the flat quantizer — the nprobe TUNING curve: for every
+    * anchored true pair, the smallest width whose (probe, resident)
+    * cell join covers it (either direction), then per-width recall.
+    * This is the structural-recall component only (cell geometry —
+    * what widening nprobe buys); the verify-band loss on top of it is
+    * `embedding_neardup_recall`'s measurement, and the occupancy-
+    * adaptive WALK promoted in round 18 is exactly a per-vector
+    * re-allocation along this curve's budget axis. All ranks exact
+    * integer distances; recall one divide.
+    *
+    * Scale shape: the pool is n·maxW narrow rows off the same
+    * broadcast centroid ranking as [[cellProbes]]; truth is
+    * anchor-bounded (never n²); the cover rank is two probe-side
+    * equi-joins on the anchored pair set.
+    */
+  def annProbeWidthCurve(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val (assigned, q, centroids, _) = kmeansAssign(spark, dir)
+    val d2 = call_function("graft_dot", col("qv"), col("qv")) -
+      lit(2.0) * call_function("graft_dot", col("qv"), col("cv")) +
+      call_function("graft_dot", col("cv"), col("cv"))
+    val wProbe = Window.partitionBy(col("va")).orderBy(col("d2"), col("cl"))
+    val pool = q.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("va"), col("cl"), d2.as("d2"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= ProbeCurveMaxW)
+      .select(col("va"), col("cl"), col("rk"))
+    val home = assigned.select(col("vec_id"), col("cl"))
+    val e = Tables(spark, dir).embeddings
+    val a = withUnit(e, "vec_a", "ua").filter(col("vec_a") < RecallAnchors)
+    val b = withUnit(e, "vec_b", "ub")
+    val truth = a.join(b, col("vec_a") < col("vec_b"))
+      .filter(unitDot(col("ua"), col("ub")) >= DupThreshold)
+      .select(col("vec_a"), col("vec_b"))
+    val dir1 = truth
+      .join(pool.select(col("va").as("vec_a"), col("cl"), col("rk")), Seq("vec_a"))
+      .join(home.select(col("vec_id").as("vec_b"), col("cl").as("hb")), Seq("vec_b"))
+      .filter(col("cl") === col("hb"))
+      .select(col("vec_a"), col("vec_b"), col("rk"))
+    val dir2 = truth
+      .join(pool.select(col("va").as("vec_b"), col("cl"), col("rk")), Seq("vec_b"))
+      .join(home.select(col("vec_id").as("vec_a"), col("cl").as("ha")), Seq("vec_a"))
+      .filter(col("cl") === col("ha"))
+      .select(col("vec_a"), col("vec_b"), col("rk"))
+    val cover = dir1.unionByName(dir2)
+      .groupBy(col("vec_a"), col("vec_b")).agg(min(col("rk")).as("min_rk"))
+    val sess = spark
+    import sess.implicits._
+    val widths = (1 to ProbeCurveMaxW).map(_.toLong).toDF("width")
+    truth.join(cover, Seq("vec_a", "vec_b"), "left")
+      .crossJoin(broadcast(widths))
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("min_rk") <= col("width"), 1L).otherwise(0L)).as("n_hit"))
+      .selectExpr("CAST(width AS BIGINT) AS width",
+        "CAST(n_true AS BIGINT) AS n_true", "CAST(n_hit AS BIGINT) AS n_hit",
+        """CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall""".stripMargin)
+      .orderBy("width")
+  }
+
+  lazy val annProbeWidthCurveSql: String =
+    s"""WITH $kmeansCtes,
+       |pool AS (
+       |  SELECT vec_id AS va, cl, rk FROM (
+       |    SELECT q.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cv) + list_dot_product(c.cv, c.cv), c.cl) AS rk
+       |    FROM q CROSS JOIN c${KmIters - 1} c) z WHERE rk <= $ProbeCurveMaxW),
+       |home AS (SELECT vec_id, cl FROM a$KmIters),
+       |truth AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE a.vec_id < $RecallAnchors
+       |    AND list_cosine_similarity(a.embedding, b.embedding) >= $DupThreshold),
+       |cover AS (
+       |  SELECT va, vb, min(rk) AS min_rk FROM (
+       |    SELECT t.va, t.vb, p.rk
+       |    FROM truth t
+       |    JOIN pool p ON p.va = t.va
+       |    JOIN home h ON h.vec_id = t.vb AND h.cl = p.cl
+       |    UNION ALL
+       |    SELECT t.va, t.vb, p.rk
+       |    FROM truth t
+       |    JOIN pool p ON p.va = t.vb
+       |    JOIN home h ON h.vec_id = t.va AND h.cl = p.cl) u
+       |  GROUP BY 1, 2),
+       |widths AS (SELECT unnest(generate_series(1, $ProbeCurveMaxW)) AS width)
+       |SELECT CAST(w.width AS BIGINT) AS width,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN c.min_rk <= w.width THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CASE WHEN count(*) = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(sum(CASE WHEN c.min_rk <= w.width THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |  END AS recall
+       |FROM truth t LEFT JOIN cover c ON c.va = t.va AND c.vb = t.vb
+       |CROSS JOIN widths w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------ twolevel_cell_occupancy
 

@@ -86,7 +86,13 @@ object Graph {
   private[graft] val KcorePerRowUs = 0.06
   private[graft] val LouvainPerRowUs = 0.08
   private[graft] val PagerankPerRowUs = 0.40
-  private[graft] val PprPerRowUs = 0.40 // ReplayCalibrate: see pprReplay
+  // ReplayCalibrate (round 18): 0.029–0.038 µs/edge·round at 0.1–2M
+  // edges — ~10× under pagerank's because absent-source edges skip
+  // in one LongMap probe; margin per the family convention
+  private[graft] val PprPerRowUs = 0.06
+  // ReplayCalibrate (round 18): 0.12–0.26 µs/edge·round — two LongMap
+  // probes per edge, no teleport recompute; margin per the convention
+  private[graft] val KatzPerRowUs = 0.30
 
   /** Top-20 PageRank nodes. Node encoding: customer c → 2c,
     * supplier s → 2s+1 (disjoint integer id spaces, no string keys in
@@ -2506,8 +2512,42 @@ object Graph {
     * driver-side state. Top-k via orderBy+limit (TakeOrdered, never a
     * global sort materialization).
     */
-  def katzTopk(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.core.OwnedCaches.own(custSuppEdges(spark, dir).cache())
+  def katzTopk(spark: SparkSession, dir: String): DataFrame =
+    katzTopk(spark, dir, forceLoop = false)
+
+  /** `forceLoop` pins the distributed-iteration branch for the
+    * branch-equality test (the [[pagerank]] convention).
+    */
+  private[graft] def katzTopk(spark: SparkSession, dir: String,
+      forceLoop: Boolean): DataFrame = {
+    // single-task branch (round 18, the pagerank/PPR admission
+    // discipline): the whole walk is integer arithmetic (long div 8,
+    // exact decimal sums that never exceed int64 after the cast), so
+    // the replay is bit-identical by construction and a 4-round walk
+    // on a sub-cap graph stops paying ~8 scheduled stages per round
+    // (measured 32.7 s at the 30× replica for µs of arithmetic).
+    if (!forceLoop) {
+      val sess = spark
+      import sess.implicits._
+      val probe = graft.core.OwnedCaches.own(custSuppEdges(spark, dir).cache())
+      val edgeCount = probe.count()
+      if (edgeCount <= replayCap(KatzPerRowUs, KatzIters)) {
+        val iters = KatzIters; val base = KatzBase
+        return probe.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)]
+          .repartition(1)
+          .mapPartitions(it => katzReplay(it.toArray, iters, base))
+          .toDF("node", "katz_q6")
+          .orderBy(col("katz_q6").desc, col("node"))
+          .limit(KatzTopK)
+      }
+    }
+    // co-partitioned loop: bake hash(src) partitioning INTO the cached
+    // edges once (round 18 — previously the plain cache re-exchanged
+    // the EDGE side on every one of the 4 iteration joins; now only
+    // the rank state shuffles, the pagerank copartition argument)
+    val edges = graft.core.OwnedCaches.own(
+      custSuppEdges(spark, dir).repartition(col("src")).cache())
     // symmetric closure ⇒ every node appears as a dst with in-degree
     // ≥ 1, so the per-iteration groupBy(dst) keeps the full node set
     // and no left-join backfill is needed (the pagerank argument).
@@ -2523,6 +2563,27 @@ object Graph {
     x.select(col("node"), col("r").as("katz_q6"))
       .orderBy(col("katz_q6").desc, col("node"))
       .limit(KatzTopK)
+  }
+
+  /** The single-task Katz replay body — r₀ = β for every node, each
+    * round r'(v) = β + Σ_{(u,v)∈E} r(u) div 8, all int64 (the loop's
+    * decimal sums re-enter int64 at the cast: total in-mass is
+    * bounded by n·β·(4/8 + 16/64 + …) < 2·n·β ≪ 2⁶³), so replay and
+    * loop agree bit for bit by construction. Sized by
+    * [[KatzPerRowUs]] (ReplayCalibrate).
+    */
+  private[graft] def katzReplay(es: Array[(Long, Long)],
+      iters: Int, base: Long): Iterator[(Long, Long)] = {
+    var r = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (src, _) => if (!r.contains(src)) r.update(src, base) }
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (src, dst) =>
+        next.update(dst, next.getOrElse(dst, base) + r(src) / 8)
+      }
+      r = next
+    }
+    r.iterator
   }
 
   val katzTopkSql: String = {

@@ -8459,4 +8459,237 @@ object Stats {
        |$unions
        |ORDER BY type_a, type_b""".stripMargin
   }
+
+  // --------------------------------------------------------------- dixon_q_test
+
+  /** Dixon's Q ratios on the monthly revenue series: Q_low =
+    * (y₍₂₎−y₍₁₎)/(y₍ₙ₎−y₍₁₎) and Q_high = (y₍ₙ₎−y₍ₙ₋₁₎)/(y₍ₙ₎−y₍₁₎)
+    * — the small-sample gap-to-range outlier screen ([[grubbsTest]]
+    * asks "how many σ from the mean"; Dixon asks "how detached is
+    * the extreme from its NEAREST neighbor", which survives the
+    * variance inflation the outlier itself causes). Order statistics
+    * from one rank window on the month-bounded frame; ties broken by
+    * month id (deterministic); both ratios one guarded double divide
+    * over exact BIGINTs.
+    *
+    * Scale shape: the orders scan reduces to the month-bounded
+    * frame before the window — the [[grubbsTest]] shape.
+    */
+  def dixonQTest(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+    val w = Window.orderBy(col("y"), col("m"))
+    val tot = monthly.agg(count(lit(1)).as("n"))
+    val ranked = monthly.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(tot))
+    ranked.agg(
+        max(col("n")).as("n_months"),
+        max(when(col("rn") === 1, col("y"))).as("y1"),
+        max(when(col("rn") === 2, col("y"))).as("y2"),
+        max(when(col("rn") === col("n") - 1, col("y"))).as("yn1"),
+        max(when(col("rn") === col("n"), col("y"))).as("yn"),
+        max(when(col("rn") === 1, col("m"))).as("low_month"),
+        max(when(col("rn") === col("n"), col("m"))).as("high_month"))
+      .selectExpr("CAST(n_months AS BIGINT) AS n_months",
+        "CAST(low_month AS BIGINT) AS low_month",
+        "CAST(high_month AS BIGINT) AS high_month",
+        "CAST(y1 AS BIGINT) AS y_min", "CAST(yn AS BIGINT) AS y_max",
+        DixonQLow, DixonQHigh)
+  }
+
+  private val DixonRange = "(CAST(yn AS DOUBLE) - CAST(y1 AS DOUBLE))"
+  private val DixonQLow: String =
+    s"CASE WHEN $DixonRange <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (CAST(y2 AS DOUBLE) - CAST(y1 AS DOUBLE)) / $DixonRange END AS q_low"
+  private val DixonQHigh: String =
+    s"CASE WHEN $DixonRange <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (CAST(yn AS DOUBLE) - CAST(yn1 AS DOUBLE)) / $DixonRange END AS q_high"
+
+  // ------------------------------------------------------------- white_test
+
+  /** White's heteroskedasticity test on the monthly revenue trend:
+    * fit y = a + b·t (the [[durbinWatson]] integer-residual
+    * convention), then the auxiliary regression of the squared
+    * residuals on (1, t, t²); the statistic is n·R²_aux (χ²₂ under
+    * homoskedasticity, 5% cut 5.99) — the quadratic generalization of
+    * [[breuschPagan]] (BP sees only variance LINEAR in t; White also
+    * catches the U-shaped "variance grows at both ends" pattern a
+    * seasonal business produces). Squared residuals are floor-scaled
+    * to /10⁴ units so EVERY decimal→double cast stays under the 2^53
+    * ledger (documented semantics — the scaling is deterministic and
+    * identical on both engines); the auxiliary R² comes closed-form
+    * from centered exact moments via the 2×2 Cramer solve (the
+    * [[adfTest]] determinant pattern), one shared text.
+    *
+    * Scale shape: orders → month-bounded frame, one moment pass for
+    * the line, one for the auxiliary moments — two single-row
+    * aggregates on a bounded frame.
+    */
+  def whiteTest(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+    val base = monthly
+      .withColumn("m0", min(col("m")).over(Window.partitionBy()))
+      .withColumn("x", expr("CAST(m - m0 AS BIGINT)"))
+    val fit = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+    val resid = base.crossJoin(broadcast(fit))
+      .withColumn("e", expr(DwResid))
+      .withColumn("u", expr("(e * e) div 10000"))
+    resid.agg(max(col("n")).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("wx"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("wxx"),
+        sum(expr("CAST(x * x * x AS DECIMAL(38,0))")).as("wx3"),
+        sum(expr("CAST(x * x * x * x AS DECIMAL(38,0))")).as("wx4"),
+        sum(expr("CAST(u AS DECIMAL(38,0))")).as("su"),
+        sum(expr("CAST(u * x AS DECIMAL(38,0))")).as("sux"),
+        sum(expr("CAST(u * x * x AS DECIMAL(38,0))")).as("sux2"),
+        sum(expr("CAST(u AS DECIMAL(19,0)) * u")).as("suu"))
+      .selectExpr("CAST(n AS BIGINT) AS n_months",
+        s"$WhiteR2 AS r2_aux",
+        s"CAST(n AS DOUBLE) * ($WhiteR2) AS white_stat",
+        s"CASE WHEN CAST(n AS DOUBLE) * ($WhiteR2) > CAST(5.99 AS DOUBLE) THEN 1 ELSE 0 END AS heteroskedastic")
+  }
+
+  /** Auxiliary-regression R² from centered moments via the 2×2
+    * Cramer solve — guarded to 0 on degenerate determinant/SST.
+    */
+  private lazy val WhiteR2: String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val nD = d("n")
+    val s11 = s"(${d("wxx")} - ${d("wx")} * ${d("wx")} / $nD)"
+    val s12 = s"(${d("wx3")} - ${d("wx")} * ${d("wxx")} / $nD)"
+    val s22 = s"(${d("wx4")} - ${d("wxx")} * ${d("wxx")} / $nD)"
+    val s1u = s"(${d("sux")} - ${d("wx")} * ${d("su")} / $nD)"
+    val s2u = s"(${d("sux2")} - ${d("wxx")} * ${d("su")} / $nD)"
+    val ssu = s"(${d("suu")} - ${d("su")} * ${d("su")} / $nD)"
+    val det = s"($s11 * $s22 - $s12 * $s12)"
+    val expl = s"((($s1u * $s22 - $s2u * $s12) * $s1u + ($s2u * $s11 - $s1u * $s12) * $s2u) / $det)"
+    s"(CASE WHEN $det = CAST(0 AS DOUBLE) OR $ssu <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE $expl / $ssu END)"
+  }
+
+  lazy val whiteTestSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |base AS (
+       |  SELECT m, y, CAST(m - min(m) OVER () AS BIGINT) AS x FROM monthly),
+       |fit AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM base),
+       |resid AS (
+       |  SELECT base.*, fit.*, $DwResid AS e, (($DwResid) * ($DwResid)) // 10000 AS u
+       |  FROM base, fit),
+       |agg AS (
+       |  SELECT max(n) AS n,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS wx,
+       |    sum(CAST(x * x AS DECIMAL(38,0))) AS wxx,
+       |    sum(CAST(x * x * x AS DECIMAL(38,0))) AS wx3,
+       |    sum(CAST(x * x * x * x AS DECIMAL(38,0))) AS wx4,
+       |    sum(CAST(u AS DECIMAL(38,0))) AS su,
+       |    sum(CAST(u * x AS DECIMAL(38,0))) AS sux,
+       |    sum(CAST(u * x * x AS DECIMAL(38,0))) AS sux2,
+       |    sum(CAST(u AS DECIMAL(19,0)) * u) AS suu
+       |  FROM resid)
+       |SELECT CAST(n AS BIGINT) AS n_months,
+       |  $WhiteR2 AS r2_aux,
+       |  CAST(n AS DOUBLE) * ($WhiteR2) AS white_stat,
+       |  CASE WHEN CAST(n AS DOUBLE) * ($WhiteR2) > CAST(5.99 AS DOUBLE) THEN 1 ELSE 0 END AS heteroskedastic
+       |FROM agg""".stripMargin
+
+  // -------------------------------------------------------- tost_equivalence
+
+  /** TOST equivalence screen (two one-sided Welch tests) for every
+    * event-type pair: the margin is 10% of the pair's pooled mean —
+    * "are these two value distributions the SAME for practical
+    * purposes", the question [[welchTTest]]'s difference test cannot
+    * answer (failing to reject ≠ equivalent). t_lower tests
+    * diff > −δ, t_upper tests diff < +δ; both must clear the large-n
+    * 5% one-sided normal cut (1.645 — df is in the hundreds at every
+    * SF, documented) to declare equivalence. Same exact cent-quantized
+    * moment frame as Welch, two shared-text statistics per pair.
+    *
+    * Scale shape: ONE conditional-moment aggregate row over the
+    * events scan; the 10-pair spine is literal.
+    */
+  def tostEquivalence(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val mCols = EventTypes.flatMap { t =>
+      Seq(sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"),
+        sum(when(col("event_type") === t, col("c")).otherwise(0L)).as(s"s_$t"),
+        sum(when(col("event_type") === t, col("c") * col("c")).otherwise(0L)).as(s"ss_$t"))
+    }
+    val moments = ev.agg(mCols.head, mCols.tail: _*)
+    val stackArgs = TypePairs.map { case (a, b) =>
+      val (diff, marg, tl, tu) = tostExprs(a, b)
+      s"'$a', '$b', $diff, $marg, $tl, $tu, " +
+        s"CASE WHEN $tl > CAST(1.645 AS DOUBLE) AND $tu < CAST(-1.645 AS DOUBLE) THEN 1 ELSE 0 END"
+    }.mkString(", ")
+    moments.selectExpr(
+        s"stack(${TypePairs.size}, $stackArgs)" +
+          " AS (type_a, type_b, mean_diff, margin, t_lower, t_upper, equivalent)")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** (diff, margin, t_lower, t_upper) — shared text over the Welch
+    * moment row; margin = 0.1·pooled mean of the two groups.
+    */
+  private def tostExprs(a: String, b: String): (String, String, String, String) = {
+    val diff = s"(${meanExpr(a)} - ${meanExpr(b)})"
+    val marg = s"(CAST(0.1 AS DOUBLE) * abs((CAST(s_$a AS DOUBLE) + CAST(s_$b AS DOUBLE)) / (CAST(n_$a AS DOUBLE) + CAST(n_$b AS DOUBLE))))"
+    val se = s"sqrt(${varOverNExpr(a)} + ${varOverNExpr(b)})"
+    (diff, marg, s"(($diff + $marg) / $se)", s"(($diff - $marg) / $se)")
+  }
+
+  lazy val tostEquivalenceSql: String = {
+    val mSums = EventTypes.flatMap { t =>
+      Seq(s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t",
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_$t",
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ss_$t")
+    }.mkString(",\n    ")
+    val rows = TypePairs.map { case (a, b) =>
+      val (diff, marg, tl, tu) = tostExprs(a, b)
+      s"""SELECT '$a' AS type_a, '$b' AS type_b, $diff AS mean_diff,
+         |  $marg AS margin, $tl AS t_lower, $tu AS t_upper,
+         |  CASE WHEN $tl > CAST(1.645 AS DOUBLE) AND $tu < CAST(-1.645 AS DOUBLE) THEN 1 ELSE 0 END AS equivalent
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT
+       |    $mSums
+       |  FROM events)
+       |$rows
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
+  lazy val dixonQTestSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT m, y, row_number() OVER (ORDER BY y, m) AS rn,
+       |    (SELECT count(*) FROM monthly) AS n
+       |  FROM monthly),
+       |s AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS n_months,
+       |    CAST(max(CASE WHEN rn = 1 THEN y END) AS BIGINT) AS y1,
+       |    CAST(max(CASE WHEN rn = 2 THEN y END) AS BIGINT) AS y2,
+       |    CAST(max(CASE WHEN rn = n - 1 THEN y END) AS BIGINT) AS yn1,
+       |    CAST(max(CASE WHEN rn = n THEN y END) AS BIGINT) AS yn,
+       |    CAST(max(CASE WHEN rn = 1 THEN m END) AS BIGINT) AS low_month,
+       |    CAST(max(CASE WHEN rn = n THEN m END) AS BIGINT) AS high_month
+       |  FROM r)
+       |SELECT n_months, low_month, high_month, y1 AS y_min, yn AS y_max,
+       |  $DixonQLow, $DixonQHigh
+       |FROM s""".stripMargin
+
 }

@@ -3058,4 +3058,203 @@ object TextAnalysis {
        |FROM cb GROUP BY source
        |ORDER BY source""".stripMargin
   }
+
+  // ------------------------------------------------- good_turing_estimate
+
+  /** Rows of the Good–Turing frequency spectrum the smoother reads:
+    * small r only — the regime where N_r is dense and the estimator
+    * is meaningful (beyond it one switches to the fitted tail).
+    */
+  private val GoodTuringMaxR = 5
+
+  /** Good–Turing frequency-of-frequencies estimate per source: for
+    * r = 1…[[GoodTuringMaxR]], the type count N_r, the smoothed count
+    * r* = (r+1)·N_{r+1}/N_r, and the source's unseen-mass estimate
+    * p₀ = N₁/N — the quantity that says how OPEN each source's
+    * vocabulary still is (a crawler source with high p₀ keeps paying
+    * novelty; one near 0 has been exhausted), and the classical
+    * smoother under held-out language-model evaluation. Everything is
+    * exact integer counts off one (source, term) aggregate; r* and p₀
+    * are single guarded double divides.
+    *
+    * Scale shape: tokenize → (source, term) partial-agg →
+    * (source, tf) re-agg (vocabulary-bounded, then spectrum-bounded:
+    * ≤ maxR rows per source survive the spine join). Nothing after
+    * the first shuffle is corpus-sized.
+    */
+  def goodTuringEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(filter(split(col("text"), " +"), t => length(t) > 0)).as("term"))
+    val tf = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val fof = tf.groupBy(col("source"), col("tf")).agg(count(lit(1)).as("n_r"))
+    val ns = tf.groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val spine = fof.filter(col("tf") <= GoodTuringMaxR)
+      .select(col("source"), col("tf").as("r"), col("n_r"))
+    val nxt = fof.select(col("source"), (col("tf") - 1).as("r"),
+      col("n_r").as("n_r1"))
+    val n1 = fof.filter(col("tf") === 1)
+      .select(col("source"), col("n_r").as("n_1"))
+    spine.join(nxt, Seq("source", "r"), "left")
+      .join(ns, "source").join(n1, Seq("source"), "left")
+      .select(col("source"), col("r").cast("long").as("r"),
+        col("n_r").cast("long").as("n_r"),
+        coalesce(col("n_r1"), lit(0L)).cast("long").as("n_r_next"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"),
+        expr("(CAST(r AS DOUBLE) + CAST(1 AS DOUBLE)) * CAST(coalesce(n_r1, 0) AS DOUBLE) / CAST(n_r AS DOUBLE)").as("r_star"),
+        expr("CAST(coalesce(n_1, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)").as("p0_unseen"))
+      .orderBy("source", "r")
+  }
+
+  lazy val goodTuringEstimateSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(text, ' +'),
+       |    x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |fof AS (
+       |  SELECT source, tf, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY 1, 2),
+       |ns AS (
+       |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types
+       |  FROM tf GROUP BY 1),
+       |n1 AS (SELECT source, n_r AS n_1 FROM fof WHERE tf = 1)
+       |SELECT s.source AS source, CAST(s.tf AS BIGINT) AS r, s.n_r,
+       |  CAST(coalesce(x.n_r, 0) AS BIGINT) AS n_r_next,
+       |  ns.n_tokens, ns.n_types,
+       |  (CAST(s.tf AS DOUBLE) + CAST(1 AS DOUBLE)) * CAST(coalesce(x.n_r, 0) AS DOUBLE) / CAST(s.n_r AS DOUBLE) AS r_star,
+       |  CAST(coalesce(n1.n_1, 0) AS DOUBLE) / CAST(ns.n_tokens AS DOUBLE) AS p0_unseen
+       |FROM fof s
+       |LEFT JOIN fof x ON x.source = s.source AND x.tf = s.tf + 1
+       |JOIN ns ON ns.source = s.source
+       |LEFT JOIN n1 ON n1.source = s.source
+       |WHERE s.tf <= $GoodTuringMaxR
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- dunning_g2_keywords
+
+  private val DunningTopK = 5
+  private val DunningMinTf = 5L
+
+  /** Top-[[DunningTopK]] keywords per source by Dunning's
+    * log-likelihood G² against the REST of the corpus — the standard
+    * corpus-linguistics keyness extraction (the per-term significance
+    * companion of [[klVsCorpusBySource]]'s single-number divergence):
+    * for each (source, term) with corpus tf ≥ [[DunningMinTf]], the
+    * 2×2 table (a = tf in source, b = tf elsewhere, c/d = other
+    * tokens), G² = 2·Σ obs·ln(obs/exp). Every ln argument is an
+    * exact-integer cross ratio (obs·N)/(row·col) pushed through the
+    * shared ExactLn chain with per-factor double casts (the
+    * kl_vs_corpus convention — no BIGINT wrap at any corpus size);
+    * zero cells contribute 0 by the x·ln(x) → 0 convention, guarded
+    * BEFORE the chain. Signed by over/under-use (a vs exp_a) so
+    * anti-keywords rank negative; ties broken by term.
+    *
+    * Scale shape: one (source, term) aggregate joined to the
+    * term-marginal and source-marginal frames (vocabulary-bounded),
+    * four ln chains per surviving row, one top-k window per source.
+    */
+  def dunningG2Keywords(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val tok = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(filter(split(col("text"), " +"), t => length(t) > 0)).as("term"))
+    val tf = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("a"))
+    val nsrc = tf.groupBy(col("source")).agg(sum(col("a")).as("row_s"))
+    val corpus = tf.groupBy(col("term")).agg(sum(col("a")).as("col_t"))
+      .filter(col("col_t") >= DunningMinTf)
+    val nn = nsrc.agg(sum(col("row_s")).as("nn"))
+    val base = tf.join(corpus, "term").join(nsrc, "source").crossJoin(broadcast(nn))
+      .withColumn("b", col("col_t") - col("a"))
+      .withColumn("c", col("row_s") - col("a"))
+      .withColumn("d", col("nn") - col("col_t") - col("row_s") + col("a"))
+    // per-cell ln(obs·N / (row·col)) via the ExactLn chain; the zero
+    // guard short-circuits the whole term (0·ln → 0)
+    def cell(obs: String, row: String, colm: String, tag: String) = {
+      val ratio = s"(CAST($obs AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST($row AS DOUBLE) * CAST($colm AS DOUBLE))"
+      (df: DataFrame) => df
+        .withColumn(s"__y$tag", expr(s"CASE WHEN $obs = 0 THEN CAST(1 AS DOUBLE) ELSE ${ExactLn.yExpr(ratio)} END"))
+        .withColumn(s"__z$tag", expr(ExactLn.zExpr(s"__y$tag")))
+        .withColumn(s"__l$tag", expr(
+          s"CASE WHEN $obs = 0 THEN CAST(0 AS DOUBLE) ELSE CAST($obs AS DOUBLE) * (${ExactLn.lnExpr(s"__z$tag")}) END"))
+    }
+    val cells = Seq(
+      cell("a", "row_s", "col_t", "a"),
+      cell("b", "nn - row_s", "col_t", "b"),
+      cell("c", "row_s", "nn - col_t", "c"),
+      cell("d", "nn - row_s", "nn - col_t", "d"))
+    val scored = cells.foldLeft(base)((df, f) => f(df))
+      .withColumn("g2", expr(DunningG2))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("g2").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DunningTopK)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("term"),
+        col("a").cast("long").as("tf_source"),
+        col("col_t").cast("long").as("tf_corpus"), col("g2"))
+      .orderBy("source", "rk")
+  }
+
+  /** signed G² = sign(a − exp_a) · 2·(Σ cell lns) — one text on the
+    * staged __l columns.
+    */
+  private val DunningG2: String =
+    "(CASE WHEN CAST(a AS DOUBLE) * CAST(nn AS DOUBLE) >= CAST(row_s AS DOUBLE) * CAST(col_t AS DOUBLE) " +
+      "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) " +
+      "* CAST(2 AS DOUBLE) * (__la + __lb + __lc + __ld)"
+
+  lazy val dunningG2KeywordsSql: String = {
+    import graft.functions.ExactLn
+    def cell(obs: String, row: String, colm: String, tag: String): Seq[String] = {
+      val ratio = s"(CAST($obs AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST($row AS DOUBLE) * CAST($colm AS DOUBLE))"
+      Seq(
+        s"CASE WHEN $obs = 0 THEN CAST(1 AS DOUBLE) ELSE ${ExactLn.yExpr(ratio)} END AS __y$tag",
+        s"${ExactLn.zExpr(s"__y$tag")} AS __z$tag",
+        s"CASE WHEN $obs = 0 THEN CAST(0 AS DOUBLE) ELSE CAST($obs AS DOUBLE) * (${ExactLn.lnExpr(s"__z$tag")}) END AS __l$tag")
+    }
+    val stages = Seq(
+      cell("a", "row_s", "col_t", "a"), cell("b", "nn - row_s", "col_t", "b"),
+      cell("c", "row_s", "nn - col_t", "c"), cell("d", "nn - row_s", "nn - col_t", "d"))
+    // y-stages first (need base cols), then z, then l — same staging
+    // as the Spark face's withColumn chain
+    val ys = stages.map(_(0)).mkString(",\n    ")
+    val zs = stages.map(_(1)).mkString(",\n    ")
+    val ls = stages.map(_(2)).mkString(",\n    ")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(text, ' +'),
+       |    x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2),
+       |nsrc AS (SELECT source, CAST(sum(a) AS BIGINT) AS row_s FROM tf GROUP BY 1),
+       |corpus AS (
+       |  SELECT term, CAST(sum(a) AS BIGINT) AS col_t FROM tf GROUP BY 1
+       |  HAVING sum(a) >= $DunningMinTf),
+       |nnt AS (SELECT CAST(sum(row_s) AS BIGINT) AS nn FROM nsrc),
+       |base AS (
+       |  SELECT t.source, t.term, t.a, c.col_t, s.row_s, nnt.nn,
+       |    c.col_t - t.a AS b, s.row_s - t.a AS c,
+       |    nnt.nn - c.col_t - s.row_s + t.a AS d
+       |  FROM tf t JOIN corpus c USING (term) JOIN nsrc s USING (source), nnt),
+       |y1 AS (SELECT *,
+       |    $ys
+       |  FROM base),
+       |z1 AS (SELECT *,
+       |    $zs
+       |  FROM y1),
+       |l1 AS (SELECT *,
+       |    $ls
+       |  FROM z1),
+       |g AS (
+       |  SELECT source, term, a, col_t, $DunningG2 AS g2,
+       |    row_number() OVER (PARTITION BY source ORDER BY $DunningG2 DESC, term) AS rk
+       |  FROM l1)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, term,
+       |  CAST(a AS BIGINT) AS tf_source, CAST(col_t AS BIGINT) AS tf_corpus, g2
+       |FROM g WHERE rk <= $DunningTopK
+       |ORDER BY source, rk""".stripMargin
+  }
 }

@@ -74,6 +74,8 @@ object ReplayCalibrate {
       bench("relax", 3)(Graph.relaxReplay(relaxRows, 3).length)
       bench("pagerank", 5)(Graph.pagerankReplay(prEdges, 5, 1000000L, 150L).length)
       bench("ppr", 5)(Graph.pprReplay(prEdges, 5, 1000000000000L).length)
+      bench("katz", 4)(Graph.katzReplay(
+        edges ++ edges.map(e => (e._2, e._1)), 4, 1000000L).length)
       // triangle is costed per WEDGE-BOUND unit (Σ min(deg a, deg b)) —
       // the admission gate's work term — not per edge
       locally {

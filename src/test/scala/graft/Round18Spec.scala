@@ -38,6 +38,17 @@ class Round18Spec extends AnyFunSuite {
     assert(!r2.contains(4L), "dst of an absent source never materializes")
   }
 
+  test("katz_topk: single-task replay is bit-identical to the co-partitioned loop") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("katz_q6"))).toSeq
+    val replay = rows(Graph.katzTopk(spark, sf01))
+    graft.core.OwnedCaches.release()
+    val loop = rows(Graph.katzTopk(spark, sf01, forceLoop = true))
+    graft.core.OwnedCaches.release()
+    assert(replay == loop, "replay and loop must agree on the exact q6 grid")
+    assert(replay.nonEmpty)
+  }
+
   test("cappedWedgeFrame: identity below the cap; tiny cap drops exactly the hub-centered wedges") {
     val sess = spark
     import sess.implicits._
@@ -69,7 +80,10 @@ class Round18Spec extends AnyFunSuite {
     val homes = assign.collect().map(r => (r.getLong(0), r.getLong(1)))
     val nVec = homes.length.toLong
     val mass = homes.groupBy(_._2).map { case (cl, xs) => cl -> xs.length.toLong }
-    val target = 4L * ((nVec + k - 1) / k)
+    // the route's BUDGET-MATCHED target (nprobeFor(k) average cells),
+    // not the audit's fixed 4 — the promotion matches the fixed
+    // width's expected candidate mass
+    val target = Ann.nprobeFor(k).toLong * ((nVec + k - 1) / k)
     // driver replay of the ann_adaptive_nprobe admission rule
     val admitted = pool.groupBy(_._1).toSeq.flatMap { case (va, cells) =>
       var before = 0L
