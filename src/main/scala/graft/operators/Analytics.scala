@@ -311,6 +311,82 @@ object Analytics {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Idle-gap ladder for the sessionization tuning curve, minutes —
+    * doubling around the production 30-minute cut.
+    */
+  private val SessionGapLadderMin: Seq[Long] = Seq(5L, 15L, 30L, 60L)
+
+  /** Session-count / dwell-time sensitivity to the idle-gap
+    * threshold: for each ladder gap, how many sessions the event log
+    * splits into, events per session, and the mean in-session dwell —
+    * the tuning curve behind [[sessionize]]'s fixed 30-minute cut
+    * (the `ann_probe_width_curve` pattern applied to the behavioral
+    * layer: before shipping a threshold, ship the curve that
+    * justifies it). One window pass computes every inter-event gap;
+    * all four ladder points are conditional sums over it — no
+    * per-threshold re-sessionization, no extra shuffle. Exact
+    * integer microsecond sums; two guarded divides per row.
+    */
+  def sessionGapSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gaps = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+      .select(when(col("prev_us").isNull, lit(null))
+        .otherwise(col("ts_us") - col("prev_us")).as("gap_us"))
+    val perGap = SessionGapLadderMin.flatMap { gm =>
+      val gu = gm * 60L * 1000000L
+      Seq(
+        // a session STARTS at every first event and at every gap
+        // above the threshold
+        sum(when(col("gap_us").isNull || col("gap_us") > gu, 1L).otherwise(0L))
+          .as(s"ns_$gm"),
+        sum(when(col("gap_us").isNotNull && col("gap_us") <= gu, col("gap_us"))
+          .otherwise(lit(0L))).as(s"dwell_$gm"))
+    }
+    val aggCols = Seq(count(lit(1)).as("n_events")) ++ perGap
+    val m = gaps.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = SessionGapLadderMin.map(gm =>
+      s"CAST($gm AS BIGINT), n_events, ns_$gm, dwell_$gm").mkString(", ")
+    m.selectExpr(s"stack(${SessionGapLadderMin.size}, $stackArgs)" +
+        " AS (gap_minutes, n_events, n_sessions, dwell_us)")
+      .selectExpr("gap_minutes", "CAST(n_events AS BIGINT) AS n_events",
+        "CAST(n_sessions AS BIGINT) AS n_sessions",
+        "CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS events_per_session",
+        """CASE WHEN n_sessions = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(dwell_us AS DOUBLE) / CAST(n_sessions AS DOUBLE) / CAST(1000000 AS DOUBLE)
+          |END AS mean_session_dwell_s""".stripMargin)
+      .orderBy("gap_minutes")
+  }
+
+  lazy val sessionGapSensitivitySql: String = {
+    val perGap = SessionGapLadderMin.flatMap { gm =>
+      val gu = gm * 60L * 1000000L
+      Seq(
+        s"CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > $gu THEN 1 ELSE 0 END) AS BIGINT) AS ns_$gm",
+        s"CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= $gu THEN gap_us ELSE 0 END) AS BIGINT) AS dwell_$gm")
+    }.mkString(",\n    ")
+    val unions = SessionGapLadderMin.map(gm =>
+      s"""SELECT CAST($gm AS BIGINT) AS gap_minutes,
+         |  CAST(n_events AS BIGINT) AS n_events,
+         |  CAST(ns_$gm AS BIGINT) AS n_sessions,
+         |  CAST(n_events AS DOUBLE) / CAST(ns_$gm AS DOUBLE) AS events_per_session,
+         |  CASE WHEN ns_$gm = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(dwell_$gm AS DOUBLE) / CAST(ns_$gm AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         |  END AS mean_session_dwell_s
+         |FROM m""".stripMargin).mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+       |  FROM events),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_events,
+       |    $perGap
+       |  FROM e)
+       |$unions
+       |ORDER BY gap_minutes""".stripMargin
+  }
+
   private val OverlapCellUs = 3600L * 1000000 // 1-hour join cells
 
   /** Concurrent-session pairs per day — an INTERVAL-OVERLAP self-join

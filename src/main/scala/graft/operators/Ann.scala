@@ -1447,23 +1447,37 @@ object Ann {
       graft.core.OwnedCaches.ownRdd(rdd)
       spark.createDataFrame(rdd, df.schema)
     }
-    // level 2 — group-keyed Lloyd's: init = each super's kc lowest ids
-    val wIn = Window.partitionBy(col("scl")).orderBy(col("vec_id"))
-    var child = sever(m.withColumn("rn", row_number().over(wIn))
-      .filter(col("rn") <= kc)
-      .select(col("scl"), (col("rn") - 1).cast("long").as("ch"), col("qv").as("cv")))
-    val mex = m.select(col("vec_id"), col("scl"),
-      posexplode(col("qv")).as(Seq("dim", "v")))
-    var asg: DataFrame = null
-    for (i <- 1 to KmIters) {
-      asg = m.join(broadcast(child), Seq("scl"))
-        .select(col("vec_id"), col("scl"), col("ch"),
-          d2(col("qv"), col("cv")).as("d2"))
-        .groupBy(col("vec_id"), col("scl"))
-        .agg(min(struct(col("d2"), col("ch"))).as("mm"))
-        .select(col("vec_id"), col("scl"), col("mm.ch").as("ch"))
-      if (i < KmIters) {
-        val sums = asg.join(mex, Seq("vec_id", "scl"))
+    // level 2 — group-keyed Lloyd's. The WHOLE loop lives inside the
+    // memoized child builder (round 18): sever() materializes each
+    // round's RDD EAGERLY at plan-construction time, so with the loop
+    // at call level every consumer of the (memoized!) output frames
+    // was re-paying the 3-round build per CALL — a flat ~5 s/run on
+    // every forced-k audit query (the r17 shared pair charged it to
+    // all four family members). On a warm session the builder is
+    // skipped entirely and a call costs three O(1) count()s on
+    // persisted frames.
+    val childF = graft.core.SharedFrames.get(spark, s"ann.hier.child.$keyTag", dir,
+        CellProbeConsumers) {
+      val wIn = Window.partitionBy(col("scl")).orderBy(col("vec_id"))
+      var child = sever(m.withColumn("rn", row_number().over(wIn))
+        .filter(col("rn") <= kc)
+        .select(col("scl"), (col("rn") - 1).cast("long").as("ch"), col("qv").as("cv")))
+      val mex = m.select(col("vec_id"), col("scl"),
+        posexplode(col("qv")).as(Seq("dim", "v")))
+      for (_ <- 1 until KmIters) {
+        // assignment against the current children, then the rebuild —
+        // the update sequence is identical to the original unrolled
+        // loop (asg_i vs child_{i-1} feeds child_i); the FINAL
+        // assignment is recomputed once from the final children in
+        // the `assign` builder below, which is exactly iteration
+        // KmIters of the original loop
+        val asgI = m.join(broadcast(child), Seq("scl"))
+          .select(col("vec_id"), col("scl"), col("ch"),
+            d2(col("qv"), col("cv")).as("d2"))
+          .groupBy(col("vec_id"), col("scl"))
+          .agg(min(struct(col("d2"), col("ch"))).as("mm"))
+          .select(col("vec_id"), col("scl"), col("mm.ch").as("ch"))
+        val sums = asgI.join(mex, Seq("vec_id", "scl"))
           .groupBy(col("scl"), col("ch"), col("dim"))
           .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("cvd"))
         val rebuilt = sums.groupBy(col("scl"), col("ch"))
@@ -1472,17 +1486,23 @@ object Ann {
         val carried = child.join(rebuilt.select("scl", "ch"), Seq("scl", "ch"), "left_anti")
         child = sever(rebuilt.unionByName(carried))
       }
+      child
     }
-    // the final child table is read by BOTH returned frames and by
-    // every consumer that broadcasts it — memoize like the flat
-    // centroids (k rows; already severed, so the memoized frame's
-    // plan is one shallow scan)
-    val childF = graft.core.SharedFrames.get(spark, s"ann.hier.child.$keyTag", dir,
-      CellProbeConsumers)(child)
+    // pin the memoized blocks NOW: the severed RDDs backing the plan
+    // are OwnedCaches-released after the building query materializes,
+    // and an unmaterialized childF would re-execute their full
+    // lineage on the next consumer
+    childF.count()
     val cellId = (col("scl") * lit(kc.toLong) + col("ch")).as("cl")
     val assign = graft.core.SharedFrames.get(spark, s"ann.hier.assign.$keyTag", dir,
       CellProbeConsumers) {
-      asg.select(col("vec_id"), (col("scl") * lit(kc.toLong) + col("ch")).as("cl"))
+      m.join(broadcast(childF), Seq("scl"))
+        .select(col("vec_id"), col("scl"), col("ch"),
+          d2(col("qv"), col("cv")).as("d2"))
+        .groupBy(col("vec_id"), col("scl"))
+        .agg(min(struct(col("d2"), col("ch"))).as("mm"))
+        .select(col("vec_id"),
+          (col("scl") * lit(kc.toLong) + col("mm.ch")).as("cl"))
     }
     // the ranked child pool — every (vector, candidate cell) pair the
     // probe stage considers, with its exact integer distance and rank,
@@ -1891,6 +1911,57 @@ object Ann {
     * whole near-dup family) runs above TwoLevelK cells, where flat
     * assignment would be O(n·k) = O(n²/1000).
     */
+  /** Verified BASE-channel pair frame at the forced two-level
+    * geometry — SESSION-SHARED (round 18): the recall audit and the
+    * ring-contribution audit otherwise EACH pay the same nprobe-wide
+    * cell equi-join, the heaviest scan either runs (τ-survivor-sized
+    * persisted frame, the cellNearDupPairs rule). Same bit-exact set
+    * on both consumers by construction.
+    */
+  /** Materialize `df` behind a lineage cut (persisted RDD →
+    * createDataFrame) and hand the SHALLOW frame to SharedFrames: the
+    * two-consumer pair frames are τ-survivor-sized (hundreds of rows)
+    * but their raw plans embed the whole hier chain, and Catalyst
+    * re-analyzes that tree on EVERY downstream action — measured ~1 s
+    * per count on a fully cached 737-row frame, ~4 s for the final
+    * channel agg. The eager count after get() pins the shallow blocks
+    * before the owned backing RDD is released post-query.
+    */
+  private def severedShared(spark: SparkSession, key: String, dir: String,
+      consumers: Set[String])(build: => DataFrame): DataFrame = {
+    val f = graft.core.SharedFrames.get(spark, key, dir, consumers) {
+      val df = build
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      graft.core.OwnedCaches.ownRdd(rdd)
+      spark.createDataFrame(rdd, df.schema)
+    }
+    f.count()
+    f
+  }
+
+  private[graft] def forcedTwolevelBasePairs(spark: SparkSession, dir: String): DataFrame =
+    severedShared(spark, "ann.twolevel.basePairs", dir,
+        Set("ann_twolevel_recall", "twolevel_ring_contribution")) {
+      val (q, nVec) = quantizedCorpus(spark, dir)
+      val (assign, probes, _) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
+      cellBaseVerified(assign, probes, q, nVec).distinct()
+    }
+
+  /** Verified RING-channel pair frame at the forced geometry — the
+    * same two-consumer sharing as [[forcedTwolevelBasePairs]] (the
+    * SRP-survivor vector fetch + exact verify is the other scan both
+    * audits pay).
+    */
+  private[graft] def forcedTwolevelRingPairs(spark: SparkSession, dir: String): DataFrame =
+    severedShared(spark, "ann.twolevel.ringPairs", dir,
+        Set("ann_twolevel_recall", "twolevel_ring_contribution")) {
+      val (q, nVec) = quantizedCorpus(spark, dir)
+      val (_, _, ring) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
+      ringVerified(ring, q, nVec).distinct()
+    }
+
   def annTwolevelRecall(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val e = Tables(spark, dir).embeddings
@@ -1899,10 +1970,15 @@ object Ann {
     val truth = a.join(b, col("vec_a") < col("vec_b"))
       .filter(unitDot(col("ua"), col("ub")) >= DupThreshold)
       .select(col("vec_a"), col("vec_b"))
-    val (q, nVec) = quantizedCorpus(spark, dir)
+    val (q, _) = quantizedCorpus(spark, dir)
     val qn = q.withColumn("nrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
-    val (assign, probes, ring) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
-    val cand = cellPairScan(assign, probes, q, nVec, Some(ring))
+    // (shared base ∪ shared ring).distinct ≡ cellPairScan(…,
+    // Some(ring)) — both frames are distinct'd and the verify is
+    // bit-identical across channels, so the union-distinct collapses
+    // identically
+    val cand = forcedTwolevelBasePairs(spark, dir)
+      .unionByName(forcedTwolevelRingPairs(spark, dir))
+      .distinct()
       .select(col("vec_a"), col("vec_b")).withColumn("hit", lit(1L))
     truth
       .join(qn.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na")), "vec_a")
@@ -2212,19 +2288,18 @@ object Ann {
     * signatures, the hamming screen, and every cosine verdict.
     */
   def twolevelRingContribution(spark: SparkSession, dir: String): DataFrame = {
-    val (q, nVec) = quantizedCorpus(spark, dir)
-    val (assign, probes, ring) = hierCellFrames(spark, dir, Some(TwoLevelForceK))
-    // VERDICT r17 #1: the base equi-join is the expensive channel and
-    // both output legs need it (as the base rows AND as the anti-join
-    // reference for ring_only) — verify it ONCE, cache the τ-survivor
-    // frame (near-dup-sized, not candidate-sized), and scan only the
-    // ring channel separately. ring_only = verified-ring \ base is
-    // set-identical to the old (base ∪ ring).distinct \ base because
-    // the verify gate is per-pair deterministic and bit-identical
-    // across channels.
-    val base = graft.core.OwnedCaches.own(
-      cellBaseVerified(assign, probes, q, nVec).distinct().cache())
-    val ringOnly = ringVerified(ring, q, nVec).distinct()
+    // VERDICT r17 #1: both channel scans are SESSION-SHARED with
+    // ann_twolevel_recall (each verified once per session, τ-survivor-
+    // sized persisted frames) — this query is pure cached-frame
+    // algebra: one anti-join + one union + one agg. ring_only =
+    // verified-ring \ base is set-identical to the old
+    // (base ∪ ring).distinct \ base because the verify gate is
+    // per-pair deterministic and bit-identical across channels. Both
+    // getters materialize eagerly (severedShared), so the two legs
+    // read pinned shallow blocks — no cache race, no re-analysis of
+    // the hier lineage.
+    val base = forcedTwolevelBasePairs(spark, dir)
+    val ringOnly = forcedTwolevelRingPairs(spark, dir)
       .join(base.select(col("vec_a"), col("vec_b")),
         Seq("vec_a", "vec_b"), "left_anti")
     base.withColumn("channel", lit("base"))

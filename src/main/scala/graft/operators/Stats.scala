@@ -8460,6 +8460,130 @@ object Stats {
        |ORDER BY type_a, type_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- lepage_test
+
+  /** Lepage location–scale omnibus for every event-type pair:
+    * L = z²_Wilcoxon + z²_Ansari-Bradley — "did the distribution move
+    * OR change spread", the two-degree-of-freedom screen that catches
+    * what a pure location test ([[mannWhitney]]/[[brunnerMunzel]])
+    * and a pure dispersion read each miss alone. Both components ride
+    * the one value-grid pass with DOUBLED midranks (the
+    * [[brunnerMunzel]] device, exact integers under ties): Wilcoxon
+    * scores are the combined doubled midranks 2R̄, Ansari–Bradley
+    * scores their fold toward the extremes min(2R̄, 2(N+1)−2R̄); each z
+    * standardizes by the CONDITIONAL (tie-exact) moments
+    * E = n_a·ΣS/N, Var = n_a·n_b·(N·ΣS² − (ΣS)²)/(N²(N−1)) — every
+    * sum an exact decimal (Σc·S² via the ONE (19,0)×int multiply of
+    * the BM width ledger), one shared double expression per output.
+    *
+    * Scale shape: the [[ksTest]] shape — raw scan → bounded value
+    * grid → one aggregate; 10 pairs from one pass.
+    */
+  def lepageTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val cCols = EventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val grid = ev.groupBy(col("value")).agg(cCols.head, cCols.tail: _*)
+    val wv = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      (EventTypes.map(t => col(s"c_$t")) ++
+        EventTypes.map(t => sum(col(s"c_$t")).over(wv).as(s"f_$t"))): _*)
+    val nCols = EventTypes.map(t => sum(col(s"c_$t")).as(s"n_$t"))
+    val totals = grid.agg(nCols.head, nCols.tail: _*)
+    val pairCols = TypePairs.flatMap { case (a, b) =>
+      val (r2, s2) = lepScores(a, b)
+      val tag = s"${a}_$b"
+      Seq(
+        sum(expr(s"CAST(c_$a * $r2 AS DECIMAL(38,0))")).as(s"w_$tag"),
+        sum(expr(s"CAST(c_$a * $s2 AS DECIMAL(38,0))")).as(s"aa_$tag"),
+        sum(expr(s"CAST((c_$a + c_$b) * $r2 AS DECIMAL(38,0))")).as(s"tr1_$tag"),
+        sum(expr(s"CAST((c_$a + c_$b) * $r2 AS DECIMAL(19,0)) * $r2")).as(s"tr2_$tag"),
+        sum(expr(s"CAST((c_$a + c_$b) * $s2 AS DECIMAL(38,0))")).as(s"us1_$tag"),
+        sum(expr(s"CAST((c_$a + c_$b) * $s2 AS DECIMAL(19,0)) * $s2")).as(s"us2_$tag"))
+    }
+    val m = cum.crossJoin(broadcast(totals)).agg(pairCols.head, pairCols.tail: _*)
+      .crossJoin(broadcast(totals))
+    val stackArgs = TypePairs.map { case (a, b) =>
+      val (zw, za) = lepZ(a, b)
+      s"'$a', '$b', CAST(n_$a AS BIGINT), CAST(n_$b AS BIGINT), $zw, $za, " +
+        s"($zw) * ($zw) + ($za) * ($za)"
+    }.mkString(", ")
+    m.selectExpr(
+        s"stack(${TypePairs.size}, $stackArgs)" +
+          " AS (type_a, type_b, n_a, n_b, z_wilcoxon, z_ansari, lepage_stat)")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** (doubled combined midrank, doubled Ansari–Bradley score) for the
+    * pair's value-grid row — shared text.
+    */
+  private def lepScores(a: String, b: String): (String, String) = {
+    val r2 = s"(2 * ((f_$a - c_$a) + (f_$b - c_$b)) + c_$a + c_$b + 1)"
+    (r2, s"least($r2, 2 * (n_$a + n_$b + 1) - $r2)")
+  }
+
+  /** (z_Wilcoxon, z_Ansari) — conditional-moment standardizations
+    * over the exact pair sums, degenerate variances guarded to 0.
+    */
+  private def lepZ(a: String, b: String): (String, String) = {
+    val tag = s"${a}_$b"
+    val nD = s"(CAST(n_$a AS DOUBLE) + CAST(n_$b AS DOUBLE))"
+    def z(sum1: String, scoreSum: String, scoreSq: String) = {
+      val varr = s"(CAST(n_$a AS DOUBLE) * CAST(n_$b AS DOUBLE)" +
+        s" * ($nD * CAST($scoreSq AS DOUBLE) - CAST($scoreSum AS DOUBLE) * CAST($scoreSum AS DOUBLE))" +
+        s" / ($nD * $nD * ($nD - CAST(1 AS DOUBLE))))"
+      s"(CASE WHEN $varr <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE " +
+        s"(CAST($sum1 AS DOUBLE) - CAST(n_$a AS DOUBLE) * CAST($scoreSum AS DOUBLE) / $nD)" +
+        s" / sqrt($varr) END)"
+    }
+    (z(s"w_$tag", s"tr1_$tag", s"tr2_$tag"),
+      z(s"aa_$tag", s"us1_$tag", s"us2_$tag"))
+  }
+
+  lazy val lepageTestSql: String = {
+    val cSums = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+      .mkString(",\n    ")
+    val fCums = EventTypes.map(t =>
+      s"sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$t")
+      .mkString(",\n    ")
+    val nTots = EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS n_$t").mkString(", ")
+    val pairSums = TypePairs.flatMap { case (a, b) =>
+      val (r2, s2) = lepScores(a, b)
+      val tag = s"${a}_$b"
+      Seq(
+        s"sum(CAST(c_$a * $r2 AS DECIMAL(38,0))) AS w_$tag",
+        s"sum(CAST(c_$a * $s2 AS DECIMAL(38,0))) AS aa_$tag",
+        s"sum(CAST((c_$a + c_$b) * $r2 AS DECIMAL(38,0))) AS tr1_$tag",
+        s"sum(CAST((c_$a + c_$b) * $r2 AS DECIMAL(19,0)) * $r2) AS tr2_$tag",
+        s"sum(CAST((c_$a + c_$b) * $s2 AS DECIMAL(38,0))) AS us1_$tag",
+        s"sum(CAST((c_$a + c_$b) * $s2 AS DECIMAL(19,0)) * $s2) AS us2_$tag")
+    }.mkString(",\n    ")
+    val unions = TypePairs.map { case (a, b) =>
+      val (zw, za) = lepZ(a, b)
+      s"SELECT '$a' AS type_a, '$b' AS type_b, CAST(n_$a AS BIGINT) AS n_a," +
+        s" CAST(n_$b AS BIGINT) AS n_b, $zw AS z_wilcoxon, $za AS z_ansari," +
+        s" ($zw) * ($zw) + ($za) * ($za) AS lepage_stat FROM m, t"
+    }.mkString("\nUNION ALL ")
+    s"""WITH g AS (
+       |  SELECT value,
+       |    $cSums
+       |  FROM events GROUP BY value),
+       |f AS (
+       |  SELECT value,
+       |    ${EventTypes.map(t => s"c_$t").mkString(", ")},
+       |    $fCums
+       |  FROM g),
+       |t AS (SELECT $nTots FROM g),
+       |m AS (
+       |  SELECT
+       |    $pairSums
+       |  FROM f, t)
+       |$unions
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
   // --------------------------------------------------------------- dixon_q_test
 
   /** Dixon's Q ratios on the monthly revenue series: Q_low =

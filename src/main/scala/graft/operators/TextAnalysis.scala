@@ -3134,6 +3134,60 @@ object TextAnalysis {
        |WHERE s.tf <= $GoodTuringMaxR
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- yule_simpson_diversity
+
+  /** Yule's K and Simpson's D lexical concentration per source —
+    * the frequency-spectrum diversity pair (`ttr_by_source` and
+    * `hapax_ratio` read the spectrum's EDGES; K and D weight its
+    * whole shape): K = 10⁴·(Σtf² − N)/N² (repeat-rate, length-robust
+    * where TTR is not) and D = Σtf(tf−1)/(N(N−1)) (the probability
+    * two random tokens are the same type). Both are exact-integer
+    * ratios — Σtf² via the ONE (19,0)×int multiply of the width
+    * ledger — with one double divide each; a template-heavy source
+    * (boilerplate crawl) jumps in BOTH while a natural one stays low,
+    * which is the dedup-adjacent signal a mixture planner reads.
+    *
+    * Scale shape: one (source, term) partial-agg then a source-
+    * bounded re-aggregate — vocabulary-bounded after the first
+    * shuffle, like every spectrum query.
+    */
+  def yuleSimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(filter(split(col("text"), " +"), t => length(t) > 0)).as("term"))
+    val tf = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr("CAST(tf AS DECIMAL(19,0)) * tf")).as("sf2"))
+      .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"),
+        expr(YuleK).as("yule_k"), expr(SimpsonD).as("simpson_d"))
+      .orderBy("source")
+  }
+
+  private val YuleK: String =
+    "CAST(10000 AS DOUBLE) * (CAST(sf2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))" +
+      " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+  private val SimpsonD: String =
+    "(CAST(sf2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))" +
+      " / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - CAST(1 AS DOUBLE)))"
+
+  lazy val yuleSimpsonDiversitySql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(text, ' +'),
+       |    x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |m AS (
+       |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    sum(CAST(tf AS DECIMAL(19,0)) * tf) AS sf2
+       |  FROM tf GROUP BY 1)
+       |SELECT source, n_tokens, n_types,
+       |  $YuleK AS yule_k, $SimpsonD AS simpson_d
+       |FROM m ORDER BY source""".stripMargin
+
   // ------------------------------------------------- dunning_g2_keywords
 
   private val DunningTopK = 5
