@@ -1166,7 +1166,7 @@ object Graph {
     * link prediction and redundancy census alike — and the dropped
     * share is observable per run via `wedge_cap_audit` before any
     * pair join pays for it. Below the cap the route is the identity
-    * (Round18bSpec pins set equality; oracle dirs max out at degree
+    * (Round18Spec pins set equality; oracle dirs max out at degree
     * ~13, so every oracle replays the uncapped join verbatim).
     */
   private[graft] val WedgeDegreeCap = 1024L

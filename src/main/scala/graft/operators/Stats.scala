@@ -8460,6 +8460,95 @@ object Stats {
        |ORDER BY type_a, type_b""".stripMargin
   }
 
+  // -------------------------------------------------------- ordinal_gamma_somers
+
+  /** Ordinal association between order PRIORITY (1-URGENT … 5-LOW)
+    * and order SIZE (lineitem count, capped at 7): Goodman–Kruskal
+    * gamma, Somers' D (size dependent on priority), and Kendall's
+    * τ_b — the concordance family for ORDERED categoricals that
+    * [[spearmanCorr]]/[[kendallTau]] (numeric series) and
+    * [[cramersV]] (nominal, order-blind) both miss: "do more-urgent
+    * orders systematically run smaller". Everything reduces to the
+    * 5×7 contingency grid: concordant/discordant pair masses are one
+    * grid self-join (Σ n_ij·n_kl over strict orderings — each
+    * unordered pair counted once), tie masses come off the row/col
+    * marginals, all exact integers; the three coefficients are one
+    * shared double expression each.
+    *
+    * Scale shape: one orders⋈lineitem count aggregate → a ≤35-row
+    * grid → a 35²-row self-join. Nothing after the first aggregate
+    * depends on corpus size.
+    */
+  def ordinalGammaSomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val per = t.orders.select(col("o_orderkey"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("pr"))
+      .join(t.lineitem.select(col("l_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("pr"))
+      .agg(least(count(lit(1)), lit(7L)).as("b"))
+    val grid = per.groupBy(col("pr"), col("b")).agg(count(lit(1)).as("n"))
+    val g2 = grid.select(col("pr").as("pr2"), col("b").as("b2"), col("n").as("n2"))
+    val pairs = grid.crossJoin(broadcast(g2))
+      .filter(col("pr2") > col("pr"))
+      .agg(
+        sum(when(col("b2") > col("b"), expr("CAST(n * n2 AS DECIMAL(38,0))"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("conc"),
+        sum(when(col("b2") < col("b"), expr("CAST(n * n2 AS DECIMAL(38,0))"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("disc"))
+    val marg = grid.agg(sum(col("n")).as("nn"))
+    val rows = grid.groupBy(col("pr")).agg(sum(col("n")).as("r"))
+      .agg(sum(expr("CAST(r AS DECIMAL(19,0)) * r")).as("sr2"))
+    val cols2 = grid.groupBy(col("b")).agg(sum(col("n")).as("c"))
+      .agg(sum(expr("CAST(c AS DECIMAL(19,0)) * c")).as("sc2"))
+    pairs.crossJoin(broadcast(marg)).crossJoin(broadcast(rows))
+      .crossJoin(broadcast(cols2))
+      .selectExpr("CAST(nn AS BIGINT) AS n_orders",
+        "CAST(conc AS BIGINT) AS concordant", "CAST(disc AS BIGINT) AS discordant",
+        OrdGamma, OrdSomersD, OrdTauB)
+  }
+
+  // pair masses: n0 = N(N−1)/2 total, nTx = pairs NOT tied on x
+  // = (N² − Σr²)/2, nTy likewise — all from exact marginal moments,
+  // combined as doubles in one shared text per coefficient
+  private val OrdN0x =
+    "((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(sr2 AS DOUBLE)) / CAST(2 AS DOUBLE))"
+  private val OrdN0y =
+    "((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(sc2 AS DOUBLE)) / CAST(2 AS DOUBLE))"
+  private val OrdGamma: String =
+    "CASE WHEN CAST(conc AS DOUBLE) + CAST(disc AS DOUBLE) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      "ELSE (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) / (CAST(conc AS DOUBLE) + CAST(disc AS DOUBLE)) END AS gamma"
+  private val OrdSomersD: String =
+    s"CASE WHEN $OrdN0x = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) / $OrdN0x END AS somers_d"
+  private val OrdTauB: String =
+    s"CASE WHEN $OrdN0x * $OrdN0y <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) / sqrt($OrdN0x * $OrdN0y) END AS tau_b"
+
+  lazy val ordinalGammaSomersSql: String =
+    s"""WITH per AS (
+       |  SELECT o.o_orderkey, CAST(substring(o.o_orderpriority, 1, 1) AS INT) AS pr,
+       |    least(count(*), 7) AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2),
+       |grid AS (SELECT pr, b, CAST(count(*) AS BIGINT) AS n FROM per GROUP BY 1, 2),
+       |p AS (
+       |  SELECT
+       |    sum(CASE WHEN g2.b > g1.b THEN CAST(g1.n * g2.n AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS conc,
+       |    sum(CASE WHEN g2.b < g1.b THEN CAST(g1.n * g2.n AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS disc
+       |  FROM grid g1 JOIN grid g2 ON g2.pr > g1.pr),
+       |m AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM grid),
+       |r AS (
+       |  SELECT sum(CAST(r AS DECIMAL(19,0)) * r) AS sr2 FROM (
+       |    SELECT CAST(sum(n) AS BIGINT) AS r FROM grid GROUP BY pr) z),
+       |c AS (
+       |  SELECT sum(CAST(c AS DECIMAL(19,0)) * c) AS sc2 FROM (
+       |    SELECT CAST(sum(n) AS BIGINT) AS c FROM grid GROUP BY b) z)
+       |SELECT CAST(nn AS BIGINT) AS n_orders,
+       |  CAST(conc AS BIGINT) AS concordant, CAST(disc AS BIGINT) AS discordant,
+       |  $OrdGamma, $OrdSomersD, $OrdTauB
+       |FROM p, m, r, c""".stripMargin
+
   // --------------------------------------------------------------- lepage_test
 
   /** Lepage location–scale omnibus for every event-type pair:
