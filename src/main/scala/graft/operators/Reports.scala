@@ -1628,6 +1628,22 @@ object Reports {
     * window ever touches the customer frame), and a ≤25-cell rollup.
     */
   def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    segmentPairFrame(spark, dir)
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("row_total", sum(col("n_customers")).over(
+        Window.partitionBy("seg_a")))
+      .select(col("seg_a"), col("seg_b"), col("n_customers"),
+        expr("CAST(n_customers AS DOUBLE) / CAST(row_total AS DOUBLE)").as("share"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  /** The per-customer (seg_a, seg_b) quartile pair behind
+    * [[segmentMigration]] — split out so `bowker_test` (Stats) reads
+    * the IDENTICAL segment definition for its marginal-homogeneity
+    * statistic.
+    */
+  private[operators] def segmentPairFrame(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val mid = t.orders.agg(expr(
       "CAST(floor((min(datediff(o_orderdate, DATE '1970-01-01')) + max(datediff(o_orderdate, DATE '1970-01-01'))) / 2.0) AS BIGINT)").as("mid"))
@@ -1658,22 +1674,18 @@ object Reports {
         .select(col("o_custkey"),
           Commerce.ntileExpr("__rk", "__n", 4).cast("int").as(out))
     }
-    val seg = perC
+    perC
       .join(segCol("rev_a", "seg_a"), Seq("o_custkey"), "left")
       .join(segCol("rev_b", "seg_b"), Seq("o_custkey"), "left")
       .select(coalesce(col("seg_a"), lit(0)).as("seg_a"),
         coalesce(col("seg_b"), lit(0)).as("seg_b"))
-    seg.groupBy(col("seg_a"), col("seg_b"))
-      .agg(count(lit(1)).as("n_customers"))
-      .withColumn("row_total", sum(col("n_customers")).over(
-        Window.partitionBy("seg_a")))
-      .select(col("seg_a"), col("seg_b"), col("n_customers"),
-        expr("CAST(n_customers AS DOUBLE) / CAST(row_total AS DOUBLE)").as("share"))
-      .orderBy("seg_a", "seg_b")
   }
 
-  val segmentMigrationSql: String =
-    """WITH mid AS (
+  /** The seg CTE chain shared verbatim by [[segmentMigrationSql]] and
+    * Stats.bowkerTestSql — one definition, two oracle faces.
+    */
+  private[operators] val segmentPairSqlCtes: String =
+    """mid AS (
       |  SELECT CAST(floor((min(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
       |    + max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')) / 2.0) AS BIGINT) AS mid
       |  FROM orders),
@@ -1690,14 +1702,17 @@ object Reports {
       |      (PARTITION BY rev_a = 0 ORDER BY rev_a, o_custkey) END AS seg_a,
       |    CASE WHEN rev_b = 0 THEN 0 ELSE ntile(4) OVER
       |      (PARTITION BY rev_b = 0 ORDER BY rev_b, o_custkey) END AS seg_b
-      |  FROM per),
-      |m AS (
-      |  SELECT seg_a, seg_b, count(*) AS n_customers FROM seg GROUP BY 1, 2)
-      |SELECT CAST(seg_a AS INTEGER) AS seg_a, CAST(seg_b AS INTEGER) AS seg_b,
-      |  CAST(n_customers AS BIGINT) AS n_customers,
-      |  CAST(n_customers AS DOUBLE)
-      |    / CAST(sum(n_customers) OVER (PARTITION BY seg_a) AS DOUBLE) AS share
-      |FROM m ORDER BY seg_a, seg_b""".stripMargin
+      |  FROM per)""".stripMargin
+
+  val segmentMigrationSql: String =
+    s"""WITH $segmentPairSqlCtes,
+       |m AS (
+       |  SELECT seg_a, seg_b, count(*) AS n_customers FROM seg GROUP BY 1, 2)
+       |SELECT CAST(seg_a AS INTEGER) AS seg_a, CAST(seg_b AS INTEGER) AS seg_b,
+       |  CAST(n_customers AS BIGINT) AS n_customers,
+       |  CAST(n_customers AS DOUBLE)
+       |    / CAST(sum(n_customers) OVER (PARTITION BY seg_a) AS DOUBLE) AS share
+       |FROM m ORDER BY seg_a, seg_b""".stripMargin
 
   // ------------------------------------------------------ trailing_spend_90d
 

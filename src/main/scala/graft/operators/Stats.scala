@@ -8905,4 +8905,448 @@ object Stats {
        |  $DixonQLow, $DixonQHigh
        |FROM s""".stripMargin
 
+  // ------------------------------------------------------------------ sign_test
+
+  private val SignZ: String =
+    "(CASE WHEN np + nm = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(np - nm AS DOUBLE) / sqrt(CAST(np + nm AS DOUBLE)) END)"
+
+  /** Paired sign test on per-customer order activity across the two
+    * halves of the order-date range (the [[cupedAdjustment]] midpoint
+    * split): did MORE customers grow their order count than shrink
+    * it? The distribution-free paired companion to
+    * [[wilcoxonSignedRank]] (which needs rankable magnitudes) and
+    * [[mcnemarTest]] (binary response): only the SIGN of each
+    * customer's second-half − first-half count enters, ties drop out,
+    * z = (n⁺ − n⁻)/√(n⁺ + n⁻). Everything is exact integer counting;
+    * z is one guarded expression.
+    *
+    * Scale shape: one conditional-count pass to the customer grain,
+    * one 3-counter aggregate to a single row. No window, no join.
+    */
+  def signTest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dated = t.orders.select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("od"))
+    val mid = dated.agg(min(col("od")).as("lo"), max(col("od")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) / 2 AS INT))").as("mid"))
+    val per = dated.crossJoin(broadcast(mid))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("od") < col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("od") >= col("mid"), 1L).otherwise(0L)).as("y"))
+    per.agg(count(lit(1)).as("n"),
+        sum(when(col("y") > col("x"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") < col("x"), 1L).otherwise(0L)).as("nm"))
+      .selectExpr("CAST(n AS BIGINT) AS n_customers",
+        "CAST(np AS BIGINT) AS n_pos", "CAST(nm AS BIGINT) AS n_neg",
+        "CAST(n - np - nm AS BIGINT) AS n_tie",
+        s"$SignZ AS z_stat",
+        s"CASE WHEN abs($SignZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  val signTestSql: String =
+    s"""WITH dated AS (
+       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+       |m AS (SELECT min(od) + CAST((max(od) - min(od)) // 2 AS INTEGER) AS mid FROM dated),
+       |per AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CASE WHEN od < mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN od >= mid THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM dated, m GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y > x THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN y < x THEN 1 ELSE 0 END) AS BIGINT) AS nm
+       |  FROM per)
+       |SELECT n AS n_customers, np AS n_pos, nm AS n_neg,
+       |  CAST(n - np - nm AS BIGINT) AS n_tie,
+       |  $SignZ AS z_stat,
+       |  CASE WHEN abs($SignZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------ cochran_q
+
+  /** Cochran's Q over k = 3 equal date terciles: "was customer i
+    * active in tercile j" is a binary repeated measure, and Q tests
+    * whether the three activity rates are homogeneous — the k-sample
+    * extension of [[mcnemarTest]] (k = 2 reduces to it) that
+    * [[friedmanTest]] gives for ORDINAL responses. Q = (k−1)·(k·ΣC_j²
+    * − (ΣC_j)²)/(k·ΣR_i − ΣR_i²) from exact integer row/column sums
+    * of the 0/1 incidence (C_j = tercile activity counts, R_i =
+    * per-customer tercile counts); rows at R_i ∈ {0, k} cancel from
+    * both numerator variance and denominator, so including every
+    * ordering customer is the textbook form.
+    *
+    * Scale shape: tercile index is pure integer arithmetic on the
+    * order day; one max-pivot to the customer grain, one 5-moment
+    * aggregate to a single row. All moments < 2⁵³ through ~10⁹
+    * customers (C_j² at 10⁹ rows is 10¹⁸ — hold C_j as the exact
+    * (19,0)-decimal square and the cast splits stay per-moment).
+    */
+  def cochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val days = t.orders.select(col("o_custkey"), expr(
+      "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01') AS BIGINT)").as("day"))
+    val span = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val banded = days.crossJoin(broadcast(span))
+      .withColumn("b", expr("CAST((day - lo) * 3 div (hi - lo + 1) AS INT)"))
+    val per = banded.groupBy(col("o_custkey"))
+      .agg(max(when(col("b") === 0, 1L).otherwise(0L)).as("x0"),
+        max(when(col("b") === 1, 1L).otherwise(0L)).as("x1"),
+        max(when(col("b") === 2, 1L).otherwise(0L)).as("x2"))
+    per.agg(count(lit(1)).as("n"),
+        sum(col("x0")).as("c0"), sum(col("x1")).as("c1"), sum(col("x2")).as("c2"),
+        sum(col("x0") + col("x1") + col("x2")).as("sr"),
+        sum((col("x0") + col("x1") + col("x2")) *
+          (col("x0") + col("x1") + col("x2"))).as("sr2"))
+      .selectExpr("CAST(n AS BIGINT) AS n_customers",
+        "CAST(c0 AS BIGINT) AS n_active_t0", "CAST(c1 AS BIGINT) AS n_active_t1",
+        "CAST(c2 AS BIGINT) AS n_active_t2",
+        s"$CochranQExpr AS q_stat",
+        "CAST(2 AS BIGINT) AS df",
+        s"CASE WHEN $CochranQExpr > CAST(5.991 AS DOUBLE) THEN 1 ELSE 0 END AS significant")
+  }
+
+  private val CochranQExpr: String =
+    "(CASE WHEN 3 * sr - sr2 = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      "CAST(2 AS DOUBLE) * (CAST(3 AS DOUBLE) * " +
+      "(CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)" +
+      " + CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE))" +
+      " - (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE))" +
+      " * (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)))" +
+      " / CAST(3 * sr - sr2 AS DOUBLE) END)"
+
+  val cochranQSql: String =
+    s"""WITH days AS (
+       |  SELECT o_custkey,
+       |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+       |  FROM orders),
+       |span AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+       |banded AS (
+       |  SELECT o_custkey, CAST((day - lo) * 3 // (hi - lo + 1) AS INTEGER) AS b
+       |  FROM days, span),
+       |per AS (
+       |  SELECT o_custkey,
+       |    CAST(max(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+       |    CAST(max(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+       |    CAST(max(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS x2
+       |  FROM banded GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x0) AS BIGINT) AS c0, CAST(sum(x1) AS BIGINT) AS c1,
+       |    CAST(sum(x2) AS BIGINT) AS c2,
+       |    CAST(sum(x0 + x1 + x2) AS BIGINT) AS sr,
+       |    CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS sr2
+       |  FROM per)
+       |SELECT n AS n_customers, c0 AS n_active_t0, c1 AS n_active_t1,
+       |  c2 AS n_active_t2,
+       |  $CochranQExpr AS q_stat,
+       |  CAST(2 AS BIGINT) AS df,
+       |  CASE WHEN $CochranQExpr > CAST(5.991 AS DOUBLE) THEN 1 ELSE 0 END AS significant
+       |FROM agg""".stripMargin
+
+  // ----------------------------------------------------------------- bowker_test
+
+  private val BowkerPairs: Seq[(Int, Int)] =
+    for { i <- 0 to 4; j <- (i + 1) to 4 } yield (i, j)
+
+  private def bowkerTermExpr(i: Int, j: Int): String =
+    s"(CASE WHEN n_${i}_$j + n_${j}_$i = 0 THEN CAST(0 AS DOUBLE) " +
+      s"ELSE CAST((n_${i}_$j - n_${j}_$i) * (n_${i}_$j - n_${j}_$i) AS DOUBLE)" +
+      s" / CAST(n_${i}_$j + n_${j}_$i AS DOUBLE) END)"
+
+  private val BowkerStatExpr: String =
+    BowkerPairs.map { case (i, j) => bowkerTermExpr(i, j) }.mkString("(", " + ", ")")
+
+  /** Bowker's test of marginal homogeneity on the `segment_migration`
+    * transition matrix (SAME segment definition — Reports shares the
+    * frame builder): are up-moves between value quartiles mirrored by
+    * down-moves, cell by cell? χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij +
+    * n_ji) — the k×k generalization of [[mcnemarTest]] (k = 2 is
+    * exactly it), detecting DIRECTED migration drift that the
+    * matrix's row shares can't test. The 10 cell pairs fold in one
+    * fixed-order expression (IEEE-identical both engines); df counts
+    * the non-empty pairs.
+    *
+    * Scale shape: inherits segment_migration's distributed quartile
+    * rank (two-level prefix sum, no unpartitioned window); the pair
+    * fold is one 20-counter aggregate over the customer-grain frame.
+    */
+  def bowkerTest(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Reports.segmentPairFrame(spark, dir)
+    val cellCols = BowkerPairs.flatMap { case (i, j) => Seq(
+      sum(when(col("seg_a") === i && col("seg_b") === j, 1L).otherwise(0L))
+        .as(s"n_${i}_$j"),
+      sum(when(col("seg_a") === j && col("seg_b") === i, 1L).otherwise(0L))
+        .as(s"n_${j}_$i")) }
+    val dfExpr = BowkerPairs
+      .map { case (i, j) => s"CASE WHEN n_${i}_$j + n_${j}_$i > 0 THEN 1 ELSE 0 END" }
+      .mkString("(", " + ", ")")
+    val aggCols = count(lit(1)).as("n") +: cellCols
+    seg.agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr("CAST(n AS BIGINT) AS n_customers",
+        s"CAST($dfExpr AS BIGINT) AS df",
+        s"$BowkerStatExpr AS bowker_stat")
+  }
+
+  lazy val bowkerTestSql: String = {
+    val cellSums = BowkerPairs.flatMap { case (i, j) => Seq(
+      s"CAST(sum(CASE WHEN seg_a = $i AND seg_b = $j THEN 1 ELSE 0 END) AS BIGINT) AS n_${i}_$j",
+      s"CAST(sum(CASE WHEN seg_a = $j AND seg_b = $i THEN 1 ELSE 0 END) AS BIGINT) AS n_${j}_$i") }
+      .mkString(",\n    ")
+    val dfExpr = BowkerPairs
+      .map { case (i, j) => s"CASE WHEN n_${i}_$j + n_${j}_$i > 0 THEN 1 ELSE 0 END" }
+      .mkString("(", " + ", ")")
+    s"""WITH ${Reports.segmentPairSqlCtes},
+       |cells AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $cellSums
+       |  FROM seg)
+       |SELECT n AS n_customers,
+       |  CAST($dfExpr AS BIGINT) AS df,
+       |  $BowkerStatExpr AS bowker_stat
+       |FROM cells""".stripMargin
+  }
+
+  // ----------------------------------------------------------- cramer_von_mises
+
+  /** The pair statistic from the three exact grid moments: with d_v =
+    * n_b·F_a(v) − n_a·F_b(v), Σ w_v·d_v² expands to n_b²·A − 2n_a n_b
+    * ·B + n_a²·C (A = Σw·F_a², B = Σw·F_a F_b, C = Σw·F_b²), and T =
+    * that over n_a·n_b·N². Moments combine as INDIVIDUALLY-cast
+    * doubles (the [[cupedAdjustment]] convention) in one shared text.
+    */
+  private def cvmExpr(a: String, b: String): String = {
+    val nn = s"(CAST(n_$a AS DOUBLE) + CAST(n_$b AS DOUBLE))"
+    s"((CAST(n_$b AS DOUBLE) * CAST(n_$b AS DOUBLE) * CAST(ma_${a}_$b AS DOUBLE)" +
+      s" - CAST(2 AS DOUBLE) * CAST(n_$a AS DOUBLE) * CAST(n_$b AS DOUBLE) * CAST(mb_${a}_$b AS DOUBLE)" +
+      s" + CAST(n_$a AS DOUBLE) * CAST(n_$a AS DOUBLE) * CAST(mc_${a}_$b AS DOUBLE))" +
+      s" / (CAST(n_$a AS DOUBLE) * CAST(n_$b AS DOUBLE) * $nn * $nn))"
+  }
+
+  /** Two-sample Cramér–von Mises T for every event-type pair over the
+    * `value` grid: T = n_a n_b/N² · Σ_v w_v·(F̂_a(v) − F̂_b(v))², the
+    * INTEGRATED-squared companion to [[ksTest]]'s sup-norm D and
+    * [[kuiperTest]]'s V (a distribution that drifts a little
+    * everywhere moves T while barely moving D; pooled point mass w_v
+    * weights the grid exactly as ranks would). Same one-pass bounded
+    * value grid; the squared-difference integral reduces to three
+    * exact decimal moments per pair — see [[cvmExpr]] for the width
+    * discipline.
+    *
+    * Scale shape: the [[ksTest]] shape — raw scan → bounded grid →
+    * one 30-moment aggregate. Per-row products stay ≤ (19,0)×int
+    * (exact to ~10⁹ rows/type); the moment sums are exact decimals at
+    * any scale.
+    */
+  def cramerVonMises(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val cCols = EventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val grid = ev.groupBy(col("value")).agg(cCols.head, cCols.tail: _*)
+    val wv = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      (EventTypes.map(t => col(s"c_$t")) ++
+        EventTypes.map(t => sum(col(s"c_$t")).over(wv).as(s"f_$t"))): _*)
+    val nCols = EventTypes.map(t => sum(col(s"c_$t")).as(s"n_$t"))
+    val totals = grid.agg(nCols.head, nCols.tail: _*)
+    val momCols = TypePairs.flatMap { case (a, b) => Seq(
+      sum(expr(s"CAST((c_$a + c_$b) * f_$a AS DECIMAL(19,0)) * f_$a")).as(s"ma_${a}_$b"),
+      sum(expr(s"CAST((c_$a + c_$b) * f_$a AS DECIMAL(19,0)) * f_$b")).as(s"mb_${a}_$b"),
+      sum(expr(s"CAST((c_$a + c_$b) * f_$b AS DECIMAL(19,0)) * f_$b")).as(s"mc_${a}_$b")) }
+    val m = cum.agg(momCols.head, momCols.tail: _*).crossJoin(broadcast(totals))
+    val stackArgs = TypePairs.map { case (a, b) =>
+      s"'$a', '$b', CAST(n_$a AS BIGINT), CAST(n_$b AS BIGINT), ${cvmExpr(a, b)}"
+    }.mkString(", ")
+    m.selectExpr(
+        s"stack(${TypePairs.size}, $stackArgs) AS (type_a, type_b, n_a, n_b, cvm_stat)")
+      .orderBy("type_a", "type_b")
+  }
+
+  lazy val cramerVonMisesSql: String = {
+    val cSums = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+      .mkString(",\n    ")
+    val fCums = EventTypes.map(t =>
+      s"sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_$t")
+      .mkString(",\n    ")
+    val nTots = EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS n_$t").mkString(", ")
+    val momSums = TypePairs.flatMap { case (a, b) => Seq(
+      s"sum(CAST((c_$a + c_$b) * f_$a AS DECIMAL(19,0)) * f_$a) AS ma_${a}_$b",
+      s"sum(CAST((c_$a + c_$b) * f_$a AS DECIMAL(19,0)) * f_$b) AS mb_${a}_$b",
+      s"sum(CAST((c_$a + c_$b) * f_$b AS DECIMAL(19,0)) * f_$b) AS mc_${a}_$b") }
+      .mkString(",\n    ")
+    val unions = TypePairs.map { case (a, b) =>
+      s"SELECT '$a' AS type_a, '$b' AS type_b, CAST(n_$a AS BIGINT) AS n_a," +
+        s" CAST(n_$b AS BIGINT) AS n_b, ${cvmExpr(a, b)} AS cvm_stat FROM m, t" }
+      .mkString("\nUNION ALL ")
+    s"""WITH g AS (
+       |  SELECT value,
+       |    $cSums
+       |  FROM events GROUP BY value),
+       |f AS (
+       |  SELECT value,
+       |    ${EventTypes.map(t => s"c_$t").mkString(", ")},
+       |    $fCums
+       |  FROM g),
+       |t AS (SELECT $nTots FROM g),
+       |m AS (
+       |  SELECT
+       |    $momSums
+       |  FROM f)
+       |$unions
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------- theil_u
+
+  /** Theil's uncertainty coefficient between customer market segment
+    * and order priority: U(R|C) = (H(R) + H(C) − H(R,C))/H(R) — the
+    * DIRECTED, [0,1]-normalized association that [[cramersV]]
+    * (symmetric, χ²-based) and the raw mutual information (unbounded)
+    * both miss: "knowing the priority removes what share of the
+    * segment's entropy", and the reverse need not match. All three
+    * entropies ride the shannon_entropy_profile discipline: exact
+    * cell counts, [[graft.functions.ExactLn]] for the engine-stable
+    * ln, per-cell contributions rounded at 9 dp into an exact decimal
+    * sum (order-independent on both engines).
+    *
+    * Scale shape: one orders⋈customer conditional-count pass to the
+    * ≤25-cell contingency grid; everything after is grid-sized.
+    */
+  def theilU(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val t = Tables(spark, dir)
+    val cells = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("r"), col("o_orderpriority").as("cc"))
+      .agg(count(lit(1)).as("nc"))
+    val cellsC = graft.core.OwnedCaches.own(cells.cache())
+    def entropy(counts: DataFrame, out: String): DataFrame =
+      counts.withColumn("n", sum(col("c")).over(Window.partitionBy()))
+        .withColumn("p", expr("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("__y", expr(ExactLn.yExpr("p")))
+        .withColumn("__z", expr(ExactLn.zExpr("__y")))
+        .withColumn("contrib", expr(s"-(p * ${ExactLn.lnExpr("__z")})"))
+        .agg(sum(expr("CAST(round(contrib, 9) AS DECIMAL(18,9))")).as(out))
+    val hj = entropy(cellsC.select(col("nc").as("c")), "hj")
+    val hr = entropy(cellsC.groupBy(col("r")).agg(sum(col("nc")).as("c")), "hr")
+    val hc = entropy(cellsC.groupBy(col("cc")).agg(sum(col("nc")).as("c")), "hc")
+    val n = cellsC.agg(sum(col("nc")).as("n_orders"))
+    n.crossJoin(broadcast(hr)).crossJoin(broadcast(hc)).crossJoin(broadcast(hj))
+      .selectExpr("CAST(n_orders AS BIGINT) AS n_orders",
+        "CAST(hr AS DOUBLE) AS h_segment", "CAST(hc AS DOUBLE) AS h_priority",
+        "CAST(hj AS DOUBLE) AS h_joint",
+        s"$TheilUSeg AS u_segment_given_priority",
+        s"$TheilUPri AS u_priority_given_segment",
+        s"$TheilUSym AS u_symmetric")
+  }
+
+  private val TheilMi =
+    "(CAST(hr AS DOUBLE) + CAST(hc AS DOUBLE) - CAST(hj AS DOUBLE))"
+  private val TheilUSeg: String =
+    s"CASE WHEN CAST(hr AS DOUBLE) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE $TheilMi / CAST(hr AS DOUBLE) END"
+  private val TheilUPri: String =
+    s"CASE WHEN CAST(hc AS DOUBLE) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE $TheilMi / CAST(hc AS DOUBLE) END"
+  private val TheilUSym: String =
+    s"CASE WHEN CAST(hr AS DOUBLE) + CAST(hc AS DOUBLE) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE CAST(2 AS DOUBLE) * $TheilMi / (CAST(hr AS DOUBLE) + CAST(hc AS DOUBLE)) END"
+
+  lazy val theilUSql: String = {
+    import graft.functions.ExactLn
+    def ent(src: String, pre: String, out: String): String =
+      s"""${pre}p AS (
+         |  SELECT CAST(c AS DOUBLE) / CAST(sum(c) OVER () AS DOUBLE) AS p FROM $src),
+         |${pre}z AS (SELECT p, ${ExactLn.zExpr(ExactLn.yExpr("p"))} AS __z FROM ${pre}p),
+         |${pre}x AS (SELECT -(p * ${ExactLn.lnExpr("__z")}) AS contrib FROM ${pre}z),
+         |${pre}h AS (SELECT sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) AS $out FROM ${pre}x)""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT c_mktsegment AS r, o_orderpriority AS cc, CAST(count(*) AS BIGINT) AS nc
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |jc AS (SELECT nc AS c FROM cells),
+       |rc AS (SELECT CAST(sum(nc) AS BIGINT) AS c FROM cells GROUP BY r),
+       |ccx AS (SELECT CAST(sum(nc) AS BIGINT) AS c FROM cells GROUP BY cc),
+       |${ent("jc", "j", "hj")},
+       |${ent("rc", "r", "hr")},
+       |${ent("ccx", "c", "hc")},
+       |nt AS (SELECT CAST(sum(nc) AS BIGINT) AS n_orders FROM cells)
+       |SELECT n_orders,
+       |  CAST(hr AS DOUBLE) AS h_segment, CAST(hc AS DOUBLE) AS h_priority,
+       |  CAST(hj AS DOUBLE) AS h_joint,
+       |  $TheilUSeg AS u_segment_given_priority,
+       |  $TheilUPri AS u_priority_given_segment,
+       |  $TheilUSym AS u_symmetric
+       |FROM nt, rh, ch, jh""".stripMargin
+  }
+
+  // ------------------------------------------------- goodman_kruskal_lambda
+
+  /** Goodman–Kruskal λ on the same segment × priority grid as
+    * [[theilU]]: the proportional-reduction-in-error of guessing one
+    * margin's MODE once the other is known — λ(R|C) = (Σ_c max_r n_rc
+    * − max_r n_r·)/(N − max_r n_r·), directional like Theil's U but
+    * mode-based (a column that reshuffles probability WITHOUT moving
+    * any cell past the modal row leaves λ at 0 while U moves — the
+    * two disagreeing is itself the diagnostic). Pure integer maxima
+    * and sums; two guarded divisions at the end.
+    *
+    * Scale shape: identical to [[theilU]] — one pass to the ≤25-cell
+    * grid, then grid-sized maxima.
+    */
+  def goodmanKruskalLambda(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cells = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("r"), col("o_orderpriority").as("cc"))
+      .agg(count(lit(1)).as("nc"))
+    val cellsC = graft.core.OwnedCaches.own(cells.cache())
+    val sMaxPerCol = cellsC.groupBy(col("cc")).agg(max(col("nc")).as("m"))
+      .agg(sum(col("m")).as("smax_c"))
+    val sMaxPerRow = cellsC.groupBy(col("r")).agg(max(col("nc")).as("m"))
+      .agg(sum(col("m")).as("smax_r"))
+    val maxRowMargin = cellsC.groupBy(col("r")).agg(sum(col("nc")).as("s"))
+      .agg(max(col("s")).as("max_r"))
+    val maxColMargin = cellsC.groupBy(col("cc")).agg(sum(col("nc")).as("s"))
+      .agg(max(col("s")).as("max_c"))
+    val n = cellsC.agg(sum(col("nc")).as("n_orders"))
+    n.crossJoin(broadcast(sMaxPerCol)).crossJoin(broadcast(sMaxPerRow))
+      .crossJoin(broadcast(maxRowMargin)).crossJoin(broadcast(maxColMargin))
+      .selectExpr("CAST(n_orders AS BIGINT) AS n_orders",
+        "CAST(smax_c AS BIGINT) AS sum_modal_by_priority",
+        "CAST(smax_r AS BIGINT) AS sum_modal_by_segment",
+        s"$GkLambdaSeg AS lambda_segment_given_priority",
+        s"$GkLambdaPri AS lambda_priority_given_segment")
+  }
+
+  private val GkLambdaSeg: String =
+    "CASE WHEN n_orders = max_r THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(smax_c - max_r AS DOUBLE) / CAST(n_orders - max_r AS DOUBLE) END"
+  private val GkLambdaPri: String =
+    "CASE WHEN n_orders = max_c THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(smax_r - max_c AS DOUBLE) / CAST(n_orders - max_c AS DOUBLE) END"
+
+  lazy val goodmanKruskalLambdaSql: String =
+    s"""WITH cells AS (
+       |  SELECT c_mktsegment AS r, o_orderpriority AS cc, CAST(count(*) AS BIGINT) AS nc
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |a AS (SELECT CAST(sum(m) AS BIGINT) AS smax_c FROM (
+       |  SELECT max(nc) AS m FROM cells GROUP BY cc) z),
+       |b AS (SELECT CAST(sum(m) AS BIGINT) AS smax_r FROM (
+       |  SELECT max(nc) AS m FROM cells GROUP BY r) z),
+       |c AS (SELECT CAST(max(s) AS BIGINT) AS max_r FROM (
+       |  SELECT sum(nc) AS s FROM cells GROUP BY r) z),
+       |d AS (SELECT CAST(max(s) AS BIGINT) AS max_c FROM (
+       |  SELECT sum(nc) AS s FROM cells GROUP BY cc) z),
+       |nt AS (SELECT CAST(sum(nc) AS BIGINT) AS n_orders FROM cells)
+       |SELECT n_orders, smax_c AS sum_modal_by_priority,
+       |  smax_r AS sum_modal_by_segment,
+       |  $GkLambdaSeg AS lambda_segment_given_priority,
+       |  $GkLambdaPri AS lambda_priority_given_segment
+       |FROM nt, a, b, c, d""".stripMargin
+
 }

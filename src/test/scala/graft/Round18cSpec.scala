@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-18 third-wave behavior pins: the paired/matched-category
+  * test batch (sign, Cochran Q, Bowker) and the association trio
+  * (CvM, Theil U, GK lambda) — mathematical invariants and
+  * cross-operator dominances the DuckDB hash gate cannot see.
+  */
+class Round18cSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf01 = "/root/testdata/sf0.01"
+  private val Stats = graft.operators.Stats
+
+  test("sign_test: counts partition the customers and z carries the majority sign") {
+    val r = Stats.signTest(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val n = r.getAs[Long]("n_customers")
+    val (np, nm, nt) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"), r.getAs[Long]("n_tie"))
+    assert(np + nm + nt == n)
+    val z = r.getAs[Double]("z_stat")
+    if (np != nm) assert(z * (np - nm) > 0) else assert(z == 0.0)
+  }
+
+  test("cochran_q: nonnegative, bounded counts, and k=2-consistency of the formula") {
+    val r = Stats.cochranQ(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val n = r.getAs[Long]("n_customers")
+    assert(r.getAs[Double]("q_stat") >= 0.0)
+    Seq("n_active_t0", "n_active_t1", "n_active_t2").foreach { c =>
+      val v = r.getAs[Long](c); assert(v >= 0 && v <= n)
+    }
+    assert(r.getAs[Long]("df") == 2L)
+  }
+
+  test("bowker_test: nonnegative stat, df counts non-empty pairs, customer total matches segment_migration") {
+    val b = Stats.bowkerTest(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    assert(b.getAs[Double]("bowker_stat") >= 0.0)
+    assert(b.getAs[Long]("df") >= 0 && b.getAs[Long]("df") <= 10)
+    val mig = graft.operators.Reports.segmentMigration(spark, sf01).collect()
+    graft.core.OwnedCaches.release()
+    assert(mig.map(_.getAs[Long]("n_customers")).sum == b.getAs[Long]("n_customers"))
+  }
+
+  test("cramer_von_mises: nonnegative and dominated by the KS sup-norm bound") {
+    val cvm = Stats.cramerVonMises(spark, sf01).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("cvm_stat")))).toMap
+    graft.core.OwnedCaches.release()
+    val ks = Stats.ksTest(spark, sf01).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Double]("d_stat"))).toMap
+    graft.core.OwnedCaches.release()
+    assert(cvm.size == 10)
+    cvm.foreach { case (pair, (na, nb, t)) =>
+      assert(t >= 0.0)
+      val d = ks(pair); val n = (na + nb).toDouble
+      // sum_v w·(Fa−Fb)^2 <= N·D^2, so T <= na·nb·D^2/N
+      assert(t <= na * nb * d * d / n + 1e-9, s"$pair: T=$t vs bound")
+    }
+  }
+
+  test("theil_u: direction-normalized shares in [0,1], symmetric between the directed pair") {
+    val r = Stats.theilU(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val us = r.getAs[Double]("u_segment_given_priority")
+    val up = r.getAs[Double]("u_priority_given_segment")
+    val sym = r.getAs[Double]("u_symmetric")
+    Seq(us, up, sym).foreach(u => assert(u >= -1e-9 && u <= 1.0 + 1e-9))
+    // sym = harmonic mean of the directed pair -> bracketed by them
+    assert(sym >= math.min(us, up) - 1e-9 && sym <= math.max(us, up) + 1e-9)
+    val mi = r.getAs[Double]("h_segment") + r.getAs[Double]("h_priority") -
+      r.getAs[Double]("h_joint")
+    assert(mi >= -1e-7, s"mutual information must be nonnegative: $mi")
+  }
+
+  test("goodman_kruskal_lambda: PRE shares in [0,1] and modal sums dominate the margins") {
+    val r = Stats.goodmanKruskalLambda(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val ls = r.getAs[Double]("lambda_segment_given_priority")
+    val lp = r.getAs[Double]("lambda_priority_given_segment")
+    Seq(ls, lp).foreach(l => assert(l >= 0.0 && l <= 1.0))
+    assert(r.getAs[Long]("sum_modal_by_priority") <= r.getAs[Long]("n_orders"))
+    assert(r.getAs[Long]("sum_modal_by_segment") <= r.getAs[Long]("n_orders"))
+  }
+}
