@@ -698,4 +698,152 @@ object QualityChecks {
        |SELECT source, n_docs, CAST($DpEpsilon AS DOUBLE) AS epsilon, noise,
        |  CAST(n_docs AS DOUBLE) + noise AS noisy_count
        |FROM n ORDER BY source""".stripMargin
+
+  // --------------------------------------------------- l_diversity_audit
+
+  /** The fixed sensitive-attribute banding shared by the two privacy
+    * audits: account balance in exact cents -> 4 ordered bands.
+    */
+  private val SensBandCase: String =
+    """CASE WHEN ab < 0 THEN 0 WHEN ab < 250000 THEN 1
+      |WHEN ab < 750000 THEN 2 ELSE 3 END""".stripMargin
+
+  /** l-diversity audit over the [[kAnonymityAudit]] quasi-identifier
+    * classes (nation x market segment): k-anonymity only bounds class
+    * SIZE — a class of 50 customers who all share one account-balance
+    * band is still fully disclosing. l = distinct sensitive bands
+    * (exact-cents acctbal -> 4 fixed bands) per class; the histogram
+    * of classes by l is the release gate's second dial. Pure integer
+    * counting on a domain-bounded (<=125 class) grid.
+    *
+    * Scale shape: one customer-grain conditional-count pass to the
+    * class x band grid, then class- and l-grain rollups of that
+    * bounded frame.
+    */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables(spark, dir).customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ab"))
+      .withColumn("band", expr(SensBandCase))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(countDistinct(col("band")).as("l"), count(lit(1)).as("k"))
+    classes.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_customers"),
+        min(col("k")).as("min_k"))
+      .withColumn("tot", sum(col("n_customers")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .selectExpr("CAST(l AS BIGINT) AS l", "CAST(n_classes AS BIGINT) AS n_classes",
+        "CAST(n_customers AS BIGINT) AS n_customers",
+        "CAST(min_k AS BIGINT) AS min_k",
+        "CAST(n_customers AS DOUBLE) / CAST(tot AS DOUBLE) AS share_customers")
+      .orderBy("l")
+  }
+
+  val lDiversityAuditSql: String =
+    s"""WITH cust AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS ab
+       |  FROM customer),
+       |b AS (SELECT c_nationkey, c_mktsegment, $SensBandCase AS band FROM cust),
+       |classes AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(count(DISTINCT band) AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS k
+       |  FROM b GROUP BY 1, 2),
+       |g AS (
+       |  SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+       |    CAST(sum(k) AS BIGINT) AS n_customers, CAST(min(k) AS BIGINT) AS min_k
+       |  FROM classes GROUP BY 1),
+       |t AS (SELECT *, CAST(sum(n_customers) OVER () AS BIGINT) AS tot FROM g)
+       |SELECT l, n_classes, n_customers, min_k,
+       |  CAST(n_customers AS DOUBLE) / CAST(tot AS DOUBLE) AS share_customers
+       |FROM t ORDER BY l""".stripMargin
+
+  // --------------------------------------------------- t_closeness_audit
+
+  /** t-closeness audit on the same classes and sensitive bands:
+    * even an l-diverse class leaks when its band DISTRIBUTION sits
+    * far from the population's — t = total variation distance
+    * between the class and global band distributions, per class.
+    * With cb_b the class counts and g_b the global counts, t =
+    * Sum_b |cb_b*N - g_b*k| / (2*k*N): the numerator sums exact
+    * (19,0)xint decimal products, the threshold counts (t > 0.2,
+    * 1/3, 0.5) compare INTEGER cross-products (5S > 2kN etc. -
+    * never a double at a rational boundary), and only max_t's final
+    * division runs in (identically-cast) double space. Exact while
+    * k*N < 10^18 - i.e. any corpus this side of 10^9 customers.
+    *
+    * Scale shape: one customer pass to the class x band pivot (4
+    * conditional counts per class), a broadcast 1-row global, then
+    * a <=125-row fold.
+    */
+  def tClosenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables(spark, dir).customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ab"))
+      .withColumn("band", expr(SensBandCase))
+    val per = banded.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("band") === 0, 1L).otherwise(0L)).as("cb0"),
+        sum(when(col("band") === 1, 1L).otherwise(0L)).as("cb1"),
+        sum(when(col("band") === 2, 1L).otherwise(0L)).as("cb2"),
+        sum(when(col("band") === 3, 1L).otherwise(0L)).as("cb3"))
+    val glob = banded.agg(count(lit(1)).as("nn"),
+      sum(when(col("band") === 0, 1L).otherwise(0L)).as("g0"),
+      sum(when(col("band") === 1, 1L).otherwise(0L)).as("g1"),
+      sum(when(col("band") === 2, 1L).otherwise(0L)).as("g2"),
+      sum(when(col("band") === 3, 1L).otherwise(0L)).as("g3"))
+    per.crossJoin(broadcast(glob))
+      .withColumn("s", expr(TcNumerator))
+      .agg(count(lit(1)).as("n_classes"),
+        max(expr(TcT)).as("max_t"),
+        sum(expr(s"CASE WHEN $Tc020 THEN 1 ELSE 0 END")).as("n_above_020"),
+        sum(expr(s"CASE WHEN $Tc033 THEN 1 ELSE 0 END")).as("n_above_033"),
+        sum(expr(s"CASE WHEN $Tc050 THEN 1 ELSE 0 END")).as("n_above_050"))
+      .selectExpr("CAST(n_classes AS BIGINT) AS n_classes",
+        "CAST(max_t AS DOUBLE) AS max_t",
+        "CAST(n_above_020 AS BIGINT) AS n_above_020",
+        "CAST(n_above_033 AS BIGINT) AS n_above_033",
+        "CAST(n_above_050 AS BIGINT) AS n_above_050")
+  }
+
+  // S = Sum_b |cb_b*N - g_b*k| as exact decimals; thresholds as pure
+  // integer cross-multiplications against 2kN
+  private val TcNumerator: String =
+    Seq(0, 1, 2, 3).map(b =>
+      s"abs(CAST(cb$b AS DECIMAL(19,0)) * nn - CAST(g$b AS DECIMAL(19,0)) * k)")
+      .mkString("(", " + ", ")")
+  private val TcKn = "(CAST(2 * k AS DECIMAL(19,0)) * nn)"
+  private val TcT =
+    s"(CAST(s AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(k AS DOUBLE) * CAST(nn AS DOUBLE)))"
+  private val Tc020 = s"CAST(s AS DECIMAL(19,0)) * 5 > $TcKn"
+  private val Tc033 = s"CAST(s AS DECIMAL(19,0)) * 3 > $TcKn"
+  private val Tc050 = s"CAST(s AS DECIMAL(19,0)) * 2 > $TcKn"
+
+  val tClosenessAuditSql: String =
+    s"""WITH cust AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS ab
+       |  FROM customer),
+       |b AS (SELECT c_nationkey, c_mktsegment, $SensBandCase AS band FROM cust),
+       |per AS (
+       |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb0,
+       |    CAST(sum(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb1,
+       |    CAST(sum(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cb2,
+       |    CAST(sum(CASE WHEN band = 3 THEN 1 ELSE 0 END) AS BIGINT) AS cb3
+       |  FROM b GROUP BY 1, 2),
+       |gpop AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nn,
+       |    CAST(sum(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+       |    CAST(sum(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+       |    CAST(sum(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+       |    CAST(sum(CASE WHEN band = 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3
+       |  FROM b),
+       |sc AS (SELECT per.*, nn, $TcNumerator AS s FROM per, gpop)
+       |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(max($TcT) AS DOUBLE) AS max_t,
+       |  CAST(sum(CASE WHEN $Tc020 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_020,
+       |  CAST(sum(CASE WHEN $Tc033 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_033,
+       |  CAST(sum(CASE WHEN $Tc050 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_050
+       |FROM sc""".stripMargin
 }

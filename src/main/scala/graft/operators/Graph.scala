@@ -2885,4 +2885,79 @@ object Graph {
        |$unions
        |ORDER BY cap""".stripMargin
   }
+
+  // ------------------------------------------------- attribute_assortativity
+
+  /** Newman's assortativity coefficient for a CATEGORICAL node
+    * attribute on the customer->supplier trade graph: do customers
+    * buy from suppliers of their own nation more than the margins
+    * predict? Edges are distinct (customer, supplier) trading pairs;
+    * the attribute mixing matrix e_ij (customer nation i, supplier
+    * nation j) reduces to four exact integer moments — E (edges),
+    * Tr (same-nation edges), and S = Sum_i A_i*B_i of the margin
+    * products — and r = (E*Tr - S)/(E^2 - S). The categorical
+    * companion to [[degreeAssortativity]] (numeric, Pearson-on-
+    * degrees): a graph can be degree-neutral yet strongly
+    * nation-assortative, and the 100 TB layout question ("does
+    * partitioning by nation co-locate most edges?") is THIS number.
+    *
+    * Scale shape: one orders join lineitem pass to distinct pairs
+    * (shuffle on the pair key), two dim joins, then a <=625-cell
+    * mixing grid; margins and the product sum are grid-sized. The
+    * margin product uses the (19,0)xint width trick; E*Tr and E^2
+    * combine as individually-cast doubles (cuped convention).
+    */
+  def attributeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+    val cells = pairs
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey").as("ni")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey").as("nj")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("ni"), col("nj")).agg(count(lit(1)).as("n"))
+    val cellsC = graft.core.OwnedCaches.own(cells.cache())
+    val tot = cellsC.agg(sum(col("n")).as("e_tot"),
+      sum(when(col("ni") === col("nj"), col("n")).otherwise(0L)).as("tr"))
+    val ra = cellsC.groupBy(col("ni").as("k")).agg(sum(col("n")).as("a"))
+    val cb = cellsC.groupBy(col("nj").as("k")).agg(sum(col("n")).as("b"))
+    val sab = ra.join(cb, "k")
+      .agg(sum(expr("CAST(a AS DECIMAL(19,0)) * b")).as("sab"))
+    tot.crossJoin(broadcast(sab))
+      .selectExpr("CAST(e_tot AS BIGINT) AS n_edges",
+        "CAST(tr AS BIGINT) AS n_same_nation",
+        "CAST(tr AS DOUBLE) / CAST(e_tot AS DOUBLE) AS share_same_nation",
+        s"$AttrAssortR AS assortativity_r")
+  }
+
+  private val AttrAssortR: String =
+    "(CASE WHEN CAST(e_tot AS DECIMAL(19,0)) * e_tot = sab THEN CAST(0 AS DOUBLE) " +
+      "ELSE (CAST(e_tot AS DOUBLE) * CAST(tr AS DOUBLE) - CAST(sab AS DOUBLE)) " +
+      "/ (CAST(e_tot AS DOUBLE) * CAST(e_tot AS DOUBLE) - CAST(sab AS DOUBLE)) END)"
+
+  lazy val attributeAssortativitySql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey, l_suppkey
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |cells AS (
+       |  SELECT c.c_nationkey AS ni, s.s_nationkey AS nj, CAST(count(*) AS BIGINT) AS n
+       |  FROM e JOIN customer c ON o_custkey = c_custkey
+       |  JOIN supplier s ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS e_tot,
+       |    CAST(sum(CASE WHEN ni = nj THEN n ELSE 0 END) AS BIGINT) AS tr
+       |  FROM cells),
+       |ra AS (SELECT ni AS k, CAST(sum(n) AS BIGINT) AS a FROM cells GROUP BY 1),
+       |cb AS (SELECT nj AS k, CAST(sum(n) AS BIGINT) AS b FROM cells GROUP BY 1),
+       |sp AS (
+       |  SELECT sum(CAST(a AS DECIMAL(19,0)) * b) AS sab
+       |  FROM ra JOIN cb USING (k))
+       |SELECT e_tot AS n_edges, tr AS n_same_nation,
+       |  CAST(tr AS DOUBLE) / CAST(e_tot AS DOUBLE) AS share_same_nation,
+       |  $AttrAssortR AS assortativity_r
+       |FROM tot, sp""".stripMargin
 }

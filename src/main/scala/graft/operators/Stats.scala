@@ -9349,4 +9349,160 @@ object Stats {
        |  $GkLambdaPri AS lambda_priority_given_segment
        |FROM nt, a, b, c, d""".stripMargin
 
+  // ------------------------------------------------- transition_reciprocity
+
+  private val OrderedTypePairs: Seq[(String, String)] =
+    for { a <- EventTypes; b <- EventTypes if a != b } yield (a, b)
+
+  /** Weighted reciprocity of the [[markovTransitions]] digraph (SAME
+    * transition definition — per-user lead over (ts, event_id)): of
+    * the off-diagonal transition mass, what share is matched by the
+    * REVERSE transition? ρ = Σ_{i≠j} min(n_ij, n_ji) / Σ_{i≠j} n_ij —
+    * 1 for a fully bidirectional flow, → 0 for a one-way funnel. The
+    * digraph-level summary the row-normalized transition matrix
+    * hides (row shares can look symmetric while the raw masses are
+    * wildly unbalanced). The 20 directed cells pivot into one
+    * fixed-order conditional aggregate; min/sums are exact integers.
+    *
+    * Scale shape: one per-user lead window (the sessionize shape:
+    * partitioned by user, never global), one 20-counter aggregate to
+    * a single row.
+    */
+  def transitionReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val trans = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val cellCols = OrderedTypePairs.map { case (a, b) =>
+      sum(when(col("event_type") === a && col("next_type") === b, 1L)
+        .otherwise(0L)).as(s"n_${a}_$b") } ++ Seq(
+      count(lit(1)).as("n_total"),
+      sum(when(col("event_type") === col("next_type"), 1L).otherwise(0L)).as("n_self"))
+    trans.agg(cellCols.head, cellCols.tail: _*)
+      .selectExpr("CAST(n_total AS BIGINT) AS n_transitions",
+        "CAST(n_self AS BIGINT) AS n_self",
+        s"CAST($RecipOffdiag AS BIGINT) AS n_offdiag",
+        s"CAST($RecipMatched AS BIGINT) AS n_matched",
+        s"$RecipRho AS reciprocity")
+  }
+
+  private val RecipOffdiag: String =
+    OrderedTypePairs.map { case (a, b) => s"n_${a}_$b" }.mkString("(", " + ", ")")
+  // each unordered pair contributes min twice (once per direction)
+  private val RecipMatched: String =
+    TypePairs.map { case (a, b) => s"2 * least(n_${a}_$b, n_${b}_$a)" }
+      .mkString("(", " + ", ")")
+  private val RecipRho: String =
+    s"(CASE WHEN $RecipOffdiag = 0 THEN CAST(0 AS DOUBLE) " +
+      s"ELSE CAST($RecipMatched AS DOUBLE) / CAST($RecipOffdiag AS DOUBLE) END)"
+
+  lazy val transitionReciprocitySql: String = {
+    val cellSums = (OrderedTypePairs.map { case (a, b) =>
+      s"CAST(sum(CASE WHEN event_type = '$a' AND next_type = '$b' THEN 1 ELSE 0 END) AS BIGINT) AS n_${a}_$b" } ++ Seq(
+      "CAST(count(*) AS BIGINT) AS n_total",
+      "CAST(sum(CASE WHEN event_type = next_type THEN 1 ELSE 0 END) AS BIGINT) AS n_self"))
+      .mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS next_type
+       |  FROM events),
+       |m AS (
+       |  SELECT
+       |    $cellSums
+       |  FROM e WHERE next_type IS NOT NULL)
+       |SELECT n_total AS n_transitions, n_self,
+       |  CAST($RecipOffdiag AS BIGINT) AS n_offdiag,
+       |  CAST($RecipMatched AS BIGINT) AS n_matched,
+       |  $RecipRho AS reciprocity
+       |FROM m""".stripMargin
+  }
+
+  // --------------------------------------------------- permutation_entropy
+
+  /** ln(6) to 15 significant digits as a shared literal — the
+    * [[BenfordExpr]] convention (both engines parse it to the same
+    * double; no libm log in either plan).
+    */
+  private val Ln6Literal = "CAST(1.79175946922805 AS DOUBLE)"
+
+  /** Permutation entropy (order m = 3) of the monthly revenue series:
+    * the complexity measure that reads ONLY the ordinal pattern of
+    * each 3-month window — a monotone series scores 0, white noise
+    * ln 6 — complementing [[hurstExponent]] (memory) and
+    * [[turningPointTest]] (count of local extrema) with a full
+    * pattern DISTRIBUTION. Ranks use the earlier-wins tie rule
+    * ((y,t) lexicographic, so every window maps to exactly one of
+    * the 6 patterns by integer comparisons); pattern counts are
+    * exact, H = Σ −p·ln p via [[graft.functions.ExactLn]] with the
+    * 9-dp decimal contribution sums.
+    *
+    * Scale shape: the monthly aggregate is domain-bounded (≤ a few
+    * hundred rows at any corpus size); the lead window and entropy
+    * run on that bounded frame.
+    */
+  def permutationEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+    val wm = Window.orderBy("m")
+    val tri = monthly
+      .withColumn("y2", lead(col("y"), 1).over(wm))
+      .withColumn("y3", lead(col("y"), 2).over(wm))
+      .filter(col("y3").isNotNull)
+    val pat = tri.selectExpr(s"($PermRank1 * 9 + $PermRank2 * 3 + $PermRank3) AS pattern")
+      .groupBy(col("pattern")).agg(count(lit(1)).as("c"))
+    val ent = pat
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("p", expr("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("__y", expr(ExactLn.yExpr("p")))
+      .withColumn("__z", expr(ExactLn.zExpr("__y")))
+      .withColumn("contrib", expr(s"-(p * ${ExactLn.lnExpr("__z")})"))
+      .agg(max(col("n")).as("n_windows"), count(lit(1)).as("n_patterns"),
+        sum(expr("CAST(round(contrib, 9) AS DECIMAL(18,9))")).as("h"))
+    ent.selectExpr("CAST(n_windows AS BIGINT) AS n_windows",
+      "CAST(n_patterns AS BIGINT) AS n_patterns",
+      "CAST(h AS DOUBLE) AS h_perm",
+      s"CAST(h AS DOUBLE) / $Ln6Literal AS h_norm")
+  }
+
+  // rank of element k = count of elements ordinally below it under
+  // the earlier-wins tie rule: for i<j, y_i "below" y_j iff y_i<=y_j
+  private val PermRank1 =
+    "(CASE WHEN y2 < y THEN 1 ELSE 0 END + CASE WHEN y3 < y THEN 1 ELSE 0 END)"
+  private val PermRank2 =
+    "(CASE WHEN y <= y2 THEN 1 ELSE 0 END + CASE WHEN y3 < y2 THEN 1 ELSE 0 END)"
+  private val PermRank3 =
+    "(CASE WHEN y <= y3 THEN 1 ELSE 0 END + CASE WHEN y2 <= y3 THEN 1 ELSE 0 END)"
+
+  lazy val permutationEntropySql: String = {
+    import graft.functions.ExactLn
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |tri AS (
+       |  SELECT y, lead(y, 1) OVER (ORDER BY m) AS y2,
+       |    lead(y, 2) OVER (ORDER BY m) AS y3
+       |  FROM monthly),
+       |pat AS (
+       |  SELECT ($PermRank1 * 9 + $PermRank2 * 3 + $PermRank3) AS pattern,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tri WHERE y3 IS NOT NULL GROUP BY 1),
+       |t AS (SELECT *, CAST(sum(c) OVER () AS BIGINT) AS n FROM pat),
+       |p AS (SELECT *, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM t),
+       |z AS (SELECT *, ${ExactLn.zExpr(ExactLn.yExpr("p"))} AS __z FROM p),
+       |x AS (SELECT *, -(p * ${ExactLn.lnExpr("__z")}) AS contrib FROM z),
+       |agg AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS n_windows,
+       |    CAST(count(*) AS BIGINT) AS n_patterns,
+       |    sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) AS h
+       |  FROM x)
+       |SELECT n_windows, n_patterns, CAST(h AS DOUBLE) AS h_perm,
+       |  CAST(h AS DOUBLE) / $Ln6Literal AS h_norm
+       |FROM agg""".stripMargin
+  }
+
 }

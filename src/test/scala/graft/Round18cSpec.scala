@@ -74,6 +74,66 @@ class Round18cSpec extends AnyFunSuite {
     assert(mi >= -1e-7, s"mutual information must be nonnegative: $mi")
   }
 
+  test("attribute_assortativity: coefficient and same-nation share are valid") {
+    val r = graft.operators.Graph.attributeAssortativity(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    assert(r.getAs[Long]("n_same_nation") <= r.getAs[Long]("n_edges"))
+    val share = r.getAs[Double]("share_same_nation")
+    assert(share >= 0.0 && share <= 1.0)
+    val a = r.getAs[Double]("assortativity_r")
+    assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12)
+  }
+
+  test("transition_reciprocity: matched mass bounded by off-diagonal mass") {
+    val r = Stats.transitionReciprocity(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    assert(r.getAs[Long]("n_self") + r.getAs[Long]("n_offdiag") ==
+      r.getAs[Long]("n_transitions"))
+    assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_offdiag"))
+    val rho = r.getAs[Double]("reciprocity")
+    assert(rho >= 0.0 && rho <= 1.0)
+  }
+
+  test("permutation_entropy: bounded by ln 6 and consistent with the pattern count") {
+    val r = Stats.permutationEntropy(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val h = r.getAs[Double]("h_perm")
+    assert(h >= 0.0 && h <= math.log(6.0) + 1e-9)
+    assert(r.getAs[Long]("n_patterns") >= 1 && r.getAs[Long]("n_patterns") <= 6)
+    // H <= ln(#observed patterns)
+    assert(h <= math.log(r.getAs[Long]("n_patterns").toDouble) + 1e-9)
+    val hn = r.getAs[Double]("h_norm")
+    assert(hn >= 0.0 && hn <= 1.0 + 1e-9)
+  }
+
+  test("l_diversity_audit: l in 1..4, classes hold at least l members, shares sum to 1") {
+    val rows = graft.etl.QualityChecks.lDiversityAudit(spark, sf01).collect()
+    graft.core.OwnedCaches.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l")
+      assert(l >= 1 && l <= 4)
+      assert(r.getAs[Long]("min_k") >= l, "a class needs >= l members to show l bands")
+    }
+    val shareSum = rows.map(_.getAs[Double]("share_customers")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+  }
+
+  test("t_closeness_audit: thresholds are monotone and the class universe matches k_anonymity") {
+    val r = graft.etl.QualityChecks.tClosenessAudit(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val t = r.getAs[Double]("max_t")
+    assert(t >= 0.0 && t <= 1.0 + 1e-12)
+    val (a, b, c) = (r.getAs[Long]("n_above_020"), r.getAs[Long]("n_above_033"),
+      r.getAs[Long]("n_above_050"))
+    assert(a >= b && b >= c && c >= 0)
+    assert(a <= r.getAs[Long]("n_classes"))
+    val kan = graft.etl.QualityChecks.kAnonymityAudit(spark, sf01).collect()
+    graft.core.OwnedCaches.release()
+    assert(kan.map(_.getAs[Long]("n_classes")).sum == r.getAs[Long]("n_classes"),
+      "t-closeness iterates the same quasi-identifier classes as k-anonymity")
+  }
+
   test("goodman_kruskal_lambda: PRE shares in [0,1] and modal sums dominate the margins") {
     val r = Stats.goodmanKruskalLambda(spark, sf01).collect()(0)
     graft.core.OwnedCaches.release()
