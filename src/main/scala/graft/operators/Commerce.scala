@@ -1962,6 +1962,147 @@ object Commerce {
       |   / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) AS rr_crude
       |FROM w ORDER BY segment""".stripMargin
 
+  // --------------------------------------------------------- breslow_day
+
+  // MH common ODDS ratio from the 9-dp decimal window sums, then the
+  // per-stratum expected cell under that common OR: the valid root of
+  // (OR-1)E^2 - [OR(r1+c1) + (n-r1-c1)]E + OR*r1*c1 = 0 (the -sqrt
+  // root is in range for OR on either side of 1); the tangent-variance
+  // is the harmonic form 1/V = 1/E + 1/(r1-E) + 1/(c1-E) + 1/(n-r1-c1+E).
+  private val BdOrm =
+    "(CASE WHEN dd = 0 OR nd = 0 THEN CAST(1 AS DOUBLE) " +
+      "ELSE CAST(nd AS DOUBLE) / CAST(dd AS DOUBLE) END)"
+  private val BdA = "(orm - CAST(1 AS DOUBLE))"
+  private val BdB =
+    "(orm * (CAST(r1 AS DOUBLE) + CAST(c1 AS DOUBLE)) + " +
+      "(CAST(nn AS DOUBLE) - CAST(r1 AS DOUBLE) - CAST(c1 AS DOUBLE)))"
+  private val BdC = "(orm * CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))"
+  private val BdE =
+    s"(CASE WHEN abs($BdA) < CAST(0.000000000001 AS DOUBLE) " +
+      "THEN CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(nn AS DOUBLE) " +
+      s"ELSE ($BdB - sqrt($BdB * $BdB - CAST(4 AS DOUBLE) * $BdA * $BdC)) " +
+      s"/ (CAST(2 AS DOUBLE) * $BdA) END)"
+  private val BdIncluded =
+    "(r1 > 0 AND c1 > 0 AND r1 < nn AND c1 < nn AND nd > 0 AND dd > 0)"
+  private val BdInv =
+    "(CAST(1 AS DOUBLE) / ev + CAST(1 AS DOUBLE) / (CAST(r1 AS DOUBLE) - ev) " +
+      "+ CAST(1 AS DOUBLE) / (CAST(c1 AS DOUBLE) - ev) " +
+      "+ CAST(1 AS DOUBLE) / (CAST(nn AS DOUBLE) - CAST(r1 AS DOUBLE) - CAST(c1 AS DOUBLE) + ev))"
+  private val BdContrib =
+    s"(CASE WHEN included = 1 THEN " +
+      "(CAST(aa AS DOUBLE) - ev) * (CAST(aa AS DOUBLE) - ev) * inv " +
+      "ELSE CAST(0 AS DOUBLE) END)"
+
+  /** Breslow–Day homogeneity of the odds ratio across the
+    * [[mantelHaenszelEffect]] strata (SAME segment strata, hash
+    * variant, per-user-day conversion): MH answers "what is the
+    * common effect"; BD answers whether a COMMON effect is even the
+    * right summary, or the variant helps some segments and hurts
+    * others (the `simpson_paradox_audit` failure mode, as a test
+    * statistic). χ² = Σ (a_i − E_i)²/V_i with E_i the expected
+    * treated-case cell under the common OR (closed-form quadratic
+    * root) and V_i the harmonic variance; strata with degenerate
+    * margins drop out of both the sum and df. Cells are exact
+    * integers; OR_MH rides the 9-dp decimal window-sum convention;
+    * the per-stratum algebra is one shared double text.
+    *
+    * Scale shape: one events pass to per-user-day grain, one
+    * conditional pivot to ≤5 stratum rows, then row-local algebra
+    * and a 9-dp decimal fold.
+    */
+  def breslowDay(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ud = t.events
+      .select(col("user_id"),
+        timestamp_micros(col("ts_us")).cast("date").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(max(col("p")).as("converted"))
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+    val cell = ud
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    cell
+      .withColumn("num_i", expr(
+        "CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"))
+      .withColumn("den_i", expr(
+        "CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"))
+      .withColumn("nd", sum(expr("CAST(round(num_i, 9) AS DECIMAL(18,9))"))
+        .over(Window.partitionBy()))
+      .withColumn("dd", sum(expr("CAST(round(den_i, 9) AS DECIMAL(18,9))"))
+        .over(Window.partitionBy()))
+      .withColumn("orm", expr(BdOrm))
+      .withColumn("aa", col("conv_b"))
+      .withColumn("r1", col("n_b"))
+      .withColumn("c1", expr("conv_a + conv_b"))
+      .withColumn("nn", expr("n_a + n_b"))
+      .withColumn("included", expr(s"CASE WHEN $BdIncluded THEN 1 ELSE 0 END"))
+      .withColumn("ev", expr(BdE))
+      .withColumn("inv", expr(BdInv))
+      .withColumn("contrib", expr(BdContrib))
+      .agg(sum(col("included")).as("n_strata_used"),
+        max(col("orm")).as("or_mh"),
+        sum(expr("CAST(round(contrib, 9) AS DECIMAL(18,9))")).as("bd"))
+      .selectExpr("CAST(n_strata_used AS BIGINT) AS n_strata_used",
+        "CAST(or_mh AS DOUBLE) AS or_mh",
+        "CAST(bd AS DOUBLE) AS bd_stat",
+        "CAST(CASE WHEN n_strata_used > 0 THEN n_strata_used - 1 ELSE 0 END AS BIGINT) AS df")
+  }
+
+  val breslowDaySql: String =
+    s"""WITH ud AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+       |v AS (
+       |  SELECT ud.*, c_mktsegment AS segment,
+       |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 2 AS variant
+       |  FROM ud JOIN customer ON user_id = c_custkey),
+       |cell AS (
+       |  SELECT segment,
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM v GROUP BY 1),
+       |e AS (
+       |  SELECT *,
+       |    CAST(conv_b AS DOUBLE) * CAST(n_a - conv_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS num_i,
+       |    CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS den_i
+       |  FROM cell),
+       |w AS (
+       |  SELECT *,
+       |    sum(CAST(round(num_i, 9) AS DECIMAL(18,9))) OVER () AS nd,
+       |    sum(CAST(round(den_i, 9) AS DECIMAL(18,9))) OVER () AS dd
+       |  FROM e),
+       |st AS (
+       |  SELECT *, $BdOrm AS orm, conv_b AS aa, n_b AS r1,
+       |    conv_a + conv_b AS c1, n_a + n_b AS nn
+       |  FROM w),
+       |inc AS (
+       |  SELECT *, CASE WHEN $BdIncluded THEN 1 ELSE 0 END AS included,
+       |    $BdE AS ev
+       |  FROM st),
+       |iv AS (SELECT *, $BdInv AS inv FROM inc),
+       |ct AS (SELECT *, $BdContrib AS contrib FROM iv),
+       |agg AS (
+       |  SELECT CAST(sum(included) AS BIGINT) AS n_strata_used,
+       |    max(orm) AS or_mh,
+       |    sum(CAST(round(contrib, 9) AS DECIMAL(18,9))) AS bd
+       |  FROM ct)
+       |SELECT n_strata_used, CAST(or_mh AS DOUBLE) AS or_mh,
+       |  CAST(bd AS DOUBLE) AS bd_stat,
+       |  CAST(CASE WHEN n_strata_used > 0 THEN n_strata_used - 1 ELSE 0 END AS BIGINT) AS df
+       |FROM agg""".stripMargin
+
   // ------------------------------------------------- basket_lift_significance
 
   private val BasketSigTopK = 20

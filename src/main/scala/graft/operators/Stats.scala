@@ -9505,4 +9505,235 @@ object Stats {
        |FROM agg""".stripMargin
   }
 
+
+  // --------------------------------------------------------- fleiss_kappa
+
+  private val FleissPb =
+    "(CAST(s2 - 3 * n AS DOUBLE) / (CAST(6 AS DOUBLE) * CAST(n AS DOUBLE)))"
+  private val FleissPe =
+    "((" + (0 to 4).map(j => s"CAST(c$j AS DOUBLE) * CAST(c$j AS DOUBLE)").mkString(" + ") +
+      ") / (CAST(9 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+  private val FleissKappa =
+    s"(CASE WHEN $FleissPe >= CAST(1 AS DOUBLE) THEN CAST(1 AS DOUBLE) " +
+      s"ELSE ($FleissPb - $FleissPe) / (CAST(1 AS DOUBLE) - $FleissPe) END)"
+
+  /** Fleiss' kappa treating each repeat customer's FIRST THREE orders
+    * as three "raters" assigning a priority class (1..5): does order
+    * priority behave like a stable customer trait (pinned far above
+    * chance agreement) or is it per-order noise? The n-rater
+    * generalization [[cohensKappa]] (two fixed raters) and
+    * [[kendallsW]] (rank concordance) both miss. P̄ and P̄_e come off
+    * three exact integer moments (S2 = ΣΣn_ij², category columns
+    * C_j), each < 2⁵³ through ~10¹⁵ items; κ is one shared guarded
+    * expression (the all-one-category corner returns 1 by
+    * convention).
+    *
+    * Scale shape: one per-customer rank window (partitioned, the
+    * sessionize discipline) over orders, a 5-way conditional pivot at
+    * the customer grain, one 7-moment aggregate to a single row.
+    */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val first3 = t.orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("pr"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .filter(col("cnt") >= 3 && col("rn") <= 3)
+    val pivotCols = (1 to 5).map(c =>
+      sum(when(col("pr") === c, 1L).otherwise(0L)).as(s"n$c"))
+    val items = first3.groupBy(col("o_custkey"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    val momentCols = Seq(count(lit(1)).as("n"),
+      sum(expr((1 to 5).map(c => s"n$c * n$c").mkString(" + "))).as("s2")) ++
+      (1 to 5).map(c => sum(col(s"n$c")).as(s"c${c - 1}"))
+    val moments = items.agg(momentCols.head, momentCols.tail: _*)
+    moments.selectExpr("CAST(n AS BIGINT) AS n_items",
+      s"$FleissPb AS p_bar", s"$FleissPe AS p_e",
+      s"$FleissKappa AS kappa")
+  }
+
+  lazy val fleissKappaSql: String = {
+    val condSums = (1 to 5).map(c =>
+      s"CAST(sum(CASE WHEN pr = $c THEN 1 ELSE 0 END) AS BIGINT) AS n$c").mkString(",\n    ")
+    val catTotals = (1 to 5).map(c => s"CAST(sum(n$c) AS BIGINT) AS c${c - 1}").mkString(", ")
+    s"""WITH ranked AS (
+       |  SELECT o_custkey, CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS pr,
+       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+       |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+       |  FROM orders),
+       |items AS (
+       |  SELECT o_custkey,
+       |    $condSums
+       |  FROM ranked WHERE cnt >= 3 AND rn <= 3 GROUP BY 1),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(${(1 to 5).map(c => s"n$c * n$c").mkString(" + ")}) AS BIGINT) AS s2,
+       |    $catTotals
+       |  FROM items)
+       |SELECT n AS n_items, $FleissPb AS p_bar, $FleissPe AS p_e,
+       |  $FleissKappa AS kappa
+       |FROM m""".stripMargin
+  }
+
+  // ----------------------------------------------- seasonal_mann_kendall
+
+  private val SmkVar = "(CAST(v18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+  private val SmkZ =
+    s"(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt($SmkVar) " +
+      s"WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt($SmkVar) " +
+      "ELSE CAST(0 AS DOUBLE) END)"
+
+  /** Seasonal Mann–Kendall on monthly revenue: S sums the
+    * [[mannKendallTrend]] pair signs WITHIN each calendar month
+    * across years only — January compares to Januaries — so a strong
+    * seasonal cycle (which inflates plain MK's variance and can
+    * drown a real drift) cancels out entirely. Same exact-integer S,
+    * per-season tie correction, pooled variance Σ_s [n_s(n_s−1)(2n_s
+    * +5) − T_s]/18, continuity-corrected z in shared text.
+    *
+    * Scale shape: the monthly frame is domain-bounded; within-season
+    * pair joins are (years-per-season)² on a ≤12-season grid.
+    */
+  def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)").as("y"))
+      .withColumn("season", expr("CAST(m % 12 AS INT)"))
+    val monthlyC = graft.core.OwnedCaches.own(monthly.cache())
+    val pairs = monthlyC.select(col("season").as("sa"), col("m").as("m1"), col("y").as("y1"))
+      .join(monthlyC.select(col("season").as("sb"), col("m").as("m2"), col("y").as("y2")),
+        col("sa") === col("sb") && col("m1") < col("m2"))
+      .agg(coalesce(sum(expr("CAST(sign(y2 - y1) AS BIGINT)")), lit(0L)).as("s"))
+    val varParts = monthlyC.groupBy(col("season"))
+      .agg(count(lit(1)).as("ns"))
+      .agg(coalesce(sum(expr("ns * (ns - 1) * (2 * ns + 5)")), lit(0L)).as("vraw"))
+    val ties = monthlyC.groupBy(col("season"), col("y")).agg(count(lit(1)).as("tc"))
+      .agg(coalesce(sum(expr("tc * (tc - 1) * (2 * tc + 5)")), lit(0L)).as("tsum"))
+    val n = monthlyC.agg(count(lit(1)).as("n"), countDistinct(col("season")).as("n_seasons"))
+    pairs.crossJoin(broadcast(varParts)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(n))
+      .withColumn("v18", expr("vraw - tsum"))
+      .selectExpr("CAST(n AS BIGINT) AS n_months",
+        "CAST(n_seasons AS BIGINT) AS n_seasons",
+        "CAST(s AS BIGINT) AS s_stat", s"$SmkVar AS var_s", s"$SmkZ AS z_stat",
+        s"CASE WHEN abs($SmkZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant",
+        "CAST(sign(s) AS INTEGER) AS direction")
+  }
+
+  val seasonalMannKendallSql: String =
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |sm AS (SELECT m, y, CAST(m % 12 AS INTEGER) AS season FROM monthly),
+       |p AS (
+       |  SELECT CAST(coalesce(sum(CAST(sign(b.y - a.y) AS BIGINT)), 0) AS BIGINT) AS s
+       |  FROM sm a JOIN sm b ON a.season = b.season AND a.m < b.m),
+       |vp AS (
+       |  SELECT CAST(coalesce(sum(ns * (ns - 1) * (2 * ns + 5)), 0) AS BIGINT) AS vraw
+       |  FROM (SELECT season, CAST(count(*) AS BIGINT) AS ns FROM sm GROUP BY 1)),
+       |tie AS (
+       |  SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT) AS tsum
+       |  FROM (SELECT season, y, CAST(count(*) AS BIGINT) AS tc FROM sm GROUP BY 1, 2)),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT season) AS BIGINT) AS n_seasons FROM sm),
+       |v AS (SELECT s, vraw - tsum AS v18, n, n_seasons FROM p, vp, tie, c)
+       |SELECT n AS n_months, n_seasons, s AS s_stat, $SmkVar AS var_s, $SmkZ AS z_stat,
+       |  CASE WHEN abs($SmkZ) > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END AS significant,
+       |  CAST(sign(s) AS INTEGER) AS direction
+       |FROM v""".stripMargin
+
+  // --------------------------------------------------------- sample_entropy
+
+  /** Sample entropy (m = 2, fixed-window variant) of the monthly
+    * revenue series: −ln(A/B) where B counts window pairs matching on
+    * 2 consecutive months and A those still matching on the 3rd —
+    * low when the series repeats its own templates
+    * ([[permutationEntropy]] reads pattern DIVERSITY; SampEn reads
+    * template RECURRENCE; both windows are restricted to the N−2
+    * complete triples so A's pairs are a strict subset of B's). The
+    * tolerance is data-driven but INTEGER: the lower median of the
+    * absolute successive differences (rank-picked exactly, the
+    * runs_test convention) — every match comparison is therefore
+    * exact integer arithmetic on both engines, and only the final
+    * −ln(A/B) runs in ([[graft.functions.ExactLn]]) double space.
+    *
+    * Scale shape: domain-bounded monthly frame; the template join is
+    * (months)² on that bounded frame.
+    */
+  def sampleEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactLn
+    val monthly = Tables(spark, dir).orders
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT)").as("y"))
+    val wm = Window.orderBy("m")
+    val tri = monthly
+      .withColumn("y2", lead(col("y"), 1).over(wm))
+      .withColumn("y3", lead(col("y"), 2).over(wm))
+      .filter(col("y3").isNotNull)
+    val triC = graft.core.OwnedCaches.own(tri.cache())
+    val diffs = monthly.withColumn("yn", lead(col("y"), 1).over(wm))
+      .filter(col("yn").isNotNull)
+      .select(expr("abs(yn - y)").as("d"))
+    val rtol = diffs
+      .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+      .agg(min(when(col("rn") === expr("(nd + 1) div 2"), col("d"))).as("r"))
+    val counts = triC.select(col("m").as("ma"), col("y").as("a1"),
+        col("y2").as("a2"), col("y3").as("a3"))
+      .join(triC.select(col("m").as("mb"), col("y").as("b1"),
+        col("y2").as("b2"), col("y3").as("b3")), col("ma") < col("mb"))
+      .crossJoin(broadcast(rtol))
+      .agg(
+        sum(expr("CASE WHEN abs(a1 - b1) <= r AND abs(a2 - b2) <= r THEN 1 ELSE 0 END")).as("b_count"),
+        sum(expr("CASE WHEN abs(a1 - b1) <= r AND abs(a2 - b2) <= r AND abs(a3 - b3) <= r THEN 1 ELSE 0 END")).as("a_count"),
+        max(col("r")).as("r_tol"),
+        count(lit(1)).as("n_pairs"))
+    counts
+      .withColumn("p", expr(
+        "CASE WHEN a_count > 0 AND b_count > 0 THEN CAST(a_count AS DOUBLE) / CAST(b_count AS DOUBLE) ELSE CAST(1 AS DOUBLE) END"))
+      .withColumn("__z", expr(ExactLn.zExpr(ExactLn.yExpr("p"))))
+      .selectExpr("CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(r_tol AS BIGINT) AS r_tol",
+        "CAST(b_count AS BIGINT) AS b_count", "CAST(a_count AS BIGINT) AS a_count",
+        s"CASE WHEN a_count > 0 AND b_count > 0 THEN -(${ExactLn.lnExpr("__z")}) ELSE CAST(0 AS DOUBLE) END AS sampen")
+  }
+
+  lazy val sampleEntropySql: String = {
+    import graft.functions.ExactLn
+    s"""WITH monthly AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+       |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) / 1000) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |tri AS (
+       |  SELECT m, y, lead(y, 1) OVER (ORDER BY m) AS y2,
+       |    lead(y, 2) OVER (ORDER BY m) AS y3
+       |  FROM monthly),
+       |tc AS (SELECT * FROM tri WHERE y3 IS NOT NULL),
+       |df AS (
+       |  SELECT abs(lead(y) OVER (ORDER BY m) - y) AS d FROM monthly
+       |  QUALIFY lead(y) OVER (ORDER BY m) IS NOT NULL),
+       |rt AS (
+       |  SELECT CAST(min(CASE WHEN rn = (nd + 1) // 2 THEN d END) AS BIGINT) AS r
+       |  FROM (SELECT d, row_number() OVER (ORDER BY d) AS rn,
+       |    count(*) OVER () AS nd FROM df) z),
+       |cnt AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN abs(a.y - b.y) <= r AND abs(a.y2 - b.y2) <= r THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+       |    CAST(sum(CASE WHEN abs(a.y - b.y) <= r AND abs(a.y2 - b.y2) <= r AND abs(a.y3 - b.y3) <= r THEN 1 ELSE 0 END) AS BIGINT) AS a_count,
+       |    CAST(max(r) AS BIGINT) AS r_tol,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM tc a JOIN tc b ON a.m < b.m CROSS JOIN rt),
+       |pp AS (
+       |  SELECT *, CASE WHEN a_count > 0 AND b_count > 0
+       |    THEN CAST(a_count AS DOUBLE) / CAST(b_count AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS p
+       |  FROM cnt),
+       |zz AS (SELECT *, ${ExactLn.zExpr(ExactLn.yExpr("p"))} AS __z FROM pp)
+       |SELECT n_pairs, r_tol, b_count, a_count,
+       |  CASE WHEN a_count > 0 AND b_count > 0 THEN -(${ExactLn.lnExpr("__z")}) ELSE CAST(0 AS DOUBLE) END AS sampen
+       |FROM zz""".stripMargin
+  }
+
 }

@@ -134,6 +134,48 @@ class Round18cSpec extends AnyFunSuite {
       "t-closeness iterates the same quasi-identifier classes as k-anonymity")
   }
 
+  test("fleiss_kappa: agreement shares are valid and kappa is bounded above by 1") {
+    val r = Stats.fleissKappa(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val (pb, pe) = (r.getAs[Double]("p_bar"), r.getAs[Double]("p_e"))
+    assert(pb >= 0.0 && pb <= 1.0 + 1e-12)
+    assert(pe >= 0.0 && pe <= 1.0 + 1e-12)
+    assert(r.getAs[Double]("kappa") <= 1.0 + 1e-12)
+    assert(r.getAs[Long]("n_items") > 0)
+  }
+
+  test("seasonal_mann_kendall: variance never exceeds the unblocked mann_kendall variance") {
+    val sk = Stats.seasonalMannKendall(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val mk = Stats.mannKendallTrend(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    assert(sk.getAs[Long]("n_months") == mk.getAs[Long]("n_months"))
+    // sum_s n_s(n_s-1)(2n_s+5) <= n(n-1)(2n+5): restricting pairs to
+    // seasons can only shrink the null variance
+    assert(sk.getAs[Double]("var_s") <= mk.getAs[Double]("var_s") + 1e-9)
+    assert(sk.getAs[Double]("var_s") > 0.0)
+  }
+
+  test("sample_entropy: template counts nest and the entropy is nonnegative") {
+    val r = Stats.sampleEntropy(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val (a, b, n) = (r.getAs[Long]("a_count"), r.getAs[Long]("b_count"),
+      r.getAs[Long]("n_pairs"))
+    assert(a <= b && b <= n)
+    assert(r.getAs[Long]("r_tol") >= 0)
+    assert(r.getAs[Double]("sampen") >= 0.0)
+  }
+
+  test("breslow_day: chi-square nonnegative, df tracks the used strata") {
+    val r = graft.operators.Commerce.breslowDay(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    assert(r.getAs[Double]("bd_stat") >= 0.0)
+    assert(r.getAs[Double]("or_mh") > 0.0)
+    val used = r.getAs[Long]("n_strata_used")
+    assert(used >= 0 && used <= 5)
+    assert(r.getAs[Long]("df") == math.max(0L, used - 1))
+  }
+
   test("goodman_kruskal_lambda: PRE shares in [0,1] and modal sums dominate the margins") {
     val r = Stats.goodmanKruskalLambda(spark, sf01).collect()(0)
     graft.core.OwnedCaches.release()
