@@ -553,7 +553,9 @@ object Graph {
     // round 17: the 4-cycle census reuses the same wedge machinery
     "four_cycle_count",
     // round 18: the degree-cap route's dropped-hub audit
-    "wedge_cap_audit")
+    "wedge_cap_audit",
+    // round 18 wave 4: rectangle clustering + integer power iteration
+    "four_cycle_clustering", "eigenvector_centrality")
 
   private def supportEdges(spark: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
@@ -2960,4 +2962,173 @@ object Graph {
        |  CAST(tr AS DOUBLE) / CAST(e_tot AS DOUBLE) AS share_same_nation,
        |  $AttrAssortR AS assortativity_r
        |FROM tot, sp""".stripMargin
+
+  // ---------------------------------------------- four_cycle_clustering
+
+  /** Global 4-cycle (rectangle) clustering of the co-purchase graph:
+    * what share of 3-edge paths close into a rectangle — the SQUARE
+    * analog of the triangle transitivity `graph_modularity`'s family
+    * reads, and the structure signal for bipartite-ish affinity
+    * graphs where triangles are scarce by construction. coef =
+    * 4*C4 / P3 with P3 = Sum_{(u,v) in E}(d_u-1)(d_v-1) - 3*C3
+    * (3-paths), C4 from the capped wedge census ([[fourCycleCount]]'s
+    * frame — the cap is observable via `wedge_cap_audit` and inert on
+    * affinity-sparse graphs), and C3 recovered FREE from the same
+    * codegree frame (Sum over edges of common(u,v) = 3*C3). Every
+    * count is an exact integer; 4*C4 <= P3 makes the coefficient a
+    * true share.
+    *
+    * Scale shape: one wedge census (degree-capped, the n*cap^2
+    * bound), one degree aggregate, two grid joins — nothing beyond
+    * what the 4-cycle census already pays.
+    */
+  def fourCycleClustering(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val undC = graft.core.OwnedCaches.own(und.cache())
+    val edges = undC.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(undC.select(col("p2").as("src"), col("p1").as("dst")))
+    val cached = graft.core.OwnedCaches.own(edges.cache())
+    val codeg = cappedWedgeFrame(cached)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    val codegC = graft.core.OwnedCaches.own(codeg.cache())
+    val cyc = codegC.agg(
+      coalesce(sum(expr("common * (common - 1) div 2")), lit(0L)).as("cyc2"))
+    val triEdge = codegC
+      .join(undC, codegC("a") === undC("p1") && codegC("b") === undC("p2"))
+      .agg(coalesce(sum(col("common")), lit(0L)).as("t3"))
+    val deg = cached.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val p3raw = undC
+      .join(deg.select(col("src").as("p1"), col("d").as("du")), "p1")
+      .join(deg.select(col("src").as("p2"), col("d").as("dv")), "p2")
+      .agg(coalesce(sum(expr("CAST((du - 1) * (dv - 1) AS DECIMAL(19,0))")), 
+        lit(0L).cast("decimal(19,0)")).as("p3raw"))
+    val nEdges = undC.agg(count(lit(1)).as("n_edges"))
+    cyc.crossJoin(broadcast(triEdge)).crossJoin(broadcast(p3raw))
+      .crossJoin(broadcast(nEdges))
+      .selectExpr("CAST(n_edges AS BIGINT) AS n_edges",
+        "CAST(t3 div 3 AS BIGINT) AS triangles",
+        "CAST(cyc2 div 2 AS BIGINT) AS four_cycles",
+        "CAST(p3raw - t3 AS BIGINT) AS p3_paths",
+        s"$C4CoefExpr AS c4_coefficient")
+  }
+
+  // p3 = p3raw - 3*C3 = p3raw - t3 (t3 already counts each triangle 3x)
+  private val C4CoefExpr: String =
+    "(CASE WHEN p3raw - t3 <= 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(4 AS DOUBLE) * CAST(cyc2 div 2 AS DOUBLE) " +
+      "/ CAST(p3raw - t3 AS DOUBLE) END)"
+
+  lazy val fourCycleClusteringSql: String =
+    s"""WITH b AS (
+       |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+       |  FROM lineitem GROUP BY 1),
+       |pr AS (
+       |  SELECT u1.p1, u2.p2
+       |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+       |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+       |  WHERE u1.p1 < u2.p2),
+       |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+       |      UNION ALL SELECT p2, p1 FROM e0),
+       |w AS MATERIALIZED (
+       |  SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+       |  GROUP BY 1, 2),
+       |c AS (SELECT CAST(coalesce(sum(common * (common - 1) // 2), 0) AS BIGINT) AS cyc2 FROM w),
+       |t3 AS (
+       |  SELECT CAST(coalesce(sum(common), 0) AS BIGINT) AS t3
+       |  FROM w JOIN e0 ON a = p1 AND b = p2),
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |p3 AS (
+       |  SELECT coalesce(sum(CAST((du.d - 1) * (dv.d - 1) AS DECIMAL(19,0))),
+       |    CAST(0 AS DECIMAL(19,0))) AS p3raw
+       |  FROM e0 JOIN dg du ON e0.p1 = du.src JOIN dg dv ON e0.p2 = dv.src),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
+       |SELECT n_edges, CAST(t3 // 3 AS BIGINT) AS triangles,
+       |  CAST(cyc2 // 2 AS BIGINT) AS four_cycles,
+       |  CAST(p3raw - t3 AS BIGINT) AS p3_paths,
+       |  ${C4CoefSqlExpr} AS c4_coefficient
+       |FROM c, t3, p3, ne""".stripMargin
+
+  private val C4CoefSqlExpr: String =
+    "(CASE WHEN p3raw - t3 <= 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(4 AS DOUBLE) * CAST(cyc2 // 2 AS DOUBLE) " +
+      "/ CAST(p3raw - t3 AS DOUBLE) END)"
+
+  // ---------------------------------------------- eigenvector_centrality
+
+  private val EigenRounds = 4
+  private val EigenTopK = 15
+
+  /** Eigenvector centrality by INTEGER power iteration: x_k = A^k 1
+    * counts the k-step walks out of each node, so four exact
+    * decimal-sum join rounds give the centrality ranking with zero
+    * float iterations (the float-free analog of [[hitsScores]]'s
+    * normalized loop — convergence to the principal eigenvector is
+    * the same power-method argument, and at k=4 the ranking is
+    * already stable on affinity graphs); the Rayleigh-style ratio
+    * lambda_hat = (1'A^4 1)/(1'A^3 1) estimates the spectral radius.
+    * Only the final share/ratio divisions run in double space.
+    *
+    * Scale shape: [[EigenRounds]] edge-join + partial-agg rounds on
+    * the hash(src)-keyed edge list (the distributed-katz shape, one
+    * exchange per round), then a top-k. Walk counts are exact
+    * DECIMAL(38,0) — overflow-free while max-degree^4 * n < 10^38.
+    */
+  def eigenvectorCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(und.select(col("p2").as("src"), col("p1").as("dst")))
+    val cached = graft.core.OwnedCaches.own(edges.cache())
+    var x = cached.select(col("src").as("p")).distinct()
+      .withColumn("w", lit(1L).cast("decimal(38,0)"))
+    var s3: DataFrame = null
+    for (k <- 1 to EigenRounds) {
+      x = cached.join(x, cached("dst") === x("p"))
+        .groupBy(cached("src").as("q"))
+        .agg(sum(col("w")).as("w"))
+        .select(col("q").as("p"), col("w"))
+      if (k == EigenRounds - 1)
+        s3 = x.agg(sum(col("w")).as("s3"))
+    }
+    val xC = graft.core.OwnedCaches.own(x.cache())
+    val s4 = xC.agg(sum(col("w")).as("s4"))
+    xC.crossJoin(broadcast(s4)).crossJoin(broadcast(s3))
+      .orderBy(col("w").desc, col("p"))
+      .limit(EigenTopK)
+      .selectExpr("CAST(p AS BIGINT) AS part",
+        "CAST(w AS BIGINT) AS walks4",
+        "CAST(w AS DOUBLE) / CAST(s4 AS DOUBLE) AS score",
+        "CAST(s4 AS DOUBLE) / CAST(s3 AS DOUBLE) AS lambda_hat")
+  }
+
+  lazy val eigenvectorCentralitySql: String =
+    s"""WITH b AS (
+       |  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+       |  FROM lineitem GROUP BY 1),
+       |pr AS (
+       |  SELECT u1.p1, u2.p2
+       |  FROM (SELECT l_orderkey AS o, unnest(parts) AS p1 FROM b) u1
+       |  JOIN (SELECT l_orderkey AS o, unnest(parts) AS p2 FROM b) u2 USING (o)
+       |  WHERE u1.p1 < u2.p2),
+       |e0 AS MATERIALIZED (SELECT p1, p2 FROM pr GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+       |      UNION ALL SELECT p2, p1 FROM e0),
+       |x0 AS (SELECT DISTINCT src AS p, CAST(1 AS DECIMAL(38,0)) AS w FROM e),
+       |x1 AS (SELECT e.src AS p, CAST(sum(w) AS DECIMAL(38,0)) AS w
+       |       FROM e JOIN x0 ON e.dst = x0.p GROUP BY 1),
+       |x2 AS (SELECT e.src AS p, CAST(sum(w) AS DECIMAL(38,0)) AS w
+       |       FROM e JOIN x1 ON e.dst = x1.p GROUP BY 1),
+       |x3 AS (SELECT e.src AS p, CAST(sum(w) AS DECIMAL(38,0)) AS w
+       |       FROM e JOIN x2 ON e.dst = x2.p GROUP BY 1),
+       |x4 AS (SELECT e.src AS p, CAST(sum(w) AS DECIMAL(38,0)) AS w
+       |       FROM e JOIN x3 ON e.dst = x3.p GROUP BY 1),
+       |s3 AS (SELECT sum(w) AS s3 FROM x3),
+       |s4 AS (SELECT sum(w) AS s4 FROM x4)
+       |SELECT CAST(p AS BIGINT) AS part, CAST(w AS BIGINT) AS walks4,
+       |  CAST(w AS DOUBLE) / CAST(s4 AS DOUBLE) AS score,
+       |  CAST(s4 AS DOUBLE) / CAST(s3 AS DOUBLE) AS lambda_hat
+       |FROM x4, s3, s4
+       |ORDER BY w DESC, p LIMIT $EigenTopK""".stripMargin
 }

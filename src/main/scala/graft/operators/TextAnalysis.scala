@@ -3311,4 +3311,63 @@ object TextAnalysis {
        |FROM g WHERE rk <= $DunningTopK
        |ORDER BY source, rk""".stripMargin
   }
+
+  // ------------------------------------------------ vocab_overlap_matrix
+
+  /** Pairwise source VOCABULARY overlap: for every source pair, the
+    * shared type count, Jaccard, and the overlap (Szymkiewicz-
+    * Simpson) coefficient — the corpus-mixing diagnostic at the
+    * vocabulary grain ([[klVsCorpusBySource]] weights by frequency;
+    * this asks only "do the sources even share a lexicon", which is
+    * what a tokenizer-budget or dedup-scope decision reads first).
+    * Same whitespace tokenization as [[ttrBySource]]; everything is
+    * exact distinct-counting on the (source, term) spine.
+    *
+    * Scale shape: one token scan to the distinct (source, term)
+    * frame (vocabulary-bounded, not corpus-bounded), a term-keyed
+    * self-join for intersections on that bounded frame, broadcast
+    * sizes; output is (sources choose 2) rows.
+    */
+  def vocabOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(filter(split(col("text"), " +"), t => length(t) > 0)).as("term"))
+      .distinct()
+    val vocabC = graft.core.OwnedCaches.own(vocab.cache())
+    val sizes = vocabC.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = vocabC.select(col("source").as("source_a"), col("term"))
+      .join(vocabC.select(col("source").as("source_b"), col("term")), "term")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("v").as("va"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("v").as("vb"))), "source_b")
+      .selectExpr("source_a", "source_b",
+        "CAST(va AS BIGINT) AS vocab_a", "CAST(vb AS BIGINT) AS vocab_b",
+        "CAST(n_shared AS BIGINT) AS n_shared",
+        "CAST(n_shared AS DOUBLE) / CAST(va + vb - n_shared AS DOUBLE) AS jaccard",
+        "CAST(n_shared AS DOUBLE) / CAST(least(va, vb) AS DOUBLE) AS overlap_coef")
+      .orderBy("source_a", "source_b")
+  }
+
+  val vocabOverlapMatrixSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split_regex(text, ' +'),
+      |    x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |vocab AS (SELECT DISTINCT source, term FROM tok),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM vocab GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, sa.v AS vocab_a, sb.v AS vocab_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / CAST(sa.v + sb.v - n_shared AS DOUBLE) AS jaccard,
+      |  CAST(n_shared AS DOUBLE) / CAST(least(sa.v, sb.v) AS DOUBLE) AS overlap_coef
+      |FROM inter
+      |JOIN sizes sa ON source_a = sa.source
+      |JOIN sizes sb ON source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin
 }

@@ -176,6 +176,47 @@ class Round18cSpec extends AnyFunSuite {
     assert(r.getAs[Long]("df") == math.max(0L, used - 1))
   }
 
+  test("four_cycle_clustering: coefficient is a share and the censuses cross-match") {
+    val Graph = graft.operators.Graph
+    val r = Graph.fourCycleClustering(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    val coef = r.getAs[Double]("c4_coefficient")
+    assert(coef >= 0.0 && coef <= 1.0 + 1e-12, "4*C4 <= P3 makes this a share")
+    val fc = Graph.fourCycleCount(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    assert(r.getAs[Long]("four_cycles") == fc.getAs[Long]("four_cycles"),
+      "rectangle census must match four_cycle_count on the same graph")
+    val tc = Graph.triangleCount(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    assert(r.getAs[Long]("triangles") == tc.getAs[Long]("n_triangles"),
+      "codegree-recovered triangles must match the orientation census")
+  }
+
+  test("eigenvector_centrality: top-k is sorted, scores are shares, ratio positive") {
+    val rows = graft.operators.Graph.eigenvectorCentrality(spark, sf01).collect()
+    graft.core.OwnedCaches.release()
+    assert(rows.length == 15)
+    val w = rows.map(_.getAs[Long]("walks4"))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b }, "descending walk counts")
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      assert(sc > 0.0 && sc <= 1.0)
+      assert(r.getAs[Double]("lambda_hat") > 0.0)
+    }
+  }
+
+  test("vocab_overlap_matrix: jaccard <= overlap coefficient <= 1, shared bounded by the smaller vocabulary") {
+    val rows = graft.operators.TextAnalysis.vocabOverlapMatrix(spark, sf01).collect()
+    graft.core.OwnedCaches.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, o) = (r.getAs[Double]("jaccard"), r.getAs[Double]("overlap_coef"))
+      assert(j >= 0.0 && j <= o + 1e-12 && o <= 1.0 + 1e-12)
+      assert(r.getAs[Long]("n_shared") <=
+        math.min(r.getAs[Long]("vocab_a"), r.getAs[Long]("vocab_b")))
+    }
+  }
+
   test("goodman_kruskal_lambda: PRE shares in [0,1] and modal sums dominate the margins") {
     val r = Stats.goodmanKruskalLambda(spark, sf01).collect()(0)
     graft.core.OwnedCaches.release()
