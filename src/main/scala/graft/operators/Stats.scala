@@ -9736,4 +9736,187 @@ object Stats {
        |FROM zz""".stripMargin
   }
 
+
+  // ----------------------------------------------------------- welch_anova
+
+  // fixed-order pivoted group moments -> Welch's F: w_i = n_i/v_i,
+  // center = sum(w m)/W, A = sum w (m-c)^2/(k-1), B the Welch
+  // correction, df2 = (k^2-1)/(3 L) with L = sum (1-w/W)^2/(n-1)
+  private val WaK = 5
+  private def waMean(k: Int) = s"(CAST(s_$k AS DOUBLE) / CAST(n_$k AS DOUBLE))"
+  private def waVar(k: Int) =
+    s"((CAST(ss_$k AS DOUBLE) - ${waMean(k)} * CAST(s_$k AS DOUBLE)) / CAST(n_$k - 1 AS DOUBLE))"
+  private def waW(k: Int) = s"(CAST(n_$k AS DOUBLE) / ${waVar(k)})"
+  private val WaWSum = (0 until WaK).map(waW).mkString("(", " + ", ")")
+  private val WaCenter =
+    "(" + (0 until WaK).map(k => s"${waW(k)} * ${waMean(k)}").mkString(" + ") +
+      s") / $WaWSum"
+  private val WaA =
+    "((" + (0 until WaK).map(k =>
+      s"${waW(k)} * (${waMean(k)} - ctr) * (${waMean(k)} - ctr)").mkString(" + ") +
+      s") / CAST(${WaK - 1} AS DOUBLE))"
+  private val WaL =
+    "(" + (0 until WaK).map(k =>
+      s"(CAST(1 AS DOUBLE) - ${waW(k)} / $WaWSum) * (CAST(1 AS DOUBLE) - ${waW(k)} / $WaWSum) / CAST(n_$k - 1 AS DOUBLE)").mkString(" + ") + ")"
+  private val WaB =
+    s"(CAST(1 AS DOUBLE) + (CAST(${2 * (WaK - 2)} AS DOUBLE) / CAST(${WaK * WaK - 1} AS DOUBLE)) * $WaL)"
+  private val WaGuard = (0 until WaK).map(k => s"${waVar(k)} <= CAST(0 AS DOUBLE)")
+    .mkString("(", " OR ", ")")
+  private val WaF = s"(CASE WHEN $WaGuard THEN CAST(0 AS DOUBLE) ELSE $WaA / $WaB END)"
+  private val WaDf2 =
+    s"(CASE WHEN $WaGuard THEN CAST(0 AS DOUBLE) " +
+      s"ELSE CAST(${WaK * WaK - 1} AS DOUBLE) / (CAST(3 AS DOUBLE) * $WaL) END)"
+
+  /** Welch's heteroscedastic one-way ANOVA across the five order
+    * priorities on order value: [[anovaOneway]] assumes one pooled
+    * variance — exactly what [[leveneTest]] exists to REJECT — and
+    * Welch's F is the standard next move when it does (inverse-
+    * variance weighted centers, Satterthwaite-style df2). Value
+    * quantizes to $100 units (floor-div, the [[cupedAdjustment]]
+    * convention) so ALL nine moments stay exact sub-2^53 integers
+    * through sf1 and every cast is per-moment exact; the F/df2
+    * algebra is one fixed-order shared text over the pivoted moments.
+    *
+    * Scale shape: one conditional-sum scan to 15 scalars; the rest is
+    * a single-row expression.
+    */
+  def welchAnova(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000").as("x"))
+    val mCols = (0 until WaK).flatMap { k =>
+      val is = col("g") === PrioKeys(k)
+      Seq(sum(when(is, 1L).otherwise(0L)).as(s"n_$k"),
+        sum(when(is, col("x")).otherwise(0L)).as(s"s_$k"),
+        sum(when(is, expr("x * x")).otherwise(0L)).as(s"ss_$k"))
+    }
+    o.agg(mCols.head, mCols.tail: _*)
+      .withColumn("ctr", expr(WaCenter))
+      .selectExpr(
+        s"CAST($WaK AS INTEGER) AS k_groups",
+        s"CAST(${(0 until WaK).map(k => s"n_$k").mkString(" + ")} AS BIGINT) AS n_orders",
+        s"$WaF AS f_stat",
+        s"CAST(${WaK - 1} AS INTEGER) AS df1",
+        s"$WaDf2 AS df2_welch")
+  }
+
+  lazy val welchAnovaSql: String = {
+    val mSums = (0 until WaK).flatMap { k =>
+      val is = s"g = '${PrioKeys(k)}'"
+      Seq(s"CAST(sum(CASE WHEN $is THEN 1 ELSE 0 END) AS BIGINT) AS n_$k",
+        s"CAST(sum(CASE WHEN $is THEN x ELSE 0 END) AS BIGINT) AS s_$k",
+        s"CAST(sum(CASE WHEN $is THEN x * x ELSE 0 END) AS BIGINT) AS ss_$k")
+    }.mkString(",\n    ")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS x
+       |  FROM orders),
+       |m AS (
+       |  SELECT
+       |    $mSums
+       |  FROM o),
+       |mc AS (SELECT *, $WaCenter AS ctr FROM m)
+       |SELECT CAST($WaK AS INTEGER) AS k_groups,
+       |  CAST(${(0 until WaK).map(k => s"n_$k").mkString(" + ")} AS BIGINT) AS n_orders,
+       |  $WaF AS f_stat,
+       |  CAST(${WaK - 1} AS INTEGER) AS df1,
+       |  $WaDf2 AS df2_welch
+       |FROM mc""".stripMargin
+  }
+
+  // ------------------------------------------------------------- dunn_test
+
+  // Dunn pairwise z over the kruskal_wallis moments: z_ij =
+  // (Rbar_i - Rbar_j) / sqrt(V * (1/n_i + 1/n_j)) with the
+  // tie-corrected V = N(N+1)/12 - tt/(12(N-1))
+  private def dunnRbar(k: Int) = s"(CAST(r2_$k AS DOUBLE) / (2.0 * CAST(n_$k AS DOUBLE)))"
+  private val DunnV =
+    "(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0 " +
+      "- CAST(tt AS DOUBLE) / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))"
+  private def dunnZ(i: Int, j: Int) =
+    s"((${dunnRbar(i)} - ${dunnRbar(j)}) / " +
+      s"sqrt($DunnV * (CAST(1 AS DOUBLE) / CAST(n_$i AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n_$j AS DOUBLE))))"
+
+  /** Dunn's post-hoc pairwise test after [[kruskalWallis]]: WHICH
+    * priority pairs differ once H rejects — mean-rank differences
+    * standardized by the tie-corrected pooled rank variance, with a
+    * Bonferroni-at-10-pairs significance flag (|z| > 2.807). Rides
+    * the exact same distributed midrank machinery and moment pivot
+    * as H itself (the two-level banded prefix sum; zero new scan
+    * shapes), so every z is a fixed-order shared-text expression
+    * over already-exact integers.
+    *
+    * Scale shape: identical to [[kruskalWallis]].
+    */
+  def dunnTest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("g"),
+        (money(col("o_totalprice")) * 100).cast("long").as("c"))
+    val perVG = o.groupBy(col("c"), col("g")).agg(count(lit(1)).as("n_vg"))
+    val perV = perVG.groupBy(col("c")).agg(sum(col("n_vg")).as("n_v"))
+    val ranked = Commerce.globalRankCumsum(perV,
+        floor(col("c") / lit((Commerce.MonetaryBucketWidth * 100).toLong)),
+        Seq(col("c")), col("n_v"), "rk", "cumv")
+      .select(col("c"), col("n_v"), col("cumv"))
+    val contrib = perVG.join(ranked, Seq("c"))
+      .withColumn("w2", expr("2 * cumv - n_v + 1"))
+    val mCols = PrioKeys.indices.flatMap { k =>
+      val is = col("g") === PrioKeys(k)
+      Seq(sum(when(is, col("n_vg"))).as(s"n_$k"),
+        sum(when(is, expr("n_vg * w2"))).as(s"r2_$k"))
+    } :+ sum(col("n_vg")).as("nn")
+    val moments = contrib.agg(mCols.head, mCols.tail: _*)
+    val ties = perV.agg(
+      sum(expr("CAST(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0)) - n_v AS DECIMAL(38,0))")).as("tt"))
+    val pairs = for { i <- PrioKeys.indices; j <- (i + 1) until PrioKeys.size } yield (i, j)
+    val stackArgs = pairs.map { case (i, j) =>
+      s"'${PrioKeys(i)}', '${PrioKeys(j)}', CAST(n_$i AS BIGINT), CAST(n_$j AS BIGINT), " +
+        s"${dunnRbar(i)}, ${dunnRbar(j)}, ${dunnZ(i, j)}, " +
+        s"CASE WHEN abs(${dunnZ(i, j)}) > CAST(2.807 AS DOUBLE) THEN 1 ELSE 0 END"
+    }.mkString(", ")
+    moments.crossJoin(broadcast(ties))
+      .selectExpr(s"stack(${pairs.size}, $stackArgs)" +
+        " AS (prio_a, prio_b, n_a, n_b, mean_rank_a, mean_rank_b, z_stat, significant)")
+      .orderBy("prio_a", "prio_b")
+  }
+
+  lazy val dunnTestSql: String = {
+    val mSums = PrioKeys.indices.flatMap { k =>
+      val is = s"g = '${PrioKeys(k)}'"
+      Seq(s"CAST(sum(CASE WHEN $is THEN n_vg END) AS BIGINT) AS n_$k",
+        s"CAST(sum(CASE WHEN $is THEN n_vg * w2 END) AS BIGINT) AS r2_$k")
+    } :+ "CAST(sum(n_vg) AS BIGINT) AS nn"
+    val pairs = for { i <- PrioKeys.indices; j <- (i + 1) until PrioKeys.size } yield (i, j)
+    val arms = pairs.map { case (i, j) =>
+      s"SELECT '${PrioKeys(i)}' AS prio_a, '${PrioKeys(j)}' AS prio_b, " +
+        s"CAST(n_$i AS BIGINT) AS n_a, CAST(n_$j AS BIGINT) AS n_b, " +
+        s"${dunnRbar(i)} AS mean_rank_a, ${dunnRbar(j)} AS mean_rank_b, " +
+        s"${dunnZ(i, j)} AS z_stat, " +
+        s"CASE WHEN abs(${dunnZ(i, j)}) > CAST(2.807 AS DOUBLE) THEN 1 ELSE 0 END AS significant FROM one"
+    }.mkString("\nUNION ALL ")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM orders),
+       |per_vg AS (SELECT c, g, CAST(count(*) AS BIGINT) AS n_vg FROM o GROUP BY 1, 2),
+       |per_v AS (SELECT c, CAST(sum(n_vg) AS BIGINT) AS n_v FROM per_vg GROUP BY 1),
+       |r AS (
+       |  SELECT c, n_v,
+       |    CAST(sum(n_v) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumv
+       |  FROM per_v),
+       |w AS (
+       |  SELECT per_vg.g, per_vg.n_vg, 2 * r.cumv - r.n_v + 1 AS w2
+       |  FROM per_vg JOIN r USING (c)),
+       |m AS (
+       |  SELECT
+       |    ${mSums.mkString(",\n    ")}
+       |  FROM w),
+       |tie AS (
+       |  SELECT sum(CAST(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0)) - n_v AS DECIMAL(38,0))) AS tt
+       |  FROM per_v),
+       |one AS (SELECT * FROM m, tie)
+       |$arms
+       |ORDER BY prio_a, prio_b""".stripMargin
+  }
+
 }

@@ -217,6 +217,36 @@ class Round18cSpec extends AnyFunSuite {
     }
   }
 
+  test("welch_anova: F nonnegative, df2 positive and below the pooled df") {
+    val r = Stats.welchAnova(spark, sf01).collect()(0)
+    graft.core.OwnedCaches.release()
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+    assert(r.getAs[Int]("df1") == 4)
+    val df2 = r.getAs[Double]("df2_welch")
+    assert(df2 > 0.0 && df2 <= (r.getAs[Long]("n_orders") - 5).toDouble)
+  }
+
+  test("dunn_test: mean ranks match kruskal_wallis and satisfy the rank-sum identity") {
+    val rows = Stats.dunnTest(spark, sf01).collect()
+    graft.core.OwnedCaches.release()
+    assert(rows.length == 10)
+    val ranks = (rows.map(r => (r.getAs[String]("prio_a"),
+        r.getAs[Long]("n_a"), r.getAs[Double]("mean_rank_a"))) ++
+      rows.map(r => (r.getAs[String]("prio_b"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("mean_rank_b")))).distinct
+    assert(ranks.length == 5)
+    val kw = Stats.kruskalWallis(spark, sf01).collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[Double]("mean_rank"))).toMap
+    graft.core.OwnedCaches.release()
+    ranks.foreach { case (p, _, mr) =>
+      assert(math.abs(kw(p) - mr) < 1e-9, s"$p mean rank drifted from kruskal_wallis")
+    }
+    val n = ranks.map(_._2).sum
+    val rankMass = ranks.map { case (_, ng, mr) => ng * mr }.sum
+    assert(math.abs(rankMass - n.toDouble * (n + 1) / 2.0) < 1e-3,
+      "sum of group rank masses must equal N(N+1)/2")
+  }
+
   test("goodman_kruskal_lambda: PRE shares in [0,1] and modal sums dominate the margins") {
     val r = Stats.goodmanKruskalLambda(spark, sf01).collect()(0)
     graft.core.OwnedCaches.release()
