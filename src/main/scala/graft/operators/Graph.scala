@@ -3076,11 +3076,48 @@ object Graph {
     * exchange per round), then a top-k. Walk counts are exact
     * DECIMAL(38,0) — overflow-free while max-degree^4 * n < 10^38.
     */
-  def eigenvectorCentrality(spark: SparkSession, dir: String): DataFrame = {
+  def eigenvectorCentrality(spark: SparkSession, dir: String): DataFrame =
+    eigenvectorCentrality(spark, dir, forceLoop = false)
+
+  /** `forceLoop` pins the distributed-iteration branch for the
+    * branch-equality test (the [[pagerank]]/[[katzTopk]] convention).
+    */
+  private[graft] def eigenvectorCentrality(spark: SparkSession, dir: String,
+      forceLoop: Boolean): DataFrame = {
     val und = supportEdges(spark, dir).select(col("p1"), col("p2"))
     val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
       .union(und.select(col("p2").as("src"), col("p1").as("dst")))
     val cached = graft.core.OwnedCaches.own(edges.cache())
+    // single-task branch (the katz admission discipline): 4 join+agg
+    // rounds on an affinity-sized graph are pure stage latency
+    // (measured 3.4 s shared at sf0.1 for µs of arithmetic). Replay
+    // admission needs the walk counts to FIT int64 — edge count under
+    // the measured cap AND n·Δ⁴ under 2⁶² (the loop's decimal(38,0)
+    // never overflows, so past that bound only the loop is correct).
+    if (!forceLoop) {
+      val sess = spark
+      import sess.implicits._
+      val edgeCount = cached.count()
+      if (edgeCount <= replayCap(EigencPerRowUs, EigenRounds)) {
+        val dstats = cached.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .agg(max(col("d")).as("dm"), count(lit(1)).as("n")).collect()(0)
+        val (dm, n) = (dstats.getLong(0), dstats.getLong(1))
+        if (math.pow(dm.toDouble, EigenRounds) * n < 4.0e18) {
+          val rounds = EigenRounds
+          return cached.select(col("src").cast("long"), col("dst").cast("long"))
+            .as[(Long, Long)]
+            .repartition(1)
+            .mapPartitions(it => eigenCentReplay(it.toArray, rounds))
+            .toDF("p", "w", "s3v", "s4v")
+            .orderBy(col("w").desc, col("p"))
+            .limit(EigenTopK)
+            .selectExpr("CAST(p AS BIGINT) AS part",
+              "CAST(w AS BIGINT) AS walks4",
+              "CAST(w AS DOUBLE) / CAST(s4v AS DOUBLE) AS score",
+              "CAST(s4v AS DOUBLE) / CAST(s3v AS DOUBLE) AS lambda_hat")
+        }
+      }
+    }
     var x = cached.select(col("src").as("p")).distinct()
       .withColumn("w", lit(1L).cast("decimal(38,0)"))
     var s3: DataFrame = null
@@ -3101,6 +3138,34 @@ object Graph {
         "CAST(w AS BIGINT) AS walks4",
         "CAST(w AS DOUBLE) / CAST(s4 AS DOUBLE) AS score",
         "CAST(s4 AS DOUBLE) / CAST(s3 AS DOUBLE) AS lambda_hat")
+  }
+
+  // ReplayCalibrate (round 18): 0.10–0.20 µs/edge·round (one LongMap
+  // probe + add per directed edge per round; the upper end is the
+  // 2M-edge cache-miss regime) — 0.20 with margin
+  private[graft] val EigencPerRowUs = 0.20
+
+  /** The single-task A⁴·1 replay — x₀ ≡ 1, each round
+    * x'(u) = Σ_{(u,v)∈E} x(v), all int64 (admission pre-checks
+    * n·Δ⁴ < 2⁶²), returning every node with its walk count and the
+    * round-3/round-4 totals (so score and λ̂ need no second pass).
+    * Bit-identical to the loop's decimal sums wherever admitted.
+    */
+  private[graft] def eigenCentReplay(es: Array[(Long, Long)],
+      rounds: Int): Iterator[(Long, Long, Long, Long)] = {
+    var x = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (src, _) => if (!x.contains(src)) x.update(src, 1L) }
+    var s3 = 0L
+    for (k <- 1 to rounds) {
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (src, dst) =>
+        next.update(src, next.getOrElse(src, 0L) + x(dst))
+      }
+      x = next
+      if (k == rounds - 1) s3 = x.values.sum
+    }
+    val s4 = x.values.sum
+    x.iterator.map { case (p, w) => (p, w, s3, s4) }
   }
 
   lazy val eigenvectorCentralitySql: String =

@@ -205,6 +205,18 @@ class Round18cSpec extends AnyFunSuite {
     }
   }
 
+  test("eigenvector_centrality: single-task replay is bit-identical to the distributed loop") {
+    val Graph = graft.operators.Graph
+    val fast = Graph.eigenvectorCentrality(spark, sf01, forceLoop = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    graft.core.OwnedCaches.release()
+    val loop = Graph.eigenvectorCentrality(spark, sf01, forceLoop = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    graft.core.OwnedCaches.release()
+    assert(fast.toSeq == loop.toSeq,
+      "replay and loop must agree on every row, score bits included")
+  }
+
   test("vocab_overlap_matrix: jaccard <= overlap coefficient <= 1, shared bounded by the smaller vocabulary") {
     val rows = graft.operators.TextAnalysis.vocabOverlapMatrix(spark, sf01).collect()
     graft.core.OwnedCaches.release()
