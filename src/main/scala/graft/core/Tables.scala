@@ -13,8 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gets column pruning + predicate pushdown for free.
   */
 final class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(name: String): DataFrame = Tables.read(spark, dir, name)
 
   /** `events.ts` has shipped in two physical layouts across testdata
     * generations: parquet TIMESTAMP(NANOS) (which Spark 4 only reads as
@@ -60,4 +59,71 @@ final class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  // ---- memoized base readers (optimization round 18, guide §6) ----
+  // Every query invocation used to pay a fresh `spark.read.parquet`
+  // per table it touches: a driver-side file listing plus a footer
+  // schema read (~10-40 ms each) repeated for every run of all ~475
+  // registry queries. The reader DataFrame is an immutable plan over
+  // an immutable testdata path, so it is memoized per
+  // (table, dir, session) — exactly the relation cache a catalog
+  // table (`saveAsTable` + `spark.table`) would give, with NO data or
+  // result caching (every action still scans parquet). Eviction rides
+  // SharedFrames' lifecycle hooks: `reset()` (isolated-bench mode —
+  // each query must re-pay its own reader construction) clears all,
+  // `releaseSession` drops a discarded session's entries. The session
+  // check mirrors SharedFrames: an identityHashCode collision between
+  // two LIVE sessions must rebuild rather than hand a frame to the
+  // wrong session.
+  @volatile private var hooked = false
+  private val frames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def ensureHook(): Unit = if (!hooked) synchronized {
+    if (!hooked) {
+      SharedFrames.onEvict {
+        case None => frames.clear()
+        case Some(s) =>
+          val it = frames.entrySet().iterator()
+          while (it.hasNext) if (it.next().getValue.sparkSession eq s) it.remove()
+      }
+      hooked = true
+    }
+  }
+
+  private[core] def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureHook()
+    val k = s"$name@$dir@${System.identityHashCode(spark)}"
+    val e = frames.get(k)
+    if (e != null && (e.sparkSession eq spark)) e
+    else {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // perf memo only: bound growth across many short-lived test
+      // sessions by dropping everything rather than tracking LRU
+      if (frames.size > 512) frames.clear()
+      frames.put(k, df)
+      df
+    }
+  }
+
+  /** Exact row count of a base table from parquet FOOTER metadata —
+    * the zero-job replacement for build-time `df.count()` layout
+    * decisions (broadcast-vs-shuffle caps). Reads the footers on the
+    * driver (~ms), never schedules a job, and is exact by the parquet
+    * spec (file metadata carries num_rows per row group). Handles both
+    * single-file layouts (`<dir>/<name>.parquet` the testdata uses)
+    * and directory layouts (part files from a Spark write).
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def leafFiles(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leafFiles)
+      else if (st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")) Nil
+      else Seq(st)
+    leafFiles(fs.getFileStatus(root)).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

@@ -304,7 +304,10 @@ object StarSchema {
 
     // one scalar decides the layout for ALL customer-derived sides
     // (pctx and dsc cardinalities are bounded by the customer count)
-    val custSmall = !forceUnhinted && t.customer.count() <= BroadcastDimRowCap
+    // footer-metadata row count (Tables.rowCount): the layout decision
+    // costs zero Spark jobs instead of a count() job per fact build
+    val custSmall = !forceUnhinted &&
+      Tables.rowCount(spark, dir, "customer") <= BroadcastDimRowCap
     def custHint(df: DataFrame): DataFrame = if (custSmall) broadcast(df) else df
 
     li.join(o, col("l_orderkey") === col("o_orderkey"), "left")

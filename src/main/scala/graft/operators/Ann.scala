@@ -169,7 +169,7 @@ object Ann {
   private def embCorpusCount(spark: SparkSession, dir: String): Long =
     embCountMemo.computeIfAbsent(
       s"$dir@${System.identityHashCode(spark)}",
-      _ => Tables(spark, dir).embeddings.count()).longValue()
+      _ => Tables.rowCount(spark, dir, "embeddings")).longValue()
 
   /** Which branch the corpus-cap routing takes at `dir` — (corpus
     * size, cap, "exact" | "routed"). The registered exact-n² oracle

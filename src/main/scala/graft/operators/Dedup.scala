@@ -581,7 +581,7 @@ object Dedup {
         call_function("graft_shingles", col("text"), lit(1))).as("simhash"))
     // ONE scalar crosses the driver: the corpus size that selects the
     // block layout (same pattern as SmallGraphPairCap / BroadcastNodeCap)
-    val b = simHashBlockCount(docs.count())
+    val b = simHashBlockCount(Tables.rowCount(spark, dir, "documents"))
     simHashCandidates(sigs, b)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
