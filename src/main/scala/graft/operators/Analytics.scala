@@ -634,15 +634,9 @@ object Analytics {
     */
   def cooccurRecs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.BoundedTopK.register(spark)
-    val baskets = Tables(spark, dir).lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("basket"))
-    val pairs = baskets
-      .select(explode(col("basket")).as("p1"), col("basket"))
-      .select(col("p1"), explode(col("basket")).as("p2"))
-      .filter(col("p1") =!= col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("n_cooccur"))
+    // the session-shared Σ basket² pair counts (optimization round 18)
+    val pairs = graft.operators.Graph.basketPairCounts(spark, dir)
+      .select(col("p1"), col("p2"), col("c").as("n_cooccur"))
     pairs.groupBy(col("p1"))
       .agg(call_function("graft_topk", lit(3),
         struct(col("n_cooccur").cast("double"), col("p2"))).as("top"))
@@ -668,14 +662,9 @@ object Analytics {
     val items = Tables(spark, dir).lineitem
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val cnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-    val baskets = items.groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("basket"))
-    val pairs = baskets
-      .select(explode(col("basket")).as("p1"), col("basket"))
-      .select(col("p1"), explode(col("basket")).as("p2"))
-      .filter(col("p1") =!= col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("n_cooccur"))
+    // the session-shared Σ basket² pair counts (optimization round 18)
+    val pairs = graft.operators.Graph.basketPairCounts(spark, dir)
+      .select(col("p1"), col("p2"), col("c").as("n_cooccur"))
       .join(broadcast(cnt.select(col("l_partkey").as("p1"), col("c").as("__ca"))), Seq("p1"))
       .join(broadcast(cnt.select(col("l_partkey").as("p2"), col("c").as("__cb"))), Seq("p2"))
       .withColumn("score",

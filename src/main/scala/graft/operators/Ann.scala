@@ -4005,32 +4005,85 @@ object Ann {
         .select(col("query_id"), col("pa"), col("pb"),
           expr("graft_dot(ea, eb) / (na * nb)").as("s"))
         .cache())
-    val lean = cand.select(col("query_id"), col("cid"), col("rel"))
-    var result = lean
-      .withColumn("rk", row_number().over(wRel)).filter(col("rk") === 1)
-      .select(col("query_id"), col("cid"), lit(1).as("mmr_rank"))
-    for (step <- 2 to MmrSelect) {
-      val rem = lean.join(result.select(col("query_id"), col("cid")),
-        Seq("query_id", "cid"), "left_anti")
-      val pen = rem
-        .join(result.select(col("query_id"), col("cid").as("pb")), Seq("query_id"))
-        .join(pair.select(col("query_id"), col("pa"), col("pb"), col("s")),
-          Seq("query_id", "pb")).filter(col("pa") === col("cid"))
-        .groupBy(col("query_id"), col("cid"), col("rel"))
-        .agg(max(col("s")).as("pen"))
-        .withColumn("score", expr(s"$MmrLambda * rel - $MmrOneMinus * pen"))
-      val wS = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
-      // cache each step's pick: `result` is read TWICE per step (the
-      // anti-join and the penalty join), so an uncached chain
-      // re-expands 2^steps (measured 18.3 s → ~2 s at sf0.1)
-      val pick = graft.core.OwnedCaches.own(
-        pen.withColumn("rk", row_number().over(wS)).filter(col("rk") === 1)
-          .select(col("query_id"), col("cid"), lit(step).as("mmr_rank"))
-          .cache())
-      result = result.unionByName(pick)
-    }
+    // Single-task greedy replay (optimization round 18): the unrolled
+    // per-step plan (anti-join + two joins + agg + window, each step
+    // cached) cost ~38 scheduled jobs over frames that are CONSTANT-
+    // bounded — cand ≤ NumQueries·MmrCand rows and pair ≤
+    // NumQueries·MmrCand² at ANY corpus size, so unlike the graph
+    // replays no data-sized admission cap is needed. The relevance and
+    // pairwise-similarity frames are still computed distributed (the
+    // corpus-width work); one mapPartitions task replays the greedy
+    // selection bit-identically: same 0.7·rel − 0.3·pen double ops,
+    // same max-over-selected penalty, same (score desc, cid asc)
+    // tie-break the per-step windows applied. Branch equality is
+    // pinned by Round18dSpec.
+    val sess = spark
+    import sess.implicits._
+    val candT = cand.select(col("query_id").cast("long").as("q"),
+      col("cid").cast("long").as("a"), lit(-1L).as("b"),
+      col("rel").cast("double").as("v"), lit(0).as("tag"))
+    val pairT = pair.select(col("query_id").cast("long").as("q"),
+      col("pa").cast("long").as("a"), col("pb").cast("long").as("b"),
+      col("s").cast("double").as("v"), lit(1).as("tag"))
+    val selectN = MmrSelect
+    val result = candT.unionByName(pairT)
+      .as[(Long, Long, Long, Double, Int)]
+      .repartition(1)
+      .mapPartitions(it => mmrGreedyReplay(it.toArray, selectN, 0.7, 0.3))
+      .toDF("query_id", "cid", "mmr_rank")
     result.select(col("query_id"), col("cid").as("neighbor_id"), col("mmr_rank"))
       .orderBy("query_id", "mmr_rank")
+  }
+
+  /** The single-task MMR greedy-selection replay body — bit-identical
+    * to the unrolled per-step plan: step 1 picks max (rel desc, cid
+    * asc); each later step scores every unselected candidate as
+    * λ·rel − (1−λ)·pen with pen = max similarity to the already-
+    * selected set, and picks max (score desc, cid asc). All doubles,
+    * same op order as the SQL text; a query with fewer candidates
+    * than steps simply stops early (the plan's empty pen$i frames).
+    */
+  private[graft] def mmrGreedyReplay(rows: Array[(Long, Long, Long, Double, Int)],
+      select: Int, lam: Double, oneMinus: Double): Iterator[(Long, Long, Int)] = {
+    val byQ = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    byQ.iterator.flatMap { case (q, rs) =>
+      val cands = rs.filter(_._5 == 0).map(r => (r._2, r._4))
+      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+      rs.foreach { r => if (r._5 == 1) sim.update((r._2, r._3), r._4) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (cands.nonEmpty) {
+        var best = cands(0)
+        cands.foreach { c =>
+          if (c._2 > best._2 || (c._2 == best._2 && c._1 < best._1)) best = c
+        }
+        out += ((q, best._1, 1)); selected += best._1
+        var step = 2
+        while (step <= select) {
+          var bestC = -1L; var bestScore = 0.0; var found = false
+          cands.foreach { case (cid, rel) =>
+            if (!selected.contains(cid)) {
+              var pen = 0.0; var any = false
+              selected.foreach { s =>
+                sim.get((cid, s)).foreach { v =>
+                  if (!any || v > pen) { pen = v; any = true }
+                }
+              }
+              if (any) {
+                val score = lam * rel - oneMinus * pen
+                if (!found || score > bestScore ||
+                    (score == bestScore && cid < bestC)) {
+                  bestC = cid; bestScore = score; found = true
+                }
+              }
+            }
+          }
+          if (found) { out += ((q, bestC, step)); selected += bestC }
+          step += 1
+        }
+      }
+      out.iterator
+    }
   }
 
   val annMmrRerankSql: String = {

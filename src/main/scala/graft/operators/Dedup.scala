@@ -752,23 +752,54 @@ object Dedup {
     * independently-gated pipelines must agree a second time inside
     * one query.
     */
+  /** The two detector pair sets [[dedupMethodAgreement]] and
+    * [[captureRecaptureDupes]] both consume, session-shared
+    * (optimization round 18) so the signature + band-bucket joins run
+    * once per session for the pair of audits instead of twice each.
+    */
+  private[graft] def minhashPairsShared(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.get(spark, "minhashPairs", dir,
+      Set("capture_recapture_dupes", "dedup_method_agreement"))(
+      dedupMinHashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  private[graft] def simhashPairsShared(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.get(spark, "simhashPairs", dir,
+      Set("capture_recapture_dupes", "dedup_method_agreement"))(
+      dedupSimHash(spark, dir).select(col("doc_a"), col("doc_b")))
+
   def dedupMethodAgreement(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.OwnedCaches.own
     val ng = own(dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).cache())
-    val mh = own(dedupMinHashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache())
-    val sh = own(dedupSimHash(spark, dir).select(col("doc_a"), col("doc_b")).cache())
-    def cnt(df: DataFrame, name: String) =
-      df.agg(count(lit(1)).cast("long").as(name))
-    def inter(a: DataFrame, b: DataFrame, name: String) =
-      a.intersect(b).agg(count(lit(1)).cast("long").as(name))
-    cnt(ng, "n_ngram")
-      .crossJoin(cnt(mh, "n_minhash"))
-      .crossJoin(cnt(sh, "n_simhash"))
-      .crossJoin(inter(ng, mh, "n_ngram_minhash"))
-      .crossJoin(inter(ng, sh, "n_ngram_simhash"))
-      .crossJoin(inter(mh, sh, "n_minhash_simhash"))
-      .crossJoin(ng.union(mh).union(sh).distinct()
-        .agg(count(lit(1)).cast("long").as("n_union")))
+    val mh = minhashPairsShared(spark, dir)
+    val sh = simhashPairsShared(spark, dir)
+    // ONE pass instead of seven crossjoined scalar subtrees + three
+    // intersect shuffles (optimization round 18: 44 scheduled jobs →
+    // 4): tag-union the three pair sets, group once at pair grain,
+    // and fold every count out of the per-pair presence tallies. Each
+    // detector emits distinct pairs, so sum(cnt_x) = |x|,
+    // presence-AND = |x ∩ y| (intersect's set semantics), and the
+    // group count = |x ∪ y ∪ z| — exact integer arithmetic, same
+    // seven numbers the oracle's subselects compute.
+    val tagged = ng.select(col("doc_a"), col("doc_b"),
+        lit(1L).as("w_ng"), lit(0L).as("w_mh"), lit(0L).as("w_sh"))
+      .unionByName(mh.select(col("doc_a"), col("doc_b"),
+        lit(0L).as("w_ng"), lit(1L).as("w_mh"), lit(0L).as("w_sh")))
+      .unionByName(sh.select(col("doc_a"), col("doc_b"),
+        lit(0L).as("w_ng"), lit(0L).as("w_mh"), lit(1L).as("w_sh")))
+    tagged.groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w_ng")).as("c_ng"), sum(col("w_mh")).as("c_mh"),
+        sum(col("w_sh")).as("c_sh"))
+      .agg(
+        coalesce(sum(col("c_ng")), lit(0L)).cast("long").as("n_ngram"),
+        coalesce(sum(col("c_mh")), lit(0L)).cast("long").as("n_minhash"),
+        coalesce(sum(col("c_sh")), lit(0L)).cast("long").as("n_simhash"),
+        coalesce(sum(when(col("c_ng") > 0 && col("c_mh") > 0, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("n_ngram_minhash"),
+        coalesce(sum(when(col("c_ng") > 0 && col("c_sh") > 0, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("n_ngram_simhash"),
+        coalesce(sum(when(col("c_mh") > 0 && col("c_sh") > 0, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("n_minhash_simhash"),
+        count(lit(1)).cast("long").as("n_union"))
   }
 
   lazy val dedupMethodAgreementSql: String =
@@ -817,14 +848,22 @@ object Dedup {
     * keyed join; the estimator is scalar arithmetic on five counts.
     */
   def captureRecaptureDupes(spark: SparkSession, dir: String): DataFrame = {
-    import graft.core.OwnedCaches.own
-    val mh = own(dedupMinHashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache())
-    val sh = own(dedupSimHash(spark, dir).select(col("doc_a"), col("doc_b")).cache())
-    mh.agg(count(lit(1)).cast("long").as("n1"))
-      .crossJoin(sh.agg(count(lit(1)).cast("long").as("n2")))
-      .crossJoin(mh.intersect(sh).agg(count(lit(1)).cast("long").as("m")))
-      .crossJoin(mh.union(sh).distinct()
-        .agg(count(lit(1)).cast("long").as("n_union")))
+    val mh = minhashPairsShared(spark, dir)
+    val sh = simhashPairsShared(spark, dir)
+    // the dedup_method_agreement single-pass fold (optimization round
+    // 18): tag-union + one pair-grain group replaces four crossjoined
+    // scalar subtrees and an intersect shuffle — same exact counts
+    mh.select(col("doc_a"), col("doc_b"), lit(1L).as("w_mh"), lit(0L).as("w_sh"))
+      .unionByName(sh.select(col("doc_a"), col("doc_b"),
+        lit(0L).as("w_mh"), lit(1L).as("w_sh")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w_mh")).as("c_mh"), sum(col("w_sh")).as("c_sh"))
+      .agg(
+        coalesce(sum(col("c_mh")), lit(0L)).cast("long").as("n1"),
+        coalesce(sum(col("c_sh")), lit(0L)).cast("long").as("n2"),
+        coalesce(sum(when(col("c_mh") > 0 && col("c_sh") > 0, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("m"),
+        count(lit(1)).cast("long").as("n_union"))
       .selectExpr("n1 AS n_minhash", "n2 AS n_simhash", "m AS n_overlap",
         "n_union",
         s"$CrChapman AS chapman_estimate",

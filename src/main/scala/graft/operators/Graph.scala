@@ -85,14 +85,13 @@ object Graph {
   private[graft] val TriangleWedgeUs = 0.1   // per Σ min(deg) wedge-bound unit
   private[graft] val KcorePerRowUs = 0.06
   private[graft] val LouvainPerRowUs = 0.08
-  private[graft] val PagerankPerRowUs = 0.40
-  // ReplayCalibrate (round 18): 0.029–0.038 µs/edge·round at 0.1–2M
-  // edges — ~10× under pagerank's because absent-source edges skip
-  // in one LongMap probe; margin per the family convention
-  private[graft] val PprPerRowUs = 0.06
-  // ReplayCalibrate (round 18): 0.12–0.26 µs/edge·round — two LongMap
-  // probes per edge, no teleport recompute; margin per the convention
-  private[graft] val KatzPerRowUs = 0.30
+  // ReplayCalibrate (optimization round 18, dense-array rewrite):
+  // pagerank 0.097–0.118, ppr ~0.10, katz 0.111–0.158 µs/edge·round at
+  // 0.1–2M edges (the renumbering sort is included in the measurement);
+  // constants carry the family-convention margin above the measured max
+  private[graft] val PagerankPerRowUs = 0.15
+  private[graft] val PprPerRowUs = 0.12
+  private[graft] val KatzPerRowUs = 0.18
 
   /** Top-20 PageRank nodes. Node encoding: customer c → 2c,
     * supplier s → 2s+1 (disjoint integer id spaces, no string keys in
@@ -116,13 +115,34 @@ object Graph {
     * broadcast if one side turns out small at runtime). Returned
     * UNCACHED — each consumer owns its persistence lifecycle.
     */
+  /** Distinct (customer, supplier) purchase pairs — the ONE fact-join
+    * + distinct pass the whole centrality family derives its graph
+    * from, session-shared (optimization round 18): `hits_scores`
+    * consumes it directly and the three [[custSuppEdges]] centralities
+    * derive the encoded symmetric closure from it map-side, so the
+    * orders⋈lineitem shuffle and the distinct run ONCE per session
+    * instead of four times. Release rides SharedFrames'
+    * last-planned-consumer accounting, the established shared-family
+    * lifecycle.
+    */
+  private[graft] val CustSuppPairConsumers =
+    Set("pagerank_topk", "personalized_pagerank", "katz_topk", "hits_scores")
+
+  private[graft] def custSuppPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.get(spark, "custSuppPairs", dir, CustSuppPairConsumers) {
+      val t = Tables(spark, dir)
+      t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+    }
+
   private[graft] def custSuppEdges(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    // the ×2 / ×2+1 encoding is injective, so projecting the shared
+    // distinct pair frame preserves distinctness with no new shuffle
+    val pairs = custSuppPairs(spark, dir)
+      .select((col("c") * 2).as("c"), (col("s") * 2 + 1).as("s"))
     pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
@@ -304,24 +324,72 @@ object Graph {
     Iterator.single((n.toLong, m.toLong, tri))
   }
 
+  /** Dense renumbering for the replay bodies (optimization round 18):
+    * sorted unique endpoint ids + per-edge int indexes. The LongMap
+    * tallies the replays used before cost ~0.2–0.4 µs per edge·round
+    * (hash + probe per update); index arithmetic over primitive
+    * arrays is ~10–20× cheaper, which both shrinks the replay's
+    * serial task and lets the measured caps admit larger graphs.
+    * Returns (sorted ids, srcIdx, dstIdx).
+    */
+  private def renumber(srcs: Int => Long, dsts: Int => Long, m: Int)
+      : (Array[Long], Int, Array[Int], Array[Int]) = {
+    val ids = new Array[Long](2 * m)
+    var i = 0
+    while (i < m) { ids(2 * i) = srcs(i); ids(2 * i + 1) = dsts(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    var n = 0; i = 0
+    while (i < ids.length) {
+      if (n == 0 || ids(i) != ids(n - 1)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    def idx(v: Long): Int = {
+      var lo = 0; var hi = n - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1; val c = ids(mid)
+        if (c == v) return mid
+        if (c < v) lo = mid + 1 else hi = mid - 1
+      }
+      -1 // unreachable: every endpoint was inserted above
+    }
+    val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+    i = 0
+    while (i < m) { srcI(i) = idx(srcs(i)); dstI(i) = idx(dsts(i)); i += 1 }
+    (ids, n, srcI, dstI)
+  }
+
   private[graft] def pagerankReplay(es: Array[(Long, Long, Long)],
       iters: Int, initR: Long, teleportC: Long): Iterator[(Long, Long)] = {
-    var r = scala.collection.mutable.LongMap.empty[Long]
-    es.foreach { case (src, _, _) => r.update(src, initR) }
-    for (_ <- 1 to iters) {
-      val contrib = scala.collection.mutable.LongMap.empty[Long]
-      es.foreach { case (src, dst, degSrc) =>
+    val m = es.length
+    val (ids, n, srcI, dstI) = renumber(i => es(i)._1, i => es(i)._2, m)
+    val degA = new Array[Long](m)
+    var i = 0
+    while (i < m) { degA(i) = es(i)._3; i += 1 }
+    // caller invariant (both callers build the symmetric closure):
+    // every node appears as src AND dst, so rank membership is the
+    // full node set each round and r/contrib are plain dense arrays
+    var r = new Array[Long](n)
+    java.util.Arrays.fill(r, initR)
+    var contrib = new Array[Long](n)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(contrib, 0L)
+      i = 0
+      while (i < m) {
         // per-edge floor division then sum — the loop's
-        // `r div deg_src` → groupBy sum, exactly
-        contrib.update(dst, contrib.getOrElse(dst, 0L) + r(src) / degSrc)
+        // `r div deg_src` → groupBy sum, exactly (order-free: longs)
+        contrib(dstI(i)) += r(srcI(i)) / degA(i)
+        i += 1
       }
-      val next = scala.collection.mutable.LongMap.empty[Long]
-      contrib.foreach { case (node, c) =>
-        next.update(node, teleportC + math.floor(0.85 * c.toDouble).toLong)
+      var j = 0
+      while (j < n) {
+        contrib(j) = teleportC + math.floor(0.85 * contrib(j).toDouble).toLong
+        j += 1
       }
-      r = next
+      val t = r; r = contrib; contrib = t
+      it += 1
     }
-    r.iterator
+    (0 until n).iterator.map(j => (ids(j), r(j)))
   }
 
   /** The single-task personalized-PageRank replay body (bit-identical
@@ -337,30 +405,61 @@ object Graph {
     */
   private[graft] def pprReplay(es: Array[(Long, Long, Long)],
       iters: Int, scale: Long): Iterator[(Long, Long)] = {
+    val m = es.length
+    val (ids, n, srcI, dstI) = renumber(i => es(i)._1, i => es(i)._2, m)
+    val degA = new Array[Long](m)
+    var i = 0
+    while (i < m) { degA(i) = es(i)._3; i += 1 }
     var seed = Long.MaxValue
-    es.foreach { case (src, _, _) => if (src % 2 == 0 && src < seed) seed = src }
-    val teleportC = math.floor(0.15 * scale.toDouble).toLong
-    var r = scala.collection.mutable.LongMap.empty[Long]
-    r.update(seed, scale)
-    for (_ <- 1 to iters) {
-      val contrib = scala.collection.mutable.LongMap.empty[Long]
-      es.foreach { case (src, dst, degSrc) =>
-        // inner join: absent sources contribute nothing AND create no
-        // dst row; a present source always creates the dst row, even
-        // when its floored share is 0 (the loop's join-then-groupBy).
-        // Ranks are non-negative by construction, so -1 is a safe
-        // absent sentinel (avoids an Option box per edge·iter).
-        val rv = r.getOrElse(src, -1L)
-        if (rv >= 0) contrib.update(dst, contrib.getOrElse(dst, 0L) + rv / degSrc)
+    i = 0
+    while (i < m) { val s = es(i)._1; if (s % 2 == 0 && s < seed) seed = s; i += 1 }
+    val seedI = {
+      var lo = 0; var hi = n - 1; var f = -1
+      while (lo <= hi && f < 0) {
+        val mid = (lo + hi) >>> 1
+        if (ids(mid) == seed) f = mid
+        else if (ids(mid) < seed) lo = mid + 1 else hi = mid - 1
       }
-      val next = scala.collection.mutable.LongMap.empty[Long]
-      contrib.foreach { case (node, c) =>
-        next.update(node, math.floor(0.85 * c.toDouble).toLong)
-      }
-      next.update(seed, next.getOrElse(seed, 0L) + teleportC)
-      r = next
+      f
     }
-    r.iterator
+    val teleportC = math.floor(0.15 * scale.toDouble).toLong
+    // sparse membership matters here (the state grows out from the
+    // seed): `member` tracks the loop's inner-join semantics exactly —
+    // absent sources contribute nothing and create no dst row; a
+    // present source always creates its dst row, even at floored 0
+    var member = new Array[Boolean](n)
+    var r = new Array[Long](n)
+    member(seedI) = true; r(seedI) = scale
+    var touched = new Array[Boolean](n)
+    var contrib = new Array[Long](n)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(touched, false)
+      java.util.Arrays.fill(contrib, 0L)
+      i = 0
+      while (i < m) {
+        val si = srcI(i)
+        if (member(si)) {
+          val di = dstI(i)
+          contrib(di) += r(si) / degA(i)
+          touched(di) = true
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < n) {
+        if (touched(j))
+          contrib(j) = math.floor(0.85 * contrib(j).toDouble).toLong
+        j += 1
+      }
+      // the seed-union-sum that injects the restart mass
+      contrib(seedI) = (if (touched(seedI)) contrib(seedI) else 0L) + teleportC
+      touched(seedI) = true
+      val tr = r; r = contrib; contrib = tr
+      val tm = member; member = touched; touched = tm
+      it += 1
+    }
+    (0 until n).iterator.filter(member(_)).map(j => (ids(j), r(j)))
   }
 
   val pagerankTopkSql: String = {
@@ -557,17 +656,38 @@ object Graph {
     // round 18 wave 4: rectangle clustering + integer power iteration
     "four_cycle_clustering", "eigenvector_centrality")
 
-  private def supportEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
+  /** Ordered in-basket co-purchase pair counts (p1 ≠ p2, BOTH
+    * directions) — the Σ basket² build the whole co-purchase family
+    * rests on, now session-shared ONE level below [[supportEdges]]
+    * (optimization round 18): the recommender trio (`cooccur_recs`,
+    * `itemitem_cf`, `recs_coverage_profile`) consumes it directly and
+    * the support graph derives from it by a map-side filter, so the
+    * basket explode + pair aggregation runs once per session instead
+    * of four times. Per-order dedup via collect_set is identical to
+    * the recommenders' distinct-items formulation, so the counts are
+    * the same frame both families already computed.
+    */
+  private[graft] val BasketPairConsumers: Set[String] =
+    SupportEdgeConsumers ++ Set("cooccur_recs", "itemitem_cf", "recs_coverage_profile")
+
+  private[graft] def basketPairCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.get(spark, "graph.basketPairCounts", dir, BasketPairConsumers) {
       Tables(spark, dir).lineitem
         .groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_partkey")).as("basket"))
         .select(explode(col("basket")).as("p1"), col("basket"))
         .select(col("p1"), explode(col("basket")).as("p2"))
-        .filter(col("p1") < col("p2"))
+        .filter(col("p1") =!= col("p2"))
         .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("c"))
-        .filter(col("c") >= TriMinSupport)
+    }
+
+  private def supportEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.get(spark, "graph.supportEdges", dir, SupportEdgeConsumers) {
+      // each order contributes exactly once per ordered pair, so the
+      // bidirectional count at p1 < p2 IS the unordered support count
+      basketPairCounts(spark, dir)
+        .filter(col("p1") < col("p2") && col("c") >= TriMinSupport)
     }
 
   /** Bounded min-plus relaxation from seed distances: `rounds` times
@@ -2100,14 +2220,9 @@ object Graph {
     * beyond, the same plan rides DECIMAL sums.
     */
   def hitsScores(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val edges = graft.core.OwnedCaches.own(
-      t.orders.select(col("o_orderkey"), col("o_custkey"))
-        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
-        .cache())
+    // the session-shared distinct pair frame (optimization round 18):
+    // identical definition, built once for the whole centrality family
+    val edges = custSuppPairs(spark, dir)
     // Each round is CACHED before `norm` reads it twice (max + values)
     // and before the next round joins it: an uncached chain re-expands
     // 2^rounds (the severed-lineage discipline of the graph loops —
@@ -2576,16 +2691,26 @@ object Graph {
     */
   private[graft] def katzReplay(es: Array[(Long, Long)],
       iters: Int, base: Long): Iterator[(Long, Long)] = {
-    var r = scala.collection.mutable.LongMap.empty[Long]
-    es.foreach { case (src, _) => if (!r.contains(src)) r.update(src, base) }
-    for (_ <- 1 to iters) {
-      val next = scala.collection.mutable.LongMap.empty[Long]
-      es.foreach { case (src, dst) =>
-        next.update(dst, next.getOrElse(dst, base) + r(src) / 8)
-      }
-      r = next
+    val m = es.length
+    val (ids, n, srcI, dstI) = renumber(i => es(i)._1, i => es(i)._2, m)
+    // caller invariant (symmetric closure): every node is a src and a
+    // dst, so each round's state covers the full node set — dense
+    // arrays replace the LongMap tallies (r'(v) = base + Σ r(u) div 8,
+    // order-free integer sums, bit-identical to the loop's decimal agg)
+    var r = new Array[Long](n)
+    java.util.Arrays.fill(r, base)
+    var acc = new Array[Long](n)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(acc, 0L)
+      var i = 0
+      while (i < m) { acc(dstI(i)) += r(srcI(i)) / 8; i += 1 }
+      var j = 0
+      while (j < n) { acc(j) += base; j += 1 }
+      val t = r; r = acc; acc = t
+      it += 1
     }
-    r.iterator
+    (0 until n).iterator.map(j => (ids(j), r(j)))
   }
 
   val katzTopkSql: String = {

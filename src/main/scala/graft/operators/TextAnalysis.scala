@@ -2756,6 +2756,102 @@ object TextAnalysis {
     w
   }
 
+  /** Measured single-task cost of one [[lrTrainReplay]] row·step (the
+    * BigDecimal 9-dp quantizations dominate); sized like the graph
+    * replay families and gated through `Graph.replayCap`, so the
+    * admission budget stays the shared ~3 s single-task ceiling.
+    */
+  private val QualityLrPerRowUs = 0.6
+
+  /** [[trainQualityModel]] with the single-task admission the graph
+    * centralities use (optimization round 18): the 20-step GD chain
+    * costs ~60 scheduled stages (a broadcast exchange + a two-stage
+    * aggregate per step) — for corpora under the measured cap the
+    * whole training loop is microseconds of arithmetic, so one
+    * mapPartitions task replays it bit-identically (same IEEE op
+    * order for the logit/ExactExp chain, same 9-dp HALF_UP
+    * quantization into exact integer sums, same decimal→double cast)
+    * over the SAME cached feature frame. Above the cap (document
+    * count from parquet footers — zero jobs) the distributed chain
+    * runs unchanged. Branch equality is pinned by Round18dSpec.
+    */
+  private[graft] def trainQualityModelAuto(spark: SparkSession, dir: String,
+      feat: DataFrame): DataFrame =
+    if (Tables.rowCount(spark, dir, "documents") <=
+        graft.operators.Graph.replayCap(QualityLrPerRowUs, LrSteps))
+      trainQualityModelReplay(feat)
+    else trainQualityModel(feat)
+
+  private[graft] def trainQualityModelReplay(feat: DataFrame): DataFrame = {
+    val sess = feat.sparkSession
+    import sess.implicits._
+    val steps = LrSteps; val rate = LrRate
+    feat.select(col("y").cast("double"), col("x1").cast("double"),
+        col("x2").cast("double"), col("x3").cast("double"))
+      .as[(Double, Double, Double, Double)]
+      .repartition(1)
+      .mapPartitions(it => lrTrainReplay(it.toArray, steps, rate))
+      .toDF("w0", "w1", "w2", "w3")
+  }
+
+  /** round(v, 9) → DECIMAL(18,9) as an unscaled long — the exact
+    * integer the chain's `sum(CAST(round(g·x, 9) AS DECIMAL(18,9)))`
+    * accumulates per row. `BigDecimal.valueOf` is the same
+    * Double.toString-based constructor Spark's Round and double→
+    * decimal Cast use, and the 1e-9 grid admits exactly one decimal
+    * inside a double's rounding interval at these magnitudes, so the
+    * one-step quantization equals the round-then-cast composition.
+    */
+  private def lrQ9(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** The single-task GD replay body — bit-identical to
+    * [[trainQualityModel]]'s unrolled chain by construction: per-row
+    * logit/ExactExp/sigmoid in the same IEEE op order the generated
+    * code evaluates, gradient sums as exact scale-9 integers
+    * (order-free), weight updates through the same decimal→double
+    * cast (`BigDecimal.doubleValue`, Spark's `Decimal.toDouble`).
+    * Factored out so ReplayCalibrate can time the shipped body.
+    */
+  private[graft] def lrTrainReplay(
+      rows: Array[(Double, Double, Double, Double)],
+      steps: Int, rate: Double): Iterator[(Double, Double, Double, Double)] = {
+    val nD = rows.length.toDouble // CAST(count(*) AS DOUBLE): exact
+    var w0 = 0.0; var w1 = 0.0; var w2 = 0.0; var w3 = 0.0
+    var step = 0
+    while (step < steps) {
+      var s0 = 0L; var s1 = 0L; var s2 = 0L; var s3 = 0L
+      var i = 0
+      while (i < rows.length) {
+        val row = rows(i)
+        val y = row._1; val x1 = row._2; val x2 = row._3; val x3 = row._4
+        // lrLogit: left-associated 4-term dot product
+        val z = w0 + w1 * x1 + w2 * x2 + w3 * x3
+        // ExactExp staged chain on (0.0 - z)
+        val u = (0.0 - z) / 64.0
+        var acc = 1.0
+        var k = 17
+        while (k >= 2) { acc = 1.0 + u * (1.0 / k) * acc; k -= 1 }
+        var p = 1.0 + u * acc
+        var sq = 0
+        while (sq < 6) { p = p * p; sq += 1 }
+        val g = 1.0 / (1.0 + p) - y
+        s0 += lrQ9(g); s1 += lrQ9(g * x1); s2 += lrQ9(g * x2); s3 += lrQ9(g * x3)
+        i += 1
+      }
+      def d9(s: Long): Double =
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 9).doubleValue()
+      w0 = w0 - rate * (d9(s0) / nD)
+      w1 = w1 - rate * (d9(s1) / nD)
+      w2 = w2 - rate * (d9(s2) / nD)
+      w3 = w3 - rate * (d9(s3) / nD)
+      step += 1
+    }
+    Iterator.single((w0, w1, w2, w3))
+  }
+
   /** Score a feature frame against a broadcast 1-row weight frame —
     * the serving projection, shared by the batch query and the
     * streaming sink.
@@ -2768,7 +2864,7 @@ object TextAnalysis {
   def qualityLogregFilter(spark: SparkSession, dir: String): DataFrame = {
     val feat = graft.core.OwnedCaches.own(
       lrFeaturesOf(qualityRuleSignals(spark, dir), withLabel = true).cache())
-    val w = trainQualityModel(feat)
+    val w = trainQualityModelAuto(spark, dir, feat)
     scoreQuality(feat, w)
       .select(col("doc_id"), col("y").as("label_kept"),
         col("logit"), col("admit"))
@@ -2868,7 +2964,7 @@ object TextAnalysis {
   def qualityLogregEval(spark: SparkSession, dir: String): DataFrame = {
     val feat = graft.core.OwnedCaches.own(
       lrFeaturesOf(qualityRuleSignals(spark, dir), withLabel = true).cache())
-    val w = trainQualityModel(feat)
+    val w = trainQualityModelAuto(spark, dir, feat)
     val scored = scoreQuality(feat, w)
     val spine = spark.range(1).select(
       explode(lit(LrEvalThresholdsQ1.toArray)).as("tq1"))

@@ -35,6 +35,10 @@ object PerfProbe {
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val taskRun = new java.util.concurrent.atomic.AtomicLong
     val taskCpu = new java.util.concurrent.atomic.AtomicLong
+    // optional per-stage log (SPARK_GRAFT_PROBE_STAGES=1): one line per
+    // completed stage with wall, summed task run/CPU, and the callsite
+    val stageLog = sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1")
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -45,8 +49,21 @@ object PerfProbe {
         if (t.taskMetrics != null) {
           taskRun.addAndGet(t.taskMetrics.executorRunTime)
           taskCpu.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
+          if (stageLog) stageAgg.merge(t.stageId,
+            (t.taskMetrics.executorRunTime, t.taskMetrics.executorCpuTime / 1000000L, 1),
+            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
         }
       }
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (stageLog) {
+          val i = sc.stageInfo
+          val wall = for {
+            a <- i.completionTime; b <- i.submissionTime
+          } yield (a - b) / 1000.0
+          val (run, cpu, n) = stageAgg.getOrDefault(i.stageId, (0L, 0L, 0))
+          println(f"  STAGE ${i.stageId}%5d wall=${wall.getOrElse(-1.0)}%7.3f " +
+            f"tasks=${i.numTasks}%5d run=${run / 1000.0}%8.2f cpu=${cpu / 1000.0}%8.2f  ${i.name.take(110)}")
+        }
     })
     val names = args.toSeq.filter(SparkEntryRef.queries.contains)
     val missing = args.toSeq.filterNot(SparkEntryRef.queries.contains)

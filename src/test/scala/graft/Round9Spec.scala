@@ -89,6 +89,9 @@ class Round9Spec extends AnyFunSuite {
     // re-registering
     graft.operators.Graph.bfsHops(spark, sf).collect()
     graft.operators.Commerce.basketLift(spark, sf).collect()
+    // round 18: the customer–supplier pair frame pagerank reads is
+    // session-shared too (custSuppPairs) — warm it into the baseline
+    graft.operators.Graph.pagerankTopk(spark, sf).collect()
     OwnedCaches.release()
     Thread.sleep(500)
     val baseline = spark.sparkContext.getPersistentRDDs.size
