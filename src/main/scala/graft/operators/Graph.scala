@@ -156,16 +156,37 @@ object Graph {
       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
       |edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs)""".stripMargin
 
+  /** Degree frame and degree-annotated flat edges over
+    * [[custSuppEdges]], session-shared (optimization round 18):
+    * pagerank and PPR each rebuilt the closure + degree groupBy +
+    * degree join per query (and per timed run) — measured ~20 s of
+    * task CPU per run at sf0.1 for plan prefixes that are byte-
+    * identical across the three centralities. katz reads the flat
+    * frame's (src, dst) projection.
+    */
+  private[graft] val CustSuppFlatConsumers =
+    Set("pagerank_topk", "personalized_pagerank", "katz_topk")
+
+  private[graft] def custSuppDeg(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.get(spark, "custSuppDeg", dir, CustSuppFlatConsumers) {
+      custSuppEdges(spark, dir)
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    }
+
+  private[graft] def custSuppEdgesFlat(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.get(spark, "custSuppEdgesFlat", dir, CustSuppFlatConsumers) {
+      custSuppEdges(spark, dir)
+        .join(custSuppDeg(spark, dir).toDF("src", "deg_src"), "src")
+        .select(col("src"), col("dst"), col("deg_src"))
+    }
+
   private[graft] def pagerank(spark: SparkSession, dir: String,
       forceCopartition: Boolean, forceLoop: Boolean = false): DataFrame = {
     // The loop-invariant out-degree rides ON the edge rows (it only
     // ever divides the source's rank), so the iterating state is just
-    // (node, r) and no per-iteration degree join exists at all.
-    // cached: deg's count, the edge-count layout probe, and the final
-    // query would each rebuild the orders⋈lineitem pair join otherwise
-    // (three full fact-join passes for one graph)
-    val raw = custSuppEdges(spark, dir).cache()
-    val deg = raw.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // (node, r) and no per-iteration degree join exists at all. The
+    // degree frame and flat edges are session-shared with PPR/katz.
+    val deg = custSuppDeg(spark, dir)
     // every node has degree ≥ 1 and appears on both edge sides
     // (symmetric closure), so there are no dangling nodes to handle.
     // N is ONE scalar pulled once for the teleport constant (like the
@@ -173,9 +194,7 @@ object Graph {
     // math.floor on doubles = the oracle's floor(CAST ... AS DOUBLE).
     val n = deg.count()
     val copartition = forceCopartition || n > BroadcastNodeCap
-    val edgesFlat = raw
-      .join(deg.toDF("src", "deg_src"), "src")
-      .select(col("src"), col("dst"), col("deg_src"))
+    val edgesFlat = custSuppEdgesFlat(spark, dir)
     val teleportC = math.floor(0.15 * Scale.toDouble / n.toDouble).toLong
     val initR = Scale / n
     // single-task branch: only consulted when the node count already
@@ -184,22 +203,17 @@ object Graph {
     if (!forceCopartition && !forceLoop && n <= replayCap(PagerankPerRowUs, Iters)) {
       val sess = spark
       import sess.implicits._
-      val cachedEdges = graft.core.OwnedCaches.own(edgesFlat.cache())
-      val edgeCount = cachedEdges.count() // materializes the edge cache
-      raw.unpersist()
+      val edgeCount = edgesFlat.count() // materializes the shared frame
       if (edgeCount <= replayCap(PagerankPerRowUs, Iters)) {
         val iters = Iters
         val i0 = initR; val tc = teleportC
-        val ranked = cachedEdges
+        val ranked = edgesFlat
           .select(col("src").cast("long"), col("dst").cast("long"),
             col("deg_src").cast("long"))
           .as[(Long, Long, Long)]
           .repartition(1)
           .mapPartitions(it => pagerankReplay(it.toArray, iters, i0, tc))
           .toDF("node", "rank_q12")
-        // cachedEdges stays cached: the returned plan reads it (the
-        // count above materialized it) — same ≤1-retained-frame
-        // contract as labelPropagate's union-find branch
         return ranked
           .orderBy(col("rank_q12").desc, col("node"))
           .limit(TopK)
@@ -210,9 +224,12 @@ object Graph {
     // co-partitioned branch: bake hash(src) partitioning INTO the
     // cached edges once — InMemoryRelation preserves the child's
     // outputPartitioning, so every iteration's src=node join reuses it
-    // and only the rank state shuffles
-    val edges = (if (copartition) edgesFlat.repartition(col("src")) else edgesFlat)
-      .cache()
+    // and only the rank state shuffles. Owned (not unpersisted inline):
+    // the returned lazy plan no longer reads it, but the loop below
+    // materializes through it.
+    val edges = graft.core.OwnedCaches.own(
+      (if (copartition) edgesFlat.repartition(col("src")) else edgesFlat)
+        .cache())
     var state = deg.select(col("node"), lit(initR).as("r")).cache()
     for (_ <- 1 to Iters) {
       // small graphs: rank state (one row per node) is ≪ the edge
@@ -239,9 +256,8 @@ object Graph {
       state.unpersist()
       state = next
     }
-    // the final rank state is materialized — the edge cache can go too
-    edges.unpersist()
-    raw.unpersist() // no-op if the single-task probe already released it
+    // the final rank state is materialized — the edge cache releases
+    // with the harness (owned above)
     graft.core.OwnedCaches.own(state) // released by the harness post-materialization
     state.select(col("node"), col("r").as("rank_q12"))
       .orderBy(col("rank_q12").desc, col("node"))
@@ -2219,10 +2235,107 @@ object Graph {
     * raw sums ≤ maxdeg·10¹² ≈ 10¹⁸ < 2⁶³ through 10⁶-degree hubs;
     * beyond, the same plan rides DECIMAL sums.
     */
-  def hitsScores(spark: SparkSession, dir: String): DataFrame = {
+  /** ReplayCalibrate (optimization round 18): see the calibration
+    * table in OPTIMIZATION_r18.md; margin per the family convention.
+    * Four half-rounds of pure long arithmetic over the pair array.
+    */
+  private[graft] val HitsPerRowUs = 0.15
+
+  def hitsScores(spark: SparkSession, dir: String): DataFrame =
+    hitsScores(spark, dir, forceLoop = false)
+
+  /** `forceLoop` pins the distributed branch for the branch-equality
+    * test (the pagerank convention).
+    */
+  private[graft] def hitsScores(spark: SparkSession, dir: String,
+      forceLoop: Boolean): DataFrame = {
     // the session-shared distinct pair frame (optimization round 18):
     // identical definition, built once for the whole centrality family
     val edges = custSuppPairs(spark, dir)
+    // single-task branch (optimization round 18, the pagerank
+    // admission discipline): the four normalized half-rounds cost ~28
+    // scheduled jobs in the loop below (per round: a state cache, a
+    // 1-row max aggregate, a broadcast, a join + partial-agg sum);
+    // under the measured cap the whole recursion is pure long
+    // arithmetic in one task, bit-identical by construction (counts,
+    // order-free long sums, `x div (1 + max div Scale)` floors).
+    if (!forceLoop) {
+      val sess = spark
+      import sess.implicits._
+      val edgeCount = edges.count() // materializes the shared frame
+      if (edgeCount <= replayCap(HitsPerRowUs, 4)) {
+        val sc = Scale
+        return edges.select(col("c").cast("long"), col("s").cast("long"))
+          .as[(Long, Long)]
+          .repartition(1)
+          .mapPartitions(it => hitsReplay(it.toArray, sc))
+          .toDF("role", "node", "score")
+          .orderBy(col("role"), col("score").desc, col("node"))
+      }
+    }
+    hitsScoresLoop(spark, dir, edges)
+  }
+
+  /** The single-task HITS replay body — bit-identical to the loop:
+    * h₁ = deg(c), aᵢ = Σ h over edges, hᵢ = Σ a, each state
+    * renormalized by BIGINT floor-division `x div (1 + max(x) div
+    * Scale)`; top-10 per role by (score desc, node asc). All exact
+    * longs; order-free sums. Factored out for ReplayCalibrate.
+    */
+  private[graft] def hitsReplay(es: Array[(Long, Long)], scale: Long)
+      : Iterator[(String, Long, Long)] = {
+    val m = es.length
+    // the two node spaces are distinct columns (customers vs
+    // suppliers) — renumber each independently
+    def uniqueSorted(get: Int => Long): Array[Long] = {
+      val a = new Array[Long](m)
+      var i = 0
+      while (i < m) { a(i) = get(i); i += 1 }
+      java.util.Arrays.sort(a)
+      var n = 0; i = 0
+      while (i < a.length) {
+        if (n == 0 || a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(a, n)
+    }
+    val cIds = uniqueSorted(i => es(i)._1)
+    val sIds = uniqueSorted(i => es(i)._2)
+    val cI = new Array[Int](m); val sI = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      cI(i) = java.util.Arrays.binarySearch(cIds, es(i)._1)
+      sI(i) = java.util.Arrays.binarySearch(sIds, es(i)._2)
+      i += 1
+    }
+    def normalize(x: Array[Long]): Unit = {
+      var mx = 0L; var j = 0
+      while (j < x.length) { if (x(j) > mx) mx = x(j); j += 1 }
+      // divisor is a no-op while max < scale — exactly the loop's form
+      val d = 1 + mx / scale
+      j = 0
+      while (j < x.length) { x(j) = x(j) / d; j += 1 }
+    }
+    val h = new Array[Long](cIds.length)
+    i = 0; while (i < m) { h(cI(i)) += 1; i += 1 }
+    normalize(h)
+    val a = new Array[Long](sIds.length)
+    i = 0; while (i < m) { a(sI(i)) += h(cI(i)); i += 1 }
+    normalize(a)
+    val h2 = new Array[Long](cIds.length)
+    i = 0; while (i < m) { h2(cI(i)) += a(sI(i)); i += 1 }
+    normalize(h2)
+    val a2 = new Array[Long](sIds.length)
+    i = 0; while (i < m) { a2(sI(i)) += h2(cI(i)); i += 1 }
+    normalize(a2)
+    def topK(ids: Array[Long], x: Array[Long], role: String) =
+      ids.indices.sortBy(j => (-x(j), ids(j))).take(HitsTopK)
+        .map(j => (role, ids(j), x(j)))
+    (topK(cIds, h2, "hub") ++ topK(sIds, a2, "authority")).iterator
+  }
+
+  private def hitsScoresLoop(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     // Each round is CACHED before `norm` reads it twice (max + values)
     // and before the next round joins it: an uncached chain re-expands
     // 2^rounds (the severed-lineage discipline of the graph loops —
@@ -2646,7 +2759,9 @@ object Graph {
     if (!forceLoop) {
       val sess = spark
       import sess.implicits._
-      val probe = graft.core.OwnedCaches.own(custSuppEdges(spark, dir).cache())
+      // the shared degree-annotated frame (deg_src unused here) — no
+      // private edge cache, no separate probe materialization
+      val probe = custSuppEdgesFlat(spark, dir)
       val edgeCount = probe.count()
       if (edgeCount <= replayCap(KatzPerRowUs, KatzIters)) {
         val iters = KatzIters; val base = KatzBase
@@ -2664,7 +2779,8 @@ object Graph {
     // the EDGE side on every one of the 4 iteration joins; now only
     // the rank state shuffles, the pagerank copartition argument)
     val edges = graft.core.OwnedCaches.own(
-      custSuppEdges(spark, dir).repartition(col("src")).cache())
+      custSuppEdgesFlat(spark, dir).select(col("src"), col("dst"))
+        .repartition(col("src")).cache())
     // symmetric closure ⇒ every node appears as a dst with in-degree
     // ≥ 1, so the per-iteration groupBy(dst) keeps the full node set
     // and no left-join backfill is needed (the pagerank argument).
@@ -2759,13 +2875,11 @@ object Graph {
     */
   private[graft] def personalizedPagerank(spark: SparkSession, dir: String,
       forceLoop: Boolean): DataFrame = {
-    val raw = custSuppEdges(spark, dir).cache()
-    val deg = raw.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // degree frame + flat edges session-shared with pagerank/katz
+    val deg = custSuppDeg(spark, dir)
     val n = deg.count()
     val copartition = n > BroadcastNodeCap
-    val edgesFlat = raw
-      .join(deg.toDF("src", "deg_src"), "src")
-      .select(col("src"), col("dst"), col("deg_src"))
+    val edgesFlat = custSuppEdgesFlat(spark, dir)
     // single-task branch (VERDICT r17 #3, the pagerank admission
     // discipline): a one-seed walk's 5 iterations cost ~12 scheduled
     // jobs in the loop below — for graphs under the MEASURED replay
@@ -2777,12 +2891,10 @@ object Graph {
     if (!forceLoop && n <= replayCap(PprPerRowUs, Iters)) {
       val sess = spark
       import sess.implicits._
-      val cachedEdges = graft.core.OwnedCaches.own(edgesFlat.cache())
-      val edgeCount = cachedEdges.count() // materializes the edge cache
-      raw.unpersist()
+      val edgeCount = edgesFlat.count() // materializes the shared frame
       if (edgeCount <= replayCap(PprPerRowUs, Iters)) {
         val iters = Iters; val sc = Scale
-        val ranked = cachedEdges
+        val ranked = edgesFlat
           .select(col("src").cast("long"), col("dst").cast("long"),
             col("deg_src").cast("long"))
           .as[(Long, Long, Long)]
@@ -2797,10 +2909,10 @@ object Graph {
       // dense small-n graph over the edge cap: fall through to the
       // loop (the cache stays warm for its iterations)
     }
-    val edges = (if (copartition) edgesFlat.repartition(col("src")) else edgesFlat)
-      .cache()
+    val edges = graft.core.OwnedCaches.own(
+      (if (copartition) edgesFlat.repartition(col("src")) else edgesFlat)
+        .cache())
     edges.count()
-    raw.unpersist()
     // ONE scalar (the seed id) crosses the driver — the pagerank-N
     // convention; everything else stays distributed
     val seed = edges.agg(min(when(col("src") % 2 === 0, col("src")))).collect()(0).getLong(0)
@@ -2826,7 +2938,6 @@ object Graph {
       state.unpersist()
       state = next
     }
-    edges.unpersist()
     graft.core.OwnedCaches.own(state)
     state.filter(col("node") % 2 === 1)
       .select(expr("(node - 1) div 2").as("supp_key"), col("r").as("rank_q12"))

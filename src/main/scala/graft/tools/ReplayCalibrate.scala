@@ -76,6 +76,7 @@ object ReplayCalibrate {
       bench("ppr", 5)(Graph.pprReplay(prEdges, 5, 1000000000000L).length)
       bench("katz", 4)(Graph.katzReplay(
         edges ++ edges.map(e => (e._2, e._1)), 4, 1000000L).length)
+      bench("hits", 4)(Graph.hitsReplay(edges, 1000000000000L).length)
       bench("eigencent", 4)(Graph.eigenCentReplay(
         edges ++ edges.map(e => (e._2, e._1)), 4).length)
       // triangle is costed per WEDGE-BOUND unit (Σ min(deg a, deg b)) —

@@ -31,6 +31,21 @@ class Round18dSpec extends AnyFunSuite {
     }
   }
 
+  test("hits_scores: single-task replay is bit-identical to the normalized loop") {
+    val G = graft.operators.Graph
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.collect().map(r => (r.getAs[String]("role"),
+        r.getAs[Long]("node"), r.getAs[Long]("score"))).toSeq
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val replay = rows(G.hitsScores(spark, dir))
+      graft.core.OwnedCaches.release()
+      val loop = rows(G.hitsScores(spark, dir, forceLoop = true))
+      graft.core.OwnedCaches.release()
+      assert(replay == loop, s"$dir")
+      assert(replay.nonEmpty)
+    }
+  }
+
   test("quality logreg auto gate admits the test corpora and routes to the replay") {
     // documents at every test SF is far under the measured cap — the
     // shipped branch at driver scale factors is the replay
