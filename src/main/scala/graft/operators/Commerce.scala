@@ -1393,22 +1393,45 @@ object Commerce {
         .select(col("o_orderkey").as("o"), col("o_custkey").as("u"),
           col("p_brand").as("b"),
           (col("o_orderdate").cast("date") < lit(RecsSplitDate).cast("date")).as("is_train"))
-        .distinct()
         .cache())
+    // (no distinct at this grain — optimization round 18: both
+    // consumers dedupe themselves, the per-order collect_set and the
+    // ub distinct, so the extra shuffle + two aggregate passes over
+    // the fact-sized frame bought nothing)
     val ub = lpo.select(col("u"), col("b"), col("is_train")).distinct()
     // train is read three times (scoring join, candidate anti-join,
     // novel-truth anti-join) — cache the (user, brand)-bounded frame
+    // train is cached PARTITIONED BY u (optimization round 18): the
+    // scoring fan-out's groupBy(u, b2), the candidate anti-join on
+    // (u, b2) and the per-user ranking window are all then satisfied
+    // by the cached layout (u ⊆ their clustering keys), so the 6M-row
+    // scoring fan-out aggregates partition-locally instead of
+    // shuffling ~190 MB of barely-combined partial rows.
     val train = graft.core.OwnedCaches.own(
-      ub.filter(col("is_train")).select(col("u"), col("b")).cache())
-    val testNovel = ub.filter(!col("is_train")).select(col("u"), col("b"))
-      .join(train.toDF("u", "b"), Seq("u", "b"), "left_anti")
-    val ob = lpo.filter(col("is_train"))
-      .select(col("o"), col("b"))
-      .distinct()
-    val pairs = ob.toDF("o", "a")
-      .join(ob.toDF("o2", "b2"), col("o") === col("o2") && col("a") =!= col("b2"))
+      ub.filter(col("is_train")).select(col("u"), col("b"))
+        .repartition(col("u")).cache())
+    // testNovel feeds BOTH the hit join and the truth restriction —
+    // cached, or each consumer re-pays the distinct + anti-join
+    // (optimization round 18)
+    val testNovel = graft.core.OwnedCaches.own(
+      ub.filter(!col("is_train")).select(col("u"), col("b"))
+        .join(train.toDF("u", "b"), Seq("u", "b"), "left_anti")
+        .cache())
+    // basket-grain pair counts (optimization round 18): collect the
+    // per-order distinct train brand set once and explode the ordered
+    // pairs MAP-SIDE — same exact counts as the ob⋈ob self-join (each
+    // order contributes once per ordered brand pair) without shuffling
+    // the order-grain frame twice; the cooccur_recs formulation.
+    val pairs = lpo.filter(col("is_train"))
+      .groupBy(col("o")).agg(collect_set(col("b")).as("bs"))
+      .select(explode(col("bs")).as("a"), col("bs"))
+      .select(col("a"), explode(col("bs")).as("b2"))
+      .filter(col("a") =!= col("b2"))
       .groupBy(col("a"), col("b2")).agg(count(lit(1)).as("n"))
-    val scores = train.join(pairs, col("b") === col("a"))
+    // the pair matrix is brand²-bounded (catalog², never data-sized)
+    // — broadcast it so the user-profile side does not shuffle for
+    // the scoring join at any corpus size (optimization round 18)
+    val scores = train.join(broadcast(pairs), col("b") === col("a"))
       .groupBy(col("u"), col("b2")).agg(sum(col("n")).as("score"))
       .join(train.toDF("u", "b2"), Seq("u", "b2"), "left_anti")
     val w = Window.partitionBy("u").orderBy(col("score").desc, col("b2"))

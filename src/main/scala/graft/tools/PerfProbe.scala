@@ -93,6 +93,26 @@ object PerfProbe {
         Thread.sleep(150)
         val phases = df.queryExecution.tracker.phases
           .map { case (k, v) => s"$k=${v.durationMs}ms" }.mkString(" ")
+        // SPARK_GRAFT_PROBE_METRICS=1: walk the final executed plan and
+        // print per-node SQL metrics (the SQL-tab view) — rows, times
+        if (sys.env.get("SPARK_GRAFT_PROBE_METRICS").contains("1") && i == runs) {
+          import org.apache.spark.sql.execution._
+          def dump(p: SparkPlan, d: Int): Unit = {
+            val ms = p.metrics.toSeq
+              .filter { case (_, m) => m.value > 0 }
+              .sortBy(_._1)
+              .map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
+            println(("  " * d) + "NODE " + p.nodeName + "  " + ms)
+            p match {
+              case a: adaptive.AdaptiveSparkPlanExec => dump(a.executedPlan, d + 1)
+              case q: adaptive.QueryStageExec => dump(q.plan, d + 1)
+              case c: columnar.InMemoryTableScanExec =>
+                dump(c.relation.cachedPlan, d + 1)
+              case _ => p.children.foreach(dump(_, d + 1))
+            }
+          }
+          dump(df.queryExecution.executedPlan, 0)
+        }
         println(f"PROBE $n%-30s run$i wall=$wall%7.3f build=$built%6.3f exec=$exec%7.3f " +
           f"jobs=${jobs.get - j0}%3d stages=${stages.get - s0}%4d tasks=${tasks.get - k0}%5d " +
           f"taskRun=${(taskRun.get - r0) / 1000.0}%8.2fs taskCpu=${(taskCpu.get - c0) / 1000.0}%8.2fs " +
