@@ -3176,26 +3176,58 @@ object Ann {
     val bf = annTopkBruteforce(spark, dir)
       .select(col("query_id"), col("neighbor_id")).cache()
     graft.core.OwnedCaches.own(bf)
-    def row(name: String, cand0: DataFrame): DataFrame = {
-      val cand = graft.core.OwnedCaches.own(cand0.cache())
-      val top = rerankQ6TopK(spark, dir, cand)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = bf.join(top, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      val truth = bf.agg(count(lit(1)).as("n_truth"))
-      val nc = cand.agg(count(lit(1)).as("n_cand"))
-      nc.crossJoin(hits).crossJoin(truth)
-        .select(lit(name).as("retriever"), col("n_cand"),
-          expr(s"CAST(n_cand AS DOUBLE) / CAST($NumQueries AS DOUBLE)")
-            .as("avg_candidates"),
-          col("hits"), col("n_truth"),
-          expr("CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE)").as("recall_at_k"))
-    }
-    row("ivf_np1", ivfCandidates(spark, dir, 1))
-      .unionByName(row("ivf_np3", ivfCandidates(spark, dir, 3)))
-      .unionByName(row("ivf_np5", ivfCandidates(spark, dir, 5)))
-      .unionByName(row("lsh_t8", lshCandidates(spark, dir)))
-      .unionByName(row("pq_sl50", pqShortlist(spark, dir)))
+    // ONE tagged union instead of five independent rerank+eval chains
+    // (optimization round 18: the per-retriever chain cost ~80
+    // scheduled jobs — 5 × (rerank window + three cross-joined scalar
+    // aggregates, with the truth count recomputed every arm)). The
+    // candidate frames are unchanged; the exact re-rank runs once
+    // with the window partitioned by (retriever, query), the
+    // per-retriever counts fold out of two grouped aggregates, and
+    // the truth count is computed once. Per-retriever rows carry the
+    // identical six values (same sim expression, same tie-breaks,
+    // candidate counts over the same frames).
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("retriever"), col("query_id"), col("neighbor_id"))
+    val cands = graft.core.OwnedCaches.own(
+      tag("ivf_np1", ivfCandidates(spark, dir, 1))
+        .unionByName(tag("ivf_np3", ivfCandidates(spark, dir, 3)))
+        .unionByName(tag("ivf_np5", ivfCandidates(spark, dir, 5)))
+        .unionByName(tag("lsh_t8", lshCandidates(spark, dir)))
+        .unionByName(tag("pq_sl50", pqShortlist(spark, dir)))
+        .cache())
+    val e = Tables(spark, dir).embeddings
+    val q6 = withQ6Norm(e, "uid", "u", "nrm")
+    val w = Window.partitionBy("retriever", "query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val top = cands
+      .join(broadcast(q6.toDF("query_id", "q_emb", "q_n")), "query_id")
+      .join(q6.toDF("neighbor_id", "c_emb", "c_n"), "neighbor_id")
+      .withColumn("sim", unitDot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("retriever"), col("query_id"), col("neighbor_id"))
+    // |top_r ∩ bf| — equal in either semi direction on distinct pair
+    // sets; the tagged side keeps the retriever key
+    val hits = top.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("retriever")).agg(count(lit(1)).as("hits"))
+    val nc = cands.groupBy(col("retriever")).agg(count(lit(1)).as("n_cand"))
+    val truth = bf.agg(count(lit(1)).as("n_truth"))
+    // literal retriever spine: an arm with zero candidates must still
+    // emit its row (n_cand = hits = 0), exactly as the old per-arm
+    // scalar aggregates did
+    val spine = spark.range(1).select(explode(array(
+      lit("ivf_np1"), lit("ivf_np3"), lit("ivf_np5"),
+      lit("lsh_t8"), lit("pq_sl50"))).as("retriever"))
+    spine
+      .join(nc, Seq("retriever"), "left")
+      .join(hits, Seq("retriever"), "left")
+      .crossJoin(broadcast(truth))
+      .select(col("retriever"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        expr(s"CAST(coalesce(n_cand, 0) AS DOUBLE) / CAST($NumQueries AS DOUBLE)")
+          .as("avg_candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("n_truth"),
+        expr("CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE)").as("recall_at_k"))
       .orderBy("retriever")
   }
 
