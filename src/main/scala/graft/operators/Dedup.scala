@@ -1255,39 +1255,54 @@ object Dedup {
     val sig = shingleSets(spark, dir).select(col("doc_id"),
       call_function("graft_minhash", col("sh")).as("sig"))
     val hv = hashedSets(spark, dir)
-    val rows = BandConfigs.map { case (b, r) =>
-      val banded = sig.select(col("doc_id"),
+    // ONE tagged pass over all three band geometries (optimization
+    // round 18): the per-config chain (band self-join + distinct +
+    // verify + two cross-joined scalar aggregates, ×3 configs) cost
+    // ~28 scheduled jobs; the config id now rides IN the bucket join
+    // key, so one self-join + one verify + two grouped aggregates
+    // produce the identical per-config counts.
+    val banded = BandConfigs.map { case (b, r) =>
+      sig.select(lit(b).as("cfg"), col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(b - 1)),
           bd => concat_ws(",",
             transform(slice(col("sig"), bd * r + 1, lit(r)),
               h => h.cast("string")))))
           .as(Seq("band", "bk")))
-      val cand = banded.toDF("i", "band_i", "bk")
-        .join(banded.toDF("j", "band_j", "bk2"),
-          col("band_i") === col("band_j") && col("bk") === col("bk2") &&
-            col("i") < col("j"))
-        .select(col("i"), col("j")).distinct()
-        .cache()
-      graft.core.OwnedCaches.own(cand)
-      val jac = col("n_common").cast("double") /
-        (col("na") + col("nb") - col("n_common"))
-      val nTrue = cand
-        .join(hv.toDF("i", "hv_i"), "i")
-        .join(hv.toDF("j", "hv_j"), "j")
-        .select(call_function("graft_sorted_intersect",
-            col("hv_i"), col("hv_j")).as("n_common"),
-          size(col("hv_i")).as("na"), size(col("hv_j")).as("nb"))
-        .filter(jac >= 0.5)
-        .agg(count(lit(1)).as("n_true"))
-      cand.agg(count(lit(1)).as("n_cand")).crossJoin(nTrue)
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_cand").as("n_candidate_pairs"),
-          col("n_true").as("n_true_pairs"),
-          expr("CASE WHEN n_cand = 0 THEN CAST(0 AS DOUBLE) " +
-            "ELSE CAST(n_true AS DOUBLE) / CAST(n_cand AS DOUBLE) END")
-            .as("precision_at_tau"))
-    }
-    rows.reduce(_ unionByName _).orderBy(col("bands").desc)
+    }.reduce(_ unionByName _)
+    val cand = graft.core.OwnedCaches.own(
+      banded.toDF("cfg", "i", "band_i", "bk")
+        .join(banded.toDF("cfg2", "j", "band_j", "bk2"),
+          col("cfg") === col("cfg2") && col("band_i") === col("band_j") &&
+            col("bk") === col("bk2") && col("i") < col("j"))
+        .select(col("cfg"), col("i"), col("j")).distinct()
+        .cache())
+    val jac = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    val nTrue = cand
+      .join(hv.toDF("i", "hv_i"), "i")
+      .join(hv.toDF("j", "hv_j"), "j")
+      .select(col("cfg"),
+        call_function("graft_sorted_intersect",
+          col("hv_i"), col("hv_j")).as("n_common"),
+        size(col("hv_i")).as("na"), size(col("hv_j")).as("nb"))
+      .filter(jac >= 0.5)
+      .groupBy(col("cfg")).agg(count(lit(1)).as("n_true"))
+    val nCand = cand.groupBy(col("cfg")).agg(count(lit(1)).as("n_cand"))
+    // literal config spine: a geometry with zero candidates must still
+    // emit its row, exactly as the per-config scalar aggregates did
+    val sess = spark
+    import sess.implicits._
+    val spine = BandConfigs.toDF("bands", "rows_per_band")
+    spine
+      .join(nCand.withColumnRenamed("cfg", "bands"), Seq("bands"), "left")
+      .join(nTrue.withColumnRenamed("cfg", "bands"), Seq("bands"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_cand"), lit(0L)).as("n_candidate_pairs"),
+        coalesce(col("n_true"), lit(0L)).as("n_true_pairs"),
+        expr("CASE WHEN coalesce(n_cand, 0) = 0 THEN CAST(0 AS DOUBLE) " +
+          "ELSE CAST(coalesce(n_true, 0) AS DOUBLE) / CAST(n_cand AS DOUBLE) END")
+          .as("precision_at_tau"))
+      .orderBy(col("bands").desc)
   }
 
   lazy val minhashBandTuneSql: String = {
