@@ -118,7 +118,11 @@ class Round9Spec extends AnyFunSuite {
       // reads only the session-shared support frame); the owned
       // degEdges cache under test belongs to the at-scale branch
       () => graft.operators.Graph.triangleCount(spark, sf, forceDistributed = true),
-      () => graft.operators.Graph.pagerankTopk(spark, sf))
+      // round 18: the replay branch owns nothing (it reads only the
+      // session-shared pair/degree/flat frames) — the owned edge and
+      // state caches under test belong to the forced-loop branch
+      () => graft.operators.Graph.pagerank(spark, sf,
+        forceCopartition = false, forceLoop = true))
     ops.foreach { op =>
       op().collect()
       assert(OwnedCaches.pendingCount > 0,
